@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-shaped operators (SURVEY.md §2.3 J1/J6, §2.4 A3/A4, §2.7).
+  *
+  * The reference implements FK checks by materializing parent-id sets in
+  * driver RAM (bagh/batch.py:77-82) — the moral equivalent of a broadcast
+  * hash join, except it dies when the parent outgrows RAM. Here every
+  * check is a real join: broadcast when the parent is declared small,
+  * shuffled otherwise, so the same operator survives a 100 TB parent.
+  */
+object Relational {
+
+  /** J1 FK-existence check as a left-semi join. Reference semantics
+    * (bagh/batch.py:226-238): a NULL fk passes the check (`id_rel is
+    * None` skips it, :231); a non-null fk must exist in the parent.
+    *
+    * Implemented as (fk IS NULL) ∪ (semi-join on fk): the null slice is
+    * a cheap filter union, the non-null slice a single join —
+    * broadcast when `broadcastParent`. */
+  def semiJoinFk(child: DataFrame, fkCol: String, parent: DataFrame,
+      parentKey: String, broadcastParent: Boolean = true): DataFrame = {
+    val keys0 = parent.select(col(parentKey).as("__pk")).distinct()
+    val keys = if (broadcastParent) broadcast(keys0) else keys0
+    val nullSide = child.filter(col(fkCol).isNull)
+    val matchSide = child.filter(col(fkCol).isNotNull)
+      .join(keys, col(fkCol) === col("__pk"), "left_semi")
+    nullSide.unionByName(matchSide)
+  }
+
+  /** Dual of [[semiJoinFk]]: the rows a FK check would reject (non-null
+    * fk with no parent) — the reference's per-row skip counter
+    * (bagh/batch.py:232-236) as a first-class dead-letter DataFrame. */
+  def fkViolations(child: DataFrame, fkCol: String, parent: DataFrame,
+      parentKey: String, broadcastParent: Boolean = true): DataFrame = {
+    val keys0 = parent.select(col(parentKey).as("__pk")).distinct()
+    val keys = if (broadcastParent) broadcast(keys0) else keys0
+    child.filter(col(fkCol).isNotNull)
+      .join(keys, col(fkCol) === col("__pk"), "left_anti")
+  }
+
+  /** J6 M:N relationship build (bagh/batch.py:364-431): explode an
+    * array of parent references into bridge rows, drop pairs whose
+    * parent does not exist (semi-join), emit the composite bridge id.
+    * `refsCol` must be an array column (e.g. from parsers.createIds). */
+  def explodeRelation(df: DataFrame, idCol: String, refsCol: String,
+      parent: DataFrame, parentKey: String,
+      broadcastParent: Boolean = true): DataFrame = {
+    val pairs = df.select(col(idCol), explode(col(refsCol)).as("ref_id"))
+    val valid = semiJoinFk(pairs, "ref_id", parent, parentKey, broadcastParent)
+      .filter(col("ref_id").isNotNull)
+    valid.select(
+      concat(col(idCol), lit("_"), col("ref_id")).as("id"),
+      col(idCol), col("ref_id"))
+  }
+
+  /** A4 distinct key-set (bagh/batch.py:80-82): the broadcast side of
+    * J1 as its own operator. */
+  def keySet(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol)).distinct()
+
+  /** A3 grouped list-collect (bagh/batch.py:372-400) — deterministic
+    * variant: per-group sorted array, so results are reproducible
+    * across partitionings (collect_list order is otherwise unstable). */
+  def collectSorted(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col(valueCol))).as(s"${valueCol}s"))
+}

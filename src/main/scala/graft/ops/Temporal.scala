@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.parsers
+
+/** Column-name convention for an SCD2 versioned entity table
+  * (SURVEY.md §1.1; reference temporal block at
+  * /root/reference/src/dso_import/bagh/bagh_create.sql:20-24). */
+case class VersionedCols(
+    identificatie: String = "identificatie",
+    volgnummer: String = "volgnummer",
+    begin: String = "begin_geldigheid",
+    eind: String = "eind_geldigheid")
+
+/** SCD2 / temporal operators (SURVEY.md §2.3 J2-J5, §2.4 A1, §2.5).
+  *
+  * All operators are set-oriented DataFrame transforms: at 100 TB every
+  * one of them is a single shuffle on the business key (or a broadcast),
+  * never a driver-side collect.
+  */
+object Temporal {
+
+  /** A1 duplicate-open-version check (bagh/batch.py:242-254): business
+    * keys with more than one open (`eind IS NULL`) version — a load-
+    * aborting invariant in the reference. One hash aggregate, partial+
+    * final, on the filtered rows only. */
+  def duplicateOpenVersions(df: DataFrame, v: VersionedCols = VersionedCols()): DataFrame =
+    df.filter(col(v.eind).isNull)
+      .groupBy(col(v.identificatie))
+      .agg(count(lit(1)).as("n_open"))
+      .filter(col("n_open") > 1)
+
+  /** §2.5 current-version operator: latest version per business key
+    * (highest volgnummer), the window form of the reference's
+    * `eind_geldigheid IS NULL` convention (bagh/batch.py:185-187).
+    * Single shuffle on the business key; no self-join. */
+  def currentVersion(df: DataFrame, v: VersionedCols = VersionedCols(),
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(v.identificatie))
+      .orderBy(col(v.volgnummer).desc +: tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J5 interval-overlap audit, SQL-faithful self-join form
+    * (bagh/batch.py:260-272): pairs (a,b) of versions of one key where
+    * a starts strictly after b starts but before b ends (or b is open).
+    * Executes as a shuffled hash/sort-merge join on the equi key with
+    * the range predicate as a post-join filter — correct but quadratic
+    * per key; prefer [[overlapsWindow]] at scale. */
+  def overlapPairsJoin(df: DataFrame, v: VersionedCols = VersionedCols()): DataFrame = {
+    val a = df.alias("a")
+    val b = df.alias("b")
+    a.join(b,
+        col(s"a.${v.identificatie}") === col(s"b.${v.identificatie}") &&
+        col(s"a.${v.volgnummer}") =!= col(s"b.${v.volgnummer}") &&
+        col(s"a.${v.begin}") > col(s"b.${v.begin}") &&
+        (col(s"a.${v.begin}") < col(s"b.${v.eind}") || col(s"b.${v.eind}").isNull))
+      .select(
+        col(s"a.${v.identificatie}").as("identificatie"),
+        col(s"a.${v.volgnummer}").as("volgnummer_a"),
+        col(s"b.${v.volgnummer}").as("volgnummer_b"),
+        col(s"a.${v.begin}").as("begin_a"),
+        col(s"b.${v.begin}").as("begin_b"),
+        col(s"b.${v.eind}").as("eind_b"))
+  }
+
+  /** J5 scalable window form (SURVEY.md §2.5): sort versions of each key
+    * by begin and flag rows whose next version starts before this one
+    * ends. Linear per key (one shuffle + sort), the 100 TB-safe shape. */
+  def overlapsWindow(df: DataFrame, v: VersionedCols = VersionedCols(),
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(v.identificatie))
+      .orderBy(Seq(col(v.begin), col(v.volgnummer)) ++ tiebreak: _*)
+    df.withColumn("__next_begin", lead(col(v.begin), 1).over(w))
+      .filter(col("__next_begin").isNotNull &&
+        (col(v.eind).isNull || col("__next_begin") < col(v.eind)))
+      .select(
+        col(v.identificatie).as("identificatie"),
+        col(v.volgnummer).as("volgnummer"),
+        col(v.begin).as("begin"),
+        col(v.eind).as("eind"),
+        col("__next_begin").as("next_begin"))
+  }
+
+  /** J2 deleted-row audit (bagh/batch.py:98-110): live rows whose id is
+    * missing from the staged set — history must never shrink, so any row
+    * here aborts the merge. Left-anti join on the versioned id. */
+  def detectDeleted(live: DataFrame, staged: DataFrame, idCol: String = "id"): DataFrame =
+    live.join(staged, Seq(idCol), "left_anti")
+
+  /** J3 insert-new (bagh/batch.py:112-120): staged rows with no live
+    * counterpart. */
+  def insertNew(staged: DataFrame, live: DataFrame, idCol: String = "id"): DataFrame =
+    staged.join(live, Seq(idCol), "left_anti")
+
+  /** Row-wise `IS DISTINCT FROM` across the given columns — the
+    * null-safe whole-row change predicate of J4 (bagh/batch.py:121-130,
+    * `t IS DISTINCT FROM e`). `<=>` is Spark's null-safe equality. */
+  def anyColumnDistinct(left: String, right: String, cols: Seq[String]): Column =
+    cols.map(c => !(col(s"$left.$c") <=> col(s"$right.$c")))
+      .reduce(_ || _)
+
+  /** J2+J3+J4 fused: the reference's three merge statements
+    * (bagh/batch.py:98-131) as one MERGE-as-rewrite.
+    *
+    * Result = staged-updated rows ∪ staged-new rows ∪ untouched live
+    * rows. Spark has no in-place UPDATE, so the merge rewrites the
+    * snapshot — Delta's `MERGE WHEN MATCHED/NOT MATCHED` built from one
+    * full-outer join (single shuffle on id for both sides; at 100 TB
+    * pre-bucketing both sides by id makes this shuffle-free).
+    *
+    * `compareCols` = non-key columns for the null-safe change predicate;
+    * defaults to all staged columns except `idCol`. */
+  def mergeScd2(live: DataFrame, staged: DataFrame, idCol: String = "id",
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val cols = staged.columns.toSeq
+    val cmp = if (compareCols.nonEmpty) compareCols else cols.filterNot(_ == idCol)
+    val l = live.alias("e")
+    val s = staged.alias("t")
+    val joined = l.join(s, col(s"e.$idCol") === col(s"t.$idCol"), "full_outer")
+    val stagedPresent = col(s"t.$idCol").isNotNull
+    // staged wins when new or changed; unchanged/unmatched keep live.
+    val out = cols.map { c =>
+      when(stagedPresent, col(s"t.$c")).otherwise(col(s"e.$c")).as(c)
+    }
+    joined.select(out: _*)
+  }
+
+  /** Merge audit counts without mutating anything — the reference's
+    * insert/update/delete counters (bagh/batch.py:98-131). Each side is
+    * an independent lazy DataFrame; `counts` materializes all three in
+    * one pass-per-metric. */
+  case class MergeAudit(inserted: DataFrame, updated: DataFrame, deleted: DataFrame)
+
+  def mergeAudit(live: DataFrame, staged: DataFrame, idCol: String = "id",
+      compareCols: Seq[String] = Nil): MergeAudit = {
+    val cmp = if (compareCols.nonEmpty) compareCols
+      else staged.columns.toSeq.filterNot(_ == idCol)
+    val changed = live.alias("e")
+      .join(staged.alias("t"), col(s"e.$idCol") === col(s"t.$idCol"))
+      .filter(anyColumnDistinct("t", "e", cmp))
+      .select(col(s"t.$idCol").as(idCol))
+    MergeAudit(
+      inserted = insertNew(staged, live, idCol),
+      updated = changed,
+      deleted = detectDeleted(live, staged, idCol))
+  }
+
+  /** Interval coalescing: merge adjacent/overlapping validity ranges of
+    * one business key into maximal ranges — the classic gaps-and-islands
+    * rewrite (window form, one shuffle). Not in the reference, but the
+    * natural companion of its interval algebra (SURVEY.md §2.10 demo). */
+  def coalesceIntervals(df: DataFrame, v: VersionedCols = VersionedCols()): DataFrame = {
+    val w = Window.partitionBy(col(v.identificatie))
+      .orderBy(col(v.begin), col(v.volgnummer))
+    val wRun = Window.partitionBy(col(v.identificatie))
+      .orderBy(col(v.begin), col(v.volgnummer))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // island starts where this begin is after the running max of prior
+    // ends (null end = open = swallows everything after it).
+    val priorMaxEind = max(col(v.eind)).over(wRun.rowsBetween(Window.unboundedPreceding, -1))
+    val priorOpen = max(when(col(v.eind).isNull, 1).otherwise(0))
+      .over(wRun.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new_island",
+        when(row_number().over(w) === 1, 1)
+          .when(priorOpen === 1, 0)
+          .when(col(v.begin) > priorMaxEind, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__new_island")).over(wRun))
+      .groupBy(col(v.identificatie), col("__island"))
+      .agg(
+        min(col(v.begin)).as("begin"),
+        when(max(when(col(v.eind).isNull, 1).otherwise(0)) === 1, lit(null))
+          .otherwise(max(col(v.eind))).as("eind"),
+        count(lit(1)).as("n_versions"))
+      .drop("__island")
+  }
+}
