@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.parsers
+import graft.ops.Relational
+import QuerySpec.{table, events, eventsSql}
+
+/** Batch 2: scalar parser fidelity, array/zip operators, set ops,
+  * grouping sets, JSON, and the events-table window operators
+  * (SURVEY.md §2.6-§2.9, F1-F9, north-star extensions). */
+object ExtendedQueries {
+
+  import parsers._
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // F1/F2/F3/F7/F9 parser fidelity over engineered inputs.
+    QuerySpec("q11_parse_functions",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val dateStr = col("o_orderdate").cast("string")
+        val ynStr = when(col("o_orderkey") % 3 === 0, lit("J"))
+          .when(col("o_orderkey") % 3 === 1, lit("N")).otherwise(lit(""))
+        val intStr = when(col("o_orderkey") % 4 === 0, col("o_orderkey").cast("string"))
+          .when(col("o_orderkey") % 4 === 1, lit("-5"))
+          .when(col("o_orderkey") % 4 === 2, lit("x12")).otherwise(lit(""))
+        val pStr = when(col("o_orderkey") % 5 === 0, lit(""))
+          .otherwise(col("o_orderpriority"))
+        o.select(
+          col("o_orderkey"),
+          parseDate(dateStr).as("d"),
+          parseDateTime(dateStr).as("t"),
+          parseYesNo(ynStr).as("b"),
+          intOrNone(intStr).as("i"),
+          emptyToNull(pStr).as("p"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+        |  CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS DATE) AS d,
+        |  CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS t,
+        |  CASE WHEN yn IN ('J','Y') THEN TRUE WHEN yn = 'N' THEN FALSE END AS b,
+        |  CASE WHEN regexp_full_match(istr, '[0-9]+') THEN CAST(istr AS INTEGER) END AS i,
+        |  NULLIF(trim(pstr), '') AS p
+        |FROM (SELECT *,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'J'
+        |         WHEN o_orderkey % 3 = 1 THEN 'N' ELSE '' END AS yn,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey AS VARCHAR)
+        |         WHEN o_orderkey % 4 = 1 THEN '-5'
+        |         WHEN o_orderkey % 4 = 2 THEN 'x12' ELSE '' END AS istr,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE o_orderpriority END AS pstr
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // F6 create_ids: parallel pipe-list zip → versioned ids (exploded).
+    QuerySpec("q12_create_ids",
+      (s, dir) => table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(createIds(
+            concat_ws("|", col("l_partkey"), col("l_suppkey")),
+            concat_ws("|", col("l_linenumber"), col("l_linenumber") + 1)))
+            .as("rel_id"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("rel_id")),
+      Some("""SELECT l_orderkey, l_linenumber, i || '_' || lpad(v, 3, '0') AS rel_id
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |    UNNEST(string_split(CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR), '|')) AS i,
+        |    UNNEST(string_split(CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_linenumber + 1 AS VARCHAR), '|')) AS v
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, rel_id""".stripMargin)),
+
+    // A3 grouped sorted list-collect (deterministic collect_list).
+    QuerySpec("q13_collect_sorted",
+      (s, dir) => Relational.collectSorted(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, list_sort(list(l_partkey)) AS l_partkeys
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // A4 distinct key-set materialization.
+    QuerySpec("q14_distinct_keyset",
+      (s, dir) => Relational.keySet(table(s, dir, "orders"), "o_custkey")
+        .orderBy(col("o_custkey")),
+      Some("SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey")),
+
+    // §2.7 set operations: except + intersect, tagged and unioned.
+    QuerySpec("q15_set_ops",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        def yr(y: Int) = o
+          .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct()
+        val a = yr(1995); val b = yr(1996)
+        a.except(b).withColumn("tag", lit("only_1995"))
+          .unionByName(a.intersect(b).withColumn("tag", lit("both")))
+          .orderBy(col("tag"), col("o_custkey"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT o_custkey, 'only_1995' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |ORDER BY tag, o_custkey""".stripMargin)),
+
+    // §2.4-absent-made-present: rollup with grouping id.
+    QuerySpec("q16_rollup",
+      (s, dir) => table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin)),
+
+    // Cube with exact-decimal measure.
+    QuerySpec("q17_cube",
+      (s, dir) => table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)),
+
+    // JSON extraction (events.props) — SURVEY.md §2.8 note.
+    QuerySpec("q18_json_extract",
+      (s, dir) => events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // §2.9 streaming-shaped: tumbling-window aggregation (batch form of
+    // groupBy(window(...)); the readStream form is in StreamingSpec).
+    QuerySpec("q19_tumbling_window",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start")),
+      Some(s"""WITH e AS ($eventsSql)
+        |SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1 ORDER BY hour_start""".stripMargin)),
+
+    // §2.9 sessionization: session_window vs gaps-and-islands oracle.
+    QuerySpec("q20_session_window",
+      (s, dir) => events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some(s"""WITH e AS ($eventsSql),
+        |m AS (SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin))
+  )
+}

@@ -23,6 +23,8 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if hasattr(v, "isoformat"):  # date/datetime/pandas.Timestamp
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):
