@@ -1,12 +1,13 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, ExtendedQueries, QuerySpec}
+import graft.queries.{CoreQueries, ExtendedQueries, TrainingQueries, QuerySpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every implemented operator query, in registration order. */
-  def specs: Seq[QuerySpec] = CoreQueries.all ++ ExtendedQueries.all
+  def specs: Seq[QuerySpec] =
+    CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

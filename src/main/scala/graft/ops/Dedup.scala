@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (builder-prompt
+  * north star). Four tiers, cheapest first:
+  *
+  *  1. exact     — hash-groupBy on the text (one shuffle)
+  *  2. ngram     — shingle → inverted-index self-join → exact Jaccard
+  *  3. minhash   — shingle → minhash signature → LSH band bucketing
+  *  4. simhash   — per-row 64-bit sketch → banded hamming candidates
+  *
+  * Scale notes: every stage is expressed as joins/aggregations on
+  * shingle or band keys — no driver-side state, no crossJoin of the
+  * full corpus. Candidate generation is always keyed (inverted index /
+  * LSH bucket), so the quadratic blowup is bounded per key; at 100 TB
+  * the hot shingles are the skew risk and get handled by the distinct
+  * (doc, shingle) projection + AQE skew splitting.
+  */
+object Dedup {
+
+  /** Tier 1: exact duplicate groups — texts appearing more than once,
+    * with the canonical (minimum) id and the sorted member list. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("member_ids"))
+      .filter(col("n_copies") > 1)
+
+  /** Keep one row per distinct text (canonical = min id): the dedup
+    * *apply* step. Window-free form: semi-join on (text, min id). */
+  def deduplicated(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+    df.join(canon, Seq(textCol, idCol), "left_semi")
+  }
+
+  /** Word k-shingles of a text column as an array (per-row expression,
+    * no shuffle). Empty array when fewer than k tokens. */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct (id, shingle) inverted-index projection. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+      .distinct()
+
+  /** Tier 2: exact n-gram Jaccard over candidate pairs that share at
+    * least one shingle (inverted-index join — never all-pairs). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, k)
+    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val withN = idx.join(sizes, idCol)
+    val a = withN.select(col(idCol).as("id_a"), col("n_sh").as("n_a"),
+      col("shingle"))
+    val b = withN.select(col(idCol).as("id_b"), col("n_sh").as("n_b"),
+      col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Minhash signature columns h0..h{n-1}: per doc, the min of a salted
+    * xxhash64 over its shingle set. One shuffle (the groupBy). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, k)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    idx.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Tier 3: MinHash + LSH candidate pairs. Signature split into
+    * `bands` bands of `numHashes/bands` rows; docs sharing any band
+    * hash become candidates; candidates are scored by estimated
+    * Jaccard (fraction of matching minhashes) and thresholded.
+    * All joins are keyed on (band, bandHash) — the LSH bucket. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 2, numHashes: Int = 16, bands: Int = 4,
+      estThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+    val bandCols = (0 until bands).map { bIdx =>
+      val cols = (bIdx * r until (bIdx + 1) * r).map(i => col(s"h$i"))
+      xxhash64(cols: _*)
+    }
+    val banded = sigs.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // estimate Jaccard = fraction of matching signature positions
+    val sa = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", matches.cast("double") / numHashes)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Tier 4: 64-bit SimHash sketch, computed entirely per-row (fold
+    * over token hashes — zero shuffles for the sketch itself). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__acc", expr(
+        """aggregate(__toks, array_repeat(0, 64),
+          |  (acc, w) -> zip_with(acc,
+          |    transform(sequence(0, 63),
+          |      i -> IF((shiftright(xxhash64(w), i) & 1) = 1, 1, -1)),
+          |    (x, y) -> x + y))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(
+          |  zip_with(__acc, sequence(0, 63),
+          |    (a, i) -> IF(a > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin))
+      .drop("__toks", "__acc")
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits — any shared band
+    * makes a candidate pair; pairs kept when hamming distance of the
+    * full 64-bit sketch ≤ maxDist. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sk = simhash(df, idCol, textCol).select(col(idCol), col("simhash"))
+    val banded = sk.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(bIdx =>
+        shiftright(col("simhash"), bIdx * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "band_bits")))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("band_bits"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("band_bits"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity operators over an `array<float>` embedding column
+  * (builder-prompt north star). All arithmetic is widened to double
+  * with a fixed left-to-right fold so results are deterministic and
+  * oracle-replicable.
+  *
+  * Scale path: brute force is the exact baseline (fine when one side is
+  * small and broadcastable); LSH bucketing bounds the candidate set for
+  * corpus×corpus near-dup search at 100 TB.
+  */
+object Similarity {
+
+  /** Elementwise widen to double. */
+  private def dd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Dot product, left-to-right fold in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(dd(a), dd(b), (x, y) => x * y), lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k: for each query vector, the k nearest
+    * corpus vectors by cosine. The query side is broadcast (it must be
+    * small); similarity is rounded to 6 decimals before ranking, with
+    * the corpus id as tiebreaker, so the ranking is a total order. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val simr = round(cosine(col("__qv"), col("__cv")), 6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", simr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Near-duplicate pairs above a cosine threshold, restricted to a
+    * blocking key (e.g. a coarse cluster / label / LSH bucket) so the
+    * pair space is bounded per block rather than corpus². */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Deterministic random-hyperplane LSH bucket id (nPlanes sign bits).
+    * Planes are ±1 vectors derived from a fixed seed, embedded as
+    * literals — identical on every executor, no shuffle to compute. */
+  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vecCol, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via LSH: bucket both sides, search only within the query's
+    * bucket, exact-rerank by cosine. Recall < 1 by construction; the
+    * 100 TB shape (bucket join) instead of the corpus² shape.
+    * `nPlanes` small (4-8) keeps per-bucket candidate lists healthy. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nPlanes: Int = 4): DataFrame = {
+    val bucket = lshBucket(col(vecCol), dim, nPlanes)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), bucket.as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      bucket.as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

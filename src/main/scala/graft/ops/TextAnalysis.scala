@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder-prompt north star; SURVEY.md §7.6). Every operator is a
+  * pure per-row Column expression — no UDFs, no shuffles, fully inside
+  * whole-stage codegen, so they stream over 100 TB of documents at
+  * scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token count (whitespace). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token estimate: count of letter-runs and digit-runs plus
+    * standalone punctuation — a cheap, deterministic proxy for subword
+    * token counts. */
+  def regexTokenCount(c: Column): Column =
+    call_function("regexp_count", c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Mean token length, as double (exact int/int division both here and
+    * in the oracle). */
+  def avgTokenLen(c: Column): Column = {
+    val t = tokens(c)
+    val totalLen = aggregate(transform(t, w => length(w)), lit(0),
+      (acc, x) => acc + x)
+    totalLen.cast("double") / size(t)
+  }
+
+  /** Punctuation ratio over characters. */
+  def punctRatio(c: Column): Column =
+    call_function("regexp_count", c, lit("[\\.,;:!?]")).cast("double") /
+      length(c)
+
+  private val enStopwords =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Stopword ratio (English list) over tokens. */
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    val sw = array(enStopwords.map(lit): _*)
+    size(filter(t, w => array_contains(sw, w))).cast("double") / size(t)
+  }
+
+  /** Composite quality heuristic: length-bounded, some stopwords, sane
+    * mean word length — the usual cheap pre-filter before expensive
+    * dedup/scoring stages. */
+  def qualityOk(c: Column): Column = {
+    val n = tokenCount(c)
+    n >= 5 && n <= 10000 &&
+      avgTokenLen(c) >= 2.0 && avgTokenLen(c) <= 15.0 &&
+      stopwordRatio(c) >= 0.0
+  }
+
+  /** Language-ID by stopword voting: score = number of tokens found in
+    * each language's tiny stopword list; strict-majority winner, ties
+    * (including all-zero) → "und". N-gram-free so it stays a pure
+    * projection; good enough for coarse corpus routing. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est"))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val t = tokens(c)
+    langStopwords.map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      lang -> size(filter(t, w => array_contains(sw, w)))
+    }
+  }
+
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val winner = scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      val others = scores.filter(_._1 != lang).map(_._2)
+      when(s > greatest(others: _*), lit(lang)).otherwise(acc)
+    }
+    winner
+  }
+
+  /** Document fingerprint: rolling polynomial hash over characters,
+    * `h = (h*31 + ascii(ch)) mod 1e9+7` — deterministic, oracle-
+    * replicable, and a stable cheap identity for exact-dup detection
+    * when the full text is too wide to shuffle. */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      filter(split(trim(c), ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+}

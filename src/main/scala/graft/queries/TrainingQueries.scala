@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import QuerySpec.table
+
+/** Batch 3: training-data pipeline operators (dedup / similarity /
+  * text analysis / multimodal) over the documents + embeddings tables.
+  * Hash-based sketches (minhash/simhash/LSH/stub features) are not
+  * SQL-replicable in DuckDB → rows-only checks + ScalaTest instead. */
+object TrainingQueries {
+
+  /** Cosine in DuckDB with explicit double widening + left fold,
+    * mirroring Similarity.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum([CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) FOR z IN list_zip($a, $b)]) /
+       |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $a])) *
+       |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $b]))), 6)""".stripMargin
+
+  val all: Seq[QuerySpec] = Seq(
+
+    QuerySpec("q21_token_count",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_ws"),
+          TA.regexTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("q22_quality_score",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.avgTokenLen(col("text")).as("avg_token_len"),
+          TA.punctRatio(col("text")).as("punct_ratio"),
+          TA.stopwordRatio(col("text")).as("stopword_ratio"),
+          TA.qualityOk(col("text")).as("quality_ok"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    CAST(list_sum([length(w) FOR w IN toks]) AS DOUBLE) / len(toks) AS avg_token_len,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','a','an','and','of','to','in','is','it','for'], w))) AS DOUBLE)
+        |      / len(toks) AS stopword_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+        |  (n_tokens >= 5 AND n_tokens <= 10000 AND avg_token_len >= 2.0
+        |   AND avg_token_len <= 15.0 AND stopword_ratio >= 0.0) AS quality_ok
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("q23_lang_id",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val scores = TA.langScores(col("text"))
+        d.select(Seq(col("doc_id")) ++
+            scores.map { case (l, c) => c.as(s"s_$l") } ++
+            Seq(TA.langId(col("text")).as("lang_pred")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, w -> list_contains(['the','and','of','to','a','in','is'], w))) AS s_en,
+        |  len(list_filter(toks, w -> list_contains(['el','la','de','que','y','los','en'], w))) AS s_es,
+        |  len(list_filter(toks, w -> list_contains(['der','die','und','das','ist','von'], w))) AS s_de,
+        |  len(list_filter(toks, w -> list_contains(['le','la','de','et','les','des','est'], w))) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN s_en > GREATEST(s_es, s_de, s_fr) THEN 'en'
+        |       WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+        |       WHEN s_de > GREATEST(s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_fr > GREATEST(s_en, s_es, s_de) THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("q24_fingerprint",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(trim(text), '')]),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact dedup over a derived input with real duplicate groups
+    // (every text is unique in the source table).
+    QuerySpec("q25_dedup_exact",
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val dups = d.unionByName(
+          d.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.exactDuplicates(dups, "doc_id", "text")
+          .select(col("canonical_id"), col("n_copies"), col("member_ids"))
+          .orderBy(col("canonical_id"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+        |  list_sort(list(doc_id)) AS member_ids
+        |FROM d GROUP BY text HAVING COUNT(*) > 1
+        |ORDER BY canonical_id""".stripMargin)),
+
+    // Inverted-index n-gram Jaccard (word trigrams, exact). Trigrams
+    // rather than bigrams: the synthetic corpus has a ~30-word
+    // vocabulary, so bigram shingles are shared by ~10% of all docs and
+    // the inverted-index join goes quadratic (measured 20s at sf0.1 —
+    // would not survive 100×). Trigrams keep the join keyed and sparse
+    // with identical exact-Jaccard semantics.
+    QuerySpec("q26_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash+LSH — xxhash64-based, not DuckDB-replicable: rows-only
+    // here; recall-vs-exact-Jaccard asserted in DedupSpec.
+    QuerySpec("q27_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, estThreshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // SimHash banded hamming — rows-only + DedupSpec.
+    QuerySpec("q28_simhash",
+      (s, dir) => Dedup.simhashPairs(
+          table(s, dir, "documents"), "doc_id", "text", maxDist = 16)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // Embedding near-dup pairs, blocked by label.
+    QuerySpec("q29_embedding_neardup",
+      (s, dir) => Similarity.nearDupPairs(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          blockCol = "label", threshold = 0.25)
+        .orderBy(col("block"), col("id_a"), col("id_b")),
+      Some(s"""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${cosSql("a.embedding", "b.embedding")} AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25
+        |ORDER BY block, id_a, id_b""".stripMargin)),
+
+    // Exact brute-force ANN baseline, top-10 for 5 query vectors.
+    QuerySpec("q30_ann_bruteforce",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "c.embedding")} AS sim
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN (the 100 TB shape) — rows-only; recall vs
+    // brute force asserted in SimilaritySpec.
+    QuerySpec("q31_ann_lsh",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", dim = 64, k = 10, nPlanes = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // Multimodal: binary payload metadata (pure expressions).
+    QuerySpec("q32_media_metadata",
+      (s, dir) => Multimodal.mediaMetadata(
+          Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("head_hex"))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id, CAST(doc_id % 3 AS VARCHAR) AS kind,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Multimodal decode stub (mapPartitions batch shape) — rows-only.
+    QuerySpec("q33_media_features",
+      (s, dir) => Multimodal.decodeFeaturesStub(s,
+          Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"))
+        .orderBy(col("media_id")),
+      None)
+  )
+}
