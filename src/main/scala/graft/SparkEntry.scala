@@ -1,13 +1,14 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, ExtendedQueries, TrainingQueries, QuerySpec}
+import graft.queries.{CoreQueries, ExtendedQueries, TrainingQueries, SourceGeoQueries, QuerySpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every implemented operator query, in registration order. */
   def specs: Seq[QuerySpec] =
-    CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all
+    CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all ++
+      SourceGeoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -19,16 +19,17 @@ import org.apache.spark.sql.functions._
 object parsers {
 
   /** F1 `parse_date` (csv.py:21-26): ISO date; strings longer than 10
-    * chars are truncated to the first 10 before parsing; empty → null. */
+    * chars are truncated to the first 10 before parsing; empty or
+    * unparseable → null (try_: Spark 4 ANSI mode would otherwise throw). */
   def parseDate(c: Column): Column =
-    to_date(substring(trim(c), 1, 10), "yyyy-MM-dd")
+    try_to_timestamp(substring(trim(c), 1, 10), lit("yyyy-MM-dd")).cast("date")
 
   /** F2 `parse_date_time` (csv.py:12-18): >10 chars → ISO timestamp,
-    * else ISO date widened to midnight; empty → null. */
+    * else ISO date widened to midnight; empty/unparseable → null. */
   def parseDateTime(c: Column): Column = {
     val t = trim(c)
-    when(length(t) > 10, to_timestamp(t))
-      .otherwise(to_timestamp(to_date(t, "yyyy-MM-dd")))
+    when(length(t) > 10, try_to_timestamp(t))
+      .otherwise(try_to_timestamp(t, lit("yyyy-MM-dd")))
   }
 
   /** F3 `parse_yesno_boolean` (csv.py:29-30): J/Y (any case) → true,

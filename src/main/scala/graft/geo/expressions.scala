@@ -1,0 +1,82 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.SparkSession
+
+/** F10 geometry functions as custom Catalyst expressions (SURVEY.md
+  * §7.3: the one surface Spark lacks natively). Null-safe: null/invalid
+  * WKT → null, mirroring batch/geo.py:52-57.
+  *
+  * CodegenFallback is deliberate: the parse cost dominates, and keeping
+  * the expression non-codegen'd keeps surrounding projections inside
+  * whole-stage codegen via the fallback bridge. Written as Expressions
+  * (not UDFs) so they carry proper nullability and show up in plans.
+  */
+abstract class WktUnary extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  protected def onGeom(g: GeoWkt.Geom): Any
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    GeoWkt.parse(s) match {
+      case Some(g) => onGeom(g)
+      case None => null
+    }
+  }
+}
+
+/** st_geometrytype(wkt) → 'POINT' | 'POLYGON' | ... | null. */
+case class StGeometryType(child: Expression) extends WktUnary {
+  override def dataType: DataType = StringType
+  protected def onGeom(g: GeoWkt.Geom): Any = UTF8String.fromString(g.typeName)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_npoints(wkt) → total vertex count | null. */
+case class StNPoints(child: Expression) extends WktUnary {
+  override def dataType: DataType = IntegerType
+  protected def onGeom(g: GeoWkt.Geom): Any = g.nPoints
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_isvalid(wkt) → structural validity | null on parse failure. */
+case class StIsValid(child: Expression) extends WktUnary {
+  override def dataType: DataType = BooleanType
+  protected def onGeom(g: GeoWkt.Geom): Any = GeoWkt.isValid(g)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_castto(wkt, target) → canonical WKT of the promoted geometry, or
+  * null when the promote matrix rejects (P4 semantics: the row is then
+  * dropped by the pipeline's geometry filter). Target is a literal. */
+case class StCastTo(child: Expression, target: String) extends WktUnary {
+  override def dataType: DataType = StringType
+  protected def onGeom(g: GeoWkt.Geom): Any =
+    GeoWkt.promote(g, target).map(p => UTF8String.fromString(p.toWkt)).orNull
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object geofunctions {
+  import GraftShim.{column, expression}
+  def st_geometrytype(c: Column): Column = column(StGeometryType(expression(c)))
+  def st_npoints(c: Column): Column = column(StNPoints(expression(c)))
+  def st_isvalid(c: Column): Column = column(StIsValid(expression(c)))
+  def st_castto(c: Column, target: String): Column =
+    column(StCastTo(expression(c), target))
+
+  /** Register SQL names on a session (used by tests / spark.sql users). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("st_geometrytype",
+      es => StGeometryType(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("st_npoints",
+      es => StNPoints(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("st_isvalid",
+      es => StIsValid(es.head), "scala_udf")
+  }
+}

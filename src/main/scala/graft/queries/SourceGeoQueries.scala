@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.geo.geofunctions
+import graft.sources.CsvSource
+import QuerySpec.table
+
+/** Batch 4: the CSV source (S1 GOB dialect, proven by a parquet→CSV→
+  * parquet roundtrip that the oracle computes directly) and the F10
+  * geometry expressions under oracle check. */
+object SourceGeoQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // S1: write nation as a ';'-delimited CSV, read it back with the
+    // reference dialect (all-string schema + downstream casts), agg.
+    QuerySpec("q34_csv_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_csv_roundtrip_${math.abs(dir.hashCode)}"
+        table(s, dir, "nation")
+          .coalesce(1).write.mode("overwrite")
+          .option("header", "true").option("delimiter", ";")
+          .csv(out)
+        val raw = CsvSource.read(s, out,
+          CsvSource.stringSchema(Seq("n_nationkey", "n_name", "n_regionkey")))
+        raw.clean
+          .select(col("n_nationkey").cast("int").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+            sum(col("n_nationkey")).as("key_sum"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name,
+        |  SUM(n_nationkey) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // F10: WKT parse / type / npoints / validity / promote, against an
+    // oracle that replicates the semantics case-wise.
+    QuerySpec("q35_wkt_geometry",
+      (s, dir) => {
+        val sz = col("p_size").cast("string")
+        val wkt = when(col("p_partkey") % 3 === 0,
+            concat(lit("POINT ("), sz, lit(" "), sz, lit(")")))
+          .when(col("p_partkey") % 3 === 1,
+            concat(lit("POLYGON ((0 0, "), sz, lit(" 0, "), sz, lit(" "), sz,
+              lit(", 0 0))")))
+          .otherwise(lit("NOTWKT"))
+        table(s, dir, "part")
+          .withColumn("wkt", wkt)
+          .select(col("p_partkey"),
+            geofunctions.st_geometrytype(col("wkt")).as("gtype"),
+            geofunctions.st_npoints(col("wkt")).as("npoints"),
+            geofunctions.st_isvalid(col("wkt")).as("valid"),
+            geofunctions.st_castto(col("wkt"), "MULTIPOLYGON").as("mpoly"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 'POINT'
+        |       WHEN p_partkey % 3 = 1 THEN 'POLYGON' END AS gtype,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 1
+        |       WHEN p_partkey % 3 = 1 THEN 4 END AS npoints,
+        |  CASE WHEN p_partkey % 3 = 0 THEN TRUE
+        |       WHEN p_partkey % 3 = 1 THEN TRUE END AS valid,
+        |  CASE WHEN p_partkey % 3 = 1 THEN
+        |    'MULTIPOLYGON (((0 0, ' || p_size || ' 0, ' || p_size || ' '
+        |      || p_size || ', 0 0)))' END AS mpoly
+        |FROM part ORDER BY p_partkey""".stripMargin))
+  )
+}

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.model.{FkSpec, GeoSpec, TableSpec}
+import graft.pipeline.ImportPipeline
+import graft.sources.CsvSource
+
+/** GOB-dialect CSV source + end-to-end importTable over the wijk
+  * fixture of FIXTURES.md §1: valid 2-version history, invalid range,
+  * Polygon promotion, wrong-type geometry, FK miss, null FK pass;
+  * idempotent re-run; abort paths. */
+class CsvPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val header =
+    "identificatie;volgnummer;registratiedatum;beginGeldigheid;eindGeldigheid;" +
+      "naam;cbsCode;geometrie;ligtIn:GBD.SDL.identificatie;ligtIn:GBD.GGW.identificatie"
+
+  private val rows = Seq(
+    // W1: clean 2-version history (v1 closed, v2 open)
+    "W1;1;2020-01-01 10:00:00;2020-01-01;2021-01-01;Centrum;WK01;POLYGON ((0 0, 4 0, 4 4, 0 0));SDL1;GGW1",
+    "W1;2;2021-01-01 10:00:00;2021-01-01;;Centrum;WK01;POLYGON ((0 0, 4 0, 4 5, 0 0));SDL1;GGW1",
+    // W2: begin > eind -> rejected (invalid_date_range)
+    "W2;1;2020-01-01 10:00:00;2021-06-01;2020-01-01;Zuid;WK02;POLYGON ((0 0, 1 0, 1 1, 0 0));SDL1;GGW1",
+    // W3: quoted field containing the delimiter
+    "W3;1;2020-01-01 10:00:00;2020-01-01;;\"Noord; West\";WK03;MULTIPOLYGON (((0 0, 2 0, 2 2, 0 0)));SDL2;GGW1",
+    // W4: wrong geometry type (POINT vs MULTIPOLYGON) -> rejected
+    "W4;1;2020-01-01 10:00:00;2020-01-01;;Oost;WK04;POINT (1 2);SDL1;GGW1",
+    // W5: FK miss (no SDL9 parent) -> rejected
+    "W5;1;2020-01-01 10:00:00;2020-01-01;;West;WK05;POLYGON ((0 0, 1 0, 1 1, 0 0));SDL9;GGW1",
+    // W6: empty GGW FK -> passes (null FK passes the check)
+    "W6;1;2020-01-01 10:00:00;2020-01-01;;Haven;WK06;POLYGON ((0 0, 1 0, 1 1, 0 0));SDL2;")
+
+  private def writeCsv(dir: String, name: String, lines: Seq[String]): String = {
+    Files.createDirectories(Paths.get(dir))
+    val p = Paths.get(dir, name)
+    // utf-8-sig: BOM prefix, as the GOB extracts ship it (csv.py:75)
+    Files.write(p, ("﻿" + lines.mkString("\n")).getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  private val wijkSpec = TableSpec(
+    name = "wijk",
+    sourceCols = Seq(
+      "identificatie" -> "identificatie",
+      "volgnummer" -> "volgnummer",
+      "registratiedatum" -> "registratiedatum",
+      "beginGeldigheid" -> "begin_geldigheid",
+      "eindGeldigheid" -> "eind_geldigheid",
+      "naam" -> "naam",
+      "cbsCode" -> "cbs_code",
+      "geometrie" -> "geometrie",
+      "ligtIn:GBD.SDL.identificatie" -> "stadsdeel_id",
+      "ligtIn:GBD.GGW.identificatie" -> "ggw_id"),
+    fks = Seq(
+      FkSpec("stadsdeel_id", "stadsdeel", "identificatie"),
+      FkSpec("ggw_id", "ggw_gebied", "identificatie")),
+    geometry = Some(GeoSpec("geometrie", "MULTIPOLYGON")))
+
+  private lazy val parents = Map(
+    "stadsdeel" -> Seq("SDL1", "SDL2").toDF("identificatie"),
+    "ggw_gebied" -> Seq("GGW1").toDF("identificatie"))
+
+  test("CSV source: GOB dialect (BOM, ';', quotes), dead-letter on malformed") {
+    val dir = Files.createTempDirectory("graftcsv").toString
+    val path = writeCsv(dir, "wijk.csv",
+      header +: (rows :+ "BROKEN;row;with;too;many;fields;a;b;c;d;e;f"))
+    val read = CsvSource.read(spark, path,
+      CsvSource.stringSchema(header.split(";").toSeq))
+    assert(read.clean.count() == rows.size)
+    val rej = read.rejected.collect()
+    assert(rej.length == 1 && rej.head.getString(2) == "malformed_csv")
+    // BOM must not corrupt the first header name
+    assert(read.clean.columns.head == "identificatie")
+    // quoted delimiter survives
+    assert(read.clean.filter($"identificatie" === "W3")
+      .select($"naam").as[String].head() == "Noord; West")
+    // max_rows cap (reference csv.py:70)
+    assert(CsvSource.read(spark, path,
+      CsvSource.stringSchema(header.split(";").toSeq), maxRows = Some(3))
+      .clean.count() <= 3)
+  }
+
+  test("importTable end-to-end: rejects with reasons, promote, merge, idempotent re-run") {
+    val dir = Files.createTempDirectory("graftimp").toString
+    val path = writeCsv(dir, "wijk.csv", header +: rows)
+
+    val r1 = ImportPipeline.importTable(spark, wijkSpec, path, parents, live = None)
+    assert(!r1.report.failed)
+    val rejects = r1.rejected.select($"id", $"reject_reason")
+      .as[(String, String)].collect().toMap
+    assert(rejects == Map(
+      "W2_001" -> "invalid_date_range",
+      "W4_001" -> "invalid_geometry",
+      "W5_001" -> "fk_miss:stadsdeel_id"))
+    val merged = r1.merged.cache()
+    assert(merged.count() == 4) // W1 v1+v2, W3, W6
+    // Polygon promoted to MultiPolygon
+    val g = merged.filter($"id" === "W1_001").select($"geometrie").as[String].head()
+    assert(g == "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 0)))")
+    // synthetic id zero-padded
+    assert(merged.filter($"identificatie" === "W1").select($"id")
+      .as[String].collect().sorted.toSeq == Seq("W1_001", "W1_002"))
+
+    // re-run against the merged snapshot: 0 inserted, 0 updated
+    val r2 = ImportPipeline.importTable(spark, wijkSpec, path, parents, Some(merged))
+    assert(!r2.report.failed)
+    assert(r2.inserted == 0 && r2.updated == 0)
+    assert(r2.report.warnings.exists(_.startsWith("overlapping_ranges")) == false)
+  }
+
+  test("abort: duplicate open versions stop the merge before any write") {
+    val dir = Files.createTempDirectory("graftdup").toString
+    val dupRows = Seq(
+      "D1;1;2020-01-01 10:00:00;2020-01-01;;Een;WK;POLYGON ((0 0, 1 0, 1 1, 0 0));SDL1;GGW1",
+      "D1;2;2021-01-01 10:00:00;2021-01-01;;Twee;WK;POLYGON ((0 0, 1 0, 1 1, 0 0));SDL1;GGW1")
+    val path = writeCsv(dir, "dup.csv", header +: dupRows)
+    val r = ImportPipeline.importTable(spark, wijkSpec, path, parents, None)
+    assert(r.report.failed)
+    assert(r.report.errors.exists(_.startsWith("duplicate_open_versions")))
+  }
+
+  test("abort: history shrink (deleted rows) is detected against live") {
+    val dir = Files.createTempDirectory("graftdel").toString
+    val path = writeCsv(dir, "one.csv", header +: rows.take(2)) // only W1
+    val live = Seq(("GONE_001", "GONE", 1)).toDF("id", "identificatie", "volgnummer")
+    val r = ImportPipeline.importTable(spark, wijkSpec, path, parents, Some(live))
+    assert(r.report.failed)
+    assert(r.report.errors.exists(_.startsWith("deleted_history_rows")))
+  }
+
+  test("commitSnapshot: write, swap, survive re-commit") {
+    val dir = Files.createTempDirectory("graftsnap").toString + "/t"
+    val df1 = Seq((1, "a")).toDF("k", "v")
+    ImportPipeline.commitSnapshot(df1, dir)
+    assert(spark.read.parquet(dir).count() == 1)
+    val df2 = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    ImportPipeline.commitSnapshot(df2, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("runJob: named-task restart skips prefix (batch/batch.py:19-30)") {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tasks = Seq("a", "b", "c").map(n => n -> (() => { ran += n; () }))
+    assert(ImportPipeline.runJob(tasks, Some("b")) == Seq("b", "c"))
+    assert(ran.toSeq == Seq("b", "c"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Sketch-operator quality checks that the DuckDB oracle can't cover
+  * (xxhash64-based): minhash estimates track exact Jaccard, simhash of
+  * identical texts collides, LSH ANN recall vs the exact baseline. */
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("exactDuplicates finds planted duplicate groups; deduplicated keeps canonical") {
+    val d = docs.select($"doc_id", $"text")
+    val dups = d.unionByName(d.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val groups = Dedup.exactDuplicates(dups, "doc_id", "text")
+    val n = docs.filter($"doc_id" % 5 === 0).count()
+    assert(groups.count() == n)
+    assert(groups.filter($"n_copies" =!= 2).count() == 0)
+    val kept = Dedup.deduplicated(dups, "doc_id", "text")
+    assert(kept.count() == docs.count())          // one survivor per text
+    assert(kept.filter($"doc_id" >= 100000).count() == 0) // canonical = min id
+  }
+
+  test("minhash LSH pairs approximate exact trigram-Jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 4, estThreshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // recall: most exact near-dups are recovered by the sketch
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.6, s"recall=$recall exact=${exact.size} approx=${approx.size}")
+    }
+  }
+
+  test("simhash: identical text -> identical sketch; hamming 0") {
+    val two = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "something else entirely here")).toDF("doc_id", "text")
+    val sk = Dedup.simhash(two, "doc_id", "text")
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    assert(sk(1L) == sk(2L))
+    assert(sk(1L) != sk(3L))
+    val pairs = Dedup.simhashPairs(two, "doc_id", "text", maxDist = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine: self-similarity 1, brute-force ranks are total-ordered") {
+    val self = emb.limit(3)
+      .select(round(Similarity.cosine($"embedding", $"embedding"), 9).as("c"))
+      .as[Double].collect()
+    assert(self.forall(_ == 1.0))
+    val topk = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 5)
+    val byQuery = topk.groupBy($"query_id").agg(count(lit(1)).as("n"),
+      max($"rank").as("mx")).collect()
+    assert(byQuery.forall(r => r.getLong(1) == 5 && r.getInt(2) == 5))
+  }
+
+  test("LSH ANN: results are a subset-ranking consistent with brute force") {
+    val exact = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+        "vec_id", "embedding", k = 20)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, emb.filter($"vec_id" < 3),
+        "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
+    // every LSH hit must be a genuine corpus vector ranked by true cosine;
+    // recall against exact top-20 should be non-trivial
+    val hits = lsh.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(hits.nonEmpty)
+    val recall = hits.count(exact.contains).toDouble / hits.length
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+}
