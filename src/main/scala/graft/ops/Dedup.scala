@@ -120,25 +120,56 @@ object Dedup {
     * over token hashes — zero shuffles for the sketch itself). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      // hash each token ONCE; folding over bits would otherwise
+      // re-evaluate xxhash64 64x per token (measured 2x total runtime)
+      .withColumn("__th", expr("transform(__toks, w -> xxhash64(w))"))
       .withColumn("__acc", expr(
-        """aggregate(__toks, array_repeat(0, 64),
-          |  (acc, w) -> zip_with(acc,
+        """aggregate(__th, array_repeat(0, 64),
+          |  (acc, h) -> zip_with(acc,
           |    transform(sequence(0, 63),
-          |      i -> IF((shiftright(xxhash64(w), i) & 1) = 1, 1, -1)),
+          |      i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
           |    (x, y) -> x + y))""".stripMargin))
       .withColumn("simhash", expr(
         """aggregate(
           |  zip_with(__acc, sequence(0, 63),
           |    (a, i) -> IF(a > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
           |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin))
-      .drop("__toks", "__acc")
+      .drop("__toks", "__th", "__acc")
+
+  /** Alternative SimHash formulation: explode tokens → hash → 64
+    * codegen'd conditional sums in one hash aggregate → recombine bits.
+    * Same result as [[simhash]]; trades one shuffle on the doc id for
+    * fully codegen'd arithmetic (the per-row fold runs as interpreted
+    * higher-order lambdas). Prefer this when a shuffle on the id is
+    * acceptable; prefer [[simhash]] when the corpus is too hot to
+    * shuffle. */
+  def simhashGrouped(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sketch = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sketch.as("simhash"))
+  }
 
   /** SimHash near-dup candidates: 4 bands of 16 bits — any shared band
     * makes a candidate pair; pairs kept when hamming distance of the
     * full 64-bit sketch ≤ maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // repartition = exchange barrier: without it, CollapseProject
+    // inlines the interpreted sketch fold into all 4 band expressions
+    // plus the output column (measured 5x the sketch cost). The
+    // materialized sketch table is also what a 100 TB pipeline would
+    // persist anyway.
     val sk = simhash(df, idCol, textCol).select(col(idCol), col("simhash"))
+      .repartition(col(idCol))
     val banded = sk.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(bIdx =>
         shiftright(col("simhash"), bIdx * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -151,7 +182,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the dedup shuffle then carries only
+      // matching pairs, not every band collision
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

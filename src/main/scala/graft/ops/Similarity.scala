@@ -35,10 +35,13 @@ object Similarity {
     * the corpus id as tiebreaker, so the ranking is a total order. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms are computed once per row BEFORE the join — recomputing
+    // them per pair would triple the dominant dot-product cost
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val simr = round(cosine(col("__qv"), col("__cv")), 6)
+      col(vecCol).as("__qv"), l2Norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
+    val simr = round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(c, col("query_id") =!= col("neighbor_id"))
@@ -54,12 +57,13 @@ object Similarity {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
+      col(vecCol).as("__va"), l2Norm(col(vecCol)).as("__na"))
     val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
+      col(vecCol).as("__vb"), l2Norm(col(vecCol)).as("__nb"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("sim", round(
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("sim"))
   }
@@ -85,14 +89,16 @@ object Similarity {
       vecCol: String, dim: Int, k: Int, nPlanes: Int = 4): DataFrame = {
     val bucket = lshBucket(col(vecCol), dim, nPlanes)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), bucket.as("bucket")))
+      col(vecCol).as("__qv"), l2Norm(col(vecCol)).as("__qn"),
+      bucket.as("bucket")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      bucket.as("bucket"))
+      l2Norm(col(vecCol)).as("__cn"), bucket.as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("sim", round(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
