@@ -67,4 +67,28 @@ object Relational {
   def collectSorted(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     df.groupBy(col(keyCol))
       .agg(sort_array(collect_list(col(valueCol))).as(s"${valueCol}s"))
+
+  /** Skew-mitigating two-stage aggregation: salt the grouping key with
+    * a deterministic hash of `saltSource` (any row-distinguishing
+    * column), partially aggregate per (key, salt), then finalize per
+    * key. Semantics identical to a plain groupBy-count/sum; the hot key
+    * is spread over `salts` reducers in stage one — the manual fallback
+    * when AQE skew handling can't kick in (e.g. single mega-key). */
+  def saltedAgg(df: DataFrame, keyCol: String, saltSource: String,
+      salts: Int, sumCol: Option[String] = None): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(saltSource)), lit(salts)))
+    val partial = sumCol match {
+      case Some(v) => salted.groupBy(col(keyCol), col("__salt"))
+        .agg(count(lit(1)).as("__n"), sum(col(v)).as("__s"))
+      case None => salted.groupBy(col(keyCol), col("__salt"))
+        .agg(count(lit(1)).as("__n"))
+    }
+    val fin = sumCol match {
+      case Some(_) => partial.groupBy(col(keyCol))
+        .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
+      case None => partial.groupBy(col(keyCol)).agg(sum(col("__n")).as("n"))
+    }
+    fin
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
+import graft.ops.IntervalUnionDays
+
+/** Scale-shape assertions: the plans we ship are the plans we want —
+  * filters reach the parquet scan, small dims broadcast, co-partitioned
+  * joins add no extra exchange. Plus Aggregator correctness under
+  * forced partial aggregation. */
+class PlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q01: filter + projection are pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // pruned read schema: no orderkey/partkey/suppkey columns read
+    assert(!p.contains("l_orderkey"))
+  }
+
+  test("q04: FK check is a broadcast left-semi join") {
+    val p = plan("q04_semijoin_fk")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("q30: ANN query side is broadcast (no corpus shuffle)") {
+    val p = plan("q30_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("co-partitioned join adds no exchange beyond the repartition") {
+    // disable broadcast so the join must rely on co-partitioning
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.read.parquet(s"$sf0001/orders.parquet")
+        .repartition(4, $"o_orderkey")
+      val b = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .repartition(4, $"l_orderkey")
+      val j = a.join(b, $"o_orderkey" === $"l_orderkey")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(
+        j.queryExecution.executedPlan.toString).length
+      assert(shuffles == 2,
+        s"expected only the 2 repartition shuffles, got $shuffles")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("IntervalUnionDays aggregator: correct under forced 1-row partitions") {
+    val f = udaf(IntervalUnionDays(10000), Encoders.product[(Int, Option[Int])])
+    val df = Seq(("A", 100, Some(130)), ("A", 120, Some(160)), ("A", 200, None),
+      ("A", 90, Some(95)), ("B", 50, Some(60)))
+      .toDF("k", "s", "e").repartition(5) // force merge() across buffers
+    val out = df.groupBy($"k").agg(f($"s", $"e").as("d"))
+      .as[(String, Long)].collect().toMap
+    // A: [90,95)+[100,160)+[200,10000) = 5 + 60 + 9800
+    assert(out("A") == 5 + 60 + 9800)
+    assert(out("B") == 10)
+  }
+}
