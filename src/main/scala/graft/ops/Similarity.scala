@@ -68,6 +68,55 @@ object Similarity {
       .select(col("block"), col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Squared L2 distance, double fold (deterministic). */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(dd(a), dd(b), (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, v) => acc + v)
+
+  /** IVF-style ANN: a coarse quantizer (centroids = a small fixed
+    * subset of the corpus, broadcast) partitions the corpus into cells;
+    * queries probe their `nProbe` nearest cells and exact-rerank only
+    * those candidates. The corpus-side work is one broadcast join +
+    * one aggregation — the classic inverted-file shape that bounds the
+    * candidate list at any corpus size. Distances are rounded before
+    * argmin/rank with id tiebreaks so cell assignment is a total order
+    * (oracle-replicable). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val cent = broadcast(corpus
+      .filter(col(idCol) < nCentroids)  // deterministic coarse quantizer
+      .select(col(idCol).as("cent_id"), col(vecCol).as("__centv")))
+    // corpus -> nearest cell
+    val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        l2Norm(col(vecCol)).as("__cn"))
+      .crossJoin(cent)
+      .withColumn("__d", round(dist2(col("__cv"), col("__centv")), 6))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("neighbor_id"))
+        .orderBy(col("__d").asc, col("cent_id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("neighbor_id"), col("__cv"), col("__cn"),
+        col("cent_id").as("cell"))
+    // queries -> nProbe nearest cells
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        l2Norm(col(vecCol)).as("__qn"))
+      .crossJoin(cent)
+      .withColumn("__d", round(dist2(col("__qv"), col("__centv")), 6))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("__d").asc, col("cent_id").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("cent_id").as("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assign, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Deterministic random-hyperplane LSH bucket id (nPlanes sign bits).
     * Planes are ±1 vectors derived from a fixed seed, embedded as
     * literals — identical on every executor, no shuffle to compute. */

@@ -150,6 +150,56 @@ object Temporal {
       deleted = detectDeleted(live, staged, idCol))
   }
 
+  /** Temporal as-of join: for each probe row (key, ts), attach the
+    * version whose validity interval contains ts — "which version was
+    * current at time t", the natural SCD2 lookup. Spark has no as-of
+    * join; rather than a custom SparkPlan, this composes built-ins with
+    * the union+last_value trick (preference (a) of the build brief):
+    * tag versions and probes, sort the union per key by (time, tag),
+    * and carry the latest version state forward onto each probe row —
+    * ONE shuffle on the key, linear per key, no range join blowup.
+    *
+    * Rows whose matched version has eind <= ts (expired) get nulls.
+    *
+    * @param probes   (keyCol, tsCol) rows to enrich
+    * @param versions SCD2 table with VersionedCols + payload columns
+    */
+  def asOfJoin(probes: DataFrame, probeKey: String, probeTs: String,
+      versions: DataFrame, v: VersionedCols = VersionedCols(),
+      payloadCols: Seq[String]): DataFrame = {
+    // the whole version is carried as ONE struct so that a null eind
+    // (open version) travels with its version instead of being skipped
+    // by last(ignoreNulls) and replaced by an older version's eind
+    val verStruct = struct(
+      Seq(col(v.begin).as("vb"), col(v.eind).as("ve"),
+        col(v.volgnummer).as("vn")) ++
+        payloadCols.map(c => col(c).as(c)): _*)
+    val verSide = versions.select(col(v.identificatie).as("__k"),
+      col(v.begin).as("__t"), lit(0).as("__tag"),
+      col(v.volgnummer).as("__vn"), verStruct.as("__vs"))
+    val structType = verSide.schema("__vs").dataType
+    val probeSide = probes.select(col(probeKey).as("__k"),
+      col(probeTs).as("__t"), lit(1).as("__tag"),
+      lit(null).cast("int").as("__vn"), lit(null).cast(structType).as("__vs"))
+    // versions sort before probes at equal time (tag 0 < 1): a version
+    // beginning exactly at the probe ts IS visible to it; among equal
+    // begins the higher volgnummer wins.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__tag"), col("__vn").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = verSide.unionByName(probeSide)
+      .withColumn("__c", last(col("__vs"), ignoreNulls = true).over(w))
+    val valid = col("__c").isNotNull &&
+      (col("__c.ve").isNull || col("__c.ve") > col("__t"))
+    carried.filter(col("__tag") === 1)
+      .select(
+        Seq(col("__k").as(probeKey), col("__t").as(probeTs),
+          when(valid, col("__c.vn")).as("volgnummer"),
+          when(valid, col("__c.vb")).as("valid_from"),
+          when(valid, col("__c.ve")).as("valid_to")) ++
+          payloadCols.map(c => when(valid, col(s"__c.$c")).as(c)): _*)
+  }
+
   /** Interval coalescing: merge adjacent/overlapping validity ranges of
     * one business key into maximal ranges — the classic gaps-and-islands
     * rewrite (window form, one shuffle). Not in the reference, but the

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Similarity, Temporal}
+import QuerySpec.table
+
+/** Batch 6: temporal as-of join (the SCD2 point-in-time lookup) and
+  * IVF-style ANN — both fully oracle-checked. */
+object AdvancedQueries {
+
+  private def dist2Sql(a: String, b: String): String =
+    s"""list_sum([(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) *
+       | (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) FOR z IN list_zip($a, $b)])""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum([CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) FOR z IN list_zip($a, $b)]) /
+       |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $a])) *
+       |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $b]))), 6)""".stripMargin
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Temporal as-of join: which lineitem version was valid 200 days
+    // after each order date. Versions are deduped to one row per
+    // (key, volgnummer) first (the synthetic data has duplicate pairs).
+    QuerySpec("q44_asof_join",
+      (s, dir) => {
+        val v0 = CoreQueries.lineitemVersioned(s, dir)
+        val vers = v0.groupBy(col("identificatie"), col("volgnummer"))
+          .agg(min(col("begin_geldigheid")).as("begin_geldigheid"),
+            when(count(col("eind_geldigheid")) < count(lit(1)),
+              lit(null).cast("timestamp"))
+              .otherwise(max(col("eind_geldigheid"))).as("eind_geldigheid"),
+            max(col("l_quantity")).as("l_quantity"))
+        val probes = table(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("okey"),
+            (col("o_orderdate") + expr("INTERVAL 200 DAYS")).as("asof_ts"))
+        Temporal.asOfJoin(probes, "okey", "asof_ts", vers,
+            payloadCols = Seq("l_quantity"))
+          .orderBy(col("okey"))
+      },
+      Some("""WITH v0 AS (SELECT CAST(l_orderkey AS VARCHAR) AS identificatie,
+        |    l_linenumber AS volgnummer, l_shipdate AS begin_geldigheid,
+        |    CASE WHEN l_linestatus = 'O' THEN NULL
+        |         ELSE l_shipdate + INTERVAL 30 DAY END AS eind_geldigheid,
+        |    l_quantity
+        |  FROM lineitem),
+        |vers AS (SELECT identificatie, volgnummer,
+        |    MIN(begin_geldigheid) AS vb,
+        |    CASE WHEN COUNT(eind_geldigheid) < COUNT(*) THEN NULL
+        |         ELSE MAX(eind_geldigheid) END AS ve,
+        |    MAX(l_quantity) AS qty
+        |  FROM v0 GROUP BY identificatie, volgnummer),
+        |p AS (SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+        |    o_orderdate + INTERVAL 200 DAY AS asof_ts FROM orders),
+        |j AS (SELECT p.okey, p.asof_ts, v.volgnummer, v.vb, v.ve, v.qty,
+        |    ROW_NUMBER() OVER (PARTITION BY p.okey
+        |      ORDER BY v.vb DESC, v.volgnummer DESC) AS rn
+        |  FROM p JOIN vers v
+        |    ON v.identificatie = p.okey AND v.vb <= p.asof_ts),
+        |w AS (SELECT * FROM j WHERE rn = 1)
+        |SELECT p.okey, p.asof_ts,
+        |  CASE WHEN w.ve IS NULL OR w.ve > p.asof_ts THEN w.volgnummer END AS volgnummer,
+        |  CASE WHEN w.ve IS NULL OR w.ve > p.asof_ts THEN w.vb END AS valid_from,
+        |  CASE WHEN w.ve IS NULL OR w.ve > p.asof_ts THEN w.ve END AS valid_to,
+        |  CASE WHEN w.ve IS NULL OR w.ve > p.asof_ts THEN w.qty END AS l_quantity
+        |FROM p LEFT JOIN w ON w.okey = p.okey
+        |ORDER BY p.okey""".stripMargin)),
+
+    // IVF ANN: coarse-quantize into 8 cells, probe the 2 nearest.
+    QuerySpec("q45_ann_ivf",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 8),
+        |assign AS (SELECT vec_id AS neighbor_id, embedding AS nv, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
+        |    FROM e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, a.neighbor_id,
+        |    ${cosSql("p.qv", "a.nv")} AS sim
+        |  FROM probes p JOIN assign a USING (cell)
+        |  WHERE a.neighbor_id <> p.query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin))
+  )
+}

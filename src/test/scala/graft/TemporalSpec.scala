@@ -97,6 +97,34 @@ class TemporalSpec extends SparkSuite {
     assert(cur.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq("A" -> 2, "B" -> 5))
   }
 
+  test("asOfJoin: version valid at ts; boundary inclusive on begin, exclusive on eind") {
+    val vers = vdf(
+      ("A", 1, "2020-01-01", Some("2020-06-01")),
+      ("A", 2, "2020-06-01", Some("2020-09-01")),
+      ("B", 1, "2020-01-01", None))
+      .withColumn("payload", concat($"identificatie", lit("-v"), $"volgnummer"))
+    val probes = Seq(
+      ("A", "2020-03-15"),  // inside v1
+      ("A", "2020-06-01"),  // v1 expired at its eind, v2 begins -> v2
+      ("A", "2020-09-01"),  // v2 expired, nothing open -> nulls
+      ("A", "2019-12-31"),  // before any version -> nulls
+      ("B", "2024-01-01"),  // open version
+      ("C", "2020-01-01")   // unknown key -> nulls
+    ).toDF("k", "t").select($"k", to_date($"t").as("t"))
+    val out = Temporal.asOfJoin(probes, "k", "t", vers,
+        payloadCols = Seq("payload"))
+      .orderBy($"k", $"t")
+      .select($"k", $"t", $"payload").as[(String, java.sql.Date, String)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("A", java.sql.Date.valueOf("2019-12-31"), null),
+      ("A", java.sql.Date.valueOf("2020-03-15"), "A-v1"),
+      ("A", java.sql.Date.valueOf("2020-06-01"), "A-v2"),
+      ("A", java.sql.Date.valueOf("2020-09-01"), null),
+      ("B", java.sql.Date.valueOf("2024-01-01"), "B-v1"),
+      ("C", java.sql.Date.valueOf("2020-01-01"), null)))
+  }
+
   test("coalesceIntervals merges overlapping/adjacent ranges per key") {
     val df = vdf(
       ("A", 1, "2020-01-01", Some("2020-03-01")),
