@@ -68,22 +68,31 @@ object Temporal {
         col(s"b.${v.eind}").as("eind_b"))
   }
 
-  /** J5 scalable window form (SURVEY.md §2.5): sort versions of each key
-    * by begin and flag rows whose next version starts before this one
-    * ends. Linear per key (one shuffle + sort), the 100 TB-safe shape. */
-  def overlapsWindow(df: DataFrame, v: VersionedCols = VersionedCols(),
-      tiebreak: Seq[Column] = Nil): DataFrame = {
-    val w = Window.partitionBy(col(v.identificatie))
-      .orderBy(Seq(col(v.begin), col(v.volgnummer)) ++ tiebreak: _*)
-    df.withColumn("__next_begin", lead(col(v.begin), 1).over(w))
-      .filter(col("__next_begin").isNotNull &&
-        (col(v.eind).isNull || col("__next_begin") < col(v.eind)))
+  /** J5 scalable window form (SURVEY.md §2.5): flag every version `a`
+    * for which some earlier-starting version of the same key is still
+    * open or ends after a's begin — EXACTLY the join form's semantics
+    * (`b.begin < a.begin AND (b open OR a.begin < b.eind)`,
+    * bagh/batch.py:260-272), via a running max over a RANGE frame that
+    * excludes begin-ties (strict inequality). Linear per key after one
+    * shuffle — the 100 TB-safe shape.
+    *
+    * (A naive lead()-based adjacent-pair check is NOT equivalent: it
+    * wrongly flags same-begin ties and misses non-adjacent overlaps —
+    * caught by the PropertySpec equivalence property.) */
+  def overlapsWindow(df: DataFrame, v: VersionedCols = VersionedCols()): DataFrame = {
+    val ord = col(v.begin).cast("timestamp").cast("long")
+    val w = Window.partitionBy(col(v.identificatie)).orderBy(ord)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val priorOpen = max(when(col(v.eind).isNull, 1).otherwise(0)).over(w)
+    val priorMaxEind = max(col(v.eind)).over(w)
+    df.withColumn("__prior_open", priorOpen)
+      .withColumn("__prior_max_eind", priorMaxEind)
+      .filter(col("__prior_open") === 1 || col(v.begin) < col("__prior_max_eind"))
       .select(
         col(v.identificatie).as("identificatie"),
         col(v.volgnummer).as("volgnummer"),
         col(v.begin).as("begin"),
-        col(v.eind).as("eind"),
-        col("__next_begin").as("next_begin"))
+        col(v.eind).as("eind"))
   }
 
   /** J2 deleted-row audit (bagh/batch.py:98-110): live rows whose id is

@@ -187,25 +187,27 @@ object CoreQueries {
         |FROM (SELECT UNNEST(string_split(p_name, ' ')) AS w FROM part)
         |GROUP BY w ORDER BY word""".stripMargin)),
 
-    // J5 interval-overlap audit — scalable window form.
+    // J5 interval-overlap audit — scalable window form (running max of
+    // prior ends over a strict range frame; same semantics as q10).
     QuerySpec("q09_overlap_window",
-      (s, dir) => Temporal.overlapsWindow(lineitemVersioned(s, dir),
-          tiebreak = Seq(col("eind_geldigheid").asc_nulls_last,
-            col("l_quantity").asc))
+      (s, dir) => Temporal.overlapsWindow(lineitemVersioned(s, dir))
         .orderBy(col("identificatie"), col("volgnummer"), col("begin"),
-          col("eind").asc_nulls_last, col("next_begin")),
+          col("eind").asc_nulls_last),
       Some(s"""WITH v AS ($versionedSql),
-        |w AS (SELECT v.*, LEAD(begin_geldigheid) OVER (
-        |        PARTITION BY identificatie
-        |        ORDER BY begin_geldigheid, volgnummer,
-        |                 eind_geldigheid ASC NULLS LAST, l_quantity ASC) AS next_begin FROM v)
+        |w AS (SELECT v.*,
+        |    MAX(CASE WHEN eind_geldigheid IS NULL THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY identificatie ORDER BY epoch(begin_geldigheid)
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_open,
+        |    MAX(eind_geldigheid) OVER (
+        |      PARTITION BY identificatie ORDER BY epoch(begin_geldigheid)
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max_eind
+        |  FROM v)
         |SELECT identificatie, volgnummer,
-        |       begin_geldigheid AS begin, eind_geldigheid AS eind, next_begin
+        |       begin_geldigheid AS begin, eind_geldigheid AS eind
         |FROM w
-        |WHERE next_begin IS NOT NULL
-        |  AND (eind_geldigheid IS NULL OR next_begin < eind_geldigheid)
+        |WHERE prior_open = 1 OR begin_geldigheid < prior_max_eind
         |ORDER BY identificatie, volgnummer, begin,
-        |         eind ASC NULLS LAST, next_begin""".stripMargin)),
+        |         eind ASC NULLS LAST""".stripMargin)),
 
     // J5 SQL-faithful self-join form (bagh/batch.py:260-272).
     QuerySpec("q10_overlap_join",

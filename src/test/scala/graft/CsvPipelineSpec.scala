@@ -83,6 +83,26 @@ class CsvPipelineSpec extends SparkSuite {
       .clean.count() <= 3)
   }
 
+  test("strict mode (FAILFAST) aborts on the first malformed row (S2 strict)") {
+    val dir = Files.createTempDirectory("graftstrict").toString
+    val path = writeCsv(dir, "bad.csv",
+      header +: (rows :+ "BROKEN;row;with;too;many;fields;a;b;c;d;e;f"))
+    val read = CsvSource.read(spark, path,
+      CsvSource.stringSchema(header.split(";").toSeq), strict = true)
+    intercept[org.apache.spark.SparkException] { read.clean.count() }
+  }
+
+  test("S8 DDL executor: statement-at-a-time CREATE/DROP via spark.sql") {
+    val wh = Files.createTempDirectory("graftddl").toString
+    val ddl = Seq(
+      "DROP TABLE IF EXISTS graft_ddl_demo",
+      s"CREATE TABLE graft_ddl_demo (id BIGINT, naam STRING) USING parquet LOCATION '$wh/t'")
+    ddl.foreach(spark.sql(_))  // bagh/batch.py:276-287 shape
+    spark.sql("INSERT INTO graft_ddl_demo VALUES (1, 'x'), (2, 'y')")
+    assert(spark.table("graft_ddl_demo").count() == 2)
+    spark.sql("DROP TABLE graft_ddl_demo")
+  }
+
   test("importTable end-to-end: rejects with reasons, promote, merge, idempotent re-run") {
     val dir = Files.createTempDirectory("graftimp").toString
     val path = writeCsv(dir, "wijk.csv", header +: rows)

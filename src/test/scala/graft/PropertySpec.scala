@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.Temporal
+
+/** Property-based checks (SURVEY.md §5): merge idempotence, anti-join /
+  * except equivalence, join-vs-window overlap agreement, create_id
+  * ordering — over randomly generated SCD2 tables (plain ScalaCheck
+  * generators driven by a fixed-seed loop; the scalatestplus bridge is
+  * not among the build's pinned deps). */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Deterministic sampler: n samples from gen, seeds 0..n-1. */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  private def forAllSampled[A](gen: Gen[A], n: Int = 15)(body: A => Unit): Unit =
+    samples(gen, n).foreach(body)
+
+  private def forAllSampled2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 15)(
+      body: (A, B) => Unit): Unit =
+    samples(ga, n).zip(samples(gb.map(identity), n).reverse)
+      .foreach { case (a, b) => body(a, b) }
+
+  private case class Ver(identificatie: String, volgnummer: Int,
+      beginDay: Int, lenDays: Option[Int], naam: String)
+
+  private val genVer: Gen[Ver] = for {
+    k <- Gen.oneOf("A", "B", "C", "D")
+    vn <- Gen.choose(1, 5)
+    b <- Gen.choose(0, 100)
+    len <- Gen.option(Gen.choose(0, 50))
+    n <- Gen.oneOf("x", "y", "z")
+  } yield Ver(k, vn, b, len, n)
+
+  private val genTable: Gen[List[Ver]] =
+    Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, genVer))
+
+  private def toDf(vs: List[Ver]): DataFrame = {
+    val rows = vs.map(v => (s"${v.identificatie}_${"%03d".format(v.volgnummer)}",
+      v.identificatie, v.volgnummer,
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.beginDay.toLong)),
+      v.lenDays.map(l => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay((v.beginDay + l).toLong))).orNull,
+      v.naam))
+    // dedupe on id like a staged table would be
+    rows.groupBy(_._1).map(_._2.head).toSeq
+      .toDF("id", "identificatie", "volgnummer",
+        "begin_geldigheid", "eind_geldigheid", "naam")
+  }
+
+  test("property: mergeScd2 is idempotent and preserves all live ids") {
+    forAllSampled2(genTable, genTable, 10) { (liveL, stagedL) =>
+      val live = toDf(liveL)
+      val staged = toDf(stagedL)
+      val once = Temporal.mergeScd2(live, staged, "id")
+      val twice = Temporal.mergeScd2(once, staged, "id")
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+      // no live id ever disappears; every staged id is present
+      assert(live.select("id").exceptAll(once.select("id")).isEmpty)
+      assert(staged.select("id").exceptAll(once.select("id")).isEmpty)
+    }
+  }
+
+  test("property: insertNew == except on ids; detectDeleted dual") {
+    forAllSampled2(genTable, genTable, 10) { (liveL, stagedL) =>
+      val live = toDf(liveL)
+      val staged = toDf(stagedL)
+      val viaAnti = Temporal.insertNew(staged, live, "id")
+        .select("id").as[String].collect().sorted.toSeq
+      val viaExcept = staged.select("id").except(live.select("id"))
+        .as[String].collect().sorted.toSeq
+      assert(viaAnti == viaExcept)
+      val del = Temporal.detectDeleted(live, staged, "id")
+        .select("id").as[String].collect().sorted.toSeq
+      val delExcept = live.select("id").except(staged.select("id"))
+        .as[String].collect().sorted.toSeq
+      assert(del == delExcept)
+    }
+  }
+
+  test("property: overlap join form and window form flag the same keys") {
+    forAllSampled(genTable) { vsL =>
+      val df = toDf(vsL)
+      val joinKeys = Temporal.overlapPairsJoin(df)
+        .select($"identificatie").distinct().as[String].collect().toSet
+      val winKeys = Temporal.overlapsWindow(df)
+        .select($"identificatie").distinct().as[String].collect().toSet
+      assert(winKeys == joinKeys)
+    }
+  }
+
+  test("property: create_id lexical order == (identificatie, volgnummer) order") {
+    forAllSampled(Gen.listOfN(30, genVer)) { vs =>
+      val ids = vs.map(v => ((v.identificatie, v.volgnummer),
+        s"${v.identificatie}_${"%03d".format(v.volgnummer)}"))
+      val byTuple = ids.sortBy(_._1).map(_._2)
+      val byLex = ids.map(_._2).sorted
+      assert(byTuple == byLex)
+    }
+  }
+}

@@ -13,6 +13,41 @@ case class Ev(ts: Timestamp, user_id: Long, value: Double)
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
 
+  test("stateful streaming: custom running state via flatMapGroupsWithState") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 60).map { i =>
+      Ev(Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), i % 3, i.toDouble)
+    }
+    val stream = MemoryStream[Ev]
+    stream.addData(data)
+    // running per-user event count + value sum kept in custom state
+    val out = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          evs.foreach { e => n += 1; s += e.value }
+          state.update((n, s))
+          Iterator((user, n, s))
+      }
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    q.processAllAvailable()
+    // second micro-batch: state must carry over
+    stream.addData(data.take(6))
+    q.processAllAvailable()
+    q.stop()
+    val res = spark.table("state_out")
+      .groupBy($"_1").agg(max($"_2").as("n"), max($"_3").as("s"))
+      .orderBy($"_1").as[(Long, Long, Double)].collect().toSeq
+    // 60 events round 1 (20 per user) + 6 more (2 per user)
+    assert(res.map(_._2) == Seq(22L, 22L, 22L))
+    assert(res.map(_._1) == Seq(0L, 1L, 2L))
+  }
+
   test("streaming tumbling-window counts equal the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val data = (0 until 100).map { i =>
