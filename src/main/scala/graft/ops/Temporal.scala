@@ -159,6 +159,28 @@ object Temporal {
       deleted = detectDeleted(live, staged, idCol))
   }
 
+  /** Build an SCD2 history from a change-event stream — the inverse of
+    * the reference's loader: each (key, ts, payload) event opens a
+    * version at ts and closes the previous one (eind = next begin;
+    * last version open). volgnummer = event order per key; id =
+    * create_id. One shuffle on the key. `tiebreak` must make the
+    * per-key event order total. */
+  def buildHistory(df: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String], tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: tiebreak: _*)
+    df.withColumn("volgnummer", row_number().over(w))
+      .withColumn("__eind", lead(col(tsCol), 1).over(w))
+      .select(Seq(
+        graft.functions.parsers.createId(
+          col(keyCol).cast("string"), col("volgnummer")).as("id"),
+        col(keyCol).cast("string").as("identificatie"),
+        col("volgnummer"),
+        col(tsCol).as("begin_geldigheid"),
+        col("__eind").as("eind_geldigheid")) ++
+        payloadCols.map(col): _*)
+  }
+
   /** Temporal as-of join: for each probe row (key, ts), attach the
     * version whose validity interval contains ts — "which version was
     * current at time t", the natural SCD2 lookup. Spark has no as-of

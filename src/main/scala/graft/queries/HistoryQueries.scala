@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Temporal
+import QuerySpec.{table, events, eventsSql}
+
+/** Batch 7: history construction from change events (the inverse of the
+  * reference loader) and pivot (wide aggregation). */
+object HistoryQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Change events -> SCD2 versions: each user event opens a version,
+    // closing the previous one; last stays open.
+    QuerySpec("q46_build_history",
+      (s, dir) => Temporal.buildHistory(events(s, dir),
+          keyCol = "user_id", tsCol = "ts",
+          payloadCols = Seq("event_type", "value"),
+          tiebreak = Seq(col("event_id")))
+        .orderBy(col("identificatie"), col("volgnummer")),
+      Some(s"""WITH e AS ($eventsSql),
+        |h AS (SELECT CAST(user_id AS VARCHAR) AS identificatie, ts, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS volgnummer,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eind
+        |  FROM e)
+        |SELECT identificatie || '_' || lpad(CAST(volgnummer AS VARCHAR), 3, '0') AS id,
+        |  identificatie, volgnummer, ts AS begin_geldigheid,
+        |  eind AS eind_geldigheid, event_type, value
+        |FROM h ORDER BY identificatie, volgnummer""".stripMargin)),
+
+    // Pivot: explicit value list so the column set is deterministic.
+    QuerySpec("q47_pivot",
+      (s, dir) => table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+  )
+}
