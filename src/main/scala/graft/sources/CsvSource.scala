@@ -24,6 +24,17 @@ object CsvSource {
 
   private val CORRUPT = "__corrupt_record"
 
+  /** S3 WKT file scan (batch/geo.py:20-32): `|`-delimited (id, WKT)
+    * lines, no header, unbounded field size (WKT polygons can be MBs —
+    * maxColumns/maxCharsPerColumn raised accordingly). */
+  def readWktFile(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("delimiter", "|")
+      .option("header", "false")
+      .option("maxCharsPerColumn", "-1")
+      .schema(stringSchema(Seq("id", "wkt")))
+      .csv(path)
+
   /** Read with the GOB dialect; `maxRows` mirrors the reference's
     * max_rows cap (csv.py:70,80-81). Returns clean + rejected splits;
     * `strict=true` = FAILFAST (abort on first malformed row). */
