@@ -52,18 +52,29 @@ object Dedup {
       .distinct()
 
   /** Tier 2: exact n-gram Jaccard over candidate pairs that share at
-    * least one shingle (inverted-index join — never all-pairs). */
+    * least one shingle — single-scan inverted-index form: group the
+    * index by shingle, emit in-bucket pairs via a double explode (same
+    * row count as the self-join, but the index is computed once instead
+    * of four times and the per-doc sizes ride along in the struct, so
+    * no extra sizes join). Bucket arrays are bounded by per-shingle doc
+    * frequency; a pathologically hot shingle should be pruned upstream
+    * (it carries no near-dup signal anyway). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
     val idx = shingleIndex(df, idCol, textCol, k)
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val withN = idx.join(sizes, idCol)
-    val a = withN.select(col(idCol).as("id_a"), col("n_sh").as("n_a"),
-      col("shingle"))
-    val b = withN.select(col(idCol).as("id_b"), col("n_sh").as("n_b"),
-      col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    val buckets = withN
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("n_sh").as("n")))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    buckets
+      .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"))
+      .select(col("a"), explode(slice(col("docs"), col("i") + 2,
+        size(col("docs")))).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

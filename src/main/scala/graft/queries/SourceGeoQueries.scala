@@ -35,6 +35,31 @@ object SourceGeoQueries {
         |  SUM(n_nationkey) AS key_sum
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
+    // S3: |-delimited (id, WKT) file roundtrip through readWktFile +
+    // the geometry expressions; oracle recomputes the type histogram.
+    QuerySpec("q48_wkt_file_scan",
+      (s, dir) => {
+        val sz = col("p_size").cast("string")
+        val wkt = when(col("p_partkey") % 3 === 0,
+            concat(lit("POINT ("), sz, lit(" "), sz, lit(")")))
+          .when(col("p_partkey") % 3 === 1,
+            concat(lit("POLYGON ((0 0, "), sz, lit(" 0, "), sz, lit(" "), sz,
+              lit(", 0 0))")))
+          .otherwise(lit("NOTWKT"))
+        val out = s"/tmp/graft_wkt_scan_${math.abs(dir.hashCode)}"
+        table(s, dir, "part").select(col("p_partkey"), wkt.as("wkt"))
+          .coalesce(1).write.mode("overwrite")
+          .option("delimiter", "|").option("header", "false").csv(out)
+        CsvSource.readWktFile(s, out)
+          .select(geofunctions.st_geometrytype(col("wkt")).as("gtype"))
+          .groupBy(col("gtype")).agg(count(lit(1)).as("n"))
+          .orderBy(col("gtype").asc_nulls_last)
+      },
+      Some("""SELECT CASE WHEN p_partkey % 3 = 0 THEN 'POINT'
+        |            WHEN p_partkey % 3 = 1 THEN 'POLYGON' END AS gtype,
+        |  COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY gtype NULLS LAST""".stripMargin)),
+
     // F10: WKT parse / type / npoints / validity / promote, against an
     // oracle that replicates the semantics case-wise.
     QuerySpec("q35_wkt_geometry",
