@@ -1,0 +1,42 @@
+package graft.geo
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Expression-level optimizer rule: collapse an idempotent geometry
+  * promote — `st_castto(st_castto(x, T), T)` re-parses the canonical
+  * WKT the inner cast just printed, so the outer cast is a no-op
+  * (promote of a T geometry to T is identity, printing is canonical,
+  * null propagates). Spec-driven pipelines compose cleaners that can
+  * produce this shape; at scan width the saved parse is real work. */
+object CollapseRedundantGeoCast extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case StCastTo(StCastTo(child, t1), t2) if t1.equalsIgnoreCase(t2) =>
+        StCastTo(child, t1)
+    }
+}
+
+/** SparkSessionExtensions wiring (SURVEY.md §7.3 escalation path (c)):
+  * registers the geometry expressions as SQL functions and injects the
+  * cast-collapse rule. Activate with
+  * `.config("spark.sql.extensions", "graft.geo.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[StGeometryType].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("st_geometrytype"), info("st_geometrytype"),
+      (es: Seq[Expression]) => StGeometryType(es.head)))
+    e.injectFunction((FunctionIdentifier("st_npoints"), info("st_npoints"),
+      (es: Seq[Expression]) => StNPoints(es.head)))
+    e.injectFunction((FunctionIdentifier("st_isvalid"), info("st_isvalid"),
+      (es: Seq[Expression]) => StIsValid(es.head)))
+    e.injectOptimizerRule(_ => CollapseRedundantGeoCast)
+  }
+}

@@ -28,6 +28,19 @@ object HistoryQueries {
         |  eind AS eind_geldigheid, event_type, value
         |FROM h ORDER BY identificatie, volgnummer""".stripMargin)),
 
+    // Approx aggregates (HLL++ distinct, GK quantiles) next to their
+    // exact counterparts — sketch internals differ across engines, so
+    // rows-only here; relative error asserted in ApproxSpec.
+    QuerySpec("q49_approx_stats",
+      (s, dir) => events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy(col("event_type")),
+      None),
+
     // Pivot: explicit value list so the column set is deterministic.
     QuerySpec("q47_pivot",
       (s, dir) => table(s, dir, "orders")

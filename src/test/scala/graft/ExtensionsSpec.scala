@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.geo.{geofunctions, CollapseRedundantGeoCast, GraftExtensions, StCastTo}
+
+/** SparkSessionExtensions wiring + the cast-collapse optimizer rule. */
+class ExtensionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("CollapseRedundantGeoCast removes the idempotent outer promote") {
+    val df = Seq("POLYGON ((0 0, 1 0, 1 1, 0 0))").toDF("wkt")
+      .select(geofunctions.st_castto(
+        geofunctions.st_castto($"wkt", "MULTIPOLYGON"), "MULTIPOLYGON").as("g"))
+    val before = df.queryExecution.analyzed
+    val after = CollapseRedundantGeoCast(before)
+    def countCasts(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+      var n = 0
+      p.transformAllExpressions { case c: StCastTo => n += 1; c }
+      n
+    }
+    assert(countCasts(before) == 2)
+    assert(countCasts(after) == 1)
+    // semantics preserved
+    assert(df.as[String].head() == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")
+    // different targets must NOT collapse
+    val mixed = Seq("POINT (1 2)").toDF("wkt")
+      .select(geofunctions.st_castto(
+        geofunctions.st_castto($"wkt", "MULTIPOINT"), "MULTIPOLYGON").as("g"))
+    assert(countCasts(CollapseRedundantGeoCast(mixed.queryExecution.analyzed)) == 2)
+  }
+
+  test("GraftExtensions injects SQL functions and the rule into a session") {
+    // the shared suite session exists; build a sibling session (same
+    // SparkContext) that applies the extensions
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = ext.sql(
+        "SELECT st_geometrytype('POINT (1 2)') AS t, st_npoints('LINESTRING (0 0, 1 1)') AS n")
+        .collect().head
+      assert(r.getString(0) == "POINT" && r.getInt(1) == 2)
+      // rule is active in the optimizer pipeline (parquet-backed input:
+      // a local literal would be constant-folded away entirely)
+      val df = ext.read.parquet(s"$sf0001/documents.parquet")
+        .select(geofunctions.st_castto(
+          geofunctions.st_castto(col("text"), "MULTIPOLYGON"), "MULTIPOLYGON").as("g"))
+      var n = 0
+      df.queryExecution.optimizedPlan.transformAllExpressions {
+        case c: StCastTo => n += 1; c
+      }
+      assert(n == 1)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
