@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.parsers.dec2
+import QuerySpec.table
+
+/** Batch 8: unpivot (long form), second-moment statistics computed
+  * from exact decimal sums (so stddev/corr agree bit-for-bit with the
+  * oracle — naive streaming stddev would not), and the scalar string
+  * function surface. */
+object ExtrasQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Unpivot three measures to long form, then aggregate per measure.
+    QuerySpec("q50_unpivot",
+      (s, dir) => table(s, dir, "lineitem")
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("val"))).cast("double").as("total"))
+        .orderBy(col("measure")),
+      Some("""SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin)),
+
+    // stddev/corr from exact decimal moments: sum, sum of squares and
+    // cross products are exact decimals; the final double formula is
+    // written identically on both sides so the FP ops match 1:1.
+    QuerySpec("q51_moment_stats",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val n = count(lit(1)).cast("double")
+        val sx = sum(dec2(col("l_quantity"))).cast("double")
+        val sxx = sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("double")
+        val sy = sum(dec2(col("l_extendedprice"))).cast("double")
+        val syy = sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).cast("double")
+        val sxy = sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice"))).cast("double")
+        li.groupBy(col("l_returnflag"))
+          .agg(n.as("nd"), sx.as("sx"), sxx.as("sxx"), sy.as("sy"),
+            syy.as("syy"), sxy.as("sxy"))
+          .select(col("l_returnflag"),
+            col("nd").cast("long").as("n"),
+            (col("sx") / col("nd")).as("mean_qty"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1))
+              .as("stddev_qty"),
+            ((col("sxy") - col("sx") * col("sy") / col("nd")) /
+              (sqrt(col("sxx") - col("sx") * col("sx") / col("nd")) *
+               sqrt(col("syy") - col("sy") * col("sy") / col("nd")))).as("corr_qty_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
+        |  sx / nd AS mean_qty,
+        |  sqrt((sxx - sx * sx / nd) / (nd - 1)) AS stddev_qty,
+        |  (sxy - sx * sy / nd) /
+        |    (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Scalar string surface: case, substring, replace, reverse,
+    // translate, repeat, edit distance — all exact.
+    QuerySpec("q52_string_funcs",
+      (s, dir) => table(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("u"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("novowel"),
+          reverse(col("p_name")).as("rev"),
+          translate(col("p_name"), "abc", "xyz").as("tr"),
+          repeat(col("p_brand"), 2).as("rep"),
+          length(col("p_name")).as("len"),
+          levenshtein(col("p_name"), col("p_type")).as("lev"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, upper(p_name) AS u, substr(p_name, 1, 5) AS pre,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS novowel,
+        |  reverse(p_name) AS rev, translate(p_name, 'abc', 'xyz') AS tr,
+        |  repeat(p_brand, 2) AS rep, length(p_name) AS len,
+        |  levenshtein(p_name, p_type) AS lev
+        |FROM part ORDER BY p_partkey""".stripMargin))
+  )
+}

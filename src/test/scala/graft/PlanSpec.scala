@@ -47,6 +47,31 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucketed tables: co-located join plans with ZERO shuffles") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      spark.read.parquet(s"$sf0001/orders.parquet")
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_b_orders")
+      spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_b_lineitem")
+      val j = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_lineitem"),
+          $"o_orderkey" === $"l_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 0, s"bucketed join should be shuffle-free:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    }
+  }
+
   test("IntervalUnionDays aggregator: correct under forced 1-row partitions") {
     val f = udaf(IntervalUnionDays(10000), Encoders.product[(Int, Option[Int])])
     val df = Seq(("A", 100, Some(130)), ("A", 120, Some(160)), ("A", 200, None),
