@@ -53,7 +53,7 @@ object Relational {
       .filter(col("ref_id").isNotNull)
     valid.select(
       concat(col(idCol), lit("_"), col("ref_id")).as("id"),
-      col(idCol), col("ref_id"))
+      col(idCol).as("src_id"), col("ref_id"))
   }
 
   /** A4 distinct key-set (bagh/batch.py:80-82): the broadcast side of

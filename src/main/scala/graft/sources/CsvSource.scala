@@ -24,6 +24,18 @@ object CsvSource {
 
   private val CORRUPT = "__corrupt_record"
 
+  /** S5 staging freshness cache (batch/objectstore.py:43-69): run
+    * `fetch` into `path` only when the file is missing or older than
+    * `maxAgeHours` (mtime), making re-runs idempotent and cheap —
+    * the reference's 24h download cache as a driver-side utility. */
+  def freshOrFetch(path: String, maxAgeHours: Long)(fetch: String => Unit): Boolean = {
+    val f = new java.io.File(path)
+    val fresh = f.exists() &&
+      (System.currentTimeMillis() - f.lastModified()) < maxAgeHours * 3600 * 1000
+    if (!fresh) fetch(path)
+    !fresh
+  }
+
   /** S3 WKT file scan (batch/geo.py:20-32): `|`-delimited (id, WKT)
     * lines, no header, unbounded field size (WKT polygons can be MBs —
     * maxColumns/maxCharsPerColumn raised accordingly). */

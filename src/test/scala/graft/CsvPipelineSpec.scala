@@ -151,6 +151,81 @@ class CsvPipelineSpec extends SparkSuite {
     assert(r.report.errors.exists(_.startsWith("deleted_history_rows")))
   }
 
+  test("verblijfsobject fixture: arrays, int_or_none, M:N bridge explode (FIXTURES.md §1.2)") {
+    import graft.functions.parsers
+    import graft.ops.Relational
+    val vboHeader = "identificatie;volgnummer;registratiedatum;beginGeldigheid;" +
+      "eindGeldigheid;oppervlakte;gebruiksdoel;toegang;redenopvoer;" +
+      "ligtIn:BAG.PND.identificatie;ligtIn:BAG.PND.volgnummer"
+    val vboRows = Seq(
+      // gebruiksdoel pipe-list -> array; 2-elem pand list, one invalid pand
+      "V1;1;2020-01-01 10:00:00;2020-01-01;;120;woonfunctie|kantoorfunctie;;opv;P1|P9;1|2",
+      // oppervlakte 'abc' and '-5' -> null (int_or_none)
+      "V2;1;2020-01-01 10:00:00;2020-01-01;;abc;woonfunctie;trap;opv;P2;1",
+      "V3;1;2020-01-01 10:00:00;2020-01-01;;-5;;lift|trap;opv;;")
+    val dir = Files.createTempDirectory("graftvbo").toString
+    val path = writeCsv(dir, "vbo.csv", vboHeader +: vboRows)
+    val vboSpec = TableSpec(
+      name = "verblijfsobject",
+      sourceCols = Seq(
+        "identificatie" -> "identificatie", "volgnummer" -> "volgnummer",
+        "registratiedatum" -> "registratiedatum",
+        "beginGeldigheid" -> "begin_geldigheid",
+        "eindGeldigheid" -> "eind_geldigheid",
+        "oppervlakte" -> "oppervlakte_raw",
+        "gebruiksdoel" -> "gebruiksdoel_raw", "toegang" -> "toegang_raw",
+        // reference bug preserved on purpose: redenafvoer is sourced
+        // from redenopvoer (bagh/batch.py:559-560)
+        "redenopvoer" -> "redenopvoer",
+        "ligtIn:BAG.PND.identificatie" -> "pand_ids_raw",
+        "ligtIn:BAG.PND.volgnummer" -> "pand_nums_raw"),
+      extraCols = Seq(
+        "oppervlakte" -> parsers.intOrNone(col("oppervlakte_raw")),
+        // reference keeps split("") == [""] for gebruiksdoel but [] for
+        // toegang (bagh/batch.py:547,556-558)
+        "gebruiksdoel" -> parsers.pipeSplit(col("gebruiksdoel_raw"), emptyAsNil = false),
+        "toegang" -> parsers.pipeSplit(col("toegang_raw"), emptyAsNil = true),
+        "redenafvoer" -> col("redenopvoer"),
+        "pand_refs" -> parsers.createIds(col("pand_ids_raw"), col("pand_nums_raw"))))
+    val (clean, rejected) = ImportPipeline.clean(
+      CsvSource.read(spark, path,
+        CsvSource.stringSchema(vboHeader.split(";").toSeq)).clean,
+      vboSpec, Map.empty)
+    assert(rejected.count() == 0)
+    val byId = clean.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId("V1_001").getSeq[String](
+      clean.columns.indexOf("gebruiksdoel")).toList ==
+      List("woonfunctie", "kantoorfunctie"))
+    assert(byId("V1_001").getSeq[String](clean.columns.indexOf("toegang")).isEmpty)
+    assert(byId("V2_001").isNullAt(clean.columns.indexOf("oppervlakte")))
+    assert(byId("V3_001").isNullAt(clean.columns.indexOf("oppervlakte")))
+    assert(byId("V2_001").getAs[String]("redenafvoer") == "opv")
+
+    // M:N bridge: pand P9 does not exist -> one pair kept, one dropped
+    val pand = Seq("P1_001", "P2_001").toDF("id")
+    val bridge = Relational.explodeRelation(
+      clean.filter(col("pand_refs").isNotNull), "id", "pand_refs", pand, "id")
+    val pairs = bridge.select($"id").as[String].collect().sorted.toSeq
+    assert(pairs == Seq("V1_001_P1_001", "V2_001_P2_001"))
+  }
+
+  test("S5 freshness cache: fetch only when stale (objectstore.py:57-62)") {
+    val dir = Files.createTempDirectory("graftfresh").toString
+    val p = s"$dir/data.csv"
+    var fetches = 0
+    def fetch(path: String): Unit = {
+      fetches += 1
+      Files.write(Paths.get(path), "x".getBytes(StandardCharsets.UTF_8))
+    }
+    assert(CsvSource.freshOrFetch(p, 24)(fetch))   // missing -> fetched
+    assert(!CsvSource.freshOrFetch(p, 24)(fetch))  // fresh -> skipped
+    assert(fetches == 1)
+    Paths.get(p).toFile.setLastModified(
+      System.currentTimeMillis() - 25 * 3600 * 1000)
+    assert(CsvSource.freshOrFetch(p, 24)(fetch))   // stale -> re-fetched
+    assert(fetches == 2)
+  }
+
   test("commitSnapshot: write, swap, survive re-commit") {
     val dir = Files.createTempDirectory("graftsnap").toString + "/t"
     val df1 = Seq((1, "a")).toDF("k", "v")
