@@ -1,0 +1,343 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types._
+
+/** Codegen-friendly Catalyst expressions for the sketch/vector hot
+  * paths (SURVEY.md §7.3 escalation path (b): a native `Expression`
+  * beats the interpreted higher-order-function forms).
+  *
+  * Measured motivation (sf0.1, local[32]): the `aggregate`/`zip_with`
+  * lambda forms of dot-product and simhash run as interpreted
+  * `HigherOrderFunction`s — per element they allocate and dispatch;
+  * these expressions replace them with tight primitive loops (and, for
+  * [[VecDot]], generated Java inside whole-stage codegen). At 100 TB
+  * the same expressions are what every similarity/dedup pair loop
+  * spends its CPU on.
+  */
+object sketchExpressions {
+
+  /** Element accessor widening float/double arrays to double. */
+  private[functions] def elemAsDouble(dt: DataType, a: ArrayData, i: Int): Double =
+    dt match {
+      case FloatType  => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case IntegerType => a.getInt(i).toDouble
+      case LongType   => a.getLong(i).toDouble
+      case other => throw new IllegalStateException(s"vec_dot element type $other")
+    }
+}
+
+/** vec_dot(a, b): left-to-right double-fold dot product over numeric
+  * arrays. Exactly the semantics of
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`:
+  * null array, length mismatch, or any null element → null (zip_with
+  * pads the shorter side with null, which nulls the fold). Same FP
+  * result (identical association order), oracle-replicable. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects numeric arrays, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lt = elemType(left); val rt = elemType(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += sketchExpressions.elemAsDouble(lt, x, i) *
+        sketchExpressions.elemAsDouble(rt, y, i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val la = CodeGenerator.getValue(a, elemType(left), i)
+      val rb = CodeGenerator.getValue(b, elemType(right), i)
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((double)($la)) * ((double)($rb));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** vec_dist2(a, b): squared L2 distance, left-to-right double fold —
+  * exactly `aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)), 0d, +)` (same
+  * null/length semantics as [[VecDot]]). */
+case class VecDist2(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dist2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lt = elemType(left); val rt = elemType(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = sketchExpressions.elemAsDouble(lt, x, i) -
+        sketchExpressions.elemAsDouble(rt, y, i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val la = CodeGenerator.getValue(a, elemType(left), i)
+      val rb = CodeGenerator.getValue(b, elemType(right), i)
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $d = ((double)($la)) - ((double)($rb));
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** simhash64(tokens): 64-bit SimHash of an array<string> — per token
+  * one xxhash64 (seed 42, identical to the SQL `xxhash64` function),
+  * ±1 vote per bit, bit set when the vote sum is strictly positive.
+  * Null array → null; null elements are skipped. Heavy per-row work in
+  * compiled Scala; CodegenFallback keeps neighbours in codegen. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (acc(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** minhash_sig(shingles, n): n-element MinHash signature of an
+  * array<string>. Each shingle is hashed once (xxhash64, seed 42);
+  * the i-th signature lane takes the min of `XXH64.hashLong(h, i)` —
+  * one string hash + n long mixes per shingle, single pass, no
+  * shuffle. Min over a multiset equals min over the set, so upstream
+  * dedup of shingles is unnecessary. Empty/null array → null (a doc
+  * with no shingles has no signature and never bands). */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    var any = false
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        any = true
+        val base = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashLong(base, i.toLong)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) null else new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** shingle_set(text, k): distinct word k-shingles of a string, in one
+  * compiled pass. Bit-faithful to the Column-combinator form
+  * `array_distinct(when(size(toks) >= k, transform(sequence(...),
+  * i -> concat_ws(" ", slice(toks, ...)))).otherwise(array()))` with
+  * `toks = split(trim(text), "\\s+")`:
+  *   - trim removes ASCII spaces only (Spark `trim` semantics);
+  *   - the split keeps leading/trailing empty tokens exactly like
+  *     Spark's `split` (Java `Pattern.split(s, -1)`);
+  *   - fewer than k tokens → empty array; null text → null;
+  *   - first-occurrence order, like `array_distinct`.
+  * Motivation: the combinator form runs as interpreted higher-order
+  * lambdas and was re-evaluated per consumer by CollapseProject —
+  * measured as the dominant cost of the ngram/minhash queries.
+  *
+  * `withSize = true` returns array<struct<shingle,n_sh>> carrying the
+  * distinct-shingle count on every element, so a downstream
+  * `inline()` yields (shingle, n_sh) rows with the expression
+  * evaluated exactly once per input row (a Generate evaluates its
+  * child once — no projection-inlining hazard). */
+case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false)
+  extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle size k must be >= 1")
+
+  override def dataType: DataType =
+    if (withSize) ArrayType(StructType(Seq(
+      StructField("shingle", StringType, nullable = false),
+      StructField("n_sh", IntegerType, nullable = false))), containsNull = false)
+    else ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_set"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .trim().toString
+    val toks = ws.split(str, -1)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((toks.length - k + 1) * 2)
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val it = seen.iterator()
+    if (!withSize) {
+      val out = new Array[Any](seen.size)
+      var p = 0
+      while (it.hasNext) {
+        out(p) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+        p += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val n = seen.size
+      val out = new Array[Any](n)
+      var p = 0
+      while (it.hasNext) {
+        out(p) = org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(it.next()), n)
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Column-level entry points. */
+object sketches {
+  import GraftShim.{column, expression}
+
+  def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
+  def vec_dist2(a: Column, b: Column): Column = column(VecDist2(expression(a), expression(b)))
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    column(MinHashSig(expression(shingles), numHashes))
+  def shingle_set(text: Column, k: Int): Column =
+    column(ShingleSet(expression(text), k))
+  def shingle_set_n(text: Column, k: Int): Column =
+    column(ShingleSet(expression(text), k, withSize = true))
+
+  /** Register SQL names on a session (tests / spark.sql users). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
+  }
+}

@@ -46,10 +46,13 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct (id, shingle) inverted-index projection. */
+  /** Distinct (id, shingle) inverted-index projection. Requires `idCol`
+    * unique per row (true of any document corpus), which lets the
+    * distinct run per-row (inside the compiled ShingleSet expression) —
+    * a narrow op — instead of a corpus-wide `.distinct()` shuffle. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
-      .distinct()
+    df.select(col(idCol),
+      explode(graft.functions.sketches.shingle_set(col(textCol), k)).as("shingle"))
 
   /** Tier 2: exact n-gram Jaccard over candidate pairs that share at
     * least one shingle — single-scan inverted-index form: group the
@@ -61,9 +64,17 @@ object Dedup {
     * (it carries no near-dup signal anyway). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, k)
-    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val withN = idx.join(sizes, idCol)
+    // per-doc shingle-set size rides on every array element (struct
+    // <shingle,n_sh>) so ONE inline() explodes both — no sizes
+    // aggregation, no sizes join, no corpus-wide distinct, and the
+    // ShingleSet expression is evaluated exactly once per row (a
+    // Generate evaluates its child once; a projection would have been
+    // inlined into each consumer by CollapseProject). The only
+    // shuffles left are the two the algorithm actually needs
+    // (bucket-by-shingle, group-by-pair). Docs with no shingles vanish
+    // in the explode, as before.
+    val withN = df.select(col(idCol),
+      inline(graft.functions.sketches.shingle_set_n(col(textCol), k)))
     val buckets = withN
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
@@ -83,14 +94,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Minhash signature columns h0..h{n-1}: per doc, the min of a salted
-    * xxhash64 over its shingle set. One shuffle (the groupBy). */
+  /** Minhash signature columns h0..h{n-1}: per doc, the lane-wise min
+    * of a salted hash over its shingles, computed entirely per-row by
+    * the [[graft.functions.MinHashSig]] expression — ZERO shuffles
+    * (the previous explode→groupBy form shuffled the whole shingle
+    * index; min over the multiset equals min over the set, so neither
+    * the explode nor any distinct is needed). Docs with no shingles
+    * (< k tokens) are dropped, matching the explode form. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, k)
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    idx.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // repartition = exchange barrier (same trick as simhashPairs), and
+    // it sits BELOW the null filter: otherwise CollapseProject /
+    // predicate pushdown inline the sketch expression into the filter
+    // condition plus every one of the numHashes lane extractions
+    // (measured: the whole sketch recomputed 2x+ per row). The shuffle
+    // carries only (id, numHashes longs) — the natural persistence
+    // point of a sketch pipeline at any scale.
+    val sig = df.select(col(idCol),
+        graft.functions.sketches.minhash_sig(
+          graft.functions.sketches.shingle_set(col(textCol), k), numHashes)
+          .as("__sig"))
+      .repartition(col(idCol))
+      .filter(col("__sig").isNotNull)
+    sig.select(col(idCol) +:
+      (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"h$i")): _*)
   }
 
   /** Tier 3: MinHash + LSH candidate pairs. Signature split into
@@ -127,25 +154,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** Tier 4: 64-bit SimHash sketch, computed entirely per-row (fold
-    * over token hashes — zero shuffles for the sketch itself). */
+  /** Tier 4: 64-bit SimHash sketch, computed entirely per-row (zero
+    * shuffles) by the [[graft.functions.SimHash64]] expression — a
+    * tight compiled loop (one xxhash64 + 64 bit-votes per token). The
+    * previous SQL higher-order-function fold ran interpreted and was
+    * the single hottest expression in the bench. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
-      // hash each token ONCE; folding over bits would otherwise
-      // re-evaluate xxhash64 64x per token (measured 2x total runtime)
-      .withColumn("__th", expr("transform(__toks, w -> xxhash64(w))"))
-      .withColumn("__acc", expr(
-        """aggregate(__th, array_repeat(0, 64),
-          |  (acc, h) -> zip_with(acc,
-          |    transform(sequence(0, 63),
-          |      i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
-          |    (x, y) -> x + y))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  zip_with(__acc, sequence(0, 63),
-          |    (a, i) -> IF(a > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-          |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin))
-      .drop("__toks", "__th", "__acc")
+    df.withColumn("simhash",
+      graft.functions.sketches.simhash64(split(trim(col(textCol)), "\\s+")))
 
   /** Alternative SimHash formulation: explode tokens → hash → 64
     * codegen'd conditional sums in one hash aggregate → recombine bits.

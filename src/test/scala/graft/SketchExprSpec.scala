@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.sketches
+import graft.ops.{Dedup, Similarity}
+
+/** Differential tests for the codegen'd sketch/vector expressions
+  * against the interpreted SQL higher-order-function forms they
+  * replaced (bit-identical FP + null semantics required, since the
+  * DuckDB oracles were written against the HOF forms). */
+class SketchExprSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("vec_dot is bit-identical to the aggregate/zip_with fold on real embeddings") {
+    val diff = emb.as("a").join(emb.as("b"), $"a.vec_id" === $"b.vec_id" + 1)
+      .select(
+        sketches.vec_dot($"a.embedding", $"b.embedding").as("fast"),
+        Similarity.dotHof($"a.embedding", $"b.embedding").as("slow"))
+      .filter(!($"fast" <=> $"slow"))
+    assert(diff.count() == 0)
+  }
+
+  test("vec_dot null semantics: null array, null element, length mismatch -> null") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),      // 11.0
+      (2L, Seq(1.0), Seq(3.0, 4.0)),           // length mismatch -> null
+      (3L, null, Seq(3.0))                     // null array -> null
+    ).toDF("id", "a", "b")
+      .withColumn("a", when($"id" === 4, $"a").otherwise($"a"))
+    val withNullElem = df.union(
+      Seq((4L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+        .toDF("id", "a", "b"))
+    val got = withNullElem
+      .select($"id", sketches.vec_dot($"a", $"b").as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(11.0))
+    assert(got(2L).isEmpty)
+    assert(got(3L).isEmpty)
+    assert(got(4L).isEmpty)
+  }
+
+  test("vec_dist2 is bit-identical to the HOF fold; mixed float/double works") {
+    val planes = array((0 until 64).map(i => lit(if (i % 2 == 0) 1.0 else -1.0)): _*)
+    val hof = org.apache.spark.sql.functions.aggregate(
+      zip_with(transform($"embedding", x => x.cast("double")), planes,
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = emb.select(
+        sketches.vec_dist2($"embedding", planes).as("fast"), hof.as("slow"))
+      .filter(!($"fast" <=> $"slow"))
+    assert(diff.count() == 0)
+  }
+
+  test("simhash64 expression equals the grouped (explode+agg) simhash form") {
+    val byExpr = Dedup.simhash(docs, "doc_id", "text")
+      .select($"doc_id", $"simhash")
+    val byGroup = Dedup.simhashGrouped(docs, "doc_id", "text")
+      .withColumnRenamed("simhash", "simhash_g")
+    val joined = byExpr.join(byGroup, "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter($"simhash" =!= $"simhash_g").count() == 0)
+  }
+
+  test("minhash_sig: lane mins ignore duplicate shingles; empty array -> null") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b")),
+      (2L, Seq("a", "b")),
+      (3L, Seq.empty[String])).toDF("id", "sh")
+    val sig = df.select($"id", sketches.minhash_sig($"sh", 8).as("s"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(sig(1L) == sig(2L))          // multiset min == set min
+    assert(sig(3L).isEmpty)             // no shingles -> no signature
+    assert(sig(1L).get.length == 8)
+  }
+
+  test("shingle_set matches array_distinct over the Column-combinator shingles") {
+    val combinator = array_distinct(Dedup.shingles($"text", 3))
+    val diff = docs.select(
+        sketches.shingle_set($"text", 3).as("fast"), combinator.as("slow"))
+      .filter(!($"fast" <=> $"slow"))
+    assert(diff.count() == 0)
+    // edge cases: empty text, fewer-than-k tokens, duplicate shingles,
+    // messy internal/leading whitespace (split keeps a leading empty
+    // token — the expression must too)
+    val edge = Seq("", "one two", "a b a b a b a b", "  x\t\ty  z ", "\nlead")
+      .toDF("text")
+    val ediff = edge.select(
+        sketches.shingle_set($"text", 2).as("fast"),
+        array_distinct(Dedup.shingles($"text", 2)).as("slow"))
+      .filter(!($"fast" <=> $"slow"))
+    assert(ediff.count() == 0)
+    // withSize variant carries the distinct count on every element
+    val n = docs.select(explode(sketches.shingle_set_n($"text", 3)).as("e"))
+      .select($"e.shingle", $"e.n_sh")
+    val direct = docs.select(size(sketches.shingle_set($"text", 3)).as("n"))
+      .filter($"n" > 0).agg(sum($"n")).as[Long].head()
+    assert(n.count() == direct)
+  }
+
+  test("vec_dot participates in whole-stage codegen (no fallback in the plan)") {
+    import org.apache.spark.sql.execution.debug._
+    val qe = emb.select(sketches.vec_dot($"embedding", $"embedding").as("d"))
+      .queryExecution
+    val cg = codegenString(qe.executedPlan)
+    assert(cg.contains("Found 1 WholeStageCodegen"), s"no codegen stage in:\n$cg")
+    // the generated Java must contain the inlined dot loop, not an
+    // interpreted-eval bridge to the expression class
+    assert(!cg.contains("VecDot.eval"), "vec_dot fell back to interpreted eval")
+  }
+}
