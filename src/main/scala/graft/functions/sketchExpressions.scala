@@ -258,10 +258,16 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * distinct-shingle count on every element, so a downstream
   * `inline()` yields (shingle, n_sh) rows with the expression
   * evaluated exactly once per input row (a Generate evaluates its
-  * child once — no projection-inlining hazard). */
-case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false)
+  * child once — no projection-inlining hazard).
+  *
+  * `dedupe = false` keeps the full multiset in order (term-frequency
+  * use cases: n-gram counting, TF-IDF) — then bit-faithful to the
+  * combinator form WITHOUT the `array_distinct`. */
+case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false,
+    dedupe: Boolean = true)
   extends UnaryExpression with CodegenFallback {
   require(k >= 1, "shingle size k must be >= 1")
+  require(dedupe || !withSize, "withSize requires dedupe")
 
   override def dataType: DataType =
     if (withSize) ArrayType(StructType(Seq(
@@ -278,9 +284,26 @@ case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false)
       .trim().toString
     val toks = ws.split(str, -1)
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]((toks.length - k + 1) * 2)
-    var i = 0
+    val nSh = toks.length - k + 1
     val sb = new java.lang.StringBuilder(64)
+    if (!dedupe) {
+      val out = new Array[Any](nSh)
+      var i = 0
+      while (i < nSh) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val seen = new java.util.LinkedHashSet[String](nSh * 2)
+    var i = 0
     while (i <= toks.length - k) {
       sb.setLength(0)
       var j = 0
@@ -331,6 +354,8 @@ object sketches {
     column(ShingleSet(expression(text), k))
   def shingle_set_n(text: Column, k: Int): Column =
     column(ShingleSet(expression(text), k, withSize = true))
+  def shingles_all(text: Column, k: Int): Column =
+    column(ShingleSet(expression(text), k, dedupe = false))
 
   /** Register SQL names on a session (tests / spark.sql users). */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** ML-corpus preparation operators (builder-prompt north star): TF-IDF
+  * term scoring, per-label embedding centroids, int8 vector
+  * quantization. All designed for the 100 TB shape: no driver-side
+  * collects (corpus size enters as a broadcast one-row aggregate, not
+  * a `.count()` on the driver), aggregations over exact integer /
+  * decimal domains so results are shuffle-order-independent (and
+  * DuckDB-oracle-replicable), per-row vector math stays narrow.
+  */
+object MlPrep {
+
+  /** Whitespace tokens, non-distinct (term frequency needs the
+    * multiset). */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** TF-IDF top-`topN` terms per document.
+    *
+    * tf = term count within the doc; df = number of docs containing
+    * the term; idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style);
+    * score = tf * idf rounded to 6 decimals. Ranking tiebreak is
+    * (score desc, term asc) so the result is a total order.
+    *
+    * Scale shape: one explode + two hash aggregations + one broadcast
+    * scalar (corpus size) + one broadcast-able docfreq join keyed on
+    * term + one window partitioned by doc. No floating aggregation —
+    * tf and df are integer counts, so every score is a deterministic
+    * per-row double. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    val tf = df.select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus size as a broadcast 1-row cross join — keeps the whole
+    // plan lazy and cluster-side (no driver .count() round trip)
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    val scored = tf.join(docfreq, "term").crossJoin(n)
+      .withColumn("score", round(
+        col("tf") * (log((col("__n") + 1).cast("double") /
+          (col("df") + 1).cast("double")) + 1.0), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
+  }
+
+  /** Per-label embedding centroid, long form (label, dim, n,
+    * avg_micro = mean component in 1e-6 units).
+    *
+    * Float components are quantized per element to integer micros
+    * (`floor(x * 1e6)` — floor, not round: no tie-breaking rule to
+    * disagree on) BEFORE the aggregation, so the sum is an exact
+    * bigint — shuffle-order-independent and bit-identical in any
+    * engine; the mean stays in the integer micro domain via a floor'd
+    * IEEE division (`round` would re-round a decimal string in Spark
+    * but the binary double in DuckDB — observed 1-ulp mismatches).
+    * The ~1e-6 quantization is far below embedding noise. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("x_micro", floor(col("x").cast("double") * 1e6).cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x_micro")).as("sum_micro"))
+      .withColumn("avg_micro",
+        floor(col("sum_micro").cast("double") / col("n")).cast("long"))
+      .select(col("label"), col("dim"), col("n"), col("avg_micro"))
+
+  /** Int8 min-max quantization of a vector column: each component →
+    * `floor((x - min) * 254 / (max - min)) - 127`, capped at +127
+    * (the x = max endpoint), constant vectors → all zeros. floor keeps
+    * the arithmetic tie-free and engine-portable. Returns the id, the
+    * per-row scale parameters (for dequantization), and the int8-range
+    * codes. Pure per-row math — streams at scan speed. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val span = mx - mn
+    val codes = when(span > 0,
+        transform(v, x =>
+          least(lit(127), (floor((x - mn) * 254 / span) - 127)).cast("int")))
+      .otherwise(transform(v, _ => lit(0)))
+    df.select(col(idCol),
+      round(mn, 6).as("q_min"), round(mx, 6).as("q_max"),
+      codes.as("codes"))
+  }
+}

@@ -74,6 +74,33 @@ object Relational {
     * key. Semantics identical to a plain groupBy-count/sum; the hot key
     * is spread over `salts` reducers in stage one — the manual fallback
     * when AQE skew handling can't kick in (e.g. single mega-key). */
+  /** Skew-safe equi-join: the manual salting fallback for the case AQE
+    * skew splitting can't fix (one mega-key on the probe side joined
+    * against a small-but-not-broadcastable build side). Probe rows get
+    * a deterministic salt in [0, salts) hashed from `saltSource` (any
+    * probe-side column that varies within the hot key); the build side
+    * is replicated `salts` ways; the join keys become (key, salt), so
+    * the hot key's rows spread over `salts` reducers. Inner-join
+    * semantics identical to `left.join(right, key)`. Build-side cost
+    * is `salts`× its size — keep salts modest (8-32). */
+  def skewSafeJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+      saltSource: String, salts: Int): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(xxhash64(col(saltSource)), lit(salts)))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    saltedProbe.join(replicatedBuild, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
+  /** Deterministic modulo sample: keep rows where `key % denom` falls
+    * in [0, num). Exactly reproducible in any engine (unlike seeded
+    * RNG sampling), stable under re-runs and appends — the property a
+    * 100 TB pipeline needs to build consistent eval/holdout splits.
+    * Assumes the key is uniformly distributed mod `denom` (true of
+    * surrogate keys); for clustered keys hash first. */
+  def modSample(df: DataFrame, keyCol: String, num: Int, denom: Int): DataFrame =
+    df.filter(pmod(col(keyCol), lit(denom)) < num)
+
   def saltedAgg(df: DataFrame, keyCol: String, saltSource: String,
       salts: Int, sumCol: Option[String] = None): DataFrame = {
     val salted = df.withColumn("__salt",

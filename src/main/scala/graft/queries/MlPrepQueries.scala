@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{MlPrep, Relational}
+import QuerySpec.table
+
+/** Batch 9: ML-corpus preparation — TF-IDF, embedding centroids, int8
+  * quantization, corpus n-gram frequencies, skew-safe join, and
+  * deterministic sampling. Every query oracle-checked; float paths go
+  * through exact integer/decimal domains (or floor arithmetic) so the
+  * DuckDB comparison is bit-stable regardless of shuffle order. */
+object MlPrepQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // TF-IDF top-3 terms per document (smoothed idf, total-order rank).
+    QuerySpec("q53_tfidf",
+      (s, dir) => MlPrep.tfIdfTopTerms(table(s, dir, "documents"),
+          "doc_id", "text", topN = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, score FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Per-label embedding centroid, long form; exact bigint micro-sums.
+    QuerySpec("q54_label_centroid",
+      (s, dir) => MlPrep.labelCentroids(table(s, dir, "embeddings"),
+          "label", "embedding")
+        .orderBy(col("label"), col("dim")),
+      Some("""WITH e AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x_micro
+        |  FROM embeddings)
+        |SELECT label, dim, COUNT(*) AS n,
+        |  CAST(floor(CAST(SUM(x_micro) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_micro
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
+    // Int8 min-max quantization of every embedding (floor arithmetic —
+    // tie-free, engine-portable).
+    QuerySpec("q55_quantize_int8",
+      (s, dir) => MlPrep.quantizeInt8(table(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+        |  round(list_min([CAST(x AS DOUBLE) FOR x IN embedding]), 6) AS q_min,
+        |  round(list_max([CAST(x AS DOUBLE) FOR x IN embedding]), 6) AS q_max,
+        |  CASE WHEN list_max([CAST(x AS DOUBLE) FOR x IN embedding])
+        |            > list_min([CAST(x AS DOUBLE) FOR x IN embedding])
+        |    THEN [CAST(least(127, floor(
+        |           (CAST(x AS DOUBLE)
+        |             - list_min([CAST(y AS DOUBLE) FOR y IN embedding])) * 254
+        |           / (list_max([CAST(y AS DOUBLE) FOR y IN embedding])
+        |             - list_min([CAST(y AS DOUBLE) FOR y IN embedding]))) - 127)
+        |          AS INTEGER) FOR x IN embedding]
+        |    ELSE [CAST(0 AS INTEGER) FOR x IN embedding]
+        |  END AS codes
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Corpus-wide top-20 word bigrams (multiset counts, lexical
+    // tiebreak) — the n-gram frequency table every corpus audit needs.
+    QuerySpec("q56_ngram_topk",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val bigrams = graft.functions.sketches.shingles_all(col("text"), 2)
+        d.select(explode(bigrams).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (SELECT UNNEST([array_to_string(toks[i:i+1], ' ')
+        |        FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin)),
+
+    // Skew-safe salted join == plain join (checked against the plain
+    // SQL join): orders (probe, skewed by customer) x customer (build).
+    QuerySpec("q57_skew_join",
+      (s, dir) => Relational.skewSafeJoin(
+          table(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+          table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          keyCol = "c_custkey", saltSource = "o_orderkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c.c_mktsegment, COUNT(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic 5% mod-sample — reproducible split, exact oracle.
+    QuerySpec("q58_mod_sample",
+      (s, dir) => Relational.modSample(table(s, dir, "orders"),
+          "o_orderkey", num = 1, denom = 20)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 20 < 1 ORDER BY o_orderkey""".stripMargin))
+  )
+}

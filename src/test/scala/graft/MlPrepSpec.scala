@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{MlPrep, Relational}
+
+/** Operator-level checks for the ML-prep batch (q53-q58). */
+class MlPrepSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+  private lazy val customer = spark.read.parquet(s"$sf0001/customer.parquet")
+
+  test("skewSafeJoin returns exactly the plain inner join's rows") {
+    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select($"o_orderkey", $"c_mktsegment")
+    val salted = Relational.skewSafeJoin(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        customer.select($"c_custkey", $"c_mktsegment"),
+        keyCol = "c_custkey", saltSource = "o_orderkey", salts = 8)
+      .select($"o_orderkey", $"c_mktsegment")
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("skewSafeJoin spreads a mega-key across salts") {
+    // one key owning 90% of the probe side — the AQE-resistant shape
+    val probe = spark.range(1000)
+      .select(when($"id" < 900, lit(7)).otherwise($"id").as("k"), $"id".as("row_id"))
+    val build = spark.range(50).select($"id".as("k"), ($"id" * 2).as("v"))
+    val joined = Relational.skewSafeJoin(probe, build, "k", "row_id", salts = 8)
+    assert(joined.count() == probe.join(build, "k").count())
+    // the salt column actually varies within the hot key
+    val saltsUsed = probe.filter($"k" === 7)
+      .withColumn("__salt", pmod(xxhash64($"row_id"), lit(8)))
+      .select($"__salt").distinct().count()
+    assert(saltsUsed == 8)
+  }
+
+  test("modSample is stable under append (old rows keep their verdict)") {
+    val s1 = Relational.modSample(orders, "o_orderkey", 1, 20)
+      .select($"o_orderkey").as[Long].collect().toSet
+    val s2 = Relational.modSample(orders.limit(500), "o_orderkey", 1, 20)
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(s2.subsetOf(s1))
+  }
+
+  test("quantizeInt8: codes within [-127,127]; dequantization error <= 1 bin") {
+    val q = MlPrep.quantizeInt8(emb, "vec_id", "embedding")
+    val bad = q.select(explode($"codes").as("c"))
+      .filter($"c" < -127 || $"c" > 127)
+    assert(bad.count() == 0)
+    // reconstruct and bound max abs error by the bin width
+    val err = q.join(emb, "vec_id")
+      .select($"vec_id", $"q_min", $"q_max",
+        zip_with($"embedding", $"codes",
+          (x, c) => abs(x.cast("double") -
+            (($"q_max" - $"q_min") / 254.0 * (c + 127) + $"q_min"))).as("errs"),
+        (($"q_max" - $"q_min") / 254.0).as("bin"))
+      .select(array_max($"errs").as("maxerr"), $"bin")
+      .filter($"maxerr" > $"bin" * 1.0001)
+    assert(err.count() == 0)
+  }
+
+  test("tfIdf: rare terms outscore common ones at equal tf") {
+    val d = Seq(
+      (1L, "aardvark common"),
+      (2L, "common common common"),
+      (3L, "common banana zebra")).toDF("doc_id", "text")
+    val top = MlPrep.tfIdfTopTerms(d, "doc_id", "text", topN = 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    // doc 1: equal tf=1, but common appears in all docs; aardvark unique
+    assert(top(1L) == "aardvark")
+    assert(top(3L) != "common")
+  }
+
+  test("labelCentroids: constant vectors give exact centroid") {
+    val d = Seq((1, Seq(1.0f, -2.0f)), (1, Seq(1.0f, -2.0f)))
+      .toDF("label", "embedding")
+    val c = MlPrep.labelCentroids(d, "label", "embedding")
+      .select($"dim", $"avg_micro").as[(Int, Long)].collect().toMap
+    assert(c(0) == 1000000L)
+    assert(c(1) == -2000000L)
+  }
+}

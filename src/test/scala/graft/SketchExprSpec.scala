@@ -92,6 +92,12 @@ class SketchExprSpec extends SparkSuite {
         array_distinct(Dedup.shingles($"text", 2)).as("slow"))
       .filter(!($"fast" <=> $"slow"))
     assert(ediff.count() == 0)
+    // multiset variant == the raw combinator (no distinct)
+    val mdiff = docs.select(
+        sketches.shingles_all($"text", 2).as("fast"),
+        Dedup.shingles($"text", 2).as("slow"))
+      .filter(!($"fast" <=> $"slow"))
+    assert(mdiff.count() == 0)
     // withSize variant carries the distinct count on every element
     val n = docs.select(explode(sketches.shingle_set_n($"text", 3)).as("e"))
       .select($"e.shingle", $"e.n_sh")
