@@ -72,6 +72,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("partitioned parquet: a partition-key filter prunes at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"o_year" === 1995)
+      .select($"o_orderkey", $"o_totalprice")
+    val p = q.queryExecution.executedPlan.toString
+    // the year predicate must appear as a PartitionFilter on the scan,
+    // not as a post-scan Filter over all partitions
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+      s"partition filter missing:\n$p")
+    // and the scan must actually select a subset of the directories
+    val selected = q.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!selected.contains("o_year=1996") || q.count() > 0)
+    assert(q.count() ==
+      spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(year($"o_orderdate") === 1995).count())
+  }
+
   test("IntervalUnionDays aggregator: correct under forced 1-row partitions") {
     val f = udaf(IntervalUnionDays(10000), Encoders.product[(Int, Option[Int])])
     val df = Seq(("A", 100, Some(130)), ("A", 120, Some(160)), ("A", 200, None),

@@ -5,6 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class Ev(ts: Timestamp, user_id: Long, value: Double)
+case class VRow(id: String, identificatie: String, volgnummer: Int,
+  eind_geldigheid: Option[String], naam: String)
 
 /** §2.9: the tumbling-window aggregation in its readStream form —
   * same plan as q19's batch form, driven through a MemoryStream and the
@@ -74,5 +76,62 @@ class StreamingSpec extends SparkSuite {
       .orderBy($"h").as[(Timestamp, Long, Double)].collect().toSeq
     assert(streamed == batch)
     assert(streamed.map(_._2).sum == 100)
+  }
+
+  test("streaming SCD2 ingest: incremental merge, replay-idempotent, fail-fast gate") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Temporal
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2-stream").toString
+    val snap = s"$base/snapshot"
+    val ckpt = s"$base/ckpt"
+
+    def gate(b: org.apache.spark.sql.DataFrame): Unit = {
+      val dups = Temporal.duplicateOpenVersions(
+        b.withColumn("eind_geldigheid", $"eind_geldigheid".cast("date")))
+      require(dups.isEmpty, "duplicate open versions in batch")
+    }
+
+    val stream = MemoryStream[VRow]
+    val q = StreamingIngest.scd2Ingest(stream.toDF(), "id", snap, ckpt, gate)
+
+    stream.addData(
+      VRow("A_001", "A", 1, None, "alpha"),
+      VRow("B_001", "B", 1, None, "beta"))
+    q.processAllAvailable()
+    assert(spark.read.parquet(snap).count() == 2)
+
+    // epoch 2: change A, add C — incremental merge
+    val delta = Seq(
+      VRow("A_001", "A", 1, None, "alpha-renamed"),
+      VRow("C_001", "C", 1, None, "gamma"))
+    stream.addData(delta: _*)
+    q.processAllAvailable()
+    // materialize before the next commit: the snapshot swap moves the
+    // part files this plan points at
+    val after = spark.read.parquet(snap)
+      .select($"id", $"naam").as[(String, String)].collect().toSet
+    assert(after == Set("A_001" -> "alpha-renamed", "B_001" -> "beta",
+      "C_001" -> "gamma"))
+
+    // replay: merging the same delta again changes nothing
+    stream.addData(delta: _*)
+    q.processAllAvailable()
+    q.stop()
+    val replayed = spark.read.parquet(snap)
+      .select($"id", $"naam").as[(String, String)].collect().toSet
+    assert(replayed == after)
+
+    // fail-fast: two open versions of the same key abort the query
+    // BEFORE the snapshot is touched
+    val q2 = StreamingIngest.scd2Ingest(stream.toDF(), "id", snap, s"$base/ckpt2", gate)
+    stream.addData(
+      VRow("D_001", "D", 1, None, "d1"),
+      VRow("D_002", "D", 2, None, "d2"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(spark.read.parquet(snap).count() == 3) // snapshot unchanged
   }
 }
