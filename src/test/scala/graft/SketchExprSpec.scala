@@ -106,6 +106,33 @@ class SketchExprSpec extends SparkSuite {
     assert(n.count() == direct)
   }
 
+  test("create_ids expression matches the zip_with combinator on all edge cases") {
+    import graft.functions.parsers
+    val edge = Seq(
+      ("1|2|3", "1|2|3"),   // equal lengths
+      ("1|2", "1|2|3"),          // ids shorter -> null pad
+      ("1|2|3", "1"),                 // nums shorter -> null pad
+      ("1", "1234"),                            // >3 digits: lpad truncates
+      ("", ""),                                 // empty strings -> [""] tokens
+      ("a||b", "1|2|3"),    // empty id token in middle
+      (null, "1"), ("1", null)                  // null propagation
+    ).toDF("ids", "nums")
+    val diff = edge.select(
+        parsers.createIds($"ids", $"nums").as("fast"),
+        parsers.createIdsHof($"ids", $"nums").as("slow"))
+      .filter(!($"fast" <=> $"slow"))
+    assert(diff.count() == 0)
+    // and on real data at volume
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(concat_ws("|", $"l_partkey", $"l_suppkey").as("ids"),
+        concat_ws("|", $"l_linenumber", $"l_linenumber" + 1).as("nums"))
+    val rdiff = li.select(
+        parsers.createIds($"ids", $"nums").as("fast"),
+        parsers.createIdsHof($"ids", $"nums").as("slow"))
+      .filter(!($"fast" <=> $"slow"))
+    assert(rdiff.count() == 0)
+  }
+
   test("vec_dot participates in whole-stage codegen (no fallback in the plan)") {
     import org.apache.spark.sql.execution.debug._
     val qe = emb.select(sketches.vec_dot($"embedding", $"embedding").as("d"))

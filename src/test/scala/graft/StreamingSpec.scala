@@ -78,6 +78,28 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.map(_._2).sum == 100)
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark drops cross-batch dupes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val deduped = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "value")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val e1 = Ev(Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 5.0)
+    val e2 = Ev(Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 7.0)
+    stream.addData(e1, e2, e1) // in-batch dupe
+    q.processAllAvailable()
+    stream.addData(e1) // cross-batch dupe, within watermark
+    q.processAllAvailable()
+    stream.addData(Ev(Timestamp.valueOf("2024-01-01 10:10:00"), 3L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out")
+      .select($"user_id", $"value").as[(Long, Double)].collect().sorted
+    assert(rows.toSeq == Seq((1L, 5.0), (2L, 7.0), (3L, 9.0)))
+  }
+
   test("streaming SCD2 ingest: incremental merge, replay-idempotent, fail-fast gate") {
     import graft.streaming.StreamingIngest
     import graft.ops.Temporal
