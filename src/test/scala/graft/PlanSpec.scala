@@ -93,6 +93,34 @@ class PlanSpec extends SparkSuite {
         .filter(year($"o_orderdate") === 1995).count())
   }
 
+  test("SCD2 merge over a bucketed live table shuffles only the staged side") {
+    // the 100 TB shape claimed in Temporal.mergeScd2's doc: live
+    // snapshot bucketed by id -> the full-outer merge join reuses the
+    // bucketing; only the (much smaller) staged delta is exchanged
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_live_bucketed")
+      spark.read.parquet(s"$sf0001/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS STRING) AS id", "o_totalprice",
+          "o_orderstatus")
+        .write.bucketBy(4, "id").sortBy("id")
+        .saveAsTable("graft_live_bucketed")
+      val live = spark.table("graft_live_bucketed")
+      val staged = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter($"o_orderkey" % 100 === 0)
+        .selectExpr("CAST(o_orderkey AS STRING) AS id",
+          "o_totalprice * 2 AS o_totalprice", "o_orderstatus")
+      val merged = graft.ops.Temporal.mergeScd2(live, staged, "id")
+      val plan = merged.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 1, s"expected 1 exchange (staged side only):\n$plan")
+      assert(merged.count() == live.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_live_bucketed")
+    }
+  }
+
   test("IntervalUnionDays aggregator: correct under forced 1-row partitions") {
     val f = udaf(IntervalUnionDays(10000), Encoders.product[(Int, Option[Int])])
     val df = Seq(("A", 100, Some(130)), ("A", 120, Some(160)), ("A", 200, None),

@@ -94,6 +94,23 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: skewSafeJoin == plain join for any salts count") {
+    import graft.ops.Relational
+    val genRows = Gen.listOfN(60, for {
+      k <- Gen.choose(0, 4)     // few keys -> heavy collisions
+      p <- Gen.choose(0, 1000)
+    } yield (k, p))
+    forAllSampled2(genRows, Gen.choose(1, 9), n = 8) { (rows, salts) =>
+      val probe = rows.toDF("k", "payload")
+      val build = (0 to 4).map(k => (k, s"v$k")).toDF("k", "v")
+      val plain = probe.join(build, "k").select($"payload", $"v")
+      val salted = Relational.skewSafeJoin(probe, build, "k", "payload", salts)
+        .select($"payload", $"v")
+      assert(plain.exceptAll(salted).count() == 0)
+      assert(salted.exceptAll(plain).count() == 0)
+    }
+  }
+
   test("property: create_id lexical order == (identificatie, volgnummer) order") {
     forAllSampled(Gen.listOfN(30, genVer)) { vs =>
       val ids = vs.map(v => ((v.identificatie, v.volgnummer),

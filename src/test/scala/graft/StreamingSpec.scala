@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 5.0), (2L, 7.0), (3L, 9.0)))
   }
 
+  test("file-source streaming: AvailableNow drains a growing directory once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
+    val src = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // two "arrivals" before the stream starts
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("append").parquet(src)
+    Seq((3L, "c")).toDF("id", "s")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val counted = spark.readStream.schema(schema).parquet(src)
+      .groupBy($"s").agg(count(lit(1)).as("n"))
+    val q = counted.writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("file_out").start()
+    q.awaitTermination(60000)
+    val total = spark.table("file_out").agg(sum($"n")).as[Long].head()
+    assert(total == 3)
+  }
+
   test("streaming SCD2 ingest: incremental merge, replay-idempotent, fail-fast gate") {
     import graft.streaming.StreamingIngest
     import graft.ops.Temporal
