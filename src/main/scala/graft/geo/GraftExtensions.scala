@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => StNPoints(es.head)))
     e.injectFunction((FunctionIdentifier("st_isvalid"), info("st_isvalid"),
       (es: Seq[Expression]) => StIsValid(es.head)))
+    // sketch/vector expressions (graft.functions) as SQL names too
+    e.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
+      (es: Seq[Expression]) => graft.functions.VecDot(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("vec_dist2"), info("vec_dist2"),
+      (es: Seq[Expression]) => graft.functions.VecDist2(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (es: Seq[Expression]) => graft.functions.SimHash64(es.head)))
     e.injectOptimizerRule(_ => CollapseRedundantGeoCast)
   }
 }

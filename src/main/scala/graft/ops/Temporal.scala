@@ -266,4 +266,37 @@ object Temporal {
         count(lit(1)).as("n_versions"))
       .drop("__island")
   }
+
+  /** Point-in-interval range join WITHOUT an equi key, via bin
+    * bucketing — the classic rewrite that turns Spark's only native
+    * plan for this shape (broadcast-nested-loop, O(points ×
+    * intervals)) into an equi join:
+    *
+    *   - every point lands in exactly one `binDays`-wide bin;
+    *   - every interval is exploded onto each bin it touches
+    *     (`sequence(binOf(begin), binOf(end))`);
+    *   - equi-join on the bin, then the exact BETWEEN filter.
+    *
+    * Each (point, interval) match arises in exactly one bin — the
+    * point's — so no dedup is needed. Cost: |intervals| × avg bins
+    * per interval extra build rows; pick `binDays` near the median
+    * interval length. Inclusive on both endpoints; intervals with
+    * `end < begin` are dropped (sequence would run backwards).
+    * Both date columns; at 100 TB this is the difference between a
+    * shuffle join and a cluster-melting cross product. */
+  def rangeJoinBinned(points: DataFrame, ptCol: String,
+      intervals: DataFrame, beginCol: String, endCol: String,
+      binDays: Int): DataFrame = {
+    require(binDays >= 1, "binDays must be >= 1")
+    val epoch = lit("1970-01-01").cast("date")
+    def binOf(c: Column): Column = floor(datediff(c, epoch) / binDays)
+    val p = points.withColumn("__bin", binOf(col(ptCol)))
+    val iv = intervals
+      .filter(col(endCol) >= col(beginCol))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(beginCol)), binOf(col(endCol)))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(ptCol) >= col(beginCol) && col(ptCol) <= col(endCol))
+      .drop("__bin")
+  }
 }

@@ -104,6 +104,32 @@ object MlPrepQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Keyless point-in-interval range join via bin bucketing (the
+    // O(n*m) BNL shape rewritten to an equi join) — matches per
+    // interval counted against DuckDB's plain BETWEEN join.
+    QuerySpec("q59_range_join",
+      (s, dir) => {
+        val points = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        val intervals = table(s, dir, "orders")
+          .filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_orderkey").as("int_id"),
+            col("o_orderdate").as("iv_begin"),
+            (col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("iv_end"))
+        graft.ops.Temporal.rangeJoinBinned(points, "l_shipdate",
+            intervals, "iv_begin", "iv_end", binDays = 30)
+          .groupBy(col("int_id"))
+          .agg(count(lit(1)).as("n_points"))
+          .orderBy(col("int_id"))
+      },
+      Some("""SELECT o.o_orderkey AS int_id, COUNT(*) AS n_points
+        |FROM lineitem l
+        |JOIN (SELECT o_orderkey, o_orderdate AS b,
+        |        o_orderdate + INTERVAL 60 DAY AS e
+        |      FROM orders WHERE o_orderkey % 500 = 0) o
+        |  ON l.l_shipdate BETWEEN o.b AND o.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic 5% mod-sample — reproducible split, exact oracle.
     QuerySpec("q58_mod_sample",
       (s, dir) => Relational.modSample(table(s, dir, "orders"),

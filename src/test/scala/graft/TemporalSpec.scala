@@ -142,4 +142,31 @@ class TemporalSpec extends SparkSuite {
     val b = out(2)
     assert(b.getString(0) == "B" && b.isNullAt(2))
   }
+
+  test("rangeJoinBinned == naive BNL range join; endpoints inclusive; multi-bin spans") {
+    val points = Seq(
+      (1L, "2020-01-01"), (2L, "2020-01-15"), (3L, "2020-02-01"),
+      (4L, "2020-03-15"), (5L, "2020-06-30"), (6L, "2019-12-31"))
+      .toDF("pid", "d").select($"pid", $"d".cast("date").as("pt"))
+    val intervals = Seq(
+      (10L, "2020-01-01", "2020-01-01"),   // zero-length: exactly one day
+      (11L, "2020-01-01", "2020-03-15"),   // spans 3 monthly bins
+      (12L, "2020-02-01", "2020-01-01"),   // end < begin: dropped
+      (13L, "2020-05-01", "2020-12-31"))   // long span
+      .toDF("iid", "b", "e")
+      .select($"iid", $"b".cast("date").as("iv_b"), $"e".cast("date").as("iv_e"))
+    val binned = Temporal.rangeJoinBinned(points, "pt", intervals,
+        "iv_b", "iv_e", binDays = 30)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, $"pt" >= $"iv_b" && $"pt" <= $"iv_e")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    assert(binned.contains((1L, 10L)))   // begin == end == pt inclusive
+    assert(binned.contains((4L, 11L)))   // pt == interval end inclusive
+    assert(!binned.exists(_._2 == 12L))  // inverted interval dropped
+    // and the plan is an equi join on the bin, not a nested loop
+    val plan = Temporal.rangeJoinBinned(points, "pt", intervals,
+      "iv_b", "iv_e", 30).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
