@@ -71,6 +71,32 @@ object MlPrep {
         floor(col("sum_micro").cast("double") / col("n")).cast("long"))
       .select(col("label"), col("dim"), col("n"), col("avg_micro"))
 
+  /** End-to-end corpus preparation — the composite "make this corpus
+    * training-ready" pipeline every LLM data run starts with, built
+    * entirely from oracle-replicable stages:
+    *
+    *   1. quality gate (length / mean-token-length / stopword bounds);
+    *   2. exact dedup, canonical = min doc id per text;
+    *   3. per-doc stats (token count, char count);
+    *   4. deterministic mod-split into train/holdout.
+    *
+    * The near-dup (minhash) stage of a production run slots between 2
+    * and 3 — kept out here so the whole pipeline stays hash-exact
+    * against the DuckDB oracle; it is exercised separately (q27).
+    * Shape: one narrow scan pass + one groupBy(text) + one semi-join —
+    * nothing keyed on anything bigger than the text itself. */
+  def corpusPrep(docs: DataFrame, idCol: String, textCol: String,
+      holdoutDenom: Int = 10): DataFrame = {
+    val quality = docs.filter(TextAnalysis.qualityOk(col(textCol)))
+    val deduped = Dedup.deduplicated(quality, idCol, textCol)
+    deduped.select(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      length(col(textCol)).as("n_chars"),
+      when(pmod(col(idCol), lit(holdoutDenom)) === 0, lit("holdout"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Int8 min-max quantization of a vector column: each component →
     * `floor((x - min) * 254 / (max - min)) - 127`, capped at +127
     * (the x = max endpoint), constant vectors → all zeros. floor keeps

@@ -130,6 +130,39 @@ object MlPrepQueries {
         |  ON l.l_shipdate BETWEEN o.b AND o.e
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Composite corpus-prep pipeline: quality gate -> exact dedup ->
+    // stats -> deterministic split, hash-exact against DuckDB.
+    QuerySpec("q60_corpus_prep",
+      (s, dir) => MlPrep.corpusPrep(table(s, dir, "documents"),
+          "doc_id", "text", holdoutDenom = 10)
+        .orderBy(col("doc_id")),
+      Some("""WITH q AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, text, len(toks) AS n,
+        |    CAST(list_sum([length(w) FOR w IN toks]) AS DOUBLE) / len(toks) AS avg
+        |  FROM q),
+        |g AS (SELECT * FROM f
+        |  WHERE n BETWEEN 5 AND 10000 AND avg >= 2.0 AND avg <= 15.0),
+        |d AS (SELECT *, min(doc_id) OVER (PARTITION BY text) AS canon FROM g)
+        |SELECT doc_id, n AS n_tokens, length(text) AS n_chars,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'holdout' ELSE 'train' END AS split
+        |FROM d WHERE doc_id = canon ORDER BY doc_id""".stripMargin)),
+
+    // Frame-sampling batch shape (video -> frames row multiplication);
+    // payload slicing is the stub, the explode-with-bounded-memory
+    // plumbing is the operator. Rows-only (binary output).
+    QuerySpec("q61_media_frames",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        Multimodal.sampleFramesStub(s,
+            Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"),
+            nFrames = 4)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"), length(col("frame")).as("n"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      None),
+
     // Deterministic 5% mod-sample — reproducible split, exact oracle.
     QuerySpec("q58_mod_sample",
       (s, dir) => Relational.modSample(table(s, dir, "orders"),

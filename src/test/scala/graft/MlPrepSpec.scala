@@ -75,6 +75,22 @@ class MlPrepSpec extends SparkSuite {
     assert(top(3L) != "common")
   }
 
+  test("corpusPrep: junk filtered, dups canonicalized, split deterministic") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (2L, "tiny"),                                          // < 5 tokens
+      (3L, "aa " * 2000 + "aa aa aa"),                       // fine (many short tokens)
+      (10L, "another good document with enough plain words here"),
+      (4L, "zzzzzzzzzzzzzzzzzzzzzzzz " * 6))                 // avg token len > 15
+      .toDF("doc_id", "text")
+    val out = MlPrep.corpusPrep(corpus, "doc_id", "text", holdoutDenom = 10)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(out.contains(1L) && !out.contains(11L)) // canonical min id kept
+    assert(!out.contains(2L) && !out.contains(4L)) // junk gated out
+    assert(out(10L) == "holdout" && out(1L) == "train")
+  }
+
   test("labelCentroids: constant vectors give exact centroid") {
     val d = Seq((1, Seq(1.0f, -2.0f)), (1, Seq(1.0f, -2.0f)))
       .toDF("label", "embedding")
