@@ -143,7 +143,13 @@ object AuditQueries {
 
     // §2.10 typed Aggregator UDAF: days covered by the union of each
     // key's validity intervals (open intervals truncated at 1999-01-01
-    // = epoch day 10592), vs a gaps-and-islands SQL oracle.
+    // = epoch day 10592), vs a gaps-and-islands SQL oracle. The
+    // oracle's `d` CTE must be DISTINCT: with duplicate (s,e) rows the
+    // two window passes (prev_max, grp) may order ties differently and
+    // double-count an island — observed as a nondeterministic DuckDB
+    // result at sf0.1. Union-of-intervals is set semantics, so the
+    // dedup changes nothing else; the Spark aggregator is
+    // duplicate-safe by construction.
     QuerySpec("q42_interval_union_days",
       (s, dir) => {
         val horizon = java.time.LocalDate.of(1999, 1, 1).toEpochDay.toInt
@@ -168,7 +174,7 @@ object AuditQueries {
         |      CASE WHEN l_linestatus = 'O' THEN NULL
         |           ELSE CAST(l_shipdate + INTERVAL 30 DAY AS DATE) END), 10592) AS e
         |  FROM lineitem),
-        |d AS (SELECT * FROM v WHERE e > s),
+        |d AS (SELECT DISTINCT * FROM v WHERE e > s),
         |m AS (SELECT *, MAX(e) OVER (PARTITION BY identificatie ORDER BY s, e
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM d),
         |fl AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
