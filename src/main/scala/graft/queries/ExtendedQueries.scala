@@ -166,11 +166,11 @@ object ExtendedQueries {
           col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start")),
       Some(s"""WITH e AS ($eventsSql),
-        |m AS (SELECT user_id, ts, value,
+        |m AS (SELECT user_id, ts, value, event_id,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
         |  FROM e),
-        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
