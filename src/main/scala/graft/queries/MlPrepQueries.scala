@@ -163,6 +163,28 @@ object MlPrepQueries {
       },
       None),
 
+    // Arbitrary GROUPING SETS (not just rollup/cube prefixes): the
+    // (status,priority) + (status) + (priority) set list via spark.sql
+    // — the S8 "SQL surface" path — with grouping_id disambiguation.
+    QuerySpec("q62_grouping_sets",
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |  CAST(grouping_id() AS INT) AS gid
+          |FROM graft_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), (o_orderpriority))
+          |ORDER BY gid, o_orderstatus ASC NULLS LAST,
+          |         o_orderpriority ASC NULLS LAST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus NULLS LAST,
+        |         o_orderpriority NULLS LAST""".stripMargin)),
+
     // Deterministic 5% mod-sample — reproducible split, exact oracle.
     QuerySpec("q58_mod_sample",
       (s, dir) => Relational.modSample(table(s, dir, "orders"),
