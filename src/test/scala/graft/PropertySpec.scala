@@ -111,6 +111,29 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: rangeJoinBinned == naive join for random intervals and bin widths") {
+    val genPts = Gen.listOfN(40, Gen.choose(0, 400))
+    val genIvs = Gen.listOfN(12, for {
+      s <- Gen.choose(0, 400); len <- Gen.choose(-5, 120)
+    } yield (s, s + len))  // negative len -> inverted, must be dropped
+    forAllSampled2(Gen.zip(genPts, genIvs), Gen.oneOf(1, 7, 30, 365), n = 8) {
+      case ((pts, ivs), binDays) =>
+        val epoch = java.time.LocalDate.of(1970, 1, 1)
+        val p = pts.zipWithIndex
+          .map { case (d, i) => (i.toLong, java.sql.Date.valueOf(epoch.plusDays(d))) }
+          .toDF("pid", "pt")
+        val iv = ivs.zipWithIndex.map { case ((s, e), i) =>
+          (i.toLong, java.sql.Date.valueOf(epoch.plusDays(s)),
+            java.sql.Date.valueOf(epoch.plusDays(e))) }
+          .toDF("iid", "b", "e")
+        val binned = Temporal.rangeJoinBinned(p, "pt", iv, "b", "e", binDays)
+          .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+        val naive = p.join(iv, $"pt" >= $"b" && $"pt" <= $"e")
+          .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+        assert(binned == naive, s"binDays=$binDays")
+    }
+  }
+
   test("property: create_id lexical order == (identificatie, volgnummer) order") {
     forAllSampled(Gen.listOfN(30, genVer)) { vs =>
       val ids = vs.map(v => ((v.identificatie, v.volgnummer),

@@ -100,6 +100,26 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 5.0), (2L, 7.0), (3L, 9.0)))
   }
 
+  test("stream-static join: micro-batches enrich against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("user_id", "tier")
+    val stream = MemoryStream[Ev]
+    val joined = stream.toDF().join(dim, Seq("user_id"), "left")
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName("ss_join_out").start()
+    stream.addData((0 until 30).map(i =>
+      Ev(Timestamp.valueOf("2024-01-01 10:00:00"), i % 5, i)))
+    q.processAllAvailable()
+    q.stop()
+    val res = spark.table("ss_join_out")
+      .as[(Option[String], Long)].collect().toMap
+    // users 0,1,2 hit the dim (6 events each); 3,4 fall out to null tier
+    assert(res(Some("bronze")) == 6 && res(Some("gold")) == 6)
+    assert(res(None) == 12)
+  }
+
   test("file-source streaming: AvailableNow drains a growing directory once") {
     val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
     val src = s"$dir/in"
