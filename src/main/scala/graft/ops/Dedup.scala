@@ -63,7 +63,20 @@ object Dedup {
     * frequency; a pathologically hot shingle should be pruned upstream
     * (it carries no near-dup signal anyway). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
+      k: Int, threshold: Double): DataFrame =
+    ngramJaccardPairsPruned(df, idCol, textCol, k, threshold, maxDf = Int.MaxValue)
+
+  /** [[ngramJaccardPairs]] with hot-shingle pruning: shingles appearing
+    * in more than `maxDf` documents are dropped from candidate
+    * generation — the standard skew defense for inverted-index joins
+    * at corpus scale (a shingle shared by 10% of a 100 TB corpus
+    * generates ~(0.1N)² candidate pairs and carries no near-dup
+    * signal). NOTE the exact-Jaccard consequence: intersections are
+    * counted over surviving shingles only, while per-doc set sizes
+    * n_sh still count all shingles — scores can only decrease, so
+    * pruning never creates false positives above the threshold. */
+  def ngramJaccardPairsPruned(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, maxDf: Int): DataFrame = {
     // per-doc shingle-set size rides on every array element (struct
     // <shingle,n_sh>) so ONE inline() explodes both — no sizes
     // aggregation, no sizes join, no corpus-wide distinct, and the
@@ -75,7 +88,18 @@ object Dedup {
     // in the explode, as before.
     val withN = df.select(col(idCol),
       inline(graft.functions.sketches.shingle_set_n(col(textCol), k)))
-    val buckets = withN
+    // pruning happens BEFORE the bucket collect, so a hot shingle
+    // never materializes its doc list in an aggregation buffer: a
+    // window count over the shingle partition filters in the same
+    // single shuffle the bucket groupBy needs (the groupBy reuses the
+    // window's partitioning) — no second scan, no join.
+    val index = if (maxDf == Int.MaxValue) withN else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+      withN.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") > 1 && col("__df") <= maxDf)
+        .drop("__df")
+    }
+    val buckets = index
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("n_sh").as("n")))).as("docs"))

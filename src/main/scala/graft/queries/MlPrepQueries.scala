@@ -185,6 +185,35 @@ object MlPrepQueries {
         |ORDER BY gid, o_orderstatus NULLS LAST,
         |         o_orderpriority NULLS LAST""".stripMargin)),
 
+    // Hot-shingle-pruned Jaccard: shingles in > 20 docs are dropped
+    // from candidate generation (bounded bucket blowup — the 100 TB
+    // skew defense); intersections count surviving shingles only,
+    // n_sh still counts all. Oracle mirrors the pruning exactly.
+    QuerySpec("q63_jaccard_pruned",
+      (s, dir) => graft.ops.Dedup.ngramJaccardPairsPruned(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.5, maxDf = 20)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |keep AS (SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING COUNT(*) > 1 AND COUNT(*) <= 20),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND shingle IN (SELECT shingle FROM keep)
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // Deterministic 5% mod-sample — reproducible split, exact oracle.
     QuerySpec("q58_mod_sample",
       (s, dir) => Relational.modSample(table(s, dir, "orders"),

@@ -121,6 +121,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("plan sweep: no CartesianProduct anywhere; BNL only where intended") {
+    // BroadcastNestedLoop is legitimate only where the broadcast side
+    // is small by construction: the deliberately brute-force ANN
+    // baselines, and the single-row aggregate cross joins (q36 merges
+    // three scalar counters; q53 attaches the corpus-size scalar)
+    val bnlAllowed = Set("q30_ann_bruteforce", "q45_ann_ivf",
+      "q36_merge_audit", "q53_tfidf")
+    val offenders = SparkEntry.specs.flatMap { q =>
+      val plan =
+        try q.fn(spark, sf0001).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLAN-FAILED ${e.getMessage}" }
+      val cart = plan.contains("CartesianProduct")
+      val bnl = plan.contains("BroadcastNestedLoopJoin") && !bnlAllowed(q.name)
+      val failed = plan.startsWith("PLAN-FAILED")
+      if (cart || bnl || failed)
+        Some(s"${q.name}: cart=$cart bnl=$bnl failed=$failed")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("IntervalUnionDays aggregator: correct under forced 1-row partitions") {
     val f = udaf(IntervalUnionDays(10000), Encoders.product[(Int, Option[Int])])
     val df = Seq(("A", 100, Some(130)), ("A", 120, Some(160)), ("A", 200, None),
