@@ -118,6 +118,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Near-duplicate connected components: turn a candidate-pair list
+    * into dedup groups by iterative min-label propagation — each node's
+    * label converges to the smallest id reachable through the pair
+    * graph (= the canonical survivor of its component). The loop is
+    * driver-controlled but every step is a distributed join+agg;
+    * iterations needed = graph diameter (near-dup components are
+    * shallow — chains longer than a few hops are rare). At 100 TB add
+    * periodic checkpointing to cut the lineage; the join stays keyed
+    * on the node id throughout. Returns (id, component). */
+  def nearDupComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Minhash signature columns h0..h{n-1}: per doc, the lane-wise min
     * of a salted hash over its shingles, computed entirely per-row by
     * the [[graft.functions.MinHashSig]] expression — ZERO shuffles

@@ -214,6 +214,38 @@ object MlPrepQueries {
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Near-dup groups: trigram-Jaccard pairs -> connected components
+    // (iterative min-label propagation vs a recursive-CTE oracle).
+    QuerySpec("q64_neardup_components",
+      (s, dir) => graft.ops.Dedup.nearDupComponents(
+          graft.ops.Dedup.ngramJaccardPairs(
+            table(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.5),
+          "id_a", "id_b")
+        .orderBy(col("id")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (SELECT id_a, id_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r)
+        |SELECT src AS id, MIN(node) AS component
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin)),
+
     // Deterministic 5% mod-sample — reproducible split, exact oracle.
     QuerySpec("q58_mod_sample",
       (s, dir) => Relational.modSample(table(s, dir, "orders"),

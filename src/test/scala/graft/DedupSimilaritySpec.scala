@@ -50,6 +50,16 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupComponents: chains collapse to min-id components") {
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,6}; singletons absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 3L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.nearDupComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("cosine: self-similarity 1, brute-force ranks are total-ordered") {
     val self = emb.limit(3)
       .select(round(Similarity.cosine($"embedding", $"embedding"), 9).as("c"))
