@@ -246,6 +246,22 @@ object MlPrepQueries {
         |SELECT src AS id, MIN(node) AS component
         |FROM reach GROUP BY src ORDER BY id""".stripMargin)),
 
+    // Exact percentiles (sort-based, order-independent; Spark
+    // percentile and DuckDB quantile_cont share the linear
+    // interpolation definition). Complements q49's approx forms.
+    QuerySpec("q65_percentile",
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  [quantile_cont(l_quantity, 0.25), quantile_cont(l_quantity, 0.75)] AS iqr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Deterministic 5% mod-sample — reproducible split, exact oracle.
     QuerySpec("q58_mod_sample",
       (s, dir) => Relational.modSample(table(s, dir, "orders"),
