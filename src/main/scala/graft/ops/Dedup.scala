@@ -129,8 +129,13 @@ object Dedup {
     * on the node id throughout. Returns (id, component). */
   def nearDupComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the (possibly expensive) pair pipeline ONCE before
+    // symmetrizing — the union's two branches would otherwise each
+    // evaluate the full upstream plan (measured 2x on the Jaccard
+    // pipeline feeding q64)
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    p.count()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
@@ -149,6 +154,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id"), col("label").as("component"))
   }
 
