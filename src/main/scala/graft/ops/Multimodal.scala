@@ -41,7 +41,11 @@ object Multimodal {
     * mapInPandas). Here: a deterministic fake "feature vector" derived
     * from the bytes, so the distributed plumbing (partition-local
     * batch iteration, fixed-width output schema) is fully exercised.
-    * Swap the body for a real codec to productionize. */
+    * The fake per-lane hash is a strided polynomial mod 1e9+7 (lane i
+    * folds bytes i, i+dim, i+2*dim, ... with acc = (31*acc + b) mod p,
+    * seeded acc = i+1) — bounded modular arithmetic, so an external
+    * engine can replicate it exactly for differential checking. Swap
+    * the body for a real codec to productionize. */
   def decodeFeaturesStub(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("media"))
@@ -51,10 +55,13 @@ object Multimodal {
           // ??? real decode goes here; deterministic fake features:
           val bytes = r.media
           val feats = Array.tabulate(dim) { i =>
-            var h = 1125899906842597L
+            var h = (i + 1).toLong
             var j = i
-            while (j < bytes.length) { h = 31 * h + bytes(j); j += dim }
-            (h % 1000).toDouble / 1000.0
+            while (j < bytes.length) {
+              h = (31L * h + (bytes(j) & 0xffL)) % 1000000007L
+              j += dim
+            }
+            (h % 1000L).toDouble / 1000.0
           }
           (r.media_id, r.kind, bytes.length, feats)
         }

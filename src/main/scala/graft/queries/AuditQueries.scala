@@ -183,7 +183,7 @@ object AuditQueries {
         |        ROWS UNBOUNDED PRECEDING) AS grp FROM fl),
         |islands AS (SELECT identificatie, grp, MIN(s) AS mn, MAX(e) AS mx
         |  FROM g GROUP BY identificatie, grp)
-        |SELECT identificatie, SUM(mx - mn) AS covered_days
+        |SELECT identificatie, CAST(SUM(mx - mn) AS BIGINT) AS covered_days
         |FROM islands GROUP BY identificatie
         |ORDER BY identificatie""".stripMargin)),
 

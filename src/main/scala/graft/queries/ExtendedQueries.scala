@@ -68,11 +68,17 @@ object ExtendedQueries {
         |ORDER BY l_orderkey, l_linenumber, rel_id""".stripMargin)),
 
     // A3 grouped sorted list-collect (deterministic collect_list).
+    // The list is emitted CSV-joined: the driver's comparator sorts
+    // result cells in pandas, and array cells (numpy.ndarray) are
+    // unsortable/unhashable there — strings carry the same information.
     QuerySpec("q13_collect_sorted",
       (s, dir) => Relational.collectSorted(
           table(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .select(col("l_orderkey"),
+          array_join(col("l_partkeys").cast("array<string>"), ",").as("l_partkeys"))
         .orderBy(col("l_orderkey")),
-      Some("""SELECT l_orderkey, list_sort(list(l_partkey)) AS l_partkeys
+      Some("""SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_partkey)), ',') AS l_partkeys
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
     // A4 distinct key-set materialization.
@@ -139,7 +145,7 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // §2.9 streaming-shaped: tumbling-window aggregation (batch form of

@@ -50,24 +50,28 @@ object MlPrepQueries {
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
     // Int8 min-max quantization of every embedding (floor arithmetic —
-    // tie-free, engine-portable).
+    // tie-free, engine-portable). Codes emitted CSV-joined: the driver
+    // comparator can't sort array cells.
     QuerySpec("q55_quantize_int8",
       (s, dir) => MlPrep.quantizeInt8(table(s, dir, "embeddings"),
           "vec_id", "embedding")
+        .select(col("vec_id"), col("q_min"), col("q_max"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"))
         .orderBy(col("vec_id")),
       Some("""SELECT vec_id,
         |  round(list_min([CAST(x AS DOUBLE) FOR x IN embedding]), 6) AS q_min,
         |  round(list_max([CAST(x AS DOUBLE) FOR x IN embedding]), 6) AS q_max,
-        |  CASE WHEN list_max([CAST(x AS DOUBLE) FOR x IN embedding])
-        |            > list_min([CAST(x AS DOUBLE) FOR x IN embedding])
-        |    THEN [CAST(least(127, floor(
-        |           (CAST(x AS DOUBLE)
-        |             - list_min([CAST(y AS DOUBLE) FOR y IN embedding])) * 254
-        |           / (list_max([CAST(y AS DOUBLE) FOR y IN embedding])
-        |             - list_min([CAST(y AS DOUBLE) FOR y IN embedding]))) - 127)
-        |          AS INTEGER) FOR x IN embedding]
-        |    ELSE [CAST(0 AS INTEGER) FOR x IN embedding]
-        |  END AS codes
+        |  array_to_string(
+        |    CASE WHEN list_max([CAST(x AS DOUBLE) FOR x IN embedding])
+        |              > list_min([CAST(x AS DOUBLE) FOR x IN embedding])
+        |      THEN [CAST(least(127, floor(
+        |             (CAST(x AS DOUBLE)
+        |               - list_min([CAST(y AS DOUBLE) FOR y IN embedding])) * 254
+        |             / (list_max([CAST(y AS DOUBLE) FOR y IN embedding])
+        |               - list_min([CAST(y AS DOUBLE) FOR y IN embedding]))) - 127)
+        |            AS INTEGER) FOR x IN embedding]
+        |      ELSE [CAST(0 AS INTEGER) FOR x IN embedding]
+        |    END, ',') AS codes
         |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // Corpus-wide top-20 word bigrams (multiset counts, lexical
@@ -254,12 +258,16 @@ object MlPrepQueries {
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
           expr("percentile(l_quantity, 0.9)").as("p90"),
-          expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr"))
+          // the IQR bounds as scalar columns (array cells are
+          // unsortable in the driver's pandas comparator)
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90,
-        |  [quantile_cont(l_quantity, 0.25), quantile_cont(l_quantity, 0.75)] AS iqr
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Deterministic 5% mod-sample — reproducible split, exact oracle.

@@ -32,7 +32,7 @@ object SourceGeoQueries {
           .orderBy(col("n_regionkey"))
       },
       Some("""SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name,
-        |  SUM(n_nationkey) AS key_sum
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
     // S3: |-delimited (id, WKT) file roundtrip through readWktFile +

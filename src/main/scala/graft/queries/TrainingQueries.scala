@@ -99,7 +99,10 @@ object TrainingQueries {
           d.filter(col("doc_id") % 3 === 0)
             .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
         Dedup.exactDuplicates(dups, "doc_id", "text")
-          .select(col("canonical_id"), col("n_copies"), col("member_ids"))
+          // CSV-join the member list: the driver's pandas comparator
+          // can't sort array cells (numpy.ndarray is unhashable there)
+          .select(col("canonical_id"), col("n_copies"),
+            array_join(col("member_ids").cast("array<string>"), ",").as("member_ids"))
           .orderBy(col("canonical_id"))
       },
       Some("""WITH d AS (
@@ -107,7 +110,7 @@ object TrainingQueries {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0)
         |SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies,
-        |  list_sort(list(doc_id)) AS member_ids
+        |  array_to_string(list_sort(list(doc_id)), ',') AS member_ids
         |FROM d GROUP BY text HAVING COUNT(*) > 1
         |ORDER BY canonical_id""".stripMargin)),
 
@@ -206,11 +209,32 @@ object TrainingQueries {
         |  hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex
         |FROM documents ORDER BY media_id""".stripMargin)),
 
-    // Multimodal decode stub (mapPartitions batch shape) — rows-only.
+    // Multimodal decode stub (mapPartitions batch shape). The feature
+    // vector is flattened to scalar lanes f0..f7 (the driver comparator
+    // can't sort array cells), and the stub's strided modular hash is
+    // replicated lane-by-lane in the oracle (ASCII corpus: char ==
+    // byte, same assumption q24/q32 already rely on).
     QuerySpec("q33_media_features",
-      (s, dir) => Multimodal.decodeFeaturesStub(s,
+      (s, dir) => {
+        val feat = Multimodal.decodeFeaturesStub(s,
           Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"))
-        .orderBy(col("media_id")),
-      None)
+        feat.select(
+            Seq(col("media_id"), col("kind"), col("n_bytes")) ++
+              (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+          .orderBy(col("media_id"))
+      },
+      Some {
+        val lanes = (0 until 8).map { i =>
+          s"""  CAST(list_reduce(list_prepend(CAST(${i + 1} AS BIGINT),
+             |    [CAST(ascii(c) AS BIGINT)
+             |     FOR c IN array_slice(string_split(text, ''), ${i + 1}, len(text), 8)]),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000 AS DOUBLE) / 1000.0 AS f$i"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""SELECT doc_id AS media_id, CAST(doc_id % 3 AS VARCHAR) AS kind,
+           |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+           |$lanes
+           |FROM documents ORDER BY media_id""".stripMargin
+      })
   )
 }

@@ -64,6 +64,29 @@ def main():
             print(f"✗ {name}: column mismatch spark={s_cols} duck={d_cols}")
             n_fail += 1
             continue
+        # the driver hashes pandas-level values, so arrow-type skew that
+        # == tolerates (DuckDB hugeint -> Decimal vs Spark int64; list
+        # cells) still hash-mismatches there. Flag it as a failure here.
+        type_skew = []
+        for c in s_cols:
+            st = spark_tbl.schema.field(c).type
+            dt = duck_tbl.schema.field(c).type
+            for t, side in ((st, "spark"), (dt, "duck")):
+                import pyarrow as pa
+                if pa.types.is_list(t) or pa.types.is_large_list(t) \
+                        or pa.types.is_decimal(t):
+                    type_skew.append(f"{c}: {side}={t}")
+            if (st != dt and not (
+                    pa.types.is_integer(st) and pa.types.is_integer(dt))
+                    and not (pa.types.is_floating(st)
+                             and pa.types.is_floating(dt))
+                    and not (pa.types.is_timestamp(st)
+                             and pa.types.is_timestamp(dt))):
+                type_skew.append(f"{c}: spark={st} duck={dt}")
+        if type_skew:
+            print(f"✗ {name}: ARROW TYPE SKEW {type_skew}")
+            n_fail += 1
+            continue
         # order-insensitive compare (and exact-order compare reported too)
         ordered_eq = s_rows == d_rows
         sorted_eq = sorted(s_rows, key=repr) == sorted(d_rows, key=repr)
