@@ -124,11 +124,18 @@ object Dedup {
     * graph (= the canonical survivor of its component). The loop is
     * driver-controlled but every step is a distributed join+agg;
     * iterations needed = graph diameter (near-dup components are
-    * shallow — chains longer than a few hops are rare). At 100 TB add
-    * periodic checkpointing to cut the lineage; the join stays keyed
-    * on the node id throughout. Returns (id, component). */
+    * shallow — chains longer than a few hops are rare). Lineage is cut
+    * with `localCheckpoint` every `checkpointEvery` iterations — each
+    * loop otherwise stacks another join+agg on the plan tree and the
+    * optimizer re-plans the whole history per step (on a real cluster
+    * prefer reliable `checkpoint` + checkpoint dir, which survives
+    * executor loss). Throws if the graph has not converged after
+    * `maxIter` iterations (component diameter too large) rather than
+    * silently returning wrong components; the returned frame is
+    * lineage-free and NOT cached — callers hold no hidden executor
+    * memory. Returns (id, component). */
   def nearDupComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointEvery: Int = 5): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before
     // symmetrizing — the union's two branches would otherwise each
     // evaluate the full upstream plan (measured 2x on the Jaccard
@@ -144,8 +151,10 @@ object Dedup {
     while (i < maxIter && !converged) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+      val merged = labels.select(col("id"), col("label")).union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val next = if ((i + 1) % checkpointEvery == 0) merged.localCheckpoint()
+        else merged.cache()
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
       labels.unpersist()
@@ -155,7 +164,18 @@ object Dedup {
     }
     edges.unpersist()
     p.unpersist()
-    labels.select(col("id"), col("label").as("component"))
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"nearDupComponents: not converged after $maxIter iterations — " +
+          "component diameter exceeds maxIter; raise maxIter (labels would " +
+          "be silently wrong, so failing instead)")
+    }
+    // eager localCheckpoint: result survives the unpersist below with
+    // no lineage back into the loop's cached intermediates
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out.select(col("id"), col("label").as("component"))
   }
 
   /** Minhash signature columns h0..h{n-1}: per doc, the lane-wise min

@@ -40,6 +40,19 @@ object BagJob {
     ImportPipeline.commitSnapshot(gemeente, s"$outDir/gemeente")
     parents("gemeente") = spark.read.parquet(s"$outDir/gemeente")
 
+    // Preload every table's last committed snapshot — or, when none
+    // exists, an empty spec-schema frame — so a mid-DAG `startAt`
+    // restart (reference batch/batch.py:19-30) and the absent/failed-
+    // parent cascade resolve FK checks against committed state instead
+    // of throwing on the `parents` lookup. loadOrder is FK-topological,
+    // so each emptySnapshot sees its own parents already present.
+    BagTables.loadOrder.foreach { spec =>
+      parents(spec.name) =
+        if (new java.io.File(s"$outDir/${spec.name}").exists())
+          spark.read.parquet(s"$outDir/${spec.name}")
+        else ImportPipeline.emptySnapshot(spark, spec, parents.toMap)
+    }
+
     val specs = startAt match {
       case Some(s) => BagTables.loadOrder.dropWhile(_.name != s)
       case None => BagTables.loadOrder

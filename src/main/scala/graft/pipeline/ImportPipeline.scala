@@ -108,6 +108,19 @@ object ImportPipeline {
     ValidationReport(errors.toSeq, warnings.toSeq)
   }
 
+  /** The committed-snapshot schema of `spec` as a zero-row frame — the
+    * `clean()` output of an empty raw extract (a LocalRelation, so no
+    * job runs). Used to preload absent parents on a named-task restart:
+    * FK checks against it reject honestly instead of the `parents`
+    * lookup throwing (reference batch/batch.py:19-30 `--bagh_start`). */
+  def emptySnapshot(spark: SparkSession, spec: TableSpec,
+      parents: Map[String, DataFrame]): DataFrame = {
+    val raw = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      CsvSource.stringSchema(spec.sourceCols.map(_._1)))
+    clean(raw, spec, parents)._1
+  }
+
   /** Full lifecycle for one CSV extract against the current live
     * snapshot. Aborts (returns report.failed, nothing written) exactly
     * where the reference raises. */

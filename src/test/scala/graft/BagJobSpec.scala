@@ -73,5 +73,33 @@ class BagJobSpec extends SparkSuite {
     val again = BagJob.run(spark, data, out)
     val byName2 = again.map(o => o.name -> o).toMap
     assert(byName2("stadsdeel").loaded == 2 && byName2("wijk").loaded == 1)
+
+    // O2 named-task restart mid-DAG (--bagh_start semantics,
+    // batch/batch.py:19-30): wijk's FK checks must resolve against the
+    // stadsdeel/ggw_gebied snapshots committed by the earlier run, not
+    // throw on a missing `parents` entry.
+    val restart = BagJob.run(spark, data, out, startAt = Some("wijk"))
+    val byName3 = restart.map(o => o.name -> o).toMap
+    assert(!byName3.contains("stadsdeel") && !byName3.contains("ggw_gebied"))
+    assert(byName3("wijk").loaded == 1 && byName3("wijk").rejected == 1)
+  }
+
+  test("BagJob: startAt with an absent parent FK-rejects instead of throwing") {
+    val base = Files.createTempDirectory("graft-bagjob-restart").toString
+    val data = s"$base/data"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(data))
+
+    // only the child extract exists; stadsdeel was never committed
+    writeCsv(data, "GBD_ggw_gebied_ActueelEnHistorie.csv", csvFor(BagTables.ggwGebied, Seq(
+      Map("identificatie" -> "GGW1", "volgnummer" -> "1",
+        "registratiedatum" -> "2020-01-01 00:00:00", "beginGeldigheid" -> "2020-01-01",
+        "naam" -> "Gebied 1", "code" -> "G1",
+        "ligtIn:GBD.SDL.identificatie" -> "SDL1", "ligtIn:GBD.SDL.volgnummer" -> "1"))))
+
+    val outcomes = BagJob.run(spark, data, out, startAt = Some("ggw_gebied"))
+    val byName = outcomes.map(o => o.name -> o).toMap
+    // the row references SDL1 but stadsdeel's snapshot is an empty
+    // spec-schema frame -> honest fk_miss rejection, zero rows loaded
+    assert(byName("ggw_gebied").loaded == 0 && byName("ggw_gebied").rejected == 1)
   }
 }

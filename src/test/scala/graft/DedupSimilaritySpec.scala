@@ -60,6 +60,21 @@ class DedupSimilaritySpec extends SparkSuite {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("nearDupComponents: signals non-convergence instead of wrong labels") {
+    // a 12-hop chain: diameter > maxIter=3, so min-label propagation
+    // cannot finish — must throw, not return partially-propagated labels
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.nearDupComponents(chain, "id_a", "id_b", maxIter = 3)
+    }
+    assert(ex.getMessage.contains("not converged"))
+    // same chain with room to converge (checkpoint path exercised at
+    // checkpointEvery=2): one component labeled by the min id
+    val comp = Dedup.nearDupComponents(chain, "id_a", "id_b",
+      maxIter = 20, checkpointEvery = 2).as[(Long, Long)].collect().toMap
+    assert(comp == (0L to 12L).map(_ -> 0L).toMap)
+  }
+
   test("cosine: self-similarity 1, brute-force ranks are total-ordered") {
     val self = emb.limit(3)
       .select(round(Similarity.cosine($"embedding", $"embedding"), 9).as("c"))
