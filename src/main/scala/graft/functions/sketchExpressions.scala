@@ -341,6 +341,73 @@ case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false,
     copy(child = c)
 }
 
+/** fingerprint64(text): rolling polynomial document hash,
+  * `h = (h*31 + codepoint) mod 1e9+7` over the trimmed string — the
+  * compiled form of
+  * `aggregate(filter(split(trim(c), ""), ch -> ch != ""), 0L,
+  *            (acc, ch) -> (acc*31 + ascii(ch)) % 1000000007)`.
+  * Bit-faithful: Spark `ascii` returns the full code point of the
+  * first character (verified: 'é'→233, '日'→26085, not the first
+  * UTF-8 byte), `split` by the empty pattern yields one element per
+  * code point, and the `!= ""` filter only drops the `[""]` artifact
+  * of the empty string (→ fold over nothing → 0). The HOF form runs
+  * as interpreted lambdas — one allocation + dispatch per CHARACTER
+  * on the hot scan path; this is a tight primitive loop. */
+case class Fingerprint64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fingerprint64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .trim().toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** avg_token_len(text): mean whitespace-token length in characters, as
+  * double — the compiled form of
+  * `aggregate(transform(split(trim(c),"\\s+"), w -> length(w)), 0, +)
+  *    .cast("double") / size(split(trim(c),"\\s+"))`.
+  * Token lengths count code points (Spark `length` semantics); the
+  * empty string yields `[""]` → 0.0/1 = 0.0, so the divisor is never
+  * zero. Null text → null, like the HOF form. */
+case class AvgTokenLen(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "avg_token_len"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .trim().toString
+    val toks = ws.split(s, -1)
+    var total = 0L
+    var i = 0
+    while (i < toks.length) {
+      total += toks(i).codePointCount(0, toks(i).length)
+      i += 1
+    }
+    total.toDouble / toks.length
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** create_ids(ids, nums): compiled form of the F6 combinator
   * `zip_with(split(ids,"\\|"), split(nums,"\\|"),
   *           (i,v) -> concat(i, '_', lpad(v, 3, '0')))` —
@@ -402,6 +469,8 @@ object sketches {
     column(ShingleSet(expression(text), k, dedupe = false))
   def create_ids(ids: Column, nums: Column): Column =
     column(CreateIds(expression(ids), expression(nums)))
+  def fingerprint64(text: Column): Column = column(Fingerprint64(expression(text)))
+  def avg_token_len(text: Column): Column = column(AvgTokenLen(expression(text)))
 
   /** Register SQL names on a session (tests / spark.sql users). */
   def register(spark: SparkSession): Unit = {

@@ -51,6 +51,20 @@ object BagTables {
     "standplaats" -> "adresseert:BAG.SPS",
     "verblijfsobject" -> "adresseert:BAG.VOT")
 
+  /** Reference-id volgnummer parse: `int(volgnummer or "1")`
+    * (bagh/batch.py:226-238). Empty/absent defaults to 1, but a
+    * NON-NUMERIC value raises ValueError in the reference and aborts
+    * the whole task — mirrored here with `raise_error` (a silent
+    * version-001 fallback would commit ids the reference never
+    * produces). The error fires lazily, per offending row, at the
+    * first action over the frame — same fail-fast point as the
+    * reference's row loop. */
+  private def volgOrAbort(what: String, volgRaw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(parsers.emptyToNull(volgRaw).isNull, lit(1))
+      .otherwise(coalesce(parsers.intOrNone(volgRaw),
+        raise_error(concat(lit(s"non-numeric volgnummer for $what: '"),
+          volgRaw, lit("'"))).cast("int")))
+
   /** One versioned FK reference: the raw (identificatie, volgnummer)
     * pair, the derived `<model>_id` column, and its existence check. */
   private def ref(model: String): (Seq[(String, String)],
@@ -61,7 +75,7 @@ object BagTables {
       s"$f.volgnummer" -> s"__${model}_volg")
     val idCol = Seq(s"${model}_id" -> parsers.createId(
       parsers.emptyToNull(col(s"__${model}_ident")),
-      coalesce(parsers.intOrNone(col(s"__${model}_volg")), lit(1))))
+      volgOrAbort(s"$model ref", col(s"__${model}_volg"))))
     (src, idCol, FkSpec(s"${model}_id", model, "id"))
   }
 
@@ -220,7 +234,7 @@ object BagTables {
       "redenafvoer" -> parsers.emptyToNull(col("__redenopvoer_raw")),
       "heeftin_hoofdadres_id" -> parsers.createId(
         parsers.emptyToNull(col("__hoofd_ident")),
-        coalesce(parsers.intOrNone(col("__hoofd_volg")), lit(1))),
+        volgOrAbort("hoofdadres ref", col("__hoofd_volg"))),
       "heeftin_nevenadres_id" -> parsers.createIds(
         col("__neven_idents"), col("__neven_volgs"))) ++
       document._2 ++ onderzoek._2,

@@ -24,8 +24,14 @@ object TextAnalysis {
     call_function("regexp_count", c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Mean token length, as double (exact int/int division both here and
-    * in the oracle). */
-  def avgTokenLen(c: Column): Column = {
+    * in the oracle). Compiled [[graft.functions.AvgTokenLen]] expression
+    * — the HOF fold ran interpreted per character on the scan path. */
+  def avgTokenLen(c: Column): Column =
+    graft.functions.sketches.avg_token_len(c)
+
+  /** The original higher-order-function form of [[avgTokenLen]], kept
+    * for differential testing (bit-identical by contract). */
+  def avgTokenLenHof(c: Column): Column = {
     val t = tokens(c)
     val totalLen = aggregate(transform(t, w => length(w)), lit(0),
       (acc, x) => acc + x)
@@ -85,10 +91,17 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: rolling polynomial hash over characters,
-    * `h = (h*31 + ascii(ch)) mod 1e9+7` — deterministic, oracle-
+    * `h = (h*31 + codepoint) mod 1e9+7` — deterministic, oracle-
     * replicable, and a stable cheap identity for exact-dup detection
-    * when the full text is too wide to shuffle. */
+    * when the full text is too wide to shuffle. Compiled
+    * [[graft.functions.Fingerprint64]] expression — the HOF fold ran
+    * interpreted per character on the scan path. */
   def fingerprint(c: Column): Column =
+    graft.functions.sketches.fingerprint64(c)
+
+  /** The original higher-order-function form of [[fingerprint]], kept
+    * for differential testing (bit-identical by contract). */
+  def fingerprintHof(c: Column): Column =
     aggregate(
       filter(split(trim(c), ""), ch => ch =!= ""),
       lit(0L),

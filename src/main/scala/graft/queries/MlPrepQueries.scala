@@ -154,7 +154,10 @@ object MlPrepQueries {
 
     // Frame-sampling batch shape (video -> frames row multiplication);
     // payload slicing is the stub, the explode-with-bounded-memory
-    // plumbing is the operator. Rows-only (binary output).
+    // plumbing is the operator. The stub's slice arithmetic
+    // (n = min(4, max(1, L)), step = max(1, L/n), frame i = bytes
+    // [i*step, min(L, (i+1)*step))) is plain integer math, so the
+    // oracle replicates it per document over the UTF-8 byte length.
     QuerySpec("q61_media_frames",
       (s, dir) => {
         import graft.ops.Multimodal
@@ -165,7 +168,17 @@ object MlPrepQueries {
           .select(col("media_id"), col("frame_idx"), length(col("frame")).as("n"))
           .orderBy(col("media_id"), col("frame_idx"))
       },
-      None),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+        |    octet_length(CAST(text AS BLOB)) AS L FROM documents),
+        |p AS (SELECT media_id, L, LEAST(4, GREATEST(1, L)) AS nf FROM m),
+        |q AS (SELECT media_id, L, nf, GREATEST(1, L // nf) AS step FROM p),
+        |e AS (SELECT media_id,
+        |    UNNEST([{'fi': i, 'n': LEAST(L, (i + 1) * step) - i * step}
+        |            FOR i IN range(nf)]) AS fr
+        |  FROM q)
+        |SELECT media_id, CAST(fr.fi AS INTEGER) AS frame_idx,
+        |  CAST(fr.n AS INTEGER) AS n
+        |FROM e ORDER BY media_id, frame_idx""".stripMargin)),
 
     // Arbitrary GROUPING SETS (not just rollup/cube prefixes): the
     // (status,priority) + (status) + (priority) set list via spark.sql

@@ -18,6 +18,12 @@ object TrainingQueries {
        |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $a])) *
        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $b]))), 6)""".stripMargin
 
+  /** Feature-vector width for q33 — both the stub's `dim` argument and
+    * the lane lists on each side derive from this single constant.
+    * (Declared before `all`: a forward reference would read 0 during
+    * object initialization.) */
+  private val q33Dim = 8
+
   val all: Seq[QuerySpec] = Seq(
 
     QuerySpec("q21_token_count",
@@ -210,24 +216,28 @@ object TrainingQueries {
         |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Multimodal decode stub (mapPartitions batch shape). The feature
-    // vector is flattened to scalar lanes f0..f7 (the driver comparator
-    // can't sort array cells), and the stub's strided modular hash is
-    // replicated lane-by-lane in the oracle (ASCII corpus: char ==
-    // byte, same assumption q24/q32 already rely on).
+    // vector is flattened to scalar lanes f0..f{dim-1} (the driver
+    // comparator can't sort array cells), and the stub's strided
+    // modular hash is replicated lane-by-lane in the oracle (ASCII
+    // corpus: char == byte, same assumption q24/q32 already rely on).
+    // `q33Dim` is the ONE place the lane count lives: it is passed to
+    // decodeFeaturesStub explicitly and drives both the Spark lane
+    // selects and the oracle lane list, so the two sides cannot drift.
     QuerySpec("q33_media_features",
       (s, dir) => {
         val feat = Multimodal.decodeFeaturesStub(s,
-          Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"))
+          Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"),
+          dim = q33Dim)
         feat.select(
             Seq(col("media_id"), col("kind"), col("n_bytes")) ++
-              (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+              (0 until q33Dim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
           .orderBy(col("media_id"))
       },
       Some {
-        val lanes = (0 until 8).map { i =>
+        val lanes = (0 until q33Dim).map { i =>
           s"""  CAST(list_reduce(list_prepend(CAST(${i + 1} AS BIGINT),
              |    [CAST(ascii(c) AS BIGINT)
-             |     FOR c IN array_slice(string_split(text, ''), ${i + 1}, len(text), 8)]),
+             |     FOR c IN array_slice(string_split(text, ''), ${i + 1}, len(text), $q33Dim)]),
              |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000 AS DOUBLE) / 1000.0 AS f$i"""
             .stripMargin
         }.mkString(",\n")

@@ -44,8 +44,21 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // in-batch dedup: at most one staged row per id per epoch
-        val staged = batch.dropDuplicates(idCol).cache()
+        import org.apache.spark.sql.functions.{col, max, struct}
+        // in-batch dedup: at most one staged row per id per epoch.
+        // DETERMINISTIC pick: dropDuplicates keeps whichever row a
+        // partition delivers first, so a foreachBatch replay of the
+        // same epoch could commit a different survivor for conflicting
+        // same-id payloads. Taking max over the payload struct is a
+        // total order on row content (lexicographic over the non-key
+        // columns) — the same survivor wins on every replay regardless
+        // of partitioning or scheduling.
+        val others = batch.columns.filterNot(_ == idCol)
+        val staged = batch.groupBy(col(idCol))
+          .agg(max(struct(others.map(col): _*)).as("__row"))
+          .select(batch.columns.map(c =>
+            if (c == idCol) col(c) else col(s"__row.`$c`").as(c)): _*)
+          .cache()
         try {
           validateBatch(staged)
           val merged = currentSnapshot(spark, snapshotDir) match {

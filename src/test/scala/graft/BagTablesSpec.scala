@@ -81,4 +81,29 @@ class BagTablesSpec extends SparkSuite {
     val rej = rejected.select($"id", $"reject_reason").as[(String, String)].collect()
     assert(rej.toSeq == Seq(("SDL2_001", "fk_miss:gemeente_id")))
   }
+
+  test("registry: non-numeric ref volgnummer aborts like the reference's int()") {
+    // reference: `int(volgnummer or "1")` — empty defaults to 1 (covered
+    // above), non-numeric raises ValueError and kills the task. Our
+    // mirror must fail the job at the first action, not silently mint a
+    // _001 id.
+    val header = BagTables.stadsdeel.sourceCols.map(_._1)
+    def row(vals: Map[String, String]) = header.map(h => vals.getOrElse(h, ""))
+    val rows = Seq(row(Map("identificatie" -> "SDL1", "volgnummer" -> "1",
+      "registratiedatum" -> "2020-01-01 00:00:00",
+      "beginGeldigheid" -> "2020-01-01", "naam" -> "Centrum", "code" -> "A",
+      "ligtIn:BRK.GME.identificatie" -> "0363",
+      "ligtIn:BRK.GME.volgnummer" -> "abc")))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_: _*))),
+      org.apache.spark.sql.types.StructType(header.map(h =>
+        org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType))))
+    val parents = Map("gemeente" -> BagTables.gemeenteSeed(spark))
+    val (clean, _) = ImportPipeline.clean(raw, BagTables.stadsdeel, parents)
+    val ex = intercept[Exception] { clean.count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m != null && m.contains("non-numeric volgnummer")))
+  }
 }

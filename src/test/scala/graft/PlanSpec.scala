@@ -142,6 +142,25 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q63/q64 dedup pipelines: 2 keyed exchanges, no nested-loop joins") {
+    // the plans proven in round 2 must not silently regress: candidate
+    // generation is keyed (bucket-by-shingle) and scoring is keyed
+    // (group-by-pair) — exactly 2 hash exchanges, never a broadcast
+    // nested loop or cartesian (all-pairs would show up here first).
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    for ((label, df) <- Seq(
+        "q63 pruned" -> graft.ops.Dedup.ngramJaccardPairsPruned(
+          docs, "doc_id", "text", k = 3, threshold = 0.5, maxDf = 20),
+        "q64 pairs" -> graft.ops.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", k = 3, threshold = 0.5))) {
+      val p = df.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles == 2, s"$label: expected 2 keyed exchanges, got $shuffles:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$label: nested-loop/cartesian crept into the dedup pipeline:\n$p")
+    }
+  }
+
   test("IntervalUnionDays aggregator: correct under forced 1-row partitions") {
     val f = udaf(IntervalUnionDays(10000), Encoders.product[(Int, Option[Int])])
     val df = Seq(("A", 100, Some(130)), ("A", 120, Some(160)), ("A", 200, None),
@@ -152,5 +171,34 @@ class PlanSpec extends SparkSuite {
     // A: [90,95)+[100,160)+[200,10000) = 5 + 60 + 9800
     assert(out("A") == 5 + 60 + 9800)
     assert(out("B") == 10)
+  }
+
+  test("IntervalUnionDays: hot key with 20k intervals stays exact under compaction") {
+    // one key, 20 000 raw intervals, compactAt=64 → the buffer compacts
+    // ~300 times and never holds more than 64 raw intervals + the
+    // island list. Expected union computed independently below.
+    val f = udaf(IntervalUnionDays(1000000, compactAt = 64),
+      Encoders.product[(Int, Option[Int])])
+    val ivs = (0 until 20000).map { i =>
+      // overlapping runs of 10 within each 100-block, gap between blocks:
+      // block b covers [b*100, b*100+19) from intervals i%10 in 0..9
+      val b = i / 10
+      (b * 100 + (i % 10), Some(b * 100 + (i % 10) + 10))
+    }
+    val expected: Long = {
+      val closed = ivs.map { case (s, e) => (s, e.get) }.sortBy(_._1)
+      var total = 0L; var cs = Int.MinValue; var ce = Int.MinValue
+      closed.foreach { case (s, e) =>
+        if (s > ce) { if (ce > cs) total += ce - cs; cs = s; ce = e }
+        else if (e > ce) ce = e
+      }
+      if (ce > cs) total += ce - cs
+      total
+    }
+    val out = ivs.map { case (s, e) => ("H", s, e) }.toDF("k", "s", "e")
+      .repartition(32)
+      .groupBy($"k").agg(f($"s", $"e").as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(out("H") == expected)
   }
 }

@@ -133,6 +133,30 @@ class SketchExprSpec extends SparkSuite {
     assert(rdiff.count() == 0)
   }
 
+  test("fingerprint64 and avg_token_len are bit-identical to their HOF forms") {
+    import graft.ops.TextAnalysis
+    // real corpus + adversarial edges: empty, whitespace-only, non-ASCII
+    // (code points, not bytes: Spark ascii('é')=233), surrogate
+    // pair, repeated whitespace, null
+    val edges = Seq("", "   ", "a", "héllo wörld",
+      "日本語 テスト", "one  two\tthree\nfour",
+      "emoji 😀 pair", null.asInstanceOf[String]).toDF("text")
+    val all = docs.select($"text").unionByName(edges)
+    val diff = all.select(
+        TextAnalysis.fingerprint($"text").as("fp_fast"),
+        TextAnalysis.fingerprintHof($"text").as("fp_slow"),
+        TextAnalysis.avgTokenLen($"text").as("atl_fast"),
+        TextAnalysis.avgTokenLenHof($"text").as("atl_slow"))
+      .filter(!($"fp_fast" <=> $"fp_slow") || !($"atl_fast" <=> $"atl_slow"))
+    assert(diff.count() == 0)
+    // pinned values from the interpreted form (spark-shell probe), so a
+    // regression in BOTH forms at once cannot slip through
+    val pinned = Seq("héllo wérld", "plain ascii text",
+      "日日 x", "").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).as[Long].collect().toSeq
+    assert(pinned == Seq(309323298L, 279672311L, 802167032L, 0L))
+  }
+
   test("vec_dot participates in whole-stage codegen (no fallback in the plan)") {
     import org.apache.spark.sql.execution.debug._
     val qe = emb.select(sketches.vec_dot($"embedding", $"embedding").as("d"))

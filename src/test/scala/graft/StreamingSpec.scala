@@ -197,4 +197,29 @@ class StreamingSpec extends SparkSuite {
     q2.stop()
     assert(spark.read.parquet(snap).count() == 3) // snapshot unchanged
   }
+
+  test("streaming SCD2 ingest: conflicting same-id rows pick one deterministic survivor") {
+    import graft.streaming.StreamingIngest
+    implicit val sqlCtx = spark.sqlContext
+    // the same conflicting epoch delivered in both orders (a replay may
+    // repartition/reorder) must commit the SAME survivor
+    val conflict = Seq(
+      VRow("X_001", "X", 1, None, "zulu"),
+      VRow("X_001", "X", 1, None, "alpha"))
+    val survivors = Seq(conflict, conflict.reverse).zipWithIndex.map {
+      case (epoch, i) =>
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft-scd2-det$i").toString
+        val stream = MemoryStream[VRow]
+        val q = StreamingIngest.scd2Ingest(stream.toDF(), "id",
+          s"$base/snapshot", s"$base/ckpt")
+        stream.addData(epoch: _*)
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(s"$base/snapshot")
+          .select($"id", $"naam").as[(String, String)].collect().toSeq
+    }
+    assert(survivors.head == Seq("X_001" -> "zulu")) // max payload struct
+    assert(survivors(0) == survivors(1))
+  }
 }

@@ -9,6 +9,7 @@ import json, math, sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -72,7 +73,6 @@ def main():
             st = spark_tbl.schema.field(c).type
             dt = duck_tbl.schema.field(c).type
             for t, side in ((st, "spark"), (dt, "duck")):
-                import pyarrow as pa
                 if pa.types.is_list(t) or pa.types.is_large_list(t) \
                         or pa.types.is_decimal(t):
                     type_skew.append(f"{c}: {side}={t}")
@@ -81,7 +81,9 @@ def main():
                     and not (pa.types.is_floating(st)
                              and pa.types.is_floating(dt))
                     and not (pa.types.is_timestamp(st)
-                             and pa.types.is_timestamp(dt))):
+                             and pa.types.is_timestamp(dt))
+                    and not ((pa.types.is_string(st) or pa.types.is_large_string(st))
+                             and (pa.types.is_string(dt) or pa.types.is_large_string(dt)))):
                 type_skew.append(f"{c}: spark={st} duck={dt}")
         if type_skew:
             print(f"✗ {name}: ARROW TYPE SKEW {type_skew}")

@@ -25,7 +25,10 @@ for qdir in sorted(p for p in OUT.iterdir() if p.is_dir()):
         weird = set()
         for c in df.columns:
             if df[c].dtype == object:
-                for v in df[c].head(50):
+                # scan the whole column (nulls dropped to keep it cheap):
+                # a head-only sample misses non-scalar cells that sort to
+                # the tail, e.g. a mostly-null column with late values
+                for v in df[c].dropna():
                     if v is not None and not isinstance(
                             v, (str, bytes, bool, int, float,
                                 datetime.date, datetime.datetime)):
