@@ -157,6 +157,16 @@ class SketchExprSpec extends SparkSuite {
     assert(pinned == Seq(309323298L, 279672311L, 802167032L, 0L))
   }
 
+  test("oracle assumption guard: documents corpus is pure ASCII") {
+    // the q24/q32/q33 oracles equate DuckDB character positions with
+    // UTF-8 bytes (ascii(c) folds, octet_length); that only holds for
+    // an ASCII corpus. If the generator ever emits non-ASCII text this
+    // fails loudly instead of the oracles silently diverging.
+    assert(docs.filter($"text".rlike("[^\\x00-\\x7F]")).count() == 0,
+      "documents.text contains non-ASCII — switch the q24/q32/q33 " +
+        "oracles to fold over BLOB octets")
+  }
+
   test("vec_dot participates in whole-stage codegen (no fallback in the plan)") {
     import org.apache.spark.sql.execution.debug._
     val qe = emb.select(sketches.vec_dot($"embedding", $"embedding").as("d"))
