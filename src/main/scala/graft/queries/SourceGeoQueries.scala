@@ -60,6 +60,50 @@ object SourceGeoQueries {
         |  COUNT(*) AS n
         |FROM part GROUP BY 1 ORDER BY gtype NULLS LAST""".stripMargin)),
 
+    // S4: shapefile scan — a deterministic .shp/.dbf pair is generated
+    // from nation (Point or Polygon record per row + ISO-8859-1 dBase
+    // attributes), scanned back with the pure-Scala ESRI reader, and
+    // the oracle replicates the expected WKT + attribute strings. The
+    // 25-row collect() is driver-side FIXTURE GENERATION (a binary
+    // format Spark writers can't emit), not part of the scan operator.
+    QuerySpec("q66_shapefile_scan",
+      (s, dir) => {
+        import graft.geo.GeoWkt
+        import graft.sources.{ShapefileFixture, ShapefileSource}
+        val base = s"/tmp/graft_shp_scan_${math.abs(dir.hashCode)}/nations"
+        val rows = table(s, dir, "nation")
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int"))
+          .orderBy(col("n_nationkey"))
+          .collect()
+        val recs = rows.toSeq.map { r =>
+          val k = r.getInt(0); val name = r.getString(1); val reg = r.getInt(2)
+          val geom: GeoWkt.Geom =
+            if (k % 3 == 0) GeoWkt.Point(GeoWkt.Pt(k.toDouble, reg.toDouble))
+            else {
+              val sd = (k + 1).toDouble
+              // CW ring (shoelace > 0) = outer per the ESRI spec
+              GeoWkt.Polygon(Seq(Seq(GeoWkt.Pt(0, 0), GeoWkt.Pt(0, sd),
+                GeoWkt.Pt(sd, sd), GeoWkt.Pt(sd, 0), GeoWkt.Pt(0, 0))))
+            }
+          (geom, Seq(name, reg.toString))
+        }
+        ShapefileFixture.write(base, recs,
+          Seq(("NAAM", 'C', 25), ("REGKEY", 'N', 4)))
+        ShapefileSource.read(s, s"$base.shp")
+          .select(col("record_number"), col("geometry"),
+            col("naam"), col("regkey"))
+          .orderBy(col("record_number"))
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS INTEGER) AS record_number,
+        |  CASE WHEN n_nationkey % 3 = 0
+        |    THEN 'POINT (' || n_nationkey || ' ' || n_regionkey || ')'
+        |    ELSE 'POLYGON ((0 0, 0 ' || (n_nationkey + 1) || ', ' ||
+        |      (n_nationkey + 1) || ' ' || (n_nationkey + 1) || ', ' ||
+        |      (n_nationkey + 1) || ' 0, 0 0))' END AS geometry,
+        |  n_name AS naam, CAST(n_regionkey AS VARCHAR) AS regkey
+        |FROM nation ORDER BY record_number""".stripMargin)),
+
     // F10: WKT parse / type / npoints / validity / promote, against an
     // oracle that replicates the semantics case-wise.
     QuerySpec("q35_wkt_geometry",
