@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.functions.sketches
+
+/** Training-run preparation operators (builder-prompt north star,
+  * beyond the corpus-prep pipeline): sequence packing into token
+  * budgets, train/holdout contamination detection, and PII scrubbing.
+  * Each is oracle-replicable and keeps the 100 TB shape: keyed joins
+  * and scan-speed projections, with the one inherently sequential
+  * primitive (a global prefix sum) implemented as the standard
+  * two-pass distributed form, not a single-partition window.
+  */
+object TrainingPrep {
+
+  /** Token-budget sharding ("sequence packing" at corpus granularity):
+    * assign each document, in `idCol` order, to shard
+    * `floor(cumulative_tokens_before / budgetTokens)` — contiguous
+    * shards of ~budget tokens (overflowing by at most one document,
+    * the standard greedy relaxation; exact bin-packing is sequential
+    * and NP-hard in the reordering variant).
+    *
+    * The global running sum is a distributed prefix sum: range-
+    * partition by id, (1) per-partition token totals → driver (one
+    * long per partition — the only driver-side state), (2) re-walk
+    * each partition with its range offset. A naive
+    * `Window.orderBy(id)` computes the same thing by collapsing the
+    * corpus into ONE partition — correct at test scale, dead at 100
+    * TB. The input is cached between the two passes so both see the
+    * same range partitioning, and the (small) result is
+    * localCheckpoint'ed so the cache can be released before return.
+    *
+    * Null/absent text counts as its `tokenCount` (never null here:
+    * Spark's split of "" yields [""], so every document has ≥ 1
+    * token). Returns (id, n_tokens, shard). */
+  def packByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, partitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val counted = df.select(col(idCol),
+        graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(nPart, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .cache()
+    val partSums: Array[(Int, Long)] = counted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var s = 0L
+      it.foreach(r => s += (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      Iterator.single((pid, s))
+    }.collect().sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partSums.map { case (pid, s) => val o = (pid, acc); acc += s; o }.toMap
+    }
+    val schema = StructType(counted.schema.fields :+
+      StructField("shard", LongType, nullable = false))
+    val packed = counted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var run = offsets.getOrElse(pid, 0L)
+      it.map { r =>
+        val n = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val before = run
+        run += n
+        Row(r.get(0), n, before / budgetTokens)
+      }
+    }(Encoders.row(schema))
+    // eager, lineage-free result releases the two-pass cache
+    val out = packed.toDF().localCheckpoint()
+    counted.unpersist()
+    out
+  }
+
+  /** Train→holdout contamination report: holdout documents (id %
+    * holdoutDenom == 0, the same deterministic split as
+    * [[MlPrep.corpusPrep]]) that share at least one distinct word
+    * k-gram with ANY train document — the standard eval-set leakage
+    * check before a training run. Returns per contaminated holdout doc
+    * (id, n_sh total shingles, n_shared shingles seen in train,
+    * ratio_micro = floor(1e6 * n_shared / n_sh) — floor'd micros, not
+    * `round`, so Spark and DuckDB run the identical IEEE sequence);
+    * clean holdout docs are absent.
+    *
+    * Scale shape: identical to the dedup candidate generation — an
+    * inverted-index semi-join keyed on the shingle. Train-side
+    * shingles are dedup'ed BEFORE the join, so a shingle occurring in
+    * millions of train docs costs one index row, and the per-row
+    * compiled ShingleSet keeps the shingling itself shuffle-free. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      k: Int, holdoutDenom: Int): DataFrame = {
+    val isHoldout = pmod(col(idCol), lit(holdoutDenom)) === 0
+    val holdIdx = df.filter(isHoldout)
+      .select(col(idCol), inline(sketches.shingle_set_n(col(textCol), k)))
+    val trainShingles = df.filter(!isHoldout)
+      .select(explode(sketches.shingle_set(col(textCol), k)).as("shingle"))
+      .distinct()
+    holdIdx.join(trainShingles, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(max(col("n_sh")).cast("long").as("n_sh"),
+        count(lit(1)).as("n_shared"))
+      .withColumn("ratio_micro",
+        floor(col("n_shared").cast("double") * 1e6 / col("n_sh")).cast("long"))
+  }
+
+  /** Conservative PII patterns, chosen to behave identically under
+    * Java regex (Spark) and RE2 (DuckDB): RFC-ish emails and long
+    * digit runs (phone/account/SSN-shaped). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val digitRunPattern = "[0-9]{7,}"
+
+  /** PII scrub: emails → `[EMAIL]` first, then long digit runs →
+    * `[NUM]` (in that order — emails may contain digit runs). Pure
+    * per-row regexp_replace, scan-speed. */
+  def scrubPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      digitRunPattern, "[NUM]")
+
+  /** Per-document PII counts over the same patterns (digit runs
+    * counted AFTER email removal, consistent with [[scrubPii]]'s
+    * replacement order). */
+  def piiCounts(text: org.apache.spark.sql.Column): Seq[(String, org.apache.spark.sql.Column)] = {
+    val noEmail = regexp_replace(text, emailPattern, "[EMAIL]")
+    Seq(
+      "n_emails" -> call_function("regexp_count", text, lit(emailPattern)),
+      "n_digit_runs" -> call_function("regexp_count", noEmail, lit(digitRunPattern)))
+  }
+}

@@ -290,6 +290,70 @@ object MlPrepQueries {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_orderkey % 20 < 1 ORDER BY o_orderkey""".stripMargin))
+        |WHERE o_orderkey % 20 < 1 ORDER BY o_orderkey""".stripMargin)),
+
+    // Token-budget sequence packing: doc -> shard by cumulative token
+    // count, computed as a two-pass distributed prefix sum (NOT a
+    // single-partition global window). Oracle = the window form, which
+    // IS fine in DuckDB at gate scale.
+    QuerySpec("q67_pack_sequences",
+      (s, dir) => graft.ops.TrainingPrep.packByTokenBudget(
+          table(s, dir, "documents"), "doc_id", "text", budgetTokens = 512)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST((SUM(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+        |       // 512 AS BIGINT) AS shard
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Train/holdout contamination: holdout docs sharing any distinct
+    // word 8-gram with any train doc (eval-leakage scan). Same
+    // inverted-index shingle join as the dedup pipeline.
+    QuerySpec("q68_contamination",
+      (s, dir) => graft.ops.TrainingPrep.contamination(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 8, holdoutDenom = 10)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+7], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 7)]) AS shingle
+        |  FROM t WHERE len(toks) >= 8),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_shared FROM sh
+        |  WHERE doc_id % 10 = 0 AND shingle IN (SELECT shingle FROM tr)
+        |  GROUP BY doc_id)
+        |SELECT h.doc_id, sz.n_sh, h.n_shared,
+        |  CAST(floor(CAST(h.n_shared AS DOUBLE) * 1000000 / sz.n_sh) AS BIGINT)
+        |    AS ratio_micro
+        |FROM hit h JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // PII scrub: emails then long digit runs replaced per row; counts
+    // + scrubbed length, patterns chosen to agree between Java regex
+    // and RE2.
+    QuerySpec("q69_pii_scrub",
+      (s, dir) => {
+        import graft.ops.TrainingPrep
+        val cnts = TrainingPrep.piiCounts(col("text"))
+        table(s, dir, "documents").select(
+            Seq(col("doc_id")) ++
+              cnts.map { case (n, c) => c.cast("long").as(n) } :+
+              length(TrainingPrep.scrubPii(col("text"))).as("n_chars_scrubbed"): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '${graft.ops.TrainingPrep.emailPattern}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(text, '${graft.ops.TrainingPrep.emailPattern}', '[EMAIL]', 'g'),
+        |    '${graft.ops.TrainingPrep.digitRunPattern}')) AS BIGINT) AS n_digit_runs,
+        |  length(regexp_replace(
+        |    regexp_replace(text, '${graft.ops.TrainingPrep.emailPattern}', '[EMAIL]', 'g'),
+        |    '${graft.ops.TrainingPrep.digitRunPattern}', '[NUM]', 'g')) AS n_chars_scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TrainingPrep
+
+/** Training-run prep operators: packing (distributed prefix sum vs a
+  * sequential reference), contamination (planted leak), PII scrub
+  * (pattern interaction). */
+class TrainingPrepSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("packByTokenBudget equals the sequential prefix sum, any partitioning") {
+    // uneven token counts; force many small range partitions so the
+    // offset pass actually matters
+    val docs = (1L to 200L).map(i => (i, ("w " * (i % 17 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val packed = TrainingPrep.packByTokenBudget(docs, "doc_id", "text",
+        budgetTokens = 40, partitions = 13)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // sequential reference
+    var cum = 0L
+    val expected = (1L to 200L).map { i =>
+      val n = i % 17 + 1
+      val shard = cum / 40
+      cum += n
+      (i, n, shard)
+    }
+    assert(packed == expected)
+    // shards are contiguous and near-budget: every shard's token total
+    // is < budget + its last doc's size (greedy relaxation bound)
+    val byShard = expected.groupBy(_._3).values
+    byShard.foreach { docsInShard =>
+      val total = docsInShard.map(_._2).sum
+      assert(total < 40 + docsInShard.map(_._2).max)
+    }
+  }
+
+  test("contamination finds a planted 8-gram leak and only that") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"train doc one with the secret phrase $shared inside it"),
+      (3L, "another train doc with completely unrelated words here ok"),
+      // holdout 10: leaked — contains the train 8-gram
+      (10L, s"the eval example quoting $shared verbatim plus tail"),
+      // holdout 20: clean
+      (20L, "a clean holdout document with no overlap whatsoever at all present")
+    ).toDF("doc_id", "text")
+    val rep = TrainingPrep.contamination(docs, "doc_id", "text",
+        k = 8, holdoutDenom = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep.map(_._1) == Seq(10L))
+    val (_, nSh, nShared, ratioMicro) = rep.head
+    assert(nShared == 1) // exactly the planted 8-gram window
+    assert(ratioMicro == 1000000L / nSh)
+  }
+
+  test("scrubPii: emails before digit runs; counts consistent") {
+    val df = Seq(
+      ("bob12345678@example.com called 0201234567 twice", 1, 1),
+      ("no pii here", 0, 0),
+      ("ids 123456 and 1234567", 0, 1) // 6 digits below threshold
+    ).toDF("text", "e", "d")
+    val got = df.select(
+      TrainingPrep.scrubPii($"text").as("s"),
+      TrainingPrep.piiCounts($"text").head._2.as("ne"),
+      TrainingPrep.piiCounts($"text")(1)._2.as("nd"),
+      $"e", $"d").collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(3), s"email count in ${r.getString(0)}")
+      assert(r.getInt(2) == r.getInt(4), s"digit count in ${r.getString(0)}")
+    }
+    val scrubbed = got.map(_.getString(0)).toSeq
+    // the email's digits are consumed by [EMAIL], not double-scrubbed
+    assert(scrubbed.head == "[EMAIL] called [NUM] twice")
+    assert(scrubbed(2) == "ids 123456 and [NUM]")
+  }
+}
