@@ -144,28 +144,38 @@ object Dedup {
     p.count()
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `owner` is the handle holding the current iteration's cache (a
+    // projection of it would NOT release the cache on unpersist)
+    var owner = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    var labels = owner
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
+      // min incoming label per node, then fold into the old label with
+      // a keyed left join. Equivalent to min over (labels ∪ prop) —
+      // every id occurs exactly once in labels — but carries the
+      // changed-flag in the SAME pass, so convergence detection costs
+      // no extra join over the labels: one count() on the cached result.
       val prop = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val merged = labels.select(col("id"), col("label")).union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .groupBy(edges("src").as("id")).agg(min(col("label")).as("p"))
+      val merged = labels.join(prop, Seq("id"), "left").select(
+        col("id"),
+        least(col("label"), coalesce(col("p"), col("label"))).as("label"),
+        (col("p") < col("label")).as("chg"))
       val next = if ((i + 1) % checkpointEvery == 0) merged.localCheckpoint()
         else merged.cache()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("chg")).count()
+      owner.unpersist()
+      owner = next
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
     p.unpersist()
     if (!converged) {
-      labels.unpersist()
+      owner.unpersist()
       throw new IllegalStateException(
         s"nearDupComponents: not converged after $maxIter iterations — " +
           "component diameter exceeds maxIter; raise maxIter (labels would " +
@@ -174,7 +184,7 @@ object Dedup {
     // eager localCheckpoint: result survives the unpersist below with
     // no lineage back into the loop's cached intermediates
     val out = labels.localCheckpoint()
-    labels.unpersist()
+    owner.unpersist()
     out.select(col("id"), col("label").as("component"))
   }
 
