@@ -133,15 +133,35 @@ object Dedup {
     * `maxIter` iterations (component diameter too large) rather than
     * silently returning wrong components; the returned frame is
     * lineage-free and NOT cached — callers hold no hidden executor
-    * memory. Returns (id, component). */
+    * memory.
+    *
+    * Adaptive execution (same spirit as AQE): near-dup candidate
+    * graphs are SPARSE by construction — thresholded pairs over a
+    * deduped corpus are orders of magnitude smaller than the corpus —
+    * so when the materialized pair count is at most
+    * `localEdgeThreshold`, the whole graph is solved by a single-task
+    * union-find (one coalesced partition, path-compressed, ~tens of
+    * bytes per edge) instead of the iterative join loop, whose
+    * per-iteration planning + shuffle overhead exceeds the actual work
+    * on small graphs (measured: 2-iteration convergence on 512 edges
+    * cost ~3 s of pure overhead at sf0.1). Graphs above the threshold
+    * take the distributed loop unchanged. Returns (id, component). */
   def nearDupComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, checkpointEvery: Int = 5): DataFrame = {
+      maxIter: Int = 20, checkpointEvery: Int = 5,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before
     // symmetrizing — the union's two branches would otherwise each
     // evaluate the full upstream plan (measured 2x on the Jaccard
     // pipeline feeding q64)
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
-    p.count()
+    val nPairs = p.count()
+
+    val idOrdering = localIdOrdering(p.schema.head.dataType)
+    if (nPairs <= localEdgeThreshold && idOrdering != null) {
+      val out = localComponents(p, idOrdering).localCheckpoint()
+      p.unpersist()
+      return out
+    }
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     // `owner` is the handle holding the current iteration's cache (a
@@ -186,6 +206,66 @@ object Dedup {
     val out = labels.localCheckpoint()
     owner.unpersist()
     out.select(col("id"), col("label").as("component"))
+  }
+
+  /** Ordering for the id type on the union-find path — must agree with
+    * Spark's `min()` over the same column so both paths label a
+    * component identically. Null → unsupported type, caller falls back
+    * to the distributed loop. */
+  private def localIdOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case _ => null
+    }
+  }
+
+  /** Single-task connected components: coalesce the (small) pair list
+    * into one partition and run path-compressed union-find, labeling
+    * each component with its minimum id. No symmetrization, no
+    * distinct, no iteration — one narrow task. */
+  private def localComponents(p: DataFrame, ord: Ordering[Any]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = p.schema.head.dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType, nullable = true),
+      StructField("component", idType, nullable = true)))
+    p.coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def findRoot(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = findRoot(a); val rb = findRoot(b)
+        if (ra != rb) parent.put(ra, rb)
+      }
+      val minOf = new java.util.HashMap[Any, Any]()
+      val keys = parent.keySet().iterator()
+      while (keys.hasNext) {
+        val k = keys.next()
+        val r = findRoot(k)
+        val cur = minOf.get(r)
+        if (cur == null || ord.lt(k, cur)) minOf.put(r, k)
+      }
+      val out = parent.keySet().iterator()
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = out.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val k = out.next()
+          org.apache.spark.sql.Row(k, minOf.get(findRoot(k)))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    .toDF()
   }
 
   /** Minhash signature columns h0..h{n-1}: per doc, the lane-wise min

@@ -50,29 +50,42 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("nearDupComponents: chains collapse to min-id components") {
+  test("nearDupComponents: chains collapse to min-id components (both paths)") {
     // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,6}; singletons absent
     val pairs = Seq((2L, 1L), (2L, 3L), (7L, 3L), (5L, 6L))
       .toDF("id_a", "id_b")
-    val comp = Dedup.nearDupComponents(pairs, "id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L)
+    // adaptive single-task union-find (default threshold)
+    val local = Dedup.nearDupComponents(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
-      5L -> 5L, 6L -> 5L))
+    assert(local == expected)
+    // distributed iterative loop (threshold forced to 0) must agree
+    val dist = Dedup.nearDupComponents(pairs, "id_a", "id_b",
+      localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(dist == expected)
   }
 
   test("nearDupComponents: signals non-convergence instead of wrong labels") {
     // a 12-hop chain: diameter > maxIter=3, so min-label propagation
-    // cannot finish — must throw, not return partially-propagated labels
+    // cannot finish — must throw, not return partially-propagated
+    // labels (threshold 0 forces the iterative path under test)
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ex = intercept[IllegalStateException] {
-      Dedup.nearDupComponents(chain, "id_a", "id_b", maxIter = 3)
+      Dedup.nearDupComponents(chain, "id_a", "id_b", maxIter = 3,
+        localEdgeThreshold = 0L)
     }
     assert(ex.getMessage.contains("not converged"))
     // same chain with room to converge (checkpoint path exercised at
     // checkpointEvery=2): one component labeled by the min id
     val comp = Dedup.nearDupComponents(chain, "id_a", "id_b",
-      maxIter = 20, checkpointEvery = 2).as[(Long, Long)].collect().toMap
+      maxIter = 20, checkpointEvery = 2, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(comp == (0L to 12L).map(_ -> 0L).toMap)
+    // the union-find path handles the same deep chain without maxIter
+    val uf = Dedup.nearDupComponents(chain, "id_a", "id_b", maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(uf == (0L to 12L).map(_ -> 0L).toMap)
   }
 
   test("cosine: self-similarity 1, brute-force ranks are total-ordered") {
