@@ -328,6 +328,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** [[minhashLshPairs]] with an ENGINE-PORTABLE hash: lane i's
+    * permutation is `md5(i ':' shingle)` and the lane signature is the
+    * lexicographic MIN of the hex digests (fixed-width lowercase hex,
+    * so string order == unsigned numeric order). md5 is bit-identical
+    * across engines, which makes this the oracle-checkable twin of the
+    * xxhash64 pipeline (q27 is rows-only because DuckDB has no
+    * xxhash64): same banding, same candidate join, same
+    * estimated-Jaccard logic, exact hash-match against DuckDB. Use the
+    * xxhash64 form in production (one 64-bit mix vs an md5 per lane);
+    * use this one to PROVE the LSH plumbing. Est-Jaccard = matching
+    * lanes / numHashes — an exact binary fraction, no rounding
+    * hazards. */
+  def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 2, numHashes: Int = 8, bands: Int = 2,
+      estThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingleIndex(df, idCol, textCol, k)
+    val sigs = sh.groupBy(col(idCol)).agg(
+      (0 until numHashes).map(i =>
+        min(md5(concat_ws(":", lit(i), col("shingle")))).as(s"h$i")).head,
+      (0 until numHashes).map(i =>
+        min(md5(concat_ws(":", lit(i), col("shingle")))).as(s"h$i")).tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat((b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
+    }
+    val banded = sigs.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", matches.cast("double") / numHashes)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** Tier 4: 64-bit SimHash sketch, computed entirely per-row (zero
     * shuffles) by the [[graft.functions.SimHash64]] expression — a
     * tight compiled loop (one xxhash64 + 64 bit-votes per token). The
@@ -357,6 +401,53 @@ object Dedup {
       when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col(idCol), sketch.as("simhash"))
+  }
+
+  /** Engine-portable SimHash twin (the q28 pipeline is xxhash64-based
+    * and rows-only): a 60-bit sketch whose per-token hash is the first
+    * 15 hex chars of md5 parsed as an integer — `conv(hex,16,10)` here,
+    * `('0x'||hex)::BIGINT` in DuckDB, bit-identical — aggregated with
+    * the same ±1 bit votes as [[simhashGrouped]]. 60 bits keeps the
+    * value inside a signed BIGINT in both engines. Use the xxhash64
+    * form in production; use this one to PROVE the banded-hamming
+    * logic against an independent engine. */
+  def simhashGroupedPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .withColumn("__h",
+        conv(substring(md5(col("__w")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sketch = (0 until 60).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sketch.as("simhash"))
+  }
+
+  /** Banded candidate pairs over the portable sketch: 4 bands of 15
+    * bits, hamming over the full 60 bits — structurally identical to
+    * [[simhashPairs]], exact-hash-checkable against DuckDB. */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 15): DataFrame = {
+    val sk = simhashGroupedPortable(df, idCol, textCol)
+      .repartition(col(idCol))
+    val banded = sk.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(bIdx =>
+        shiftright(col("simhash"), bIdx * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        .as(Seq("band", "band_bits")))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("band_bits"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("band_bits"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** SimHash near-dup candidates: 4 bands of 16 bits — any shared band

@@ -148,7 +148,8 @@ object TrainingQueries {
         |ORDER BY id_a, id_b""".stripMargin)),
 
     // MinHash+LSH — xxhash64-based, not DuckDB-replicable: rows-only
-    // here; recall-vs-exact-Jaccard asserted in DedupSpec.
+    // here; recall-vs-exact-Jaccard asserted in DedupSpec. The LSH
+    // banding LOGIC is exact-hash-proved by q70's md5-portable twin.
     QuerySpec("q27_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(
           table(s, dir, "documents"), "doc_id", "text",
@@ -156,12 +157,87 @@ object TrainingQueries {
         .orderBy(col("id_a"), col("id_b")),
       None),
 
-    // SimHash banded hamming — rows-only + DedupSpec.
+    // MinHash+LSH with the engine-portable md5 lane hash: identical
+    // banding/candidate/est-Jaccard pipeline as q27, hash-exact
+    // against DuckDB (md5 agrees bit-for-bit; lexicographic min over
+    // fixed-width hex == unsigned numeric min; est = lanes/8, an exact
+    // binary fraction).
+    QuerySpec("q70_minhash_portable",
+      (s, dir) => Dedup.minhashLshPairsPortable(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 2, numHashes = 8, bands = 2, estThreshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+1], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 1)]) AS shingle
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (SELECT doc_id,
+        |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+        |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+        |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bh FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b USING (band, bh)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT +
+        |   (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT +
+        |   (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est_jaccard
+        |FROM cand
+        |JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+        |WHERE ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT +
+        |   (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT +
+        |   (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SimHash banded hamming — rows-only + DedupSpec. The banding +
+    // hamming logic is exact-hash-proved by q71's md5-portable twin.
     QuerySpec("q28_simhash",
       (s, dir) => Dedup.simhashPairs(
           table(s, dir, "documents"), "doc_id", "text", maxDist = 16)
         .orderBy(col("id_a"), col("id_b")),
       None),
+
+    // SimHash with the engine-portable 60-bit md5 token hash: same
+    // ±1-vote sketch, 4x15-bit banding, and XOR-popcount hamming as
+    // q28, hash-exact against DuckDB (hex-parsed md5 prefix agrees
+    // bit-for-bit in both engines).
+    QuerySpec("q71_simhash_portable",
+      (s, dir) => Dedup.simhashPairsPortable(
+          table(s, dir, "documents"), "doc_id", "text", maxDist = 15)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val bitSums = (0 until 60).map(i =>
+          s"    SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n")
+        val sketch = (0 until 60).map(i =>
+          s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id,
+           |    UNNEST(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+           |hh AS (SELECT doc_id,
+           |    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+           |bits AS (SELECT doc_id,
+           |$bitSums
+           |  FROM hh GROUP BY doc_id),
+           |sk AS (SELECT doc_id, $sketch AS simhash FROM bits),
+           |banded AS (SELECT doc_id, simhash, band,
+           |    (simhash >> (band * 15)) & 32767 AS band_bits
+           |  FROM sk, (VALUES (0), (1), (2), (3)) v(band))
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM banded a JOIN banded b USING (band, band_bits)
+           |WHERE a.doc_id < b.doc_id
+           |  AND bit_count(xor(a.simhash, b.simhash)) <= 15
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
 
     // Embedding near-dup pairs, blocked by label.
     QuerySpec("q29_embedding_neardup",
