@@ -418,7 +418,7 @@ case class AvgTokenLen(child: Expression)
   * form is the committed oracle behavior). Null in either input → null
   * (split(null) → null → zip_with(null, _) → null). */
 case class CreateIds(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
@@ -426,11 +426,16 @@ case class CreateIds(left: Expression, right: Expression)
 
   @transient private lazy val pipe = java.util.regex.Pattern.compile("\\|")
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val as = pipe.split(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString, -1)
-    val bs = pipe.split(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString, -1)
+  /** Kernel shared by interpreted eval and generated code. Public +
+    * typed so `doGenCode` can invoke it directly on the child UTF8String
+    * values — a CodegenFallback here would route through `eval(row)`
+    * and force INPUT_ROW materialization, which measurably broke the
+    * surrounding generate/project pipeline (q12: explode over the
+    * fallback cost ~4x the expression itself). */
+  def build(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val as = pipe.split(a.toString, -1)
+    val bs = pipe.split(b.toString, -1)
     val n = math.max(as.length, bs.length)
     val out = new Array[Any](n)
     var i = 0
@@ -446,6 +451,17 @@ case class CreateIds(left: Expression, right: Expression)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    build(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("createIds", this,
+      classOf[CreateIds].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.build($a, $b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
