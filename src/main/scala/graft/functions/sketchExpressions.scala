@@ -163,15 +163,16 @@ case class VecDist2(left: Expression, right: Expression) extends BinaryExpressio
 /** simhash64(tokens): 64-bit SimHash of an array<string> — per token
   * one xxhash64 (seed 42, identical to the SQL `xxhash64` function),
   * ±1 vote per bit, bit set when the vote sum is strictly positive.
-  * Null array → null; null elements are skipped. Heavy per-row work in
-  * compiled Scala; CodegenFallback keeps neighbours in codegen. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  * Null array → null; null elements are skipped. The kernel is typed
+  * and invoked directly from generated code (a CodegenFallback here
+  * would route through eval(row) and force INPUT_ROW materialization —
+  * measured ~4x on the q12 generate pipeline for the same pattern). */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def build(arr: ArrayData): Long = {
     val acc = new Array[Int](64)
     val n = arr.numElements()
     var j = 0
@@ -195,6 +196,13 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     out
   }
 
+  override def nullSafeEval(input: Any): Any = build(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
@@ -206,15 +214,16 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * dedup of shingles is unnecessary. Empty/null array → null (a doc
   * with no shingles has no signature and never bands). */
 case class MinHashSig(child: Expression, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(numHashes > 0, "numHashes must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Null result (no shingles) is represented as Java null; doGenCode
+    * maps it to ev.isNull. */
+  def build(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -234,6 +243,16 @@ case class MinHashSig(child: Expression, numHashes: Int)
       j += 1
     }
     if (!any) null else new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any = build(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.build($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -265,7 +284,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * combinator form WITHOUT the `array_distinct`. */
 case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false,
     dedupe: Boolean = true)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(k >= 1, "shingle size k must be >= 1")
   require(dedupe || !withSize, "withSize requires dedupe")
 
@@ -279,9 +298,8 @@ case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false,
 
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
 
-  override def nullSafeEval(input: Any): Any = {
-    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .trim().toString
+  def build(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = input.trim().toString
     val toks = ws.split(str, -1)
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
     val nSh = toks.length - k + 1
@@ -337,6 +355,14 @@ case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false,
     }
   }
 
+  override def nullSafeEval(input: Any): Any =
+    build(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSet", this, classOf[ShingleSet].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -354,14 +380,13 @@ case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false,
   * as interpreted lambdas — one allocation + dispatch per CHARACTER
   * on the hot scan path; this is a tight primitive loop. */
 case class Fingerprint64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "fingerprint64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .trim().toString
+  def build(input: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = input.trim().toString
     var h = 0L
     var i = 0
     while (i < s.length) {
@@ -370,6 +395,14 @@ case class Fingerprint64(child: Expression)
       i += Character.charCount(cp)
     }
     h
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    build(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fp64", this, classOf[Fingerprint64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -384,16 +417,15 @@ case class Fingerprint64(child: Expression)
   * empty string yields `[""]` → 0.0/1 = 0.0, so the divisor is never
   * zero. Null text → null, like the HOF form. */
 case class AvgTokenLen(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "avg_token_len"
 
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .trim().toString
+  def build(input: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val s = input.trim().toString
     val toks = ws.split(s, -1)
     var total = 0L
     var i = 0
@@ -402,6 +434,14 @@ case class AvgTokenLen(child: Expression)
       i += 1
     }
     total.toDouble / toks.length
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    build(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("atl", this, classOf[AvgTokenLen].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
