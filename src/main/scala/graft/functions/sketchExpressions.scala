@@ -160,6 +160,51 @@ case class VecDist2(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** vec_dist2_long(a, b): squared L2 distance over two array<long>
+  * vectors in EXACT integer arithmetic — Σ(aᵢ-bᵢ)² as a long. Built
+  * for micro-quantized vector math (k-means in micros): long sums are
+  * associative, so the result is identical regardless of fold order
+  * and bit-replicable in any engine's SUM. Null/length-mismatch
+  * semantics match [[VecDist2]]. Bounds: |micro| ≤ ~2e6 → per-dim
+  * square ≤ 4e12, safe for ~2M dims per vector. */
+case class VecDist2Long(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dist2_long"
+
+  def build(x: ArrayData, y: ArrayData): Any = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    build(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("v2l", this, classOf[VecDist2Long].getName)
+    val res = ctx.freshName("v2lRes")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object $res = $ref.build($a, $b);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (Long) $res; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** simhash64(tokens): 64-bit SimHash of an array<string> — per token
   * one xxhash64 (seed 42, identical to the SQL `xxhash64` function),
   * ±1 vote per bit, bit set when the vote sum is strictly positive.
@@ -514,6 +559,8 @@ object sketches {
 
   def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
   def vec_dist2(a: Column, b: Column): Column = column(VecDist2(expression(a), expression(b)))
+  def vec_dist2_long(a: Column, b: Column): Column =
+    column(VecDist2Long(expression(a), expression(b)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     column(MinHashSig(expression(shingles), numHashes))

@@ -124,6 +124,65 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Lloyd's k-means over micro-quantized vectors — the IVF coarse
+    * quantizer TRAINER. Everything runs in EXACT integer arithmetic:
+    * vectors quantize per element to `floor(x*1e6)` longs, distances
+    * are exact long Σ(a-b)² ([[graft.functions.VecDist2Long]]), and
+    * centroid updates are floor'd integer-micro means — so there is no
+    * floating-point anywhere an aggregation order could touch, and a
+    * fixed `iters` (no convergence test) makes the whole run
+    * bit-replicable in any engine (the q72 oracle unrolls it in SQL).
+    * Seeds = the k lowest-id vectors (cent_id 0..k-1 in id order);
+    * ties in assignment break by cent_id; a centroid that attracts no
+    * vectors keeps its previous position.
+    *
+    * Scale shape per iteration: broadcast k centroids → one narrow
+    * assignment pass over the corpus (k compiled distance evals per
+    * row, no shuffle) → one (cent,dim)-keyed aggregation. The corpus
+    * micro projection is cached once across iterations; centroids are
+    * localCheckpoint'ed per iteration (k rows) so lineage stays flat.
+    * Returns long-form (cent_id, dim, c_micro). */
+  def kmeansMicro(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    import graft.functions.sketches.vec_dist2_long
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val micro = corpus.select(col(idCol).as("__vid"),
+        transform(col(vecCol), x => floor(x.cast("double") * 1e6).cast("long"))
+          .as("__xm"))
+      .repartition(col("__vid")) // barrier: quantize once, not per consumer
+      .cache()
+    micro.count()
+    var cent = micro.orderBy(col("__vid")).limit(k)
+      .withColumn("cent_id",
+        (row_number().over(Window.orderBy(col("__vid"))) - 1).cast("int"))
+      .select(col("cent_id"), col("__xm").as("__cm"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = micro.crossJoin(broadcast(cent))
+        .withColumn("__d", vec_dist2_long(col("__xm"), col("__cm")))
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("__vid"))
+          .orderBy(col("__d").asc, col("cent_id").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("__vid"), col("__xm"), col("cent_id"))
+      val upd = assigned
+        .select(col("cent_id"), posexplode(col("__xm")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        .withColumn("c",
+          floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cent_id"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("__cmNew"))
+      cent = cent.join(upd, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("__cmNew"), col("__cm")).as("__cm"))
+        .localCheckpoint()
+    }
+    micro.unpersist()
+    cent.select(col("cent_id"),
+      posexplode(col("__cm")).as(Seq("dim", "c_micro")))
+  }
+
   /** Deterministic random-hyperplane LSH bucket id (nPlanes sign bits).
     * Planes are ±1 vectors derived from a fixed seed, embedded as
     * literals — identical on every executor, no shuffle to compute. */

@@ -332,6 +332,46 @@ object MlPrepQueries {
         |    AS ratio_micro
         |FROM hit h JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Lloyd's k-means (the IVF quantizer trainer) in exact integer
+    // micros: quantized vectors, exact long distances, floor'd integer
+    // centroid means, fixed 2 iterations, id-ordered seeds + cent_id
+    // tiebreaks — bit-replicable, so the oracle just unrolls both
+    // iterations in SQL. Output: long-form (cent_id, dim, c_micro).
+    QuerySpec("q72_kmeans_micro",
+      (s, dir) => graft.ops.Similarity.kmeansMicro(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .orderBy(col("cent_id"), col("dim")),
+      Some {
+        def iter(i: Int, prev: String): String =
+          s"""d$i AS (SELECT em.vec_id, c.cent_id,
+             |    SUM((em.x - c.c) * (em.x - c.c)) AS d
+             |  FROM em JOIN $prev c USING (dim) GROUP BY em.vec_id, c.cent_id),
+             |a$i AS (SELECT vec_id, cent_id FROM (
+             |    SELECT vec_id, cent_id,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+             |    FROM d$i) WHERE rn = 1),
+             |u$i AS (SELECT a$i.cent_id, em.dim,
+             |    CAST(floor(CAST(SUM(em.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             |  FROM a$i JOIN em USING (vec_id) GROUP BY a$i.cent_id, em.dim),
+             |c$i AS (SELECT p.cent_id, p.dim, COALESCE(u$i.c, p.c) AS c
+             |  FROM $prev p LEFT JOIN u$i
+             |    ON u$i.cent_id = p.cent_id AND u$i.dim = p.dim)""".stripMargin
+        s"""WITH em AS (SELECT vec_id,
+           |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+           |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
+           |  FROM embeddings),
+           |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           |      AS cent_id, vec_id
+           |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+           |c0 AS (SELECT s.cent_id, em.dim, em.x AS c
+           |  FROM seed s JOIN em ON em.vec_id = s.vec_id),
+           |${iter(1, "c0")},
+           |${iter(2, "c1")}
+           |SELECT cent_id, dim, c AS c_micro FROM c2
+           |ORDER BY cent_id, dim""".stripMargin
+      }),
+
     // PII scrub: emails then long digit runs replaced per row; counts
     // + scrubbed length, patterns chosen to agree between Java regex
     // and RE2.

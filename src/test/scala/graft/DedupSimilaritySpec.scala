@@ -88,6 +88,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(uf == (0L to 12L).map(_ -> 0L).toMap)
   }
 
+  test("kmeansMicro: planted separated clusters converge to their exact means") {
+    // two tight clusters far apart in 4 dims; seeds are ids 0 and 1
+    // (one in each cluster), so 2 iterations lock onto the true means
+    val rows = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),     // cluster A
+      (2L, Seq(0.2f, 0.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.1f, 0.1f, 0.0f, 0.0f)),
+      (1L, Seq(10.0f, 10.0f, 10.0f, 10.0f)), // cluster B
+      (3L, Seq(10.2f, 10.0f, 10.0f, 10.0f)),
+      (5L, Seq(10.1f, 9.9f, 10.0f, 10.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cent = graft.ops.Similarity.kmeansMicro(df, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .as[(Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // exact integer-micro means after FLOAT quantization (10.2f is
+    // ~10.1999998 -> floor 10199999, 9.9f -> 9899999):
+    // A = (100000, 33333, 0, 0); B = (10099999, 9966666, 1e7, 1e7)
+    assert(cent(0) == Seq(100000L, 33333L, 0L, 0L))
+    assert(cent(1) == Seq(10099999L, 9966666L, 10000000L, 10000000L))
+  }
+
   test("cosine: self-similarity 1, brute-force ranks are total-ordered") {
     val self = emb.limit(3)
       .select(round(Similarity.cosine($"embedding", $"embedding"), 9).as("c"))
