@@ -93,6 +93,28 @@ object Similarity {
     val cent = broadcast(corpus
       .filter(col(idCol) < nCentroids)  // deterministic coarse quantizer
       .select(col(idCol).as("cent_id"), col(vecCol).as("__centv")))
+    ivfWith(corpus, queries, idCol, vecCol, k, cent, nProbe)
+  }
+
+  /** [[ivfTopK]] with a TRAINED quantizer: `centroidsLong` is the
+    * long-form (cent_id, dim, c_micro) output of [[kmeansMicro]],
+    * rebuilt into double vectors (micros / 1e6). The training-then-
+    * index composition every real IVF deployment runs: train on a
+    * sample, broadcast the codebook, assign + probe exactly as the
+    * untrained form. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidsLong: DataFrame,
+      nProbe: Int = 2): DataFrame = {
+    val cent = broadcast(centroidsLong
+      .groupBy(col("cent_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("c_micro")))),
+        s => s.getField("c_micro").cast("double") / 1e6).as("__centv")))
+    ivfWith(corpus, queries, idCol, vecCol, k, cent, nProbe)
+  }
+
+  private def ivfWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cent: DataFrame, nProbe: Int): DataFrame = {
     // corpus -> nearest cell
     val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         l2Norm(col(vecCol)).as("__cn"))

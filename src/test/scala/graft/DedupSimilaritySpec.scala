@@ -135,4 +135,20 @@ class DedupSimilaritySpec extends SparkSuite {
     val recall = hits.count(exact.contains).toDouble / hits.length
     assert(recall >= 0.2, s"recall=$recall")
   }
+
+  test("trained IVF: kmeans codebook composes into ivfTopKTrained with sane recall") {
+    val queries = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = 20)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val codebook = Similarity.kmeansMicro(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val trained = Similarity.ivfTopKTrained(emb, queries,
+        "vec_id", "embedding", k = 5, codebook, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(trained.nonEmpty)
+    // probing 2 of 8 trained cells: hits must overlap the exact top-20
+    val recall = trained.count(exact.contains).toDouble / trained.length
+    assert(recall >= 0.2, s"recall=$recall")
+  }
 }
