@@ -158,10 +158,12 @@ object Similarity {
     * ties in assignment break by cent_id; a centroid that attracts no
     * vectors keeps its previous position.
     *
-    * Scale shape per iteration: broadcast k centroids → one narrow
-    * assignment pass over the corpus (k compiled distance evals per
-    * row, no shuffle) → one (cent,dim)-keyed aggregation. The corpus
-    * micro projection is cached once across iterations; centroids are
+    * Scale shape per iteration: broadcast k centroids → assignment
+    * pass over the corpus (k compiled distance evals per row; the
+    * argmin window is keyed on the vector id, whose hash partitioning
+    * the cached micro projection already carries) → one
+    * (cent,dim)-keyed aggregation of k·dims rows. The corpus micro
+    * projection is cached once across iterations; centroids are
     * localCheckpoint'ed per iteration (k rows) so lineage stays flat.
     * Returns long-form (cent_id, dim, c_micro). */
   def kmeansMicro(corpus: DataFrame, idCol: String, vecCol: String,
