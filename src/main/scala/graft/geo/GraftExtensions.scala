@@ -44,6 +44,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.VecDist2(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => graft.functions.SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("vec_dist2_long"), info("vec_dist2_long"),
+      (es: Seq[Expression]) => graft.functions.VecDist2Long(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("fingerprint64"), info("fingerprint64"),
+      (es: Seq[Expression]) => graft.functions.Fingerprint64(es.head)))
+    e.injectFunction((FunctionIdentifier("avg_token_len"), info("avg_token_len"),
+      (es: Seq[Expression]) => graft.functions.AvgTokenLen(es.head)))
+    // int-literal args resolved at registration (SQL: shingle_set(text, 3))
+    e.injectFunction((FunctionIdentifier("shingle_set"), info("shingle_set"),
+      (es: Seq[Expression]) => graft.functions.ShingleSet(es.head,
+        es(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (es: Seq[Expression]) => graft.functions.MinHashSig(es.head,
+        es(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("create_ids"), info("create_ids"),
+      (es: Seq[Expression]) => graft.functions.CreateIds(es.head, es(1))))
     e.injectOptimizerRule(_ => CollapseRedundantGeoCast)
   }
 }

@@ -46,6 +46,18 @@ class ExtensionsSpec extends SparkSuite {
         "SELECT st_geometrytype('POINT (1 2)') AS t, st_npoints('LINESTRING (0 0, 1 1)') AS n")
         .collect().head
       assert(r.getString(0) == "POINT" && r.getInt(1) == 2)
+      // the sketch/text surface is SQL-callable too
+      val s = ext.sql("""SELECT
+        |  vec_dist2_long(array(1L, 2L), array(4L, 6L)) AS d,
+        |  fingerprint64('ab') AS fp,
+        |  avg_token_len('ab cdef') AS atl,
+        |  size(shingle_set('a b c', 2)) AS nsh,
+        |  create_ids('X|Y', '1|2') AS ids""".stripMargin).collect().head
+      assert(s.getLong(0) == 9 + 16)
+      assert(s.getLong(1) == (97L * 31 + 98) % 1000000007L)
+      assert(s.getDouble(2) == 3.0)
+      assert(s.getInt(3) == 2)
+      assert(s.getSeq[String](4) == Seq("X_001", "Y_002"))
       // rule is active in the optimizer pipeline (parquet-backed input:
       // a local literal would be constant-folded away entirely)
       val df = ext.read.parquet(s"$sf0001/documents.parquet")
