@@ -251,6 +251,63 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** simhash_md5_60(tokens): the engine-portable 60-bit SimHash sketch
+  * as a single per-row expression — bit-identical to the grouped md5
+  * form ([[graft.ops.Dedup.simhashGroupedPortable]]): per token, the
+  * first 15 hex chars of md5(token) parsed as an unsigned 60-bit int
+  * (computed here as the big-endian first 8 digest bytes >>> 4), ±1
+  * votes per bit, bit set when strictly positive. Zero shuffles where
+  * the grouped form pays an explode + 60-aggregate pass. */
+case class SimHashMd5_60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_md5_60"
+
+  // ThreadLocal: addReferenceObj shares ONE expression instance across
+  // all task threads of the JVM, and MessageDigest is not thread-safe
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def build(arr: ArrayData): Long = {
+    val digester = md.get()
+    val acc = new Array[Int](60)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val digest = digester.digest(arr.getUTF8String(j).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+        h = h >>> 4 // top 15 nibbles = first 15 hex chars
+        var i = 0
+        while (i < 60) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 60) {
+      if (acc(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = build(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashMd5", this, classOf[SimHashMd5_60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** minhash_sig(shingles, n): n-element MinHash signature of an
   * array<string>. Each shingle is hashed once (xxhash64, seed 42);
   * the i-th signature lane takes the min of `XXH64.hashLong(h, i)` —
@@ -562,6 +619,7 @@ object sketches {
   def vec_dist2_long(a: Column, b: Column): Column =
     column(VecDist2Long(expression(a), expression(b)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def simhash_md5_60(tokens: Column): Column = column(SimHashMd5_60(expression(tokens)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     column(MinHashSig(expression(shingles), numHashes))
   def shingle_set(text: Column, k: Int): Column =

@@ -429,10 +429,16 @@ object Dedup {
 
   /** Banded candidate pairs over the portable sketch: 4 bands of 15
     * bits, hamming over the full 60 bits — structurally identical to
-    * [[simhashPairs]], exact-hash-checkable against DuckDB. */
+    * [[simhashPairs]], exact-hash-checkable against DuckDB. The sketch
+    * comes from the per-row [[graft.functions.SimHashMd5_60]]
+    * expression (bit-identical to [[simhashGroupedPortable]], proved
+    * differentially in SketchExprSpec) — zero shuffles where the
+    * grouped form pays an explode + 60-aggregate pass. */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 15): DataFrame = {
-    val sk = simhashGroupedPortable(df, idCol, textCol)
+    val sk = df.select(col(idCol),
+        graft.functions.sketches.simhash_md5_60(
+          split(trim(col(textCol)), "\\s+")).as("simhash"))
       .repartition(col(idCol))
     val banded = sk.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(bIdx =>

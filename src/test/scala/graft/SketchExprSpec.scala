@@ -157,6 +157,15 @@ class SketchExprSpec extends SparkSuite {
     assert(pinned == Seq(309323298L, 279672311L, 802167032L, 0L))
   }
 
+  test("simhash_md5_60 expression equals the grouped md5 bit-vote form") {
+    val byExpr = docs.select($"doc_id",
+      sketches.simhash_md5_60(split(trim($"text"), "\\s+")).as("simhash"))
+    val byGroup = Dedup.simhashGroupedPortable(docs, "doc_id", "text")
+    val diff = byExpr.as("a").join(byGroup.as("b"), "doc_id")
+      .filter(!($"a.simhash" <=> $"b.simhash"))
+    assert(diff.count() == 0)
+  }
+
   test("oracle assumption guard: documents corpus is pure ASCII") {
     // the q24/q32/q33 oracles equate DuckDB character positions with
     // UTF-8 bytes (ascii(c) folds, octet_length); that only holds for
