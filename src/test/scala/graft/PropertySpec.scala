@@ -134,6 +134,25 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: union-find and iterative component paths agree on random graphs") {
+    // the adaptive switch in nearDupComponents must be invisible:
+    // whichever path runs, every node gets the min reachable id
+    val genEdges: Gen[List[(Long, Long)]] = Gen.listOfN(25, for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L) if b != a
+    } yield (a, b))
+    forAllSampled(genEdges, n = 8) { edges =>
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("id_a", "id_b")
+        val local = graft.ops.Dedup.nearDupComponents(pairs, "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        val dist = graft.ops.Dedup.nearDupComponents(pairs, "id_a", "id_b",
+          localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+        assert(local == dist, s"paths diverged on $edges")
+      }
+    }
+  }
+
   test("property: create_id lexical order == (identificatie, volgnummer) order") {
     forAllSampled(Gen.listOfN(30, genVer)) { vs =>
       val ids = vs.map(v => ((v.identificatie, v.volgnummer),
