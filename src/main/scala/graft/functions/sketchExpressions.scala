@@ -308,6 +308,97 @@ case class SimHashMd5_60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** minhash_md5(shingles, n): the engine-portable MinHash signature as
+  * one per-row expression — per lane i, the minimum md5 hex digest of
+  * `"i:" + shingle` over the shingle set, exactly the
+  * `min(md5('i:' || shingle))` the q70 oracle computes per doc
+  * (unsigned byte order on the 16-byte digest == lexicographic order
+  * of its lowercase hex). Replaces the explode + n-min-aggregates
+  * grouped phase with a zero-shuffle projection. Empty/null shingle
+  * array → null (doc never bands). */
+case class MinHashMd5(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_md5"
+
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  @transient private lazy val lanePrefix: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i => s"$i:".getBytes("UTF-8"))
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def build(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val digester = md.get()
+    val mins = new Array[Array[Byte]](numHashes)
+    var j = 0
+    var any = false
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        any = true
+        val sh = arr.getUTF8String(j).getBytes
+        var i = 0
+        while (i < numHashes) {
+          digester.reset()
+          digester.update(lanePrefix(i))
+          digester.update(sh)
+          val d = digester.digest()
+          if (mins(i) == null || unsignedLess(d, mins(i))) mins(i) = d
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) return null
+    val out = new Array[Any](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val d = mins(i)
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = hexChars((d(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = hexChars(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = build(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashMd5", this, classOf[MinHashMd5].getName)
+    val res = ctx.freshName("mmRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $res = $ref.build($c);
+      if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** minhash_sig(shingles, n): n-element MinHash signature of an
   * array<string>. Each shingle is hashed once (xxhash64, seed 42);
   * the i-th signature lane takes the min of `XXH64.hashLong(h, i)` —
@@ -622,6 +713,8 @@ object sketches {
   def simhash_md5_60(tokens: Column): Column = column(SimHashMd5_60(expression(tokens)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     column(MinHashSig(expression(shingles), numHashes))
+  def minhash_md5(shingles: Column, numHashes: Int): Column =
+    column(MinHashMd5(expression(shingles), numHashes))
   def shingle_set(text: Column, k: Int): Column =
     column(ShingleSet(expression(text), k))
   def shingle_set_n(text: Column, k: Int): Column =

@@ -345,12 +345,18 @@ object Dedup {
       estThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shingleIndex(df, idCol, textCol, k)
-    val sigs = sh.groupBy(col(idCol)).agg(
-      (0 until numHashes).map(i =>
-        min(md5(concat_ws(":", lit(i), col("shingle")))).as(s"h$i")).head,
-      (0 until numHashes).map(i =>
-        min(md5(concat_ws(":", lit(i), col("shingle")))).as(s"h$i")).tail: _*)
+    // per-row compiled signature (MinHashMd5 — bit-identical to the
+    // grouped min(md5('i:'||shingle)) form, proved in SketchExprSpec);
+    // the repartition barrier materializes the signature once instead
+    // of once per lane extraction (same trick as minhashSignatures)
+    val sigs = df.select(col(idCol),
+        graft.functions.sketches.minhash_md5(
+          graft.functions.sketches.shingle_set(col(textCol), k), numHashes)
+          .as("__sig"))
+      .repartition(col(idCol))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"h$i")): _*)
     val bandCols = (0 until bands).map { b =>
       md5(concat((b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
     }

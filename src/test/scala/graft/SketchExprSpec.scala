@@ -166,6 +166,27 @@ class SketchExprSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("minhash_md5 expression equals the grouped min(md5) lane form") {
+    val n = 8
+    val byExpr = docs.select($"doc_id",
+        sketches.minhash_md5(sketches.shingle_set($"text", 2), n).as("__sig"))
+      .filter($"__sig".isNotNull)
+      .select($"doc_id" +: (0 until n).map(i =>
+        element_at($"__sig", i + 1).as(s"h$i")): _*)
+    val byGroup = docs.select($"doc_id",
+        explode(sketches.shingle_set($"text", 2)).as("shingle"))
+      .groupBy($"doc_id").agg(
+        (0 until n).map(i =>
+          min(md5(concat_ws(":", lit(i), $"shingle"))).as(s"h$i")).head,
+        (0 until n).map(i =>
+          min(md5(concat_ws(":", lit(i), $"shingle"))).as(s"h$i")).tail: _*)
+    val cond = (0 until n).map(i => !(col(s"a.h$i") <=> col(s"b.h$i")))
+      .reduce(_ || _)
+    val diff = byExpr.as("a").join(byGroup.as("b"), "doc_id").filter(cond)
+    assert(diff.count() == 0)
+    assert(byExpr.count() == byGroup.count())
+  }
+
   test("oracle assumption guard: documents corpus is pure ASCII") {
     // the q24/q32/q33 oracles equate DuckDB character positions with
     // UTF-8 bytes (ascii(c) folds, octet_length); that only holds for
