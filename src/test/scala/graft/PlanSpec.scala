@@ -161,6 +161,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q68 contamination: keyed semi-join shape, no nested loops") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.ops.TrainingPrep.contamination(docs, "doc_id", "text",
+      k = 8, holdoutDenom = 10).queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"expected a semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"contamination must stay keyed on the shingle:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    // distinct(train shingles) + groupBy(id) always; + the semi-join's
+    // two sides when the train side outgrows broadcast
+    assert(shuffles <= 4, s"unexpected exchanges ($shuffles):\n$p")
+  }
+
   test("IntervalUnionDays aggregator: correct under forced 1-row partitions") {
     val f = udaf(IntervalUnionDays(10000), Encoders.product[(Int, Option[Int])])
     val df = Seq(("A", 100, Some(130)), ("A", 120, Some(160)), ("A", 200, None),
