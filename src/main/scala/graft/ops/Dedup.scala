@@ -317,8 +317,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // estimate Jaccard = fraction of matching signature positions
-    val sa = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
-    val sb = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val sa = sigs.toDF(sigs.columns.toSeq.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.toSeq.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
     val matches = (0 until numHashes)
       .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -367,8 +367,8 @@ object Dedup {
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sa = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
-    val sb = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val sa = sigs.toDF(sigs.columns.toSeq.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.toSeq.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
     val matches = (0 until numHashes)
       .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
       .reduce(_ + _)

@@ -214,7 +214,7 @@ object Similarity {
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
     val bits = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toSeq.map(lit): _*)
       when(dot(vecCol, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

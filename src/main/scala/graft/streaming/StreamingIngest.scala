@@ -55,8 +55,8 @@ object StreamingIngest {
         // of partitioning or scheduling.
         val others = batch.columns.filterNot(_ == idCol)
         val staged = batch.groupBy(col(idCol))
-          .agg(max(struct(others.map(col): _*)).as("__row"))
-          .select(batch.columns.map(c =>
+          .agg(max(struct(others.toSeq.map(col): _*)).as("__row"))
+          .select(batch.columns.toSeq.map(c =>
             if (c == idCol) col(c) else col(s"__row.`$c`").as(c)): _*)
           .cache()
         try {
