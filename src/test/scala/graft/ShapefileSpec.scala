@@ -173,6 +173,36 @@ class ShapefileSpec extends SparkSuite {
       (4, None)))
   }
 
+  test("S4 property: random point/polygon fixtures roundtrip to identical WKT") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.geo.GeoWkt
+    import graft.sources.ShapefileFixture
+    // integer-ish coords (doubles that print exactly) keep WKT text
+    // comparison byte-stable through the binary roundtrip
+    val genCoord = Gen.choose(-1000, 1000).map(_.toDouble / 4) // .0/.25/.5/.75
+    val genPoint: Gen[GeoWkt.Geom] =
+      for (x <- genCoord; y <- genCoord) yield GeoWkt.Point(GeoWkt.Pt(x, y))
+    val genPoly: Gen[GeoWkt.Geom] = for {
+      x <- genCoord; y <- genCoord; s <- Gen.choose(1, 40).map(_.toDouble)
+    } yield GeoWkt.Polygon(Seq(Seq( // CW ring -> outer per spec
+      GeoWkt.Pt(x, y), GeoWkt.Pt(x, y + s), GeoWkt.Pt(x + s, y + s),
+      GeoWkt.Pt(x + s, y), GeoWkt.Pt(x, y))))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g(Gen.Parameters.default, Seed(seed)).get
+    for (trial <- 0 until 3) {
+      val geomGen = if (trial % 2 == 0) genPoint else genPoly
+      val geoms = (0 until 20).map(i => sample(geomGen, trial * 100L + i))
+      val dir = Files.createTempDirectory(s"graft-shp-prop$trial").toString
+      ShapefileFixture.write(s"$dir/rt", geoms.map(g => (g, Seq("r"))),
+        Seq(("TAG", 'C', 2)))
+      val got = graft.sources.ShapefileSource.read(spark, s"$dir/rt.shp")
+        .orderBy($"record_number").select($"geometry").as[String]
+        .collect().toSeq
+      assert(got == geoms.map(_.toWkt), s"trial $trial roundtrip mismatch")
+    }
+  }
+
   test("S4: directory read fans out over multiple (shp, dbf) pairs") {
     val dir = Files.createTempDirectory("graft-shp").toString
     val dbf1 = dbfFile(Seq(("CODE", 'C', 4)), Seq(Seq("A")), "ISO-8859-1")
