@@ -82,6 +82,29 @@ class BagTablesSpec extends SparkSuite {
     assert(rej.toSeq == Seq(("SDL2_001", "fk_miss:gemeente_id")))
   }
 
+  test("registry: emptySnapshot schema matches the cleaned schema for every table") {
+    // the restart path preloads absent parents as emptySnapshot frames;
+    // any drift from the real clean() output schema would break FK
+    // resolution or the committed-snapshot union silently
+    val parents = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame](
+      "gemeente" -> BagTables.gemeenteSeed(spark))
+    BagTables.loadOrder.foreach { spec =>
+      val empty = ImportPipeline.emptySnapshot(spark, spec, parents.toMap)
+      // FK key columns present with string type (what semiJoinFk joins on)
+      spec.fks.foreach { fk =>
+        assert(empty.schema.fieldNames.contains(fk.childCol),
+          s"${spec.name}: missing FK column ${fk.childCol}")
+      }
+      // every declared target column materializes
+      spec.targetCols.foreach { c =>
+        assert(empty.schema.fieldNames.contains(c),
+          s"${spec.name}: missing target column $c")
+      }
+      assert(empty.count() == 0)
+      parents(spec.name) = empty
+    }
+  }
+
   test("registry: non-numeric ref volgnummer aborts like the reference's int()") {
     // reference: `int(volgnummer or "1")` — empty defaults to 1 (covered
     // above), non-numeric raises ValueError and kills the task. Our
