@@ -560,6 +560,49 @@ case class ShingleSet(child: Expression, k: Int, withSize: Boolean = false,
     copy(child = c)
 }
 
+/** token_set_count(tokens, words): how many elements of an
+  * array<string> appear in the fixed `words` set — the compiled form
+  * of `size(filter(tokens, w -> array_contains(lit(words), w)))`
+  * (null elements excluded, exactly like array_contains' null →
+  * filter-false). Powers stopword ratios and stopword-voting lang-id:
+  * the filter/array_contains combinators run as interpreted
+  * higher-order lambdas per token per language on the scan path. */
+case class TokenSetCount(child: Expression, words: Seq[String])
+  extends UnaryExpression {
+  require(words.nonEmpty, "words must be non-empty")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_set_count"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  def build(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any = build(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tsc", this, classOf[TokenSetCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** fingerprint64(text): rolling polynomial document hash,
   * `h = (h*31 + codepoint) mod 1e9+7` over the trimmed string — the
   * compiled form of
@@ -725,6 +768,8 @@ object sketches {
     column(CreateIds(expression(ids), expression(nums)))
   def fingerprint64(text: Column): Column = column(Fingerprint64(expression(text)))
   def avg_token_len(text: Column): Column = column(AvgTokenLen(expression(text)))
+  def token_set_count(tokens: Column, words: Seq[String]): Column =
+    column(TokenSetCount(expression(tokens), words))
 
   /** Register SQL names on a session (tests / spark.sql users). */
   def register(spark: SparkSession): Unit = {

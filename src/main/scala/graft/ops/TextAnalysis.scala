@@ -46,8 +46,18 @@ object TextAnalysis {
   private val enStopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 
-  /** Stopword ratio (English list) over tokens. */
+  /** Stopword ratio (English list) over tokens. Compiled
+    * [[graft.functions.TokenSetCount]] — the filter/array_contains
+    * combinator ran as interpreted lambdas per token on the scan
+    * path. */
   def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    graft.functions.sketches.token_set_count(t, enStopwords).cast("double") / size(t)
+  }
+
+  /** The original higher-order-function form of [[stopwordRatio]],
+    * kept for differential testing. */
+  def stopwordRatioHof(c: Column): Column = {
     val t = tokens(c)
     val sw = array(enStopwords.map(lit): _*)
     size(filter(t, w => array_contains(sw, w))).cast("double") / size(t)
@@ -74,6 +84,15 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "est"))
 
   def langScores(c: Column): Seq[(String, Column)] = {
+    val t = tokens(c)
+    langStopwords.map { case (lang, words) =>
+      lang -> graft.functions.sketches.token_set_count(t, words)
+    }
+  }
+
+  /** The original higher-order-function form of [[langScores]], kept
+    * for differential testing. */
+  def langScoresHof(c: Column): Seq[(String, Column)] = {
     val t = tokens(c)
     langStopwords.map { case (lang, words) =>
       val sw = array(words.map(lit): _*)

@@ -187,6 +187,20 @@ class SketchExprSpec extends SparkSuite {
     assert(byExpr.count() == byGroup.count())
   }
 
+  test("token_set_count (stopword ratio / lang-id) equals the HOF forms") {
+    import graft.ops.TextAnalysis
+    val edges = Seq("", "the the THE of", "no stop words here",
+      "el de la y the und", null.asInstanceOf[String]).toDF("text")
+    val all = docs.select($"text").unionByName(edges)
+    val langCols = TextAnalysis.langScores($"text")
+      .zip(TextAnalysis.langScoresHof($"text"))
+      .map { case ((l, fast), (_, slow)) => !(fast <=> slow) }
+    val diff = all.filter(
+      !(TextAnalysis.stopwordRatio($"text") <=> TextAnalysis.stopwordRatioHof($"text")) ||
+        langCols.reduce(_ || _))
+    assert(diff.count() == 0)
+  }
+
   test("oracle assumption guard: documents corpus is pure ASCII") {
     // the q24/q32/q33 oracles equate DuckDB character positions with
     // UTF-8 bytes (ascii(c) folds, octet_length); that only holds for
