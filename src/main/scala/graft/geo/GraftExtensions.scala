@@ -30,6 +30,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[StGeometryType].getName, name)
 
+  /** Resolve a SQL argument that must be a foldable integral literal
+    * (e.g. `shingle_set(text, 3)` — also accepts a BIGINT/SMALLINT
+    * literal or cast). Non-foldable or non-integral arguments raise a
+    * clear AnalysisException instead of a ClassCastException. */
+  private def intArg(fn: String, e: Expression): Int = {
+    def bad(what: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"$fn: second argument must be a foldable integer literal, got $what"))
+    if (!e.foldable) bad(s"non-foldable expression ${e.sql}")
+    (try e.eval() catch { case _: Exception => bad(s"unevaluable ${e.sql}") }) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case null => bad("NULL")
+      case other => bad(s"${other.getClass.getSimpleName} $other")
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("st_geometrytype"), info("st_geometrytype"),
       (es: Seq[Expression]) => StGeometryType(es.head)))
@@ -53,10 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // int-literal args resolved at registration (SQL: shingle_set(text, 3))
     e.injectFunction((FunctionIdentifier("shingle_set"), info("shingle_set"),
       (es: Seq[Expression]) => graft.functions.ShingleSet(es.head,
-        es(1).eval().asInstanceOf[Int])))
+        intArg("shingle_set", es(1)))))
     e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
       (es: Seq[Expression]) => graft.functions.MinHashSig(es.head,
-        es(1).eval().asInstanceOf[Int])))
+        intArg("minhash_sig", es(1)))))
     e.injectFunction((FunctionIdentifier("create_ids"), info("create_ids"),
       (es: Seq[Expression]) => graft.functions.CreateIds(es.head, es(1))))
     e.injectOptimizerRule(_ => CollapseRedundantGeoCast)

@@ -149,6 +149,8 @@ object Dedup {
   def nearDupComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, checkpointEvery: Int = 5,
       localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    require(checkpointEvery > 0,
+      s"checkpointEvery must be positive, got $checkpointEvery")
     // materialize the (possibly expensive) pair pipeline ONCE before
     // symmetrizing — the union's two branches would otherwise each
     // evaluate the full upstream plan (measured 2x on the Jaccard
@@ -169,6 +171,13 @@ object Dedup {
     var owner = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var labels = owner
+    // A checkpointed iteration frame must NOT be unpersisted while a
+    // later merely-cached frame still depends on its checkpoint blocks
+    // for recomputation (cache eviction / executor loss would then fail
+    // with missing-checkpoint-block instead of recomputing) — defer
+    // those unpersists until the final result is materialized.
+    var ownerCheckpointed = false
+    val deferred = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -183,11 +192,12 @@ object Dedup {
         col("id"),
         least(col("label"), coalesce(col("p"), col("label"))).as("label"),
         (col("p") < col("label")).as("chg"))
-      val next = if ((i + 1) % checkpointEvery == 0) merged.localCheckpoint()
-        else merged.cache()
+      val checkpointNow = (i + 1) % checkpointEvery == 0
+      val next = if (checkpointNow) merged.localCheckpoint() else merged.cache()
       val changed = next.filter(col("chg")).count()
-      owner.unpersist()
+      if (ownerCheckpointed) deferred += owner else owner.unpersist()
       owner = next
+      ownerCheckpointed = checkpointNow
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
@@ -196,15 +206,17 @@ object Dedup {
     p.unpersist()
     if (!converged) {
       owner.unpersist()
+      deferred.foreach(_.unpersist())
       throw new IllegalStateException(
         s"nearDupComponents: not converged after $maxIter iterations — " +
           "component diameter exceeds maxIter; raise maxIter (labels would " +
           "be silently wrong, so failing instead)")
     }
-    // eager localCheckpoint: result survives the unpersist below with
+    // eager localCheckpoint: result survives the unpersists below with
     // no lineage back into the loop's cached intermediates
     val out = labels.localCheckpoint()
     owner.unpersist()
+    deferred.foreach(_.unpersist())
     out.select(col("id"), col("label").as("component"))
   }
 
@@ -217,7 +229,28 @@ object Dedup {
     dt match {
       case LongType => Ordering.by((x: Any) => x.asInstanceOf[Long])
       case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
-      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case StringType => new Ordering[Any] {
+        // Spark's min() on StringType compares UTF8String bytes
+        // (unsigned, = code-point order); Java String.compareTo is
+        // UTF-16 code-unit order, which disagrees for supplementary-
+        // plane characters (e.g. U+1F600 sorts below U+FFFD in UTF-16
+        // but above it in UTF-8) — compare encoded bytes so both
+        // component paths pick the same canonical label
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      }
       case _ => null
     }
   }

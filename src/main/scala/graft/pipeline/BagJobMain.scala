@@ -24,6 +24,10 @@ object BagJobMain {
       .appName("graft-bag-import")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // compute the exit code inside try/finally, exit only after
+    // spark.stop() — sys.exit inside the try would bypass the finally
+    // (System.exit does not unwind the stack)
+    var exitCode = 0
     try {
       val outcomes = BagJob.run(spark, args(0), args(1), args.lift(2))
       outcomes.foreach { o =>
@@ -33,7 +37,8 @@ object BagJobMain {
           else f"loaded=${o.loaded}%d rejected=${o.rejected}%d"
         println(f"${o.name}%-28s $status")
       }
-      if (outcomes.exists(_.errors.nonEmpty)) sys.exit(1)
+      if (outcomes.exists(_.errors.nonEmpty)) exitCode = 1
     } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

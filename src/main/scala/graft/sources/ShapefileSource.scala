@@ -188,9 +188,12 @@ object ShapefileSource {
   }
 
   /** Read a `.shp` (or a directory/glob of them) with sibling `.dbf`
-    * attributes. The attribute schema is derived from the first dbf
-    * encountered (one small driver-side job); files lacking a dbf
-    * yield null attributes. */
+    * attributes. The attribute schema is derived from the dbf with the
+    * lexicographically smallest path (deterministic; one small
+    * driver-side job); every other dbf in the directory must declare
+    * the same field list — a mismatch fails fast naming the offending
+    * file, rather than emitting silently misaligned columns. Files
+    * lacking a dbf yield null attributes. */
   def read(spark: SparkSession, path: String,
       encoding: String = "ISO-8859-1"): DataFrame = {
     import spark.implicits._
@@ -209,9 +212,16 @@ object ShapefileSource {
     val raw = spark.read.format("binaryFile").load(existing: _*)
       .select($"path", $"content").as[(String, Array[Byte])]
 
-    val firstDbf = raw.filter(_._1.toLowerCase.endsWith(".dbf"))
-      .map(_._2).take(1).headOption
+    // pick the schema dbf by smallest path — deterministic, and the
+    // path listing is column-pruned (no content read); only the one
+    // chosen file's bytes come back to the driver
+    val schemaDbfPath = spark.read.format("binaryFile").load(existing: _*)
+      .select($"path").as[String].collect()
+      .filter(_.toLowerCase.endsWith(".dbf")).sorted.headOption
+    val firstDbf = schemaDbfPath.map(p0 =>
+      raw.filter(_._1 == p0).map(_._2).take(1).head)
     val fields = firstDbf.map(parseDbfHeader(_)._4).getOrElse(Nil)
+    val expectedNames = fields.map(_.name.toLowerCase)
 
     val schema = StructType(
       StructField("path", StringType, nullable = false) +:
@@ -231,7 +241,17 @@ object ShapefileSource {
           case Some(shps) =>
             val (shpPath, shpBytes) = shps.head
             val attrs: Seq[Seq[String]] = byExt.get("dbf")
-              .map(d => dbfRecords(d.head._2, encoding))
+              .map { d =>
+                // fail fast on a mixed-schema directory: every dbf must
+                // declare the schema dbf's field list, else rows would be
+                // emitted with misaligned or wrong-arity attributes
+                val names = parseDbfHeader(d.head._2)._4.map(_.name.toLowerCase)
+                if (names != expectedNames) throw new IllegalArgumentException(
+                  s"shapefile attribute schema mismatch at ${d.head._1}: " +
+                    s"fields ${names.mkString(",")} != schema dbf fields " +
+                    s"${expectedNames.mkString(",")}")
+                dbfRecords(d.head._2, encoding)
+              }
               .getOrElse(Nil)
             shpGeometries(shpBytes).iterator.map { case (recNo, geom) =>
               val a = attrs.lift(recNo - 1) // record numbers are 1-based

@@ -88,6 +88,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(uf == (0L to 12L).map(_ -> 0L).toMap)
   }
 
+  test("nearDupComponents: string ids label by UTF-8 byte order on both paths") {
+    // U+FFFD is the UTF-8 minimum (EF BF BD) but the UTF-16 maximum
+    // vs U+1F600 (surrogates D83D DE00; UTF-8 F0 9F 98 80) — Java
+    // String order would pick the wrong canonical label here
+    val smiley = "😀"
+    val replacement = "�"
+    assert(smiley.compareTo(replacement) < 0) // the UTF-16 trap under test
+    val pairs = Seq((smiley, replacement)).toDF("id_a", "id_b")
+    val expected = Map(smiley -> replacement, replacement -> replacement)
+    val local = Dedup.nearDupComponents(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    val dist = Dedup.nearDupComponents(pairs, "id_a", "id_b",
+      localEdgeThreshold = 0L).as[(String, String)].collect().toMap
+    assert(local == expected)
+    assert(dist == expected)
+    // guard: checkpointEvery must be positive (modulo-zero otherwise)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(pairs, "id_a", "id_b", checkpointEvery = 0)
+    }
+  }
+
   test("kmeansMicro: planted separated clusters converge to their exact means") {
     // two tight clusters far apart in 4 dims; seeds are ids 0 and 1
     // (one in each cluster), so 2 iterations lock onto the true means

@@ -58,6 +58,18 @@ class ExtensionsSpec extends SparkSuite {
       assert(s.getDouble(2) == 3.0)
       assert(s.getInt(3) == 2)
       assert(s.getSeq[String](4) == Seq("X_001", "Y_002"))
+      // integral literal widths all resolve (BIGINT cast included) …
+      val big = ext.sql(
+        "SELECT size(shingle_set('a b c', CAST(2 AS BIGINT))) AS n")
+        .collect().head
+      assert(big.getInt(0) == 2)
+      // … and a non-foldable second argument raises a CLEAR analysis
+      // error, not a ClassCastException
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        ext.sql(
+          "SELECT shingle_set(t, length(t)) FROM VALUES ('ab') v(t)").collect()
+      }
+      assert(err.getMessage.contains("foldable integer literal"))
       // rule is active in the optimizer pipeline (parquet-backed input:
       // a local literal would be constant-folded away entirely)
       val df = ext.read.parquet(s"$sf0001/documents.parquet")

@@ -203,6 +203,21 @@ class ShapefileSpec extends SparkSuite {
     }
   }
 
+  test("S4: mixed-schema directory fails fast naming the offending dbf") {
+    val dir = Files.createTempDirectory("graft-shp").toString
+    val dbf1 = dbfFile(Seq(("CODE", 'C', 4)), Seq(Seq("A")), "ISO-8859-1")
+    val dbf2 = dbfFile(Seq(("NAAM", 'C', 4)), Seq(Seq("B")), "ISO-8859-1")
+    writeFixture(dir, "een", shpFile(1, Seq(pointRecord(1, 1))), Some(dbf1))
+    writeFixture(dir, "twee", shpFile(1, Seq(pointRecord(2, 2))), Some(dbf2))
+    val ex = intercept[Exception] {
+      ShapefileSource.read(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+      m.contains("schema mismatch") && m.contains("twee.dbf")), msgs(ex))
+  }
+
   test("S4: directory read fans out over multiple (shp, dbf) pairs") {
     val dir = Files.createTempDirectory("graft-shp").toString
     val dbf1 = dbfFile(Seq(("CODE", 'C', 4)), Seq(Seq("A")), "ISO-8859-1")
