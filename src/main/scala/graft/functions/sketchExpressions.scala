@@ -744,6 +744,55 @@ case class CreateIds(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** token_stats(text): single-pass whitespace-token frequency summary —
+  * struct(n_tokens, n_distinct, top_freq) over `split(trim(c),"\\s+")`
+  * (same tokenization convention as [[AvgTokenLen]] / the q21 oracle:
+  * the empty string yields `[""]` → (1,1,1), so ratios never divide by
+  * zero; null text → null). The repetition quality signals of a
+  * Gopher-style filter pipeline — duplicate-word fraction
+  * `1 - n_distinct/n_tokens` and top-word fraction
+  * `top_freq/n_tokens` — derive from this struct with plain column
+  * arithmetic. The equivalent declarative form
+  * (explode → groupBy(doc, word) → groupBy(doc)) shuffles the entire
+  * tokenized corpus TWICE; this is a per-row kernel — zero shuffles,
+  * the only viable shape at 100 TB scan width. */
+case class TokenStats(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_freq", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_stats"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def build(input: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = ws.split(input.trim().toString, -1)
+    val freq = new java.util.HashMap[String, Int](toks.length * 2)
+    var top = 0
+    var i = 0
+    while (i < toks.length) {
+      val n = freq.merge(toks(i), 1, (a, b) => a + b)
+      if (n > top) top = n
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length, freq.size, top))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    build(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tst", this, classOf[TokenStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level entry points. */
 object sketches {
   import GraftShim.{column, expression}
@@ -770,6 +819,7 @@ object sketches {
   def avg_token_len(text: Column): Column = column(AvgTokenLen(expression(text)))
   def token_set_count(tokens: Column, words: Seq[String]): Column =
     column(TokenSetCount(expression(tokens), words))
+  def token_stats(text: Column): Column = column(TokenStats(expression(text)))
 
   /** Register SQL names on a session (tests / spark.sql users). */
   def register(spark: SparkSession): Unit = {

@@ -280,6 +280,34 @@ object TrainingQueries {
       },
       None),
 
+    // Gopher-style repetition signals from the single-pass TokenStats
+    // kernel: duplicate-word fraction and top-word fraction, the cheap
+    // pre-filters that run before any dedup stage. inline(array(...))
+    // evaluates the struct expression exactly once per row (a Generate
+    // evaluates its child once — CollapseProject would otherwise clone
+    // it into all five consumers); the fractions are plain integer
+    // divisions, IEEE-identical in both engines.
+    QuerySpec("q73_repetition_stats",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          inline(array(graft.functions.sketches.token_stats(col("text")))))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_freq"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+            .as("dup_word_frac"),
+          (col("top_freq").cast("double") / col("n_tokens")).as("top_word_frac"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    list_max([len(list_filter(toks, x -> x = w))
+        |              FOR w IN list_distinct(toks)]) AS top_freq
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_distinct, top_freq,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_frac,
+        |  CAST(top_freq AS DOUBLE) / n_tokens AS top_word_frac
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
     // Multimodal: binary payload metadata (pure expressions).
     QuerySpec("q32_media_metadata",
       (s, dir) => Multimodal.mediaMetadata(

@@ -201,6 +201,33 @@ class SketchExprSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("token_stats equals the HOF combinator form (n_tokens/n_distinct/top_freq)") {
+    val t = split(trim($"text"), "\\s+")
+    // struct(...) is non-null even when all children are null, so the
+    // null-text row must collapse to a null struct explicitly
+    val hof = when($"text".isNotNull, struct(
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      array_max(transform(array_distinct(t),
+        w => size(filter(t, x => x === w)))).as("top_freq")))
+    // edges: empty -> [""] -> (1,1,1); whitespace runs; leading \n and
+    // trailing space (trim convention must match SQL trim + split);
+    // null propagates
+    val edges = Seq("", "   ", "a", "a a a b", "one  two\tthree\nfour",
+      "\nlead", "trail ", null.asInstanceOf[String]).toDF("text")
+    val all = docs.select($"text").unionByName(edges)
+    val diff = all.select(
+        sketches.token_stats($"text").as("fast"), hof.as("slow"))
+      .filter(!($"fast" <=> $"slow"))
+    assert(diff.count() == 0)
+    // pinned values so a regression in BOTH forms cannot slip through
+    val got = Seq("a a a b", "").toDF("text")
+      .select(sketches.token_stats($"text").as("s"))
+      .select($"s.n_tokens", $"s.n_distinct", $"s.top_freq")
+      .as[(Int, Int, Int)].collect().toSeq
+    assert(got == Seq((4, 2, 3), (1, 1, 1)))
+  }
+
   test("oracle assumption guard: documents corpus is pure ASCII") {
     // the q24/q32/q33 oracles equate DuckDB character positions with
     // UTF-8 bytes (ascii(c) folds, octet_length); that only holds for
