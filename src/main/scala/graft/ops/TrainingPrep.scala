@@ -108,6 +108,39 @@ object TrainingPrep {
         floor(col("n_shared").cast("double") * 1e6 / col("n_sh")).cast("long"))
   }
 
+  /** Deterministic global training shuffle: every row gets a
+    * reproducible pseudo-random (shard, pos) — shard from an md5
+    * bucket of the salted id, position within the shard by md5 order
+    * (id tiebreak). Reruns and retries produce the identical order;
+    * changing `salt` produces an independent shuffle — the two
+    * properties a training-data loader actually needs from "shuffle".
+    *
+    * Scale shape: the md5 key is a scan-speed projection; the only
+    * shuffle is the hash partition on `shard`. At 100 TB the writer
+    * form is `repartition(shard).sortWithinPartitions(key)` — one
+    * sorted file per shard, position implicit in file order; the
+    * explicit `row_number` here (same partitioning, so no extra
+    * exchange) exists for the oracle-checked gate query. Shards are
+    * ~N/nShards rows, so pick nShards to keep a shard inside one
+    * task's comfort zone — the per-shard sort is single-task either
+    * way, exactly like the file the writer would produce.
+    *
+    * md5 rather than xxhash64: engine-portable (the q70/q71 precedent),
+    * bit-identical in DuckDB. Returns (id, shard, pos). */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "graft"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val shard = (conv(substring(col("__key"), 1, 8), 16, 10).cast("long")
+      % nShards).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.select(col(idCol), key.as("__key"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Conservative PII patterns, chosen to behave identically under
     * Java regex (Spark) and RE2 (DuckDB): RFC-ish emails and long
     * digit runs (phone/account/SSN-shaped). */

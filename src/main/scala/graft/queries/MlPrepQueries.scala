@@ -379,6 +379,25 @@ object MlPrepQueries {
            |ORDER BY cent_id, dim""".stripMargin
       }),
 
+    // Deterministic global training shuffle: reproducible (shard, pos)
+    // per document from an md5 bucket + md5-order rank — rerun-stable,
+    // salt-independent. md5 is bit-identical in DuckDB (q70/q71
+    // precedent), so the whole shuffle is oracle-checked hash-exact.
+    QuerySpec("q74_shuffle_shards",
+      (s, dir) => graft.ops.TrainingPrep.shuffleShards(
+          table(s, dir, "documents"), "doc_id", nShards = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH k AS (SELECT doc_id,
+        |    md5('graft:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        |s AS (SELECT doc_id, key,
+        |    CAST(CAST(('0x' || substr(key, 1, 8)) AS BIGINT) % 8 AS INTEGER)
+        |      AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+        |       AS INTEGER) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
     // PII scrub: emails then long digit runs replaced per row; counts
     // + scrubbed length, patterns chosen to agree between Java regex
     // and RE2.

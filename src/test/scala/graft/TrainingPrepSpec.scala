@@ -36,6 +36,30 @@ class TrainingPrepSpec extends SparkSuite {
     }
   }
 
+  test("shuffleShards: reproducible permutation, salt-sensitive, balanced") {
+    val docs = (1L to 400L).toDF("doc_id")
+    val a = TrainingPrep.shuffleShards(docs, "doc_id", nShards = 8)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    // rerun-stable (the property a resumable training job needs)
+    val b = TrainingPrep.shuffleShards(docs, "doc_id", nShards = 8)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(a == b)
+    // every id appears once; within each shard pos is exactly 1..n
+    assert(a.map(_._1) == (1L to 400L))
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted == (1 to rows.length))
+    }
+    // all shards populated and roughly balanced (md5 uniformity: 400
+    // over 8 shards — allow a generous 2x band)
+    val sizes = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.min >= 25 && sizes.values.max <= 100, sizes)
+    // a different salt is an independent shuffle, not a relabeling
+    val c = TrainingPrep.shuffleShards(docs, "doc_id", nShards = 8,
+      salt = "other").as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(c != a)
+  }
+
   test("contamination finds a planted 8-gram leak and only that") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val docs = Seq(
