@@ -793,6 +793,50 @@ case class TokenStats(child: Expression)
     copy(child = c)
 }
 
+/** nfc(text): Unicode NFC normalization (java.text.Normalizer) — the
+  * one normalization step Spark has no built-in for. ASCII input is
+  * returned untouched without allocating (a byte scan decides — the
+  * common case on web corpora is a no-op), so the composed
+  * normalizeText pipeline stays scan-speed. Idempotent; null → null. */
+case class NfcNormalize(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nfc"
+
+  def build(input: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    // pure-ASCII fast path: NFC is the identity, skip the String hop
+    val n = input.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((input.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) input
+    else {
+      val s = input.toString
+      val norm =
+        if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      if (norm eq s) input
+      else org.apache.spark.unsafe.types.UTF8String.fromString(norm)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    build(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfc", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level entry points. */
 object sketches {
   import GraftShim.{column, expression}
@@ -820,6 +864,7 @@ object sketches {
   def token_set_count(tokens: Column, words: Seq[String]): Column =
     column(TokenSetCount(expression(tokens), words))
   def token_stats(text: Column): Column = column(TokenStats(expression(text)))
+  def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
 
   /** Register SQL names on a session (tests / spark.sql users). */
   def register(spark: SparkSession): Unit = {

@@ -109,6 +109,17 @@ object TextAnalysis {
     winner
   }
 
+  /** Canonical text normalization for corpus prep: Unicode NFC (the
+    * compiled [[graft.functions.NfcNormalize]] — Spark's one missing
+    * built-in here, with an ASCII no-op fast path), then lowercase,
+    * collapse whitespace runs to single spaces, and trim. Everything
+    * after NFC is built-in codegen'd functions — the whole pipeline is
+    * a scan-speed projection. Composition order matters: NFC first so
+    * case-folding sees precomposed characters. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.sketches.nfc(c)), "\\s+", " "))
+
   /** Document fingerprint: rolling polynomial hash over characters,
     * `h = (h*31 + codepoint) mod 1e9+7` — deterministic, oracle-
     * replicable, and a stable cheap identity for exact-dup detection

@@ -280,6 +280,22 @@ object TrainingQueries {
       },
       None),
 
+    // Canonical text normalization (NFC + lower + whitespace collapse
+    // + trim). The corpus is pure ASCII (guarded by SketchExprSpec),
+    // so NFC is the identity here and the oracle is the built-in
+    // lower/regexp/trim chain; the Unicode path is covered by the
+    // NfcNormalize ScalaTest differentials.
+    QuerySpec("q75_normalize",
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.normalizeText(col("text")).as("norm"),
+          (TA.normalizeText(col("text")) =!= col("text")).as("changed"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style repetition signals from the single-pass TokenStats
     // kernel: duplicate-word fraction and top-word fraction, the cheap
     // pre-filters that run before any dedup stage. inline(array(...))

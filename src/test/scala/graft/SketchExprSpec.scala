@@ -228,6 +228,27 @@ class SketchExprSpec extends SparkSuite {
     assert(got == Seq((4, 2, 3), (1, 1, 1)))
   }
 
+  test("nfc normalization: NFD folds to NFC, ASCII untouched, null propagates") {
+    import graft.ops.TextAnalysis
+    val nfdCafe = "cafe\u0301"  // e + combining acute (NFD)
+    val nfcCafe = "caf\u00e9"   // precomposed (NFC)
+    assert(nfdCafe != nfcCafe && nfdCafe.length == 5 && nfcCafe.length == 4)
+    val rows = Seq(
+      (1L, nfdCafe), (2L, nfcCafe), (3L, "plain ascii"),
+      (4L, "  MiXeD   Case\t\ttext "), (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = rows.select($"id", sketches.nfc($"text").as("n"),
+        TextAnalysis.normalizeText($"text").as("norm"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1.contains(nfcCafe))          // NFD -> NFC
+    assert(got(2L)._1.contains(nfcCafe))          // idempotent
+    assert(got(1L)._2 == got(2L)._2)              // normalized forms agree
+    assert(got(3L)._1.contains("plain ascii"))    // ASCII identity
+    assert(got(4L)._2.contains("mixed case text")) // lower + collapse + trim
+    assert(got(5L)._1.isEmpty && got(5L)._2.isEmpty)
+  }
+
   test("oracle assumption guard: documents corpus is pure ASCII") {
     // the q24/q32/q33 oracles equate DuckDB character positions with
     // UTF-8 bytes (ascii(c) folds, octet_length); that only holds for
