@@ -174,6 +174,46 @@ class PlanSpec extends SparkSuite {
     assert(shuffles <= 4, s"unexpected exchanges ($shuffles):\n$p")
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // The 100 TB scan-pruning path: when a selective dim filter feeds a
+    // shuffled join, Catalyst's InjectRuntimeFilter plants a
+    // might_contain(bloom_filter_agg(...)) predicate on the fact-side
+    // SCAN, so most of the corpus drops before the exchange. The size
+    // thresholds exist for small inputs, so pin the REWRITE itself with
+    // thresholds lowered — proving the engine config reaches the rule
+    // — and assert results are unchanged by the filter.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creationSideThreshold is an UPPER bound (dim must be smaller);
+      // applicationSideScanSizeThreshold a LOWER bound (fact must be bigger)
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select($"l_orderkey", $"l_quantity")
+      // Filter on a NON-join column: a join-key predicate would be
+      // inferred onto the fact side too, and the rule skips scans that
+      // already carry a selective filter.
+      val dim = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter($"o_custkey" % 100 === 0)
+        .select($"o_orderkey")
+      val j = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+      // the rewrite must not change results
+      val expected = fact.as("f").join(dim.as("d"),
+        $"f.l_orderkey" === $"d.o_orderkey").count()
+      assert(j.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("IntervalUnionDays aggregator: correct under forced 1-row partitions") {
     val f = udaf(IntervalUnionDays(10000), Encoders.product[(Int, Option[Int])])
     val df = Seq(("A", 100, Some(130)), ("A", 120, Some(160)), ("A", 200, None),
