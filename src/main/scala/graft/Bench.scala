@@ -47,10 +47,17 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver records only the LAST ~2000 chars of output, and sbt's
+    // "[success] ..." line lands after ours — r3/r4 metric lines (~2.6 KB,
+    // full query names + 9-decimal doubles) were truncated from the front
+    // and parsed as null. Compact to the qNN prefix + millisecond
+    // precision: ~1.1 KB for 75 queries, safe past 120 queries.
+    val qs = results.map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      "\"" + short + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

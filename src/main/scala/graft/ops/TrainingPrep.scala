@@ -130,6 +130,9 @@ object TrainingPrep {
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
       salt: String = "graft"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    // the internal key/shard/pos columns would shadow a same-named id
+    require(!Set("__key", "shard", "pos").contains(idCol),
+      s"idCol '$idCol' collides with shuffleShards' output columns")
     val key = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
     val shard = (conv(substring(col("__key"), 1, 8), 16, 10).cast("long")
       % nShards).cast("int")

@@ -287,9 +287,15 @@ object TrainingQueries {
     // NfcNormalize ScalaTest differentials.
     QuerySpec("q75_normalize",
       (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"),
-          TA.normalizeText(col("text")).as("norm"),
-          (TA.normalizeText(col("text")) =!= col("text")).as("changed"))
+        // inline(array(struct(...))) materializes norm ONCE per row
+        // (Generate is a projection barrier); a plain chained select
+        // would be re-merged by CollapseProject and run the
+        // NFC+lower+regexp chain twice — once for norm, once for
+        // changed (the q73 precedent)
+        .select(col("doc_id"), col("text"),
+          inline(array(struct(TA.normalizeText(col("text")).as("norm")))))
+        .select(col("doc_id"), col("norm"),
+          (col("norm") =!= col("text")).as("changed"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession, functions}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 import graft.geo.GeoWkt
@@ -212,16 +212,22 @@ object ShapefileSource {
     val raw = spark.read.format("binaryFile").load(existing: _*)
       .select($"path", $"content").as[(String, Array[Byte])]
 
-    // pick the schema dbf by smallest path — deterministic, and the
-    // path listing is column-pruned (no content read); only the one
-    // chosen file's bytes come back to the driver
-    val schemaDbfPath = spark.read.format("binaryFile").load(existing: _*)
-      .select($"path").as[String].collect()
-      .filter(_.toLowerCase.endsWith(".dbf")).sorted.headOption
+    // pick the schema dbf by smallest path — deterministic. min(path)
+    // over the already-loaded listing is column-pruned (no content
+    // read) and brings ONE row to the driver, not every path: a huge
+    // glob stays off the driver heap. Only the chosen file's bytes
+    // come back.
+    val schemaDbfPath = Option(raw.toDF()
+      .where(functions.lower($"path").endsWith(".dbf"))
+      .agg(functions.min($"path")).head().getString(0))
     val firstDbf = schemaDbfPath.map(p0 =>
       raw.filter(_._1 == p0).map(_._2).take(1).head)
     val fields = firstDbf.map(parseDbfHeader(_)._4).getOrElse(Nil)
-    val expectedNames = fields.map(_.name.toLowerCase)
+    // the full descriptor tuple, not just names: two dbfs with equal
+    // names but drifted types/widths must also fail fast, else the
+    // declared schema silently comes from whichever file sorts first
+    val expectedSig = fields.map(f =>
+      (f.name.toLowerCase, f.ftype, f.length, f.decimals))
 
     val schema = StructType(
       StructField("path", StringType, nullable = false) +:
@@ -243,13 +249,16 @@ object ShapefileSource {
             val attrs: Seq[Seq[String]] = byExt.get("dbf")
               .map { d =>
                 // fail fast on a mixed-schema directory: every dbf must
-                // declare the schema dbf's field list, else rows would be
-                // emitted with misaligned or wrong-arity attributes
-                val names = parseDbfHeader(d.head._2)._4.map(_.name.toLowerCase)
-                if (names != expectedNames) throw new IllegalArgumentException(
+                // declare the schema dbf's exact field descriptors
+                // (name, type, width, decimals) — name-only comparison
+                // would pass type/width drift and silently report the
+                // first file's declared schema for all of them
+                val sig = parseDbfHeader(d.head._2)._4.map(f =>
+                  (f.name.toLowerCase, f.ftype, f.length, f.decimals))
+                if (sig != expectedSig) throw new IllegalArgumentException(
                   s"shapefile attribute schema mismatch at ${d.head._1}: " +
-                    s"fields ${names.mkString(",")} != schema dbf fields " +
-                    s"${expectedNames.mkString(",")}")
+                    s"fields ${sig.mkString(",")} != schema dbf fields " +
+                    s"${expectedSig.mkString(",")}")
                 dbfRecords(d.head._2, encoding)
               }
               .getOrElse(Nil)

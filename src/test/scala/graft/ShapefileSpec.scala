@@ -218,6 +218,24 @@ class ShapefileSpec extends SparkSuite {
       m.contains("schema mismatch") && m.contains("twee.dbf")), msgs(ex))
   }
 
+  test("S4: same-name dbfs with drifted type/width also fail fast") {
+    val dir = Files.createTempDirectory("graft-shp").toString
+    // identical field NAME — only the declared width differs; a
+    // name-only check would accept this and silently report een.dbf's
+    // schema for both files
+    val dbf1 = dbfFile(Seq(("CODE", 'C', 4)), Seq(Seq("A")), "ISO-8859-1")
+    val dbf2 = dbfFile(Seq(("CODE", 'C', 8)), Seq(Seq("B")), "ISO-8859-1")
+    writeFixture(dir, "een", shpFile(1, Seq(pointRecord(1, 1))), Some(dbf1))
+    writeFixture(dir, "twee", shpFile(1, Seq(pointRecord(2, 2))), Some(dbf2))
+    val ex = intercept[Exception] {
+      ShapefileSource.read(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+      m.contains("schema mismatch") && m.contains("twee.dbf")), msgs(ex))
+  }
+
   test("S4: directory read fans out over multiple (shp, dbf) pairs") {
     val dir = Files.createTempDirectory("graft-shp").toString
     val dbf1 = dbfFile(Seq(("CODE", 'C', 4)), Seq(Seq("A")), "ISO-8859-1")

@@ -58,6 +58,15 @@ class TrainingPrepSpec extends SparkSuite {
     val c = TrainingPrep.shuffleShards(docs, "doc_id", nShards = 8,
       salt = "other").as[(Long, Int, Int)].collect().toSeq.sorted
     assert(c != a)
+    // an idCol that collides with the internal/output columns is a
+    // loud argument error, not an ambiguous-column plan failure
+    Seq("__key", "shard", "pos").foreach { bad =>
+      val ex = intercept[IllegalArgumentException] {
+        TrainingPrep.shuffleShards(docs.withColumnRenamed("doc_id", bad),
+          bad, nShards = 8)
+      }
+      assert(ex.getMessage.contains("collides"), ex.getMessage)
+    }
   }
 
   test("contamination finds a planted 8-gram leak and only that") {
