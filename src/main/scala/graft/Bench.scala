@@ -52,12 +52,22 @@ object Bench {
     // full query names + 9-decimal doubles) were truncated from the front
     // and parsed as null. Compact to the qNN prefix + millisecond
     // precision: ~1.1 KB for 75 queries, safe past 120 queries.
+    // %.3f via Locale.ROOT: the JVM default locale may use a comma
+    // decimal separator (de_DE etc.), which would make the metric line
+    // invalid JSON — the exact failure the compaction was meant to fix
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // qNN prefixes must stay unique or one timing silently shadows the
+    // other in the parsed metrics; fall back to the full name on clash
+    val shortCount = results.keys.groupBy(_.takeWhile(_ != '_'))
+      .map { case (p, ks) => p -> ks.size }
     val qs = results.map { case (k, v) =>
-      val short = k.takeWhile(_ != '_')
-      "\"" + short + "\":" + f"$v%.3f"
+      val p = k.takeWhile(_ != '_')
+      val short = if (shortCount(p) == 1) p else k
+      "\"" + short + "\":" + num(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -60,8 +60,19 @@ object Dedup {
     * row count as the self-join, but the index is computed once instead
     * of four times and the per-doc sizes ride along in the struct, so
     * no extra sizes join). Bucket arrays are bounded by per-shingle doc
-    * frequency; a pathologically hot shingle should be pruned upstream
-    * (it carries no near-dup signal anyway). */
+    * frequency, so this EXACT form is for corpora where the hottest
+    * shingle's doc list fits an aggregation buffer; at open-corpus
+    * scale use [[ngramJaccardPairsPruned]] (q63), the designated
+    * capped form. Pruning by document frequency is deliberately chosen
+    * over truncating `collect_list` buckets at some N: a truncated
+    * bucket drops an ARBITRARY subset of a hot shingle's pairs (which
+    * pairs survive depends on shuffle order — nondeterministic, and a
+    * silent cap), whereas the maxDf filter removes whole shingles from
+    * the intersection count with a clean one-sided guarantee — scores
+    * can only decrease, so no false positives ever cross the
+    * threshold, and the result stays deterministic. A shingle hot
+    * enough to overflow a buffer is shared by so many documents that
+    * it carries no near-dup signal anyway (it's corpus boilerplate). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame =
     ngramJaccardPairsPruned(df, idCol, textCol, k, threshold, maxDf = Int.MaxValue)

@@ -158,53 +158,64 @@ object Similarity {
     * ties in assignment break by cent_id; a centroid that attracts no
     * vectors keeps its previous position.
     *
-    * Scale shape per iteration: broadcast k centroids → assignment
-    * pass over the corpus (k compiled distance evals per row; the
-    * argmin window is keyed on the vector id, whose hash partitioning
-    * the cached micro projection already carries) → one
-    * (cent,dim)-keyed aggregation of k·dims rows. The corpus micro
-    * projection is cached once across iterations; centroids are
-    * localCheckpoint'ed per iteration (k rows) so lineage stays flat.
+    * Scale shape per iteration: the k·dims centroid table is held on
+    * the DRIVER between iterations — it is k·dims longs by definition
+    * (a codebook, not data), so this is the one place a driver-side
+    * loop is the scale-honest design. Centroids embed in the
+    * assignment pass as literal long arrays (identical on every
+    * executor — no join, no broadcast exchange, no checkpoint), the
+    * per-row argmin is a compiled `least(struct(dist, cent_id), ...)`
+    * (no window), and the only distributed work per iteration is ONE
+    * job: the (cent,dim)-keyed partial aggregation, whose ≤ k·dims
+    * result rows come back to the driver for the floor'd-mean fold.
+    * The previous formulation (centroid DataFrame + crossJoin +
+    * row_number window + per-iteration localCheckpoint) issued ~3 jobs
+    * per iteration and was the most load-sensitive query in the bench
+    * for pure scheduling overhead, not compute.
     * Returns long-form (cent_id, dim, c_micro). */
   def kmeansMicro(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     import graft.functions.sketches.vec_dist2_long
     require(k > 0 && iters > 0, "k and iters must be positive")
+    val spark = corpus.sparkSession
     val micro = corpus.select(col(idCol).as("__vid"),
         transform(col(vecCol), x => floor(x.cast("double") * 1e6).cast("long"))
           .as("__xm"))
-      .repartition(col("__vid")) // barrier: quantize once, not per consumer
       .cache()
-    micro.count()
-    var cent = micro.orderBy(col("__vid")).limit(k)
-      .withColumn("cent_id",
-        (row_number().over(Window.orderBy(col("__vid"))) - 1).cast("int"))
-      .select(col("cent_id"), col("__xm").as("__cm"))
-      .localCheckpoint()
+    // seeds: the k lowest-id vectors, cent_id 0..k-1 in id order —
+    // k rows, driver-scale
+    var cent: Array[Array[Long]] = micro.orderBy(col("__vid")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
     for (_ <- 0 until iters) {
-      val assigned = micro.crossJoin(broadcast(cent))
-        .withColumn("__d", vec_dist2_long(col("__xm"), col("__cm")))
-        .withColumn("__rn", row_number().over(Window.partitionBy(col("__vid"))
-          .orderBy(col("__d").asc, col("cent_id").asc)))
-        .filter(col("__rn") === 1)
-        .select(col("__vid"), col("__xm"), col("cent_id"))
-      val upd = assigned
-        .select(col("cent_id"), posexplode(col("__xm")).as(Seq("dim", "x")))
+      // argmin over k literal-embedded distances; struct comparison is
+      // lexicographic, so ties break by cent_id asc exactly as the old
+      // window's (d asc, cent_id asc) ordering did
+      val scored = cent.zipWithIndex.map { case (c, j) =>
+        struct(vec_dist2_long(col("__xm"), typedLit(c.toSeq)).as("d"),
+          lit(j).as("cid"))
+      }
+      val best = if (scored.length == 1) scored.head else least(scored.toSeq: _*)
+      val upd = micro
+        .select(best.getField("cid").as("cent_id"),
+          posexplode(col("__xm")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
-        .withColumn("c",
-          floor(col("s").cast("double") / col("n")).cast("long"))
-        .groupBy(col("cent_id"))
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
-          s => s.getField("c")).as("__cmNew"))
-      cent = cent.join(upd, Seq("cent_id"), "left")
-        .select(col("cent_id"),
-          coalesce(col("__cmNew"), col("__cm")).as("__cm"))
-        .localCheckpoint()
+        .collect() // ≤ k·dims rows — the codebook update, driver-scale
+      // floor'd integer-micro mean, same double division as before;
+      // a centroid that attracted no vectors keeps its position
+      val next = cent.map(_.clone())
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          math.floor(r.getLong(3).toDouble / r.getLong(2)).toLong
+      }
+      cent = next
     }
     micro.unpersist()
-    cent.select(col("cent_id"),
-      posexplode(col("__cm")).as(Seq("dim", "c_micro")))
+    val rows = for {
+      (c, cid) <- cent.zipWithIndex.toSeq
+      (v, dim) <- c.zipWithIndex
+    } yield (cid, dim, v)
+    spark.createDataFrame(rows).toDF("cent_id", "dim", "c_micro")
   }
 
   /** Deterministic random-hyperplane LSH bucket id (nPlanes sign bits).

@@ -11,6 +11,13 @@ import QuerySpec.table
   * DuckDB comparison is bit-stable regardless of shuffle order. */
 object MlPrepQueries {
 
+  /** q72 codebook size / Lloyd iterations — env-overridable so a
+    * scale-stress run can train a realistic quantizer without code
+    * edits. Both the Spark query and its generated oracle SQL read
+    * these, so they cannot drift. */
+  private val kmeansK = sys.env.getOrElse("SPARK_GRAFT_KMEANS_K", "4").toInt
+  private val kmeansIters = sys.env.getOrElse("SPARK_GRAFT_KMEANS_ITERS", "2").toInt
+
   val all: Seq[QuerySpec] = Seq(
 
     // TF-IDF top-3 terms per document (smoothed idf, total-order rank).
@@ -341,13 +348,17 @@ object MlPrepQueries {
 
     // Lloyd's k-means (the IVF quantizer trainer) in exact integer
     // micros: quantized vectors, exact long distances, floor'd integer
-    // centroid means, fixed 2 iterations, id-ordered seeds + cent_id
-    // tiebreaks — bit-replicable, so the oracle just unrolls both
+    // centroid means, fixed iteration count, id-ordered seeds + cent_id
+    // tiebreaks — bit-replicable, so the oracle just unrolls the
     // iterations in SQL. Output: long-form (cent_id, dim, c_micro).
+    // k/iters come from SPARK_GRAFT_KMEANS_{K,ITERS} (defaults 4/2) so
+    // a scale-stress run can train a realistic codebook without code
+    // edits; the oracle SQL is GENERATED from the same values, so the
+    // two sides can never drift.
     QuerySpec("q72_kmeans_micro",
       (s, dir) => graft.ops.Similarity.kmeansMicro(
           table(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 4, iters = 2)
+          k = kmeansK, iters = kmeansIters)
         .orderBy(col("cent_id"), col("dim")),
       Some {
         def iter(i: Int, prev: String): String =
@@ -364,18 +375,19 @@ object MlPrepQueries {
              |c$i AS (SELECT p.cent_id, p.dim, COALESCE(u$i.c, p.c) AS c
              |  FROM $prev p LEFT JOIN u$i
              |    ON u$i.cent_id = p.cent_id AND u$i.dim = p.dim)""".stripMargin
+        val chain = (1 to kmeansIters).map(i => iter(i, s"c${i - 1}"))
+          .mkString(",\n")
         s"""WITH em AS (SELECT vec_id,
            |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
            |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
            |  FROM embeddings),
            |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
            |      AS cent_id, vec_id
-           |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+           |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $kmeansK)),
            |c0 AS (SELECT s.cent_id, em.dim, em.x AS c
            |  FROM seed s JOIN em ON em.vec_id = s.vec_id),
-           |${iter(1, "c0")},
-           |${iter(2, "c1")}
-           |SELECT cent_id, dim, c AS c_micro FROM c2
+           |$chain
+           |SELECT cent_id, dim, c AS c_micro FROM c$kmeansIters
            |ORDER BY cent_id, dim""".stripMargin
       }),
 

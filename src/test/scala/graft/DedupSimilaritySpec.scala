@@ -38,6 +38,41 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("hot shingle: maxDf pruning drops boilerplate, keeps exact scores elsewhere") {
+    // two genuinely similar docs + 10 docs whose ONLY shared shingle is
+    // a boilerplate trigram (the hot-shingle pathology: its bucket is
+    // quadratic in df and carries zero near-dup signal)
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"))
+    val boiler = (10L until 20L).map(i =>
+      (i, s"copyright acme corp w$i x$i y$i"))
+    val df = (near ++ boiler).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    // the hot shingle inflates buckets but the exact form still scores
+    // correctly: only (1,2) crosses 0.5 (boilerplate pairs sit at 1/7)
+    assert(exact.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(exact.head._3 == 0.6) // 3 shared / (4 + 4 - 3)
+    // pruned form (q63 shape): the df=10 boilerplate shingle is gone
+    // from candidate generation, the near-dup pair's score is UNCHANGED
+    // (its shingles are all rare), and no boilerplate pair survives —
+    // the one-sided "scores only decrease" guarantee
+    val pruned = Dedup.ngramJaccardPairsPruned(df, "doc_id", "text",
+        k = 3, threshold = 0.5, maxDf = 5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pruned.toSeq == exact.toSeq)
+    // below the near-dup pair's threshold the pruned form returns
+    // nothing at all for the boilerplate block even at threshold 0.1
+    val lowThresh = Dedup.ngramJaccardPairsPruned(df, "doc_id", "text",
+        k = 3, threshold = 0.1, maxDf = 5)
+      .filter($"id_a" >= 10L).count()
+    assert(lowThresh == 0)
+  }
+
   test("simhash: identical text -> identical sketch; hamming 0") {
     val two = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "something else entirely here")).toDF("doc_id", "text")
