@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress runner behind SCALE.md: synthesizes a `factor`x corpus
+  * from a base scale dir and times the heavy dedup/similarity/packing
+  * pipelines at 1x vs Nx, recording wall time and total shuffle-write
+  * bytes per run, so the 100 TB scaling claims (bounded buckets,
+  * keyed candidate generation, linear pair growth) are verified by an
+  * order-of-magnitude data point instead of argued from plan shape.
+  *
+  * Documents are replicated with a PER-COPY TOKEN PREFIX (`c<i>` on
+  * every token), not verbatim: verbatim copies would make every doc a
+  * (factor-1)-way near-duplicate of its clones, growing candidate
+  * pairs quadratically in `factor` — a different (and unrealistically
+  * adversarial) workload. The prefix keeps each copy's internal
+  * shingle structure bit-identical while making vocab disjoint across
+  * copies, so near-dup density — pairs per document — matches the base
+  * corpus exactly and the honest expectation for every pipeline is
+  * linear growth. Ids offset by i*10M per copy (disjoint by
+  * construction: base ids are < 10M).
+  *
+  * Usage: ScaleStress [baseDir] [factor] [synthDir]
+  * Prints one JSON line per (query, scale) run.
+  */
+object ScaleStress {
+
+  /** Sums shuffle-write bytes across completed stages; local-mode
+    * listener events land asynchronously, so reads happen after a
+    * short drain pause (measurement tool — 500 ms slack is fine). */
+  private class ShuffleBytes extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val synth = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-stress")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new ShuffleBytes
+    spark.sparkContext.addSparkListener(listener)
+
+    def copies(tbl: String, idCol: String, prefixText: Boolean) = {
+      val df = spark.read.parquet(s"$base/$tbl.parquet")
+      (0 until factor).map { i =>
+        val off = df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L))
+        if (prefixText)
+          off.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
+        else off
+      }.reduce(_ unionByName _)
+    }
+    copies("documents", "doc_id", prefixText = true)
+      .write.mode("overwrite").parquet(s"$synth/documents.parquet")
+    copies("embeddings", "vec_id", prefixText = false)
+      .write.mode("overwrite").parquet(s"$synth/embeddings.parquet")
+
+    val qnames = Seq("q26_ngram_jaccard", "q63_jaccard_pruned",
+      "q64_neardup_components", "q68_contamination", "q72_kmeans_micro")
+    // one warm pass so JVM/codegen startup doesn't bill to the 1x runs
+    qnames.foreach(q => SparkEntry.queries(q)(spark, base).count())
+    // median-of-reps per point (Bench precedent): single shots on a
+    // shared host swing several x with identical shuffle bytes
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    for (q <- qnames; (label, dir) <- Seq("1x" -> base, s"${factor}x" -> synth)) {
+      Thread.sleep(500) // drain listener events from the previous run
+      listener.bytes.set(0L)
+      var n = 0L
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        n = SparkEntry.queries(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      Thread.sleep(500)
+      val mb = listener.bytes.get / 1e6 / reps
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"%s","scale":"%s","rows":%d,"sec":%.3f,"shuffle_mb":%.1f,"reps":%d}""",
+        q, label, Long.box(n), Double.box(times(times.length / 2)),
+        Double.box(mb), Int.box(reps)))
+    }
+    spark.stop()
+  }
+}
