@@ -129,6 +129,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-document duplicated-span rate — the diagnostic behind
+    * substring-level dedup ("Deduplicating Training Data Makes
+    * Language Models Better"-style repeated-passage detection, at
+    * k-gram granularity): for each document, the fraction of its
+    * k-gram POSITIONS (non-distinct — a passage repeated within one
+    * long page still counts every occurrence) whose k-gram also
+    * appears in at least one OTHER document. High rates flag mirror
+    * pages, quote farms, and template boilerplate that survive
+    * whole-document dedup.
+    *
+    * Returns (id, n_spans, n_dup, rate_micro = floor(1e6·n_dup/
+    * n_spans)); documents with fewer than k tokens have no spans and
+    * are absent. Exact integer counts end-to-end — oracle-replicable.
+    *
+    * Scale shape: the same inverted-index discipline as
+    * [[ngramJaccardPairsPruned]] — positions collapse to distinct
+    * (doc, shingle) pairs with their occurrence counts in the first
+    * map-side-combined aggregation (a million-occurrence boilerplate
+    * shingle shuffles one row per containing doc, not per position),
+    * and doc frequency rides a count-only window in the pair frame's
+    * own shingle partitioning. Never all-pairs, never a corpus-wide
+    * distinct over positions, one corpus scan for the heavy path. */
+  def duplicatedSpanRate(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    // ONE corpus explode of the compiled multiset expression (the
+    // interpreted HOF form was the dominant cost — the ShingleSet
+    // motivation note); per-doc occurrence counts collapse the
+    // position multiset to distinct (doc, shingle) pairs with map-side
+    // partial aggregation, so the shuffle carries pairs, not positions.
+    // n_spans needs no shingle strings at all: it is token arithmetic.
+    val pair = df
+      .select(col(idCol),
+        explode(graft.functions.sketches.shingles_all(col(textCol), k))
+          .as("shingle"))
+      .groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("__cnt"))
+    // doc frequency = row count per shingle over the distinct pairs —
+    // a count-only window in the same shingle partitioning the pair
+    // frame already needs (the q63 single-shuffle df trick); hot
+    // boilerplate shingles are the same skew case as there and take
+    // the same upstream defense (prune/normalize before diagnosing)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val dups = pair
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") > 1)
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_dup"))
+    val nToks = size(split(trim(col(textCol)), "\\s+"))
+    df.select(col(idCol),
+        when(nToks >= k, nToks - (k - 1)).otherwise(0)
+          .cast("long").as("n_spans"))
+      .filter(col("n_spans") > 0)
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("rate_micro",
+        floor(col("n_dup").cast("double") * 1e6 / col("n_spans")).cast("long"))
+  }
+
   /** Near-duplicate connected components: turn a candidate-pair list
     * into dedup groups by iterative min-label propagation — each node's
     * label converges to the smallest id reachable through the pair

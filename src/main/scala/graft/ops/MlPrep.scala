@@ -50,6 +50,60 @@ object MlPrep {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
   }
 
+  /** BM25 top-`topN` documents per query (Robertson/Sparck-Jones with
+    * the Lucene-style non-negative idf) — the sparse-retrieval scorer a
+    * training-data pipeline uses for quality-by-retrieval and targeted
+    * corpus slicing. `queries` is long form (queryIdCol, termCol), one
+    * row per query term.
+    *
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    * with idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism: every input to the per-term formula is an exact
+    * integer aggregate (tf, df, dl, N, Σdl), so the per-term double is
+    * one fixed IEEE expression per row; it is floored to micros BEFORE
+    * the per-(query,doc) sum, which therefore runs over exact longs —
+    * shuffle-order-independent and engine-portable (the ratio_micro
+    * precedent). Ranking ties break by doc id: a total order.
+    *
+    * Scale shape: one explode + hash aggs for tf/dl/df, the query
+    * term list broadcast onto the term-keyed postings (only matching
+    * postings survive — the corpus never fans out past its own tf
+    * rows), corpus stats as a broadcast 1-row aggregate, and a final
+    * window keyed on the query id. No corpus×query cartesian. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      topN: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs.select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val docfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl")))
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(termCol).as("term")))
+    // identical IEEE expression shape as the generated oracle SQL:
+    // avgdl formed first, then dl/avgdl — don't "simplify" to dl*n/sdl
+    val avgdl = col("__sdl").cast("double") / col("__n")
+    val idf = log(lit(1.0) +
+      ((col("__n") - col("df")).cast("double") + 0.5) / (col("df").cast("double") + 0.5))
+    val sat = (col("tf").cast("double") * (lit(k1) + 1.0)) /
+      (col("tf").cast("double") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val hits = q.join(tf, Seq("term"))
+      .join(docfreq, Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(stats)
+      .select(col("query_id"), col(idCol),
+        floor(lit(1e6) * idf * sat).cast("long").as("sm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    hits.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("sm")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
+  }
+
   /** Per-label embedding centroid, long form (label, dim, n,
     * avg_micro = mean component in 1e-6 units).
     *

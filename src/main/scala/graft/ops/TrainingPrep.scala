@@ -144,6 +144,29 @@ object TrainingPrep {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Per-source document cap (the CCNet/RefinedWeb-style domain
+    * quota): keep at most `maxPerSource` documents per source, highest
+    * `priority` first with the id as tiebreak — so a single hot domain
+    * (SEO farm, boilerplate mirror) can't dominate the training mix.
+    * Returns the kept rows with their 1-based `src_rank`.
+    *
+    * Scale shape: one window keyed on the source — domains number in
+    * the millions at web scale, so the partitioning is wide and even.
+    * A single pathological mega-source bounds its OUTPUT at
+    * maxPerSource but still sorts its whole partition to pick the
+    * winners; if one domain is a meaningful fraction of the corpus,
+    * pre-filter it or raise shuffle partitions — the cap itself stays
+    * correct either way (rank is deterministic). */
+  def capPerSource(df: DataFrame, srcCol: String, idCol: String,
+      priority: org.apache.spark.sql.Column, maxPerSource: Int): DataFrame = {
+    require(maxPerSource > 0, "maxPerSource must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(priority.desc, col(idCol).asc)
+    df.withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= maxPerSource)
+  }
+
   /** Conservative PII patterns, chosen to behave identically under
     * Java regex (Spark) and RE2 (DuckDB): RFC-ish emails and long
     * digit runs (phone/account/SSN-shaped). */

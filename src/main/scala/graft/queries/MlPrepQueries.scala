@@ -18,6 +18,15 @@ object MlPrepQueries {
   private val kmeansK = sys.env.getOrElse("SPARK_GRAFT_KMEANS_K", "4").toInt
   private val kmeansIters = sys.env.getOrElse("SPARK_GRAFT_KMEANS_ITERS", "2").toInt
 
+  /** q76 literal query set — terms drawn from the synthetic corpus
+    * vocabulary; shared by the Spark query and the generated oracle.
+    * (Declared before `all`: a forward reference would read null
+    * during object initialization — the q33Dim precedent.) */
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "join", 0 -> "vector",
+    1 -> "customer", 1 -> "slow",
+    2 -> "hash", 2 -> "merge", 2 -> "scan")
+
   val all: Seq[QuerySpec] = Seq(
 
     // TF-IDF top-3 terms per document (smoothed idf, total-order rank).
@@ -432,6 +441,92 @@ object MlPrepQueries {
         |  length(regexp_replace(
         |    regexp_replace(text, '${graft.ops.TrainingPrep.emailPattern}', '[EMAIL]', 'g'),
         |    '${graft.ops.TrainingPrep.digitRunPattern}', '[NUM]', 'g')) AS n_chars_scrubbed
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // BM25 sparse retrieval (quality-by-retrieval / corpus slicing).
+    // Per-term scores floor to micros BEFORE the per-(query,doc) sum,
+    // so the aggregation runs over exact longs; the oracle SQL repeats
+    // the identical IEEE expression shape (avgdl first, then
+    // dl/avgdl), so both engines execute the same rounding sequence.
+    QuerySpec("q76_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val q = bm25Queries.toDF("query_id", "term")
+        graft.ops.MlPrep.bm25TopK(table(s, dir, "documents"),
+            "doc_id", "text", q, "query_id", "term", topN = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val qvals = bm25Queries
+          .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+        s"""WITH q(query_id, term) AS (VALUES $qvals),
+           |tok AS (SELECT doc_id,
+           |    UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+           |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+           |hits AS (SELECT q.query_id, tf.doc_id,
+           |    CAST(floor(1e6
+           |      * ln(1.0 + (CAST(stats.n - dfq.df AS DOUBLE) + 0.5)
+           |                 / (CAST(dfq.df AS DOUBLE) + 0.5))
+           |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+           |        / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+           |            * (CAST(dl.dl AS DOUBLE)
+           |               / (CAST(stats.sdl AS DOUBLE) / stats.n))))) AS BIGINT)
+           |      AS sm
+           |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+           |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+           |agg AS (SELECT query_id, doc_id,
+           |    CAST(SUM(sm) AS BIGINT) AS score_micro
+           |  FROM hits GROUP BY 1, 2),
+           |ranked AS (SELECT query_id, doc_id, score_micro,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS rank
+           |  FROM agg)
+           |SELECT query_id, rank, doc_id, score_micro FROM ranked
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // Per-source cap (domain quota): keep the maxPerSource longest
+    // docs per source, (n_chars desc, doc_id asc) total order.
+    QuerySpec("q77_source_cap",
+      (s, dir) => graft.ops.TrainingPrep.capPerSource(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", col("n_chars"), maxPerSource = 10)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source, n_chars, src_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS src_rank
+        |  FROM documents)
+        |WHERE src_rank <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // Duplicated-span rate: fraction of each doc's trigram POSITIONS
+    // whose trigram appears in another doc — the substring-dedup
+    // diagnostic. Exact integer counts; floor'd micros.
+    QuerySpec("q78_span_dup",
+      (s, dir) => graft.ops.Dedup.duplicatedSpanRate(
+          table(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sp AS (SELECT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |xd AS (SELECT shingle FROM (
+        |    SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY 1)
+        |  WHERE df > 1),
+        |n AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY 1),
+        |d AS (SELECT doc_id, COUNT(*) AS n_dup FROM sp
+        |  WHERE shingle IN (SELECT shingle FROM xd) GROUP BY 1)
+        |SELECT n.doc_id, n.n_spans, COALESCE(d.n_dup, 0) AS n_dup,
+        |  CAST(floor(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) * 1000000
+        |       / n.n_spans) AS BIGINT) AS rate_micro
+        |FROM n LEFT JOIN d ON d.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin))
   )
 }

@@ -73,6 +73,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(lowThresh == 0)
   }
 
+  test("duplicatedSpanRate: positions counted per occurrence, cross-doc only") {
+    val df = Seq(
+      (1L, "a b c d"),         // spans: "a b c", "b c d"
+      (2L, "a b c x"),         // spans: "a b c", "b c x"
+      (3L, "z z z z z"),       // 3 spans, all "z z z" — single-doc, NOT dup
+      (4L, "a b c a b c"),     // 4 spans; "a b c" at 2 POSITIONS both count
+      (5L, "q r")              // < k tokens: no spans, absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanRate(df, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 2L, 1L, 500000L),   // "a b c" shared with docs 2/4
+      (2L, 2L, 1L, 500000L),
+      (3L, 3L, 0L, 0L),        // within-doc repetition alone is not dup
+      (4L, 4L, 2L, 500000L)))  // both "a b c" positions counted
+  }
+
   test("simhash: identical text -> identical sketch; hamming 0") {
     val two = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "something else entirely here")).toDF("doc_id", "text")

@@ -75,6 +75,33 @@ class MlPrepSpec extends SparkSuite {
     assert(top(3L) != "common")
   }
 
+  test("bm25: term frequency saturates, rarity wins, only matching docs return") {
+    val d = Seq(
+      (1L, "apple apple apple apple banana"), // tf(apple)=4, dl=5
+      (2L, "apple pear pear pear pear"),      // tf(apple)=1, dl=5
+      (3L, "pear banana banana pear cherry"), // no apple
+      (4L, "cherry cherry cherry date date")  // tf(cherry)=3, dl=5
+    ).toDF("doc_id", "text")
+    val q = Seq((0, "apple"), (1, "cherry"), (1, "nonexistent"))
+      .toDF("query_id", "term")
+    val got = MlPrep.bm25TopK(d, "doc_id", "text", q, "query_id", "term",
+        topN = 10)
+      .select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .as[(Int, Int, Long, Long)].collect().toSeq.sorted
+    // query 0: only docs 1,2 contain apple; tf=4 beats tf=1 at equal dl
+    val q0 = got.filter(_._1 == 0)
+    assert(q0.map(_._3) == Seq(1L, 2L))
+    assert(q0.head._4 > q0.last._4)
+    // but saturation: 4x the tf is far less than 4x the score (k1=1.2)
+    assert(q0.head._4 < 4 * q0.last._4)
+    // query 1: "nonexistent" matches nothing (no NULL poisoning);
+    // cherry docs rank by tf — doc 4 (tf=4) above doc 3 (tf=1)
+    val q1 = got.filter(_._1 == 1)
+    assert(q1.map(_._3) == Seq(4L, 3L))
+    // scores positive (Lucene idf is non-negative by construction)
+    assert(got.forall(_._4 > 0))
+  }
+
   test("corpusPrep: junk filtered, dups canonicalized, split deterministic") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

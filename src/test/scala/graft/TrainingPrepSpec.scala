@@ -36,6 +36,27 @@ class TrainingPrepSpec extends SparkSuite {
     }
   }
 
+  test("capPerSource: quota honored, priority order, deterministic ties") {
+    // src A: 5 docs (cap 3 keeps the 3 longest); src B: 2 docs (under
+    // quota, all kept); equal priorities break by lowest id
+    val docs = Seq(
+      (1L, "A", 100), (2L, "A", 300), (3L, "A", 300), (4L, "A", 200), (5L, "A", 50),
+      (6L, "B", 10), (7L, "B", 20)
+    ).toDF("doc_id", "source", "n_chars")
+    val kept = TrainingPrep.capPerSource(docs, "source", "doc_id",
+        col("n_chars"), maxPerSource = 3)
+      .select($"doc_id", $"source", $"src_rank")
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    // A keeps 2 (300, rank 1 — id tiebreak), 3 (300, rank 2), 4 (200,
+    // rank 3); drops 1 and 5. B keeps both.
+    assert(kept == Seq((2L, "A", 1), (3L, "A", 2), (4L, "A", 3),
+      (6L, "B", 2), (7L, "B", 1)))
+    intercept[IllegalArgumentException] {
+      TrainingPrep.capPerSource(docs, "source", "doc_id",
+        col("n_chars"), maxPerSource = 0)
+    }
+  }
+
   test("shuffleShards: reproducible permutation, salt-sensitive, balanced") {
     val docs = (1L to 400L).toDF("doc_id")
     val a = TrainingPrep.shuffleShards(docs, "doc_id", nShards = 8)
