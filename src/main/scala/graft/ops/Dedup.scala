@@ -188,6 +188,27 @@ object Dedup {
         floor(col("n_dup").cast("double") * 1e6 / col("n_spans")).cast("long"))
   }
 
+  /** The near-dup APPLY step: remove every document whose near-dup
+    * component label differs from its own id — canonical survivor =
+    * min id per component, the same rule as [[deduplicated]] uses for
+    * exact duplicates, applied to the transitive closure of
+    * [[ngramJaccardPairs]] candidates. Documents in no near-dup pair
+    * never enter the component labeling and always survive; all input
+    * columns pass through.
+    *
+    * Scale shape: the loser list is only the clustered docs (tiny
+    * relative to the corpus — near-dup components over a deduped
+    * corpus are sparse by construction), applied with an id-keyed
+    * anti-join; AQE broadcasts it when it is as small as expected. */
+  def nearDupDeduplicated(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, k, threshold)
+    val losers = nearDupComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate connected components: turn a candidate-pair list
     * into dedup groups by iterative min-label propagation — each node's
     * label converges to the smallest id reachable through the pair

@@ -144,6 +144,28 @@ object TrainingPrep {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Deterministic stratified sampling — the language/domain
+    * rebalancing step of a corpus mix: keep rows whose
+    * `pmod(id, denom(stratum)) == 0`, with the keep denominator set
+    * per stratum (`denoms`, falling back to `defaultDenom`). Same
+    * append-stability and rerun-stability as the global mod-sample
+    * (q58) — a row's verdict depends only on its own (id, stratum) —
+    * but the rate differs per stratum, e.g. keep 1/2 of English and
+    * 1/10 of everything else.
+    *
+    * The spec is one entry per stratum — driver-scale by definition —
+    * and embeds as a literal CASE chain: scan-speed, no join. */
+  def stratifiedModSample(df: DataFrame, stratumCol: String, idCol: String,
+      denoms: Map[String, Int], defaultDenom: Int): DataFrame = {
+    require((defaultDenom +: denoms.values.toSeq).forall(_ > 0),
+      "denominators must be positive")
+    val denomCol = denoms.toSeq.sortBy(_._1) // fixed chain order
+      .foldLeft(lit(defaultDenom)) { case (acc, (s, d)) =>
+        when(col(stratumCol) === s, lit(d)).otherwise(acc)
+      }
+    df.filter(pmod(col(idCol), denomCol) === 0)
+  }
+
   /** Per-source document cap (the CCNet/RefinedWeb-style domain
     * quota): keep at most `maxPerSource` documents per source, highest
     * `priority` first with the id as tiebreak — so a single hot domain

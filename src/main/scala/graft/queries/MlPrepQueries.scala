@@ -527,6 +527,55 @@ object MlPrepQueries {
         |  CAST(floor(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) * 1000000
         |       / n.n_spans) AS BIGINT) AS rate_micro
         |FROM n LEFT JOIN d ON d.doc_id = n.doc_id
-        |ORDER BY n.doc_id""".stripMargin))
+        |ORDER BY n.doc_id""".stripMargin)),
+
+    // Near-dup APPLY step: q64's component labeling turned into the
+    // dedup decision — min-id canonical survives, other members drop,
+    // all columns pass through. Oracle reuses the recursive-CTE
+    // closure and anti-selects the losers.
+    QuerySpec("q79_neardup_dedup",
+      (s, dir) => graft.ops.Dedup.nearDupDeduplicated(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.5)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (SELECT id_a, id_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Stratified mod-sample: per-language keep denominators (en 1/2,
+    // es 1/4, zh 1/5, everything else 1/10) as a literal CASE chain —
+    // the corpus-mix rebalancing step, append-stable per stratum.
+    QuerySpec("q80_stratified_sample",
+      (s, dir) => graft.ops.TrainingPrep.stratifiedModSample(
+          table(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 2, "es" -> 4, "zh" -> 5), defaultDenom = 10)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id % (CASE lang WHEN 'en' THEN 2 WHEN 'es' THEN 4
+        |  WHEN 'zh' THEN 5 ELSE 10 END) = 0
+        |ORDER BY doc_id""".stripMargin))
   )
 }

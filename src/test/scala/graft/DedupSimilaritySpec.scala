@@ -73,6 +73,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(lowThresh == 0)
   }
 
+  test("nearDupDeduplicated: min-id survives its cluster, singletons untouched") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon theta"), // near-dup of 1 and 2
+      (9L, "totally unrelated content right here exactly")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDupDeduplicated(df, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    // {1,2,3} form one component; 1 is canonical; 9 never pairs
+    assert(kept == Set(1L, 9L))
+  }
+
   test("duplicatedSpanRate: positions counted per occurrence, cross-doc only") {
     val df = Seq(
       (1L, "a b c d"),         // spans: "a b c", "b c d"

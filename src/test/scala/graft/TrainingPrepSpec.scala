@@ -36,6 +36,35 @@ class TrainingPrepSpec extends SparkSuite {
     }
   }
 
+  test("stratifiedModSample: per-stratum rates, append-stable, default rate") {
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "other"))
+      .toDF("doc_id", "lang")
+    val denoms = Map("en" -> 2, "es" -> 5)
+    val kept = TrainingPrep.stratifiedModSample(docs, "lang", "doc_id",
+        denoms, defaultDenom = 10)
+      .as[(Long, String)].collect().toSeq
+    // verdict is exactly the per-row rule
+    val expected = (1L to 300L).flatMap { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "other"
+      val d = denoms.getOrElse(lang, 10)
+      if (i % d == 0) Some((i, lang)) else None
+    }
+    assert(kept.sorted == expected.sorted)
+    // append-stability: adding rows never changes an old row's verdict
+    val more = (1L to 600L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "other"))
+      .toDF("doc_id", "lang")
+    val keptMore = TrainingPrep.stratifiedModSample(more, "lang", "doc_id",
+        denoms, defaultDenom = 10)
+      .as[(Long, String)].collect().toSeq.filter(_._1 <= 300L)
+    assert(keptMore.sorted == kept.sorted)
+    intercept[IllegalArgumentException] {
+      TrainingPrep.stratifiedModSample(docs, "lang", "doc_id",
+        Map("en" -> 0), defaultDenom = 10)
+    }
+  }
+
   test("capPerSource: quota honored, priority order, deterministic ties") {
     // src A: 5 docs (cap 3 keeps the 3 longest); src B: 2 docs (under
     // quota, all kept); equal priorities break by lowest id
