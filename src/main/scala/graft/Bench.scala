@@ -42,7 +42,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // toRdd.count(), NOT count(): a Dataset.count() re-plans with
+        // every unreferenced column pruned, and Catalyst's unique-key
+        // left-join elimination can then drop a query's entire heavy
+        // branch (observed on q78: the dup-count aggregate vanished and
+        // the "benchmark" timed a bare scan). toRdd executes the plan
+        // that produces every output row — what a consumer would pay.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(times.length / 2)

@@ -65,7 +65,8 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$synth/embeddings.parquet")
 
     val qnames = Seq("q26_ngram_jaccard", "q63_jaccard_pruned",
-      "q64_neardup_components", "q68_contamination", "q72_kmeans_micro")
+      "q64_neardup_components", "q68_contamination", "q72_kmeans_micro",
+      "q78_span_dup", "q79_neardup_dedup", "q81_fuzzy_dedup_e2e")
     // one warm pass so JVM/codegen startup doesn't bill to the 1x runs
     qnames.foreach(q => SparkEntry.queries(q)(spark, base).count())
     // median-of-reps per point (Bench precedent): single shots on a
@@ -77,7 +78,9 @@ object ScaleStress {
       var n = 0L
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        n = SparkEntry.queries(q)(spark, dir).count()
+        // toRdd.count(): force every output row (see Bench — a plain
+        // count() lets join elimination drop heavy branches)
+        n = SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       Thread.sleep(500)

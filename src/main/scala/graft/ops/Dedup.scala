@@ -201,9 +201,17 @@ object Dedup {
     * corpus are sparse by construction), applied with an id-keyed
     * anti-join; AQE broadcasts it when it is as small as expected. */
   def nearDupDeduplicated(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, k, threshold)
-    val losers = nearDupComponents(pairs, "id_a", "id_b")
+      k: Int, threshold: Double): DataFrame =
+    dedupByPairs(df, idCol,
+      ngramJaccardPairs(df, idCol, textCol, k, threshold), "id_a", "id_b")
+
+  /** The generic APPLY step over ANY candidate-pair source (exact
+    * Jaccard, MinHash-LSH, SimHash, embedding cosine): component-label
+    * the pair graph, drop every doc whose label is not its own id.
+    * Lets each sketch family share one dedup decision rule. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val losers = nearDupComponents(pairs, aCol, bCol)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -159,15 +159,21 @@ object MlPrep {
     * codes. Pure per-row math — streams at scan speed. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    val mn = array_min(v)
-    val mx = array_max(v)
-    val span = mx - mn
+    // single-eval barrier (the q75 inline(array(struct)) trick): the
+    // widened vector and its min/max must become plain attributes
+    // BEFORE the code lambda uses them — CollapseProject would inline
+    // them into the per-element expression, making every element
+    // rebuild and rescan the whole array (measured ~1 ms/row: the
+    // 64-dim vector cost 64 array builds + 128 scans per row)
+    val base = df.select(col(idCol), inline(array(struct(
+      v.as("__v"), array_min(v).as("__mn"), array_max(v).as("__mx")))))
+    val span = col("__mx") - col("__mn")
     val codes = when(span > 0,
-        transform(v, x =>
-          least(lit(127), (floor((x - mn) * 254 / span) - 127)).cast("int")))
-      .otherwise(transform(v, _ => lit(0)))
-    df.select(col(idCol),
-      round(mn, 6).as("q_min"), round(mx, 6).as("q_max"),
+        transform(col("__v"), x =>
+          least(lit(127), (floor((x - col("__mn")) * 254 / span) - 127)).cast("int")))
+      .otherwise(transform(col("__v"), _ => lit(0)))
+    base.select(col(idCol),
+      round(col("__mn"), 6).as("q_min"), round(col("__mx"), 6).as("q_max"),
       codes.as("codes"))
   }
 }

@@ -568,6 +568,59 @@ object MlPrepQueries {
     // Stratified mod-sample: per-language keep denominators (en 1/2,
     // es 1/4, zh 1/5, everything else 1/10) as a literal CASE chain —
     // the corpus-mix rebalancing step, append-stable per stratum.
+    // THE canonical web-scale fuzzy-dedup pipeline, end-to-end and
+    // hash-exact: MinHash signatures -> LSH band buckets -> candidate
+    // pairs (est Jaccard gate) -> connected components -> min-id apply.
+    // Uses the md5-portable minhash twin (q70 precedent) so the whole
+    // composite is oracle-checked, not just rows-only.
+    QuerySpec("q81_fuzzy_dedup_e2e",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.ops.Dedup.dedupByPairs(docs, "doc_id",
+            graft.ops.Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+              k = 2, numHashes = 8, bands = 2, estThreshold = 0.5),
+            "id_a", "id_b")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+1], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 1)]) AS shingle
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (SELECT doc_id,
+        |    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        |    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+        |    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+        |    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bh FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b USING (band, bh)
+        |  WHERE a.doc_id < b.doc_id),
+        |good AS (SELECT id_a, id_b FROM cand
+        |  JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+        |  WHERE ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT +
+        |   (sa.h3 = sb.h3)::INT + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT +
+        |   (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("q80_stratified_sample",
       (s, dir) => graft.ops.TrainingPrep.stratifiedModSample(
           table(s, dir, "documents"), "lang", "doc_id",
