@@ -120,6 +120,31 @@ object TextAnalysis {
     trim(regexp_replace(
       lower(graft.functions.sketches.nfc(c)), "\\s+", " "))
 
+  /** Gopher-style repetition/diversity gate over the single-pass
+    * compiled [[graft.functions.TokenStats]] kernel — the cheap
+    * pre-filter that runs before any dedup stage: drop documents that
+    * are too short, too repetitive (low distinct-token fraction), or
+    * dominated by one token. Ratios are floor'd integer micros and the
+    * verdict is integer comparisons, so the whole report is
+    * shuffle-free, scan-speed, and engine-portable. Returns
+    * (id, n_tokens, distinct_micro, top_micro, gopher_ok). */
+  def gopherRepetitionReport(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, minDistinctMicro: Long = 350000L,
+      maxTopMicro: Long = 125000L): DataFrame =
+    df.select(col(idCol),
+        // single-eval Generate barrier (q73/q75 precedent): the stats
+        // struct feeds four consumers
+        inline(array(graft.functions.sketches.token_stats(col(textCol)))))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("n_distinct").cast("double") * 1e6 / col("n_tokens"))
+          .cast("long").as("distinct_micro"),
+        floor(col("top_freq").cast("double") * 1e6 / col("n_tokens"))
+          .cast("long").as("top_micro"))
+      .withColumn("gopher_ok",
+        col("n_tokens") >= minTokens &&
+          col("distinct_micro") >= minDistinctMicro &&
+          col("top_micro") <= maxTopMicro)
+
   /** Document fingerprint: rolling polynomial hash over characters,
     * `h = (h*31 + codepoint) mod 1e9+7` — deterministic, oracle-
     * replicable, and a stable cheap identity for exact-dup detection

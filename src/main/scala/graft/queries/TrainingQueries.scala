@@ -252,6 +252,42 @@ object TrainingQueries {
         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25
         |ORDER BY block, id_a, id_b""".stripMargin)),
 
+    // Embedding-family dedup APPLY step: q29's blocked cosine pairs
+    // through the shared component/min-id decision rule — the third
+    // sketch family (n-gram q79, minhash q81, embedding q82) on one
+    // apply operator. Output omits the float vectors (array cells are
+    // unsortable in the driver's pandas comparator; the survivors'
+    // ids + labels prove the decision).
+    QuerySpec("q82_embedding_dedup",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        graft.ops.Dedup.dedupByPairs(e, "vec_id",
+            graft.ops.Similarity.nearDupPairs(e, "vec_id", "embedding",
+              blockCol = "label", threshold = 0.25),
+            "id_a", "id_b")
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH good AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY vec_id""".stripMargin)),
+
     // Exact brute-force ANN baseline, top-10 for 5 query vectors.
     QuerySpec("q30_ann_bruteforce",
       (s, dir) => {
@@ -328,6 +364,33 @@ object TrainingQueries {
         |SELECT doc_id, n_tokens, n_distinct, top_freq,
         |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_frac,
         |  CAST(top_freq AS DOUBLE) / n_tokens AS top_word_frac
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition gate: min length, min distinct-token
+    // fraction, max top-token fraction — floor'd micros + integer
+    // comparisons, the scan-speed pre-filter before any dedup stage.
+    // Thresholds chosen to discriminate on this corpus (distinct
+    // ratio 5th pct ≈ 0.31, median ≈ 0.46; top ratio median ≈ 0.09).
+    QuerySpec("q83_gopher_filter",
+      (s, dir) => TA.gopherRepetitionReport(
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    list_max([len(list_filter(toks, x -> x = w))
+        |              FOR w IN list_distinct(toks)]) AS top_freq
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(CAST(n_distinct AS DOUBLE) * 1000000 / n_tokens) AS BIGINT)
+        |    AS distinct_micro,
+        |  CAST(floor(CAST(top_freq AS DOUBLE) * 1000000 / n_tokens) AS BIGINT)
+        |    AS top_micro,
+        |  (n_tokens >= 20
+        |   AND floor(CAST(n_distinct AS DOUBLE) * 1000000 / n_tokens) >= 350000
+        |   AND floor(CAST(top_freq AS DOUBLE) * 1000000 / n_tokens) <= 125000)
+        |    AS gopher_ok
         |FROM m ORDER BY doc_id""".stripMargin)),
 
     // Multimodal: binary payload metadata (pure expressions).

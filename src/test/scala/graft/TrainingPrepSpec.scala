@@ -36,6 +36,25 @@ class TrainingPrepSpec extends SparkSuite {
     }
   }
 
+  test("gopherRepetitionReport: each rule fails independently, micros exact") {
+    val good = ("ok " + (1 to 30).map(i => s"w$i").mkString(" ")).trim // 31 distinct tokens
+    val docs = Seq(
+      (1L, good),                                     // passes all three rules
+      (2L, (1 to 10).map(i => s"u$i").mkString(" ")), // 10 tokens < 20: too short
+      (3L, ("a " * 40).trim),                         // 1 distinct / 40: repetitive AND top-heavy
+      (4L, ("b " * 20 + (1 to 20).map(i => s"v$i").mkString(" ")).trim)
+        // 40 tokens, 21 distinct (0.525 ok) but top token b = 20/40 = 0.5 > 0.125
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .gopherRepetitionReport(docs, "doc_id", "text")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got.map(r => r._1 -> r._5).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // exact micro arithmetic on the planted repetitive doc
+    val d3 = got.find(_._1 == 3L).get
+    assert(d3._2 == 40 && d3._3 == 25000L && d3._4 == 1000000L)
+  }
+
   test("stratifiedModSample: per-stratum rates, append-stable, default rate") {
     val docs = (1L to 300L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "other"))
