@@ -144,6 +144,34 @@ object TrainingPrep {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Token-window chunking — split long documents into overlapping
+    * windows of at most `chunkTokens` whitespace tokens, advancing by
+    * `strideTokens` (stride = chunk − overlap), the preprocessing step
+    * that fits documents into a model's context length. Chunk starts
+    * are every multiple of the stride below the token count, so the
+    * final window may be shorter than `chunkTokens`; a document with
+    * fewer tokens than one chunk yields exactly one window (itself).
+    * Emits (id, chunk_id, n_chunk_tokens, chunk_text) — pure per-row
+    * explode arithmetic, scan-speed, no shuffle. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0,
+      "chunkTokens and strideTokens must be positive")
+    require(strideTokens <= chunkTokens,
+      "stride above the chunk size would drop tokens between windows")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1,
+          lit(strideTokens))).as(Seq("chunk_id", "__start")),
+        col("__toks"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), col("__start") + 1, lit(chunkTokens)).as("__w"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__w")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__w")).as("chunk_text"))
+  }
+
   /** Deterministic stratified sampling — the language/domain
     * rebalancing step of a corpus mix: keep rows whose
     * `pmod(id, denom(stratum)) == 0`, with the keep denominator set

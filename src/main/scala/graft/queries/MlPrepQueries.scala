@@ -621,6 +621,25 @@ object MlPrepQueries {
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Token-window chunking (context-length preprocessing): 32-token
+    // windows advancing by 24 (8-token overlap). chunk_id ==
+    // start/stride because starts are exactly the stride multiples.
+    QuerySpec("q84_chunk_text",
+      (s, dir) => graft.ops.TrainingPrep.chunkByTokens(
+          table(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, strideTokens = 24)
+        .withColumn("n_chunk_tokens", col("n_chunk_tokens").cast("long"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, len(toks) - 1, 24)) AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_id,
+        |  CAST(len(toks[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     QuerySpec("q80_stratified_sample",
       (s, dir) => graft.ops.TrainingPrep.stratifiedModSample(
           table(s, dir, "documents"), "lang", "doc_id",

@@ -161,6 +161,38 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q78 span-dup: one corpus explode, pairs not positions on the wire") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.ops.Dedup.duplicatedSpanRate(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    // the position multiset must collapse to (doc,shingle) pairs in a
+    // map-side-combined aggregate BEFORE any exchange — exactly one
+    // Generate (explode) and no cartesian/BNL anywhere
+    val generates = "Generate explode".r.findAllIn(p).length
+    assert(generates == 1, s"expected 1 corpus explode, got $generates:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span-dup must stay keyed:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    // pair agg + shingle window + groupBy(id) + (join side when the
+    // scan projection outgrows broadcast)
+    assert(shuffles <= 4, s"unexpected exchanges ($shuffles):\n$p")
+  }
+
+  test("q81 fuzzy dedup e2e: banded candidates stay keyed end to end") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.ops.Dedup.dedupByPairs(docs, "doc_id",
+        graft.ops.Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+          k = 2, numHashes = 8, bands = 2, estThreshold = 0.5),
+        "id_a", "id_b")
+      .queryExecution.executedPlan.toString
+    // signature build is per-row (no exchange to compute sketches);
+    // candidate generation joins on (band, bucket-hash); the apply is
+    // an anti-join on the id — nothing all-pairs anywhere
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy dedup must stay keyed:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the apply anti-join:\n$p")
+  }
+
   test("q68 contamination: keyed semi-join shape, no nested loops") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val p = graft.ops.TrainingPrep.contamination(docs, "doc_id", "text",

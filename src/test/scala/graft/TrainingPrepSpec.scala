@@ -36,6 +36,28 @@ class TrainingPrepSpec extends SparkSuite {
     }
   }
 
+  test("chunkByTokens: overlap windows, short tail, tiny doc = one window") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b")                                     // 2 tokens < chunk
+    ).toDF("doc_id", "text")
+    val got = TrainingPrep.chunkByTokens(docs, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 3)
+      .as[(Long, Int, Int, String)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 4, "t4 t5 t6 t7"),    // 1-token overlap (stride 3)
+      (1L, 2, 4, "t7 t8 t9 t10"),
+      (1L, 3, 1, "t10"),            // short tail window
+      (2L, 0, 2, "a b")))           // doc smaller than one chunk
+    // every token of doc 1 is covered by at least one window
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    intercept[IllegalArgumentException] {
+      TrainingPrep.chunkByTokens(docs, "doc_id", "text", 4, 5) // stride > chunk
+    }
+  }
+
   test("gopherRepetitionReport: each rule fails independently, micros exact") {
     val good = ("ok " + (1 to 30).map(i => s"w$i").mkString(" ")).trim // 31 distinct tokens
     val docs = Seq(
