@@ -218,6 +218,33 @@ object Similarity {
     spark.createDataFrame(rows).toDF("cent_id", "dim", "c_micro")
   }
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists (exact +
+    * approximate index, sparse + dense arm, ...): fused score =
+    * Σ 1/(kRrf + rank) over the arms that ranked the candidate, the
+    * standard ensembling rule (Cormack et al.). Inputs are
+    * (query_id, neighbor_id, rank) frames, typically already top-k.
+    * The two reciprocal terms are computed and summed in one fixed
+    * IEEE expression then floored to micros, so the fused ordering is
+    * engine-portable; ties break by neighbor id.
+    *
+    * Scale shape: one (query,neighbor)-keyed full-outer join of two
+    * already-small top-k lists + one query-keyed window. */
+  def rrfFuse(a: DataFrame, b: DataFrame, topN: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(topN > 0 && kRrf >= 0, "topN must be positive, kRrf >= 0")
+    val l = a.select(col("query_id"), col("neighbor_id"), col("rank").as("__ra"))
+    val r = b.select(col("query_id"), col("neighbor_id"), col("rank").as("__rb"))
+    val fused = l.join(r, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_micro", floor(lit(1e6) * (
+        coalesce(lit(1.0) / (lit(kRrf) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("__rb")), lit(0.0)))).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("rrf_micro"))
+  }
+
   /** Deterministic random-hyperplane LSH bucket id (nPlanes sign bits).
     * Planes are ±1 vectors derived from a fixed seed, embedded as
     * literals — identical on every executor, no shuffle to compute. */

@@ -94,6 +94,61 @@ object AdvancedQueries {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
         |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // Reciprocal-rank fusion of the exact brute-force arm (q30 shape)
+    // with the IVF arm (q45 shape) — ensemble retrieval. Both arms'
+    // top-10 lists fuse via floor'd-micro Σ 1/(60+rank); the oracle
+    // replays both pipelines as CTEs and the identical fusion
+    // expression.
+    QuerySpec("q85_rrf_fusion",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.rrfFuse(
+            Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10),
+            Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10,
+              nCentroids = 8, nProbe = 2),
+            topN = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |xs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "c.embedding")} AS sim
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        |xr AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank FROM xs),
+        |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 8),
+        |assign AS (SELECT vec_id AS neighbor_id, embedding AS nv, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
+        |    FROM e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rn <= 2),
+        |icand AS (SELECT p.query_id, a.neighbor_id,
+        |    ${cosSql("p.qv", "a.nv")} AS sim
+        |  FROM probes p JOIN assign a USING (cell)
+        |  WHERE a.neighbor_id <> p.query_id),
+        |ir AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank FROM icand),
+        |f AS (SELECT COALESCE(x.query_id, i.query_id) AS query_id,
+        |    COALESCE(x.neighbor_id, i.neighbor_id) AS neighbor_id,
+        |    CAST(floor(1000000.0 * (COALESCE(1.0 / (60 + x.rank), 0.0)
+        |      + COALESCE(1.0 / (60 + i.rank), 0.0))) AS BIGINT) AS rrf_micro
+        |  FROM (SELECT * FROM xr WHERE rank <= 10) x
+        |  FULL OUTER JOIN (SELECT * FROM ir WHERE rank <= 10) i
+        |    ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id),
+        |fr AS (SELECT query_id, neighbor_id, rrf_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_micro DESC, neighbor_id) AS INTEGER) AS rank FROM f)
+        |SELECT query_id, rank, neighbor_id, rrf_micro FROM fr WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -223,6 +223,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("rrfFuse: consensus candidates outrank single-arm ones; micros exact") {
+    val armA = Seq((0L, 101L, 1), (0L, 102L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val armB = Seq((0L, 102L, 1), (0L, 103L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val fused = Similarity.rrfFuse(armA, armB, topN = 10)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(_._2)
+    // 102 appears in both arms (1/62 + 1/61) and must win over 101
+    // (1/61 alone) and 103 (1/62 alone); equal-score 101 vs 103 would
+    // tie-break by id, but 101's rank-1 arm beats 103's rank-2 arm
+    assert(fused.map(_._3) == Seq(102L, 101L, 103L))
+    assert(fused.head._4 ==
+      math.floor(1e6 * (1.0 / 62 + 1.0 / 61)).toLong)
+    assert(fused(1)._4 == math.floor(1e6 * (1.0 / 61)).toLong)
+  }
+
   test("trained IVF: kmeans codebook composes into ivfTopKTrained with sane recall") {
     val queries = emb.filter($"vec_id" < 3)
     val exact = Similarity.bruteForceTopK(emb, queries,

@@ -124,10 +124,11 @@ class PlanSpec extends SparkSuite {
   test("plan sweep: no CartesianProduct anywhere; BNL only where intended") {
     // BroadcastNestedLoop is legitimate only where the broadcast side
     // is small by construction: the deliberately brute-force ANN
-    // baselines, and the single-row aggregate cross joins (q36 merges
-    // three scalar counters; q53/q76 attach the corpus-stats scalar)
+    // baselines (q85 embeds both ANN arms), and the single-row
+    // aggregate cross joins (q36 merges three scalar counters;
+    // q53/q76 attach the corpus-stats scalar)
     val bnlAllowed = Set("q30_ann_bruteforce", "q45_ann_ivf",
-      "q36_merge_audit", "q53_tfidf", "q76_bm25")
+      "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

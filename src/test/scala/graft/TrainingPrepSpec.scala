@@ -53,6 +53,22 @@ class TrainingPrepSpec extends SparkSuite {
     // every token of doc 1 is covered by at least one window
     val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    // stride == chunk (no overlap): chunks concatenated in chunk_id
+    // order reconstruct the document exactly, for any text
+    val docs0 = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rebuilt = TrainingPrep.chunkByTokens(docs0, "doc_id", "text",
+        chunkTokens = 7, strideTokens = 7)
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct($"chunk_id", $"chunk_text"))).getField("chunk_text"))
+        .as("rebuilt"))
+    val mismatches = docs0
+      .select($"doc_id", concat_ws(" ",
+        split(trim($"text"), "\\s+")).as("norm"))
+      .join(rebuilt, "doc_id")
+      .filter($"norm" =!= $"rebuilt")
+      .count()
+    assert(mismatches == 0)
     intercept[IllegalArgumentException] {
       TrainingPrep.chunkByTokens(docs, "doc_id", "text", 4, 5) // stride > chunk
     }
