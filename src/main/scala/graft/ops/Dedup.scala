@@ -205,6 +205,41 @@ object Dedup {
     dedupByPairs(df, idCol,
       ngramJaccardPairs(df, idCol, textCol, k, threshold), "id_a", "id_b")
 
+  /** Incremental dedup — the daily-crawl shape: dedup an INCOMING
+    * batch against an already-deduped CORPUS, never corpus-vs-corpus.
+    * Drops incoming docs that (a) exactly duplicate a corpus text, or
+    * (b) share a k-gram Jaccard ≥ threshold with ANY corpus doc.
+    * Within-batch duplicates are NOT handled here (run the batch
+    * through [[deduplicated]]/[[nearDupDeduplicated]] first or after);
+    * keeping the operator asymmetric is what makes it incremental.
+    *
+    * Scale shape: the exact arm is a text-keyed anti-join (hash of the
+    * text is the join key Spark builds anyway). The near-dup arm is
+    * the inverted-index discipline with the CORPUS side dedup'ed to
+    * distinct shingles per doc and the join keyed on the shingle —
+    * candidate pairs are (incoming × corpus-sharing-a-shingle), never
+    * all-pairs, and a doc pair is scored once via the same
+    * sizes-in-struct trick as [[ngramJaccardPairsPruned]]. Cost is
+    * proportional to the BATCH, not the corpus — the property an
+    * incremental pipeline needs. */
+  def dedupIncrement(corpus: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, k: Int, threshold: Double): DataFrame = {
+    val exactSurvivors = incoming.join(
+      corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    val inc = exactSurvivors.select(col(idCol).as("__inc_id"),
+      inline(graft.functions.sketches.shingle_set_n(col(textCol), k)))
+    val corp = corpus.select(col(idCol).as("__corp_id"),
+      inline(graft.functions.sketches.shingle_set_n(col(textCol), k)))
+      .withColumnRenamed("n_sh", "__corp_n")
+    val losers = inc.join(corp, Seq("shingle"))
+      .groupBy(col("__inc_id"), col("__corp_id"), col("n_sh"), col("__corp_n"))
+      .agg(count(lit(1)).as("__inter"))
+      .filter(col("__inter").cast("double") /
+        (col("n_sh") + col("__corp_n") - col("__inter")) >= threshold)
+      .select(col("__inc_id").as(idCol)).distinct()
+    exactSurvivors.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** The generic APPLY step over ANY candidate-pair source (exact
     * Jaccard, MinHash-LSH, SimHash, embedding cosine): component-label
     * the pair graph, drop every doc whose label is not its own id.
@@ -215,6 +250,30 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupByPairs]] with a caller-chosen survivor: within each
+    * component the row with the highest `priority` wins (id asc
+    * tiebreak) — keep the longest / highest-quality member instead of
+    * the lowest id, which is what production near-dup dedup usually
+    * wants. Non-clustered rows never enter the component window (they
+    * are routed around it with an anti-join), so the window sorts only
+    * cluster members — at corpus scale the clustered fraction is
+    * small by construction. */
+  def dedupByPairsPriority(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String,
+      priority: org.apache.spark.sql.Column): DataFrame = {
+    require(idCol != "component", "idCol 'component' collides with labels")
+    val comp = nearDupComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val members = df.join(comp, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(priority.desc, col(idCol).asc)
+    val survivors = members.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "component")
+    df.join(comp, Seq(idCol), "left_anti").unionByName(survivors)
   }
 
   /** Near-duplicate connected components: turn a candidate-pair list

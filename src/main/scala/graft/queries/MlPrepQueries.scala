@@ -640,6 +640,100 @@ object MlPrepQueries {
         |  array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Incremental dedup (the daily-crawl shape): an incoming batch
+    // with planted exact dups (same text, new id), near-dups
+    // (one appended token), and genuinely-new docs (per-token prefix
+    // breaks all shingles) deduped AGAINST the corpus — only the new
+    // docs survive, and cost is proportional to the batch.
+    QuerySpec("q86_dedup_increment",
+      (s, dir) => {
+        val corpus = table(s, dir, "documents")
+        val incoming = corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" zzqx")).as("text"))
+          .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 5)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+          .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
+            .select((col("doc_id") + 3000000).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", "zq$1").as("text")))
+        graft.ops.Dedup.dedupIncrement(corpus, incoming, "doc_id", "text",
+            k = 3, threshold = 0.5)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' zzqx' AS text
+        |    FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, regexp_replace(text, '(\S+)', 'zq\1', 'g')
+        |    FROM documents WHERE doc_id % 7 = 1),
+        |ex AS (SELECT * FROM inc
+        |  WHERE text NOT IN (SELECT text FROM documents)),
+        |it AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM ex),
+        |ish AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM it WHERE len(toks) >= 3),
+        |ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |csh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM ct WHERE len(toks) >= 3),
+        |isz AS (SELECT doc_id, COUNT(*) AS n FROM ish GROUP BY 1),
+        |csz AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+        |pairs AS (SELECT i.doc_id AS iid, c.doc_id AS cid, COUNT(*) AS inter
+        |  FROM ish i JOIN csh c USING (shingle) GROUP BY 1, 2),
+        |los AS (SELECT DISTINCT iid FROM pairs
+        |  JOIN isz ON isz.doc_id = iid JOIN csz ON csz.doc_id = cid
+        |  WHERE CAST(inter AS DOUBLE) / (isz.n + csz.n - inter) >= 0.5)
+        |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT iid FROM los)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Priority-survivor near-dup dedup: within each component the
+    // LONGEST document wins (id tiebreak) instead of the lowest id —
+    // what production dedup usually keeps.
+    QuerySpec("q87_neardup_priority",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.ops.Dedup.dedupByPairsPriority(docs, "doc_id",
+            graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+              k = 3, threshold = 0.5),
+            "id_a", "id_b", col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (SELECT id_a, id_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src),
+        |win AS (SELECT comp.id AS doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY comp.component
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+        |  FROM comp JOIN documents d ON d.doc_id = comp.id)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM win WHERE rk > 1)
+        |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("q80_stratified_sample",
       (s, dir) => graft.ops.TrainingPrep.stratifiedModSample(
           table(s, dir, "documents"), "lang", "doc_id",

@@ -87,6 +87,43 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(kept == Set(1L, 9L))
   }
 
+  test("dedupIncrement: exact dup, near-dup, and fresh incoming docs routed right") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),     // exact dup of 1
+      (11L, "alpha beta gamma delta epsilon eta"),      // near-dup of 1
+      (12L, "completely different words appear here now") // fresh
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrement(corpus, incoming, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+    // asymmetry: within-batch dups are NOT this operator's job
+    val twin = Seq((20L, "x y z w v u"), (21L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val keptTwins = Dedup.dedupIncrement(corpus, twin, "doc_id", "text",
+        k = 3, threshold = 0.5).count()
+    assert(keptTwins == 2)
+  }
+
+  test("dedupByPairsPriority: highest-priority member survives its cluster") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 10),
+      (2L, "alpha beta gamma delta epsilon eta", 99),  // near-dup of 1, higher priority
+      (9L, "totally unrelated content right here exactly", 1)
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.5)
+    val kept = Dedup.dedupByPairsPriority(df, "doc_id", pairs,
+        "id_a", "id_b", $"quality")
+      .select($"doc_id").as[Long].collect().toSet
+    // min-id rule would keep 1; priority keeps 2; singleton 9 untouched
+    assert(kept == Set(2L, 9L))
+  }
+
   test("duplicatedSpanRate: positions counted per occurrence, cross-doc only") {
     val df = Seq(
       (1L, "a b c d"),         // spans: "a b c", "b c d"
