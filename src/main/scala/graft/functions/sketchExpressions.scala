@@ -205,6 +205,65 @@ case class VecDist2Long(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** vec_argmin_long(x, codebook): index of the codebook row nearest to
+  * the array<long> vector `x` by exact integer squared-L2; ties break
+  * to the LOWEST index (strict `<` keeps the first minimum), matching
+  * the k-means assignment rule `least(struct(dist, cent_id))` this
+  * kernel replaces. The codebook rides in the expression as ONE
+  * reference object, so the expression tree and the generated code
+  * stay constant-size in k — the unrolled k-way `least(struct(...))`
+  * form grew the codegen linearly in k and its per-iteration janino
+  * compile dominated training time at realistic codebook sizes.
+  * A codebook row of mismatched width never wins (skipped); if no row
+  * matches the vector's width the result is null. */
+case class VecArgminLong(child: Expression, codebook: Array[Array[Long]])
+  extends UnaryExpression {
+  require(codebook.nonEmpty, "codebook must be non-empty")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_argmin_long"
+
+  def build(x: ArrayData): Any = {
+    val n = x.numElements()
+    var i = 0
+    while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    var best = -1
+    var bestD = java.lang.Long.MAX_VALUE
+    var j = 0
+    while (j < codebook.length) {
+      val c = codebook(j)
+      if (c.length == n) {
+        var d = 0L
+        var p = 0
+        while (p < n) {
+          val t = x.getLong(p) - c(p)
+          d += t * t
+          p += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+      }
+      j += 1
+    }
+    if (best < 0) null else java.lang.Integer.valueOf(best)
+  }
+
+  override def nullSafeEval(a: Any): Any = build(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vam", this, classOf[VecArgminLong].getName)
+    val res = ctx.freshName("vamRes")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      Object $res = $ref.build($a);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (Integer) $res; }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** simhash64(tokens): 64-bit SimHash of an array<string> — per token
   * one xxhash64 (seed 42, identical to the SQL `xxhash64` function),
   * ±1 vote per bit, bit set when the vote sum is strictly positive.
@@ -845,6 +904,8 @@ object sketches {
   def vec_dist2(a: Column, b: Column): Column = column(VecDist2(expression(a), expression(b)))
   def vec_dist2_long(a: Column, b: Column): Column =
     column(VecDist2Long(expression(a), expression(b)))
+  def vec_argmin_long(x: Column, codebook: Array[Array[Long]]): Column =
+    column(VecArgminLong(expression(x), codebook))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def simhash_md5_60(tokens: Column): Column = column(SimHashMd5_60(expression(tokens)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =

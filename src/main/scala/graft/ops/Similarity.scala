@@ -175,7 +175,6 @@ object Similarity {
     * Returns long-form (cent_id, dim, c_micro). */
   def kmeansMicro(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    import graft.functions.sketches.vec_dist2_long
     require(k > 0 && iters > 0, "k and iters must be positive")
     val spark = corpus.sparkSession
     val micro = corpus.select(col(idCol).as("__vid"),
@@ -187,16 +186,15 @@ object Similarity {
     var cent: Array[Array[Long]] = micro.orderBy(col("__vid")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     for (_ <- 0 until iters) {
-      // argmin over k literal-embedded distances; struct comparison is
-      // lexicographic, so ties break by cent_id asc exactly as the old
-      // window's (d asc, cent_id asc) ordering did
-      val scored = cent.zipWithIndex.map { case (c, j) =>
-        struct(vec_dist2_long(col("__xm"), typedLit(c.toSeq)).as("d"),
-          lit(j).as("cid"))
-      }
-      val best = if (scored.length == 1) scored.head else least(scored.toSeq: _*)
+      // compiled argmin kernel: the whole codebook rides as ONE
+      // reference object, so plan size and codegen stay constant in k
+      // (an unrolled k-way least(struct(dist, cid)) grew the generated
+      // code linearly in k — at k=64 its per-iteration janino compile
+      // was ~10x the actual assignment work). Strict-< first-minimum
+      // ties break by lowest index = the old (d asc, cent_id asc) rule.
+      val best = graft.functions.sketches.vec_argmin_long(col("__xm"), cent)
       val upd = micro
-        .select(best.getField("cid").as("cent_id"),
+        .select(best.as("cent_id"),
           posexplode(col("__xm")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
