@@ -201,6 +201,30 @@ class SketchExprSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("vec_argmin_long equals the unrolled least(struct(dist, idx)) rule") {
+    // deterministic pseudo-random micro vectors + codebook; the kernel
+    // must match the k-way least(struct) ordering it replaced,
+    // including ties (strict < keeps the lowest index)
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val codebook = Array.fill(8)(Array.fill(dim)(rng.nextInt(2000001).toLong - 1000000L))
+    val vecs = (0L until 200L).map { i =>
+      // plant exact-centroid hits (guaranteed 0-distance ties when a
+      // codebook row repeats) alongside random vectors
+      if (i % 10 == 0) (i, codebook((i / 10 % 8).toInt).toSeq)
+      else (i, Seq.fill(dim)(rng.nextInt(2000001).toLong - 1000000L))
+    }.toDF("id", "v")
+    val unrolled = codebook.zipWithIndex.map { case (c, j) =>
+      struct(sketches.vec_dist2_long($"v", typedLit(c.toSeq)).as("d"),
+        lit(j).as("cid"))
+    }
+    val diff = vecs.select(
+        sketches.vec_argmin_long($"v", codebook).as("fast"),
+        least(unrolled.toSeq: _*).getField("cid").as("slow"))
+      .filter(!($"fast" <=> $"slow"))
+    assert(diff.count() == 0)
+  }
+
   test("token_stats equals the HOF combinator form (n_tokens/n_distinct/top_freq)") {
     val t = split(trim($"text"), "\\s+")
     // struct(...) is non-null even when all children are null, so the
