@@ -264,6 +264,102 @@ case class VecArgminLong(child: Expression, codebook: Array[Array[Long]])
     copy(child = c)
 }
 
+/** vec_top_cells_dist2(x, codebook, n): indices of the `n` codebook
+  * rows nearest to the float/double vector `x`, ordered best-first by
+  * `(round(dist2, 6) asc, index asc)` — the EXACT ordering of the
+  * crossJoin + `round(dist2,6)` + row_number window it replaces in the
+  * IVF cell assignment (VERDICT r6 #1), so the q45/q85 oracles are
+  * unchanged. dist2 is the same left-to-right double fold as
+  * [[VecDist2]]; rounding replicates Spark's `round(_, 6)` on doubles
+  * (HALF_UP via BigDecimal, NaN/Inf passed through) because round is
+  * only order-relevant at ties, where the index tiebreak must fire
+  * exactly when the SQL one does. The codebook rides as ONE reference
+  * object (the [[VecArgminLong]] pattern): plan size and generated
+  * code are constant in k, the per-row cost is one scan over k rows,
+  * and — unlike the window form — there is no k× row amplification
+  * and no shuffle. A codebook row of mismatched width never wins; if
+  * no row matches the vector's width (or the vector has a null
+  * element) the result is null. */
+case class VecTopCellsDist2(child: Expression, codebook: Array[Array[Double]],
+    n: Int) extends UnaryExpression {
+  require(codebook.nonEmpty, "codebook must be non-empty")
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_top_cells_dist2"
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Spark's round(d, 6): BigDecimal HALF_UP, NaN/Inf unchanged. */
+  private def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def build(x: ArrayData): Any = {
+    val len = x.numElements()
+    var i = 0
+    while (i < len) { if (x.isNullAt(i)) return null; i += 1 }
+    val et = elemType
+    val ds = new Array[Double](codebook.length)
+    val ok = new Array[Boolean](codebook.length)
+    var nOk = 0
+    var j = 0
+    while (j < codebook.length) {
+      val c = codebook(j)
+      if (c.length == len) {
+        var s = 0.0
+        var p = 0
+        while (p < len) {
+          val d = sketchExpressions.elemAsDouble(et, x, p) - c(p)
+          s += d * d
+          p += 1
+        }
+        ds(j) = round6(s); ok(j) = true; nOk += 1
+      }
+      j += 1
+    }
+    if (nOk == 0) return null
+    // selection of the m best by (dist asc, index asc): strict < on an
+    // ascending index scan keeps the first minimum, so ties break to
+    // the lowest index — the row_number (d asc, cent asc) rule
+    val m = math.min(n, nOk)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](codebook.length)
+    var t = 0
+    while (t < m) {
+      var best = -1
+      var bd = 0.0
+      var q = 0
+      while (q < codebook.length) {
+        if (ok(q) && !taken(q) && (best < 0 || ds(q) < bd)) {
+          best = q; bd = ds(q)
+        }
+        q += 1
+      }
+      taken(best) = true; out(t) = best; t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = build(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vtc", this, classOf[VecTopCellsDist2].getName)
+    val res = ctx.freshName("vtcRes")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      Object $res = $ref.build($a);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** simhash64(tokens): 64-bit SimHash of an array<string> — per token
   * one xxhash64 (seed 42, identical to the SQL `xxhash64` function),
   * ±1 vote per bit, bit set when the vote sum is strictly positive.
@@ -906,6 +1002,8 @@ object sketches {
     column(VecDist2Long(expression(a), expression(b)))
   def vec_argmin_long(x: Column, codebook: Array[Array[Long]]): Column =
     column(VecArgminLong(expression(x), codebook))
+  def vec_top_cells_dist2(x: Column, codebook: Array[Array[Double]], n: Int): Column =
+    column(VecTopCellsDist2(expression(x), codebook, n))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def simhash_md5_60(tokens: Column): Column = column(SimHashMd5_60(expression(tokens)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =

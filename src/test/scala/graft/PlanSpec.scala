@@ -124,10 +124,12 @@ class PlanSpec extends SparkSuite {
   test("plan sweep: no CartesianProduct anywhere; BNL only where intended") {
     // BroadcastNestedLoop is legitimate only where the broadcast side
     // is small by construction: the deliberately brute-force ANN
-    // baselines (q85 embeds both ANN arms), and the single-row
+    // baselines (q85 embeds the brute-force arm), and the single-row
     // aggregate cross joins (q36 merges three scalar counters;
-    // q53/q76 attach the corpus-stats scalar)
-    val bnlAllowed = Set("q30_ann_bruteforce", "q45_ann_ivf",
+    // q53/q76 attach the corpus-stats scalar). q45 left this list in
+    // r7: the IVF cell assignment is a compiled kernel scan now, so
+    // nothing in its plan may nested-loop.
+    val bnlAllowed = Set("q30_ann_bruteforce",
       "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
@@ -141,6 +143,20 @@ class PlanSpec extends SparkSuite {
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("q45 IVF: kernel cell assignment — no window exchange, no BNL") {
+    // the corpus arm must be a single compiled scan: the only Window
+    // in the whole plan is the final top-k rank on query_id; the old
+    // crossJoin(cent) + row_number-on-neighbor_id form (k× row
+    // amplification + a full corpus shuffle) must not come back
+    val p = plan("q45_ann_ivf")
+    val windows = "(?m)^\\s*[*+-]*\\s*Window ".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly 1 Window (query_id top-k):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF assignment must stay a kernel scan:\n$p")
+    assert(p.contains("vec_top_cells_dist2"),
+      s"expected the compiled top-cells kernel in the plan:\n$p")
   }
 
   test("q63/q64 dedup pipelines: 2 keyed exchanges, no nested-loop joins") {
