@@ -4,6 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 1-minute load average, recorded at start and end of the run:
+    // three rounds of bench adjudication hinged on whether an outlier
+    // was co-tenant load or a regression — make it machine-checkable
+    // in the metric line instead of prose (VERDICT r6 #3)
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,7 +83,8 @@ object Bench {
       "\"" + short + "\":" + num(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load_start":${num(loadStart)},"load_end":${num(loadEnd)}}""")
     spark.stop()
   }
 }

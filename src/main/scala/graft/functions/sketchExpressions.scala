@@ -360,6 +360,62 @@ case class VecTopCellsDist2(child: Expression, codebook: Array[Array[Double]],
     copy(child = c)
 }
 
+/** pq_adc(codes, qtable): asymmetric-distance computation for product
+  * quantization (the PQ/ADC scan of Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+  * approximate squared distance from a query to a PQ-coded vector is
+  * Σ_s qtable[s·ksub + codes[s]], where `codes` are the vector's
+  * per-subspace centroid indices and `qtable` is the query's
+  * precomputed (flattened m×ksub) table of exact integer-micro
+  * subspace distances. All arithmetic is long — associative, so the
+  * result is bit-replicable in any engine's SUM (the kmeansMicro
+  * discipline). Per corpus row the cost is m array lookups — the whole
+  * point of PQ at 100 TB: the scan touches m bytes of code + one
+  * shared table instead of the raw vector. Null array, null element,
+  * a code outside [0, ksub), or a table not exactly m·ksub wide → null
+  * (never a wrong distance). */
+case class PqAdcDist(left: Expression, right: Expression, ksub: Int)
+  extends BinaryExpression {
+  require(ksub > 0, "ksub must be positive")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  def build(codes: ArrayData, qtable: ArrayData): Any = {
+    val m = codes.numElements()
+    if (qtable.numElements() != m * ksub) return null
+    var s = 0L
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) return null
+      val c = codes.getInt(i)
+      if (c < 0 || c >= ksub) return null
+      val j = i * ksub + c
+      if (qtable.isNullAt(j)) return null
+      s += qtable.getLong(j)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    build(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adc", this, classOf[PqAdcDist].getName)
+    val res = ctx.freshName("adcRes")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object $res = $ref.build($a, $b);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (Long) $res; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** simhash64(tokens): 64-bit SimHash of an array<string> — per token
   * one xxhash64 (seed 42, identical to the SQL `xxhash64` function),
   * ±1 vote per bit, bit set when the vote sum is strictly positive.
@@ -1004,6 +1060,8 @@ object sketches {
     column(VecArgminLong(expression(x), codebook))
   def vec_top_cells_dist2(x: Column, codebook: Array[Array[Double]], n: Int): Column =
     column(VecTopCellsDist2(expression(x), codebook, n))
+  def pq_adc(codes: Column, qtable: Column, ksub: Int): Column =
+    column(PqAdcDist(expression(codes), expression(qtable), ksub))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def simhash_md5_60(tokens: Column): Column = column(SimHashMd5_60(expression(tokens)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =

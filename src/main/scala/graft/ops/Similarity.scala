@@ -232,6 +232,108 @@ object Similarity {
     spark.createDataFrame(rows).toDF("cent_id", "dim", "c_micro")
   }
 
+  /** Micro-quantize a float/double element to exact integer micros —
+    * the engine-side `floor(cast(x as double) * 1e6)` expression,
+    * replicated driver-side (float→double widening is exact, so both
+    * sides see the same double before the multiply). */
+  private def microOf(x: Any): Long = x match {
+    case f: Float  => math.floor(f.toDouble * 1e6).toLong
+    case d: Double => math.floor(d * 1e6).toLong
+    case n: Number => math.floor(n.doubleValue() * 1e6).toLong
+  }
+
+  private def idOf(x: Any): Long = x match {
+    case l: Long => l
+    case i: Int  => i.toLong
+    case n: Number => n.longValue()
+  }
+
+  /** Product-quantization codebooks over `m` equal subspaces:
+    * codebook(s)(c) is the micro-quantized sub-vector (subspace `s`)
+    * of the corpus row with the c-th smallest id among ids < `ksub` —
+    * the same deterministic coarse-quantizer rule as [[ivfTopK]]
+    * (id-ordered seed rows), which keeps the whole PQ pipeline
+    * SQL-replicable; [[kmeansMicro]] over sub-vector slices is the
+    * trained upgrade and composes the same way. k·m·dsub longs by
+    * definition — a codebook, held driver-side. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Array[Array[Array[Long]]] = {
+    val seeds = corpus.filter(col(idCol) < ksub)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map(microOf).toArray)
+    require(seeds.nonEmpty, s"no corpus rows with $idCol < $ksub to seed PQ")
+    val dims = seeds.head.length
+    require(dims % m == 0, s"vector width $dims not divisible into $m subspaces")
+    val dsub = dims / m
+    Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** PQ-encode the corpus: per row, the per-subspace index of its
+    * nearest codebook centroid by exact integer-micro squared-L2
+    * (ties to the lowest index — the [[VecArgminLong]] rule). One
+    * compiled kernel per subspace, one scan, zero shuffle. Returns
+    * (idCol, codes array<int>). At 100 TB this m-byte-per-row frame
+    * IS the index you store instead of the raw vectors. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Long]]]): DataFrame = {
+    val dsub = codebooks.head.head.length
+    val micro = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e6).cast("long"))
+    val codes = array(codebooks.zipWithIndex.map { case (cb, s) =>
+      graft.functions.sketches.vec_argmin_long(
+        slice(col("__mv"), s * dsub + 1, dsub), cb)
+    }.toSeq: _*)
+    corpus.select(col(idCol), micro.as("__mv"))
+      .select(col(idCol), codes.as("codes"))
+  }
+
+  /** PQ/ADC top-k (Jégou et al. 2011): approximate nearest neighbors
+    * over PQ codes via asymmetric distance — the query stays exact,
+    * the corpus is its m-byte codes, and per (query, row) the distance
+    * is m table lookups summed in exact long arithmetic. Query-side
+    * distance tables (m×ksub exact micro dist2 per query) are computed
+    * driver-side — queries are small by construction — flattened, and
+    * broadcast; the scan is one compiled kernel over the codes.
+    * Everything integer → bit-replicable in SQL. Ranking is
+    * (adc_dist asc, neighbor_id asc), a total order. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    val dsub = cbs.head.head.length
+    // stride = rows actually seeded (ids may be sparse below ksub)
+    val kAct = cbs.head.length
+    val codes = pqEncode(corpus, idCol, vecCol, cbs)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qtabs: Seq[(Long, Seq[Long])] =
+      queries.select(col(idCol), col(vecCol)).orderBy(col(idCol)).collect()
+        .toSeq.map { r =>
+          val qm = r.getSeq[Any](1).map(microOf).toArray
+          val flat = for (s <- 0 until m; c <- 0 until cbs(s).length) yield {
+            var d = 0L
+            var p = 0
+            while (p < dsub) {
+              val t = qm(s * dsub + p) - cbs(s)(c)(p)
+              d += t * t
+              p += 1
+            }
+            d
+          }
+          (idOf(r.get(0)), flat)
+        }
+    val qdf = broadcast(spark.createDataFrame(qtabs)
+      .toDF("query_id", "__qtab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes.crossJoin(qdf)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        graft.functions.sketches.pq_adc(col("codes"), col("__qtab"), kAct))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
   /** Reciprocal-rank fusion of two ranked retrieval lists (exact +
     * approximate index, sparse + dense arm, ...): fused score =
     * Σ 1/(kRrf + rank) over the arms that ranked the candidate, the

@@ -149,6 +149,46 @@ object AdvancedQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY rrf_micro DESC, neighbor_id) AS INTEGER) AS rank FROM f)
         |SELECT query_id, rank, neighbor_id, rrf_micro FROM fr WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // PQ/ADC ANN (Jégou et al. 2011): 4 subspaces × 16 dims, 8
+    // centroids each (deterministic id-seeded codebooks, the q45
+    // rule); corpus → 4-byte codes via the compiled argmin kernel,
+    // query → flattened 4×8 exact-micro distance table, approximate
+    // distance = 4 table lookups summed in long (compiled pq_adc).
+    // The oracle replays codebooks/codes/tables/ADC in pure integer
+    // SQL, so the match is hash-exact.
+    QuerySpec("q88_ann_pq_adc",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, m = 4, ksub = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH mv AS (SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT) FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |sub AS (SELECT unnest(range(4)) AS s),
+        |cb AS (SELECT ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+        |    s, v[s*16+1:(s+1)*16] AS cv
+        |  FROM mv, sub WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, s, v[s*16+1:(s+1)*16] AS sv FROM mv, sub),
+        |codes AS (SELECT vec_id, s, cid FROM (
+        |    SELECT c.vec_id, c.s, b.cid, ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+        |      ORDER BY list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(c.sv, b.cv)]) ASC,
+        |        b.cid ASC) AS rn
+        |    FROM corp c JOIN cb b ON b.s = c.s) WHERE rn = 1),
+        |tab AS (SELECT q.vec_id AS query_id, q.s, b.cid,
+        |    list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(q.sv, b.cv)]) AS d
+        |  FROM corp q JOIN cb b ON b.s = q.s WHERE q.vec_id < 5),
+        |adc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+        |    CAST(SUM(t.d) AS BIGINT) AS adc_dist
+        |  FROM codes c JOIN tab t ON t.s = c.s AND t.cid = c.cid
+        |  WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc)
+        |SELECT query_id, rank, neighbor_id, adc_dist FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin))
   )
 }

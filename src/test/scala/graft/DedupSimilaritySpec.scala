@@ -276,6 +276,50 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(fused(1)._4 == math.floor(1e6 * (1.0 / 61)).toLong)
   }
 
+  test("PQ/ADC: codes are total, ADC distances exact, recall sane vs brute force") {
+    val queries = emb.filter($"vec_id" < 3)
+    // every corpus row must encode (codes are total over clean vectors)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+    assert(codes.filter($"codes".isNull).count() == 0)
+    assert(codes.count() == emb.count())
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .cache()
+    // ADC distance for one (query, neighbor) pair recomputed by hand
+    // from the driver-side codebooks must equal the kernel's output
+    val row = pq.orderBy($"query_id", $"rank").head()
+    val (qid, nid, adc) = (row.getLong(0), row.getLong(2), row.getLong(3))
+    val micro = (v: Seq[Any]) => v.map {
+      case f: Float => math.floor(f.toDouble * 1e6).toLong
+      case d: Double => math.floor(d * 1e6).toLong
+    }.toArray
+    val vecOf = (id: Long) => micro(emb.filter($"vec_id" === id)
+      .select($"embedding").head().getSeq[Any](0))
+    val (qv, nv) = (vecOf(qid), vecOf(nid))
+    val dsub = 16
+    val manual = (0 until 4).map { s =>
+      val nSub = nv.slice(s * dsub, (s + 1) * dsub)
+      // the neighbor's code = argmin over the subspace codebook
+      val code = cbs(s).zipWithIndex.minBy { case (c, i) =>
+        (c.zip(nSub).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }._2
+      qv.slice(s * dsub, (s + 1) * dsub).zip(cbs(s)(code))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    assert(adc == manual, s"ADC kernel $adc != manual $manual")
+    // recall vs exact top-20 (the q31 LSH discipline): PQ with 8
+    // untrained centroids per subspace is coarse; hits must still
+    // overlap the true neighborhood well above chance (20/500 = 4%)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = 20)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val hits = pq.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(hits.length == 3 * 10)
+    val recall = hits.count(exact.contains).toDouble / hits.length
+    assert(recall >= 0.2, s"recall=$recall")
+    pq.unpersist()
+  }
+
   test("trained IVF: kmeans codebook composes into ivfTopKTrained with sane recall") {
     val queries = emb.filter($"vec_id" < 3)
     val exact = Similarity.bruteForceTopK(emb, queries,

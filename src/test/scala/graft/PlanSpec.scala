@@ -128,9 +128,12 @@ class PlanSpec extends SparkSuite {
     // aggregate cross joins (q36 merges three scalar counters;
     // q53/q76 attach the corpus-stats scalar). q45 left this list in
     // r7: the IVF cell assignment is a compiled kernel scan now, so
-    // nothing in its plan may nested-loop.
+    // nothing in its plan may nested-loop. q88's BNL broadcasts the
+    // per-query ADC tables (queries × m·ksub longs by construction)
+    // against the corpus CODES — m bytes/row, the PQ scan shape.
     val bnlAllowed = Set("q30_ann_bruteforce",
-      "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion")
+      "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion",
+      "q88_ann_pq_adc")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
