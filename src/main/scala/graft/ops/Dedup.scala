@@ -221,7 +221,15 @@ object Dedup {
     * all-pairs, and a doc pair is scored once via the same
     * sizes-in-struct trick as [[ngramJaccardPairsPruned]]. Cost is
     * proportional to the BATCH, not the corpus — the property an
-    * incremental pipeline needs. */
+    * incremental pipeline needs.
+    *
+    * Precondition: no NULL texts on either side. The exact arm is an
+    * anti-join on the text key, and NULL never equi-joins — a
+    * NULL-text incoming row always survives it and a NULL corpus text
+    * can never match anything (SQL `NOT IN` over a corpus containing a
+    * NULL text would instead drop EVERY row — the two formulations
+    * only agree NULL-free, which is also what the q86 oracle assumes).
+    * Filter NULL texts upstream if the source allows them. */
   def dedupIncrement(corpus: DataFrame, incoming: DataFrame, idCol: String,
       textCol: String, k: Int, threshold: Double): DataFrame = {
     val exactSurvivors = incoming.join(
@@ -238,6 +246,28 @@ object Dedup {
         (col("n_sh") + col("__corp_n") - col("__inter")) >= threshold)
       .select(col("__inc_id").as(idCol)).distinct()
     exactSurvivors.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupIncrement]] composed with within-batch dedup — the call a
+    * real ingest makes on every batch: (1) batch-internal exact dedup
+    * (min-id canonical survives, [[deduplicated]]), (2) batch-internal
+    * near-dup dedup (min-id component canonical survives,
+    * [[nearDupDeduplicated]]), then (3) the batch-vs-corpus increment
+    * (exact + k-gram Jaccard anti-joins, [[dedupIncrement]]).
+    * Batch-THEN-corpus order is part of the contract (spec-pinned):
+    * a row dropped in favor of its within-batch canonical stays
+    * dropped even when that canonical then loses to the corpus — the
+    * cluster's content is already represented there; re-offering a
+    * member next batch is the ingest loop's decision, not this
+    * operator's. Scale shape: steps 1-2 cost ∝ batch² bounded by the
+    * shingle index (batches are small relative to the corpus), step 3
+    * stays ∝ batch as documented on [[dedupIncrement]]. Same no-NULL
+    * -text precondition as [[dedupIncrement]]. */
+  def dedupIncrementFull(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, k: Int, threshold: Double): DataFrame = {
+    val batchExact = deduplicated(incoming, idCol, textCol)
+    val batchNear = nearDupDeduplicated(batchExact, idCol, textCol, k, threshold)
+    dedupIncrement(corpus, batchNear, idCol, textCol, k, threshold)
   }
 
   /** The generic APPLY step over ANY candidate-pair source (exact
@@ -264,6 +294,12 @@ object Dedup {
       aCol: String, bCol: String,
       priority: org.apache.spark.sql.Column): DataFrame = {
     require(idCol != "component", "idCol 'component' collides with labels")
+    // a pre-existing column with either internal name would make the
+    // component join ambiguous and the final drop() would silently
+    // remove the caller's column (ADVICE r6)
+    require(!df.columns.contains("component") && !df.columns.contains("__rk"),
+      "df must not already have 'component' or '__rk' columns " +
+        "(internal labels of the survivor window)")
     val comp = nearDupComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
     val members = df.join(comp, Seq(idCol))
