@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * pairs quadratically in `factor` — a different (and unrealistically
   * adversarial) workload. The prefix keeps each copy's internal
   * shingle structure bit-identical while making vocab disjoint across
-  * copies, so near-dup density — pairs per document — matches the base
+  * copies (the `_` separator keeps the tag prefix-free: `c1` can never
+  * collide with a `c10` prefix at factor ≥ 10), so near-dup density —
+  * pairs per document — matches the base
   * corpus exactly and the honest expectation for every pipeline is
   * linear growth. Ids offset by i*10M per copy (disjoint by
   * construction: base ids are < 10M).
@@ -55,7 +57,7 @@ object ScaleStress {
       (0 until factor).map { i =>
         val off = df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L))
         if (prefixText)
-          off.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
+          off.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
         else off
       }.reduce(_ unionByName _)
     }

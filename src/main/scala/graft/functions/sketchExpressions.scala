@@ -324,7 +324,10 @@ case class VecTopCellsDist2(child: Expression, codebook: Array[Array[Double]],
     if (nOk == 0) return null
     // selection of the m best by (dist asc, index asc): strict < on an
     // ascending index scan keeps the first minimum, so ties break to
-    // the lowest index — the row_number (d asc, cent asc) rule
+    // the lowest index — the row_number (d asc, cent asc) rule.
+    // Double.compare, not `<`: NaN must order GREATEST (Spark's double
+    // sort order) — a raw `<` is always false against NaN, which would
+    // let a lower-index NaN distance win permanently (ADVICE r7)
     val m = math.min(n, nOk)
     val out = new Array[Int](m)
     val taken = new Array[Boolean](codebook.length)
@@ -334,7 +337,8 @@ case class VecTopCellsDist2(child: Expression, codebook: Array[Array[Double]],
       var bd = 0.0
       var q = 0
       while (q < codebook.length) {
-        if (ok(q) && !taken(q) && (best < 0 || ds(q) < bd)) {
+        if (ok(q) && !taken(q) &&
+            (best < 0 || java.lang.Double.compare(ds(q), bd) < 0)) {
           best = q; bd = ds(q)
         }
         q += 1

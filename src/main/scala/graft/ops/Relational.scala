@@ -68,12 +68,6 @@ object Relational {
     df.groupBy(col(keyCol))
       .agg(sort_array(collect_list(col(valueCol))).as(s"${valueCol}s"))
 
-  /** Skew-mitigating two-stage aggregation: salt the grouping key with
-    * a deterministic hash of `saltSource` (any row-distinguishing
-    * column), partially aggregate per (key, salt), then finalize per
-    * key. Semantics identical to a plain groupBy-count/sum; the hot key
-    * is spread over `salts` reducers in stage one — the manual fallback
-    * when AQE skew handling can't kick in (e.g. single mega-key). */
   /** Skew-safe equi-join: the manual salting fallback for the case AQE
     * skew splitting can't fix (one mega-key on the probe side joined
     * against a small-but-not-broadcastable build side). Probe rows get
@@ -101,6 +95,12 @@ object Relational {
   def modSample(df: DataFrame, keyCol: String, num: Int, denom: Int): DataFrame =
     df.filter(pmod(col(keyCol), lit(denom)) < num)
 
+  /** Skew-mitigating two-stage aggregation: salt the grouping key with
+    * a deterministic hash of `saltSource` (any row-distinguishing
+    * column), partially aggregate per (key, salt), then finalize per
+    * key. Semantics identical to a plain groupBy-count/sum; the hot key
+    * is spread over `salts` reducers in stage one — the manual fallback
+    * when AQE skew handling can't kick in (e.g. single mega-key). */
   def saltedAgg(df: DataFrame, keyCol: String, saltSource: String,
       salts: Int, sumCol: Option[String] = None): DataFrame = {
     val salted = df.withColumn("__salt",

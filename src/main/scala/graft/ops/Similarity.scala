@@ -89,7 +89,14 @@ object Similarity {
     * join — the classic inverted-file shape that bounds the candidate
     * list at any corpus size. Distances are rounded before argmin/rank
     * with id tiebreaks so cell assignment is a total order
-    * (oracle-replicable). */
+    * (oracle-replicable).
+    *
+    * Precondition (both IVF arms, ADVICE r7): vectors must be
+    * null-element-free and of the codebook's width. A row violating
+    * either gets a null cell from the kernel and is silently dropped
+    * by the inner probe join (the old window form assigned such rows
+    * a cell via nulls-first ordering) — filter dirty vectors upstream
+    * if the source allows them, as with dedupIncrement's NULL texts. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     val cent = corpus
@@ -137,6 +144,10 @@ object Similarity {
         case d: Double => d
         case x: Number => x.doubleValue()
       }.toArray)
+    // empty centroid source would otherwise surface as the kernel's
+    // opaque require at plan-build time (ADVICE r7)
+    require(cb.nonEmpty, "ivf: no centroid rows — nCentroids admits no " +
+      "corpus ids (untrained arm) or the trained centroid frame is empty")
     import graft.functions.sketches.vec_top_cells_dist2
     // corpus -> nearest cell: one compiled scan, zero shuffle
     val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
@@ -263,6 +274,11 @@ object Similarity {
       .map(_.getSeq[Any](0).map(microOf).toArray)
     require(seeds.nonEmpty, s"no corpus rows with $idCol < $ksub to seed PQ")
     val dims = seeds.head.length
+    // a ragged seed would silently produce short codebook rows that
+    // never win in vec_argmin_long, nulling every code (ADVICE r7)
+    require(seeds.forall(_.length == dims),
+      s"PQ seed vectors must share one width; saw ${dims} and " +
+        s"${seeds.map(_.length).find(_ != dims).get}")
     require(dims % m == 0, s"vector width $dims not divisible into $m subspaces")
     val dsub = dims / m
     Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
@@ -297,7 +313,8 @@ object Similarity {
     * Everything integer → bit-replicable in SQL. Ranking is
     * (adc_dist asc, neighbor_id asc), a total order. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, m: Int = 4, ksub: Int = 8): DataFrame = {
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 8,
+      maxQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
     val dsub = cbs.head.head.length
@@ -305,9 +322,15 @@ object Similarity {
     val kAct = cbs.head.length
     val codes = pqEncode(corpus, idCol, vecCol, cbs)
       .withColumnRenamed(idCol, "neighbor_id")
+    val qRows = queries.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(maxQueries + 1).collect()
+    // the collect is bounded by contract ("queries are small"); enforce
+    // it instead of trusting the doc comment (ADVICE r7)
+    require(qRows.length <= maxQueries,
+      s"pqTopK: query side exceeds $maxQueries rows — it is collected " +
+        "and broadcast; pre-chunk the queries or raise maxQueries")
     val qtabs: Seq[(Long, Seq[Long])] =
-      queries.select(col(idCol), col(vecCol)).orderBy(col(idCol)).collect()
-        .toSeq.map { r =>
+      qRows.toSeq.map { r =>
           val qm = r.getSeq[Any](1).map(microOf).toArray
           val flat = for (s <- 0 until m; c <- 0 until cbs(s).length) yield {
             var d = 0L
