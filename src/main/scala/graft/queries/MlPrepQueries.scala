@@ -27,6 +27,27 @@ object MlPrepQueries {
     1 -> "customer", 1 -> "slow",
     2 -> "hash", 2 -> "merge", 2 -> "scan")
 
+  /** The q89 incoming batch — planted exact dups (+2M), near-dups
+    * (+1M), new docs (+3M), a within-batch exact copy of the new arm
+    * (+4M) and a within-batch near-dup of it (+5M). Shared with q90
+    * (the indexed twin must see the SAME inputs). */
+  private[queries] def incrementFullBatch(
+      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val newText = regexp_replace(col("text"), "(\\S+)", "zq$1")
+    corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zzqx")).as("text"))
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 5)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
+        .select((col("doc_id") + 3000000).as("doc_id"), newText.as("text")))
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
+        .select((col("doc_id") + 4000000).as("doc_id"), newText.as("text")))
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(newText, lit(" vvqx")).as("text")))
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // TF-IDF top-3 terms per document (smoothed idf, total-order rank).
@@ -702,20 +723,8 @@ object MlPrepQueries {
     QuerySpec("q89_dedup_increment_full",
       (s, dir) => {
         val corpus = table(s, dir, "documents")
-        val newText = regexp_replace(col("text"), "(\\S+)", "zq$1")
-        val incoming = corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            concat(col("text"), lit(" zzqx")).as("text"))
-          .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 5)
-            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-          .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
-            .select((col("doc_id") + 3000000).as("doc_id"), newText.as("text")))
-          .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
-            .select((col("doc_id") + 4000000).as("doc_id"), newText.as("text")))
-          .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
-            .select((col("doc_id") + 5000000).as("doc_id"),
-              concat(newText, lit(" vvqx")).as("text")))
-        graft.ops.Dedup.dedupIncrementFull(corpus, incoming, "doc_id", "text",
+        graft.ops.Dedup.dedupIncrementFull(corpus,
+            incrementFullBatch(corpus), "doc_id", "text",
             k = 3, threshold = 0.5)
           .select(col("doc_id"))
           .orderBy(col("doc_id"))

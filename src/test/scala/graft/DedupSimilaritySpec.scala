@@ -109,6 +109,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(keptTwins == 2)
   }
 
+  test("indexAppend: append-then-read == recompute-from-union, both frames") {
+    val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val accepted = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"text")
+    val (idx2, keys2) = Dedup.indexAppend(
+      Dedup.corpusShingleIndex(corpus, "doc_id", "text", k = 3),
+      Dedup.corpusTextKeys(corpus, "text"),
+      accepted, "doc_id", "text", k = 3)
+    val full = corpus.unionByName(accepted)
+    val idxFull = Dedup.corpusShingleIndex(full, "doc_id", "text", k = 3)
+    val keysFull = Dedup.corpusTextKeys(full, "text")
+    assert(idx2.exceptAll(idxFull).count() == 0 &&
+      idxFull.exceptAll(idx2).count() == 0, "index append != recompute")
+    assert(keys2.exceptAll(keysFull).count() == 0 &&
+      keysFull.exceptAll(keys2).count() == 0, "keyset append != recompute")
+    assert(idx2.count() > 0 && keys2.count() > 0)
+  }
+
+  test("dedupIncrementFullIndexed over a materialized index == in-query form") {
+    val corpus = docs.select($"doc_id", $"text")
+    // q89-shaped batch: exact corpus dup, corpus near-dup, fresh doc,
+    // plus a within-batch exact copy and near-dup of the fresh doc
+    val fresh = regexp_replace($"text", "(\\S+)", "zq$1")
+    val incoming = corpus.filter($"doc_id" % 11 === 3)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" zzqx")).as("text"))
+      .unionByName(corpus.filter($"doc_id" % 11 === 5)
+        .select(($"doc_id" + 2000000).as("doc_id"), $"text"))
+      .unionByName(corpus.filter($"doc_id" % 11 === 1)
+        .select(($"doc_id" + 3000000).as("doc_id"), fresh.as("text")))
+      .unionByName(corpus.filter($"doc_id" % 11 === 1)
+        .select(($"doc_id" + 4000000).as("doc_id"), fresh.as("text")))
+    val direct = Dedup.dedupIncrementFull(corpus, incoming,
+        "doc_id", "text", k = 3, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val idx = Dedup.corpusShingleIndex(corpus, "doc_id", "text", k = 3)
+      .localCheckpoint()
+    val keys = Dedup.corpusTextKeys(corpus, "text").localCheckpoint()
+    val viaIndex = Dedup.dedupIncrementFullIndexed(idx, keys, incoming,
+        "doc_id", "text", k = 3, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaIndex == direct, s"indexed=${viaIndex.size} direct=${direct.size}")
+    // only the +3M fresh arm survives (its +4M copies lose within-batch)
+    assert(direct.nonEmpty && direct.forall(id => id >= 3000000L && id < 4000000L))
+  }
+
   test("dedupByPairsPriority: highest-priority member survives its cluster") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", 10),
