@@ -317,34 +317,12 @@ object Similarity {
       maxQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
-    val dsub = cbs.head.head.length
     // stride = rows actually seeded (ids may be sparse below ksub)
     val kAct = cbs.head.length
     val codes = pqEncode(corpus, idCol, vecCol, cbs)
       .withColumnRenamed(idCol, "neighbor_id")
-    val qRows = queries.select(col(idCol), col(vecCol)).orderBy(col(idCol))
-      .limit(maxQueries + 1).collect()
-    // the collect is bounded by contract ("queries are small"); enforce
-    // it instead of trusting the doc comment (ADVICE r7)
-    require(qRows.length <= maxQueries,
-      s"pqTopK: query side exceeds $maxQueries rows — it is collected " +
-        "and broadcast; pre-chunk the queries or raise maxQueries")
-    val qtabs: Seq[(Long, Seq[Long])] =
-      qRows.toSeq.map { r =>
-          val qm = r.getSeq[Any](1).map(microOf).toArray
-          val flat = for (s <- 0 until m; c <- 0 until cbs(s).length) yield {
-            var d = 0L
-            var p = 0
-            while (p < dsub) {
-              val t = qm(s * dsub + p) - cbs(s)(c)(p)
-              d += t * t
-              p += 1
-            }
-            d
-          }
-          (idOf(r.get(0)), flat)
-        }
-    val qdf = broadcast(spark.createDataFrame(qtabs)
+    val qdf = broadcast(spark.createDataFrame(
+        adcTables(queries, idCol, vecCol, cbs, maxQueries))
       .toDF("query_id", "__qtab"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
@@ -352,6 +330,102 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist",
         graft.functions.sketches.pq_adc(col("codes"), col("__qtab"), kAct))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** Per-query flattened ADC distance tables: for each collected query
+    * vector, the exact integer-micro squared-L2 from its s-th
+    * sub-vector to every centroid of subspace s, flattened m×ksub —
+    * the broadcastable lookup side of the [[PqAdcDist]] kernel. The
+    * collect is bounded (`maxQueries`), per the pq/ivfadc contract
+    * that queries are small. */
+  private def adcTables(queries: DataFrame, idCol: String, vecCol: String,
+      cbs: Array[Array[Array[Long]]], maxQueries: Int): Seq[(Long, Seq[Long])] = {
+    val m = cbs.length
+    val dsub = cbs.head.head.length
+    val qRows = queries.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(maxQueries + 1).collect()
+    // enforce the bound instead of trusting the doc comment (ADVICE r7)
+    require(qRows.length <= maxQueries,
+      s"ADC query side exceeds $maxQueries rows — it is collected " +
+        "and broadcast; pre-chunk the queries or raise maxQueries")
+    qRows.toSeq.map { r =>
+      val qm = r.getSeq[Any](1).map(microOf).toArray
+      val flat = for (s <- 0 until m; c <- 0 until cbs(s).length) yield {
+        var d = 0L
+        var p = 0
+        while (p < dsub) {
+          val t = qm(s * dsub + p) - cbs(s)(c)(p)
+          d += t * t
+          p += 1
+        }
+        d
+      }
+      (idOf(r.get(0)), flat)
+    }
+  }
+
+  /** IVFADC (Jégou, Douze, Schmid, TPAMI 2011, §V): the coarse IVF
+    * cell pruning of [[ivfTopK]] composed with the PQ/ADC scan of
+    * [[pqTopK]] — the paper's production form, replacing q88's
+    * scan-every-code shape (VERDICT r7 #2). The corpus is stored as
+    * (cell, m-byte codes) in ONE compiled scan (both kernels in the
+    * same projection, zero shuffle); a query probes its `nProbe`
+    * nearest coarse cells and evaluates ADC only inside them, so the
+    * broadcast-hash probe join on the cell replaces the BNL and the
+    * candidate list is bounded at any corpus size. PQ encodes the RAW
+    * vectors (the paper's refinement encodes residuals, which needs
+    * per-cell codebooks; raw-vector PQ keeps every stage
+    * integer-SQL-replicable — the q88 precedent). Coarse quantizer and
+    * PQ codebooks are both id-seeded (the q45/q88 rule); ranking is
+    * (adc_dist asc, neighbor_id asc), a total order. Same null-free /
+    * uniform-width vector precondition as [[ivfTopK]]. */
+  def ivfadcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
+      m: Int = 4, ksub: Int = 8, maxQueries: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    import graft.functions.sketches.{vec_top_cells_dist2, pq_adc}
+    // coarse codebook: k·dims by definition, driver-held (the ivfWith
+    // discipline); float→double widening is exact
+    val cb: Array[Array[Double]] = corpus.filter(col(idCol) < nCentroids)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x: Number => x.doubleValue()
+      }.toArray)
+    require(cb.nonEmpty,
+      "ivfadc: no coarse centroid rows — nCentroids admits no corpus ids")
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    val kAct = cbs.head.length
+    val dsub = cbs.head.head.length
+    // corpus -> (cell, codes): one scan, zero shuffle — this m-bytes+
+    // cell frame IS the IVFADC index a 100 TB deployment persists
+    val codesExpr = array(cbs.zipWithIndex.map { case (scb, s) =>
+      graft.functions.sketches.vec_argmin_long(
+        slice(col("__mv"), s * dsub + 1, dsub), scb)
+    }.toSeq: _*)
+    val assign = corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => floor(x.cast("double") * 1e6).cast("long"))
+          .as("__mv"),
+        element_at(vec_top_cells_dist2(col(vecCol), cb, 1), 1).as("cell"))
+      .select(col("neighbor_id"), col("cell"), codesExpr.as("codes"))
+    // query side: nProbe best-first cells (engine kernel) + the ADC
+    // table (driver-built, the pqTopK path) — both query-scale
+    val qdf = spark.createDataFrame(
+        adcTables(queries, idCol, vecCol, cbs, maxQueries))
+      .toDF("query_id", "__qtab")
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"),
+        explode(vec_top_cells_dist2(col(vecCol), cb, nProbe)).as("cell"))
+      .join(qdf, Seq("query_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    probes.join(assign, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", pq_adc(col("codes"), col("__qtab"), kAct))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))

@@ -12,6 +12,10 @@ import QuerySpec.table
   * shared/derived from the existing ones. */
 object IndexedQueries {
 
+  private def dist2Sql(a: String, b: String): String =
+    s"""list_sum([(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) *
+       | (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) FOR z IN list_zip($a, $b)])""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // Incremental dedup against a MATERIALIZED corpus index: the
@@ -36,6 +40,61 @@ object IndexedQueries {
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       },
-      MlPrepQueries.all.find(_.name == "q89_dedup_increment_full").get.oracle)
+      MlPrepQueries.all.find(_.name == "q89_dedup_increment_full").get.oracle),
+
+    // IVFADC (the production form of the paper q88 cites): coarse IVF
+    // cells prune the corpus, ADC scores only the probed cells' codes.
+    // 8 coarse cells / probe 2; PQ 4x16 dims, 8 centroids per
+    // subspace, all id-seeded — the q45 + q88 rules composed, so the
+    // oracle is their CTEs composed: cell assignment via the pinned
+    // crossJoin+row_number replay, codes/tables in pure integer SQL,
+    // ADC restricted by the probe join instead of scanning every code.
+    QuerySpec("q91_ann_ivfadc",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.ivfadcTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 2,
+            m = 4, ksub = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 8),
+        |cella AS (SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT e.vec_id, c.cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
+        |    FROM e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rn <= 2),
+        |mv AS (SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT) FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |sub AS (SELECT unnest(range(4)) AS s),
+        |cb AS (SELECT ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+        |    s, v[s*16+1:(s+1)*16] AS pv
+        |  FROM mv, sub WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, s, v[s*16+1:(s+1)*16] AS sv FROM mv, sub),
+        |codes AS (SELECT vec_id, s, cid FROM (
+        |    SELECT c.vec_id, c.s, b.cid, ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+        |      ORDER BY list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(c.sv, b.pv)]) ASC,
+        |        b.cid ASC) AS rn
+        |    FROM corp c JOIN cb b ON b.s = c.s) WHERE rn = 1),
+        |tab AS (SELECT q.vec_id AS query_id, q.s, b.cid,
+        |    list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(q.sv, b.pv)]) AS d
+        |  FROM corp q JOIN cb b ON b.s = q.s WHERE q.vec_id < 5),
+        |adc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+        |    CAST(SUM(t.d) AS BIGINT) AS adc_dist
+        |  FROM codes c JOIN tab t ON t.s = c.s AND t.cid = c.cid
+        |  JOIN cella a ON a.vec_id = c.vec_id
+        |  JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell
+        |  WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc)
+        |SELECT query_id, rank, neighbor_id, adc_dist FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin))
   )
 }

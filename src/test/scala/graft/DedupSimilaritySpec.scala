@@ -365,6 +365,35 @@ class DedupSimilaritySpec extends SparkSuite {
     pq.unpersist()
   }
 
+  test("IVFADC: pruning preserves ADC distances; recall sane vs exhaustive ADC") {
+    val queries = emb.filter($"vec_id" < 3)
+    val exhaustive = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, m = 4, ksub = 8)
+      .select($"query_id", $"neighbor_id", $"adc_dist")
+      .as[(Long, Long, Long)].collect()
+    val pruned = Similarity.ivfadcTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nCentroids = 8, nProbe = 2, m = 4, ksub = 8)
+      .select($"query_id", $"neighbor_id", $"adc_dist")
+      .as[(Long, Long, Long)].collect()
+    // every query answered, never more than k rows
+    assert(pruned.groupBy(_._1).forall(_._2.length <= 10))
+    assert(pruned.map(_._1).toSet == Set(0L, 1L, 2L))
+    // pruning must not CHANGE a distance — shared (query, neighbor)
+    // pairs carry the identical ADC value
+    val exMap = exhaustive.map(t => (t._1, t._2) -> t._3).toMap
+    pruned.foreach { case (q, n, d) =>
+      exMap.get((q, n)).foreach(ed => assert(ed == d,
+        s"ADC dist diverged under pruning for ($q,$n): $d vs $ed"))
+    }
+    // probing 2 of 8 cells: the pruned top-10 must still recover a
+    // healthy share of the exhaustive-ADC top-10 (well above the 2/8
+    // chance floor)
+    val exSet = exhaustive.map(t => (t._1, t._2)).toSet
+    val recall = pruned.count(t => exSet.contains((t._1, t._2))).toDouble /
+      exhaustive.length
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("trained IVF: kmeans codebook composes into ivfTopKTrained with sane recall") {
     val queries = emb.filter($"vec_id" < 3)
     val exact = Similarity.bruteForceTopK(emb, queries,

@@ -162,6 +162,19 @@ class PlanSpec extends SparkSuite {
       s"expected the compiled top-cells kernel in the plan:\n$p")
   }
 
+  test("q91 IVFADC: cell-pruned probe join — both kernels, no BNL, 1 window") {
+    // the corpus arm is ONE compiled scan producing (cell, codes); the
+    // probe side replaces q88's crossJoin — nothing may nested-loop,
+    // and the only Window is the final top-k rank
+    val p = plan("q91_ann_ivfadc")
+    val windows = "(?m)^\\s*[*+-]*\\s*Window ".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly 1 Window (query_id top-k):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVFADC must stay a keyed probe join:\n$p")
+    assert(p.contains("vec_top_cells_dist2") && p.contains("pq_adc"),
+      s"expected both compiled kernels in the plan:\n$p")
+  }
+
   test("q63/q64 dedup pipelines: 2 keyed exchanges, no nested-loop joins") {
     // the plans proven in round 2 must not silently regress: candidate
     // generation is keyed (bucket-by-shingle) and scoring is keyed
