@@ -284,6 +284,32 @@ object Similarity {
     Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
   }
 
+  /** TRAINED product-quantization codebooks: [[kmeansMicro]] run over
+    * each of the `m` sub-vector slices — the composition the
+    * [[pqCodebooks]] doc promises (id-seeded seeds are the
+    * SQL-replicable baseline; Lloyd iterations are what the paper
+    * actually trains). Every stage stays in exact integer micros with
+    * fixed iteration counts, so the whole training run is
+    * bit-replicable in SQL (the q72 discipline, grouped by subspace).
+    * Returns codebooks[s][c][p], the [[pqEncode]]/[[pqTopKWith]]
+    * shape; k·dims longs by definition, driver-held. */
+  def pqCodebooksTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Array[Array[Array[Long]]] = {
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"vector width $dims not divisible into $m subspaces")
+    val dsub = dims / m
+    Array.tabulate(m) { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as("__sv"))
+      val longForm = kmeansMicro(sub, idCol, "__sv", ksub, iters)
+        .orderBy(col("cent_id"), col("dim")).collect()
+      val k = longForm.map(_.getInt(0)).max + 1
+      val out = Array.ofDim[Long](k, dsub)
+      longForm.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      out
+    }
+  }
+
   /** PQ-encode the corpus: per row, the per-subspace index of its
     * nearest codebook centroid by exact integer-micro squared-L2
     * (ties to the lowest index — the [[VecArgminLong]] rule). One
@@ -314,9 +340,16 @@ object Similarity {
     * (adc_dist asc, neighbor_id asc), a total order. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 4, ksub: Int = 8,
+      maxQueries: Int = 100000): DataFrame =
+    pqTopKWith(corpus, queries, idCol, vecCol, k,
+      pqCodebooks(corpus, idCol, vecCol, m, ksub), maxQueries)
+
+  /** [[pqTopK]] over CALLER-SUPPLIED codebooks — the entry point for
+    * [[pqCodebooksTrained]] (or any persisted codebook set). */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cbs: Array[Array[Array[Long]]],
       maxQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
-    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
     // stride = rows actually seeded (ids may be sparse below ksub)
     val kAct = cbs.head.length
     val codes = pqEncode(corpus, idCol, vecCol, cbs)

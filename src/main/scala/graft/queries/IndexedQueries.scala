@@ -95,6 +95,61 @@ object IndexedQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc)
         |SELECT query_id, rank, neighbor_id, adc_dist FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin))
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // TRAINED PQ codebooks: Lloyd k-means (the q72 kernel) over each
+    // of the 4 sub-vector slices — 4 subspaces x 4 centroids x 2
+    // iterations in exact integer micros, so the oracle unrolls the
+    // whole training run in SQL, grouped by subspace (the q72
+    // generator extended with an `s` key). Long-form output
+    // (s, cent_id, dim, c_micro).
+    QuerySpec("q92_pq_codebooks_trained",
+      (sp, dir) => {
+        val e = table(sp, dir, "embeddings")
+        val cbs = Similarity.pqCodebooksTrained(e, "vec_id", "embedding",
+          m = 4, ksub = 4, iters = 2)
+        val rows = cbs.zipWithIndex.toSeq.flatMap { case (scb, sIdx) =>
+          scb.zipWithIndex.toSeq.flatMap { case (c, cid) =>
+            c.zipWithIndex.toSeq.map { case (v, dim) => (sIdx, cid, dim, v) }
+          }
+        }
+        sp.createDataFrame(rows).toDF("s", "cent_id", "dim", "c_micro")
+          .orderBy(col("s"), col("cent_id"), col("dim"))
+      },
+      Some {
+        def iterSql(i: Int, prev: String): String =
+          s"""d$i AS (SELECT em.s, em.vec_id, c.cent_id,
+             |    SUM((em.x - c.c) * (em.x - c.c)) AS d
+             |  FROM em JOIN $prev c ON c.s = em.s AND c.dim = em.dim
+             |  GROUP BY em.s, em.vec_id, c.cent_id),
+             |a$i AS (SELECT s, vec_id, cent_id FROM (
+             |    SELECT s, vec_id, cent_id,
+             |      row_number() OVER (PARTITION BY s, vec_id
+             |        ORDER BY d, cent_id) AS rn
+             |    FROM d$i) WHERE rn = 1),
+             |u$i AS (SELECT a.s, a.cent_id, em.dim,
+             |    CAST(floor(CAST(SUM(em.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             |  FROM a$i a JOIN em ON em.vec_id = a.vec_id AND em.s = a.s
+             |  GROUP BY a.s, a.cent_id, em.dim),
+             |c$i AS (SELECT p.s, p.cent_id, p.dim, COALESCE(u$i.c, p.c) AS c
+             |  FROM $prev p LEFT JOIN u$i
+             |    ON u$i.s = p.s AND u$i.cent_id = p.cent_id AND u$i.dim = p.dim)"""
+            .stripMargin
+        val chain = (1 to 2).map(i => iterSql(i, s"c${i - 1}")).mkString(",\n")
+        s"""WITH em0 AS (SELECT vec_id,
+           |    generate_subscripts(embedding, 1) - 1 AS idx,
+           |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
+           |  FROM embeddings),
+           |em AS (SELECT vec_id, CAST(idx // 16 AS INTEGER) AS s,
+           |    CAST(idx % 16 AS INTEGER) AS dim, x FROM em0),
+           |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           |      AS cent_id, vec_id
+           |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+           |c0 AS (SELECT em.s, sd.cent_id, em.dim, em.x AS c
+           |  FROM seed sd JOIN em ON em.vec_id = sd.vec_id),
+           |$chain
+           |SELECT s, cent_id, dim, c AS c_micro FROM c2
+           |ORDER BY s, cent_id, dim""".stripMargin
+      })
   )
 }

@@ -394,6 +394,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("trained PQ codebooks: valid shape, compose into pqTopKWith, recall >= id-seeded") {
+    val queries = emb.filter($"vec_id" < 3)
+    val m = 4; val ksub = 8
+    val seeded = Similarity.pqCodebooks(emb, "vec_id", "embedding", m, ksub)
+    val trained = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding",
+      m, ksub, iters = 3)
+    // shape: m subspaces x ksub centroids x dsub micros
+    assert(trained.length == m)
+    assert(trained.forall(_.length == ksub))
+    assert(trained.forall(_.forall(_.length == seeded.head.head.length)))
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = 20)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(cbs: Array[Array[Array[Long]]]): Double = {
+      val hits = Similarity.pqTopKWith(emb, queries, "vec_id", "embedding",
+          k = 10, cbs)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      hits.count(exact.contains).toDouble / hits.length
+    }
+    val rs = recallOf(seeded)
+    val rt = recallOf(trained)
+    // Lloyd iterations must not make the quantizer worse than its
+    // arbitrary id-seeded starting point
+    assert(rt >= rs, s"trained recall $rt < seeded recall $rs")
+  }
+
   test("trained IVF: kmeans codebook composes into ivfTopKTrained with sane recall") {
     val queries = emb.filter($"vec_id" < 3)
     val exact = Similarity.bruteForceTopK(emb, queries,
