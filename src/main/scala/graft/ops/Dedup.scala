@@ -623,14 +623,8 @@ object Dedup {
       k: Int = 2, numHashes: Int = 16, bands: Int = 4,
       estThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
-    val bandCols = (0 until bands).map { bIdx =>
-      val cols = (bIdx * r until (bIdx + 1) * r).map(i => col(s"h$i"))
-      xxhash64(cols: _*)
-    }
-    val banded = sigs.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+    val banded = lshBanded(sigs, idCol, numHashes, bands)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     val cand = a.join(b, Seq("band", "band_hash"))
@@ -646,6 +640,46 @@ object Dedup {
       .withColumn("est_jaccard", matches.cast("double") / numHashes)
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** The (id, band, band_hash) bucket frame of [[minhashLshPairs]]:
+    * signature lanes grouped into `bands` bands, each hashed to its
+    * LSH bucket key. `sigs` is the [[minhashSignatures]] frame. */
+  private def lshBanded(sigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { bIdx =>
+      val cols = (bIdx * r until (bIdx + 1) * r).map(i => col(s"h$i"))
+      xxhash64(cols: _*)
+    }
+    sigs.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** LSH bucket-size telemetry (carried round-6 ask): per band, the
+    * bucket tail a pipeline gates on BEFORE letting the candidate
+    * join run — bucket count, the largest bucket, and the EXACT
+    * candidate-pair count the band would emit (Σ n·(n-1)/2 over its
+    * buckets). An all-boilerplate corpus is visible here as one
+    * bucket holding ~the whole corpus (pairs ≈ N²/2) while the join
+    * is still unexecuted; gate on max_bucket / candidate_pairs and
+    * prune (maxDf, re-shingle, drop the band) first. Same banding as
+    * [[minhashLshPairs]]; two keyed aggregations, nothing quadratic —
+    * the diagnostic is always safe to run. */
+  def lshBandStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 2, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+    lshBanded(sigs, idCol, numHashes, bands)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bucket_size")).as("max_bucket"),
+        // n·(n-1) is even, so the /2 is exact in double up to 2^53
+        sum(col("bucket_size") * (col("bucket_size") - 1) / 2)
+          .cast("long").as("candidate_pairs"))
+      .orderBy(col("band"))
   }
 
   /** [[minhashLshPairs]] with an ENGINE-PORTABLE hash: lane i's

@@ -31,6 +31,78 @@ object StreamingIngest {
       Some(spark.read.parquet(snapshotDir))
     else None
 
+  /** Streaming incremental dedup ingest — the
+    * [[graft.ops.Dedup.dedupIncrementFullIndexed]] loop wired into
+    * `foreachBatch`: per micro-batch, full incremental dedup (batch
+    * exact + batch near-dup + corpus increment) against the PERSISTED
+    * corpus shingle index, then the survivors append to corpus, index,
+    * and text keyset. The corpus is never re-shingled — each epoch
+    * reads the index and writes its own delta, exactly the
+    * materialized-index contract.
+    *
+    * Commit protocol: all three frames write to one staging root,
+    * then a SINGLE atomic pointer swap (`<stateDir>/current`) commits
+    * them together — corpus/index/keys can never disagree, the
+    * manifest-swap discipline a table format provides at scale. Replay
+    * safety falls out of the semantics: re-delivering a committed
+    * epoch re-accepts nothing (every previously-accepted text is in
+    * the keyset, so the exact arm drops it) and recommits identical
+    * state. */
+  def dedupIngest(stream: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupIngestBatch(batch, idCol, textCol, k, threshold, stateDir)
+      }
+      .start()
+
+  /** One epoch of [[dedupIngest]], separated so the batch path is
+    * directly testable and reusable by a non-streaming ingest loop. */
+  def dedupIngestBatch(batch: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, stateDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.ops.Dedup
+    val spark = batch.sparkSession
+    val cur = s"$stateDir/current"
+    val exists = Files.exists(Paths.get(cur))
+    // materialize the survivors BEFORE any writes: the frames below
+    // are consumed three times and must not see mid-commit state
+    val accepted = (if (exists)
+        Dedup.dedupIncrementFullIndexed(
+          spark.read.parquet(s"$cur/index"), spark.read.parquet(s"$cur/keys"),
+          batch, idCol, textCol, k, threshold)
+      else // first epoch: no corpus yet — within-batch dedup only
+        Dedup.nearDupDeduplicated(
+          Dedup.deduplicated(batch, idCol, textCol),
+          idCol, textCol, k, threshold))
+      .localCheckpoint()
+    val (idx, keys) =
+      if (exists) Dedup.indexAppend(spark.read.parquet(s"$cur/index"),
+        spark.read.parquet(s"$cur/keys"), accepted, idCol, textCol, k)
+      else (Dedup.corpusShingleIndex(accepted, idCol, textCol, k),
+        Dedup.corpusTextKeys(accepted, textCol))
+    val corpus =
+      if (exists) spark.read.parquet(s"$cur/corpus").unionByName(accepted)
+      else accepted.toDF()
+    // stage all three, swap the ONE pointer
+    val staging = s"$stateDir/staging"
+    corpus.write.mode("overwrite").parquet(s"$staging/corpus")
+    idx.write.mode("overwrite").parquet(s"$staging/index")
+    keys.write.mode("overwrite").parquet(s"$staging/keys")
+    val curPath = Paths.get(cur)
+    if (Files.exists(curPath)) {
+      val old = Paths.get(s"$stateDir/old")
+      if (Files.exists(old)) {
+        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.move(curPath, old, StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.move(Paths.get(staging), curPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Start the ingest. `validateBatch` is the fail-fast gate (reference
     * abort semantics: throwing fails the streaming query BEFORE any
     * mutation of the snapshot — e.g. pass

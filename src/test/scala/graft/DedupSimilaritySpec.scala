@@ -109,6 +109,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(keptTwins == 2)
   }
 
+  test("lshBandStats: a planted boilerplate block is visible before the join") {
+    // 40 docs with IDENTICAL text -> identical signatures -> one
+    // bucket of 40 in every band; distinct background docs alongside
+    val boiler = (0L until 40L).map(i =>
+      (i, "copyright acme corp all rights reserved worldwide"))
+    val bg = (100L until 120L).map(i =>
+      (i, s"unique content w$i x$i y$i z$i"))
+    val df = (boiler ++ bg).toDF("doc_id", "text")
+    val stats = graft.ops.Dedup.lshBandStats(df, "doc_id", "text",
+        k = 2, numHashes = 16, bands = 4)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(stats.length == 4)
+    stats.foreach { case (band, _, maxBucket, pairs) =>
+      assert(maxBucket >= 40, s"band $band: hot bucket invisible ($maxBucket)")
+      // the quadratic tail (40 choose 2 = 780) is measured pre-join
+      assert(pairs >= 780L, s"band $band: candidate pairs $pairs")
+    }
+    // a clean corpus shows no such tail
+    val clean = graft.ops.Dedup.lshBandStats(bg.toDF("doc_id", "text"),
+        "doc_id", "text", k = 2, numHashes = 16, bands = 4)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(clean.forall(_._3 <= 2))
+  }
+
   test("indexAppend: append-then-read == recompute-from-union, both frames") {
     val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
     val accepted = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"text")

@@ -198,6 +198,66 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(snap).count() == 3) // snapshot unchanged
   }
 
+  test("streaming incremental dedup: indexed epochs match the batch form, replay-safe") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val state = s"$base/state"
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.dedupIngest(stream.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, threshold = 0.5, state, s"$base/ckpt")
+
+    // epoch 1: two distinct docs + a within-batch exact dup of the first
+    stream.addData(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta"))
+    q.processAllAvailable()
+    val ids1 = spark.read.parquet(s"$state/current/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids1 == Set(1L, 2L))
+
+    // epoch 2: corpus exact dup, corpus near-dup, fresh doc, and a
+    // within-batch copy of the fresh doc
+    val epoch2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon eta"),
+      (12L, "completely different words appear here now"),
+      (13L, "completely different words appear here now"))
+    stream.addData(epoch2: _*)
+    q.processAllAvailable()
+    val ids2 = spark.read.parquet(s"$state/current/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids2 == Set(1L, 2L, 12L))
+
+    // the batch form over the same two deliveries accepts the same docs
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val c1 = Dedup.nearDupDeduplicated(
+      Dedup.deduplicated(b1, "doc_id", "text"), "doc_id", "text", 3, 0.5)
+    val c2 = c1.unionByName(Dedup.dedupIncrementFull(c1,
+      epoch2.toDF("doc_id", "text"), "doc_id", "text", 3, 0.5))
+    assert(c2.select($"doc_id").as[Long].collect().toSet == ids2)
+
+    // replay: re-delivering epoch 2 re-accepts nothing
+    stream.addData(epoch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val ids3 = spark.read.parquet(s"$state/current/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids3 == ids2)
+
+    // the appended index stayed in sync with the committed corpus
+    val idx = spark.read.parquet(s"$state/current/index")
+    val expect = Dedup.corpusShingleIndex(
+      spark.read.parquet(s"$state/current/corpus"), "doc_id", "text", 3)
+    assert(idx.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(idx).count() == 0)
+  }
+
   test("streaming SCD2 ingest: conflicting same-id rows pick one deterministic survivor") {
     import graft.streaming.StreamingIngest
     implicit val sqlCtx = spark.sqlContext
