@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Scale evidence for the materialized-index incremental dedup (the
+  * round-8 flagship): with a FIXED incoming batch, grow the corpus by
+  * `factor` and compare per-batch cost of
+  *
+  *   - `dedupIncrement`         — in-query form, re-tokenizes and
+  *                                re-shingles the whole corpus per call
+  *   - `dedupIncrementIndexed`  — reads a parquet-persisted
+  *                                `corpusShingleIndex` + text keyset
+  *
+  * The index build is timed separately: it is the one-off (amortized
+  * per ingest loop via `indexAppend`), not the per-batch cost. The
+  * honest expectation is NOT that the indexed form is O(batch) — its
+  * corpus side still scans the index — but that the per-batch
+  * tokenize+shingle+explode recompute disappears, leaving a
+  * column-pruned parquet scan feeding the shingle-keyed join.
+  *
+  * Usage: IndexedScale [baseDir] [factor] [workDir]
+  * Prints one JSON line per (form, scale) with median-of-reps seconds.
+  */
+object IndexedScale {
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 8
+    val work = if (args.length > 2) args(2) else "/tmp/graft_idxscale"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-indexed-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // fixed fresh batch (disjoint vocab via prefix-free token tag), the
+    // same 500 docs at every corpus scale
+    val batch = docs.limit(500)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "zz_$1").as("text"))
+      .cache()
+    batch.count()
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def medianTime(run: () => Long): (Double, Long) = {
+      var n = 0L
+      val ts = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        n = run()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (ts(ts.length / 2), n)
+    }
+
+    for ((label, f) <- Seq("1x" -> 1, s"${factor}x" -> factor)) {
+      val dir = s"$work/$label"
+      (0 until f).map { i =>
+        docs.select((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/corpus.parquet")
+      val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+
+      val tb0 = System.nanoTime()
+      Dedup.corpusShingleIndex(corpus, "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(s"$dir/index.parquet")
+      Dedup.corpusTextKeys(corpus, "text")
+        .write.mode("overwrite").parquet(s"$dir/keys.parquet")
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val idx = spark.read.parquet(s"$dir/index.parquet")
+      val keys = spark.read.parquet(s"$dir/keys.parquet")
+
+      val (tIn, nIn) = medianTime(() =>
+        Dedup.dedupIncrement(corpus, batch, "doc_id", "text", 3, 0.5)
+          .queryExecution.toRdd.count())
+      val (tIdx, nIdx) = medianTime(() =>
+        Dedup.dedupIncrementIndexed(idx, keys, batch, "doc_id", "text", 3, 0.5)
+          .queryExecution.toRdd.count())
+      require(nIn == nIdx, s"forms disagree: $nIn vs $nIdx")
+      println(String.format(java.util.Locale.ROOT,
+        """{"scale":"%s","corpus_docs":%d,"batch_docs":500,"in_query_sec":%.3f,"indexed_sec":%.3f,"index_build_sec":%.3f,"rows":%d,"reps":%d}""",
+        label, Long.box(corpus.count()), Double.box(tIn), Double.box(tIdx),
+        Double.box(buildSec), Long.box(nIn), Int.box(reps)))
+    }
+    spark.stop()
+  }
+}
