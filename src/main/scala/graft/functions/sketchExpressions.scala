@@ -205,6 +205,49 @@ case class VecDist2Long(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** vec_sub_long(a, b): elementwise a − b over two array<long> vectors
+  * — the residual computation of IVFADC (x − coarse centroid) in
+  * exact integer micros, as a tight compiled loop instead of the
+  * interpreted `zip_with(a, b, (x,y) -> x - y)` lambda (one dispatch
+  * per ELEMENT on the corpus scan path). Null array, length mismatch,
+  * or any null element → null — the [[VecDist2Long]] semantics. */
+case class VecSubLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sub_long"
+
+  def build(x: ArrayData, y: ArrayData): ArrayData = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      out(i) = x.getLong(i) - y.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    build(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vsl", this, classOf[VecSubLong].getName)
+    val res = ctx.freshName("vslRes")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $res = $ref.build($a, $b);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $res; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** vec_argmin_long(x, codebook): index of the codebook row nearest to
   * the array<long> vector `x` by exact integer squared-L2; ties break
   * to the LOWEST index (strict `<` keeps the first minimum), matching
@@ -1060,6 +1103,8 @@ object sketches {
   def vec_dist2(a: Column, b: Column): Column = column(VecDist2(expression(a), expression(b)))
   def vec_dist2_long(a: Column, b: Column): Column =
     column(VecDist2Long(expression(a), expression(b)))
+  def vec_sub_long(a: Column, b: Column): Column =
+    column(VecSubLong(expression(a), expression(b)))
   def vec_argmin_long(x: Column, codebook: Array[Array[Long]]): Column =
     column(VecArgminLong(expression(x), codebook))
   def vec_top_cells_dist2(x: Column, codebook: Array[Array[Double]], n: Int): Column =

@@ -464,6 +464,129 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** RESIDUAL-encoding IVFADC — the form Jégou, Douze, Schmid (TPAMI
+    * 2011, §V.A) actually ship: PQ encodes the residual
+    * r = x − q1(x) (the vector minus its coarse centroid), which
+    * concentrates the quantizer's dynamic range on the within-cell
+    * displacement and is what [[ivfadcTopK]]'s raw-vector form trades
+    * away for simplicity. Everything stays in exact integer micros:
+    * centroids micro-quantize exactly like vectors, residuals are
+    * compiled long subtraction ([[graft.functions.VecSubLong]]),
+    * codes/tables are the [[pqTopK]] integer machinery — so the whole
+    * pipeline remains SQL-replicable. The query-side ADC table is
+    * built PER PROBED CELL (the query's residual differs per cell —
+    * the paper's multiple-assignment detail), queries × nProbe ×
+    * m·ksub longs, still driver-scale. Residual PQ seeds are the
+    * `ksub` lowest ids AT OR ABOVE `nCentroids`: a coarse-centroid
+    * row's own residual is the zero vector, so seeding from the
+    * centroid rows (the raw-vector rule) would collapse the codebook.
+    * Ranking is (adc_dist asc, neighbor_id asc). Same null-free /
+    * uniform-width precondition as [[ivfTopK]]. */
+  def ivfadcResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
+      m: Int = 4, ksub: Int = 8, maxQueries: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    import graft.functions.sketches.{vec_top_cells_dist2, vec_sub_long, pq_adc}
+    val toDoubles = (r: org.apache.spark.sql.Row) =>
+      r.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x: Number => x.doubleValue()
+      }.toArray
+    val cb: Array[Array[Double]] = corpus.filter(col(idCol) < nCentroids)
+      .orderBy(col(idCol)).select(col(vecCol)).collect().map(toDoubles)
+    require(cb.nonEmpty,
+      "ivfadc-residual: no coarse centroid rows — nCentroids admits no ids")
+    // centroid micros derive EXACTLY like vector micros (floor(d*1e6)
+    // on the widened double), so residual arithmetic is closed in longs
+    val cmicro: Array[Array[Long]] =
+      cb.map(_.map(d => math.floor(d * 1e6).toLong))
+    // driver-side cell assignment reuses the SAME kernel the engine
+    // runs (a Literal child only fixes the element type)
+    val cellKernel = graft.functions.VecTopCellsDist2(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq.empty[Double],
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      cb, math.max(1, nProbe))
+    def cellsOf(v: Array[Double]): Array[Int] =
+      cellKernel.build(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    def microOfVec(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1e6).toLong)
+
+    // residual PQ codebooks from the ksub lowest NON-centroid ids
+    val seedRows = corpus
+      .filter(col(idCol) >= nCentroids && col(idCol) < nCentroids + ksub)
+      .orderBy(col(idCol)).select(col(vecCol)).collect().map(toDoubles)
+    require(seedRows.nonEmpty,
+      s"ivfadc-residual: no rows with $idCol in [$nCentroids, ${nCentroids + ksub})")
+    val seedRes: Array[Array[Long]] = seedRows.map { v =>
+      val cell = cellsOf(v)(0)
+      microOfVec(v).zip(cmicro(cell)).map { case (a, b) => a - b }
+    }
+    val dims = seedRes.head.length
+    require(seedRes.forall(_.length == dims), "ragged seed widths")
+    require(dims % m == 0, s"width $dims not divisible into $m subspaces")
+    val dsub = dims / m
+    val rcbs: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(s => seedRes.map(_.slice(s * dsub, (s + 1) * dsub)))
+    val kAct = rcbs.head.length
+
+    // corpus: cell (compiled kernel) + residual (broadcast centroid
+    // lookup + compiled subtraction) + codes, one scan shape
+    val centDf = broadcast(spark.createDataFrame(
+        cmicro.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "__cmv"))
+    val codesExpr = array(rcbs.zipWithIndex.map { case (scb, s) =>
+      graft.functions.sketches.vec_argmin_long(
+        slice(col("__rv"), s * dsub + 1, dsub), scb)
+    }.toSeq: _*)
+    val assign = corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => floor(x.cast("double") * 1e6).cast("long"))
+          .as("__mv"),
+        element_at(vec_top_cells_dist2(col(vecCol), cb, 1), 1).as("cell"))
+      .join(centDf, Seq("cell"))
+      .withColumn("__rv", vec_sub_long(col("__mv"), col("__cmv")))
+      .select(col("neighbor_id"), col("cell"), codesExpr.as("codes"))
+
+    // query side: per (query, probed cell) a residual ADC table
+    val qRows = queries.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"ADC query side exceeds $maxQueries rows — pre-chunk the queries")
+    val probeRows: Seq[(Long, Int, Seq[Long])] = qRows.toSeq.flatMap { r =>
+      val qid = idOf(r.get(0))
+      val v = toDoubles(org.apache.spark.sql.Row(r.get(1)))
+      val mv = microOfVec(v)
+      cellsOf(v).take(nProbe).toSeq.map { cell =>
+        val qr = mv.zip(cmicro(cell)).map { case (a, b) => a - b }
+        val flat = for (s <- 0 until m; c <- 0 until kAct) yield {
+          var d = 0L
+          var p = 0
+          while (p < dsub) {
+            val t = qr(s * dsub + p) - rcbs(s)(c)(p)
+            d += t * t
+            p += 1
+          }
+          d
+        }
+        (qid, cell, flat)
+      }
+    }
+    val probes = broadcast(spark.createDataFrame(probeRows)
+      .toDF("query_id", "cell", "__qtab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    probes.join(assign, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", pq_adc(col("codes"), col("__qtab"), kAct))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
   /** Reciprocal-rank fusion of two ranked retrieval lists (exact +
     * approximate index, sparse + dense arm, ...): fused score =
     * Σ 1/(kRrf + rank) over the arms that ranked the candidate, the

@@ -150,6 +150,75 @@ object IndexedQueries {
            |$chain
            |SELECT s, cent_id, dim, c AS c_micro FROM c2
            |ORDER BY s, cent_id, dim""".stripMargin
-      })
+      }),
+
+    // RESIDUAL-encoding IVFADC — the paper's shipped form: PQ encodes
+    // x − q1(x) per cell, the query's ADC table is built per probed
+    // cell, and residual codebooks seed from the ksub lowest
+    // NON-centroid ids (a centroid's own residual is the zero vector).
+    // All integer micros end-to-end; the oracle replays cells,
+    // residuals, codebooks, codes, per-cell tables, and the pruned ADC
+    // in pure SQL. Cell ids are rank positions on both sides.
+    QuerySpec("q93_ann_ivfadc_residual",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.ivfadcResidualTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 2,
+            m = 4, ksub = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |      AS ccell, embedding AS cv
+        |  FROM e WHERE vec_id < 8),
+        |cella AS (SELECT vec_id, ccell FROM (
+        |    SELECT e.vec_id, c.ccell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.ccell) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, ccell FROM (
+        |    SELECT e.vec_id, c.ccell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.ccell) AS rn
+        |    FROM e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rn <= 2),
+        |mv AS (SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT) FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |cmv AS (SELECT ccell,
+        |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT) FOR x IN cv] AS v
+        |  FROM cent),
+        |res AS (SELECT m.vec_id, a.ccell,
+        |    [z[1] - z[2] FOR z IN list_zip(m.v, c.v)] AS r
+        |  FROM mv m JOIN cella a ON a.vec_id = m.vec_id
+        |  JOIN cmv c ON c.ccell = a.ccell),
+        |sub AS (SELECT unnest(range(4)) AS s),
+        |rcb AS (SELECT CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+        |      AS INTEGER) AS cid, s, r[s*16+1:(s+1)*16] AS pv
+        |  FROM res, sub WHERE vec_id >= 8 AND vec_id < 16),
+        |rsub AS (SELECT vec_id, s, r[s*16+1:(s+1)*16] AS sv FROM res, sub),
+        |codes AS (SELECT vec_id, s, cid FROM (
+        |    SELECT c.vec_id, c.s, b.cid, ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+        |      ORDER BY list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(c.sv, b.pv)]) ASC,
+        |        b.cid ASC) AS rn
+        |    FROM rsub c JOIN rcb b ON b.s = c.s) WHERE rn = 1),
+        |qres AS (SELECT p.query_id, p.ccell,
+        |    [z[1] - z[2] FOR z IN list_zip(m.v, c.v)] AS r
+        |  FROM probes p JOIN mv m ON m.vec_id = p.query_id
+        |  JOIN cmv c ON c.ccell = p.ccell),
+        |qrsub AS (SELECT query_id, ccell, s, r[s*16+1:(s+1)*16] AS sv FROM qres, sub),
+        |tab AS (SELECT q.query_id, q.ccell, q.s, b.cid,
+        |    list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(q.sv, b.pv)]) AS d
+        |  FROM qrsub q JOIN rcb b ON b.s = q.s),
+        |adc AS (SELECT t.query_id, cd.vec_id AS neighbor_id,
+        |    CAST(SUM(t.d) AS BIGINT) AS adc_dist
+        |  FROM codes cd
+        |  JOIN cella a ON a.vec_id = cd.vec_id
+        |  JOIN tab t ON t.s = cd.s AND t.cid = cd.cid AND t.ccell = a.ccell
+        |  WHERE cd.vec_id <> t.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc)
+        |SELECT query_id, rank, neighbor_id, adc_dist FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin))
   )
 }

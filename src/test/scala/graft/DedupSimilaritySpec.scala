@@ -418,6 +418,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("residual IVFADC: deterministic, non-negative dists, recall above chance") {
+    val queries = emb.filter($"vec_id" < 3)
+    def run() = Similarity.ivfadcResidualTopK(emb, queries,
+        "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 2,
+        m = 4, ksub = 8)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val a = run()
+    assert(a == run())                       // bit-stable across runs
+    assert(a.forall(_._4 >= 0))              // sums of squares
+    assert(a.map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(a.groupBy(_._1).forall(_._2.length <= 10))
+    // recall vs the exact cosine top-20 (the q88 discipline): residual
+    // quantization with probed cells must beat the 4% chance floor
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = 20)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = a.count(t => exact.contains((t._1, t._3))).toDouble / a.length
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("trained PQ codebooks: valid shape, compose into pqTopKWith, recall >= id-seeded") {
     val queries = emb.filter($"vec_id" < 3)
     val m = 4; val ksub = 8

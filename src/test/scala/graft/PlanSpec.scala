@@ -175,6 +175,17 @@ class PlanSpec extends SparkSuite {
       s"expected both compiled kernels in the plan:\n$p")
   }
 
+  test("q93 residual IVFADC: same keyed probe-join shape as q91") {
+    val p = plan("q93_ann_ivfadc_residual")
+    val windows = "(?m)^\\s*[*+-]*\\s*Window ".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly 1 Window (query_id top-k):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"residual IVFADC must stay a keyed probe join:\n$p")
+    assert(p.contains("vec_top_cells_dist2") && p.contains("pq_adc") &&
+      p.contains("vec_sub_long"),
+      s"expected the cell, residual, and ADC kernels in the plan:\n$p")
+  }
+
   test("q63/q64 dedup pipelines: 2 keyed exchanges, no nested-loop joins") {
     // the plans proven in round 2 must not silently regress: candidate
     // generation is keyed (bucket-by-shingle) and scoring is keyed

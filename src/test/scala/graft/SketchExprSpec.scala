@@ -201,6 +201,26 @@ class SketchExprSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("vec_sub_long equals zip_with subtraction; null/mismatch -> null") {
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L), Seq(1L, 2L, 3L)),   // (9, 18, 27)
+      (2L, Seq(10L), Seq(1L, 2L)),                 // length mismatch -> null
+      (3L, null, Seq(1L))                          // null array -> null
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", sketches.vec_sub_long($"a", $"b").as("k"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(got(1L).contains(Seq(9L, 18L, 27L)))
+    assert(got(2L).isEmpty)   // zip_with pads with null instead; the
+                              // kernel keeps VecDist2Long's semantics
+    assert(got(3L).isEmpty)
+    // equal-length rows match the zip_with fold exactly
+    val both = df.filter($"id" === 1)
+      .select(sketches.vec_sub_long($"a", $"b").as("k"),
+        zip_with($"a", $"b", (x, y) => x - y).as("h"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(both._1 == both._2)
+  }
+
   test("vec_argmin_long equals the unrolled least(struct(dist, idx)) rule") {
     // deterministic pseudo-random micro vectors + codebook; the kernel
     // must match the k-way least(struct) ordering it replaced,
