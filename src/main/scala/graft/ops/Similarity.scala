@@ -295,19 +295,56 @@ object Similarity {
     * shape; k·dims longs by definition, driver-held. */
   def pqCodebooksTrained(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int): Array[Array[Array[Long]]] = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && ksub > 0 && iters > 0, "m, ksub, iters must be positive")
+    // FUSED trainer: all m subspaces advance in the SAME distributed
+    // job — per row, m compiled argmins (one per slice) inline into
+    // (subspace, cent_id, dim, x) rows feeding ONE keyed partial
+    // aggregation, so an iteration costs one corpus pass regardless of
+    // m (the naive composition ran m independent kmeansMicro loops:
+    // m caches + m·iters jobs — the kind of repeated-scan shape that
+    // does not survive 100×). Subspaces never interact in Lloyd's
+    // update, so the fused run is bit-identical to the per-subspace
+    // composition: same id-ordered seeds sliced, same lowest-index
+    // tie rule, same floor'd integer-micro means.
+    val micro = corpus.select(col(idCol).as("__vid"),
+        transform(col(vecCol), x => floor(x.cast("double") * 1e6).cast("long"))
+          .as("__xm"))
+      .cache()
+    val seeds: Array[Array[Long]] = micro.orderBy(col("__vid")).limit(ksub)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.nonEmpty, "pqCodebooksTrained: empty corpus")
+    val dims = seeds.head.length
+    require(seeds.forall(_.length == dims),
+      "pqCodebooksTrained: ragged seed vector widths")
     require(dims % m == 0, s"vector width $dims not divisible into $m subspaces")
     val dsub = dims / m
-    Array.tabulate(m) { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), s * dsub + 1, dsub).as("__sv"))
-      val longForm = kmeansMicro(sub, idCol, "__sv", ksub, iters)
-        .orderBy(col("cent_id"), col("dim")).collect()
-      val k = longForm.map(_.getInt(0)).max + 1
-      val out = Array.ofDim[Long](k, dsub)
-      longForm.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-      out
+    var cent: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      val perSub = array((0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          graft.functions.sketches.vec_argmin_long(
+            slice(col("__xm"), s * dsub + 1, dsub), cent(s)).as("cent_id"),
+          slice(col("__xm"), s * dsub + 1, dsub).as("sv"))
+      }: _*)
+      val upd = micro.select(inline(perSub))
+        // null argmin (null element / width mismatch): the row joins
+        // no cluster in that subspace — the kmeansMicro rule
+        .filter(col("cent_id").isNotNull)
+        .select(col("sub"), col("cent_id"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cent_id"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .collect() // ≤ m·ksub·dsub rows = the codebook update
+      val next = cent.map(_.map(_.clone()))
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          math.floor(r.getLong(4).toDouble / r.getLong(3)).toLong
+      }
+      cent = next
     }
+    micro.unpersist()
+    cent
   }
 
   /** PQ-encode the corpus: per row, the per-subspace index of its
