@@ -845,4 +845,113 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** FUZZY train→holdout decontamination report — the near-dup
+    * extension of [[graft.ops.TrainingPrep.contamination]]'s exact
+    * k-gram check: for every train document whose k-gram Jaccard
+    * against ANY holdout document reaches `threshold`, the single
+    * best-matching holdout document and the score. Exact-k-gram
+    * decontamination misses light paraphrases (token swaps, inserted
+    * boilerplate) that still leak the eval answer; Jaccard over short
+    * shingles catches them — the standard fuzzy decontamination pass
+    * before a training run. Returns (train idCol, holdout_id,
+    * jaccard_micro = floor(1e6·|∩|/|∪|)); best match = highest
+    * jaccard, holdout id tiebreak; clean train docs are absent. Drop
+    * the flagged ids from the train side with an anti-join (or keep
+    * the report for audit — both are one join away).
+    *
+    * Scale shape: the [[dedupIncrement]] inverted-index discipline
+    * with the HOLDOUT as the indexed side — holdout sets are tiny
+    * relative to train corpora, so the shingle-keyed join carries
+    * (train doc, holdout doc) candidates only where a shingle is
+    * shared, never train×holdout; the per-pair aggregation is
+    * map-side combinable and the best-match window partitions on the
+    * train id. Same no-NULL-text precondition as [[dedupIncrement]]
+    * (a NULL train text joins no shingle and passes silently). */
+  def contaminationFuzzy(train: DataFrame, holdout: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      threshold: Double): DataFrame = {
+    val t = train.select(col(idCol).as("__t_id"),
+      inline(graft.functions.sketches.shingle_set_n(col(textCol), k)))
+    // (id, shingle, n_sh) on both sides; a (train, holdout) pair is
+    // scored ONCE from its shared-shingle count — |∩| = count, |∪| =
+    // n_t + n_h − |∩|, all exact integers
+    val scored = t.join(
+        holdout.select(col(idCol).as("holdout_id"),
+          inline(graft.functions.sketches.shingle_set_n(col(textCol), k)))
+          .withColumnRenamed("n_sh", "__h_n"),
+        Seq("shingle"))
+      .groupBy(col("__t_id"), col("holdout_id"), col("n_sh"), col("__h_n"))
+      .agg(count(lit(1)).as("__inter"))
+      .filter(col("__inter").cast("double") /
+        (col("n_sh") + col("__h_n") - col("__inter")) >= threshold)
+      .withColumn("jaccard_micro",
+        floor(col("__inter").cast("double") * 1e6 /
+          (col("n_sh") + col("__h_n") - col("__inter"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__t_id"))
+      .orderBy(col("jaccard_micro").desc, col("holdout_id").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__t_id").as(idCol), col("holdout_id"), col("jaccard_micro"))
+  }
+
+  /** Exact duplicated-span SCRUB — the apply step of substring-level
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": repeated substrings are removed, not the
+    * whole document). [[duplicatedSpanRate]] measures the problem;
+    * this removes it: every token covered by a NON-canonical
+    * occurrence of a duplicated k-gram is dropped, where an occurrence
+    * is duplicated when its k-gram appears ≥ 2 times anywhere in the
+    * corpus (other docs OR elsewhere in the same doc — the ExactSubstr
+    * rule, a superset of the cross-doc-only q78 diagnostic) and the
+    * canonical occurrence is the globally first one (min doc id, then
+    * min position). Returns one row per input document:
+    * (id, n_tokens, n_masked, scrubbed_text) with surviving tokens
+    * rejoined by single spaces in original order; documents with
+    * nothing masked pass through with n_masked = 0.
+    *
+    * Scale shape: one corpus explode of the compiled position-level
+    * shingle expression; the canonical occurrence AND the duplicate
+    * verdict come from ONE map-side-combinable aggregation per shingle
+    * (count + lexicographic min(doc,pos) — no window over the
+    * position multiset, so a million-occurrence boilerplate shingle
+    * partial-aggregates inside each task); the occurrence→mask
+    * explode is ×k on the duplicated occurrences only; the rebuild
+    * groups each doc's surviving tokens (per-doc arrays, the q13
+    * sorted-collect discipline). Hot shingles skew the canon JOIN,
+    * which AQE skew-split handles — same defense as q63/q78. */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // (doc, pos, shingle) for every k-gram START position, 0-based
+    val occ = df.select(col(idCol),
+      posexplode(graft.functions.sketches.shingles_all(col(textCol), k))
+        .as(Seq("pos", "shingle")))
+    // per shingle: total occurrences + first occurrence, one combinable agg
+    val canon = occ
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol).as("cid"), col("pos").as("cpos"))).as("__c"))
+      .filter(col("__n") > 1)
+    // every token position covered by a non-canonical duplicated occurrence
+    val masked = occ.join(canon, Seq("shingle"))
+      .filter(!(col(idCol) === col("__c.cid") && col("pos") === col("__c.cpos")))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__tpos"))
+      .distinct()
+    val tokens = df.select(col(idCol), posexplode(toks).as(Seq("__tpos", "__tok")))
+    val kept = tokens.join(masked, Seq(idCol, "__tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("__tpos"), col("__tok")))),
+          s => s.getField("__tok"))).as("scrubbed_text"))
+    df.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_masked"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+  }
 }

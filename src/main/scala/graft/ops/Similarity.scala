@@ -455,10 +455,18 @@ object Similarity {
   def ivfadcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
       m: Int = 4, ksub: Int = 8, maxQueries: Int = 100000): DataFrame = {
-    val spark = corpus.sparkSession
-    import graft.functions.sketches.{vec_top_cells_dist2, pq_adc}
-    // coarse codebook: k·dims by definition, driver-held (the ivfWith
-    // discipline); float→double widening is exact
+    val cb = coarseCodebook(corpus, idCol, vecCol, nCentroids)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+    ivfadcTopKIndexed(ivfadcIndex(corpus, idCol, vecCol, cb, cbs),
+      queries, idCol, vecCol, k, cb, cbs, nProbe, maxQueries)
+  }
+
+  /** The deterministic id-seeded coarse quantizer both IVF arms use:
+    * the corpus rows with id < `nCentroids`, in id order, as double
+    * vectors (float→double widening is exact). k·dims by definition —
+    * a codebook, driver-held. */
+  def coarseCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): Array[Array[Double]] = {
     val cb: Array[Array[Double]] = corpus.filter(col(idCol) < nCentroids)
       .orderBy(col(idCol)).select(col(vecCol)).collect()
       .map(_.getSeq[Any](0).map {
@@ -468,20 +476,54 @@ object Similarity {
       }.toArray)
     require(cb.nonEmpty,
       "ivfadc: no coarse centroid rows — nCentroids admits no corpus ids")
-    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub)
-    val kAct = cbs.head.length
+    cb
+  }
+
+  /** Build the IVFADC index frame (neighbor_id, cell, codes): coarse
+    * cell via the compiled top-cells kernel + m-byte PQ codes, both in
+    * ONE scan-speed projection, zero shuffle. At 100 TB this frame IS
+    * the persisted ANN index — m bytes + a cell int per vector instead
+    * of the raw floats — and [[annIndexAppend]] is how a new batch
+    * folds in without touching existing rows. */
+  def ivfadcIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Double]], cbs: Array[Array[Array[Long]]]): DataFrame = {
+    import graft.functions.sketches.vec_top_cells_dist2
     val dsub = cbs.head.head.length
-    // corpus -> (cell, codes): one scan, zero shuffle — this m-bytes+
-    // cell frame IS the IVFADC index a 100 TB deployment persists
     val codesExpr = array(cbs.zipWithIndex.map { case (scb, s) =>
       graft.functions.sketches.vec_argmin_long(
         slice(col("__mv"), s * dsub + 1, dsub), scb)
     }.toSeq: _*)
-    val assign = corpus.select(col(idCol).as("neighbor_id"),
+    corpus.select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), x => floor(x.cast("double") * 1e6).cast("long"))
           .as("__mv"),
         element_at(vec_top_cells_dist2(col(vecCol), cb, 1), 1).as("cell"))
       .select(col("neighbor_id"), col("cell"), codesExpr.as("codes"))
+  }
+
+  /** Fold a NEW vector batch into a materialized IVFADC index: encode
+    * the batch with the SAME frozen codebooks and append. Existing
+    * index rows are untouched — the cost of an increment is ∝ batch,
+    * the [[graft.ops.Dedup.indexAppend]] discipline applied to ANN
+    * (append-then-query ≡ recompute-from-union, spec-pinned, because
+    * cell assignment and codes are per-row functions of frozen
+    * codebooks). Quantizer drift is the caller's retraining decision,
+    * exactly as in a production IVF deployment. */
+  def annIndexAppend(index: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, cb: Array[Array[Double]],
+      cbs: Array[Array[Array[Long]]]): DataFrame =
+    index.unionByName(ivfadcIndex(batch, idCol, vecCol, cb, cbs))
+
+  /** [[ivfadcTopK]] over a MATERIALIZED index frame — the form a real
+    * deployment runs (build/append the index once, probe per query
+    * batch). The corpus side is a pure index scan: no vector kernel,
+    * no micro-quantize, no raw floats read — only (cell, codes). */
+  def ivfadcTopKIndexed(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cb: Array[Array[Double]],
+      cbs: Array[Array[Array[Long]]], nProbe: Int = 2,
+      maxQueries: Int = 100000): DataFrame = {
+    val spark = index.sparkSession
+    import graft.functions.sketches.{vec_top_cells_dist2, pq_adc}
+    val kAct = cbs.head.length
     // query side: nProbe best-first cells (engine kernel) + the ADC
     // table (driver-built, the pqTopK path) — both query-scale
     val qdf = spark.createDataFrame(
@@ -493,12 +535,57 @@ object Similarity {
       .join(qdf, Seq("query_id")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    probes.join(assign, Seq("cell"))
+    probes.join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", pq_adc(col("codes"), col("__qtab"), kAct))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** IVFADC+R (Jégou, Douze, Schmid, TPAMI 2011, §VI): re-rank the ADC
+    * shortlist with EXACT distances — the paper's refinement stage that
+    * recovers most of the recall PQ trades away. Stage 1 is the full
+    * [[ivfadcTopK]] machinery with k = `shortlist` (candidates bounded
+    * per query by construction); stage 2 joins the shortlist back to
+    * the raw vectors and re-ranks those ≤ queries·shortlist rows by
+    * exact integer-micro squared-L2 ([[graft.functions.VecDist2Long]]).
+    *
+    * Scale shape: the shortlist is query-scale, so it BROADCASTS into
+    * a hash semi-probe of the corpus scan — the exact-vector fetch
+    * reads each candidate row once and never shuffles the corpus; the
+    * rerank window partitions on query_id over shortlist-sized input.
+    * Output (query_id, rank, neighbor_id, d2_micro) ranked by
+    * (d2_micro asc, neighbor_id asc) — exact, total order, integer →
+    * SQL-replicable end-to-end. */
+  def ivfadcRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int, nCentroids: Int = 8,
+      nProbe: Int = 2, m: Int = 4, ksub: Int = 8,
+      maxQueries: Int = 100000): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be at least k ($k) — it is the " +
+        "candidate pool the exact rerank draws from")
+    import graft.functions.sketches.vec_dist2_long
+    val cands = ivfadcTopK(corpus, queries, idCol, vecCol, shortlist,
+        nCentroids, nProbe, m, ksub, maxQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val micro = (c: Column) =>
+      transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+    // queries are bounded (maxQueries enforced upstream) -> broadcast;
+    // the shortlist is queries·shortlist rows -> broadcast. The corpus
+    // is probed once by a broadcast-hash join, never shuffled.
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      micro(col(vecCol)).as("__qmv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      micro(col(vecCol)).as("__cmv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2_micro").asc, col("neighbor_id").asc)
+    broadcast(cands).join(cv, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("d2_micro", vec_dist2_long(col("__qmv"), col("__cmv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2_micro"))
   }
 
   /** RESIDUAL-encoding IVFADC — the form Jégou, Douze, Schmid (TPAMI

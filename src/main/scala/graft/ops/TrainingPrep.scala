@@ -217,6 +217,68 @@ object TrainingPrep {
       .filter(col("src_rank") <= maxPerSource)
   }
 
+  /** Temperature-based source-mixing quotas — the multilingual /
+    * multi-source sampling rule (mC4/T5, UniMax lineage): source i
+    * gets a share of the `targetN`-document training mix proportional
+    * to n_i^α, with α < 1 flattening the natural distribution so
+    * head sources stop drowning tail ones. α is a quarter-integer
+    * `alphaQuarters`/4 ∈ {1/4, 1/2, 3/4, 1}: those powers compose
+    * from IEEE `sqrt` (correctly rounded by the standard, so
+    * bit-identical in every engine) — n^(1/4) = sqrt(sqrt n),
+    * n^(3/4) = sqrt(n)·sqrt(sqrt n) — where a general libm `pow` is
+    * NOT portable ulp-for-ulp. Weights floor to milli-units and the
+    * quota is EXACT integer arithmetic:
+    * quota_i = (targetN · w_i) div Σw — so the whole computation is
+    * engine-replicable with no float division anywhere.
+    *
+    * Returns (srcCol, n_docs, w_milli, quota). Σ quota ≤ targetN
+    * (floor rounding; the shortfall is < #sources docs). Sources
+    * number in the thousands at worst — the per-source frame is
+    * driver-scale, so the Σw window is a single-partition window over
+    * a tiny frame, not a data-scale sort. */
+  def temperatureQuotas(df: DataFrame, srcCol: String, targetN: Long,
+      alphaQuarters: Int): DataFrame = {
+    require(targetN > 0, "targetN must be positive")
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters must be 1..4 (α = q/4), got $alphaQuarters")
+    // guard the exact-long quota product: targetN · w_milli ≤ Long.Max
+    // ⇒ w_milli ≤ 9.2e18/targetN; w_milli ≤ 1000·n^α ≤ 1000·n, so any
+    // realistic (targetN, per-source count) passes — checked anyway
+    val n = col("n_docs").cast("double")
+    val w = alphaQuarters match {
+      case 1 => sqrt(sqrt(n))
+      case 2 => sqrt(n)
+      case 3 => sqrt(n) * sqrt(sqrt(n))
+      case 4 => n
+    }
+    df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_milli", floor(w * 1e3).cast("long"))
+      .withColumn("__tot_w", sum(col("w_milli")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("quota", expr(s"(${targetN}L * w_milli) div __tot_w"))
+      .drop("__tot_w")
+  }
+
+  /** Draw the [[temperatureQuotas]] mix: per source, the quota's worth
+    * of documents picked by a deterministic md5 priority (salted id —
+    * the [[shuffleShards]] pseudo-randomness), id tiebreak. Returns
+    * the kept rows with their 1-based `mix_rank`. Rerun-stable; a
+    * different `salt` draws an independent mix. The pick window
+    * partitions on the source — the [[capPerSource]] scale shape. */
+  def temperatureSample(df: DataFrame, srcCol: String, idCol: String,
+      targetN: Long, alphaQuarters: Int, salt: String = "graft"): DataFrame = {
+    val quotas = temperatureQuotas(df, srcCol, targetN, alphaQuarters)
+      .select(col(srcCol), col("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    df.join(quotas, Seq(srcCol))
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= col("quota"))
+      .drop("quota")
+  }
+
   /** Conservative PII patterns, chosen to behave identically under
     * Java regex (Spark) and RE2 (DuckDB): RFC-ish emails and long
     * digit runs (phone/account/SSN-shaped). */

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TrainingPrep}
+import QuerySpec.table
+
+/** Batch 11 (round 8): refinement + mixing operators — the exact
+  * re-rank stage on the IVFADC shortlist (q94), temperature-based
+  * source mixing (q95), fuzzy train→holdout decontamination (q96),
+  * duplicated-span scrubbing (q97), and the materialized-index form
+  * of IVFADC (q98, the q90 discipline applied to ANN). Float paths go
+  * through IEEE-exact operations only (sqrt, integer micros), so every
+  * oracle is hash-exact. */
+object RefinedQueries {
+
+  private def dist2Sql(a: String, b: String): String =
+    s"""list_sum([(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) *
+       | (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) FOR z IN list_zip($a, $b)])""".stripMargin
+
+  /** The q91 IVFADC CTE chain (cells, codes, tables, pruned ADC) with
+    * a parameterized rank cut — shared by q94's shortlist stage. */
+  private def ivfadcChainSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 8),
+       |cella AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
+       |    FROM e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rn <= 2),
+       |mv AS (SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT) FOR x IN embedding] AS v
+       |  FROM embeddings),
+       |sub AS (SELECT unnest(range(4)) AS s),
+       |cb AS (SELECT ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+       |    s, v[s*16+1:(s+1)*16] AS pv
+       |  FROM mv, sub WHERE vec_id < 8),
+       |corp AS (SELECT vec_id, s, v[s*16+1:(s+1)*16] AS sv FROM mv, sub),
+       |codes AS (SELECT vec_id, s, cid FROM (
+       |    SELECT c.vec_id, c.s, b.cid, ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+       |      ORDER BY list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(c.sv, b.pv)]) ASC,
+       |        b.cid ASC) AS rn
+       |    FROM corp c JOIN cb b ON b.s = c.s) WHERE rn = 1),
+       |tab AS (SELECT q.vec_id AS query_id, q.s, b.cid,
+       |    list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(q.sv, b.pv)]) AS d
+       |  FROM corp q JOIN cb b ON b.s = q.s WHERE q.vec_id < 5),
+       |adc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(t.d) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN tab t ON t.s = c.s AND t.cid = c.cid
+       |  JOIN cella a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell
+       |  WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc)""".stripMargin
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // IVFADC+R: the q91 machinery retrieves a 30-candidate ADC
+    // shortlist per query, then the shortlist is re-ranked by EXACT
+    // integer-micro squared-L2 on the raw vectors (the paper's §VI
+    // refinement). The oracle is q91's chain with the rank cut at 30
+    // plus a rerank CTE over the micro vectors.
+    QuerySpec("q94_ann_ivfadc_rerank",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.ivfadcRerankTopK(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, shortlist = 30,
+            nCentroids = 8, nProbe = 2, m = 4, ksub = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""$ivfadcChainSql,
+        |short AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 30),
+        |ex AS (SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_sum([(z[1]-z[2])*(z[1]-z[2])
+        |        FOR z IN list_zip(qm.v, nm.v)]) AS BIGINT) AS d2_micro
+        |  FROM short s JOIN mv qm ON qm.vec_id = s.query_id
+        |  JOIN mv nm ON nm.vec_id = s.neighbor_id),
+        |rr AS (SELECT query_id, neighbor_id, d2_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY d2_micro ASC, neighbor_id ASC) AS INTEGER) AS rank FROM ex)
+        |SELECT query_id, rank, neighbor_id, d2_micro FROM rr WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // Temperature-based source mixing at α = 1/2: per-source quotas
+    // ∝ sqrt(n_i) (IEEE sqrt is correctly rounded → engine-portable;
+    // weights floor to milli-units, quotas are exact integer div),
+    // then the mix is drawn per source by deterministic md5 priority.
+    QuerySpec("q95_temperature_mix",
+      (s, dir) => TrainingPrep.temperatureSample(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", targetN = 200L, alphaQuarters = 2)
+        .select(col("doc_id"), col("source"), col("mix_rank"))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e3) AS BIGINT) AS w_milli
+        |  FROM c),
+        |q AS (SELECT source, (200 * w_milli) // (SELECT SUM(w_milli) FROM w) AS quota
+        |  FROM w),
+        |pick AS (SELECT d.doc_id, d.source, q.quota,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY md5(concat('graft', ':', CAST(d.doc_id AS VARCHAR))) ASC,
+        |        d.doc_id ASC) AS INTEGER) AS mix_rank
+        |  FROM documents d JOIN q USING (source))
+        |SELECT doc_id, source, mix_rank FROM pick WHERE mix_rank <= quota
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Fuzzy decontamination: train docs (doc_id % 10 <> 0) whose
+    // trigram Jaccard against any holdout doc (doc_id % 10 = 0, the
+    // q68 split) reaches 0.5, with the best-matching holdout doc —
+    // the near-dup extension of q68's exact 8-gram check.
+    QuerySpec("q96_fuzzy_decontamination",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.contaminationFuzzy(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+            "doc_id", "text", k = 3, threshold = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT tr.doc_id AS tid, ho.doc_id AS hid, COUNT(*) AS inter
+        |  FROM (SELECT * FROM sh WHERE doc_id % 10 <> 0) tr
+        |  JOIN (SELECT * FROM sh WHERE doc_id % 10 = 0) ho USING (shingle)
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT tid, hid,
+        |    CAST(floor(CAST(inter AS DOUBLE) * 1e6 / (st.n + sh2.n - inter))
+        |      AS BIGINT) AS jaccard_micro
+        |  FROM pairs JOIN sz st ON st.doc_id = tid JOIN sz sh2 ON sh2.doc_id = hid
+        |  WHERE CAST(inter AS DOUBLE) / (st.n + sh2.n - inter) >= 0.5),
+        |best AS (SELECT tid AS doc_id, hid AS holdout_id, jaccard_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY tid
+        |      ORDER BY jaccard_micro DESC, hid ASC) AS rn FROM sc)
+        |SELECT doc_id, holdout_id, jaccard_micro FROM best WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Duplicated-span SCRUB (the q78 diagnostic's apply step): tokens
+    // covered by a non-canonical occurrence of any 5-gram appearing
+    // >= 2 times in the corpus are removed; canonical = first
+    // occurrence by (doc_id, pos).
+    QuerySpec("q97_span_scrub",
+      (s, dir) => Dedup.scrubDuplicatedSpans(
+          table(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |base AS (SELECT doc_id, toks,
+        |    UNNEST(generate_series(1, len(toks) - 4)) AS i
+        |  FROM t WHERE len(toks) >= 5),
+        |occ AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(toks[i:i+4], ' ') AS gram FROM base),
+        |ranked AS (SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY gram) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM occ),
+        |mask AS (SELECT DISTINCT doc_id, tpos FROM (
+        |    SELECT doc_id, UNNEST(generate_series(pos, pos + 4)) AS tpos
+        |    FROM ranked WHERE n > 1 AND rn > 1)),
+        |tok AS (SELECT doc_id, UNNEST(toks) AS tok,
+        |    generate_subscripts(toks, 1) - 1 AS tpos FROM t),
+        |kept AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY tpos) AS scrubbed_text
+        |  FROM tok ANTI JOIN mask USING (doc_id, tpos)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks) AS n_tokens,
+        |  len(t.toks) - COALESCE(k.n_kept, 0) AS n_masked,
+        |  COALESCE(k.scrubbed_text, '') AS scrubbed_text
+        |FROM t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
+    // IVFADC over a MATERIALIZED index (the q90 discipline applied to
+    // ANN): the (neighbor_id, cell, codes) frame is built once and
+    // checkpointed — standing in for the persisted parquet index —
+    // then probed; the corpus is never re-encoded per query batch.
+    // Same inputs as q91 -> identical result, so the oracle is shared.
+    QuerySpec("q98_ann_ivfadc_indexed",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cb = Similarity.coarseCodebook(e, "vec_id", "embedding", 8)
+        val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 8)
+        val idx = Similarity.ivfadcIndex(e, "vec_id", "embedding", cb, cbs)
+          .localCheckpoint()
+        Similarity.ivfadcTopKIndexed(idx, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      IndexedQueries.all.find(_.name == "q91_ann_ivfadc").get.oracle)
+  )
+}

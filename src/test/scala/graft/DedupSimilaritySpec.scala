@@ -480,4 +480,134 @@ class DedupSimilaritySpec extends SparkSuite {
     val recall = trained.count(exact.contains).toDouble / trained.length
     assert(recall >= 0.2, s"recall=$recall")
   }
+
+  test("IVFADC+R: with full probing + full shortlist, rerank ≡ exact micro-L2 top-k") {
+    import graft.functions.sketches.vec_dist2_long
+    val queries = emb.filter($"vec_id" < 3)
+    // probe ALL cells with an uncapped shortlist: the ADC stage can
+    // then hide no candidate, so the exact rerank must reproduce the
+    // brute-force integer-micro L2 ranking bit-for-bit
+    val rr = Similarity.ivfadcRerankTopK(emb, queries, "vec_id", "embedding",
+        k = 10, shortlist = 1000000, nCentroids = 8, nProbe = 8,
+        m = 4, ksub = 8)
+      .select($"query_id", $"rank", $"neighbor_id", $"d2_micro")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val micro = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+    val q = queries.select($"vec_id".as("query_id"), micro($"embedding").as("qv"))
+    val c = emb.select($"vec_id".as("neighbor_id"), micro($"embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"d2_micro".asc, $"neighbor_id".asc)
+    val exact = q.crossJoin(c).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("d2_micro", vec_dist2_long($"qv", $"cv"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"d2_micro")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(rr == exact)
+  }
+
+  test("IVFADC+R: rerank recall vs exact L2 >= the ADC-only ranking's") {
+    import graft.functions.sketches.vec_dist2_long
+    val queries = emb.filter($"vec_id" < 3)
+    val micro = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+    val q = queries.select($"vec_id".as("query_id"), micro($"embedding").as("qv"))
+    val c = emb.select($"vec_id".as("neighbor_id"), micro($"embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"d2_micro".asc, $"neighbor_id".asc)
+    val exact = q.crossJoin(c).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("d2_micro", vec_dist2_long($"qv", $"cv"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val hits = df.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect()
+      hits.count(exact.contains).toDouble / hits.length
+    }
+    val adcOnly = recallOf(Similarity.ivfadcTopK(emb, queries,
+      "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 2,
+      m = 4, ksub = 8))
+    val reranked = recallOf(Similarity.ivfadcRerankTopK(emb, queries,
+      "vec_id", "embedding", k = 10, shortlist = 30, nCentroids = 8,
+      nProbe = 2, m = 4, ksub = 8))
+    // same candidate pool, exact ordering on a 3x shortlist: the
+    // refinement stage must not lose recall vs raw ADC ranking
+    assert(reranked >= adcOnly,
+      s"rerank recall $reranked < ADC-only recall $adcOnly")
+  }
+
+  test("materialized IVFADC index: indexed probe ≡ direct; append ≡ recompute") {
+    val queries = emb.filter($"vec_id" < 3)
+    val cb = Similarity.coarseCodebook(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val direct = Similarity.ivfadcTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nCentroids = 8, nProbe = 2, m = 4, ksub = 8)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val idx = Similarity.ivfadcIndex(emb, "vec_id", "embedding", cb, cbs)
+      .localCheckpoint()
+    val viaIndex = Similarity.ivfadcTopKIndexed(idx, queries,
+        "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(viaIndex == direct)
+    // append-then-query ≡ recompute-from-union: encode half the corpus,
+    // fold in the other half with the FROZEN codebooks
+    val first = emb.filter($"vec_id" % 2 === 0)
+    val rest = emb.filter($"vec_id" % 2 =!= 0)
+    val appended = Similarity.annIndexAppend(
+        Similarity.ivfadcIndex(first, "vec_id", "embedding", cb, cbs),
+        rest, "vec_id", "embedding", cb, cbs)
+      .select($"neighbor_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val recomputed = idx.select($"neighbor_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(appended == recomputed)
+  }
+
+  test("contaminationFuzzy: planted leaks flagged with best match; clean docs absent") {
+    val holdout = Seq(
+      (100L, "what is the capital of france paris obviously"),
+      (101L, "what is the capital of france paris obviously")) // dup text, higher id
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "what is the capital of france paris obviously"),   // exact copy
+      (2L, "what is the capital of france rome obviously"),    // near-dup
+      (3L, "completely unrelated text about databases here"))  // clean
+      .toDF("doc_id", "text")
+    val rep = Dedup.contaminationFuzzy(train, holdout, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // doc 3 shares no trigram -> absent; 1 and 2 flagged
+    assert(rep.map(_._1) == Seq(1L, 2L))
+    // best match ties (holdout 100/101 identical) break to the lower id
+    assert(rep.forall(_._2 == 100L))
+    // exact copy: jaccard = 1 -> 1e6 micros exactly
+    assert(rep.head._3 == 1000000L)
+    // near-dup: 8 tokens -> 6 trigrams per doc; grams touching the
+    // changed token 6 differ, the first 4 are shared =>
+    // inter=4, union=6+6-4=8, floor(1e6*4/8)=500000
+    assert(rep(1)._3 == 500000L)
+  }
+
+  test("scrubDuplicatedSpans: hand-computed masks, within-doc repeats, short docs") {
+    val df = Seq(
+      (1L, "a b c d e"),            // canonical holder of 'a b c'
+      (2L, "x y a b c z"),          // non-canonical 'a b c' at pos 2
+      (3L, "p q"),                  // shorter than k: untouched
+      (4L, "m n o m n o m n o"))    // within-doc repeats
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicatedSpans(df, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // doc 1 holds every canonical occurrence it shares -> untouched
+    assert(out(0) == ((1L, 5L, 0L, "a b c d e")))
+    // doc 2: 'a b c' at tpos 2-4 is non-canonical (doc 1 pos 0 wins)
+    assert(out(1) == ((2L, 6L, 3L, "x y z")))
+    // doc 3: no trigram spans at all
+    assert(out(2) == ((3L, 2L, 0L, "p q")))
+    // doc 4: gram starts 3..6 all repeat earlier starts -> tokens 3-8
+    // masked, the first 'm n o' survives as canonical
+    assert(out(3) == ((4L, 9L, 6L, "m n o")))
+  }
 }

@@ -267,6 +267,45 @@ class PlanSpec extends SparkSuite {
     assert(out.count() > 0)
   }
 
+  test("ivfadcTopKIndexed: probe reads the persisted ANN index, never re-encodes") {
+    // the q90 discipline applied to ANN: against a parquet-materialized
+    // (neighbor_id, cell, codes) index, the corpus side is a pure index
+    // scan — no PQ encode (vec_argmin_long) anywhere in the plan, the
+    // one cell kernel left is the QUERY side's probe assignment
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb = graft.ops.Similarity.coarseCodebook(emb, "vec_id", "embedding", 8)
+    val cbs = graft.ops.Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+    graft.ops.Similarity.ivfadcIndex(emb, "vec_id", "embedding", cb, cbs)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val idx = spark.read.parquet(s"$dir/index")
+    val out = graft.ops.Similarity.ivfadcTopKIndexed(idx,
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 10, cb, cbs,
+      nProbe = 2)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("vec_argmin_long"),
+      s"corpus must not be re-encoded — vec_argmin_long found:\n$p")
+    assert(p.contains("pq_adc") && p.contains("vec_top_cells_dist2"),
+      s"expected the ADC kernel + the query-side probe kernel:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"indexed probe must stay a keyed join:\n$p")
+    assert(out.count() > 0)
+  }
+
+  test("q94 IVFADC+R: two ranking windows, shortlist joins stay keyed") {
+    val p = plan("q94_ann_ivfadc_rerank")
+    // window 1 = the ADC shortlist rank (inside the broadcast branch,
+    // so count "Window [" anywhere, not just on the plan spine),
+    // window 2 = the exact rerank
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 2, s"expected shortlist + rerank windows:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rerank must stay keyed broadcast joins:\n$p")
+    assert(p.contains("vec_dist2_long"),
+      s"expected the exact-distance kernel in the rerank stage:\n$p")
+  }
+
   test("q68 contamination: keyed semi-join shape, no nested loops") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val p = graft.ops.TrainingPrep.contamination(docs, "doc_id", "text",

@@ -215,4 +215,53 @@ class TrainingPrepSpec extends SparkSuite {
     assert(scrubbed.head == "[EMAIL] called [NUM] twice")
     assert(scrubbed(2) == "ids 123456 and [NUM]")
   }
+
+  test("temperatureQuotas: hand-computed weights and exact integer quotas per alpha") {
+    // 100 / 400 / 2500 docs across three sources
+    val df = ((0 until 100).map(i => (i.toLong, "a")) ++
+        (0 until 400).map(i => (1000L + i, "b")) ++
+        (0 until 2500).map(i => (10000L + i, "c")))
+      .toDF("doc_id", "source")
+    def quotasAt(aq: Int): Map[String, (Long, Long, Long)] =
+      TrainingPrep.temperatureQuotas(df, "source", targetN = 100L, aq)
+        .as[(String, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // α=1/2: sqrt weights 10/20/50 exactly -> milli 10000/20000/50000,
+    // tot 80000 -> quotas (100*w) div tot = 12/25/62
+    assert(quotasAt(2) == Map(
+      "a" -> ((100L, 10000L, 12L)),
+      "b" -> ((400L, 20000L, 25L)),
+      "c" -> ((2500L, 50000L, 62L))))
+    // α=1: natural proportions 100/400/2500 of 3000
+    assert(quotasAt(4).view.mapValues(_._3).toMap ==
+      Map("a" -> 3L, "b" -> 13L, "c" -> 83L))
+    // α=1/4: flattest mix — tail source 'a' gains share vs α=1/2
+    val q1 = quotasAt(1).view.mapValues(_._3).toMap
+    assert(q1("a") > 12L && q1("c") < 62L, s"α=1/4 quotas: $q1")
+    // quotas never exceed the target in total (floor rounding)
+    Seq(1, 2, 3, 4).foreach { aq =>
+      assert(quotasAt(aq).values.map(_._3).sum <= 100L)
+    }
+  }
+
+  test("temperatureSample: draws min(quota, n) per source, rerun-stable, salt-sensitive") {
+    val df = ((0 until 10).map(i => (i.toLong, "a")) ++
+        (0 until 1000).map(i => (1000L + i, "b")))
+      .toDF("doc_id", "source")
+    def draw(salt: String) = TrainingPrep.temperatureSample(df, "source",
+        "doc_id", targetN = 50L, alphaQuarters = 2, salt)
+      .select($"doc_id", $"source", $"mix_rank")
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    val a = draw("graft")
+    assert(a == draw("graft")) // deterministic rerun
+    // quotas: sqrt 3.1622->3162, sqrt(1000)=31.6227->31622, tot 34784;
+    // a: (50*3162) div 34784 = 4; b: (50*31622) div 34784 = 45
+    val bySrc = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 4, "b" -> 45), s"per-source draw: $bySrc")
+    // mix_rank is 1..quota within each source
+    assert(a.filter(_._2 == "a").map(_._3).sorted == (1 to 4))
+    // a different salt draws a different mix (overwhelmingly likely
+    // with 45 of 1000 picked)
+    assert(draw("other").map(_._1) != a.map(_._1))
+  }
 }
