@@ -920,7 +920,11 @@ object Dedup {
     * explode is ×k on the duplicated occurrences only; the rebuild
     * groups each doc's surviving tokens (per-doc arrays, the q13
     * sorted-collect discipline). Hot shingles skew the canon JOIN,
-    * which AQE skew-split handles — same defense as q63/q78. */
+    * which AQE skew-split handles — same defense as q63/q78.
+    *
+    * Precondition: no NULL texts (the [[dedupIncrement]] rule — a NULL
+    * text would surface as n_tokens = −1 from `size(null)` rather than
+    * erroring; filter upstream if the source allows them). */
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")

@@ -232,10 +232,14 @@ object TrainingPrep {
     * engine-replicable with no float division anywhere.
     *
     * Returns (srcCol, n_docs, w_milli, quota). Σ quota ≤ targetN
-    * (floor rounding; the shortfall is < #sources docs). Sources
-    * number in the thousands at worst — the per-source frame is
-    * driver-scale, so the Σw window is a single-partition window over
-    * a tiny frame, not a data-scale sort. */
+    * (floor rounding; the shortfall is < #sources docs), and a tail
+    * source whose weighted share rounds to zero draws nothing — raise
+    * `targetN` or lower α if every source must appear. Sources number
+    * in the thousands at worst — the per-source frame is driver-scale,
+    * so the Σw window is a single-partition window over a tiny frame,
+    * not a data-scale sort. NULL sources group here but never match
+    * [[temperatureSample]]'s equi-join (SQL null semantics) — rows
+    * with a NULL source are silently excluded from the draw. */
   def temperatureQuotas(df: DataFrame, srcCol: String, targetN: Long,
       alphaQuarters: Int): DataFrame = {
     require(targetN > 0, "targetN must be positive")

@@ -103,6 +103,65 @@ object StreamingIngest {
     Files.move(Paths.get(staging), curPath, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Streaming ANN-index ingest — [[graft.ops.Similarity.annIndexAppend]]
+    * wired into `foreachBatch`: per micro-batch, encode the new vectors
+    * with the FROZEN codebooks (coarse cells + PQ codes, one scan) and
+    * append the delta to the persisted (neighbor_id, cell, codes)
+    * index — the raw vectors never need to be kept, and the index is
+    * probe-ready between epochs via
+    * [[graft.ops.Similarity.ivfadcTopKIndexed]].
+    *
+    * Replay safety: encoding is deterministic but append is not
+    * idempotent by itself, so each epoch first anti-joins the batch
+    * against the committed index on the id — a re-delivered epoch
+    * appends nothing and recommits identical state (the dedupIngest
+    * discipline; ids must be unique across the stream, the usual ANN
+    * contract). Commit = staging write + single atomic pointer swap.
+    * Codebook drift is the caller's retraining decision — a retrain
+    * means a new stateDir, never an in-place mutation. */
+  def annIngest(stream: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Double]], cbs: Array[Array[Array[Long]]],
+      stateDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        annIngestBatch(batch, idCol, vecCol, cb, cbs, stateDir)
+      }
+      .start()
+
+  /** One epoch of [[annIngest]], separated so the batch path is
+    * directly testable and reusable by a non-streaming index loop. */
+  def annIngestBatch(batch: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Double]], cbs: Array[Array[Array[Long]]],
+      stateDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    val spark = batch.sparkSession
+    val cur = s"$stateDir/current"
+    val exists = Files.exists(Paths.get(cur))
+    val idx =
+      if (exists) {
+        val committed = spark.read.parquet(s"$cur/index")
+        val fresh = batch.join(
+          committed.select(col("neighbor_id").as(idCol)), Seq(idCol),
+          "left_anti")
+        Similarity.annIndexAppend(committed, fresh, idCol, vecCol, cb, cbs)
+      } else Similarity.ivfadcIndex(batch, idCol, vecCol, cb, cbs)
+    val staging = s"$stateDir/staging"
+    idx.write.mode("overwrite").parquet(s"$staging/index")
+    val curPath = Paths.get(cur)
+    if (Files.exists(curPath)) {
+      val old = Paths.get(s"$stateDir/old")
+      if (Files.exists(old)) {
+        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.move(curPath, old, StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.move(Paths.get(staging), curPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Start the ingest. `validateBatch` is the fail-fast gate (reference
     * abort semantics: throwing fails the streaming query BEFORE any
     * mutation of the snapshot — e.g. pass

@@ -258,6 +258,53 @@ class StreamingSpec extends SparkSuite {
       expect.exceptAll(idx).count() == 0)
   }
 
+  test("streaming ANN ingest: epochs append to the index, replay-safe, probe-ready") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb = Similarity.coarseCodebook(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-stream").toString
+    val state = s"$base/state"
+    val rows = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (e1, e2) = rows.partition(_._1 % 2 == 0)
+
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingIngest.annIngest(
+      stream.toDS().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cb, cbs, state, s"$base/ckpt")
+    stream.addData(e1: _*)
+    q.processAllAvailable()
+    assert(spark.read.parquet(s"$state/current/index").count() == e1.size)
+    stream.addData(e2: _*)
+    q.processAllAvailable()
+    // replay: re-delivering epoch 2 appends nothing
+    stream.addData(e2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val idx = spark.read.parquet(s"$state/current/index")
+    assert(idx.count() == rows.size)
+    // committed index ≡ one-shot encode of the whole corpus under the
+    // same frozen codebooks
+    val expect = Similarity.ivfadcIndex(emb, "vec_id", "embedding", cb, cbs)
+    assert(idx.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(idx).count() == 0)
+    // probe-ready between epochs: the committed index answers queries
+    // identically to the direct in-query form
+    val queries = emb.filter($"vec_id" < 3)
+    val direct = Similarity.ivfadcTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nCentroids = 8, nProbe = 2, m = 4, ksub = 8)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val viaCommitted = Similarity.ivfadcTopKIndexed(idx, queries,
+        "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(viaCommitted == direct)
+  }
+
   test("streaming SCD2 ingest: conflicting same-id rows pick one deterministic survivor") {
     import graft.streaming.StreamingIngest
     implicit val sqlCtx = spark.sqlContext
