@@ -21,6 +21,14 @@ import graft.ops.Dedup
   * tokenize+shingle+explode recompute disappears, leaving a
   * column-pruned parquet scan feeding the shingle-keyed join.
   *
+  * The same experiment runs for the ANN index (round-8 q98): a fixed
+  * query set against a corpus grown by `factor`, comparing
+  * `ivfadcTopK` (re-encodes the corpus per query batch) with
+  * `ivfadcTopKIndexed` over a parquet-persisted (cell, codes) index.
+  * Copies are verbatim vectors with offset ids — every copy lands in
+  * the same coarse cell as its original, so cells and candidate lists
+  * grow exactly linearly.
+  *
   * Usage: IndexedScale [baseDir] [factor] [workDir]
   * Prints one JSON line per (form, scale) with median-of-reps seconds.
   */
@@ -88,6 +96,45 @@ object IndexedScale {
         """{"scale":"%s","corpus_docs":%d,"batch_docs":500,"in_query_sec":%.3f,"indexed_sec":%.3f,"index_build_sec":%.3f,"rows":%d,"reps":%d}""",
         label, Long.box(corpus.count()), Double.box(tIn), Double.box(tIdx),
         Double.box(buildSec), Long.box(nIn), Int.box(reps)))
+    }
+
+    // ANN: fixed 5-query probe against a factor-grown vector corpus
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5).cache()
+    queries.count()
+    // codebooks are FROZEN from the base corpus (the production rule:
+    // growing data does not retrain the quantizer mid-flight)
+    val cb = Similarity.coarseCodebook(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    for ((label, f) <- Seq("1x" -> 1, s"${factor}x" -> factor)) {
+      val dir = s"$work/ann_$label"
+      (0 until f).map { i =>
+        emb.select((col("vec_id") + i.toLong * 10000000L).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/corpus.parquet")
+      val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+      val tb0 = System.nanoTime()
+      Similarity.ivfadcIndex(corpus, "vec_id", "embedding", cb, cbs)
+        .write.mode("overwrite").parquet(s"$dir/index.parquet")
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val idx = spark.read.parquet(s"$dir/index.parquet")
+      val (tDir, nDir) = medianTime(() =>
+        Similarity.ivfadcTopKIndexed(
+            Similarity.ivfadcIndex(corpus, "vec_id", "embedding", cb, cbs),
+            queries, "vec_id", "embedding", 10, cb, cbs, 2)
+          .queryExecution.toRdd.count())
+      val (tIdx, nIdx) = medianTime(() =>
+        Similarity.ivfadcTopKIndexed(idx, queries, "vec_id", "embedding",
+            10, cb, cbs, 2)
+          .queryExecution.toRdd.count())
+      require(nDir == nIdx, s"ANN forms disagree: $nDir vs $nIdx")
+      println(String.format(java.util.Locale.ROOT,
+        """{"ann_scale":"%s","corpus_vecs":%d,"direct_sec":%.3f,"indexed_sec":%.3f,"index_build_sec":%.3f,"rows":%d,"reps":%d}""",
+        label, Long.box(corpus.count()), Double.box(tDir), Double.box(tIdx),
+        Double.box(buildSec), Long.box(nDir), Int.box(reps)))
     }
     spark.stop()
   }
