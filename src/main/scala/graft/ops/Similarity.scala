@@ -479,6 +479,20 @@ object Similarity {
     cb
   }
 
+  /** Rebuild a driver-side double codebook from [[kmeansMicro]]'s
+    * long-form (cent_id, dim, c_micro) output — micros / 1e6, the
+    * [[ivfTopKTrained]] rebuild collected: the bridge from the trained
+    * coarse quantizer to the IVFADC entry points, which take the
+    * codebook as a reference object. */
+  def coarseCodebookFromLong(centroidsLong: DataFrame): Array[Array[Double]] = {
+    val rows = centroidsLong.select(col("cent_id"), col("dim"), col("c_micro"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    require(rows.nonEmpty, "empty trained centroid frame")
+    rows.groupBy(_._1).toArray.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3.toDouble / 1e6)
+    }
+  }
+
   /** Build the IVFADC index frame (neighbor_id, cell, codes): coarse
     * cell via the compiled top-cells kernel + m-byte PQ codes, both in
     * ONE scan-speed projection, zero shuffle. At 100 TB this frame IS

@@ -245,9 +245,12 @@ object TrainingPrep {
     require(targetN > 0, "targetN must be positive")
     require(alphaQuarters >= 1 && alphaQuarters <= 4,
       s"alphaQuarters must be 1..4 (α = q/4), got $alphaQuarters")
-    // guard the exact-long quota product: targetN · w_milli ≤ Long.Max
-    // ⇒ w_milli ≤ 9.2e18/targetN; w_milli ≤ 1000·n^α ≤ 1000·n, so any
-    // realistic (targetN, per-source count) passes — checked anyway
+    // exact-long quota product bound: targetN · w_milli must fit a
+    // long, and w_milli ≤ 1000·n^α ≤ 1000·n — so the precondition is
+    // targetN · 1000·n_max^α < 2^63 (e.g. α=1/2: a 1e9-doc target over
+    // sources of up to 4e12 docs each). Spark's ANSI-off long multiply
+    // wraps silently, hence the documented bound rather than a runtime
+    // probe of every source count.
     val n = col("n_docs").cast("double")
     val w = alphaQuarters match {
       case 1 => sqrt(sqrt(n))
@@ -272,6 +275,64 @@ object TrainingPrep {
   def temperatureSample(df: DataFrame, srcCol: String, idCol: String,
       targetN: Long, alphaQuarters: Int, salt: String = "graft"): DataFrame = {
     val quotas = temperatureQuotas(df, srcCol, targetN, alphaQuarters)
+      .select(col(srcCol), col("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    df.join(quotas, Seq(srcCol))
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= col("quota"))
+      .drop("quota")
+  }
+
+  /** UniMax-style epoch-capped mixing quotas (Chung et al. 2023:
+    * "UniMax: Fairer and More Effective Language Sampling") — the
+    * waterfilling counterpart to [[temperatureQuotas]]: instead of a
+    * power-law reweighting, the budget is split as EVENLY as possible
+    * across sources, except that no source may contribute more than
+    * `maxEpochs` passes over its own data. Sources are processed in
+    * increasing size order; each takes min(maxEpochs·n_i, even share
+    * of the remaining budget), and what a small source cannot absorb
+    * rolls over to the larger ones. All arithmetic is exact integer
+    * (floor division), so the whole schedule is engine-replicable via
+    * a recursive CTE.
+    *
+    * The per-source loop runs on the DRIVER over the collected counts
+    * — sources are driver-scale by definition (the codebook
+    * discipline), and waterfilling is inherently sequential in source
+    * rank. Returns (srcCol, n_docs, quota); Σ quota ≤ targetN, with
+    * equality whenever Σ maxEpochs·n_i ≥ targetN and the even shares
+    * divide cleanly (floor shortfalls are < #sources). */
+  def uniMaxQuotas(df: DataFrame, srcCol: String, targetN: Long,
+      maxEpochs: Long = 1L): DataFrame = {
+    require(targetN > 0, "targetN must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val spark = df.sparkSession
+    val counts: Array[(String, Long)] = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) } // smallest first, name tiebreak
+    val quotas = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    var rem = targetN
+    counts.zipWithIndex.foreach { case ((s, n), j) =>
+      val share = rem / (counts.length - j) // even split of what's left
+      val q = math.min(maxEpochs * n, share)
+      rem -= q
+      quotas += ((s, n, q))
+    }
+    spark.createDataFrame(quotas.toSeq).toDF(srcCol, "n_docs", "quota")
+  }
+
+  /** Draw the [[uniMaxQuotas]] mix with the same deterministic
+    * md5-priority pick as [[temperatureSample]]. With maxEpochs = 1
+    * the quota never exceeds the source's size, so the draw is always
+    * complete; larger epoch caps are a loader-side repeat schedule —
+    * the draw still yields each document at most once. */
+  def uniMaxSample(df: DataFrame, srcCol: String, idCol: String,
+      targetN: Long, maxEpochs: Long = 1L,
+      salt: String = "graft"): DataFrame = {
+    val quotas = uniMaxQuotas(df, srcCol, targetN, maxEpochs)
       .select(col(srcCol), col("quota"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(srcCol))

@@ -194,6 +194,151 @@ object RefinedQueries {
             "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      IndexedQueries.all.find(_.name == "q91_ann_ivfadc").get.oracle)
+      IndexedQueries.all.find(_.name == "q91_ann_ivfadc").get.oracle),
+
+    // UniMax epoch-capped mixing (waterfilling): the budget splits as
+    // evenly as the per-source caps allow, smallest sources first,
+    // exact integer arithmetic throughout — the oracle replays the
+    // sequential schedule with a recursive CTE over the source ranks.
+    QuerySpec("q99_unimax_mix",
+      (s, dir) => TrainingPrep.uniMaxSample(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", targetN = 300L, maxEpochs = 1L)
+        .select(col("doc_id"), col("source"), col("mix_rank"))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |ord AS (SELECT source, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n, source) AS BIGINT) AS j,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS s FROM c),
+        |rec AS (SELECT CAST(0 AS BIGINT) AS j, CAST(300 AS BIGINT) AS rem
+        |  UNION ALL
+        |  SELECT o.j, r.rem - LEAST(o.n, r.rem // (o.s - o.j + 1))
+        |  FROM rec r JOIN ord o ON o.j = r.j + 1),
+        |q AS (SELECT o.source, LEAST(o.n, r.rem // (o.s - o.j + 1)) AS quota
+        |  FROM ord o JOIN rec r ON r.j = o.j - 1),
+        |pick AS (SELECT d.doc_id, d.source, q.quota,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY md5(concat('graft', ':', CAST(d.doc_id AS VARCHAR))) ASC,
+        |        d.doc_id ASC) AS INTEGER) AS mix_rank
+        |  FROM documents d JOIN q USING (source))
+        |SELECT doc_id, source, mix_rank FROM pick WHERE mix_rank <= quota
+        |ORDER BY doc_id""".stripMargin)),
+
+    // FULLY-TRAINED IVFADC: coarse quantizer from kmeansMicro (k=8,
+    // 2 Lloyd iters, exact integer micros — the q72 chain), PQ
+    // codebooks from pqCodebooksTrained (m=4, ksub=4, 2 iters — the
+    // q92 chain), composed into the materialized index + probe (the
+    // q91/q98 chain). The whole train→index→probe pipeline is exact
+    // integer/IEEE arithmetic, so the oracle replays ALL of it:
+    // both kmeans unrolls, the trained-centroid cell assignment
+    // (micros/1e6 as double, round-6 + cell tiebreak), trained-code
+    // assignment and ADC with the shared per-(vec,s,centroid)
+    // distance CTE.
+    QuerySpec("q100_ann_ivfadc_trained",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cb = Similarity.coarseCodebookFromLong(
+          Similarity.kmeansMicro(e, "vec_id", "embedding", k = 8, iters = 2))
+        val cbs = Similarity.pqCodebooksTrained(e, "vec_id", "embedding",
+          m = 4, ksub = 4, iters = 2)
+        val idx = Similarity.ivfadcIndex(e, "vec_id", "embedding", cb, cbs)
+          .localCheckpoint()
+        Similarity.ivfadcTopKIndexed(idx, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        // one Lloyd iteration of the coarse (unpartitioned) kmeans —
+        // the q72 oracle generator, 8 centroids
+        def gIter(i: Int, prev: String): String =
+          s"""gd$i AS (SELECT em.vec_id, c.cent_id,
+             |    SUM((em.x - c.c) * (em.x - c.c)) AS d
+             |  FROM em JOIN $prev c USING (dim) GROUP BY em.vec_id, c.cent_id),
+             |ga$i AS (SELECT vec_id, cent_id FROM (
+             |    SELECT vec_id, cent_id,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+             |    FROM gd$i) WHERE rn = 1),
+             |gu$i AS (SELECT a.cent_id, em.dim,
+             |    CAST(floor(CAST(SUM(em.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             |  FROM ga$i a JOIN em USING (vec_id) GROUP BY a.cent_id, em.dim),
+             |g$i AS (SELECT p.cent_id, p.dim, COALESCE(gu$i.c, p.c) AS c
+             |  FROM $prev p LEFT JOIN gu$i
+             |    ON gu$i.cent_id = p.cent_id AND gu$i.dim = p.dim)""".stripMargin
+        // one Lloyd iteration of the per-subspace PQ kmeans — the q92
+        // generator, 4 centroids per subspace
+        def pIter(i: Int, prev: String): String =
+          s"""pd$i AS (SELECT pem.s, pem.vec_id, c.cent_id,
+             |    SUM((pem.x - c.c) * (pem.x - c.c)) AS d
+             |  FROM pem JOIN $prev c ON c.s = pem.s AND c.dim = pem.dim
+             |  GROUP BY pem.s, pem.vec_id, c.cent_id),
+             |pa$i AS (SELECT s, vec_id, cent_id FROM (
+             |    SELECT s, vec_id, cent_id,
+             |      row_number() OVER (PARTITION BY s, vec_id
+             |        ORDER BY d, cent_id) AS rn
+             |    FROM pd$i) WHERE rn = 1),
+             |pu$i AS (SELECT a.s, a.cent_id, pem.dim,
+             |    CAST(floor(CAST(SUM(pem.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             |  FROM pa$i a JOIN pem ON pem.vec_id = a.vec_id AND pem.s = a.s
+             |  GROUP BY a.s, a.cent_id, pem.dim),
+             |p$i AS (SELECT p.s, p.cent_id, p.dim, COALESCE(pu$i.c, p.c) AS c
+             |  FROM $prev p LEFT JOIN pu$i
+             |    ON pu$i.s = p.s AND pu$i.cent_id = p.cent_id AND pu$i.dim = p.dim)"""
+            .stripMargin
+        val gChain = (1 to 2).map(i => gIter(i, s"g${i - 1}")).mkString(",\n")
+        val pChain = (1 to 2).map(i => pIter(i, s"p${i - 1}")).mkString(",\n")
+        s"""WITH em AS (SELECT vec_id,
+           |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+           |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
+           |  FROM embeddings),
+           |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           |      AS cent_id, vec_id
+           |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+           |g0 AS (SELECT s.cent_id, em.dim, em.x AS c
+           |  FROM seed s JOIN em ON em.vec_id = s.vec_id),
+           |$gChain,
+           |cvt AS (SELECT cent_id AS cell, LIST(CAST(c AS DOUBLE) / 1e6 ORDER BY dim) AS cv
+           |  FROM g2 GROUP BY cent_id),
+           |e AS (SELECT vec_id, embedding FROM embeddings),
+           |cella AS (SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
+           |    FROM e CROSS JOIN cvt c) WHERE rn = 1),
+           |probes AS (SELECT vec_id AS query_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
+           |    FROM e CROSS JOIN cvt c WHERE e.vec_id < 5) WHERE rn <= 2),
+           |pem AS (SELECT vec_id, CAST(dim // 16 AS INTEGER) AS s,
+           |    CAST(dim % 16 AS INTEGER) AS dim, x FROM em),
+           |pseed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           |      AS cent_id, vec_id
+           |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+           |p0 AS (SELECT pem.s, sd.cent_id, pem.dim, pem.x AS c
+           |  FROM pseed sd JOIN pem ON pem.vec_id = sd.vec_id),
+           |$pChain,
+           |pcd AS (SELECT pem.vec_id, pem.s, b.cent_id AS cid,
+           |    SUM((pem.x - b.c) * (pem.x - b.c)) AS d
+           |  FROM pem JOIN p2 b ON b.s = pem.s AND b.dim = pem.dim
+           |  GROUP BY pem.vec_id, pem.s, b.cent_id),
+           |codes AS (SELECT vec_id, s, cid FROM (
+           |    SELECT vec_id, s, cid,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+           |    FROM pcd) WHERE rn = 1),
+           |adc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+           |    CAST(SUM(t.d) AS BIGINT) AS adc_dist
+           |  FROM codes c
+           |  JOIN (SELECT vec_id AS query_id, s, cid, d FROM pcd
+           |        WHERE vec_id < 5) t ON t.s = c.s AND t.cid = c.cid
+           |  JOIN cella a ON a.vec_id = c.vec_id
+           |  JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell
+           |  WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+           |r AS (SELECT query_id, neighbor_id, adc_dist,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc)
+           |SELECT query_id, rank, neighbor_id, adc_dist FROM r WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin
+      })
   )
 }

@@ -565,6 +565,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(appended == recomputed)
   }
 
+  test("fully-trained IVFADC: codebook rebuild exact, deterministic, recall above chance") {
+    val queries = emb.filter($"vec_id" < 3)
+    val centLong = Similarity.kmeansMicro(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val cb = Similarity.coarseCodebookFromLong(centLong)
+    // rebuild is exactly micros/1e6 in (cent_id, dim) order
+    val direct = centLong.orderBy($"cent_id", $"dim")
+      .as[(Int, Int, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toDouble / 1e6).toSeq)
+    assert(cb.map(_.toSeq).toSeq == direct)
+    val cbs = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 2)
+    def run() = Similarity.ivfadcTopKIndexed(
+        Similarity.ivfadcIndex(emb, "vec_id", "embedding", cb, cbs),
+        queries, "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val a = run()
+    assert(a == run()) // the whole trained pipeline is bit-stable
+    assert(a.map(_._1).toSet == Set(0L, 1L, 2L))
+    // trained quantizers, 2 of 8 cells probed: recall vs the exact
+    // cosine top-20 must clear the 4% chance floor comfortably
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = 20)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = a.count(t => exact.contains((t._1, t._3))).toDouble / a.length
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("contaminationFuzzy: planted leaks flagged with best match; clean docs absent") {
     val holdout = Seq(
       (100L, "what is the capital of france paris obviously"),

@@ -264,4 +264,37 @@ class TrainingPrepSpec extends SparkSuite {
     // with 45 of 1000 picked)
     assert(draw("other").map(_._1) != a.map(_._1))
   }
+
+  test("uniMaxQuotas: waterfilling — small sources capped, budget rolls over") {
+    val df = ((0 until 5).map(i => (i.toLong, "a")) ++
+        (0 until 50).map(i => (100L + i, "b")) ++
+        (0 until 1000).map(i => (10000L + i, "c")))
+      .toDF("doc_id", "source")
+    def q(targetN: Long, e: Long): Map[String, Long] =
+      TrainingPrep.uniMaxQuotas(df, "source", targetN, e)
+        .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    // targetN=300, E=1: a takes its whole 5 (share was 100), the
+    // unused 95 rolls to b (takes its 50) and then c (takes 245)
+    assert(q(300L, 1L) == Map("a" -> 5L, "b" -> 50L, "c" -> 245L))
+    // E=2: caps double -> a=10, b=100, c soaks the remaining 190
+    assert(q(300L, 2L) == Map("a" -> 10L, "b" -> 100L, "c" -> 190L))
+    // budget below every cap: pure even split (floor'd smallest-first)
+    assert(q(9L, 1L) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("uniMaxSample: draw complete at E=1, balanced split, deterministic") {
+    val df = (Seq("a", "b", "c").zipWithIndex.flatMap { case (s, si) =>
+        (0 until 100).map(i => (si * 1000L + i, s))
+      }).toDF("doc_id", "source")
+    def draw() = TrainingPrep.uniMaxSample(df, "source", "doc_id",
+        targetN = 150L, maxEpochs = 1L)
+      .select($"doc_id", $"source", $"mix_rank")
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    val a = draw()
+    assert(a == draw())
+    // balanced sources, even budget: 50 each
+    val bySrc = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 50, "b" -> 50, "c" -> 50))
+    assert(a.groupBy(_._2).values.forall(_.map(_._3).sorted == (1 to 50)))
+  }
 }
