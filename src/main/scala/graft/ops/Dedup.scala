@@ -342,7 +342,15 @@ object Dedup {
     * share one locally-checkpointed batch index (the r7 plan shingled
     * the batch twice — VERDICT r7 #3). That checkpointed frame is
     * precisely the index delta [[indexAppend]] would persist for the
-    * accepted survivors. */
+    * accepted survivors.
+    *
+    * NOTE: the checkpoint makes this call EAGER — building the result
+    * frame runs a batch-scale Spark job immediately (not at first
+    * action), and the checkpointed blocks are non-replicated executor
+    * memory held until the frame is garbage-collected. On a real
+    * cluster, persist the batch index to storage instead (it is the
+    * [[indexAppend]] delta anyway) and prefer reliable `checkpoint`;
+    * local-mode gates accept the localCheckpoint trade. */
   def dedupIncrementFullIndexed(corpusIndex: DataFrame, corpusKeys: DataFrame,
       incoming: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double): DataFrame = {
@@ -676,9 +684,15 @@ object Dedup {
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_buckets"),
         max(col("bucket_size")).as("max_bucket"),
-        // n·(n-1) is even, so the /2 is exact in double up to 2^53
-        sum(col("bucket_size") * (col("bucket_size") - 1) / 2)
-          .cast("long").as("candidate_pairs"))
+        // exact in decimal end to end: Column `/` would route
+        // n·(n-1)/2 through double (loses integer exactness past 2^53
+        // — i.e. exactly the pathological bucket this diagnostic
+        // exists to expose), and a long n·(n-1) wraps at n ~ 3e9;
+        // n·(n-1) is even so the final /2 is an integral value that
+        // the decimal cast preserves exactly
+        (sum(col("bucket_size").cast("decimal(38,0)") *
+            (col("bucket_size") - lit(1))) / lit(2))
+          .cast("decimal(38,0)").as("candidate_pairs"))
       .orderBy(col("band"))
   }
 

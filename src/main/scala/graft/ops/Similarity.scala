@@ -413,8 +413,6 @@ object Similarity {
     * that queries are small. */
   private def adcTables(queries: DataFrame, idCol: String, vecCol: String,
       cbs: Array[Array[Array[Long]]], maxQueries: Int): Seq[(Long, Seq[Long])] = {
-    val m = cbs.length
-    val dsub = cbs.head.head.length
     val qRows = queries.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(maxQueries + 1).collect()
     // enforce the bound instead of trusting the doc comment (ADVICE r7)
@@ -422,18 +420,26 @@ object Similarity {
       s"ADC query side exceeds $maxQueries rows — it is collected " +
         "and broadcast; pre-chunk the queries or raise maxQueries")
     qRows.toSeq.map { r =>
-      val qm = r.getSeq[Any](1).map(microOf).toArray
-      val flat = for (s <- 0 until m; c <- 0 until cbs(s).length) yield {
-        var d = 0L
-        var p = 0
-        while (p < dsub) {
-          val t = qm(s * dsub + p) - cbs(s)(c)(p)
-          d += t * t
-          p += 1
-        }
-        d
+      (idOf(r.get(0)), adcTableOf(r.getSeq[Any](1).map(microOf).toArray, cbs))
+    }
+  }
+
+  /** One query's flattened m×ksub ADC table over micro longs — the
+    * single definition both the bulk [[adcTables]] path and the
+    * driver-side probe builders share. */
+  private def adcTableOf(qm: Array[Long],
+      cbs: Array[Array[Array[Long]]]): Seq[Long] = {
+    val m = cbs.length
+    val dsub = cbs.head.head.length
+    for (s <- 0 until m; c <- 0 until cbs(s).length) yield {
+      var d = 0L
+      var p = 0
+      while (p < dsub) {
+        val t = qm(s * dsub + p) - cbs(s)(c)(p)
+        d += t * t
+        p += 1
       }
-      (idOf(r.get(0)), flat)
+      d
     }
   }
 
@@ -530,23 +536,47 @@ object Similarity {
   /** [[ivfadcTopK]] over a MATERIALIZED index frame — the form a real
     * deployment runs (build/append the index once, probe per query
     * batch). The corpus side is a pure index scan: no vector kernel,
-    * no micro-quantize, no raw floats read — only (cell, codes). */
+    * no micro-quantize, no raw floats read — only (cell, codes). The
+    * queries frame is evaluated ONCE (collected, bounded by
+    * `maxQueries`): probe cells and ADC tables both derive driver-side
+    * from the same collected rows via the same compiled kernel the
+    * engine runs, so a non-deterministic query source (a sample, an
+    * unordered limit) cannot make the two sides disagree — the
+    * [[ivfadcResidualTopK]] discipline. */
   def ivfadcTopKIndexed(index: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cb: Array[Array[Double]],
       cbs: Array[Array[Array[Long]]], nProbe: Int = 2,
       maxQueries: Int = 100000): DataFrame = {
     val spark = index.sparkSession
-    import graft.functions.sketches.{vec_top_cells_dist2, pq_adc}
+    import graft.functions.sketches.pq_adc
     val kAct = cbs.head.length
-    // query side: nProbe best-first cells (engine kernel) + the ADC
-    // table (driver-built, the pqTopK path) — both query-scale
-    val qdf = spark.createDataFrame(
-        adcTables(queries, idCol, vecCol, cbs, maxQueries))
-      .toDF("query_id", "__qtab")
-    val probes = broadcast(queries
-      .select(col(idCol).as("query_id"),
-        explode(vec_top_cells_dist2(col(vecCol), cb, nProbe)).as("cell"))
-      .join(qdf, Seq("query_id")))
+    val qRows = queries.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"probe query side exceeds $maxQueries rows — it is collected " +
+        "and broadcast; pre-chunk the queries or raise maxQueries")
+    val cellKernel = graft.functions.VecTopCellsDist2(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq.empty[Double],
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      cb, math.max(1, nProbe))
+    val probeRows: Seq[(Long, Int, Seq[Long])] = qRows.toSeq.flatMap { r =>
+      val qid = idOf(r.get(0))
+      val qm = r.getSeq[Any](1).map(microOf).toArray
+      val tab = adcTableOf(qm, cbs)
+      cellKernel.build(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            r.getSeq[Any](1).map {
+              case f: Float => f.toDouble
+              case d: Double => d
+              case x: Number => x.doubleValue()
+            }.toArray))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq.map(cell => (qid, cell, tab))
+    }
+    val probes = broadcast(spark.createDataFrame(probeRows)
+      .toDF("query_id", "cell", "__qtab"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     probes.join(index, Seq("cell"))
@@ -631,10 +661,11 @@ object Similarity {
         case d: Double => d
         case x: Number => x.doubleValue()
       }.toArray
-    val cb: Array[Array[Double]] = corpus.filter(col(idCol) < nCentroids)
-      .orderBy(col(idCol)).select(col(vecCol)).collect().map(toDoubles)
-    require(cb.nonEmpty,
-      "ivfadc-residual: no coarse centroid rows — nCentroids admits no ids")
+    // the ONE definition of the id-seeded coarse-quantizer rule — a
+    // local re-derivation here could silently diverge from the
+    // ivfTopK/ivfadcTopK cell assignment the scaladoc promises to share
+    val cb: Array[Array[Double]] =
+      coarseCodebook(corpus, idCol, vecCol, nCentroids)
     // centroid micros derive EXACTLY like vector micros (floor(d*1e6)
     // on the widened double), so residual arithmetic is closed in longs
     val cmicro: Array[Array[Long]] =

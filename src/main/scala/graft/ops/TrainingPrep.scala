@@ -308,8 +308,18 @@ object TrainingPrep {
       maxEpochs: Long = 1L): DataFrame = {
     require(targetN > 0, "targetN must be positive")
     require(maxEpochs > 0, "maxEpochs must be positive")
+    // the driver loop orders by source name — a typed contract, not a
+    // runtime cast surprise; and NULL sources are excluded HERE so the
+    // waterfilling never grants budget that [[uniMaxSample]]'s
+    // equi-join could not draw (SQL null semantics — the same rows
+    // [[temperatureSample]] documents as excluded)
+    require(df.schema(srcCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"uniMaxQuotas: $srcCol must be a string column")
     val spark = df.sparkSession
-    val counts: Array[(String, Long)] = df.groupBy(col(srcCol))
+    val counts: Array[(String, Long)] = df
+      .filter(col(srcCol).isNotNull)
+      .groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_docs"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (s, n) => (n, s) } // smallest first, name tiebreak

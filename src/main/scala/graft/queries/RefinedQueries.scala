@@ -13,50 +13,12 @@ import QuerySpec.table
   * oracle is hash-exact. */
 object RefinedQueries {
 
+  // the dist2 helper and the q91 IVFADC CTE chain live in
+  // IndexedQueries — ONE definition; q94's shortlist stage and q91's
+  // gate can never drift apart
   private def dist2Sql(a: String, b: String): String =
-    s"""list_sum([(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) *
-       | (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) FOR z IN list_zip($a, $b)])""".stripMargin
-
-  /** The q91 IVFADC CTE chain (cells, codes, tables, pruned ADC) with
-    * a parameterized rank cut — shared by q94's shortlist stage. */
-  private def ivfadcChainSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 8),
-       |cella AS (SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.cent_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
-       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, cell FROM (
-       |    SELECT e.vec_id, c.cent_id AS cell,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cent_id) AS rn
-       |    FROM e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rn <= 2),
-       |mv AS (SELECT vec_id,
-       |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT) FOR x IN embedding] AS v
-       |  FROM embeddings),
-       |sub AS (SELECT unnest(range(4)) AS s),
-       |cb AS (SELECT ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
-       |    s, v[s*16+1:(s+1)*16] AS pv
-       |  FROM mv, sub WHERE vec_id < 8),
-       |corp AS (SELECT vec_id, s, v[s*16+1:(s+1)*16] AS sv FROM mv, sub),
-       |codes AS (SELECT vec_id, s, cid FROM (
-       |    SELECT c.vec_id, c.s, b.cid, ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
-       |      ORDER BY list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(c.sv, b.pv)]) ASC,
-       |        b.cid ASC) AS rn
-       |    FROM corp c JOIN cb b ON b.s = c.s) WHERE rn = 1),
-       |tab AS (SELECT q.vec_id AS query_id, q.s, b.cid,
-       |    list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(q.sv, b.pv)]) AS d
-       |  FROM corp q JOIN cb b ON b.s = q.s WHERE q.vec_id < 5),
-       |adc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
-       |    CAST(SUM(t.d) AS BIGINT) AS adc_dist
-       |  FROM codes c JOIN tab t ON t.s = c.s AND t.cid = c.cid
-       |  JOIN cella a ON a.vec_id = c.vec_id
-       |  JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell
-       |  WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
-       |r AS (SELECT query_id, neighbor_id, adc_dist,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc)""".stripMargin
+    IndexedQueries.dist2Sql(a, b)
+  private def ivfadcChainSql: String = IndexedQueries.ivfadcChainSql
 
   val all: Seq[QuerySpec] = Seq(
 

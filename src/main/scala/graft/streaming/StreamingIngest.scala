@@ -31,6 +31,50 @@ object StreamingIngest {
       Some(spark.read.parquet(snapshotDir))
     else None
 
+  /** Heal an interrupted [[commitState]] before reading state. The
+    * commit is two ATOMIC_MOVEs (current→old, staging→current), so a
+    * crash between them leaves current missing with a COMPLETE staging
+    * (staging is only ever fully written while current still exists)
+    * — roll the commit forward. A staging dir alongside a live current
+    * is the other crash residue (died after writing staging, before
+    * the swap): that epoch will be replayed and re-derive staging from
+    * current, so the stale copy is discarded. Without this, a crash in
+    * the two-move window would make the next epoch see "no state" and
+    * silently rebuild from one batch, discarding everything accepted
+    * before it. */
+  private def recoverState(stateDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cur = Paths.get(s"$stateDir/current")
+    val stg = Paths.get(s"$stateDir/staging")
+    if (!Files.exists(cur) && Files.exists(stg))
+      Files.move(stg, cur, StandardCopyOption.ATOMIC_MOVE)
+    else if (Files.exists(cur) && Files.exists(stg))
+      deleteTree(stg)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.delete(q))
+    }
+
+  /** Publish `<stateDir>/staging` as `<stateDir>/current`: drop the
+    * previous `old`, demote current, promote staging — each step an
+    * ATOMIC_MOVE, with the one non-atomic window (between the two
+    * moves) healed by [[recoverState]] at the next epoch's entry. */
+  private def commitState(stateDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val curPath = Paths.get(s"$stateDir/current")
+    if (Files.exists(curPath)) {
+      val old = Paths.get(s"$stateDir/old")
+      deleteTree(old)
+      Files.move(curPath, old, StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.move(Paths.get(s"$stateDir/staging"), curPath,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Streaming incremental dedup ingest — the
     * [[graft.ops.Dedup.dedupIncrementFullIndexed]] loop wired into
     * `foreachBatch`: per micro-batch, full incremental dedup (batch
@@ -40,14 +84,16 @@ object StreamingIngest {
     * reads the index and writes its own delta, exactly the
     * materialized-index contract.
     *
-    * Commit protocol: all three frames write to one staging root,
-    * then a SINGLE atomic pointer swap (`<stateDir>/current`) commits
-    * them together — corpus/index/keys can never disagree, the
-    * manifest-swap discipline a table format provides at scale. Replay
-    * safety falls out of the semantics: re-delivering a committed
-    * epoch re-accepts nothing (every previously-accepted text is in
-    * the keyset, so the exact arm drops it) and recommits identical
-    * state. */
+    * Commit protocol ([[commitState]] + [[recoverState]]): all three
+    * frames write to one staging root, then the staging dir is
+    * promoted to `<stateDir>/current` — corpus/index/keys can never
+    * disagree, the manifest-swap discipline a table format provides
+    * at scale. The swap is two ATOMIC_MOVEs; a crash in the window
+    * between them is healed by roll-forward at the next epoch's
+    * entry, so no committed state is ever lost. Replay safety falls
+    * out of the semantics: re-delivering a committed epoch re-accepts
+    * nothing (every previously-accepted text is in the keyset, so the
+    * exact arm drops it) and recommits identical state. */
   def dedupIngest(stream: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, stateDir: String,
       checkpointDir: String): StreamingQuery =
@@ -62,9 +108,10 @@ object StreamingIngest {
     * directly testable and reusable by a non-streaming ingest loop. */
   def dedupIngestBatch(batch: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, stateDir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import graft.ops.Dedup
     val spark = batch.sparkSession
+    recoverState(stateDir)
     val cur = s"$stateDir/current"
     val exists = Files.exists(Paths.get(cur))
     // materialize the survivors BEFORE any writes: the frames below
@@ -86,21 +133,12 @@ object StreamingIngest {
     val corpus =
       if (exists) spark.read.parquet(s"$cur/corpus").unionByName(accepted)
       else accepted.toDF()
-    // stage all three, swap the ONE pointer
+    // stage all three, then the recoverable pointer swap
     val staging = s"$stateDir/staging"
     corpus.write.mode("overwrite").parquet(s"$staging/corpus")
     idx.write.mode("overwrite").parquet(s"$staging/index")
     keys.write.mode("overwrite").parquet(s"$staging/keys")
-    val curPath = Paths.get(cur)
-    if (Files.exists(curPath)) {
-      val old = Paths.get(s"$stateDir/old")
-      if (Files.exists(old)) {
-        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
-      Files.move(curPath, old, StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.move(Paths.get(staging), curPath, StandardCopyOption.ATOMIC_MOVE)
+    commitState(stateDir)
   }
 
   /** Streaming ANN-index ingest — [[graft.ops.Similarity.annIndexAppend]]
@@ -116,9 +154,10 @@ object StreamingIngest {
     * against the committed index on the id — a re-delivered epoch
     * appends nothing and recommits identical state (the dedupIngest
     * discipline; ids must be unique across the stream, the usual ANN
-    * contract). Commit = staging write + single atomic pointer swap.
-    * Codebook drift is the caller's retraining decision — a retrain
-    * means a new stateDir, never an in-place mutation. */
+    * contract). Commit = staging write + the [[commitState]] swap,
+    * crash-window healed by [[recoverState]]. Codebook drift is the
+    * caller's retraining decision — a retrain means a new stateDir,
+    * never an in-place mutation. */
   def annIngest(stream: DataFrame, idCol: String, vecCol: String,
       cb: Array[Array[Double]], cbs: Array[Array[Array[Long]]],
       stateDir: String, checkpointDir: String): StreamingQuery =
@@ -134,10 +173,11 @@ object StreamingIngest {
   def annIngestBatch(batch: DataFrame, idCol: String, vecCol: String,
       cb: Array[Array[Double]], cbs: Array[Array[Array[Long]]],
       stateDir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions.col
     import graft.ops.Similarity
     val spark = batch.sparkSession
+    recoverState(stateDir)
     val cur = s"$stateDir/current"
     val exists = Files.exists(Paths.get(cur))
     val idx =
@@ -148,18 +188,8 @@ object StreamingIngest {
           "left_anti")
         Similarity.annIndexAppend(committed, fresh, idCol, vecCol, cb, cbs)
       } else Similarity.ivfadcIndex(batch, idCol, vecCol, cb, cbs)
-    val staging = s"$stateDir/staging"
-    idx.write.mode("overwrite").parquet(s"$staging/index")
-    val curPath = Paths.get(cur)
-    if (Files.exists(curPath)) {
-      val old = Paths.get(s"$stateDir/old")
-      if (Files.exists(old)) {
-        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
-      Files.move(curPath, old, StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.move(Paths.get(staging), curPath, StandardCopyOption.ATOMIC_MOVE)
+    idx.write.mode("overwrite").parquet(s"$stateDir/staging/index")
+    commitState(stateDir)
   }
 
   /** Start the ingest. `validateBatch` is the fail-fast gate (reference

@@ -119,17 +119,18 @@ class DedupSimilaritySpec extends SparkSuite {
     val df = (boiler ++ bg).toDF("doc_id", "text")
     val stats = graft.ops.Dedup.lshBandStats(df, "doc_id", "text",
         k = 2, numHashes = 16, bands = 4)
-      .as[(Int, Long, Long, Long)].collect()
+      .as[(Int, Long, Long, BigDecimal)].collect()
     assert(stats.length == 4)
     stats.foreach { case (band, _, maxBucket, pairs) =>
       assert(maxBucket >= 40, s"band $band: hot bucket invisible ($maxBucket)")
-      // the quadratic tail (40 choose 2 = 780) is measured pre-join
-      assert(pairs >= 780L, s"band $band: candidate pairs $pairs")
+      // the quadratic tail (40 choose 2 = 780) is measured pre-join,
+      // in exact decimal (a long n·(n-1) wraps at bucket ~3e9 rows)
+      assert(pairs >= BigDecimal(780), s"band $band: candidate pairs $pairs")
     }
     // a clean corpus shows no such tail
     val clean = graft.ops.Dedup.lshBandStats(bg.toDF("doc_id", "text"),
         "doc_id", "text", k = 2, numHashes = 16, bands = 4)
-      .as[(Int, Long, Long, Long)].collect()
+      .as[(Int, Long, Long, BigDecimal)].collect()
     assert(clean.forall(_._3 <= 2))
   }
 

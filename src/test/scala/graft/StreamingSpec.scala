@@ -305,6 +305,40 @@ class StreamingSpec extends SparkSuite {
     assert(viaCommitted == direct)
   }
 
+  test("ingest commit protocol: interrupted swap rolls forward; stale staging discarded") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.streaming.StreamingIngest
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb = Similarity.coarseCodebook(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-ann-recover").toString
+    val all = emb.select($"vec_id", $"embedding")
+    val e1 = all.filter($"vec_id" % 2 === 0)
+    val e2 = all.filter($"vec_id" % 2 =!= 0)
+    StreamingIngest.annIngestBatch(e1, "vec_id", "embedding", cb, cbs, state)
+    StreamingIngest.annIngestBatch(e2, "vec_id", "embedding", cb, cbs, state)
+    val total = all.count()
+    assert(spark.read.parquet(s"$state/current/index").count() == total)
+    // simulate a crash BETWEEN the two commit moves: current demoted
+    // (old holds the epoch-1 state), the complete new state still in
+    // staging — without roll-forward, the next epoch would see "no
+    // state" and rebuild from its batch alone, losing epoch 1
+    Files.move(Paths.get(s"$state/current"), Paths.get(s"$state/staging"),
+      StandardCopyOption.ATOMIC_MOVE)
+    StreamingIngest.annIngestBatch(e2, "vec_id", "embedding", cb, cbs, state)
+    val healed = spark.read.parquet(s"$state/current/index")
+    assert(healed.count() == total) // nothing lost, replay added nothing
+    assert(healed.filter($"neighbor_id" % 2 === 0).count() == e1.count())
+    // stale staging next to a live current (crash after staging write,
+    // before any move): the epoch replays and the stale copy is dropped
+    Files.createDirectories(Paths.get(s"$state/staging"))
+    Files.writeString(Paths.get(s"$state/staging/garbage"), "stale")
+    StreamingIngest.annIngestBatch(e2, "vec_id", "embedding", cb, cbs, state)
+    assert(spark.read.parquet(s"$state/current/index").count() == total)
+  }
+
   test("streaming SCD2 ingest: conflicting same-id rows pick one deterministic survivor") {
     import graft.streaming.StreamingIngest
     implicit val sqlCtx = spark.sqlContext

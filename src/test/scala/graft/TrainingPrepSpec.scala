@@ -282,6 +282,23 @@ class TrainingPrepSpec extends SparkSuite {
     assert(q(9L, 1L) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
   }
 
+  test("uniMaxQuotas: NULL sources excluded from the budget; non-string source rejected") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+        (4L, None), (5L, None))
+      .toDF("doc_id", "source")
+    // the two NULL-source rows must not absorb budget the sample's
+    // equi-join could never draw
+    val q = TrainingPrep.uniMaxQuotas(df, "source", targetN = 10L)
+      .as[(String, Long, Long)].collect()
+    assert(q.toSeq == Seq(("a", 3L, 3L)))
+    val drawn = TrainingPrep.uniMaxSample(df, "source", "doc_id", 10L)
+    assert(drawn.count() == 3)
+    intercept[IllegalArgumentException] {
+      TrainingPrep.uniMaxQuotas(
+        df.withColumn("source", lit(7)), "source", targetN = 10L)
+    }
+  }
+
   test("uniMaxSample: draw complete at E=1, balanced split, deterministic") {
     val df = (Seq("a", "b", "c").zipWithIndex.flatMap { case (s, si) =>
         (0 until 100).map(i => (si * 1000L + i, s))
