@@ -162,4 +162,113 @@ class PropertySpec extends SparkSuite {
       assert(byTuple == byLex)
     }
   }
+
+  /** Tiny-vocabulary corpora force k-gram collisions, the interesting
+    * regime for the scrub/decontamination properties. */
+  private val genCorpus: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("property: scrubDuplicatedSpans == sequential reference on random corpora") {
+    val k = 3
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").toSeq }.toMap
+      val occ = for {
+        (id, ts) <- toks.toSeq
+        p <- 0 to ts.length - k
+      } yield (id, p, ts.slice(p, p + k).mkString(" "))
+      val masked: Set[(Long, Int)] = occ.groupBy(_._3).values
+        .filter(_.size > 1)
+        .flatMap { os =>
+          val canon = os.minBy(o => (o._1, o._2))
+          os.filterNot(_ == canon)
+            .flatMap(o => (o._2 until o._2 + k).map(tp => (o._1, tp)))
+        }.toSet
+      docs.map { case (id, _) =>
+        val ts = toks(id)
+        val kept = ts.zipWithIndex
+          .filterNot { case (_, i) => masked((id, i)) }.map(_._1)
+        id -> ((ts.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+    }
+    forAllSampled(genCorpus, n = 8) { docs =>
+      val got = graft.ops.Dedup.scrubDuplicatedSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .as[(Long, Long, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(got == reference(docs), s"diverged on $docs")
+    }
+  }
+
+  test("property: contaminationFuzzy == brute-force pair scan on random corpora") {
+    val k = 2
+    val threshold = 0.4
+    def shingleSet(t: String): Set[String] = {
+      val ts = t.trim.split("\\s+").toSeq
+      (0 to ts.length - k).map(p => ts.slice(p, p + k).mkString(" ")).toSet
+    }
+    def reference(train: Seq[(Long, String)],
+        holdout: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+      val hs = holdout.map { case (id, t) => (id, shingleSet(t)) }
+        .filter(_._2.nonEmpty)
+      train.flatMap { case (tid, t) =>
+        val ts = shingleSet(t)
+        val hits = hs.flatMap { case (hid, h) =>
+          val inter = (ts & h).size
+          val union = ts.size + h.size - inter
+          // the engine's exact IEEE sequence: (double inter)·1e6 / union
+          if (inter > 0 && inter.toDouble / union >= threshold)
+            Some((hid, math.floor(inter.toDouble * 1e6 / union).toLong))
+          else None
+        }
+        if (hits.isEmpty) None
+        else Some(tid -> hits.minBy { case (hid, jm) => (-jm, hid) })
+      }.toMap
+    }
+    forAllSampled(Gen.zip(genCorpus, genCorpus), n = 8) { case (tr0, ho0) =>
+      // disjoint id spaces, like a real train/holdout split
+      val train = tr0
+      val holdout = ho0.map { case (id, t) => (1000L + id, t) }
+      val got = graft.ops.Dedup.contaminationFuzzy(
+          train.toDF("doc_id", "text"), holdout.toDF("doc_id", "text"),
+          "doc_id", "text", k, threshold)
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got == reference(train, holdout),
+        s"diverged on train=$train holdout=$holdout")
+    }
+  }
+
+  test("property: uniMax waterfilling invariants for random mixes") {
+    val genMix = for {
+      nSrc <- Gen.choose(1, 6)
+      counts <- Gen.listOfN(nSrc, Gen.choose(1, 40))
+      target <- Gen.choose(1, 120)
+      epochs <- Gen.oneOf(1L, 2L)
+    } yield (counts, target.toLong, epochs)
+    forAllSampled(genMix, n = 12) { case (counts, target, epochs) =>
+      val rows = counts.zipWithIndex.flatMap { case (n, si) =>
+        (0 until n).map(i => (si * 1000L + i, s"s$si"))
+      }
+      val q = graft.ops.TrainingPrep.uniMaxQuotas(
+          rows.toDF("doc_id", "source"), "source", target, epochs)
+        .as[(String, Long, Long)].collect().toSeq
+      val caps = counts.map(_.toLong * epochs)
+      // every source appears once; quotas never exceed their cap
+      assert(q.length == counts.length)
+      q.foreach { case (s, n, quota) =>
+        assert(quota >= 0 && quota <= n * epochs, s"$s quota $quota cap ${n * epochs}")
+      }
+      val total = q.map(_._3).sum
+      assert(total <= target)
+      if (caps.sum <= target) assert(total == caps.sum) // ample budget: all capped
+      else assert(total >= target - (counts.length - 1)) // floor shortfall bound
+    }
+  }
 }
