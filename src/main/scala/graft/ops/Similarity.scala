@@ -610,15 +610,25 @@ object Similarity {
       s"shortlist ($shortlist) must be at least k ($k) — it is the " +
         "candidate pool the exact rerank draws from")
     import graft.functions.sketches.vec_dist2_long
-    val cands = ivfadcTopK(corpus, queries, idCol, vecCol, shortlist,
+    // ONE evaluation of the caller's queries frame: the bounded
+    // collected rows feed BOTH the ADC shortlist stage and the exact
+    // side of the rerank, so a non-deterministic query source cannot
+    // make the two stages disagree (the ivfadcTopKIndexed discipline)
+    val qSel = queries.select(col(idCol), col(vecCol))
+    val qCollected = qSel.orderBy(col(idCol)).limit(maxQueries + 1).collect()
+    require(qCollected.length <= maxQueries,
+      s"rerank query side exceeds $maxQueries rows — pre-chunk the queries")
+    val qLocal = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qCollected: _*), qSel.schema)
+    val cands = ivfadcTopK(corpus, qLocal, idCol, vecCol, shortlist,
         nCentroids, nProbe, m, ksub, maxQueries)
       .select(col("query_id"), col("neighbor_id"))
     val micro = (c: Column) =>
       transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
-    // queries are bounded (maxQueries enforced upstream) -> broadcast;
+    // queries are bounded (maxQueries enforced above) -> broadcast;
     // the shortlist is queries·shortlist rows -> broadcast. The corpus
     // is probed once by a broadcast-hash join, never shuffled.
-    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+    val qv = broadcast(qLocal.select(col(idCol).as("query_id"),
       micro(col(vecCol)).as("__qmv")))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       micro(col(vecCol)).as("__cmv"))
