@@ -663,58 +663,85 @@ object Similarity {
   def ivfadcResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
       m: Int = 4, ksub: Int = 8, maxQueries: Int = 100000): DataFrame = {
-    val spark = corpus.sparkSession
-    import graft.functions.sketches.{vec_top_cells_dist2, vec_sub_long, pq_adc}
-    val toDoubles = (r: org.apache.spark.sql.Row) =>
-      r.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case x: Number => x.doubleValue()
-      }.toArray
     // the ONE definition of the id-seeded coarse-quantizer rule — a
     // local re-derivation here could silently diverge from the
     // ivfTopK/ivfadcTopK cell assignment the scaladoc promises to share
-    val cb: Array[Array[Double]] =
-      coarseCodebook(corpus, idCol, vecCol, nCentroids)
-    // centroid micros derive EXACTLY like vector micros (floor(d*1e6)
-    // on the widened double), so residual arithmetic is closed in longs
-    val cmicro: Array[Array[Long]] =
-      cb.map(_.map(d => math.floor(d * 1e6).toLong))
-    // driver-side cell assignment reuses the SAME kernel the engine
-    // runs (a Literal child only fixes the element type)
-    val cellKernel = graft.functions.VecTopCellsDist2(
+    val cb = coarseCodebook(corpus, idCol, vecCol, nCentroids)
+    val rcbs = residualCodebooks(corpus, idCol, vecCol, cb, m, ksub)
+    ivfadcResidualTopKIndexed(
+      ivfadcResidualIndex(corpus, idCol, vecCol, cb, rcbs),
+      queries, idCol, vecCol, k, cb, rcbs, nProbe, maxQueries)
+  }
+
+  /** Driver-side cell assignment via the SAME compiled kernel the
+    * engine runs (a Literal child only fixes the element type) —
+    * best-first `n` cells for a double vector. */
+  private def cellAssigner(cb: Array[Array[Double]],
+      n: Int): Array[Double] => Array[Int] = {
+    val kernel = graft.functions.VecTopCellsDist2(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         Seq.empty[Double],
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType)),
-      cb, math.max(1, nProbe))
-    def cellsOf(v: Array[Double]): Array[Int] =
-      cellKernel.build(
+      cb, math.max(1, n))
+    v => kernel.build(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
-        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
-    def microOfVec(v: Array[Double]): Array[Long] =
-      v.map(x => math.floor(x * 1e6).toLong)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+  }
 
-    // residual PQ codebooks from the ksub lowest NON-centroid ids
+  private def toDoubleVec(s: Seq[Any]): Array[Double] = s.map {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case x: Number => x.doubleValue()
+  }.toArray
+
+  /** Centroid micros derive EXACTLY like vector micros (floor(d*1e6)
+    * on the widened double), so residual arithmetic closes in longs. */
+  private def microLongs(cb: Array[Array[Double]]): Array[Array[Long]] =
+    cb.map(_.map(d => math.floor(d * 1e6).toLong))
+
+  /** Residual PQ codebooks from the `ksub` lowest NON-centroid ids
+    * (ids at or above `cb.length`): a coarse-centroid row's own
+    * residual is the zero vector, so seeding from the centroid rows
+    * (the raw-vector rule) would collapse the codebook. Integer-micro
+    * residual sub-vectors, `rcbs[s][c][p]` shape. */
+  def residualCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Double]], m: Int, ksub: Int): Array[Array[Array[Long]]] = {
+    val nCentroids = cb.length
+    val cmicro = microLongs(cb)
+    val cell1 = cellAssigner(cb, 1)
     val seedRows = corpus
       .filter(col(idCol) >= nCentroids && col(idCol) < nCentroids + ksub)
-      .orderBy(col(idCol)).select(col(vecCol)).collect().map(toDoubles)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(r => toDoubleVec(r.getSeq[Any](0)))
     require(seedRows.nonEmpty,
       s"ivfadc-residual: no rows with $idCol in [$nCentroids, ${nCentroids + ksub})")
     val seedRes: Array[Array[Long]] = seedRows.map { v =>
-      val cell = cellsOf(v)(0)
-      microOfVec(v).zip(cmicro(cell)).map { case (a, b) => a - b }
+      val cell = cell1(v)(0)
+      v.map(x => math.floor(x * 1e6).toLong)
+        .zip(cmicro(cell)).map { case (a, b) => a - b }
     }
     val dims = seedRes.head.length
     require(seedRes.forall(_.length == dims), "ragged seed widths")
     require(dims % m == 0, s"width $dims not divisible into $m subspaces")
     val dsub = dims / m
-    val rcbs: Array[Array[Array[Long]]] =
-      Array.tabulate(m)(s => seedRes.map(_.slice(s * dsub, (s + 1) * dsub)))
-    val kAct = rcbs.head.length
+    Array.tabulate(m)(s => seedRes.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
 
-    // corpus: cell (compiled kernel) + residual (broadcast centroid
-    // lookup + compiled subtraction) + codes, one scan shape
+  /** Build the residual-IVFADC index (neighbor_id, cell, codes): cell
+    * via the compiled kernel, residual via a broadcast centroid lookup
+    * + compiled long subtraction, residual-PQ codes — one scan shape.
+    * THIS is the frame the paper's shipped form persists at 100 TB
+    * (the residual codes carry more precision per byte than
+    * [[ivfadcIndex]]'s raw-vector codes); append a batch under frozen
+    * codebooks with [[annIndexAppend]]-style unionByName of a fresh
+    * build over the batch. */
+  def ivfadcResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Double]], rcbs: Array[Array[Array[Long]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import graft.functions.sketches.{vec_top_cells_dist2, vec_sub_long}
+    val cmicro = microLongs(cb)
+    val dsub = rcbs.head.head.length
     val centDf = broadcast(spark.createDataFrame(
         cmicro.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "__cmv"))
@@ -722,43 +749,48 @@ object Similarity {
       graft.functions.sketches.vec_argmin_long(
         slice(col("__rv"), s * dsub + 1, dsub), scb)
     }.toSeq: _*)
-    val assign = corpus.select(col(idCol).as("neighbor_id"),
+    corpus.select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), x => floor(x.cast("double") * 1e6).cast("long"))
           .as("__mv"),
         element_at(vec_top_cells_dist2(col(vecCol), cb, 1), 1).as("cell"))
       .join(centDf, Seq("cell"))
       .withColumn("__rv", vec_sub_long(col("__mv"), col("__cmv")))
       .select(col("neighbor_id"), col("cell"), codesExpr.as("codes"))
+  }
 
-    // query side: per (query, probed cell) a residual ADC table
+  /** [[ivfadcResidualTopK]] over a MATERIALIZED residual index — probe
+    * only; the corpus is never re-encoded. The query side is one
+    * bounded collect: per (query, probed cell) a residual ADC table
+    * (the query's residual differs per cell — the paper's
+    * multiple-assignment detail), probe cells from the same compiled
+    * kernel driver-side. */
+  def ivfadcResidualTopKIndexed(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, cb: Array[Array[Double]],
+      rcbs: Array[Array[Array[Long]]], nProbe: Int = 2,
+      maxQueries: Int = 100000): DataFrame = {
+    val spark = index.sparkSession
+    import graft.functions.sketches.pq_adc
+    val cmicro = microLongs(cb)
+    val kAct = rcbs.head.length
+    val cells = cellAssigner(cb, nProbe)
     val qRows = queries.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(maxQueries + 1).collect()
     require(qRows.length <= maxQueries,
       s"ADC query side exceeds $maxQueries rows — pre-chunk the queries")
     val probeRows: Seq[(Long, Int, Seq[Long])] = qRows.toSeq.flatMap { r =>
       val qid = idOf(r.get(0))
-      val v = toDoubles(org.apache.spark.sql.Row(r.get(1)))
-      val mv = microOfVec(v)
-      cellsOf(v).take(nProbe).toSeq.map { cell =>
+      val v = toDoubleVec(r.getSeq[Any](1))
+      val mv = v.map(x => math.floor(x * 1e6).toLong)
+      cells(v).take(nProbe).toSeq.map { cell =>
         val qr = mv.zip(cmicro(cell)).map { case (a, b) => a - b }
-        val flat = for (s <- 0 until m; c <- 0 until kAct) yield {
-          var d = 0L
-          var p = 0
-          while (p < dsub) {
-            val t = qr(s * dsub + p) - rcbs(s)(c)(p)
-            d += t * t
-            p += 1
-          }
-          d
-        }
-        (qid, cell, flat)
+        (qid, cell, adcTableOf(qr, rcbs))
       }
     }
     val probes = broadcast(spark.createDataFrame(probeRows)
       .toDF("query_id", "cell", "__qtab"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    probes.join(assign, Seq("cell"))
+    probes.join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", pq_adc(col("codes"), col("__qtab"), kAct))
       .withColumn("rank", row_number().over(w))

@@ -301,6 +301,26 @@ object RefinedQueries {
            |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc)
            |SELECT query_id, rank, neighbor_id, adc_dist FROM r WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin
-      })
+      }),
+
+    // Residual IVFADC over a MATERIALIZED index — the persisted form
+    // of the paper's shipped variant (q93's machinery split into
+    // build-once index + probe, the q98 discipline): the checkpointed
+    // (cell, residual-codes) frame stands in for the parquet index,
+    // the corpus is never re-encoded per query batch. Same inputs as
+    // q93 -> identical result, so the oracle is shared.
+    QuerySpec("q101_ann_ivfadc_residual_indexed",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cb = Similarity.coarseCodebook(e, "vec_id", "embedding", 8)
+        val rcbs = Similarity.residualCodebooks(e, "vec_id", "embedding",
+          cb, m = 4, ksub = 8)
+        val idx = Similarity.ivfadcResidualIndex(e, "vec_id", "embedding",
+          cb, rcbs).localCheckpoint()
+        Similarity.ivfadcResidualTopKIndexed(idx, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, cb, rcbs, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      IndexedQueries.all.find(_.name == "q93_ann_ivfadc_residual").get.oracle)
   )
 }

@@ -596,6 +596,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("residual IVFADC: indexed probe ≡ direct over a materialized index") {
+    val queries = emb.filter($"vec_id" < 3)
+    val direct = Similarity.ivfadcResidualTopK(emb, queries,
+        "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 2,
+        m = 4, ksub = 8)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val cb = Similarity.coarseCodebook(emb, "vec_id", "embedding", 8)
+    val rcbs = Similarity.residualCodebooks(emb, "vec_id", "embedding",
+      cb, m = 4, ksub = 8)
+    val idx = Similarity.ivfadcResidualIndex(emb, "vec_id", "embedding",
+      cb, rcbs).localCheckpoint()
+    val viaIndex = Similarity.ivfadcResidualTopKIndexed(idx, queries,
+        "vec_id", "embedding", k = 10, cb, rcbs, nProbe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(viaIndex == direct)
+  }
+
   test("contaminationFuzzy: planted leaks flagged with best match; clean docs absent") {
     val holdout = Seq(
       (100L, "what is the capital of france paris obviously"),
