@@ -67,7 +67,7 @@ object IndexedScale {
       (ts(ts.length / 2), n)
     }
 
-    for ((label, f) <- Seq("1x" -> 1, s"${factor}x" -> factor)) {
+    for ((label, f) <- Seq("1x" -> 1, s"${factor}x" -> factor).distinct) {
       val dir = s"$work/$label"
       (0 until f).map { i =>
         docs.select((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
@@ -108,7 +108,7 @@ object IndexedScale {
     // growing data does not retrain the quantizer mid-flight)
     val cb = Similarity.coarseCodebook(emb, "vec_id", "embedding", 8)
     val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
-    for ((label, f) <- Seq("1x" -> 1, s"${factor}x" -> factor)) {
+    for ((label, f) <- Seq("1x" -> 1, s"${factor}x" -> factor).distinct) {
       val dir = s"$work/ann_$label"
       (0 until f).map { i =>
         emb.select((col("vec_id") + i.toLong * 10000000L).as("vec_id"),

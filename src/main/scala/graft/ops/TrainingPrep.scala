@@ -246,11 +246,13 @@ object TrainingPrep {
     require(alphaQuarters >= 1 && alphaQuarters <= 4,
       s"alphaQuarters must be 1..4 (α = q/4), got $alphaQuarters")
     // exact-long quota product bound: targetN · w_milli must fit a
-    // long, and w_milli ≤ 1000·n^α ≤ 1000·n — so the precondition is
-    // targetN · 1000·n_max^α < 2^63 (e.g. α=1/2: a 1e9-doc target over
-    // sources of up to 4e12 docs each). Spark's ANSI-off long multiply
-    // wraps silently, hence the documented bound rather than a runtime
-    // probe of every source count.
+    // long (Spark's ANSI-off long multiply wraps SILENTLY, which would
+    // yield a wrong — possibly negative — quota, not an error). The
+    // bound is ENFORCED in-plan on every source's w_milli (VERDICT r8
+    // #3): the guard rides in the same source-scale projection that
+    // computes the weight, so it costs one comparison per source and
+    // keeps the operator lazy. For intuition: α=1/2 admits a 1e9-doc
+    // target over sources of up to ~4e12 docs each.
     val n = col("n_docs").cast("double")
     val w = alphaQuarters match {
       case 1 => sqrt(sqrt(n))
@@ -258,8 +260,17 @@ object TrainingPrep {
       case 3 => sqrt(n) * sqrt(sqrt(n))
       case 4 => n
     }
+    val wMilli = floor(w * 1e3).cast("long")
+    val guarded = when(wMilli > lit(Long.MaxValue / targetN),
+        raise_error(concat(
+          lit(s"temperatureQuotas: targetN=$targetN times w_milli="),
+          wMilli.cast("string"),
+          lit(" overflows exact 63-bit quota arithmetic for source "),
+          col(srcCol).cast("string"),
+          lit(" — lower targetN or alpha"))))
+      .otherwise(wMilli)
     df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
-      .withColumn("w_milli", floor(w * 1e3).cast("long"))
+      .withColumn("w_milli", guarded)
       .withColumn("__tot_w", sum(col("w_milli")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("quota", expr(s"(${targetN}L * w_milli) div __tot_w"))

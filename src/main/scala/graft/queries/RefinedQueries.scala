@@ -169,7 +169,8 @@ object RefinedQueries {
         .select(col("doc_id"), col("source"), col("mix_rank"))
         .orderBy(col("doc_id")),
       Some("""WITH RECURSIVE c AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
         |ord AS (SELECT source, n,
         |    CAST(ROW_NUMBER() OVER (ORDER BY n, source) AS BIGINT) AS j,
         |    CAST(COUNT(*) OVER () AS BIGINT) AS s FROM c),

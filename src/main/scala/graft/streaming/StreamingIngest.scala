@@ -31,24 +31,38 @@ object StreamingIngest {
       Some(spark.read.parquet(snapshotDir))
     else None
 
+  /** Marker written into staging as the LAST step before the pointer
+    * swap — its presence is the one bit that distinguishes "staging is
+    * a complete, commit-ready state" from "the writer died mid-write".
+    * Without it, a first-epoch crash mid-staging-write (no current
+    * exists yet) would leave a PARTIAL staging that [[recoverState]]
+    * could not tell apart from the committed-but-unswapped case, and
+    * rolling it forward would promote inconsistent frames (e.g. corpus
+    * rows whose keys are absent) to committed state (ADVICE r8). */
+  private val commitMarker = "_GRAFT_COMMIT_READY"
+
   /** Heal an interrupted [[commitState]] before reading state. The
-    * commit is two ATOMIC_MOVEs (current→old, staging→current), so a
-    * crash between them leaves current missing with a COMPLETE staging
-    * (staging is only ever fully written while current still exists)
-    * — roll the commit forward. A staging dir alongside a live current
-    * is the other crash residue (died after writing staging, before
-    * the swap): that epoch will be replayed and re-derive staging from
-    * current, so the stale copy is discarded. Without this, a crash in
-    * the two-move window would make the next epoch see "no state" and
-    * silently rebuild from one batch, discarding everything accepted
-    * before it. */
+    * commit is: marker write, then two ATOMIC_MOVEs (current→old,
+    * staging→current). A crash after the marker leaves a COMPLETE
+    * staging — roll the commit forward; a crash before it (mid-write,
+    * including the very first epoch when no current exists) leaves a
+    * partial staging with no marker — delete it so the replayed epoch
+    * rebuilds from the last committed state. A staging dir alongside a
+    * live current (died after writing staging, before the demote) is
+    * also discarded: that epoch replays and re-derives staging from
+    * current. Without the roll-forward, a crash in the two-move window
+    * would make the next epoch see "no state" and silently rebuild
+    * from one batch, discarding everything accepted before it. */
   private def recoverState(stateDir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val cur = Paths.get(s"$stateDir/current")
     val stg = Paths.get(s"$stateDir/staging")
-    if (!Files.exists(cur) && Files.exists(stg))
-      Files.move(stg, cur, StandardCopyOption.ATOMIC_MOVE)
-    else if (Files.exists(cur) && Files.exists(stg))
+    if (!Files.exists(cur) && Files.exists(stg)) {
+      if (Files.exists(stg.resolve(commitMarker))) {
+        Files.move(stg, cur, StandardCopyOption.ATOMIC_MOVE)
+        Files.deleteIfExists(cur.resolve(commitMarker))
+      } else deleteTree(stg) // partial first-epoch write — not committed
+    } else if (Files.exists(cur) && Files.exists(stg))
       deleteTree(stg)
   }
 
@@ -59,13 +73,16 @@ object StreamingIngest {
         .forEach(q => java.nio.file.Files.delete(q))
     }
 
-  /** Publish `<stateDir>/staging` as `<stateDir>/current`: drop the
-    * previous `old`, demote current, promote staging — each step an
+  /** Publish `<stateDir>/staging` as `<stateDir>/current`: seal
+    * staging with the [[commitMarker]] (the point of no return — from
+    * here the commit completes even across crashes), drop the previous
+    * `old`, demote current, promote staging — each move an
     * ATOMIC_MOVE, with the one non-atomic window (between the two
     * moves) healed by [[recoverState]] at the next epoch's entry. */
   private def commitState(stateDir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val curPath = Paths.get(s"$stateDir/current")
+    Files.createFile(Paths.get(s"$stateDir/staging/$commitMarker"))
     if (Files.exists(curPath)) {
       val old = Paths.get(s"$stateDir/old")
       deleteTree(old)
@@ -73,6 +90,7 @@ object StreamingIngest {
     }
     Files.move(Paths.get(s"$stateDir/staging"), curPath,
       StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(curPath.resolve(commitMarker))
   }
 
   /** Streaming incremental dedup ingest — the

@@ -323,10 +323,14 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$state/current/index").count() == total)
     // simulate a crash BETWEEN the two commit moves: current demoted
     // (old holds the epoch-1 state), the complete new state still in
-    // staging — without roll-forward, the next epoch would see "no
-    // state" and rebuild from its batch alone, losing epoch 1
+    // staging WITH its commit marker (the marker is written before the
+    // moves and removed only after the final promote, so this is the
+    // exact crash residue) — without roll-forward, the next epoch
+    // would see "no state" and rebuild from its batch alone, losing
+    // epoch 1
     Files.move(Paths.get(s"$state/current"), Paths.get(s"$state/staging"),
       StandardCopyOption.ATOMIC_MOVE)
+    Files.createFile(Paths.get(s"$state/staging/_GRAFT_COMMIT_READY"))
     StreamingIngest.annIngestBatch(e2, "vec_id", "embedding", cb, cbs, state)
     val healed = spark.read.parquet(s"$state/current/index")
     assert(healed.count() == total) // nothing lost, replay added nothing
@@ -337,6 +341,41 @@ class StreamingSpec extends SparkSuite {
     Files.writeString(Paths.get(s"$state/staging/garbage"), "stale")
     StreamingIngest.annIngestBatch(e2, "vec_id", "embedding", cb, cbs, state)
     assert(spark.read.parquet(s"$state/current/index").count() == total)
+  }
+
+  test("ingest commit protocol: first-epoch crash mid-staging-write is not promoted") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamingIngest
+    // a crash DURING the very first staging write leaves a partial,
+    // unmarked staging with no current — recovery must treat it as
+    // garbage (delete + rebuild from the replayed epoch), never
+    // promote it to committed state: a promoted partial frame set
+    // (e.g. corpus without keys) would make later epochs fail or
+    // silently re-accept duplicates (ADVICE r8)
+    val state = Files.createTempDirectory("graft-dedup-firstcrash").toString
+    Files.createDirectories(Paths.get(s"$state/staging/corpus"))
+    Files.writeString(Paths.get(s"$state/staging/corpus/part-00000"), "torn")
+    // no index/, no keys/, no commit marker — a torn first write
+    val epoch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    StreamingIngest.dedupIngestBatch(epoch, "doc_id", "text",
+      k = 3, threshold = 0.5, state)
+    // the torn staging was discarded; the replayed epoch committed a
+    // complete, mutually-consistent state
+    val ids = spark.read.parquet(s"$state/current/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L))
+    assert(spark.read.parquet(s"$state/current/keys").count() == 2)
+    assert(!Files.exists(Paths.get(s"$state/staging")))
+    // and a second epoch reads that state normally
+    StreamingIngest.dedupIngestBatch(
+      Seq((3L, "alpha beta gamma delta epsilon zeta"),
+        (4L, "fresh new content entirely unlike others")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, threshold = 0.5, state)
+    val ids2 = spark.read.parquet(s"$state/current/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids2 == Set(1L, 2L, 4L))
   }
 
   test("streaming SCD2 ingest: conflicting same-id rows pick one deterministic survivor") {

@@ -244,6 +244,27 @@ class TrainingPrepSpec extends SparkSuite {
     }
   }
 
+  test("temperatureQuotas: overflowing targetN·w_milli fails loudly, not wrongly") {
+    // ANSI-off long multiply wraps silently, so the operator must
+    // refuse the product rather than emit a wrapped (wrong, possibly
+    // negative) quota. 10000 docs at α=1 -> w_milli = 10_000_000;
+    // targetN = 2^60 makes targetN·w_milli ≈ 1.2e25 >> 2^63.
+    val df = (0 until 10000).map(i => (i.toLong, "big")).toDF("doc_id", "source")
+    val e = intercept[Exception] {
+      TrainingPrep.temperatureQuotas(df, "source",
+        targetN = 1L << 60, alphaQuarters = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("overflows exact 63-bit quota")),
+      s"expected the overflow guard, got: ${messages(e)}")
+    // the same data passes with a sane target, quota = full corpus share
+    val ok = TrainingPrep.temperatureQuotas(df, "source",
+        targetN = 100L, alphaQuarters = 4)
+      .as[(String, Long, Long, Long)].collect()
+    assert(ok.toSeq == Seq(("big", 10000L, 10000000L, 100L)))
+  }
+
   test("temperatureSample: draws min(quota, n) per source, rerun-stable, salt-sensitive") {
     val df = ((0 until 10).map(i => (i.toLong, "a")) ++
         (0 until 1000).map(i => (1000L + i, "b")))
