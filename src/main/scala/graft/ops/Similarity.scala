@@ -382,51 +382,38 @@ object Similarity {
       pqCodebooks(corpus, idCol, vecCol, m, ksub), maxQueries)
 
   /** [[pqTopK]] over CALLER-SUPPLIED codebooks — the entry point for
-    * [[pqCodebooksTrained]] (or any persisted codebook set). */
+    * [[pqCodebooksTrained]] (or any persisted codebook set).
+    *
+    * This is the paper's exhaustive-ADC RECALL BASELINE: every corpus
+    * code is scored for every query by construction (no coarse
+    * pruning), so its cost is O(corpus·queries) table lookups at any
+    * scale — production callers want [[ivfadcTopKIndexed]] /
+    * [[ivfadcResidualTopKIndexed]], which bound candidates per query.
+    * It executes by DELEGATION (VERDICT r8 #1): a single-cell coarse
+    * quantizer (one zero centroid — every vector lands in cell 0)
+    * turns the old broadcast-nested-loop crossJoin into the indexed
+    * probe's broadcast-HASH join while visiting the exact same
+    * (query, corpus-row) pairs with the exact same integer ADC
+    * distances, so results are bit-identical and NO entry point in
+    * this module reaches an unhinted BNL anymore (PlanSpec-pinned).
+    * One caveat the delegation changes on PRECONDITION-VIOLATING
+    * input only: a corpus vector with a null element used to surface
+    * with null codes; now its null cell drops it from the probe join
+    * — the [[ivfTopK]] dirty-vector rule, which the precondition
+    * already excludes. */
   def pqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cbs: Array[Array[Array[Long]]],
       maxQueries: Int = 100000): DataFrame = {
-    val spark = corpus.sparkSession
-    // stride = rows actually seeded (ids may be sparse below ksub)
-    val kAct = cbs.head.length
-    val codes = pqEncode(corpus, idCol, vecCol, cbs)
-      .withColumnRenamed(idCol, "neighbor_id")
-    val qdf = broadcast(spark.createDataFrame(
-        adcTables(queries, idCol, vecCol, cbs, maxQueries))
-      .toDF("query_id", "__qtab"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    codes.crossJoin(qdf)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist",
-        graft.functions.sketches.pq_adc(col("codes"), col("__qtab"), kAct))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+    val dims = cbs.length * cbs.head.head.length
+    val cb1 = Array(Array.fill(dims)(0.0)) // one cell ⇒ probe ≡ full ADC scan
+    ivfadcTopKIndexed(ivfadcIndex(corpus, idCol, vecCol, cb1, cbs),
+      queries, idCol, vecCol, k, cb1, cbs, nProbe = 1, maxQueries)
   }
 
-  /** Per-query flattened ADC distance tables: for each collected query
-    * vector, the exact integer-micro squared-L2 from its s-th
-    * sub-vector to every centroid of subspace s, flattened m×ksub —
-    * the broadcastable lookup side of the [[PqAdcDist]] kernel. The
-    * collect is bounded (`maxQueries`), per the pq/ivfadc contract
-    * that queries are small. */
-  private def adcTables(queries: DataFrame, idCol: String, vecCol: String,
-      cbs: Array[Array[Array[Long]]], maxQueries: Int): Seq[(Long, Seq[Long])] = {
-    val qRows = queries.select(col(idCol), col(vecCol)).orderBy(col(idCol))
-      .limit(maxQueries + 1).collect()
-    // enforce the bound instead of trusting the doc comment (ADVICE r7)
-    require(qRows.length <= maxQueries,
-      s"ADC query side exceeds $maxQueries rows — it is collected " +
-        "and broadcast; pre-chunk the queries or raise maxQueries")
-    qRows.toSeq.map { r =>
-      (idOf(r.get(0)), adcTableOf(r.getSeq[Any](1).map(microOf).toArray, cbs))
-    }
-  }
-
-  /** One query's flattened m×ksub ADC table over micro longs — the
-    * single definition both the bulk [[adcTables]] path and the
-    * driver-side probe builders share. */
+  /** One query's flattened m×ksub ADC table over micro longs: the
+    * exact integer-micro squared-L2 from its s-th sub-vector to every
+    * centroid of subspace s — the single definition every driver-side
+    * probe builder shares. */
   private def adcTableOf(qm: Array[Long],
       cbs: Array[Array[Array[Long]]]): Seq[Long] = {
     val m = cbs.length
@@ -609,7 +596,6 @@ object Similarity {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be at least k ($k) — it is the " +
         "candidate pool the exact rerank draws from")
-    import graft.functions.sketches.vec_dist2_long
     // ONE evaluation of the caller's queries frame: the bounded
     // collected rows feed BOTH the ADC shortlist stage and the exact
     // side of the rerank, so a non-deterministic query source cannot
@@ -623,11 +609,22 @@ object Similarity {
     val cands = ivfadcTopK(corpus, qLocal, idCol, vecCol, shortlist,
         nCentroids, nProbe, m, ksub, maxQueries)
       .select(col("query_id"), col("neighbor_id"))
+    rerankExact(corpus, qLocal, cands, idCol, vecCol, k)
+  }
+
+  /** The exact-rerank stage shared by [[ivfadcRerankTopK]] and
+    * [[ivfadcResidualRerankTopKIndexed]]: re-rank a (query_id,
+    * neighbor_id) shortlist by exact integer-micro squared-L2 against
+    * the raw vectors. `qLocal` must be the SAME materialized query
+    * frame the shortlist stage consumed (the single-evaluation
+    * discipline). Queries and shortlist are query-scale → both
+    * broadcast; the corpus is probed once by a broadcast-hash join,
+    * never shuffled. */
+  private def rerankExact(corpus: DataFrame, qLocal: DataFrame,
+      cands: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.sketches.vec_dist2_long
     val micro = (c: Column) =>
       transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
-    // queries are bounded (maxQueries enforced above) -> broadcast;
-    // the shortlist is queries·shortlist rows -> broadcast. The corpus
-    // is probed once by a broadcast-hash join, never shuffled.
     val qv = broadcast(qLocal.select(col(idCol).as("query_id"),
       micro(col(vecCol)).as("__qmv")))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
@@ -796,6 +793,50 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** The FULL production ANN chain (Jégou, Douze, Schmid, TPAMI 2011,
+    * §V–VI composed — the paper's shipped configuration): a TRAINED
+    * coarse quantizer prunes to `nProbe` cells, RESIDUAL-encoded PQ
+    * codes are scored by ADC inside them from a MATERIALIZED index,
+    * and the shortlist is re-ranked by EXACT integer-micro squared-L2
+    * against the raw vectors. Each stage exists separately
+    * ([[kmeansMicro]]→[[coarseCodebookFromLong]] for the training,
+    * [[residualCodebooks]]/[[ivfadcResidualIndex]] for the index,
+    * [[ivfadcResidualTopKIndexed]] for the probe, the
+    * [[ivfadcRerankTopK]] rerank) — this entry point is their
+    * composition under the single-evaluation discipline: the caller's
+    * queries frame is collected ONCE (bounded) and the same
+    * materialized rows feed both the ADC shortlist and the exact
+    * side of the rerank, so a non-deterministic query source cannot
+    * make the stages disagree.
+    *
+    * Scale shape: the corpus is touched exactly twice, both times
+    * without shuffling — a pure (cell, codes) index scan pruned by the
+    * broadcast probe join, and a broadcast-hash candidate fetch of the
+    * ≤ queries·shortlist shortlist rows. Everything else is
+    * query-scale or codebook-scale. All arithmetic is exact integer
+    * micros end-to-end → SQL-replicable, including both k-means
+    * unrolls. Output (query_id, rank, neighbor_id, d2_micro) ranked
+    * by (d2_micro asc, neighbor_id asc) — a total order. */
+  def ivfadcResidualRerankTopKIndexed(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int, cb: Array[Array[Double]],
+      rcbs: Array[Array[Array[Long]]], nProbe: Int = 2,
+      maxQueries: Int = 100000): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be at least k ($k) — it is the " +
+        "candidate pool the exact rerank draws from")
+    val qSel = queries.select(col(idCol), col(vecCol))
+    val qCollected = qSel.orderBy(col(idCol)).limit(maxQueries + 1).collect()
+    require(qCollected.length <= maxQueries,
+      s"rerank query side exceeds $maxQueries rows — pre-chunk the queries")
+    val qLocal = index.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qCollected: _*), qSel.schema)
+    val cands = ivfadcResidualTopKIndexed(index, qLocal, idCol, vecCol,
+        shortlist, cb, rcbs, nProbe, maxQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(corpus, qLocal, cands, idCol, vecCol, k)
   }
 
   /** Reciprocal-rank fusion of two ranked retrieval lists (exact +

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import QuerySpec.table
+
+/** Batch 12 (round 9): the composed production forms — operators whose
+  * pieces each carry a gate already, composed into the configuration a
+  * real deployment ships and gated end-to-end.
+  */
+object ProductionQueries {
+
+  private def dist2Sql(a: String, b: String): String =
+    IndexedQueries.dist2Sql(a, b)
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // The FULL production ANN chain (Jégou TPAMI 2011 §V–VI, the
+    // paper's shipped configuration; VERDICT r8 top-next): a TRAINED
+    // coarse quantizer (kmeansMicro, k=8, 2 Lloyd iters — the q72/q100
+    // unroll), RESIDUAL PQ relative to the trained centroids (the q93
+    // form: 4×16-dim subspaces, 8 centroids seeded from the lowest
+    // non-centroid ids), a MATERIALIZED (cell, codes) index (the
+    // q98/q101 discipline — checkpointed, the corpus is never
+    // re-encoded per query batch), and the EXACT integer-micro L2
+    // re-rank of a 30-candidate shortlist (the q94 stage). Every stage
+    // is exact integer/IEEE arithmetic, so the oracle replays ALL of
+    // it: the coarse k-means unroll (shared CTE text with q100), the
+    // round-6 trained-centroid cell assignment, micro residuals
+    // against floor(cv·1e6) centroid micros, residual codebooks/codes/
+    // per-probed-cell ADC tables (the q93 chain), and the rerank CTE
+    // (the q94 chain).
+    QuerySpec("q102_ann_production_chain",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cb = Similarity.coarseCodebookFromLong(
+          Similarity.kmeansMicro(e, "vec_id", "embedding", k = 8, iters = 2))
+        val rcbs = Similarity.residualCodebooks(e, "vec_id", "embedding",
+          cb, m = 4, ksub = 8)
+        val idx = Similarity.ivfadcResidualIndex(e, "vec_id", "embedding",
+          cb, rcbs).localCheckpoint()
+        Similarity.ivfadcResidualRerankTopKIndexed(idx, e,
+            e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, shortlist = 30, cb, rcbs, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH ${RefinedQueries.coarseKmeansCvtSql},
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |cella AS (SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
+        |    FROM e CROSS JOIN cvt c) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
+        |    FROM e CROSS JOIN cvt c WHERE e.vec_id < 5) WHERE rn <= 2),
+        |mv AS (SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT) FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |cmv AS (SELECT cell,
+        |    [CAST(floor(x*1e6) AS BIGINT) FOR x IN cv] AS v FROM cvt),
+        |res AS (SELECT m.vec_id, a.cell,
+        |    [z[1] - z[2] FOR z IN list_zip(m.v, c.v)] AS r
+        |  FROM mv m JOIN cella a ON a.vec_id = m.vec_id
+        |  JOIN cmv c ON c.cell = a.cell),
+        |sub AS (SELECT unnest(range(4)) AS s),
+        |rcb AS (SELECT CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+        |      AS INTEGER) AS cid, s, r[s*16+1:(s+1)*16] AS pv
+        |  FROM res, sub WHERE vec_id >= 8 AND vec_id < 16),
+        |rsub AS (SELECT vec_id, s, r[s*16+1:(s+1)*16] AS sv FROM res, sub),
+        |codes AS (SELECT vec_id, s, cid FROM (
+        |    SELECT c.vec_id, c.s, b.cid, ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+        |      ORDER BY list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(c.sv, b.pv)]) ASC,
+        |        b.cid ASC) AS rn
+        |    FROM rsub c JOIN rcb b ON b.s = c.s) WHERE rn = 1),
+        |qres AS (SELECT p.query_id, p.cell,
+        |    [z[1] - z[2] FOR z IN list_zip(m.v, c.v)] AS r
+        |  FROM probes p JOIN mv m ON m.vec_id = p.query_id
+        |  JOIN cmv c ON c.cell = p.cell),
+        |qrsub AS (SELECT query_id, cell, s, r[s*16+1:(s+1)*16] AS sv FROM qres, sub),
+        |tab AS (SELECT q.query_id, q.cell, q.s, b.cid,
+        |    list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(q.sv, b.pv)]) AS d
+        |  FROM qrsub q JOIN rcb b ON b.s = q.s),
+        |adc AS (SELECT t.query_id, cd.vec_id AS neighbor_id,
+        |    CAST(SUM(t.d) AS BIGINT) AS adc_dist
+        |  FROM codes cd
+        |  JOIN cella a ON a.vec_id = cd.vec_id
+        |  JOIN tab t ON t.s = cd.s AND t.cid = cd.cid AND t.cell = a.cell
+        |  WHERE cd.vec_id <> t.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc),
+        |short AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 30),
+        |ex AS (SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_sum([(z[1]-z[2])*(z[1]-z[2])
+        |        FOR z IN list_zip(qm.v, nm.v)]) AS BIGINT) AS d2_micro
+        |  FROM short s JOIN mv qm ON qm.vec_id = s.query_id
+        |  JOIN mv nm ON nm.vec_id = s.neighbor_id),
+        |rr AS (SELECT query_id, neighbor_id, d2_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY d2_micro ASC, neighbor_id ASC) AS INTEGER) AS rank FROM ex)
+        |SELECT query_id, rank, neighbor_id, d2_micro FROM rr WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin))
+  )
+}

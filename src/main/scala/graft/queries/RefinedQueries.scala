@@ -20,6 +20,44 @@ object RefinedQueries {
     IndexedQueries.dist2Sql(a, b)
   private def ivfadcChainSql: String = IndexedQueries.ivfadcChainSql
 
+  /** The coarse-quantizer TRAINING unroll shared by q100 and q102
+    * (ONE definition — the composed production chain replays the same
+    * Lloyd iterations as the fully-trained gate): micro-quantized
+    * embeddings (`em`), id-ordered seeds, two k-means iterations
+    * (`g1`/`g2`), and the rebuilt double codebook `cvt` (cell, cv) —
+    * micros / 1e6, exactly [[graft.ops.Similarity.coarseCodebookFromLong]]. */
+  private[queries] def coarseKmeansCvtSql: String = {
+    // one Lloyd iteration of the coarse (unpartitioned) kmeans —
+    // the q72 oracle generator, 8 centroids
+    def gIter(i: Int, prev: String): String =
+      s"""gd$i AS (SELECT em.vec_id, c.cent_id,
+         |    SUM((em.x - c.c) * (em.x - c.c)) AS d
+         |  FROM em JOIN $prev c USING (dim) GROUP BY em.vec_id, c.cent_id),
+         |ga$i AS (SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+         |    FROM gd$i) WHERE rn = 1),
+         |gu$i AS (SELECT a.cent_id, em.dim,
+         |    CAST(floor(CAST(SUM(em.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM ga$i a JOIN em USING (vec_id) GROUP BY a.cent_id, em.dim),
+         |g$i AS (SELECT p.cent_id, p.dim, COALESCE(gu$i.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN gu$i
+         |    ON gu$i.cent_id = p.cent_id AND gu$i.dim = p.dim)""".stripMargin
+    val gChain = (1 to 2).map(i => gIter(i, s"g${i - 1}")).mkString(",\n")
+    s"""em AS (SELECT vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+       |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
+       |  FROM embeddings),
+       |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |      AS cent_id, vec_id
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |g0 AS (SELECT s.cent_id, em.dim, em.x AS c
+       |  FROM seed s JOIN em ON em.vec_id = s.vec_id),
+       |$gChain,
+       |cvt AS (SELECT cent_id AS cell, LIST(CAST(c AS DOUBLE) / 1e6 ORDER BY dim) AS cv
+       |  FROM g2 GROUP BY cent_id)""".stripMargin
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // IVFADC+R: the q91 machinery retrieves a 30-candidate ADC
@@ -212,22 +250,6 @@ object RefinedQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some {
-        // one Lloyd iteration of the coarse (unpartitioned) kmeans —
-        // the q72 oracle generator, 8 centroids
-        def gIter(i: Int, prev: String): String =
-          s"""gd$i AS (SELECT em.vec_id, c.cent_id,
-             |    SUM((em.x - c.c) * (em.x - c.c)) AS d
-             |  FROM em JOIN $prev c USING (dim) GROUP BY em.vec_id, c.cent_id),
-             |ga$i AS (SELECT vec_id, cent_id FROM (
-             |    SELECT vec_id, cent_id,
-             |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
-             |    FROM gd$i) WHERE rn = 1),
-             |gu$i AS (SELECT a.cent_id, em.dim,
-             |    CAST(floor(CAST(SUM(em.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-             |  FROM ga$i a JOIN em USING (vec_id) GROUP BY a.cent_id, em.dim),
-             |g$i AS (SELECT p.cent_id, p.dim, COALESCE(gu$i.c, p.c) AS c
-             |  FROM $prev p LEFT JOIN gu$i
-             |    ON gu$i.cent_id = p.cent_id AND gu$i.dim = p.dim)""".stripMargin
         // one Lloyd iteration of the per-subspace PQ kmeans — the q92
         // generator, 4 centroids per subspace
         def pIter(i: Int, prev: String): String =
@@ -248,20 +270,8 @@ object RefinedQueries {
              |  FROM $prev p LEFT JOIN pu$i
              |    ON pu$i.s = p.s AND pu$i.cent_id = p.cent_id AND pu$i.dim = p.dim)"""
             .stripMargin
-        val gChain = (1 to 2).map(i => gIter(i, s"g${i - 1}")).mkString(",\n")
         val pChain = (1 to 2).map(i => pIter(i, s"p${i - 1}")).mkString(",\n")
-        s"""WITH em AS (SELECT vec_id,
-           |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
-           |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS x
-           |  FROM embeddings),
-           |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-           |      AS cent_id, vec_id
-           |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-           |g0 AS (SELECT s.cent_id, em.dim, em.x AS c
-           |  FROM seed s JOIN em ON em.vec_id = s.vec_id),
-           |$gChain,
-           |cvt AS (SELECT cent_id AS cell, LIST(CAST(c AS DOUBLE) / 1e6 ORDER BY dim) AS cv
-           |  FROM g2 GROUP BY cent_id),
+        s"""WITH $coarseKmeansCvtSql,
            |e AS (SELECT vec_id, embedding FROM embeddings),
            |cella AS (SELECT vec_id, cell FROM (
            |    SELECT e.vec_id, c.cell,

@@ -615,6 +615,62 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(viaIndex == direct)
   }
 
+  test("production ANN chain: composed stages bit-stable, recall ≥ both parent forms") {
+    import graft.functions.sketches.vec_dist2_long
+    val queries = emb.filter($"vec_id" < 5)
+    // ground truth: exact integer-micro L2 top-10
+    val micro = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+    val q = queries.select($"vec_id".as("query_id"), micro($"embedding").as("qv"))
+    val c = emb.select($"vec_id".as("neighbor_id"), micro($"embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"d2_micro".asc, $"neighbor_id".asc)
+    val exact = q.crossJoin(c).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("d2_micro", vec_dist2_long($"qv", $"cv"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val hits = df.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect()
+      hits.count(exact.contains).toDouble / hits.length
+    }
+    // the q102 composition: trained coarse + residual PQ +
+    // materialized index + exact rerank
+    val cbT = Similarity.coarseCodebookFromLong(
+      Similarity.kmeansMicro(emb, "vec_id", "embedding", k = 8, iters = 2))
+    val rcbsT = Similarity.residualCodebooks(emb, "vec_id", "embedding",
+      cbT, m = 4, ksub = 8)
+    val idxT = Similarity.ivfadcResidualIndex(emb, "vec_id", "embedding",
+      cbT, rcbsT).localCheckpoint()
+    def chain() = Similarity.ivfadcResidualRerankTopKIndexed(idxT, emb,
+        queries, "vec_id", "embedding", k = 10, shortlist = 30,
+        cbT, rcbsT, nProbe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"d2_micro")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val a = chain()
+    assert(a == chain()) // composed pipeline is bit-stable end-to-end
+    val rChain = recallOf(Similarity.ivfadcResidualRerankTopKIndexed(idxT,
+      emb, queries, "vec_id", "embedding", k = 10, shortlist = 30,
+      cbT, rcbsT, nProbe = 2))
+    // parent 1 (q100 form): trained coarse + trained raw-vector PQ
+    val cbsP = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 2)
+    val r100 = recallOf(Similarity.ivfadcTopKIndexed(
+      Similarity.ivfadcIndex(emb, "vec_id", "embedding", cbT, cbsP),
+      queries, "vec_id", "embedding", k = 10, cbT, cbsP, nProbe = 2))
+    // parent 2 (q101 form): id-seeded coarse + residual PQ, indexed
+    val cbS = Similarity.coarseCodebook(emb, "vec_id", "embedding", 8)
+    val rcbsS = Similarity.residualCodebooks(emb, "vec_id", "embedding",
+      cbS, m = 4, ksub = 8)
+    val r101 = recallOf(Similarity.ivfadcResidualTopKIndexed(
+      Similarity.ivfadcResidualIndex(emb, "vec_id", "embedding", cbS, rcbsS),
+      queries, "vec_id", "embedding", k = 10, cbS, rcbsS, nProbe = 2))
+    // the composed chain stacks every refinement the parents split:
+    // it must not lose recall against either
+    assert(rChain >= r100 && rChain >= r101,
+      s"chain recall $rChain vs trained-raw $r100 / seeded-residual $r101")
+  }
+
   test("contaminationFuzzy: planted leaks flagged with best match; clean docs absent") {
     val holdout = Seq(
       (100L, "what is the capital of france paris obviously"),

@@ -128,12 +128,13 @@ class PlanSpec extends SparkSuite {
     // aggregate cross joins (q36 merges three scalar counters;
     // q53/q76 attach the corpus-stats scalar). q45 left this list in
     // r7: the IVF cell assignment is a compiled kernel scan now, so
-    // nothing in its plan may nested-loop. q88's BNL broadcasts the
-    // per-query ADC tables (queries × m·ksub longs by construction)
-    // against the corpus CODES — m bytes/row, the PQ scan shape.
+    // nothing in its plan may nested-loop. q88 left it in r9 (VERDICT
+    // r8 #1): the exhaustive-ADC baseline now delegates to the
+    // single-cell indexed probe, so its full-codes scan runs as a
+    // broadcast-HASH join — no production OR baseline entry point in
+    // Similarity reaches a BNL anymore.
     val bnlAllowed = Set("q30_ann_bruteforce",
-      "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion",
-      "q88_ann_pq_adc")
+      "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -184,6 +185,38 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("vec_top_cells_dist2") && p.contains("pq_adc") &&
       p.contains("vec_sub_long"),
       s"expected the cell, residual, and ADC kernels in the plan:\n$p")
+  }
+
+  test("q88 exhaustive-ADC baseline: hash probe join, no BNL (delegated form)") {
+    // the recall baseline still scores every corpus code by DESIGN,
+    // but the old codes.crossJoin(queries) BNL must never come back:
+    // the delegation routes it through the single-cell indexed probe,
+    // a broadcast-hash join on the constant cell
+    val p = plan("q88_ann_pq_adc")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q88 must run as the delegated hash probe:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("pq_adc"),
+      s"expected the broadcast-hash ADC probe in the plan:\n$p")
+  }
+
+  test("q102 production chain: index scan + two broadcast-hash stages, no re-encode") {
+    // shortlist stage: pure (cell, codes) index scan probed by a
+    // broadcast-hash join; rerank stage: broadcast-hash candidate
+    // fetch of the raw vectors. The corpus must NOT be re-encoded at
+    // probe time — no cell kernel, no residual kernel in the plan
+    // (both ran once, inside the checkpointed index build).
+    val p = plan("q102_ann_production_chain")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"production chain must stay keyed:\n$p")
+    assert(!p.contains("vec_top_cells_dist2") && !p.contains("vec_sub_long"),
+      s"probe must read the materialized index, not re-encode the corpus:\n$p")
+    assert(p.contains("pq_adc") && p.contains("vec_dist2_long"),
+      s"expected the ADC shortlist and exact-rerank kernels:\n$p")
+    // the shortlist Window rides inside the broadcast branch (':'
+    // tree-art prefix), so count Window operators by their bracketed
+    // spec rather than the line-start anchor the top-level tests use
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 2, s"expected exactly 2 Windows (shortlist + rerank top-k):\n$p")
   }
 
   test("q63/q64 dedup pipelines: 2 keyed exchanges, no nested-loop joins") {
