@@ -936,12 +936,26 @@ object Dedup {
     * sorted-collect discipline). Hot shingles skew the canon JOIN,
     * which AQE skew-split handles — same defense as q63/q78.
     *
+    * `minSpan` (Lee et al. scrub ~50-token spans, §4): masking every
+    * repeated k-gram over-scrubs short NATURAL repeats (idioms, names,
+    * common phrases), so adjacent masked positions coalesce into
+    * maximal runs and only runs of at least `minSpan` tokens are
+    * scrubbed. A single duplicated k-gram masks exactly k consecutive
+    * tokens, so `minSpan` ≤ k (the default 1) changes nothing and the
+    * run machinery is skipped entirely — q97's plan is untouched;
+    * `minSpan` > k requires duplicated grams to CHAIN (overlap or
+    * abut) into a span that long, the signature of real boilerplate/
+    * verbatim duplication rather than a reused phrase. The run
+    * windows partition on (doc, run) — per-document scale, the
+    * rebuild-groupBy discipline, never a global sort.
+    *
     * Precondition: no NULL texts (the [[dedupIncrement]] rule — a NULL
     * text would surface as n_tokens = −1 from `size(null)` rather than
     * erroring; filter upstream if the source allows them). */
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, minSpan: Int = 1): DataFrame = {
     require(k > 0, "k must be positive")
+    require(minSpan > 0, "minSpan must be positive")
     val toks = split(trim(col(textCol)), "\\s+")
     // (doc, pos, shingle) for every k-gram START position, 0-based
     val occ = df.select(col(idCol),
@@ -954,11 +968,25 @@ object Dedup {
         min(struct(col(idCol).as("cid"), col("pos").as("cpos"))).as("__c"))
       .filter(col("__n") > 1)
     // every token position covered by a non-canonical duplicated occurrence
-    val masked = occ.join(canon, Seq("shingle"))
+    val maskedAll = occ.join(canon, Seq("shingle"))
       .filter(!(col(idCol) === col("__c.cid") && col("pos") === col("__c.cpos")))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__tpos"))
       .distinct()
+    // gaps-and-islands over the per-doc masked positions: consecutive
+    // positions share (__tpos − row_number) — runs shorter than
+    // minSpan are unmasked (kept)
+    val masked = if (minSpan <= k) maskedAll else {
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__tpos"))
+      val runKey = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol), col("__grp"))
+      maskedAll
+        .withColumn("__grp", col("__tpos") - row_number().over(wDoc))
+        .withColumn("__runlen", count(lit(1)).over(runKey))
+        .filter(col("__runlen") >= minSpan)
+        .select(col(idCol), col("__tpos"))
+    }
     val tokens = df.select(col(idCol), posexplode(toks).as(Seq("__tpos", "__tok")))
     val kept = tokens.join(masked, Seq(idCol, "__tpos"), "left_anti")
       .groupBy(col(idCol))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Dedup, Similarity}
 import QuerySpec.table
 
 /** Batch 12 (round 9): the composed production forms — operators whose
@@ -13,7 +13,102 @@ object ProductionQueries {
   private def dist2Sql(a: String, b: String): String =
     IndexedQueries.dist2Sql(a, b)
 
+  /** Build-once persisted corpus shingle index for the steady-state
+    * dedup gate (VERDICT r8 #2/#3): q89/q90 necessarily time the index
+    * BUILD inside the query (their oracles must derive from the same
+    * raw parquet), which is exactly the cost the materialized-index
+    * operator exists to amortize — so the suite's heaviest entries
+    * were measuring the one-off, hiding probe-cost regressions. This
+    * helper persists `corpusShingleIndex` + `corpusTextKeys` to a
+    * scale-keyed parquet location on FIRST use and reuses it after, so
+    * q103's per-query cost is the steady-state probe: under Bench's
+    * median-of-reps, rep 1 pays build+probe and the median lands on
+    * the probe. The cache key includes the corpus row count, so a
+    * regenerated dataset at the same path invalidates rather than
+    * serving stale index rows; `_READY` is written last (the commit-
+    * marker discipline) so a torn build is rebuilt, never trusted. */
+  private def steadyDedupIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val corpus = table(s, dir, "documents")
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val root = s"/tmp/graft_steady_dedup/${tag}_${corpus.count()}"
+    if (!Files.exists(Paths.get(s"$root/_READY"))) {
+      Dedup.corpusShingleIndex(corpus, "doc_id", "text", k = 3)
+        .write.mode("overwrite").parquet(s"$root/index")
+      Dedup.corpusTextKeys(corpus, "text")
+        .write.mode("overwrite").parquet(s"$root/keys")
+      Files.createFile(Paths.get(s"$root/_READY"))
+    }
+    root
+  }
+
   val all: Seq[QuerySpec] = Seq(
+
+    // STEADY-STATE incremental dedup: the q90 operator against a
+    // PRE-PERSISTED corpus index (built once per scale by
+    // steadyDedupIndex, reused across invocations) — the number a real
+    // ingest loop pays per batch once the index exists. Same batch and
+    // corpus as q89/q90 -> identical result, so the oracle is q89's
+    // three-stage replay; what changes is WHAT THE BENCH MEASURES:
+    // a parquet index scan + shingle-keyed probe join, no in-query
+    // re-shingle, no checkpoint of the corpus side.
+    QuerySpec("q103_dedup_increment_steady",
+      (s, dir) => {
+        val corpus = table(s, dir, "documents")
+        val root = steadyDedupIndex(s, dir)
+        Dedup.dedupIncrementFullIndexed(
+            s.read.parquet(s"$root/index"), s.read.parquet(s"$root/keys"),
+            MlPrepQueries.incrementFullBatch(corpus), "doc_id", "text",
+            k = 3, threshold = 0.5)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      MlPrepQueries.all.find(_.name == "q89_dedup_increment_full").get.oracle),
+
+    // Minimum-span duplicated-span scrub (Lee et al. 2022 §4 — the
+    // shipped ExactSubstr configuration scrubs ~50-token spans, not
+    // every repeated k-gram): q97's masking rule, but adjacent masked
+    // positions coalesce into runs (gaps-and-islands) and only runs
+    // ≥ 8 tokens are scrubbed — short natural repeats (a reused
+    // 5-gram masks exactly 5 tokens) survive, chained/verbatim
+    // duplication is still removed. The oracle extends q97's replay
+    // with the same islands CTEs.
+    QuerySpec("q104_span_scrub_minspan",
+      (s, dir) => Dedup.scrubDuplicatedSpans(
+          table(s, dir, "documents"), "doc_id", "text", k = 5, minSpan = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |base AS (SELECT doc_id, toks,
+        |    UNNEST(generate_series(1, len(toks) - 4)) AS i
+        |  FROM t WHERE len(toks) >= 5),
+        |occ AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(toks[i:i+4], ' ') AS gram FROM base),
+        |ranked AS (SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY gram) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM occ),
+        |mask0 AS (SELECT DISTINCT doc_id, tpos FROM (
+        |    SELECT doc_id, UNNEST(generate_series(pos, pos + 4)) AS tpos
+        |    FROM ranked WHERE n > 1 AND rn > 1)),
+        |isl AS (SELECT doc_id, tpos,
+        |    tpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp
+        |  FROM mask0),
+        |mask AS (SELECT doc_id, tpos FROM (
+        |    SELECT doc_id, tpos,
+        |      COUNT(*) OVER (PARTITION BY doc_id, grp) AS runlen FROM isl)
+        |  WHERE runlen >= 8),
+        |tok AS (SELECT doc_id, UNNEST(toks) AS tok,
+        |    generate_subscripts(toks, 1) - 1 AS tpos FROM t),
+        |kept AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY tpos) AS scrubbed_text
+        |  FROM tok ANTI JOIN mask USING (doc_id, tpos)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks) AS n_tokens,
+        |  len(t.toks) - COALESCE(k.n_kept, 0) AS n_masked,
+        |  COALESCE(k.scrubbed_text, '') AS scrubbed_text
+        |FROM t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
 
     // The FULL production ANN chain (Jégou TPAMI 2011 §V–VI, the
     // paper's shipped configuration; VERDICT r8 top-next): a TRAINED

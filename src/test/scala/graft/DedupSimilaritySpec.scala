@@ -716,4 +716,27 @@ class DedupSimilaritySpec extends SparkSuite {
     // masked, the first 'm n o' survives as canonical
     assert(out(3) == ((4L, 9L, 6L, "m n o")))
   }
+
+  test("scrubDuplicatedSpans minSpan: short runs survive, chained runs scrubbed") {
+    val df = Seq(
+      (1L, "p q r s t u v w x y"),       // canonical holder of all grams
+      // one shared 5-gram -> masked run of exactly 5 tokens (pos 2-6)
+      (2L, "m n p q r s t o"),
+      // ten shared positions: grams at pos 2..7 chain -> run of 10
+      (3L, "a b p q r s t u v w x y c"))
+      .toDF("doc_id", "text")
+    // default minSpan=1 (≤ k): the q97 behavior — both docs scrubbed
+    val plain = Dedup.scrubDuplicatedSpans(df, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(plain(1) == ((2L, 8L, 5L, "m n o")))
+    assert(plain(2) == ((3L, 13L, 10L, "a b c")))
+    // minSpan=8: doc 2's 5-token run is below the span floor and
+    // survives untouched; doc 3's chained 10-token run still goes
+    val spanned = Dedup.scrubDuplicatedSpans(df, "doc_id", "text",
+        k = 5, minSpan = 8)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(spanned(0) == ((1L, 10L, 0L, "p q r s t u v w x y")))
+    assert(spanned(1) == ((2L, 8L, 0L, "m n p q r s t o")))
+    assert(spanned(2) == ((3L, 13L, 10L, "a b c")))
+  }
 }
