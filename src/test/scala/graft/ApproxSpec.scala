@@ -8,13 +8,15 @@ class ApproxSpec extends SparkSuite {
   import spark.implicits._
 
   test("approx_count_distinct and percentile_approx track exact values") {
+    // q49 now emits the accuracy contract as booleans (and its oracle
+    // asserts them all true) — the spec checks the same contract holds
+    // at this scale with a readable failure per event type
     val rows = SparkEntry.queries("q49_approx_stats")(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_users").toDouble
-      val approx = r.getAs[Long]("approx_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+      assert(r.getAs[Boolean]("users_ok") && r.getAs[Boolean]("p50_ok") &&
+        r.getAs[Boolean]("p99_ok"),
+        s"${r.getString(0)}: $r")
     }
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val Array(p40, p60) = li.stat.approxQuantile("l_extendedprice",
