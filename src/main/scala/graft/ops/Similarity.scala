@@ -596,18 +596,47 @@ object Similarity {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be at least k ($k) — it is the " +
         "candidate pool the exact rerank draws from")
-    // ONE evaluation of the caller's queries frame: the bounded
-    // collected rows feed BOTH the ADC shortlist stage and the exact
-    // side of the rerank, so a non-deterministic query source cannot
-    // make the two stages disagree (the ivfadcTopKIndexed discipline)
+    val qLocal = collectQueries(queries, idCol, vecCol, maxQueries)
+    val cands = ivfadcTopK(corpus, qLocal, idCol, vecCol, shortlist,
+        nCentroids, nProbe, m, ksub, maxQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(corpus, qLocal, cands, idCol, vecCol, k)
+  }
+
+  /** ONE evaluation of a caller's queries frame: the bounded collected
+    * rows become a local frame that every stage of a multi-stage probe
+    * shares, so a non-deterministic query source (a sample, an
+    * unordered limit) cannot make the stages disagree — the
+    * single-evaluation discipline all rerank entry points follow. */
+  private def collectQueries(queries: DataFrame, idCol: String,
+      vecCol: String, maxQueries: Int): DataFrame = {
     val qSel = queries.select(col(idCol), col(vecCol))
     val qCollected = qSel.orderBy(col(idCol)).limit(maxQueries + 1).collect()
     require(qCollected.length <= maxQueries,
       s"rerank query side exceeds $maxQueries rows — pre-chunk the queries")
-    val qLocal = corpus.sparkSession.createDataFrame(
+    queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(qCollected: _*), qSel.schema)
-    val cands = ivfadcTopK(corpus, qLocal, idCol, vecCol, shortlist,
-        nCentroids, nProbe, m, ksub, maxQueries)
+  }
+
+  /** [[ivfadcRerankTopK]] over a MATERIALIZED raw-vector index — the
+    * probe-and-refine a deployment runs between
+    * [[graft.streaming.StreamingIngest.annIngest]] epochs: ADC
+    * shortlist from the committed (cell, codes) frame (never
+    * re-encoding the corpus), exact integer-micro rerank against the
+    * raw vectors. The raw-index sibling of
+    * [[ivfadcResidualRerankTopKIndexed]], same single-evaluation
+    * discipline and scale shape. */
+  def ivfadcRerankTopKIndexed(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int, cb: Array[Array[Double]],
+      cbs: Array[Array[Array[Long]]], nProbe: Int = 2,
+      maxQueries: Int = 100000): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be at least k ($k) — it is the " +
+        "candidate pool the exact rerank draws from")
+    val qLocal = collectQueries(queries, idCol, vecCol, maxQueries)
+    val cands = ivfadcTopKIndexed(index, qLocal, idCol, vecCol, shortlist,
+        cb, cbs, nProbe, maxQueries)
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(corpus, qLocal, cands, idCol, vecCol, k)
   }
@@ -827,12 +856,7 @@ object Similarity {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be at least k ($k) — it is the " +
         "candidate pool the exact rerank draws from")
-    val qSel = queries.select(col(idCol), col(vecCol))
-    val qCollected = qSel.orderBy(col(idCol)).limit(maxQueries + 1).collect()
-    require(qCollected.length <= maxQueries,
-      s"rerank query side exceeds $maxQueries rows — pre-chunk the queries")
-    val qLocal = index.sparkSession.createDataFrame(
-      java.util.Arrays.asList(qCollected: _*), qSel.schema)
+    val qLocal = collectQueries(queries, idCol, vecCol, maxQueries)
     val cands = ivfadcResidualTopKIndexed(index, qLocal, idCol, vecCol,
         shortlist, cb, rcbs, nProbe, maxQueries)
       .select(col("query_id"), col("neighbor_id"))

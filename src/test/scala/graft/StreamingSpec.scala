@@ -303,6 +303,21 @@ class StreamingSpec extends SparkSuite {
       .select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
       .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
     assert(viaCommitted == direct)
+    // ... and the full probe-and-refine composition: the committed
+    // index serves the q94 rerank stage between epochs — shortlist
+    // from the committed codes, exact rerank against the raw vectors,
+    // identical to the one-shot in-query form over the same corpus
+    val rerankDirect = Similarity.ivfadcRerankTopK(emb, queries,
+        "vec_id", "embedding", k = 10, shortlist = 30, nCentroids = 8,
+        nProbe = 2, m = 4, ksub = 8)
+      .select($"query_id", $"rank", $"neighbor_id", $"d2_micro")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val rerankCommitted = Similarity.ivfadcRerankTopKIndexed(idx, emb,
+        queries, "vec_id", "embedding", k = 10, shortlist = 30,
+        cb, cbs, nProbe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"d2_micro")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(rerankCommitted == rerankDirect)
   }
 
   test("ingest commit protocol: interrupted swap rolls forward; stale staging discarded") {
