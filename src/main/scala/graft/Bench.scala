@@ -48,7 +48,13 @@ object Bench {
     // shared host swing ±30%; the median is stable enough to compare
     // across rounds. Total = sum of per-query medians.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated name-prefix filter (e.g. "q49,q103") so
+    // a single query's cost can be iterated on without the full sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count(), NOT count(): a Dataset.count() re-plans with
