@@ -23,7 +23,9 @@ object ProductionQueries {
     * scale-keyed parquet location on FIRST use and reuses it after, so
     * q103's per-query cost is the steady-state probe: under Bench's
     * median-of-reps, rep 1 pays build+probe and the median lands on
-    * the probe. The cache key includes the corpus row count, so a
+    * the probe. The cache key fingerprints the source parquet's file
+    * names, sizes, and mtimes (row count alone would NOT change under
+    * a same-scale regeneration with a different seed), so a
     * regenerated dataset at the same path invalidates rather than
     * serving stale index rows; `_READY` is written last (the commit-
     * marker discipline) so a torn build is rebuilt, never trusted. */
@@ -32,7 +34,14 @@ object ProductionQueries {
     import java.nio.file.{Files, Paths}
     val corpus = table(s, dir, "documents")
     val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val root = s"/tmp/graft_steady_dedup/${tag}_${corpus.count()}"
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
+      else Seq(src)
+    val fp = java.lang.Long.toHexString(
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode.toLong & 0xffffffffL)
+    val root = s"/tmp/graft_steady_dedup/${tag}_$fp"
     if (!Files.exists(Paths.get(s"$root/_READY"))) {
       Dedup.corpusShingleIndex(corpus, "doc_id", "text", k = 3)
         .write.mode("overwrite").parquet(s"$root/index")
