@@ -354,8 +354,15 @@ object Dedup {
   def dedupIncrementFullIndexed(corpusIndex: DataFrame, corpusKeys: DataFrame,
       incoming: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double): DataFrame = {
-    val batchExact = deduplicated(incoming, idCol, textCol)
-    // batch-scale materialization: shingle the deduped batch ONCE,
+    // batch-scale materialization #1: the exact-deduped batch rows.
+    // Downstream this frame sits under the shingle checkpoint, the
+    // within-batch anti-join, AND the final exact-survivor arm — left
+    // lazy, each of those re-derives the caller's whole batch lineage
+    // (for the gate batches, five corpus scans + a window apiece;
+    // measured ~35% of q105's per-batch cost). One row per doc — two
+    // orders smaller than the shingle frame checkpointed below.
+    val batchExact = deduplicated(incoming, idCol, textCol).localCheckpoint()
+    // batch-scale materialization #2: shingle the deduped batch ONCE,
     // lineage-free, shared by both consumers below (on a cluster,
     // persist instead — it is the batch's index delta)
     val bsh = batchExact.select(col(idCol),

@@ -30,23 +30,96 @@ object MlPrepQueries {
   /** The q89 incoming batch — planted exact dups (+2M), near-dups
     * (+1M), new docs (+3M), a within-batch exact copy of the new arm
     * (+4M) and a within-batch near-dup of it (+5M). Shared with q90
-    * (the indexed twin must see the SAME inputs). */
+    * (the indexed twin must see the SAME inputs). The modulus
+    * parameterizes batch SIZE (each arm selects one residue class):
+    * 7 is the q89/q90/q103 gate batch (~5/7 of the corpus); 97 is
+    * q105's small batch (~5% — the typical ingest increment), same
+    * five-arm routing structure. */
   private[queries] def incrementFullBatch(
-      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      corpus: org.apache.spark.sql.DataFrame,
+      mod: Int = 7): org.apache.spark.sql.DataFrame = {
     val newText = regexp_replace(col("text"), "(\\S+)", "zq$1")
-    corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+    corpus.filter(pmod(col("doc_id"), lit(mod)) === 3)
       .select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" zzqx")).as("text"))
-      .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 5)
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(mod)) === 5)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-      .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(mod)) === 1)
         .select((col("doc_id") + 3000000).as("doc_id"), newText.as("text")))
-      .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(mod)) === 1)
         .select((col("doc_id") + 4000000).as("doc_id"), newText.as("text")))
-      .unionByName(corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(mod)) === 1)
         .select((col("doc_id") + 5000000).as("doc_id"),
           concat(newText, lit(" vvqx")).as("text")))
   }
+
+  /** The [[incrementFullBatch]] three-stage DuckDB replay (batch exact
+    * dedup → batch near-dup components → corpus increment), generated
+    * from the same modulus as the batch so the two can never drift —
+    * ONE definition shared by q89 (mod 7, and q90/q103 reuse q89's
+    * instance) and q105 (mod 97). */
+  private[queries] def incrementFullOracleSql(mod: Int): String =
+    s"""WITH inc0 AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' zzqx' AS text
+       |    FROM documents WHERE doc_id % $mod = 3
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % $mod = 5
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, regexp_replace(text, '(\\S+)', 'zq\\1', 'g')
+       |    FROM documents WHERE doc_id % $mod = 1
+       |  UNION ALL
+       |  SELECT doc_id + 4000000, regexp_replace(text, '(\\S+)', 'zq\\1', 'g')
+       |    FROM documents WHERE doc_id % $mod = 1
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, regexp_replace(text, '(\\S+)', 'zq\\1', 'g') || ' vvqx'
+       |    FROM documents WHERE doc_id % $mod = 1),
+       |be AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM inc0)
+       |  WHERE rn = 1),
+       |bt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM be),
+       |bsh AS (SELECT DISTINCT doc_id,
+       |    UNNEST([array_to_string(toks[i:i+2], ' ')
+       |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+       |  FROM bt WHERE len(toks) >= 3),
+       |bsz AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
+       |bp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM bsh a JOIN bsh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |bgood AS (SELECT id_a, id_b FROM bp
+       |  JOIN bsz sa ON sa.doc_id = id_a JOIN bsz sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       |bedges AS (SELECT id_a AS a, id_b AS b FROM bgood
+       |  UNION SELECT id_b, id_a FROM bgood),
+       |bnodes AS (SELECT DISTINCT a AS id FROM bedges),
+       |breach AS (
+       |  WITH RECURSIVE r(src, node) AS (
+       |    SELECT id, id FROM bnodes
+       |    UNION
+       |    SELECT r.src, e.b FROM r JOIN bedges e ON e.a = r.node)
+       |  SELECT * FROM r),
+       |bcomp AS (SELECT src AS id, MIN(node) AS component FROM breach GROUP BY src),
+       |bn AS (SELECT doc_id, text FROM be
+       |  WHERE doc_id NOT IN (SELECT id FROM bcomp WHERE id <> component)),
+       |ex AS (SELECT * FROM bn WHERE text NOT IN (SELECT text FROM documents)),
+       |it AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM ex),
+       |ish AS (SELECT DISTINCT doc_id,
+       |    UNNEST([array_to_string(toks[i:i+2], ' ')
+       |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+       |  FROM it WHERE len(toks) >= 3),
+       |ct AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |csh AS (SELECT DISTINCT doc_id,
+       |    UNNEST([array_to_string(toks[i:i+2], ' ')
+       |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+       |  FROM ct WHERE len(toks) >= 3),
+       |isz AS (SELECT doc_id, COUNT(*) AS n FROM ish GROUP BY 1),
+       |csz AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+       |pairs AS (SELECT i.doc_id AS iid, c.doc_id AS cid, COUNT(*) AS inter
+       |  FROM ish i JOIN csh c USING (shingle) GROUP BY 1, 2),
+       |los AS (SELECT DISTINCT iid FROM pairs
+       |  JOIN isz ON isz.doc_id = iid JOIN csz ON csz.doc_id = cid
+       |  WHERE CAST(inter AS DOUBLE) / (isz.n + csz.n - inter) >= 0.5)
+       |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT iid FROM los)
+       |ORDER BY doc_id""".stripMargin
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -729,68 +802,7 @@ object MlPrepQueries {
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH inc0 AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' zzqx' AS text
-        |    FROM documents WHERE doc_id % 7 = 3
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 5
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, regexp_replace(text, '(\S+)', 'zq\1', 'g')
-        |    FROM documents WHERE doc_id % 7 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 4000000, regexp_replace(text, '(\S+)', 'zq\1', 'g')
-        |    FROM documents WHERE doc_id % 7 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 5000000, regexp_replace(text, '(\S+)', 'zq\1', 'g') || ' vvqx'
-        |    FROM documents WHERE doc_id % 7 = 1),
-        |be AS (SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM inc0)
-        |  WHERE rn = 1),
-        |bt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM be),
-        |bsh AS (SELECT DISTINCT doc_id,
-        |    UNNEST([array_to_string(toks[i:i+2], ' ')
-        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
-        |  FROM bt WHERE len(toks) >= 3),
-        |bsz AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
-        |bp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM bsh a JOIN bsh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |bgood AS (SELECT id_a, id_b FROM bp
-        |  JOIN bsz sa ON sa.doc_id = id_a JOIN bsz sb ON sb.doc_id = id_b
-        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-        |bedges AS (SELECT id_a AS a, id_b AS b FROM bgood
-        |  UNION SELECT id_b, id_a FROM bgood),
-        |bnodes AS (SELECT DISTINCT a AS id FROM bedges),
-        |breach AS (
-        |  WITH RECURSIVE r(src, node) AS (
-        |    SELECT id, id FROM bnodes
-        |    UNION
-        |    SELECT r.src, e.b FROM r JOIN bedges e ON e.a = r.node)
-        |  SELECT * FROM r),
-        |bcomp AS (SELECT src AS id, MIN(node) AS component FROM breach GROUP BY src),
-        |bn AS (SELECT doc_id, text FROM be
-        |  WHERE doc_id NOT IN (SELECT id FROM bcomp WHERE id <> component)),
-        |ex AS (SELECT * FROM bn WHERE text NOT IN (SELECT text FROM documents)),
-        |it AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM ex),
-        |ish AS (SELECT DISTINCT doc_id,
-        |    UNNEST([array_to_string(toks[i:i+2], ' ')
-        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
-        |  FROM it WHERE len(toks) >= 3),
-        |ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |csh AS (SELECT DISTINCT doc_id,
-        |    UNNEST([array_to_string(toks[i:i+2], ' ')
-        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
-        |  FROM ct WHERE len(toks) >= 3),
-        |isz AS (SELECT doc_id, COUNT(*) AS n FROM ish GROUP BY 1),
-        |csz AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
-        |pairs AS (SELECT i.doc_id AS iid, c.doc_id AS cid, COUNT(*) AS inter
-        |  FROM ish i JOIN csh c USING (shingle) GROUP BY 1, 2),
-        |los AS (SELECT DISTINCT iid FROM pairs
-        |  JOIN isz ON isz.doc_id = iid JOIN csz ON csz.doc_id = cid
-        |  WHERE CAST(inter AS DOUBLE) / (isz.n + csz.n - inter) >= 0.5)
-        |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT iid FROM los)
-        |ORDER BY doc_id""".stripMargin)),
-
+      Some(incrementFullOracleSql(7))),
     // Priority-survivor near-dup dedup: within each component the
     // LONGEST document wins (id tiebreak) instead of the lowest id —
     // what production dedup usually keeps.

@@ -75,6 +75,28 @@ object ProductionQueries {
       },
       MlPrepQueries.all.find(_.name == "q89_dedup_increment_full").get.oracle),
 
+    // SMALL-BATCH steady-state incremental dedup: q103's persisted
+    // index probed with a ~5%-of-corpus batch (mod 97, same five-arm
+    // routing structure as q89's mod-7 batch) — the typical ingest
+    // increment, whose per-batch cost is NOT dominated by the batch's
+    // own near-dup arm the way the q89-sized batch is. This is the
+    // gated form of the IndexedScale small-batch evidence: per-query
+    // cost = index scan + shingle-keyed probe join ∝ batch. Oracle =
+    // the same three-stage replay generated at mod 97, so batch and
+    // oracle cannot drift.
+    QuerySpec("q105_dedup_increment_steady_small",
+      (s, dir) => {
+        val corpus = table(s, dir, "documents")
+        val root = steadyDedupIndex(s, dir)
+        Dedup.dedupIncrementFullIndexed(
+            s.read.parquet(s"$root/index"), s.read.parquet(s"$root/keys"),
+            MlPrepQueries.incrementFullBatch(corpus, mod = 97), "doc_id",
+            "text", k = 3, threshold = 0.5)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(MlPrepQueries.incrementFullOracleSql(97))),
+
     // Minimum-span duplicated-span scrub (Lee et al. 2022 §4 — the
     // shipped ExactSubstr configuration scrubs ~50-token spans, not
     // every repeated k-gram): q97's masking rule, but adjacent masked
