@@ -313,9 +313,23 @@ object Similarity {
     val seeds: Array[Array[Long]] = micro.orderBy(col("__vid")).limit(ksub)
       .collect().map(_.getSeq[Long](1).toArray)
     require(seeds.nonEmpty, "pqCodebooksTrained: empty corpus")
+    val cent = fusedSubspaceLloyd(micro, seeds, m, iters)
+    micro.unpersist()
+    cent
+  }
+
+  /** The fused per-subspace Lloyd loop shared by [[pqCodebooksTrained]]
+    * (raw micro vectors) and [[residualCodebooksTrained]] (residual
+    * micro vectors): all `m` subspaces advance in the SAME distributed
+    * job per iteration, every rule the q72/q92 discipline (id-ordered
+    * seeds sliced, lowest-index argmin ties, floor'd integer-micro
+    * means, empty clusters keep position). `micro` must expose
+    * (`__vid`, `__xm`); the caller owns its caching. */
+  private def fusedSubspaceLloyd(micro: DataFrame,
+      seeds: Array[Array[Long]], m: Int, iters: Int): Array[Array[Array[Long]]] = {
     val dims = seeds.head.length
     require(seeds.forall(_.length == dims),
-      "pqCodebooksTrained: ragged seed vector widths")
+      "subspace Lloyd: ragged seed vector widths")
     require(dims % m == 0, s"vector width $dims not divisible into $m subspaces")
     val dsub = dims / m
     var cent: Array[Array[Array[Long]]] =
@@ -343,6 +357,44 @@ object Similarity {
       }
       cent = next
     }
+    cent
+  }
+
+  /** TRAINED residual PQ codebooks — the missing quantizer of the
+    * paper's full §V training story: [[fusedSubspaceLloyd]] run over
+    * the RESIDUALS x − q1(x) (cell assignment + compiled long
+    * subtraction, exactly the [[ivfadcResidualIndex]] residual
+    * derivation), seeded from the residuals of the `ksub` lowest
+    * non-centroid-position ids — the [[residualCodebooks]] seed rule,
+    * which those codebooks are the iters=0 special case of. Everything
+    * stays in exact integer micros with fixed iteration counts, so the
+    * whole run is SQL-replicable (the q92 unroll over the residual
+    * frame). Same null-free / uniform-width precondition as
+    * [[ivfTopK]]. */
+  def residualCodebooksTrained(corpus: DataFrame, idCol: String,
+      vecCol: String, cb: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
+    require(m > 0 && ksub > 0 && iters > 0, "m, ksub, iters must be positive")
+    val spark = corpus.sparkSession
+    import graft.functions.sketches.{vec_top_cells_dist2, vec_sub_long}
+    val cmicro = microLongs(cb)
+    val centDf = broadcast(spark.createDataFrame(
+        cmicro.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "__cmv"))
+    val micro = corpus.select(col(idCol).as("__vid"),
+        transform(col(vecCol), x => floor(x.cast("double") * 1e6).cast("long"))
+          .as("__mv"),
+        element_at(vec_top_cells_dist2(col(vecCol), cb, 1), 1).as("cell"))
+      .join(centDf, Seq("cell"))
+      .select(col("__vid"), vec_sub_long(col("__mv"), col("__cmv")).as("__xm"))
+      .cache()
+    val nCent = cb.length
+    val seeds: Array[Array[Long]] = micro
+      .filter(col("__vid") >= nCent && col("__vid") < nCent + ksub)
+      .orderBy(col("__vid")).collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.nonEmpty,
+      s"residualCodebooksTrained: no rows with id in [$nCent, ${nCent + ksub})")
+    val cent = fusedSubspaceLloyd(micro, seeds, m, iters)
     micro.unpersist()
     cent
   }

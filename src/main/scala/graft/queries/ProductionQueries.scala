@@ -13,6 +13,117 @@ object ProductionQueries {
   private def dist2Sql(a: String, b: String): String =
     IndexedQueries.dist2Sql(a, b)
 
+  /** The production-chain oracle (trained coarse → cells/probes →
+    * residuals → residual-PQ codes → per-probed-cell ADC → shortlist
+    * → exact rerank), generated around a pluggable residual-codebook
+    * CTE block (must define `rcb(cid, s, pv)` from the `res` frame) —
+    * ONE definition shared by q102 (id-seeded rcb = the iters=0
+    * special case) and q106 (Lloyd-trained rcb, the q92 unroll over
+    * residual subvectors). */
+  private def chainOracleSql(rcbCtes: String): String =
+    s"""WITH ${RefinedQueries.coarseKmeansCvtSql},
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |cella AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
+       |    FROM e CROSS JOIN cvt c) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
+       |    FROM e CROSS JOIN cvt c WHERE e.vec_id < 5) WHERE rn <= 2),
+       |mv AS (SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT) FOR x IN embedding] AS v
+       |  FROM embeddings),
+       |cmv AS (SELECT cell,
+       |    [CAST(floor(x*1e6) AS BIGINT) FOR x IN cv] AS v FROM cvt),
+       |res AS (SELECT m.vec_id, a.cell,
+       |    [z[1] - z[2] FOR z IN list_zip(m.v, c.v)] AS r
+       |  FROM mv m JOIN cella a ON a.vec_id = m.vec_id
+       |  JOIN cmv c ON c.cell = a.cell),
+       |sub AS (SELECT unnest(range(4)) AS s),
+       |$rcbCtes,
+       |rsub AS (SELECT vec_id, s, r[s*16+1:(s+1)*16] AS sv FROM res, sub),
+       |codes AS (SELECT vec_id, s, cid FROM (
+       |    SELECT c.vec_id, c.s, b.cid, ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+       |      ORDER BY list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(c.sv, b.pv)]) ASC,
+       |        b.cid ASC) AS rn
+       |    FROM rsub c JOIN rcb b ON b.s = c.s) WHERE rn = 1),
+       |qres AS (SELECT p.query_id, p.cell,
+       |    [z[1] - z[2] FOR z IN list_zip(m.v, c.v)] AS r
+       |  FROM probes p JOIN mv m ON m.vec_id = p.query_id
+       |  JOIN cmv c ON c.cell = p.cell),
+       |qrsub AS (SELECT query_id, cell, s, r[s*16+1:(s+1)*16] AS sv FROM qres, sub),
+       |tab AS (SELECT q.query_id, q.cell, q.s, b.cid,
+       |    list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(q.sv, b.pv)]) AS d
+       |  FROM qrsub q JOIN rcb b ON b.s = q.s),
+       |adc AS (SELECT t.query_id, cd.vec_id AS neighbor_id,
+       |    CAST(SUM(t.d) AS BIGINT) AS adc_dist
+       |  FROM codes cd
+       |  JOIN cella a ON a.vec_id = cd.vec_id
+       |  JOIN tab t ON t.s = cd.s AND t.cid = cd.cid AND t.cell = a.cell
+       |  WHERE cd.vec_id <> t.query_id GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc),
+       |short AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 30),
+       |ex AS (SELECT s.query_id, s.neighbor_id,
+       |    CAST(list_sum([(z[1]-z[2])*(z[1]-z[2])
+       |        FOR z IN list_zip(qm.v, nm.v)]) AS BIGINT) AS d2_micro
+       |  FROM short s JOIN mv qm ON qm.vec_id = s.query_id
+       |  JOIN mv nm ON nm.vec_id = s.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, d2_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2_micro ASC, neighbor_id ASC) AS INTEGER) AS rank FROM ex)
+       |SELECT query_id, rank, neighbor_id, d2_micro FROM rr WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q102's residual codebooks: the id-seeded rule verbatim. */
+  private val seededRcbSql: String =
+    """rcb AS (SELECT CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+      |      AS INTEGER) AS cid, s, r[s*16+1:(s+1)*16] AS pv
+      |  FROM res, sub WHERE vec_id >= 8 AND vec_id < 16)""".stripMargin
+
+  /** q106's residual codebooks: two Lloyd iterations over the residual
+    * subvectors — the q92 generator re-rooted on `res` (seeds = the
+    * residuals of ids 8..15, the same rows seededRcbSql slices). */
+  private val trainedRcbSql: String = {
+    def rIter(i: Int, prev: String): String =
+      s"""rd$i AS (SELECT rem.s, rem.vec_id, c.cent_id,
+         |    SUM((rem.x - c.c) * (rem.x - c.c)) AS d
+         |  FROM rem JOIN $prev c ON c.s = rem.s AND c.dim = rem.dim
+         |  GROUP BY rem.s, rem.vec_id, c.cent_id),
+         |ra$i AS (SELECT s, vec_id, cent_id FROM (
+         |    SELECT s, vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY s, vec_id
+         |        ORDER BY d, cent_id) AS rn
+         |    FROM rd$i) WHERE rn = 1),
+         |ru$i AS (SELECT a.s, a.cent_id, rem.dim,
+         |    CAST(floor(CAST(SUM(rem.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM ra$i a JOIN rem ON rem.vec_id = a.vec_id AND rem.s = a.s
+         |  GROUP BY a.s, a.cent_id, rem.dim),
+         |rp$i AS (SELECT p.s, p.cent_id, p.dim, COALESCE(ru$i.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN ru$i
+         |    ON ru$i.s = p.s AND ru$i.cent_id = p.cent_id AND ru$i.dim = p.dim)"""
+        .stripMargin
+    val chain = (1 to 2).map(i => rIter(i, s"rp${i - 1}")).mkString(",\n")
+    s"""rem0 AS (SELECT vec_id, generate_subscripts(r, 1) - 1 AS idx,
+       |    UNNEST(r) AS x FROM res),
+       |rem AS (SELECT vec_id, CAST(idx // 16 AS INTEGER) AS s,
+       |    CAST(idx % 16 AS INTEGER) AS dim, x FROM rem0),
+       |rseed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |      AS cent_id, vec_id
+       |  FROM (SELECT DISTINCT vec_id FROM res
+       |        WHERE vec_id >= 8 AND vec_id < 16 ORDER BY vec_id LIMIT 8)),
+       |rp0 AS (SELECT rem.s, sd.cent_id, rem.dim, rem.x AS c
+       |  FROM rseed sd JOIN rem ON rem.vec_id = sd.vec_id),
+       |$chain,
+       |rcb AS (SELECT CAST(cent_id AS INTEGER) AS cid, s,
+       |    LIST(c ORDER BY dim) AS pv
+       |  FROM rp2 GROUP BY cent_id, s)""".stripMargin
+  }
+
   /** Build-once persisted corpus shingle index for the steady-state
     * dedup gate (VERDICT r8 #2/#3): q89/q90 necessarily time the index
     * BUILD inside the query (their oracles must derive from the same
@@ -170,64 +281,31 @@ object ProductionQueries {
             k = 10, shortlist = 30, cb, rcbs, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH ${RefinedQueries.coarseKmeansCvtSql},
-        |e AS (SELECT vec_id, embedding FROM embeddings),
-        |cella AS (SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c.cell,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
-        |    FROM e CROSS JOIN cvt c) WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, cell FROM (
-        |    SELECT e.vec_id, c.cell,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
-        |    FROM e CROSS JOIN cvt c WHERE e.vec_id < 5) WHERE rn <= 2),
-        |mv AS (SELECT vec_id,
-        |    [CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT) FOR x IN embedding] AS v
-        |  FROM embeddings),
-        |cmv AS (SELECT cell,
-        |    [CAST(floor(x*1e6) AS BIGINT) FOR x IN cv] AS v FROM cvt),
-        |res AS (SELECT m.vec_id, a.cell,
-        |    [z[1] - z[2] FOR z IN list_zip(m.v, c.v)] AS r
-        |  FROM mv m JOIN cella a ON a.vec_id = m.vec_id
-        |  JOIN cmv c ON c.cell = a.cell),
-        |sub AS (SELECT unnest(range(4)) AS s),
-        |rcb AS (SELECT CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
-        |      AS INTEGER) AS cid, s, r[s*16+1:(s+1)*16] AS pv
-        |  FROM res, sub WHERE vec_id >= 8 AND vec_id < 16),
-        |rsub AS (SELECT vec_id, s, r[s*16+1:(s+1)*16] AS sv FROM res, sub),
-        |codes AS (SELECT vec_id, s, cid FROM (
-        |    SELECT c.vec_id, c.s, b.cid, ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
-        |      ORDER BY list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(c.sv, b.pv)]) ASC,
-        |        b.cid ASC) AS rn
-        |    FROM rsub c JOIN rcb b ON b.s = c.s) WHERE rn = 1),
-        |qres AS (SELECT p.query_id, p.cell,
-        |    [z[1] - z[2] FOR z IN list_zip(m.v, c.v)] AS r
-        |  FROM probes p JOIN mv m ON m.vec_id = p.query_id
-        |  JOIN cmv c ON c.cell = p.cell),
-        |qrsub AS (SELECT query_id, cell, s, r[s*16+1:(s+1)*16] AS sv FROM qres, sub),
-        |tab AS (SELECT q.query_id, q.cell, q.s, b.cid,
-        |    list_sum([(z[1]-z[2])*(z[1]-z[2]) FOR z IN list_zip(q.sv, b.pv)]) AS d
-        |  FROM qrsub q JOIN rcb b ON b.s = q.s),
-        |adc AS (SELECT t.query_id, cd.vec_id AS neighbor_id,
-        |    CAST(SUM(t.d) AS BIGINT) AS adc_dist
-        |  FROM codes cd
-        |  JOIN cella a ON a.vec_id = cd.vec_id
-        |  JOIN tab t ON t.s = cd.s AND t.cid = cd.cid AND t.cell = a.cell
-        |  WHERE cd.vec_id <> t.query_id GROUP BY 1, 2),
-        |r AS (SELECT query_id, neighbor_id, adc_dist,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc),
-        |short AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 30),
-        |ex AS (SELECT s.query_id, s.neighbor_id,
-        |    CAST(list_sum([(z[1]-z[2])*(z[1]-z[2])
-        |        FOR z IN list_zip(qm.v, nm.v)]) AS BIGINT) AS d2_micro
-        |  FROM short s JOIN mv qm ON qm.vec_id = s.query_id
-        |  JOIN mv nm ON nm.vec_id = s.neighbor_id),
-        |rr AS (SELECT query_id, neighbor_id, d2_micro,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY d2_micro ASC, neighbor_id ASC) AS INTEGER) AS rank FROM ex)
-        |SELECT query_id, rank, neighbor_id, d2_micro FROM rr WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin))
+      Some(chainOracleSql(seededRcbSql))),
+
+    // The FULLY-TRAINED production chain — every quantizer Lloyd-
+    // trained, the complete Jégou §V training story: trained coarse
+    // (q100's unroll) + TRAINED residual PQ (residualCodebooksTrained:
+    // the fused per-subspace Lloyd over x − q1(x), seeds = the
+    // residuals of the same ids q102's seeded rule slices) +
+    // materialized residual index + exact re-rank. The oracle is
+    // q102's chain with the codebook CTE swapped for the q92-style
+    // unroll over residual subvectors — both generated from ONE chain
+    // definition, so the seeded and trained gates cannot drift.
+    QuerySpec("q106_ann_production_chain_trained",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cb = Similarity.coarseCodebookFromLong(
+          Similarity.kmeansMicro(e, "vec_id", "embedding", k = 8, iters = 2))
+        val rcbs = Similarity.residualCodebooksTrained(e, "vec_id",
+          "embedding", cb, m = 4, ksub = 8, iters = 2)
+        val idx = Similarity.ivfadcResidualIndex(e, "vec_id", "embedding",
+          cb, rcbs).localCheckpoint()
+        Similarity.ivfadcResidualRerankTopKIndexed(idx, e,
+            e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, shortlist = 30, cb, rcbs, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(chainOracleSql(trainedRcbSql)))
   )
 }

@@ -671,6 +671,72 @@ class DedupSimilaritySpec extends SparkSuite {
       s"chain recall $rChain vs trained-raw $r100 / seeded-residual $r101")
   }
 
+  test("trained residual codebooks: valid shape, deterministic, distortion ≤ id-seeded") {
+    import graft.functions.sketches.{vec_dist2_long, vec_sub_long, vec_top_cells_dist2}
+    val queries = emb.filter($"vec_id" < 5)
+    val cb = Similarity.coarseCodebookFromLong(
+      Similarity.kmeansMicro(emb, "vec_id", "embedding", k = 8, iters = 2))
+    val trained = Similarity.residualCodebooksTrained(emb, "vec_id",
+      "embedding", cb, m = 4, ksub = 8, iters = 2)
+    val seeded = Similarity.residualCodebooks(emb, "vec_id", "embedding",
+      cb, m = 4, ksub = 8)
+    // shape: m subspaces × ksub centroids × dsub dims, same as seeded
+    assert(trained.length == 4 && trained.forall(_.length == 8) &&
+      trained.forall(_.forall(_.length == seeded.head.head.length)))
+    // deterministic: training twice yields the identical codebooks
+    val again = Similarity.residualCodebooksTrained(emb, "vec_id",
+      "embedding", cb, m = 4, ksub = 8, iters = 2)
+    assert(trained.map(_.map(_.toSeq).toSeq).toSeq ==
+      again.map(_.map(_.toSeq).toSeq).toSeq)
+    // Lloyd's invariant is QUANTIZATION DISTORTION, not end-task
+    // recall (a 500-vector corpus with k=10 can rank either way):
+    // total Σ min-dist² from each residual subvector to its codebook
+    // must not increase vs the iters=0 seeds the training starts from
+    val cmicro = cb.map(_.map(d => math.floor(d * 1e6).toLong))
+    val centDf = broadcast(spark.createDataFrame(
+        cmicro.zipWithIndex.toSeq.map { case (c2, i) => (i, c2.toSeq) })
+      .toDF("cell", "cmv"))
+    val resDf = emb.select($"vec_id",
+        transform($"embedding", x => floor(x.cast("double") * 1e6).cast("long"))
+          .as("mv"),
+        element_at(vec_top_cells_dist2($"embedding", cb, 1), 1).as("cell"))
+      .join(centDf, Seq("cell"))
+      .select($"vec_id", vec_sub_long($"mv", $"cmv").as("rv"))
+      .localCheckpoint()
+    def distortionOf(rcbs: Array[Array[Array[Long]]]): Long = {
+      val dsub = rcbs.head.head.length
+      val perSub = (0 until rcbs.length).map { s =>
+        val sv = slice($"rv", s * dsub + 1, dsub)
+        least(rcbs(s).map(c2 =>
+          vec_dist2_long(sv, array(c2.map(lit(_)): _*))): _*)
+      }
+      resDf.select(perSub.reduce(_ + _).as("d"))
+        .agg(sum($"d")).head().getLong(0)
+    }
+    val dt = distortionOf(trained)
+    val ds = distortionOf(seeded)
+    assert(dt <= ds, s"trained distortion $dt > seeded distortion $ds")
+    // and the full trained chain still retrieves well above the
+    // ~2% chance floor
+    val hits = Similarity.ivfadcResidualRerankTopKIndexed(
+        Similarity.ivfadcResidualIndex(emb, "vec_id", "embedding", cb, trained),
+        emb, queries, "vec_id", "embedding", k = 10, shortlist = 30,
+        cb, trained, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val micro = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+    val q = queries.select($"vec_id".as("query_id"), micro($"embedding").as("qv"))
+    val cc = emb.select($"vec_id".as("neighbor_id"), micro($"embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"d2_micro".asc, $"neighbor_id".asc)
+    val exact = q.crossJoin(cc).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("d2_micro", vec_dist2_long($"qv", $"cv"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = hits.count(exact.contains).toDouble / hits.length
+    assert(recall >= 0.15, s"trained-chain recall $recall below floor")
+  }
+
   test("contaminationFuzzy: planted leaks flagged with best match; clean docs absent") {
     val holdout = Seq(
       (100L, "what is the capital of france paris obviously"),
