@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, LineClean, Similarity}
 import QuerySpec.table
 
 /** Batch 12 (round 9): the composed production forms — operators whose
@@ -306,6 +306,80 @@ object ProductionQueries {
             k = 10, shortlist = 30, cb, rcbs, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(chainOracleSql(trainedRcbSql)))
+      Some(chainOracleSql(trainedRcbSql))),
+
+    // C4-style line-level cleaning (Raffel et al. 2020 §2.2). The
+    // synthetic documents are single-line word salad, so the query
+    // first derives a line-structured text DETERMINISTICALLY (both
+    // engines run the same derivation): ' join ' occurrences become
+    // newlines, then lines whose length % 3 != 0 gain a terminal '.'
+    // — leaving ~1/3 unpunctuated so the punctuation rule actually
+    // fires, as do the word-count rule (short fragments) and the
+    // blocklist rule ('vector' stands in for 'lorem ipsum'). The
+    // operator itself is a pure per-row expression: no shuffle.
+    QuerySpec("q107_c4_line_filter",
+      (s, dir) => {
+        val lined = table(s, dir, "documents").select(col("doc_id"),
+          array_join(
+            transform(split(regexp_replace(col("text"), " join ", "\n"), "\n"),
+              l => when(length(l) % 3 =!= 0, concat(l, lit("."))).otherwise(l)),
+            "\n").as("ltext"))
+        LineClean.c4LineFilter(lined, "doc_id", "ltext",
+            minWords = 3, minLines = 2, blocklist = Seq("vector"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH lined AS (SELECT doc_id, array_to_string(
+        |    [CASE WHEN length(x) % 3 <> 0 THEN x || '.' ELSE x END
+        |     FOR x IN string_split(regexp_replace(text, ' join ', chr(10), 'g'), chr(10))],
+        |    chr(10)) AS ltext FROM documents),
+        |k AS (SELECT doc_id,
+        |    [x FOR x IN string_split(ltext, chr(10))
+        |     IF length(trim(x)) > 0
+        |        AND x[-1] IN ('.', '!', '?', '"')
+        |        AND len(string_split_regex(trim(x), '\s+')) >= 3
+        |        AND NOT contains(lower(x), 'vector')] AS kept,
+        |    contains(ltext, '{') AS brace
+        |  FROM lined)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(kept) AS INTEGER) AS n_lines_kept
+        |FROM k WHERE len(kept) >= 2 AND NOT brace
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-wide keep-first line dedup (C4's cross-document repeated
+    // -span removal at line granularity). Lines are derived as 3-word
+    // chunks — ~40-word vocabulary => chunks collide across documents
+    // at a rate that actually exercises keep-first — and the operator
+    // is the 100 TB shape: min(struct(doc,pos)) keyed on the line
+    // (map-side combine; a boilerplate line occurring a billion times
+    // collapses per map task), NOT a per-line window sort. The oracle
+    // states the same semantics as the window form, which the agg form
+    // provably equals (unique (doc,pos) => total order).
+    QuerySpec("q108_line_dedup",
+      (s, dir) => {
+        val toks = split(trim(col("text")), "\\s+")
+        val lined = table(s, dir, "documents").select(col("doc_id"),
+          array_join(
+            transform(
+              sequence(lit(0), floor((size(toks) - 1) / 3).cast("int")),
+              i => array_join(slice(toks, i * 3 + 1, lit(3)), " ")),
+            "\n").as("ltext"))
+        LineClean.corpusLineDedup(lined, "doc_id", "ltext")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |lined AS (SELECT doc_id, array_to_string(
+        |    [array_to_string(toks[(i*3+1):(i*3+3)], ' ')
+        |     FOR i IN range(0, CAST((len(toks)-1)//3 AS INTEGER) + 1)],
+        |    chr(10)) AS ltext FROM t),
+        |ex AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, UNNEST(ls) AS line
+        |  FROM (SELECT doc_id, string_split(ltext, chr(10)) AS ls FROM lined)),
+        |win AS (SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM ex)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS dedup_text,
+        |  CAST(COUNT(*) AS INTEGER) AS n_lines_kept
+        |FROM win WHERE rn = 1 GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -176,6 +176,28 @@ class PlanSpec extends SparkSuite {
       s"expected both compiled kernels in the plan:\n$p")
   }
 
+  test("q107 C4 filter: pure scan — zero exchanges before the output sort") {
+    // the whole clean is per-row expression work; the only shuffle
+    // allowed is the contract ORDER BY's range exchange
+    val p = plan("q107_c4_line_filter")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the ORDER BY exchange:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"the single exchange must be the output sort:\n$p")
+  }
+
+  test("q108 line dedup: keep-first is a partial-agg min(struct), not a window") {
+    // the 100 TB shape: hot boilerplate lines collapse map-side via
+    // partial_min before the line-keyed shuffle; a per-line window
+    // row_number (single-reducer hot groups) must not come back
+    val p = plan("q108_line_dedup")
+    assert(!p.contains("Window"),
+      s"keep-first must be the agg form, no per-line window:\n$p")
+    assert(p.contains("partial_min"),
+      s"expected map-side partial min(struct(doc,pos)):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q93 residual IVFADC: same keyed probe-join shape as q91") {
     val p = plan("q93_ann_ivfadc_residual")
     val windows = "(?m)^\\s*[*+-]*\\s*Window ".r.findAllIn(p).length

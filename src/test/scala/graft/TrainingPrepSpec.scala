@@ -335,4 +335,64 @@ class TrainingPrepSpec extends SparkSuite {
     assert(bySrc == Map("a" -> 50, "b" -> 50, "c" -> 50))
     assert(a.groupBy(_._2).values.forall(_.map(_._3).sorted == (1 to 50)))
   }
+
+  test("c4LineFilter: each rule fires independently; page rules drop whole docs") {
+    import graft.ops.LineClean
+    val docs = Seq(
+      // doc 1: mix of keeps and per-rule drops
+      (1L, Seq(
+        "this line is kept.",          // keep
+        "too short.",                  // drop: 2 words < 3
+        "no terminal punctuation here",// drop: no . ! ? "
+        "",                            // drop: blank
+        "contains the Lorem Ipsum boilerplate.", // drop: blocklist (case-insens.)
+        "ends with a question mark?",  // keep
+        "ends with a quote \"").mkString("\n")), // keep
+      // doc 2: only one surviving line -> dropped by minLines=2
+      (2L, "a single good line survives.\nbad line"),
+      // doc 3: fine lines but a brace -> whole page dropped
+      (3L, "this would be kept one.\nthis would be kept two.\n{"),
+      // doc 4: exactly minLines survivors
+      (4L, "alpha beta gamma.\ndelta epsilon zeta!")
+    ).toDF("doc_id", "text")
+    val out = LineClean.c4LineFilter(docs, "doc_id", "text",
+        minWords = 3, minLines = 2, blocklist = Seq("lorem ipsum"))
+      .orderBy($"doc_id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, Seq("this line is kept.", "ends with a question mark?",
+        "ends with a quote \"").mkString("\n"), 3),
+      (4L, "alpha beta gamma.\ndelta epsilon zeta!", 2)))
+  }
+
+  test("corpusLineDedup: keep-first by (doc,pos); agg form ≡ window form") {
+    import graft.ops.LineClean
+    val docs = Seq(
+      (10L, "shared header\nunique ten\nshared footer"),
+      (11L, "shared header\nunique eleven\nshared footer"),
+      // doc whose every line already occurred -> absent from output
+      (12L, "shared header\nshared footer"),
+      // within-doc repeat: second occurrence dropped too
+      (13L, "twice\ntwice\nunique thirteen")
+    ).toDF("doc_id", "text")
+    val out = LineClean.corpusLineDedup(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (10L, "shared header\nunique ten\nshared footer", 3),
+      (11L, "unique eleven", 1),
+      (13L, "twice\nunique thirteen", 2)))
+    // differential: the shipped agg form equals the window reference,
+    // here and on a larger randomized-ish corpus (deterministic gen)
+    val big = (1L to 300L).map { i =>
+      val ls = (0 until (i % 7 + 1).toInt)
+        .map(j => s"line ${(i * 31 + j * 17) % 50}")
+      (i, ls.mkString("\n"))
+    }.toDF("doc_id", "text")
+    for (d <- Seq(docs, big)) {
+      val a = LineClean.corpusLineDedup(d, "doc_id", "text")
+        .orderBy($"doc_id").as[(Long, String, Int)].collect().toSeq
+      val w = LineClean.corpusLineDedupWindow(d, "doc_id", "text")
+        .orderBy($"doc_id").as[(Long, String, Int)].collect().toSeq
+      assert(a == w)
+    }
+  }
 }
