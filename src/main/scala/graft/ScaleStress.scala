@@ -69,7 +69,11 @@ object ScaleStress {
     val qnames = Seq("q26_ngram_jaccard", "q63_jaccard_pruned",
       "q64_neardup_components", "q68_contamination", "q72_kmeans_micro",
       "q78_span_dup", "q79_neardup_dedup", "q81_fuzzy_dedup_e2e",
-      "q96_fuzzy_decontamination", "q97_span_scrub")
+      "q96_fuzzy_decontamination", "q97_span_scrub",
+      // q107 is excluded: it is a zero-shuffle pure scan (PlanSpec
+      // pins that), and the token-prefixed synthetic corpus breaks its
+      // ' join ' line derivation (no lines -> 0 rows, uninformative)
+      "q108_line_dedup")
     // one warm pass so JVM/codegen startup doesn't bill to the 1x runs
     qnames.foreach(q => SparkEntry.queries(q)(spark, base).count())
     // median-of-reps per point (Bench precedent): single shots on a

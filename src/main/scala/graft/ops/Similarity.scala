@@ -80,6 +80,47 @@ object Similarity {
     * [[graft.functions.VecDist2]], bit-identical to the HOF fold. */
   def dist2(a: Column, b: Column): Column = graft.functions.sketches.vec_dist2(a, b)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedding corpus. K-means cells bound the
+    * candidate space (the paper's trick for web scale: pairwise cosine
+    * only WITHIN a cluster, never corpus²), within-cell pairs at
+    * cosine ≥ `threshold` form duplicate groups (connected
+    * components), and each group keeps exactly one representative —
+    * the member LEAST similar to its cluster centroid (the paper §3
+    * keep-rule: the most atypical example preserves diversity), lowest
+    * id on ties.
+    *
+    * Composition of audited pieces: the compiled argmin kernel for
+    * cell assignment (one scan, zero shuffle), [[nearDupPairs]] keyed
+    * on the cell (pair space ∝ Σ cell², not corpus²),
+    * [[Dedup.dedupByPairsPriority]] with priority = −cos(vec,
+    * centroid) (its window sorts only clustered rows). `cb` comes from
+    * [[kmeansMicro]]+[[coarseCodebookFromLong]] (trained) or any fixed
+    * codebook. Output: the surviving rows plus their `cell`.
+    *
+    * Same null-free / uniform-width precondition as [[ivfTopK]] — a
+    * dirty vector would get a null cell and silently skip dedup. */
+  def semDeDup(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Double]], threshold: Double): DataFrame = {
+    import graft.functions.sketches.vec_top_cells_dist2
+    require(cb.nonEmpty, "semDeDup: empty codebook")
+    val withCell = corpus.withColumn("cell",
+      element_at(vec_top_cells_dist2(col(vecCol), cb, 1), 1))
+    val pairs = nearDupPairs(withCell, idCol, vecCol, "cell", threshold)
+    val centDf = broadcast(corpus.sparkSession.createDataFrame(
+        cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("cell", "__centv"))
+    // rounded like every ranking similarity, so survivor choice is a
+    // total order the oracle can replay
+    val negCentSim = -round(
+      dot(col(vecCol), col("__centv")) /
+        (l2Norm(col(vecCol)) * l2Norm(col("__centv"))), 6)
+    Dedup.dedupByPairsPriority(
+        withCell.join(centDf, Seq("cell")).withColumn("__negcs", negCentSim),
+        idCol, pairs, "id_a", "id_b", col("__negcs"))
+      .drop("__centv", "__negcs")
+  }
+
   /** IVF-style ANN: a coarse quantizer (centroids = a small fixed
     * subset of the corpus, collected driver-side — a codebook is
     * k·dims by definition) partitions the corpus into cells via a

@@ -13,6 +13,14 @@ object ProductionQueries {
   private def dist2Sql(a: String, b: String): String =
     IndexedQueries.dist2Sql(a, b)
 
+  /** Cosine in DuckDB with explicit double widening + left fold —
+    * the q29/q30-proven formulation mirroring Similarity.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum([CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) FOR z IN list_zip($a, $b)]) /
+       |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $a])) *
+       |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $b]))), 6)""".stripMargin
+
   /** The production-chain oracle (trained coarse → cells/probes →
     * residuals → residual-PQ codes → per-probed-cell ADC → shortlist
     * → exact rerank), generated around a pluggable residual-codebook
@@ -380,6 +388,56 @@ object ProductionQueries {
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS dedup_text,
         |  CAST(COUNT(*) AS INTEGER) AS n_lines_kept
         |FROM win WHERE rn = 1 GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup with TRAINED
+    // k-means cells bounding the pair space and the paper's
+    // least-similar-to-centroid survivor rule. The oracle replays the
+    // whole composition: the shared coarse k-means unroll (the
+    // q100/q102 CTE text), the rounded-argmin cell assignment,
+    // within-cell cosine pairs (the q29 formulation), the recursive-
+    // CTE components (the q82 text), and the survivor window ordered
+    // by centroid-cosine ASC (= the engine's −cos priority DESC).
+    QuerySpec("q109_semdedup",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cb = Similarity.coarseCodebookFromLong(
+          Similarity.kmeansMicro(e, "vec_id", "embedding", k = 8, iters = 2))
+        Similarity.semDeDup(e, "vec_id", "embedding", cb, threshold = 0.33)
+          .select(col("vec_id"), col("cell"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${RefinedQueries.coarseKmeansCvtSql},
+        |e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |cella AS (SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
+        |    FROM e CROSS JOIN cvt c) WHERE rn = 1),
+        |ec AS (SELECT e.vec_id, e.embedding, e.label, c.cell
+        |  FROM e JOIN cella c USING (vec_id)),
+        |good AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.33),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e2.b FROM r JOIN edges e2 ON e2.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src),
+        |csim AS (SELECT ec.vec_id, ${cosSql("ec.embedding", "cvt.cv")} AS cs
+        |  FROM ec JOIN cvt ON cvt.cell = ec.cell),
+        |win AS (SELECT comp.id AS vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY comp.component
+        |      ORDER BY csim.cs ASC, comp.id ASC) AS rk
+        |  FROM comp JOIN csim ON csim.vec_id = comp.id)
+        |SELECT vec_id, cell, label FROM ec
+        |WHERE vec_id NOT IN (SELECT vec_id FROM win WHERE rk > 1)
+        |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -805,4 +805,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(spanned(1) == ((2L, 8L, 0L, "m n p q r s t o")))
     assert(spanned(2) == ((3L, 13L, 10L, "a b c")))
   }
+
+  test("semDeDup: least-similar-to-centroid survives; non-clustered rows pass through") {
+    val cb = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cell 0: ids 1,2 near-dups (cos ≈ 0.998) — id 1 IS the centroid
+    // direction (cos=1 to centroid), id 2 slightly off => id 2 is the
+    // LESS-typical member and must survive. id 5 in cell 0 but far
+    // from both (orthogonal-ish mix) => no pair, passes through.
+    // cell 1: ids 3,4 near-dups — id 4 less similar to [0,1], survives.
+    val e = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.9, 0.05)),
+      (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.05, 0.9)),
+      (5L, Seq(0.7, -0.7))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(e, "vec_id", "embedding", cb, threshold = 0.9)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((2L, 0), (4L, 1), (5L, 0)),
+      s"expected atypical members to survive, got $out")
+    // determinism + no-pairs identity: at an unreachable threshold
+    // every row survives with its cell attached
+    val all = Similarity.semDeDup(e, "vec_id", "embedding", cb, threshold = 1.1)
+    assert(all.count() == 5)
+  }
 }
