@@ -121,6 +121,49 @@ object Similarity {
       .drop("__centv", "__negcs")
   }
 
+  /** SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486): rank every example by its
+    * cosine similarity to its k-means cluster centroid
+    * ("prototypicality") and KEEP the hardest `keepMilli`/1000
+    * fraction of each cluster — the least prototypical examples are
+    * the ones worth training on when data is abundant (the paper's
+    * large-dataset regime). Per-cell quota = (n·keepMilli + 999) div
+    * 1000 (ceil in exact integer arithmetic — the temperatureQuotas
+    * discipline, engine-replicable with no float division).
+    *
+    * Shape: one kernel scan for cell assignment, one broadcast join
+    * to the centroid frame, one rank window per cell. The window
+    * parallelism is the cluster count — in this method k scales with
+    * the corpus (the paper sweeps k into the tens of thousands), so
+    * cells stay bounded and no reducer sees more than one cell.
+    * Output: (id, cell, proto_sim, hard_rank), hardest first within
+    * each cell. */
+  def prototypePrune(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Double]], keepMilli: Int): DataFrame = {
+    import graft.functions.sketches.vec_top_cells_dist2
+    require(cb.nonEmpty, "prototypePrune: empty codebook")
+    require(keepMilli > 0 && keepMilli <= 1000,
+      s"keepMilli must be in (0, 1000], got $keepMilli")
+    val withCell = corpus.select(col(idCol),
+      element_at(vec_top_cells_dist2(col(vecCol), cb, 1), 1).as("cell"),
+      col(vecCol).as("__v"))
+    val centDf = broadcast(corpus.sparkSession.createDataFrame(
+        cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("cell", "__centv"))
+    val sim = round(
+      dot(col("__v"), col("__centv")) /
+        (l2Norm(col("__v")) * l2Norm(col("__centv"))), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("proto_sim").asc, col(idCol).asc)
+    withCell.join(centDf, Seq("cell"))
+      .withColumn("proto_sim", sim)
+      .withColumn("hard_rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      .filter(col("hard_rank") <= expr(s"(__n * $keepMilli + 999) div 1000"))
+      .select(col(idCol), col("cell"), col("proto_sim"), col("hard_rank"))
+  }
+
   /** IVF-style ANN: a coarse quantizer (centroids = a small fixed
     * subset of the corpus, collected driver-side — a codebook is
     * k·dims by definition) partitions the corpus into cells via a

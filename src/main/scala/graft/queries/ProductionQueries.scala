@@ -438,6 +438,38 @@ object ProductionQueries {
         |  FROM comp JOIN csim ON csim.vec_id = comp.id)
         |SELECT vec_id, cell, label FROM ec
         |WHERE vec_id NOT IN (SELECT vec_id FROM win WHERE rk > 1)
+        |ORDER BY vec_id""".stripMargin)),
+
+    // SSL-prototype pruning (Sorscher et al. 2022): keep the hardest
+    // 30% of every trained k-means cluster — examples ranked by cosine
+    // to their centroid ASC (least prototypical first), per-cell ceil
+    // quota in exact integer arithmetic. The fourth member of the
+    // data-pruning family (temperature q95, UniMax q99, SemDeDup q109).
+    QuerySpec("q110_prototype_prune",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cb = Similarity.coarseCodebookFromLong(
+          Similarity.kmeansMicro(e, "vec_id", "embedding", k = 8, iters = 2))
+        Similarity.prototypePrune(e, "vec_id", "embedding", cb,
+            keepMilli = 300)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${RefinedQueries.coarseKmeansCvtSql},
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |cella AS (SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6), c.cell) AS rn
+        |    FROM e CROSS JOIN cvt c) WHERE rn = 1),
+        |csim AS (SELECT e.vec_id, a.cell,
+        |    ${cosSql("e.embedding", "cvt.cv")} AS proto_sim
+        |  FROM e JOIN cella a USING (vec_id) JOIN cvt ON cvt.cell = a.cell),
+        |r AS (SELECT vec_id, cell, proto_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+        |      ORDER BY proto_sim ASC, vec_id ASC) AS INTEGER) AS hard_rank,
+        |    COUNT(*) OVER (PARTITION BY cell) AS n FROM csim)
+        |SELECT vec_id, cell, proto_sim, hard_rank
+        |FROM r WHERE hard_rank <= (n * 300 + 999) // 1000
         |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -829,4 +829,30 @@ class DedupSimilaritySpec extends SparkSuite {
     val all = Similarity.semDeDup(e, "vec_id", "embedding", cb, threshold = 1.1)
     assert(all.count() == 5)
   }
+
+  test("prototypePrune: hardest-per-cell kept, exact ceil quotas, rank order") {
+    val cb = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cell 0: 3 members with distinct centroid-cosines -> quota
+    // ceil(3·0.3) = 1: only the most orthogonal (id 13) survives.
+    // cell 1: 4 members -> quota ceil(4·0.3) = 2.
+    val e = Seq(
+      (11L, Seq(1.0, 0.0)),    // cos 1.0 to [1,0]
+      (12L, Seq(0.9, 0.1)),    // cos ≈ 0.994
+      (13L, Seq(0.6, 0.55)),   // cos ≈ 0.737 — hardest in cell 0
+      (21L, Seq(0.0, 1.0)),    // cos 1.0 to [0,1]
+      (22L, Seq(0.1, 0.9)),    // cos ≈ 0.994
+      (23L, Seq(0.45, 0.6)),   // cos ≈ 0.8 — 2nd hardest in cell 1
+      (24L, Seq(0.55, 0.6))    // cos ≈ 0.737 — hardest in cell 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.prototypePrune(e, "vec_id", "embedding", cb,
+        keepMilli = 300)
+      .select($"vec_id", $"cell", $"hard_rank")
+      .as[(Long, Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((13L, 0, 1), (23L, 1, 2), (24L, 1, 1)),
+      s"expected per-cell ceil quotas over hardness ranks, got $out")
+    // keepMilli = 1000 keeps everything, ranks a permutation per cell
+    val full = Similarity.prototypePrune(e, "vec_id", "embedding", cb,
+        keepMilli = 1000)
+    assert(full.count() == 7)
+  }
 }
