@@ -353,7 +353,41 @@ object Dedup {
     * local-mode gates accept the localCheckpoint trade. */
   def dedupIncrementFullIndexed(corpusIndex: DataFrame, corpusKeys: DataFrame,
       incoming: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    incrementFullIndexedImpl(corpusIndex, corpusKeys, incoming, idCol,
+      textCol, k, threshold, bloom = None)
+
+  /** [[dedupIncrementFullIndexed]] with a [[bloomBuild]]-built Bloom
+    * filter over the corpus text keyset pre-filtering the exact arm:
+    * batch rows the filter proves ABSENT from the corpus (a Bloom
+    * filter has no false negatives) skip the keyset anti-join
+    * entirely; only the bloom-positive remainder — true duplicates
+    * plus the filter's false-positive tail — joins. Result is
+    * hash-identical to the plain form for ANY (mBits, kHashes).
+    *
+    * Scale shape: the bitmap is mBits/8 bytes broadcast in the plan
+    * (16 KiB at the gate's 2^17 default), the membership test is a
+    * per-row expression, and the anti-join's left side shrinks from
+    * the whole batch to its duplicate-rate fraction — on a fresh-data
+    * ingest the exact arm's shuffle all but disappears, while the
+    * corpus keyset is only ever READ by the residual join's build
+    * side. The bitmap persists beside the corpus index and is
+    * maintained on append by OR-ing the accepted batch's
+    * [[bloomBuild]] via [[bloomMerge]] (spec-pinned ≡ rebuild).
+    * Same no-NULL-text precondition as the whole increment family
+    * (a NULL text evaluates the membership test to NULL and would be
+    * dropped from both arms). */
+  def dedupIncrementFullIndexedBloom(corpusIndex: DataFrame,
+      corpusKeys: DataFrame, bloomWords: Array[Long], incoming: DataFrame,
+      idCol: String, textCol: String, k: Int, threshold: Double,
+      mBits: Int, kHashes: Int): DataFrame =
+    incrementFullIndexedImpl(corpusIndex, corpusKeys, incoming, idCol,
+      textCol, k, threshold, bloom = Some((bloomWords, mBits, kHashes)))
+
+  private def incrementFullIndexedImpl(corpusIndex: DataFrame,
+      corpusKeys: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, k: Int, threshold: Double,
+      bloom: Option[(Array[Long], Int, Int)]): DataFrame = {
     // batch-scale materialization #1: the exact-deduped batch rows.
     // Downstream this frame sits under the shingle checkpoint, the
     // within-batch anti-join, AND the final exact-survivor arm — left
@@ -370,12 +404,87 @@ object Dedup {
       .localCheckpoint()
     val batchNear = dedupByPairs(batchExact, idCol,
       jaccardPairsFromIndex(bsh, idCol, threshold), "id_a", "id_b")
-    val exactSurvivors = batchNear.join(
-      corpusKeys.select(col(textCol)), Seq(textCol), "left_anti")
+    val exactSurvivors = bloom match {
+      case None =>
+        batchNear.join(corpusKeys.select(col(textCol)), Seq(textCol),
+          "left_anti")
+      case Some((words, m, kh)) =>
+        // the two filter branches would each re-run the component
+        // labeling above — pin batchNear (one row per surviving doc,
+        // batch-scale) so it is computed once
+        val near = batchNear.localCheckpoint()
+        val hit = bloomMightContain(words, col(textCol), m, kh)
+        near.filter(!hit).unionByName(
+          near.filter(hit).join(corpusKeys.select(col(textCol)),
+            Seq(textCol), "left_anti"))
+    }
     val inc = bsh
       .join(exactSurvivors.select(col(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as("__inc_id"), col("shingle"), col("n_sh"))
     incrementNearDupArm(corpusIndex, exactSurvivors, inc, idCol, threshold)
+  }
+
+  /** The k bit positions of a key in an mBits-wide Bloom filter, as an
+    * array column — Kirsch-Mitzenmacher double hashing p_i =
+    * (h1 + i·h2) mod m over two independent 60-bit halves of the key's
+    * md5 (hex chars 1-15 and 17-31, each < 2^60, so h1 + i·h2 stays
+    * far inside a signed 64-bit for any practical kHashes). md5 +
+    * hex-parse is the engine-portable idiom of the q70/q71 twins: the
+    * same positions fall out of DuckDB's
+    * `CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)`. Production
+    * would swap in xxhash64 halves (one mix vs an md5 per row) without
+    * touching the surrounding operator. */
+  def bloomPositions(key: Column, mBits: Int, kHashes: Int): Column = {
+    val h1 = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(md5(key), 17, 15), 16, 10).cast("long")
+    transform(sequence(lit(0), lit(kHashes - 1)),
+      i => (h1 + i.cast("long") * h2) % mBits.toLong)
+  }
+
+  /** Build the Bloom bitmap over a key frame as mBits/64 words.
+    * Distributed shape: the only shuffle is the distinct over SET BIT
+    * POSITIONS — bounded by mBits rows regardless of corpus size (the
+    * map side partial-aggregates each partition's positions down to
+    * its distinct set first), and the driver collect is bounded the
+    * same way. The result is filter state (≤ mBits/8 bytes), not
+    * data-scale rows. */
+  def bloomBuild(keys: DataFrame, keyCol: String, mBits: Int,
+      kHashes: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(kHashes > 0, s"kHashes must be positive, got $kHashes")
+    val words = new Array[Long](mBits / 64)
+    keys.select(explode(bloomPositions(col(keyCol), mBits, kHashes)).as("p"))
+      .distinct().collect().foreach { r =>
+        val p = r.getLong(0)
+        words((p >> 6).toInt) |= 1L << (p & 63).toInt
+      }
+    words
+  }
+
+  /** OR-merge two same-shape bitmaps — the [[indexAppend]] counterpart
+    * for the persisted filter: merge(build(corpus), build(batch)) ≡
+    * build(corpus ∪ batch), so an ingest loop never rebuilds the
+    * filter from the full keyset. */
+  def bloomMerge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"bitmap widths differ: ${a.length} vs ${b.length} words")
+    a.zip(b).map { case (x, y) => x | y }
+  }
+
+  /** Membership test against a [[bloomBuild]] bitmap as a per-row
+    * boolean expression (the bitmap rides the plan as a ≤ mBits/8-byte
+    * array literal): true iff all kHashes positions are set. False
+    * means DEFINITELY absent; true means present-or-false-positive. */
+  def bloomMightContain(words: Array[Long], key: Column, mBits: Int,
+      kHashes: Int): Column = {
+    require(words.length * 64 == mBits,
+      s"bitmap has ${words.length} words, expected ${mBits / 64}")
+    val bm = typedLit(words.toSeq)
+    forall(bloomPositions(key, mBits, kHashes), p =>
+      element_at(bm, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast("int"))) =!= lit(0L))
   }
 
   /** The generic APPLY step over ANY candidate-pair source (exact

@@ -168,7 +168,36 @@ object ProductionQueries {
         .write.mode("overwrite").parquet(s"$root/keys")
       Files.createFile(Paths.get(s"$root/_READY"))
     }
+    // sidecar with its own marker so pre-existing roots upgrade in
+    // place: the Bloom bitmap over the keyset, persisted beside the
+    // index it guards (the ingest loop ORs each accepted batch's bits
+    // in via bloomMerge instead of rebuilding — spec-pinned ≡ rebuild)
+    if (!Files.exists(Paths.get(s"$root/_BLOOM_READY"))) {
+      val words = Dedup.bloomBuild(
+        s.read.parquet(s"$root/keys"), "text", BloomM, BloomK)
+      import s.implicits._
+      words.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+        .toDF("idx", "word")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/bloom")
+      Files.createFile(Paths.get(s"$root/_BLOOM_READY"))
+    }
     root
+  }
+
+  /** Gate-default Bloom geometry: 2^17 bits (16 KiB) / 5 hashes — at
+    * the sf0.1 keyset (~5k distinct texts) that is ~26 bits/key,
+    * false-positive rate ~2e-4; a 100 TB corpus sizes mBits to its
+    * keyset the same way (1 GiB ≈ 10^9 keys at 8.6 bits ≈ 2% FP). */
+  private val BloomM = 1 << 17
+  private val BloomK = 5
+
+  /** Load the persisted bitmap: mBits/64 rows, driver-bounded. */
+  private def loadBloom(s: org.apache.spark.sql.SparkSession,
+      root: String): Array[Long] = {
+    val words = new Array[Long](BloomM / 64)
+    s.read.parquet(s"$root/bloom").collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
   }
 
   val all: Seq[QuerySpec] = Seq(
@@ -470,6 +499,88 @@ object ProductionQueries {
         |    COUNT(*) OVER (PARTITION BY cell) AS n FROM csim)
         |SELECT vec_id, cell, proto_sim, hard_rank
         |FROM r WHERE hard_rank <= (n * 300 + 999) // 1000
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)),
+
+    // Bloom-filter membership arithmetic, gated bit-for-bit: a batch
+    // (fresh texts + verbatim corpus dups) probed against bitmaps
+    // built over the corpus keyset at TWO geometries — the 2^17-bit
+    // production default (FP ~2e-4) and a deliberately undersized
+    // 1024-bit filter whose dense false-positive tail depends on every
+    // step of the md5 double-hash position arithmetic (the oracle
+    // replays h1/h2 hex-parses, p_i = (h1+i·h2) mod m, and set-bit
+    // membership as pure SQL). is_dup_exact rides along, so the
+    // no-false-negative law (is_dup ⇒ both hits) is data-visible in
+    // the gated result.
+    QuerySpec("q111_bloom_prefilter",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val keys = Dedup.corpusTextKeys(docs, "text")
+        val big = Dedup.bloomBuild(keys, "text", BloomM, BloomK)
+        val small = Dedup.bloomBuild(keys, "text", 1024, BloomK)
+        val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" zzqx")).as("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 5)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        batch
+          .join(keys.withColumn("__dup", lit(true)), Seq("text"), "left")
+          .select(col("doc_id"),
+            Dedup.bloomMightContain(big, col("text"), BloomM, BloomK)
+              .as("bloom_hit"),
+            Dedup.bloomMightContain(small, col("text"), 1024, BloomK)
+              .as("bloom_hit_small"),
+            coalesce(col("__dup"), lit(false)).as("is_dup_exact"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH corpus AS (SELECT DISTINCT text FROM documents),
+        |ch AS (SELECT
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(text), 17, 15)) AS BIGINT) AS h2
+        |  FROM corpus),
+        |iv AS (SELECT UNNEST(range($BloomK)) AS i),
+        |cpos AS (SELECT DISTINCT (h1 + i*h2) % $BloomM AS p FROM ch, iv),
+        |cposs AS (SELECT DISTINCT (h1 + i*h2) % 1024 AS p FROM ch, iv),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' zzqx' AS text
+        |    FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 5),
+        |bh AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(text), 17, 15)) AS BIGINT) AS h2
+        |  FROM batch),
+        |hits AS (SELECT doc_id,
+        |    bool_and((h1 + i*h2) % $BloomM IN (SELECT p FROM cpos))
+        |      AS bloom_hit,
+        |    bool_and((h1 + i*h2) % 1024 IN (SELECT p FROM cposs))
+        |      AS bloom_hit_small
+        |  FROM bh, iv GROUP BY doc_id)
+        |SELECT b.doc_id, h.bloom_hit, h.bloom_hit_small,
+        |  b.text IN (SELECT text FROM corpus) AS is_dup_exact
+        |FROM batch b JOIN hits h USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin)),
+
+    // q105's steady-state increment through the Bloom-prefiltered
+    // exact arm: the persisted bitmap (16 KiB, loaded beside the
+    // index) proves most of the ~5% batch ABSENT from the corpus
+    // per-row, so only the duplicate-rate fraction reaches the keyset
+    // anti-join — the exact arm's shuffle shrinks from the whole batch
+    // to its dup tail. No false negatives ⇒ the result is
+    // hash-identical to q105's, so the oracle is the same mod-97
+    // three-stage replay; what the gate adds is the composed Bloom
+    // path running against real data at bench scale.
+    QuerySpec("q112_dedup_increment_steady_bloom",
+      (s, dir) => {
+        val corpus = table(s, dir, "documents")
+        val root = steadyDedupIndex(s, dir)
+        Dedup.dedupIncrementFullIndexedBloom(
+            s.read.parquet(s"$root/index"), s.read.parquet(s"$root/keys"),
+            loadBloom(s, root),
+            MlPrepQueries.incrementFullBatch(corpus, mod = 97), "doc_id",
+            "text", k = 3, threshold = 0.5, mBits = BloomM, kHashes = BloomK)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(MlPrepQueries.incrementFullOracleSql(97)))
   )
 }

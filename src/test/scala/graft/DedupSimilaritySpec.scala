@@ -830,6 +830,64 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(all.count() == 5)
   }
 
+  test("bloom filter: no false negatives, merge ≡ rebuild, increment ≡ plain") {
+    val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val keys = Dedup.corpusTextKeys(corpus, "text")
+    // no false negatives at ANY geometry, even a saturated 64-bit one
+    for (m <- Seq(64, 1 << 12)) {
+      val words = Dedup.bloomBuild(keys, "text", m, 5)
+      val misses = keys.filter(
+        !Dedup.bloomMightContain(words, $"text", m, 5)).count()
+      assert(misses == 0, s"m=$m: $misses corpus keys tested negative")
+    }
+    // a large filter over few keys separates member from non-member
+    val big = Dedup.bloomBuild(keys, "text", 1 << 16, 5)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+      .select(regexp_replace($"text", "(\\S+)", "qz$1").as("text"))
+    val freshHits = fresh.filter(
+      Dedup.bloomMightContain(big, $"text", 1 << 16, 5)).count()
+    assert(freshHits < fresh.count() / 10,
+      s"$freshHits/${fresh.count()} rewritten texts false-positive at 2^16")
+    // append path: OR-merging the batch's bits == rebuild from union
+    val batchKeys = Dedup.corpusTextKeys(fresh, "text")
+    val merged = Dedup.bloomMerge(big,
+      Dedup.bloomBuild(batchKeys, "text", 1 << 16, 5))
+    val rebuilt = Dedup.bloomBuild(
+      keys.unionByName(batchKeys).distinct(), "text", 1 << 16, 5)
+    assert(merged.sameElements(rebuilt), "merge != rebuild-from-union")
+  }
+
+  test("dedupIncrementFullIndexedBloom ≡ plain form at dense-FP and clean geometries") {
+    val corpus = docs.select($"doc_id", $"text")
+    val fresh = regexp_replace($"text", "(\\S+)", "zq$1")
+    val incoming = corpus.filter($"doc_id" % 11 === 3)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" zzqx")).as("text"))
+      .unionByName(corpus.filter($"doc_id" % 11 === 5)
+        .select(($"doc_id" + 2000000).as("doc_id"), $"text"))
+      .unionByName(corpus.filter($"doc_id" % 11 === 1)
+        .select(($"doc_id" + 3000000).as("doc_id"), fresh.as("text")))
+    val idx = Dedup.corpusShingleIndex(corpus, "doc_id", "text", k = 3)
+      .localCheckpoint()
+    val keys = Dedup.corpusTextKeys(corpus, "text").localCheckpoint()
+    val plain = Dedup.dedupIncrementFullIndexed(idx, keys, incoming,
+        "doc_id", "text", k = 3, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    // m=64: nearly every bit set -> the anti-join sees ~the whole
+    // batch (false positives are routed through it, never mis-kept);
+    // m=2^16: most fresh rows skip the join entirely. Same answer.
+    for (m <- Seq(64, 1 << 16)) {
+      val words = Dedup.bloomBuild(keys, "text", m, 5)
+      val viaBloom = Dedup.dedupIncrementFullIndexedBloom(idx, keys, words,
+          incoming, "doc_id", "text", k = 3, threshold = 0.5,
+          mBits = m, kHashes = 5)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(viaBloom == plain,
+        s"m=$m: bloom=${viaBloom.size} plain=${plain.size}")
+    }
+    assert(plain.nonEmpty)
+  }
+
   test("prototypePrune: hardest-per-cell kept, exact ceil quotas, rank order") {
     val cb = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     // cell 0: 3 members with distinct centroid-cosines -> quota
