@@ -161,4 +161,45 @@ object TextAnalysis {
       filter(split(trim(c), ""), ch => ch =!= ""),
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  /** Hashing-trick linear text classifier INFERENCE — the execution
+    * shape of a fastText / "educational quality" filter (Joulin et al.
+    * 2016 §2.1 model; the filter role as in DCLM / FineWeb-Edu): each
+    * whitespace token hashes into one of `buckets` feature slots (md5
+    * 'f:'-prefix, the engine-portable idiom of the q70/q71 twins) and
+    * the document score is the bag-of-words dot product — the SUM of
+    * the weight entries at those slots, one addend per occurrence.
+    *
+    * The trained weight vector rides the plan as a buckets-long array
+    * literal (4096 integer buckets = 32 KiB — the same broadcast-
+    * literal discipline as the Bloom bitmap), so scoring is a pure
+    * per-row expression: zero shuffles, no UDF, no weight-table join,
+    * stays inside whole-stage codegen on the scan. Integer weights
+    * keep the sum exact in 64 bits (production quantizes model
+    * weights anyway; a fixed-point milli scale loses nothing a rank
+    * threshold cares about). Train elsewhere, broadcast here — the
+    * same contract as loading a fastText .bin. */
+  def hashedLinearScore(text: Column, weights: Array[Long],
+      buckets: Int): Column = {
+    require(buckets > 0 && weights.length == buckets,
+      s"weights must have exactly $buckets entries, got ${weights.length}")
+    val w = typedLit(weights.toSeq)
+    aggregate(split(trim(text), "\\s+"), lit(0L), (acc, t) =>
+      acc + element_at(w,
+        (conv(substring(md5(concat(lit("f:"), t)), 1, 15), 16, 10)
+          .cast("long") % buckets).cast("int") + 1))
+  }
+
+  /** Deterministic stand-in weight vector for [[hashedLinearScore]]
+    * gates and tests: slot b gets `(int(md5('w:b')[0,15 hex]) mod
+    * 2001) - 1000` ∈ [-1000, 1000] — reproducible in SQL so an oracle
+    * can replay scoring without shipping a model artifact. */
+  def md5StandInWeights(buckets: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until buckets).map { b =>
+      val hex = md.digest(s"w:$b".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+    }.toArray
+  }
 }

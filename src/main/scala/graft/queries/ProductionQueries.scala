@@ -581,6 +581,36 @@ object ProductionQueries {
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       },
-      Some(MlPrepQueries.incrementFullOracleSql(97)))
+      Some(MlPrepQueries.incrementFullOracleSql(97))),
+
+    // Model-based quality filtering (the fastText-shaped classifier
+    // gate of DCLM / FineWeb-Edu pipelines): hashed bag-of-words dot
+    // product against a broadcast weight vector, scored per row with
+    // zero shuffles. The gate's weights are the deterministic md5
+    // stand-in (slot b -> (md5('w:b') mod 2001) - 1000), so the oracle
+    // replays feature hashing, weight derivation, and the exact
+    // integer sum; a deployment swaps in trained weights through the
+    // same Array[Long] without touching the plan shape.
+    QuerySpec("q113_quality_classifier",
+      (s, dir) => {
+        val w = graft.ops.TextAnalysis.md5StandInWeights(4096)
+        table(s, dir, "documents").select(col("doc_id"),
+            graft.ops.TextAnalysis.hashedLinearScore(col("text"), w, 4096)
+              .as("score"))
+          .withColumn("keep", col("score") >= 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('f:' || tok), 1, 15)) AS BIGINT)
+        |      % 4096 AS b FROM t),
+        |sc AS (SELECT doc_id, CAST(SUM(
+        |    (CAST(('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2001) - 1000) AS BIGINT) AS score
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, score, score >= 0 AS keep FROM sc
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -126,4 +126,38 @@ class MlPrepSpec extends SparkSuite {
     assert(c(0) == 1000000L)
     assert(c(1) == -2000000L)
   }
+
+  test("hashedLinearScore: expression matches a sequential JVM reference") {
+    import graft.ops.TextAnalysis
+    val buckets = 512
+    val w = TextAnalysis.md5StandInWeights(buckets)
+    assert(w.length == buckets && w.forall(x => x >= -1000 && x <= 1000))
+    // sequential reference: per-token md5 bucket -> weight, summed
+    def ref(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.trim.split("\\s+").map { t =>
+        val hex = md.digest(s"f:$t".getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString.substring(0, 15)
+        w((java.lang.Long.parseLong(hex, 16) % buckets).toInt)
+      }.sum
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the the"), // repeated token counts every occurrence
+      (3L, "één ünïcode töken mix 123 !?"),
+      (4L, "single"))
+    val got = texts.toDF("doc_id", "text")
+      .select($"doc_id",
+        TextAnalysis.hashedLinearScore($"text", w, buckets).as("s"))
+      .as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == ref(t), s"doc $id: got ${got(id)}, ref ${ref(t)}")
+    }
+    // repeated-token doc = 4x the single-occurrence contribution
+    assert(got(2L) == 4 * ref("the"))
+    // weight-vector length is enforced
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedLinearScore($"text", w, buckets + 1)
+    }
+  }
 }

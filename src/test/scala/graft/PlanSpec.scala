@@ -186,6 +186,18 @@ class PlanSpec extends SparkSuite {
       s"the single exchange must be the output sort:\n$p")
   }
 
+  test("q113 classifier: per-row scoring — zero exchanges before the output sort") {
+    // the hashed dot product is one expression over the scan; the
+    // weight vector is a plan literal, so there must be no weight-
+    // table join and no shuffle besides the contract ORDER BY
+    val p = plan("q113_quality_classifier")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the ORDER BY exchange:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"the single exchange must be the output sort:\n$p")
+    assert(!p.contains("Join"), s"weights must not arrive via a join:\n$p")
+  }
+
   test("q108 line dedup: keep-first is a partial-agg min(struct), not a window") {
     // the 100 TB shape: hot boilerplate lines collapse map-side via
     // partial_min before the line-keyed shuffle; a per-line window
