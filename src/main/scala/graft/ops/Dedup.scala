@@ -472,6 +472,28 @@ object Dedup {
     a.zip(b).map { case (x, y) => x | y }
   }
 
+  /** Persist a bitmap as an (idx, word) parquet — the on-disk form
+    * shared by the steady-state gates and the streaming ingest commit
+    * (mBits/64 rows; rides inside the same staging dir as the index
+    * it guards, so the commit swap keeps them consistent). */
+  def bloomWrite(words: Array[Long],
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    words.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("idx", "word")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[bloomWrite]]-persisted bitmap (driver-bounded:
+    * mBits/64 rows). */
+  def bloomRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      mBits: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 64)
+    spark.read.parquet(path).collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
   /** Membership test against a [[bloomBuild]] bitmap as a per-row
     * boolean expression (the bitmap rides the plan as a ≤ mBits/8-byte
     * array literal): true iff all kHashes positions are set. False

@@ -173,12 +173,9 @@ object ProductionQueries {
     // index it guards (the ingest loop ORs each accepted batch's bits
     // in via bloomMerge instead of rebuilding — spec-pinned ≡ rebuild)
     if (!Files.exists(Paths.get(s"$root/_BLOOM_READY"))) {
-      val words = Dedup.bloomBuild(
-        s.read.parquet(s"$root/keys"), "text", BloomM, BloomK)
-      import s.implicits._
-      words.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
-        .toDF("idx", "word")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/bloom")
+      Dedup.bloomWrite(Dedup.bloomBuild(
+        s.read.parquet(s"$root/keys"), "text", BloomM, BloomK),
+        s, s"$root/bloom")
       Files.createFile(Paths.get(s"$root/_BLOOM_READY"))
     }
     root
@@ -193,12 +190,8 @@ object ProductionQueries {
 
   /** Load the persisted bitmap: mBits/64 rows, driver-bounded. */
   private def loadBloom(s: org.apache.spark.sql.SparkSession,
-      root: String): Array[Long] = {
-    val words = new Array[Long](BloomM / 64)
-    s.read.parquet(s"$root/bloom").collect()
-      .foreach(r => words(r.getInt(0)) = r.getLong(1))
-    words
-  }
+      root: String): Array[Long] =
+    Dedup.bloomRead(s, s"$root/bloom", BloomM)
 
   val all: Seq[QuerySpec] = Seq(
 

@@ -94,50 +94,70 @@ object StreamingIngest {
   }
 
   /** Streaming incremental dedup ingest — the
-    * [[graft.ops.Dedup.dedupIncrementFullIndexed]] loop wired into
-    * `foreachBatch`: per micro-batch, full incremental dedup (batch
-    * exact + batch near-dup + corpus increment) against the PERSISTED
-    * corpus shingle index, then the survivors append to corpus, index,
-    * and text keyset. The corpus is never re-shingled — each epoch
-    * reads the index and writes its own delta, exactly the
-    * materialized-index contract.
+    * [[graft.ops.Dedup.dedupIncrementFullIndexedBloom]] loop wired
+    * into `foreachBatch`: per micro-batch, full incremental dedup
+    * (batch exact + batch near-dup + corpus increment) against the
+    * PERSISTED corpus shingle index, with the exact arm prefiltered
+    * by the PERSISTED Bloom bitmap (bloom-negative rows skip the
+    * keyset anti-join; identical results — no false negatives), then
+    * the survivors append to corpus, index, keyset, and bitmap
+    * ([[graft.ops.Dedup.bloomMerge]] ORs the batch's bits in — the
+    * filter is never rebuilt from the full keyset). The corpus is
+    * never re-shingled — each epoch reads the index and writes its
+    * own delta, exactly the materialized-index contract.
     *
-    * Commit protocol ([[commitState]] + [[recoverState]]): all three
+    * Commit protocol ([[commitState]] + [[recoverState]]): all four
     * frames write to one staging root, then the staging dir is
-    * promoted to `<stateDir>/current` — corpus/index/keys can never
-    * disagree, the manifest-swap discipline a table format provides
-    * at scale. The swap is two ATOMIC_MOVEs; a crash in the window
-    * between them is healed by roll-forward at the next epoch's
-    * entry, so no committed state is ever lost. Replay safety falls
-    * out of the semantics: re-delivering a committed epoch re-accepts
-    * nothing (every previously-accepted text is in the keyset, so the
-    * exact arm drops it) and recommits identical state. */
+    * promoted to `<stateDir>/current` — corpus/index/keys/bloom can
+    * never disagree, the manifest-swap discipline a table format
+    * provides at scale. The swap is two ATOMIC_MOVEs; a crash in the
+    * window between them is healed by roll-forward at the next
+    * epoch's entry, so no committed state is ever lost. Replay safety
+    * falls out of the semantics: re-delivering a committed epoch
+    * re-accepts nothing (every previously-accepted text is in the
+    * keyset — and in the bitmap, so it flows through the anti-join
+    * arm and drops) and recommits identical state, the bitmap
+    * unchanged (OR with an empty delta). A `current` written by a
+    * pre-bitmap version of this ingest upgrades in place: the missing
+    * bitmap is derived from the committed keyset. */
   def dedupIngest(stream: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, stateDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, bloomBits: Int = 1 << 17,
+      bloomHashes: Int = 5): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupIngestBatch(batch, idCol, textCol, k, threshold, stateDir)
+        dedupIngestBatch(batch, idCol, textCol, k, threshold, stateDir,
+          bloomBits, bloomHashes)
       }
       .start()
 
   /** One epoch of [[dedupIngest]], separated so the batch path is
     * directly testable and reusable by a non-streaming ingest loop. */
   def dedupIngestBatch(batch: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double, stateDir: String): Unit = {
+      k: Int, threshold: Double, stateDir: String,
+      bloomBits: Int = 1 << 17, bloomHashes: Int = 5): Unit = {
     import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
     import graft.ops.Dedup
     val spark = batch.sparkSession
     recoverState(stateDir)
     val cur = s"$stateDir/current"
     val exists = Files.exists(Paths.get(cur))
+    val committedBloom =
+      if (exists && Files.exists(Paths.get(s"$cur/bloom")))
+        Dedup.bloomRead(spark, s"$cur/bloom", bloomBits)
+      else if (exists) // pre-bitmap state: derive once from the keyset
+        Dedup.bloomBuild(spark.read.parquet(s"$cur/keys"), textCol,
+          bloomBits, bloomHashes)
+      else null
     // materialize the survivors BEFORE any writes: the frames below
     // are consumed three times and must not see mid-commit state
     val accepted = (if (exists)
-        Dedup.dedupIncrementFullIndexed(
+        Dedup.dedupIncrementFullIndexedBloom(
           spark.read.parquet(s"$cur/index"), spark.read.parquet(s"$cur/keys"),
-          batch, idCol, textCol, k, threshold)
+          committedBloom, batch, idCol, textCol, k, threshold,
+          bloomBits, bloomHashes)
       else // first epoch: no corpus yet — within-batch dedup only
         Dedup.nearDupDeduplicated(
           Dedup.deduplicated(batch, idCol, textCol),
@@ -151,11 +171,17 @@ object StreamingIngest {
     val corpus =
       if (exists) spark.read.parquet(s"$cur/corpus").unionByName(accepted)
       else accepted.toDF()
-    // stage all three, then the recoverable pointer swap
+    val bloomDelta = Dedup.bloomBuild(accepted.select(col(textCol)),
+      textCol, bloomBits, bloomHashes)
+    val bloom =
+      if (committedBloom == null) bloomDelta
+      else Dedup.bloomMerge(committedBloom, bloomDelta)
+    // stage all four, then the recoverable pointer swap
     val staging = s"$stateDir/staging"
     corpus.write.mode("overwrite").parquet(s"$staging/corpus")
     idx.write.mode("overwrite").parquet(s"$staging/index")
     keys.write.mode("overwrite").parquet(s"$staging/keys")
+    Dedup.bloomWrite(bloom, spark, s"$staging/bloom")
     commitState(stateDir)
   }
 

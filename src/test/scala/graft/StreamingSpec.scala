@@ -256,6 +256,31 @@ class StreamingSpec extends SparkSuite {
       spark.read.parquet(s"$state/current/corpus"), "doc_id", "text", 3)
     assert(idx.exceptAll(expect).count() == 0 &&
       expect.exceptAll(idx).count() == 0)
+
+    // the committed bitmap stayed in sync too: OR-merge over epochs
+    // (including the no-op replay) == rebuild from the committed keyset
+    val bloom = Dedup.bloomRead(spark, s"$state/current/bloom", 1 << 17)
+    assert(bloom.sameElements(Dedup.bloomBuild(
+        spark.read.parquet(s"$state/current/keys"), "text", 1 << 17, 5)),
+      "committed bitmap != rebuild from committed keys")
+
+    // a pre-bitmap committed state upgrades in place: drop the bitmap,
+    // deliver one more epoch batch-wise, the recommitted state regrows
+    // a bitmap consistent with the grown keyset
+    val bloomDir = java.nio.file.Paths.get(s"$state/current/bloom")
+    java.nio.file.Files.walk(bloomDir)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    StreamingIngest.dedupIngestBatch(
+      Seq((20L, "totally novel content for the upgrade path test"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, threshold = 0.5, state)
+    val bloom2 = Dedup.bloomRead(spark, s"$state/current/bloom", 1 << 17)
+    assert(bloom2.sameElements(Dedup.bloomBuild(
+        spark.read.parquet(s"$state/current/keys"), "text", 1 << 17, 5)),
+      "upgraded bitmap != rebuild from grown keys")
+    assert(spark.read.parquet(s"$state/current/corpus")
+      .select($"doc_id").as[Long].collect().toSet == ids2 + 20L)
   }
 
   test("streaming ANN ingest: epochs append to the index, replay-safe, probe-ready") {
