@@ -604,6 +604,110 @@ object ProductionQueries {
         |      AS BIGINT) % 2001) - 1000) AS BIGINT) AS score
         |  FROM f GROUP BY doc_id)
         |SELECT doc_id, score, score >= 0 AS keep FROM sc
+        |ORDER BY doc_id""".stripMargin)),
+
+    // THE WHOLE TRAINING-DATA PIPELINE, end-to-end in one gate: C4
+    // line cleaning (q107's derivation + rules) → Gopher repetition
+    // gate on the CLEANED text (q83's thresholds, minTokens relaxed
+    // for post-clean lengths) → model-based quality filter (q113's
+    // classifier over clean text) → exact dedup keep-first (q25's
+    // min-id rule on clean text) → near-dup k-gram Jaccard dedup
+    // (q79's components + min-id apply). Every stage is gated alone
+    // elsewhere; this pins that they COMPOSE — each stage consumes
+    // the previous stage's output column, and the oracle replays the
+    // full five-stage chain (line rules, token stats, hashed scoring,
+    // the (text,min-id) semi-join, and the recursive-CTE closure)
+    // as one CTE pipeline.
+    QuerySpec("q114_pipeline_e2e",
+      (s, dir) => {
+        val w = graft.ops.TextAnalysis.md5StandInWeights(4096)
+        val lined = table(s, dir, "documents").select(col("doc_id"),
+          array_join(
+            transform(split(regexp_replace(col("text"), " join ", "\n"), "\n"),
+              l => when(length(l) % 3 =!= 0, concat(l, lit("."))).otherwise(l)),
+            "\n").as("ltext"))
+        val cleaned = LineClean.c4LineFilter(lined, "doc_id", "ltext",
+          minWords = 3, minLines = 2, blocklist = Seq("vector"))
+        val gop = graft.ops.TextAnalysis.gopherRepetitionReport(
+            cleaned, "doc_id", "clean_text", minTokens = 10)
+          .filter(col("gopher_ok")).select(col("doc_id"), col("n_tokens"))
+        val scored = cleaned.join(gop, Seq("doc_id"))
+          .withColumn("score", graft.ops.TextAnalysis.hashedLinearScore(
+            col("clean_text"), w, 4096))
+          .filter(col("score") >= -5000)
+        val exact = Dedup.deduplicated(scored, "doc_id", "clean_text")
+        Dedup.nearDupDeduplicated(exact, "doc_id", "clean_text",
+            k = 3, threshold = 0.5)
+          .select(col("doc_id"), col("n_lines_kept"), col("n_tokens"),
+            col("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH lined AS (SELECT doc_id, array_to_string(
+        |    [CASE WHEN length(x) % 3 <> 0 THEN x || '.' ELSE x END
+        |     FOR x IN string_split(regexp_replace(text, ' join ', chr(10), 'g'), chr(10))],
+        |    chr(10)) AS ltext FROM documents),
+        |k AS (SELECT doc_id,
+        |    [x FOR x IN string_split(ltext, chr(10))
+        |     IF length(trim(x)) > 0
+        |        AND x[-1] IN ('.', '!', '?', '"')
+        |        AND len(string_split_regex(trim(x), '\s+')) >= 3
+        |        AND NOT contains(lower(x), 'vector')] AS kept,
+        |    contains(ltext, '{') AS brace
+        |  FROM lined),
+        |cleaned AS (SELECT doc_id, array_to_string(kept, chr(10)) AS ct,
+        |    CAST(len(kept) AS INTEGER) AS n_lines_kept
+        |  FROM k WHERE len(kept) >= 2 AND NOT brace),
+        |gt AS (SELECT doc_id, ct, n_lines_kept,
+        |    string_split_regex(trim(ct), '\s+') AS toks FROM cleaned),
+        |gm AS (SELECT doc_id, ct, n_lines_kept, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    list_max([len(list_filter(toks, x -> x = w))
+        |              FOR w IN list_distinct(toks)]) AS top_freq
+        |  FROM gt),
+        |gok AS (SELECT doc_id, ct, n_lines_kept, n_tokens FROM gm
+        |  WHERE n_tokens >= 10
+        |    AND floor(CAST(n_distinct AS DOUBLE) * 1000000 / n_tokens) >= 350000
+        |    AND floor(CAST(top_freq AS DOUBLE) * 1000000 / n_tokens) <= 125000),
+        |ctoks AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(ct), '\s+')) AS tok FROM gok),
+        |cf AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('f:' || tok), 1, 15)) AS BIGINT)
+        |      % 4096 AS b FROM ctoks),
+        |sc AS (SELECT doc_id, CAST(SUM(
+        |    (CAST(('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2001) - 1000) AS BIGINT) AS score
+        |  FROM cf GROUP BY doc_id),
+        |qual AS (SELECT g.doc_id, g.ct, g.n_lines_kept, g.n_tokens, sc.score
+        |  FROM gok g JOIN sc USING (doc_id) WHERE sc.score >= -5000),
+        |ex AS (SELECT q.* FROM qual q
+        |  JOIN (SELECT ct, MIN(doc_id) AS doc_id FROM qual GROUP BY ct) m
+        |    ON m.ct = q.ct AND m.doc_id = q.doc_id),
+        |t2 AS (SELECT doc_id,
+        |    string_split_regex(trim(ct), '\s+') AS toks FROM ex),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t2 WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (SELECT id_a, id_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, n_lines_kept, n_tokens, score FROM ex
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
         |ORDER BY doc_id""".stripMargin))
   )
 }
