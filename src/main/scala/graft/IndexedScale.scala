@@ -96,6 +96,35 @@ object IndexedScale {
         """{"scale":"%s","corpus_docs":%d,"batch_docs":500,"in_query_sec":%.3f,"indexed_sec":%.3f,"index_build_sec":%.3f,"rows":%d,"reps":%d}""",
         label, Long.box(corpus.count()), Double.box(tIn), Double.box(tIdx),
         Double.box(buildSec), Long.box(nIn), Int.box(reps)))
+
+      // Bloom pre-filter row: the batch is 100% fresh (disjoint
+      // vocab), so the bitmap proves every row absent and the exact
+      // arm's keyset anti-join sees an empty left side — the ideal
+      // showcase of what the filter buys as the keyset grows. 2^20
+      // bits (128 KiB) keeps ≥26 bits/key at the 8x keyset.
+      val tbb0 = System.nanoTime()
+      val words = Dedup.bloomBuild(keys, "text", 1 << 20, 5)
+      val bloomBuildSec = (System.nanoTime() - tbb0) / 1e9
+      val (tFull, nFull) = medianTime(() =>
+        Dedup.dedupIncrementFullIndexed(idx, keys, batch,
+            "doc_id", "text", 3, 0.5)
+          .queryExecution.toRdd.count())
+      val (tBloom, nBloom) = medianTime(() =>
+        Dedup.dedupIncrementFullIndexedBloom(idx, keys, words, batch,
+            "doc_id", "text", 3, 0.5, 1 << 20, 5)
+          .queryExecution.toRdd.count())
+      require(nFull == nBloom, s"bloom form disagrees: $nFull vs $nBloom")
+      // the scale-relevant number: how much of the batch still reaches
+      // the keyset anti-join (the exact arm's shuffle input once the
+      // keyset outgrows broadcast) — the wall-clock delta at local
+      // scales is fixed per-job overhead, not join cost
+      val nPos = batch.filter(
+        Dedup.bloomMightContain(words, col("text"), 1 << 20, 5)).count()
+      println(String.format(java.util.Locale.ROOT,
+        """{"bloom_scale":"%s","corpus_docs":%d,"batch_docs":500,"full_indexed_sec":%.3f,"bloom_sec":%.3f,"bloom_build_sec":%.3f,"antijoin_rows_plain":500,"antijoin_rows_bloom":%d,"rows":%d,"reps":%d}""",
+        label, Long.box(corpus.count()), Double.box(tFull), Double.box(tBloom),
+        Double.box(bloomBuildSec), Long.box(nPos), Long.box(nFull),
+        Int.box(reps)))
     }
 
     // ANN: fixed 5-query probe against a factor-grown vector corpus

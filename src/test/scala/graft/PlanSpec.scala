@@ -186,6 +186,29 @@ class PlanSpec extends SparkSuite {
       s"the single exchange must be the output sort:\n$p")
   }
 
+  test("q112 bloom increment: membership expression live, proven-new arm joins nothing") {
+    // the exact arm must be the two-branch bloom shape: a Union whose
+    // first branch filters on the bitmap expression (shiftleft bit
+    // test) WITHOUT touching the keyset relation — only the
+    // bloom-positive branch pays the anti-join
+    val p = plan("q112_dedup_increment_steady_bloom")
+    assert(p.contains("shiftleft"),
+      s"bloom membership expression missing from the plan:\n$p")
+    assert(p.contains("Union"),
+      s"expected the proven-new/maybe two-branch union:\n$p")
+    // both guard polarities must be live: the proven-new branch
+    // filters on NOT forall(<membership>) and joins nothing, the
+    // maybe branch filters on forall(<membership>) before its keyset
+    // anti-join. (Anti-join COUNTS are not stable pins: the
+    // exactSurvivors union is expanded per downstream consumer and
+    // Catalyst pushes the id-keyed losers anti through it.)
+    assert(p.contains("Filter NOT forall("),
+      s"proven-new branch (NOT mightContain) missing:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Filter forall(") && !l.contains("NOT forall(")),
+      s"bloom-positive branch (mightContain guard) missing:\n$p")
+  }
+
   test("q113 classifier: per-row scoring — zero exchanges before the output sort") {
     // the hashed dot product is one expression over the scan; the
     // weight vector is a plan literal, so there must be no weight-
