@@ -172,6 +172,49 @@ object TrainingPrep {
         concat_ws(" ", col("__w")).as("chunk_text"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS/FastCDC boundary idea
+    * at token granularity): a chunk boundary falls AFTER token i
+    * whenever the hash of the trailing `window`-token context at i
+    * satisfies hash % modulus == 0 — boundaries are decided by
+    * CONTENT, not position, so they re-align after insertions or
+    * deletions. That is the property fixed-stride chunking
+    * ([[chunkByTokens]]) lacks: prepend two tokens and every stride
+    * window downstream shifts, but only the CDC chunks touching the
+    * edit change (spec-pinned), which is what makes chunk-level
+    * dedup robust to boilerplate prefixes. Expected chunk length ≈
+    * `modulus` tokens; no min/max clamps (clamping is a filter over
+    * this output). Window hashing reuses the md5 idiom of the
+    * q70/q71 twins, so an oracle replays boundaries bit-exactly;
+    * production would swap xxhash64 into the same shape. Emits
+    * (id, chunk_id, n_chunk_tokens, chunk_text) as one per-row
+    * expression + posexplode: scan-speed, no shuffle. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int, modulus: Int): DataFrame = {
+    require(window > 0 && modulus > 0, "window and modulus must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(col("__toks"))
+    // candidate boundaries sit after token i, i ∈ [window, n-1]: never
+    // inside the first window (no full context yet) and never after
+    // the last token (an empty final chunk)
+    val cand = when(n - 1 >= window, sequence(lit(window), n - 1))
+      .otherwise(array().cast("array<int>"))
+    val boundary = (i: org.apache.spark.sql.Column) =>
+      conv(substring(md5(concat_ws(" ",
+        slice(col("__toks"), i - window + 1, lit(window)))), 1, 15), 16, 10)
+        .cast("long") % modulus === 0
+    val bounds = concat(array(lit(0)), filter(cand, boundary), array(n))
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"), bounds.as("__bs"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("__bs")) - 1),
+          k => slice(col("__toks"), element_at(col("__bs"), k) + 1,
+            element_at(col("__bs"), k + 1) - element_at(col("__bs"), k))))
+          .as(Seq("chunk_id", "__w")))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__w")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__w")).as("chunk_text"))
+  }
+
   /** Deterministic stratified sampling — the language/domain
     * rebalancing step of a corpus mix: keep rows whose
     * `pmod(id, denom(stratum)) == 0`, with the keep denominator set

@@ -708,6 +708,35 @@ object ProductionQueries {
         |  FROM reach GROUP BY src)
         |SELECT doc_id, n_lines_kept, n_tokens, score FROM ex
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Content-defined chunking (rsync/LBFS/FastCDC boundary rule at
+    // token granularity): boundaries where the 4-token trailing-window
+    // md5 ≡ 0 (mod 8) — content-decided, so they survive edits that
+    // shift every fixed-stride window (spec-pinned shift invariance).
+    // The oracle replays window hashing, the boundary comprehension,
+    // and chunk slicing; tokens reconstruct exactly (spec-pinned).
+    QuerySpec("q115_cdc_chunks",
+      (s, dir) => graft.ops.TrainingPrep.cdcChunks(
+          table(s, dir, "documents"), "doc_id", "text",
+          window = 4, modulus = 8)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |    [0] || [i FOR i IN generate_series(4, len(toks) - 1)
+        |            IF CAST(('0x' || substr(md5(
+        |                 array_to_string(toks[i-3:i], ' ')), 1, 15))
+        |               AS BIGINT) % 8 = 0]
+        |        || [len(toks)] AS bs
+        |  FROM t),
+        |c0 AS (SELECT doc_id, toks, bs,
+        |    UNNEST(generate_series(1, len(bs) - 1)) AS k FROM b),
+        |c AS (SELECT doc_id, k - 1 AS chunk_id,
+        |    toks[bs[k]+1:bs[k+1]] AS w FROM c0)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  CAST(len(w) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(w, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

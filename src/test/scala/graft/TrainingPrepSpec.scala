@@ -395,4 +395,44 @@ class TrainingPrepSpec extends SparkSuite {
       assert(a == w)
     }
   }
+
+  test("cdcChunks: lossless, content-defined, shift-invariant past the edit") {
+    import graft.ops.TrainingPrep
+    def chunksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      TrainingPrep.cdcChunks(df, "doc_id", "text", window = 4, modulus = 4)
+        .select($"doc_id", $"chunk_id", $"chunk_text")
+        .as[(Long, Int, String)].collect().toSeq
+        .groupBy(_._1).map { case (id, cs) =>
+          id -> cs.sortBy(_._2).map(_._3) }
+    // a deterministic ~120-token doc with enough hash variety for
+    // several boundaries at modulus 4
+    val words = (0 until 120).map(i => s"w${(i * 37) % 53}")
+    val base = words.mkString(" ")
+    val t = Seq((1L, base)).toDF("doc_id", "text")
+    val cs = chunksOf(t)(1L)
+    assert(cs.length > 3, s"expected several chunks, got ${cs.length}")
+    // lossless: chunks concatenate back to the token stream
+    assert(cs.mkString(" ") == base)
+    // shift invariance: prepend two tokens; fixed-stride windows all
+    // move, but CDC boundaries re-align — every chunk after the first
+    // boundary of the original must reappear verbatim
+    val shifted = Seq((1L, s"zz yy $base")).toDF("doc_id", "text")
+    val cs2 = chunksOf(shifted)(1L)
+    assert(cs2.mkString(" ") == s"zz yy $base")
+    val commonTail = cs.tail
+    assert(commonTail.nonEmpty &&
+      commonTail.forall(c => cs2.contains(c)),
+      s"CDC chunks did not re-align after a prefix edit:\n$cs\nvs\n$cs2")
+    // contrast: the fixed-stride form re-aligns NOTHING (every window
+    // crosses the shifted grid)
+    val fixedA = TrainingPrep.chunkByTokens(t, "doc_id", "text", 8, 8)
+      .select($"chunk_text").as[String].collect().toSet
+    val fixedB = TrainingPrep.chunkByTokens(shifted, "doc_id", "text", 8, 8)
+      .select($"chunk_text").as[String].collect().toSet
+    assert((fixedA intersect fixedB).size < commonTail.size,
+      "fixed-stride chunking unexpectedly shift-stable on this fixture")
+    // short doc: fewer tokens than one window -> exactly itself
+    val short = chunksOf(Seq((1L, "a b c")).toDF("doc_id", "text"))(1L)
+    assert(short == Seq("a b c"))
+  }
 }
