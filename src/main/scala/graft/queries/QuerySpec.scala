@@ -16,16 +16,23 @@ object QuerySpec {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table, with its TIMESTAMP(NANOS) parquet column (which
-    * Spark refuses to read natively) surfaced as a microsecond
-    * TimestampType via the nanosAsLong legacy read + exact integer
-    * division. Oracle side mirrors with
+  /** The events table, with `ts` surfaced as a microsecond
+    * TimestampType regardless of how the driver generated the parquet:
+    * TIMESTAMP(NANOS) (which Spark refuses to read natively — handled
+    * via the nanosAsLong legacy read + exact integer division) or a
+    * native TIMESTAMP/TIMESTAMP_NTZ microsecond column (cast under the
+    * UTC session zone, value-preserving). Oracle side mirrors both with
     * `make_timestamp(epoch_ns(ts) // 1000)`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.expr
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    import org.apache.spark.sql.types.LongType
+    val raw = table(spark, dir, "events")
+    val tsExpr = raw.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts DIV 1000)") // nanos-as-long
+      case _        => expr("CAST(ts AS TIMESTAMP)")         // native micros
+    }
+    raw.withColumn("ts", tsExpr)
   }
 
   /** DuckDB view of events with ts truncated to the same microseconds. */
