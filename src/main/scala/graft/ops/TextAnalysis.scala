@@ -202,4 +202,61 @@ object TextAnalysis {
       (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
     }.toArray
   }
+
+  /** CCNet-style LM quality filter (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC
+    * 2020): score every document by its cross-entropy under a bigram
+    * language model trained on a trusted reference slice (`refPred`),
+    * keep documents whose per-token cost stays under a threshold —
+    * CCNet's "head/middle" cut with the cutoff as an explicit
+    * parameter (CCNet too precomputes its per-language cutoffs from a
+    * reference run). The LM is a hashed stand-in for CCNet's KenLM:
+    * bigram and context counts live in `buckets` hash slots and
+    * P(cur|prev) = (c_bigram+1)/(c_context+buckets), add-1 smoothing
+    * over the hashed vocabulary.
+    *
+    * Exactness: each bigram's negative log-probability is floored to
+    * integer micro-nats from its (count, count) pair; per-document
+    * totals are exact integer sums, and the keep decision
+    * `nll_sum ≤ threshold · n_bigrams` is an integer cross-multiply —
+    * no division, no float accumulation, bit-identical to the DuckDB
+    * replay.
+    *
+    * Scale shape: training IS the two count aggregations — both
+    * frames are ≤ `buckets` rows and BROADCAST into the scoring join
+    * (a deployment runs them once and persists, like any model
+    * artifact; inlined here so the gate replays end-to-end). The only
+    * data-scale shuffle is the per-doc sum, map-side combined.
+    * Documents with no bigram (≤ 1 token) keep=false with n_bigrams=0.
+    * Returns (id, n_bigrams, nll_sum_micro, keep), one row per input. */
+  def lmPerplexityFilter(df: DataFrame, idCol: String, textCol: String,
+      refPred: Column, buckets: Int, thresholdMicroPerTok: Long): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import graft.functions.sketches
+    def bucket(prefix: String, g: Column): Column =
+      (conv(substring(md5(concat(lit(prefix), g)), 1, 15), 16, 10)
+        .cast("long") % buckets).cast("int")
+    val bg = df.select(col(idCol), refPred.as("__r"),
+        explode(sketches.shingles_all(trim(col(textCol)), 2)).as("__bg"))
+      .select(col(idCol), col("__r"),
+        bucket("b:", col("__bg")).as("__hb"),
+        bucket("c:", substring_index(col("__bg"), " ", 1)).as("__hp"))
+    val cb = bg.filter(col("__r")).groupBy("__hb").agg(count(lit(1)).as("__cb"))
+    val cp = bg.filter(col("__r")).groupBy("__hp").agg(count(lit(1)).as("__cp"))
+    val perDoc = bg
+      .join(broadcast(cb), Seq("__hb"), "left")
+      .join(broadcast(cp), Seq("__hp"), "left")
+      .select(col(idCol), floor(lit(-1e6) * log(
+          (coalesce(col("__cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("__cp"), lit(0L)) + buckets)))
+        .cast("long").as("__nll"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"), sum("__nll").as("nll_sum_micro"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_sum_micro"), lit(0L)).as("nll_sum_micro"))
+      .withColumn("keep", col("n_bigrams") > 0 &&
+        col("nll_sum_micro") <= lit(thresholdMicroPerTok) * col("n_bigrams"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -406,6 +406,111 @@ object TrainingPrep {
       .withColumn("mix_rank", row_number().over(w))
       .filter(col("mix_rank") <= col("quota"))
       .drop("quota")
+  }
+
+  // -----------------------------------------------------------------
+  // DSIR data selection (Xie et al., "Data Selection for Language
+  // Models via Importance Resampling", NeurIPS 2023)
+  // -----------------------------------------------------------------
+
+  /** Portable feature bucket for a string: the md5-derived 60-bit
+    * integer (repo-wide portable-hash idiom, Dedup.scala:430) mod
+    * `buckets`, with a domain-separating prefix. DuckDB mirror:
+    * `CAST(('0x' || substr(md5(prefix || g), 1, 15)) AS BIGINT) % B`. */
+  private[ops] def hashBucket(prefix: String, g: Column, buckets: Int): Column =
+    (conv(substring(md5(concat(lit(prefix), g)), 1, 15), 16, 10)
+      .cast("long") % buckets).cast("int")
+
+  /** The scoring stage of [[dsirSelect]], exposed for plan assertions
+    * and score-only callers: (id, logw_micro, __gum, __samp) with no
+    * checkpoint and no selection — the full lineage from the parquet
+    * scan through the broadcast stats join stays visible. */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = trim(col(textCol))
+    val grams = df.select(col(idCol), targetPred.as("__t"),
+        explode(concat(sketches.shingles_all(toks, 1),
+          sketches.shingles_all(toks, 2))).as("__g"))
+      .select(col(idCol), col("__t"),
+        hashBucket("g:", col("__g"), buckets).as("__b"))
+
+    val perBucket = grams.groupBy("__b").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+    // grand totals derive from the bucket stats — no extra corpus pass
+    val totals = perBucket.agg(sum("__cr").as("__nr"), sum("__ct").as("__nt"))
+    val logRatios = perBucket.crossJoin(broadcast(totals)).select(col("__b"),
+      floor(log(
+        ((col("__ct") + 1).cast("double") / (col("__nt") + buckets)) /
+          ((col("__cr") + 1).cast("double") / (col("__nr") + buckets))) * 1e6)
+        .cast("long").as("__lrm"))
+
+    val docScores = grams.join(broadcast(logRatios), "__b")
+      .groupBy(col(idCol)).agg(sum(col("__lrm")).as("logw_micro"))
+    // Gumbel draw g = -ln(-ln(u)), u = (H(id) mod 1e6 + 0.5)/1e6 ∈ (0,1)
+    val u = ((conv(substring(md5(concat(lit("u:"), col(idCol).cast("string"))),
+      1, 15), 16, 10).cast("long") % 1000000L).cast("double") + 0.5) / 1000000.0
+    df.select(col(idCol))
+      .join(docScores, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+      .withColumn("__gum",
+        floor(lit(-1e6) * log(lit(-1.0) * log(u))).cast("long"))
+      .withColumn("__samp", col("logw_micro") + col("__gum"))
+  }
+
+  /** DSIR importance selection (Xie et al. 2023): score each document
+    * by how much more likely its hashed unigram+bigram features are
+    * under the TARGET distribution (rows matching `targetPred`, e.g. a
+    * trusted domain) than under the RAW corpus, then keep the top `n`
+    * twice over — by raw importance weight (`selected`) and by the
+    * paper's Gumbel-top-k sampling (`sampled`; i.i.d. Gumbel noise
+    * realized as a deterministic hash of the id so the draw is
+    * replayable and oracle-checkable).
+    *
+    * Exactness: each bucket's log-ratio ln(p̂_b/q̂_b) (add-1 smoothed)
+    * is floored to integer MICRO-NATS once, per bucket; document
+    * scores are then exact integer sums — associative, so Spark's
+    * partial aggregation and DuckDB's sequential sum agree bit-for-bit
+    * (the kmeansMicro idiom). |lrm| ≤ ln(nr+B)·1e6 < 2^45 and docs
+    * hold ≲ 2·tokens grams, so the per-doc sum is far from overflow.
+    *
+    * Scale shape: the feature explode is scan-speed and walked twice
+    * (bucket stats, then scoring) — the at-scale alternative of
+    * materializing the exploded frame costs corpus-scale storage for
+    * a scan it would read once. The stats frame is ≤ `buckets` rows
+    * and BROADCAST to the scoring join; the per-doc sum is one
+    * map-side-combinable shuffle. Selection avoids a data-scale
+    * single-partition window: the rank-`n` boundary row is found by
+    * TakeOrdered (k-bounded driver traffic) and becomes a broadcast
+    * threshold predicate — the same plan at 500 docs or 50 billion.
+    * Returns (id, logw_micro, selected, sampled), one row per input. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int, n: Int): DataFrame = {
+    require(n > 0 && n <= 1000000,
+      s"selection size $n exceeds the TakeOrdered driver bound")
+    // id/score/noise triple per doc: doc-count scale (three longs per
+    // row), pinned once so the two boundary probes and the output scan
+    // share one computation
+    val scored = dsirScores(df, idCol, textCol, targetPred, buckets)
+      .localCheckpoint()
+
+    // rank-n boundary (score, id) via TakeOrdered — k-bounded, no
+    // global window; ties broken by ascending id exactly as the rank
+    def cutoff(score: Column): (Long, Long) = {
+      val b = scored.orderBy(score.desc, col(idCol).asc).limit(n)
+        .orderBy(score.asc, col(idCol).desc).limit(1)
+        .select(score.as("s"), col(idCol).cast("long").as("i")).collect()
+      if (b.isEmpty) (Long.MinValue, Long.MaxValue)
+      else (b(0).getLong(0), b(0).getLong(1))
+    }
+    val (cw, cwi) = cutoff(col("logw_micro"))
+    val (cs, csi) = cutoff(col("__samp"))
+    scored.select(col(idCol), col("logw_micro"),
+      (col("logw_micro") > cw ||
+        (col("logw_micro") === cw && col(idCol) <= cwi)).as("selected"),
+      (col("__samp") > cs ||
+        (col("__samp") === cs && col(idCol) <= csi)).as("sampled"))
   }
 
   /** Conservative PII patterns, chosen to behave identically under

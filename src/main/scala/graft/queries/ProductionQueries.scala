@@ -737,6 +737,92 @@ object ProductionQueries {
         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
         |  CAST(len(w) AS INTEGER) AS n_chunk_tokens,
         |  array_to_string(w, ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    // importance weights ln(p_target/q_raw) in integer micro-nats,
+    // target = the English slice. Both of the paper's decision rules
+    // are gated: top-n by weight (`selected`) and Gumbel-top-k
+    // sampling (`sampled`, hash-derived noise) — at sf0.01 the two
+    // 100-doc sets overlap on only ~63 docs, so the gate proves the
+    // Gumbel path is live, not a re-label of top-n. The oracle
+    // replays feature hashing, both smoothed distributions, the
+    // micro-nat floor, the integer sums, the Gumbel transform, and
+    // both rank rules.
+    QuerySpec("q116_dsir_selection",
+      (s, dir) => graft.ops.TrainingPrep.dsirSelect(
+          table(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en", buckets = 1024, n = 100)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |uni AS (SELECT doc_id, tgt, UNNEST(toks) AS g FROM t),
+        |bi AS (SELECT doc_id, tgt, UNNEST([array_to_string(toks[i:i+1], ' ')
+        |    FOR i IN generate_series(1, len(toks) - 1)]) AS g FROM t),
+        |fb AS (SELECT doc_id, tgt,
+        |    CAST(('0x' || substr(md5('g:' || g), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |pb AS (SELECT b, COUNT(*) AS cr,
+        |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM fb GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+        |    CAST(SUM(ct) AS BIGINT) AS nt FROM pb),
+        |lr AS (SELECT b, CAST(floor(ln(
+        |      ((ct + 1.0) / (nt + 1024)) / ((cr + 1.0) / (nr + 1024))) * 1e6)
+        |    AS BIGINT) AS lrm FROM pb CROSS JOIN tot),
+        |sc AS (SELECT doc_id, CAST(SUM(lrm) AS BIGINT) AS logw_micro
+        |  FROM fb JOIN lr USING (b) GROUP BY 1),
+        |g AS (SELECT d.doc_id, s.logw_micro,
+        |    CAST(floor(-1e6 * ln(-ln(
+        |      ((CAST(('0x' || substr(md5('u:' || CAST(d.doc_id AS VARCHAR)),
+        |          1, 15)) AS BIGINT) % 1000000) + 0.5) / 1000000.0)))
+        |      AS BIGINT) AS gum
+        |  FROM documents d JOIN sc s USING (doc_id)),
+        |r AS (SELECT doc_id, logw_micro,
+        |    row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC) AS rw,
+        |    row_number() OVER (ORDER BY logw_micro + gum DESC, doc_id ASC) AS rs
+        |  FROM g)
+        |SELECT doc_id, logw_micro, rw <= 100 AS selected, rs <= 100 AS sampled
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-style LM quality filter (Wenzek et al. 2020): per-doc
+    // cross-entropy under a hashed bigram LM trained on the English
+    // slice, keep = per-token cost under 5.65 nats (the corpus
+    // median at sf0.01 — CCNet's head/middle cut with the cutoff as
+    // a parameter). Integer micro-nat scoring end-to-end; the keep
+    // rule is an integer cross-multiply, so the oracle replay is
+    // exact. Plan: two ≤4096-row broadcast count frames (the trained
+    // model) + one map-side-combined per-doc sum.
+    QuerySpec("q117_lm_perplexity",
+      (s, dir) => graft.ops.TextAnalysis.lmPerplexityFilter(
+          table(s, dir, "documents"), "doc_id", "text",
+          refPred = col("lang") === "en", buckets = 4096,
+          thresholdMicroPerTok = 5650000L)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS ref,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, ref, UNNEST([array_to_string(toks[i:i+1], ' ')
+        |    FOR i IN generate_series(1, len(toks) - 1)]) AS g FROM t),
+        |h AS (SELECT doc_id, ref,
+        |    CAST(('0x' || substr(md5('b:' || g), 1, 15)) AS BIGINT)
+        |      % 4096 AS hb,
+        |    CAST(('0x' || substr(md5('c:' || split_part(g, ' ', 1)), 1, 15))
+        |      AS BIGINT) % 4096 AS hp
+        |  FROM bg),
+        |cb AS (SELECT hb, COUNT(*) AS c FROM h WHERE ref GROUP BY 1),
+        |cp AS (SELECT hp, COUNT(*) AS c FROM h WHERE ref GROUP BY 1),
+        |nll AS (SELECT doc_id, CAST(floor(-1e6 * ln(
+        |      (COALESCE(cb.c, 0) + 1.0) / (COALESCE(cp.c, 0) + 4096)))
+        |    AS BIGINT) AS v
+        |  FROM h LEFT JOIN cb USING (hb) LEFT JOIN cp USING (hp)),
+        |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(v) AS BIGINT) AS nll_sum_micro FROM nll GROUP BY 1)
+        |SELECT doc_id,
+        |  COALESCE(d.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(d.nll_sum_micro, 0) AS nll_sum_micro,
+        |  COALESCE(d.n_bigrams, 0) > 0 AND
+        |    COALESCE(d.nll_sum_micro, 0) <= 5650000 * COALESCE(d.n_bigrams, 0)
+        |    AS keep
+        |FROM documents LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -221,6 +221,39 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"weights must not arrive via a join:\n$p")
   }
 
+  test("q116 DSIR: stats arrive broadcast; selection is a threshold, not a global window") {
+    // scoring stage (pre-checkpoint lineage): the ≤buckets-row
+    // log-ratio frame must reach the scoring join as a broadcast, and
+    // nothing in the whole pipeline may plan a window — a data-scale
+    // single-partition row_number would be the 100 TB killer here
+    val sp = graft.ops.TrainingPrep.dsirScores(
+        spark.read.parquet(s"$sf0001/documents.parquet"),
+        "doc_id", "text", $"lang" === "en", buckets = 1024)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin"),
+      s"bucket stats must broadcast into the scoring join:\n$sp")
+    assert(!sp.contains("Window") && !sp.contains("CartesianProduct"),
+      s"scoring stage must be joins+aggs only:\n$sp")
+    // gated query (post-checkpoint): rank-n selection must have been
+    // folded into a threshold predicate over the pinned score frame
+    val p = plan("q116_dsir_selection")
+    assert(!p.contains("Window"),
+      s"selection must be the broadcast-threshold form, no rank window:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"selection must scan the pinned score frame, not recompute:\n$p")
+  }
+
+  test("q117 LM filter: trained counts broadcast; no data-scale join or window") {
+    // both count frames (the 'model') are ≤buckets rows and must
+    // arrive broadcast; at sf0.001 the per-doc frame also broadcasts
+    // into the final left join, so require ≥ 2 and no merge join
+    val p = plan("q117_lm_perplexity")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected the 2 broadcast model joins, got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"no data-scale join or window in the scoring path:\n$p")
+  }
+
   test("q108 line dedup: keep-first is a partial-agg min(struct), not a window") {
     // the 100 TB shape: hot boilerplate lines collapse map-side via
     // partial_min before the line-keyed shuffle; a per-line window

@@ -435,4 +435,111 @@ class TrainingPrepSpec extends SparkSuite {
     val short = chunksOf(Seq((1L, "a b c")).toDF("doc_id", "text"))(1L)
     assert(short == Seq("a b c"))
   }
+
+  // shared with the DSIR and LM-filter reference models: the repo's
+  // portable 60-bit md5 hash, sequentially
+  private def md560(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("dsirSelect matches a sequential reference model exactly") {
+    val B = 64
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", true),
+      (2L, "alpha beta alpha gamma", true), // identical text to doc 1
+      (3L, "beta gamma delta alpha beta", true),
+      (4L, "omega psi chi phi", false),
+      (5L, "omega psi omega psi chi", false),
+      (6L, "alpha omega beta psi", false),
+      (7L, "x", false)) // single token: unigram only, no bigram
+    val df = docs.toDF("doc_id", "text", "is_t")
+    val out = TrainingPrep.dsirSelect(df, "doc_id", "text",
+        targetPred = $"is_t", buckets = B, n = 3)
+      .select($"doc_id", $"logw_micro", $"selected", $"sampled")
+      .as[(Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+
+    // sequential model: same hashing, same smoothing, same micro floor
+    def grams(t: String): Seq[String] = {
+      val w = t.trim.split("\\s+").toSeq
+      w ++ w.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val all = docs.flatMap { case (id, t, tg) =>
+      grams(t).map(g => (id, tg, (md560("g:" + g) % B).toInt)) }
+    val cr = all.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = all.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (nr, nt) = (all.size.toLong, all.count(_._2).toLong)
+    val lrm = cr.map { case (b, c) =>
+      val p = (ct.getOrElse(b, 0L) + 1).toDouble / (nt + B)
+      val q = (c + 1).toDouble / (nr + B)
+      b -> math.floor(math.log(p / q) * 1e6).toLong }
+    val logw = docs.map { case (id, t, _) =>
+      id -> grams(t).map(g => lrm((md560("g:" + g) % B).toInt)).sum }.toMap
+    out.foreach { case (id, w, _, _) =>
+      assert(w == logw(id), s"doc $id: $w != model ${logw(id)}") }
+    assert(out.find(_._1 == 1L).get._2 == out.find(_._1 == 2L).get._2,
+      "identical text must score identically")
+
+    val gum = docs.map { case (id, _, _) =>
+      val u = ((md560("u:" + id) % 1000000L).toDouble + 0.5) / 1000000.0
+      id -> math.floor(-1e6 * math.log(-1.0 * math.log(u))).toLong }.toMap
+    val expSel = docs.map(_._1).sortBy(id => (-logw(id), id)).take(3).toSet
+    val expSamp = docs.map(_._1)
+      .sortBy(id => (-(logw(id) + gum(id)), id)).take(3).toSet
+    assert(out.filter(_._3).map(_._1).toSet == expSel, "selected != model top-n")
+    assert(out.filter(_._4).map(_._1).toSet == expSamp, "sampled != model Gumbel top-n")
+    // n >= corpus: everything selected, both rules
+    val allSel = TrainingPrep.dsirSelect(df, "doc_id", "text", $"is_t", B, 100)
+    assert(allSel.filter($"selected" && $"sampled").count() == docs.size)
+  }
+
+  test("lmPerplexityFilter matches a sequential reference model; edge docs") {
+    import graft.ops.TextAnalysis
+    val B = 64
+    val docs = Seq(
+      (1L, "a b a b a b a b a b", true), // the reference corpus
+      (2L, "b a b a b", true),
+      (3L, "a b a b", false),    // familiar bigrams -> cheap
+      (4L, "x y z w", false),    // unseen bigrams -> expensive
+      (5L, "solo", false),       // no bigram: keep=false, zeros
+      (6L, "a q a q", false))    // familiar contexts, unseen bigrams
+    val df = docs.toDF("doc_id", "text", "is_ref")
+    // sequential model
+    def bigrams(t: String): Seq[String] =
+      t.trim.split("\\s+").toSeq.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+    val refBg = docs.filter(_._3).flatMap(d => bigrams(d._2))
+    val cb = refBg.groupBy(g => (md560("b:" + g) % B).toInt)
+      .view.mapValues(_.size.toLong).toMap
+    val cp = refBg.map(_.split(" ")(0))
+      .groupBy(w => (md560("c:" + w) % B).toInt)
+      .view.mapValues(_.size.toLong).toMap
+    val model = docs.map { case (id, t, _) =>
+      val bs = bigrams(t)
+      val s = bs.map { g =>
+        val hb = (md560("b:" + g) % B).toInt
+        val hp = (md560("c:" + g.split(" ")(0)) % B).toInt
+        math.floor(-1e6 * math.log(
+          (cb.getOrElse(hb, 0L) + 1).toDouble / (cp.getOrElse(hp, 0L) + B)))
+          .toLong
+      }.sum
+      id -> ((bs.size.toLong, s)) }.toMap
+
+    val thr = 3000000L
+    val out = TextAnalysis.lmPerplexityFilter(df, "doc_id", "text",
+        refPred = $"is_ref", buckets = B, thresholdMicroPerTok = thr)
+      .select($"doc_id", $"n_bigrams", $"nll_sum_micro", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    out.foreach { case (id, nb, s, k) =>
+      assert((nb, s) == model(id), s"doc $id: ($nb,$s) != model ${model(id)}")
+      assert(k == (nb > 0 && s <= thr * nb), s"doc $id keep rule") }
+    // the semantics the operator exists for: familiar text costs less
+    val cost = out.map(r => r._1 -> (if (r._2 == 0) Long.MaxValue
+      else r._3 / r._2)).toMap
+    assert(cost(3L) < cost(6L) && cost(6L) < cost(4L),
+      s"per-token cost must rank familiar < half-familiar < unseen: $cost")
+    // single-token doc: zeros and dropped
+    assert(out.find(_._1 == 5L).get == ((5L, 0L, 0L, false)))
+  }
 }
