@@ -421,32 +421,56 @@ object TrainingPrep {
     (conv(substring(md5(concat(lit(prefix), g)), 1, 15), 16, 10)
       .cast("long") % buckets).cast("int")
 
-  /** The scoring stage of [[dsirSelect]], exposed for plan assertions
-    * and score-only callers: (id, logw_micro, __gum, __samp) with no
-    * checkpoint and no selection — the full lineage from the parquet
-    * scan through the broadcast stats join stays visible. */
-  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+  /** Hashed unigram+bigram feature buckets of every row: (id, __b). */
+  private def dsirGrams(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, extra: Column*): DataFrame = {
+    val toks = trim(col(textCol))
+    df.select((col(idCol) +: extra) :+
+        explode(concat(sketches.shingles_all(toks, 1),
+          sketches.shingles_all(toks, 2))).as("__g"): _*)
+      .withColumn("__b", hashBucket("g:", col("__g"), buckets))
+      .drop("__g")
+  }
+
+  /** The trained DSIR importance model: a DENSE `buckets`-row frame
+    * (__b, __lrm) of per-bucket log-ratios in integer micro-nats —
+    * buckets no corpus gram hashed into carry the smoothed empty-
+    * bucket default ln((1/(nt+B))/(1/(nr+B))), so scoring a future
+    * batch never misses the join. This is the model artifact: train
+    * once over the corpus, persist as parquet (a few KB), broadcast
+    * into every scoring run — the materialized-index move that keeps
+    * per-batch cost proportional to the batch at 100 TB. */
+  def dsirModel(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val toks = trim(col(textCol))
-    val grams = df.select(col(idCol), targetPred.as("__t"),
-        explode(concat(sketches.shingles_all(toks, 1),
-          sketches.shingles_all(toks, 2))).as("__g"))
-      .select(col(idCol), col("__t"),
-        hashBucket("g:", col("__g"), buckets).as("__b"))
-
+    val grams = dsirGrams(df, idCol, textCol, buckets, targetPred.as("__t"))
     val perBucket = grams.groupBy("__b").agg(
       count(lit(1)).as("__cr"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
     // grand totals derive from the bucket stats — no extra corpus pass
     val totals = perBucket.agg(sum("__cr").as("__nr"), sum("__ct").as("__nt"))
-    val logRatios = perBucket.crossJoin(broadcast(totals)).select(col("__b"),
-      floor(log(
-        ((col("__ct") + 1).cast("double") / (col("__nt") + buckets)) /
-          ((col("__cr") + 1).cast("double") / (col("__nr") + buckets))) * 1e6)
+    df.sparkSession.range(buckets).select(col("id").cast("int").as("__b"))
+      .join(broadcast(perBucket), Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"), floor(log(
+        ((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+          (col("__nt") + buckets)) /
+          ((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
+            (col("__nr") + buckets))) * 1e6)
         .cast("long").as("__lrm"))
+  }
 
-    val docScores = grams.join(broadcast(logRatios), "__b")
+  /** Score rows against an already-trained [[dsirModel]] frame (the
+    * steady-state form: the model arrives as a ≤`buckets`-row parquet
+    * scan and is BROADCAST; nothing about the corpus is recomputed —
+    * per-batch cost is one explode + one map-side-combined sum).
+    * `buckets` must match the model's hash width. Output matches
+    * [[dsirScores]]: (id, logw_micro, __gum, __samp). */
+  def dsirScoreWith(model: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val docScores = dsirGrams(df, idCol, textCol, buckets)
+      .join(broadcast(model), "__b")
       .groupBy(col(idCol)).agg(sum(col("__lrm")).as("logw_micro"))
     // Gumbel draw g = -ln(-ln(u)), u = (H(id) mod 1e6 + 0.5)/1e6 ∈ (0,1)
     val u = ((conv(substring(md5(concat(lit("u:"), col(idCol).cast("string"))),
@@ -458,6 +482,16 @@ object TrainingPrep {
         floor(lit(-1e6) * log(lit(-1.0) * log(u))).cast("long"))
       .withColumn("__samp", col("logw_micro") + col("__gum"))
   }
+
+  /** The scoring stage of [[dsirSelect]], exposed for plan assertions
+    * and score-only callers: (id, logw_micro, __gum, __samp) with no
+    * checkpoint and no selection — the full lineage from the parquet
+    * scan through the broadcast stats join stays visible. In-query
+    * composition of [[dsirModel]] + [[dsirScoreWith]]. */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): DataFrame =
+    dsirScoreWith(dsirModel(df, idCol, textCol, targetPred, buckets),
+      df, idCol, textCol, buckets)
 
   /** DSIR importance selection (Xie et al. 2023): score each document
     * by how much more likely its hashed unigram+bigram features are

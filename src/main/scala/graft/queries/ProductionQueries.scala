@@ -823,6 +823,70 @@ object ProductionQueries {
         |    COALESCE(d.nll_sum_micro, 0) <= 5650000 * COALESCE(d.n_bigrams, 0)
         |    AS keep
         |FROM documents LEFT JOIN d USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // q116's steady-state form: the DSIR importance model (dense
+    // 1024-row log-ratio frame) is trained ONCE and persisted; the
+    // gate scores the corpus against the parquet-backed model with no
+    // stats recompute — per-batch cost ∝ batch, the same move as the
+    // q103/q105 dedup and q98/q101 ANN steady states. Scores are
+    // hash-identical to q116's by construction (dense model: absent
+    // buckets carry the smoothed default, and grams of the training
+    // corpus never hit them), so the oracle is q116's score chain.
+    QuerySpec("q118_dsir_indexed",
+      (s, dir) => {
+        val root = dsirModelRoot(s, dir)
+        graft.ops.TrainingPrep.dsirScoreWith(
+            s.read.parquet(s"$root/model"),
+            table(s, dir, "documents"), "doc_id", "text", buckets = 1024)
+          .select(col("doc_id"), col("logw_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |uni AS (SELECT doc_id, tgt, UNNEST(toks) AS g FROM t),
+        |bi AS (SELECT doc_id, tgt, UNNEST([array_to_string(toks[i:i+1], ' ')
+        |    FOR i IN generate_series(1, len(toks) - 1)]) AS g FROM t),
+        |fb AS (SELECT doc_id, tgt,
+        |    CAST(('0x' || substr(md5('g:' || g), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |pb AS (SELECT b, COUNT(*) AS cr,
+        |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM fb GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+        |    CAST(SUM(ct) AS BIGINT) AS nt FROM pb),
+        |lr AS (SELECT b, CAST(floor(ln(
+        |      ((ct + 1.0) / (nt + 1024)) / ((cr + 1.0) / (nr + 1024))) * 1e6)
+        |    AS BIGINT) AS lrm FROM pb CROSS JOIN tot),
+        |sc AS (SELECT doc_id, CAST(SUM(lrm) AS BIGINT) AS logw_micro
+        |  FROM fb JOIN lr USING (b) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.logw_micro, 0) AS logw_micro
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin))
   )
+
+  /** Train-once/probe-many fixture for q118: the dense DSIR model
+    * persisted per (dir, file-fingerprint) — the steadyDedupIndex
+    * caching discipline (metadata fingerprint so a same-path
+    * regeneration invalidates; `_READY` written last so a torn build
+    * rebuilds, never serves). */
+  private def dsirModelRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
+      else Seq(src)
+    val fp = java.lang.Long.toHexString(
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode.toLong & 0xffffffffL)
+    val root = s"/tmp/graft_dsir_model/${tag}_$fp"
+    if (!Files.exists(Paths.get(s"$root/_READY"))) {
+      graft.ops.TrainingPrep.dsirModel(table(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", buckets = 1024)
+        .write.mode("overwrite").parquet(s"$root/model")
+      Files.createFile(Paths.get(s"$root/_READY"))
+    }
+    root
+  }
 }

@@ -243,6 +243,20 @@ class PlanSpec extends SparkSuite {
       s"selection must scan the pinned score frame, not recompute:\n$p")
   }
 
+  test("q118 DSIR indexed: probe reads the persisted model, never retrains") {
+    // steady-state contract: the model arrives as ONE parquet scan
+    // broadcast into the scoring join; exactly one explode (the batch
+    // being scored) and no stats-aggregation legs — training cost must
+    // not be payable per batch
+    val p = plan("q118_dsir_indexed")
+    val gens = "Generate explode".r.findAllIn(p).length
+    assert(gens == 1, s"expected only the batch explode, got $gens:\n$p")
+    assert(p.contains("graft_dsir_model"),
+      s"model must come from the persisted parquet:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"probe must stay joins+aggs:\n$p")
+  }
+
   test("q117 LM filter: trained counts broadcast; no data-scale join or window") {
     // both count frames (the 'model') are ≤buckets rows and must
     // arrive broadcast; at sf0.001 the per-doc frame also broadcasts

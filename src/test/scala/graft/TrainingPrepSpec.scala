@@ -494,6 +494,49 @@ class TrainingPrepSpec extends SparkSuite {
     assert(allSel.filter($"selected" && $"sampled").count() == docs.size)
   }
 
+  test("dsirModel is dense; indexed scoring ≡ in-query; unseen grams hit the default") {
+    val B = 64
+    val corpus = Seq(
+      (1L, "alpha beta alpha gamma", true),
+      (2L, "beta gamma delta alpha beta", true),
+      (3L, "omega psi chi phi", false),
+      (4L, "alpha omega beta psi", false)).toDF("doc_id", "text", "is_t")
+    val model = TrainingPrep.dsirModel(corpus, "doc_id", "text", $"is_t", B)
+    // dense: exactly B rows, every bucket present exactly once
+    val rows = model.select($"__b", $"__lrm").as[(Int, Long)].collect()
+    assert(rows.length == B && rows.map(_._1).toSet == (0 until B).toSet)
+    // steady state ≡ in-query on the training corpus (q118's claim)
+    val inQuery = TrainingPrep.dsirScores(corpus, "doc_id", "text", $"is_t", B)
+      .select($"doc_id", $"logw_micro").as[(Long, Long)].collect().sortBy(_._1)
+    val indexed = TrainingPrep.dsirScoreWith(model, corpus, "doc_id", "text", B)
+      .select($"doc_id", $"logw_micro").as[(Long, Long)].collect().sortBy(_._1)
+    assert(inQuery.toSeq == indexed.toSeq,
+      s"indexed scoring diverged:\n${inQuery.toSeq}\nvs\n${indexed.toSeq}")
+    // a future batch with grams no corpus gram hashed into: every one
+    // of its buckets must score the smoothed empty-bucket default
+    // (ln((1/(nt+B))/(1/(nr+B))) = ln((nr+B)/(nt+B)) micro-floored) —
+    // pick a token whose buckets (unigram only, one gram) are empty
+    val lrmByB = rows.toMap
+    val all = corpus.as[(Long, String, Boolean)].collect()
+    def grams(t: String) = {
+      val w = t.trim.split("\\s+").toSeq
+      w ++ w.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val used = all.flatMap(d => grams(d._2))
+      .map(g => (md560("g:" + g) % B).toInt).toSet
+    val nr = all.flatMap(d => grams(d._2)).size.toLong
+    val nt = all.filter(_._3).flatMap(d => grams(d._2)).size.toLong
+    val default = math.floor(math.log(
+      (1.0 / (nt + B)) / (1.0 / (nr + B))) * 1e6).toLong
+    val novel = (1 to 500).map(i => s"novel$i")
+      .find(w => !used.contains((md560("g:" + w) % B).toInt)).get
+    val batch = Seq((99L, novel)).toDF("doc_id", "text")
+    val got = TrainingPrep.dsirScoreWith(model, batch, "doc_id", "text", B)
+      .select($"logw_micro").as[Long].head()
+    assert(got == default, s"empty-bucket default: $got != $default")
+    assert(lrmByB((md560("g:" + novel) % B).toInt) == default)
+  }
+
   test("lmPerplexityFilter matches a sequential reference model; edge docs") {
     import graft.ops.TextAnalysis
     val B = 64
