@@ -49,12 +49,17 @@ object ExtrasQueries {
             syy.as("syy"), sxy.as("sxy"))
           .select(col("l_returnflag"),
             col("nd").cast("long").as("n"),
-            (col("sx") / col("nd")).as("mean_qty"),
-            sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1))
+            round(col("sx") / col("nd"), 9).as("mean_qty"),
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1)), 9)
               .as("stddev_qty"),
-            ((col("sxy") - col("sx") * col("sy") / col("nd")) /
+            // round(…,9): the raw corr landed 1 ulp apart from DuckDB
+            // on the regenerated sf0.001 slice (identical formula,
+            // identical exact-decimal moments — engine-internal FP
+            // scheduling); 9 decimals is far above ulp noise and far
+            // below anything a statistic consumer distinguishes
+            round((col("sxy") - col("sx") * col("sy") / col("nd")) /
               (sqrt(col("sxx") - col("sx") * col("sx") / col("nd")) *
-               sqrt(col("syy") - col("sy") * col("sy") / col("nd")))).as("corr_qty_price"))
+               sqrt(col("syy") - col("sy") * col("sy") / col("nd"))), 9).as("corr_qty_price"))
           .orderBy(col("l_returnflag"))
       },
       Some("""WITH m AS (SELECT l_returnflag,
@@ -66,10 +71,11 @@ object ExtrasQueries {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
-        |  sx / nd AS mean_qty,
-        |  sqrt((sxx - sx * sx / nd) / (nd - 1)) AS stddev_qty,
-        |  (sxy - sx * sy / nd) /
-        |    (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)) AS corr_qty_price
+        |  round(sx / nd, 9) AS mean_qty,
+        |  round(sqrt((sxx - sx * sx / nd) / (nd - 1)), 9) AS stddev_qty,
+        |  round((sxy - sx * sy / nd) /
+        |    (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 9)
+        |    AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     // Scalar string surface: case, substring, replace, reverse,
