@@ -73,7 +73,8 @@ object ScaleStress {
       // q107 is excluded: it is a zero-shuffle pure scan (PlanSpec
       // pins that), and the token-prefixed synthetic corpus breaks its
       // ' join ' line derivation (no lines -> 0 rows, uninformative)
-      "q108_line_dedup", "q116_dsir_selection", "q117_lm_perplexity")
+      "q108_line_dedup", "q116_dsir_selection", "q117_lm_perplexity",
+      "q118_dsir_indexed")
     // one warm pass so JVM/codegen startup doesn't bill to the 1x runs
     qnames.foreach(q => SparkEntry.queries(q)(spark, base).count())
     // median-of-reps per point (Bench precedent): single shots on a
