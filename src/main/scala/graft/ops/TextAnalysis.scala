@@ -230,22 +230,61 @@ object TextAnalysis {
     * Documents with no bigram (≤ 1 token) keep=false with n_bigrams=0.
     * Returns (id, n_bigrams, nll_sum_micro, keep), one row per input. */
   def lmPerplexityFilter(df: DataFrame, idCol: String, textCol: String,
-      refPred: Column, buckets: Int, thresholdMicroPerTok: Long): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
+      refPred: Column, buckets: Int, thresholdMicroPerTok: Long): DataFrame =
+    lmScoreWith(lmModel(df, idCol, textCol, refPred, buckets),
+      df, idCol, textCol, buckets, thresholdMicroPerTok)
+
+  private def lmBucket(prefix: String, g: Column, buckets: Int): Column =
+    (conv(substring(md5(concat(lit(prefix), g)), 1, 15), 16, 10)
+      .cast("long") % buckets).cast("int")
+
+  /** Bigrams of every row with their event/context buckets:
+    * (id, __hb, __hp). */
+  private def lmBigrams(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, extra: Column*): DataFrame = {
     import graft.functions.sketches
-    def bucket(prefix: String, g: Column): Column =
-      (conv(substring(md5(concat(lit(prefix), g)), 1, 15), 16, 10)
-        .cast("long") % buckets).cast("int")
-    val bg = df.select(col(idCol), refPred.as("__r"),
-        explode(sketches.shingles_all(trim(col(textCol)), 2)).as("__bg"))
-      .select(col(idCol), col("__r"),
-        bucket("b:", col("__bg")).as("__hb"),
-        bucket("c:", substring_index(col("__bg"), " ", 1)).as("__hp"))
-    val cb = bg.filter(col("__r")).groupBy("__hb").agg(count(lit(1)).as("__cb"))
-    val cp = bg.filter(col("__r")).groupBy("__hp").agg(count(lit(1)).as("__cp"))
-    val perDoc = bg
-      .join(broadcast(cb), Seq("__hb"), "left")
-      .join(broadcast(cp), Seq("__hp"), "left")
+    df.select((col(idCol) +: extra) :+
+        explode(sketches.shingles_all(trim(col(textCol)), 2)).as("__bg"): _*)
+      .withColumn("__hb", lmBucket("b:", col("__bg"), buckets))
+      .withColumn("__hp",
+        lmBucket("c:", substring_index(col("__bg"), " ", 1), buckets))
+      .drop("__bg")
+  }
+
+  /** The trained LM artifact for [[lmPerplexityFilter]]: a DENSE
+    * `buckets`-row frame (__b, __cb, __cp) — per bucket, its count as
+    * a bigram-event bucket and as a context bucket over the reference
+    * slice; buckets nothing hashed into carry 0 (the smoothing
+    * handles them), so scoring joins never miss. Train once, persist
+    * (a few KB), broadcast into every scoring run. */
+  def lmModel(df: DataFrame, idCol: String, textCol: String,
+      refPred: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val bg = lmBigrams(df, idCol, textCol, buckets, refPred.as("__r"))
+      .filter(col("__r"))
+    val cb = bg.groupBy(col("__hb").as("__b")).agg(count(lit(1)).as("__cb"))
+    val cp = bg.groupBy(col("__hp").as("__b")).agg(count(lit(1)).as("__cp"))
+    df.sparkSession.range(buckets).select(col("id").cast("int").as("__b"))
+      .join(broadcast(cb), Seq("__b"), "left")
+      .join(broadcast(cp), Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__cb"), lit(0L)).as("__cb"),
+        coalesce(col("__cp"), lit(0L)).as("__cp"))
+  }
+
+  /** Score rows against an already-trained [[lmModel]] frame (the
+    * steady-state form: the model arrives as one ≤`buckets`-row
+    * parquet scan, joined twice — event and context legs — both
+    * BROADCAST; no counting over the reference corpus is recomputed).
+    * `buckets` must match the model's hash width. Output matches
+    * [[lmPerplexityFilter]]. */
+  def lmScoreWith(model: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, buckets: Int, thresholdMicroPerTok: Long): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val perDoc = lmBigrams(df, idCol, textCol, buckets)
+      .join(broadcast(model.select(col("__b").as("__hb"), col("__cb"))),
+        Seq("__hb"), "left")
+      .join(broadcast(model.select(col("__b").as("__hp"), col("__cp"))),
+        Seq("__hp"), "left")
       .select(col(idCol), floor(lit(-1e6) * log(
           (coalesce(col("__cb"), lit(0L)) + 1).cast("double") /
             (coalesce(col("__cp"), lit(0L)) + buckets)))

@@ -798,32 +798,7 @@ object ProductionQueries {
           refPred = col("lang") === "en", buckets = 4096,
           thresholdMicroPerTok = 5650000L)
         .orderBy(col("doc_id")),
-      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS ref,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |bg AS (SELECT doc_id, ref, UNNEST([array_to_string(toks[i:i+1], ' ')
-        |    FOR i IN generate_series(1, len(toks) - 1)]) AS g FROM t),
-        |h AS (SELECT doc_id, ref,
-        |    CAST(('0x' || substr(md5('b:' || g), 1, 15)) AS BIGINT)
-        |      % 4096 AS hb,
-        |    CAST(('0x' || substr(md5('c:' || split_part(g, ' ', 1)), 1, 15))
-        |      AS BIGINT) % 4096 AS hp
-        |  FROM bg),
-        |cb AS (SELECT hb, COUNT(*) AS c FROM h WHERE ref GROUP BY 1),
-        |cp AS (SELECT hp, COUNT(*) AS c FROM h WHERE ref GROUP BY 1),
-        |nll AS (SELECT doc_id, CAST(floor(-1e6 * ln(
-        |      (COALESCE(cb.c, 0) + 1.0) / (COALESCE(cp.c, 0) + 4096)))
-        |    AS BIGINT) AS v
-        |  FROM h LEFT JOIN cb USING (hb) LEFT JOIN cp USING (hp)),
-        |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-        |    CAST(SUM(v) AS BIGINT) AS nll_sum_micro FROM nll GROUP BY 1)
-        |SELECT doc_id,
-        |  COALESCE(d.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(d.nll_sum_micro, 0) AS nll_sum_micro,
-        |  COALESCE(d.n_bigrams, 0) > 0 AND
-        |    COALESCE(d.nll_sum_micro, 0) <= 5650000 * COALESCE(d.n_bigrams, 0)
-        |    AS keep
-        |FROM documents LEFT JOIN d USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)),
+      Some(lmFilterOracleSql)),
 
     // q116's steady-state form: the DSIR importance model (dense
     // 1024-row log-ratio frame) is trained ONCE and persisted; the
@@ -861,8 +836,57 @@ object ProductionQueries {
         |  FROM fb JOIN lr USING (b) GROUP BY 1)
         |SELECT d.doc_id, COALESCE(sc.logw_micro, 0) AS logw_micro
         |FROM documents d LEFT JOIN sc USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // q117's steady-state form: the hashed-LM count frame (dense
+    // 4096-row (bucket, c_bigram, c_context)) is trained once and
+    // persisted; the gate scores the corpus against the parquet-
+    // backed model — two broadcast legs off ONE model scan, no
+    // recount of the reference slice. Hash-identical to q117 by
+    // construction (dense model, add-B smoothing covers the zero
+    // buckets), so the oracle is shared verbatim.
+    QuerySpec("q119_lm_perplexity_indexed",
+      (s, dir) => {
+        val root = lmModelRoot(s, dir)
+        graft.ops.TextAnalysis.lmScoreWith(
+            s.read.parquet(s"$root/model"),
+            table(s, dir, "documents"), "doc_id", "text",
+            buckets = 4096, thresholdMicroPerTok = 5650000L)
+          .orderBy(col("doc_id"))
+      },
+      Some(lmFilterOracleSql))
   )
+
+  /** q117 ≡ q119 oracle: replay tokenization, both bucket hashes, the
+    * reference counts, the micro-nat floor, and the integer keep rule.
+    * (lazy: referenced by `val all` above, which initializes first.) */
+  private lazy val lmFilterOracleSql: String =
+    """WITH t AS (SELECT doc_id, lang = 'en' AS ref,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, ref, UNNEST([array_to_string(toks[i:i+1], ' ')
+        |    FOR i IN generate_series(1, len(toks) - 1)]) AS g FROM t),
+        |h AS (SELECT doc_id, ref,
+        |    CAST(('0x' || substr(md5('b:' || g), 1, 15)) AS BIGINT)
+        |      % 4096 AS hb,
+        |    CAST(('0x' || substr(md5('c:' || split_part(g, ' ', 1)), 1, 15))
+        |      AS BIGINT) % 4096 AS hp
+        |  FROM bg),
+        |cb AS (SELECT hb, COUNT(*) AS c FROM h WHERE ref GROUP BY 1),
+        |cp AS (SELECT hp, COUNT(*) AS c FROM h WHERE ref GROUP BY 1),
+        |nll AS (SELECT doc_id, CAST(floor(-1e6 * ln(
+        |      (COALESCE(cb.c, 0) + 1.0) / (COALESCE(cp.c, 0) + 4096)))
+        |    AS BIGINT) AS v
+        |  FROM h LEFT JOIN cb USING (hb) LEFT JOIN cp USING (hp)),
+        |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(v) AS BIGINT) AS nll_sum_micro FROM nll GROUP BY 1)
+        |SELECT doc_id,
+        |  COALESCE(d.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(d.nll_sum_micro, 0) AS nll_sum_micro,
+        |  COALESCE(d.n_bigrams, 0) > 0 AND
+        |    COALESCE(d.nll_sum_micro, 0) <= 5650000 * COALESCE(d.n_bigrams, 0)
+        |    AS keep
+        |FROM documents LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
 
   /** Train-once/probe-many fixture for q118: the dense DSIR model
     * persisted per (dir, file-fingerprint) — the steadyDedupIndex
@@ -884,6 +908,29 @@ object ProductionQueries {
     if (!Files.exists(Paths.get(s"$root/_READY"))) {
       graft.ops.TrainingPrep.dsirModel(table(s, dir, "documents"),
           "doc_id", "text", col("lang") === "en", buckets = 1024)
+        .write.mode("overwrite").parquet(s"$root/model")
+      Files.createFile(Paths.get(s"$root/_READY"))
+    }
+    root
+  }
+
+  /** Train-once fixture for q119 (same discipline as [[dsirModelRoot]]):
+    * the dense hashed-LM count frame persisted per corpus fingerprint. */
+  private def lmModelRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
+      else Seq(src)
+    val fp = java.lang.Long.toHexString(
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode.toLong & 0xffffffffL)
+    val root = s"/tmp/graft_lm_model/${tag}_$fp"
+    if (!Files.exists(Paths.get(s"$root/_READY"))) {
+      graft.ops.TextAnalysis.lmModel(table(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", buckets = 4096)
         .write.mode("overwrite").parquet(s"$root/model")
       Files.createFile(Paths.get(s"$root/_READY"))
     }

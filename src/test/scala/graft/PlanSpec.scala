@@ -257,15 +257,33 @@ class PlanSpec extends SparkSuite {
       s"probe must stay joins+aggs:\n$p")
   }
 
-  test("q117 LM filter: trained counts broadcast; no data-scale join or window") {
+  test("q119 LM indexed: probe reads the persisted model, never recounts") {
+    // both scoring legs must come off the persisted parquet model;
+    // the only aggregation pair is the per-doc sum — training-side
+    // count legs reappearing would mean the model is retrained per
+    // batch
+    val p = plan("q119_lm_perplexity_indexed")
+    val gens = "Generate explode".r.findAllIn(p).length
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(gens == 1, s"expected only the batch explode, got $gens:\n$p")
+    assert(aggs == 2, s"expected only the per-doc agg pair, got $aggs:\n$p")
+    assert(p.contains("graft_lm_model"),
+      s"model must come from the persisted parquet:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"probe must stay joins+aggs:\n$p")
+  }
+
+  test("q117 LM filter: trained counts broadcast; no window or nested loop") {
     // both count frames (the 'model') are ≤buckets rows and must
-    // arrive broadcast; at sf0.001 the per-doc frame also broadcasts
-    // into the final left join, so require ≥ 2 and no merge join
+    // arrive broadcast into the scoring legs; the FINAL doc-keyed
+    // left join (docs ← per-doc sums, both data-scale) may plan
+    // merge or broadcast by stats — either is the honest shape
     val p = plan("q117_lm_perplexity")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length
     assert(bhj >= 2, s"expected the 2 broadcast model joins, got $bhj:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
-      s"no data-scale join or window in the scoring path:\n$p")
+    assert(!p.contains("Window") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct"),
+      s"no window or nested loop in the scoring path:\n$p")
   }
 
   test("q108 line dedup: keep-first is a partial-agg min(struct), not a window") {

@@ -537,6 +537,30 @@ class TrainingPrepSpec extends SparkSuite {
     assert(lrmByB((md560("g:" + novel) % B).toInt) == default)
   }
 
+  test("lmModel is dense; persisted-model scoring ≡ in-query") {
+    import graft.ops.TextAnalysis
+    val B = 64
+    val docs = Seq(
+      (1L, "a b a b a b", true), (2L, "b a b a", true),
+      (3L, "a b x y", false), (4L, "p q r s", false))
+      .toDF("doc_id", "text", "is_ref")
+    val model = TextAnalysis.lmModel(docs, "doc_id", "text", $"is_ref", B)
+    val rows = model.select($"__b", $"__cb", $"__cp")
+      .as[(Int, Long, Long)].collect()
+    assert(rows.length == B && rows.map(_._1).toSet == (0 until B).toSet)
+    // total event and context counts both equal the reference bigrams
+    val nRefBg = 5 + 3 // "a b a b a b" has 5 bigrams, "b a b a" has 3
+    assert(rows.map(_._2).sum == nRefBg && rows.map(_._3).sum == nRefBg)
+    val direct = TextAnalysis.lmPerplexityFilter(docs, "doc_id", "text",
+        $"is_ref", B, 3000000L)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val indexed = TextAnalysis.lmScoreWith(model, docs, "doc_id", "text",
+        B, 3000000L)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(direct.toSeq == indexed.toSeq,
+      s"persisted-model scoring diverged:\n${direct.toSeq}\nvs\n${indexed.toSeq}")
+  }
+
   test("lmPerplexityFilter matches a sequential reference model; edge docs") {
     import graft.ops.TextAnalysis
     val B = 64
