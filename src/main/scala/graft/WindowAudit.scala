@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Static audit for the `WindowExec: No Partition Defined` warning in
+  * the r8/r9 bench tails (VERDICT r9 "what's wrong" #2): walks every
+  * gated query's physical plan and reports each WindowExec whose
+  * partitionSpec is empty, with the query name and the window's
+  * expressions — no execution, no log scraping, deterministic
+  * attribution. Exits nonzero if an UNEXPECTED one is found (PlanSpec
+  * pins the allowlist; this main is the hunting tool).
+  */
+object WindowAudit {
+  /** Unpartitioned WindowExecs in a plan, including inside AQE wrappers
+    * and subqueries. */
+  def unpartitionedWindows(plan: SparkPlan): Seq[WindowExec] = {
+    val here = plan.collect {
+      case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.inputPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+    }.flatten
+    // subqueries (scalar/IN) hold their own plans
+    val subs = plan.collect { case p =>
+      p.subqueries.flatMap(unpartitionedWindows)
+    }.flatten
+    here ++ subs
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var found = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        unpartitionedWindows(plan).foreach { w =>
+          found += 1
+          println(s"UNPARTITIONED_WINDOW query=$name order=${w.orderSpec.mkString(",")} exprs=${w.windowExpression.mkString(";").take(200)}")
+        }
+      } catch {
+        case e: Throwable => println(s"PLAN_ERROR query=$name err=${e.getMessage}")
+      }
+    }
+    println(s"window_audit_done found=$found")
+    spark.stop()
+    if (found > 0) sys.exit(1)
+  }
+}

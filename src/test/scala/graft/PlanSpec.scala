@@ -557,4 +557,20 @@ class PlanSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(out("H") == expected)
   }
+
+  test("no unpartitioned WindowExec anywhere a window is planned") {
+    // The r8/r9 bench tails carried an unattributed "WindowExec: No
+    // Partition Defined" warning; WindowAudit traced it to the global
+    // Σw window in temperatureQuotas, now a broadcast 1-row cross
+    // join. Pin the fix on the quota users plus the suite's heaviest
+    // window consumers so a regression is caught here, not in a bench
+    // tail. (The full-suite sweep lives in `runMain graft.WindowAudit`.)
+    for (q <- Seq("q95_temperature_mix", "q99_unimax_mix",
+        "q03_current_version", "q85_rrf_fusion", "q12_create_ids")) {
+      val p = SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan
+      val bad = WindowAudit.unpartitionedWindows(p)
+      assert(bad.isEmpty,
+        s"$q plans an unpartitioned WindowExec: ${bad.mkString("; ")}")
+    }
+  }
 }
