@@ -234,20 +234,18 @@ object TextAnalysis {
     lmScoreWith(lmModel(df, idCol, textCol, refPred, buckets),
       df, idCol, textCol, buckets, thresholdMicroPerTok)
 
-  private def lmBucket(prefix: String, g: Column, buckets: Int): Column =
-    (conv(substring(md5(concat(lit(prefix), g)), 1, 15), 16, 10)
-      .cast("long") % buckets).cast("int")
-
   /** Bigrams of every row with their event/context buckets:
-    * (id, __hb, __hp). */
+    * (id, __hb, __hp). Buckets via [[TrainingPrep.hashBucket]] — the
+    * single home of the portable md5-mod idiom (a second verbatim
+    * copy lived here until ADVICE r9 flagged the drift risk). */
   private def lmBigrams(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, extra: Column*): DataFrame = {
     import graft.functions.sketches
     df.select((col(idCol) +: extra) :+
         explode(sketches.shingles_all(trim(col(textCol)), 2)).as("__bg"): _*)
-      .withColumn("__hb", lmBucket("b:", col("__bg"), buckets))
-      .withColumn("__hp",
-        lmBucket("c:", substring_index(col("__bg"), " ", 1), buckets))
+      .withColumn("__hb", TrainingPrep.hashBucket("b:", col("__bg"), buckets))
+      .withColumn("__hp", TrainingPrep.hashBucket("c:",
+        substring_index(col("__bg"), " ", 1), buckets))
       .drop("__bg")
   }
 

@@ -49,17 +49,24 @@ object ExtrasQueries {
             syy.as("syy"), sxy.as("sxy"))
           .select(col("l_returnflag"),
             col("nd").cast("long").as("n"),
-            round(col("sx") / col("nd"), 9).as("mean_qty"),
-            round(sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1)), 9)
-              .as("stddev_qty"),
-            // round(…,9): the raw corr landed 1 ulp apart from DuckDB
-            // on the regenerated sf0.001 slice (identical formula,
-            // identical exact-decimal moments — engine-internal FP
-            // scheduling); 9 decimals is far above ulp noise and far
-            // below anything a statistic consumer distinguishes
-            round((col("sxy") - col("sx") * col("sy") / col("nd")) /
+            // integer nano-units, NOT round(…, 9): round() itself is
+            // engine-divergent (Spark routes doubles through
+            // BigDecimal HALF_UP on the exact binary value, DuckDB
+            // rounds in floating point), so a value near a 9th-decimal
+            // boundary could round to different doubles even from
+            // identical inputs (ADVICE r9). floor(x*1e9 + 0.5) is the
+            // same three IEEE ops on both engines — the only residual
+            // risk is a 1-ulp input difference landing exactly on an
+            // integer boundary, strictly rarer than round()'s
+            // implementation gap.
+            floor(col("sx") / col("nd") * 1e9 + 0.5).cast("long")
+              .as("mean_qty_nano"),
+            floor(sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1)) * 1e9 + 0.5)
+              .cast("long").as("stddev_qty_nano"),
+            floor((col("sxy") - col("sx") * col("sy") / col("nd")) /
               (sqrt(col("sxx") - col("sx") * col("sx") / col("nd")) *
-               sqrt(col("syy") - col("sy") * col("sy") / col("nd"))), 9).as("corr_qty_price"))
+               sqrt(col("syy") - col("sy") * col("sy") / col("nd"))) * 1e9 + 0.5)
+              .cast("long").as("corr_qty_price_nano"))
           .orderBy(col("l_returnflag"))
       },
       Some("""WITH m AS (SELECT l_returnflag,
@@ -71,11 +78,12 @@ object ExtrasQueries {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
-        |  round(sx / nd, 9) AS mean_qty,
-        |  round(sqrt((sxx - sx * sx / nd) / (nd - 1)), 9) AS stddev_qty,
-        |  round((sxy - sx * sy / nd) /
-        |    (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 9)
-        |    AS corr_qty_price
+        |  CAST(floor(sx / nd * 1e9 + 0.5) AS BIGINT) AS mean_qty_nano,
+        |  CAST(floor(sqrt((sxx - sx * sx / nd) / (nd - 1)) * 1e9 + 0.5)
+        |    AS BIGINT) AS stddev_qty_nano,
+        |  CAST(floor((sxy - sx * sy / nd) /
+        |      (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd))
+        |      * 1e9 + 0.5) AS BIGINT) AS corr_qty_price_nano
         |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     // Scalar string surface: case, substring, replace, reverse,

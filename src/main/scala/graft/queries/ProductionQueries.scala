@@ -149,34 +149,24 @@ object ProductionQueries {
     * serving stale index rows; `_READY` is written last (the commit-
     * marker discipline) so a torn build is rebuilt, never trusted. */
   private def steadyDedupIndex(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = synchronized {
-    import java.nio.file.{Files, Paths}
+      dir: String): String = {
     val corpus = table(s, dir, "documents")
     val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val files =
-      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
-      else Seq(src)
-    val fp = java.lang.Long.toHexString(
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").hashCode.toLong & 0xffffffffL)
-    val root = s"/tmp/graft_steady_dedup/${tag}_$fp"
-    if (!Files.exists(Paths.get(s"$root/_READY"))) {
-      Dedup.corpusShingleIndex(corpus, "doc_id", "text", k = 3)
-        .write.mode("overwrite").parquet(s"$root/index")
-      Dedup.corpusTextKeys(corpus, "text")
-        .write.mode("overwrite").parquet(s"$root/keys")
-      Files.createFile(Paths.get(s"$root/_READY"))
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    val root = FixtureCache.ensure(s"/tmp/graft_steady_dedup/${tag}_$fp") {
+      tmp =>
+        Dedup.corpusShingleIndex(corpus, "doc_id", "text", k = 3)
+          .write.mode("overwrite").parquet(s"$tmp/index")
+        Dedup.corpusTextKeys(corpus, "text")
+          .write.mode("overwrite").parquet(s"$tmp/keys")
     }
     // sidecar with its own marker so pre-existing roots upgrade in
     // place: the Bloom bitmap over the keyset, persisted beside the
     // index it guards (the ingest loop ORs each accepted batch's bits
     // in via bloomMerge instead of rebuilding — spec-pinned ≡ rebuild)
-    if (!Files.exists(Paths.get(s"$root/_BLOOM_READY"))) {
+    FixtureCache.ensureSidecar(root, "bloom", "_BLOOM_READY") { tmp =>
       Dedup.bloomWrite(Dedup.bloomBuild(
-        s.read.parquet(s"$root/keys"), "text", BloomM, BloomK),
-        s, s"$root/bloom")
-      Files.createFile(Paths.get(s"$root/_BLOOM_READY"))
+        s.read.parquet(s"$root/keys"), "text", BloomM, BloomK), s, tmp)
     }
     root
   }
@@ -771,12 +761,12 @@ object ProductionQueries {
         |    AS BIGINT) AS lrm FROM pb CROSS JOIN tot),
         |sc AS (SELECT doc_id, CAST(SUM(lrm) AS BIGINT) AS logw_micro
         |  FROM fb JOIN lr USING (b) GROUP BY 1),
-        |g AS (SELECT d.doc_id, s.logw_micro,
+        |g AS (SELECT d.doc_id, COALESCE(s.logw_micro, 0) AS logw_micro,
         |    CAST(floor(-1e6 * ln(-ln(
         |      ((CAST(('0x' || substr(md5('u:' || CAST(d.doc_id AS VARCHAR)),
         |          1, 15)) AS BIGINT) % 1000000) + 0.5) / 1000000.0)))
         |      AS BIGINT) AS gum
-        |  FROM documents d JOIN sc s USING (doc_id)),
+        |  FROM documents d LEFT JOIN sc s USING (doc_id)),
         |r AS (SELECT doc_id, logw_micro,
         |    row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC) AS rw,
         |    row_number() OVER (ORDER BY logw_micro + gum DESC, doc_id ASC) AS rs
@@ -889,51 +879,31 @@ object ProductionQueries {
         |ORDER BY doc_id""".stripMargin
 
   /** Train-once/probe-many fixture for q118: the dense DSIR model
-    * persisted per (dir, file-fingerprint) — the steadyDedupIndex
-    * caching discipline (metadata fingerprint so a same-path
-    * regeneration invalidates; `_READY` written last so a torn build
-    * rebuilds, never serves). */
+    * persisted per (dir, file-fingerprint) — the [[FixtureCache]]
+    * discipline (md5 metadata fingerprint so a same-path regeneration
+    * invalidates; cross-JVM file lock + atomic publish so concurrent
+    * Bench/test JVMs can never serve a torn model). */
   private def dsirModelRoot(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = synchronized {
-    import java.nio.file.{Files, Paths}
+      dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val files =
-      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
-      else Seq(src)
-    val fp = java.lang.Long.toHexString(
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").hashCode.toLong & 0xffffffffL)
-    val root = s"/tmp/graft_dsir_model/${tag}_$fp"
-    if (!Files.exists(Paths.get(s"$root/_READY"))) {
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(s"/tmp/graft_dsir_model/${tag}_$fp") { tmp =>
       graft.ops.TrainingPrep.dsirModel(table(s, dir, "documents"),
           "doc_id", "text", col("lang") === "en", buckets = 1024)
-        .write.mode("overwrite").parquet(s"$root/model")
-      Files.createFile(Paths.get(s"$root/_READY"))
+        .write.mode("overwrite").parquet(s"$tmp/model")
     }
-    root
   }
 
   /** Train-once fixture for q119 (same discipline as [[dsirModelRoot]]):
     * the dense hashed-LM count frame persisted per corpus fingerprint. */
   private def lmModelRoot(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = synchronized {
-    import java.nio.file.{Files, Paths}
+      dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val files =
-      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
-      else Seq(src)
-    val fp = java.lang.Long.toHexString(
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").hashCode.toLong & 0xffffffffL)
-    val root = s"/tmp/graft_lm_model/${tag}_$fp"
-    if (!Files.exists(Paths.get(s"$root/_READY"))) {
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(s"/tmp/graft_lm_model/${tag}_$fp") { tmp =>
       graft.ops.TextAnalysis.lmModel(table(s, dir, "documents"),
           "doc_id", "text", col("lang") === "en", buckets = 4096)
-        .write.mode("overwrite").parquet(s"$root/model")
-      Files.createFile(Paths.get(s"$root/_READY"))
+        .write.mode("overwrite").parquet(s"$tmp/model")
     }
-    root
   }
 }
