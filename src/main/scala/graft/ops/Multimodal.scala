@@ -36,37 +36,186 @@ object Multimodal {
       hex(substring(col("media"), 1, 8)).as("head_hex"),
       crc32(col("media")).as("checksum"))
 
-  /** DECODE STUB — where a real pipeline would decode the image/audio
-    * (e.g. via a JNI codec or by shipping to a Python worker with
-    * mapInPandas). Here: a deterministic fake "feature vector" derived
-    * from the bytes, so the distributed plumbing (partition-local
-    * batch iteration, fixed-width output schema) is fully exercised.
-    * The fake per-lane hash is a strided polynomial mod 1e9+7 (lane i
-    * folds bytes i, i+dim, i+2*dim, ... with acc = (31*acc + b) mod p,
-    * seeded acc = i+1) — bounded modular arithmetic, so an external
-    * engine can replicate it exactly for differential checking. Swap
-    * the body for a real codec to productionize. */
-  def decodeFeaturesStub(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame = {
+  // -------------------------------------------------------------------
+  // Real image header decode — PNG (ISO/IEC 15948 §5.2/§11.2.2: the
+  // 8-byte signature and the IHDR chunk) and JPEG/JFIF (ITU-T T.81
+  // §B.2: marker segments and the SOFn frame header). Pure Scala over
+  // the binary column: a training pipeline's first decode pass
+  // (dimensions / channels / bit depth for filtering and batching)
+  // needs no codec, only the public container formats — the same move
+  // as the from-scratch ESRI shapefile reader.
+  // -------------------------------------------------------------------
+
+  /** Parsed header attributes of an encoded image payload. */
+  case class ImageHeader(format: String, width: Int, height: Int,
+      channels: Int, bitDepth: Int)
+
+  private val PngSig: Array[Int] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** PNG color type → sample channels (ISO/IEC 15948 §6.1: 0 grey,
+    * 2 truecolour, 3 indexed, 4 grey+alpha, 6 truecolour+alpha). */
+  private def pngChannels(colorType: Int): Option[Int] = colorType match {
+    case 0 => Some(1); case 2 => Some(3); case 3 => Some(1)
+    case 4 => Some(2); case 6 => Some(4); case _ => None
+  }
+
+  /** Header parse; Left(reason) is the dead-letter lane (the
+    * reject-with-reason discipline of the CSV pipeline, P7).
+    * Reasons: `truncated` (payload ends inside a structure that its
+    * own leading bytes promise), `bad_magic` (neither container's
+    * signature), `bad_header` (well-delimited but spec-invalid
+    * values), `no_sof` (JPEG ended before any frame header). */
+  def parseImageHeader(bytes: Array[Byte]): Either[String, ImageHeader] = {
+    if (bytes.length >= 2 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
+      parseJpeg(bytes)
+    else if (bytes.length > 0 && u8(bytes, 0) == PngSig(0)) {
+      // PNG signature prefix: mismatch within the available bytes is
+      // bad_magic; a clean prefix that simply ends early is truncated
+      val n = math.min(bytes.length, 8)
+      if ((1 until n).exists(i => u8(bytes, i) != PngSig(i))) Left("bad_magic")
+      else if (bytes.length < 8) Left("truncated")
+      else parsePng(bytes)
+    }
+    else if (bytes.length < 2) Left("truncated")
+    else Left("bad_magic")
+  }
+
+  private def parsePng(b: Array[Byte]): Either[String, ImageHeader] = {
+    // signature(8) + chunk length(4) + chunk type(4) + IHDR data(13)
+    if (b.length < 29) return Left("truncated")
+    if (be32(b, 8) != 13L) return Left("bad_header")
+    val typ = new String(b.slice(12, 16), "US-ASCII")
+    if (typ != "IHDR") return Left("bad_header") // §11.2.2: IHDR first
+    val w = be32(b, 16); val h = be32(b, 20)
+    val depth = u8(b, 24); val colorType = u8(b, 25)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+      return Left("bad_header")
+    if (!Set(1, 2, 4, 8, 16).contains(depth)) return Left("bad_header")
+    pngChannels(colorType) match {
+      case Some(ch) => Right(ImageHeader("png", w.toInt, h.toInt, ch, depth))
+      case None => Left("bad_header")
+    }
+  }
+
+  private def parseJpeg(b: Array[Byte]): Either[String, ImageHeader] = {
+    var pos = 2 // past SOI
+    while (pos + 1 < b.length) {
+      if (u8(b, pos) != 0xff) return Left("bad_header")
+      val marker = u8(b, pos + 1)
+      if (marker == 0xd9) return Left("no_sof") // EOI before any SOF
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+      else {
+        if (pos + 4 > b.length) return Left("truncated")
+        val len = be16(b, pos + 2)
+        if (len < 2) return Left("bad_header")
+        val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          // T.81 B.2.2: P(1) Y(2) X(2) Nf(1) after the length field
+          if (pos + 10 > b.length) return Left("truncated")
+          val precision = u8(b, pos + 4)
+          val h = be16(b, pos + 5); val w = be16(b, pos + 7)
+          val ncomp = u8(b, pos + 9)
+          if (w == 0 || h == 0 || ncomp == 0) return Left("bad_header")
+          return Right(ImageHeader("jpeg", w, h, ncomp, precision))
+        }
+        pos += 2 + len
+      }
+    }
+    Left("truncated")
+  }
+
+  /** Distributed header decode over the binary column: one row per
+    * payload, parse failures as in-band dead-letter columns (ok=false
+    * + reason, attributes null) so a pipeline can route rejects
+    * without a second pass. Partition-local, no shuffle. */
+  def imageHeaders(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          // ??? real decode goes here; deterministic fake features:
-          val bytes = r.media
-          val feats = Array.tabulate(dim) { i =>
-            var h = (i + 1).toLong
-            var j = i
-            while (j < bytes.length) {
-              h = (31L * h + (bytes(j) & 0xffL)) % 1000000007L
-              j += dim
-            }
-            (h % 1000L).toDouble / 1000.0
+          parseImageHeader(r.media) match {
+            case Right(hd) => (r.media_id, r.kind, true,
+              Option.empty[String], Option(hd.format), Option(hd.width),
+              Option(hd.height), Option(hd.channels), Option(hd.bitDepth))
+            case Left(reason) => (r.media_id, r.kind, false, Option(reason),
+              Option.empty[String], Option.empty[Int], Option.empty[Int],
+              Option.empty[Int], Option.empty[Int])
           }
-          (r.media_id, r.kind, bytes.length, feats)
         }
       }
-      .toDF("media_id", "kind", "n_bytes", "features")
+      .toDF("media_id", "kind", "ok", "reason", "format", "width", "height",
+        "channels", "bit_depth")
+  }
+
+  /** Minimal spec-conformant PNG: signature + IHDR (real CRC) + IEND.
+    * The encode half of the header codec — fixture source for the q33
+    * gate (the generator controls the bytes, so the oracle re-derives
+    * the attributes arithmetically) and a real writer of valid
+    * (header-only) PNG streams. */
+  def encodePng(width: Int, height: Int, colorType: Int, bitDepth: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      val typeAndData = typ.getBytes("US-ASCII") ++ data
+      out.write(typeAndData, 0, typeAndData.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeAndData)
+      val c = crc.getValue
+      out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
+      out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((width >>> 24) & 0xff).toByte; ihdr(1) = ((width >>> 16) & 0xff).toByte
+    ihdr(2) = ((width >>> 8) & 0xff).toByte; ihdr(3) = (width & 0xff).toByte
+    ihdr(4) = ((height >>> 24) & 0xff).toByte; ihdr(5) = ((height >>> 16) & 0xff).toByte
+    ihdr(6) = ((height >>> 8) & 0xff).toByte; ihdr(7) = (height & 0xff).toByte
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate, adaptive, no interlace
+    chunk("IHDR", ihdr)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Minimal spec-conformant JPEG: SOI + APP0/JFIF + SOF0 + EOI. The
+    * APP0 segment is deliberate — a parser that doesn't walk marker
+    * segments properly trips on it before reaching the SOF. */
+  def encodeJpeg(width: Int, height: Int, nComp: Int, precision: Int = 8): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    // APP0 "JFIF\0" v1.02, no density, no thumbnail (len = 16)
+    out.write(0xff); out.write(0xe0); out.write(0); out.write(16)
+    out.write("JFIF".getBytes("US-ASCII"), 0, 4); out.write(0)
+    out.write(1); out.write(2); out.write(0)
+    out.write(0); out.write(1); out.write(0); out.write(1)
+    out.write(0); out.write(0)
+    // SOF0: len = 8 + 3*Nf
+    out.write(0xff); out.write(0xc0)
+    val len = 8 + 3 * nComp
+    out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+    out.write(precision)
+    out.write((height >>> 8) & 0xff); out.write(height & 0xff)
+    out.write((width >>> 8) & 0xff); out.write(width & 0xff)
+    out.write(nComp)
+    (1 to nComp).foreach { c =>
+      out.write(c)    // component id
+      out.write(0x11) // 1x1 sampling
+      out.write(if (c == 1) 0 else 1) // quant table
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Row-multiplying frame sampler (video → frames shape): splits the

@@ -18,11 +18,33 @@ object TrainingQueries {
        |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $a])) *
        |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $b]))), 6)""".stripMargin
 
-  /** Feature-vector width for q33 — both the stub's `dim` argument and
-    * the lane lists on each side derive from this single constant.
-    * (Declared before `all`: a forward reference would read 0 during
-    * object initialization.) */
-  private val q33Dim = 8
+  /** q33 fixture: real PNG/JPEG payloads synthesized from doc_id via
+    * the spec-conformant [[Multimodal.encodePng]]/[[Multimodal.encodeJpeg]]
+    * writers (the generator controls the bytes, so the oracle
+    * re-derives every attribute arithmetically — the ShapefileSource
+    * fixture move). Two corruption lanes exercise the dead-letter
+    * path: doc_id % 11 truncates the payload to 6 bytes (PNG: inside
+    * the signature; JPEG: inside the APP0 segment — both must parse
+    * as `truncated`), doc_id % 13 zeroes the magic byte (`bad_magic`).
+    * PNG color types cycle through all five legal values. */
+  private def imageFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val pngColorTypes = Array(0, 2, 3, 4, 6)
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (1 + id % 640).toInt
+      val h = (1 + id % 480).toInt
+      val full =
+        if (id % 2 == 0)
+          Multimodal.encodePng(w, h, pngColorTypes((id % 5).toInt), bitDepth = 8)
+        else Multimodal.encodeJpeg(w, h, nComp = (1 + id % 3).toInt)
+      val payload =
+        if (id % 11 == 0) full.take(6)
+        else if (id % 13 == 0) { val c = full.clone(); c(0) = 0; c }
+        else full
+      (id, (id % 3).toString, payload)
+    }.toDF("media_id", "kind", "media")
+  }
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -442,36 +464,35 @@ object TrainingQueries {
         |  hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex
         |FROM documents ORDER BY media_id""".stripMargin)),
 
-    // Multimodal decode stub (mapPartitions batch shape). The feature
-    // vector is flattened to scalar lanes f0..f{dim-1} (the driver
-    // comparator can't sort array cells), and the stub's strided
-    // modular hash is replicated lane-by-lane in the oracle (ASCII
-    // corpus: char == byte, same assumption q24/q32 already rely on).
-    // `q33Dim` is the ONE place the lane count lives: it is passed to
-    // decodeFeaturesStub explicitly and drives both the Spark lane
-    // selects and the oracle lane list, so the two sides cannot drift.
+    // Multimodal REAL header decode (was a deterministic fake until
+    // r10): parseImageHeader reads the public container specs — PNG
+    // signature + IHDR (ISO/IEC 15948), JPEG marker walk to SOFn
+    // (ITU-T T.81, skipping the APP0 the fixture plants in the way) —
+    // over payloads built by the spec-conformant encode half. The
+    // oracle never parses bytes: the fixture derives every attribute
+    // from doc_id arithmetic, so DuckDB re-derives the expected
+    // attributes (and the two dead-letter lanes) from the same
+    // formulas. Round-trip + corruption specs live in MlPrepSpec.
     QuerySpec("q33_media_features",
-      (s, dir) => {
-        val feat = Multimodal.decodeFeaturesStub(s,
-          Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"),
-          dim = q33Dim)
-        feat.select(
-            Seq(col("media_id"), col("kind"), col("n_bytes")) ++
-              (0 until q33Dim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
-          .orderBy(col("media_id"))
-      },
-      Some {
-        val lanes = (0 until q33Dim).map { i =>
-          s"""  CAST(list_reduce(list_prepend(CAST(${i + 1} AS BIGINT),
-             |    [CAST(ascii(c) AS BIGINT)
-             |     FOR c IN array_slice(string_split(text, ''), ${i + 1}, len(text), $q33Dim)]),
-             |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000 AS DOUBLE) / 1000.0 AS f$i"""
-            .stripMargin
-        }.mkString(",\n")
-        s"""SELECT doc_id AS media_id, CAST(doc_id % 3 AS VARCHAR) AS kind,
-           |  octet_length(CAST(text AS BLOB)) AS n_bytes,
-           |$lanes
-           |FROM documents ORDER BY media_id""".stripMargin
-      })
+      (s, dir) => Multimodal.imageHeaders(s, imageFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id, CAST(doc_id % 3 AS VARCHAR) AS kind,
+        |  doc_id % 11 <> 0 AND doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN doc_id % 13 = 0 THEN 'bad_magic' END AS reason,
+        |  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(1 + doc_id % 640 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(1 + doc_id % 480 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN CAST(CASE doc_id % 5
+        |            WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+        |            WHEN 3 THEN 2 WHEN 4 THEN 4 END AS INTEGER)
+        |       ELSE CAST(1 + doc_id % 3 AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(8 AS INTEGER) END AS bit_depth
+        |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.ImageHeader
+
+/** The image header codec: encode→parse round trips across the legal
+  * parameter space, spec-violation rejection, and truncation safety
+  * (every byte prefix of a valid stream must classify, never throw).
+  * The q33 gate proves the distributed path + oracle agreement; this
+  * spec proves the parser against the container specs directly. */
+class MultimodalSpec extends SparkSuite {
+
+  test("PNG round trip: all color types, legal depths, boundary sizes") {
+    val channelsOf = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+    for {
+      (ct, ch) <- channelsOf
+      depth <- Seq(1, 2, 4, 8, 16)
+      // depth restrictions (ISO/IEC 15948 table 11.1) don't matter to
+      // the header parse; exercise the full grid anyway
+      (w, h) <- Seq((1, 1), (640, 480), (70000, 3), (Int.MaxValue, 1))
+    } {
+      val parsed = Multimodal.parseImageHeader(Multimodal.encodePng(w, h, ct, depth))
+      assert(parsed == Right(ImageHeader("png", w, h, ch, depth)),
+        s"ct=$ct depth=$depth w=$w h=$h -> $parsed")
+    }
+  }
+
+  test("JPEG round trip: component counts, 12-bit precision, 16-bit dims") {
+    for {
+      ncomp <- Seq(1, 3, 4)
+      precision <- Seq(8, 12)
+      (w, h) <- Seq((1, 1), (640, 480), (65535, 65535))
+    } {
+      val parsed = Multimodal.parseImageHeader(
+        Multimodal.encodeJpeg(w, h, ncomp, precision))
+      assert(parsed == Right(ImageHeader("jpeg", w, h, ncomp, precision)),
+        s"ncomp=$ncomp precision=$precision w=$w h=$h -> $parsed")
+    }
+  }
+
+  test("every byte prefix classifies without throwing; Right exactly when complete") {
+    val png = Multimodal.encodePng(640, 480, 2, 8)
+    for (k <- 0 to png.length) {
+      val r = Multimodal.parseImageHeader(png.take(k))
+      // PNG header parse needs sig(8) + len(4) + type(4) + IHDR(13) = 29
+      if (k < 29) assert(r.isLeft, s"png prefix $k -> $r")
+      else assert(r == Right(ImageHeader("png", 640, 480, 3, 8)), s"png prefix $k")
+    }
+    val jpg = Multimodal.encodeJpeg(640, 480, 3)
+    for (k <- 0 to jpg.length) {
+      val r = Multimodal.parseImageHeader(jpg.take(k))
+      // SOI(2) + APP0(2+16) + SOF marker/len(4) + P,Y,X,Nf(6) = 30
+      if (k < 30) assert(r.isLeft, s"jpeg prefix $k -> $r")
+      else assert(r == Right(ImageHeader("jpeg", 640, 480, 3, 8)), s"jpeg prefix $k")
+    }
+  }
+
+  test("spec violations reject with the right reason") {
+    def mut(b: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = b.clone(); f(c); c
+    }
+    val png = Multimodal.encodePng(640, 480, 2, 8)
+    // zeroed magic byte
+    assert(Multimodal.parseImageHeader(mut(png)(_(0) = 0)) == Left("bad_magic"))
+    // signature corrupted mid-way
+    assert(Multimodal.parseImageHeader(mut(png)(_(4) = 'X'.toByte)) == Left("bad_magic"))
+    // illegal color type / bit depth / zero width
+    assert(Multimodal.parseImageHeader(mut(png)(_(25) = 5)) == Left("bad_header"))
+    assert(Multimodal.parseImageHeader(mut(png)(_(24) = 3)) == Left("bad_header"))
+    assert(Multimodal.parseImageHeader(
+      mut(png) { b => b(16) = 0; b(17) = 0; b(18) = 0; b(19) = 0 }) == Left("bad_header"))
+    // first chunk not IHDR
+    assert(Multimodal.parseImageHeader(mut(png)(_(12) = 'J'.toByte)) == Left("bad_header"))
+    // JPEG: EOI straight after SOI -> no frame header
+    assert(Multimodal.parseImageHeader(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) == Left("no_sof"))
+    // JPEG: garbage where a marker must be
+    assert(Multimodal.parseImageHeader(
+      Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte)) == Left("bad_header"))
+    // JPEG: zero components is spec-invalid
+    val jz = Multimodal.encodeJpeg(640, 480, 1)
+    // SOI(2)+APP0(18): Nf byte sits at marker+9 = 20+9
+    assert(Multimodal.parseImageHeader(mut(jz)(_(29) = 0)) == Left("bad_header"))
+    // empty / single byte
+    assert(Multimodal.parseImageHeader(Array.emptyByteArray) == Left("truncated"))
+    assert(Multimodal.parseImageHeader(Array(0x89.toByte)) == Left("truncated"))
+    assert(Multimodal.parseImageHeader("plain text".getBytes("UTF-8")) == Left("bad_magic"))
+  }
+
+  test("imageHeaders: distributed decode routes dead letters in-band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "0", Multimodal.encodePng(12, 34, 6, 8)),
+      (2L, "1", Multimodal.encodeJpeg(56, 78, 3)),
+      (3L, "2", Multimodal.encodePng(1, 1, 0, 16).take(6)),
+      (4L, "0", "not an image".getBytes("UTF-8")))
+    val out = Multimodal.imageHeaders(spark,
+        rows.toDF("media_id", "kind", "media"))
+      .orderBy(col("media_id"))
+      .collect()
+    assert(out(0).getBoolean(2) && out(0).getString(4) == "png" &&
+      out(0).getInt(5) == 12 && out(0).getInt(6) == 34 &&
+      out(0).getInt(7) == 4 && out(0).getInt(8) == 8)
+    assert(out(1).getBoolean(2) && out(1).getString(4) == "jpeg" &&
+      out(1).getInt(5) == 56 && out(1).getInt(6) == 78 && out(1).getInt(7) == 3)
+    assert(!out(2).getBoolean(2) && out(2).getString(3) == "truncated" &&
+      out(2).isNullAt(4))
+    assert(!out(3).getBoolean(2) && out(3).getString(3) == "bad_magic")
+  }
+}
