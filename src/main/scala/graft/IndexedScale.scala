@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -125,6 +126,63 @@ object IndexedScale {
         label, Long.box(corpus.count()), Double.box(tFull), Double.box(tBloom),
         Double.box(bloomBuildSec), Long.box(nPos), Long.box(nFull),
         Int.box(reps)))
+    }
+
+    // LARGE-batch probe over bucketed vs plain index layout: AQE
+    // broadcasts the 500-doc batch above, so bucketing is invisible
+    // there; a batch big enough to force a shuffled join is where the
+    // bucketed layout pays (VERDICT r9 #5 — corpus-side shuffle bytes
+    // drop to ~0, total shuffle ∝ batch). Bytes via stage listener,
+    // drained through the shim before reading.
+    locally {
+      val listener = new SparkListener {
+        val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // broadcast OFF for this block: at local scales AQE broadcasts
+      // the shingle join either way and the two layouts measure
+      // identically — the regime the bucketed layout exists for is a
+      // corpus index too large to broadcast, which this simulates
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def measured(run: () => Long): (Double, Long, Double) = {
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
+        listener.bytes.set(0L)
+        val (sec, n) = medianTime(run)
+        org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
+        (sec, n, listener.bytes.get / 1e6 / reps)
+      }
+      for ((label, f) <- Seq("1x" -> 1, s"${factor}x" -> factor).distinct) {
+        val dir = s"$work/$label"
+        val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+        val keys = spark.read.parquet(s"$dir/keys.parquet")
+        val plainIdx = spark.read.parquet(s"$dir/index.parquet")
+        graft.sources.BucketedIndex.write(plainIdx, s"$dir/index_bkt",
+          "shingle", 32)
+        val bktIdx = graft.sources.BucketedIndex.read(spark, s"$dir/index_bkt",
+          s"graft_idxscale_bkt_$label", "shingle", 32)
+        // large fresh batch: 30% of the corpus, disjoint vocab — far
+        // past any broadcast threshold at the grown scales
+        val big = corpus.filter(col("doc_id") % 10 < 3)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "yy_$1").as("text"))
+          .localCheckpoint()
+        val nBig = big.count()
+        val (tP, nP, mbP) = measured(() =>
+          Dedup.dedupIncrementIndexed(plainIdx, keys, big,
+            "doc_id", "text", 3, 0.5).queryExecution.toRdd.count())
+        val (tB, nB, mbB) = measured(() =>
+          Dedup.dedupIncrementIndexed(bktIdx, keys, big,
+            "doc_id", "text", 3, 0.5).queryExecution.toRdd.count())
+        require(nP == nB, s"bucketed probe disagrees: $nP vs $nB")
+        println(String.format(java.util.Locale.ROOT,
+          """{"bucketed_probe_scale":"%s","corpus_docs":%d,"batch_docs":%d,"plain_sec":%.3f,"bucketed_sec":%.3f,"plain_shuffle_mb":%.1f,"bucketed_shuffle_mb":%.1f,"rows":%d,"reps":%d}""",
+          label, Long.box(corpus.count()), Long.box(nBig), Double.box(tP),
+          Double.box(tB), Double.box(mbP), Double.box(mbB), Long.box(nP),
+          Int.box(reps)))
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 
     // ANN: fixed 5-query probe against a factor-grown vector corpus

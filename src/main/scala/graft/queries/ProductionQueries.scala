@@ -148,15 +148,35 @@ object ProductionQueries {
     * regenerated dataset at the same path invalidates rather than
     * serving stale index rows; `_READY` is written last (the commit-
     * marker discipline) so a torn build is rebuilt, never trusted. */
+  /** Bucket count for the persisted shingle index — matches the
+    * session's shuffle width so the probe join's batch side lands in
+    * the same 32-way hash space the layout pre-computed. */
+  private val SteadyIndexBuckets = 32
+
+  /** The shingle index of a [[steadyDedupIndex]] root as the planner
+    * should see it: a bucketed scan with HashPartitioning(shingle, 32)
+    * — a LARGE batch probe then shuffles only itself (VERDICT r9 #5);
+    * a small batch still broadcasts under AQE as before. */
+  private def steadyIndexDf(s: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame =
+    graft.sources.BucketedIndex.read(s, s"$root/index",
+      "graft_sdidx_" + root.substring(root.lastIndexOf('/') + 1),
+      "shingle", SteadyIndexBuckets)
+
   private def steadyDedupIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val corpus = table(s, dir, "documents")
     val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
-    val root = FixtureCache.ensure(s"/tmp/graft_steady_dedup/${tag}_$fp") {
+    // _b32 in the cache key: pre-bucketing roots hold plain-parquet
+    // index files, and registering THOSE as bucketed would let the
+    // planner assume a partitioning the files don't have — wrong
+    // joins, not just slow ones. New key → clean rebuild.
+    val root = FixtureCache.ensure(s"/tmp/graft_steady_dedup/${tag}_${fp}_b32") {
       tmp =>
-        Dedup.corpusShingleIndex(corpus, "doc_id", "text", k = 3)
-          .write.mode("overwrite").parquet(s"$tmp/index")
+        graft.sources.BucketedIndex.write(
+          Dedup.corpusShingleIndex(corpus, "doc_id", "text", k = 3),
+          s"$tmp/index", "shingle", SteadyIndexBuckets)
         Dedup.corpusTextKeys(corpus, "text")
           .write.mode("overwrite").parquet(s"$tmp/keys")
     }
@@ -198,7 +218,7 @@ object ProductionQueries {
         val corpus = table(s, dir, "documents")
         val root = steadyDedupIndex(s, dir)
         Dedup.dedupIncrementFullIndexed(
-            s.read.parquet(s"$root/index"), s.read.parquet(s"$root/keys"),
+            steadyIndexDf(s, root), s.read.parquet(s"$root/keys"),
             MlPrepQueries.incrementFullBatch(corpus), "doc_id", "text",
             k = 3, threshold = 0.5)
           .select(col("doc_id"))
@@ -220,7 +240,7 @@ object ProductionQueries {
         val corpus = table(s, dir, "documents")
         val root = steadyDedupIndex(s, dir)
         Dedup.dedupIncrementFullIndexed(
-            s.read.parquet(s"$root/index"), s.read.parquet(s"$root/keys"),
+            steadyIndexDf(s, root), s.read.parquet(s"$root/keys"),
             MlPrepQueries.incrementFullBatch(corpus, mod = 97), "doc_id",
             "text", k = 3, threshold = 0.5)
           .select(col("doc_id"))
@@ -557,7 +577,7 @@ object ProductionQueries {
         val corpus = table(s, dir, "documents")
         val root = steadyDedupIndex(s, dir)
         Dedup.dedupIncrementFullIndexedBloom(
-            s.read.parquet(s"$root/index"), s.read.parquet(s"$root/keys"),
+            steadyIndexDf(s, root), s.read.parquet(s"$root/keys"),
             loadBloom(s, root),
             MlPrepQueries.incrementFullBatch(corpus, mod = 97), "doc_id",
             "text", k = 3, threshold = 0.5, mBits = BloomM, kHashes = BloomK)

@@ -132,9 +132,13 @@ class PlanSpec extends SparkSuite {
     // r8 #1): the exhaustive-ADC baseline now delegates to the
     // single-cell indexed probe, so its full-codes scan runs as a
     // broadcast-HASH join — no production OR baseline entry point in
-    // Similarity reaches a BNL anymore.
+    // Similarity reaches a BNL anymore. q95/q99 joined in r10: the
+    // temperature-quota Σw moved from the suite's only unpartitioned
+    // window to a broadcast 1-ROW aggregate cross join (keyless →
+    // plans as BNL; one row by construction).
     val bnlAllowed = Set("q30_ann_bruteforce",
-      "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion")
+      "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion",
+      "q95_temperature_mix", "q99_unimax_mix")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -556,6 +560,65 @@ class PlanSpec extends SparkSuite {
       .groupBy($"k").agg(f($"s", $"e").as("d"))
       .as[(String, Long)].collect().toMap
     assert(out("H") == expected)
+  }
+
+  test("bucketed shingle index: probe join consumes the scan with no corpus-side exchange") {
+    // The steady-state fixture persists corpusShingleIndex in bucketed
+    // layout (BucketedIndex, 32 buckets on shingle) so a LARGE batch
+    // probe — too big for AQE to broadcast — shuffles only itself:
+    // the planner must see HashPartitioning from the scan and plan the
+    // shingle join with zero Exchange between the index scan and the
+    // join. (Small batches broadcast; this is the 100 TB large-batch
+    // property, VERDICT r9 #5.)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("graft-bktidx").toString
+      graft.sources.BucketedIndex.write(
+        graft.ops.Dedup.corpusShingleIndex(docs, "doc_id", "text", 3),
+        s"$dir/index", "shingle", 8)
+      val idx = graft.sources.BucketedIndex.read(spark, s"$dir/index",
+        "graft_test_bktidx", "shingle", 8)
+      val keys = graft.ops.Dedup.corpusTextKeys(docs, "text")
+      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val probe = graft.ops.Dedup.dedupIncrementIndexed(
+        idx, keys, batch, "doc_id", "text", 3, 0.5)
+      val plan = probe.queryExecution.executedPlan
+      // the index side of the shingle join: a bucketed scan, reached
+      // from the join with NO ShuffleExchange in between
+      val joins = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("shingle")) => j
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("shingle")) => j
+      }
+      val bucketSides = joins.flatMap(_.children).filter(side =>
+        side.collect { case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft-bktidx")) => s
+        }.nonEmpty)
+      assert(bucketSides.nonEmpty, s"no join side reads the bucketed index:\n$plan")
+      bucketSides.foreach { side =>
+        val shuffles = side.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"bucketed index side still shuffles before its join:\n$side")
+      }
+      // and the layout is semantics-preserving: same survivors as the
+      // plain-parquet index path
+      val plainIdx = spark.read.parquet(s"$dir/index")
+      val expect = graft.ops.Dedup.dedupIncrementIndexed(
+        plainIdx, keys, batch, "doc_id", "text", 3, 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = probe.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expect)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS graft_test_bktidx")
+    }
   }
 
   test("no unpartitioned WindowExec anywhere a window is planned") {
