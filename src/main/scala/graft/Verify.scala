@@ -44,6 +44,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Sidecar for the rows-only gates (VERDICT r9 #6): each no-oracle
+    // query's registry-declared reason — which hash-exact twin proves
+    // its logic and why DuckDB cannot replay this form — so a reader
+    // of the correctness report never has to dig through COVERAGE.md
+    // to interpret an `err no_oracle` row.
+    val rowsOnly = SparkEntry.specs
+      .flatMap(s => s.rowsOnlyReason.map(s.name -> _))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only_reasons.json"), rowsOnly)
     spark.stop()
   }
 }

@@ -177,7 +177,10 @@ object TrainingQueries {
           table(s, dir, "documents"), "doc_id", "text",
           k = 3, numHashes = 16, bands = 4, estThreshold = 0.5)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      None,
+      rowsOnlyReason = Some("xxhash64 lane hashes have no DuckDB " +
+        "equivalent; the banding/candidate/est-Jaccard logic is " +
+        "hash-exact-proven by the md5-portable twin q70_minhash_portable")),
 
     // MinHash+LSH with the engine-portable md5 lane hash: identical
     // banding/candidate/est-Jaccard pipeline as q27, hash-exact
@@ -225,7 +228,10 @@ object TrainingQueries {
       (s, dir) => Dedup.simhashPairs(
           table(s, dir, "documents"), "doc_id", "text", maxDist = 16)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      None,
+      rowsOnlyReason = Some("xxhash64 token hashes have no DuckDB " +
+        "equivalent; the sketch/banding/hamming logic is " +
+        "hash-exact-proven by the md5-portable twin q71_simhash_portable")),
 
     // SimHash with the engine-portable 60-bit md5 token hash: same
     // ±1-vote sketch, 4x15-bit banding, and XOR-popcount hamming as
@@ -338,7 +344,10 @@ object TrainingQueries {
             "vec_id", "embedding", dim = 64, k = 10, nPlanes = 4)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      None,
+      rowsOnlyReason = Some("JVM-RNG hyperplanes and a float sign test " +
+        "are not DuckDB-replicable; the bucket/probe/rerank logic is " +
+        "hash-exact-proven by the md5-portable twin q120_ann_lsh_portable")),
 
     // LSH ANN with the engine-portable bucketing rule (md5-parity
     // plane signs + integer micro-unit sign test): identical bucket
