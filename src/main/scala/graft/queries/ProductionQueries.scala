@@ -191,6 +191,30 @@ object ProductionQueries {
     root
   }
 
+  /** Build-once persisted IVFADC index for the steady-state ANN gate —
+    * the ANN twin of [[steadyDedupIndex]] (standing rule 1: the
+    * in-query-build forms q91/q98 carry the oracle; this persists the
+    * (neighbor_id, cell, codes) frame a deployment keeps). Bucketed by
+    * `cell` (standing rule 3): the probe side broadcasts today, but a
+    * large probe set joins this layout with no corpus-side Exchange.
+    * Codebooks are id-seeded (deterministic, driver-bounded — the
+    * "model file" a deployment loads); the per-vector encode, the part
+    * that costs ∝ corpus, is what the fixture amortizes. */
+  private def steadyAnnIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/embeddings.parquet")
+    FixtureCache.ensure(s"/tmp/graft_steady_ann/${tag}_${fp}_b8") { tmp =>
+      val e = table(s, dir, "embeddings")
+      val cb = Similarity.coarseCodebook(e, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = 4, ksub = 8)
+      graft.sources.BucketedIndex.write(
+        Similarity.ivfadcIndex(e, "vec_id", "embedding", cb, cbs),
+        s"$tmp/index", "cell", 8)
+    }
+  }
+
   /** Gate-default Bloom geometry: 2^17 bits (16 KiB) / 5 hashes — at
     * the sf0.1 keyset (~5k distinct texts) that is ~26 bits/key,
     * false-positive rate ~2e-4; a 100 TB corpus sizes mBits to its
@@ -247,6 +271,30 @@ object ProductionQueries {
           .orderBy(col("doc_id"))
       },
       Some(MlPrepQueries.incrementFullOracleSql(97))),
+
+    // STEADY-STATE ANN probe: q98's operator against the PRE-PERSISTED
+    // cell-bucketed IVFADC index (steadyAnnIndex — the q103 move
+    // applied to ANN). Same embeddings/codebook parameters as q91/q98
+    // -> identical result, so the oracle is q91's replay; what the
+    // bench measures is the deployment's per-probe cost: a bucketed
+    // (cell, codes) scan + broadcast probe join, no per-query corpus
+    // encode, no checkpoint build.
+    QuerySpec("q121_ann_ivfadc_steady",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val root = steadyAnnIndex(s, dir)
+        val cb = Similarity.coarseCodebook(e, "vec_id", "embedding", 8)
+        val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding",
+          m = 4, ksub = 8)
+        Similarity.ivfadcTopKIndexed(
+            graft.sources.BucketedIndex.read(s, s"$root/index",
+              "graft_annidx_" + root.substring(root.lastIndexOf('/') + 1),
+              "cell", 8),
+            e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      IndexedQueries.all.find(_.name == "q91_ann_ivfadc").get.oracle),
 
     // Minimum-span duplicated-span scrub (Lee et al. 2022 §4 — the
     // shipped ExactSubstr configuration scrubs ~50-token spans, not
