@@ -29,9 +29,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  /** Sums shuffle-write bytes across completed stages; local-mode
-    * listener events land asynchronously, so reads happen after a
-    * short drain pause (measurement tool — 500 ms slack is fine). */
+  /** Sums shuffle-write bytes across completed stages; the async
+    * listener bus is drained via the shim before each read. */
   private class ShuffleBytes extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -81,7 +80,7 @@ object ScaleStress {
     // shared host swing several x with identical shuffle bytes
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     for (q <- qnames; (label, dir) <- Seq("1x" -> base, s"${factor}x" -> synth)) {
-      Thread.sleep(500) // drain listener events from the previous run
+      org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
       listener.bytes.set(0L)
       var n = 0L
       val times = (0 until reps).map { _ =>
@@ -91,7 +90,7 @@ object ScaleStress {
         n = SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      Thread.sleep(500)
+      org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
       val mb = listener.bytes.get / 1e6 / reps
       println(String.format(java.util.Locale.ROOT,
         """{"query":"%s","scale":"%s","rows":%d,"sec":%.3f,"shuffle_mb":%.1f,"reps":%d}""",

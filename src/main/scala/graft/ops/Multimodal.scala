@@ -157,6 +157,21 @@ object Multimodal {
         "channels", "bit_depth")
   }
 
+  /** Training-pipeline image admission rule over an [[imageHeaders]]
+    * frame: drop undecodable payloads, tiny images, extreme aspect
+    * ratios, and non-color images — the standard multimodal pretraining
+    * filters (LAION-style), all in exact integer arithmetic
+    * (aspect·1000 cross-multiply, no float division) so the rule is
+    * engine-replicable. Adds `keep`; pure projection, zero shuffle. */
+  def imageQualityFilter(headers: DataFrame, minDim: Int = 32,
+      maxAspectMilli: Int = 2000, minChannels: Int = 3): DataFrame =
+    headers.withColumn("keep",
+      col("ok") &&
+        col("width") >= minDim && col("height") >= minDim &&
+        greatest(col("width"), col("height")) * 1000 <=
+          least(col("width"), col("height")) * maxAspectMilli &&
+        col("channels") >= minChannels)
+
   /** Minimal spec-conformant PNG: signature + IHDR (real CRC) + IEND.
     * The encode half of the header codec — fixture source for the q33
     * gate (the generator controls the bytes, so the oracle re-derives

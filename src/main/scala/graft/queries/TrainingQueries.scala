@@ -502,6 +502,35 @@ object TrainingQueries {
         |       ELSE CAST(1 + doc_id % 3 AS INTEGER) END AS channels,
         |  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
         |       ELSE CAST(8 AS INTEGER) END AS bit_depth
-        |FROM documents ORDER BY media_id""".stripMargin))
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // The decode→filter stage a multimodal pretraining pipeline runs
+    // over q33's headers: admit only decodable, ≥32px, ≤2:1-aspect,
+    // ≥3-channel images (integer cross-multiply aspect rule — no
+    // float division). The oracle re-derives headers AND the rule from
+    // the fixture arithmetic; corrupt lanes are keep=false by ok=false.
+    QuerySpec("q122_image_filter",
+      (s, dir) => Multimodal.imageQualityFilter(
+          Multimodal.imageHeaders(s, imageFixture(s, dir)))
+        .select(col("media_id"), col("ok"), col("width"), col("height"),
+          col("channels"), col("keep"))
+        .orderBy(col("media_id")),
+      Some("""WITH h AS (SELECT doc_id AS media_id,
+        |    doc_id % 11 <> 0 AND doc_id % 13 <> 0 AS ok,
+        |    CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+        |         ELSE CAST(1 + doc_id % 640 AS INTEGER) END AS width,
+        |    CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+        |         ELSE CAST(1 + doc_id % 480 AS INTEGER) END AS height,
+        |    CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+        |         WHEN doc_id % 2 = 0 THEN CAST(CASE doc_id % 5
+        |              WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+        |              WHEN 3 THEN 2 WHEN 4 THEN 4 END AS INTEGER)
+        |         ELSE CAST(1 + doc_id % 3 AS INTEGER) END AS channels
+        |  FROM documents)
+        |SELECT media_id, ok, width, height, channels,
+        |  COALESCE(ok AND width >= 32 AND height >= 32
+        |    AND GREATEST(width, height) * 1000 <= LEAST(width, height) * 2000
+        |    AND channels >= 3, FALSE) AS keep
+        |FROM h ORDER BY media_id""".stripMargin))
   )
 }

@@ -87,6 +87,24 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.parseImageHeader("plain text".getBytes("UTF-8")) == Left("bad_magic"))
   }
 
+  test("imageQualityFilter boundaries: min dim, exact 2:1 aspect, channel floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // (id, ok, width, height, channels) hand-placed on each boundary
+    val rows = Seq(
+      (1L, true, Some(32), Some(32), Some(3)),   // all at minimum -> keep
+      (2L, true, Some(31), Some(32), Some(3)),   // width under -> drop
+      (3L, true, Some(64), Some(32), Some(3)),   // exactly 2:1 -> keep
+      (4L, true, Some(65), Some(32), Some(3)),   // just past 2:1 -> drop
+      (5L, true, Some(32), Some(32), Some(2)),   // gray+alpha -> drop
+      (6L, false, Option.empty[Int], Option.empty[Int], Option.empty[Int]))
+    val out = graft.ops.Multimodal.imageQualityFilter(
+        rows.toDF("media_id", "ok", "width", "height", "channels"))
+      .orderBy(col("media_id")).select("keep").collect()
+      .map(r => !r.isNullAt(0) && r.getBoolean(0))
+    assert(out.toSeq == Seq(true, false, true, false, false, false))
+  }
+
   test("imageHeaders: distributed decode routes dead letters in-band") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
