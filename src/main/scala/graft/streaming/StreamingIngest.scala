@@ -201,7 +201,18 @@ object StreamingIngest {
     * contract). Commit = staging write + the [[commitState]] swap,
     * crash-window healed by [[recoverState]]. Codebook drift is the
     * caller's retraining decision — a retrain means a new stateDir,
-    * never an in-place mutation. */
+    * never an in-place mutation.
+    *
+    * Scale note: this local-mode state REWRITES the full index into
+    * staging each epoch — the price of the single-pointer atomic swap,
+    * fine at gate scale, wrong at 100 TB. A deployment keeps the index
+    * as an append-log of per-epoch delta directories (each ∝ batch,
+    * written once, bucketed by `cell` per COVERAGE.md standing rule 3)
+    * under a committed manifest; the swap then commits the MANIFEST,
+    * not the data, and per-epoch I/O stays ∝ batch. The operator
+    * surface is unchanged either way: probes read the union of deltas
+    * exactly as [[graft.ops.Similarity.ivfadcTopKIndexed]] reads this
+    * single frame. */
   def annIngest(stream: DataFrame, idCol: String, vecCol: String,
       cb: Array[Array[Double]], cbs: Array[Array[Array[Long]]],
       stateDir: String, checkpointDir: String): StreamingQuery =
