@@ -79,9 +79,20 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
+      // Counters measure reps 2..n only (divide by reps-1): rep 1 can
+      // trigger one-time FixtureCache builds on a cold /tmp (index
+      // writes, model training) whose bytes would otherwise be
+      // averaged into the query's steady-state cost — a cold-vs-warm
+      // run would then report different bytes for an identical plan,
+      // the exact false signal this column exists to rule out. The
+      // MEDIAN timing already lands on the steady state the same way.
       GraftShim.drainListenerBus(spark.sparkContext)
       metrics.reset()
-      val times = (0 until reps).map { _ =>
+      val times = (0 until reps).map { r =>
+        if (r == 1) { // drop rep 1's (possibly build-inflated) bytes
+          GraftShim.drainListenerBus(spark.sparkContext)
+          metrics.reset()
+        }
         val t0 = System.nanoTime()
         // toRdd.count(), NOT count(): a Dataset.count() re-plans with
         // every unreferenced column pruned, and Catalyst's unique-key
@@ -94,8 +105,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       GraftShim.drainListenerBus(spark.sparkContext)
+      val steadyReps = math.max(1, reps - 1)
       name -> (times(times.length / 2),
-        metrics.shuffleBytes.get / 1e6 / reps,
+        metrics.shuffleBytes.get / 1e6 / steadyReps,
         metrics.peakMem.get / 1e6)
     }
     // The driver records only the LAST ~2000 chars of output, and sbt's

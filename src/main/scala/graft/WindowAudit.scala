@@ -38,6 +38,7 @@ object WindowAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var found = 0
+    var planErrors = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
@@ -46,11 +47,16 @@ object WindowAudit {
           println(s"UNPARTITIONED_WINDOW query=$name order=${w.orderSpec.mkString(",")} exprs=${w.windowExpression.mkString(";").take(200)}")
         }
       } catch {
-        case e: Throwable => println(s"PLAN_ERROR query=$name err=${e.getMessage}")
+        // a query that cannot plan was NOT audited — that must fail
+        // the sweep, not shrink it (a clean exit over a partial audit
+        // would hide exactly the regression this tool hunts)
+        case e: Throwable =>
+          planErrors += 1
+          println(s"PLAN_ERROR query=$name err=${e.getMessage}")
       }
     }
-    println(s"window_audit_done found=$found")
+    println(s"window_audit_done found=$found plan_errors=$planErrors")
     spark.stop()
-    if (found > 0) sys.exit(1)
+    if (found > 0 || planErrors > 0) sys.exit(1)
   }
 }

@@ -109,25 +109,32 @@ object Multimodal {
     var pos = 2 // past SOI
     while (pos + 1 < b.length) {
       if (u8(b, pos) != 0xff) return Left("bad_header")
-      val marker = u8(b, pos + 1)
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+      // marker byte — consume the run, the marker is the first non-FF
+      // (review r10: without this, a spec-valid FF D8 FF FF E0 stream
+      // misreads the fill byte as the marker and strides misaligned)
+      var mpos = pos + 1
+      while (mpos < b.length && u8(b, mpos) == 0xff) mpos += 1
+      if (mpos >= b.length) return Left("truncated")
+      val marker = u8(b, mpos)
       if (marker == 0xd9) return Left("no_sof") // EOI before any SOF
-      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) pos = mpos + 1
       else {
-        if (pos + 4 > b.length) return Left("truncated")
-        val len = be16(b, pos + 2)
+        if (mpos + 3 > b.length) return Left("truncated")
+        val len = be16(b, mpos + 1)
         if (len < 2) return Left("bad_header")
         val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
           // T.81 B.2.2: P(1) Y(2) X(2) Nf(1) after the length field
-          if (pos + 10 > b.length) return Left("truncated")
-          val precision = u8(b, pos + 4)
-          val h = be16(b, pos + 5); val w = be16(b, pos + 7)
-          val ncomp = u8(b, pos + 9)
+          if (mpos + 9 > b.length) return Left("truncated")
+          val precision = u8(b, mpos + 3)
+          val h = be16(b, mpos + 4); val w = be16(b, mpos + 6)
+          val ncomp = u8(b, mpos + 8)
           if (w == 0 || h == 0 || ncomp == 0) return Left("bad_header")
           return Right(ImageHeader("jpeg", w, h, ncomp, precision))
         }
-        pos += 2 + len
+        pos = mpos + 1 + len
       }
     }
     Left("truncated")
@@ -168,8 +175,12 @@ object Multimodal {
     headers.withColumn("keep",
       col("ok") &&
         col("width") >= minDim && col("height") >= minDim &&
-        greatest(col("width"), col("height")) * 1000 <=
-          least(col("width"), col("height")) * maxAspectMilli &&
+        // long arithmetic: width can legally be Int.MaxValue (PNG) and
+        // a 32-bit `greatest*1000` wraps silently under non-ANSI
+        // multiply — a 2,200,000×1,000 image would wrap NEGATIVE and
+        // pass the very aspect cut it exists to fail (review r10)
+        greatest(col("width"), col("height")).cast("long") * 1000L <=
+          least(col("width"), col("height")).cast("long") * maxAspectMilli.toLong &&
         col("channels") >= minChannels)
 
   /** Minimal spec-conformant PNG: signature + IHDR (real CRC) + IEND.

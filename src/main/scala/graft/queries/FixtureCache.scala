@@ -70,8 +70,16 @@ private[queries] object FixtureCache {
       // re-check under the lock: another process may have published
       // while this one waited
       if (!Files.exists(rootPath.resolve("_READY"))) {
+        // clear ALL orphaned build dirs for this root, not just the
+        // own-pid one: a crashed builder from another JVM leaves its
+        // `<root>.build.<otherPid>` behind forever otherwise (we hold
+        // the lock, so no live builder owns any of them)
+        import scala.jdk.CollectionConverters._
+        Files.list(rootPath.getParent).iterator().asScala
+          .filter(_.getFileName.toString
+            .startsWith(rootPath.getFileName.toString + ".build."))
+          .toSeq.foreach(deleteRecursively)
         val tmp = Paths.get(s"$root.build.${ProcessHandle.current.pid}")
-        deleteRecursively(tmp)
         build(tmp.toString)
         Files.createFile(tmp.resolve("_READY"))
         // a torn root can only predate the lock discipline (or a
@@ -93,8 +101,11 @@ private[queries] object FixtureCache {
     if (Files.exists(rootPath.resolve(marker))) return
     withFileLock(rootPath.getParent.resolve(rootPath.getFileName + ".lock")) {
       if (!Files.exists(rootPath.resolve(marker))) {
+        import scala.jdk.CollectionConverters._
+        Files.list(rootPath).iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"$name.build."))
+          .toSeq.foreach(deleteRecursively)
         val tmp = Paths.get(s"$root/$name.build.${ProcessHandle.current.pid}")
-        deleteRecursively(tmp)
         build(tmp.toString)
         deleteRecursively(rootPath.resolve(name))
         Files.move(tmp, rootPath.resolve(name), StandardCopyOption.ATOMIC_MOVE)

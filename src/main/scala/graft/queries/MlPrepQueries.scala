@@ -20,8 +20,9 @@ object MlPrepQueries {
 
   /** q76 literal query set — terms drawn from the synthetic corpus
     * vocabulary; shared by the Spark query and the generated oracle.
-    * (Declared before `all`: a forward reference would read null
-    * during object initialization — the q33Dim precedent.) */
+    * (Declared before `all`: a Scala object initializes vals in
+    * declaration order, so a member referenced from `all` that is
+    * declared after it would still be null/zero when `all` builds.) */
   private val bm25Queries: Seq[(Int, String)] = Seq(
     0 -> "join", 0 -> "vector",
     1 -> "customer", 1 -> "slow",

@@ -55,6 +55,38 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("JPEG fill bytes before markers parse per T.81 B.1.1.2") {
+    // any number of 0xFF fill bytes may precede a marker byte; insert
+    // runs before APP0 and before SOF0 and the header must still parse
+    val base = Multimodal.encodeJpeg(640, 480, 3)
+    def withFill(at: Int, n: Int): Array[Byte] =
+      base.take(at) ++ Array.fill(n)(0xff.toByte) ++ base.drop(at)
+    for (n <- Seq(1, 2, 7)) {
+      assert(Multimodal.parseImageHeader(withFill(2, n)) ==
+        Right(ImageHeader("jpeg", 640, 480, 3, 8)), s"fill $n before APP0")
+      // SOF0 marker starts at SOI(2) + APP0(2+16) = 20
+      assert(Multimodal.parseImageHeader(withFill(20, n)) ==
+        Right(ImageHeader("jpeg", 640, 480, 3, 8)), s"fill $n before SOF0")
+    }
+    // a stream that ENDS inside a fill run is truncated, not bad
+    assert(Multimodal.parseImageHeader(
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte)) == Left("truncated"))
+  }
+
+  test("imageQualityFilter: aspect arithmetic survives Int.MaxValue dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2,200,000 x 1,000 is spec-legal PNG and aspect 2200:1 — a 32-bit
+    // greatest*1000 would wrap negative and ADMIT it
+    val rows = Seq((1L, true, Some(2200000), Some(1000), Some(3)),
+      (2L, true, Some(Int.MaxValue), Some(Int.MaxValue), Some(3)))
+    val out = graft.ops.Multimodal.imageQualityFilter(
+        rows.toDF("media_id", "ok", "width", "height", "channels"))
+      .orderBy(col("media_id")).select("keep").collect()
+      .map(r => !r.isNullAt(0) && r.getBoolean(0))
+    assert(out.toSeq == Seq(false, true))
+  }
+
   test("spec violations reject with the right reason") {
     def mut(b: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
       val c = b.clone(); f(c); c
