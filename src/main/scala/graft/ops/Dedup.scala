@@ -109,12 +109,22 @@ object Dedup {
     * re-shingling its documents. Semantics identical to the fused
     * form; same two keyed shuffles. */
   def jaccardPairsFromIndex(withN: DataFrame, idCol: String,
-      threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
-    // pruning happens BEFORE the bucket collect, so a hot shingle
-    // never materializes its doc list in an aggregation buffer: a
-    // window count over the shingle partition filters in the same
-    // single shuffle the bucket groupBy needs (the groupBy reuses the
-    // window's partitioning) — no second scan, no join.
+      threshold: Double, maxDf: Int = Int.MaxValue): DataFrame =
+    pairIntersections(withN, idCol, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Candidate pairs with intersection counts (id_a, id_b, n_a, n_b,
+    * inter) — the shared stage under the Jaccard and containment
+    * scorers. Pruning happens BEFORE the bucket collect, so a hot
+    * shingle never materializes its doc list in an aggregation
+    * buffer: a window count over the shingle partition filters in the
+    * same single shuffle the bucket groupBy needs (the groupBy reuses
+    * the window's partitioning) — no second scan, no join. */
+  private def pairIntersections(withN: DataFrame, idCol: String,
+      maxDf: Int): DataFrame = {
     val index = if (maxDf == Int.MaxValue) withN else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
       withN.withColumn("__df", count(lit(1)).over(w))
@@ -134,10 +144,26 @@ object Dedup {
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** CONTAINMENT-scored near-dup pairs: score = |A∩B| / min(|A|,|B|)
+    * (Broder's containment; the Dolma-style one-sided rule). Catches
+    * a short document wholly embedded in a longer one — a case
+    * symmetric Jaccard dilutes below any practical threshold (a doc
+    * half another's length scores containment 1.0 but Jaccard ~0.5).
+    * Same inverted-index machinery, shuffles, and maxDf pruning
+    * guarantee as [[ngramJaccardPairsPruned]] (pruned shingles only
+    * remove intersection counts, so containment also only decreases —
+    * no false positives cross the threshold). */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    val withN = df.select(col(idCol),
+      inline(graft.functions.sketches.shingle_set_n(col(textCol), k)))
+    pairIntersections(withN, idCol, maxDf)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
   }
 
   /** Per-document duplicated-span rate — the diagnostic behind

@@ -109,6 +109,60 @@ object TextAnalysis {
     winner
   }
 
+  // -----------------------------------------------------------------
+  // PII scrubbing (the CCNet/Pile/Gopher redaction pass): replace
+  // emails, IPv4 addresses, and international-format phone numbers
+  // with typed placeholder tokens before training. Patterns restrict
+  // themselves to the regex subset with IDENTICAL semantics in Java
+  // regex (Spark codegen) and RE2 (DuckDB): character classes,
+  // bounded quantifiers, \b word boundaries, alternation — no
+  // lookaround, no backreferences — so the scrub is oracle-replayable
+  // character-for-character.
+  // -----------------------------------------------------------------
+
+  /** Email: local part per the practical RFC 5322 subset, domain with
+    * at least one dot and an alphabetic TLD. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** IPv4 dotted quad. Octet-range checking (0-255) is deliberately
+    * omitted: it needs alternation that explodes the pattern, and an
+    * over-scrub of 999.1.1.1 is harmless where an under-scrub of a
+    * real address is not. */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Phone: optional +, then digit groups separated by single spaces,
+    * dots, or dashes (E.164-ish length band). \b keeps the match off
+    * the tails of longer digit runs. */
+  val PhonePattern = "\\+?\\b[0-9]{2,4}([ .-]?[0-9]{2,4}){2,4}\\b"
+
+  /** Scrub order matters and is part of the contract: emails first
+    * (their local parts contain digits a phone pass would mangle),
+    * then IPs (dotted digits a phone pass would eat), then phones.
+    * Pure codegen'd projection — scan speed, like every operator
+    * here. */
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-row scrub + per-type match counts (id, scrubbed, n_email,
+    * n_ip, n_phone) — the redaction-rate monitoring a pipeline runs
+    * alongside the scrub. Each count is computed on the SAME
+    * intermediate its replacement pass saw (emails pre-scrub, IPs on
+    * the email-scrubbed text, phones on the IP-scrubbed text), so
+    * Σcounts = replacements exactly. */
+  def piiReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
+    df.select(col(idCol),
+      piiScrub(col(textCol)).as("scrubbed"),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("int").as("n_email"),
+      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("int").as("n_ip"),
+      regexp_count(afterIp, lit(PhonePattern)).cast("int").as("n_phone"))
+  }
+
   /** Canonical text normalization for corpus prep: Unicode NFC (the
     * compiled [[graft.functions.NfcNormalize]] — Spark's one missing
     * built-in here, with an ASCII no-op fast path), then lowercase,

@@ -531,6 +531,98 @@ object TrainingQueries {
         |  COALESCE(ok AND width >= 32 AND height >= 32
         |    AND GREATEST(width, height) * 1000 <= LEAST(width, height) * 2000
         |    AND channels >= 3, FALSE) AS keep
-        |FROM h ORDER BY media_id""".stripMargin))
+        |FROM h ORDER BY media_id""".stripMargin)),
+
+    // PII scrubbing (the CCNet/Pile redaction pass): emails → <EMAIL>,
+    // IPv4 → <IP>, phone runs → <PHONE>, in that order (order is part
+    // of the contract — see TextAnalysis.piiScrub), plus per-type
+    // counts. The corpus has no PII, so the input plants deterministic
+    // addresses from doc_id arithmetic ON BOTH SIDES (the q25 derived-
+    // input move); patterns stay inside the Java-regex ∩ RE2 subset so
+    // DuckDB replays the scrub character-for-character.
+    QuerySpec("q123_pii_scrub",
+      (s, dir) => {
+        val planted = table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0, concat(lit(" reach user"),
+              col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, concat(lit(" from 10.0."),
+              (col("doc_id") % 256), lit(".7"))).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0, concat(lit(" call +31 20 "),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" 88"))).otherwise(lit(""))).as("text"))
+        graft.ops.TextAnalysis.piiReport(planted, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val email = graft.ops.TextAnalysis.EmailPattern
+        val ip = graft.ops.TextAnalysis.Ipv4Pattern
+        val phone = graft.ops.TextAnalysis.PhonePattern
+        s"""WITH p AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 5 = 0
+           |      THEN ' reach user' || doc_id || '@example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0
+           |      THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END ||
+           |    CASE WHEN doc_id % 3 = 0
+           |      THEN ' call +31 20 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |           || ' 88' ELSE '' END AS text
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, text,
+           |    regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1 FROM p),
+           |s2 AS (SELECT doc_id, text, t1,
+           |    regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1)
+           |SELECT doc_id,
+           |  regexp_replace(t2, '$phone', '<PHONE>', 'g') AS scrubbed,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_email,
+           |  CAST(len(regexp_extract_all(t1, '$ip')) AS INTEGER) AS n_ip,
+           |  CAST(len(regexp_extract_all(t2, '$phone')) AS INTEGER) AS n_phone
+           |FROM s2 ORDER BY doc_id""".stripMargin
+      }),
+
+    // Containment-scored near-dup pairs (Broder containment; Dolma's
+    // one-sided rule): |A∩B| / min(|A|,|B|) — catches a short doc
+    // wholly embedded in a longer one, which symmetric Jaccard (q26)
+    // dilutes to ~0.5 and misses at any practical threshold. The
+    // derived input plants exactly that case: first-half-token
+    // truncations (+2M ids) of every 4th document, whose trigram sets
+    // are subsets of their originals -> containment 1.0.
+    QuerySpec("q124_containment_pairs",
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val toks = split(trim(col("text")), "\\s+")
+        val half = array_join(slice(toks, lit(1),
+          floor((size(toks) + lit(1)) / lit(2)).cast("int")), " ")
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 4 === 1 && size(toks) >= 6)
+            .select((col("doc_id") + 2000000).as("doc_id"), half.as("text")))
+        Dedup.ngramContainmentPairs(planted, "doc_id", "text",
+            k = 3, threshold = 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(toks[1:(len(toks)+1)//2], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents)
+        |  WHERE doc_id % 4 = 1 AND len(toks) >= 6),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM base),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -913,4 +913,27 @@ class DedupSimilaritySpec extends SparkSuite {
         keepMilli = 1000)
     assert(full.count() == 7)
   }
+
+  test("containment catches a prefix-subset pair that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = first half of doc 1's tokens: every trigram of 2 is a
+    // trigram of 1 -> containment 1.0; Jaccard = n2/n1 ≈ 0.44, below
+    // any near-dup threshold. doc 3 is unrelated.
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+      (2L, "aa bb cc dd ee ff"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val cont = graft.ops.Dedup.ngramContainmentPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1.0)), s"got $cont")
+    val jac = graft.ops.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.9)
+    assert(jac.count() == 0, "Jaccard at 0.9 must miss the subset pair")
+    // containment respects the maxDf pruning one-sided guarantee:
+    // pruning can only remove pairs, never add
+    val pruned = graft.ops.Dedup.ngramContainmentPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.9, maxDf = 1)
+    assert(pruned.count() == 0)
+  }
 }

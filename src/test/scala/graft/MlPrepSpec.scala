@@ -160,4 +160,32 @@ class MlPrepSpec extends SparkSuite {
       TextAnalysis.hashedLinearScore($"text", w, buckets + 1)
     }
   }
+
+  test("piiScrub: replacement order, boundaries, and counts") {
+    import graft.ops.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      // email local part has digits + dots: must become <EMAIL>, not
+      // be chewed by the phone pass
+      (1L, "mail a.b+tag99@sub.example.org now"),
+      // IP inside a sentence; phone with +, spaces, dashes
+      (2L, "host 192.168.001.255 call +31 20 555 01 99"),
+      // phone-like run with dots; a bare short number must survive
+      (3L, "dial 06.1234.5678 room 42"),
+      // version strings: 1.2.3 must NOT be scrubbed as an IP (3 quads)
+      (4L, "release 1.2.3 of 10.20.30.40"),
+      (5L, "no pii here at all"))
+    val out = TextAnalysis.piiReport(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getString(1) == "mail <EMAIL> now" &&
+      out(0).getInt(2) == 1 && out(0).getInt(3) == 0 && out(0).getInt(4) == 0)
+    assert(out(1).getString(1) == "host <IP> call <PHONE>" &&
+      out(1).getInt(3) == 1 && out(1).getInt(4) == 1)
+    assert(out(2).getString(1) == "dial <PHONE> room 42" &&
+      out(2).getInt(4) == 1)
+    assert(out(3).getString(1) == "release 1.2.3 of <IP>")
+    assert(out(4).getString(1) == "no pii here at all" &&
+      out(4).getInt(2) + out(4).getInt(3) + out(4).getInt(4) == 0)
+  }
 }
