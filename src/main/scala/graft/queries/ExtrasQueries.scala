@@ -105,6 +105,41 @@ object ExtrasQueries {
         |  reverse(p_name) AS rev, translate(p_name, 'abc', 'xyz') AS tr,
         |  repeat(p_brand, 2) AS rep, length(p_name) AS len,
         |  levenshtein(p_name, p_type) AS lev
-        |FROM part ORDER BY p_partkey""".stripMargin))
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Link-graph PageRank (the Common-Crawl-style host-quality prior
+    // a web-corpus curation pipeline weights documents by): 3 fixed
+    // iterations of the integer micro-unit update over the
+    // supplier→customer graph induced by lineitem⋈orders. Every step
+    // is integer floor arithmetic, so the oracle unrolls the whole
+    // run (the kmeansMicro discipline applied to graph iteration).
+    // Graph shape: bipartite here (customers are all dangling) — the
+    // operator's generality is spec-tested on a cyclic hand graph.
+    QuerySpec("q125_pagerank",
+      (s, dir) => {
+        val edges = table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+        graft.ops.Graph.pageRankMicro(edges, "src", "dst", iters = 3)
+          .orderBy(col("id"))
+      },
+      Some {
+        def iter(i: Int, prev: String): String =
+          s"""m$i AS (SELECT e.dst AS id, SUM(r.rank_micro // d.deg) AS m
+             |  FROM e JOIN $prev r ON r.id = e.src
+             |  JOIN dg d ON d.src = e.src GROUP BY 1),
+             |r$i AS (SELECT n.id,
+             |    CAST(150000 + (85 * COALESCE(m$i.m, 0)) // 100 AS BIGINT)
+             |      AS rank_micro
+             |  FROM n LEFT JOIN m$i USING (id))""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM n),
+           |${(1 to 3).map(i => iter(i, s"r${i - 1}")).mkString(",\n")}
+           |SELECT id, rank_micro FROM r3 ORDER BY id""".stripMargin
+      })
   )
 }

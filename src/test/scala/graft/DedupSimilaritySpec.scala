@@ -936,4 +936,25 @@ class DedupSimilaritySpec extends SparkSuite {
         docs, "doc_id", "text", k = 3, threshold = 0.9, maxDf = 1)
     assert(pruned.count() == 0)
   }
+
+  test("pageRankMicro: hand-unrolled cyclic graph, exact integers") {
+    import spark.implicits._
+    // 1→2, 2→1, 1→3 (+ a duplicate edge that must collapse): node 3
+    // dangling. Hand unroll of r'(v) = 150000 + (85·Σ r(u) div deg) div 100:
+    //   r1 = (1000000, 575000, 575000)
+    //   r2 = ( 638750, 575000, 575000)
+    //   r3 = ( 638750, 421468, 421468)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.pageRankMicro(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 638750L, 2L -> 421468L, 3L -> 421468L),
+      s"got $got")
+    // one iteration, undamped: pure mass passing (base 1000000/0? —
+    // dampingPct=100 means base 0, rank = full summed contribution)
+    val undamped = graft.ops.Graph.pageRankMicro(edges, "src", "dst",
+        iters = 1, dampingPct = 100)
+      .as[(Long, Long)].collect().toMap
+    assert(undamped == Map(1L -> 1000000L, 2L -> 500000L, 3L -> 500000L))
+  }
 }
