@@ -104,6 +104,49 @@ object SourceGeoQueries {
         |  n_name AS naam, CAST(n_regionkey AS VARCHAR) AS regkey
         |FROM nation ORDER BY record_number""".stripMargin)),
 
+    // S10 (extension): JSONL scan with malformed-row capture — the
+    // training-corpus interchange format under the S1/S2 contract. A
+    // deterministic .jsonl fixture derives from nation (every 5th row
+    // a truncated-JSON line); the gate returns readAll's full view
+    // (typed rows + in-band dead letters) and the oracle re-derives
+    // both lanes from nation arithmetic — no JSON parsing in DuckDB.
+    QuerySpec("q126_jsonl_scan",
+      (s, dir) => {
+        import graft.sources.JsonlSource
+        val base = s"/tmp/graft_jsonl_scan_${math.abs(dir.hashCode)}"
+        val rows = table(s, dir, "nation")
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int"))
+          .orderBy(col("n_nationkey"))
+          .collect()
+        val lines = rows.toSeq.map { r =>
+          val k = r.getInt(0); val name = r.getString(1); val reg = r.getInt(2)
+          if (k % 5 == 2) s"""{"id": $k, "name": "$name", "region":"""
+          else s"""{"id": $k, "name": "$name", "region": $reg}"""
+        }
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/nations.jsonl"),
+          lines.mkString("\n").getBytes("UTF-8"))
+        JsonlSource.readAll(s, s"$base/nations.jsonl",
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "id BIGINT, name STRING, region BIGINT"))
+          .withColumnRenamed("_graft_bad_record", "bad_record")
+          .orderBy(col("id").asc_nulls_last, col("bad_record"))
+      },
+      Some("""SELECT
+        |  CASE WHEN n_nationkey % 5 = 2 THEN NULL
+        |       ELSE CAST(n_nationkey AS BIGINT) END AS id,
+        |  CASE WHEN n_nationkey % 5 = 2 THEN NULL ELSE n_name END AS name,
+        |  CASE WHEN n_nationkey % 5 = 2 THEN NULL
+        |       ELSE CAST(n_regionkey AS BIGINT) END AS region,
+        |  CASE WHEN n_nationkey % 5 = 2
+        |       THEN '{"id": ' || n_nationkey || ', "name": "' || n_name
+        |            || '", "region":'
+        |       ELSE NULL END AS bad_record
+        |FROM nation
+        |ORDER BY id ASC NULLS LAST, bad_record""".stripMargin)),
+
     // F10: WKT parse / type / npoints / validity / promote, against an
     // oracle that replicates the semantics case-wise.
     QuerySpec("q35_wkt_geometry",

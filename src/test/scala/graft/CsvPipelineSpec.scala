@@ -258,4 +258,32 @@ class CsvPipelineSpec extends SparkSuite {
       assert(m.exists(_.action == "count"))
     } finally spark.listenerManager.unregister(l)
   }
+
+  test("S10 JSONL source: typed scan + dead-letter split from one plan") {
+    import graft.sources.JsonlSource
+    import org.apache.spark.sql.types.StructType
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      Seq(
+        """{"id": 1, "text": "hello world", "score": 3}""",
+        """{"id": 2, "text": "truncated""", // unterminated string
+        """not json at all""",
+        """{"id": 4, "text": "ok", "score": null}""",
+        // type mismatch on a declared column is ALSO a dead letter
+        """{"id": "five", "text": "bad id", "score": 1}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val r = JsonlSource.read(spark, s"$dir/docs.jsonl",
+      StructType.fromDDL("id BIGINT, text STRING, score BIGINT"))
+    val clean = r.clean.orderBy("id").collect()
+    assert(clean.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(clean(0).getString(1) == "hello world" && clean(0).getLong(2) == 3L)
+    assert(clean(1).isNullAt(2))
+    val badRows = r.rejected.collect()
+    val bad = badRows.map(_.getString(0)).sorted.toSeq
+    assert(bad.size == 3 && bad.exists(_.contains("not json")) &&
+      bad.exists(_.contains("truncated")) && bad.exists(_.contains("five")))
+    assert(badRows.forall(_.getString(2) == "malformed_jsonl"))
+    // the clean branch's scan does not carry the corrupt column
+    assert(!r.clean.columns.contains("_graft_bad_record"))
+  }
 }
