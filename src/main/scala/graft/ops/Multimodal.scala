@@ -244,6 +244,139 @@ object Multimodal {
     out.toByteArray
   }
 
+  // -------------------------------------------------------------------
+  // Real audio header decode — RIFF/WAVE (the Microsoft/IBM WAVE spec,
+  // canonical PCM layout: RIFF descriptor, `fmt ` chunk, `data` chunk).
+  // Same move as the PNG/JPEG pair: a training pipeline's first audio
+  // pass (sample rate / channels / duration for filtering and
+  // batching) needs only the public container format, no codec.
+  // -------------------------------------------------------------------
+
+  /** Parsed header attributes of a PCM WAVE payload. `durationMicros`
+    * is exact integer floor arithmetic (n_samples·1e6 div rate). */
+  case class WavHeader(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Long, durationMicros: Long)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** WAVE header parse; Left(reason) is the dead-letter lane (same
+    * reason vocabulary as [[parseImageHeader]]): `truncated`,
+    * `bad_magic` (not a RIFF/WAVE stream), `bad_header` (fmt chunk
+    * spec-invalid or internally inconsistent), `no_data` (stream ends
+    * before any data chunk). Walks chunks in order (chunks are
+    * word-aligned: odd sizes carry a pad byte) and requires `fmt `
+    * before `data`, as the canonical layout does. */
+  def parseWavHeader(b: Array[Byte]): Either[String, WavHeader] = {
+    def ascii(i: Int, n: Int): String = {
+      val upTo = math.min(b.length, i + n)
+      if (i >= upTo) "" else new String(b.slice(i, upTo), "US-ASCII")
+    }
+    val riff = ascii(0, 4)
+    if (riff != "RIFF")
+      return Left(if (b.length < 4 && "RIFF".startsWith(riff)) "truncated"
+                  else "bad_magic")
+    if (b.length < 12) return Left("truncated")
+    if (ascii(8, 4) != "WAVE") return Left("bad_magic")
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None // ch, rate, byteRate, align, bits
+    while (pos + 8 <= b.length) {
+      val id = ascii(pos, 4)
+      val size = le32(b, pos + 4)
+      // a declared size past the stream end can't be walked (and a
+      // near-2^32 value would wrap pos negative → infinite loop)
+      if (size > b.length.toLong) return Left("truncated")
+      val body = pos + 8
+      if (id == "fmt ") {
+        if (size < 16) return Left("bad_header")
+        if (body + 16 > b.length) return Left("truncated")
+        val audioFormat = le16(b, body)
+        val channels = le16(b, body + 2)
+        val rate = le32(b, body + 4)
+        val byteRate = le32(b, body + 8)
+        val align = le16(b, body + 12)
+        val bits = le16(b, body + 14)
+        if (audioFormat != 1) return Left("bad_header") // PCM only
+        if (channels == 0 || rate <= 0 || rate > Int.MaxValue ||
+            bits == 0 || bits % 8 != 0) return Left("bad_header")
+        // internal consistency: align = ch·bits/8, byteRate = rate·align
+        if (align != channels * bits / 8) return Left("bad_header")
+        if (byteRate != rate * align) return Left("bad_header")
+        fmt = Some((channels, rate.toInt, byteRate.toInt, align, bits))
+      } else if (id == "data") {
+        fmt match {
+          case None => return Left("bad_header") // data before fmt
+          case Some((ch, rate, _, align, bits)) =>
+            if (body + size > b.length) return Left("truncated")
+            val nSamples = size / align
+            val durMicros = nSamples * 1000000L / rate
+            return Right(WavHeader(ch, rate, bits, nSamples, durMicros))
+        }
+      }
+      pos = body + size.toInt + (size.toInt & 1) // word alignment pad
+    }
+    // walked off the chunk list: a clean end (pos lands exactly on the
+    // stream end) just never had a data chunk; anything else is a
+    // dangling partial chunk header or an overrunning declared size
+    if (pos == b.length) Left("no_data") else Left("truncated")
+  }
+
+  /** Distributed WAVE header decode over the binary column — the audio
+    * analogue of [[imageHeaders]]: one row per payload, dead-letter
+    * columns in-band, partition-local, no shuffle. */
+  def wavHeaders(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          parseWavHeader(r.media) match {
+            case Right(hd) => (r.media_id, true, Option.empty[String],
+              Option(hd.channels), Option(hd.sampleRate),
+              Option(hd.bitsPerSample), Option(hd.nSamples),
+              Option(hd.durationMicros))
+            case Left(reason) => (r.media_id, false, Option(reason),
+              Option.empty[Int], Option.empty[Int], Option.empty[Int],
+              Option.empty[Long], Option.empty[Long])
+          }
+        }
+      }
+      .toDF("media_id", "ok", "reason", "channels", "sample_rate",
+        "bits_per_sample", "n_samples", "duration_micros")
+  }
+
+  /** Minimal spec-conformant PCM WAVE: RIFF descriptor + fmt chunk +
+    * data chunk of deterministic bytes. The encode half of the WAVE
+    * codec — fixture source for the q129 gate (the generator controls
+    * the bytes, so the oracle re-derives every attribute
+    * arithmetically) and a real writer of valid PCM containers. */
+  def encodeWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Int): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && bitsPerSample % 8 == 0)
+    val align = channels * bitsPerSample / 8
+    val dataSize = nSamples * align
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    w32(4L + 24L + 8L + dataSize) // WAVE + fmt chunk + data chunk
+    out.write("WAVE".getBytes("US-ASCII"), 0, 4)
+    out.write("fmt ".getBytes("US-ASCII"), 0, 4)
+    w32(16L); w16(1); w16(channels); w32(sampleRate.toLong)
+    w32(sampleRate.toLong * align); w16(align); w16(bitsPerSample)
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    w32(dataSize.toLong)
+    var i = 0
+    while (i < dataSize) { out.write((i * 31 + 7) & 0xff); i += 1 }
+    out.toByteArray
+  }
+
   /** Row-multiplying frame sampler (video → frames shape): splits the
     * payload into `nFrames` byte slices. The real version would seek
     * keyframes; the batch shape (explode inside mapPartitions, bounded

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches. Spark's own `approx_count_distinct`
+  * (HLL++) is gated by q49's bounded-error contract, but its register
+  * state is opaque and its hash is engine-private — it cannot be
+  * persisted alongside the other incremental state frames (the
+  * Bloom bitmap, the shingle index) or replayed by an external
+  * engine. This is the ENGINE-PORTABLE HyperLogLog (Flajolet 2007):
+  * the md5 lane hash (the q70/q71/q120 portability idiom) drives both
+  * the bucket split and the rank, every step is integer/string
+  * arithmetic, so the register table is bit-identical in any engine —
+  * a DuckDB oracle re-derives it hash-exactly — and register-wise
+  * `max` is a lossless union (merge ≡ rebuild), which makes the
+  * sketch an appendable state frame: keep one 2^p-row parquet per
+  * corpus, max-merge each ingest batch, estimate without ever
+  * rescanning — count-distinct at 100 TB for 256 rows of state.
+  */
+object Sketches {
+
+  /** HLL register table over the distinct values of `keyCol`:
+    * one row per non-empty bucket, `(bucket: int, rho_max: int)`.
+    *
+    * Hash: md5("hll:" || key). The first 2 hex chars (8 bits) pick
+    * the bucket (p = 8, m = 256); the next 13 hex chars are a 52-bit
+    * rank window and rho = (leading zero bits) + 1, capped at 53 for
+    * an all-zero window. The rank is derived purely by STRING
+    * arithmetic — strip leading '0' hex digits, classify the first
+    * nonzero nibble — no log2/bit-ops, so the same expression runs
+    * verbatim in DuckDB (`ltrim(s,'0')` + a 4-way CASE) with no
+    * float in sight.
+    *
+    * Plan shape: scan → project (codegen'd md5 + string ops) →
+    * partial max per partition → 256-row exchange. The shuffle is
+    * bounded by m·partitions rows regardless of input size; nulls
+    * are excluded (COUNT DISTINCT semantics). */
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+    val hx = md5(concat(lit("hll:"), col(keyCol).cast("string")))
+    val bucket = conv(substring(hx, 1, 2), 16, 10).cast("int")
+    // 13 hex chars = 52 rank bits; rho = leading zeros + 1
+    val t = ltrim(substring(hx, 3, 13), "0")
+    val headNibble = substring(t, 1, 1)
+    val rho = when(length(t) === 0, lit(53)).otherwise(
+      (lit(13) - length(t)) * lit(4) +
+        when(headNibble.isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1))
+          .when(headNibble.isin("4", "5", "6", "7"), lit(2))
+          .when(headNibble.isin("2", "3"), lit(3))
+          .otherwise(lit(4)))
+    df.filter(col(keyCol).isNotNull)
+      .select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Lossless union of two register tables: register-wise max.
+    * `hllMerge(hllRegisters(A), hllRegisters(B)) ≡ hllRegisters(A ∪ B)`
+    * bucket-for-bucket (gated hash-exact by q128) — the property that
+    * lets a persisted sketch absorb ingest batches without a corpus
+    * rescan, exactly like the Bloom bitmap's OR-merge. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bucket")).agg(max(col("rho_max")).as("rho_max"))
+
+  /** Persist a register table. `coalesce(1)` is correct here for the
+    * same reason as the Bloom bitmap's: the artifact is ≤ 2^p rows of
+    * bounded state, never data. */
+  def hllWrite(registers: DataFrame, path: String): Unit =
+    registers.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Read a persisted register table. */
+  def hllRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Cardinality estimate from a register table (Flajolet 2007 §4 with
+    * the small-range linear-counting correction). The collect is the
+    * sketch itself — at most 2^p = 256 rows of bounded state, never
+    * data. Bias constant alpha_m for m ≥ 128: 0.7213/(1 + 1.079/m). */
+  def hllEstimate(registers: DataFrame, p: Int = 8): Double = {
+    val m = 1 << p
+    val regs = registers.select(col("bucket"), col("rho_max"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    require(regs.keys.forall(b => b >= 0 && b < m),
+      s"register bucket out of range for p=$p")
+    val sum = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b, 0))).sum
+    val alpha = m match {
+      case 16 => 0.673; case 32 => 0.697; case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m * m / sum
+    val zeros = m - regs.size
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+}

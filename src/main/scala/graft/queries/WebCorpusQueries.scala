@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Multimodal, Sketches, WebExtract}
+import QuerySpec.table
+
+/** Batch 14 (round 10, second leg): the corpus-boundary operators —
+  * the portable mergeable HLL sketch (q127/q128), WAVE audio header
+  * decode (q129, the audio half of the multimodal contract), and
+  * HTML→text/link extraction (q130–q132, the WET stage that feeds
+  * everything else, composed end-to-end into the link-graph quality
+  * prior). Every gate is exact integer/string arithmetic, so every
+  * oracle is hash-exact. */
+object WebCorpusQueries {
+
+  /** The q127 oracle — also q128's verbatim (merge ≡ rebuild is the
+    * property under test, so the merged form must hash-match the
+    * direct build). Mirrors [[graft.ops.Sketches.hllRegisters]]:
+    * md5 lane hash, 2-hex bucket, 13-hex rank window, rho by
+    * leading-zero-nibble string arithmetic. */
+  private val hllRegistersSql: String =
+    """WITH h AS (SELECT md5('hll:' || CAST(l_orderkey AS VARCHAR)) AS hx
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |b AS (SELECT CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS bucket,
+      |    ltrim(substr(hx, 3, 13), '0') AS t FROM h),
+      |r AS (SELECT bucket, CASE WHEN t = '' THEN 53
+      |    ELSE 4 * (13 - length(t)) +
+      |      CASE WHEN substr(t, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1
+      |           WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 2
+      |           WHEN substr(t, 1, 1) IN ('2','3') THEN 3
+      |           ELSE 4 END END AS rho FROM b)
+      |SELECT CAST(bucket AS INTEGER) AS bucket,
+      |  CAST(MAX(rho) AS INTEGER) AS rho_max
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Deterministic WAVE fixture from documents arithmetic (the q33
+    * move: the encode half controls the bytes, so the oracle
+    * re-derives every attribute from doc_id formulas). Lanes:
+    * %11 → truncated (cut inside the RIFF descriptor), %13 →
+    * bad_magic (first byte clobbered); truncation wins on overlap,
+    * matching the CASE order in the oracle. */
+  private def wavFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = (id % 3) match {
+          case 0 => 8000; case 1 => 16000; case _ => 44100 }
+        val bits = 8 + 8 * ((id / 2) % 2).toInt
+        val n = 1 + (id % 97).toInt
+        val bytes = Multimodal.encodeWav(channels, rate, bits, n)
+        val out =
+          if (id % 11 == 0) bytes.take(10)
+          else if (id % 13 == 0) { val c = bytes.clone(); c(0) = 'X'.toByte; c }
+          else bytes
+        (id, out)
+      }
+      .toDF("media_id", "media").withColumn("kind", lit("audio"))
+  }
+
+  /** Deterministic HTML wrapping of documents — markup the fixture
+    * controls, so the oracle replays BOTH the construction and the
+    * extraction. Text is entity-escaped on the way in (& < > — the
+    * same three the extractor's unescape step reverses); every doc
+    * links to (7·id+3) mod 101, every fourth also to (13·id+5)
+    * mod 101 — a deterministic host-graph shape for q132. */
+  private def htmlFixture(s: SparkSession, dir: String): DataFrame = {
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    table(s, dir, "documents").select(col("doc_id"), concat(
+      lit("<html><head><title>doc "), col("doc_id"),
+      lit("</title></head><body><h1>"), col("source"), lit("</h1><p>"), esc,
+      lit("</p><a href=\"https://corp.example/d/"),
+      pmod(col("doc_id") * 7 + 3, lit(101)), lit("\">n1</a> "),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("<a href=\"https://corp.example/d/"),
+          pmod(col("doc_id") * 13 + 5, lit(101)), lit("\">n2</a>")))
+        .otherwise(lit("")),
+      lit("</body></html>")).as("html"))
+  }
+
+  /** The htmlFixture construction as a DuckDB CTE (shared by
+    * q130/q131/q132 — one definition, the gates can't drift). */
+  private val htmlFixtureSql: String =
+    """hx AS (SELECT doc_id,
+      |  '<html><head><title>doc ' || doc_id ||
+      |  '</title></head><body><h1>' || source || '</h1><p>' ||
+      |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+      |          '>', '&gt;') ||
+      |  '</p><a href="https://corp.example/d/' ||
+      |  (doc_id * 7 + 3) % 101 || '">n1</a> ' ||
+      |  CASE WHEN doc_id % 4 = 0
+      |       THEN '<a href="https://corp.example/d/' ||
+      |            (doc_id * 13 + 5) % 101 || '">n2</a>'
+      |       ELSE '' END ||
+      |  '</body></html>' AS html FROM documents)""".stripMargin
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Portable HyperLogLog register table (p=8) over the order keys:
+    // md5 lane hash → bucket + leading-zero rank, every step
+    // integer/string arithmetic, so the full register state is
+    // hash-exact against DuckDB. Unlike q49's opaque HLL++ gate this
+    // sketch is persistable, engine-independent, and mergeable.
+    QuerySpec("q127_hll_registers",
+      (s, dir) => Sketches.hllRegisters(
+          table(s, dir, "lineitem"), "l_orderkey")
+        .orderBy(col("bucket")),
+      Some(hllRegistersSql)),
+
+    // Merge ≡ rebuild: registers built on the two l_orderkey parity
+    // halves and max-merged must hash-match the direct build over the
+    // whole table (the oracle IS q127's direct-build SQL). This is
+    // the property that makes the sketch an appendable state frame —
+    // absorb an ingest batch with a 256-row max-merge, never rescan.
+    QuerySpec("q128_hll_merge",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        Sketches.hllMerge(
+            Sketches.hllRegisters(
+              li.filter(pmod(col("l_orderkey"), lit(2)) === 0), "l_orderkey"),
+            Sketches.hllRegisters(
+              li.filter(pmod(col("l_orderkey"), lit(2)) === 1), "l_orderkey"))
+          .orderBy(col("bucket"))
+      },
+      Some(hllRegistersSql)),
+
+    // Multimodal audio: REAL RIFF/WAVE header decode (canonical PCM
+    // layout — RIFF descriptor, fmt chunk with internal-consistency
+    // checks, data chunk) over payloads built by the spec-conformant
+    // encode half. The oracle never parses bytes: every attribute
+    // (and both dead-letter lanes) re-derives from the fixture's
+    // doc_id arithmetic. duration_micros is integer floor, so it is
+    // engine-exact.
+    QuerySpec("q129_audio_features",
+      (s, dir) => Multimodal.wavHeaders(s, wavFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some("""WITH p AS (SELECT doc_id,
+        |    doc_id % 11 <> 0 AND doc_id % 13 <> 0 AS ok,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'truncated'
+        |         WHEN doc_id % 13 = 0 THEN 'bad_magic' END AS reason,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |         ELSE 44100 END AS INTEGER) AS rate,
+        |    CAST(8 + 8 * ((doc_id // 2) % 2) AS INTEGER) AS bits,
+        |    CAST(1 + doc_id % 97 AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id AS media_id, ok, reason,
+        |  CASE WHEN ok THEN ch END AS channels,
+        |  CASE WHEN ok THEN rate END AS sample_rate,
+        |  CASE WHEN ok THEN bits END AS bits_per_sample,
+        |  CASE WHEN ok THEN n END AS n_samples,
+        |  CASE WHEN ok THEN (n * 1000000) // rate END AS duration_micros
+        |FROM p ORDER BY media_id""".stripMargin)),
+
+    // WET extraction: tags → space, predefined entities unescaped
+    // (&amp; last), whitespace collapsed. The fixture escaped the
+    // text on the way in, so extraction must return it verbatim
+    // inside the assembled page text — the oracle replays
+    // construction AND extraction character-for-character.
+    QuerySpec("q130_html_extract",
+      (s, dir) => WebExtract.extractText(htmlFixture(s, dir), "doc_id", "html")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $htmlFixtureSql
+        |SELECT doc_id,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&amp;', '&'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS body_text,
+        |  CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS INTEGER)
+        |    AS n_links
+        |FROM hx ORDER BY doc_id""".stripMargin)),
+
+    // Link extraction in document order — the edge-list half of WET.
+    QuerySpec("q131_link_extract",
+      (s, dir) => WebExtract.extractLinks(htmlFixture(s, dir), "doc_id", "html")
+        .orderBy(col("doc_id"), col("link_pos")),
+      Some(s"""WITH $htmlFixtureSql,
+        |lx AS (SELECT doc_id,
+        |    UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href,
+        |    CAST(generate_subscripts(
+        |      regexp_extract_all(html, 'href="([^"]*)"', 1), 1) - 1
+        |      AS INTEGER) AS link_pos
+        |  FROM hx)
+        |SELECT doc_id, link_pos, href FROM lx
+        |ORDER BY doc_id, link_pos""".stripMargin)),
+
+    // End-to-end: HTML → href edges → integer-micro PageRank (2
+    // iterations) — the crawl-to-quality-prior composition (extract
+    // with q131's machinery, rank with q125's). The oracle replays
+    // extraction, target parsing, and the full unrolled rank update.
+    QuerySpec("q132_link_rank",
+      (s, dir) => {
+        val edges = WebExtract.extractLinks(htmlFixture(s, dir), "doc_id", "html")
+          .select(col("doc_id").as("src"),
+            regexp_extract(col("href"), "([0-9]+)$", 1).cast("long").as("dst"))
+        Graph.pageRankMicro(edges, "src", "dst", iters = 2)
+          .orderBy(col("id"))
+      },
+      Some {
+        def iter(i: Int, prev: String): String =
+          s"""m$i AS (SELECT e.dst AS id, SUM(r.rank_micro // d.deg) AS m
+             |  FROM e JOIN $prev r ON r.id = e.src
+             |  JOIN dg d ON d.src = e.src GROUP BY 1),
+             |r$i AS (SELECT n.id,
+             |    CAST(150000 + (85 * COALESCE(m$i.m, 0)) // 100 AS BIGINT)
+             |      AS rank_micro
+             |  FROM n LEFT JOIN m$i USING (id))""".stripMargin
+        s"""WITH $htmlFixtureSql,
+           |e AS (SELECT DISTINCT doc_id AS src,
+           |    CAST(regexp_extract(href, '([0-9]+)$$', 1) AS BIGINT) AS dst
+           |  FROM (SELECT doc_id,
+           |      UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+           |    FROM hx)),
+           |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM n),
+           |${(1 to 2).map(i => iter(i, s"r${i - 1}")).mkString(",\n")}
+           |SELECT id, rank_micro FROM r2 ORDER BY id""".stripMargin
+      })
+  )
+}

@@ -106,9 +106,11 @@ object StreamingIngest {
     * never re-shingled — each epoch reads the index and writes its
     * own delta, exactly the materialized-index contract.
     *
-    * Commit protocol ([[commitState]] + [[recoverState]]): all four
+    * Commit protocol ([[commitState]] + [[recoverState]]): all five
     * frames write to one staging root, then the staging dir is
-    * promoted to `<stateDir>/current` — corpus/index/keys/bloom can
+    * promoted to `<stateDir>/current` — corpus/index/keys/bloom plus
+    * the portable HLL cardinality sketch ([[graft.ops.Sketches]],
+    * max-merged per epoch) can
     * never disagree, the manifest-swap discipline a table format
     * provides at scale. The swap is two ATOMIC_MOVEs; a crash in the
     * window between them is healed by roll-forward at the next
@@ -176,12 +178,28 @@ object StreamingIngest {
     val bloom =
       if (committedBloom == null) bloomDelta
       else Dedup.bloomMerge(committedBloom, bloomDelta)
-    // stage all four, then the recoverable pointer swap
+    // fifth frame: the portable HLL cardinality sketch over the
+    // accepted text keys. Per epoch it max-merges the batch's
+    // registers in (hllRegisters is distinct-insensitive, so
+    // merge-over-epochs ≡ rebuild-over-keys EXACTLY — spec-pinned, and
+    // replaying a committed epoch merges the same values: no-op); a
+    // pre-HLL `current` upgrades in place from the keyset. At 100 TB
+    // this answers "how many distinct documents does the corpus hold"
+    // from 256 rows of state instead of a keys-table scan, and hands
+    // the count to any engine that can read parquet + md5.
+    import graft.ops.Sketches
+    val hll =
+      if (exists && Files.exists(Paths.get(s"$cur/hll")))
+        Sketches.hllMerge(Sketches.hllRead(spark, s"$cur/hll"),
+          Sketches.hllRegisters(accepted.select(col(textCol)), textCol))
+      else Sketches.hllRegisters(keys, textCol)
+    // stage all five, then the recoverable pointer swap
     val staging = s"$stateDir/staging"
     corpus.write.mode("overwrite").parquet(s"$staging/corpus")
     idx.write.mode("overwrite").parquet(s"$staging/index")
     keys.write.mode("overwrite").parquet(s"$staging/keys")
     Dedup.bloomWrite(bloom, spark, s"$staging/bloom")
+    Sketches.hllWrite(hll, s"$staging/hll")
     commitState(stateDir)
   }
 

@@ -158,4 +158,69 @@ class MultimodalSpec extends SparkSuite {
       out(2).isNullAt(4))
     assert(!out(3).getBoolean(2) && out(3).getString(3) == "bad_magic")
   }
+
+  test("WAV round trip: channel/rate/depth grid, exact duration floor") {
+    for {
+      ch <- Seq(1, 2, 6)
+      rate <- Seq(8000, 44100, 48000)
+      bits <- Seq(8, 16, 24)
+      n <- Seq(0, 1, 97, 4410)
+    } {
+      val hd = Multimodal.parseWavHeader(
+        Multimodal.encodeWav(ch, rate, bits, n))
+      assert(hd == Right(Multimodal.WavHeader(ch, rate, bits, n.toLong,
+        n.toLong * 1000000L / rate)), s"ch=$ch rate=$rate bits=$bits n=$n")
+    }
+  }
+
+  test("WAV: every byte prefix classifies without throwing") {
+    val full = Multimodal.encodeWav(2, 16000, 16, 5)
+    (0 until full.length).foreach { n =>
+      val r = Multimodal.parseWavHeader(full.take(n))
+      // mid-structure cuts are truncated; a cut landing exactly on a
+      // chunk boundary is a well-formed stream that lacks a data
+      // chunk (12 = bare RIFF/WAVE, 36 = descriptor + whole fmt)
+      val expected = if (n == 12 || n == 36) Left("no_data")
+                     else Left("truncated")
+      assert(r == expected, s"prefix $n -> $r")
+    }
+    assert(Multimodal.parseWavHeader(full).isRight)
+  }
+
+  test("WAV spec violations reject with the right reason") {
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val b = Multimodal.encodeWav(2, 16000, 16, 5); b(i) = v.toByte; b
+    }
+    assert(Multimodal.parseWavHeader(mut(0, 'X')) == Left("bad_magic"))
+    assert(Multimodal.parseWavHeader(mut(8, 'X')) == Left("bad_magic"))
+    // fmt chunk: non-PCM audio format
+    assert(Multimodal.parseWavHeader(mut(20, 3)) == Left("bad_header"))
+    // zero channels; inconsistent block align; inconsistent byte rate
+    assert(Multimodal.parseWavHeader(mut(22, 0)) == Left("bad_header"))
+    assert(Multimodal.parseWavHeader(mut(32, 7)) == Left("bad_header"))
+    assert(Multimodal.parseWavHeader(mut(28, 9)) == Left("bad_header"))
+    // fmt present but the data chunk id clobbered -> walks off: no_data
+    assert(Multimodal.parseWavHeader(mut(36, 'x')) == Left("no_data"))
+    // data chunk declares more bytes than the stream carries
+    val overrun = Multimodal.encodeWav(1, 8000, 8, 4)
+    overrun(40) = 99 // data size low byte: 4 -> 99
+    assert(Multimodal.parseWavHeader(overrun) == Left("truncated"))
+  }
+
+  test("wavHeaders: distributed decode routes dead letters in-band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "audio", Multimodal.encodeWav(2, 44100, 16, 441)),
+      (2L, "audio", Multimodal.encodeWav(1, 8000, 8, 3).take(10)),
+      (3L, "audio", "RIFFxxxxJUNK".getBytes("US-ASCII")))
+    val out = Multimodal.wavHeaders(spark,
+        rows.toDF("media_id", "kind", "media"))
+      .orderBy(col("media_id")).collect()
+    assert(out(0).getBoolean(1) && out(0).getInt(3) == 2 &&
+      out(0).getInt(4) == 44100 && out(0).getInt(5) == 16 &&
+      out(0).getLong(6) == 441L && out(0).getLong(7) == 10000L)
+    assert(!out(1).getBoolean(1) && out(1).getString(2) == "truncated")
+    assert(!out(2).getBoolean(1) && out(2).getString(2) == "bad_magic")
+  }
 }

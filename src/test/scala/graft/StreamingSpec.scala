@@ -264,13 +264,27 @@ class StreamingSpec extends SparkSuite {
         spark.read.parquet(s"$state/current/keys"), "text", 1 << 17, 5)),
       "committed bitmap != rebuild from committed keys")
 
-    // a pre-bitmap committed state upgrades in place: drop the bitmap,
-    // deliver one more epoch batch-wise, the recommitted state regrows
-    // a bitmap consistent with the grown keyset
-    val bloomDir = java.nio.file.Paths.get(s"$state/current/bloom")
-    java.nio.file.Files.walk(bloomDir)
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.delete(p))
+    // the committed HLL sketch (fifth frame) stayed in sync: max-merge
+    // over epochs (including the no-op replay) == rebuild over the
+    // committed keyset, register for register
+    import graft.ops.Sketches
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(regsOf(Sketches.hllRead(spark, s"$state/current/hll")) ==
+      regsOf(Sketches.hllRegisters(
+        spark.read.parquet(s"$state/current/keys"), "text")),
+      "committed HLL registers != rebuild from committed keys")
+
+    // a pre-bitmap/pre-sketch committed state upgrades in place: drop
+    // both derived frames, deliver one more epoch batch-wise, the
+    // recommitted state regrows them consistent with the grown keyset
+    for (frame <- Seq("bloom", "hll")) {
+      val dir = java.nio.file.Paths.get(s"$state/current/$frame")
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
     StreamingIngest.dedupIngestBatch(
       Seq((20L, "totally novel content for the upgrade path test"))
         .toDF("doc_id", "text"),
@@ -279,6 +293,10 @@ class StreamingSpec extends SparkSuite {
     assert(bloom2.sameElements(Dedup.bloomBuild(
         spark.read.parquet(s"$state/current/keys"), "text", 1 << 17, 5)),
       "upgraded bitmap != rebuild from grown keys")
+    assert(regsOf(Sketches.hllRead(spark, s"$state/current/hll")) ==
+      regsOf(Sketches.hllRegisters(
+        spark.read.parquet(s"$state/current/keys"), "text")),
+      "upgraded HLL registers != rebuild from grown keys")
     assert(spark.read.parquet(s"$state/current/corpus")
       .select($"doc_id").as[Long].collect().toSet == ids2 + 20L)
   }
