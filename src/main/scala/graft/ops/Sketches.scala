@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches. Spark's own `approx_count_distinct`
@@ -91,5 +91,115 @@ object Sketches {
     val zeros = m - regs.size
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
     else raw
+  }
+
+  // -------------------------------------------------------------------
+  // Count-Min sketch (Cormode/Muthukrishnan 2005) — frequency
+  // estimation with the same portability discipline: md5 lane hashes
+  // pick the cell per depth row, counts are exact integers, so the
+  // counter matrix is hash-exact in any engine and ADDITIVE under
+  // union (merge = cell-wise sum). Point estimates never undercount.
+  // -------------------------------------------------------------------
+
+  /** The depth hash positions of `key` as an exploded (row, pos)
+    * pair column — one definition, shared by build and probe so the
+    * two can never disagree. */
+  private def cmsCells(key: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        pmod(conv(substring(md5(concat(lit(s"cms$r:"), key.cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(width.toLong)).cast("int")
+          .as("pos"))
+    }: _*))
+
+  /** Count-Min counter matrix over `keyCol` occurrences (with
+    * multiplicity — this sketches FREQUENCIES, where [[hllRegisters]]
+    * sketches distincts): one row per non-empty cell,
+    * `(r, pos, cnt)` (`r` = depth row; `row` is a reserved word downstream). Shuffle bounded by depth·width·partitions
+    * rows at any input size; map-side partial counts do the heavy
+    * lifting. */
+  def cmsSketch(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(cmsCells(col(keyCol), depth, width).as("h"))
+      .groupBy(col("h.r").as("r"), col("h.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two counter matrices: cell-wise sum (the additive dual of
+    * the HLL's max — merge ≡ rebuild, spec-pinned). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("r"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the frequency of every distinct key in `probes`
+    * against a [[cmsSketch]]: est = min over depth rows of the key's
+    * cell counts (missing cell = 0). Count-Min guarantees
+    * est ≥ true frequency — q134 gates the invariant alongside the
+    * exact counts. Output: (key-named col, est_cnt). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    probes.select(col(keyCol)).distinct()
+      .select(col(keyCol), cmsCells(col(keyCol), depth, width).as("h"))
+      .select(col(keyCol), col("h.r").as("r"), col("h.pos").as("pos"))
+      .join(broadcast(sketch), Seq("r", "pos"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+
+  // -------------------------------------------------------------------
+  // Fixed-bin integer histogram — the deterministic quantile sketch.
+  // Spark's percentile_approx is gated by q49's error bands, but its
+  // result depends on engine internals; this sketch trades a declared
+  // value range for full determinism: integer bin arithmetic, counts
+  // additive under union, quantiles reconstruct to a bin (error ≤ one
+  // bin width) identically in any engine.
+  // -------------------------------------------------------------------
+
+  /** Histogram of an INTEGER column over [lo, hi): bins of equal
+    * integer width via `(x-lo)·bins div (hi-lo)`, outliers clamped to
+    * the edge bins. Output (bin, cnt); shuffle bounded by
+    * bins·partitions. Callers scale doubles to integer units first
+    * (the repo's cents/micros idiom) — determinism is the point. */
+  def histSketch(df: DataFrame, valueCol: String,
+      lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(hi > lo && bins > 0)
+    val x = col(valueCol).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(((x - lit(lo)) * lit(bins.toLong)).as("__n"))
+      .select(least(lit(bins - 1L), greatest(lit(0L),
+        expr(s"__n div ${hi - lo}L"))).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two histograms: bin-wise sum. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile bins from a [[histSketch]]: for each p (in milli-units)
+    * the first bin whose cumulative count reaches ceil(p·N/1000),
+    * with its floor-arithmetic value edges. All integer. The
+    * cumulative sum is a self-join over ≤ bins² cell pairs (bounded
+    * state — deliberately NOT an unpartitioned window; the repo bans
+    * those in gated plans). */
+  def histQuantileBins(hist: DataFrame, lo: Long, hi: Long, bins: Int,
+      pMillis: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val cum = hist.join(
+        hist.select(col("bin").as("b_bin"), col("cnt").as("b_cnt")),
+        col("b_bin") <= col("bin"))
+      .groupBy(col("bin")).agg(sum(col("b_cnt")).as("cum"))
+    val total = hist.agg(sum(col("cnt")).as("total"))
+    pMillis.toDF("p_milli")
+      .crossJoin(broadcast(total))
+      // (p·N + 999) div 1000 = ceil(p·N / 1000), exact integers
+      .withColumn("target", expr("(p_milli * total + 999) div 1000"))
+      .join(broadcast(cum), col("cum") >= col("target"))
+      .groupBy(col("p_milli")).agg(min(col("bin")).as("bin"))
+      .select(col("p_milli"), col("bin"),
+        expr(s"${lo}L + (CAST(bin AS BIGINT) * ${hi - lo}L) div ${bins}L")
+          .as("lo_val"),
+        expr(s"${lo}L + (CAST(bin + 1 AS BIGINT) * ${hi - lo}L) div ${bins}L")
+          .as("hi_val"))
   }
 }

@@ -221,6 +221,112 @@ object WebCorpusQueries {
            |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM n),
            |${(1 to 2).map(i => iter(i, s"r${i - 1}")).mkString(",\n")}
            |SELECT id, rank_micro FROM r2 ORDER BY id""".stripMargin
-      })
+      }),
+
+    // Count-Min counter matrix (Cormode 2005) over l_suppkey
+    // occurrences: md5 lane hash per depth row, exact integer counts —
+    // the frequency dual of the q127 HLL, hash-exact and additive.
+    QuerySpec("q133_cms_sketch",
+      (s, dir) => Sketches.cmsSketch(table(s, dir, "lineitem"), "l_suppkey")
+        .orderBy(col("r"), col("pos")),
+      Some {
+        val rows = (0 until 4).map { r =>
+          s"""SELECT $r AS r,
+             |  CAST(CAST(('0x' || substr(md5('cms$r:' || key), 1, 15))
+             |    AS BIGINT) % 256 AS INTEGER) AS pos FROM k""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH k AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem
+           |  WHERE l_suppkey IS NOT NULL),
+           |h AS ($rows)
+           |SELECT r, pos, COUNT(*) AS cnt FROM h GROUP BY 1, 2
+           |ORDER BY r, pos""".stripMargin
+      }),
+
+    // CMS point estimates for every distinct supplier, gated against
+    // the exact frequencies: est = min over depth cells, and the
+    // defining one-sided guarantee (never undercounts) is emitted as
+    // a column the oracle re-derives — collisions at width 256 with
+    // ~|suppliers| keys make some estimates exceed truth, which is
+    // exactly what the sketch contract permits.
+    QuerySpec("q134_cms_estimate",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val est = Sketches.cmsEstimate(
+          Sketches.cmsSketch(li, "l_suppkey"), li, "l_suppkey")
+        li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("true_cnt"))
+          .join(est, Seq("l_suppkey"))
+          .select(col("l_suppkey"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") >= col("true_cnt")).as("no_undercount"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some {
+        val rows = (0 until 4).map { r =>
+          s"""SELECT key, $r AS r,
+             |  CAST(CAST(('0x' || substr(md5('cms$r:' || key), 1, 15))
+             |    AS BIGINT) % 256 AS INTEGER) AS pos FROM k""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH k AS (SELECT l_suppkey, CAST(l_suppkey AS VARCHAR) AS key
+           |  FROM lineitem WHERE l_suppkey IS NOT NULL),
+           |h AS ($rows),
+           |cells AS (SELECT r, pos, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+           |probe AS (SELECT DISTINCT key, r, pos FROM h),
+           |est AS (SELECT p.key, MIN(c.cnt) AS est_cnt
+           |  FROM probe p JOIN cells c USING (r, pos) GROUP BY p.key),
+           |tc AS (SELECT l_suppkey, key, COUNT(*) AS true_cnt FROM k
+           |  GROUP BY 1, 2)
+           |SELECT tc.l_suppkey, tc.true_cnt, est.est_cnt,
+           |  est.est_cnt >= tc.true_cnt AS no_undercount
+           |FROM tc JOIN est USING (key) ORDER BY tc.l_suppkey""".stripMargin
+      }),
+
+    // Fixed-bin integer histogram of price cents over [0, 110000.00):
+    // bin = (cents·256) div range, exact integer — the deterministic
+    // quantile sketch (q49 gates the engine-private approx forms; this
+    // one is hash-exact and additive under union).
+    QuerySpec("q135_hist_sketch",
+      (s, dir) => Sketches.histSketch(
+          table(s, dir, "lineitem")
+            .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+              .as("cents")),
+          "cents", lo = 0L, hi = 11000000L, bins = 256)
+        .orderBy(col("bin")),
+      Some("""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+        |    AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT LEAST(255, GREATEST(0, (cents * 256) // 11000000))
+        |    AS bin FROM c)
+        |SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS cnt FROM b
+        |GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Quantile bins reconstructed from the histogram: first bin whose
+    // cumulative count reaches ceil(p·N/1000), with floor-arithmetic
+    // value edges — error bounded by one bin width by construction,
+    // and every step integer, so p50/p90/p99 are hash-exact.
+    QuerySpec("q136_hist_quantiles",
+      (s, dir) => Sketches.histQuantileBins(
+          Sketches.histSketch(
+            table(s, dir, "lineitem")
+              .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+                .as("cents")),
+            "cents", lo = 0L, hi = 11000000L, bins = 256),
+          lo = 0L, hi = 11000000L, bins = 256, pMillis = Seq(500, 900, 990))
+        .orderBy(col("p_milli")),
+      Some("""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+        |    AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT LEAST(255, GREATEST(0, (cents * 256) // 11000000))
+        |    AS bin FROM c),
+        |hist AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+        |t AS (SELECT SUM(cnt) AS total FROM hist),
+        |p AS (SELECT UNNEST([500, 900, 990]) AS p_milli),
+        |tgt AS (SELECT p_milli, (p_milli * total + 999) // 1000 AS target
+        |  FROM p CROSS JOIN t),
+        |q AS (SELECT p_milli, MIN(bin) AS bin FROM tgt
+        |  JOIN cum ON cum.cum >= tgt.target GROUP BY 1)
+        |SELECT CAST(p_milli AS INTEGER) AS p_milli, CAST(bin AS INTEGER) AS bin,
+        |  (CAST(bin AS BIGINT) * 11000000) // 256 AS lo_val,
+        |  (CAST(bin + 1 AS BIGINT) * 11000000) // 256 AS hi_val
+        |FROM q ORDER BY p_milli""".stripMargin))
   )
 }

@@ -42,6 +42,60 @@ class WebCorpusSpec extends SparkSuite {
     assert(regs(withNulls) == direct)
   }
 
+  test("CMS: never undercounts, exact when collision-free, merge ≡ rebuild") {
+    // 2000 occurrences over 20 keys with known skewed frequencies
+    val occ = (1 to 20).flatMap(k => Seq.fill(k * 10)(s"key-$k")).toDF("k")
+    val sk = Sketches.cmsSketch(occ, "k")
+    val est = Sketches.cmsEstimate(sk, occ, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 20).foreach { k =>
+      assert(est(s"key-$k") >= k * 10L, s"undercount at key-$k")
+    }
+    // depth 4 × width 256 with 20 keys: whp no key collides in all 4
+    // rows, so estimates should be exact here (deterministic hashes —
+    // this either always holds or never does)
+    assert((1 to 20).count(k => est(s"key-$k") == k * 10L) == 20)
+    // merge of an arbitrary split rebuilds the matrix cell-for-cell
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("r", "pos").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsSketch(occ.filter($"k".endsWith("3")), "k"),
+      Sketches.cmsSketch(occ.filter(!$"k".endsWith("3")), "k"))
+    assert(cells(merged) == cells(sk))
+  }
+
+  test("histogram: bins partition the count, clamp edges, merge ≡ rebuild") {
+    val vals = ((1L to 1000L) ++ Seq(-50L, 99999L)).toDF("v") // 2 outliers
+    val h = Sketches.histSketch(vals, "v", lo = 0L, hi = 1000L, bins = 10)
+    val m = h.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m.values.sum == 1002L)            // nothing dropped
+    assert(m(0) == 99L + 1)                  // 1..99 + the low outlier
+    assert(m(9) == 100L + 2)                 // 900..999 + clamped 1000 + high outlier
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bin").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val merged = Sketches.histMerge(
+      Sketches.histSketch(vals.filter($"v" % 7 === 0), "v", 0L, 1000L, 10),
+      Sketches.histSketch(vals.filter($"v" % 7 =!= 0), "v", 0L, 1000L, 10))
+    assert(cells(merged) == cells(h))
+  }
+
+  test("histogram quantiles: the exact disc-quantile lands inside its bin") {
+    val vals = (1L to 10000L).map(i => (i * i) % 7919L).toDF("v")
+    val lo = 0L; val hi = 7919L; val bins = 64
+    val h = Sketches.histSketch(vals, "v", lo, hi, bins)
+    val qs = Sketches.histQuantileBins(h, lo, hi, bins, Seq(500, 900, 990))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val sorted = vals.orderBy("v").collect().map(_.getLong(0))
+    Seq(500, 900, 990).foreach { p =>
+      val exact = sorted(((p.toLong * sorted.length + 999) / 1000 - 1).toInt)
+      val (qlo, qhi) = qs(p)
+      assert(exact >= qlo && exact < qhi,
+        s"p=$p exact=$exact outside [$qlo,$qhi)")
+    }
+  }
+
   test("extractText: tags separate words, entities decode amp-LAST, ws collapses") {
     val html = Seq((1L,
       "<html><head><title>T one</title></head><body>" +
