@@ -64,8 +64,14 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$synth/documents.parquet")
     copies("embeddings", "vec_id", prefixText = false)
       .write.mode("overwrite").parquet(s"$synth/embeddings.parquet")
+    // lineitem feeds the sketch gates: id-offset copies multiply the
+    // distinct-orderkey population (HLL) and every frequency (CMS/hist)
+    // by `factor` — the sketches' claim is that their SHUFFLE does not
+    // grow at all (bounded by state size · partitions)
+    copies("lineitem", "l_orderkey", prefixText = false)
+      .write.mode("overwrite").parquet(s"$synth/lineitem.parquet")
 
-    val qnames = Seq("q26_ngram_jaccard", "q63_jaccard_pruned",
+    val allQnames = Seq("q26_ngram_jaccard", "q63_jaccard_pruned",
       "q64_neardup_components", "q68_contamination", "q72_kmeans_micro",
       "q78_span_dup", "q79_neardup_dedup", "q81_fuzzy_dedup_e2e",
       "q96_fuzzy_decontamination", "q97_span_scrub",
@@ -73,7 +79,16 @@ object ScaleStress {
       // pins that), and the token-prefixed synthetic corpus breaks its
       // ' join ' line derivation (no lines -> 0 rows, uninformative)
       "q108_line_dedup", "q116_dsir_selection", "q117_lm_perplexity",
-      "q118_dsir_indexed")
+      "q118_dsir_indexed",
+      // the portable sketches: input grows factor-x, state is fixed —
+      // shuffle must stay FLAT, the one growth exponent that is
+      // supposed to be zero
+      "q127_hll_registers", "q133_cms_sketch", "q135_hist_sketch")
+    // optional 4th arg: comma-separated name prefixes for targeted runs
+    val qnames = if (args.length > 3) {
+      val ps = args(3).split(',')
+      allQnames.filter(q => ps.exists(q.startsWith))
+    } else allQnames
     // one warm pass so JVM/codegen startup doesn't bill to the 1x runs
     qnames.foreach(q => SparkEntry.queries(q)(spark, base).count())
     // median-of-reps per point (Bench precedent): single shots on a
