@@ -181,6 +181,49 @@ object ExtendedQueries {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin))
+        |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Ordered-step funnel (view → click → purchase): first completion
+    // of each step STRICTLY after the previous one, per user — keyed
+    // aggregates + keyed joins only, integer-microsecond timestamps,
+    // null = drop-off. The event-analytics dual of q20's
+    // gaps-and-islands sessionization.
+    QuerySpec("q137_funnel",
+      (s, dir) => graft.ops.EventAnalytics.funnel(events(s, dir),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id")),
+      Some(s"""WITH e AS ($eventsSql),
+        |v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        |  GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        |  GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin)),
+
+    // Weekly retention cohorts: users by ISO week of first event ×
+    // weeks-later activity — exact integer day arithmetic (both
+    // endpoints week-truncated, div 7 exact), distinct-user counts.
+    QuerySpec("q138_retention",
+      (s, dir) => graft.ops.EventAnalytics.retentionWeeks(
+          events(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset")),
+      Some(s"""WITH e AS ($eventsSql),
+        |f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+        |    AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+        |    AS w FROM e)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, a.w) // 7 AS INTEGER)
+        |    AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }
