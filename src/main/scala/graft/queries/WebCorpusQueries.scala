@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Graph, Multimodal, Sketches, WebExtract}
+import graft.ops.{Graph, Multimodal, Sketches, WebExtract, ZOrder}
 import QuerySpec.table
 
 /** Batch 14 (round 10, second leg): the corpus-boundary operators —
@@ -327,6 +327,39 @@ object WebCorpusQueries {
         |SELECT CAST(p_milli AS INTEGER) AS p_milli, CAST(bin AS INTEGER) AS bin,
         |  (CAST(bin AS BIGINT) * 11000000) // 256 AS lo_val,
         |  (CAST(bin + 1 AS BIGINT) * 11000000) // 256 AS hi_val
-        |FROM q ORDER BY p_milli""".stripMargin))
+        |FROM q ORDER BY p_milli""".stripMargin)),
+
+    // Z-order layout: Morton-interleave two bucketed dimensions and
+    // report each Z-curve segment's envelope — every 2^14-code bucket
+    // must cover a NARROW range of BOTH dims at once (the property
+    // that makes a zordered write prunable on either column; the spec
+    // measures the pruning win against a hash layout). Pure bit
+    // arithmetic, so the whole tiling is hash-exact.
+    QuerySpec("q139_zorder",
+      (s, dir) => {
+        val a = pmod(col("l_partkey"), lit(1024L))
+        val b = pmod(col("l_suppkey"), lit(1024L))
+        table(s, dir, "lineitem")
+          .select(a.as("pa"), b.as("sb"),
+            ZOrder.mortonCode(a, b, bits = 10).as("z"))
+          .withColumn("zbucket", expr("z div 16384"))
+          .groupBy(col("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("pa")).as("min_a"), max(col("pa")).as("max_a"),
+            min(col("sb")).as("min_b"), max(col("sb")).as("max_b"))
+          .orderBy(col("zbucket"))
+      },
+      Some {
+        val zExpr = (0 until 10).map { i =>
+          s"((((pa >> $i) & 1) << ${2 * i}) | (((sb >> $i) & 1) << ${2 * i + 1}))"
+        }.mkString(" | ")
+        s"""WITH d AS (SELECT l_partkey % 1024 AS pa, l_suppkey % 1024 AS sb
+           |  FROM lineitem),
+           |zc AS (SELECT pa, sb, ($zExpr) AS z FROM d)
+           |SELECT z // 16384 AS zbucket, COUNT(*) AS n,
+           |  MIN(pa) AS min_a, MAX(pa) AS max_a,
+           |  MIN(sb) AS min_b, MAX(sb) AS max_b
+           |FROM zc GROUP BY 1 ORDER BY zbucket""".stripMargin
+      })
   )
 }
