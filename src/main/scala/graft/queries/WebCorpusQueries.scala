@@ -360,6 +360,41 @@ object WebCorpusQueries {
            |  MIN(pa) AS min_a, MAX(pa) AS max_a,
            |  MIN(sb) AS min_b, MAX(sb) AS max_b
            |FROM zc GROUP BY 1 ORDER BY zbucket""".stripMargin
+      }),
+
+    // Column profiling (the ANALYZE surface): per-column counts,
+    // nulls, distincts, native-type min/max — ONE scan for all six
+    // columns (multi-aggregate + unpivot), engine-divergent types
+    // pre-shaped (price → cents, timestamp → ISO string, which sorts
+    // chronologically).
+    QuerySpec("q140_profile",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("o_totalprice_cents"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+          col("o_orderpriority"))
+        graft.ops.Profile.profile(o, Seq("o_orderkey", "o_custkey",
+            "o_orderstatus", "o_totalprice_cents", "o_orderdate_s",
+            "o_orderpriority"))
+          .orderBy(col("col_name"))
+      },
+      Some {
+        val colsSql = Seq(
+          "o_orderkey" -> "o_orderkey",
+          "o_custkey" -> "o_custkey",
+          "o_orderstatus" -> "o_orderstatus",
+          "o_totalprice_cents" ->
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+          "o_orderdate_s" -> "strftime(o_orderdate, '%Y-%m-%d')",
+          "o_orderpriority" -> "o_orderpriority")
+        colsSql.map { case (name, e) =>
+          s"""SELECT '$name' AS col_name, COUNT(*) AS n,
+             |  COUNT($e) AS n_nonnull, COUNT(DISTINCT $e) AS n_distinct,
+             |  CAST(MIN($e) AS VARCHAR) AS min_s,
+             |  CAST(MAX($e) AS VARCHAR) AS max_s FROM orders""".stripMargin
+        }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
       })
   )
 }
