@@ -118,4 +118,82 @@ object Relational {
     }
     fin
   }
+
+  /** Edit-distance fuzzy join (entity resolution): pairs from
+    * `left` × `right` with levenshtein(l, r) ≤ `maxDist`, without the
+    * cartesian product. Candidate generation is the q-gram inverted
+    * index (the dedup stack's move applied to short strings) with the
+    * EDJoin/PPJoin PREFIX FILTER (Xiao 2008): an edit destroys at most
+    * `q` of a string's q-grams, so two strings within distance d must
+    * share ≥ |grams| − q·d grams — hence, under any GLOBAL total order
+    * on grams, a gram within each side's first q·d+1 (we order
+    * rarest-first, computed over both inputs). Only those prefix grams
+    * are indexed, so a low-entropy corpus (few distinct words, huge
+    * common-gram buckets) generates candidates from its RARE grams,
+    * not its stopword-grams. The q-gram arm is complete for strings of
+    * length ≥ q·(d+1)+d; shorter ones are caught by a tiny-string
+    * length-bucket arm. A length pre-filter (|Δlen| ≤ d) prunes before
+    * the exact verify.
+    *
+    * Scale: shuffle is keyed on prefix grams (rarest-first bounds the
+    * buckets), the verify is a scalar per candidate — never |L|·|R|.
+    * Inputs should be DISTINCT entity strings (resolve representatives
+    * first, re-expand after): duplicated strings make the OUTPUT
+    * itself quadratic, which no candidate strategy can avoid. */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      q: Int = 3, maxDist: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q >= 2 && maxDist >= 0)
+    val minSafeLen = q * (maxDist + 1) + maxDist
+    def grams(df: DataFrame, id: String, str: String) = df
+      .select(col(id).as("__gid"), col(str).as("__gs"))
+      .filter(length(col("__gs")) >= minSafeLen)
+      .select(col("__gid"), col("__gs"), explode(sequence(lit(1),
+        length(col("__gs")) - lit(q - 1))).as("__i"))
+      .select(col("__gid"), col("__gs"),
+        substring(col("__gs"), col("__i"), lit(q)).as("__g"))
+      .distinct()
+    val lg = grams(left, leftId, leftStr)
+    val rg = grams(right, rightId, rightStr)
+    // global rarest-first gram order, shared by both sides (freq over
+    // the union of both inputs' distinct (string, gram) pairs; ties
+    // broken by the gram itself — total and deterministic)
+    val freq = lg.select(col("__g")).unionByName(rg.select(col("__g")))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__f"))
+    val prefixLen = q * maxDist + 1
+    def prefix(g: DataFrame) = g.join(freq, Seq("__g"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__gid")).orderBy(col("__f"), col("__g"))))
+      .filter(col("__rk") <= prefixLen)
+      .select(col("__gid"), col("__gs"), col("__g"))
+    val candidates = prefix(lg)
+      .withColumnRenamed("__gid", "__lid").withColumnRenamed("__gs", "__ls")
+      .join(prefix(rg)
+        .withColumnRenamed("__gid", "__rid").withColumnRenamed("__gs", "__rs"),
+        Seq("__g"))
+      .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
+      .distinct()
+    // tiny-string arm: below the q-gram completeness bound, block on
+    // length bucket (|Δlen| ≤ d ⇒ same or adjacent bucket). The arm
+    // extends maxDist ABOVE the bound so a (just-below, just-above)
+    // pair — missed by the gram arm, which needs BOTH sides long — is
+    // still caught; the small overlap is deduped before the verify.
+    val tinyCut = minSafeLen + maxDist
+    val tinyL = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"))
+      .filter(length(col("__ls")) < tinyCut)
+    val tinyR = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"))
+      .filter(length(col("__rs")) < tinyCut)
+    val tiny = tinyL
+      .withColumn("__lb", (length(col("__ls")) / (maxDist + 1)).cast("int"))
+      .join(tinyR.withColumn("__rb",
+          (length(col("__rs")) / (maxDist + 1)).cast("int")),
+        abs(col("__lb") - col("__rb")) <= 1)
+      .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
+    candidates.unionByName(tiny).distinct()
+      .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId), col("dist"))
+  }
 }

@@ -183,6 +183,23 @@ object ExtendedQueries {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin)),
 
+    // §2.4-absent-made-present: PIVOT with an explicit value list (no
+    // value-discovery collect job — the schema is declared, which is
+    // also the only scalable form) and count measure; missing cells
+    // filled to 0 to match the oracle's FILTER counts.
+    QuerySpec("q141_pivot",
+      (s, dir) => table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     // Ordered-step funnel (view → click → purchase): first completion
     // of each step STRICTLY after the previous one, per user — keyed
     // aggregates + keyed joins only, integer-microsecond timestamps,

@@ -395,6 +395,64 @@ object WebCorpusQueries {
              |  CAST(MIN($e) AS VARCHAR) AS min_s,
              |  CAST(MAX($e) AS VARCHAR) AS max_s FROM orders""".stripMargin
         }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
-      })
+      }),
+
+    // Edit-distance fuzzy join (entity resolution): DISTINCT name
+    // entities (representative = min key per name — duplicated strings
+    // would make the output itself quadratic, see the operator's
+    // scaladoc), probe side planted with a single-character
+    // substitution on every third representative (the derived-input
+    // move). Candidates come from the EDJoin rarest-first PREFIX
+    // filter (q·d+1 grams per string under a shared global frequency
+    // order); the oracle replays gram explode, the frequency order,
+    // the prefix cut, the candidate join, the length prune, and the
+    // levenshtein verify — the full pruning pipeline, hash-exact.
+    QuerySpec("q142_fuzzy_join",
+      (s, dir) => {
+        val ents = table(s, dir, "part")
+          .groupBy(col("p_name")).agg(min(col("p_partkey")).as("p_partkey"))
+        val probes = ents.select(
+          (col("p_partkey") + 1000000L).as("probe_id"),
+          when(pmod(col("p_partkey"), lit(3)) === 0,
+            concat(substring(col("p_name"), 1, 3), lit("#"),
+              substring(col("p_name"), 5, 100000)))
+            .otherwise(col("p_name")).as("probe_name"))
+        graft.ops.Relational.fuzzyJoin(probes, "probe_id", "probe_name",
+            ents.select(col("p_partkey"), col("p_name")),
+            "p_partkey", "p_name", q = 3, maxDist = 1)
+          .orderBy(col("probe_id"), col("p_partkey"))
+      },
+      Some("""WITH ent AS (SELECT p_name, MIN(p_partkey) AS p_partkey
+        |  FROM part GROUP BY 1),
+        |pr AS (SELECT p_partkey + 1000000 AS probe_id,
+        |    CASE WHEN p_partkey % 3 = 0
+        |         THEN substr(p_name, 1, 3) || '#' || substr(p_name, 5)
+        |         ELSE p_name END AS probe_name FROM ent),
+        |lgi AS (SELECT probe_id AS lid, probe_name AS ls,
+        |    UNNEST(generate_series(1, length(probe_name) - 2)) AS i
+        |  FROM pr WHERE length(probe_name) >= 7),
+        |lgr AS (SELECT DISTINCT lid, ls,
+        |    substr(ls, CAST(i AS INTEGER), 3) AS g FROM lgi),
+        |rgi AS (SELECT p_partkey AS rid, p_name AS rs,
+        |    UNNEST(generate_series(1, length(p_name) - 2)) AS i
+        |  FROM ent WHERE length(p_name) >= 7),
+        |rgr AS (SELECT DISTINCT rid, rs,
+        |    substr(rs, CAST(i AS INTEGER), 3) AS g FROM rgi),
+        |fr AS (SELECT g, COUNT(*) AS f FROM (
+        |    SELECT g FROM lgr UNION ALL SELECT g FROM rgr) GROUP BY 1),
+        |lpf AS (SELECT lid, ls, g FROM (
+        |    SELECT lgr.*, fr.f, ROW_NUMBER() OVER (PARTITION BY lid
+        |      ORDER BY fr.f, lgr.g) AS rk FROM lgr JOIN fr USING (g))
+        |  WHERE rk <= 4),
+        |rpf AS (SELECT rid, rs, g FROM (
+        |    SELECT rgr.*, fr.f, ROW_NUMBER() OVER (PARTITION BY rid
+        |      ORDER BY fr.f, rgr.g) AS rk FROM rgr JOIN fr USING (g))
+        |  WHERE rk <= 4),
+        |cand AS (SELECT DISTINCT lid, ls, rid, rs FROM lpf JOIN rpf USING (g)),
+        |ver AS (SELECT lid AS probe_id, rid AS p_partkey,
+        |    CAST(levenshtein(ls, rs) AS INTEGER) AS dist
+        |  FROM cand WHERE abs(length(ls) - length(rs)) <= 1)
+        |SELECT probe_id, p_partkey, dist FROM ver WHERE dist <= 1
+        |ORDER BY probe_id, p_partkey""".stripMargin))
   )
 }

@@ -96,6 +96,44 @@ class WebCorpusSpec extends SparkSuite {
     }
   }
 
+  test("fuzzyJoin: complete vs brute force across the tiny/gram boundary") {
+    import graft.ops.Relational
+    // deterministic low-entropy strings, lengths 2..12 straddling the
+    // q=3,d=1 completeness bound (7) and the tiny cut (8) — the worst
+    // shapes for a candidate filter to silently drop
+    val alpha = "abcd"
+    def mk(seed: Int): String = {
+      val len = 2 + (seed * 7919) % 11
+      (0 until len).map(i => alpha((seed * 31 + i * 17) % 4)).mkString
+    }
+    val ls = (0 until 40).map(i => (i.toLong, mk(i)))
+    val rs = (0 until 40).map { i =>
+      val s = mk(i + 13)
+      val mut = if (i % 3 == 0 && s.length > 2)
+        s.updated(s.length / 2, 'z') else s
+      (100L + i, mut)
+    }
+    val got = Relational.fuzzyJoin(
+        ls.toDF("lid", "lstr"), "lid", "lstr",
+        rs.toDF("rid", "rstr"), "rid", "rstr", q = 3, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (li, lstr) <- ls; (ri, rstr) <- rs
+      dist = lev(lstr, rstr) if dist <= 1
+    } yield (li, ri, dist)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty) // the differential actually exercised matches
+  }
+
   test("extractText: tags separate words, entities decode amp-LAST, ws collapses") {
     val html = Seq((1L,
       "<html><head><title>T one</title></head><body>" +
