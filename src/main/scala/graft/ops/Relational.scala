@@ -184,11 +184,17 @@ object Relational {
       .filter(length(col("__ls")) < tinyCut)
     val tinyR = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"))
       .filter(length(col("__rs")) < tinyCut)
+    // |Δlen| ≤ d ⇒ bucket(len div (d+1)) differs by ≤ 1: the left side
+    // explodes to its bucket ± 1 and the join is EQUI (hash, never a
+    // nested loop) — the standard neighborhood-blocking move
     val tiny = tinyL
       .withColumn("__lb", (length(col("__ls")) / (maxDist + 1)).cast("int"))
-      .join(tinyR.withColumn("__rb",
+      .select(col("__lid"), col("__ls"),
+        explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1))
+          .as("__b"))
+      .join(tinyR.withColumn("__b",
           (length(col("__rs")) / (maxDist + 1)).cast("int")),
-        abs(col("__lb") - col("__rb")) <= 1)
+        Seq("__b"))
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
     candidates.unionByName(tiny).distinct()
       .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)

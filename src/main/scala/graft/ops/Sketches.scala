@@ -183,18 +183,23 @@ object Sketches {
     * those in gated plans). */
   def histQuantileBins(hist: DataFrame, lo: Long, hi: Long, bins: Int,
       pMillis: Seq[Int]): DataFrame = {
-    val spark = hist.sparkSession
-    import spark.implicits._
-    val cum = hist.join(
-        hist.select(col("bin").as("b_bin"), col("cnt").as("b_cnt")),
-        col("b_bin") <= col("bin"))
-      .groupBy(col("bin")).agg(sum(col("b_cnt")).as("cum"))
+    // cumulative by suffix-explode + EQUI aggregation (each bin's
+    // count contributes to every bin ≥ it: ≤ bins² rows of bounded
+    // state, hash-aggregated — no theta join, no window)
+    val cum = hist
+      .select(explode(sequence(col("bin"), lit(bins - 1))).as("bin2"),
+        col("cnt"))
+      .groupBy(col("bin2")).agg(sum(col("cnt")).as("cum"))
+    // the single-ROW total attaches by the allowlisted 1-row broadcast
+    // cross (the q95/q99 Σw idiom); each cum row then explodes over
+    // the literal p list and the winner per p is a plain min
     val total = hist.agg(sum(col("cnt")).as("total"))
-    pMillis.toDF("p_milli")
-      .crossJoin(broadcast(total))
+    cum.crossJoin(broadcast(total))
+      .select(col("bin2").as("bin"), col("cum"), col("total"),
+        explode(array(pMillis.map(lit): _*)).as("p_milli"))
       // (p·N + 999) div 1000 = ceil(p·N / 1000), exact integers
       .withColumn("target", expr("(p_milli * total + 999) div 1000"))
-      .join(broadcast(cum), col("cum") >= col("target"))
+      .filter(col("cum") >= col("target"))
       .groupBy(col("p_milli")).agg(min(col("bin")).as("bin"))
       .select(col("p_milli"), col("bin"),
         expr(s"${lo}L + (CAST(bin AS BIGINT) * ${hi - lo}L) div ${bins}L")

@@ -136,9 +136,13 @@ class PlanSpec extends SparkSuite {
     // temperature-quota Σw moved from the suite's only unpartitioned
     // window to a broadcast 1-ROW aggregate cross join (keyless →
     // plans as BNL; one row by construction).
+    // q136 joined in r10: the histogram-quantile TOTAL is the same
+    // 1-row aggregate cross (its cumsum is an equi suffix-explode, its
+    // per-p winner a plain min — the only BNL left is the one-row
+    // total attach).
     val bnlAllowed = Set("q30_ann_bruteforce",
       "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion",
-      "q95_temperature_mix", "q99_unimax_mix")
+      "q95_temperature_mix", "q99_unimax_mix", "q136_hist_quantiles")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
