@@ -377,6 +377,247 @@ object Multimodal {
     out.toByteArray
   }
 
+  // -------------------------------------------------------------------
+  // Real video container decode — ISO/IEC 14496-12 (MP4 / ISO base
+  // media file format): the length-prefixed box walk, `ftyp` major
+  // brand, `moov`/`mvhd` timescale + presentation duration, and
+  // per-`trak` `tkhd` dimensions (16.16 fixed point). Completes the
+  // multimodal triad: image (PNG/JPEG, q33), audio (RIFF/WAVE, q129),
+  // video (BMFF) — a training pipeline's first video pass (duration /
+  // resolution / track shape for admission filtering and batching)
+  // needs only the public container format, no codec.
+  // -------------------------------------------------------------------
+
+  /** Parsed header attributes of an ISO-BMFF (MP4) payload.
+    * `durationMicros` is exact integer floor arithmetic
+    * (durationTicks·1e6 div timescale); `width`/`height` are the
+    * integer pixel parts of tkhd's 16.16 fixed-point values, from the
+    * first track that declares a nonzero width (the video track —
+    * audio tkhds carry zero dimensions per §8.3.2). */
+  case class Mp4Header(brand: String, nTracks: Int, timescale: Long,
+      durationTicks: Long, durationMicros: Long, width: Int, height: Int)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** BMFF header parse; Left(reason) is the dead-letter lane (the
+    * shared reason vocabulary): `truncated` (stream ends inside a
+    * structure its own length prefix promises), `bad_magic` (first
+    * box is not `ftyp`), `bad_header` (well-delimited but
+    * spec-invalid: box size < 8, unknown fullbox version, zero
+    * mvhd timescale, moov without mvhd), `no_moov` (clean box walk
+    * ends without any moov). Handles the 64-bit `largesize` (§4.2
+    * size==1) and size==0 (box extends to the end of its container)
+    * encodings. */
+  def parseMp4Header(b: Array[Byte]): Either[String, Mp4Header] = {
+    def ascii(i: Long, n: Int): String = {
+      val from = i.toInt
+      val upTo = math.min(b.length, from + n)
+      if (from >= upTo) "" else new String(b.slice(from, upTo), "US-ASCII")
+    }
+    // one box header at `pos` bounded by its container's end:
+    // Right((type, bodyStart, boxEnd))
+    def box(pos: Long, limit: Long): Either[String, (String, Long, Long)] = {
+      if (pos + 8 > limit) return Left("truncated")
+      val size32 = be32(b, pos.toInt)
+      val typ = ascii(pos + 4, 4)
+      if (size32 == 1L) { // §4.2: 64-bit largesize follows the type
+        if (pos + 16 > limit) return Left("truncated")
+        val large = be64(b, pos.toInt + 8)
+        if (large < 16) Left("bad_header")
+        else if (pos + large > limit) Left("truncated")
+        else Right((typ, pos + 16, pos + large))
+      } else if (size32 == 0L) { // box extends to container end
+        Right((typ, pos + 8, limit))
+      } else if (size32 < 8) Left("bad_header")
+      else if (pos + size32 > limit) Left("truncated")
+      else Right((typ, pos + 8, pos + size32))
+    }
+    // magic: the first box must be ftyp (§4.3 "shall be placed as
+    // early as possible"; canonically first). Distinguish a short
+    // stream that is still a plausible prefix from a non-BMFF stream.
+    val magic = ascii(4, 4)
+    if (b.length < 8)
+      return Left(if ("ftyp".startsWith(magic)) "truncated" else "bad_magic")
+    if (magic != "ftyp") return Left("bad_magic")
+    val fileEnd = b.length.toLong
+    box(0, fileEnd) match {
+      case Left(r) => Left(r)
+      case Right((_, ftypBody, ftypEnd)) =>
+        if (ftypBody + 8 > ftypEnd) return Left("bad_header") // brand+minor
+        val brand = ascii(ftypBody, 4)
+        // walk the remaining top-level boxes for moov
+        var pos = ftypEnd
+        while (pos < fileEnd) {
+          box(pos, fileEnd) match {
+            case Left(r) => return Left(r)
+            case Right(("moov", body, end)) =>
+              return parseMoov(b, brand, body, end)
+            case Right((_, _, end)) => pos = end
+          }
+        }
+        Left("no_moov")
+    }
+  }
+
+  /** moov child walk: mvhd (required, timescale+duration) and trak
+    * count / first nonzero tkhd dimensions. */
+  private def parseMoov(b: Array[Byte], brand: String, moovBody: Long,
+      moovEnd: Long): Either[String, Mp4Header] = {
+    def be32At(i: Long): Long = be32(b, i.toInt)
+    def ascii4(i: Long): String =
+      new String(b.slice(i.toInt, i.toInt + 4), "US-ASCII")
+    var pos = moovBody
+    var mvhd: Option[(Long, Long)] = None // timescale, duration
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    while (pos < moovEnd) {
+      if (pos + 8 > moovEnd) return Left("truncated")
+      val size32 = be32At(pos)
+      val typ = ascii4(pos + 4)
+      val (body, end) =
+        if (size32 == 1L) {
+          if (pos + 16 > moovEnd) return Left("truncated")
+          val large = be64(b, pos.toInt + 8)
+          if (large < 16) return Left("bad_header")
+          (pos + 16, pos + large)
+        } else if (size32 == 0L) (pos + 8, moovEnd)
+        else if (size32 < 8) return Left("bad_header")
+        else (pos + 8, pos + size32)
+      if (end > moovEnd) return Left("truncated")
+      typ match {
+        case "mvhd" =>
+          if (body + 4 > end) return Left("truncated")
+          val version = u8(b, body.toInt)
+          // §8.2.2: v0 = 32-bit creation/modification/duration,
+          // v1 = 64-bit; timescale is 32-bit in both
+          val (tsOff, durOff, dur64) = version match {
+            case 0 => (body + 12, body + 16, false)
+            case 1 => (body + 20, body + 24, true)
+            case _ => return Left("bad_header")
+          }
+          if (durOff + (if (dur64) 8 else 4) > end) return Left("truncated")
+          val timescale = be32At(tsOff)
+          if (timescale == 0) return Left("bad_header")
+          val duration = if (dur64) be64(b, durOff.toInt) else be32At(durOff)
+          mvhd = Some((timescale, duration))
+        case "trak" =>
+          nTracks += 1
+          // child walk for tkhd
+          var tp = body
+          while (tp < end) {
+            if (tp + 8 > end) return Left("truncated")
+            val ts32 = be32At(tp)
+            val tTyp = ascii4(tp + 4)
+            val (tBody, tEnd) =
+              if (ts32 == 1L) {
+                if (tp + 16 > end) return Left("truncated")
+                val large = be64(b, tp.toInt + 8)
+                if (large < 16) return Left("bad_header")
+                (tp + 16, tp + large)
+              } else if (ts32 == 0L) (tp + 8, end)
+              else if (ts32 < 8) return Left("bad_header")
+              else (tp + 8, tp + ts32)
+            if (tEnd > end) return Left("truncated")
+            if (tTyp == "tkhd") {
+              if (tBody + 4 > tEnd) return Left("truncated")
+              val v = u8(b, tBody.toInt)
+              // §8.3.2: v0 = 20 bytes of ids/times, v1 = 32; then
+              // 16 bytes reserved/layer/volume, 36 of matrix, then
+              // width/height as 16.16 fixed
+              val wOff = v match {
+                case 0 => tBody + 4 + 20 + 16 + 36
+                case 1 => tBody + 4 + 32 + 16 + 36
+                case _ => return Left("bad_header")
+              }
+              if (wOff + 8 > tEnd) return Left("truncated")
+              if (width == 0) {
+                width = (be32At(wOff) >>> 16).toInt
+                height = (be32At(wOff + 4) >>> 16).toInt
+              }
+            }
+            tp = tEnd
+          }
+        case _ => ()
+      }
+      pos = end
+    }
+    mvhd match {
+      case None => Left("bad_header") // a moov without mvhd is invalid
+      case Some((ts, dur)) =>
+        Right(Mp4Header(brand, nTracks, ts, dur, dur * 1000000L / ts,
+          width, height))
+    }
+  }
+
+  /** Distributed BMFF header decode over the binary column — the video
+    * analogue of [[wavHeaders]]: one row per payload, dead-letter
+    * columns in-band, partition-local, no shuffle. */
+  def mp4Headers(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          parseMp4Header(r.media) match {
+            case Right(hd) => (r.media_id, true, Option.empty[String],
+              Option(hd.brand), Option(hd.nTracks), Option(hd.timescale),
+              Option(hd.durationTicks), Option(hd.durationMicros),
+              Option(hd.width), Option(hd.height))
+            case Left(reason) => (r.media_id, false, Option(reason),
+              Option.empty[String], Option.empty[Int], Option.empty[Long],
+              Option.empty[Long], Option.empty[Long],
+              Option.empty[Int], Option.empty[Int])
+          }
+        }
+      }
+      .toDF("media_id", "ok", "reason", "brand", "n_tracks", "timescale",
+        "duration_ticks", "duration_micros", "width", "height")
+  }
+
+  /** Minimal spec-conformant BMFF file: `ftyp` + `moov`(`mvhd` +
+    * nTracks·`trak`(`tkhd`)) — the encode half of the container,
+    * fixture source for the q143 gate (the generator controls the
+    * bytes, so the oracle re-derives every attribute arithmetically).
+    * The first track carries the 16.16 video dimensions; the rest
+    * declare zero dims (the §8.3.2 audio-track convention).
+    * `timescale = 0` is accepted here (it is a *byte-level* writer)
+    * precisely so the bad_header dead-letter lane can be fixtured. */
+  def encodeMp4(brand: String, timescale: Long, durationTicks: Long,
+      width: Int, height: Int, nTracks: Int): Array[Byte] = {
+    require(nTracks >= 0 && brand.length == 4)
+    def be32a(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def boxOf(typ: String, body: Array[Byte]): Array[Byte] =
+      be32a(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val identityMatrix: Array[Byte] =
+      (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L))
+        .flatMap(be32a).toArray
+    val ftyp = boxOf("ftyp",
+      brand.getBytes("US-ASCII") ++ be32a(0L) ++ // minor version
+        brand.getBytes("US-ASCII") ++ "iso2".getBytes("US-ASCII"))
+    val mvhd = boxOf("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ // fullbox v0
+        be32a(0L) ++ be32a(0L) ++ // creation, modification
+        be32a(timescale) ++ be32a(durationTicks) ++
+        be32a(0x00010000L) ++ // rate 1.0
+        Array[Byte](0x01, 0x00) ++ Array.fill[Byte](10)(0) ++ // volume+reserved
+        identityMatrix ++ Array.fill[Byte](24)(0) ++ // pre_defined
+        be32a(nTracks + 1L)) // next_track_ID
+    val traks = (1 to nTracks).map { tid =>
+      val (w, h) = if (tid == 1) (width, height) else (0, 0)
+      boxOf("trak", boxOf("tkhd",
+        Array[Byte](0, 0, 0, 7) ++ // fullbox v0, enabled|in-movie|in-preview
+          be32a(0L) ++ be32a(0L) ++ be32a(tid.toLong) ++ be32a(0L) ++
+          be32a(durationTicks) ++ Array.fill[Byte](16)(0) ++
+          identityMatrix ++
+          be32a(w.toLong << 16) ++ be32a(h.toLong << 16)))
+    }
+    ftyp ++ boxOf("moov", (mvhd +: traks).reduce(_ ++ _))
+  }
+
   /** Row-multiplying frame sampler (video → frames shape): splits the
     * payload into `nFrames` byte slices. The real version would seek
     * keyframes; the batch shape (explode inside mapPartitions, bounded

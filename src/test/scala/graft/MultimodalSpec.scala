@@ -223,4 +223,101 @@ class MultimodalSpec extends SparkSuite {
     assert(!out(1).getBoolean(1) && out(1).getString(2) == "truncated")
     assert(!out(2).getBoolean(1) && out(2).getString(2) == "bad_magic")
   }
+
+  // ---- ISO-BMFF (MP4) -------------------------------------------------
+
+  test("MP4 round trip: brands, timescales, dims, track counts") {
+    for {
+      brand <- Seq("isom", "mp42", "avc1")
+      (ts, dur) <- Seq((600L, 1L), (1000L, 999L), (90000L, 123456L))
+      (w, h) <- Seq((1, 1), (1920, 1080), (65535, 65535))
+      n <- Seq(1, 2, 3)
+    } {
+      val parsed = Multimodal.parseMp4Header(
+        Multimodal.encodeMp4(brand, ts, dur, w, h, n))
+      assert(parsed == Right(Multimodal.Mp4Header(
+        brand, n, ts, dur, dur * 1000000L / ts, w, h)),
+        s"brand=$brand ts=$ts dur=$dur w=$w h=$h n=$n -> $parsed")
+    }
+  }
+
+  test("MP4: every strict byte prefix classifies Left without throwing") {
+    val full = Multimodal.encodeMp4("isom", 1000, 500, 640, 480, 2)
+    val want = Multimodal.parseMp4Header(full)
+    assert(want.isRight)
+    for (k <- 0 until full.length) {
+      val r = Multimodal.parseMp4Header(full.take(k))
+      // the only clean cut is the ftyp/moov boundary (no moov yet);
+      // everything else lands inside a promised structure
+      assert(r == Left("truncated") || r == Left("bad_magic") ||
+        r == Left("no_moov"), s"prefix $k -> $r")
+    }
+  }
+
+  test("MP4 dead letters: magic, zero timescale, undersized box, missing mvhd") {
+    val good = Multimodal.encodeMp4("isom", 600, 60, 320, 240, 1)
+    val clobbered = good.clone(); clobbered(4) = 'X'.toByte
+    assert(Multimodal.parseMp4Header(clobbered) == Left("bad_magic"))
+    assert(Multimodal.parseMp4Header(
+      Multimodal.encodeMp4("isom", 0, 60, 320, 240, 1)) == Left("bad_header"))
+    // a top-level box after ftyp declaring size 4 (< 8) is bad_header
+    val tiny = good.take(24) ++ Array[Byte](0, 0, 0, 4) ++
+      "free".getBytes("US-ASCII")
+    assert(Multimodal.parseMp4Header(tiny) == Left("bad_header"))
+    // moov without mvhd: an empty moov box
+    val emptyMoov = good.take(24) ++ Array[Byte](0, 0, 0, 8) ++
+      "moov".getBytes("US-ASCII")
+    assert(Multimodal.parseMp4Header(emptyMoov) == Left("bad_header"))
+    // a file that is just ftyp: clean walk, no moov
+    assert(Multimodal.parseMp4Header(good.take(24)) == Left("no_moov"))
+  }
+
+  test("MP4: 64-bit largesize and version-1 mvhd/tkhd parse") {
+    def be32a(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64a(v: Long): Array[Byte] = be32a(v >>> 32) ++ be32a(v & 0xffffffffL)
+    def boxOf(typ: String, body: Array[Byte]): Array[Byte] =
+      be32a(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    def largeBoxOf(typ: String, body: Array[Byte]): Array[Byte] =
+      be32a(1L) ++ typ.getBytes("US-ASCII") ++ be64a(16L + body.length) ++ body
+    val matrix = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+      0x40000000L).flatMap(be32a).toArray
+    val ftyp = boxOf("ftyp", "isom".getBytes("US-ASCII") ++ be32a(0L) ++
+      "isom".getBytes("US-ASCII"))
+    // v1 mvhd: 64-bit creation/modification/duration
+    val mvhdV1 = boxOf("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be64a(0L) ++ be64a(0L) ++ be32a(90000L) ++ be64a(5000000000L) ++
+      be32a(0x00010000L) ++ Array[Byte](0x01, 0x00) ++
+      Array.fill[Byte](10)(0) ++ matrix ++ Array.fill[Byte](24)(0) ++
+      be32a(2L))
+    // v1 tkhd: 64-bit creation/modification/duration
+    val tkhdV1 = boxOf("tkhd", Array[Byte](1, 0, 0, 7) ++
+      be64a(0L) ++ be64a(0L) ++ be32a(1L) ++ be32a(0L) ++ be64a(5000000000L) ++
+      Array.fill[Byte](16)(0) ++ matrix ++
+      be32a(1280L << 16) ++ be32a(720L << 16))
+    // moov carried in a largesize box
+    val moov = largeBoxOf("moov", mvhdV1 ++ boxOf("trak", tkhdV1))
+    val parsed = Multimodal.parseMp4Header(ftyp ++ moov)
+    assert(parsed == Right(Multimodal.Mp4Header("isom", 1, 90000L,
+      5000000000L, 5000000000L * 1000000L / 90000L, 1280, 720)), parsed.toString)
+  }
+
+  test("mp4Headers: distributed decode routes dead letters in-band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "video", Multimodal.encodeMp4("mp42", 1000, 2500, 1920, 1080, 2)),
+      (2L, "video", Multimodal.encodeMp4("isom", 600, 60, 320, 240, 1).take(9)),
+      (3L, "video", "not a bmff stream".getBytes("US-ASCII")))
+    val out = Multimodal.mp4Headers(spark,
+        rows.toDF("media_id", "kind", "media"))
+      .orderBy(col("media_id")).collect()
+    assert(out(0).getBoolean(1) && out(0).getString(3) == "mp42" &&
+      out(0).getInt(4) == 2 && out(0).getLong(5) == 1000L &&
+      out(0).getLong(6) == 2500L && out(0).getLong(7) == 2500000L &&
+      out(0).getInt(8) == 1920 && out(0).getInt(9) == 1080)
+    assert(!out(1).getBoolean(1) && out(1).getString(2) == "truncated")
+    assert(!out(2).getBoolean(1) && out(2).getString(2) == "bad_magic")
+  }
 }
