@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Multimodal
+import graft.ops.{IncrementalAgg, Multimodal}
 import QuerySpec.table
 
 /** Batch 15 (round 10, third leg): the analytics-engine surface a
@@ -74,6 +74,88 @@ object AnalyticsQueries {
         |  CASE WHEN ok THEN (dur * 1000000) // ts END AS duration_micros,
         |  CASE WHEN ok THEN w END AS width,
         |  CASE WHEN ok THEN h END AS height
-        |FROM p ORDER BY media_id""".stripMargin))
+        |FROM p ORDER BY media_id""".stripMargin)),
+
+    // Incremental aggregate maintenance, in-query form: the corpus
+    // summary (keyed count / decimal sums / min-max) is built on the
+    // mod-97 "history" slice, the mod-97 batch is aggregated alone,
+    // and the two states MERGE — the oracle recomputes over the full
+    // table, so the gate proves merge ≡ recompute exactly.
+    QuerySpec("q144_incr_agg",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val merged = IncrementalAgg.mergeState(
+          Seq(
+            IncrementalAgg.aggState(
+              li.filter(pmod(col("l_orderkey"), lit(97)) =!= 0),
+              AggKeys, AggSums, AggMins, AggMaxs),
+            IncrementalAgg.aggState(
+              li.filter(pmod(col("l_orderkey"), lit(97)) === 0),
+              AggKeys, AggSums, AggMins, AggMaxs)),
+          AggKeys, AggSums, AggMins, AggMaxs)
+        presentAggState(merged)
+      },
+      Some(aggStateOracle)),
+
+    // Steady-state twin (standing rule 1): the history summary is a
+    // FixtureCache-persisted parquet artifact; the probe aggregates
+    // ONLY the batch and merges — the bench measures per-batch upkeep
+    // cost, with the history scan gone from the plan entirely
+    // (PlanSpec: exactly one lineitem scan). Same oracle as q144.
+    QuerySpec("q145_incr_agg_steady",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val state = s.read.parquet(s"${aggStateRoot(s, dir)}/state")
+        val merged = IncrementalAgg.mergeState(
+          Seq(state,
+            IncrementalAgg.aggState(
+              li.filter(pmod(col("l_orderkey"), lit(97)) === 0),
+              AggKeys, AggSums, AggMins, AggMaxs)),
+          AggKeys, AggSums, AggMins, AggMaxs)
+        presentAggState(merged)
+      },
+      Some(aggStateOracle))
   )
+
+  private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+  private val AggSums = Seq("l_quantity", "l_extendedprice")
+  private val AggMins = Seq("l_shipdate")
+  private val AggMaxs = Seq("l_shipdate")
+
+  /** Gate-boundary projection of the summary state: exact decimal
+    * sums surface as doubles (the repo's oracle-parity idiom), keys
+    * totally ordered. */
+  private def presentAggState(state: DataFrame): DataFrame =
+    state.select(
+      col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
+      col("n"),
+      col("sum_l_quantity").cast("double").as("sum_qty"),
+      col("sum_l_extendedprice").cast("double").as("sum_price"),
+      col("min_l_shipdate").as("min_ship"),
+      col("max_l_shipdate").as("max_ship"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_suppkey"))
+
+  private val aggStateOracle: String =
+    """SELECT l_returnflag, l_linestatus, l_suppkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+      |FROM lineitem GROUP BY 1, 2, 3
+      |ORDER BY l_returnflag, l_linestatus, l_suppkey""".stripMargin
+
+  /** Build-once persisted summary state over the mod-97 history slice
+    * (the q103/q118/q119 steady-state discipline, via FixtureCache's
+    * locked atomic-publish). */
+  private def aggStateRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/lineitem.parquet")
+    FixtureCache.ensure(s"/tmp/graft_agg_state/${tag}_$fp") { tmp =>
+      IncrementalAgg.aggState(
+          table(s, dir, "lineitem")
+            .filter(pmod(col("l_orderkey"), lit(97)) =!= 0),
+          AggKeys, AggSums, AggMins, AggMaxs)
+        .write.mode("overwrite").parquet(s"$tmp/state")
+    }
+  }
 }

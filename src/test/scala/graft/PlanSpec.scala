@@ -640,4 +640,15 @@ class PlanSpec extends SparkSuite {
         s"$q plans an unpartitioned WindowExec: ${bad.mkString("; ")}")
     }
   }
+
+  test("q145 steady incremental agg: one lineitem scan (the batch), history absent") {
+    val p = plan("q145_incr_agg_steady")
+    // the probe plan reads the persisted summary state plus the mod-97
+    // batch slice — the history rows never appear. One lineitem scan,
+    // with the batch filter pushed to it.
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans")
+    assert(p.contains("graft_agg_state"), "persisted state scan missing")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
 }
