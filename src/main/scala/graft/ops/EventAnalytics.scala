@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the (user, ts, type) shape — the
@@ -57,5 +57,99 @@ object EventAnalytics {
         col(userCol))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Centi-unit view of a 2-decimal measure: exact integer both
+    * engines (the repo's micro-units discipline, 100× here because
+    * the source carries 2 decimals). */
+  private def centi(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
+  /** Per-entity rolling features — the feature-engineering pass a
+    * training pipeline runs over an event log: row number, previous
+    * value, step delta, and an `n`-row trailing sum/min/max, all in
+    * exact centi-units. Every window is PARTITIONed by the entity and
+    * totally ordered by (ts, idCol) — state per key is the frame, so
+    * the operator scales with the number of entities, not the log. */
+  def rollingFeatures(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1)
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val wf = w.rowsBetween(-(n - 1), Window.currentRow)
+    val v = centi(col(valCol))
+    events.select(col(userCol), col(idCol), col(tsCol), v.as("__v"))
+      .select(col(userCol), col(idCol),
+        row_number().over(w).as("rn"),
+        col("__v").as("v_centi"),
+        lag(col("__v"), 1).over(w).as("lag_centi"),
+        (col("__v") - lag(col("__v"), 1).over(w)).as("delta_centi"),
+        sum(col("__v")).over(wf).as(s"roll${n}_sum_centi"),
+        min(col("__v")).over(wf).as(s"roll${n}_min_centi"),
+        max(col("__v")).over(wf).as(s"roll${n}_max_centi"))
+  }
+
+  /** Per-entity daily resample with forward fill: aggregate to the
+    * day grain, densify over each entity's [min_day, max_day] grid
+    * (`sequence` + explode — the grid is generated, never joined
+    * against a calendar table), and carry the last observed value
+    * across gaps with an IGNORE NULLS running window. `filled_centi`
+    * is never null (each entity's first grid day is observed by
+    * construction). Grid length per entity is bounded by the span of
+    * its own history — the scale knob is entities, not days. */
+  def resampleDaily(events: DataFrame, userCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = events
+      .groupBy(col(userCol), col(tsCol).cast("date").as("day"))
+      .agg((sum(col(valCol).cast("decimal(18,2)")) * 100).cast("long")
+        .as("__s"))
+    val grid = byDay.groupBy(col(userCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(userCol),
+        explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(byDay, Seq(userCol, "day"), "left")
+      .select(col(userCol), col("day"),
+        col("__s").isNotNull.as("observed"),
+        col("__s").as("day_sum_centi"),
+        last(col("__s"), ignoreNulls = true).over(w).as("filled_centi"))
+  }
+
+  /** Fixed-point EWMA with α = 1/2: s₁ = v₁, sₜ = (vₜ + sₜ₋₁) div 2,
+    * in exact centi-units over non-negative values — every step is
+    * integer arithmetic, so an unrolled/recursive SQL replay is
+    * bit-identical. The per-entity series is collected sorted and
+    * folded with the `aggregate` higher-order function (a per-key
+    * sequential recurrence has no set-oriented form; per-entity
+    * history is bounded, so the array is executor-local state — the
+    * streaming twin of this fold is flatMapGroupsWithState). */
+  def ewmaCenti(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val v = abs(centi(col(valCol)))
+    events
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), col(idCol).as("id"), v.as("v"))
+          .as("__e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(col(userCol), expr(
+        """zip_with(__es,
+          |  aggregate(__es,
+          |    named_struct('out', cast(array() as array<bigint>),
+          |                 's',   cast(null as bigint)),
+          |    (acc, x) -> named_struct(
+          |      'out', concat(acc.out, array(
+          |        CASE WHEN acc.s IS NULL THEN x.v
+          |             ELSE (x.v + acc.s) div 2 END)),
+          |      's', CASE WHEN acc.s IS NULL THEN x.v
+          |               ELSE (x.v + acc.s) div 2 END)).out,
+          |  (e, s) -> named_struct('id', e.id, 'ewma', s))""".stripMargin)
+        .as("__z"))
+      .select(col(userCol), posexplode(col("__z")))
+      .select(col(userCol), (col("pos") + 1).as("rn"),
+        col("col.id").as("event_id"), col("col.ewma").as("ewma_centi"))
   }
 }

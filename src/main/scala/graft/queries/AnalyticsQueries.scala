@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{IncrementalAgg, Multimodal}
-import QuerySpec.table
+import graft.ops.{EventAnalytics, IncrementalAgg, Multimodal}
+import QuerySpec.{events, eventsSql, table}
 
 /** Batch 15 (round 10, third leg): the analytics-engine surface a
   * corpus/warehouse team reaches for next — the video half of the
@@ -114,7 +114,82 @@ object AnalyticsQueries {
           AggKeys, AggSums, AggMins, AggMaxs)
         presentAggState(merged)
       },
-      Some(aggStateOracle))
+      Some(aggStateOracle)),
+
+    // Time-series feature pass: per-entity row number, previous
+    // value, step delta, and a 3-row trailing sum/min/max — all in
+    // exact centi-units, every window PARTITIONed by user and totally
+    // ordered by (ts, event_id) (the suite's dup-key tiebreak rule).
+    QuerySpec("q146_rolling_features",
+      (s, dir) => EventAnalytics.rollingFeatures(events(s, dir),
+          "user_id", "ts", "event_id", "value", n = 3)
+        .orderBy(col("user_id"), col("rn")),
+      Some(s"""WITH e AS ($eventsSql),
+        |c AS (SELECT user_id, event_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  v AS v_centi,
+        |  LAG(v) OVER w AS lag_centi,
+        |  v - LAG(v) OVER w AS delta_centi,
+        |  CAST(SUM(v) OVER wf AS BIGINT) AS roll3_sum_centi,
+        |  MIN(v) OVER wf AS roll3_min_centi,
+        |  MAX(v) OVER wf AS roll3_max_centi
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, rn""".stripMargin)),
+
+    // Daily resample + forward fill: day-grain sums densified over
+    // each entity's own [min_day, max_day] grid (sequence+explode —
+    // no calendar join), gaps carry the last observed value via an
+    // IGNORE NULLS running window. Exact centi sums.
+    QuerySpec("q147_resample_gapfill",
+      (s, dir) => EventAnalytics.resampleDaily(events(s, dir),
+          "user_id", "ts", "value")
+        .orderBy(col("user_id"), col("day")),
+      Some(s"""WITH e AS ($eventsSql),
+        |d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS s
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT user_id, CAST(UNNEST(generate_series(
+        |      CAST(MIN(day) AS TIMESTAMP), CAST(MAX(day) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM d GROUP BY user_id)
+        |SELECT g.user_id, g.day,
+        |  d.s IS NOT NULL AS observed,
+        |  d.s AS day_sum_centi,
+        |  LAST_VALUE(d.s IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_centi
+        |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin)),
+
+    // Fixed-point EWMA (α = 1/2): sₜ = (vₜ + sₜ₋₁) div 2 in exact
+    // centi-units — the per-key sequential recurrence done as a
+    // sorted-array fold with the aggregate() HOF (bounded per-entity
+    // history; the set-oriented engines have no recursion, DuckDB
+    // does: the oracle IS a recursive CTE, stepping rn → rn+1).
+    QuerySpec("q148_ewma",
+      (s, dir) => EventAnalytics.ewmaCenti(events(s, dir),
+          "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"), col("rn")),
+      Some(s"""WITH RECURSIVE e AS ($eventsSql),
+        |c AS (SELECT user_id, event_id,
+        |    ABS(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, rn, event_id, v AS s FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.user_id, c.rn, c.event_id, (c.v + r.s) // 2
+        |  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+        |SELECT user_id, rn, event_id, s AS ewma_centi
+        |FROM r ORDER BY user_id, rn""".stripMargin))
   )
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")

@@ -67,4 +67,66 @@ class EventAnalyticsSpec extends SparkSuite {
       ("2026-01-05", 2, 1L),  // u1 returns two weeks later
       ("2026-01-12", 0, 1L))) // u2's cohort, one distinct user
   }
+
+  test("rollingFeatures: frame edges, tiebreak on event_id, exact centi") {
+    val e = Seq(
+      // u1: four rows, two sharing a timestamp (ordered by event_id)
+      (1L, 10L, ts("2026-01-05 10:00:00"), 1.00),
+      (1L, 11L, ts("2026-01-05 10:01:00"), 2.50),
+      (1L, 12L, ts("2026-01-05 10:02:00"), 0.25),
+      (1L, 13L, ts("2026-01-05 10:02:00"), 4.00), // same ts as 12
+      // u2: single row — lag/delta null, frame of one
+      (2L, 20L, ts("2026-01-05 09:00:00"), 7.00))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = EventAnalytics.rollingFeatures(e, "user_id", "ts",
+        "event_id", "value", n = 3)
+      .orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(out == Seq(
+      (1L, 10L, 1, 100L, None, None, 100L, 100L, 100L),
+      (1L, 11L, 2, 250L, Some(100L), Some(150L), 350L, 100L, 250L),
+      (1L, 12L, 3, 25L, Some(250L), Some(-225L), 375L, 25L, 250L),
+      (1L, 13L, 4, 400L, Some(25L), Some(375L), 675L, 25L, 400L),
+      (2L, 20L, 1, 700L, None, None, 700L, 700L, 700L)))
+  }
+
+  test("resampleDaily: gaps densified, forward fill carries, first day observed") {
+    val e = Seq(
+      (1L, ts("2026-01-05 10:00:00"), 1.00),
+      (1L, ts("2026-01-05 11:00:00"), 2.00), // same day: sums to 300
+      (1L, ts("2026-01-08 10:00:00"), 5.00), // 2-day gap before
+      (2L, ts("2026-01-07 10:00:00"), 9.00)) // single day, no grid
+      .toDF("user_id", "ts", "value")
+    val out = EventAnalytics.resampleDaily(e, "user_id", "ts", "value")
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "2026-01-05", true, Some(300L), 300L),
+      (1L, "2026-01-06", false, None, 300L),
+      (1L, "2026-01-07", false, None, 300L),
+      (1L, "2026-01-08", true, Some(500L), 500L),
+      (2L, "2026-01-07", true, Some(900L), 900L)))
+  }
+
+  test("ewmaCenti: α=1/2 floor recurrence, hand-computed") {
+    val e = Seq(
+      (1L, 10L, ts("2026-01-05 10:00:00"), 1.00), // s=100
+      (1L, 11L, ts("2026-01-05 10:01:00"), 2.00), // (200+100)/2=150
+      (1L, 12L, ts("2026-01-05 10:02:00"), 0.01), // (1+150)/2=75 (floor)
+      (1L, 13L, ts("2026-01-05 10:03:00"), 0.00), // (0+75)/2=37 (floor)
+      (2L, 20L, ts("2026-01-05 09:00:00"), 3.33)) // s=333
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = EventAnalytics.ewmaCenti(e, "user_id", "ts", "event_id",
+        "value")
+      .orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 1, 10L, 100L), (1L, 2, 11L, 150L), (1L, 3, 12L, 75L),
+      (1L, 4, 13L, 37L), (2L, 1, 20L, 333L)))
+  }
 }
