@@ -63,4 +63,129 @@ object Graph {
     }
     ranks
   }
+
+  /** Canonical undirected edge set: self-loops dropped, both
+    * directions collapsed to (a < b), parallel edges deduped. */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"))
+      .filter(col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+
+  /** Exact triangle count by degree-ordered orientation (the
+    * compact-forward / Schank–Wagner algorithm): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher, enumerate wedges by self-joining the oriented set on the
+    * source, and close each wedge against the oriented edge set. The
+    * orientation bounds every out-adjacency list by O(√m), so the
+    * wedge join's skew is bounded no matter how hubby the graph —
+    * the property that lets a web-scale graph count at join speed
+    * (a canonical a<b orientation alone leaves hub nodes with O(n)
+    * out-lists). Output: one row (n_nodes, n_edges, n_triangles);
+    * each triangle counted exactly once. */
+  def triangleCount(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val ce = canonicalEdges(edges, srcCol, dstCol)
+    val deg = ce.select(col("a").as("v"))
+      .unionAll(ce.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // (deg, id)-ordered orientation u ≺ w, with both endpoint degrees
+    // carried so wedge pairs can be ordered without another join
+    val oriented = ce
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("da").as("du"),
+            col("b").as("w"), col("db").as("dw")))
+          .otherwise(
+            struct(col("b").as("u"), col("db").as("du"),
+              col("a").as("w"), col("da").as("dw")))
+          .as("__e"))
+      .select(col("__e.u").as("u"), col("__e.w").as("w"),
+        col("__e.dw").as("dw"))
+    val e1 = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+    val e2 = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x"), col("y"))
+    val closing = oriented.select(col("u").as("x"), col("w").as("y"))
+    val nTri = wedges.join(closing, Seq("x", "y"), "left_semi")
+      // left_semi would dedup; wedges are already distinct per
+      // (center u, x, y) triple — count matches per-triangle exactly
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = ce.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  /** Integer-exact HITS (Kleinberg 1999) in micro-units with
+    * per-round max-normalization: iteration k computes
+    *
+    *   auth_k(v) = Σ_{u→v} hub_{k-1}(u), then ·1e6 div max
+    *   hub_k(u)  = Σ_{u→v} auth_k(v),    then ·1e6 div max
+    *
+    * — every step integer floor arithmetic on non-negative values, so
+    * an unrolled SQL replay is bit-identical (the pageRankMicro
+    * discipline). Max-normalization (not L2) keeps the fixed point in
+    * integers; the consumer reads relative ordering, as with the
+    * PageRank prior. The global max is a 1-row aggregate broadcast
+    * back by cross join — never an unpartitioned window. Output:
+    * (kind 'hub'|'auth', id, score_micro). */
+  def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst")).distinct()
+    val hubs0 = e.select(col("__src").as("id")).distinct()
+      .withColumn("h", lit(1000000L))
+    def normalized(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("__mx"))
+      df.crossJoin(mx)
+        .select(col("id"), expr(s"$c * 1000000L div __mx").as(c))
+    }
+    var hubs = hubs0
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = normalized(
+        e.join(hubs.withColumnRenamed("id", "__src"), Seq("__src"))
+          .groupBy(col("__dst").as("id")).agg(sum(col("h")).as("a")), "a")
+      hubs = normalized(
+        e.join(auths.withColumnRenamed("id", "__dst"), Seq("__dst"))
+          .groupBy(col("__src").as("id")).agg(sum(col("a")).as("h")), "h")
+    }
+    hubs.select(lit("hub").as("kind"), col("id"),
+        col("h").as("score_micro"))
+      .unionAll(auths.select(lit("auth").as("kind"), col("id"),
+        col("a").as("score_micro")))
+  }
+
+  /** Bounded-hop BFS distances over the undirected graph: dist 0 at
+    * the seed set, then `maxHops` rounds of the min-plus relaxation
+    * dist_k(v) = min(dist_{k-1}(v), 1 + min over neighbors) — each
+    * round one keyed join + one keyed min-aggregate, no driver
+    * state; the hop bound (not graph size) bounds plan depth, and
+    * only reached nodes ever materialize. Output: (id, dist). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val ce = canonicalEdges(edges, srcCol, dstCol)
+    val ue = ce.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ce.select(col("b").as("u"), col("a").as("v")))
+    var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0))
+    for (_ <- 1 to maxHops) {
+      val relaxed = ue
+        .join(dist.withColumnRenamed("id", "u"), Seq("u"))
+        .select(col("v").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
 }

@@ -189,7 +189,111 @@ object AnalyticsQueries {
         |  SELECT c.user_id, c.rn, c.event_id, (c.v + r.s) // 2
         |  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
         |SELECT user_id, rn, event_id, s AS ewma_centi
-        |FROM r ORDER BY user_id, rn""".stripMargin))
+        |FROM r ORDER BY user_id, rn""".stripMargin)),
+
+    // Exact triangle count by degree-ordered orientation (Schank–
+    // Wagner): the Spark side bounds every wedge list by O(√m) via
+    // the (deg, id) orientation; the oracle counts the same triangles
+    // with the orientation-free canonical three-join — equal counts
+    // prove the orientation logic. Graph: the mod-211 projection of
+    // lineitem's part–supplier incidence (node space bounded, edge
+    // discovery scans the full table).
+    QuerySpec("q149_triangle_count",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        graft.ops.Graph.triangleCount(
+          li.select(pmod(col("l_partkey"), lit(211)).as("src"),
+            pmod(col("l_suppkey"), lit(211)).as("dst")),
+          "src", "dst")
+      },
+      Some("""WITH raw AS (SELECT l_partkey % 211 AS s, l_suppkey % 211 AS d
+        |  FROM lineitem),
+        |ce AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |n AS (SELECT COUNT(*) AS n_nodes FROM
+        |  (SELECT a AS v FROM ce UNION SELECT b FROM ce)),
+        |m AS (SELECT COUNT(*) AS n_edges FROM ce),
+        |t AS (SELECT COUNT(*) AS n_triangles
+        |  FROM ce e1
+        |  JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin)),
+
+    // HITS hubs/authorities (Kleinberg) over the supplier→customer
+    // graph — the second classic link-quality prior beside q125's
+    // PageRank. Two iterations, integer micros, per-round
+    // max-normalization (1-row aggregate broadcast by cross join, the
+    // temperatureQuotas discipline — never an unpartitioned window);
+    // the oracle unrolls both rounds.
+    QuerySpec("q150_hits",
+      (s, dir) => {
+        val edges = table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+        graft.ops.Graph.hitsMicro(edges, "src", "dst", iters = 2)
+          .orderBy(col("kind"), col("id"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS h
+        |  FROM e),
+        |a1r AS (SELECT e.dst AS id, SUM(h0.h) AS a FROM e
+        |  JOIN h0 ON h0.id = e.src GROUP BY 1),
+        |a1 AS (SELECT id, CAST(a * 1000000 // (SELECT MAX(a) FROM a1r) AS BIGINT) AS a
+        |  FROM a1r),
+        |h1r AS (SELECT e.src AS id, SUM(a1.a) AS h FROM e
+        |  JOIN a1 ON a1.id = e.dst GROUP BY 1),
+        |h1 AS (SELECT id, CAST(h * 1000000 // (SELECT MAX(h) FROM h1r) AS BIGINT) AS h
+        |  FROM h1r),
+        |a2r AS (SELECT e.dst AS id, SUM(h1.h) AS a FROM e
+        |  JOIN h1 ON h1.id = e.src GROUP BY 1),
+        |a2 AS (SELECT id, CAST(a * 1000000 // (SELECT MAX(a) FROM a2r) AS BIGINT) AS a
+        |  FROM a2r),
+        |h2r AS (SELECT e.src AS id, SUM(a2.a) AS h FROM e
+        |  JOIN a2 ON a2.id = e.dst GROUP BY 1),
+        |h2 AS (SELECT id, CAST(h * 1000000 // (SELECT MAX(h) FROM h2r) AS BIGINT) AS h
+        |  FROM h2r)
+        |SELECT 'hub' AS kind, id, h AS score_micro FROM h2
+        |UNION ALL
+        |SELECT 'auth' AS kind, id, a AS score_micro FROM a2
+        |ORDER BY kind, id""".stripMargin)),
+
+    // Bounded-hop BFS distances (min-plus relaxation, 3 unrolled
+    // rounds) from the mod-10 supplier seed set over the undirected
+    // part↔supplier incidence graph (suppliers offset into a disjoint
+    // id space). Each round is one keyed join + one keyed min — the
+    // hop bound, not the graph, bounds plan depth.
+    QuerySpec("q151_bfs_hops",
+      (s, dir) => {
+        val edges = table(s, dir, "lineitem")
+          .select(col("l_partkey").as("p"),
+            (col("l_suppkey") + 1000000L).as("sp"))
+        val seeds = table(s, dir, "supplier")
+          .filter(pmod(col("s_suppkey"), lit(10)) === 0)
+          .select((col("s_suppkey") + 1000000L).as("sid"))
+        graft.ops.Graph.bfsHops(edges, "p", "sp", seeds, "sid", maxHops = 3)
+          .orderBy(col("id"))
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT l_partkey AS p,
+        |    l_suppkey + 1000000 AS sp FROM lineitem),
+        |ue AS (SELECT p AS u, sp AS v FROM e0
+        |  UNION ALL SELECT sp, p FROM e0),
+        |d0 AS (SELECT DISTINCT s_suppkey + 1000000 AS id, 0 AS dist
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |d1 AS (SELECT id, MIN(dist) AS dist FROM (
+        |  SELECT id, dist FROM d0 UNION ALL
+        |  SELECT ue.v, d0.dist + 1 FROM ue JOIN d0 ON d0.id = ue.u)
+        |  GROUP BY id),
+        |d2 AS (SELECT id, MIN(dist) AS dist FROM (
+        |  SELECT id, dist FROM d1 UNION ALL
+        |  SELECT ue.v, d1.dist + 1 FROM ue JOIN d1 ON d1.id = ue.u)
+        |  GROUP BY id),
+        |d3 AS (SELECT id, MIN(dist) AS dist FROM (
+        |  SELECT id, dist FROM d2 UNION ALL
+        |  SELECT ue.v, d2.dist + 1 FROM ue JOIN d2 ON d2.id = ue.u)
+        |  GROUP BY id)
+        |SELECT id, dist FROM d3 ORDER BY id""".stripMargin))
   )
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Graph analytics on planted graphs: triangle counting (orientation
+  * logic vs brute force), HITS (hand-unrolled integer iterates), and
+  * bounded-hop BFS (distances, bound, unreachability). The q149–q151
+  * gates prove oracle agreement at scale; this pins the semantics. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("triangleCount: K4, star, pendant, duplicate+reversed edges") {
+    // K4 on {1,2,3,4} = 4 triangles; edges given with duplicates,
+    // reversals and a self-loop that must all be canonicalized away
+    val k4 = Seq((1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (3, 4), (4, 3), (1, 1))
+      .toDF("src", "dst")
+    val r = Graph.triangleCount(k4, "src", "dst").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 6L, 4L))
+    // star K1,5: plenty of wedges, zero triangles
+    val star = (2 to 6).map(i => (1, i)).toDF("src", "dst")
+    val s = Graph.triangleCount(star, "src", "dst").collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == (6L, 5L, 0L))
+    // triangle with a pendant vertex: exactly one
+    val pend = Seq((1, 2), (2, 3), (3, 1), (3, 9)).toDF("src", "dst")
+    val p = Graph.triangleCount(pend, "src", "dst").collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == (4L, 4L, 1L))
+  }
+
+  test("triangleCount: differential vs brute force on the sf0.001 mod graph") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(pmod(col("l_partkey"), lit(211)).as("src"),
+        pmod(col("l_suppkey"), lit(211)).as("dst"))
+    val got = Graph.triangleCount(li, "src", "dst").collect()(0)
+    // brute force in driver Scala over the canonical edge set
+    val edges = li.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toSet
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }
+    val adj = nodes.map(v => v ->
+      edges.collect { case (a, b) if a == v => b
+                      case (a, b) if b == v => a }).toMap
+    val sorted = nodes.toSeq.sorted
+    var tri = 0L
+    for (x <- sorted; y <- adj(x) if y > x; z <- adj(x) if z > y)
+      if (adj(y).contains(z)) tri += 1
+    assert(got.getLong(0) == nodes.size.toLong)
+    assert(got.getLong(1) == edges.size.toLong)
+    assert(got.getLong(2) == tri, s"got ${got.getLong(2)}, brute $tri")
+  }
+
+  test("hitsMicro: hand-unrolled asymmetric bipartite iterates") {
+    // 1→10, 1→11, 2→10: hand-computed two-round integer iterates
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val out = Graph.hitsMicro(e, "src", "dst", iters = 2)
+      .orderBy("kind", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("auth", 10L, 1000000L), ("auth", 11L, 600000L),
+      ("hub", 1L, 1000000L), ("hub", 2L, 625000L)), out.toString)
+  }
+
+  test("hitsMicro: symmetric graph keeps symmetric scores") {
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L))
+      .toDF("src", "dst")
+    val out = Graph.hitsMicro(e, "src", "dst", iters = 2)
+      .orderBy("kind", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("auth", 10L, 500000L), ("auth", 11L, 1000000L),
+      ("auth", 12L, 500000L),
+      ("hub", 1L, 1000000L), ("hub", 2L, 1000000L)))
+  }
+
+  test("bfsHops: line graph distances, hop bound, unreachable absent") {
+    val line = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (8, 9))
+      .toDF("src", "dst")
+    val seeds = Seq(1).toDF("sid")
+    val out = Graph.bfsHops(line, "src", "dst", seeds, "sid", maxHops = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // nodes 5, 6 are beyond 3 hops; component {8,9} unreachable
+    assert(out == Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("bfsHops: multiple seeds take the min, cycles don't loop") {
+    val ring = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1))
+      .toDF("src", "dst")
+    val seeds = Seq(1, 4).toDF("sid")
+    val out = Graph.bfsHops(ring, "src", "dst", seeds, "sid", maxHops = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 0), (2L, 1), (3L, 1), (4L, 0), (5L, 1),
+      (6L, 1)))
+    // a seed with no edges still reports itself at distance 0
+    val lone = Graph.bfsHops(ring, "src", "dst", Seq(99).toDF("sid"),
+        "sid", maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(lone == Seq((99L, 0)))
+  }
+}
