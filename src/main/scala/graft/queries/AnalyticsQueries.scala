@@ -293,7 +293,39 @@ object AnalyticsQueries {
         |  SELECT id, dist FROM d2 UNION ALL
         |  SELECT ue.v, d2.dist + 1 FROM ue JOIN d2 ON d2.id = ue.u)
         |  GROUP BY id)
-        |SELECT id, dist FROM d3 ORDER BY id""".stripMargin))
+        |SELECT id, dist FROM d3 ORDER BY id""".stripMargin)),
+
+    // Grid-bucketed spatial distance self-join: points = md5-derived
+    // integer coordinates on the 10000² grid, all unordered customer
+    // pairs within radius 150 (inclusive, exact integer squared
+    // distance). Spark buckets into r×r cells and probes the 3×3
+    // neighborhood — pair space ∝ density·r², never n²; the oracle
+    // brute-forces the same md5 coordinates over all pairs, so the
+    // gate proves the bucketing loses nothing at the cell borders.
+    QuerySpec("q152_spatial_join",
+      (s, dir) => {
+        val pts = table(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          graft.ops.Spatial.hashCoord("gx:", col("c_custkey"), 10000)
+            .as("x"),
+          graft.ops.Spatial.hashCoord("gy:", col("c_custkey"), 10000)
+            .as("y"))
+        graft.ops.Spatial.distanceJoin(pts, "id", "x", "y", radius = 150)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH p AS (SELECT c_custkey AS id,
+        |    CAST(('0x' || substr(md5('gx:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 6)) AS BIGINT) % 10000 AS x,
+        |    CAST(('0x' || substr(md5('gy:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 6)) AS BIGINT) % 10000 AS y
+        |  FROM customer)
+        |SELECT pa.id AS a, pb.id AS b,
+        |  (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)
+        |    AS dist2
+        |FROM p pa JOIN p pb ON pa.id < pb.id
+        |WHERE (pa.x - pb.x) * (pa.x - pb.x) +
+        |      (pa.y - pb.y) * (pa.y - pb.y) <= 22500
+        |ORDER BY a, b""".stripMargin))
   )
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")

@@ -651,4 +651,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("graft_agg_state"), "persisted state scan missing")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("q152 spatial join: keyed equi-join on grid cells, no BNL") {
+    val p = plan("q152_spatial_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "spatial join must meet on cell keys, not a nested loop")
+    // the distance predicate is a post-join filter on an equi-join,
+    // so SOME hash/merge join on the cell key must be present
+    assert(p.contains("Join"), "expected a join operator")
+  }
 }
