@@ -118,6 +118,31 @@ object EventAnalytics {
         last(col("__s"), ignoreNulls = true).over(w).as("filled_centi"))
   }
 
+  /** First-order Markov transition matrix of the event stream: for
+    * every (from, to) event-type pair, the number of observed
+    * consecutive transitions (per entity, (ts, id)-ordered) and the
+    * conditional probability in integer micros (n·1e6 div row-total —
+    * exact floor arithmetic). The lead() window is partitioned per
+    * entity; the per-from totals join is |event types|-sized, so it
+    * broadcasts. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000L div __tot").as("p_micro"))
+  }
+
   /** Fixed-point EWMA with α = 1/2: s₁ = v₁, sₜ = (vₜ + sₜ₋₁) div 2,
     * in exact centi-units over non-negative values — every step is
     * integer arithmetic, so an unrolled/recursive SQL replay is

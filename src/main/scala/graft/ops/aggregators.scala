@@ -82,3 +82,55 @@ object IntervalUnionDays {
       def outputEncoder: Encoder[Long] = Encoders.scalaLong
     }
 }
+
+/** Misra–Gries heavy-hitters summary as a mergeable typed Aggregator
+  * (Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+  * Summaries", PODS 2012): at most `k` counters; inserting past
+  * capacity decrements every counter (dropping zeros); merging sums
+  * counters and subtracts the (k+1)-th largest, dropping non-positive.
+  *
+  * Guarantees, independent of partitioning and merge order — the
+  * properties the q154 gate checks and the only things a consumer may
+  * rely on (the candidate SET itself is order-dependent):
+  *   - est(x) ≤ true(x)                          (never overcounts)
+  *   - true(x) − est(x) ≤ n/(k+1)                (bounded undercount)
+  *   - every x with true(x) > n/(k+1) is present (no heavy miss)
+  *
+  * Buffer is O(k) regardless of stream length — the fixed-size
+  * summary that answers "top sources/domains/tokens by frequency"
+  * over a 100 TB scan with one map-side-combined aggregate. */
+object MisraGries {
+
+  def apply(k: Int): Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] = {
+    require(k >= 1)
+    new Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] {
+      def zero: Map[Long, Long] = Map.empty
+
+      def reduce(m: Map[Long, Long], x: Long): Map[Long, Long] =
+        m.get(x) match {
+          case Some(c) => m.updated(x, c + 1)
+          case None if m.size < k => m.updated(x, 1L)
+          case None => // decrement-all, drop zeros (the classic step)
+            m.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+        }
+
+      def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+        val s = (a.keySet ++ b.keySet).iterator
+          .map(x => x -> (a.getOrElse(x, 0L) + b.getOrElse(x, 0L))).toMap
+        if (s.size <= k) s
+        else {
+          val cut = s.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          s.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+        }
+      }
+
+      def finish(m: Map[Long, Long]): Seq[(Long, Long)] =
+        m.toSeq.sortBy(_._1)
+
+      def bufferEncoder: Encoder[Map[Long, Long]] =
+        Encoders.kryo[Map[Long, Long]]
+      def outputEncoder: Encoder[Seq[(Long, Long)]] =
+        Encoders.kryo[Seq[(Long, Long)]]
+    }
+  }
+}

@@ -325,7 +325,68 @@ object AnalyticsQueries {
         |FROM p pa JOIN p pb ON pa.id < pb.id
         |WHERE (pa.x - pb.x) * (pa.x - pb.x) +
         |      (pa.y - pb.y) * (pa.y - pb.y) <= 22500
-        |ORDER BY a, b""".stripMargin))
+        |ORDER BY a, b""".stripMargin)),
+
+    // First-order Markov transition matrix of the event stream:
+    // consecutive (from, to) event-type pairs per entity under the
+    // (ts, event_id) total order, counts plus integer-micro
+    // conditional probabilities (n·1e6 div per-from total).
+    QuerySpec("q153_transition_matrix",
+      (s, dir) => EventAnalytics.transitionMatrix(events(s, dir),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("from_type"), col("to_type")),
+      Some(s"""WITH e AS ($eventsSql),
+        |p AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_micro
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin)),
+
+    // Misra–Gries heavy hitters: a k=64-counter mergeable summary
+    // over a deterministically skewed key (25% of lineitem mass on 7
+    // hot keys). The candidate set is merge-order-dependent, so the
+    // gate emits only the ORDER-INDEPENDENT guarantees, evaluated
+    // per TRUE heavy hitter (exact freq·k > n): present in the
+    // summary, and est ≤ true ≤ est + n/(k+1). The oracle computes
+    // the exact heavy hitters and emits the guaranteed constants —
+    // any violation flips a boolean and fails the hash.
+    QuerySpec("q154_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val keyed = table(s, dir, "lineitem").select(
+          when(pmod(col("l_orderkey"), lit(4)) === 0,
+              pmod(col("l_partkey"), lit(7)))
+            .otherwise(col("l_partkey") + 1000000L).as("key"))
+        val summary = keyed.as[Long]
+          .select(graft.ops.MisraGries(64).toColumn)
+          .flatMap(identity(_)).toDF("key", "est")
+        val exact = keyed.groupBy(col("key"))
+          .agg(count(lit(1)).as("true_n"))
+        val total = keyed.agg(count(lit(1)).as("__total"))
+        exact.crossJoin(total)
+          .filter(col("true_n") * 64 > col("__total"))
+          .join(summary, Seq("key"), "left")
+          .select(col("key"), col("true_n"),
+            col("est").isNotNull.as("found"),
+            (col("est").isNotNull && col("est") <= col("true_n") &&
+              (col("true_n") - col("est")) * 65 <= col("__total"))
+              .as("within_bound"))
+          .orderBy(col("key"))
+      },
+      Some("""WITH x AS (SELECT CASE WHEN l_orderkey % 4 = 0
+        |      THEN l_partkey % 7 ELSE l_partkey + 1000000 END AS key
+        |  FROM lineitem),
+        |c AS (SELECT key, COUNT(*) AS true_n FROM x GROUP BY 1),
+        |t AS (SELECT SUM(true_n) AS total FROM c)
+        |SELECT key, true_n, TRUE AS found, TRUE AS within_bound
+        |FROM c, t WHERE true_n * 64 > total
+        |ORDER BY key""".stripMargin))
   )
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")

@@ -112,6 +112,30 @@ class EventAnalyticsSpec extends SparkSuite {
       (2L, "2026-01-07", true, Some(900L), 900L)))
   }
 
+  test("transitionMatrix: per-entity consecutive pairs, exact micro probs") {
+    val e = Seq(
+      (1L, 10L, ts("2026-01-05 10:00:00"), "view"),
+      (1L, 11L, ts("2026-01-05 10:01:00"), "click"),
+      (1L, 12L, ts("2026-01-05 10:02:00"), "view"),
+      (1L, 13L, ts("2026-01-05 10:03:00"), "click"),
+      (2L, 20L, ts("2026-01-05 09:00:00"), "view"),
+      (2L, 21L, ts("2026-01-05 09:01:00"), "purchase"),
+      // u3 single event: no transition; u1/u2 streams never chain
+      (3L, 30L, ts("2026-01-05 08:00:00"), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.transitionMatrix(e, "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // from view: 2×click, 1×purchase (p = 666666 / 333333 micro);
+    // from click: 1×view (p = 1e6)
+    assert(out == Seq(
+      ("click", "view", 1L, 1000000L),
+      ("view", "click", 2L, 666666L),
+      ("view", "purchase", 1L, 333333L)))
+  }
+
   test("ewmaCenti: α=1/2 floor recurrence, hand-computed") {
     val e = Seq(
       (1L, 10L, ts("2026-01-05 10:00:00"), 1.00), // s=100

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.MisraGries
+
+/** Misra–Gries guarantees under hostile partitionings, plus the
+  * merge-rule arithmetic directly. The q154 gate proves the
+  * guarantees at scale against exact counts; this pins them on
+  * planted streams where the decrement/cut paths are forced. */
+class HeavyHittersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def summarize(xs: Seq[Long], k: Int, parts: Int): Map[Long, Long] =
+    xs.toDS().repartition(parts)
+      .select(MisraGries(k).toColumn)
+      .collect()(0).toMap
+
+  test("exact when distinct keys fit the summary, any partitioning") {
+    val xs = Seq.tabulate(1000L.toInt)(i => (i % 10).toLong)
+    for (parts <- Seq(1, 7, 32)) {
+      val m = summarize(xs, k = 16, parts)
+      assert(m == (0L to 9L).map(_ -> 100L).toMap, s"parts=$parts")
+    }
+  }
+
+  test("planted 50% key survives with bounded undercount at k=16") {
+    // 5000 copies of key 0 + 5000 singletons forcing constant eviction
+    val xs = Seq.fill(5000)(0L) ++ (1L to 5000L).map(_ + 100L)
+    val n = xs.length
+    for (parts <- Seq(1, 13, 32)) {
+      val m = summarize(xs, k = 16, parts)
+      val est = m.getOrElse(0L, 0L)
+      assert(est > 0, s"heavy key missing at parts=$parts")
+      assert(est <= 5000L, s"overcount at parts=$parts: $est")
+      assert((5000L - est) * 17 <= n, s"undercount too big: $est")
+    }
+  }
+
+  test("every key above n/(k+1) is present; none overcounted") {
+    // three tiers: 2 very heavy, 3 moderately heavy, long tail
+    val xs = Seq.fill(3000)(1L) ++ Seq.fill(2500)(2L) ++
+      Seq.fill(900)(3L) ++ Seq.fill(800)(4L) ++ Seq.fill(700)(5L) ++
+      (1L to 2100L).map(_ + 1000L)
+    val n = xs.length
+    val k = 16
+    val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 8, 32)) {
+      val m = summarize(xs, k, parts)
+      for ((key, t) <- exact if t * (k + 1) > n)
+        assert(m.contains(key), s"key $key (freq $t) missing, parts=$parts")
+      for ((key, est) <- m)
+        assert(est <= exact(key), s"overcount $key: $est > ${exact(key)}")
+    }
+  }
+
+  test("merge rule: sum, cut at the (k+1)-th largest, drop non-positive") {
+    val agg = MisraGries(3)
+    val a = Map(1L -> 10L, 2L -> 5L, 3L -> 1L)
+    val b = Map(2L -> 5L, 4L -> 4L, 5L -> 2L)
+    // summed: 1→10, 2→10, 3→1, 4→4, 5→2 (5 keys > k=3);
+    // 4th largest = 2 → subtract 2, drop ≤0: 1→8, 2→8, 4→2
+    assert(agg.merge(a, b) == Map(1L -> 8L, 2L -> 8L, 4L -> 2L))
+    // reduce past capacity decrements all and drops zeros
+    assert(agg.reduce(Map(1L -> 2L, 2L -> 1L, 3L -> 1L), 9L) ==
+      Map(1L -> 1L))
+  }
+}
