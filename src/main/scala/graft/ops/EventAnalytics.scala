@@ -118,6 +118,35 @@ object EventAnalytics {
         last(col("__s"), ignoreNulls = true).over(w).as("filled_centi"))
   }
 
+  /** Gap-based sessionization with per-session statistics — the
+    * gaps-and-islands form that exposes SESSION IDs (session_window
+    * covers the windowed-agg form, q20): a session starts at the
+    * first event and wherever the gap to the previous event exceeds
+    * `gapMicros`; `session_idx` is the running count of those starts
+    * (both windows per-entity, (ts, id)-ordered). Emits one row per
+    * session: bounds in integer micros, exact duration, event count,
+    * centi-exact value sum. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String, gapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__t"), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(userCol), col(idCol), col(valCol),
+        unix_micros(col(tsCol)).as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__t") - col("__prev") > gapMicros, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("__new")).over(wRun))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__t")).as("t_start_micros"),
+        max(col("__t")).as("t_end_micros"),
+        (max(col("__t")) - min(col("__t"))).as("duration_micros"),
+        sum(centi(col(valCol))).as("sum_value_centi"))
+  }
+
   /** First-order Markov transition matrix of the event stream: for
     * every (from, to) event-type pair, the number of observed
     * consecutive transitions (per entity, (ts, id)-ordered) and the

@@ -35,4 +35,31 @@ object Profile {
       .select(col("col_name"), col("n"), col("n_nonnull"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** Per-group z-score outliers WITHOUT square roots: flag x when
+    * (x − μ)² > z²·σ², which over integer units rewrites exactly to
+    *
+    *   (n·x − S)² > z² · (n·Q − S²)      with S = Σx, Q = Σx²
+    *
+    * — all integer, so both engines agree bit-for-bit. The squared
+    * terms are compared in DECIMAL(38,0) (n·x at planetary group
+    * sizes squares past int64; 38 digits cover n ≈ 1e9 groups of
+    * 1e6-unit values). One aggregate for the per-group moment frame
+    * (≤ |groups| rows, broadcast back), one scan to flag — no
+    * window, no second pass over values. Emits ONLY the outliers. */
+  def groupOutliers(df: DataFrame, groupCol: String, idCols: Seq[String],
+      valueCentiCol: String, z: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(d38).as("__n"),
+      sum(col(valueCentiCol).cast(d38)).cast(d38).as("__s"),
+      sum((col(valueCentiCol) * col(valueCentiCol)).cast(d38))
+        .cast(d38).as("__q"))
+    val dev = col("__n") * col(valueCentiCol) - col("__s")
+    val varTerm = col("__n") * col("__q") - col("__s") * col("__s")
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(dev * dev > lit(z * z) * varTerm)
+      .select((col(groupCol) +: idCols.map(col)) :+
+        col(valueCentiCol): _*)
+  }
 }

@@ -386,7 +386,89 @@ object AnalyticsQueries {
         |t AS (SELECT SUM(true_n) AS total FROM c)
         |SELECT key, true_n, TRUE AS found, TRUE AS within_bound
         |FROM c, t WHERE true_n * 64 > total
-        |ORDER BY key""".stripMargin))
+        |ORDER BY key""".stripMargin)),
+
+    // Per-group z-score outliers with NO square roots: the flag
+    // condition (x−μ)² > z²σ² rewritten to exact integer moments
+    // ((n·x−S)² > z²(nQ−S²)), compared in DECIMAL(38,0)/HUGEINT so
+    // both engines agree bit-for-bit. One moment aggregate broadcast
+    // back, one flagging scan — no window, no second pass.
+    QuerySpec("q155_group_outliers",
+      (s, dir) => {
+        val v = table(s, dir, "lineitem").select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          ((col("l_extendedprice") * col("l_quantity"))
+            .cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+        graft.ops.Profile.groupOutliers(v, "l_suppkey",
+            Seq("l_orderkey", "l_linenumber"), "v_centi", z = 3)
+          .orderBy(col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber"))
+      },
+      Some("""WITH v AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS v_centi
+        |  FROM lineitem),
+        |st AS (SELECT l_suppkey, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(v_centi) AS HUGEINT) AS s,
+        |    SUM(CAST(v_centi AS HUGEINT) * v_centi) AS q
+        |  FROM v GROUP BY 1)
+        |SELECT v.l_suppkey, v.l_orderkey, v.l_linenumber, v.v_centi
+        |FROM v JOIN st USING (l_suppkey)
+        |WHERE (n * v_centi - s) * (n * v_centi - s) > 9 * (n * q - s * s)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Per-group 2-D Pareto frontier (skyline): one partitioned window
+    // over the (x desc, y desc) order — a point survives iff its y
+    // beats every preceding y — versus the oracle's definitional
+    // quadratic NOT EXISTS dominance test. O(n log n) vs O(n²), equal
+    // answers.
+    QuerySpec("q156_pareto_frontier",
+      (s, dir) => {
+        val pts = table(s, dir, "part").select(
+          col("p_brand"), col("p_size").as("x"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("y"))
+        graft.ops.Relational.paretoFrontier(pts, "p_brand", "x", "y")
+          .orderBy(col("p_brand"), col("x"), col("y"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT p_brand, p_size AS x,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM part)
+        |SELECT p_brand, x, y FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b WHERE b.p_brand = a.p_brand
+        |  AND b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+        |ORDER BY p_brand, x, y""".stripMargin)),
+
+    // Gap-based sessionization with session IDs and per-session
+    // stats (30-minute gap): the gaps-and-islands dual of q20's
+    // session_window — running flag-sum indexes sessions, then one
+    // keyed aggregate. Exact micros and centi sums.
+    QuerySpec("q157_sessionize",
+      (s, dir) => EventAnalytics.sessionize(events(s, dir),
+          "user_id", "ts", "event_id", "value", gapMicros = 1800000000L)
+        .orderBy(col("user_id"), col("session_idx")),
+      Some(s"""WITH e AS ($eventsSql),
+        |s AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, t, v,
+        |    CASE WHEN LAG(t) OVER w IS NULL
+        |           OR t - LAG(t) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |g AS (SELECT user_id, t, v,
+        |    CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(t) AS t_start_micros, MAX(t) AS t_end_micros,
+        |  MAX(t) - MIN(t) AS duration_micros,
+        |  CAST(SUM(v) AS BIGINT) AS sum_value_centi
+        |FROM g GROUP BY 1, 2
+        |ORDER BY user_id, session_idx""".stripMargin))
   )
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{EventAnalytics, Profile, Relational}
+
+/** Hand cases for the second-wave analytics ops: Pareto frontier
+  * dominance edges, sessionization gap boundaries, and the integer
+  * z-score outlier rewrite (the q155–q157 gates prove oracle
+  * agreement at scale). */
+class AnalyticsOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("paretoFrontier: dominance, ties, duplicates, per-group isolation") {
+    val pts = Seq(
+      // group A frontier: (5,1), (2,2), (1,5) — mutually incomparable;
+      // (4,1) dominated by (5,1), (1,4) by (1,5); (5,1) duplicated in
+      // the input — frontier emits distinct points
+      ("A", 5L, 1L), ("A", 5L, 1L), ("A", 1L, 5L), ("A", 4L, 1L),
+      ("A", 1L, 4L), ("A", 2L, 2L),
+      // same-x tie: only the max y of x=3 survives alongside (4,9)?
+      // (3,7) vs (3,9): (3,9) dominates (3,7); (4,9) dominates (3,9)
+      ("B", 3L, 7L), ("B", 3L, 9L), ("B", 4L, 9L),
+      // group C: single point
+      ("C", 0L, 0L))
+      .toDF("g", "x", "y")
+    val out = Relational.paretoFrontier(pts, "g", "x", "y")
+      .orderBy("g", "x", "y").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("A", 1L, 5L), ("A", 2L, 2L), ("A", 5L, 1L),
+      ("B", 4L, 9L), ("C", 0L, 0L)))
+  }
+
+  test("paretoFrontier: differential vs quadratic dominance on md5 points") {
+    val pts = spark.read.parquet(s"$sf0001/part.parquet").select(
+      col("p_brand").as("g"), col("p_size").cast("long").as("x"),
+      (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("y"))
+    val got = Relational.paretoFrontier(pts, "g", "x", "y")
+      .orderBy("g", "x", "y").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val raw = pts.distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = raw.filter { case (g, x, y) =>
+      !raw.exists { case (g2, x2, y2) =>
+        g2 == g && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(got.nonEmpty && got == brute)
+  }
+
+  test("sessionize: gap boundary is strict, stats exact") {
+    val e = Seq(
+      (1L, 10L, ts("2026-01-05 10:00:00"), 1.00),
+      (1L, 11L, ts("2026-01-05 10:30:00"), 2.00), // gap == 30min: SAME
+      (1L, 12L, ts("2026-01-05 11:00:01"), 3.00), // 30min+1s: NEW
+      (1L, 13L, ts("2026-01-05 11:10:01"), 4.00),
+      (2L, 20L, ts("2026-01-05 09:00:00"), 9.00))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = EventAnalytics.sessionize(e, "user_id", "ts", "event_id",
+        "value", gapMicros = 1800000000L)
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, 1800000000L, 300L), // 2 events, 30min span, 3.00
+      (1L, 2L, 2L, 600000000L, 700L),  // 2 events, 10min span, 7.00
+      (2L, 1L, 1L, 0L, 900L)))
+  }
+
+  test("groupOutliers: planted spike flagged, uniform group silent") {
+    // group 1: 20 values of 100 and one 10000 → clear z=3 outlier;
+    // group 2: constant values → zero variance, nothing flagged
+    val rows = (1L to 20L).map(i => (1L, i, 100L)) ++
+      Seq((1L, 99L, 10000L)) ++ (1L to 20L).map(i => (2L, i, 500L))
+    val df = rows.toDF("g", "id", "v_centi")
+    val out = Profile.groupOutliers(df, "g", Seq("id"), "v_centi", z = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 99L, 10000L)))
+  }
+}
