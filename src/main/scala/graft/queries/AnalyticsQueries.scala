@@ -468,7 +468,146 @@ object AnalyticsQueries {
         |  MAX(t) - MIN(t) AS duration_micros,
         |  CAST(SUM(v) AS BIGINT) AS sum_value_centi
         |FROM g GROUP BY 1, 2
-        |ORDER BY user_id, session_idx""".stripMargin))
+        |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // Per-group top-k: each supplier's top-3 parts by exact decimal
+    // revenue, total-ordered tiebreak (revenue desc, partkey asc) so
+    // both engines pick identical winners despite revenue ties.
+    QuerySpec("q158_topk_per_group",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = table(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .as("__rev"))
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("__rev").desc, col("l_partkey").asc)
+        rev.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("l_suppkey"), col("rk"), col("l_partkey"),
+            col("__rev").cast("double").as("revenue"))
+          .orderBy(col("l_suppkey"), col("rk"))
+      },
+      Some("""WITH rev AS (SELECT l_suppkey, l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (SELECT l_suppkey, l_partkey, r,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY r DESC, l_partkey ASC) AS rk
+        |  FROM rev)
+        |SELECT l_suppkey, rk, l_partkey, CAST(r AS DOUBLE) AS revenue
+        |FROM rk WHERE rk <= 3
+        |ORDER BY l_suppkey, rk""".stripMargin)),
+
+    // Per-group exact discrete quantiles by ceil-rank selection: the
+    // k-th smallest VALUE is a multiset property, so row_number ties
+    // on equal values cannot change the answer — p25/p50/p90 of the
+    // quantity distribution per supplier, engine-exact integers.
+    QuerySpec("q159_group_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = table(s, dir, "lineitem").select(col("l_suppkey"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+            .as("v"))
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("v"))
+        v.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("l_suppkey"))))
+          .groupBy(col("l_suppkey"))
+          .agg(
+            max(when(col("rn") === expr("(n + 3) div 4"), col("v")))
+              .as("p25_centi"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("v")))
+              .as("p50_centi"),
+            max(when(col("rn") === expr("(9 * n + 9) div 10"), col("v")))
+              .as("p90_centi"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""WITH v AS (SELECT l_suppkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (SELECT l_suppkey, v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+        |  FROM v)
+        |SELECT l_suppkey,
+        |  MAX(CASE WHEN rn = (n + 3) // 4 THEN v END) AS p25_centi,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50_centi,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_centi
+        |FROM r GROUP BY 1 ORDER BY l_suppkey""".stripMargin)),
+
+    // Order-independent table fingerprints: per-table 60-bit XOR of
+    // md5 row hashes over canonical string forms — the "are the
+    // replicas identical" check as ONE aggregate per table, 8 bytes
+    // of state. Both engines hash the same strings, so the
+    // fingerprints match bit-for-bit.
+    QuerySpec("q160_table_fingerprint",
+      (s, dir) => {
+        import graft.ops.Reconcile
+        Reconcile.fingerprint(table(s, dir, "region"), "region",
+            Seq(col("r_regionkey"), col("r_name")))
+          .unionByName(Reconcile.fingerprint(table(s, dir, "nation"),
+            "nation",
+            Seq(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+          .unionByName(Reconcile.fingerprint(table(s, dir, "customer"),
+            "customer",
+            Seq(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              col("c_acctbal").cast("decimal(18,2)"),
+              col("c_mktsegment"))))
+          .orderBy(col("tbl"))
+      },
+      Some("""SELECT 'region' AS tbl, COUNT(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(
+        |    r_regionkey || '|' || r_name), 1, 15)) AS BIGINT)) AS xor60
+        |FROM region
+        |UNION ALL
+        |SELECT 'nation', COUNT(*),
+        |  bit_xor(CAST(('0x' || substr(md5(
+        |    n_nationkey || '|' || n_name || '|' || n_regionkey), 1, 15))
+        |    AS BIGINT))
+        |FROM nation
+        |UNION ALL
+        |SELECT 'customer', COUNT(*),
+        |  bit_xor(CAST(('0x' || substr(md5(
+        |    c_custkey || '|' || c_name || '|' || c_nationkey || '|' ||
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        |    c_mktsegment), 1, 15)) AS BIGINT))
+        |FROM customer
+        |ORDER BY tbl""".stripMargin)),
+
+    // Keyed snapshot diff: orders vs a deterministically mutated
+    // revision (mod-13 removed, mod-7 survivors changed, mod-17
+    // re-keyed additions) — one full-outer hash join on the key,
+    // content compared as 60-bit hashes. The oracle re-derives the
+    // labels from the mutation arithmetic alone, so a diff that
+    // misses or mislabels any row fails the hash.
+    QuerySpec("q161_table_diff",
+      (s, dir) => {
+        val base = table(s, dir, "orders")
+        val survivors = base
+          .filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+          .withColumn("o_orderpriority",
+            when(pmod(col("o_orderkey"), lit(7)) === 0,
+              concat(lit("X-"), col("o_orderpriority")))
+              .otherwise(col("o_orderpriority")))
+        val additions = base
+          .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        graft.ops.Reconcile.tableDiff(base,
+            survivors.unionByName(additions), Seq("o_orderkey"),
+            Seq("o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, 'removed' AS label FROM orders
+        |  WHERE o_orderkey % 13 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' FROM orders
+        |  WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'added' FROM orders
+        |  WHERE o_orderkey % 17 = 0
+        |ORDER BY o_orderkey""".stripMargin))
   )
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")

@@ -69,6 +69,45 @@ class AnalyticsOpsSpec extends SparkSuite {
       (2L, 1L, 1L, 0L, 900L)))
   }
 
+  test("fingerprint: order/partitioning-independent; any row change flips it") {
+    import graft.ops.Reconcile
+    val df = (1L to 500L).map(i => (i, s"name_$i")).toDF("k", "s")
+    def fp(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Reconcile.fingerprint(d, "t", Seq(col("k"), col("s")))
+        .collect()(0)
+      (r.getLong(1), r.getLong(2))
+    }
+    val base = fp(df)
+    assert(fp(df.repartition(13)) == base)
+    assert(fp(df.orderBy(col("k").desc)) == base)
+    // one mutated row changes the fingerprint, count unchanged
+    val mutated = df.withColumn("s",
+      when(col("k") === 250L, lit("tampered")).otherwise(col("s")))
+    val m = fp(mutated)
+    assert(m._1 == base._1 && m._2 != base._2)
+    // swapping content between two rows changes it too (not just sums)
+    val swapped = df.withColumn("s",
+      when(col("k") === 1L, lit("name_2"))
+        .when(col("k") === 2L, lit("name_1")).otherwise(col("s")))
+    assert(fp(swapped)._2 != base._2)
+  }
+
+  test("tableDiff: added/removed/changed labeled, unchanged silent") {
+    import graft.ops.Reconcile
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "s", "v")
+    val rev = Seq((1L, "a", 10L),        // unchanged
+      (2L, "b", 99L),                    // changed
+      (4L, "D", 40L),                    // changed (string col)
+      (5L, "e", 50L))                    // added; 3 removed
+      .toDF("k", "s", "v")
+    val out = Reconcile.tableDiff(base, rev, Seq("k"), Seq("s", "v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((2L, "changed"), (3L, "removed"), (4L, "changed"),
+      (5L, "added")))
+  }
+
   test("groupOutliers: planted spike flagged, uniform group silent") {
     // group 1: 20 values of 100 and one 10000 → clear z=3 outlier;
     // group 2: constant values → zero variance, nothing flagged
