@@ -83,7 +83,14 @@ object ScaleStress {
       // the portable sketches: input grows factor-x, state is fixed —
       // shuffle must stay FLAT, the one growth exponent that is
       // supposed to be zero
-      "q127_hll_registers", "q133_cms_sketch", "q135_hist_sketch")
+      "q127_hll_registers", "q133_cms_sketch", "q135_hist_sketch",
+      // round-10 third leg: summary-state operators whose shuffle is
+      // bounded by state size, not input — incremental agg state
+      // (≤ |keys| rows/partition), the Misra–Gries summary (O(k)
+      // buffer; its exact-count arm is keyed on a FIXED key space),
+      // and the mod-211 triangle graph (node space constant, only
+      // the edge-discovery scan grows)
+      "q144_incr_agg", "q149_triangle_count", "q154_heavy_hitters")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')

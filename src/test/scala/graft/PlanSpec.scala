@@ -140,9 +140,14 @@ class PlanSpec extends SparkSuite {
     // 1-row aggregate cross (its cumsum is an equi suffix-explode, its
     // per-p winner a plain min — the only BNL left is the one-row
     // total attach).
+    // q149/q150/q154 joined in r10 leg 3: all three attach 1-ROW
+    // aggregates by keyless cross join (q149 the three scalar counts,
+    // q150 the per-round max normalizer, q154 the total-row-count) —
+    // one row by construction, the same quota-Σw discipline.
     val bnlAllowed = Set("q30_ann_bruteforce",
       "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion",
-      "q95_temperature_mix", "q99_unimax_mix", "q136_hist_quantiles")
+      "q95_temperature_mix", "q99_unimax_mix", "q136_hist_quantiles",
+      "q149_triangle_count", "q150_hits", "q154_heavy_hitters")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

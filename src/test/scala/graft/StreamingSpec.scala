@@ -100,6 +100,60 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 5.0), (2L, 7.0), (3L, 9.0)))
   }
 
+  test("stream-stream interval join equals the batch join across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // impressions joined to clicks within [imp.ts, imp.ts + 10 min] on
+    // the ad key — both sides watermarked and the time range bounded
+    // in BOTH directions, the conditions Spark needs to age join state
+    // out instead of buffering streams forever (the 100 TB continuous
+    // form of q59's keyless range join)
+    val imps = MemoryStream[Ev]   // user_id stands in for ad_id
+    val clicks = MemoryStream[Ev]
+    val impDf = imps.toDS().toDF("its", "ad", "iv")
+      .withWatermark("its", "30 minutes")
+    val clkDf = clicks.toDS().toDF("cts", "cad", "cv")
+      .withWatermark("cts", "30 minutes")
+    val joined = impDf.join(clkDf,
+      col("ad") === col("cad") &&
+        col("cts") >= col("its") &&
+        col("cts") <= col("its") + expr("interval 10 minutes"))
+      .select(col("ad"), col("its"), col("cts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    def ev(m: Int, id: Long) =
+      Ev(Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), id, 0.0)
+    // batch 1: imp for ad 1 at 10:00, clicks at 10:05 (in) and 10:20
+    // (outside the 10-min bound); ad 2 click with no impression
+    imps.addData(ev(0, 1L))
+    clicks.addData(ev(5, 1L), ev(20, 1L), ev(5, 2L))
+    q.processAllAvailable()
+    // batch 2: the ad-2 impression arrives LATER than its click —
+    // within watermark, so the buffered click must still join; plus a
+    // fresh in-window pair for ad 3
+    imps.addData(ev(0, 2L), ev(10, 3L))
+    clicks.addData(ev(12, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out")
+      .select(col("ad"), col("its").cast("string"),
+        col("cts").cast("string"))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    // the batch join over the same union of rows
+    val allImps = Seq(ev(0, 1L), ev(0, 2L), ev(10, 3L))
+      .toDF("its", "ad", "iv")
+    val allClicks = Seq(ev(5, 1L), ev(20, 1L), ev(5, 2L), ev(12, 3L))
+      .toDF("cts", "cad", "cv")
+    val want = allImps.join(allClicks,
+        col("ad") === col("cad") &&
+          col("cts") >= col("its") &&
+          col("cts") <= col("its") + expr("interval 10 minutes"))
+      .select(col("ad"), col("its").cast("string"),
+        col("cts").cast("string"))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got.map(_._1) == Seq(1L, 2L, 3L)) // one row per in-window pair
+  }
+
   test("stream-static join: micro-batches enrich against a static dimension") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
