@@ -607,7 +607,83 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT o_orderkey + 10000000, 'added' FROM orders
         |  WHERE o_orderkey % 17 = 0
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers
+    // ⋈ orders ⋈ lineitems straddling a date cutoff, revenue =
+    // Σ price·(1−discount) through the decimal gate, top 10 by a
+    // total order. Exercises the selective-dim broadcast + join
+    // reorder path on a classic 3-table star query.
+    QuerySpec("q162_shipping_priority",
+      (s, dir) => {
+        val cut = lit("1998-06-01").cast("timestamp")
+        table(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .join(table(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < cut)
+          .join(table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > cut)
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,2)")).as("__rev"))
+          .select(col("l_orderkey"), col("o_orderdate"),
+            col("__rev").cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-table join —
+    // region → nation → customer → orders → lineitem → supplier with
+    // the customer-and-supplier-same-nation constraint — revenue per
+    // nation. The widest join tree in the suite; Catalyst broadcast
+    // choices and join order carry it.
+    QuerySpec("q163_local_supplier_volume",
+      (s, dir) => {
+        table(s, dir, "region").filter(col("r_name") === "ASIA")
+          .join(table(s, dir, "nation"),
+            col("r_regionkey") === col("n_regionkey"))
+          .join(table(s, dir, "customer"),
+            col("n_nationkey") === col("c_nationkey"))
+          .join(table(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"))
+          .join(table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,2)")).as("__rev"))
+          .select(col("n_name"), col("__rev").cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, n_name""".stripMargin))
   )
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")

@@ -657,6 +657,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q163 six-table star: dims broadcast, fact scanned once, no BNL") {
+    val p = plan("q163_local_supplier_volume")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected the dims to broadcast, got $bhj BHJs")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    val factScans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(factScans == 1, s"expected 1 lineitem scan, got $factScans")
+  }
+
   test("q152 spatial join: keyed equi-join on grid cells, no BNL") {
     val p = plan("q152_spatial_join")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
