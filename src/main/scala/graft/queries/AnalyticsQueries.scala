@@ -683,7 +683,126 @@ object AnalyticsQueries {
         |  AND s_nationkey = c_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1
-        |ORDER BY revenue DESC, n_name""".stripMargin))
+        |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // The ranking-window zoo on one gate: rank / dense_rank /
+    // percent_rank / cume_dist / ntile / nth_value / first / last,
+    // over the DISTINCT (supplier, quantity) pairs so the in-partition
+    // order is total and every function is deterministic. Ratio
+    // functions divide exact small integers — IEEE-identical doubles.
+    // Frames are explicit full-partition ROWS frames on both sides
+    // (engine default frames differ per function — never rely on
+    // them).
+    QuerySpec("q164_window_zoo",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = table(s, dir, "lineitem").select(col("l_suppkey"),
+            (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+              .as("v"))
+          .distinct()
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("v"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        v.select(col("l_suppkey"), col("v"),
+            rank().over(w).as("rk"),
+            dense_rank().over(w).as("drk"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).as("quartile"),
+            nth_value(col("v"), 3).over(wFull).as("third_v"),
+            first(col("v")).over(wFull).as("min_v"),
+            last(col("v")).over(wFull).as("max_v"))
+          .orderBy(col("l_suppkey"), col("v"))
+      },
+      Some("""WITH v AS (SELECT DISTINCT l_suppkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem)
+        |SELECT l_suppkey, v,
+        |  CAST(RANK() OVER w AS INTEGER) AS rk,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+        |  PERCENT_RANK() OVER w AS prk,
+        |  CUME_DIST() OVER w AS cd,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  NTH_VALUE(v, 3) OVER wf AS third_v,
+        |  FIRST_VALUE(v) OVER wf AS min_v,
+        |  LAST_VALUE(v) OVER wf AS max_v
+        |FROM v
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY v),
+        |  wf AS (PARTITION BY l_suppkey ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, v""".stripMargin)),
+
+    // Datetime-function surface over the distinct event days: trunc
+    // grains, extracted fields (ISO weekday via Spark weekday+1 ↔
+    // DuckDB isodow), month boundaries, day arithmetic — all integer
+    // or date/timestamp typed, engine-exact.
+    QuerySpec("q165_datetime_funcs",
+      (s, dir) => events(s, dir)
+        .select(col("ts").cast("date").as("day")).distinct()
+        .select(col("day"),
+          year(col("day")).as("y"), quarter(col("day")).as("q"),
+          month(col("day")).as("m"), dayofmonth(col("day")).as("dom"),
+          (weekday(col("day")) + 1).as("isodow"),
+          dayofyear(col("day")).as("doy"),
+          date_trunc("week", col("day")).cast("date").as("week_start"),
+          last_day(col("day")).as("month_end"),
+          date_add(col("day"), 45).as("plus45"),
+          datediff(col("day"), lit("2024-01-01").cast("date"))
+            .as("days_since"))
+        .orderBy(col("day")),
+      Some(s"""WITH e AS ($eventsSql),
+        |d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e)
+        |SELECT day,
+        |  CAST(year(day) AS INTEGER) AS y,
+        |  CAST(quarter(day) AS INTEGER) AS q,
+        |  CAST(month(day) AS INTEGER) AS m,
+        |  CAST(day(day) AS INTEGER) AS dom,
+        |  CAST(isodow(day) AS INTEGER) AS isodow,
+        |  CAST(dayofyear(day) AS INTEGER) AS doy,
+        |  CAST(date_trunc('week', day) AS DATE) AS week_start,
+        |  last_day(day) AS month_end,
+        |  day + 45 AS plus45,
+        |  CAST(day - DATE '2024-01-01' AS INTEGER) AS days_since
+        |FROM d ORDER BY day""".stripMargin)),
+
+    // Null-semantics surface: nulls as a GROUP, count(col) vs
+    // count(*), null-safe equality (<=> ↔ IS NOT DISTINCT FROM) as a
+    // join predicate, coalesce chains, and explicit NULLS LAST
+    // ordering (the engines' defaults differ — always explicit).
+    QuerySpec("q166_null_semantics",
+      (s, dir) => {
+        val t = table(s, dir, "lineitem").select(
+          nullif(pmod(col("l_partkey"), lit(5)), lit(0)).as("k"),
+          nullif(pmod(col("l_suppkey"), lit(3)), lit(0)).as("j"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+        val grouped = t.groupBy(col("k"))
+          .agg(count(lit(1)).as("n_rows"), count(col("j")).as("n_j"),
+            sum(col("qty")).cast("double").as("sum_qty"))
+        val nullSafe = t.select(col("k").as("a")).distinct()
+          .join(t.select(col("j").as("b")).distinct(),
+            col("a") <=> col("b"))
+          .agg(count(lit(1)).as("n_nullsafe_pairs"))
+        grouped.crossJoin(nullSafe)
+          .select(col("k"), col("n_rows"), col("n_j"), col("sum_qty"),
+            coalesce(col("k"), lit(-1)).as("k_filled"),
+            col("n_nullsafe_pairs"))
+          .orderBy(asc_nulls_last("k"))
+      },
+      Some("""WITH t AS (SELECT NULLIF(l_partkey % 5, 0) AS k,
+        |    NULLIF(l_suppkey % 3, 0) AS j,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem),
+        |g AS (SELECT k, COUNT(*) AS n_rows, COUNT(j) AS n_j,
+        |    CAST(SUM(qty) AS DOUBLE) AS sum_qty
+        |  FROM t GROUP BY k),
+        |ns AS (SELECT COUNT(*) AS n_nullsafe_pairs FROM
+        |  (SELECT DISTINCT k AS a FROM t) x JOIN
+        |  (SELECT DISTINCT j AS b FROM t) y
+        |  ON x.a IS NOT DISTINCT FROM y.b)
+        |SELECT k, n_rows, n_j, sum_qty,
+        |  COALESCE(k, -1) AS k_filled, n_nullsafe_pairs
+        |FROM g, ns
+        |ORDER BY k ASC NULLS LAST""".stripMargin))
   )
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")
