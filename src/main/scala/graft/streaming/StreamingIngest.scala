@@ -265,6 +265,69 @@ object StreamingIngest {
     commitState(stateDir)
   }
 
+  /** Streaming incremental-aggregate maintenance —
+    * [[graft.ops.IncrementalAgg]] wired into `foreachBatch`: per
+    * micro-batch, aggregate ONLY the batch (map-side combined, ≤
+    * |keys| rows out) and MERGE into the committed summary state, so
+    * the live materialized view is exact after every epoch without
+    * ever rescanning history (the q144/q145 steady state as a
+    * continuously-maintained frame).
+    *
+    * Replay safety: unlike the dedup/ANN frames, an aggregate merge
+    * is NOT naturally idempotent — re-merging a re-delivered epoch
+    * would double-count — so the state carries an `_epoch` ledger
+    * (the highest batchId merged, committed atomically WITH the
+    * state). A replayed epoch compares its batchId against the
+    * ledger and recommits nothing. Commit = staging write + the
+    * [[commitState]] swap, crash-window healed by [[recoverState]].
+    *
+    * Scale note: like the other frames, local-mode staging rewrites
+    * the (keys-sized) state per epoch — the state is ≤ |distinct
+    * keys| rows by construction, so the rewrite is summary-sized,
+    * never history-sized. */
+  def aggIngest(stream: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String], stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        aggIngestBatch(batch, keys, sumCols, minCols, maxCols, stateDir,
+          epochId)
+      }
+      .start()
+
+  /** One epoch of [[aggIngest]], separated so the batch path is
+    * directly testable and reusable by a non-streaming ingest loop.
+    * No-op (by the `_epoch` ledger) when `epochId` was already
+    * merged. */
+  def aggIngestBatch(batch: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
+      stateDir: String, epochId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IncrementalAgg
+    val spark = batch.sparkSession
+    recoverState(stateDir)
+    val cur = s"$stateDir/current"
+    val exists = Files.exists(Paths.get(cur))
+    val committedEpoch =
+      if (exists && Files.exists(Paths.get(s"$cur/_epoch")))
+        Files.readString(Paths.get(s"$cur/_epoch")).trim.toLong
+      else Long.MinValue
+    if (epochId <= committedEpoch) return // replayed epoch: no-op
+    val delta = IncrementalAgg.aggState(batch, keys, sumCols, minCols,
+      maxCols)
+    val state =
+      if (exists)
+        IncrementalAgg.mergeState(
+          Seq(spark.read.parquet(s"$cur/state"), delta),
+          keys, sumCols, minCols, maxCols)
+      else delta
+    val staging = s"$stateDir/staging"
+    state.write.mode("overwrite").parquet(s"$staging/state")
+    Files.writeString(Paths.get(s"$staging/_epoch"), epochId.toString)
+    commitState(stateDir)
+  }
+
   /** Start the ingest. `validateBatch` is the fail-fast gate (reference
     * abort semantics: throwing fails the streaming query BEFORE any
     * mutation of the snapshot — e.g. pass

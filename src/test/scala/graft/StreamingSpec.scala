@@ -417,6 +417,43 @@ class StreamingSpec extends SparkSuite {
     assert(rerankCommitted == rerankDirect)
   }
 
+  test("streaming incremental agg: epochs merge to the exact batch answer, replay-safe") {
+    import graft.ops.IncrementalAgg
+    import graft.streaming.StreamingIngest
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_agg_ingest").toString
+    val keys = Seq("k"); val sums = Seq("v")
+    val mins = Seq("d"); val maxs = Seq("d")
+    def rows(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i % 7L, i * 1.5, Timestamp.valueOf(f"2026-01-${1 + i % 28}%02d 00:00:00")))
+    val stream = MemoryStream[(Long, Double, Timestamp)]
+    val q = StreamingIngest.aggIngest(stream.toDS().toDF("k", "v", "d"),
+      keys, sums, mins, maxs, s"$dir/state", s"$dir/chk")
+    stream.addData(rows(0, 40)); q.processAllAvailable()
+    stream.addData(rows(40, 90)); q.processAllAvailable()
+    stream.addData(rows(90, 100)); q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toString).toSeq
+    val got = spark.read.parquet(s"$dir/state/current/state")
+    val want = IncrementalAgg.aggState(
+      rows(0, 100).toDF("k", "v", "d"), keys, sums, mins, maxs)
+    assert(canon(got) == canon(want))
+    // replaying an already-committed epoch is a no-op: same epochId,
+    // same (or even different) payload — the ledger rejects it
+    StreamingIngest.aggIngestBatch(rows(0, 40).toDF("k", "v", "d"),
+      keys, sums, mins, maxs, s"$dir/state", epochId = 1L)
+    assert(canon(spark.read.parquet(s"$dir/state/current/state")) ==
+      canon(want))
+    // a genuinely new epoch still merges
+    StreamingIngest.aggIngestBatch(
+      Seq((100L, 2.0, Timestamp.valueOf("2026-02-01 00:00:00")))
+        .toDF("k", "v", "d"),
+      keys, sums, mins, maxs, s"$dir/state", epochId = 99L)
+    assert(spark.read.parquet(s"$dir/state/current/state").count() == 8)
+  }
+
   test("ingest commit protocol: interrupted swap rolls forward; stale staging discarded") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.streaming.StreamingIngest
