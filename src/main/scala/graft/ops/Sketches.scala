@@ -36,7 +36,18 @@ object Sketches {
     * partial max per partition → 256-row exchange. The shuffle is
     * bounded by m·partitions rows regardless of input size; nulls
     * are excluded (COUNT DISTINCT semantics). */
-  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
+    hllRegistersBy(df, Nil, keyCol)
+
+  /** Grouped register tables: one HLL per group key — the "distinct
+    * X per Y" form (distinct users per host, distinct docs per
+    * source) that at 100 TB replaces a |Y|·|X|-sized exact
+    * count-distinct shuffle with |Y|·m rows of state, still
+    * hash-exact, still mergeable per group (the same register-wise
+    * max; [[hllMerge]] generalizes by adding the group columns to
+    * its GROUP BY). */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String],
+      keyCol: String): DataFrame = {
     val hx = md5(concat(lit("hll:"), col(keyCol).cast("string")))
     val bucket = conv(substring(hx, 1, 2), 16, 10).cast("int")
     // 13 hex chars = 52 rank bits; rho = leading zeros + 1
@@ -49,8 +60,9 @@ object Sketches {
           .when(headNibble.isin("2", "3"), lit(3))
           .otherwise(lit(4)))
     df.filter(col(keyCol).isNotNull)
-      .select(bucket.as("bucket"), rho.as("rho"))
-      .groupBy(col("bucket")).agg(max(col("rho")).as("rho_max"))
+      .select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho_max"))
   }
 
   /** Lossless union of two register tables: register-wise max.

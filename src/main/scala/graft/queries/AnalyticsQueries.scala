@@ -802,7 +802,33 @@ object AnalyticsQueries {
         |SELECT k, n_rows, n_j, sum_qty,
         |  COALESCE(k, -1) AS k_filled, n_nullsafe_pairs
         |FROM g, ns
-        |ORDER BY k ASC NULLS LAST""".stripMargin))
+        |ORDER BY k ASC NULLS LAST""".stripMargin)),
+
+    // Grouped HLL: one register table per supplier over its distinct
+    // order keys — the "distinct X per Y" sketch. Same md5 lane hash
+    // and string-arithmetic rank as q127, so the whole grouped state
+    // is hash-exact in DuckDB; per-group merge stays register-wise
+    // max. Shuffle ≤ |groups|·m rows regardless of input size.
+    QuerySpec("q167_hll_grouped",
+      (s, dir) => graft.ops.Sketches.hllRegistersBy(
+          table(s, dir, "lineitem"), Seq("l_suppkey"), "l_orderkey")
+        .orderBy(col("l_suppkey"), col("bucket")),
+      Some("""WITH h AS (SELECT l_suppkey,
+        |    md5('hll:' || CAST(l_orderkey AS VARCHAR)) AS hx
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |b AS (SELECT l_suppkey,
+        |    CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS bucket,
+        |    ltrim(substr(hx, 3, 13), '0') AS t FROM h),
+        |r AS (SELECT l_suppkey, bucket, CASE WHEN t = '' THEN 53
+        |    ELSE 4 * (13 - length(t)) +
+        |      CASE WHEN substr(t, 1, 1) IN ('8','9','a','b','c','d','e','f')
+        |             THEN 1
+        |           WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 2
+        |           WHEN substr(t, 1, 1) IN ('2','3') THEN 3
+        |           ELSE 4 END END AS rho FROM b)
+        |SELECT l_suppkey, CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(MAX(rho) AS INTEGER) AS rho_max
+        |FROM r GROUP BY 1, 2 ORDER BY l_suppkey, bucket""".stripMargin))
   )
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")

@@ -42,6 +42,22 @@ class WebCorpusSpec extends SparkSuite {
     assert(regs(withNulls) == direct)
   }
 
+  test("HLL grouped: each group's registers equal its own direct build") {
+    val rows = (1 to 3000).map(i => (i % 5L, s"v-${i % 800}"))
+    val grouped = Sketches.hllRegistersBy(rows.toDF("g", "k"),
+        Seq("g"), "k")
+      .orderBy("g", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    for (g <- 0L until 5L) {
+      val slice = grouped.filter(_._1 == g).map(t => (t._2, t._3))
+      val direct = Sketches.hllRegisters(
+          rows.filter(_._1 == g).map(_._2).toDF("k"), "k")
+        .orderBy("bucket").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(slice == direct, s"group $g")
+    }
+  }
+
   test("CMS: never undercounts, exact when collision-free, merge ≡ rebuild") {
     // 2000 occurrences over 20 keys with known skewed frequencies
     val occ = (1 to 20).flatMap(k => Seq.fill(k * 10)(s"key-$k")).toDF("k")
