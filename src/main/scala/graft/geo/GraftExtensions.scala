@@ -81,5 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("create_ids"), info("create_ids"),
       (es: Seq[Expression]) => graft.functions.CreateIds(es.head, es(1))))
     e.injectOptimizerRule(_ => CollapseRedundantGeoCast)
+    // materialized-summary rewrite (graft.plans): answers a
+    // registered base table's exact-shape rollup from its persisted
+    // summary frame — inert until SummaryRegistry.register
+    e.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)
   }
 }

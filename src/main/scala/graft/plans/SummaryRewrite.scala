@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.DecimalType
+
+/** Materialized-summary query rewrite — the optimizer-level payoff of
+  * the q144/q145 incremental-agg state: a registered base table's
+  * full-detail Aggregate is transparently answered from its persisted
+  * summary frame (count → Σn, sum(dec2(c)) → Σ sum_c, min/max →
+  * min/max of the state's min/max), so a matching rollup over a
+  * 100 TB fact table becomes a scan of |keys| rows — the classic
+  * materialized-view rewrite, via `SparkSessionExtensions`/
+  * `experimental.extraOptimizations` like any Catalyst rule.
+  *
+  * The match is deliberately EXACT (defense against silently
+  * rewriting unrelated queries, since the registry lives for the
+  * session): the child must be the bare registered relation (no
+  * Filter — a predicate means detail rows the summary cannot
+  * answer), the grouping must be precisely the registered key set,
+  * and every aggregate must be one of the four mergeable forms the
+  * state carries. Anything else leaves the plan untouched. Output
+  * attribute names, types, AND exprIds are preserved, so parent
+  * operators (sorts, projections) are unaffected. */
+object SummaryRegistry {
+  /** A registered summary: where the state parquet lives and the
+    * shape it was built with ([[graft.ops.IncrementalAgg.aggState]]). */
+  case class SummarySpec(statePath: String, keys: Seq[String],
+      sums: Seq[String], mins: Seq[String], maxs: Seq[String])
+
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[String, SummarySpec]()
+
+  /** Register `spec` as the summary of the base table at `basePath`
+    * (matched against the relation's root paths by suffix, so
+    * `file:` prefixes don't matter). */
+  def register(basePath: String, spec: SummarySpec): Unit =
+    reg.put(basePath, spec)
+
+  def clear(): Unit = reg.clear()
+
+  private[plans] def lookup(rootPaths: Seq[String]): Option[SummarySpec] = {
+    import scala.jdk.CollectionConverters._
+    reg.asScala.collectFirst {
+      case (base, spec) if rootPaths.exists(_.endsWith(base)) => spec
+    }
+  }
+}
+
+object SummaryRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(groupings, results, child, _) =>
+      rewrite(agg, groupings, results, child).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate, groupings: Seq[Expression],
+      results: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    // child must be the bare registered relation, optionally under a
+    // rename/cast-free column Project (what the optimizer leaves
+    // after pruning)
+    val (rel, subst) = child match {
+      case l: LogicalRelation => (Some(l), Map.empty[Long, Expression])
+      case Project(projList, l: LogicalRelation)
+          if projList.forall(p =>
+            p.isInstanceOf[AttributeReference] || p.isInstanceOf[Alias]) =>
+        (Some(l), projList.collect {
+          case a: Alias => a.exprId.id -> a.child
+        }.toMap)
+      case _ => (None, Map.empty[Long, Expression])
+    }
+    val spec = rel.flatMap { l =>
+      l.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          SummaryRegistry.lookup(fs.location.rootPaths.map(_.toString))
+        case _ => None
+      }
+    }
+    spec.flatMap { sp =>
+      def resolve(e: Expression): Expression = e.transformUp {
+        case ar: AttributeReference =>
+          subst.get(ar.exprId.id).map(resolve).getOrElse(ar)
+      }
+      // grouping must be EXACTLY the registered key set
+      val groupNames = groupings.map(resolve).map {
+        case ar: AttributeReference => ar.name
+        case _ => return None
+      }
+      if (groupNames.toSet != sp.keys.toSet ||
+        groupNames.size != sp.keys.size) return None
+      val spark = SparkSession.active
+      if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(sp.statePath))) return None
+      val stateRel = spark.read.parquet(sp.statePath)
+        .queryExecution.analyzed
+      val stateAttr: Map[String, AttributeReference] =
+        stateRel.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+      def mergedAgg(fnOut: org.apache.spark.sql.catalyst.expressions
+          .aggregate.AggregateFunction): Expression =
+        AggregateExpression(fnOut, Complete, isDistinct = false)
+      // top-down translation: aggregate calls map to their merged
+      // state forms (type-preserved via Cast where the merged sum is
+      // wider), grouping attributes map to state key columns, and any
+      // surrounding scalar expression (a cast, arithmetic) is kept
+      // with translated children. Anything untranslatable aborts the
+      // whole rewrite.
+      def tr(e: Expression): Option[Expression] = e match {
+        case ae @ AggregateExpression(fn, _, false, None, _) => fn match {
+          case Count(Seq(Literal(v, _))) if v != null =>
+            Some(mergedAgg(Sum(stateAttr("n"))))
+          case Sum(c, _) => resolve(c) match {
+            case Cast(ar: AttributeReference, dt: DecimalType, _, _)
+                if dt.precision == 18 && dt.scale == 2 &&
+                  sp.sums.contains(ar.name) =>
+              Some(Cast(mergedAgg(Sum(stateAttr(s"sum_${ar.name}"))),
+                ae.dataType))
+            case _ => None
+          }
+          case Min(c) => resolve(c) match {
+            case ar: AttributeReference if sp.mins.contains(ar.name) =>
+              Some(mergedAgg(Min(stateAttr(s"min_${ar.name}"))))
+            case _ => None
+          }
+          case Max(c) => resolve(c) match {
+            case ar: AttributeReference if sp.maxs.contains(ar.name) =>
+              Some(mergedAgg(Max(stateAttr(s"max_${ar.name}"))))
+            case _ => None
+          }
+          case _ => None
+        }
+        case ar: AttributeReference => resolve(ar) match {
+          case a: AttributeReference if groupNames.contains(a.name) =>
+            Some(stateAttr(a.name))
+          case _ => None
+        }
+        case lit: Literal => Some(lit)
+        case other =>
+          val kids = other.children.map(tr)
+          if (kids.nonEmpty && kids.forall(_.isDefined))
+            Some(other.withNewChildren(kids.map(_.get)))
+          else None
+      }
+      // translate every result expression or give up
+      val newResults: Seq[NamedExpression] = results.map { ne =>
+        val translated: Option[Expression] = ne match {
+          case ar: AttributeReference => tr(ar)
+          case Alias(child, _) => tr(child)
+          case _ => None
+        }
+        translated match {
+          case Some(t) => Alias(t, ne.name)(exprId = ne.exprId)
+          case None => return None
+        }
+      }
+      val newGroupings: Seq[Expression] =
+        groupNames.map(n => stateAttr(n))
+      Some(Aggregate(newGroupings, newResults, stateRel))
+    }
+  }
+}

@@ -828,8 +828,52 @@ object AnalyticsQueries {
         |           ELSE 4 END END AS rho FROM b)
         |SELECT l_suppkey, CAST(bucket AS INTEGER) AS bucket,
         |  CAST(MAX(rho) AS INTEGER) AS rho_max
-        |FROM r GROUP BY 1, 2 ORDER BY l_suppkey, bucket""".stripMargin))
+        |FROM r GROUP BY 1, 2 ORDER BY l_suppkey, bucket""".stripMargin)),
+
+    // Materialized-summary QUERY REWRITE: the optimizer-level payoff
+    // of q144/q145 — a full-detail rollup over the registered
+    // lineitem relation is transparently rewritten by
+    // SummaryRewriteRule to scan the persisted |keys|-row summary
+    // instead (PlanSpec pins the fact scan OUT of the plan). The
+    // oracle recomputes from RAW lineitem in DuckDB, so the gate
+    // proves the rewritten plan still produces the exact full-detail
+    // answer.
+    QuerySpec("q168_summary_rewrite",
+      (s, dir) => {
+        import graft.plans.{SummaryRegistry, SummaryRewriteRule}
+        SummaryRegistry.register(s"$dir/lineitem.parquet",
+          SummaryRegistry.SummarySpec(s"${fullAggStateRoot(s, dir)}/state",
+            AggKeys, AggSums, AggMins, AggMaxs))
+        if (!s.experimental.extraOptimizations.contains(SummaryRewriteRule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ SummaryRewriteRule
+        table(s, dir, "lineitem")
+          .groupBy(AggKeys.map(col): _*)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"),
+            min(col("l_shipdate")).as("min_ship"),
+            max(col("l_shipdate")).as("max_ship"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"),
+            col("l_suppkey"))
+      },
+      Some(aggStateOracle))
   )
+
+  /** Build-once persisted summary over the FULL lineitem (the q168
+    * rewrite target — unlike [[aggStateRoot]]'s mod-97 history
+    * slice, this one must answer whole-table rollups). */
+  private def fullAggStateRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/lineitem.parquet")
+    FixtureCache.ensure(s"/tmp/graft_agg_full/${tag}_$fp") { tmp =>
+      IncrementalAgg.aggState(table(s, dir, "lineitem"),
+          AggKeys, AggSums, AggMins, AggMaxs)
+        .write.mode("overwrite").parquet(s"$tmp/state")
+    }
+  }
 
   private val AggKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")
   private val AggSums = Seq("l_quantity", "l_extendedprice")

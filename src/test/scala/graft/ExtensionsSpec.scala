@@ -80,6 +80,47 @@ class ExtensionsSpec extends SparkSuite {
         case c: StCastTo => n += 1; c
       }
       assert(n == 1)
+      // the summary-rewrite rule is injected too: register a summary
+      // for lineitem, and the exact-shape rollup reads the state
+      // instead of the fact (answers proven equal to raw recompute)
+      import graft.ops.IncrementalAgg
+      import graft.plans.SummaryRegistry
+      val keys = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_ext_summary").toString
+      IncrementalAgg.aggState(
+          ext.read.parquet(s"$sf0001/lineitem.parquet"),
+          keys, Seq("l_quantity"), Nil, Nil)
+        .write.mode("overwrite").parquet(s"$stateDir/state")
+      SummaryRegistry.register(s"$sf0001/lineitem.parquet",
+        SummaryRegistry.SummarySpec(s"$stateDir/state", keys,
+          Seq("l_quantity"), Nil, Nil))
+      try {
+        val rolled = ext.read.parquet(s"$sf0001/lineitem.parquet")
+          .groupBy(keys.map(col): _*)
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum(
+              col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sq"))
+        val p = rolled.queryExecution.executedPlan.toString
+        assert(p.contains("graft_ext_summary") &&
+          !p.contains("lineitem.parquet"),
+          "injected summary rewrite did not fire")
+        val viaState = rolled.orderBy(keys.map(col): _*)
+          .collect().map(_.toString).toSeq
+        SummaryRegistry.clear()
+        val raw = ext.read.parquet(s"$sf0001/lineitem.parquet")
+          .groupBy(keys.map(col): _*)
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum(
+              col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sq"))
+          .orderBy(keys.map(col): _*)
+          .collect().map(_.toString).toSeq
+        assert(viaState == raw)
+      } finally SummaryRegistry.clear()
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

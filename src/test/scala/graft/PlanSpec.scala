@@ -666,6 +666,33 @@ class PlanSpec extends SparkSuite {
     assert(factScans == 1, s"expected 1 lineitem scan, got $factScans")
   }
 
+  test("q168 summary rewrite: the fact scan is GONE — plan reads the summary state") {
+    val p = plan("q168_summary_rewrite")
+    assert(p.contains("graft_agg_full"),
+      "rewritten plan must scan the persisted summary state")
+    val factScans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(factScans == 0,
+      s"materialized-view rewrite did not fire: $factScans lineitem scans")
+    // containment: an aggregate the summary CANNOT answer (extra
+    // grouping key / filtered detail / unsupported agg) is untouched
+    import org.apache.spark.sql.functions._
+    val lw = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val other = lw.filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    assert(other.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"), "filtered detail must NOT rewrite")
+    val avgQ = lw.groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_suppkey"))
+      .agg(avg(col("l_quantity")).as("a"))
+    assert(avgQ.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"), "unsupported agg must NOT rewrite")
+    val subsetKeys = lw.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    assert(subsetKeys.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"), "subset grouping must NOT rewrite")
+  }
+
   test("q152 spatial join: keyed equi-join on grid cells, no BNL") {
     val p = plan("q152_spatial_join")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
