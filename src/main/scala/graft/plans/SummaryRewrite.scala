@@ -86,13 +86,18 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
         case ar: AttributeReference =>
           subst.get(ar.exprId.id).map(resolve).getOrElse(ar)
       }
-      // grouping must be EXACTLY the registered key set
+      // grouping must be a SUBSET of the registered key set: the
+      // summary re-aggregates correctly to any coarser grain (count →
+      // Σn, sum → Σ of partial sums, min/max → min/max of partials) —
+      // the standard rollup-compatibility condition of MV rewrite. A
+      // grouping column OUTSIDE the keys means detail the summary
+      // does not carry.
       val groupNames = groupings.map(resolve).map {
         case ar: AttributeReference => ar.name
         case _ => return None
       }
-      if (groupNames.toSet != sp.keys.toSet ||
-        groupNames.size != sp.keys.size) return None
+      if (groupNames.distinct.size != groupNames.size ||
+        !groupNames.forall(sp.keys.contains)) return None
       val spark = SparkSession.active
       if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(sp.statePath))) return None

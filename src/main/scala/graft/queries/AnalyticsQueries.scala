@@ -859,7 +859,38 @@ object AnalyticsQueries {
           .orderBy(col("l_returnflag"), col("l_linestatus"),
             col("l_suppkey"))
       },
-      Some(aggStateOracle))
+      Some(aggStateOracle)),
+
+    // Subset-key rollup through the SAME rewrite: grouping by a
+    // strict subset of the summary keys re-aggregates the state to
+    // the coarser grain (count → Σn, sum → Σ partials, min/max of
+    // partials) — the standard MV rollup-compatibility rule. The
+    // oracle recomputes from raw lineitem; PlanSpec pins that this
+    // plan too carries no fact scan.
+    QuerySpec("q169_summary_rollup",
+      (s, dir) => {
+        import graft.plans.{SummaryRegistry, SummaryRewriteRule}
+        SummaryRegistry.register(s"$dir/lineitem.parquet",
+          SummaryRegistry.SummarySpec(s"${fullAggStateRoot(s, dir)}/state",
+            AggKeys, AggSums, AggMins, AggMaxs))
+        if (!s.experimental.extraOptimizations.contains(SummaryRewriteRule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ SummaryRewriteRule
+        table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"),
+            min(col("l_shipdate")).as("min_ship"),
+            max(col("l_shipdate")).as("max_ship"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 
   /** Build-once persisted summary over the FULL lineitem (the q168

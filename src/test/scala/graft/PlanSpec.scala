@@ -687,10 +687,17 @@ class PlanSpec extends SparkSuite {
       .agg(avg(col("l_quantity")).as("a"))
     assert(avgQ.queryExecution.executedPlan.toString
       .contains("lineitem.parquet"), "unsupported agg must NOT rewrite")
+    // subset grouping DOES rewrite (rollup compatibility, q169) —
+    // but a grouping key the summary doesn't carry must not
     val subsetKeys = lw.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"))
-    assert(subsetKeys.queryExecution.executedPlan.toString
-      .contains("lineitem.parquet"), "subset grouping must NOT rewrite")
+    val sp = subsetKeys.queryExecution.executedPlan.toString
+    assert(sp.contains("graft_agg_full") && !sp.contains("lineitem.parquet"),
+      "subset grouping should roll up from the summary")
+    val foreignKey = lw.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    assert(foreignKey.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"), "non-summary key must NOT rewrite")
   }
 
   test("q152 spatial join: keyed equi-join on grid cells, no BNL") {
