@@ -890,8 +890,96 @@ object AnalyticsQueries {
         |    AS sum_qty,
         |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1, 2
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Correlated-subquery surface: EXISTS, NOT EXISTS, IN, and a
+    // correlated scalar subquery, in ONE portable SQL text executed
+    // verbatim by both engines (Catalyst decorrelates these into
+    // semi/anti/left joins — the q04/q05 operators reached through
+    // the SQL front door).
+    QuerySpec("q170_subqueries", (s, dir) => {
+      registerTables(s, dir, Seq("customer", "orders"))
+      s.sql(subqueriesSql)
+    }, Some(subqueriesSql)),
+
+    // Multiset set operations: INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicities (min / difference of counts) — the
+    // bag-semantics complement of q15's distinct set ops.
+    QuerySpec("q171_multiset_ops", (s, dir) => {
+      registerTables(s, dir, Seq("lineitem"))
+      s.sql(multisetSql)
+    }, Some(multisetSql)),
+
+    // Generator null semantics: explode vs explode_outer (LATERAL
+    // join vs LEFT JOIN LATERAL on unnest) — empty and NULL arrays
+    // drop under the inner form and survive as NULL rows under the
+    // outer form; both engines must agree row-for-row.
+    QuerySpec("q172_explode_outer",
+      (s, dir) => {
+        val arr = table(s, dir, "orders").select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(5)) === 0,
+              lit(null).cast("array<bigint>"))
+            .when(pmod(col("o_orderkey"), lit(5)) === 1,
+              array().cast("array<bigint>"))
+            .otherwise(array(col("o_orderkey") % 7,
+              col("o_orderkey") % 11)).as("xs"))
+        val inner = arr.select(col("o_orderkey"),
+            explode(col("xs")).as("x"))
+          .groupBy().agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+          .select(lit("inner").as("form"), col("n"), col("s"))
+        val outer = arr.select(col("o_orderkey"),
+            explode_outer(col("xs")).as("x"))
+          .groupBy().agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+          .select(lit("outer").as("form"), col("n"), col("s"))
+        inner.unionByName(outer).orderBy(col("form"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         WHEN o_orderkey % 5 = 1 THEN []
+        |         ELSE [o_orderkey % 7, o_orderkey % 11] END AS xs
+        |  FROM orders),
+        |i AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM
+        |  (SELECT unnest(xs) AS x FROM a)),
+        |o AS (SELECT COUNT(*) AS n, CAST(SUM(u.x) AS BIGINT) AS s FROM a
+        |  LEFT JOIN LATERAL (SELECT unnest(a.xs) AS x) u ON TRUE)
+        |SELECT 'inner' AS form, n, s FROM i
+        |UNION ALL SELECT 'outer', n, s FROM o
+        |ORDER BY form""".stripMargin))
   )
+
+  /** Register the named testdata tables as temp views (idempotent) so
+    * a gate can run ONE portable SQL text on both engines. */
+  private def registerTables(s: SparkSession, dir: String,
+      names: Seq[String]): Unit =
+    names.foreach(n => table(s, dir, n).createOrReplaceTempView(n))
+
+  private val subqueriesSql: String =
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |    AS n_orders,
+      |  (SELECT MAX(o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |      AND o.o_totalprice > 400000)
+      |  AND c_nationkey IN (SELECT o_custkey % 25 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val multisetSql: String =
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem
+      |    WHERE l_orderkey % 2 = 0),
+      |b AS (SELECT l_suppkey AS k FROM lineitem
+      |    WHERE l_orderkey % 3 = 0),
+      |i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+      |e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM i GROUP BY 2
+      |UNION ALL
+      |SELECT 'except_all', k, COUNT(*) FROM e GROUP BY 2
+      |ORDER BY op, k""".stripMargin
 
   /** Build-once persisted summary over the FULL lineitem (the q168
     * rewrite target — unlike [[aggStateRoot]]'s mod-97 history

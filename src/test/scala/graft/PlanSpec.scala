@@ -147,7 +147,10 @@ class PlanSpec extends SparkSuite {
     val bnlAllowed = Set("q30_ann_bruteforce",
       "q36_merge_audit", "q53_tfidf", "q76_bm25", "q85_rrf_fusion",
       "q95_temperature_mix", "q99_unimax_mix", "q136_hist_quantiles",
-      "q149_triangle_count", "q150_hits", "q154_heavy_hitters")
+      "q149_triangle_count", "q150_hits", "q154_heavy_hitters",
+      // q166 attaches the 1-row null-safe-pair count by keyless cross
+      // join (the null-safe JOIN itself hashes on <=> as an equi key)
+      "q166_null_semantics")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
