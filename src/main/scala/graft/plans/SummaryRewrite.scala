@@ -61,18 +61,30 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, groupings: Seq[Expression],
       results: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    // child must be the bare registered relation, optionally under a
-    // rename/cast-free column Project (what the optimizer leaves
-    // after pruning)
-    val (rel, subst) = child match {
-      case l: LogicalRelation => (Some(l), Map.empty[Long, Expression])
-      case Project(projList, l: LogicalRelation)
+    // child must reach the registered relation through column
+    // Projects (what pruning leaves) and/or Filters; filter
+    // predicates are collected and re-checked below — a predicate
+    // over GROUPING KEYS only selects whole summary groups, so it
+    // can be answered by filtering the state; any other reference
+    // means detail rows and aborts.
+    var cur: LogicalPlan = child
+    var rel: Option[LogicalRelation] = None
+    var subst = Map.empty[Long, Expression]
+    var conds: Seq[Expression] = Nil
+    var walking = true
+    while (walking) cur match {
+      case Project(projList, c)
           if projList.forall(p =>
             p.isInstanceOf[AttributeReference] || p.isInstanceOf[Alias]) =>
-        (Some(l), projList.collect {
+        subst ++= projList.collect {
           case a: Alias => a.exprId.id -> a.child
-        }.toMap)
-      case _ => (None, Map.empty[Long, Expression])
+        }
+        cur = c
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+        conds :+= cond
+        cur = c
+      case l: LogicalRelation => rel = Some(l); walking = false
+      case _ => walking = false
     }
     val spec = rel.flatMap { l =>
       l.relation match {
@@ -98,6 +110,12 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       }
       if (groupNames.distinct.size != groupNames.size ||
         !groupNames.forall(sp.keys.contains)) return None
+      // every collected Filter predicate must touch KEY columns only
+      // (deterministic scalar predicates over keys select whole
+      // groups); translated onto the state below
+      val resolvedConds = conds.map(resolve)
+      if (!resolvedConds.forall(c => c.deterministic &&
+        c.references.forall(a => sp.keys.contains(a.name)))) return None
       val spark = SparkSession.active
       if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(sp.statePath))) return None
@@ -164,7 +182,14 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       }
       val newGroupings: Seq[Expression] =
         groupNames.map(n => stateAttr(n))
-      Some(Aggregate(newGroupings, newResults, stateRel))
+      val stateChild: LogicalPlan =
+        if (resolvedConds.isEmpty) stateRel
+        else org.apache.spark.sql.catalyst.plans.logical.Filter(
+          resolvedConds.map(_.transformUp {
+            case ar: AttributeReference => stateAttr(ar.name)
+          }).reduce(org.apache.spark.sql.catalyst.expressions.And),
+          stateRel)
+      Some(Aggregate(newGroupings, newResults, stateChild))
     }
   }
 }

@@ -892,6 +892,37 @@ object AnalyticsQueries {
         |FROM lineitem GROUP BY 1, 2
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Key-only-filtered rollup through the rewrite: a predicate over
+    // grouping keys selects whole summary groups, so the rule
+    // answers it by FILTERING THE STATE (q173's plan carries no fact
+    // scan — PlanSpec); a predicate touching any non-key column
+    // still refuses. Oracle recomputes from raw with the same WHERE.
+    QuerySpec("q173_summary_filtered",
+      (s, dir) => {
+        import graft.plans.{SummaryRegistry, SummaryRewriteRule}
+        SummaryRegistry.register(s"$dir/lineitem.parquet",
+          SummaryRegistry.SummarySpec(s"${fullAggStateRoot(s, dir)}/state",
+            AggKeys, AggSums, AggMins, AggMaxs))
+        if (!s.experimental.extraOptimizations.contains(SummaryRewriteRule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ SummaryRewriteRule
+        table(s, dir, "lineitem")
+          .filter(col("l_returnflag") =!= "A" &&
+            pmod(col("l_suppkey"), lit(2)) === 0)
+          .groupBy(col("l_returnflag"), col("l_suppkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+          .orderBy(col("l_returnflag"), col("l_suppkey"))
+      },
+      Some("""SELECT l_returnflag, l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag <> 'A' AND l_suppkey % 2 = 0
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_suppkey""".stripMargin)),
+
     // Correlated-subquery surface: EXISTS, NOT EXISTS, IN, and a
     // correlated scalar subquery, in ONE portable SQL text executed
     // verbatim by both engines (Catalyst decorrelates these into

@@ -684,7 +684,15 @@ class PlanSpec extends SparkSuite {
       .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_suppkey"))
       .agg(count(lit(1)).as("n"))
     assert(other.queryExecution.executedPlan.toString
-      .contains("lineitem.parquet"), "filtered detail must NOT rewrite")
+      .contains("lineitem.parquet"),
+      "non-key-filtered detail must NOT rewrite")
+    // … while a KEY-only predicate rewrites to a filtered state scan
+    val keyFiltered = lw.filter(col("l_returnflag") === "N")
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val kp = keyFiltered.queryExecution.executedPlan.toString
+    assert(kp.contains("graft_agg_full") && !kp.contains("lineitem.parquet"),
+      "key-only filter should rewrite (q173)")
     val avgQ = lw.groupBy(col("l_returnflag"), col("l_linestatus"),
         col("l_suppkey"))
       .agg(avg(col("l_quantity")).as("a"))
