@@ -147,6 +147,40 @@ object EventAnalytics {
         sum(centi(col(valCol))).as("sum_value_centi"))
   }
 
+  /** Greedy debounce / event throttling: per (entity, type), keep an
+    * event iff it is the first, or more than `gapMicros` after the
+    * last KEPT event — the alert/telemetry rate-limit rule. This is
+    * NOT expressible with lag(): the reference point is the last
+    * SURVIVOR, not the previous row (a burst 0,40,80 at gap 50 keeps
+    * {0, 80}; lag-diff would drop both followers). Like the EWMA, the
+    * recurrence folds a sorted bounded per-key array with
+    * aggregate(); the oracle is a recursive CTE stepping rn → rn+1.
+    * Output: the kept events (entity, type, t_micros, id). */
+  def debounce(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, gapMicros: Long): DataFrame =
+    events
+      .select(col(userCol), col(typeCol),
+        struct(unix_micros(col(tsCol)).as("t"), col(idCol).as("id"))
+          .as("__e"))
+      .groupBy(col(userCol), col(typeCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(col(userCol), col(typeCol), expr(
+        s"""zip_with(__es,
+           |  aggregate(__es,
+           |    named_struct('out', cast(array() as array<boolean>),
+           |                 'lk',  cast(null as bigint)),
+           |    (acc, x) -> named_struct(
+           |      'out', concat(acc.out, array(
+           |        acc.lk IS NULL OR x.t - acc.lk > ${gapMicros}L)),
+           |      'lk', CASE WHEN acc.lk IS NULL OR x.t - acc.lk > ${gapMicros}L
+           |                 THEN x.t ELSE acc.lk END)).out,
+           |  (e, k) -> named_struct('t', e.t, 'id', e.id, 'kept', k))"""
+          .stripMargin).as("__z"))
+      .select(col(userCol), col(typeCol), explode(col("__z")).as("__r"))
+      .filter(col("__r.kept"))
+      .select(col(userCol), col(typeCol), col("__r.t").as("t_micros"),
+        col("__r.id").as("event_id"))
+
   /** First-order Markov transition matrix of the event stream: for
     * every (from, to) event-type pair, the number of observed
     * consecutive transitions (per entity, (ts, id)-ordered) and the

@@ -923,6 +923,34 @@ object AnalyticsQueries {
         |GROUP BY 1, 2
         |ORDER BY l_returnflag, l_suppkey""".stripMargin)),
 
+    // Greedy event debounce (alert rate-limiting): keep an event iff
+    // > 5 min after the last KEPT event of its (user, type) — the
+    // last-survivor reference makes this a fold, not a lag() window
+    // (a burst at 0/4/8 min keeps {0, 8}); oracle = recursive CTE.
+    QuerySpec("q174_debounce",
+      (s, dir) => EventAnalytics.debounce(events(s, dir),
+          "user_id", "event_type", "ts", "event_id",
+          gapMicros = 300000000L)
+        .orderBy(col("user_id"), col("event_type"), col("t_micros")),
+      Some(s"""WITH RECURSIVE e AS ($eventsSql),
+        |c AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, event_type, rn, t, event_id,
+        |    t AS lk, TRUE AS kept
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.user_id, c.event_type, c.rn, c.t, c.event_id,
+        |    CASE WHEN c.t - r.lk > 300000000 THEN c.t ELSE r.lk END,
+        |    c.t - r.lk > 300000000
+        |  FROM c JOIN r ON c.user_id = r.user_id
+        |    AND c.event_type = r.event_type AND c.rn = r.rn + 1)
+        |SELECT user_id, event_type, t AS t_micros, event_id
+        |FROM r WHERE kept
+        |ORDER BY user_id, event_type, t_micros""".stripMargin)),
+
     // Correlated-subquery surface: EXISTS, NOT EXISTS, IN, and a
     // correlated scalar subquery, in ONE portable SQL text executed
     // verbatim by both engines (Catalyst decorrelates these into

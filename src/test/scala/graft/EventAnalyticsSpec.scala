@@ -136,6 +136,33 @@ class EventAnalyticsSpec extends SparkSuite {
       ("view", "purchase", 1L, 333333L)))
   }
 
+  test("debounce: reference point is the last SURVIVOR, not the previous row") {
+    // gap = 50s. u1 burst at 0s/40s/80s: keep {0, 80} — a lag-diff
+    // implementation (40 and 80 both within 50s of their predecessor)
+    // would keep only {0}. Independent per type; u2 isolated.
+    val e = Seq(
+      (1L, 10L, ts("2026-01-05 10:00:00"), "alert"),
+      (1L, 11L, ts("2026-01-05 10:00:40"), "alert"),
+      (1L, 12L, ts("2026-01-05 10:01:20"), "alert"),
+      (1L, 13L, ts("2026-01-05 10:00:10"), "page"), // own type chain
+      (2L, 20L, ts("2026-01-05 10:00:00"), "alert"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.debounce(e, "user_id", "event_type", "ts",
+        "event_id", gapMicros = 50000000L)
+      .orderBy("user_id", "event_type", "t_micros").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(out == Seq((1L, "alert", 10L), (1L, "alert", 12L),
+      (1L, "page", 13L), (2L, "alert", 20L)))
+    // exactly-at-gap is NOT kept (strict >)
+    val e2 = Seq((1L, 1L, ts("2026-01-05 10:00:00"), "a"),
+      (1L, 2L, ts("2026-01-05 10:00:50"), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out2 = EventAnalytics.debounce(e2, "user_id", "event_type",
+        "ts", "event_id", gapMicros = 50000000L)
+      .collect().map(_.getLong(3)).toSeq
+    assert(out2 == Seq(1L))
+  }
+
   test("ewmaCenti: α=1/2 floor recurrence, hand-computed") {
     val e = Seq(
       (1L, 10L, ts("2026-01-05 10:00:00"), 1.00), // s=100
