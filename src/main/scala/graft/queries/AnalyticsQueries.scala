@@ -951,6 +951,75 @@ object AnalyticsQueries {
         |FROM r WHERE kept
         |ORDER BY user_id, event_type, t_micros""".stripMargin)),
 
+    // FILTERED vector search, exact arm: top-k among ONLY the corpus
+    // vectors passing a metadata predicate (label ≡ 0 mod 3) —
+    // PRE-filtering, so every query gets k valid results (the
+    // post-filter k-shortfall problem is why filtered search is a
+    // first-class ANN feature). Brute-force baseline, q30's oracle
+    // shape with the predicate on the corpus side.
+    QuerySpec("q175_ann_filtered",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        graft.ops.Similarity.bruteForceTopK(
+            e.filter(pmod(col("label"), lit(3)) === 0),
+            e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 5),
+        |f AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE label % 3 = 0),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("q.embedding", "c.embedding")} AS sim
+        |  FROM q JOIN f c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // FILTERED vector search, IVF arm: the same predicate composed
+    // into the cell-pruned scale path — centroids, assignments, and
+    // candidates all live in the filtered subspace, so the filter
+    // rides the index instead of post-filtering its output. Oracle
+    // replays the full filtered IVF pipeline (q45's unroll over the
+    // filtered corpus CTE).
+    QuerySpec("q176_ann_filtered_ivf",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        graft.ops.Similarity.ivfTopK(
+            e.filter(pmod(col("label"), lit(3)) === 0),
+            e.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, nCentroids = 8, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE label % 3 = 0),
+        |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
+        |  WHERE vec_id < 8),
+        |assign AS (SELECT vec_id AS neighbor_id, embedding AS nv, cell
+        |  FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${dist2Sql("e.embedding", "c.cv")}, 6),
+        |          c.cent_id) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, embedding AS qv, cell
+        |  FROM (
+        |    SELECT p.vec_id, p.embedding, c.cent_id AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |        ORDER BY round(${dist2Sql("p.embedding", "c.cv")}, 6),
+        |          c.cent_id) AS rn
+        |    FROM (SELECT vec_id, embedding FROM embeddings
+        |      WHERE vec_id < 5) p CROSS JOIN cent c) WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, a.neighbor_id,
+        |    ${cosSql("p.qv", "a.nv")} AS sim
+        |  FROM probes p JOIN assign a USING (cell)
+        |  WHERE a.neighbor_id <> p.query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
+
     // Correlated-subquery surface: EXISTS, NOT EXISTS, IN, and a
     // correlated scalar subquery, in ONE portable SQL text executed
     // verbatim by both engines (Catalyst decorrelates these into
@@ -1005,6 +1074,16 @@ object AnalyticsQueries {
         |UNION ALL SELECT 'outer', n, s FROM o
         |ORDER BY form""".stripMargin))
   )
+
+  private def dist2Sql(a: String, b: String): String =
+    s"""list_sum([(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) *
+       | (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) FOR z IN list_zip($a, $b)])""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum([CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) FOR z IN list_zip($a, $b)]) /
+       |  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $a])) *
+       |   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $b]))), 6)""".stripMargin
 
   /** Register the named testdata tables as temp views (idempotent) so
     * a gate can run ONE portable SQL text on both engines. */
