@@ -150,7 +150,11 @@ class PlanSpec extends SparkSuite {
       "q149_triangle_count", "q150_hits", "q154_heavy_hitters",
       // q166 attaches the 1-row null-safe-pair count by keyless cross
       // join (the null-safe JOIN itself hashes on <=> as an equi key)
-      "q166_null_semantics")
+      "q166_null_semantics",
+      // q175 is the deliberately-exhaustive FILTERED brute-force
+      // baseline (q30's broadcast-query pattern); q176 is its
+      // cell-pruned scale path and must stay BNL-free
+      "q175_ann_filtered")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
