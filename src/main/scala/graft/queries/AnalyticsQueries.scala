@@ -1020,6 +1020,49 @@ object AnalyticsQueries {
         |SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin)),
 
+    // BPE tokenizer TRAINING, distributed and exact: three merge
+    // iterations over the word-frequency dict — pair-count aggregate,
+    // 1-row best merge (count desc, pair asc; self-pairs excluded),
+    // and the padded doubled-space replace that IS the left-to-right
+    // non-overlapping merge (self-preserving form, plain `replace`,
+    // runs verbatim in both engines). Gate = the learned merges in
+    // order + the top-10 corpus tokens under the trained vocab;
+    // oracle replays the entire training run character-for-character.
+    QuerySpec("q177_bpe_train",
+      (s, dir) => {
+        val (merges, dict) = graft.ops.Bpe.train(
+          table(s, dir, "documents"), "text", iters = 3)
+        val top = graft.ops.Bpe.tokenCounts(dict)
+          .orderBy(col("freq").desc, col("token")).limit(10)
+        merges.select(lit("merge").as("kind"), col("iter").as("ord"),
+            col("a").as("s1"), col("b").as("s2"),
+            col("cnt").cast("long").as("n"))
+          .unionByName(top.select(lit("token").as("kind"),
+            lit(0).as("ord"), col("token").as("s1"), lit("").as("s2"),
+            col("freq").cast("long").as("n")))
+          .orderBy(col("kind"), col("ord"), col("n").desc, col("s1"))
+      },
+      Some(bpeTrainOracle)),
+
+    // Steady-state twin (standing rule 1): the merges are a
+    // FixtureCache-persisted 3-row model; the probe tokenizes the
+    // mod-7 document batch under the FROZEN merges (bounded-state
+    // collect, the codebook precedent) — per-doc token counts. The
+    // oracle re-derives the merges via the shared training CTEs and
+    // applies them to the same batch.
+    QuerySpec("q178_bpe_apply_steady",
+      (s, dir) => {
+        val merges = s.read.parquet(s"${bpeMergesRoot(s, dir)}/merges")
+          .orderBy(col("iter")).collect()
+          .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+        graft.ops.Bpe.tokenizeWith(
+            table(s, dir, "documents")
+              .filter(pmod(col("doc_id"), lit(7)) === 0),
+            "doc_id", "text", merges)
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeApplyOracle)),
+
     // Correlated-subquery surface: EXISTS, NOT EXISTS, IN, and a
     // correlated scalar subquery, in ONE portable SQL text executed
     // verbatim by both engines (Catalyst decorrelates these into
@@ -1074,6 +1117,88 @@ object AnalyticsQueries {
         |UNION ALL SELECT 'outer', n, s FROM o
         |ORDER BY form""".stripMargin))
   )
+
+  // ---- BPE tokenizer training (q177/q178) ---------------------------
+
+  /** The shared training CTE chain: word dict in padded doubled-space
+    * form, then per iteration pair counts → 1-row best merge → merged
+    * dict (the self-preserving padded replace — see ops/Bpe.scala).
+    * Used by both the training gate and the steady-apply twin. */
+  private def bpeTrainCtes(iters: Int): String = {
+    val w0 =
+      """w0 AS (SELECT ' ' || array_to_string(
+        |      list_filter(string_split(w, ''), x -> x <> ''), '  ') ||
+        |      ' ' AS pw,
+        |    COUNT(*) AS freq
+        |  FROM (SELECT regexp_replace(t, '[^a-z]', '', 'g') AS w FROM
+        |    (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+        |     FROM documents))
+        |  WHERE length(w) BETWEEN 2 AND 12
+        |  GROUP BY 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""p$i AS (SELECT z[1] AS a, z[2] AS b, SUM(freq) AS cnt FROM (
+         |    SELECT unnest(list_zip(t, t[2:])) AS z, freq FROM
+         |      (SELECT string_split(trim(pw), '  ') AS t, freq
+         |       FROM w${i - 1}))
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i WHERE a <> b
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (SELECT pw, SUM(freq) AS freq FROM (
+         |    SELECT replace(w.pw, ' ' || b.a || '  ' || b.b || ' ',
+         |      ' ' || b.a || b.b || ' ') AS pw, w.freq
+         |    FROM w${i - 1} w, b$i b) GROUP BY 1)""".stripMargin
+    }
+    (w0 +: iterCtes).mkString(",\n")
+  }
+
+  private val bpeTrainOracle: String =
+    s"""WITH ${bpeTrainCtes(3)},
+       |tok AS (SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(trim(pw), '  ')) AS t, freq
+       |        FROM w3) GROUP BY 1),
+       |top AS (SELECT token, freq FROM tok
+       |  ORDER BY freq DESC, token LIMIT 10)
+       |SELECT kind, ord, s1, s2, n FROM (
+       |  SELECT 'merge' AS kind, CAST(i AS INTEGER) AS ord, a AS s1,
+       |    b AS s2, CAST(cnt AS BIGINT) AS n
+       |  FROM (SELECT 1 AS i, * FROM b1 UNION ALL
+       |        SELECT 2, * FROM b2 UNION ALL SELECT 3, * FROM b3)
+       |  UNION ALL
+       |  SELECT 'token', 0, token, '', freq FROM top)
+       |ORDER BY kind, ord, n DESC, s1""".stripMargin
+
+  private val bpeApplyOracle: String =
+    s"""WITH ${bpeTrainCtes(3)},
+       |dw AS (SELECT doc_id, ' ' || array_to_string(
+       |      list_filter(string_split(w, ''), x -> x <> ''), '  ') ||
+       |      ' ' AS pw
+       |  FROM (SELECT doc_id, regexp_replace(t, '[^a-z]', '', 'g') AS w
+       |    FROM (SELECT doc_id,
+       |        unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |      FROM documents WHERE doc_id % 7 = 0))
+       |  WHERE length(w) BETWEEN 2 AND 12),
+       |m1 AS (SELECT doc_id, replace(d.pw, ' ' || b.a || '  ' || b.b
+       |    || ' ', ' ' || b.a || b.b || ' ') AS pw FROM dw d, b1 b),
+       |m2 AS (SELECT doc_id, replace(d.pw, ' ' || b.a || '  ' || b.b
+       |    || ' ', ' ' || b.a || b.b || ' ') AS pw FROM m1 d, b2 b),
+       |m3 AS (SELECT doc_id, replace(d.pw, ' ' || b.a || '  ' || b.b
+       |    || ' ', ' ' || b.a || b.b || ' ') AS pw FROM m2 d, b3 b)
+       |SELECT doc_id,
+       |  CAST(SUM(len(string_split(trim(pw), '  '))) AS BIGINT)
+       |    AS n_tokens
+       |FROM m3 GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Build-once persisted BPE merge table (3 ordered merges trained
+    * on the full documents table) — the q118/q119-style frozen-model
+    * steady state for tokenization. */
+  private def bpeMergesRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(s"/tmp/graft_bpe_merges/${tag}_$fp") { tmp =>
+      graft.ops.Bpe.train(table(s, dir, "documents"), "text", 3)._1
+        .write.mode("overwrite").parquet(s"$tmp/merges")
+    }
+  }
 
   private def dist2Sql(a: String, b: String): String =
     s"""list_sum([(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) *
