@@ -1063,6 +1063,70 @@ object AnalyticsQueries {
       },
       Some(bpeApplyOracle)),
 
+    // Array-function surface: construction (sequence), set algebra
+    // (intersect/union/except — sorted, since element ORDER is
+    // engine-specific), flatten, slice, and element aggregation via
+    // the HOF ↔ list_sum. Exact integers throughout.
+    QuerySpec("q179_array_funcs",
+      (s, dir) => table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("sequence(1L, CAST(l_linenumber AS BIGINT))").as("seq"),
+          array(pmod(col("l_orderkey"), lit(5)),
+            pmod(col("l_partkey"), lit(5)),
+            pmod(col("l_suppkey"), lit(5))).as("mods"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // list cells don't survive the driver's pandas-level hash —
+          // every array surfaces as its '-'-joined string form
+          array_join(col("seq"), "-").as("seq"),
+          array_join(sort_array(array_intersect(col("seq"), col("mods"))),
+            "-").as("inter"),
+          array_join(sort_array(array_union(col("seq"), col("mods"))),
+            "-").as("uni"),
+          array_join(sort_array(array_except(col("mods"), col("seq"))),
+            "-").as("exc"),
+          array_join(flatten(array(col("seq"), col("mods"))), "-")
+            .as("flat"),
+          array_join(slice(col("seq"), 1, 2), "-").as("head2"),
+          expr("aggregate(seq, 0L, (acc, x) -> acc + x)").as("seq_sum"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""WITH t AS (SELECT l_orderkey, l_linenumber,
+        |    range(1, CAST(l_linenumber AS BIGINT) + 1) AS seq,
+        |    [l_orderkey % 5, l_partkey % 5, l_suppkey % 5] AS mods
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  array_to_string(seq, '-') AS seq,
+        |  COALESCE(array_to_string(
+        |    list_sort(list_intersect(seq, mods)), '-'), '') AS inter,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_concat(seq, mods))), '-') AS uni,
+        |  COALESCE(array_to_string(list_sort(list_distinct(
+        |    list_filter(mods, x -> NOT list_contains(seq, x)))), '-'),
+        |    '') AS exc,
+        |  array_to_string(list_concat(seq, mods), '-') AS flat,
+        |  array_to_string(seq[1:2], '-') AS head2,
+        |  CAST(list_sum(seq) AS BIGINT) AS seq_sum
+        |FROM t
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Regex extract-all surface (Java ∩ RE2 pattern subset, the PII
+    // discipline): every digit run in the event props JSON, count +
+    // list + padded recombination.
+    QuerySpec("q180_regex_extract",
+      (s, dir) => events(s, dir)
+        .select(col("event_id"),
+          expr("regexp_extract_all(props, '[0-9]+', 0)").as("__runs"))
+        .select(col("event_id"),
+          size(col("__runs")).as("n_runs"),
+          array_join(col("__runs"), "-").as("joined"))
+        .orderBy(col("event_id")),
+      Some(s"""WITH e AS ($eventsSql)
+        |SELECT event_id,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER)
+        |    AS n_runs,
+        |  array_to_string(regexp_extract_all(props, '[0-9]+'), '-')
+        |    AS joined
+        |FROM e ORDER BY event_id""".stripMargin)),
+
     // Correlated-subquery surface: EXISTS, NOT EXISTS, IN, and a
     // correlated scalar subquery, in ONE portable SQL text executed
     // verbatim by both engines (Catalyst decorrelates these into
