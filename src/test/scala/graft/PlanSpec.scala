@@ -154,7 +154,10 @@ class PlanSpec extends SparkSuite {
       // q175 is the deliberately-exhaustive FILTERED brute-force
       // baseline (q30's broadcast-query pattern); q176 is its
       // cell-pruned scale path and must stay BNL-free
-      "q175_ann_filtered")
+      "q175_ann_filtered",
+      // q177's three 1-ROW best-merge frames attach by keyless cross
+      // join (the quota-Σw discipline; LIMIT 1 by construction)
+      "q177_bpe_train")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
