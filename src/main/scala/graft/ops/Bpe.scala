@@ -78,14 +78,19 @@ object Bpe {
   def train(docs: DataFrame, textCol: String,
       iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1)
-    var dict = wordDict(docs, textCol)
+    // best (1 row) and each dict (≤ |vocab| rows) are consumed by two
+    // lineages each (the merges union + the next iteration) — cache
+    // them so evaluating the returned frames runs each iteration's
+    // aggregates once, not once per later iteration (O(iters), not
+    // O(iters²))
+    var dict = wordDict(docs, textCol).cache()
     var merges: DataFrame = null
     for (i <- 1 to iters) {
-      val best = bestPair(dict)
+      val best = bestPair(dict).cache()
       val tagged = best.select(lit(i).as("iter"), col("a"), col("b"),
         col("cnt"))
       merges = if (merges == null) tagged else merges.unionByName(tagged)
-      dict = applyMerge(dict, best)
+      dict = applyMerge(dict, best).cache()
     }
     (merges, dict)
   }
@@ -111,9 +116,12 @@ object Bpe {
       .select(col(idCol), concat(lit(" "),
         array_join(expr("filter(split(__w, ''), x -> x != '')"), "  "),
         lit(" ")).as("pw"))
+    // merge constants travel as bound literals, never spliced into
+    // SQL text — a token containing a quote must not break (or
+    // inject into) the expression
     val merged = merges.foldLeft(words) { case (df, (a, b)) =>
-      df.withColumn("pw",
-        expr(s"replace(pw, ' ${a}  ${b} ', ' ${a}${b} ')"))
+      df.withColumn("pw", call_function("replace", col("pw"),
+        lit(s" $a  $b "), lit(s" $a$b ")))
     }
     merged
       .select(col(idCol), size(expr("split(trim(pw), '  ')")).as("__n"))

@@ -146,8 +146,15 @@ object Graph {
       .withColumn("h", lit(1000000L))
     def normalized(df: DataFrame, c: String): DataFrame = {
       val mx = df.agg(max(col(c)).as("__mx"))
+      // the ·1e6 step runs in DECIMAL(38,0): scores are ≤ 1e6
+      // post-normalization, so a raw sum reaches indeg·1e6 and
+      // indeg > ~9.2e6 (routine for web hubs) would wrap int64 under
+      // a long multiply. (x − x mod m) / m is an exact integral
+      // quotient, so the decimal division introduces no rounding.
+      val x = col(c).cast("decimal(38,0)") * lit(1000000L)
       df.crossJoin(mx)
-        .select(col("id"), expr(s"$c * 1000000L div __mx").as(c))
+        .select(col("id"),
+          ((x - pmod(x, col("__mx"))) / col("__mx")).cast("long").as(c))
     }
     var hubs = hubs0
     var auths: DataFrame = null

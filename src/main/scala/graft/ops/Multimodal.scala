@@ -501,6 +501,12 @@ object Multimodal {
           val timescale = be32At(tsOff)
           if (timescale == 0) return Left("bad_header")
           val duration = if (dur64) be64(b, durOff.toInt) else be32At(durOff)
+          // v1 durations are unsigned 64-bit and may carry the
+          // all-ones "unknown" sentinel; anything that would wrap
+          // the ·1e6 micros conversion is dead-lettered, not
+          // silently emitted negative
+          if (duration < 0 || duration > Long.MaxValue / 1000000L)
+            return Left("bad_header")
           mvhd = Some((timescale, duration))
         case "trak" =>
           nTracks += 1

@@ -18,20 +18,27 @@ object Reconcile {
     conv(substring(md5(concat_ws("|", cols.map(_.cast("string")): _*)),
       1, 15), 16, 10).cast("long")
 
-  /** Order-independent table fingerprint: (tbl, n_rows, xor60) where
-    * xor60 is the bitwise XOR of every row's 60-bit hash — XOR is
-    * commutative/associative, so the result is identical under ANY
-    * partitioning or row order, and the whole check is one
-    * map-side-combined aggregate (8 bytes of state per partition).
-    * DuckDB mirror: `bit_xor(CAST(('0x' || substr(md5(c1 || '|' ||
-    * c2 ...), 1, 15)) AS BIGINT))`. */
+  /** Order-independent table fingerprint: (tbl, n_rows, xor60,
+    * sum60) — the bitwise XOR and the sum mod 2^60 of every row's
+    * 60-bit hash. Both lanes are commutative/associative (identical
+    * under ANY partitioning or row order), and they fail
+    * independently: XOR alone is blind to EVEN multiplicities ({A,A}
+    * vs {B,B} both XOR to 0), the modular sum alone to crafted
+    * cancellations — together with n_rows a multiset difference must
+    * fool all three. One map-side-combined aggregate, ~24 bytes of
+    * state per partition; the sum rides DECIMAL(38,0)/HUGEINT so it
+    * never overflows en route. DuckDB mirror:
+    * `bit_xor(h)`, `CAST(SUM(CAST(h AS HUGEINT)) %
+    * 1152921504606846976 AS BIGINT)`. */
   def fingerprint(df: DataFrame, table: String,
       cols: Seq[Column]): DataFrame =
     df.withColumn("__h", rowHash60(cols))
       .agg(count(lit(1)).as("n_rows"),
-        expr("bit_xor(__h)").as("xor60"))
+        expr("bit_xor(__h)").as("xor60"),
+        expr("""CAST(sum(CAST(__h AS DECIMAL(38,0)))
+                % 1152921504606846976 AS BIGINT)""").as("sum60"))
       .withColumn("tbl", lit(table))
-      .select(col("tbl"), col("n_rows"), col("xor60"))
+      .select(col("tbl"), col("n_rows"), col("xor60"), col("sum60"))
 
   /** Keyed row diff of two snapshots: one full-outer join on the key
     * comparing 60-bit content hashes of the non-key columns. Output:

@@ -27,26 +27,42 @@ import org.apache.spark.sql.types.DecimalType
   * attribute names, types, AND exprIds are preserved, so parent
   * operators (sorts, projections) are unaffected. */
 object SummaryRegistry {
-  /** A registered summary: where the state parquet lives and the
-    * shape it was built with ([[graft.ops.IncrementalAgg.aggState]]). */
+  /** A registered summary: where the state parquet lives, the shape
+    * it was built with ([[graft.ops.IncrementalAgg.aggState]]), and
+    * the base table's listing fingerprint AT REGISTRATION — the
+    * freshness pin (see [[lookup]]). */
   case class SummarySpec(statePath: String, keys: Seq[String],
-      sums: Seq[String], mins: Seq[String], maxs: Seq[String])
+      sums: Seq[String], mins: Seq[String], maxs: Seq[String],
+      baseFingerprint: String = "")
 
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, SummarySpec]()
 
   /** Register `spec` as the summary of the base table at `basePath`
-    * (matched against the relation's root paths by suffix, so
-    * `file:` prefixes don't matter). */
+    * (matched against the relation's root paths at a path-segment
+    * boundary, so `file:` prefixes don't matter but
+    * `/big_data/...` can never match a registration for
+    * `data/...`). The base's listing fingerprint is captured here:
+    * a rewrite is only taken while the base is byte-identical to
+    * what the summary was built from — appended/rewritten base files
+    * silently disable the rewrite rather than serving stale totals. */
   def register(basePath: String, spec: SummarySpec): Unit =
-    reg.put(basePath, spec)
+    reg.put(basePath,
+      spec.copy(baseFingerprint =
+        graft.queries.FixtureCache.fingerprint(basePath)))
 
   def clear(): Unit = reg.clear()
 
   private[plans] def lookup(rootPaths: Seq[String]): Option[SummarySpec] = {
     import scala.jdk.CollectionConverters._
     reg.asScala.collectFirst {
-      case (base, spec) if rootPaths.exists(_.endsWith(base)) => spec
+      case (base, spec)
+          if rootPaths.exists(p => p == base ||
+            p.stripPrefix("file:") == base || p.endsWith("/" + base)) &&
+            (try graft.queries.FixtureCache.fingerprint(base) ==
+              spec.baseFingerprint
+             catch { case _: Exception => false }) =>
+        spec
     }
   }
 }
@@ -135,7 +151,12 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       def tr(e: Expression): Option[Expression] = e match {
         case ae @ AggregateExpression(fn, _, false, None, _) => fn match {
           case Count(Seq(Literal(v, _))) if v != null =>
-            Some(mergedAgg(Sum(stateAttr("n"))))
+            // Count is 0 on empty input where Sum is NULL — a
+            // grouping-less aggregate over a filtered-empty state
+            // must still answer 0, not NULL
+            Some(org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+              mergedAgg(Sum(stateAttr("n"))),
+              Literal(0L, org.apache.spark.sql.types.LongType))))
           case Sum(c, _) => resolve(c) match {
             case Cast(ar: AttributeReference, dt: DecimalType, _, _)
                 if dt.precision == 18 && dt.scale == 2 &&

@@ -556,23 +556,28 @@ object AnalyticsQueries {
               col("c_mktsegment"))))
           .orderBy(col("tbl"))
       },
-      Some("""SELECT 'region' AS tbl, COUNT(*) AS n_rows,
-        |  bit_xor(CAST(('0x' || substr(md5(
-        |    r_regionkey || '|' || r_name), 1, 15)) AS BIGINT)) AS xor60
-        |FROM region
-        |UNION ALL
-        |SELECT 'nation', COUNT(*),
-        |  bit_xor(CAST(('0x' || substr(md5(
+      Some("""WITH hr AS (SELECT CAST(('0x' || substr(md5(
+        |    r_regionkey || '|' || r_name), 1, 15)) AS BIGINT) AS h
+        |  FROM region),
+        |hn AS (SELECT CAST(('0x' || substr(md5(
         |    n_nationkey || '|' || n_name || '|' || n_regionkey), 1, 15))
-        |    AS BIGINT))
-        |FROM nation
-        |UNION ALL
-        |SELECT 'customer', COUNT(*),
-        |  bit_xor(CAST(('0x' || substr(md5(
+        |    AS BIGINT) AS h FROM nation),
+        |hc AS (SELECT CAST(('0x' || substr(md5(
         |    c_custkey || '|' || c_name || '|' || c_nationkey || '|' ||
         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
-        |    c_mktsegment), 1, 15)) AS BIGINT))
-        |FROM customer
+        |    c_mktsegment), 1, 15)) AS BIGINT) AS h FROM customer)
+        |SELECT 'region' AS tbl, COUNT(*) AS n_rows, bit_xor(h) AS xor60,
+        |  CAST(SUM(CAST(h AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+        |    AS sum60
+        |FROM hr
+        |UNION ALL
+        |SELECT 'nation', COUNT(*), bit_xor(h),
+        |  CAST(SUM(CAST(h AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+        |FROM hn
+        |UNION ALL
+        |SELECT 'customer', COUNT(*), bit_xor(h),
+        |  CAST(SUM(CAST(h AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+        |FROM hc
         |ORDER BY tbl""".stripMargin)),
 
     // Keyed snapshot diff: orders vs a deterministically mutated
@@ -840,13 +845,7 @@ object AnalyticsQueries {
     // answer.
     QuerySpec("q168_summary_rewrite",
       (s, dir) => {
-        import graft.plans.{SummaryRegistry, SummaryRewriteRule}
-        SummaryRegistry.register(s"$dir/lineitem.parquet",
-          SummaryRegistry.SummarySpec(s"${fullAggStateRoot(s, dir)}/state",
-            AggKeys, AggSums, AggMins, AggMaxs))
-        if (!s.experimental.extraOptimizations.contains(SummaryRewriteRule))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ SummaryRewriteRule
+        ensureSummaryRewrite(s, dir)
         table(s, dir, "lineitem")
           .groupBy(AggKeys.map(col): _*)
           .agg(count(lit(1)).as("n"),
@@ -869,13 +868,7 @@ object AnalyticsQueries {
     // plan too carries no fact scan.
     QuerySpec("q169_summary_rollup",
       (s, dir) => {
-        import graft.plans.{SummaryRegistry, SummaryRewriteRule}
-        SummaryRegistry.register(s"$dir/lineitem.parquet",
-          SummaryRegistry.SummarySpec(s"${fullAggStateRoot(s, dir)}/state",
-            AggKeys, AggSums, AggMins, AggMaxs))
-        if (!s.experimental.extraOptimizations.contains(SummaryRewriteRule))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ SummaryRewriteRule
+        ensureSummaryRewrite(s, dir)
         table(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"),
@@ -899,13 +892,7 @@ object AnalyticsQueries {
     // still refuses. Oracle recomputes from raw with the same WHERE.
     QuerySpec("q173_summary_filtered",
       (s, dir) => {
-        import graft.plans.{SummaryRegistry, SummaryRewriteRule}
-        SummaryRegistry.register(s"$dir/lineitem.parquet",
-          SummaryRegistry.SummarySpec(s"${fullAggStateRoot(s, dir)}/state",
-            AggKeys, AggSums, AggMins, AggMaxs))
-        if (!s.experimental.extraOptimizations.contains(SummaryRewriteRule))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ SummaryRewriteRule
+        ensureSummaryRewrite(s, dir)
         table(s, dir, "lineitem")
           .filter(col("l_returnflag") =!= "A" &&
             pmod(col("l_suppkey"), lit(2)) === 0)
@@ -1307,6 +1294,18 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT 'except_all', k, COUNT(*) FROM e GROUP BY 2
       |ORDER BY op, k""".stripMargin
+
+  /** Build-once full-table summary registration + rewrite-rule
+    * install (idempotent) — shared by the q168/q169/q173 gates. */
+  private def ensureSummaryRewrite(s: SparkSession, dir: String): Unit = {
+    import graft.plans.{SummaryRegistry, SummaryRewriteRule}
+    SummaryRegistry.register(s"$dir/lineitem.parquet",
+      SummaryRegistry.SummarySpec(s"${fullAggStateRoot(s, dir)}/state",
+        AggKeys, AggSums, AggMins, AggMaxs))
+    if (!s.experimental.extraOptimizations.contains(SummaryRewriteRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ SummaryRewriteRule
+  }
 
   /** Build-once persisted summary over the FULL lineitem (the q168
     * rewrite target — unlike [[aggStateRoot]]'s mod-97 history

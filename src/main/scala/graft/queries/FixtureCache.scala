@@ -30,7 +30,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   * build is visible, and a crashed build leaves only an orphaned
   * temp dir that the next builder clears.
   */
-private[queries] object FixtureCache {
+private[graft] object FixtureCache {
 
   /** Fingerprint of a parquet file-or-directory: md5 (128 bits, first
     * 16 hex kept) over the sorted `name:length:mtime` listing.

@@ -287,7 +287,26 @@ object StreamingIngest {
     * never history-sized. */
   def aggIngest(stream: DataFrame, keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String], stateDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    // state and checkpoint form a PAIR: the `_epoch` ledger compares
+    // this query's batchIds against the state's history, and batchIds
+    // are CHECKPOINT-scoped. A fresh checkpoint restarts them at 0,
+    // so running it against existing state would silently no-op
+    // epochs 0..N as "replays" and lose data — pin the pairing on
+    // first use and refuse a mismatch loudly.
+    locally {
+      import java.nio.file.{Files, Paths}
+      val tag = Paths.get(s"$stateDir/_checkpoint_tag")
+      Files.createDirectories(tag.getParent)
+      if (Files.exists(tag)) {
+        val prev = Files.readString(tag).trim
+        require(prev == checkpointDir,
+          s"aggIngest state at $stateDir was built under checkpoint " +
+            s"'$prev' — running it under '$checkpointDir' would replay " +
+            "from batchId 0 and silently DROP new epochs. Use a fresh " +
+            "stateDir with a fresh checkpoint.")
+      } else Files.writeString(tag, checkpointDir)
+    }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -295,6 +314,7 @@ object StreamingIngest {
           epochId)
       }
       .start()
+  }
 
   /** One epoch of [[aggIngest]], separated so the batch path is
     * directly testable and reusable by a non-streaming ingest loop.

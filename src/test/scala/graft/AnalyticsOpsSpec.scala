@@ -72,10 +72,10 @@ class AnalyticsOpsSpec extends SparkSuite {
   test("fingerprint: order/partitioning-independent; any row change flips it") {
     import graft.ops.Reconcile
     val df = (1L to 500L).map(i => (i, s"name_$i")).toDF("k", "s")
-    def fp(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    def fp(d: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
       val r = Reconcile.fingerprint(d, "t", Seq(col("k"), col("s")))
         .collect()(0)
-      (r.getLong(1), r.getLong(2))
+      (r.getLong(1), r.getLong(2), r.getLong(3))
     }
     val base = fp(df)
     assert(fp(df.repartition(13)) == base)
@@ -84,12 +84,20 @@ class AnalyticsOpsSpec extends SparkSuite {
     val mutated = df.withColumn("s",
       when(col("k") === 250L, lit("tampered")).otherwise(col("s")))
     val m = fp(mutated)
-    assert(m._1 == base._1 && m._2 != base._2)
+    assert(m._1 == base._1 && (m._2 != base._2 || m._3 != base._3))
     // swapping content between two rows changes it too (not just sums)
     val swapped = df.withColumn("s",
       when(col("k") === 1L, lit("name_2"))
         .when(col("k") === 2L, lit("name_1")).otherwise(col("s")))
-    assert(fp(swapped)._2 != base._2)
+    val sw = fp(swapped)
+    assert(sw._2 != base._2 || sw._3 != base._3)
+    // XOR's blind spot — even multiplicities ({A,A} vs {B,B} both
+    // XOR to 0) — is exactly what the modular-sum lane catches
+    val aa = Seq((1L, "A"), (1L, "A")).toDF("k", "s")
+    val bb = Seq((1L, "B"), (1L, "B")).toDF("k", "s")
+    val (na, xa, sa) = fp(aa); val (nb, xb, sb) = fp(bb)
+    assert(na == nb && xa == 0L && xb == 0L, "XOR lane is blind here")
+    assert(sa != sb, "sum60 lane must separate even-multiplicity swaps")
   }
 
   test("tableDiff: added/removed/changed labeled, unchanged silent") {
