@@ -1050,6 +1050,81 @@ object AnalyticsQueries {
       },
       Some(bpeApplyOracle)),
 
+    // Sequence-pattern matching (MATCH_RECOGNIZE-lite): each entity's
+    // event stream becomes its ordered type-initial string, and
+    // patterns are counted by plain regex (Java ∩ RE2 subset) —
+    // funnels with arbitrary gaps are q137's keyed joins; CONTIGUOUS
+    // patterns ('view, any clicks, purchase, nothing between') are
+    // regexes over the sequence string. Per entity: the sequence, the
+    // non-overlapping count of v c* p, and an adjacent-vp flag.
+    QuerySpec("q181_sequence_match",
+      (s, dir) => events(s, dir)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")).as("__e"))
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(__e)), x -> x.ch)"),
+          "").as("seq"))
+        .select(col("user_id"), col("seq"),
+          size(expr("regexp_extract_all(seq, 'vc*p', 0)")).as("n_vcp"),
+          col("seq").contains("vp").as("has_vp"))
+        .orderBy(col("user_id")),
+      Some(s"""WITH e AS ($eventsSql),
+        |sq AS (SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, seq,
+        |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS INTEGER) AS n_vcp,
+        |  contains(seq, 'vp') AS has_vp
+        |FROM sq ORDER BY user_id""".stripMargin)),
+
+    // Entity resolution END-TO-END: the q142 edit-distance fuzzy join
+    // generates candidate pairs over part names, connected components
+    // (min-label propagation — q64's machinery) cluster them, and the
+    // min-id member canonicalizes each cluster. The oracle replays
+    // the FULL pruned pipeline: the EDJoin gram/tiny arms, the
+    // levenshtein verify, and the recursive-CTE closure.
+    QuerySpec("q182_entity_resolution",
+      (s, dir) => {
+        val ents = table(s, dir, "part")
+          .groupBy(col("p_name")).agg(min(col("p_partkey")).as("p_partkey"))
+        val probes = ents.select(
+          (col("p_partkey") + 1000000L).as("probe_id"),
+          when(pmod(col("p_partkey"), lit(3)) === 0,
+            concat(substring(col("p_name"), 1, 3), lit("#"),
+              substring(col("p_name"), 5, 100000)))
+            .otherwise(col("p_name")).as("probe_name"))
+        val pairs = graft.ops.Relational.fuzzyJoin(
+          probes, "probe_id", "probe_name",
+          ents.select(col("p_partkey"), col("p_name")),
+          "p_partkey", "p_name", q = 3, maxDist = 1)
+        graft.ops.Dedup.nearDupComponents(
+            pairs.select(col("probe_id").as("id_a"),
+              col("p_partkey").as("id_b")), "id_a", "id_b")
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("id")).as("canonical_id"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH ${WebCorpusQueries.edjoinPairsCtes},
+        |good AS (SELECT probe_id AS a, p_partkey AS b FROM ver
+        |  WHERE dist <= 1),
+        |edges AS (SELECT a, b FROM good UNION SELECT b, a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT component, COUNT(*) AS n_members,
+        |  MIN(id) AS canonical_id
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin)),
+
     // Array-function surface: construction (sequence), set algebra
     // (intersect/union/except — sorted, since element ORDER is
     // engine-specific), flatten, slice, and element aggregation via

@@ -96,6 +96,43 @@ object WebCorpusQueries {
       |       ELSE '' END ||
       |  '</body></html>' AS html FROM documents)""".stripMargin
 
+  /** The q142 EDJoin oracle chain (fixture construction + gram/
+    * frequency pruning + levenshtein verify), shared verbatim with
+    * q182's entity-resolution closure so the two cannot drift.
+    * `ver` is the verified candidate frame (probe_id, p_partkey,
+    * dist). */
+  private[queries] val edjoinPairsCtes: String =
+    """ent AS (SELECT p_name, MIN(p_partkey) AS p_partkey
+      |  FROM part GROUP BY 1),
+      |pr AS (SELECT p_partkey + 1000000 AS probe_id,
+      |    CASE WHEN p_partkey % 3 = 0
+      |         THEN substr(p_name, 1, 3) || '#' || substr(p_name, 5)
+      |         ELSE p_name END AS probe_name FROM ent),
+      |lgi AS (SELECT probe_id AS lid, probe_name AS ls,
+      |    UNNEST(generate_series(1, length(probe_name) - 2)) AS i
+      |  FROM pr WHERE length(probe_name) >= 7),
+      |lgr AS (SELECT DISTINCT lid, ls,
+      |    substr(ls, CAST(i AS INTEGER), 3) AS g FROM lgi),
+      |rgi AS (SELECT p_partkey AS rid, p_name AS rs,
+      |    UNNEST(generate_series(1, length(p_name) - 2)) AS i
+      |  FROM ent WHERE length(p_name) >= 7),
+      |rgr AS (SELECT DISTINCT rid, rs,
+      |    substr(rs, CAST(i AS INTEGER), 3) AS g FROM rgi),
+      |fr AS (SELECT g, COUNT(*) AS f FROM (
+      |    SELECT g FROM lgr UNION ALL SELECT g FROM rgr) GROUP BY 1),
+      |lpf AS (SELECT lid, ls, g FROM (
+      |    SELECT lgr.*, fr.f, ROW_NUMBER() OVER (PARTITION BY lid
+      |      ORDER BY fr.f, lgr.g) AS rk FROM lgr JOIN fr USING (g))
+      |  WHERE rk <= 4),
+      |rpf AS (SELECT rid, rs, g FROM (
+      |    SELECT rgr.*, fr.f, ROW_NUMBER() OVER (PARTITION BY rid
+      |      ORDER BY fr.f, rgr.g) AS rk FROM rgr JOIN fr USING (g))
+      |  WHERE rk <= 4),
+      |cand AS (SELECT DISTINCT lid, ls, rid, rs FROM lpf JOIN rpf USING (g)),
+      |ver AS (SELECT lid AS probe_id, rid AS p_partkey,
+      |    CAST(levenshtein(ls, rs) AS INTEGER) AS dist
+      |  FROM cand WHERE abs(length(ls) - length(rs)) <= 1)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // Portable HyperLogLog register table (p=8) over the order keys:
@@ -422,36 +459,7 @@ object WebCorpusQueries {
             "p_partkey", "p_name", q = 3, maxDist = 1)
           .orderBy(col("probe_id"), col("p_partkey"))
       },
-      Some("""WITH ent AS (SELECT p_name, MIN(p_partkey) AS p_partkey
-        |  FROM part GROUP BY 1),
-        |pr AS (SELECT p_partkey + 1000000 AS probe_id,
-        |    CASE WHEN p_partkey % 3 = 0
-        |         THEN substr(p_name, 1, 3) || '#' || substr(p_name, 5)
-        |         ELSE p_name END AS probe_name FROM ent),
-        |lgi AS (SELECT probe_id AS lid, probe_name AS ls,
-        |    UNNEST(generate_series(1, length(probe_name) - 2)) AS i
-        |  FROM pr WHERE length(probe_name) >= 7),
-        |lgr AS (SELECT DISTINCT lid, ls,
-        |    substr(ls, CAST(i AS INTEGER), 3) AS g FROM lgi),
-        |rgi AS (SELECT p_partkey AS rid, p_name AS rs,
-        |    UNNEST(generate_series(1, length(p_name) - 2)) AS i
-        |  FROM ent WHERE length(p_name) >= 7),
-        |rgr AS (SELECT DISTINCT rid, rs,
-        |    substr(rs, CAST(i AS INTEGER), 3) AS g FROM rgi),
-        |fr AS (SELECT g, COUNT(*) AS f FROM (
-        |    SELECT g FROM lgr UNION ALL SELECT g FROM rgr) GROUP BY 1),
-        |lpf AS (SELECT lid, ls, g FROM (
-        |    SELECT lgr.*, fr.f, ROW_NUMBER() OVER (PARTITION BY lid
-        |      ORDER BY fr.f, lgr.g) AS rk FROM lgr JOIN fr USING (g))
-        |  WHERE rk <= 4),
-        |rpf AS (SELECT rid, rs, g FROM (
-        |    SELECT rgr.*, fr.f, ROW_NUMBER() OVER (PARTITION BY rid
-        |      ORDER BY fr.f, rgr.g) AS rk FROM rgr JOIN fr USING (g))
-        |  WHERE rk <= 4),
-        |cand AS (SELECT DISTINCT lid, ls, rid, rs FROM lpf JOIN rpf USING (g)),
-        |ver AS (SELECT lid AS probe_id, rid AS p_partkey,
-        |    CAST(levenshtein(ls, rs) AS INTEGER) AS dist
-        |  FROM cand WHERE abs(length(ls) - length(rs)) <= 1)
+      Some(s"""WITH $edjoinPairsCtes
         |SELECT probe_id, p_partkey, dist FROM ver WHERE dist <= 1
         |ORDER BY probe_id, p_partkey""".stripMargin))
   )
