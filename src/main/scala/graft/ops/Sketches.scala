@@ -187,6 +187,25 @@ object Sketches {
     a.unionByName(b)
       .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Grouped histograms — one fixed-bin histogram per group key (the
+    * [[hllRegistersBy]] move for distributions: per-source value
+    * profiles at sketch cost). Same integer bin arithmetic; shuffle
+    * bounded by |groups|·bins·partitions; per-group merge stays
+    * bin-wise sum. */
+  def histSketchBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(hi > lo && bins > 0)
+    val x = col(valueCol).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        ((x - lit(lo)) * lit(bins.toLong)).as("__n"): _*)
+      .select(groupCols.map(col) :+
+        least(lit(bins - 1L), greatest(lit(0L),
+          expr(s"__n div ${hi - lo}L"))).cast("int").as("bin"): _*)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Quantile bins from a [[histSketch]]: for each p (in milli-units)
     * the first bin whose cumulative count reaches ceil(p·N/1000),
     * with its floor-arithmetic value edges. All integer. The

@@ -1125,6 +1125,30 @@ object AnalyticsQueries {
         |  MIN(id) AS canonical_id
         |FROM comp GROUP BY component ORDER BY component""".stripMargin)),
 
+    // Grouped histograms: one fixed-bin price histogram per
+    // return-flag (the grouped-HLL move for DISTRIBUTIONS — q167's
+    // sibling): exact integer bin arithmetic per group, hash-exact
+    // state, bin-wise-sum merge per group, shuffle bounded by
+    // groups·bins.
+    QuerySpec("q183_hist_grouped",
+      (s, dir) => graft.ops.Sketches.histSketchBy(
+          table(s, dir, "lineitem")
+            .select(col("l_returnflag"),
+              floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+                .as("cents")),
+          Seq("l_returnflag"), "cents", lo = 0L, hi = 11000000L,
+          bins = 64)
+        .orderBy(col("l_returnflag"), col("bin")),
+      Some("""WITH c AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT l_returnflag,
+        |    LEAST(63, GREATEST(0, (cents * 64) // 11000000)) AS bin
+        |  FROM c)
+        |SELECT l_returnflag, CAST(bin AS INTEGER) AS bin,
+        |  COUNT(*) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin)),
+
     // Array-function surface: construction (sequence), set algebra
     // (intersect/union/except — sorted, since element ORDER is
     // engine-specific), flatten, slice, and element aggregation via

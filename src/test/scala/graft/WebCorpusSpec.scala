@@ -58,6 +58,23 @@ class WebCorpusSpec extends SparkSuite {
     }
   }
 
+  test("hist grouped: each group's bins equal its own direct build") {
+    val rows = (1 to 2000).map(i => (i % 3L, (i * 37 % 1000).toLong))
+    val grouped = Sketches.histSketchBy(rows.toDF("g", "v"),
+        Seq("g"), "v", lo = 0L, hi = 1000L, bins = 16)
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    for (g <- 0L until 3L) {
+      val slice = grouped.filter(_._1 == g).map(t => (t._2, t._3))
+      val direct = Sketches.histSketch(
+          rows.filter(_._1 == g).map(_._2).toDF("v"), "v",
+          lo = 0L, hi = 1000L, bins = 16)
+        .orderBy("bin").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(slice == direct, s"group $g")
+    }
+  }
+
   test("CMS: never undercounts, exact when collision-free, merge ≡ rebuild") {
     // 2000 occurrences over 20 keys with known skewed frequencies
     val occ = (1 to 20).flatMap(k => Seq.fill(k * 10)(s"key-$k")).toDF("k")
