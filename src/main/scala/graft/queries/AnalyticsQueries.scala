@@ -1125,6 +1125,41 @@ object AnalyticsQueries {
         |  MIN(id) AS canonical_id
         |FROM comp GROUP BY component ORDER BY component""".stripMargin)),
 
+    // Point-in-time (AS OF) query over the SCD2 history — time
+    // travel as an operator: rebuild the table state at timestamp T
+    // by selecting each key's version whose [begin, end) interval
+    // covers T (open end = current). Composed on q46's history
+    // build; the predicate prunes to ≤ 1 row per key with no window.
+    QuerySpec("q184_time_travel",
+      (s, dir) => {
+        val asOf = lit("2024-01-15 00:00:00").cast("timestamp")
+        graft.ops.Temporal.buildHistory(events(s, dir),
+            keyCol = "user_id", tsCol = "ts",
+            payloadCols = Seq("event_type", "value"),
+            tiebreak = Seq(col("event_id")))
+          .filter(col("begin_geldigheid") <= asOf &&
+            (col("eind_geldigheid").isNull ||
+              col("eind_geldigheid") > asOf))
+          .select(col("identificatie"), col("volgnummer"),
+            col("event_type"),
+            col("value").cast("decimal(18,2)").cast("double").as("value"))
+          .orderBy(col("identificatie"))
+      },
+      Some(s"""WITH e AS ($eventsSql),
+        |h AS (SELECT CAST(user_id AS VARCHAR) AS identificatie, ts,
+        |    event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS volgnummer,
+        |    LEAD(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS eind
+        |  FROM e)
+        |SELECT identificatie, volgnummer, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM h
+        |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (eind IS NULL OR eind > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY identificatie""".stripMargin)),
+
     // Grouped histograms: one fixed-bin price histogram per
     // return-flag (the grouped-HLL move for DISTRIBUTIONS — q167's
     // sibling): exact integer bin arithmetic per group, hash-exact
