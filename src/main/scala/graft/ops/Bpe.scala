@@ -67,9 +67,15 @@ object Bpe {
     * pre-merge words can collide post-merge (`a b` → `ab` meets the
     * word `ab`). */
   def applyMerge(dict: DataFrame, best: DataFrame): DataFrame =
-    dict.crossJoin(broadcast(best))
-      .select(expr(
-        "replace(pw, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')")
+    // LEFT join on a constant key, not a cross join: a corpus with no
+    // eligible pair (all self-pairs, or fully merged before `iters`
+    // ran out) yields an EMPTY best frame, and a cross join would
+    // annihilate the dict instead of leaving it unchanged
+    dict.withColumn("__k", lit(1))
+      .join(broadcast(best.select(lit(1).as("__k"), col("a"), col("b"))),
+        Seq("__k"), "left")
+      .select(when(col("a").isNull, col("pw")).otherwise(expr(
+        "replace(pw, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"))
         .as("pw"), col("freq"))
       .groupBy(col("pw")).agg(sum(col("freq")).as("freq"))
 
@@ -78,19 +84,21 @@ object Bpe {
   def train(docs: DataFrame, textCol: String,
       iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1)
-    // best (1 row) and each dict (≤ |vocab| rows) are consumed by two
-    // lineages each (the merges union + the next iteration) — cache
-    // them so evaluating the returned frames runs each iteration's
-    // aggregates once, not once per later iteration (O(iters), not
-    // O(iters²))
-    var dict = wordDict(docs, textCol).cache()
+    // each 1-row best is consumed by two lineages (the merges union +
+    // every later iteration's dict) — caching the BESTS alone keeps
+    // the expensive pair-count aggregates to one run each (O(iters)
+    // total) while pinning only iters single-row frames in the
+    // session cache; the dict chain itself replays as cheap scans and
+    // is deliberately NOT cached (a per-corpus vocabulary-sized cache
+    // entry would outlive the call — ADVICE-class leak).
+    var dict = wordDict(docs, textCol)
     var merges: DataFrame = null
     for (i <- 1 to iters) {
       val best = bestPair(dict).cache()
       val tagged = best.select(lit(i).as("iter"), col("a"), col("b"),
         col("cnt"))
       merges = if (merges == null) tagged else merges.unionByName(tagged)
-      dict = applyMerge(dict, best).cache()
+      dict = applyMerge(dict, best)
     }
     (merges, dict)
   }

@@ -172,15 +172,8 @@ object Sketches {
     * bins·partitions. Callers scale doubles to integer units first
     * (the repo's cents/micros idiom) — determinism is the point. */
   def histSketch(df: DataFrame, valueCol: String,
-      lo: Long, hi: Long, bins: Int): DataFrame = {
-    require(hi > lo && bins > 0)
-    val x = col(valueCol).cast("long")
-    df.filter(col(valueCol).isNotNull)
-      .select(((x - lit(lo)) * lit(bins.toLong)).as("__n"))
-      .select(least(lit(bins - 1L), greatest(lit(0L),
-        expr(s"__n div ${hi - lo}L"))).cast("int").as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-  }
+      lo: Long, hi: Long, bins: Int): DataFrame =
+    histSketchBy(df, Nil, valueCol, lo, hi, bins)
 
   /** Merge two histograms: bin-wise sum. */
   def histMerge(a: DataFrame, b: DataFrame): DataFrame =

@@ -51,7 +51,28 @@ object SummaryRegistry {
       spec.copy(baseFingerprint =
         graft.queries.FixtureCache.fingerprint(basePath)))
 
-  def clear(): Unit = reg.clear()
+  def clear(): Unit = { reg.clear(); fpCache.clear() }
+
+  // the freshness probe runs inside the optimizer (possibly several
+  // times per query) — memoize the filesystem fingerprint briefly so
+  // planning never does repeated listing+digest I/O on the hot path;
+  // 10 s staleness only delays when a base mutation DISABLES the
+  // rewrite, never serves a wrong answer longer than the TTL
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def freshFingerprint(base: String): String = {
+    val now = System.currentTimeMillis()
+    val cached = fpCache.get(base)
+    if (cached != null && now - cached._2 < 10000L) cached._1
+    else {
+      val fp =
+        try graft.queries.FixtureCache.fingerprint(base)
+        catch { case _: Exception => "" }
+      fpCache.put(base, (fp, now))
+      fp
+    }
+  }
 
   private[plans] def lookup(rootPaths: Seq[String]): Option[SummarySpec] = {
     import scala.jdk.CollectionConverters._
@@ -59,9 +80,8 @@ object SummaryRegistry {
       case (base, spec)
           if rootPaths.exists(p => p == base ||
             p.stripPrefix("file:") == base || p.endsWith("/" + base)) &&
-            (try graft.queries.FixtureCache.fingerprint(base) ==
-              spec.baseFingerprint
-             catch { case _: Exception => false }) =>
+            spec.baseFingerprint.nonEmpty &&
+            freshFingerprint(base) == spec.baseFingerprint =>
         spec
     }
   }

@@ -1089,6 +1089,7 @@ object AnalyticsQueries {
     QuerySpec("q182_entity_resolution",
       (s, dir) => {
         val ents = table(s, dir, "part")
+          .filter(length(col("p_name")) >= 8) // tiny-arm exclusion, see q142
           .groupBy(col("p_name")).agg(min(col("p_partkey")).as("p_partkey"))
         val probes = ents.select(
           (col("p_partkey") + 1000000L).as("probe_id"),

@@ -103,7 +103,7 @@ object WebCorpusQueries {
     * dist). */
   private[queries] val edjoinPairsCtes: String =
     """ent AS (SELECT p_name, MIN(p_partkey) AS p_partkey
-      |  FROM part GROUP BY 1),
+      |  FROM part WHERE length(p_name) >= 8 GROUP BY 1),
       |pr AS (SELECT p_partkey + 1000000 AS probe_id,
       |    CASE WHEN p_partkey % 3 = 0
       |         THEN substr(p_name, 1, 3) || '#' || substr(p_name, 5)
@@ -446,7 +446,13 @@ object WebCorpusQueries {
     // levenshtein verify — the full pruning pipeline, hash-exact.
     QuerySpec("q142_fuzzy_join",
       (s, dir) => {
+        // names < tinyCut (= q·(d+1)+d+1 = 8) would route through
+        // fuzzyJoin's tiny-string arm, which the shared oracle does
+        // not replay — excluded explicitly so the gram-arm oracle is
+        // COMPLETE by construction (all current part names qualify;
+        // the tiny arm itself is brute-force-differential spec-tested)
         val ents = table(s, dir, "part")
+          .filter(length(col("p_name")) >= 8)
           .groupBy(col("p_name")).agg(min(col("p_partkey")).as("p_partkey"))
         val probes = ents.select(
           (col("p_partkey") + 1000000L).as("probe_id"),

@@ -290,30 +290,43 @@ object StreamingIngest {
       checkpointDir: String): StreamingQuery = {
     // state and checkpoint form a PAIR: the `_epoch` ledger compares
     // this query's batchIds against the state's history, and batchIds
-    // are CHECKPOINT-scoped. A fresh checkpoint restarts them at 0,
-    // so running it against existing state would silently no-op
-    // epochs 0..N as "replays" and lose data — pin the pairing on
-    // first use and refuse a mismatch loudly.
+    // are CHECKPOINT-scoped. A fresh (or wiped-and-recreated)
+    // checkpoint restarts them at 0, so running it against existing
+    // state would silently no-op epochs 0..N as "replays" and lose
+    // data. Pin the checkpoint's IDENTITY — the streaming query id
+    // persisted in its metadata file — not its path (a path survives
+    // a wipe; the id does not), and refuse a mismatch BEFORE any
+    // epoch can run.
     locally {
       import java.nio.file.{Files, Paths}
-      val tag = Paths.get(s"$stateDir/_checkpoint_tag")
+      val tag = Paths.get(s"$stateDir/_query_id")
       Files.createDirectories(tag.getParent)
+      val meta = Paths.get(s"$checkpointDir/metadata")
+      val ckptId: Option[String] =
+        if (Files.exists(meta))
+          "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
+            .findFirstMatchIn(Files.readString(meta)).map(_.group(1))
+        else None
       if (Files.exists(tag)) {
         val prev = Files.readString(tag).trim
-        require(prev == checkpointDir,
-          s"aggIngest state at $stateDir was built under checkpoint " +
-            s"'$prev' — running it under '$checkpointDir' would replay " +
-            "from batchId 0 and silently DROP new epochs. Use a fresh " +
-            "stateDir with a fresh checkpoint.")
-      } else Files.writeString(tag, checkpointDir)
-    }
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        aggIngestBatch(batch, keys, sumCols, minCols, maxCols, stateDir,
-          epochId)
+        require(ckptId.contains(prev),
+          s"aggIngest state at $stateDir was built under streaming " +
+            s"query ${prev}; checkpoint $checkpointDir carries " +
+            s"${ckptId.getOrElse("no metadata (fresh checkpoint)")} — " +
+            "its batchIds would restart and the _epoch ledger would " +
+            "silently DROP new epochs as replays. Use a fresh stateDir " +
+            "with a fresh checkpoint.")
       }
-      .start()
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          aggIngestBatch(batch, keys, sumCols, minCols, maxCols, stateDir,
+            epochId)
+        }
+        .start()
+      if (!Files.exists(tag)) Files.writeString(tag, q.id.toString)
+      q
+    }
   }
 
   /** One epoch of [[aggIngest]], separated so the batch path is

@@ -18,13 +18,17 @@ class BpeSpec extends SparkSuite {
       words.map { case (w, f) => w.toList.map(_.toString) -> f }
     val merges = scala.collection.mutable.ListBuffer
       .empty[(String, String, Long)]
-    for (_ <- 1 to iters) {
+    var exhausted = false
+    for (_ <- 1 to iters if !exhausted) {
       val counts = scala.collection.mutable.Map
         .empty[(String, String), Long].withDefaultValue(0L)
       for ((toks, f) <- dict; Seq(a, b) <- toks.sliding(2))
         counts((a, b)) += f
-      val ((a, b), c) = counts.filter { case ((a, b), _) => a != b }
-        .minBy { case ((a, b), c) => (-c, a, b) }
+      val eligible = counts.filter { case ((a, b), _) => a != b }
+      if (eligible.isEmpty) { exhausted = true }
+      else {
+      val ((a, b), c) =
+        eligible.minBy { case ((a, b), c) => (-c, a, b) }
       merges += ((a, b, c))
       dict = dict.toSeq.map { case (toks, f) =>
         val out = scala.collection.mutable.ListBuffer.empty[String]
@@ -36,6 +40,7 @@ class BpeSpec extends SparkSuite {
         }
         out.toList -> f
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
     }
     val tokenFreq = dict.toSeq
       .flatMap { case (toks, f) => toks.map(_ -> f) }
@@ -65,6 +70,15 @@ class BpeSpec extends SparkSuite {
     // pairs in the dict; 'aaaa' may never be chosen (self-pair)
     check(Map("ababab" -> 5L, "abc" -> 3L, "ab" -> 2L, "aaaa" -> 10L,
       "bc" -> 1L), iters = 3)
+  }
+
+  test("exhausted merges leave the dict intact (no eligible pair)") {
+    // only self-pairs exist: every bestPair is empty; the dict (and
+    // token counts) must survive unchanged, never be annihilated
+    check(Map("aa" -> 4L, "bbb" -> 2L), iters = 2)
+    // ...and a corpus that runs out of eligible pairs MID-training:
+    // 'ab'x3 merges once, after which only single-token words remain
+    check(Map("ab" -> 3L), iters = 3)
   }
 
   test("differential vs reference on the sf0.001 documents corpus") {

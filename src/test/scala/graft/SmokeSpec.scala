@@ -15,7 +15,10 @@ class SmokeSpec extends SparkSuite {
         q.fn(spark, sf0001).queryExecution.toRdd.count()
         None
       } catch {
-        case e: Throwable => Some(s"${q.name}: ${e.getMessage}")
+        // NonFatal only: an OOM/LinkageError means the JVM is
+        // compromised — abort the suite instead of cascading 180
+        // bogus failures
+        case scala.util.control.NonFatal(e) => Some(s"${q.name}: $e")
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
