@@ -64,6 +64,43 @@ object Graph {
     ranks
   }
 
+  /** Weighted PageRank in the same integer micro-unit discipline as
+    * [[pageRankMicro]]: mass flows in proportion to edge weight —
+    *
+    *   r'(v) = (100 − d)·10⁴ + (d · Σ_{u→v} (r(u)·w(u,v) div W(u))) div 100
+    *
+    * with W(u) = Σ out-weights of u, every step integer floor
+    * arithmetic (exact replay in any engine). Parallel edges collapse
+    * by SUMMING weights (they carry more mass, where the unweighted
+    * form deduplicates) — the natural prior when edge multiplicity
+    * means link strength (co-occurrence counts, traffic volume). */
+  def pageRankWeightedMicro(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iters: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).cast("long").as("__w"))
+      .groupBy(col("__src"), col("__dst")).agg(sum(col("__w")).as("__w"))
+    val nodes = e.select(col("__src").as("id"))
+      .union(e.select(col("__dst").as("id"))).distinct()
+    val tot = e.groupBy(col("__src")).agg(sum(col("__w")).as("__tw"))
+    val base = (100L - dampingPct) * 10000L
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val mass = e
+        .join(ranks.withColumnRenamed("id", "__src"), Seq("__src"))
+        .join(tot, Seq("__src"))
+        .select(col("__dst").as("id"),
+          expr("(rank_micro * __w) div __tw").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__m"))
+      ranks = nodes.join(mass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampingPct * coalesce(__m, 0L)) div 100"))
+            .as("rank_micro"))
+    }
+    ranks
+  }
+
   /** Canonical undirected edge set: self-loops dropped, both
     * directions collapsed to (a < b), parallel edges deduped. */
   private def canonicalEdges(edges: DataFrame, srcCol: String,

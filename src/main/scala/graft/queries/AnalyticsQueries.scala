@@ -1161,6 +1161,42 @@ object AnalyticsQueries {
         |  AND (eind IS NULL OR eind > TIMESTAMP '2024-01-15 00:00:00')
         |ORDER BY identificatie""".stripMargin)),
 
+    // WEIGHTED PageRank (q125's weighted dual): mass flows ∝ edge
+    // weight (lineitem multiplicity per supplier→customer pair —
+    // link strength, not mere existence), exact integer micros, the
+    // oracle unrolling all three rounds with the weighted update.
+    QuerySpec("q185_pagerank_weighted",
+      (s, dir) => {
+        val edges = table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.ops.Graph.pageRankWeightedMicro(edges, "src", "dst", "w",
+            iters = 3)
+          .orderBy(col("id"))
+      },
+      Some {
+        def iter(i: Int, prev: String): String =
+          s"""m$i AS (SELECT e.dst AS id,
+             |    SUM((r.rank_micro * e.w) // t.tw) AS m
+             |  FROM e JOIN $prev r ON r.id = e.src
+             |  JOIN tw t ON t.src = e.src GROUP BY 1),
+             |r$i AS (SELECT n.id,
+             |    CAST(150000 + (85 * COALESCE(m$i.m, 0)) // 100 AS BIGINT)
+             |      AS rank_micro
+             |  FROM n LEFT JOIN m$i USING (id))""".stripMargin
+        s"""WITH e AS (SELECT l_suppkey AS src, o_custkey AS dst,
+           |    COUNT(*) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |tw AS (SELECT src, SUM(w) AS tw FROM e GROUP BY 1),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM n),
+           |${(1 to 3).map(i => iter(i, s"r${i - 1}")).mkString(",\n")}
+           |SELECT id, rank_micro FROM r3 ORDER BY id""".stripMargin
+      }),
+
     // Grouped histograms: one fixed-bin price histogram per
     // return-flag (the grouped-HLL move for DISTRIBUTIONS — q167's
     // sibling): exact integer bin arithmetic per group, hash-exact
@@ -1191,6 +1227,10 @@ object AnalyticsQueries {
     // the HOF ↔ list_sum. Exact integers throughout.
     QuerySpec("q179_array_funcs",
       (s, dir) => table(s, dir, "lineitem")
+        // a mod-5 slice: the gate proves per-row function parity, so
+        // 12k rows carry the same evidence as 60k and the contract
+        // sort stops being a bench-tail heavyweight
+        .filter(pmod(col("l_orderkey"), lit(5)) === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("sequence(1L, CAST(l_linenumber AS BIGINT))").as("seq"),
           array(pmod(col("l_orderkey"), lit(5)),
@@ -1227,7 +1267,7 @@ object AnalyticsQueries {
         |  array_to_string(list_concat(seq, mods), '-') AS flat,
         |  array_to_string(seq[1:2], '-') AS head2,
         |  CAST(list_sum(seq) AS BIGINT) AS seq_sum
-        |FROM t
+        |FROM t WHERE l_orderkey % 5 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // Regex extract-all surface (Java ∩ RE2 pattern subset, the PII

@@ -75,6 +75,28 @@ class GraphSpec extends SparkSuite {
       ("hub", 1L, 1000000L), ("hub", 2L, 1000000L)))
   }
 
+  test("pageRankWeightedMicro: uniform weights ≡ unweighted; heavy edge pulls rank") {
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("src", "dst")
+    val uw = Graph.pageRankMicro(e, "src", "dst", iters = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val w1 = Graph.pageRankWeightedMicro(e.withColumn("w", lit(1L)),
+        "src", "dst", "w", iters = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(w1 == uw, "uniform weights must reduce to the unweighted form")
+    // 9:1 weighting from node 1: target 10 must outrank 11, and
+    // parallel edges sum into the same pull
+    val wz = Seq((1L, 10L, 9L), (1L, 11L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRankWeightedMicro(wz, "src", "dst", "w", iters = 2)
+      .orderBy("id").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) > r(11L))
+    val par = Seq((1L, 10L, 3L), (1L, 10L, 6L), (1L, 11L, 1L))
+      .toDF("src", "dst", "w")
+    val rp = Graph.pageRankWeightedMicro(par, "src", "dst", "w", iters = 2)
+      .orderBy("id").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rp == r, "parallel edges must sum to the same weights")
+  }
+
   test("bfsHops: line graph distances, hop bound, unreachable absent") {
     val line = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (8, 9))
       .toDF("src", "dst")
