@@ -143,6 +143,20 @@ object Sketches {
     a.unionByName(b)
       .groupBy(col("r"), col("pos")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Grouped Count-Min matrices — one frequency sketch per group key
+    * (completing the grouped triad with [[hllRegistersBy]] and
+    * [[histSketchBy]]): per-group hash-exact counter state, per-group
+    * cell-wise-sum merge, shuffle ≤ |groups|·depth·width·partitions. */
+  def cmsSketchBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(groupCols.map(col) :+
+        cmsCells(col(keyCol), depth, width).as("h"): _*)
+      .select(groupCols.map(col) :+ col("h.r").as("r") :+
+        col("h.pos").as("pos"): _*)
+      .groupBy(groupCols.map(col) :+ col("r") :+ col("pos"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
   /** Point-estimate the frequency of every distinct key in `probes`
     * against a [[cmsSketch]]: est = min over depth rows of the key's
     * cell counts (missing cell = 0). Count-Min guarantees

@@ -1197,6 +1197,30 @@ object AnalyticsQueries {
            |SELECT id, rank_micro FROM r3 ORDER BY id""".stripMargin
       }),
 
+    // Grouped Count-Min: one frequency-counter matrix per return
+    // flag over the supplier stream — completing the grouped-sketch
+    // triad (HLL q167, histogram q183, CMS here); per-group
+    // hash-exact state, cell-wise-sum merge per group.
+    QuerySpec("q186_cms_grouped",
+      (s, dir) => graft.ops.Sketches.cmsSketchBy(
+          table(s, dir, "lineitem"), Seq("l_returnflag"), "l_suppkey",
+          depth = 2, width = 64)
+        .orderBy(col("l_returnflag"), col("r"), col("pos")),
+      Some {
+        val rows = (0 until 2).map { r =>
+          s"""SELECT l_returnflag, $r AS r,
+             |  CAST(CAST(('0x' || substr(md5('cms$r:' || key), 1, 15))
+             |    AS BIGINT) % 64 AS INTEGER) AS pos FROM k""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH k AS (SELECT l_returnflag,
+           |    CAST(l_suppkey AS VARCHAR) AS key FROM lineitem
+           |  WHERE l_suppkey IS NOT NULL),
+           |h AS ($rows)
+           |SELECT l_returnflag, r, pos, COUNT(*) AS cnt FROM h
+           |GROUP BY 1, 2, 3
+           |ORDER BY l_returnflag, r, pos""".stripMargin
+      }),
+
     // Grouped histograms: one fixed-bin price histogram per
     // return-flag (the grouped-HLL move for DISTRIBUTIONS — q167's
     // sibling): exact integer bin arithmetic per group, hash-exact

@@ -58,6 +58,24 @@ class WebCorpusSpec extends SparkSuite {
     }
   }
 
+  test("CMS grouped: each group's matrix equals its own direct build") {
+    val rows = (1 to 2000).map(i => (i % 3L, (i * 7 % 40).toLong))
+    val grouped = Sketches.cmsSketchBy(rows.toDF("g", "k"), Seq("g"),
+        "k", depth = 2, width = 32)
+      .orderBy("g", "r", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    for (g <- 0L until 3L) {
+      val slice = grouped.filter(_._1 == g).map(t => (t._2, t._3, t._4))
+      val direct = Sketches.cmsSketch(
+          rows.filter(_._1 == g).map(_._2).toDF("k"), "k",
+          depth = 2, width = 32)
+        .orderBy("r", "pos").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(slice == direct, s"group $g")
+    }
+  }
+
   test("hist grouped: each group's bins equal its own direct build") {
     val rows = (1 to 2000).map(i => (i % 3L, (i * 37 % 1000).toLong))
     val grouped = Sketches.histSketchBy(rows.toDF("g", "v"),
