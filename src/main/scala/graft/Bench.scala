@@ -156,6 +156,17 @@ $detail
 """)
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},"detail":"BENCH_DETAIL.json"}""")
+    // The full line above is >2000 chars at 186 queries, so the
+    // driver's tail recorder truncates it from the FRONT — the
+    // "metric":"total" field is lost and BENCH_rN.json parses null
+    // (VERDICT r10 wrong #2). Emit a LAST compact line that always
+    // fits in the tail window: total first, the 10 heaviest queries
+    // as the queries map, and the detail-file pointer for the rest.
+    val top10 = results.toSeq.sortBy(-_._2._1).take(10)
+      .map { case (k, (sec, _, _)) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + num(sec) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":$top10,"queries_shown":"top10 of ${results.size} (full set in BENCH_DETAIL.json)","sf":"$sfDir","reps":$reps,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

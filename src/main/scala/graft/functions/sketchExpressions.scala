@@ -1095,6 +1095,94 @@ case class NfcNormalize(child: Expression)
     copy(child = c)
 }
 
+/** hll_lane_xx(key): production-speed HyperLogLog lane — one xxhash64
+  * (seed 42, the repo's xx convention) over the key string, bucket =
+  * low 8 bits (p = 8, m = 256), rho = leading zeros of the next
+  * 52-bit window + 1 (capped 53 when the window is all-zero),
+  * returned packed as `bucket * 64 + rho` (rho ≤ 53 < 64, so the
+  * unpack is `div 64` / `% 64`, both codegen'd integer ops).
+  *
+  * This is the FAST twin of the md5 lane in
+  * [[graft.ops.Sketches.hllRegisters]] (VERDICT r10 #2, reversing the
+  * q27→q70 twin direction): same p, same rank-window width, same
+  * (bucket, rho_max) register layout and the same register-wise-max
+  * merge — only the hash family differs, so estimates agree to
+  * sketch accuracy (WebCorpusSpec gates the band) but registers are
+  * not engine-portable (DuckDB has no xxhash64; the md5 form stays
+  * the oracle gate). The md5 form pays ~16 bytes of hex string + 6
+  * string ops per row; this is one primitive hash + 4 ALU ops. */
+case class HllLaneXx(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hll_lane_xx"
+
+  def build(key: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val h = XXH64.hashUTF8String(key, 42L)
+    val bucket = (h & 0xFFL).toInt
+    val w = (h >>> 8) & ((1L << 52) - 1)
+    val rho = if (w == 0L) 53 else java.lang.Long.numberOfLeadingZeros(w) - 11
+    bucket * 64 + rho
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    build(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hllxx", this, classOf[HllLaneXx].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** cms_pos_xx(key, depth, width): production-speed Count-Min lanes —
+  * ONE xxhash64 per key, split into two 32-bit halves, and the depth
+  * cell positions derived as `(h1 + r·h2) mod width` (Kirsch &
+  * Mitzenmacher 2006: two hash functions simulate any number of
+  * Count-Min rows with the same error guarantee; `h2 |= 1` avoids the
+  * degenerate all-rows-identical case). Returns `array<int>` of
+  * length `depth` — `posexplode` yields the same (r, pos) cell pairs
+  * as the portable [[graft.ops.Sketches.cmsSketch]] layout, so the
+  * counter matrix schema and the additive merge are unchanged.
+  *
+  * Fast twin of the md5 lane (VERDICT r10 #2): the portable form pays
+  * depth md5s + hex-string arithmetic per row; this is one hash + one
+  * multiply-add per row. Point estimates keep the one-sided
+  * no-undercount guarantee (WebCorpusSpec gates it) but are not
+  * DuckDB-replayable — the md5 form stays the oracle gate. */
+case class CmsPosXx(child: Expression, depth: Int, width: Int)
+  extends UnaryExpression {
+  require(depth > 0 && width > 0)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cms_pos_xx"
+
+  def build(key: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val h = XXH64.hashUTF8String(key, 42L)
+    val h1 = h & 0xFFFFFFFFL
+    val h2 = (h >>> 32) | 1L
+    val out = new Array[Int](depth)
+    var r = 0
+    while (r < depth) {
+      // h1 + r·h2 < 2^32 + depth·2^32 — no overflow for any sane depth
+      out(r) = ((h1 + r * h2) % width).toInt
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    build(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsxx", this, classOf[CmsPosXx].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level entry points. */
 object sketches {
   import GraftShim.{column, expression}
@@ -1131,6 +1219,9 @@ object sketches {
     column(TokenSetCount(expression(tokens), words))
   def token_stats(text: Column): Column = column(TokenStats(expression(text)))
   def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
+  def hll_lane_xx(key: Column): Column = column(HllLaneXx(expression(key)))
+  def cms_pos_xx(key: Column, depth: Int, width: Int): Column =
+    column(CmsPosXx(expression(key), depth, width))
 
   /** Register SQL names on a session (tests / spark.sql users). */
   def register(spark: SparkSession): Unit = {

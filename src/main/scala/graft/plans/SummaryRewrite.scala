@@ -38,48 +38,48 @@ object SummaryRegistry {
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, SummarySpec]()
 
+  /** Canonical identity of a base table: absolute, symlink-resolved
+    * local path with any `file:` scheme stripped. Registration and
+    * lookup both normalize through here, so the match is EXACT path
+    * equality — a registration under a relative `data/lineitem
+    * .parquet` can never capture some other table whose absolute
+    * path merely ends with that suffix (ADVICE r10 #1). */
+  private def canonical(path: String): String = {
+    val p = path.stripPrefix("file:")
+    try new java.io.File(p).getCanonicalPath
+    catch { case _: Exception => new java.io.File(p).getAbsolutePath }
+  }
+
   /** Register `spec` as the summary of the base table at `basePath`
-    * (matched against the relation's root paths at a path-segment
-    * boundary, so `file:` prefixes don't matter but
-    * `/big_data/...` can never match a registration for
-    * `data/...`). The base's listing fingerprint is captured here:
-    * a rewrite is only taken while the base is byte-identical to
-    * what the summary was built from — appended/rewritten base files
-    * silently disable the rewrite rather than serving stale totals. */
+    * (normalized to its canonical absolute path — lookups require
+    * exact identity, never a suffix match). The base's listing
+    * fingerprint is captured here: a rewrite is only taken while the
+    * base is byte-identical to what the summary was built from —
+    * appended/rewritten base files silently disable the rewrite
+    * rather than serving stale totals. */
   def register(basePath: String, spec: SummarySpec): Unit =
-    reg.put(basePath,
+    reg.put(canonical(basePath),
       spec.copy(baseFingerprint =
         graft.queries.FixtureCache.fingerprint(basePath)))
 
-  def clear(): Unit = { reg.clear(); fpCache.clear() }
+  def clear(): Unit = reg.clear()
 
-  // the freshness probe runs inside the optimizer (possibly several
-  // times per query) — memoize the filesystem fingerprint briefly so
-  // planning never does repeated listing+digest I/O on the hot path;
-  // 10 s staleness only delays when a base mutation DISABLES the
-  // rewrite, never serves a wrong answer longer than the TTL
-  private val fpCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
-
-  private def freshFingerprint(base: String): String = {
-    val now = System.currentTimeMillis()
-    val cached = fpCache.get(base)
-    if (cached != null && now - cached._2 < 10000L) cached._1
-    else {
-      val fp =
-        try graft.queries.FixtureCache.fingerprint(base)
-        catch { case _: Exception => "" }
-      fpCache.put(base, (fp, now))
-      fp
-    }
-  }
+  // The freshness probe is re-computed on EVERY lookup — no TTL memo
+  // (ADVICE r10 #2: a memoized fingerprint can keep serving summary
+  // answers for up to the TTL after the base mutates). The
+  // fingerprint is a metadata-only digest (sorted name:length:mtime
+  // listing, no content reads), so even several optimizer passes per
+  // query cost only directory stats.
+  private def freshFingerprint(base: String): String =
+    try graft.queries.FixtureCache.fingerprint(base)
+    catch { case _: Exception => "" }
 
   private[plans] def lookup(rootPaths: Seq[String]): Option[SummarySpec] = {
     import scala.jdk.CollectionConverters._
+    val canon = rootPaths.map(canonical)
     reg.asScala.collectFirst {
       case (base, spec)
-          if rootPaths.exists(p => p == base ||
-            p.stripPrefix("file:") == base || p.endsWith("/" + base)) &&
+          if canon.contains(base) &&
             spec.baseFingerprint.nonEmpty &&
             freshFingerprint(base) == spec.baseFingerprint =>
         spec
@@ -155,10 +155,25 @@ object SummaryRewriteRule extends Rule[LogicalPlan] {
       val spark = SparkSession.active
       if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(sp.statePath))) return None
-      val stateRel = spark.read.parquet(sp.statePath)
-        .queryExecution.analyzed
-      val stateAttr: Map[String, AttributeReference] =
+      // a corrupt/partially-written state dir must DECLINE the
+      // rewrite (fall back to the detail plan), never fail the whole
+      // query from inside the optimizer (ADVICE r10 #3)
+      val stateRel =
+        try spark.read.parquet(sp.statePath).queryExecution.analyzed
+        catch { case _: Exception => return None }
+      val stateAttrMap: Map[String, AttributeReference] =
         stateRel.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+      // schema drift between the registered SummarySpec and the
+      // persisted state (stale state, wrong column lists) must abort
+      // the rewrite, not throw NoSuchElementException inside the
+      // optimizer: verify EVERY column the translation below can
+      // touch up front (translation only ever derives names from
+      // sp.keys/sums/mins/maxs plus "n", and groupings/filters are
+      // checked ⊆ sp.keys before use, so apply is total after this)
+      if (!(Seq("n") ++ sp.keys ++ sp.sums.map("sum_" + _) ++
+        sp.mins.map("min_" + _) ++ sp.maxs.map("max_" + _))
+        .forall(stateAttrMap.contains)) return None
+      def stateAttr(name: String): AttributeReference = stateAttrMap(name)
       def mergedAgg(fnOut: org.apache.spark.sql.catalyst.expressions
           .aggregate.AggregateFunction): Expression =
         AggregateExpression(fnOut, Complete, isDistinct = false)

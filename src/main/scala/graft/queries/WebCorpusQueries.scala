@@ -163,6 +163,22 @@ object WebCorpusQueries {
       },
       Some(hllRegistersSql)),
 
+    // Production-speed HLL twin of q127 (VERDICT r10 #2, the q27→q70
+    // pattern reversed): same register layout and estimate machinery,
+    // lane from one compiled xxhash64 kernel instead of an md5 hex
+    // string — the form a 100 TB scan runs. Rows-only: DuckDB has no
+    // xxhash64; WebCorpusSpec pins the estimate to the same accuracy
+    // band as the q127 portable registers.
+    QuerySpec("q187_hll_fast",
+      (s, dir) => Sketches.hllRegistersFast(
+          table(s, dir, "lineitem"), "l_orderkey")
+        .orderBy(col("bucket")),
+      None,
+      rowsOnlyReason = Some("xxhash64 lane hashes have no DuckDB " +
+        "equivalent; the register layout/merge/estimate logic is " +
+        "hash-exact-proven by the md5-portable twin q127_hll_registers, " +
+        "and WebCorpusSpec gates the two estimates to the same band")),
+
     // Multimodal audio: REAL RIFF/WAVE header decode (canonical PCM
     // layout — RIFF descriptor, fmt chunk with internal-consistency
     // checks, data chunk) over payloads built by the spec-conformant
@@ -315,6 +331,31 @@ object WebCorpusQueries {
            |  est.est_cnt >= tc.true_cnt AS no_undercount
            |FROM tc JOIN est USING (key) ORDER BY tc.l_suppkey""".stripMargin
       }),
+
+    // Production-speed CMS twin of q133+q134 in one gate: the
+    // Kirsch–Mitzenmacher xxhash64 kernel builds the counter matrix
+    // (one hash per row vs four md5 hex strings) and the same probe
+    // checks every supplier's estimate against its exact count.
+    // Rows-only (no xxhash64 in DuckDB); the one-sided no-undercount
+    // invariant and the error band are gated in WebCorpusSpec, and
+    // the cell/probe LOGIC is hash-exact-proven by the md5 twins.
+    QuerySpec("q188_cms_fast",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val est = Sketches.cmsEstimateFast(
+          Sketches.cmsSketchFast(li, "l_suppkey"), li, "l_suppkey")
+        li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("true_cnt"))
+          .join(est, Seq("l_suppkey"))
+          .select(col("l_suppkey"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") >= col("true_cnt")).as("no_undercount"))
+          .orderBy(col("l_suppkey"))
+      },
+      None,
+      rowsOnlyReason = Some("xxhash64 lane hashes have no DuckDB " +
+        "equivalent; the cell/probe/min-estimate logic is " +
+        "hash-exact-proven by the md5-portable twins q133_cms_sketch/" +
+        "q134_cms_estimate, and WebCorpusSpec gates the no-undercount " +
+        "invariant and error band of this fast form")),
 
     // Fixed-bin integer histogram of price cents over [0, 110000.00):
     // bin = (cents·256) div range, exact integer — the deterministic

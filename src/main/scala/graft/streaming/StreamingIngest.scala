@@ -287,7 +287,8 @@ object StreamingIngest {
     * never history-sized. */
   def aggIngest(stream: DataFrame, keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String], stateDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, adoptUntaggedState: Boolean = false)
+      : StreamingQuery = {
     // state and checkpoint form a PAIR: the `_epoch` ledger compares
     // this query's batchIds against the state's history, and batchIds
     // are CHECKPOINT-scoped. A fresh (or wiped-and-recreated)
@@ -316,10 +317,34 @@ object StreamingIngest {
             "its batchIds would restart and the _epoch ledger would " +
             "silently DROP new epochs as replays. Use a fresh stateDir " +
             "with a fresh checkpoint.")
+      } else if (Files.exists(Paths.get(s"$stateDir/current/_epoch"))) {
+        // an _epoch ledger WITHOUT a tag means the state was built
+        // outside this guard (aggIngestBatch directly, or a crash in
+        // the pre-tag window of an old build): its batchId lineage is
+        // unknown, so a fresh checkpoint would silently no-op epochs
+        // 0..committedEpoch as replays (ADVICE r10 #4). Refuse unless
+        // the caller explicitly vouches the checkpoint matches.
+        require(adoptUntaggedState,
+          s"aggIngest state at $stateDir carries an _epoch ledger but " +
+            "no _query_id tag — its batchId lineage is unknown, and a " +
+            "fresh checkpoint's batchIds restarting at 0 would be " +
+            "silently dropped as replays. Pass adoptUntaggedState=true " +
+            "only if this checkpoint is the one that built the state.")
       }
       val q = stream.writeStream
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          // the tag is (re)written BEFORE the first epoch can commit:
+          // by the time a batch fires, the checkpoint metadata file
+          // exists, so a crash any time after this point leaves state
+          // + tag consistent — no pre-tag window (ADVICE r10 #4)
+          if (!Files.exists(tag)) {
+            val id = "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
+              .findFirstMatchIn(Files.readString(meta)).map(_.group(1))
+            Files.writeString(tag, id.getOrElse(
+              throw new IllegalStateException(
+                s"checkpoint $checkpointDir has no readable query id")))
+          }
           aggIngestBatch(batch, keys, sumCols, minCols, maxCols, stateDir,
             epochId)
         }

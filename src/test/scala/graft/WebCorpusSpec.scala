@@ -42,6 +42,74 @@ class WebCorpusSpec extends SparkSuite {
     assert(regs(withNulls) == direct)
   }
 
+  test("HLL fast (xxhash64): same layout, merge ≡ rebuild, band-agrees " +
+      "with the md5-portable twin") {
+    val xs = (1 to 20000).map(i => s"key-$i")
+    val df = xs.toDF("k")
+    val fast = Sketches.hllRegistersFast(df, "k")
+    // identical register SCHEMA and bounds as the portable form
+    assert(fast.columns.toSeq == Seq("bucket", "rho_max"))
+    val regs = fast.collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(regs.forall { case (b, rho) => b >= 0 && b < 256 && rho >= 1 && rho <= 53 })
+    // band agreement (VERDICT r10 #2: exact equality of estimates is
+    // NOT required — both lanes must land in the same accuracy band):
+    // rsd at m=256 is 6.5%, so both estimates sit within 3σ of truth
+    // and therefore within ~40% of each other; pin both to truth.
+    val estFast = Sketches.hllEstimate(fast)
+    val estPortable = Sketches.hllEstimate(Sketches.hllRegisters(df, "k"))
+    assert(math.abs(estFast - 20000) / 20000.0 < 0.20, s"fast=$estFast")
+    assert(math.abs(estPortable - 20000) / 20000.0 < 0.20)
+    // merge ≡ rebuild holds for the fast lane too (same max-merge)
+    val merged = Sketches.hllMerge(
+        Sketches.hllRegistersFast(xs.filter(_.hashCode % 3 == 0).toDF("k"), "k"),
+        Sketches.hllRegistersFast(xs.filterNot(_.hashCode % 3 == 0).toDF("k"), "k"))
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(merged == fast.orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq)
+    // grouped fast form: per-group slice equals its own direct build
+    val rows = (1 to 3000).map(i => (i % 3L, s"v-${i % 700}"))
+    val grouped = Sketches.hllRegistersByFast(rows.toDF("g", "k"), Seq("g"), "k")
+      .orderBy("g", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    for (g <- 0L until 3L) {
+      val direct = Sketches.hllRegistersFast(
+          rows.filter(_._1 == g).map(_._2).toDF("k"), "k")
+        .orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(grouped.filter(_._1 == g).map(t => (t._2, t._3)) == direct, s"g=$g")
+    }
+  }
+
+  test("CMS fast (xxhash64): no-undercount invariant, additive merge, " +
+      "error band vs exact counts") {
+    // skewed frequencies: key j appears j times, j = 1..200
+    val xs = (1 to 200).flatMap(j => Seq.fill(j)(s"k-$j"))
+    val df = xs.toDF("k")
+    val sk = Sketches.cmsSketchFast(df, "k")
+    // counter matrix layout identical to the portable form
+    assert(sk.columns.toSeq == Seq("r", "pos", "cnt"))
+    assert(sk.agg(sum("cnt")).head.getLong(0) == 4L * xs.size) // depth rows
+    val est = Sketches.cmsEstimateFast(sk, df, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one-sided guarantee: est >= true for EVERY key...
+    (1 to 200).foreach { j =>
+      assert(est(s"k-$j") >= j, s"undercount at k-$j: ${est(s"k-$j")} < $j")
+    }
+    // ...and the Count-Min bound: overshoot ≤ eN with e = e/width ≈
+    // 2.72/256; allow 3x slack for the tiny width-256 matrix
+    val n = xs.size
+    val maxOver = (1 to 200).map(j => est(s"k-$j") - j).max
+    assert(maxOver <= 3 * math.E * n / 256, s"maxOver=$maxOver n=$n")
+    // additive merge ≡ rebuild (same cell arithmetic as portable)
+    val (a, b) = xs.splitAt(xs.size / 2)
+    val merged = Sketches.cmsMerge(
+        Sketches.cmsSketchFast(a.toDF("k"), "k"),
+        Sketches.cmsSketchFast(b.toDF("k"), "k"))
+      .orderBy("r", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(merged == sk.orderBy("r", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
   test("HLL grouped: each group's registers equal its own direct build") {
     val rows = (1 to 3000).map(i => (i % 5L, s"v-${i % 800}"))
     val grouped = Sketches.hllRegistersBy(rows.toDF("g", "k"),
