@@ -36,6 +36,87 @@ object Profile {
         col("n_distinct"), col("min_s"), col("max_s"))
   }
 
+  /** Sketch-profile sufficient statistics — the scale twin of
+    * [[profile]] (VERDICT r10 #3): the exact multi-COUNT(DISTINCT)
+    * plans through Expand, multiplying EVERY input row by the column
+    * count before the shuffle and carrying the full distinct key sets
+    * as shuffle keys — the plan that dies at 100×. Here n / n_nonnull
+    * / min / max come from ONE no-distinct aggregate (no Expand), and
+    * distinctness comes from a per-column HLL register table: the
+    * per-row unpivot is a generator INSIDE the scan stage, and the
+    * partial max collapses it map-side to ≤ cols·256 rows per
+    * partition, so the shuffle is sketch-sized at any input size.
+    *
+    * Emits integer/string sufficient statistics rather than the float
+    * estimate so the gate stays hash-exact: `nd_buckets` = occupied
+    * registers (the linear-counting statistic) and `nd_s53` =
+    * Σ 2^(53−rho_max) over occupied registers (the harmonic-sum
+    * statistic scaled by 2^53 — exact in int64: ≤ 256·2^53 < 2^62).
+    * [[profileApprox]] turns them into the estimate; `portable =
+    * true` uses the md5 lane (DuckDB-replayable, the q189 gate),
+    * `false` the compiled xxhash64 kernel (the 100 TB form). */
+  def profileApproxStats(df: DataFrame, cols: Seq[String],
+      portable: Boolean = false): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackExpr = s"stack(${cols.size}, " + cols.map { c =>
+      s"'$c', `${c}__nn`, `${c}__min`, `${c}__max`"
+    }.mkString(", ") + ") AS (col_name, n_nonnull, min_s, max_s)"
+    val exact = wide.select(expr(stackExpr), col("__n").as("n"))
+    def lane(c: String) =
+      if (portable) Sketches.md5LanePacked(col(c))
+      else graft.functions.sketches.hll_lane_xx(col(c).cast("string"))
+    val lanes = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), lane(c).as("p"))): _*)).as("x"))
+      .select(col("x.c").as("col_name"), col("x.p").as("packed"))
+      .filter(col("packed").isNotNull)
+    val stats = lanes
+      .groupBy(col("col_name"), expr("packed div 64").cast("int").as("bucket"))
+      .agg(max(col("packed") % 64).as("rho_max"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).cast("int").as("nd_buckets"),
+        sum(expr("shiftleft(1L, 53 - rho_max)")).as("nd_s53"))
+    // all-null columns have no registers: left join + zero-fill (the
+    // estimate for (0, 0) stats is 0 distinct, which is correct)
+    exact.join(stats, Seq("col_name"), "left")
+      .select(col("col_name"), col("n"), col("n_nonnull"),
+        coalesce(col("nd_buckets"), lit(0)).as("nd_buckets"),
+        coalesce(col("nd_s53"), lit(0L)).as("nd_s53"),
+        col("min_s"), col("max_s"))
+  }
+
+  /** User-facing approximate profile: [[profile]]'s shape with
+    * `n_distinct` replaced by the HLL estimate (Flajolet 2007 §4 with
+    * linear counting at the low end, the [[Sketches.hllEstimate]]
+    * math re-expressed over the integer sufficient statistics:
+    * harmonic sum = (nd_s53 + zeros·2^53) / 2^53). Exact n / nulls /
+    * min / max unchanged. ProfileSpec pins the estimate to
+    * [[Sketches.hllEstimate]] register-for-register and to truth
+    * within the m = 256 error band. */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+      portable: Boolean = false): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val zeros = lit(m) - col("nd_buckets")
+    // harmonic sum over all m registers × 2^53 = nd_s53 + zeros·2^53
+    val raw = lit(alpha * m * m) * lit((1L << 53).toDouble) /
+      (col("nd_s53").cast("double") +
+        zeros.cast("double") * lit((1L << 53).toDouble))
+    val est = when(col("nd_buckets") === 0, lit(0.0))
+      .when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m).cast("double") / zeros.cast("double")))
+      .otherwise(raw)
+    profileApproxStats(df, cols, portable)
+      .select(col("col_name"), col("n"), col("n_nonnull"),
+        round(est).cast("long").as("n_distinct_est"),
+        col("min_s"), col("max_s"))
+  }
+
   /** Per-group z-score outliers WITHOUT square roots: flag x when
     * (x − μ)² > z²·σ², which over integer units rewrites exactly to
     *

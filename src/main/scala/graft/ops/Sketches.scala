@@ -48,22 +48,31 @@ object Sketches {
     * its GROUP BY). */
   def hllRegistersBy(df: DataFrame, groupCols: Seq[String],
       keyCol: String): DataFrame = {
-    val hx = md5(concat(lit("hll:"), col(keyCol).cast("string")))
-    val bucket = conv(substring(hx, 1, 2), 16, 10).cast("int")
-    // 13 hex chars = 52 rank bits; rho = leading zeros + 1
-    val t = ltrim(substring(hx, 3, 13), "0")
-    val headNibble = substring(t, 1, 1)
-    val rho = when(length(t) === 0, lit(53)).otherwise(
-      (lit(13) - length(t)) * lit(4) +
-        when(headNibble.isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1))
-          .when(headNibble.isin("4", "5", "6", "7"), lit(2))
-          .when(headNibble.isin("2", "3"), lit(3))
-          .otherwise(lit(4)))
+    val packed = md5LanePacked(col(keyCol))
     df.filter(col(keyCol).isNotNull)
-      .select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .select(groupCols.map(col) :+ packed.as("packed"): _*)
+      .select(groupCols.map(col) :+
+        expr("packed div 64").cast("int").as("bucket") :+
+        (col("packed") % 64).cast("int").as("rho"): _*)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("rho")).as("rho_max"))
   }
+
+  /** The portable md5 HLL lane of a key, packed as `bucket·64 + rho`
+    * (rho ≤ 53 < 64) — the ONE definition shared by
+    * [[hllRegistersBy]] and [[Profile.profileApproxStats]] so the
+    * gate-protected lane and the profile lane can never drift. The
+    * first 2 hex chars (8 bits) pick the bucket (p = 8, m = 256);
+    * the next 13 hex chars are a 52-bit rank window and rho =
+    * leading zero bits + 1 (capped 53). The rank arithmetic runs as
+    * ONE compiled expression over the md5 hex
+    * ([[graft.functions.Md5LanePack]] — the Column-level string form
+    * referenced the md5 ~13 times, which a Generate stage recomputes
+    * per reference); the VALUE is pure md5-hex string arithmetic, so
+    * DuckDB replays it hash-exactly. Null key → null. */
+  private[ops] def md5LanePacked(key: Column): Column =
+    graft.functions.sketches.md5_lane_pack(
+      md5(concat(lit("hll:"), key.cast("string"))))
 
   /** Production-speed HLL registers — IDENTICAL (bucket, rho_max)
     * layout to [[hllRegisters]] (same p = 8, same 52-bit rank window,

@@ -910,6 +910,36 @@ object AnalyticsQueries {
         |GROUP BY 1, 2
         |ORDER BY l_returnflag, l_suppkey""".stripMargin)),
 
+    // The rewrite's NEGATIVE SPACE, gated (VERDICT r10 #5): same
+    // session, same registered summary, and a query combining the
+    // two shapes that individually rewrite — subset-key grouping
+    // (q169) and a key filter (q173) — with a NON-key predicate
+    // (l_quantity) that the summary cannot answer. The rule must
+    // DECLINE (PlanSpec pins the lineitem scan still present) and
+    // the detail plan must still produce the exact answer; if a
+    // future rule edit over-rewrites, the counts come from unfiltered
+    // summary groups and the oracle hash catches it.
+    QuerySpec("q190_summary_declined",
+      (s, dir) => {
+        ensureSummaryRewrite(s, dir)
+        table(s, dir, "lineitem")
+          .filter(col("l_returnflag") =!= "A" && col("l_quantity") > 25)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"),
+            min(col("l_shipdate")).as("min_ship"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(l_shipdate) AS min_ship
+        |FROM lineitem
+        |WHERE l_returnflag <> 'A' AND l_quantity > 25
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // Greedy event debounce (alert rate-limiting): keep an event iff
     // > 5 min after the last KEPT event of its (user, type) — the
     // last-survivor reference makes this a fold, not a lag() window

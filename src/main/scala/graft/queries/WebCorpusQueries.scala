@@ -475,6 +475,74 @@ object WebCorpusQueries {
         }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
       }),
 
+    // Sketch-profile twin of q140 (VERDICT r10 #3): exact counts/
+    // min/max from ONE no-distinct aggregate — PlanSpec asserts the
+    // Expand that multiplies rows ×columns in the exact form is GONE —
+    // and distinctness as per-column HLL register statistics
+    // (occupied buckets + the 2^53-scaled harmonic sum, both exact
+    // integers, so the md5-portable lane is hash-exact in DuckDB).
+    // q140 stays the exact oracle gate; this is the plan you'd run at
+    // 100×.
+    QuerySpec("q189_profile_approx",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("o_totalprice_cents"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+          col("o_orderpriority"))
+        graft.ops.Profile.profileApproxStats(o, Seq("o_orderkey",
+            "o_custkey", "o_orderstatus", "o_totalprice_cents",
+            "o_orderdate_s", "o_orderpriority"), portable = true)
+          .orderBy(col("col_name"))
+      },
+      Some {
+        val colsSql = Seq(
+          "o_orderkey" -> "o_orderkey",
+          "o_custkey" -> "o_custkey",
+          "o_orderstatus" -> "o_orderstatus",
+          "o_totalprice_cents" ->
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+          "o_orderdate_s" -> "strftime(o_orderdate, '%Y-%m-%d')",
+          "o_orderpriority" -> "o_orderpriority")
+        val exactArms = colsSql.map { case (name, e) =>
+          s"""SELECT '$name' AS col_name, COUNT(*) AS n,
+             |  COUNT($e) AS n_nonnull,
+             |  CAST(MIN($e) AS VARCHAR) AS min_s,
+             |  CAST(MAX($e) AS VARCHAR) AS max_s FROM orders""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val laneArms = colsSql.map { case (name, e) =>
+          s"""SELECT '$name' AS col_name,
+             |    md5('hll:' || CAST($e AS VARCHAR)) AS hx
+             |  FROM orders WHERE $e IS NOT NULL""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ex AS ($exactArms),
+           |lv AS ($laneArms),
+           |b AS (SELECT col_name,
+           |    CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS bucket,
+           |    ltrim(substr(hx, 3, 13), '0') AS t FROM lv),
+           |r AS (SELECT col_name, bucket, CASE WHEN t = '' THEN 53
+           |    ELSE 4 * (13 - length(t)) +
+           |      CASE WHEN substr(t, 1, 1) IN
+           |             ('8','9','a','b','c','d','e','f') THEN 1
+           |           WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 2
+           |           WHEN substr(t, 1, 1) IN ('2','3') THEN 3
+           |           ELSE 4 END END AS rho FROM b),
+           |regs AS (SELECT col_name, bucket, MAX(rho) AS rho_max
+           |  FROM r GROUP BY 1, 2),
+           |st AS (SELECT col_name,
+           |    CAST(COUNT(*) AS INTEGER) AS nd_buckets,
+           |    CAST(SUM(CAST(1 AS BIGINT) << (53 - rho_max)) AS BIGINT)
+           |      AS nd_s53
+           |  FROM regs GROUP BY 1)
+           |SELECT ex.col_name, ex.n, ex.n_nonnull,
+           |  COALESCE(st.nd_buckets, 0) AS nd_buckets,
+           |  COALESCE(st.nd_s53, 0) AS nd_s53,
+           |  ex.min_s, ex.max_s
+           |FROM ex LEFT JOIN st USING (col_name)
+           |ORDER BY col_name""".stripMargin
+      }),
+
     // Edit-distance fuzzy join (entity resolution): DISTINCT name
     // entities (representative = min key per name — duplicated strings
     // would make the output itself quadratic, see the operator's

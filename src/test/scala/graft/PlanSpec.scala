@@ -172,6 +172,23 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q189 profile approx: the q140 Expand is GONE; sketch-sized shuffle") {
+    // the exact profile's multi-COUNT(DISTINCT) plans through Expand
+    // (rows × column-count before the shuffle, distinct keys on the
+    // wire — VERDICT r10 wrong #1); the approx twin must plan with NO
+    // Expand anywhere: one no-distinct aggregate for the exact stats
+    // and a generator+partial-max for the registers
+    val pExact = plan("q140_profile")
+    val pApprox = plan("q189_profile_approx")
+    assert(pExact.contains("Expand"),
+      "q140 is supposed to be the Expand-based exact form")
+    assert(!pApprox.contains("Expand"),
+      s"profileApprox must not plan an Expand:\n$pApprox")
+    // and the unpivot must be a generator inside the scan stage, with
+    // partial aggregation collapsing it map-side
+    assert(pApprox.contains("Generate"), pApprox)
+  }
+
   test("q45 IVF: kernel cell assignment — no window exchange, no BNL") {
     // the corpus arm must be a single compiled scan: the only Window
     // in the whole plan is the final top-k rank on query_id; the old
@@ -716,6 +733,18 @@ class PlanSpec extends SparkSuite {
       .agg(count(lit(1)).as("n"))
     assert(foreignKey.queryExecution.executedPlan.toString
       .contains("lineitem.parquet"), "non-summary key must NOT rewrite")
+  }
+
+  test("q190 declined rewrite: non-key predicate keeps the fact scan") {
+    // the GATED negative-space query (VERDICT r10 #5): subset keys +
+    // key filter would rewrite, but the l_quantity predicate needs
+    // detail rows — the rule must leave the fact scan in place (the
+    // oracle then proves the detail plan's answer is exact)
+    val p = plan("q190_summary_declined")
+    assert(p.contains("lineitem.parquet"),
+      s"q190 must NOT be answered from the summary:\n$p")
+    assert(!p.contains("graft_agg_full"),
+      s"q190's plan must not touch the summary state:\n$p")
   }
 
   test("q152 spatial join: keyed equi-join on grid cells, no BNL") {

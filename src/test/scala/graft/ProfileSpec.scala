@@ -25,6 +25,40 @@ class ProfileSpec extends SparkSuite {
       s.getString(4) == "a" && s.getString(5) == "b")
   }
 
+  test("profileApprox: estimate == hllEstimate register-for-register, " +
+      "band vs truth, exact stats unchanged, both lanes") {
+    import org.apache.spark.sql.functions.col
+    // 5000 distinct longs + a low-cardinality string column + nulls
+    val df = (1 to 5000).map(i =>
+        (if (i % 50 == 0) None else Some(i.toLong), s"s-${i % 7}"))
+      .toDF("num", "s")
+    for (portable <- Seq(true, false)) {
+      val out = Profile.profileApprox(df, Seq("num", "s"), portable)
+        .orderBy("col_name").collect()
+      val num = out(0); val s = out(1)
+      // exact stats identical to Profile.profile's
+      assert(num.getLong(1) == 5000 && num.getLong(2) == 4900)
+      assert(num.getString(4) == "1" && num.getString(5) == "4999")
+      assert(s.getLong(2) == 5000 && s.getString(4) == "s-0" &&
+        s.getString(5) == "s-6")
+      // the estimate must be EXACTLY what hllEstimate derives from
+      // the same lane's register table (the math is shared, only
+      // re-expressed over integer sufficient statistics)...
+      val regs =
+        if (portable) graft.ops.Sketches.hllRegisters(
+          df.filter(col("num").isNotNull), "num")
+        else graft.ops.Sketches.hllRegistersFast(
+          df.filter(col("num").isNotNull), "num")
+      val ref = math.round(graft.ops.Sketches.hllEstimate(regs))
+      assert(num.getLong(3) == ref, s"portable=$portable: ${num.getLong(3)} != $ref")
+      // ...and inside the m=256 band of truth (3 sigma = 20%)
+      assert(math.abs(num.getLong(3) - 4900) / 4900.0 < 0.20,
+        s"portable=$portable est=${num.getLong(3)}")
+      // low cardinality rides the linear-counting branch exactly
+      assert(s.getLong(3) == 7, s"portable=$portable est7=${s.getLong(3)}")
+    }
+  }
+
   test("profile: one scan for all columns") {
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("a", "b")
     val plan = Profile.profile(df, Seq("a", "b"))
