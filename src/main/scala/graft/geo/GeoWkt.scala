@@ -104,12 +104,37 @@ object GeoWkt {
     }
   }
 
-  /** Parse WKT; None on any syntax error, empty input, or unsupported
-    * type. Polygon rings are NOT validity-checked beyond syntax (the
-    * reference delegates that to GEOS; closure is checked by isValid). */
-  def parse(wkt: String): Option[Geom] = {
+  /** EWKT `SRID=n;` prefix split: (declared srid, geometry body), or
+    * None when the prefix is malformed (`SRID=` with no `;` or a
+    * non-integer value). Case-insensitive, as GEOS accepts. */
+  private def splitSrid(t: String): Option[(Option[Int], String)] =
+    if (t.regionMatches(true, 0, "SRID=", 0, 5)) {
+      val semi = t.indexOf(';')
+      if (semi < 0) None
+      else try Some((Some(t.substring(5, semi).trim.toInt), t.substring(semi + 1).trim))
+      catch { case _: NumberFormatException => None }
+    } else Some((None, t))
+
+  /** Parse WKT or EWKT (`SRID=28992;POINT (1 2)`), keeping the declared
+    * SRID. The reference's inputs go through Django's GEOSGeometry,
+    * which accepts EWKT, and its schema pins the SRID as column-type
+    * metadata — `geometry(MultiPolygon,28992)` (bagh_create.sql:37);
+    * extraction here is the enforcement hook for that contract. */
+  def parseEwkt(wkt: String): Option[(Option[Int], Geom)] = {
     if (wkt == null) return None
     val t = wkt.trim
+    if (t.isEmpty) return None
+    for ((srid, body) <- splitSrid(t); g <- parseBody(body)) yield (srid, g)
+  }
+
+  /** Parse WKT; None on any syntax error, empty input, or unsupported
+    * type. An EWKT SRID prefix is accepted and stripped (toWkt prints
+    * canonical WKT). Polygon rings are NOT validity-checked beyond
+    * syntax (the reference delegates that to GEOS; closure is checked
+    * by isValid). */
+  def parse(wkt: String): Option[Geom] = parseEwkt(wkt).map(_._2)
+
+  private def parseBody(t: String): Option[Geom] = {
     if (t.isEmpty) return None
     val p = new P(t)
     val g = p.word() match {

@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => StNPoints(es.head)))
     e.injectFunction((FunctionIdentifier("st_isvalid"), info("st_isvalid"),
       (es: Seq[Expression]) => StIsValid(es.head)))
+    e.injectFunction((FunctionIdentifier("st_srid"), info("st_srid"),
+      (es: Seq[Expression]) => StSrid(es.head)))
     // sketch/vector expressions (graft.functions) as SQL names too
     e.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       (es: Seq[Expression]) => graft.functions.VecDot(es.head, es(1))))

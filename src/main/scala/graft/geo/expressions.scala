@@ -78,6 +78,23 @@ case class StCastTo(child: Expression, target: String) extends WktUnary {
     copy(child = c)
 }
 
+/** st_srid(wkt) → the EWKT-declared SRID (`SRID=28992;...`), or null
+  * when the text carries no prefix or does not parse. The reference's
+  * schema pins geometry(...,28992) (bagh/bagh_create.sql:37) and its
+  * inputs pass through GEOSGeometry, which accepts EWKT — so declared-
+  * SRID extraction is where that column-type contract gets enforced
+  * (ImportPipeline rejects rows declaring a different SRID). */
+case class StSrid(child: Expression) extends WktUnary {
+  override def dataType: DataType = IntegerType
+  protected def onGeom(g: GeoWkt.Geom): Any = null // build overridden below
+  override def build(input: UTF8String): Any =
+    GeoWkt.parseEwkt(input.toString) match {
+      case Some((Some(srid), _)) => Int.box(srid)
+      case _ => null
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object geofunctions {
   import GraftShim.{column, expression}
   def st_geometrytype(c: Column): Column = column(StGeometryType(expression(c)))
@@ -85,6 +102,7 @@ object geofunctions {
   def st_isvalid(c: Column): Column = column(StIsValid(expression(c)))
   def st_castto(c: Column, target: String): Column =
     column(StCastTo(expression(c), target))
+  def st_srid(c: Column): Column = column(StSrid(expression(c)))
 
   /** Register SQL names on a session (used by tests / spark.sql users). */
   def register(spark: SparkSession): Unit = {
@@ -95,5 +113,7 @@ object geofunctions {
       es => StNPoints(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("st_isvalid",
       es => StIsValid(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("st_srid",
+      es => StSrid(es.head), "scala_udf")
   }
 }

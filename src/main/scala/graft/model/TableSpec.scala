@@ -15,8 +15,12 @@ case class FkSpec(childCol: String, parentTable: String, parentKeyCol: String = 
     broadcastParent: Boolean = true)
 
 /** Geometry column declaration: target type drives the promote/reject
-  * matrix of batch/geo.py:52-78. */
-case class GeoSpec(col: String, targetType: String)
+  * matrix of batch/geo.py:52-78. `srid` mirrors the PostGIS column type
+  * `geometry(<target>,28992)` (bagh/bagh_create.sql:37): an EWKT input
+  * declaring a DIFFERENT SRID is rejected (PostGIS would refuse the
+  * insert), and the accepted column carries {srid, geom_type} as Spark
+  * column Metadata — the schema-level rendering of that type. */
+case class GeoSpec(col: String, targetType: String, srid: Int = 28992)
 
 /** One temporally-versioned entity table.
   *

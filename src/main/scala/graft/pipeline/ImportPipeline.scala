@@ -60,14 +60,23 @@ object ImportPipeline {
     val (geomOk, badGeom) = spec.geometry match {
       case Some(g) =>
         val cast = geofunctions.st_castto(col(g.col), g.targetType)
+        // SRID contract (bagh_create.sql:37 geometry(...,28992)): EWKT
+        // declaring a different SRID is a reject, like PostGIS on
+        // insert; matching or absent declarations pass (the column is
+        // pinned to g.srid either way via Metadata below).
+        val declared = geofunctions.st_srid(col(g.col))
+        val hasText = parsers.emptyToNull(col(g.col)).isNotNull
+        val sridBad = hasText && declared.isNotNull && declared =!= lit(g.srid)
         val df = rangeOk.withColumn("__geom_cast",
-          when(parsers.emptyToNull(col(g.col)).isNull, lit(null)).otherwise(cast))
-        val bad = df.filter(parsers.emptyToNull(col(g.col)).isNotNull &&
-            col("__geom_cast").isNull)
-          .select(col("id"), lit("invalid_geometry").as("reject_reason"))
-        val ok = df.filter(parsers.emptyToNull(col(g.col)).isNull ||
-            col("__geom_cast").isNotNull)
+          when(!hasText || sridBad, lit(null)).otherwise(cast))
+        val bad = df.filter(hasText && col("__geom_cast").isNull)
+          .select(col("id"), when(sridBad, lit("srid_mismatch"))
+            .otherwise(lit("invalid_geometry")).as("reject_reason"))
+        val ok = df.filter(!hasText || col("__geom_cast").isNotNull)
           .withColumn(g.col, col("__geom_cast")).drop("__geom_cast")
+          .withMetadata(g.col, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("srid", g.srid.toLong)
+            .putString("geom_type", g.targetType.toUpperCase).build())
         (ok, bad)
       case None => (rangeOk, rangeOk.limit(0)
         .select(col("id"), lit("").as("reject_reason")))

@@ -31,7 +31,12 @@ class CsvPipelineSpec extends SparkSuite {
     // W5: FK miss (no SDL9 parent) -> rejected
     "W5;1;2020-01-01 10:00:00;2020-01-01;;West;WK05;POLYGON ((0 0, 1 0, 1 1, 0 0));SDL9;GGW1",
     // W6: empty GGW FK -> passes (null FK passes the check)
-    "W6;1;2020-01-01 10:00:00;2020-01-01;;Haven;WK06;POLYGON ((0 0, 1 0, 1 1, 0 0));SDL2;")
+    "W6;1;2020-01-01 10:00:00;2020-01-01;;Haven;WK06;POLYGON ((0 0, 1 0, 1 1, 0 0));SDL2;",
+    // W7: EWKT with the pinned SRID -> accepted, prefix stripped (quoted: EWKT ';')
+    "W7;1;2020-01-01 10:00:00;2020-01-01;;Sloten;WK07;\"SRID=28992;POLYGON ((0 0, 3 0, 3 3, 0 0))\";SDL1;GGW1",
+    // W8: EWKT declaring a FOREIGN srid -> rejected (PostGIS would refuse
+    // the insert into geometry(MultiPolygon,28992) — bagh_create.sql:37)
+    "W8;1;2020-01-01 10:00:00;2020-01-01;;Osdorp;WK08;\"SRID=4326;POLYGON ((0 0, 1 0, 1 1, 0 0))\";SDL1;GGW1")
 
   private def writeCsv(dir: String, name: String, lines: Seq[String]): String = {
     Files.createDirectories(Paths.get(dir))
@@ -114,9 +119,17 @@ class CsvPipelineSpec extends SparkSuite {
     assert(rejects == Map(
       "W2_001" -> "invalid_date_range",
       "W4_001" -> "invalid_geometry",
-      "W5_001" -> "fk_miss:stadsdeel_id"))
+      "W5_001" -> "fk_miss:stadsdeel_id",
+      "W8_001" -> "srid_mismatch"))
     val merged = r1.merged.cache()
-    assert(merged.count() == 4) // W1 v1+v2, W3, W6
+    assert(merged.count() == 5) // W1 v1+v2, W3, W6, W7
+    // EWKT accepted at the pinned SRID, prefix stripped, promoted
+    assert(merged.filter($"id" === "W7_001").select($"geometrie").as[String]
+      .head() == "MULTIPOLYGON (((0 0, 3 0, 3 3, 0 0)))")
+    // the column carries the PostGIS-type metadata geometry(...,28992)
+    val meta = merged.schema("geometrie").metadata
+    assert(meta.getLong("srid") == 28992L &&
+      meta.getString("geom_type") == "MULTIPOLYGON")
     // Polygon promoted to MultiPolygon
     val g = merged.filter($"id" === "W1_001").select($"geometrie").as[String].head()
     assert(g == "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 0)))")

@@ -27,6 +27,31 @@ class GeoWktSpec extends SparkSuite {
     assert(GeoWkt.parse("POLYGON (0 0, 1 1)").isEmpty) // missing ring parens
   }
 
+  test("EWKT: SRID prefix parsed, stripped on print; malformed rejected") {
+    // GEOSGeometry accepts EWKT; the schema pins geometry(...,28992)
+    // (bagh_create.sql:37) — srid rides along, toWkt prints canonical WKT
+    assert(GeoWkt.parseEwkt("SRID=28992;POINT (1 2)").get ==
+      ((Some(28992), GeoWkt.Point(GeoWkt.Pt(1, 2)))))
+    assert(GeoWkt.parse("SRID=28992;POINT (1 2)").get.toWkt == "POINT (1 2)")
+    // lenient like GEOS: case-insensitive keyword, spaces around the int
+    assert(GeoWkt.parseEwkt("srid=4326 ; POINT (1 2)").get._1.contains(4326))
+    assert(GeoWkt.parseEwkt("SRID=28992 ;POINT (1 2)").get._1.contains(28992))
+    assert(GeoWkt.parseEwkt("POINT (1 2)").get._1.isEmpty) // plain WKT -> no srid
+    assert(GeoWkt.parseEwkt("SRID=abc;POINT (1 2)").isEmpty)
+    assert(GeoWkt.parseEwkt("SRID=28992 POINT (1 2)").isEmpty) // no ';'
+    // st_srid expression: declared srid | null
+    val df = Seq((1L, "SRID=28992;POINT (1 2)"), (2L, "POINT (1 2)"),
+      (3L, "SRID=9;garbage"), (4L, null)).toDF("id", "wkt")
+    val out = df.select($"id", geofunctions.st_srid($"wkt").as("s"))
+      .orderBy($"id").collect()
+    assert(out(0).getInt(1) == 28992)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1) && out(3).isNullAt(1))
+    // st_castto strips the prefix through promote
+    assert(df.filter($"id" === 1)
+      .select(geofunctions.st_castto($"wkt", "MULTIPOINT"))
+      .as[String].head() == "MULTIPOINT (1 2)")
+  }
+
   test("promote matrix: single->multi of same family only (geo.py:58-77)") {
     val poly = GeoWkt.parse("POLYGON ((0 0, 1 0, 1 1, 0 0))").get
     assert(GeoWkt.promote(poly, "MULTIPOLYGON").get.typeName == "MULTIPOLYGON")
