@@ -118,6 +118,76 @@ object EventAnalytics {
         last(col("__s"), ignoreNulls = true).over(w).as("filled_centi"))
   }
 
+  /** Exact per-key running total that is IMMUNE to key skew — the
+    * two-pass distributed prefix sum (TrainingPrep's packing trick)
+    * generalized per key. A plain `sum OVER (PARTITION BY key ORDER
+    * BY ord)` materializes each key's whole history in ONE task; a
+    * 99%-hot key strands the stage on that straggler, and AQE cannot
+    * split a window partition (measured: SkewStress topk/running
+    * arms — the one aggregation shape Spark's own mitigations don't
+    * cover, unlike count/sum map-side combine, count-DISTINCT's
+    * (k,v) exchange, and rank-limit WindowGroupLimit pushdown).
+    *
+    * Plan: slice the NUMERIC order column into P equi-depth buckets
+    * whose boundaries come from a one-pass deterministic quantile
+    * summary (Greenwald–Khanna, no RNG) — the slice is then a pure
+    * FUNCTION of the row, so every branch of the self-join assigns
+    * identically. (`spark_partition_id()` after `repartitionByRange`
+    * is NOT that: the two exchanges behind the window branch and the
+    * totals branch may sample different range boundaries unless the
+    * frame is cached — the packByTokenBudget trade this op avoids.)
+    * Then (1) a local running sum per (slice, key) — the exchange
+    * keys on (slice, key), which the hot key's slice spread keeps
+    * uniform; and (2) per-(slice, key) totals, windowed per key over
+    * the slice order into offsets (a window of ≤ P rows per key) and
+    * joined back. Exactness needs `ord` unique per key (the same
+    * contract any ORDER BY window has) and non-null; `ord` must be
+    * numeric/date/timestamp (quantile-summarizable). Result column:
+    * `outCol` = running sum of `valueCol`. */
+  def runningTotalSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, outCol: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val probs = (1 until p).map(_.toDouble / p).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.select(col(ordCol).cast("double").as("__o"))
+        .stat.approxQuantile("__o", probs, 0.001).distinct.sorted
+    // plain chained arithmetic, deliberately NOT an `aggregate` HOF:
+    // a LambdaFunction inside a grouping expression trips Catalyst's
+    // alias substitution under project collapse (reproduced: the
+    // offsets window stage binds the lambda's pre-alias ord attribute
+    // and fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    val slice =
+      if (bounds.isEmpty) lit(0)
+      else bounds.foldLeft(lit(0))((acc, b) =>
+        acc + when(col(ordCol).cast("double") >= lit(b), 1).otherwise(0))
+    val sliced = df.withColumn("__slice", slice)
+    val wLocal = Window.partitionBy(col("__slice"), col(keyCol))
+      .orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sliced.withColumn("__run_local",
+      sum(col(valueCol)).over(wLocal))
+    val totals = sliced.groupBy(col("__slice"), col(keyCol))
+      .agg(sum(col(valueCol)).as("__slice_sum"))
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // fresh exprIds on the offsets side (`as` re-aliases): local and
+    // offsets share the `sliced` lineage, and a Seq-key self-join over
+    // a HOF-derived grouping column trips relation-dedup attribute
+    // binding — an explicit disambiguated condition does not
+    val offsets = totals
+      .withColumn("__offset",
+        coalesce(sum(col("__slice_sum")).over(wOff), lit(0)))
+      .select(col("__slice").as("__oslice"), col(keyCol).as("__okey"),
+        col("__offset"))
+    local.join(offsets,
+        col("__slice") === col("__oslice") && col(keyCol) === col("__okey"))
+      .withColumn(outCol, col("__run_local") + col("__offset"))
+      .drop("__slice", "__oslice", "__okey", "__run_local", "__offset")
+  }
+
   /** Gap-based sessionization with per-session statistics — the
     * gaps-and-islands form that exposes SESSION IDs (session_window
     * covers the windowed-agg form, q20): a session starts at the

@@ -1395,7 +1395,33 @@ object AnalyticsQueries {
         |  LEFT JOIN LATERAL (SELECT unnest(a.xs) AS x) u ON TRUE)
         |SELECT 'inner' AS form, n, s FROM i
         |UNION ALL SELECT 'outer', n, s FROM o
-        |ORDER BY form""".stripMargin))
+        |ORDER BY form""".stripMargin)),
+
+    // Skew-immune exact running total (two-pass distributed prefix
+    // sum per key): o_orderpriority has only 5 values, so a plain
+    // PARTITION BY window would strand each priority's whole history
+    // in one task — the one aggregation shape AQE/map-side-combine/
+    // WindowGroupLimit don't cover (SkewStress-measured). The oracle
+    // replays the semantics with the plain window; centi-exact sums.
+    QuerySpec("q191_running_total",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+        graft.ops.EventAnalytics.runningTotalSkewSafe(
+            o, "o_orderpriority", "o_orderkey", "v_centi", "run_centi")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("run_centi"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS run_centi
+        |FROM orders
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -180,4 +180,37 @@ class EventAnalyticsSpec extends SparkSuite {
       (1L, 1, 10L, 100L), (1L, 2, 11L, 150L), (1L, 3, 12L, 75L),
       (1L, 4, 13L, 37L), (2L, 1, 20L, 333L)))
   }
+
+  test("runningTotalSkewSafe == plain window under a planted mega-key") {
+    import org.apache.spark.sql.expressions.Window
+    // 95% of rows on key 0 (forces the hot key across MANY range
+    // slices), the rest over 7 keys; hostile input partitioning; a
+    // tiny slice count so several keys share a slice AND the hot key
+    // spans slices — both offset paths exercised.
+    val df = spark.range(20000).select(
+        when(pmod(col("id"), lit(100)) < 95, lit(0L))
+          .otherwise(pmod(col("id"), lit(7)) + 1).as("k"),
+        col("id").as("ord"),
+        (pmod(col("id") * 37, lit(1000)) - 250).as("v")) // negatives too
+      .repartition(13)
+    val fast = EventAnalytics
+      .runningTotalSkewSafe(df, "k", "ord", "v", "run", partitions = 5)
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = df.withColumn("run", sum(col("v")).over(w))
+    assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty)
+    assert(fast.count() == 20000)
+    // single-slice degenerate case: offsets are all zero
+    val one = EventAnalytics
+      .runningTotalSkewSafe(df, "k", "ord", "v", "run", partitions = 1)
+    assert(one.exceptAll(plain).isEmpty && plain.exceptAll(one).isEmpty)
+    // ordCol == valueCol (running total OF the order column itself)
+    val df2 = df.select(col("k"), col("ord").as("v"))
+    val w2 = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fast2 = EventAnalytics
+      .runningTotalSkewSafe(df2, "k", "v", "v", "run", partitions = 32)
+    val plain2 = df2.withColumn("run", sum(col("v")).over(w2))
+    assert(fast2.exceptAll(plain2).isEmpty && plain2.exceptAll(fast2).isEmpty)
+  }
 }
