@@ -46,6 +46,39 @@ object IndexedScale {
       .appName("graft-indexed-scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // peak execution memory per measured form (VERDICT r10 #6: the
+    // increment family's 100 TB claim needs its MEMORY exponent too —
+    // bounded by batch, not corpus)
+    // two memory signals: the stage-level SUM of per-task peaks
+    // (scales with task count — 10× data → 10× scan tasks inflate it
+    // even when no task needs more memory) and the max single-TASK
+    // peak, which is the executor-sizing number (a task must fit its
+    // slot however many tasks the stage has).
+    val metrics = new SparkListener {
+      val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+      val maxTaskPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        peakMem.getAndAccumulate(
+          s.stageInfo.taskMetrics.peakExecutionMemory, Math.max(_, _))
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          maxTaskPeak.getAndAccumulate(
+            t.taskMetrics.peakExecutionMemory, Math.max(_, _))
+    }
+    spark.sparkContext.addSparkListener(metrics)
+    def resetPeak(): Unit = {
+      org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
+      metrics.peakMem.set(0L)
+      metrics.maxTaskPeak.set(0L)
+    }
+    def readPeakMb(): Double = {
+      org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
+      metrics.peakMem.get / 1e6
+    }
+    def readMaxTaskPeakMb(): Double = {
+      org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
+      metrics.maxTaskPeak.get / 1e6
+    }
     val docs = spark.read.parquet(s"$base/documents.parquet")
       .select(col("doc_id"), col("text"))
 
@@ -86,17 +119,23 @@ object IndexedScale {
       val idx = spark.read.parquet(s"$dir/index.parquet")
       val keys = spark.read.parquet(s"$dir/keys.parquet")
 
+      resetPeak()
       val (tIn, nIn) = medianTime(() =>
         Dedup.dedupIncrement(corpus, batch, "doc_id", "text", 3, 0.5)
           .queryExecution.toRdd.count())
+      val peakIn = readPeakMb(); val taskIn = readMaxTaskPeakMb()
+      resetPeak()
       val (tIdx, nIdx) = medianTime(() =>
         Dedup.dedupIncrementIndexed(idx, keys, batch, "doc_id", "text", 3, 0.5)
           .queryExecution.toRdd.count())
+      val peakIdx = readPeakMb(); val taskIdx = readMaxTaskPeakMb()
       require(nIn == nIdx, s"forms disagree: $nIn vs $nIdx")
       println(String.format(java.util.Locale.ROOT,
-        """{"scale":"%s","corpus_docs":%d,"batch_docs":500,"in_query_sec":%.3f,"indexed_sec":%.3f,"index_build_sec":%.3f,"rows":%d,"reps":%d}""",
+        """{"scale":"%s","corpus_docs":%d,"batch_docs":500,"in_query_sec":%.3f,"indexed_sec":%.3f,"index_build_sec":%.3f,"in_query_peak_mb":%.1f,"indexed_peak_mb":%.1f,"in_query_task_peak_mb":%.1f,"indexed_task_peak_mb":%.1f,"rows":%d,"reps":%d}""",
         label, Long.box(corpus.count()), Double.box(tIn), Double.box(tIdx),
-        Double.box(buildSec), Long.box(nIn), Int.box(reps)))
+        Double.box(buildSec), Double.box(peakIn), Double.box(peakIdx),
+        Double.box(taskIn), Double.box(taskIdx),
+        Long.box(nIn), Int.box(reps)))
 
       // Bloom pre-filter row: the batch is 100% fresh (disjoint
       // vocab), so the bitmap proves every row absent and the exact
@@ -126,6 +165,34 @@ object IndexedScale {
         label, Long.box(corpus.count()), Double.box(tFull), Double.box(tBloom),
         Double.box(bloomBuildSec), Long.box(nPos), Long.box(nFull),
         Int.box(reps)))
+    }
+
+    // PEAK-MEMORY batch sweep (VERDICT r10 #6): the per-scale loop
+    // above varies the CORPUS under a fixed batch (peak must stay
+    // flat); this block fixes the corpus at the grown scale and
+    // sweeps the BATCH (peak may grow with it). Together they bound
+    // executor memory at 100 TB by the ingest batch, not history.
+    locally {
+      val bigDir = s"$work/${factor}x"
+      val idx = spark.read.parquet(s"$bigDir/index.parquet")
+      val keys = spark.read.parquet(s"$bigDir/keys.parquet")
+      val nCorpus = spark.read.parquet(s"$bigDir/corpus.parquet").count()
+      for (bsz <- Seq(250, 1000, 4000)) {
+        val b = docs.limit(bsz)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "zz_$1").as("text"))
+          .localCheckpoint()
+        b.count()
+        resetPeak()
+        val (t, n) = medianTime(() =>
+          Dedup.dedupIncrementIndexed(idx, keys, b, "doc_id", "text", 3, 0.5)
+            .queryExecution.toRdd.count())
+        println(String.format(java.util.Locale.ROOT,
+          """{"peak_sweep_batch":%d,"corpus_docs":%d,"sec":%.3f,"peak_mb":%.1f,"task_peak_mb":%.1f,"rows":%d,"reps":%d}""",
+          Int.box(bsz), Long.box(nCorpus), Double.box(t),
+          Double.box(readPeakMb()), Double.box(readMaxTaskPeakMb()),
+          Long.box(n), Int.box(reps)))
+      }
     }
 
     // LARGE-batch probe over bucketed vs plain index layout: AQE

@@ -29,12 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  /** Sums shuffle-write bytes across completed stages; the async
+  /** Sums shuffle-write bytes across completed stages, plus TWO
+    * memory signals (VERDICT r10 #6): `peakMem` = max over stages of
+    * the stage's per-task SUM of peakExecutionMemory (an upper bound
+    * on one-executor pressure — but it scales with the stage's TASK
+    * COUNT, so 10× data → 10× scan tasks inflates it even when no
+    * task needs more memory), and `maxTaskPeak` = the largest single
+    * TASK's peak — the executor-sizing number (a task must fit its
+    * slot regardless of how many tasks the stage has). The async
     * listener bus is drained via the shim before each read. */
   private class ShuffleBytes extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxTaskPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      peakMem.getAndAccumulate(
+        s.stageInfo.taskMetrics.peakExecutionMemory, Math.max(_, _))
+    }
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null)
+        maxTaskPeak.getAndAccumulate(
+          t.taskMetrics.peakExecutionMemory, Math.max(_, _))
   }
 
   def main(args: Array[String]): Unit = {
@@ -51,15 +67,18 @@ object ScaleStress {
     val listener = new ShuffleBytes
     spark.sparkContext.addSparkListener(listener)
 
-    def copies(tbl: String, idCol: String, prefixText: Boolean) = {
+    def copiesMulti(tbl: String, offsetCols: Seq[String],
+        prefixCols: Seq[String]) = {
       val df = spark.read.parquet(s"$base/$tbl.parquet")
       (0 until factor).map { i =>
-        val off = df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L))
-        if (prefixText)
-          off.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
-        else off
+        val off = offsetCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
+        prefixCols.foldLeft(off)((d, c) =>
+          d.withColumn(c, regexp_replace(col(c), "(\\S+)", s"c${i}_$$1")))
       }.reduce(_ unionByName _)
     }
+    def copies(tbl: String, idCol: String, prefixText: Boolean) =
+      copiesMulti(tbl, Seq(idCol), if (prefixText) Seq("text") else Nil)
     copies("documents", "doc_id", prefixText = true)
       .write.mode("overwrite").parquet(s"$synth/documents.parquet")
     copies("embeddings", "vec_id", prefixText = false)
@@ -70,6 +89,25 @@ object ScaleStress {
     // grow at all (bounded by state size · partitions)
     copies("lineitem", "l_orderkey", prefixText = false)
       .write.mode("overwrite").parquet(s"$synth/lineitem.parquet")
+    // GRAPH-shaped synthesis (round 11): the graph/profile/ER gates
+    // need the NODE space to grow — with only l_orderkey offset, the
+    // (l_suppkey → o_custkey) edge set would dedupe back to the base
+    // graph and measure nothing. Offsetting every key column makes
+    // each copy a disjoint replica of the base graph (node count ×f,
+    // edge count ×f, per-copy structure bit-identical — the same
+    // honest-linear-growth design as the token prefix). Entity names
+    // get the token prefix so per-copy ER structure is identical and
+    // cross-copy candidates are impossible.
+    val synthG = s"$synth/graph"
+    copiesMulti("lineitem",
+        Seq("l_orderkey", "l_suppkey", "l_partkey"), Nil)
+      .write.mode("overwrite").parquet(s"$synthG/lineitem.parquet")
+    copiesMulti("orders", Seq("o_orderkey", "o_custkey"), Nil)
+      .write.mode("overwrite").parquet(s"$synthG/orders.parquet")
+    copiesMulti("supplier", Seq("s_suppkey"), Nil)
+      .write.mode("overwrite").parquet(s"$synthG/supplier.parquet")
+    copiesMulti("part", Seq("p_partkey"), Seq("p_name"))
+      .write.mode("overwrite").parquet(s"$synthG/part.parquet")
 
     val allQnames = Seq("q26_ngram_jaccard", "q63_jaccard_pruned",
       "q64_neardup_components", "q68_contamination", "q72_kmeans_micro",
@@ -90,20 +128,48 @@ object ScaleStress {
       // buffer; its exact-count arm is keyed on a FIXED key space),
       // and the mod-211 triangle graph (node space constant, only
       // the edge-discovery scan grows)
-      "q144_incr_agg", "q149_triangle_count", "q154_heavy_hitters")
+      "q144_incr_agg", "q149_triangle_count", "q154_heavy_hitters",
+      // round 11 (VERDICT r10 #1): the post-r6 heavy families whose
+      // 100 TB claims rested on plan shape alone. Graph + profile +
+      // entity resolution run against the graph-shaped synthesis
+      // (disjoint replicas: nodes ×f, edges ×f); sketches/BPE/steady
+      // probes against the standard synthesis.
+      "q125_pagerank", "q150_hits", "q151_bfs_hops",
+      "q185_pagerank_weighted",
+      "q134_cms_estimate", "q167_hll_grouped", "q183_hist_grouped",
+      "q186_cms_grouped", "q187_hll_fast", "q188_cms_fast",
+      "q140_profile", "q189_profile_approx",
+      "q182_entity_resolution", "q177_bpe_train",
+      "q103_dedup_increment_steady", "q121_ann_ivfadc_steady")
+
+    /** Queries whose workload lives in the key/node space — routed to
+      * the graph-shaped synthesis dir. */
+    val graphShaped = Set("q125_pagerank", "q150_hits", "q151_bfs_hops",
+      "q185_pagerank_weighted", "q140_profile", "q189_profile_approx",
+      "q182_entity_resolution")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')
       allQnames.filter(q => ps.exists(q.startsWith))
     } else allQnames
-    // one warm pass so JVM/codegen startup doesn't bill to the 1x runs
-    qnames.foreach(q => SparkEntry.queries(q)(spark, base).count())
+    // one warm pass so JVM/codegen startup (and any one-off
+    // FixtureCache builds for the steady-state probes) doesn't bill
+    // to the 1x runs — run it against BOTH dirs so the Nx fixtures
+    // build outside the measured window too
+    qnames.foreach { q =>
+      SparkEntry.queries(q)(spark, base).count()
+      SparkEntry.queries(q)(spark,
+        if (graphShaped(q)) synthG else synth).count()
+    }
     // median-of-reps per point (Bench precedent): single shots on a
     // shared host swing several x with identical shuffle bytes
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    for (q <- qnames; (label, dir) <- Seq("1x" -> base, s"${factor}x" -> synth)) {
+    for (q <- qnames; (label, dir) <- Seq("1x" -> base,
+        s"${factor}x" -> (if (graphShaped(q)) synthG else synth))) {
       org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
       listener.bytes.set(0L)
+      listener.peakMem.set(0L)
+      listener.maxTaskPeak.set(0L)
       var n = 0L
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -115,9 +181,10 @@ object ScaleStress {
       org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
       val mb = listener.bytes.get / 1e6 / reps
       println(String.format(java.util.Locale.ROOT,
-        """{"query":"%s","scale":"%s","rows":%d,"sec":%.3f,"shuffle_mb":%.1f,"reps":%d}""",
+        """{"query":"%s","scale":"%s","rows":%d,"sec":%.3f,"shuffle_mb":%.1f,"peak_mem_mb":%.1f,"max_task_peak_mb":%.1f,"reps":%d}""",
         q, label, Long.box(n), Double.box(times(times.length / 2)),
-        Double.box(mb), Int.box(reps)))
+        Double.box(mb), Double.box(listener.peakMem.get / 1e6),
+        Double.box(listener.maxTaskPeak.get / 1e6), Int.box(reps)))
     }
     spark.stop()
   }
