@@ -109,6 +109,45 @@ object Sketches {
     a.unionByName(b)
       .groupBy(col("bucket")).agg(max(col("rho_max")).as("rho_max"))
 
+  /** Integer sufficient statistics of a register table — (occupied
+    * buckets, 2^53-scaled harmonic sum), the q189 representation:
+    * both exact integers, so the md5-portable lane stays hash-exact
+    * in DuckDB while still determining the Flajolet estimate
+    * ([[hllEstimateFromStats]]). Empty register table → (0, 0). */
+  def hllStats(registers: DataFrame, label: String): DataFrame =
+    registers.agg(
+        coalesce(count(lit(1)).cast("int"), lit(0)).as("nd_buckets"),
+        coalesce(sum(expr("shiftleft(1L, 53 - rho_max)")), lit(0L))
+          .as("nd_s53"))
+      .select(lit(label).as("set_name"), col("nd_buckets"), col("nd_s53"))
+
+  /** The Flajolet estimate recovered from [[hllStats]] integers:
+    * harmonic sum = s53/2^53 + one per empty register (rho 0 →
+    * 2^-0 = 1), then the same alpha/linear-counting rules as
+    * [[hllEstimate]] — the two paths agree exactly (spec-pinned). */
+  def hllEstimateFromStats(occupied: Int, s53: Long, p: Int = 8): Double = {
+    val m = 1 << p
+    val zeros = m - occupied
+    val sum = s53.toDouble / math.pow(2.0, 53) + zeros.toDouble
+    val alpha = m match {
+      case 16 => 0.673; case 32 => 0.697; case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m * m / sum
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+
+  /** Set-algebra estimate over register tables: |A ∩ B| by
+    * inclusion–exclusion, est(A) + est(B) − est(A ∪ B), clamped at 0
+    * (tiny true intersections can go negative within sketch error).
+    * The union is the lossless register-wise max ([[hllMerge]]), so
+    * the whole algebra runs on ≤ 3·2^p rows of state — the 100 TB
+    * "how many ids appear in BOTH corpora" answer without a join. */
+  def hllIntersectEstimate(a: DataFrame, b: DataFrame, p: Int = 8): Double =
+    math.max(0.0,
+      hllEstimate(a, p) + hllEstimate(b, p) - hllEstimate(hllMerge(a, b), p))
+
   /** Persist a register table. `coalesce(1)` is correct here for the
     * same reason as the Bloom bitmap's: the artifact is ≤ 2^p rows of
     * bounded state, never data. */

@@ -357,6 +357,58 @@ object WebCorpusQueries {
         "q134_cms_estimate, and WebCorpusSpec gates the no-undercount " +
         "invariant and error band of this fast form")),
 
+    // HLL set algebra: the "how many ids appear in BOTH corpora"
+    // question answered from ≤ 3·256 rows of register state, no join.
+    // A = orderkeys with a returned item, B = orderkeys with a
+    // non-returned 'R'-flag item; the union registers come from
+    // hllMerge (lossless max, q128-proven ≡ direct build, which is
+    // exactly what the oracle computes). Emits the q189-style integer
+    // sufficient statistics per set — hash-exact in DuckDB — from
+    // which hllEstimateFromStats and the inclusion–exclusion
+    // intersection estimate derive (WebCorpusSpec pins both paths and
+    // the band vs the exact intersection).
+    QuerySpec("q192_hll_intersect",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val a = Sketches.hllRegisters(
+          li.filter(col("l_returnflag") === "A"), "l_orderkey")
+        val b = Sketches.hllRegisters(
+          li.filter(col("l_returnflag") === "R"), "l_orderkey")
+        Sketches.hllStats(a, "a")
+          .unionByName(Sketches.hllStats(b, "b"))
+          .unionByName(Sketches.hllStats(Sketches.hllMerge(a, b), "union"))
+          .orderBy(col("set_name"))
+      },
+      Some {
+        val laneArms = Seq(
+          "a" -> "l_returnflag = 'A'",
+          "b" -> "l_returnflag = 'R'",
+          "union" -> "l_returnflag IN ('A', 'R')").map { case (nm, w) =>
+          s"""SELECT '$nm' AS set_name,
+             |    md5('hll:' || CAST(l_orderkey AS VARCHAR)) AS hx
+             |  FROM lineitem WHERE $w AND l_orderkey IS NOT NULL""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH lv AS ($laneArms),
+           |b AS (SELECT set_name,
+           |    CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS bucket,
+           |    ltrim(substr(hx, 3, 13), '0') AS t FROM lv),
+           |r AS (SELECT set_name, bucket, CASE WHEN t = '' THEN 53
+           |    ELSE 4 * (13 - length(t)) +
+           |      CASE WHEN substr(t, 1, 1) IN
+           |             ('8','9','a','b','c','d','e','f') THEN 1
+           |           WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 2
+           |           WHEN substr(t, 1, 1) IN ('2','3') THEN 3
+           |           ELSE 4 END END AS rho FROM b),
+           |regs AS (SELECT set_name, bucket, MAX(rho) AS rho_max
+           |  FROM r GROUP BY 1, 2)
+           |SELECT set_name,
+           |  CAST(COUNT(*) AS INTEGER) AS nd_buckets,
+           |  CAST(SUM(CAST(1 AS BIGINT) << (53 - rho_max)) AS BIGINT)
+           |    AS nd_s53
+           |FROM regs GROUP BY 1
+           |ORDER BY set_name""".stripMargin
+      }),
+
     // Fixed-bin integer histogram of price cents over [0, 110000.00):
     // bin = (cents·256) div range, exact integer — the deterministic
     // quantile sketch (q49 gates the engine-private approx forms; this

@@ -42,6 +42,29 @@ class WebCorpusSpec extends SparkSuite {
     assert(regs(withNulls) == direct)
   }
 
+  test("HLL set algebra: stats path ≡ estimate path; intersection " +
+      "estimate in band; disjoint clamps at 0") {
+    val a = (1 to 2000).map(i => s"id-$i").toDF("k")
+    val b = (501 to 2500).map(i => s"id-$i").toDF("k")
+    val regsA = Sketches.hllRegisters(a, "k")
+    val regsB = Sketches.hllRegisters(b, "k")
+    // the q189/q192 integer sufficient statistics determine the SAME
+    // double the register-table estimator computes — exactly
+    val st = Sketches.hllStats(regsA, "a").collect().head
+    assert(Sketches.hllEstimateFromStats(st.getInt(1), st.getLong(2)) ==
+      Sketches.hllEstimate(regsA))
+    // inclusion–exclusion: |A∩B| = 1500 here; deterministic md5
+    // registers make the estimate a fixed number — band, not flake
+    val inter = Sketches.hllIntersectEstimate(regsA, regsB)
+    assert(math.abs(inter - 1500) / 1500.0 < 0.35, s"inter=$inter")
+    // disjoint sets: clamped at 0, never negative
+    val c = (90001 to 92000).map(i => s"id-$i").toDF("k")
+    val interDisjoint = Sketches.hllIntersectEstimate(
+      regsA, Sketches.hllRegisters(c, "k"))
+    assert(interDisjoint >= 0.0)
+    assert(interDisjoint < 400.0, s"disjoint=$interDisjoint") // ~sketch noise
+  }
+
   test("HLL fast (xxhash64): same layout, merge ≡ rebuild, band-agrees " +
       "with the md5-portable twin") {
     val xs = (1 to 20000).map(i => s"key-$i")
