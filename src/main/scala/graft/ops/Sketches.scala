@@ -217,6 +217,30 @@ object Sketches {
     a.unionByName(b)
       .groupBy(col("r"), col("pos")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-depth inner products of two counter matrices — Σ_pos
+    * cntA·cntB for each depth row r (Cormode–Muthukrishnan 2005
+    * §4.3). Each row's dot product never UNDERcounts the true inner
+    * product Σ_k fA(k)·fB(k) — hash collisions only add — so the min
+    * over rows ([[cmsJoinSizeEstimate]]) is a one-sided equi-join
+    * cardinality estimate: |A ⋈ B| on the sketched key answered from
+    * ≤ 2·depth·width counter rows, the planner's join-size question
+    * without touching the data. All integer arithmetic (counts and
+    * products), so the md5-laned matrices make it hash-exact in any
+    * engine. */
+  def cmsInnerProductByDepth(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.select(col("r"), col("pos"), col("cnt").as("cnt_a"))
+    val bb = b.select(col("r"), col("pos"), col("cnt").as("cnt_b"))
+    aa.join(bb, Seq("r", "pos"))
+      .groupBy(col("r"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+  }
+
+  /** Equi-join size estimate: min over the per-depth dot products;
+    * ≥ the true join row count always (spec-pinned). */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): Long =
+    cmsInnerProductByDepth(a, b)
+      .agg(min(col("dot"))).collect()(0).getLong(0)
+
   /** Grouped Count-Min matrices — one frequency sketch per group key
     * (completing the grouped triad with [[hllRegistersBy]] and
     * [[histSketchBy]]): per-group hash-exact counter state, per-group

@@ -357,6 +357,36 @@ object WebCorpusQueries {
         "q134_cms_estimate, and WebCorpusSpec gates the no-undercount " +
         "invariant and error band of this fast form")),
 
+    // CMS inner product (Cormode 2005 §4.3): per-depth dot products
+    // of the lineitem.l_orderkey and orders.o_orderkey frequency
+    // matrices — min over depth = the equi-join SIZE estimate, never
+    // under the true |lineitem ⋈ orders|, from 2·4·256 counter rows.
+    // Pure integer arithmetic end to end, so the oracle replays both
+    // matrix builds and the products hash-exactly.
+    QuerySpec("q193_cms_join_size",
+      (s, dir) => Sketches.cmsInnerProductByDepth(
+          Sketches.cmsSketch(table(s, dir, "lineitem"), "l_orderkey"),
+          Sketches.cmsSketch(table(s, dir, "orders"), "o_orderkey"))
+        .orderBy(col("r")),
+      Some {
+        def arms(src: String) = (0 until 4).map { r =>
+          s"""SELECT $r AS r,
+             |  CAST(CAST(('0x' || substr(md5('cms$r:' || key), 1, 15))
+             |    AS BIGINT) % 256 AS INTEGER) AS pos FROM $src""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ka AS (SELECT CAST(l_orderkey AS VARCHAR) AS key
+           |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+           |kb AS (SELECT CAST(o_orderkey AS VARCHAR) AS key
+           |  FROM orders WHERE o_orderkey IS NOT NULL),
+           |ha AS (${arms("ka")}),
+           |hb AS (${arms("kb")}),
+           |ma AS (SELECT r, pos, COUNT(*) AS cnt_a FROM ha GROUP BY 1, 2),
+           |mb AS (SELECT r, pos, COUNT(*) AS cnt_b FROM hb GROUP BY 1, 2)
+           |SELECT r, CAST(SUM(cnt_a * cnt_b) AS BIGINT) AS dot
+           |FROM ma JOIN mb USING (r, pos)
+           |GROUP BY r ORDER BY r""".stripMargin
+      }),
+
     // HLL set algebra: the "how many ids appear in BOTH corpora"
     // question answered from ≤ 3·256 rows of register state, no join.
     // A = orderkeys with a returned item, B = orderkeys with a

@@ -65,6 +65,26 @@ class WebCorpusSpec extends SparkSuite {
     assert(interDisjoint < 400.0, s"disjoint=$interDisjoint") // ~sketch noise
   }
 
+  test("CMS inner product: never undercounts the true join size, " +
+      "min-over-depth is the estimate, band at adequate width") {
+    // a: keys k-0..k-499 six times each; b: k-0..k-249 four times
+    // each → true inner product Σ 6·4 over 250 shared keys = 6000
+    val a = (1 to 3000).map(i => s"k-${i % 500}").toDF("k")
+    val b = (1 to 1000).map(i => s"k-${i % 250}").toDF("k")
+    val truth = 250L * 6 * 4
+    val ma = Sketches.cmsSketch(a, "k", depth = 4, width = 4096)
+    val mb = Sketches.cmsSketch(b, "k", depth = 4, width = 4096)
+    val dots = Sketches.cmsInnerProductByDepth(ma, mb)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dots.keySet == Set(0, 1, 2, 3))
+    // the §4.3 one-sided guarantee: EVERY depth row ≥ truth
+    assert(dots.values.forall(_ >= truth), s"dots=$dots")
+    val est = Sketches.cmsJoinSizeEstimate(ma, mb)
+    assert(est == dots.values.min && est >= truth)
+    // expected inflation ≈ ΣfA·ΣfB/width = 3M/4096 ≈ 732; allow 3×
+    assert(est <= truth + 2200, s"est=$est truth=$truth")
+  }
+
   test("HLL fast (xxhash64): same layout, merge ≡ rebuild, band-agrees " +
       "with the md5-portable twin") {
     val xs = (1 to 20000).map(i => s"key-$i")
