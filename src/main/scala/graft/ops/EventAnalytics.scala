@@ -145,8 +145,32 @@ object EventAnalytics {
     * numeric/date/timestamp (quantile-summarizable). Result column:
     * `outCol` = running sum of `valueCol`. */
   def runningTotalSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
-      valueCol: String, outCol: String, partitions: Int = 0): DataFrame = {
+      valueCol: String, outCol: String, partitions: Int = 0): DataFrame =
+    runningAggSkewSafe(df, keyCol, ordCol, valueCol, outCol, "sum",
+      partitions)
+
+  /** The [[runningTotalSkewSafe]] algebra for any ASSOCIATIVE
+    * combine — `op` ∈ sum | min | max (running totals, cumulative
+    * extrema). The per-slice offset is the op over earlier slices'
+    * per-slice aggregates; a null offset (first slice of a key)
+    * passes the local value through, which is the correct identity
+    * for all three ops. */
+  def runningAggSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, outCol: String, op: String,
+      partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val aggFn: Column => Column = op match {
+      case "sum" => c => sum(c)
+      case "min" => c => min(c)
+      case "max" => c => max(c)
+      case other => throw new IllegalArgumentException(
+        s"runningAggSkewSafe: op must be sum|min|max, got $other")
+    }
+    val combine: (Column, Column) => Column = op match {
+      case "sum" => (a, b) => a + b
+      case "min" => (a, b) => least(a, b)
+      case _ => (a, b) => greatest(a, b)
+    }
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val probs = (1 until p).map(_.toDouble / p).toArray
@@ -168,9 +192,9 @@ object EventAnalytics {
       .orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sliced.withColumn("__run_local",
-      sum(col(valueCol)).over(wLocal))
+      aggFn(col(valueCol)).over(wLocal))
     val totals = sliced.groupBy(col("__slice"), col(keyCol))
-      .agg(sum(col(valueCol)).as("__slice_sum"))
+      .agg(aggFn(col(valueCol)).as("__slice_agg"))
     val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // fresh exprIds on the offsets side (`as` re-aliases): local and
@@ -178,13 +202,13 @@ object EventAnalytics {
     // a HOF-derived grouping column trips relation-dedup attribute
     // binding — an explicit disambiguated condition does not
     val offsets = totals
-      .withColumn("__offset",
-        coalesce(sum(col("__slice_sum")).over(wOff), lit(0)))
+      .withColumn("__offset", aggFn(col("__slice_agg")).over(wOff))
       .select(col("__slice").as("__oslice"), col(keyCol).as("__okey"),
         col("__offset"))
     local.join(offsets,
         col("__slice") === col("__oslice") && col(keyCol) === col("__okey"))
-      .withColumn(outCol, col("__run_local") + col("__offset"))
+      .withColumn(outCol, when(col("__offset").isNull, col("__run_local"))
+        .otherwise(combine(col("__run_local"), col("__offset"))))
       .drop("__slice", "__oslice", "__okey", "__run_local", "__offset")
   }
 

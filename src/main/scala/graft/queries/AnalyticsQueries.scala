@@ -1421,6 +1421,38 @@ object AnalyticsQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS run_centi
         |FROM orders
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // Cumulative extrema, skew-immune (q191's algebra with min/max
+    // combine — associative, so the same slice/offset two-pass is
+    // exact): running max and running min of the order value per
+    // priority. The plain MIN/MAX OVER oracle replays the semantics.
+    QuerySpec("q194_running_extrema",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+        val withMax = graft.ops.EventAnalytics.runningAggSkewSafe(
+          o, "o_orderpriority", "o_orderkey", "v_centi",
+          "run_max_centi", "max")
+        graft.ops.EventAnalytics.runningAggSkewSafe(
+            withMax, "o_orderpriority", "o_orderkey", "v_centi",
+            "run_min_centi", "min")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("run_max_centi"), col("run_min_centi"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS run_max_centi,
+        |  MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS run_min_centi
+        |FROM orders
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
   )
 

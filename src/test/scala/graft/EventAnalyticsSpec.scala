@@ -212,5 +212,18 @@ class EventAnalyticsSpec extends SparkSuite {
       .runningTotalSkewSafe(df2, "k", "v", "v", "run", partitions = 32)
     val plain2 = df2.withColumn("run", sum(col("v")).over(w2))
     assert(fast2.exceptAll(plain2).isEmpty && plain2.exceptAll(fast2).isEmpty)
+    // min/max combines (q194): same slices, extrema offsets — v is
+    // NON-monotone in ord here (pmod·37 wraps), so cumulative extrema
+    // genuinely move mid-key and the null-offset first slice is hit
+    for (op <- Seq("min", "max")) {
+      val fastX = EventAnalytics
+        .runningAggSkewSafe(df, "k", "ord", "v", "run", op, partitions = 5)
+      val wX = Window.partitionBy(col("k")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val plainX = df.withColumn("run",
+        (if (op == "min") min(col("v")) else max(col("v"))).over(wX))
+      assert(fastX.exceptAll(plainX).isEmpty &&
+        plainX.exceptAll(fastX).isEmpty, s"op=$op")
+    }
   }
 }
