@@ -360,19 +360,24 @@ object WebCorpusQueries {
     // CMS inner product (Cormode 2005 §4.3): per-depth dot products
     // of the lineitem.l_orderkey and orders.o_orderkey frequency
     // matrices — min over depth = the equi-join SIZE estimate, never
-    // under the true |lineitem ⋈ orders|, from 2·4·256 counter rows.
-    // Pure integer arithmetic end to end, so the oracle replays both
-    // matrix builds and the products hash-exactly.
+    // under the true |lineitem ⋈ orders|. Width is sized to the
+    // estimate's error term ε·ΣfA·ΣfB (Cormode §4.3): at 16384 the
+    // collision inflation is ~ the true join size, vs 60× useless at
+    // the point-query default 256 — the sizing rule IS part of the
+    // operator. Pure integer arithmetic end to end, so the oracle
+    // replays both matrix builds and the products hash-exactly.
     QuerySpec("q193_cms_join_size",
       (s, dir) => Sketches.cmsInnerProductByDepth(
-          Sketches.cmsSketch(table(s, dir, "lineitem"), "l_orderkey"),
-          Sketches.cmsSketch(table(s, dir, "orders"), "o_orderkey"))
+          Sketches.cmsSketch(table(s, dir, "lineitem"), "l_orderkey",
+            depth = 4, width = 16384),
+          Sketches.cmsSketch(table(s, dir, "orders"), "o_orderkey",
+            depth = 4, width = 16384))
         .orderBy(col("r")),
       Some {
         def arms(src: String) = (0 until 4).map { r =>
           s"""SELECT $r AS r,
              |  CAST(CAST(('0x' || substr(md5('cms$r:' || key), 1, 15))
-             |    AS BIGINT) % 256 AS INTEGER) AS pos FROM $src""".stripMargin
+             |    AS BIGINT) % 16384 AS INTEGER) AS pos FROM $src""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"""WITH ka AS (SELECT CAST(l_orderkey AS VARCHAR) AS key
            |  FROM lineitem WHERE l_orderkey IS NOT NULL),
@@ -386,6 +391,25 @@ object WebCorpusQueries {
            |FROM ma JOIN mb USING (r, pos)
            |GROUP BY r ORDER BY r""".stripMargin
       }),
+
+    // Production-speed twin of q193 (the q187/q188 convention): the
+    // SAME layout-agnostic inner-product op over cmsSketchFast
+    // xxhash64 matrices — the form a 100 TB planner probe runs
+    // (the md5 matrix build is q193's entire 2.5 s cost; this one is
+    // sketch-build-bound at xxhash64 speed).
+    QuerySpec("q195_cms_join_size_fast",
+      (s, dir) => Sketches.cmsInnerProductByDepth(
+          Sketches.cmsSketchFast(table(s, dir, "lineitem"), "l_orderkey",
+            depth = 4, width = 16384),
+          Sketches.cmsSketchFast(table(s, dir, "orders"), "o_orderkey",
+            depth = 4, width = 16384))
+        .orderBy(col("r")),
+      None,
+      rowsOnlyReason = Some("xxhash64 lane hashes have no DuckDB " +
+        "equivalent; the inner-product arithmetic is hash-exact-proven " +
+        "by the md5-portable twin q193_cms_join_size (the op is " +
+        "layout-agnostic and shared verbatim), and WebCorpusSpec gates " +
+        "the never-undercount invariant and band on fast matrices")),
 
     // HLL set algebra: the "how many ids appear in BOTH corpora"
     // question answered from ≤ 3·256 rows of register state, no join.

@@ -83,6 +83,12 @@ class WebCorpusSpec extends SparkSuite {
     assert(est == dots.values.min && est >= truth)
     // expected inflation ≈ ΣfA·ΣfB/width = 3M/4096 ≈ 732; allow 3×
     assert(est <= truth + 2200, s"est=$est truth=$truth")
+    // fast (xxhash64) matrices through the SAME op (q195): the
+    // one-sided guarantee and band hold lane-family-independently
+    val fa = Sketches.cmsSketchFast(a, "k", depth = 4, width = 4096)
+    val fb = Sketches.cmsSketchFast(b, "k", depth = 4, width = 4096)
+    val estFast = Sketches.cmsJoinSizeEstimate(fa, fb)
+    assert(estFast >= truth && estFast <= truth + 2200, s"fast=$estFast")
   }
 
   test("HLL fast (xxhash64): same layout, merge ≡ rebuild, band-agrees " +
