@@ -77,6 +77,47 @@ object TrainingPrep {
     out
   }
 
+  /** Systematic probability-proportional-to-size sampling (the
+    * deterministic PPS form: Madow 1949): k midpoint pick-points
+    * p_i = ((2i−1)·W) div (2k) laid over the cumulative-weight axis,
+    * a row is drawn once per pick inside its (cum−w, cum] span —
+    * multiplicity = f(cum) − f(cum−w) with the closed-form
+    * f(x) = clamp(((2k(x+1)−1) div W + 1) div 2, 0, k), pure integer
+    * floor arithmetic (derivation: p_i ≤ x ⟺ (2i−1)W ≤ 2kx+2k−1 ⟺
+    * i ≤ ((2k(x+1)−1) div W + 1) div 2), so any engine replays it
+    * bit-for-bit. Σ multiplicity = k exactly; a row with weight ≥
+    * W/k is ALWAYS drawn (the PPS certainty property); zero-weight
+    * rows never. Training-data use: sample documents ∝ quality/token
+    * weight for mixture construction, reproducibly.
+    *
+    * The cumulative weights come from [[EventAnalytics
+    * .runningAggSkewSafe]] (the global prefix sum is the ultimate
+    * mega-key — a plain window would collapse the corpus into one
+    * task). The only driver-side state is the scalar total W.
+    * Contract: `ordCol` unique and `weightCol` a non-negative long;
+    * needs 2k·(W+1) < 2^63 (at k = 1000 that is W < 4.6·10^15 weight
+    * units). Returns (input columns, cum, mult) for mult > 0 rows. */
+  def ppsSystematicSample(df: DataFrame, ordCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val keyed = df.withColumn("__g", lit(0))
+    val cum = EventAnalytics.runningAggSkewSafe(
+      keyed, "__g", ordCol, weightCol, "__cum", "sum").drop("__g")
+    val wTotal = cum.agg(max(col("__cum"))).collect()(0).getLong(0)
+    require(wTotal >= 2L * k, // else pick 1 floors to 0 and Σmult < k
+      s"total weight $wTotal must be ≥ 2k = ${2 * k}")
+    require(2L * k <= Long.MaxValue / (wTotal + 1),
+      s"2k(W+1) overflows long: k=$k W=$wTotal")
+    def f(x: String) =
+      s"least(CAST($k AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+        s"((${2L * k} * (($x) + 1) - 1) div $wTotal + 1) div 2))"
+    cum
+      .withColumn("mult",
+        expr(s"${f("__cum")} - ${f(s"__cum - $weightCol")}"))
+      .filter(col("mult") > 0)
+      .withColumnRenamed("__cum", "cum")
+  }
+
   /** Train→holdout contamination report: holdout documents (id %
     * holdoutDenom == 0, the same deterministic split as
     * [[MlPrep.corpusPrep]]) that share at least one distinct word

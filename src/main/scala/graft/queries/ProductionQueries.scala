@@ -912,7 +912,40 @@ object ProductionQueries {
             buckets = 4096, thresholdMicroPerTok = 5650000L)
           .orderBy(col("doc_id"))
       },
-      Some(lmFilterOracleSql))
+      Some(lmFilterOracleSql)),
+
+    // Systematic PPS weighted sampling (Madow 1949): k=100 midpoint
+    // picks over the cumulative length-weight axis — multiplicity by
+    // closed-form integer floor inversion, Σmult = k exactly, heavy
+    // docs drawn with certainty. Deterministic (no RNG), so the
+    // mixture is reproducible under re-runs and the DuckDB window
+    // oracle replays it bit-for-bit. The cumulative axis comes from
+    // the skew-safe two-pass prefix sum (a global window would
+    // collapse the corpus into one task).
+    QuerySpec("q196_pps_sample",
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("doc_id"),
+          (coalesce(length(col("text")), lit(0)) + 1).cast("long")
+            .as("w"))
+        graft.ops.TrainingPrep.ppsSystematicSample(d, "doc_id", "w", 100)
+          .select(col("doc_id"), col("w"), col("cum"), col("mult"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+        |    CAST(COALESCE(length(text), 0) + 1 AS BIGINT) AS w,
+        |    CAST(SUM(CAST(COALESCE(length(text), 0) + 1 AS BIGINT))
+        |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM documents),
+        |t AS (SELECT CAST(SUM(CAST(COALESCE(length(text), 0) + 1
+        |    AS BIGINT)) AS BIGINT) AS tw FROM documents),
+        |m AS (SELECT doc_id, w, cum,
+        |    LEAST(100, GREATEST(0, ((200 * (cum + 1) - 1) // tw + 1) // 2))
+        |    - LEAST(100, GREATEST(0,
+        |        ((200 * (cum - w + 1) - 1) // tw + 1) // 2)) AS mult
+        |  FROM c, t)
+        |SELECT doc_id, w, cum, CAST(mult AS BIGINT) AS mult FROM m
+        |WHERE mult > 0 ORDER BY doc_id""".stripMargin))
   )
 
   /** q117 ≡ q119 oracle: replay tokenization, both bucket hashes, the

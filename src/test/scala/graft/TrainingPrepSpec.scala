@@ -609,4 +609,37 @@ class TrainingPrepSpec extends SparkSuite {
     // single-token doc: zeros and dropped
     assert(out.find(_._1 == 5L).get == ((5L, 0L, 0L, false)))
   }
+
+  test("ppsSystematicSample: Σmult = k, certainty for heavy rows, " +
+      "sequential-reference differential, zero-weight exclusion") {
+    // skewed weights: one row holds ~half the mass; a zero-weight row;
+    // hostile partitioning
+    val rows = (1L to 200L).map(i =>
+      (i, if (i == 7L) 5000L else if (i == 13L) 0L else 1L + i % 50))
+    val df = rows.toDF("id", "w").repartition(13)
+    val k = 37
+    val out = TrainingPrep.ppsSystematicSample(df, "id", "w", k)
+      .select(col("id"), col("w"), col("cum"), col("mult"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._4).sum == k)
+    // sequential reference: midpoint picks over the cumulative axis
+    val totalW = rows.map(_._2).sum
+    val picks = (1 to k).map(i => ((2L * i - 1) * totalW) / (2L * k))
+    var cum = 0L
+    val expect = rows.sortBy(_._1).flatMap { case (id, w) =>
+      val lo = cum; cum += w
+      val m = picks.count(p => p > lo && p <= cum)
+      if (m > 0) Some((id, m.toLong)) else None
+    }
+    assert(out.map(r => (r._1, r._4)).toSeq == expect)
+    // certainty: the heavy row (w >= W/k) is always drawn, with
+    // multiplicity within 1 of its proportional share
+    val heavy = out.find(_._1 == 7L).get
+    val share = 5000.0 * k / totalW
+    assert(heavy._4 >= 1 && math.abs(heavy._4 - share) <= 1.0,
+      s"heavy mult=${heavy._4} share=$share")
+    // zero-weight row never drawn
+    assert(!out.exists(_._1 == 13L))
+  }
 }
