@@ -118,6 +118,36 @@ object TrainingPrep {
       .withColumnRenamed("__cum", "cum")
   }
 
+  /** Grouped [[ppsSystematicSample]] — k draws PER GROUP, each group
+    * sampled over its own cumulative axis (the piece that composes
+    * with a temperature/UniMax mix: quotas first, then reproducible
+    * per-source draws). Group totals ride a broadcastable ≤ |groups|
+    * frame instead of a collected scalar; the same closed-form
+    * multiplicity, now with the group's own W. Every group must
+    * carry ≥ 2k total weight (checked — one scalar min). */
+  def ppsSystematicSampleBy(df: DataFrame, groupCol: String,
+      ordCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cum = EventAnalytics.runningAggSkewSafe(
+      df, groupCol, ordCol, weightCol, "__cum", "sum")
+    val totals = cum.groupBy(col(groupCol)).agg(max(col("__cum")).as("__tw"))
+    val minW = totals.agg(min(col("__tw"))).collect()(0).getLong(0)
+    require(minW >= 2L * k,
+      s"every group needs total weight ≥ 2k = ${2 * k}; min is $minW")
+    // fresh exprIds on the totals side (same self-join-lineage dedup
+    // hazard as runningAggSkewSafe's offsets join)
+    val tt = totals.select(col(groupCol).as("__tg"), col("__tw"))
+    def f(x: String) =
+      s"least(CAST($k AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+        s"((${2L * k} * (($x) + 1) - 1) div __tw + 1) div 2))"
+    cum.join(tt, col(groupCol) === col("__tg"))
+      .withColumn("mult",
+        expr(s"${f("__cum")} - ${f(s"__cum - $weightCol")}"))
+      .filter(col("mult") > 0)
+      .withColumnRenamed("__cum", "cum")
+      .drop("__tg", "__tw")
+  }
+
   /** Train→holdout contamination report: holdout documents (id %
     * holdoutDenom == 0, the same deterministic split as
     * [[MlPrep.corpusPrep]]) that share at least one distinct word

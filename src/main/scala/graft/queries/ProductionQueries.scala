@@ -945,7 +945,42 @@ object ProductionQueries {
         |        ((200 * (cum - w + 1) - 1) // tw + 1) // 2)) AS mult
         |  FROM c, t)
         |SELECT doc_id, w, cum, CAST(mult AS BIGINT) AS mult FROM m
-        |WHERE mult > 0 ORDER BY doc_id""".stripMargin))
+        |WHERE mult > 0 ORDER BY doc_id""".stripMargin)),
+
+    // Per-source PPS (the grouped form): k=20 reproducible draws per
+    // source over each source's own cumulative axis — the mixture-
+    // construction step after quotas. Same closed-form multiplicity
+    // with the group's own total.
+    QuerySpec("q197_pps_sample_by",
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("source"),
+          col("doc_id"),
+          (coalesce(length(col("text")), lit(0)) + 1).cast("long")
+            .as("w"))
+        graft.ops.TrainingPrep.ppsSystematicSampleBy(
+            d, "source", "doc_id", "w", 20)
+          .select(col("source"), col("doc_id"), col("w"), col("cum"),
+            col("mult"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT source, doc_id,
+        |    CAST(COALESCE(length(text), 0) + 1 AS BIGINT) AS w,
+        |    CAST(SUM(CAST(COALESCE(length(text), 0) + 1 AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM documents),
+        |t AS (SELECT source,
+        |    CAST(SUM(CAST(COALESCE(length(text), 0) + 1 AS BIGINT))
+        |      AS BIGINT) AS tw
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT c.source, doc_id, w, cum,
+        |    LEAST(20, GREATEST(0, ((40 * (cum + 1) - 1) // tw + 1) // 2))
+        |    - LEAST(20, GREATEST(0,
+        |        ((40 * (cum - w + 1) - 1) // tw + 1) // 2)) AS mult
+        |  FROM c JOIN t USING (source))
+        |SELECT source, doc_id, w, cum, CAST(mult AS BIGINT) AS mult
+        |FROM m WHERE mult > 0 ORDER BY source, doc_id""".stripMargin))
   )
 
   /** q117 ≡ q119 oracle: replay tokenization, both bucket hashes, the

@@ -642,4 +642,26 @@ class TrainingPrepSpec extends SparkSuite {
     // zero-weight row never drawn
     assert(!out.exists(_._1 == 13L))
   }
+
+  test("ppsSystematicSampleBy: per-group Σmult = k, groups independent") {
+    val rows = (for (g <- Seq("x", "y", "z"); i <- 1L to 120L)
+      yield (g, i, if (g == "y" && i == 3L) 2000L else 1L + (i * 7) % 40))
+    val df = rows.toDF("g", "id", "w").repartition(7)
+    val k = 11
+    val out = TrainingPrep.ppsSystematicSampleBy(df, "g", "id", "w", k)
+      .select(col("g"), col("id"), col("mult"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly k draws in every group
+    assert(out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap ==
+      Map("x" -> k.toLong, "y" -> k.toLong, "z" -> k.toLong))
+    // each group matches the ungrouped op run on its slice alone
+    for (g <- Seq("x", "y", "z")) {
+      val solo = TrainingPrep.ppsSystematicSample(
+          df.filter(col("g") === g), "id", "w", k)
+        .select(col("id"), col("mult"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(out.filter(_._1 == g).map(r => (r._2, r._3)).sortBy(_._1)
+        .toSeq == solo, s"group $g disagrees with the solo op")
+    }
+  }
 }
