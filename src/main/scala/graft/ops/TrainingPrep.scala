@@ -103,7 +103,9 @@ object TrainingPrep {
     val keyed = df.withColumn("__g", lit(0))
     val cum = EventAnalytics.runningAggSkewSafe(
       keyed, "__g", ordCol, weightCol, "__cum", "sum").drop("__g")
-    val wTotal = cum.agg(max(col("__cum"))).collect()(0).getLong(0)
+    val wRow = cum.agg(max(col("__cum"))).collect()(0)
+    require(!wRow.isNullAt(0), "ppsSystematicSample: empty input")
+    val wTotal = wRow.getLong(0)
     require(wTotal >= 2L * k, // else pick 1 floors to 0 and Σmult < k
       s"total weight $wTotal must be ≥ 2k = ${2 * k}")
     require(2L * k <= Long.MaxValue / (wTotal + 1),
@@ -131,7 +133,9 @@ object TrainingPrep {
     val cum = EventAnalytics.runningAggSkewSafe(
       df, groupCol, ordCol, weightCol, "__cum", "sum")
     val totals = cum.groupBy(col(groupCol)).agg(max(col("__cum")).as("__tw"))
-    val minW = totals.agg(min(col("__tw"))).collect()(0).getLong(0)
+    val minRow = totals.agg(min(col("__tw"))).collect()(0)
+    require(!minRow.isNullAt(0), "ppsSystematicSampleBy: empty input")
+    val minW = minRow.getLong(0)
     require(minW >= 2L * k,
       s"every group needs total weight ≥ 2k = ${2 * k}; min is $minW")
     // fresh exprIds on the totals side (same self-join-lineage dedup
