@@ -140,13 +140,17 @@ object ScaleStress {
       "q186_cms_grouped", "q187_hll_fast", "q188_cms_fast",
       "q140_profile", "q189_profile_approx",
       "q182_entity_resolution", "q177_bpe_train",
-      "q103_dedup_increment_steady", "q121_ann_ivfadc_steady")
+      "q103_dedup_increment_steady", "q121_ann_ivfadc_steady",
+      // round-11 late additions: the skew-safe prefix-sum family
+      // (q191 over orders → graph-shaped synthesis, which offsets
+      // o_orderkey; q196 over documents → standard synthesis)
+      "q191_running_total", "q196_pps_sample")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
     val graphShaped = Set("q125_pagerank", "q150_hits", "q151_bfs_hops",
       "q185_pagerank_weighted", "q140_profile", "q189_profile_approx",
-      "q182_entity_resolution")
+      "q182_entity_resolution", "q191_running_total")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')
