@@ -358,31 +358,32 @@ object WebCorpusQueries {
         "invariant and error band of this fast form")),
 
     // CMS inner product (Cormode 2005 §4.3): per-depth dot products
-    // of the lineitem.l_orderkey and orders.o_orderkey frequency
+    // of the orders.o_custkey and customer.c_custkey frequency
     // matrices — min over depth = the equi-join SIZE estimate, never
-    // under the true |lineitem ⋈ orders|. Width is sized to the
-    // estimate's error term ε·ΣfA·ΣfB (Cormode §4.3): at 16384 the
-    // collision inflation is ~ the true join size, vs 60× useless at
-    // the point-query default 256 — the sizing rule IS part of the
-    // operator. Pure integer arithmetic end to end, so the oracle
-    // replays both matrix builds and the products hash-exactly.
+    // under the true |orders ⋈ customer|. Width is sized to the
+    // estimate's error term ε·ΣfA·ΣfB (Cormode §4.3): 4096 here puts
+    // the collision inflation at ~⅓ of the true join size, where the
+    // point-query default 256 would be 6× useless — the sizing rule
+    // IS part of the operator. Pure integer arithmetic end to end, so
+    // the oracle replays both matrix builds and the products
+    // hash-exactly.
     QuerySpec("q193_cms_join_size",
       (s, dir) => Sketches.cmsInnerProductByDepth(
-          Sketches.cmsSketch(table(s, dir, "lineitem"), "l_orderkey",
-            depth = 4, width = 16384),
-          Sketches.cmsSketch(table(s, dir, "orders"), "o_orderkey",
-            depth = 4, width = 16384))
+          Sketches.cmsSketch(table(s, dir, "orders"), "o_custkey",
+            depth = 4, width = 4096),
+          Sketches.cmsSketch(table(s, dir, "customer"), "c_custkey",
+            depth = 4, width = 4096))
         .orderBy(col("r")),
       Some {
         def arms(src: String) = (0 until 4).map { r =>
           s"""SELECT $r AS r,
              |  CAST(CAST(('0x' || substr(md5('cms$r:' || key), 1, 15))
-             |    AS BIGINT) % 16384 AS INTEGER) AS pos FROM $src""".stripMargin
+             |    AS BIGINT) % 4096 AS INTEGER) AS pos FROM $src""".stripMargin
         }.mkString("\nUNION ALL\n")
-        s"""WITH ka AS (SELECT CAST(l_orderkey AS VARCHAR) AS key
-           |  FROM lineitem WHERE l_orderkey IS NOT NULL),
-           |kb AS (SELECT CAST(o_orderkey AS VARCHAR) AS key
-           |  FROM orders WHERE o_orderkey IS NOT NULL),
+        s"""WITH ka AS (SELECT CAST(o_custkey AS VARCHAR) AS key
+           |  FROM orders WHERE o_custkey IS NOT NULL),
+           |kb AS (SELECT CAST(c_custkey AS VARCHAR) AS key
+           |  FROM customer WHERE c_custkey IS NOT NULL),
            |ha AS (${arms("ka")}),
            |hb AS (${arms("kb")}),
            |ma AS (SELECT r, pos, COUNT(*) AS cnt_a FROM ha GROUP BY 1, 2),
@@ -399,10 +400,10 @@ object WebCorpusQueries {
     // sketch-build-bound at xxhash64 speed).
     QuerySpec("q195_cms_join_size_fast",
       (s, dir) => Sketches.cmsInnerProductByDepth(
-          Sketches.cmsSketchFast(table(s, dir, "lineitem"), "l_orderkey",
-            depth = 4, width = 16384),
-          Sketches.cmsSketchFast(table(s, dir, "orders"), "o_orderkey",
-            depth = 4, width = 16384))
+          Sketches.cmsSketchFast(table(s, dir, "orders"), "o_custkey",
+            depth = 4, width = 4096),
+          Sketches.cmsSketchFast(table(s, dir, "customer"), "c_custkey",
+            depth = 4, width = 4096))
         .orderBy(col("r")),
       None,
       rowsOnlyReason = Some("xxhash64 lane hashes have no DuckDB " +
