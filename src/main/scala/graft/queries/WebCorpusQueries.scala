@@ -396,7 +396,7 @@ object WebCorpusQueries {
     // Production-speed twin of q193 (the q187/q188 convention): the
     // SAME layout-agnostic inner-product op over cmsSketchFast
     // xxhash64 matrices — the form a 100 TB planner probe runs
-    // (the md5 matrix build is q193's entire 2.5 s cost; this one is
+    // (the md5 matrix build is q193's entire cost; this one is
     // sketch-build-bound at xxhash64 speed).
     QuerySpec("q195_cms_join_size_fast",
       (s, dir) => Sketches.cmsInnerProductByDepth(
