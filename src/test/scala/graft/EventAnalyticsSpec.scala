@@ -226,4 +226,29 @@ class EventAnalyticsSpec extends SparkSuite {
         plainX.exceptAll(fastX).isEmpty, s"op=$op")
     }
   }
+
+  test("runningAggSkewSafe: op × partitions × shape grid differential") {
+    import org.apache.spark.sql.expressions.Window
+    val shapes: Seq[(String, Seq[(Long, Long, Long)])] = Seq(
+      ("single-row", Seq((1L, 1L, 5L))),
+      ("one-row-per-key", Seq((1L, 1L, -3L), (2L, 1L, 7L), (3L, 2L, 0L))),
+      ("dense-negatives", (1L to 500L).map(i =>
+        (i % 3, i, (i * 31 % 17) - 8L)))
+    )
+    for ((name, rows) <- shapes; op <- Seq("sum", "min", "max");
+        p <- Seq(1, 4, 32)) {
+      val df = rows.toDF("k", "ord", "v").repartition(5)
+      val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val agg = op match {
+        case "sum" => sum(col("v"))
+        case "min" => min(col("v"))
+        case _ => max(col("v")) }
+      val plain = df.withColumn("run", agg.over(w))
+      val fast = EventAnalytics
+        .runningAggSkewSafe(df, "k", "ord", "v", "run", op, p)
+      assert(fast.exceptAll(plain).isEmpty &&
+        plain.exceptAll(fast).isEmpty, s"$name / $op / p=$p")
+    }
+  }
 }
