@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver records the LAST ~2000 chars of `sbt runMain` output and
+// parses the final line as the metric JSON. Two sbt behaviors break
+// that: the logger prefixes forked program output with "[info] ", and
+// a trailing "[success] Total time: ..." line lands after the metric
+// line (VERDICT r11 wrong #1 — BENCH parsed null two rounds running).
+// StdoutOutput pipes the forked JVM's stdout straight through
+// (no "[info] " prefix), and showSuccess := false drops the trailing
+// success line, so Bench's compact metric line is terminal.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting,
+// so lintUnused false-positives on it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -164,7 +164,9 @@ $detail
     // as the queries map, and the detail-file pointer for the rest.
     val top10 = results.toSeq.sortBy(-_._2._1).take(10)
       .map { case (k, (sec, _, _)) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + num(sec) }
+        val p = k.takeWhile(_ != '_')
+        val short = if (shortCount(p) == 1) p else k
+        "\"" + short + "\":" + num(sec) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":$top10,"queries_shown":"top10 of ${results.size} (full set in BENCH_DETAIL.json)","sf":"$sfDir","reps":$reps,"load_start":${num(loadStart)},"load_end":${num(loadEnd)},"detail":"BENCH_DETAIL.json"}""")
     spark.stop()

@@ -167,7 +167,11 @@ object EventAnalytics {
         s"runningAggSkewSafe: op must be sum|min|max, got $other")
     }
     val combine: (Column, Column) => Column = op match {
-      case "sum" => (a, b) => a + b
+      // null-safe like SUM OVER: an all-null (slice,key) prefix makes
+      // __run_local null, and plain `a + b` would null the combined
+      // running sum where the window form returns the earlier slices'
+      // sum. least/greatest already skip nulls; + does not.
+      case "sum" => (a, b) => coalesce(a + b, b, a)
       case "min" => (a, b) => least(a, b)
       case _ => (a, b) => greatest(a, b)
     }

@@ -230,16 +230,26 @@ object Sketches {
   def cmsInnerProductByDepth(a: DataFrame, b: DataFrame): DataFrame = {
     val aa = a.select(col("r"), col("pos"), col("cnt").as("cnt_a"))
     val bb = b.select(col("r"), col("pos"), col("cnt").as("cnt_b"))
-    aa.join(bb, Seq("r", "pos"))
+    val dots = aa.join(bb, Seq("r", "pos"))
       .groupBy(col("r"))
       .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+    // Densify: a depth row present in either sketch but with NO
+    // overlapping (r,pos) cells has true dot 0 — dropping it (the old
+    // inner-join-only form) loses the tightest possible min and, with
+    // zero overlap at every depth, left min(dot) null downstream.
+    val rs = aa.select(col("r")).union(bb.select(col("r"))).distinct()
+    rs.join(dots, Seq("r"), "left")
+      .select(col("r"), coalesce(col("dot"), lit(0L)).as("dot"))
   }
 
   /** Equi-join size estimate: min over the per-depth dot products;
-    * ≥ the true join row count always (spec-pinned). */
-  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): Long =
-    cmsInnerProductByDepth(a, b)
-      .agg(min(col("dot"))).collect()(0).getLong(0)
+    * ≥ the true join row count always (spec-pinned). Two empty
+    * sketches → no depth rows at all → the true join is empty → 0. */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): Long = {
+    val row = cmsInnerProductByDepth(a, b)
+      .agg(min(col("dot"))).collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
 
   /** Grouped Count-Min matrices — one frequency sketch per group key
     * (completing the grouped triad with [[hllRegistersBy]] and
@@ -264,10 +274,21 @@ object Sketches {
     * the fast form's no-undercount invariant and error band. */
   def cmsSketchFast(df: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 256): DataFrame =
+    cmsSketchByFast(df, Nil, keyCol, depth, width)
+
+  /** Grouped fast Count-Min — the [[cmsSketchBy]] twin (per-group
+    * xxhash64 counter matrices, identical (group, r, pos, cnt)
+    * layout and cell-wise-sum merge), completing the production-hash
+    * twin matrix: ungrouped HLL/CMS got fast twins in r10
+    * ([[hllRegistersFast]]/[[cmsSketchFast]]), grouped HLL in r11
+    * ([[hllRegistersByFast]]); this is the last cell. */
+  def cmsSketchByFast(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, depth: Int = 4, width: Int = 256): DataFrame =
     df.filter(col(keyCol).isNotNull)
-      .select(posexplode(graft.functions.sketches.cms_pos_xx(
-        col(keyCol).cast("string"), depth, width)).as(Seq("r", "pos")))
-      .groupBy(col("r"), col("pos"))
+      .select(groupCols.map(col) :+
+        posexplode(graft.functions.sketches.cms_pos_xx(
+          col(keyCol).cast("string"), depth, width)).as(Seq("r", "pos")): _*)
+      .groupBy(groupCols.map(col) :+ col("r") :+ col("pos"): _*)
       .agg(count(lit(1)).as("cnt"))
 
   /** Fast point estimates against a [[cmsSketchFast]] matrix — the

@@ -133,11 +133,17 @@ object TrainingPrep {
     val cum = EventAnalytics.runningAggSkewSafe(
       df, groupCol, ordCol, weightCol, "__cum", "sum")
     val totals = cum.groupBy(col(groupCol)).agg(max(col("__cum")).as("__tw"))
-    val minRow = totals.agg(min(col("__tw"))).collect()(0)
-    require(!minRow.isNullAt(0), "ppsSystematicSampleBy: empty input")
-    val minW = minRow.getLong(0)
+    val mmRow = totals.agg(min(col("__tw")), max(col("__tw"))).collect()(0)
+    require(!mmRow.isNullAt(0), "ppsSystematicSampleBy: empty input")
+    val minW = mmRow.getLong(0)
+    val maxW = mmRow.getLong(1)
     require(minW >= 2L * k,
       s"every group needs total weight ≥ 2k = ${2 * k}; min is $minW")
+    // same overflow guard as the ungrouped form, against the LARGEST
+    // group's axis: the non-ANSI 2k(cum+1) expr would wrap negative
+    // and emit wrong multiplicities instead of failing
+    require(2L * k <= Long.MaxValue / (maxW + 1),
+      s"2k(W+1) overflows long: k=$k max group W=$maxW")
     // fresh exprIds on the totals side (same self-join-lineage dedup
     // hazard as runningAggSkewSafe's offsets join)
     val tt = totals.select(col(groupCol).as("__tg"), col("__tw"))

@@ -51,8 +51,15 @@ class WebCorpusSpec extends SparkSuite {
     // the q189/q192 integer sufficient statistics determine the SAME
     // double the register-table estimator computes — exactly
     val st = Sketches.hllStats(regsA, "a").collect().head
-    assert(Sketches.hllEstimateFromStats(st.getInt(1), st.getLong(2)) ==
-      Sketches.hllEstimate(regsA))
+    // relative epsilon, not ==: the stats path divides one 2^53-scaled
+    // long while the estimate path accumulates per-bucket math.pow in
+    // bucket order — equal only while the harmonic sum fits a 53-bit
+    // mantissa exactly, which a register table mixing rho 1 with very
+    // high rho need not satisfy
+    val fromStats = Sketches.hllEstimateFromStats(st.getInt(1), st.getLong(2))
+    val fromRegs = Sketches.hllEstimate(regsA)
+    assert(math.abs(fromStats - fromRegs) <= 1e-12 * math.abs(fromRegs),
+      s"stats=$fromStats regs=$fromRegs")
     // inclusion–exclusion: |A∩B| = 1500 here; deterministic md5
     // registers make the estimate a fixed number — band, not flake
     val inter = Sketches.hllIntersectEstimate(regsA, regsB)
@@ -157,6 +164,59 @@ class WebCorpusSpec extends SparkSuite {
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
     assert(merged == sk.orderBy("r", "pos").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
+  test("CMS grouped fast (xxhash64): per-group slice ≡ direct build, " +
+      "per-group merge ≡ rebuild, per-group no-undercount; grouped " +
+      "fast HLL band-agrees with the md5 grouped twin") {
+    // group g carries keys k-0..k-(99+50g), key j appearing (j%7)+1 times
+    val rows = for {
+      g <- 0 to 2; j <- 0 until 100 + 50 * g; _ <- 0 to j % 7
+    } yield (g.toLong, s"k-$j")
+    val df = rows.toDF("g", "k")
+    val grouped = Sketches.cmsSketchByFast(df, Seq("g"), "k",
+        depth = 2, width = 64)
+      .orderBy("g", "r", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    for (g <- 0L to 2L) {
+      val slice = grouped.filter(_._1 == g).map(t => (t._2, t._3, t._4))
+      val own = rows.filter(_._1 == g).map(_._2).toDF("k")
+      val direct = Sketches.cmsSketchFast(own, "k", depth = 2, width = 64)
+        .orderBy("r", "pos").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(slice == direct, s"g=$g slice != direct build")
+      // per-group additive merge ≡ rebuild (split the group's rows)
+      val (a, b) = rows.filter(_._1 == g).map(_._2).splitAt(rows.size / 4)
+      val merged = Sketches.cmsMerge(
+          Sketches.cmsSketchFast(a.toDF("k"), "k", depth = 2, width = 64),
+          Sketches.cmsSketchFast(b.toDF("k"), "k", depth = 2, width = 64))
+        .orderBy("r", "pos").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(merged == direct, s"g=$g merge != rebuild")
+      // per-group one-sided guarantee vs the group's exact counts
+      val est = Sketches.cmsEstimateFast(
+          Sketches.cmsSketchFast(own, "k", depth = 2, width = 64),
+          own, "k", depth = 2, width = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.filter(_._1 == g).groupBy(_._2).foreach { case (k, ks) =>
+        assert(est(k) >= ks.size, s"g=$g undercount at $k")
+      }
+    }
+    // grouped fast HLL: per-group estimate lands in the same band as
+    // the md5 grouped registers (the q198↔q167 twin contract)
+    val hllRows = (1 to 6000).map(i => (i % 3L, s"v-${i % (500 + 100 * (i % 3))}"))
+    val hdf = hllRows.toDF("g", "k")
+    val fastBy = Sketches.hllRegistersByFast(hdf, Seq("g"), "k")
+    val md5By = Sketches.hllRegistersBy(hdf, Seq("g"), "k")
+    for (g <- 0L until 3L) {
+      def slice(regs: org.apache.spark.sql.DataFrame) =
+        regs.filter(col("g") === g).select("bucket", "rho_max")
+      val truth = hllRows.filter(_._1 == g).map(_._2).distinct.size
+      val ef = Sketches.hllEstimate(slice(fastBy))
+      val em = Sketches.hllEstimate(slice(md5By))
+      assert(math.abs(ef - truth) / truth.toDouble < 0.25, s"g=$g fast=$ef truth=$truth")
+      assert(math.abs(em - truth) / truth.toDouble < 0.25, s"g=$g md5=$em truth=$truth")
+    }
   }
 
   test("HLL grouped: each group's registers equal its own direct build") {
