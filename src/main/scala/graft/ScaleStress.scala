@@ -47,22 +47,60 @@ object ScaleStress {
       peakMem.getAndAccumulate(
         s.stageInfo.taskMetrics.peakExecutionMemory, Math.max(_, _))
     }
+    @volatile var maxTaskStage: String = ""
+    private val stageNames =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    override def onStageSubmitted(
+        s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      stageNames.put(s.stageInfo.stageId,
+        s.stageInfo.name.takeWhile(_ != '\n').take(80))
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (t.taskMetrics != null)
-        maxTaskPeak.getAndAccumulate(
-          t.taskMetrics.peakExecutionMemory, Math.max(_, _))
+      if (t.taskMetrics != null) {
+        val p = t.taskMetrics.peakExecutionMemory
+        val prev = maxTaskPeak.getAndAccumulate(p, Math.max(_, _))
+        // race-tolerant diagnostic (WHICH stage owns the peak task —
+        // scan-stage peaks answer to files.maxPartitionBytes, shuffle-
+        // stage peaks to shuffle.partitions); last-writer-wins is fine
+        if (p > prev) maxTaskStage =
+          s"stage${t.stageId}:${stageNames.getOrDefault(t.stageId, "?")}"
+      }
   }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
     val synth = if (args.length > 2) args(2) else "/tmp/graft_scale"
-    val spark = SparkSession.builder()
+    // Overridable shuffle-partition count: the SCALE.md claim "task
+    // peak is a partitioning config" is demonstrated by re-running an
+    // Nx arm with N× partitions and watching max_task_peak return to
+    // the 1× level — exactly what a cluster deployment does when
+    // partition count tracks input bytes.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    // AQE's partition coalescing rewrites the configured count back
+    // to ~advisory-size partitions, so a partitions-axis sweep would
+    // measure the advisory size, not the configured count —
+    // SPARK_GRAFT_AQE_COALESCE=0 pins the count for those arms.
+    val aqeCoalesce =
+      !sys.env.get("SPARK_GRAFT_AQE_COALESCE").contains("0")
+    // SPARK_GRAFT_NO_BROADCAST=1 forces the SMJ regime (the regime a
+    // 1000× cluster run is in anyway, post broadcast→SMJ transition):
+    // with broadcasts on, the peak task at bench scale is the
+    // broadcast-exchange BUILD, whose memory tracks the broadcast
+    // relation (governed by autoBroadcastJoinThreshold), masking the
+    // shuffle-task claim the partitions sweep measures.
+    val noBroadcast = sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")
+    val b = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        aqeCoalesce.toString)
       .config("spark.ui.enabled", "false")
       .appName("graft-scale-stress")
-      .getOrCreate()
+    val spark = (if (noBroadcast)
+        b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+          .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new ShuffleBytes
     spark.sparkContext.addSparkListener(listener)
@@ -79,6 +117,15 @@ object ScaleStress {
     }
     def copies(tbl: String, idCol: String, prefixText: Boolean) =
       copiesMulti(tbl, Seq(idCol), if (prefixText) Seq("text") else Nil)
+    val synthG = s"$synth/graph"
+    // SPARK_GRAFT_SCALE_REUSE=1 skips the (deterministic) synthesis
+    // when a previous run already wrote it — sweeping a config axis
+    // (e.g. shuffle partitions) over the same corpus shouldn't pay
+    // the multi-minute rebuild per point.
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$synthG/part.parquet"))
+    if (!reuse) {
     copies("documents", "doc_id", prefixText = true)
       .write.mode("overwrite").parquet(s"$synth/documents.parquet")
     copies("embeddings", "vec_id", prefixText = false)
@@ -98,7 +145,6 @@ object ScaleStress {
     // honest-linear-growth design as the token prefix). Entity names
     // get the token prefix so per-copy ER structure is identical and
     // cross-copy candidates are impossible.
-    val synthG = s"$synth/graph"
     copiesMulti("lineitem",
         Seq("l_orderkey", "l_suppkey", "l_partkey"), Nil)
       .write.mode("overwrite").parquet(s"$synthG/lineitem.parquet")
@@ -108,6 +154,7 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$synthG/supplier.parquet")
     copiesMulti("part", Seq("p_partkey"), Seq("p_name"))
       .write.mode("overwrite").parquet(s"$synthG/part.parquet")
+    } // end !reuse synthesis
 
     val allQnames = Seq("q26_ngram_jaccard", "q63_jaccard_pruned",
       "q64_neardup_components", "q68_contamination", "q72_kmeans_micro",
@@ -174,6 +221,7 @@ object ScaleStress {
       listener.bytes.set(0L)
       listener.peakMem.set(0L)
       listener.maxTaskPeak.set(0L)
+      listener.maxTaskStage = ""
       var n = 0L
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -185,10 +233,11 @@ object ScaleStress {
       org.apache.spark.sql.graftshim.GraftShim.drainListenerBus(spark.sparkContext)
       val mb = listener.bytes.get / 1e6 / reps
       println(String.format(java.util.Locale.ROOT,
-        """{"query":"%s","scale":"%s","rows":%d,"sec":%.3f,"shuffle_mb":%.1f,"peak_mem_mb":%.1f,"max_task_peak_mb":%.1f,"reps":%d}""",
+        """{"query":"%s","scale":"%s","rows":%d,"sec":%.3f,"shuffle_mb":%.1f,"peak_mem_mb":%.1f,"max_task_peak_mb":%.1f,"max_task_stage":"%s","partitions":%s,"reps":%d}""",
         q, label, Long.box(n), Double.box(times(times.length / 2)),
         Double.box(mb), Double.box(listener.peakMem.get / 1e6),
-        Double.box(listener.maxTaskPeak.get / 1e6), Int.box(reps)))
+        Double.box(listener.maxTaskPeak.get / 1e6), listener.maxTaskStage,
+        shufflePartitions, Int.box(reps)))
     }
     spark.stop()
   }

@@ -157,21 +157,45 @@ object EventAnalytics {
     * for all three ops. */
   def runningAggSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String, outCol: String, op: String,
+      partitions: Int = 0): DataFrame =
+    runningAggsSkewSafe(df, keyCol, ordCol,
+      Seq((valueCol, op, outCol)), partitions)
+
+  /** N running aggregates in ONE two-pass plan — the same slice
+    * algebra as [[runningAggSkewSafe]] (one local window keyed on
+    * (slice, key), one ≤P-row offsets window per key, one join back),
+    * shared across every (valueCol, op, outCol) triple instead of
+    * re-sliced per aggregate. `op` ∈ sum | min | max | count (count =
+    * running count of NON-NULL values, the moment-tuple n). This is
+    * the moment-tuple building block: running avg/variance are
+    * derived from (count, sum, sum-of-squares) computed here in one
+    * pass ([[runningMomentsSkewSafe]]). */
+  def runningAggsSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
+      aggs: Seq[(String, String, String)],
       partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val aggFn: Column => Column = op match {
+    require(aggs.nonEmpty, "runningAggsSkewSafe: need at least one agg")
+    def aggFn(op: String): Column => Column = op match {
       case "sum" => c => sum(c)
       case "min" => c => min(c)
       case "max" => c => max(c)
+      case "count" => c => count(c)
       case other => throw new IllegalArgumentException(
-        s"runningAggSkewSafe: op must be sum|min|max, got $other")
+        s"runningAggsSkewSafe: op must be sum|min|max|count, got $other")
     }
-    val combine: (Column, Column) => Column = op match {
+    // merging PARTIAL slice aggregates is op-specific: counts merge
+    // by SUM (a count of per-slice counts would count slices)
+    def offsetFn(op: String): Column => Column = op match {
+      case "count" => c => sum(c)
+      case other => aggFn(other)
+    }
+    def combine(op: String): (Column, Column) => Column = op match {
       // null-safe like SUM OVER: an all-null (slice,key) prefix makes
-      // __run_local null, and plain `a + b` would null the combined
-      // running sum where the window form returns the earlier slices'
-      // sum. least/greatest already skip nulls; + does not.
-      case "sum" => (a, b) => coalesce(a + b, b, a)
+      // the local running value null, and plain `a + b` would null the
+      // combined running sum where the window form returns the earlier
+      // slices' sum. least/greatest already skip nulls; + does not.
+      // (count is never null, but keep the same guard for uniformity.)
+      case "sum" | "count" => (a, b) => coalesce(a + b, b, a)
       case "min" => (a, b) => least(a, b)
       case _ => (a, b) => greatest(a, b)
     }
@@ -195,26 +219,76 @@ object EventAnalytics {
     val wLocal = Window.partitionBy(col("__slice"), col(keyCol))
       .orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = sliced.withColumn("__run_local",
-      aggFn(col(valueCol)).over(wLocal))
+    val local = aggs.zipWithIndex.foldLeft(sliced) {
+      case (d, ((v, op, _), i)) =>
+        d.withColumn(s"__run_local_$i", aggFn(op)(col(v)).over(wLocal))
+    }
     val totals = sliced.groupBy(col("__slice"), col(keyCol))
-      .agg(aggFn(col(valueCol)).as("__slice_agg"))
+      .agg(aggFn(aggs.head._2)(col(aggs.head._1)).as("__slice_agg_0"),
+        aggs.zipWithIndex.tail.map { case ((v, op, _), i) =>
+          aggFn(op)(col(v)).as(s"__slice_agg_$i") }: _*)
     val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // fresh exprIds on the offsets side (`as` re-aliases): local and
     // offsets share the `sliced` lineage, and a Seq-key self-join over
     // a HOF-derived grouping column trips relation-dedup attribute
     // binding — an explicit disambiguated condition does not
-    val offsets = totals
-      .withColumn("__offset", aggFn(col("__slice_agg")).over(wOff))
-      .select(col("__slice").as("__oslice"), col(keyCol).as("__okey"),
-        col("__offset"))
-    local.join(offsets,
-        col("__slice") === col("__oslice") && col(keyCol) === col("__okey"))
-      .withColumn(outCol, when(col("__offset").isNull, col("__run_local"))
-        .otherwise(combine(col("__run_local"), col("__offset"))))
-      .drop("__slice", "__oslice", "__okey", "__run_local", "__offset")
+    val offsets = aggs.zipWithIndex.foldLeft(totals) {
+        case (d, ((_, op, _), i)) =>
+          d.withColumn(s"__offset_$i",
+            offsetFn(op)(col(s"__slice_agg_$i")).over(wOff))
+      }
+      .select(col("__slice").as("__oslice") +: col(keyCol).as("__okey") +:
+        aggs.indices.map(i => col(s"__offset_$i")): _*)
+    val joined = local.join(offsets,
+      col("__slice") === col("__oslice") && col(keyCol) === col("__okey"))
+    val combined = aggs.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, op, out), i)) =>
+        d.withColumn(out,
+          when(col(s"__offset_$i").isNull, col(s"__run_local_$i"))
+            .otherwise(combine(op)(col(s"__run_local_$i"),
+              col(s"__offset_$i"))))
+    }
+    combined.drop(Seq("__slice", "__oslice", "__okey") ++
+      aggs.indices.flatMap(i =>
+        Seq(s"__run_local_$i", s"__offset_$i")): _*)
   }
+
+  /** Skew-safe running MOMENTS per key — the algebraic-composite
+    * generalization of [[runningAggSkewSafe]]: one two-pass plan
+    * computes the (n, Σx, Σx²) moment tuple as three componentwise-
+    * additive running sums over the same slices, and the derived
+    * running mean / population variance come out as exact integer
+    * floor arithmetic (engine-portable — no float accumulation
+    * order):
+    *
+    *   `run_n`     running count of non-null values
+    *   `run_sum`   running Σx (long)
+    *   `avg_micro` floor(1e6·Σx / n)
+    *   `var_floor` floor((n·Σx² − (Σx)²) / n²)  — population variance
+    *
+    * Σx² rides DECIMAL(38,0) (a value of 1e9 squared times 1e9 rows
+    * per key still fits), and the n·Q − S² numerator is evaluated in
+    * decimal before the integral division, so no intermediate wraps
+    * long. Contract: `valueCol` integral; rows where it is null are
+    * excluded from all four outputs (SUM/COUNT(expr) semantics). */
+  def runningMomentsSkewSafe(df: DataFrame, keyCol: String,
+      ordCol: String, valueCol: String,
+      partitions: Int = 0): DataFrame =
+    runningAggsSkewSafe(
+      df.withColumn("__sq",
+        col(valueCol).cast("decimal(38,0)") * col(valueCol)),
+      keyCol, ordCol,
+      Seq((valueCol, "count", "run_n"), (valueCol, "sum", "run_sum"),
+        ("__sq", "sum", "__run_q")),
+      partitions)
+      .withColumn("avg_micro",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * run_sum) div run_n"))
+      .withColumn("var_floor",
+        expr("(CAST(run_n AS DECIMAL(38,0)) * __run_q - " +
+          "CAST(run_sum AS DECIMAL(38,0)) * run_sum) div " +
+          "(CAST(run_n AS DECIMAL(38,0)) * run_n)"))
+      .drop("__sq", "__run_q")
 
   /** Gap-based sessionization with per-session statistics — the
     * gaps-and-islands form that exposes SESSION IDs (session_window

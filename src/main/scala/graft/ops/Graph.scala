@@ -42,11 +42,28 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be 0..100, got $dampingPct")
+    // Materialize the collapsed frames ONCE: the unrolled loop
+    // references e/nodes/deg every round, and without truncation each
+    // round re-derives the upstream join+distinct through the lineage
+    // (ReusedExchange only dedups identical exchanges within a stage
+    // graph; the per-round stage-count constant still grows). Local
+    // checkpoint = the standard iterative-graph move (GraphX's
+    // periodic-checkpoint discipline); on a cluster the non-replicated
+    // blocks trade executor-loss recovery for a flat per-round cost —
+    // for long chains use a reliable checkpoint dir instead.
+    // ... and pre-partitioned by the per-round join key: localCheckpoint
+    // preserves outputPartitioning (LogicalRDD keeps the physical
+    // plan's partitioning), so every round's rank⋈e join reuses the
+    // hash(__src) layout with NO exchange on the edge side — the
+    // in-memory analogue of bucketing the adjacency by source.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
+      .distinct().repartition(col("__src")).localCheckpoint(true)
     val nodes = e.select(col("__src").as("id"))
-      .union(e.select(col("__dst").as("id"))).distinct()
+      .union(e.select(col("__dst").as("id"))).distinct().localCheckpoint(true)
+    // e is already hash(__src)-partitioned, so this groupBy is
+    // exchange-free and deg lands co-partitioned with e
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
     val base = (100L - dampingPct) * 10000L
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -78,12 +95,16 @@ object Graph {
       dstCol: String, weightCol: String, iters: Int,
       dampingPct: Int = 85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // same once-materialization + hash(__src) pre-partitioning as
+    // pageRankMicro (see comment there)
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(weightCol).cast("long").as("__w"))
       .groupBy(col("__src"), col("__dst")).agg(sum(col("__w")).as("__w"))
+      .repartition(col("__src")).localCheckpoint(true)
     val nodes = e.select(col("__src").as("id"))
-      .union(e.select(col("__dst").as("id"))).distinct()
+      .union(e.select(col("__dst").as("id"))).distinct().localCheckpoint(true)
     val tot = e.groupBy(col("__src")).agg(sum(col("__w")).as("__tw"))
+      .localCheckpoint(true)
     val base = (100L - dampingPct) * 10000L
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -177,8 +198,16 @@ object Graph {
   def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // same once-materialization + hash(__src) pre-partitioning as
+    // pageRankMicro. HITS joins the edge set alternately on __src
+    // (hub push) and __dst (auth pull); a second in-adjacency
+    // checkpoint (repartition __dst) was measured at 1× and 10× and
+    // LOST both (its build shuffle exceeds the per-round __dst
+    // exchange it saves while the score side still broadcasts) —
+    // revisit only past the broadcast→SMJ transition.
     val e = edges.select(col(srcCol).cast("long").as("__src"),
       col(dstCol).cast("long").as("__dst")).distinct()
+      .repartition(col("__src")).localCheckpoint(true)
     val hubs0 = e.select(col("__src").as("id")).distinct()
       .withColumn("h", lit(1000000L))
     def normalized(df: DataFrame, c: String): DataFrame = {

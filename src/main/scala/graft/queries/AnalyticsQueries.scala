@@ -1433,12 +1433,12 @@ object AnalyticsQueries {
           col("o_orderkey"), col("o_orderpriority"),
           (col("o_totalprice").cast("decimal(18,2)") * 100)
             .cast("long").as("v_centi"))
-        val withMax = graft.ops.EventAnalytics.runningAggSkewSafe(
-          o, "o_orderpriority", "o_orderkey", "v_centi",
-          "run_max_centi", "max")
-        graft.ops.EventAnalytics.runningAggSkewSafe(
-            withMax, "o_orderpriority", "o_orderkey", "v_centi",
-            "run_min_centi", "min")
+        // both extrema in ONE two-pass plan (the r12 multi-agg form —
+        // one slicing, one offsets window, one join for N aggregates)
+        graft.ops.EventAnalytics.runningAggsSkewSafe(
+            o, "o_orderpriority", "o_orderkey",
+            Seq(("v_centi", "max", "run_max_centi"),
+              ("v_centi", "min", "run_min_centi")))
           .select(col("o_orderkey"), col("o_orderpriority"),
             col("run_max_centi"), col("run_min_centi"))
           .orderBy(col("o_orderpriority"), col("o_orderkey"))
@@ -1453,6 +1453,47 @@ object AnalyticsQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS run_min_centi
         |FROM orders
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // Running MOMENTS, skew-immune (VERDICT r11 #6: the algebraic-
+    // composite generalization of q191): the (n, Σx, Σx²) tuple rides
+    // q191's two-pass slice algebra as three componentwise-additive
+    // running sums in ONE plan, and running mean / population
+    // variance derive as exact integer floor arithmetic — the
+    // running-average-cost / drift-window shapes a pipeline monitors
+    // per source, with the same mega-key immunity (5 priorities =
+    // 5-key skew by construction). The oracle replays the windows and
+    // the same floor derivations in HUGEINT.
+    QuerySpec("q200_running_moments",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+        graft.ops.EventAnalytics.runningMomentsSkewSafe(
+            o, "o_orderpriority", "o_orderkey", "v_centi")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("run_n"), col("run_sum"), col("avg_micro"),
+            col("var_floor"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""WITH v AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |r AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(COUNT(c) OVER w AS BIGINT) AS run_n,
+        |    CAST(SUM(c) OVER w AS BIGINT) AS run_sum,
+        |    SUM(CAST(c AS HUGEINT) * c) OVER w AS run_q
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT o_orderkey, o_orderpriority, run_n, run_sum,
+        |  CAST((1000000 * CAST(run_sum AS HUGEINT)) // run_n
+        |    AS BIGINT) AS avg_micro,
+        |  CAST((CAST(run_n AS HUGEINT) * run_q -
+        |        CAST(run_sum AS HUGEINT) * run_sum)
+        |    // (CAST(run_n AS HUGEINT) * run_n) AS BIGINT) AS var_floor
+        |FROM r
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
   )
 

@@ -235,7 +235,7 @@ class EventAnalyticsSpec extends SparkSuite {
       ("dense-negatives", (1L to 500L).map(i =>
         (i % 3, i, (i * 31 % 17) - 8L)))
     )
-    for ((name, rows) <- shapes; op <- Seq("sum", "min", "max");
+    for ((name, rows) <- shapes; op <- Seq("sum", "min", "max", "count");
         p <- Seq(1, 4, 32)) {
       val df = rows.toDF("k", "ord", "v").repartition(5)
       val w = Window.partitionBy(col("k")).orderBy(col("ord"))
@@ -243,6 +243,7 @@ class EventAnalyticsSpec extends SparkSuite {
       val agg = op match {
         case "sum" => sum(col("v"))
         case "min" => min(col("v"))
+        case "count" => count(col("v"))
         case _ => max(col("v")) }
       val plain = df.withColumn("run", agg.over(w))
       val fast = EventAnalytics
@@ -250,5 +251,66 @@ class EventAnalyticsSpec extends SparkSuite {
       assert(fast.exceptAll(plain).isEmpty &&
         plain.exceptAll(fast).isEmpty, s"$name / $op / p=$p")
     }
+  }
+
+  test("runningAggsSkewSafe multi-agg ≡ chained singles; " +
+      "runningMomentsSkewSafe == plain-window moment derivations " +
+      "under the mega-key, incl. null values") {
+    import org.apache.spark.sql.expressions.Window
+    // mega-key shape (95% on key 0), negatives, and ~4% NULL values
+    // so the count-of-non-null and null-safe-sum paths are both hit
+    val df = spark.range(20000).select(
+        when(pmod(col("id"), lit(100)) < 95, lit(0L))
+          .otherwise(pmod(col("id"), lit(7)) + 1).as("k"),
+        col("id").as("ord"),
+        when(pmod(col("id"), lit(25)) === 3, lit(null).cast("long"))
+          .otherwise(pmod(col("id") * 37, lit(1000)) - 250).as("v"))
+      .repartition(13)
+    // (a) one multi-agg pass ≡ two chained single passes
+    val multi = EventAnalytics.runningAggsSkewSafe(df, "k", "ord",
+      Seq(("v", "max", "run_max"), ("v", "min", "run_min")),
+      partitions = 5)
+    val chained = EventAnalytics.runningAggSkewSafe(
+      EventAnalytics.runningAggSkewSafe(df, "k", "ord", "v",
+        "run_max", "max", partitions = 5),
+      "k", "ord", "v", "run_min", "min", partitions = 5)
+      .select(multi.columns.map(col): _*)
+    assert(multi.exceptAll(chained).isEmpty &&
+      chained.exceptAll(multi).isEmpty)
+    // (b) moments vs the plain-window replay with identical integer
+    // floor derivations
+    val fast = EventAnalytics.runningMomentsSkewSafe(
+      df, "k", "ord", "v", partitions = 5)
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = df
+      .withColumn("run_n", count(col("v")).over(w))
+      .withColumn("run_sum", sum(col("v")).over(w))
+      .withColumn("__q",
+        sum(col("v").cast("decimal(38,0)") * col("v")).over(w))
+      .withColumn("avg_micro",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * run_sum) div run_n"))
+      .withColumn("var_floor",
+        expr("(CAST(run_n AS DECIMAL(38,0)) * __q - " +
+          "CAST(run_sum AS DECIMAL(38,0)) * run_sum) div " +
+          "(CAST(run_n AS DECIMAL(38,0)) * run_n)"))
+      .drop("__q")
+      .select(fast.columns.map(col): _*)
+    assert(fast.exceptAll(plain).isEmpty &&
+      plain.exceptAll(fast).isEmpty)
+    assert(fast.count() == 20000)
+    // (c) hand check: variance of a known prefix — key 1 carries
+    // ord ≡ 95..100 (mod 700)… keep it simple: single-key frame
+    val tiny = Seq((1L, 1L, 2L), (1L, 2L, 4L), (1L, 3L, 9L))
+      .toDF("k", "ord", "v")
+    val m = EventAnalytics.runningMomentsSkewSafe(tiny, "k", "ord", "v")
+      .orderBy("ord")
+      .select("run_n", "run_sum", "avg_micro", "var_floor")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // n=1: avg 2.0, var 0; n=2: avg 3.0, var 1; n=3: avg 5.0,
+    // var = ((2-5)²+(4-5)²+(9-5)²)/3 = 26/3 → floor 8
+    assert(m == Seq((1L, 2L, 2000000L, 0L), (2L, 6L, 3000000L, 1L),
+      (3L, 15L, 5000000L, 8L)))
   }
 }
