@@ -106,14 +106,37 @@ object ScaleStress {
     spark.sparkContext.addSparkListener(listener)
 
     def copiesMulti(tbl: String, offsetCols: Seq[String],
-        prefixCols: Seq[String]) = {
+        prefixCols: Seq[String], tagOf: Int => String = i => s"c$i",
+        offset: Long = 10000000L,
+        post: (org.apache.spark.sql.DataFrame, Int) =>
+          org.apache.spark.sql.DataFrame = (d, _) => d) = {
       val df = spark.read.parquet(s"$base/$tbl.parquet")
       (0 until factor).map { i =>
         val off = offsetCols.foldLeft(df)((d, c) =>
-          d.withColumn(c, col(c) + lit(i.toLong * 10000000L)))
-        prefixCols.foldLeft(off)((d, c) =>
-          d.withColumn(c, regexp_replace(col(c), "(\\S+)", s"c${i}_$$1")))
+          d.withColumn(c, col(c) + lit(i.toLong * offset)))
+        post(prefixCols.foldLeft(off)((d, c) =>
+          d.withColumn(c, regexp_replace(col(c), "(\\S+)", s"${tagOf(i)}_$$1"))), i)
       }.reduce(_ unionByName _)
+    }
+    /** Length-preserving per-copy letter permutation (copy 0 = the
+      * identity): shift s = i mod 26, plus an alphabet reversal every
+      * 26 copies so all i < 52 get distinct permutations. Preserves
+      * string length, token structure, and every within-copy edit
+      * distance EXACTLY (a character bijection), so per-copy gate
+      * structure is bit-identical to the base corpus; two copies'
+      * versions of the same name differ at every letter (Caesar has
+      * no fixed points for s ≠ 0), so cross-copy pairs are impossible
+      * at any small edit threshold. */
+    def letterPerm(c: String, i: Int)(d: org.apache.spark.sql.DataFrame) = {
+      val az = "abcdefghijklmnopqrstuvwxyz"
+      val s = i % 26
+      val rev = (i / 26) % 2 == 1
+      val mapped = az.map { ch =>
+        val x = ch - 'a'
+        val y = if (rev) 25 - x else x
+        ('a' + (y + s) % 26).toChar
+      }.mkString
+      if (i == 0) d else d.withColumn(c, translate(col(c), az, mapped))
     }
     def copies(tbl: String, idCol: String, prefixText: Boolean) =
       copiesMulti(tbl, Seq(idCol), if (prefixText) Seq("text") else Nil)
@@ -145,14 +168,33 @@ object ScaleStress {
     // honest-linear-growth design as the token prefix). Entity names
     // get the token prefix so per-copy ER structure is identical and
     // cross-copy candidates are impossible.
+    // Graph-shaped offsets are 12,000,000, not 10,000,000 (both keep
+    // copies id-disjoint: base ids < 10M): per-copy gate structure is
+    // derived from ids through pmod masks — q182 mutates the
+    // p_partkey ≡ 0 (mod 3) third into probes, q151 seeds s_suppkey ≡
+    // 0 (mod 10) — and an offset ≢ 0 mod the mask rotates the mask
+    // per copy, so copies were NOT bit-identical replicas (the real
+    // source of r11's q182 31.2×-not-30× note: each copy mutates a
+    // different third and yields a slightly different pair count).
+    // 12M ≡ 0 (mod 3) and (mod 10) pins both masks copy-invariant.
+    val gOff = 12000000L
     copiesMulti("lineitem",
-        Seq("l_orderkey", "l_suppkey", "l_partkey"), Nil)
+        Seq("l_orderkey", "l_suppkey", "l_partkey"), Nil, offset = gOff)
       .write.mode("overwrite").parquet(s"$synthG/lineitem.parquet")
-    copiesMulti("orders", Seq("o_orderkey", "o_custkey"), Nil)
+    copiesMulti("orders", Seq("o_orderkey", "o_custkey"), Nil,
+        offset = gOff)
       .write.mode("overwrite").parquet(s"$synthG/orders.parquet")
-    copiesMulti("supplier", Seq("s_suppkey"), Nil)
+    copiesMulti("supplier", Seq("s_suppkey"), Nil, offset = gOff)
       .write.mode("overwrite").parquet(s"$synthG/supplier.parquet")
-    copiesMulti("part", Seq("p_partkey"), Seq("p_name"))
+    // ER input (SCALE.md r11 honesty note, retired in r12): token
+    // PREFIXES cannot make the ER scale rows read exactly N× — they
+    // change name LENGTHS (so the gate's length-≥8 admission differs
+    // per copy from base) and shift which character the probe
+    // mutation hits. The letter permutation is the correct synthesis:
+    // length/structure/edit-distance preserving within a copy, all
+    // letters differing across copies.
+    copiesMulti("part", Seq("p_partkey"), Nil, offset = gOff,
+        post = (d, i) => letterPerm("p_name", i)(d))
       .write.mode("overwrite").parquet(s"$synthG/part.parquet")
     } // end !reuse synthesis
 

@@ -206,15 +206,26 @@ object EventAnalytics {
       if (probs.isEmpty) Array.empty[Double]
       else df.select(col(ordCol).cast("double").as("__o"))
         .stat.approxQuantile("__o", probs, 0.001).distinct.sorted
-    // plain chained arithmetic, deliberately NOT an `aggregate` HOF:
-    // a LambdaFunction inside a grouping expression trips Catalyst's
+    // plain `when` trees, deliberately NOT an `aggregate` HOF: a
+    // LambdaFunction inside a grouping expression trips Catalyst's
     // alias substitution under project collapse (reproduced: the
     // offsets window stage binds the lambda's pre-alias ord attribute
-    // and fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
-    val slice =
-      if (bounds.isEmpty) lit(0)
-      else bounds.foldLeft(lit(0))((acc, b) =>
-        acc + when(col(ordCol).cast("double") >= lit(b), 1).otherwise(0))
+    // and fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    // The tree is a BALANCED binary search over the sorted bounds,
+    // not a left-fold chain: the chain form built an O(P)-deep Column
+    // tree whose recursive conversion overflowed the driver stack at
+    // P = 320 (reproduced in the r12 partitions sweep) — exactly the
+    // P a cluster-scale run configures. Depth and per-row comparisons
+    // are both O(log P); expression size stays O(P).
+    val ordD = col(ordCol).cast("double")
+    def sliceOf(lo: Int, hi: Int): Column = // slice known to be in [lo, hi]
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2 // slice ≥ mid  ⇔  ord ≥ bounds(mid-1)
+        when(ordD >= lit(bounds(mid - 1)), sliceOf(mid, hi))
+          .otherwise(sliceOf(lo, mid - 1))
+      }
+    val slice = if (bounds.isEmpty) lit(0) else sliceOf(0, bounds.length)
     val sliced = df.withColumn("__slice", slice)
     val wLocal = Window.partitionBy(col("__slice"), col(keyCol))
       .orderBy(col(ordCol))
