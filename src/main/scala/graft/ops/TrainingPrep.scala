@@ -77,6 +77,57 @@ object TrainingPrep {
     out
   }
 
+  /** GPT-style sequence packing by concat-and-slice: documents are
+    * (conceptually) concatenated in `ordCol` order and cut into
+    * fixed-`capacity` token windows; each document's token span
+    * [cum−t, cum) then lands in bins floor((cum−t)/L) ..
+    * floor((cum−1)/L) — the standard corpus→context-window packing a
+    * pretraining loader runs, with boundary docs split across
+    * adjacent bins. All integer floor arithmetic over the one global
+    * token prefix sum (the skew-safe two-pass form — a plain
+    * ORDER BY window would put the whole corpus in one task), so the
+    * layout is engine-replayable and deterministic: no RNG, no
+    * first-fit heuristic whose result depends on partitioning.
+    * Output adds `cum` (inclusive running token total), `start_off`
+    * (= cum − tokens, the doc's global token offset), `bin_first`,
+    * `bin_last`, `n_bins` (bins the doc touches). Contract: tokens
+    * ≥ 1 per row (zero-token rows occupy no span — drop them first),
+    * `ordCol` unique and numeric.
+    *
+    * Complements [[packByTokenBudget]]: that op assigns each WHOLE
+    * document to a ~budget shard (greedy, overflowing by ≤ 1 doc);
+    * this one models the loader's exact fixed-length windows where
+    * boundary documents SPLIT across bins. */
+  def packSequences(df: DataFrame, ordCol: String, tokensCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val keyed = df.withColumn("__g", lit(0))
+    EventAnalytics.runningAggSkewSafe(
+        keyed, "__g", ordCol, tokensCol, "cum", "sum").drop("__g")
+      .withColumn("start_off", col("cum") - col(tokensCol))
+      .withColumn("bin_first", expr(s"start_off div $capacity"))
+      .withColumn("bin_last", expr(s"(cum - 1) div $capacity"))
+      .withColumn("n_bins", col("bin_last") - col("bin_first") + 1)
+  }
+
+  /** Token-budget selection: walk the corpus in `ordCol` order
+    * (arrival, quality rank — any total order) and keep documents
+    * until `budget` tokens are reached; the document that CROSSES the
+    * budget is kept whole (the standard stop-after-straddler
+    * contract), everything after is dropped. One skew-safe global
+    * prefix sum + a filter — the "give me the best N-token slice of
+    * this corpus" selection step of a data-mixing pipeline, exact and
+    * reproducible at any partitioning. Keeps rows with start < budget
+    * and emits `cum` so the caller sees the realized total. */
+  def budgetSelect(df: DataFrame, ordCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val keyed = df.withColumn("__g", lit(0))
+    EventAnalytics.runningAggSkewSafe(
+        keyed, "__g", ordCol, tokensCol, "cum", "sum").drop("__g")
+      .filter(col("cum") - col(tokensCol) < budget)
+  }
+
   /** Systematic probability-proportional-to-size sampling (the
     * deterministic PPS form: Madow 1949): k midpoint pick-points
     * p_i = ((2i−1)·W) div (2k) laid over the cumulative-weight axis,

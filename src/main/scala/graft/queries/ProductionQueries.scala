@@ -980,7 +980,73 @@ object ProductionQueries {
         |        ((40 * (cum - w + 1) - 1) // tw + 1) // 2)) AS mult
         |  FROM c JOIN t USING (source))
         |SELECT source, doc_id, w, cum, CAST(mult AS BIGINT) AS mult
-        |FROM m WHERE mult > 0 ORDER BY source, doc_id""".stripMargin))
+        |FROM m WHERE mult > 0 ORDER BY source, doc_id""".stripMargin)),
+
+    // GPT-style sequence packing (r12): the corpus concatenated in
+    // doc_id order and cut into 512-token context windows — each
+    // doc's token span maps to its first/last bin and straddlers
+    // split across adjacent bins, all integer floor arithmetic over
+    // ONE skew-safe global token prefix sum. No RNG, no first-fit
+    // heuristic whose layout depends on partitioning: the loader
+    // layout is a pure function of the corpus order.
+    QuerySpec("q201_sequence_packing",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+          .filter(col("n_tokens") >= 1)
+        graft.ops.TrainingPrep.packSequences(d, "doc_id", "n_tokens",
+            capacity = 512L)
+          .select(col("doc_id"), col("n_tokens"), col("cum"),
+            col("start_off"), col("bin_first"), col("bin_last"),
+            col("n_bins"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM t WHERE n_tokens >= 1)
+        |SELECT doc_id, n_tokens, cum,
+        |  cum - n_tokens AS start_off,
+        |  (cum - n_tokens) // 512 AS bin_first,
+        |  (cum - 1) // 512 AS bin_last,
+        |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_bins
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget selection (r12): keep documents in corpus order
+    // until the 10k-token budget is crossed; the straddling doc is
+    // kept whole, everything after dropped — the "best N-token slice"
+    // step of mixture construction, one prefix sum + one filter,
+    // reproducible at any partitioning.
+    QuerySpec("q202_budget_select",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+          .filter(col("n_tokens") >= 1)
+        graft.ops.TrainingPrep.budgetSelect(d, "doc_id", "n_tokens",
+            budget = 10000L)
+          .select(col("doc_id"), col("n_tokens"), col("cum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM t WHERE n_tokens >= 1)
+        |SELECT doc_id, n_tokens, cum FROM c
+        |WHERE cum - n_tokens < 10000 ORDER BY doc_id""".stripMargin))
   )
 
   /** q117 ≡ q119 oracle: replay tokenization, both bucket hashes, the

@@ -36,6 +36,43 @@ class TrainingPrepSpec extends SparkSuite {
     }
   }
 
+  test("packSequences: bin spans exact vs brute force, straddlers " +
+      "split, exact-fill boundary; budgetSelect keeps the straddler " +
+      "whole and nothing after") {
+    // token counts chosen to hit: exact fill (10), multi-bin
+    // straddle (25 spans 3 bins at L=10), and 1-token slivers
+    val toks = Seq(3L, 7L, 10L, 25L, 1L, 4L, 12L, 1L)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("ord", "t").repartition(5)
+    val packed = TrainingPrep.packSequences(df, "ord", "t", capacity = 10L)
+      .orderBy($"ord")
+      .select("ord", "t", "cum", "start_off", "bin_first", "bin_last",
+        "n_bins")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // brute-force reference
+    var cum = 0L
+    val expected = toks.zipWithIndex.map { case (t, i) =>
+      val start = cum; cum += t
+      (i.toLong, t, cum, start, start / 10, (cum - 1) / 10,
+        (cum - 1) / 10 - start / 10 + 1)
+    }
+    assert(packed == expected)
+    // doc 0+1 exactly fill bin 0 (3+7=10): doc 1 must NOT leak into
+    // bin 1; doc 3 (25 tokens at offset 20) spans bins 2..4
+    assert(expected(1)._6 == 0L && expected(1)._7 == 1L)
+    assert(expected(3)._5 == 2L && expected(3)._6 == 4L &&
+      expected(3)._7 == 3L)
+    // budgetSelect: budget 20 → cum after doc 2 is 20 (= budget, doc
+    // 3 starts AT 20 so it is dropped); budget 21 → doc 3 straddles
+    // (starts at 20 < 21) and is kept WHOLE, docs 4+ dropped
+    def kept(b: Long) = TrainingPrep.budgetSelect(df, "ord", "t", b)
+      .select("ord").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept(20) == Seq(0L, 1L, 2L))
+    assert(kept(21) == Seq(0L, 1L, 2L, 3L))
+    assert(kept(1) == Seq(0L))
+  }
+
   test("chunkByTokens: overlap windows, short tail, tiny doc = one window") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
