@@ -233,13 +233,18 @@ object ScaleStress {
       // round-11 late additions: the skew-safe prefix-sum family
       // (q191 over orders → graph-shaped synthesis, which offsets
       // o_orderkey; q196 over documents → standard synthesis)
-      "q191_running_total", "q196_pps_sample")
+      "q191_running_total", "q196_pps_sample",
+      // round-12 additions to the prefix-sum family: the moment-tuple
+      // running aggregate (orders → graph-shaped) and concat-and-
+      // slice sequence packing (documents → standard)
+      "q200_running_moments", "q201_sequence_packing")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
     val graphShaped = Set("q125_pagerank", "q150_hits", "q151_bfs_hops",
       "q185_pagerank_weighted", "q140_profile", "q189_profile_approx",
-      "q182_entity_resolution", "q191_running_total")
+      "q182_entity_resolution", "q191_running_total",
+      "q200_running_moments")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')
