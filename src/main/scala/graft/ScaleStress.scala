@@ -237,14 +237,15 @@ object ScaleStress {
       // round-12 additions to the prefix-sum family: the moment-tuple
       // running aggregate (orders → graph-shaped) and concat-and-
       // slice sequence packing (documents → standard)
-      "q200_running_moments", "q201_sequence_packing")
+      "q200_running_moments", "q201_sequence_packing",
+      "q203_group_median")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
     val graphShaped = Set("q125_pagerank", "q150_hits", "q151_bfs_hops",
       "q185_pagerank_weighted", "q140_profile", "q189_profile_approx",
       "q182_entity_resolution", "q191_running_total",
-      "q200_running_moments")
+      "q200_running_moments", "q203_group_median")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')

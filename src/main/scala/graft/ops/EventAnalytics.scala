@@ -301,6 +301,44 @@ object EventAnalytics {
           "(CAST(run_n AS DECIMAL(38,0)) * run_n)"))
       .drop("__sq", "__run_q")
 
+  /** Skew-safe EXACT grouped median — the order-statistic shape that,
+    * like the running total, has no built-in mitigation: an exact
+    * per-group median needs every group member ranked in value order,
+    * and a plain RANK() OVER (PARTITION BY key ORDER BY v) strands a
+    * mega-key group's whole membership in one task (top-k gets
+    * WindowGroupLimit pushdown; a middle order statistic does not).
+    * Here the per-group rank IS a running count over the two-pass
+    * slice algebra ([[runningAggsSkewSafe]] op=count), group sizes
+    * ride a ≤|groups| broadcast frame, and the two middle members
+    * (ranks (n+1) div 2 and n div 2 + 1 — equal when n is odd) are
+    * filtered out and pivoted to one row per group. Output:
+    * (key, n, median_lo, median_hi) — callers wanting the
+    * conventional even-n midpoint take (lo+hi)/2 in their own
+    * numeric discipline; emitting both keeps the op integer-exact.
+    *
+    * Contract: `ordCol` a caller-built UNIQUE total order aligned
+    * with `valueCol` (value-major, e.g. value·W + tiebreak) — the
+    * same total-order contract every exact order statistic has. */
+  def groupMedianSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, partitions: Int = 0): DataFrame = {
+    val ranked = runningAggsSkewSafe(
+      df.select(col(keyCol), col(ordCol), col(valueCol)),
+      keyCol, ordCol, Seq((ordCol, "count", "__rank")), partitions)
+    val sizes = df.groupBy(col(keyCol))
+      .agg(count(col(ordCol)).as("__n"))
+      .select(col(keyCol).as("__nk"), col("__n"))
+    // no broadcast hint: AQE broadcasts the ≤|groups| frame when it
+    // fits and degrades to a keyed shuffle when |groups| is corpus-
+    // scale (where per-group membership is small and skew moot)
+    ranked.join(sizes, col(keyCol) === col("__nk"))
+      .filter(col("__rank") === expr("(__n + 1) div 2") ||
+        col("__rank") === expr("__n div 2 + 1"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"),
+        min(col(valueCol)).as("median_lo"),
+        max(col(valueCol)).as("median_hi"))
+  }
+
   /** Gap-based sessionization with per-session statistics — the
     * gaps-and-islands form that exposes SESSION IDs (session_window
     * covers the windowed-agg form, q20): a session starts at the

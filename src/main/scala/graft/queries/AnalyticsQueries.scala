@@ -1494,7 +1494,50 @@ object AnalyticsQueries {
         |        CAST(run_sum AS HUGEINT) * run_sum)
         |    // (CAST(run_n AS HUGEINT) * run_n) AS BIGINT) AS var_floor
         |FROM r
-        |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // Skew-safe EXACT grouped median (r12): an exact per-group order
+    // statistic needs every member ranked in value order, and a plain
+    // RANK() OVER (PARTITION BY key ORDER BY v) strands each
+    // priority's whole history in one task (WindowGroupLimit rescues
+    // top-k, not the middle). The rank rides the two-pass prefix-sum
+    // COUNT; ord is value-major (v_centi·10^9 + o_orderkey — unique
+    // and long-exact up to key < 10⁹, which covers the 10× scale
+    // synthesis offsets too: v ≤ 6·10⁷ centi keeps v·10⁹ ≤ 6·10¹⁶).
+    // The
+    // oracle replays the rank window and the same (n+1) div 2 /
+    // n div 2 + 1 middle picks.
+    QuerySpec("q203_group_median",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+          .withColumn("__ord",
+            col("v_centi") * 1000000000L + col("o_orderkey"))
+        graft.ops.EventAnalytics.groupMedianSkewSafe(
+            o, "o_orderpriority", "__ord", "v_centi")
+          .select(col("o_orderpriority"), col("n"), col("median_lo"),
+            col("median_hi"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c,
+        |    o_orderkey
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, c,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY c * 1000000000 + o_orderkey) AS rk,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM v)
+        |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(c) AS BIGINT) AS median_lo,
+        |  CAST(MAX(c) AS BIGINT) AS median_hi
+        |FROM r
+        |WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -253,6 +253,35 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("groupMedianSkewSafe == sequential sort medians: mega-key, " +
+      "odd/even sizes, single-row group, duplicate values") {
+    // key 0 hogs ~95% of rows; duplicate values forced via mod 50;
+    // ord = value-major composite (v * 1e6 + id) — unique
+    val rows = (0L until 8001L).map { i =>
+      val k = if (i % 100 < 95) 0L else i % 7 + 1
+      val v = (i * 37) % 50
+      (k, v * 1000000L + i, v)
+    } // 8001 rows → key sizes both odd and even across keys
+    val df = rows.toDF("k", "ord", "v").repartition(11)
+    val got = EventAnalytics
+      .groupMedianSkewSafe(df, "k", "ord", "v", partitions = 5)
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (k, g) =>
+        val sorted = g.sortBy(_._2).map(_._3)
+        val n = sorted.size
+        (k, n.toLong, sorted((n + 1) / 2 - 1), sorted(n / 2))
+    }
+    assert(got == expected)
+    // single-row group: lo == hi == the value
+    val one = EventAnalytics.groupMedianSkewSafe(
+        Seq((9L, 5L, 42L)).toDF("k", "ord", "v"), "k", "ord", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(one.toSeq == Seq((1L, 42L, 42L)))
+  }
+
   test("runningAggsSkewSafe multi-agg ≡ chained singles; " +
       "runningMomentsSkewSafe == plain-window moment derivations " +
       "under the mega-key, incl. null values") {
