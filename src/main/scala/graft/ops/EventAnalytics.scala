@@ -321,15 +321,8 @@ object EventAnalytics {
     * same total-order contract every exact order statistic has. */
   def groupMedianSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String, partitions: Int = 0): DataFrame = {
-    val ranked = runningAggsSkewSafe(
-      df.select(col(keyCol), col(ordCol), col(valueCol)),
-      keyCol, ordCol, Seq((ordCol, "count", "__rank")), partitions)
-    val sizes = df.groupBy(col(keyCol))
-      .agg(count(col(ordCol)).as("__n"))
-      .select(col(keyCol).as("__nk"), col("__n"))
-    // no broadcast hint: AQE broadcasts the ≤|groups| frame when it
-    // fits and degrades to a keyed shuffle when |groups| is corpus-
-    // scale (where per-group membership is small and skew moot)
+    val (ranked, sizes) = rankedWithSizes(df, keyCol, ordCol, valueCol,
+      partitions)
     ranked.join(sizes, col(keyCol) === col("__nk"))
       .filter(col("__rank") === expr("(__n + 1) div 2") ||
         col("__rank") === expr("__n div 2 + 1"))
@@ -337,6 +330,53 @@ object EventAnalytics {
       .agg(max(col("__n")).as("n"),
         min(col(valueCol)).as("median_lo"),
         max(col(valueCol)).as("median_hi"))
+  }
+
+  /** Skew-safe EXACT grouped percentiles — [[groupMedianSkewSafe]]
+    * generalized to any discrete-percentile set (the per-group
+    * p50/p95/p99 a pipeline monitors): for each `p` in micros
+    * (1..1_000_000], the percentile_disc member is the one at rank
+    * ceil(p·n / 10⁶) = (p·n + 10⁶−1) div 10⁶ of the `ordCol` order —
+    * picked by joining the skew-safe ranks against a ≤|groups|·|ps|
+    * target frame. Output: (key, p_micro, n, <valueCol>), one row per
+    * (group, percentile), integer-exact. Same unique value-major
+    * `ordCol` contract as the median. */
+  def groupPercentilesSkewSafe(df: DataFrame, keyCol: String,
+      ordCol: String, valueCol: String, pMicros: Seq[Long],
+      partitions: Int = 0): DataFrame = {
+    require(pMicros.nonEmpty &&
+      pMicros.forall(p => p > 0 && p <= 1000000L),
+      "percentiles must be micros in (0, 1000000]")
+    val (ranked, sizes) = rankedWithSizes(df, keyCol, ordCol, valueCol,
+      partitions)
+    val targets = sizes
+      .withColumn("p_micro",
+        explode(array(pMicros.distinct.sorted.map(lit): _*)))
+      .withColumn("__rk_t",
+        expr("greatest(CAST(1 AS BIGINT), " +
+          "(p_micro * __n + 999999) div 1000000)"))
+    ranked.join(targets,
+        col(keyCol) === col("__nk") && col("__rank") === col("__rk_t"))
+      .select(col(keyCol), col("p_micro"), col("__n").as("n"),
+        col(valueCol))
+  }
+
+  /** Shared scaffold of the exact order-statistic ops: the skew-safe
+    * per-group rank (a running COUNT over the two-pass slice algebra)
+    * plus the ≤|groups| size frame (fresh exprIds on `__nk`). No
+    * broadcast hint on purpose: AQE broadcasts the size frame when it
+    * fits and degrades to a keyed shuffle when |groups| is corpus-
+    * scale (where per-group membership is small and skew moot). */
+  private def rankedWithSizes(df: DataFrame, keyCol: String,
+      ordCol: String, valueCol: String,
+      partitions: Int): (DataFrame, DataFrame) = {
+    val ranked = runningAggsSkewSafe(
+      df.select(col(keyCol), col(ordCol), col(valueCol)),
+      keyCol, ordCol, Seq((ordCol, "count", "__rank")), partitions)
+    val sizes = df.groupBy(col(keyCol))
+      .agg(count(col(ordCol)).as("__n"))
+      .select(col(keyCol).as("__nk"), col("__n"))
+    (ranked, sizes)
   }
 
   /** Gap-based sessionization with per-session statistics — the

@@ -1537,7 +1537,51 @@ object AnalyticsQueries {
         |FROM r
         |WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin))
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Skew-safe exact grouped percentiles (r12): q203's rank algebra
+    // generalized to the p25/p50/p95/p99 monitoring set —
+    // percentile_disc at rank ceil(p·n/10⁶), one integer-exact row
+    // per (group, percentile), picked by joining the prefix-sum ranks
+    // against the ≤|groups|·|ps| target frame. Same value-major
+    // composite order as q203; the oracle replays rank targets with
+    // identical ceil arithmetic.
+    QuerySpec("q204_group_percentiles",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+          .withColumn("__ord",
+            col("v_centi") * 1000000000L + col("o_orderkey"))
+        graft.ops.EventAnalytics.groupPercentilesSkewSafe(
+            o, "o_orderpriority", "__ord", "v_centi",
+            Seq(250000L, 500000L, 950000L, 990000L))
+          .select(col("o_orderpriority"), col("p_micro"), col("n"),
+            col("v_centi"))
+          .orderBy(col("o_orderpriority"), col("p_micro"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c,
+        |    o_orderkey
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY c * 1000000000 + o_orderkey) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS n
+        |  FROM v),
+        |p AS (SELECT UNNEST([CAST(250000 AS BIGINT), 500000, 950000,
+        |    990000]) AS p_micro),
+        |t AS (SELECT DISTINCT o_orderpriority, n, p_micro,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      (p_micro * n + 999999) // 1000000) AS rk_t
+        |  FROM r, p)
+        |SELECT t.o_orderpriority, t.p_micro, t.n, r.c AS v_centi
+        |FROM t JOIN r ON r.o_orderpriority = t.o_orderpriority
+        |  AND r.rk = t.rk_t
+        |ORDER BY t.o_orderpriority, t.p_micro""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

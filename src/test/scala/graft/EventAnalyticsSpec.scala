@@ -280,6 +280,30 @@ class EventAnalyticsSpec extends SparkSuite {
         Seq((9L, 5L, 42L)).toDF("k", "ord", "v"), "k", "ord", "v")
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(one.toSeq == Seq((1L, 42L, 42L)))
+    // percentiles: percentile_disc semantics vs sequential reference
+    // on the same mega-key frame — rank ceil(p·n/1e6), p100 = max,
+    // tiny p = min
+    val ps = Seq(10L, 250000L, 500000L, 950000L, 1000000L)
+    val gotP = EventAnalytics
+      .groupPercentilesSkewSafe(df, "k", "ord", "v", ps, partitions = 5)
+      .orderBy("k", "p_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val expP = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (k, g) =>
+        val sorted = g.sortBy(_._2).map(_._3)
+        val n = sorted.size.toLong
+        ps.sorted.map { p =>
+          val rk = math.max(1L, (p * n + 999999L) / 1000000L)
+          (k, p, n, sorted((rk - 1).toInt))
+        }
+    }
+    assert(gotP == expP)
+    gotP.groupBy(_._1).foreach { case (k, rowsK) =>
+      val sorted = rows.filter(_._1 == k).sortBy(_._2).map(_._3)
+      assert(rowsK.find(_._2 == 1000000L).get._4 == sorted.last) // p100=max
+      assert(rowsK.find(_._2 == 10L).get._4 == sorted.head) // p≈0 = min
+    }
   }
 
   test("runningAggsSkewSafe multi-agg ≡ chained singles; " +
