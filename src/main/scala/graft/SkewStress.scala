@@ -169,6 +169,33 @@ object SkewStress {
       runningTwoPass().exceptAll(runningWindow()).isEmpty,
       "two-pass running total disagrees with the window form")
 
+    // ---- MEDIAN arms: exact per-key middle order statistic ----
+    // Top-k survives skew because WindowGroupLimit pushes the rank
+    // LIMIT below the exchange; a MIDDLE order statistic (rank =
+    // n/2) has no limit to push — the window form sorts the hot
+    // key's 7.92M rows in one task, exactly like the running total.
+    // The prefix-sum rank (groupMedianSkewSafe, gate q203) spreads
+    // them across the deterministic ord slices.
+    val expectMedian = 9974L
+    def medianWindow() =
+      probe.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("v"))))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("k"))))
+        .filter(col("__rk") === expr("(__n + 1) div 2") ||
+          col("__rk") === expr("__n div 2 + 1"))
+        .groupBy(col("k")).agg(max(col("__n")).as("n"),
+          min(col("v")).as("median_lo"), max(col("v")).as("median_hi"))
+    def medianTwoPass() =
+      graft.ops.EventAnalytics.groupMedianSkewSafe(
+        probe, "k", "v", "v", partitions = 32)
+    medianWindow().queryExecution.toRdd.count() // warm
+    run("median_window_aqe", expectMedian)(() => medianWindow())
+    run("median_twopass", expectMedian)(() => medianTwoPass())
+    require(medianWindow().exceptAll(medianTwoPass()).isEmpty &&
+      medianTwoPass().exceptAll(medianWindow()).isEmpty,
+      "two-pass median disagrees with the window form")
+
     // equivalence of the two agg forms (exactness is the contract)
     val a = probe.groupBy("k").agg(countDistinct(col("v")).as("nd"))
     val b = probe.select(col("k"), col("v")).distinct()

@@ -175,6 +175,7 @@ object EventAnalytics {
       partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(aggs.nonEmpty, "runningAggsSkewSafe: need at least one agg")
+    // (slice derivation shared with the order-statistic ops below)
     def aggFn(op: String): Column => Column = op match {
       case "sum" => c => sum(c)
       case "min" => c => min(c)
@@ -199,34 +200,8 @@ object EventAnalytics {
       case "min" => (a, b) => least(a, b)
       case _ => (a, b) => greatest(a, b)
     }
-    val p = if (partitions > 0) partitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val probs = (1 until p).map(_.toDouble / p).toArray
-    val bounds =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.select(col(ordCol).cast("double").as("__o"))
-        .stat.approxQuantile("__o", probs, 0.001).distinct.sorted
-    // plain `when` trees, deliberately NOT an `aggregate` HOF: a
-    // LambdaFunction inside a grouping expression trips Catalyst's
-    // alias substitution under project collapse (reproduced: the
-    // offsets window stage binds the lambda's pre-alias ord attribute
-    // and fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
-    // The tree is a BALANCED binary search over the sorted bounds,
-    // not a left-fold chain: the chain form built an O(P)-deep Column
-    // tree whose recursive conversion overflowed the driver stack at
-    // P = 320 (reproduced in the r12 partitions sweep) — exactly the
-    // P a cluster-scale run configures. Depth and per-row comparisons
-    // are both O(log P); expression size stays O(P).
-    val ordD = col(ordCol).cast("double")
-    def sliceOf(lo: Int, hi: Int): Column = // slice known to be in [lo, hi]
-      if (lo == hi) lit(lo)
-      else {
-        val mid = (lo + hi + 1) / 2 // slice ≥ mid  ⇔  ord ≥ bounds(mid-1)
-        when(ordD >= lit(bounds(mid - 1)), sliceOf(mid, hi))
-          .otherwise(sliceOf(lo, mid - 1))
-      }
-    val slice = if (bounds.isEmpty) lit(0) else sliceOf(0, bounds.length)
-    val sliced = df.withColumn("__slice", slice)
+    val sliced = df.withColumn("__slice",
+      sliceColumn(df, ordCol, partitions))
     val wLocal = Window.partitionBy(col("__slice"), col(keyCol))
       .orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -320,17 +295,15 @@ object EventAnalytics {
     * with `valueCol` (value-major, e.g. value·W + tiebreak) — the
     * same total-order contract every exact order statistic has. */
   def groupMedianSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
-      valueCol: String, partitions: Int = 0): DataFrame = {
-    val (ranked, sizes) = rankedWithSizes(df, keyCol, ordCol, valueCol,
-      partitions)
-    ranked.join(sizes, col(keyCol) === col("__nk"))
-      .filter(col("__rank") === expr("(__n + 1) div 2") ||
-        col("__rank") === expr("__n div 2 + 1"))
+      valueCol: String, partitions: Int = 0): DataFrame =
+    pickGlobalRanks(df, keyCol, ordCol, valueCol, partitions, 2,
+      totals => totals.withColumn("__rk_t",
+        explode(array(expr("(__n + 1) div 2"), expr("__n div 2 + 1"))))
+        .distinct())
       .groupBy(col(keyCol))
       .agg(max(col("__n")).as("n"),
         min(col(valueCol)).as("median_lo"),
         max(col(valueCol)).as("median_hi"))
-  }
 
   /** Skew-safe EXACT grouped percentiles — [[groupMedianSkewSafe]]
     * generalized to any discrete-percentile set (the per-group
@@ -347,36 +320,124 @@ object EventAnalytics {
     require(pMicros.nonEmpty &&
       pMicros.forall(p => p > 0 && p <= 1000000L),
       "percentiles must be micros in (0, 1000000]")
-    val (ranked, sizes) = rankedWithSizes(df, keyCol, ordCol, valueCol,
-      partitions)
-    val targets = sizes
-      .withColumn("p_micro",
-        explode(array(pMicros.distinct.sorted.map(lit): _*)))
-      .withColumn("__rk_t",
-        expr("greatest(CAST(1 AS BIGINT), " +
-          "(p_micro * __n + 999999) div 1000000)"))
-    ranked.join(targets,
-        col(keyCol) === col("__nk") && col("__rank") === col("__rk_t"))
+    pickGlobalRanks(df, keyCol, ordCol, valueCol, partitions,
+      pMicros.distinct.size,
+      totals => totals
+        .withColumn("p_micro",
+          explode(array(pMicros.distinct.sorted.map(lit): _*)))
+        .withColumn("__rk_t",
+          expr("greatest(CAST(1 AS BIGINT), " +
+            "(p_micro * __n + 999999) div 1000000)")))
       .select(col(keyCol), col("p_micro"), col("__n").as("n"),
         col(valueCol))
   }
 
-  /** Shared scaffold of the exact order-statistic ops: the skew-safe
-    * per-group rank (a running COUNT over the two-pass slice algebra)
-    * plus the ≤|groups| size frame (fresh exprIds on `__nk`). No
-    * broadcast hint on purpose: AQE broadcasts the size frame when it
-    * fits and degrades to a keyed shuffle when |groups| is corpus-
-    * scale (where per-group membership is small and skew moot). */
-  private def rankedWithSizes(df: DataFrame, keyCol: String,
-      ordCol: String, valueCol: String,
-      partitions: Int): (DataFrame, DataFrame) = {
-    val ranked = runningAggsSkewSafe(
-      df.select(col(keyCol), col(ordCol), col(valueCol)),
-      keyCol, ordCol, Seq((ordCol, "count", "__rank")), partitions)
-    val sizes = df.groupBy(col(keyCol))
-      .agg(count(col(ordCol)).as("__n"))
-      .select(col(keyCol).as("__nk"), col("__n"))
-    (ranked, sizes)
+  /** Shared scaffold of the exact order-statistic ops — the TARGETED
+    * PICK plan, which beats the generic running-rank two-pass for
+    * "fetch k order statistics" shapes by shipping the data through
+    * exactly ONE exchange:
+    *
+    *  1. per-(slice, key) COUNTS (map-side combinable, tiny);
+    *  2. per-key cumulative-before and total n over ≤P count rows;
+    *  3. `mkTargets(totals)` derives the wanted GLOBAL ranks per key
+    *     (adding `__rk_t` and any carry columns, e.g. `p_micro`);
+    *  4. each target resolves to (slice, LOCAL rank) on the count
+    *     frame alone — no data movement;
+    *  5. the data is locally ranked inside its (slice, key) window —
+    *     the one exchange — and equi-joined against the tiny
+    *     resolved-target frame.
+    *
+    * The target join carries a STATIC broadcast hint when it is
+    * provably safe: each global rank target matches exactly ONE
+    * (slice, key) count row (the rank ranges partition 1..n), so
+    * |resolved| = |targets|, and the cheap |groups| count on the
+    * ≤P·|groups| count frame bounds it before the hint is placed.
+    * Without the hint, AQE *converts* the join to broadcast at
+    * runtime but only after both sides' shuffle write — re-shipping
+    * the whole locally-ranked corpus on (slice, key, rank) keys
+    * (measured at the SkewStress mega-key: 217 MB total vs 93 with
+    * the hint; the 93 = the data's one window exchange plus the
+    * count aggregate's map-side partials, ~|mapTasks|·|slices|·|keys|
+    * combined rows — the price of knowing every rank span exactly).
+    * Past the bound (corpus-scale groups, where per-group membership
+    * is small and skew moot) it falls back to AQE's choice. Same
+    * unique value-major `ordCol` contract as every exact order
+    * statistic. */
+  private def pickGlobalRanks(df: DataFrame, keyCol: String,
+      ordCol: String, valueCol: String, partitions: Int,
+      picksPerGroup: Int,
+      mkTargets: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sliced = df.select(col(keyCol), col(ordCol), col(valueCol))
+      .withColumn("__slice", sliceColumn(df, ordCol, partitions))
+    val cnts = sliced.groupBy(col("__slice"), col(keyCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val wBefore = Window.partitionBy(col(keyCol)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cnts.withColumn("__before",
+      coalesce(sum(col("__cnt")).over(wBefore), lit(0L)))
+    val totals = cum.groupBy(col(keyCol))
+      .agg(sum(col("__cnt")).as("__n"))
+    val targets = mkTargets(totals)
+      .withColumnRenamed(keyCol, "__tk")
+    // resolve each global target rank to its slice + local rank on
+    // the count frame alone (equi-join on key, range filter on the
+    // target's slice span)
+    val resolvedBare = targets.join(cum,
+        col("__tk") === col(keyCol) &&
+        col("__rk_t") > col("__before") &&
+        col("__rk_t") <= col("__before") + col("__cnt"))
+      .withColumn("__lrk", (col("__rk_t") - col("__before")).cast("int"))
+      .drop("__tk", "__cnt", "__before")
+      .withColumnRenamed("__slice", "__tslice")
+      .withColumnRenamed(keyCol, "__tkey")
+    // |resolved| = |targets| = |groups|·picksPerGroup exactly (see
+    // Scaladoc); count the tiny aggregated frame to bound it before
+    // hinting the broadcast
+    val smallTargets =
+      totals.count() * picksPerGroup <= 4_000_000L
+    val resolved =
+      if (smallTargets) broadcast(resolvedBare) else resolvedBare
+    val wLoc = Window.partitionBy(col("__slice"), col(keyCol))
+      .orderBy(col(ordCol))
+    val local = sliced.withColumn("__lrk_d", row_number().over(wLoc))
+    local.join(resolved,
+        col("__slice") === col("__tslice") &&
+        col(keyCol) === col("__tkey") &&
+        col("__lrk_d") === col("__lrk"))
+      .drop("__slice", "__tslice", "__tkey", "__lrk_d", "__lrk")
+  }
+
+  /** Deterministic GK-quantile ord slices shared by the prefix-sum
+    * and order-statistic families: a PURE ROW FUNCTION of `ordCol`
+    * (immune to the cross-branch partitioner drift trap), built as a
+    * BALANCED binary-search `when` tree — the left-fold chain form
+    * built an O(P)-deep Column tree whose recursive conversion
+    * overflowed the driver stack at P = 320 (reproduced in the r12
+    * partitions sweep), exactly the P a cluster-scale run configures.
+    * Depth and per-row comparisons are O(log P); expression size is
+    * O(P). Deliberately NOT an `aggregate` HOF: a LambdaFunction
+    * inside a grouping expression trips Catalyst's alias substitution
+    * under project collapse (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND,
+    * reproduced on Spark 4.1.2). */
+  private def sliceColumn(df: DataFrame, ordCol: String,
+      partitions: Int): Column = {
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val probs = (1 until p).map(_.toDouble / p).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.select(col(ordCol).cast("double").as("__o"))
+        .stat.approxQuantile("__o", probs, 0.001).distinct.sorted
+    val ordD = col(ordCol).cast("double")
+    def sliceOf(lo: Int, hi: Int): Column = // slice known to be in [lo, hi]
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2 // slice ≥ mid  ⇔  ord ≥ bounds(mid-1)
+        when(ordD >= lit(bounds(mid - 1)), sliceOf(mid, hi))
+          .otherwise(sliceOf(lo, mid - 1))
+      }
+    if (bounds.isEmpty) lit(0) else sliceOf(0, bounds.length)
   }
 
   /** Gap-based sessionization with per-session statistics — the
