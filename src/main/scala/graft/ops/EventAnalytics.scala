@@ -332,6 +332,47 @@ object EventAnalytics {
         col(valueCol))
   }
 
+  /** Skew-safe exact WEIGHTED grouped percentiles — the rank targets
+    * of [[groupPercentilesSkewSafe]] moved from the count axis to the
+    * cumulative-WEIGHT axis: the p-percentile member of a group is
+    * the first member (in `ordCol` order) whose running weight
+    * reaches ceil(p·W / 10⁶), W = the group's total weight. This is
+    * the token-weighted distribution monitor of a training pipeline —
+    * "the document length below which half the TOKENS sit" is a
+    * weighted median, not a median — and the same targeted-pick plan
+    * serves it: per-(slice, key) weight sums resolve each weight
+    * target to (slice, local weight rank) with no data movement, and
+    * the pick is the row whose local (cw−w, cw] interval contains the
+    * target (the intervals partition the weight axis, so each target
+    * picks exactly one row; for weight ≡ 1 this degenerates to
+    * [[groupPercentilesSkewSafe]] — asserted in the spec).
+    *
+    * The target arithmetic rides DECIMAL(38,0): p_micro·W overflows
+    * long at W ≥ 2⁶³/10⁶ ≈ 9.2e12 — a few trillion tokens, a scale a
+    * 100 TB corpus actually reaches. Output: (key, p_micro,
+    * w_total, <valueCol>), one row per (group, percentile).
+    * Contracts: `weightCol` positive integers (enforced); `ordCol` a
+    * caller-built unique value-major total order. */
+  def groupWeightedPercentilesSkewSafe(df: DataFrame, keyCol: String,
+      ordCol: String, valueCol: String, weightCol: String,
+      pMicros: Seq[Long], partitions: Int = 0): DataFrame = {
+    require(pMicros.nonEmpty &&
+      pMicros.forall(p => p > 0 && p <= 1000000L),
+      "percentiles must be micros in (0, 1000000]")
+    pickGlobalRanks(df, keyCol, ordCol, valueCol, partitions,
+      pMicros.distinct.size,
+      totals => totals
+        .withColumn("p_micro",
+          explode(array(pMicros.distinct.sorted.map(lit): _*)))
+        .withColumn("__rk_t",
+          expr("greatest(CAST(1 AS BIGINT), CAST(" +
+            "(CAST(p_micro AS DECIMAL(38,0)) * __n + 999999) " +
+            "div 1000000 AS BIGINT))")),
+      weightCol = Some(weightCol))
+      .select(col(keyCol), col("p_micro"), col("__n").as("w_total"),
+        col(valueCol))
+  }
+
   /** Shared scaffold of the exact order-statistic ops — the TARGETED
     * PICK plan, which beats the generic running-rank two-pass for
     * "fetch k order statistics" shapes by shipping the data through
@@ -366,19 +407,37 @@ object EventAnalytics {
   private def pickGlobalRanks(df: DataFrame, keyCol: String,
       ordCol: String, valueCol: String, partitions: Int,
       picksPerGroup: Int,
-      mkTargets: DataFrame => DataFrame): DataFrame = {
+      mkTargets: DataFrame => DataFrame,
+      weightCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sliced = df.select(col(keyCol), col(ordCol), col(valueCol))
+    // weighted form: ranks live on the cumulative-WEIGHT axis; the
+    // unweighted form is weight ≡ 1 (count axis). Contract for the
+    // weighted form: weights are POSITIVE integers (zero-weight rows
+    // can never be picked — their (cw−w, cw] interval is empty — and
+    // the min-weight require below rejects them early).
+    val wExpr = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val sliced = df.select(
+        Seq(col(keyCol), col(ordCol), col(valueCol)) ++
+          weightCol.map(col): _*)
+      .withColumn("__w", wExpr)
       .withColumn("__slice", sliceColumn(df, ordCol, partitions))
     val cnts = sliced.groupBy(col("__slice"), col(keyCol))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(sum(col("__w")).as("__cnt"), min(col("__w")).as("__mw"))
     val wBefore = Window.partitionBy(col(keyCol)).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = cnts.withColumn("__before",
       coalesce(sum(col("__cnt")).over(wBefore), lit(0L)))
     val totals = cum.groupBy(col(keyCol))
-      .agg(sum(col("__cnt")).as("__n"))
-    val targets = mkTargets(totals)
+      .agg(sum(col("__cnt")).as("__n"), min(col("__mw")).as("__minw"))
+    // one action on the ≤|groups| frame: the broadcast-size bound
+    // (|resolved| = |targets| = |groups|·picksPerGroup exactly — each
+    // rank target matches one count row) and the weight contract
+    val head = totals.agg(count(lit(1)), min(col("__minw"))).head()
+    val nGroups = head.getLong(0)
+    if (weightCol.isDefined)
+      require(head.isNullAt(1) || head.getLong(1) >= 1L,
+        "pickGlobalRanks: weights must be positive integers")
+    val targets = mkTargets(totals.drop("__minw"))
       .withColumnRenamed(keyCol, "__tk")
     // resolve each global target rank to its slice + local rank on
     // the count frame alone (equi-join on key, range filter on the
@@ -387,25 +446,27 @@ object EventAnalytics {
         col("__tk") === col(keyCol) &&
         col("__rk_t") > col("__before") &&
         col("__rk_t") <= col("__before") + col("__cnt"))
-      .withColumn("__lrk", (col("__rk_t") - col("__before")).cast("int"))
-      .drop("__tk", "__cnt", "__before")
+      .withColumn("__lrk", col("__rk_t") - col("__before"))
+      .drop("__tk", "__cnt", "__mw", "__before")
       .withColumnRenamed("__slice", "__tslice")
       .withColumnRenamed(keyCol, "__tkey")
-    // |resolved| = |targets| = |groups|·picksPerGroup exactly (see
-    // Scaladoc); count the tiny aggregated frame to bound it before
-    // hinting the broadcast
-    val smallTargets =
-      totals.count() * picksPerGroup <= 4_000_000L
+    val smallTargets = nGroups * picksPerGroup <= 4_000_000L
     val resolved =
       if (smallTargets) broadcast(resolvedBare) else resolvedBare
+    // local cumulative weight inside each (slice, key) — for weight
+    // ≡ 1 this is exactly row_number; the (cw−w, cw] intervals
+    // partition the local weight axis, so each target picks one row
     val wLoc = Window.partitionBy(col("__slice"), col(keyCol))
       .orderBy(col(ordCol))
-    val local = sliced.withColumn("__lrk_d", row_number().over(wLoc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sliced.withColumn("__cw", sum(col("__w")).over(wLoc))
     local.join(resolved,
         col("__slice") === col("__tslice") &&
         col(keyCol) === col("__tkey") &&
-        col("__lrk_d") === col("__lrk"))
-      .drop("__slice", "__tslice", "__tkey", "__lrk_d", "__lrk")
+        col("__cw") >= col("__lrk") &&
+        col("__cw") - col("__w") < col("__lrk"))
+      .drop(Seq("__slice", "__tslice", "__tkey", "__w", "__cw",
+        "__lrk") ++ weightCol: _*)
   }
 
   /** Deterministic GK-quantile ord slices shared by the prefix-sum

@@ -1581,6 +1581,55 @@ object AnalyticsQueries {
         |SELECT t.o_orderpriority, t.p_micro, t.n, r.c AS v_centi
         |FROM t JOIN r ON r.o_orderpriority = t.o_orderpriority
         |  AND r.rk = t.rk_t
+        |ORDER BY t.o_orderpriority, t.p_micro""".stripMargin)),
+
+    // Skew-safe exact WEIGHTED grouped percentiles (r12): q204's rank
+    // targets moved to the cumulative-WEIGHT axis — "the order value
+    // below which p of the WEIGHT sits", the token-weighted monitor a
+    // mixing pipeline reads (weight = 1 + o_custkey mod 97, a
+    // deterministic positive integer standing in for a per-row token
+    // count). The pick is the first member (value order) whose
+    // running weight reaches ceil(p·W/10⁶); the oracle replays the
+    // running-weight window with identical interval arithmetic
+    // ((cw−w, cw] contains the target).
+    QuerySpec("q205_weighted_percentiles",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"),
+          (lit(1L) + pmod(col("o_custkey"), lit(97L))).as("w_tok"))
+          .withColumn("__ord",
+            col("v_centi") * 1000000000L + col("o_orderkey"))
+        graft.ops.EventAnalytics.groupWeightedPercentilesSkewSafe(
+            o, "o_orderpriority", "__ord", "v_centi", "w_tok",
+            Seq(250000L, 500000L, 950000L, 990000L))
+          .select(col("o_orderpriority"), col("p_micro"),
+            col("w_total"), col("v_centi"))
+          .orderBy(col("o_orderpriority"), col("p_micro"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c,
+        |    o_orderkey,
+        |    CAST(1 + o_custkey % 97 AS BIGINT) AS w
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, c, w,
+        |    CAST(SUM(w) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY c * 1000000000 + o_orderkey) AS BIGINT) AS cw,
+        |    CAST(SUM(w) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS tw
+        |  FROM v),
+        |p AS (SELECT UNNEST([CAST(250000 AS BIGINT), 500000, 950000,
+        |    990000]) AS p_micro),
+        |t AS (SELECT DISTINCT o_orderpriority, tw, p_micro,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      (p_micro * tw + 999999) // 1000000) AS twt
+        |  FROM r, p)
+        |SELECT t.o_orderpriority, t.p_micro, t.tw AS w_total,
+        |  r.c AS v_centi
+        |FROM t JOIN r ON r.o_orderpriority = t.o_orderpriority
+        |  AND r.cw >= t.twt AND r.cw - r.w < t.twt
         |ORDER BY t.o_orderpriority, t.p_micro""".stripMargin))
   )
 

@@ -306,6 +306,54 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("groupWeightedPercentilesSkewSafe == sequential weighted " +
+      "picks under the mega-key; weight ≡ 1 degenerates to the " +
+      "unweighted form; non-positive weights rejected") {
+    val rows = (0L until 8001L).map { i =>
+      val k = if (i % 100 < 95) 0L else i % 7 + 1
+      val v = (i * 37) % 50
+      (k, v * 1000000L + i, v, (i % 9) + 1) // weights 1..9
+    }
+    val df = rows.toDF("k", "ord", "v", "w").repartition(11)
+    val ps = Seq(10L, 250000L, 500000L, 950000L, 1000000L)
+    val got = EventAnalytics
+      .groupWeightedPercentilesSkewSafe(df, "k", "ord", "v", "w", ps,
+        partitions = 5)
+      .orderBy("k", "p_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (k, g) =>
+        val sorted = g.sortBy(_._2)
+        val tw = sorted.map(_._4).sum
+        val cum = sorted.map(_._4).scanLeft(0L)(_ + _).tail
+        ps.sorted.map { p =>
+          val t = math.max(1L, (p * tw + 999999L) / 1000000L)
+          val idx = cum.indexWhere(_ >= t)
+          (k, p, tw, sorted(idx)._3)
+        }
+    }
+    assert(got == exp)
+    // weight ≡ 1 is the unweighted op exactly (same plan family,
+    // count axis): frame-level equality on renamed columns
+    val unit = EventAnalytics.groupWeightedPercentilesSkewSafe(
+      df.withColumn("one", lit(1L)), "k", "ord", "v", "one", ps,
+      partitions = 5).withColumnRenamed("w_total", "n")
+    val plainP = EventAnalytics.groupPercentilesSkewSafe(
+      df, "k", "ord", "v", ps, partitions = 5)
+      .select("k", "p_micro", "n", "v")
+    assert(unit.select("k", "p_micro", "n", "v")
+      .exceptAll(plainP).isEmpty &&
+      plainP.exceptAll(unit.select("k", "p_micro", "n", "v")).isEmpty)
+    // positive-weight contract enforced
+    val bad = intercept[IllegalArgumentException] {
+      EventAnalytics.groupWeightedPercentilesSkewSafe(
+        df.withColumn("z", col("w") - 1), "k", "ord", "v", "z",
+        Seq(500000L)).collect()
+    }
+    assert(bad.getMessage.contains("positive"))
+  }
+
   test("runningAggsSkewSafe multi-agg ≡ chained singles; " +
       "runningMomentsSkewSafe == plain-window moment derivations " +
       "under the mega-key, incl. null values") {
