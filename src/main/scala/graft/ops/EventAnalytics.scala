@@ -373,6 +373,48 @@ object EventAnalytics {
         col(valueCol))
   }
 
+  /** Skew-safe per-row RANK FEATURES — the window shapes that assign
+    * an output to EVERY row of every group and so cannot be rescued
+    * by WindowGroupLimit (top-k only) or the targeted pick (k rows
+    * only): rank, percent_rank, cume_dist, and NTILE bucket — the
+    * quantile-bucket assignment behind stratified splits. One
+    * two-pass plan: the per-key rank is the running COUNT over the
+    * slice algebra ([[runningAggsSkewSafe]]), group sizes ride a
+    * ≤|groups| frame joined back (no hint — AQE broadcasts when it
+    * fits, degrades keyed when |groups| is corpus-scale where skew
+    * is moot), and the features derive by exact integer arithmetic:
+    *
+    *   `rank`        1-based position in `ordCol` order (unique ord)
+    *   `n`           group size
+    *   `pr_micro`    floor(10⁶·(rank−1)/(n−1)); 0 when n = 1
+    *   `cume_micro`  floor(10⁶·rank/n)
+    *   `bucket`      NTILE(buckets) with SQL remainder semantics —
+    *                 the first n mod b buckets take ceil(n/b) rows
+    *                 (for b > n this degenerates to bucket = rank,
+    *                 matching NTILE exactly)
+    *
+    * Same unique non-null `ordCol` contract as every exact rank. */
+  def rankFeaturesSkewSafe(df: DataFrame, keyCol: String,
+      ordCol: String, buckets: Int, partitions: Int = 0): DataFrame = {
+    require(buckets >= 1, "rankFeaturesSkewSafe: buckets must be >= 1")
+    val ranked = runningAggsSkewSafe(df, keyCol, ordCol,
+      Seq((ordCol, "count", "rank")), partitions)
+    val sizes = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol).as("__nk"), col("n"))
+    ranked.join(sizes, col(keyCol) === col("__nk")).drop("__nk")
+      .withColumn("pr_micro",
+        when(col("n") === 1, lit(0L)).otherwise(
+          expr("(1000000 * (rank - 1)) div (n - 1)")))
+      .withColumn("cume_micro", expr("(1000000 * rank) div n"))
+      .withColumn("bucket", expr(
+        s"""CASE WHEN rank <= (n % $buckets) * (n div $buckets + 1)
+           | THEN (rank - 1) div (n div $buckets + 1) + 1
+           | ELSE n % $buckets + (rank - 1 - (n % $buckets) *
+           |   (n div $buckets + 1)) div (n div $buckets) + 1
+           |END""".stripMargin.replace('\n', ' ')))
+  }
+
   /** Shared scaffold of the exact order-statistic ops — the TARGETED
     * PICK plan, which beats the generic running-rank two-pass for
     * "fetch k order statistics" shapes by shipping the data through

@@ -1630,7 +1630,52 @@ object AnalyticsQueries {
         |  r.c AS v_centi
         |FROM t JOIN r ON r.o_orderpriority = t.o_orderpriority
         |  AND r.cw >= t.twt AND r.cw - r.w < t.twt
-        |ORDER BY t.o_orderpriority, t.p_micro""".stripMargin))
+        |ORDER BY t.o_orderpriority, t.p_micro""".stripMargin)),
+
+    // Skew-safe per-row rank features (r12): the window shapes that
+    // assign an output to EVERY row — rank, percent_rank, cume_dist,
+    // NTILE bucket (the stratified-split assignment) — have neither
+    // a WindowGroupLimit rescue (top-k only) nor a targeted pick (k
+    // rows only), so a mega-key group strands its whole membership
+    // in one sort task. The skew-safe rank rides the two-pass
+    // prefix-sum COUNT; percent_rank/cume_dist come out as exact
+    // integer micros, and the NTILE arithmetic replays the SQL
+    // remainder rule (first n mod b buckets take ceil(n/b) rows) —
+    // gated against DuckDB's own NTILE.
+    QuerySpec("q206_rank_features",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+          .withColumn("__ord",
+            col("v_centi") * 1000000000L + col("o_orderkey"))
+        graft.ops.EventAnalytics.rankFeaturesSkewSafe(
+            o, "o_orderpriority", "__ord", 8)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("rank"), col("n"), col("pr_micro"),
+            col("cume_micro"), col("bucket"))
+          .orderBy(col("o_orderpriority"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, o_orderkey,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS n,
+        |    CAST(NTILE(8) OVER w AS BIGINT) AS bucket
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY c * 1000000000 + o_orderkey))
+        |SELECT o_orderpriority, o_orderkey, rank, n,
+        |  CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+        |    ELSE (1000000 * (rank - 1)) // (n - 1) END AS pr_micro,
+        |  (1000000 * rank) // n AS cume_micro,
+        |  bucket
+        |FROM r
+        |ORDER BY o_orderpriority, rank""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

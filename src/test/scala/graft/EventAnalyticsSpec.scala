@@ -354,6 +354,31 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(bad.getMessage.contains("positive"))
   }
 
+  test("rankFeaturesSkewSafe == plain-window rank/percent_rank/" +
+      "cume_dist/ntile under the mega-key, incl. b > n groups") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 6000L).map { i =>
+      val k = if (i % 100 < 95) 0L else i % 9 + 1 // some keys < 8 rows
+      (k, (i * 37) % 50 * 1000000L + i)
+    }
+    val df = rows.toDF("k", "ord").repartition(7)
+    for (b <- Seq(1, 8, 1000)) { // 1000 > every group: bucket = rank
+      val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+      val wAll = Window.partitionBy(col("k"))
+      val plain = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("pr_micro", when(col("n") === 1, lit(0L))
+          .otherwise(expr("(1000000 * (rank - 1)) div (n - 1)")))
+        .withColumn("cume_micro", expr("(1000000 * rank) div n"))
+        .withColumn("bucket", ntile(b).over(w).cast("long"))
+      val fast = EventAnalytics
+        .rankFeaturesSkewSafe(df, "k", "ord", b, partitions = 5)
+      assert(fast.exceptAll(plain).isEmpty &&
+        plain.exceptAll(fast).isEmpty, s"buckets=$b")
+    }
+  }
+
   test("runningAggsSkewSafe multi-agg ≡ chained singles; " +
       "runningMomentsSkewSafe == plain-window moment derivations " +
       "under the mega-key, incl. null values") {
