@@ -665,4 +665,71 @@ object EventAnalytics {
       .select(col(userCol), (col("pos") + 1).as("rn"),
         col("col.id").as("event_id"), col("col.ewma").as("ewma_centi"))
   }
+
+  /** Holt LINEAR smoothing (double exponential — level + trend) with
+    * α = β = 1/2, the trend-aware step up from [[ewmaCenti]]:
+    *
+    *   l₁ = v₁, b₁ = 0
+    *   lₜ = fdiv2(vₜ + lₜ₋₁ + bₜ₋₁)      (α·v + (1−α)(l+b))
+    *   bₜ = fdiv2(lₜ − lₜ₋₁ + bₜ₋₁)      (β·Δl + (1−β)b)
+    *
+    * where fdiv2(x) = (x − pmod(x, 2)) div 2 is FLOOR division by 2 —
+    * the subtlety that makes the recurrence engine-portable on SIGNED
+    * values: the trend term goes negative on any decreasing series,
+    * and Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, so a bare halving diverges at the first negative Δ.
+    * Subtracting pmod(x, 2) makes the operand even, where truncation
+    * = floor in both engines. Values are exact signed centi-units
+    * (NOT abs'd, unlike the α=1/2 EWMA gate); per-entity history is
+    * bounded, so the sorted array is executor-local state (same
+    * collect-and-fold discipline as [[ewmaCenti]]; the streaming twin
+    * is flatMapGroupsWithState). Output per event: `level_centi`,
+    * `trend_centi`, and the one-step forecast `fc_centi` = l + b. */
+  def holtLinearCenti(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val v = centi(col(valCol))
+    events
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), col(idCol).as("id"), v.as("v"))
+          .as("__e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(col(userCol), expr(
+        """zip_with(__es,
+          |  aggregate(__es,
+          |    named_struct(
+          |      'out', cast(array() as array<struct<l: bigint, t: bigint>>),
+          |      'l', cast(null as bigint), 'b', cast(null as bigint)),
+          |    (acc, x) -> CASE WHEN acc.l IS NULL THEN named_struct(
+          |        'out', concat(acc.out,
+          |          array(named_struct('l', x.v, 't', CAST(0 AS BIGINT)))),
+          |        'l', x.v, 'b', CAST(0 AS BIGINT))
+          |      ELSE named_struct(
+          |        'out', concat(acc.out, array(named_struct(
+          |          'l', (x.v + acc.l + acc.b
+          |                - pmod(x.v + acc.l + acc.b, 2)) div 2,
+          |          't', ((x.v + acc.l + acc.b
+          |                 - pmod(x.v + acc.l + acc.b, 2)) div 2
+          |                - acc.l + acc.b
+          |                - pmod((x.v + acc.l + acc.b
+          |                        - pmod(x.v + acc.l + acc.b, 2)) div 2
+          |                       - acc.l + acc.b, 2)) div 2))),
+          |        'l', (x.v + acc.l + acc.b
+          |              - pmod(x.v + acc.l + acc.b, 2)) div 2,
+          |        'b', ((x.v + acc.l + acc.b
+          |               - pmod(x.v + acc.l + acc.b, 2)) div 2
+          |              - acc.l + acc.b
+          |              - pmod((x.v + acc.l + acc.b
+          |                      - pmod(x.v + acc.l + acc.b, 2)) div 2
+          |                     - acc.l + acc.b, 2)) div 2)
+          |    END).out,
+          |  (e, s) -> named_struct('id', e.id, 'l', s.l, 't', s.t))"""
+          .stripMargin)
+        .as("__z"))
+      .select(col(userCol), posexplode(col("__z")))
+      .select(col(userCol), (col("pos") + 1).as("rn"),
+        col("col.id").as("event_id"), col("col.l").as("level_centi"),
+        col("col.t").as("trend_centi"),
+        (col("col.l") + col("col.t")).as("fc_centi"))
+  }
 }

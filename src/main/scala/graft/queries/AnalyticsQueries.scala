@@ -1675,7 +1675,42 @@ object AnalyticsQueries {
         |  (1000000 * rank) // n AS cume_micro,
         |  bucket
         |FROM r
-        |ORDER BY o_orderpriority, rank""".stripMargin))
+        |ORDER BY o_orderpriority, rank""".stripMargin)),
+
+    // Holt linear smoothing (r12): level + trend double exponential
+    // with α = β = 1/2 — the trend-aware forecast beside q148's EWMA.
+    // Engine-portability hinges on fdiv2(x) = (x − pmod(x,2)) div 2:
+    // the trend term goes NEGATIVE on decreasing series, where
+    // Spark's div truncates but DuckDB's // floors — subtracting the
+    // positive mod first makes the operand even, so both floor. The
+    // oracle replays the recurrence as a recursive CTE with the
+    // identical arithmetic (l₂ computed in a subselect so the trend
+    // step can reference it).
+    QuerySpec("q207_holt_linear",
+      (s, dir) => EventAnalytics.holtLinearCenti(events(s, dir),
+          "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"), col("rn")),
+      Some(s"""WITH RECURSIVE e AS ($eventsSql),
+        |c AS (SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, rn, event_id, v AS l, CAST(0 AS BIGINT) AS b
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, rn, event_id, l2,
+        |    (l2 - pl + pb - (((l2 - pl + pb) % 2 + 2) % 2)) // 2
+        |  FROM (SELECT c.user_id, c.rn, c.event_id,
+        |      r.l AS pl, r.b AS pb,
+        |      (c.v + r.l + r.b
+        |       - (((c.v + r.l + r.b) % 2 + 2) % 2)) // 2 AS l2
+        |    FROM c JOIN r ON c.user_id = r.user_id
+        |      AND c.rn = r.rn + 1) s)
+        |SELECT user_id, rn, event_id, l AS level_centi,
+        |  b AS trend_centi, l + b AS fc_centi
+        |FROM r ORDER BY user_id, rn""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -181,6 +181,45 @@ class EventAnalyticsSpec extends SparkSuite {
       (1L, 4, 13L, 37L), (2L, 1, 20L, 333L)))
   }
 
+  test("holtLinearCenti == sequential JVM fold, incl. decreasing " +
+      "series (negative trend exercises the floor-div-by-2)") {
+    def fdiv2(x: Long): Long = {
+      val m = ((x % 2) + 2) % 2
+      (x - m) / 2 // even operand: truncation == floor
+    }
+    // user 1 strictly decreasing (negative trend), user 2 sawtooth,
+    // user 3 single event
+    val rows = Seq(
+      (1L, 10L, ts("2026-01-05 10:00:00"), 9.00),
+      (1L, 11L, ts("2026-01-05 10:01:00"), 6.00),
+      (1L, 12L, ts("2026-01-05 10:02:00"), 2.00),
+      (1L, 13L, ts("2026-01-05 10:03:00"), 0.01),
+      (2L, 20L, ts("2026-01-05 09:00:00"), 1.00),
+      (2L, 21L, ts("2026-01-05 09:01:00"), 5.00),
+      (2L, 22L, ts("2026-01-05 09:02:00"), 0.50),
+      (3L, 30L, ts("2026-01-05 08:00:00"), 3.33))
+    val out = EventAnalytics.holtLinearCenti(
+        rows.toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (u, g) =>
+        val vs = g.sortBy(r => (r._3, r._2))
+          .map(r => (r._2, math.round(r._4 * 100)))
+        vs.tail.scanLeft((vs.head._1, vs.head._2, 0L)) {
+          case ((_, pl, pb), (id, v)) =>
+            val l2 = fdiv2(v + pl + pb)
+            (id, l2, fdiv2(l2 - pl + pb))
+        }.map { case (id, l, b) => (u, id, l, b, l + b) }
+    }
+    assert(out == exp)
+    // the decreasing series really produced a negative trend (the
+    // case where truncating halving would diverge from the oracle)
+    assert(out.exists(_._4 < 0))
+  }
+
   test("runningTotalSkewSafe == plain window under a planted mega-key") {
     import org.apache.spark.sql.expressions.Window
     // 95% of rows on key 0 (forces the hot key across MANY range
