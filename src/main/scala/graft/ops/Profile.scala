@@ -128,6 +128,47 @@ object Profile {
     * 1e6-unit values). One aggregate for the per-group moment frame
     * (≤ |groups| rows, broadcast back), one scan to flag — no
     * window, no second pass over values. Emits ONLY the outliers. */
+  /** Categorical distribution profile per group — the label-balance
+    * monitor of a training pipeline: for each group, the exact MODE
+    * (most frequent value, smallest-value tiebreak so the answer is
+    * deterministic), the value cardinality, and the Gini impurity
+    * 1 − Σpᵢ² in exact integer micros (floor(10⁶·(n² − Σcᵢ²) / n²) —
+    * a RATIONAL statistic, unlike entropy, so both engines agree
+    * bit-for-bit; the squares ride DECIMAL(38,0), since a trillion-
+    * row group squares far past int64). Plan: one (group, value)
+    * count aggregate (map-side combinable), then a ≤|groups|·|values|
+    * frame feeds BOTH the per-group moment roll-up and the top-1
+    * window — which WindowGroupLimit takes map-side, the measured
+    * skew-immune top-k path. Nulls count as a category only if the
+    * caller pre-coalesces them; otherwise groupBy drops null values
+    * from neither side (both engines keep null grouping keys —
+    * callers wanting them excluded filter first). */
+  def categoricalProfile(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cnt = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val stats = cnt.groupBy(col(groupCol)).agg(
+      sum(col("__c")).as("n"),
+      count(lit(1)).as("n_distinct"),
+      sum((col("__c") * col("__c")).cast(d38)).cast(d38).as("__sq"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col(valueCol).asc)
+    val mode = cnt.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col(valueCol).as("mode_value"),
+        col("__c").as("mode_count"))
+    stats.join(mode, Seq(groupCol))
+      // integral div (truncation == floor on the non-negative n²−Σc²)
+      .withColumn("gini_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(CAST(n AS DECIMAL(38,0)) * n - __sq)) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n)"))
+      .select(col(groupCol), col("n"), col("n_distinct"),
+        col("mode_value"), col("mode_count"), col("gini_micro"))
+  }
+
   def groupOutliers(df: DataFrame, groupCol: String, idCols: Seq[String],
       valueCentiCol: String, z: Int): DataFrame = {
     val d38 = "decimal(38,0)"

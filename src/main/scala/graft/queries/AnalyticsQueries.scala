@@ -1710,7 +1710,38 @@ object AnalyticsQueries {
         |      AND c.rn = r.rn + 1) s)
         |SELECT user_id, rn, event_id, l AS level_centi,
         |  b AS trend_centi, l + b AS fc_centi
-        |FROM r ORDER BY user_id, rn""".stripMargin))
+        |FROM r ORDER BY user_id, rn""".stripMargin)),
+
+    // Categorical distribution profile (r12): per-group exact mode
+    // (smallest-value tiebreak), value cardinality, and Gini impurity
+    // in integer micros — the label-balance monitor. Gini is the
+    // RATIONAL impurity (1 − Σp²), so unlike entropy it gates
+    // bit-exact; squares ride DECIMAL(38,0) on the Spark side, and
+    // the top-1 window is the measured skew-immune WindowGroupLimit
+    // path over the (group, value) count frame.
+    QuerySpec("q208_categorical_profile",
+      (s, dir) => graft.ops.Profile.categoricalProfile(
+          table(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty")),
+          "l_returnflag", "qty")
+        .orderBy(col("l_returnflag")),
+      Some("""WITH c AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+        |  FROM c GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, qty AS mode_value,
+        |    cnt AS mode_count,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, qty ASC) AS rk
+        |  FROM c)
+        |SELECT s.l_returnflag, s.n, s.n_distinct, m.mode_value,
+        |  m.mode_count,
+        |  (1000000 * (s.n * s.n - s.sq)) // (s.n * s.n) AS gini_micro
+        |FROM s JOIN m ON m.l_returnflag = s.l_returnflag AND m.rk = 1
+        |ORDER BY s.l_returnflag""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -59,6 +59,25 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("categoricalProfile: mode tiebreak, gini floor arithmetic, " +
+      "single-value and uniform groups") {
+    // g=1: counts {5:3, 7:3, 9:1} — tie between 5 and 7 → mode 5;
+    //      n=7, nd=3, sq=19, gini = floor(1e6·(49−19)/49) = 612244
+    // g=2: single value → gini 0
+    // g=3: uniform two values → gini = floor(1e6·(4−2)/4) = 500000
+    val df = (Seq.fill(3)(5L) ++ Seq.fill(3)(7L) ++ Seq(9L))
+      .map((1L, _)) ++ Seq((2L, 4L), (2L, 4L), (3L, 1L), (3L, 2L))
+    val out = Profile.categoricalProfile(
+        df.toDF("g", "v"), "g", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, 7L, 3L, 5L, 3L, 612244L),
+      (2L, 2L, 1L, 4L, 2L, 0L),
+      (3L, 2L, 2L, 1L, 1L, 500000L)))
+  }
+
   test("profile: one scan for all columns") {
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("a", "b")
     val plan = Profile.profile(df, Seq("a", "b"))
