@@ -165,8 +165,10 @@ object EventAnalytics {
     * algebra as [[runningAggSkewSafe]] (one local window keyed on
     * (slice, key), one ≤P-row offsets window per key, one join back),
     * shared across every (valueCol, op, outCol) triple instead of
-    * re-sliced per aggregate. `op` ∈ sum | min | max | count (count =
-    * running count of NON-NULL values, the moment-tuple n). This is
+    * re-sliced per aggregate. `op` ∈ sum | min | max | count | last
+    * (count = running count of NON-NULL values, the moment-tuple n;
+    * last = running last NON-NULL value, the as-of carry behind
+    * [[asofJoinSkewSafe]]). This is
     * the moment-tuple building block: running avg/variance are
     * derived from (count, sum, sum-of-squares) computed here in one
     * pass ([[runningMomentsSkewSafe]]). */
@@ -181,13 +183,26 @@ object EventAnalytics {
       case "min" => c => min(c)
       case "max" => c => max(c)
       case "count" => c => count(c)
+      // running LAST NON-NULL — the as-of carry. As a window function
+      // over the ord-ordered running frame this is deterministic.
+      case "last" => c => last(c, ignoreNulls = true)
       case other => throw new IllegalArgumentException(
-        s"runningAggsSkewSafe: op must be sum|min|max|count, got $other")
+        s"runningAggsSkewSafe: op must be sum|min|max|count|last, got $other")
+    }
+    // the per-(slice,key) TOTAL is op-specific too: group-level
+    // `last` would depend on unspecified row order, so the slice's
+    // last non-null is max_by over the ord (null values contribute a
+    // null ordering key, which max_by skips)
+    def totalsFn(op: String): Column => Column = op match {
+      case "last" => c => max_by(c, when(c.isNotNull, col(ordCol)))
+      case other => aggFn(other)
     }
     // merging PARTIAL slice aggregates is op-specific: counts merge
-    // by SUM (a count of per-slice counts would count slices)
+    // by SUM (a count of per-slice counts would count slices); slice
+    // lasts merge by last-non-null over the slice order
     def offsetFn(op: String): Column => Column = op match {
       case "count" => c => sum(c)
+      case "last" => c => last(c, ignoreNulls = true)
       case other => aggFn(other)
     }
     def combine(op: String): (Column, Column) => Column = op match {
@@ -198,6 +213,7 @@ object EventAnalytics {
       // (count is never null, but keep the same guard for uniformity.)
       case "sum" | "count" => (a, b) => coalesce(a + b, b, a)
       case "min" => (a, b) => least(a, b)
+      case "last" => (a, b) => coalesce(a, b) // local wins, else carry
       case _ => (a, b) => greatest(a, b)
     }
     val sliced = df.withColumn("__slice",
@@ -210,9 +226,9 @@ object EventAnalytics {
         d.withColumn(s"__run_local_$i", aggFn(op)(col(v)).over(wLocal))
     }
     val totals = sliced.groupBy(col("__slice"), col(keyCol))
-      .agg(aggFn(aggs.head._2)(col(aggs.head._1)).as("__slice_agg_0"),
+      .agg(totalsFn(aggs.head._2)(col(aggs.head._1)).as("__slice_agg_0"),
         aggs.zipWithIndex.tail.map { case ((v, op, _), i) =>
-          aggFn(op)(col(v)).as(s"__slice_agg_$i") }: _*)
+          totalsFn(op)(col(v)).as(s"__slice_agg_$i") }: _*)
     val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // fresh exprIds on the offsets side (`as` re-aliases): local and
@@ -413,6 +429,49 @@ object EventAnalytics {
            | ELSE n % $buckets + (rank - 1 - (n % $buckets) *
            |   (n div $buckets + 1)) div (n div $buckets) + 1
            |END""".stripMargin.replace('\n', ' ')))
+  }
+
+  /** Skew-safe AS-OF join (backward): for each probe row, the value
+    * of the latest quote with ord ≤ the probe's ord, per key — the
+    * point-in-time join behind feature lookups and market-data
+    * alignment. The plain plan (union + per-key LAST_VALUE window, or
+    * a sort-merge per key) strands a hot key's whole history in one
+    * task exactly like the running total; this rides the same slice
+    * algebra via the running-last op: quotes carry their value, probes
+    * carry null, and the running last non-null at each probe row IS
+    * its as-of match ([[runningAggsSkewSafe]] op=last — local
+    * last-ignoring-nulls inside (slice, key), per-slice max_by totals,
+    * slice-ordered carry, coalesce combine).
+    *
+    * Contracts: `ordCol` numeric on BOTH frames, encoded by the
+    * caller so that at one instant quotes sort BEFORE probes (e.g.
+    * ord = 2·t for quotes, 2·t + 1 for probes — "quote at the same
+    * timestamp is visible", DuckDB ASOF `>=` semantics) and quote
+    * ords are unique per key (pre-aggregate same-instant quotes);
+    * probe–probe ties are harmless (probes carry null). Probes with
+    * no earlier quote get null. Output: the probe frame + `outCol`. */
+  def asofJoinSkewSafe(probes: DataFrame, quotes: DataFrame,
+      keyCol: String, ordCol: String, valueCol: String, outCol: String,
+      partitions: Int = 0): DataFrame = {
+    val vType = quotes.schema(quotes.schema.fieldIndex(valueCol)).dataType
+    val extra = probes.columns.toSeq
+      .filterNot(c => c == keyCol || c == ordCol)
+    val pu = probes
+      .withColumn("__rv", lit(null).cast(vType))
+      .withColumn("__probe", lit(true))
+    val qu = extra.foldLeft(
+        quotes.select(col(keyCol), col(ordCol),
+          col(valueCol).as("__rv"), lit(false).as("__probe"))) {
+      case (d, c) =>
+        d.withColumn(c, lit(null).cast(probes.schema(c).dataType))
+    }
+    val cols = (Seq(keyCol, ordCol) ++ extra ++ Seq("__rv", "__probe"))
+      .map(col)
+    runningAggsSkewSafe(
+        pu.select(cols: _*).unionByName(qu.select(cols: _*)),
+        keyCol, ordCol, Seq(("__rv", "last", outCol)), partitions)
+      .filter(col("__probe"))
+      .drop("__rv", "__probe")
   }
 
   /** Shared scaffold of the exact order-statistic ops — the TARGETED

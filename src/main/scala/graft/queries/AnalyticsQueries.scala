@@ -1741,7 +1741,45 @@ object AnalyticsQueries {
         |  m.mode_count,
         |  (1000000 * (s.n * s.n - s.sq)) // (s.n * s.n) AS gini_micro
         |FROM s JOIN m ON m.l_returnflag = s.l_returnflag AND m.rk = 1
-        |ORDER BY s.l_returnflag""".stripMargin))
+        |ORDER BY s.l_returnflag""".stripMargin)),
+
+    // Skew-safe AS-OF join (r12): every click/view event looks up the
+    // user's latest purchase value at-or-before its timestamp — the
+    // point-in-time feature lookup. The ord encoding 2t (quotes) /
+    // 2t+1 (probes) pins quote-at-same-instant visibility, matching
+    // DuckDB's native ASOF `>=` semantics, which IS the oracle;
+    // same-instant purchases pre-aggregate by max event_id so quote
+    // ords are unique per key. Probes with no earlier purchase keep
+    // null (ASOF LEFT).
+    QuerySpec("q209_asof_join",
+      (s, dir) => {
+        val e = events(s, dir)
+        val probes = e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_id"),
+            (unix_micros(col("ts")) * 2 + 1).as("__ord"))
+        val quotes = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by((col("value").cast("decimal(18,2)") * 100)
+            .cast("long"), col("event_id")).as("pv_centi"))
+          .select(col("user_id"),
+            (unix_micros(col("ts")) * 2).as("__ord"), col("pv_centi"))
+        EventAnalytics.asofJoinSkewSafe(probes, quotes, "user_id",
+            "__ord", "pv_centi", "last_purchase_centi")
+          .select(col("user_id"), col("event_id"),
+            col("last_purchase_centi"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(s"""WITH e AS ($eventsSql),
+        |p AS (SELECT user_id, event_id, ts FROM e
+        |  WHERE event_type IN ('click', 'view')),
+        |q AS (SELECT user_id, ts,
+        |    MAX_BY(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      event_id) AS pv_centi
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT p.user_id, p.event_id, q.pv_centi AS last_purchase_centi
+        |FROM p ASOF LEFT JOIN q
+        |  ON p.user_id = q.user_id AND p.ts >= q.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -418,6 +418,36 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("asofJoinSkewSafe == sequential backward scan under the " +
+      "mega-key: no-earlier-quote nulls, same-instant visibility, " +
+      "hot key spanning slices") {
+    // quotes at even ords (2t), probes at odd (2t+1); key 0 hogs 95%
+    val quotes = (0L until 2000L).map { i =>
+      val k = if (i % 100 < 95) 0L else i % 5 + 1
+      (k, (i * 7 % 1000 + 50) * 2, i) // earliest quote ord = 100
+    }.groupBy(t => (t._1, t._2)).map { case ((k, o), g) =>
+      (k, o, g.map(_._3).max) // dedupe same-instant quotes: max wins
+    }.toSeq
+    val probes = (0L until 3000L).map { i =>
+      val k = if (i % 100 < 95) 0L else i % 5 + 1
+      (k, (i % 1100) * 2 + 1, i) // some probes precede every quote
+    }
+    val out = EventAnalytics.asofJoinSkewSafe(
+        probes.toDF("k", "ord", "pid"),
+        quotes.toDF("k", "ord", "qv"),
+        "k", "ord", "qv", "asof_v", partitions = 5)
+      .select("k", "pid", "asof_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sorted
+    val qByK = quotes.groupBy(_._1)
+    val exp = probes.map { case (k, o, pid) =>
+      val best = qByK.getOrElse(k, Seq.empty).filter(_._2 <= o)
+      (k, pid, if (best.isEmpty) None else Some(best.maxBy(_._2)._3))
+    }.sorted
+    assert(out == exp)
+    assert(exp.exists(_._3.isEmpty)) // the null lane is exercised
+  }
+
   test("runningAggsSkewSafe multi-agg ≡ chained singles; " +
       "runningMomentsSkewSafe == plain-window moment derivations " +
       "under the mega-key, incl. null values") {
