@@ -238,14 +238,22 @@ object ScaleStress {
       // running aggregate (orders → graph-shaped) and concat-and-
       // slice sequence packing (documents → standard)
       "q200_running_moments", "q201_sequence_packing",
-      "q203_group_median")
+      "q203_group_median",
+      // round-12 late additions: weighted/targeted order statistics
+      // and rank features (orders → graph-shaped: 5 priority groups
+      // absorb f× the members — the mega-key shape), plus the
+      // categorical profile (lineitem → graph-shaped, 3 flag groups)
+      "q205_weighted_percentiles", "q206_rank_features",
+      "q208_categorical_profile")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
     val graphShaped = Set("q125_pagerank", "q150_hits", "q151_bfs_hops",
       "q185_pagerank_weighted", "q140_profile", "q189_profile_approx",
       "q182_entity_resolution", "q191_running_total",
-      "q200_running_moments", "q203_group_median")
+      "q200_running_moments", "q203_group_median",
+      "q205_weighted_percentiles", "q206_rank_features",
+      "q208_categorical_profile")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')

@@ -196,6 +196,42 @@ object SkewStress {
       medianTwoPass().exceptAll(medianWindow()).isEmpty,
       "two-pass median disagrees with the window form")
 
+    // ---- AS-OF arms: the point-in-time lookup is the running-last
+    // shape — a union + per-key LAST_VALUE window strands the hot
+    // key exactly like the running total; asofJoinSkewSafe rides the
+    // slice algebra (op=last). Quotes = every 10th v (ord 2v),
+    // probes = the rest (ord 2v+1).
+    val quotes = probe.filter(pmod(col("v"), lit(10)) === 0)
+      .select(col("k"), (col("v") * 2).as("ord"), col("v").as("qv"))
+    val probes = probe.filter(pmod(col("v"), lit(10)) =!= 0)
+      .select(col("k"), (col("v") * 2 + 1).as("ord"),
+        col("v").as("pid"))
+    val expectAsof = 7200000L // 90% of 8M rows are probes
+    def asofWindow() = {
+      val u = probes.withColumn("qv", lit(null).cast("long"))
+        .withColumn("__p", lit(true))
+        .unionByName(quotes
+          .withColumn("pid", lit(null).cast("long"))
+          .withColumn("__p", lit(false))
+          .select(col("k"), col("ord"), col("pid"), col("qv"),
+            col("__p")))
+      u.withColumn("asof_v", last(col("qv"), ignoreNulls = true).over(
+          Window.partitionBy(col("k")).orderBy(col("ord"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("__p"))
+        .select(col("k"), col("pid"), col("asof_v"))
+    }
+    def asofTwoPass() =
+      graft.ops.EventAnalytics.asofJoinSkewSafe(probes, quotes,
+          "k", "ord", "qv", "asof_v", partitions = 32)
+        .select(col("k"), col("pid"), col("asof_v"))
+    asofWindow().queryExecution.toRdd.count() // warm
+    run("asof_window_aqe", expectAsof)(() => asofWindow())
+    run("asof_twopass", expectAsof)(() => asofTwoPass())
+    require(asofWindow().exceptAll(asofTwoPass()).isEmpty &&
+      asofTwoPass().exceptAll(asofWindow()).isEmpty,
+      "two-pass as-of disagrees with the window form")
+
     // equivalence of the two agg forms (exactness is the contract)
     val a = probe.groupBy("k").agg(countDistinct(col("v")).as("nd"))
     val b = probe.select(col("k"), col("v")).distinct()

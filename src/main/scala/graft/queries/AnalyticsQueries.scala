@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{EventAnalytics, IncrementalAgg, Multimodal}
+import graft.functions.parsers.dec2
 import QuerySpec.{events, eventsSql, table}
 
 /** Batch 15 (round 10, third leg): the analytics-engine surface a
@@ -1779,7 +1780,138 @@ object AnalyticsQueries {
         |SELECT p.user_id, p.event_id, q.pv_centi AS last_purchase_centi
         |FROM p ASOF LEFT JOIN q
         |  ON p.user_id = q.user_id AND p.ts >= q.ts
-        |ORDER BY p.user_id, p.event_id""".stripMargin))
+        |ORDER BY p.user_id, p.event_id""".stripMargin)),
+
+    // TPC-H Q7 shape (volume shipping, r12): bilateral trade between
+    // a nation PAIR by ship year — the classic disjunctive two-alias
+    // dim join (nation joined twice, OR'd pair predicate across the
+    // aliases, so it can't push below either single join). Both
+    // nation sides broadcast; the q162/q163 decimal revenue idiom.
+    QuerySpec("q210_volume_shipping",
+      (s, dir) => {
+        val n1 = table(s, dir, "nation")
+          .select(col("n_nationkey").as("n1k"),
+            col("n_name").as("supp_nation"))
+        val n2 = table(s, dir, "nation")
+          .select(col("n_nationkey").as("n2k"),
+            col("n_name").as("cust_nation"))
+        table(s, dir, "supplier")
+          .join(table(s, dir, "lineitem"),
+            col("s_suppkey") === col("l_suppkey"))
+          .filter(col("l_shipdate")
+              .between(lit("1996-01-01").cast("timestamp"),
+                lit("1997-12-31").cast("timestamp")))
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+          .filter(
+            (col("supp_nation") === "NATION_1" &&
+              col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,2)")).as("__rev"))
+          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+            col("__rev").cast("double").as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(volume) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,2)) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |      AND TIMESTAMP '1997-12-31') t
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8 shape (market share, r12): one nation's share of the
+    // PROMO-part volume sold into the ASIA market, by order year —
+    // the conditional-aggregate-over-a-wide-join shape (7 tables;
+    // share = a ratio of two sums over the SAME scan, never two
+    // scans). The share is exact integer micros over centi sums —
+    // floor(10⁶·nation/total) — instead of the float division the
+    // textbook query uses, so the gate is hash-exact.
+    QuerySpec("q211_market_share",
+      (s, dir) => {
+        val n1 = table(s, dir, "nation")
+          .select(col("n_nationkey").as("n1k"),
+            col("n_regionkey").as("n1r"))
+        val n2 = table(s, dir, "nation")
+          .select(col("n_nationkey").as("n2k"),
+            col("n_name").as("supp_nation"))
+        // q01 discipline: cast each factor to DECIMAL(18,2) FIRST —
+        // the double product rounds differently across engines at
+        // half-cent ties (measured: 2 centi drift over the ~27k-row
+        // sum), decimal×decimal does not. Scale-4 product, summed
+        // exactly, then ×10⁴ to integer units.
+        val v = dec2(col("l_extendedprice")) *
+          (lit(1) - dec2(col("l_discount")))
+        table(s, dir, "part").filter(col("p_type") === "PROMO")
+          .join(table(s, dir, "lineitem"),
+            col("p_partkey") === col("l_partkey"))
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate")
+            .between(lit("1996-01-01").cast("timestamp"),
+              lit("1997-12-31").cast("timestamp")))
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("n1k"))
+          .join(broadcast(table(s, dir, "region"))
+              .filter(col("r_name") === "ASIA"),
+            col("n1r") === col("r_regionkey"))
+          .join(table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("n2k"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_3", v)
+              .otherwise(lit(0))) * 10000).cast("long").as("nation_e4"),
+            (sum(v) * 10000).cast("long").as("total_e4"))
+          .select(col("o_year"), col("nation_e4"), col("total_e4"),
+            expr("(1000000 * nation_e4) div total_e4")
+              .as("mkt_share_micro"))
+          .orderBy(col("o_year"))
+      },
+      Some("""WITH t AS (SELECT CAST(year(o_orderdate) AS INTEGER)
+        |      AS o_year,
+        |    n2.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+        |      AND TIMESTAMP '1997-12-31'),
+        |g AS (SELECT o_year,
+        |    CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |      ELSE 0 END) * 10000 AS BIGINT) AS nation_e4,
+        |    CAST(SUM(volume) * 10000 AS BIGINT) AS total_e4
+        |  FROM t GROUP BY o_year)
+        |SELECT o_year, nation_e4, total_e4,
+        |  (1000000 * nation_e4) // total_e4 AS mkt_share_micro
+        |FROM g ORDER BY o_year""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------
