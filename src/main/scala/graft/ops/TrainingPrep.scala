@@ -110,6 +110,37 @@ object TrainingPrep {
       .withColumn("n_bins", col("bin_last") - col("bin_first") + 1)
   }
 
+  /** Equal-WEIGHT sharding per group: assign each document (in
+    * `ordCol` order) to one of `nShards` contiguous shards so every
+    * shard carries ~equal weight (the loader's equal-token output
+    * files, per source) — shard = floor(B·start / W), start = the
+    * doc's running-weight offset, W = the group's total. Contiguous
+    * by construction, deterministic at any partitioning, each shard's
+    * mass within one document of W/B. The running weight rides the
+    * skew-safe prefix sum (a 99%-hot source is the normal case, not
+    * the edge case); the B·start product rides DECIMAL(38,0) (a
+    * trillion-token source × 10⁵ shards overflows long). The
+    * defensive least(B−1) clamps a trailing zero-weight document
+    * (whose start equals W). Complements [[packSequences]] (fixed-
+    * LENGTH bins, straddlers split) and [[packByTokenBudget]]
+    * (fixed-budget greedy): here the BIN COUNT is fixed and mass
+    * balances. */
+  def equalWeightShards(df: DataFrame, keyCol: String, ordCol: String,
+      weightCol: String, nShards: Int, partitions: Int = 0): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val cum = EventAnalytics.runningAggsSkewSafe(df, keyCol, ordCol,
+      Seq((weightCol, "sum", "__cw")), partitions)
+    val totals = df.groupBy(col(keyCol))
+      .agg(sum(col(weightCol)).as("__tw"))
+      .select(col(keyCol).as("__tk"), col("__tw"))
+    cum.join(totals, col(keyCol) === col("__tk")).drop("__tk")
+      .withColumn("shard", expr(
+        s"least(CAST(${nShards - 1} AS BIGINT), " +
+          s"(CAST($nShards AS DECIMAL(38,0)) * (__cw - $weightCol)) " +
+          "div __tw)"))
+      .drop("__cw", "__tw")
+  }
+
   /** Token-budget selection: walk the corpus in `ordCol` order
     * (arrival, quality rank — any total order) and keep documents
     * until `budget` tokens are reached; the document that CROSSES the

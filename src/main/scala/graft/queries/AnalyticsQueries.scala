@@ -1911,7 +1911,29 @@ object AnalyticsQueries {
         |  FROM t GROUP BY o_year)
         |SELECT o_year, nation_e4, total_e4,
         |  (1000000 * nation_e4) // total_e4 AS mkt_share_micro
-        |FROM g ORDER BY o_year""".stripMargin))
+        |FROM g ORDER BY o_year""".stripMargin)),
+
+    // Equal-weight sharding (r12): each source's documents assigned
+    // to 4 contiguous shards of ~equal character mass — the loader's
+    // equal-token output files. shard = floor(B·start/W) over the
+    // skew-safe running weight; deterministic at any partitioning.
+    QuerySpec("q212_equal_shards",
+      (s, dir) => graft.ops.TrainingPrep.equalWeightShards(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", "n_chars", nShards = 4)
+        .select(col("doc_id"), col("source"), col("shard"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id, source, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS BIGINT) AS cw,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source)
+        |      AS BIGINT) AS tw
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  LEAST(CAST(3 AS BIGINT), (4 * (cw - n_chars)) // tw)
+        |    AS shard
+        |FROM c ORDER BY source, doc_id""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

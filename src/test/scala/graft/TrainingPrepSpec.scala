@@ -701,4 +701,39 @@ class TrainingPrepSpec extends SparkSuite {
         .toSeq == solo, s"group $g disagrees with the solo op")
     }
   }
+
+  test("equalWeightShards: brute-force agreement, contiguity, and " +
+      "the one-document balance bound per (group, shard)") {
+    val rows = (for (g <- Seq("a", "b"); i <- 1L to 200L)
+      yield (g, i, 1L + (i * 13) % 50)) ++ Seq(("c", 1L, 7L)) // 1-doc group
+    val df = rows.toDF("g", "id", "w").repartition(7)
+    val b = 4
+    val out = TrainingPrep.equalWeightShards(df, "g", "id", "w", b)
+      .select(col("g"), col("id"), col("shard")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, docs) =>
+      val sorted = docs.sortBy(_._2)
+      val tw = sorted.map(_._3).sum
+      val starts = sorted.map(_._3).scanLeft(0L)(_ + _).init
+      sorted.zip(starts).map { case ((_, id, _), st) =>
+        (g, id, math.min(b - 1L, st * b / tw))
+      }
+    }
+    assert(out.sorted == exp.sorted)
+    // shards are contiguous in id order and each carries within one
+    // max-document of the ideal W/B mass
+    for (g <- Seq("a", "b")) {
+      val byShard = rows.filter(_._1 == g).sortBy(_._2)
+        .map(r => (r._2, r._3))
+        .zip(out.filter(_._1 == g).sortBy(_._2).map(_._3))
+      assert(byShard.map(_._2) == byShard.map(_._2).sorted) // contiguous
+      val tw = byShard.map(_._1._2).sum
+      val maxW = byShard.map(_._1._2).max
+      byShard.groupBy(_._2).foreach { case (sh, ds) =>
+        val mass = ds.map(_._1._2).sum
+        assert(math.abs(mass - tw / b) <= maxW + tw % b,
+          s"group $g shard $sh mass $mass vs ideal ${tw / b}")
+      }
+    }
+  }
 }
