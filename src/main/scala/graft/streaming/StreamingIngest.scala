@@ -23,6 +23,16 @@ import graft.pipeline.ImportPipeline
   * rewrite is the cost — at 100 TB the same operator lands on a table
   * format with real MERGE, but the plan shape is identical.
   */
+/** One unioned as-of event: a quote (isQuote, carries `value`) or a
+  * probe (carries `pid`, the probe's identity in the output). The
+  * unused lane rides 0 — Options in hot streaming rows cost an
+  * allocation per event. */
+case class AsofEvent(key: Long, ord: Long, isQuote: Boolean,
+  value: Long, pid: Long)
+
+/** A probe's enrich result: the as-of quote value, if any yet. */
+case class AsofMatch(key: Long, pid: Long, asof: Option[Long])
+
 object StreamingIngest {
 
   /** The committed snapshot, if any commit has happened yet. */
@@ -392,6 +402,42 @@ object StreamingIngest {
     * `b => require(Temporal.duplicateOpenVersions(b).isEmpty, ...)`).
     * Deltas are partial by nature, so the batch pipeline's deleted-row
     * audit intentionally does NOT apply here. */
+  /** Streaming AS-OF enrich — the readStream twin of
+    * `EventAnalytics.asofJoinSkewSafe`: per key, the latest quote
+    * (ord, value) rides group state; each probe emits the carried
+    * value at-or-before its ord. Events inside a micro-batch are
+    * sorted by ord before folding (the GroupState iterator has no
+    * order contract), and the carry is MONOTONE across batches — a
+    * quote older than the carried one never replaces it, so an
+    * epoch replay or a late quote cannot regress an already-correct
+    * carry. A probe arriving before its matching quote (cross-batch
+    * out-of-order) emits the carry as of its own batch — the
+    * standard at-enrich-time semantics of a streaming lookup; the
+    * batch op is the reconciliation path. Same ord contract as the
+    * batch twin: quotes at even encodings sort before probes at
+    * odd, quote ords unique per key. */
+  def asofEnrich(events: org.apache.spark.sql.Dataset[AsofEvent])
+      : org.apache.spark.sql.Dataset[AsofMatch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Option[(Long, Long)], AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[AsofEvent],
+         state: GroupState[Option[(Long, Long)]]) =>
+          var carry = state.getOption.flatten
+          val out = scala.collection.mutable.ArrayBuffer[AsofMatch]()
+          evs.toSeq.sortBy(_.ord).foreach { e =>
+            if (e.isQuote) {
+              if (carry.forall(_._1 <= e.ord))
+                carry = Some((e.ord, e.value))
+            } else out += AsofMatch(key, e.pid, carry.map(_._2))
+          }
+          state.update(carry)
+          out.iterator
+      }
+  }
+
   def scd2Ingest(stream: DataFrame, idCol: String, snapshotDir: String,
       checkpointDir: String,
       validateBatch: DataFrame => Unit = _ => ()): StreamingQuery =

@@ -50,6 +50,40 @@ class StreamingSpec extends SparkSuite {
     assert(res.map(_._1) == Seq(0L, 1L, 2L))
   }
 
+  test("streaming as-of enrich == batch asofJoinSkewSafe under " +
+      "in-order delivery; carry survives the batch boundary") {
+    import graft.streaming.{AsofEvent, StreamingIngest}
+    implicit val sqlCtx = spark.sqlContext
+    // quotes at even ords, probes at odd (the batch twin's encoding);
+    // key 0 hogs most rows; probes 1..9 precede the first quote
+    val evs = (0L until 400L).map { i =>
+      val k = i % 3
+      if (i % 4 == 0) AsofEvent(k, (i + 10) * 2, isQuote = true,
+        value = i, pid = 0L)
+      else AsofEvent(k, i * 2 + 1, isQuote = false, value = 0L, pid = i)
+    }.sortBy(_.ord)
+    val (b1, b2) = evs.splitAt(200) // carry must survive the boundary
+    val stream = MemoryStream[AsofEvent]
+    val q = StreamingIngest.asofEnrich(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_out")
+      .as[(Long, Long, Option[Long])].collect().toSeq.sorted
+    val probes = evs.filter(!_.isQuote)
+      .map(e => (e.key, e.ord, e.pid)).toDF("k", "ord", "pid")
+    val quotes = evs.filter(_.isQuote)
+      .map(e => (e.key, e.ord, e.value)).toDF("k", "ord", "qv")
+    val batch = graft.ops.EventAnalytics.asofJoinSkewSafe(
+        probes, quotes, "k", "ord", "qv", "asof_v", partitions = 5)
+      .select($"k", $"pid", $"asof_v")
+      .as[(Long, Long, Option[Long])].collect().toSeq.sorted
+    assert(streamed == batch)
+    assert(batch.exists(_._3.isEmpty)) // the pre-first-quote lane ran
+  }
+
   test("streaming tumbling-window counts equal the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val data = (0 until 100).map { i =>
