@@ -169,6 +169,86 @@ object Profile {
         col("mode_value"), col("mode_count"), col("gini_micro"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic, EXACT — the
+    * distribution-shift monitor between two sources:
+    * D = max over x of |F₁(x) − F₂(x)| is a RATIONAL with
+    * denominator n₁·n₂, so the supremum is computed entirely in
+    * integers — d_num = max |i·n₂ − j·n₁| over the distinct values'
+    * cumulative counts (i, j), ks_micro = floor(10⁶·d_num / n₁·n₂) —
+    * and gates hash-exact (the float KS of a stats library cannot).
+    * Ties across samples are handled by construction: both CDFs are
+    * evaluated AFTER each distinct value's full mass (one row per
+    * distinct value).
+    *
+    * Plan: one (value) count aggregate with per-sample conditional
+    * counts (map-side combinable); the cumulative counts ride the
+    * skew-safe prefix sum over a constant key (a global ORDER BY
+    * window over |V| distinct values would otherwise be one task —
+    * the packSequences discipline); the two totals attach by a 1-row
+    * broadcast (PlanSpec BNL allowlist, bound = an .agg() with no
+    * grouping). 10⁶·d_num rides DECIMAL(38,0) (d_num ≤ n₁·n₂ ≈ 10¹⁸
+    * already saturates long). Output: one row
+    * (n1, n2, d_num, ks_micro). */
+  def ksDrift(df: DataFrame, valueCol: String, sampleCol: String,
+      a: String, b: String, partitions: Int = 0): DataFrame = {
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = EventAnalytics.runningAggsSkewSafe(
+      cnt.withColumn("__g", lit(0)), "__g", valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+    val totals = cnt.agg(sum(col("__ca")).as("n1"),
+      sum(col("__cb")).as("n2"))
+    cum.crossJoin(broadcast(totals)) // 1-row aggregate attach
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("__ia") * col("n2") - col("__ib") * col("n1")))
+          .as("d_num"))
+      .withColumn("ks_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * d_num) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2)"))
+  }
+
+  /** Two-sample Mann–Whitney U, EXACT — the rank-sum drift test
+    * beside [[ksDrift]] (KS sees the largest CDF gap; U sees the
+    * whole-distribution stochastic order). Tie handling is the
+    * textbook average rank, kept integral by working in HALF-UNITS:
+    * over the distinct values' combined cumulative counts,
+    * 2·ΣR_A = Σ cₐ·(2·prev + cₐ + c_b + 1) (prev = combined mass
+    * before the value), and 2U = 2·ΣR_A − n₁(n₁+1). The effect size
+    * u_micro = floor(10⁶·U / n₁n₂) is the common-language
+    * P(A > B) + ½P(A = B) in micros — u_micro = 500000 means no
+    * drift. Same plan as ksDrift: one per-value count aggregate, the
+    * skew-safe prefix sum over a constant key, a 1-row totals attach;
+    * products ride DECIMAL(38,0). Output: (n1, n2, u2, u_micro). */
+  def mannWhitneyU(df: DataFrame, valueCol: String, sampleCol: String,
+      a: String, b: String, partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = EventAnalytics.runningAggsSkewSafe(
+      cnt.withColumn("__g", lit(0)), "__g", valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+    val totals = cnt.agg(sum(col("__ca")).as("n1"),
+      sum(col("__cb")).as("n2"))
+    cum
+      .withColumn("__r2", (col("__ca").cast(d38) *
+        (lit(2) * (col("__ia") - col("__ca") + col("__ib") - col("__cb"))
+          + col("__ca") + col("__cb") + 1)).cast(d38))
+      .agg(sum(col("__r2")).cast(d38).as("__r2a"))
+      .crossJoin(broadcast(totals)) // 1-row aggregate attach
+      .withColumn("u2", expr(
+        "CAST(__r2a - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)"))
+      .withColumn("u_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * u2) div " +
+          "(2 * CAST(n1 AS DECIMAL(38,0)) * n2)"))
+      .select(col("n1"), col("n2"), col("u2"), col("u_micro"))
+  }
+
   def groupOutliers(df: DataFrame, groupCol: String, idCols: Seq[String],
       valueCentiCol: String, z: Int): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -1933,7 +1933,68 @@ object AnalyticsQueries {
         |SELECT doc_id, source,
         |  LEAST(CAST(3 AS BIGINT), (4 * (cw - n_chars)) // tw)
         |    AS shard
-        |FROM c ORDER BY source, doc_id""".stripMargin))
+        |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    // Exact two-sample Kolmogorov–Smirnov drift (r12): D is rational
+    // with denominator n₁·n₂, so the supremum over the empirical
+    // CDFs is pure integer arithmetic — max |i·n₂ − j·n₁| over the
+    // distinct values' cumulative counts — and gates hash-exact
+    // where a float KS cannot. The source-distribution-shift monitor
+    // (here: n_chars between src1 and src2).
+    QuerySpec("q213_ks_drift",
+      (s, dir) => graft.ops.Profile.ksDrift(
+          table(s, dir, "documents").select(col("n_chars"),
+            col("source")),
+          "n_chars", "source", "src1", "src2")
+        .select(col("n1"), col("n2"), col("d_num"), col("ks_micro")),
+      Some("""WITH c AS (SELECT n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY n_chars),
+        |r AS (SELECT v,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS ia,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS ib
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2 FROM c)
+        |SELECT t.n1, t.n2,
+        |  CAST(MAX(ABS(ia * t.n2 - ib * t.n1)) AS BIGINT) AS d_num,
+        |  (1000000 * CAST(MAX(ABS(ia * t.n2 - ib * t.n1)) AS BIGINT))
+        |    // (t.n1 * t.n2) AS ks_micro
+        |FROM r, t GROUP BY t.n1, t.n2""".stripMargin)),
+
+    // Exact Mann–Whitney U (r12): the rank-sum companion to q213 —
+    // tie-averaged ranks kept integral in HALF-UNITS (2·ΣR_A over
+    // the distinct values' combined cumulative counts), 2U = 2ΣR_A −
+    // n₁(n₁+1), effect size u_micro = floor(10⁶·U/n₁n₂) = the
+    // common-language P(src1 > src2) + ½P(=) (500000 = no drift).
+    QuerySpec("q214_mannwhitney",
+      (s, dir) => graft.ops.Profile.mannWhitneyU(
+          table(s, dir, "documents").select(col("n_chars"),
+            col("source")),
+          "n_chars", "source", "src1", "src2"),
+      Some("""WITH c AS (SELECT n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY n_chars),
+        |r AS (SELECT v, ca, cb,
+        |    CAST(SUM(ca + cb) OVER (ORDER BY v) AS BIGINT) AS ie
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2 FROM c),
+        |s AS (SELECT CAST(SUM(ca * (2 * (ie - ca - cb) + ca + cb + 1))
+        |    AS BIGINT) AS r2a FROM r)
+        |SELECT t.n1, t.n2,
+        |  s.r2a - t.n1 * (t.n1 + 1) AS u2,
+        |  (1000000 * (s.r2a - t.n1 * (t.n1 + 1)))
+        |    // (2 * t.n1 * t.n2) AS u_micro
+        |FROM s, t""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

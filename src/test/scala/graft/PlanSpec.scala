@@ -157,7 +157,11 @@ class PlanSpec extends SparkSuite {
       "q175_ann_filtered",
       // q177's three 1-ROW best-merge frames attach by keyless cross
       // join (the quota-Σw discipline; LIMIT 1 by construction)
-      "q177_bpe_train")
+      "q177_bpe_train",
+      // q213/q214 attach the (n1, n2) totals — an .agg() with NO
+      // grouping, 1 row by construction — to the cumulative-count
+      // frame before the final reduce
+      "q213_ks_drift", "q214_mannwhitney")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

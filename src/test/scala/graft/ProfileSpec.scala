@@ -78,6 +78,56 @@ class ProfileSpec extends SparkSuite {
       (3L, 2L, 2L, 1L, 1L, 500000L)))
   }
 
+  test("ksDrift: identical samples → 0; disjoint supports → 1e6; " +
+      "hand-computed mixed case with cross-sample ties") {
+    def ks(rows: Seq[(Long, String)]) =
+      Profile.ksDrift(rows.toDF("v", "s"), "v", "s", "A", "B",
+          partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).head
+    // identical distributions: D = 0
+    val same = (1L to 50L).flatMap(i => Seq((i, "A"), (i, "B")))
+    assert(ks(same) == (50L, 50L, 0L, 0L))
+    // disjoint supports: D = 1 → exactly 1e6 micros
+    val disj = (1L to 30L).map((_, "A")) ++ (31L to 70L).map((_, "B"))
+    assert(ks(disj) == (30L, 40L, 30L * 40L, 1000000L))
+    // mixed with ties: A = {1,2,2,5}, B = {2,3}; CDF evaluated after
+    // each value's full mass: at v=2 |3·2 − 1·4| = 2 is the sup
+    val mixed = Seq((1L, "A"), (2L, "A"), (2L, "A"), (5L, "A"),
+      (2L, "B"), (3L, "B"))
+    assert(ks(mixed) == (4L, 2L, 2L, 250000L))
+    // a third sample value is excluded by the filter
+    assert(ks(mixed :+ (99L, "C")) == (4L, 2L, 2L, 250000L))
+  }
+
+  test("mannWhitneyU: stochastic order extremes, the all-tied case, " +
+      "and a brute-force pair count with ties") {
+    def mw(rows: Seq[(Long, String)]) =
+      Profile.mannWhitneyU(rows.toDF("v", "s"), "v", "s", "A", "B",
+          partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).head
+    // every A below every B: U = 0
+    val below = (1L to 10L).map((_, "A")) ++ (11L to 15L).map((_, "B"))
+    assert(mw(below) == (10L, 5L, 0L, 0L))
+    // every A above every B: U = n1·n2 → 1e6
+    val above = (11L to 20L).map((_, "A")) ++ (1L to 5L).map((_, "B"))
+    assert(mw(above) == (10L, 5L, 2L * 10L * 5L, 1000000L))
+    // all tied: U = n1·n2/2 → exactly 500000
+    val tied = (1L to 6L).map(i => (7L, if (i % 2 == 0) "A" else "B"))
+    assert(mw(tied) == (3L, 3L, 9L, 500000L))
+    // brute force: 2U = 2·#(a>b) + #(a=b) over all pairs
+    val mixed = Seq((1L, "A"), (3L, "A"), (3L, "A"), (8L, "A"),
+      (2L, "B"), (3L, "B"), (9L, "B"))
+    val as = mixed.filter(_._2 == "A").map(_._1)
+    val bs = mixed.filter(_._2 == "B").map(_._1)
+    val u2ref = (for (x <- as; y <- bs) yield
+      (if (x > y) 2L else if (x == y) 1L else 0L)).sum
+    val got = mw(mixed)
+    assert(got._3 == u2ref && got == (4L, 3L, u2ref,
+      1000000L * u2ref / (2 * 4 * 3)))
+  }
+
   test("profile: one scan for all columns") {
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("a", "b")
     val plan = Profile.profile(df, Seq("a", "b"))
