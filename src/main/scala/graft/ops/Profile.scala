@@ -210,6 +210,39 @@ object Profile {
           "(CAST(n1 AS DECIMAL(38,0)) * n2)"))
   }
 
+  /** Per-GROUP two-sample KS — [[ksDrift]] keyed on a segment column
+    * (drift per language, per topic, per time bucket): the same
+    * integer supremum, with the cumulative counts riding the
+    * skew-safe prefix sum keyed on the GROUP (a hot segment spreads
+    * across slices) and the ≤|groups| totals joined back (AQE
+    * broadcasts; no 1-row attach needed in the keyed form). Groups
+    * where either sample is empty are dropped — D is undefined
+    * there, and emitting a null ratio would just defer the decision
+    * to the caller. */
+  def ksDriftBy(df: DataFrame, groupCol: String, valueCol: String,
+      sampleCol: String, a: String, b: String,
+      partitions: Int = 0): DataFrame = {
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = EventAnalytics.runningAggsSkewSafe(cnt, groupCol, valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+    val totals = cnt.groupBy(col(groupCol))
+      .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
+    cum.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+      .groupBy(col(groupCol))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("__ia") * col("n2") - col("__ib") * col("n1")))
+          .as("d_num"))
+      .withColumn("ks_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * d_num) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2)"))
+  }
+
   /** Two-sample Mann–Whitney U, EXACT — the rank-sum drift test
     * beside [[ksDrift]] (KS sees the largest CDF gap; U sees the
     * whole-distribution stochastic order). Tie handling is the

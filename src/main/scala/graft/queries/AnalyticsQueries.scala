@@ -1994,7 +1994,45 @@ object AnalyticsQueries {
         |  s.r2a - t.n1 * (t.n1 + 1) AS u2,
         |  (1000000 * (s.r2a - t.n1 * (t.n1 + 1)))
         |    // (2 * t.n1 * t.n2) AS u_micro
-        |FROM s, t""".stripMargin))
+        |FROM s, t""".stripMargin)),
+
+    // Per-group KS drift (r12): q213 keyed on language — the
+    // drift-per-segment monitor; groups missing either sample are
+    // dropped (D undefined). The cumulative counts ride the
+    // prefix sum keyed on the group, totals join back ≤|groups|.
+    QuerySpec("q215_ks_drift_by",
+      (s, dir) => graft.ops.Profile.ksDriftBy(
+          table(s, dir, "documents").select(col("lang"),
+            col("n_chars"), col("source")),
+          "lang", "n_chars", "source", "src1", "src2")
+        .select(col("lang"), col("n1"), col("n2"), col("d_num"),
+          col("ks_micro"))
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY lang, n_chars),
+        |r AS (SELECT lang, v,
+        |    CAST(SUM(ca) OVER (PARTITION BY lang ORDER BY v)
+        |      AS BIGINT) AS ia,
+        |    CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY v)
+        |      AS BIGINT) AS ib
+        |  FROM c),
+        |t AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2
+        |  FROM c GROUP BY lang
+        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0)
+        |SELECT t.lang, t.n1, t.n2,
+        |  CAST(MAX(ABS(r.ia * t.n2 - r.ib * t.n1)) AS BIGINT)
+        |    AS d_num,
+        |  (1000000 * CAST(MAX(ABS(r.ia * t.n2 - r.ib * t.n1))
+        |    AS BIGINT)) // (t.n1 * t.n2) AS ks_micro
+        |FROM r JOIN t ON r.lang = t.lang
+        |GROUP BY t.lang, t.n1, t.n2
+        |ORDER BY t.lang""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

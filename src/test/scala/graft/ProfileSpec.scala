@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Profile
+import org.apache.spark.sql.functions.col
 
 /** Column-profile semantics on a planted frame (nulls, duplicates,
   * type-native min/max) and the single-scan plan shape. */
@@ -126,6 +127,29 @@ class ProfileSpec extends SparkSuite {
     val got = mw(mixed)
     assert(got._3 == u2ref && got == (4L, 3L, u2ref,
       1000000L * u2ref / (2 * 4 * 3)))
+  }
+
+  test("ksDriftBy: per-group values match the solo op per slice; " +
+      "one-sample groups dropped") {
+    val rows =
+      (1L to 40L).map(v => ("g1", v, "A")) ++
+      (21L to 60L).map(v => ("g1", v, "B")) ++
+      (1L to 30L).map(v => ("g2", v, "A")) ++
+      (1L to 30L).map(v => ("g2", v, "B")) ++
+      (1L to 9L).map(v => ("g3", v, "A")) // no B sample → dropped
+    val df = rows.toDF("g", "v", "s").repartition(7)
+    val out = Profile.ksDriftBy(df, "g", "v", "s", "A", "B",
+        partitions = 3)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("g1", "g2"))
+    for (g <- Seq("g1", "g2")) {
+      val solo = Profile.ksDrift(
+          df.filter(col("g") === g), "v", "s", "A", "B", partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).head
+      assert(out(g) == solo, s"group $g disagrees with the solo op")
+    }
   }
 
   test("profile: one scan for all columns") {
