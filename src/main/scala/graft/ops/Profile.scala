@@ -282,6 +282,42 @@ object Profile {
       .select(col("n1"), col("n2"), col("u2"), col("u_micro"))
   }
 
+  /** Per-GROUP Mann–Whitney U — [[mannWhitneyU]] keyed on a segment
+    * column, completing the drift-by-segment pair with [[ksDriftBy]]:
+    * the same half-unit rank algebra per group, cumulative counts on
+    * the group-keyed prefix sum, ≤|groups| totals joined back (AQE
+    * broadcasts), one-sample groups dropped (U undefined). */
+  def mannWhitneyUBy(df: DataFrame, groupCol: String, valueCol: String,
+      sampleCol: String, a: String, b: String,
+      partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = EventAnalytics.runningAggsSkewSafe(cnt, groupCol, valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+    val totals = cnt.groupBy(col(groupCol))
+      .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
+    cum.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+      .withColumn("__r2", (col("__ca").cast(d38) *
+        (lit(2) * (col("__ia") - col("__ca") + col("__ib") - col("__cb"))
+          + col("__ca") + col("__cb") + 1)).cast(d38))
+      .groupBy(col(groupCol))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("__r2")).cast(d38).as("__r2a"))
+      .withColumn("u2", expr(
+        "CAST(__r2a - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)"))
+      .withColumn("u_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * u2) div " +
+          "(2 * CAST(n1 AS DECIMAL(38,0)) * n2)"))
+      .select(col(groupCol), col("n1"), col("n2"), col("u2"),
+        col("u_micro"))
+  }
+
   def groupOutliers(df: DataFrame, groupCol: String, idCols: Seq[String],
       valueCentiCol: String, z: Int): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -2032,6 +2032,43 @@ object AnalyticsQueries {
         |    AS BIGINT)) // (t.n1 * t.n2) AS ks_micro
         |FROM r JOIN t ON r.lang = t.lang
         |GROUP BY t.lang, t.n1, t.n2
+        |ORDER BY t.lang""".stripMargin)),
+
+    // Per-group Mann–Whitney U (r12): q214 keyed on language —
+    // completes the drift-by-segment pair with q215. Same half-unit
+    // rank algebra per group; one-sample groups dropped.
+    QuerySpec("q216_mannwhitney_by",
+      (s, dir) => graft.ops.Profile.mannWhitneyUBy(
+          table(s, dir, "documents").select(col("lang"),
+            col("n_chars"), col("source")),
+          "lang", "n_chars", "source", "src1", "src2")
+        .select(col("lang"), col("n1"), col("n2"), col("u2"),
+          col("u_micro"))
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY lang, n_chars),
+        |r AS (SELECT lang, ca, cb,
+        |    CAST(SUM(ca + cb) OVER (PARTITION BY lang ORDER BY v)
+        |      AS BIGINT) AS ie
+        |  FROM c),
+        |t AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2
+        |  FROM c GROUP BY lang
+        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0),
+        |s AS (SELECT lang,
+        |    CAST(SUM(ca * (2 * (ie - ca - cb) + ca + cb + 1))
+        |      AS BIGINT) AS r2a
+        |  FROM r GROUP BY lang)
+        |SELECT t.lang, t.n1, t.n2,
+        |  s.r2a - t.n1 * (t.n1 + 1) AS u2,
+        |  (1000000 * (s.r2a - t.n1 * (t.n1 + 1)))
+        |    // (2 * t.n1 * t.n2) AS u_micro
+        |FROM s JOIN t ON s.lang = t.lang
         |ORDER BY t.lang""".stripMargin))
   )
 

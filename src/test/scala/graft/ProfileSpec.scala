@@ -152,6 +152,29 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("mannWhitneyUBy: per-group values match the solo op per " +
+      "slice; one-sample groups dropped") {
+    val rows =
+      (1L to 40L).map(v => ("g1", v, "A")) ++
+      (21L to 60L).map(v => ("g1", v, "B")) ++
+      (1L to 30L).flatMap(v => Seq(("g2", v, "A"), ("g2", v, "B"))) ++
+      (1L to 9L).map(v => ("g3", v, "B")) // no A sample → dropped
+    val df = rows.toDF("g", "v", "s").repartition(7)
+    val out = Profile.mannWhitneyUBy(df, "g", "v", "s", "A", "B",
+        partitions = 3)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("g1", "g2"))
+    for (g <- Seq("g1", "g2")) {
+      val solo = Profile.mannWhitneyU(
+          df.filter(col("g") === g), "v", "s", "A", "B", partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).head
+      assert(out(g) == solo, s"group $g disagrees with the solo op")
+    }
+    assert(out("g2")._4 == 500000L) // identical samples: no drift
+  }
+
   test("profile: one scan for all columns") {
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("a", "b")
     val plan = Profile.profile(df, Seq("a", "b"))
