@@ -14,12 +14,32 @@ import org.apache.spark.sql.execution.window.WindowExec
   * pins the allowlist; this main is the hunting tool).
   */
 object WindowAudit {
+  /** The one legitimate empty-partition window: the skew-safe op
+    * family's OFFSETS CHAIN (`EventAnalytics.runningAggsSkewSafe` /
+    * `lagSkewSafe`), a running merge ordered by `__slice` over the
+    * per-slice TOTALS frame — ≤ slices × keys rows by construction
+    * (the data itself rides the (slice, key)-partitioned local
+    * window). When the caller's key is a constant (the two-sample
+    * drift tests, the global PPS/packing axes), Catalyst's
+    * FoldablePropagation folds the key out of the partition spec —
+    * a plan-cosmetic change: a constant key also hashes every row to
+    * one reducer, and "every row" here is the P-row slice roll-up,
+    * never the data. Fingerprint: ordered solely by `__slice`, and
+    * every window expression reads only the op's own slice-total
+    * columns (`__slice_agg_*` / the `__sp` struct). */
+  private def isSliceOffsetsChain(w: WindowExec): Boolean =
+    w.orderSpec.nonEmpty &&
+      w.orderSpec.forall(_.child.references.forall(_.name == "__slice")) &&
+      w.windowExpression.forall(_.references.map(_.name).forall(n =>
+        n.startsWith("__slice_agg_") || n == "__sp" || n == "__slice"))
+
   /** Unpartitioned WindowExecs in a plan, including inside AQE wrappers
     * and subqueries. */
   def unpartitionedWindows(plan: SparkPlan): Seq[WindowExec] = {
     val here = plan.collect {
       case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.inputPlan)
-      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case w: WindowExec
+          if w.partitionSpec.isEmpty && !isSliceOffsetsChain(w) => Seq(w)
     }.flatten
     // subqueries (scalar/IN) hold their own plans
     val subs = plan.collect { case p =>

@@ -431,6 +431,60 @@ object EventAnalytics {
            |END""".stripMargin.replace('\n', ' ')))
   }
 
+  /** Skew-safe LAG — the per-row predecessor value, the last
+    * sequential window shape in the family: `lag(v) OVER (PARTITION
+    * BY key ORDER BY ord)` strands a mega-key exactly like the
+    * running total (no limit to push, no partial to combine, every
+    * row needs an output). Slice algebra: the local lag inside
+    * (slice, key) answers every row except each slice's FIRST, whose
+    * predecessor is the previous non-empty slice's LAST value — which
+    * is precisely the op=last offsets chain ([[runningAggsSkewSafe]]):
+    * per-slice max_by totals, slice-ordered running last, coalesce.
+    * `leadSkewSafe` is the mirror on negated ord. Contracts: unique
+    * non-null numeric `ordCol` per key; null VALUES are returned as
+    * stored (the predecessor's value, null or not) — unlike op=last,
+    * the lag of a row after a null-valued row is null, matching the
+    * window function. */
+  def lagSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, outCol: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // To honor null VALUES (a plain `last` carry would skip them),
+    // carry the predecessor as a (ord, value) struct — never null
+    // for an existing row — and project the value at the end.
+    val sliced = df.withColumn("__slice",
+      sliceColumn(df, ordCol, partitions))
+    val wLoc = Window.partitionBy(col("__slice"), col(keyCol))
+      .orderBy(col(ordCol))
+    val pair = struct(col(ordCol).as("o"), col(valueCol).as("v"))
+    val local = sliced.withColumn("__lp", lag(pair, 1).over(wLoc))
+    // per-(slice,key) last pair, then the running last over earlier
+    // slices per key (≤P rows per key)
+    val totals = sliced.groupBy(col("__slice"), col(keyCol))
+      .agg(max_by(pair, col(ordCol)).as("__sp"))
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__op", last(col("__sp"), ignoreNulls = true).over(wOff))
+      .select(col("__slice").as("__oslice"), col(keyCol).as("__okey"),
+        col("__op"))
+    local.join(offsets,
+        col("__slice") === col("__oslice") && col(keyCol) === col("__okey"))
+      .withColumn(outCol,
+        coalesce(col("__lp"), col("__op")).getField("v"))
+      .drop("__slice", "__oslice", "__okey", "__lp", "__op")
+  }
+
+  /** Skew-safe LEAD — [[lagSkewSafe]] mirrored on negated ord. The
+    * negation must stay exact through the double-valued quantile
+    * slicing, so `ordCol` magnitudes must sit within 2⁵³ (every
+    * composite ord in this library does). */
+  def leadSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, outCol: String, partitions: Int = 0): DataFrame = {
+    val neg = "__neg_" + ordCol
+    lagSkewSafe(df.withColumn(neg, -col(ordCol)), keyCol, neg,
+      valueCol, outCol, partitions).drop(neg)
+  }
+
   /** Skew-safe AS-OF join (backward): for each probe row, the value
     * of the latest quote with ord ≤ the probe's ord, per key — the
     * point-in-time join behind feature lookups and market-data

@@ -210,6 +210,46 @@ object Profile {
           "(CAST(n1 AS DECIMAL(38,0)) * n2)"))
   }
 
+  /** Two-sample EARTH MOVER'S distance (Wasserstein-1), EXACT — the
+    * magnitude-aware drift companion to [[ksDrift]]: KS sees only
+    * the largest CDF gap, W₁ integrates it —
+    * W₁ = ∫|F₁−F₂| dx = Σ |i·n₂ − j·n₁|·Δv / (n₁·n₂) over the
+    * distinct values, Δv = gap to the next distinct value. Every
+    * term is integral, so the statistic gates hash-exact in
+    * micro-VALUE-units (emd_micro = floor(10⁶·Σ/n₁n₂) — for integer
+    * value columns, 10⁶ × the distance expressed in those units).
+    * The value gaps come from the skew-safe LEAD over the same
+    * constant-key prefix frame; products ride DECIMAL(38,0)
+    * (|i·n₂ − j·n₁| alone saturates long). Output: one row
+    * (n1, n2, emd_num, emd_micro). */
+  def emdDrift(df: DataFrame, valueCol: String, sampleCol: String,
+      a: String, b: String, partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = EventAnalytics.runningAggsSkewSafe(
+      cnt.withColumn("__g", lit(0)), "__g", valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+    val withNext = EventAnalytics.leadSkewSafe(cum, "__g", valueCol,
+      valueCol, "__nv", partitions)
+    val totals = cnt.agg(sum(col("__ca")).as("n1"),
+      sum(col("__cb")).as("n2"))
+    withNext.crossJoin(broadcast(totals)) // 1-row aggregate attach
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(when(col("__nv").isNotNull,
+          (abs(col("__ia") * col("n2") - col("__ib") * col("n1"))
+            .cast(d38) * (col("__nv") - col(valueCol))).cast(d38))
+          .otherwise(lit(0).cast(d38))).cast(d38).as("__s"))
+      .withColumn("emd_num", expr("CAST(__s AS BIGINT)"))
+      .withColumn("emd_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * __s) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2)"))
+      .select(col("n1"), col("n2"), col("emd_num"), col("emd_micro"))
+  }
+
   /** Per-GROUP two-sample KS — [[ksDrift]] keyed on a segment column
     * (drift per language, per topic, per time bucket): the same
     * integer supremum, with the cumulative counts riding the

@@ -2069,7 +2069,74 @@ object AnalyticsQueries {
         |  (1000000 * (s.r2a - t.n1 * (t.n1 + 1)))
         |    // (2 * t.n1 * t.n2) AS u_micro
         |FROM s JOIN t ON s.lang = t.lang
-        |ORDER BY t.lang""".stripMargin))
+        |ORDER BY t.lang""".stripMargin)),
+
+    // Skew-safe lag/lead (r12): the per-row predecessor/successor —
+    // the last sequential window shape in the family (every row
+    // needs an output; no limit to push, no partial to combine).
+    // Per customer, each order's previous and next order value in
+    // key order; the (ord, value) struct carry keeps null VALUES
+    // honest (the lag after a null-valued row is null, exactly as
+    // the window function returns it).
+    QuerySpec("q217_lag_lead",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+        val withPrev = EventAnalytics.lagSkewSafe(
+          o, "o_custkey", "o_orderkey", "v_centi", "prev_centi")
+        EventAnalytics.leadSkewSafe(withPrev, "o_custkey",
+            "o_orderkey", "v_centi", "next_centi")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("v_centi"), col("prev_centi"), col("next_centi"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS v_centi,
+        |  LAG(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) OVER w AS prev_centi,
+        |  LEAD(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) OVER w AS next_centi
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Exact Earth Mover's / Wasserstein-1 drift (r12): KS sees the
+    // largest CDF gap, W₁ integrates it — Σ |i·n₂ − j·n₁|·Δv over
+    // distinct values, all integral, emd_micro in micro-value-units.
+    // The Δv gaps ride the skew-safe LEAD (q217's op) over the same
+    // constant-key prefix frame.
+    QuerySpec("q218_emd_drift",
+      (s, dir) => graft.ops.Profile.emdDrift(
+          table(s, dir, "documents").select(col("n_chars"),
+            col("source")),
+          "n_chars", "source", "src1", "src2")
+        .select(col("n1"), col("n2"), col("emd_num"),
+          col("emd_micro")),
+      Some("""WITH c AS (SELECT n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY n_chars),
+        |r AS (SELECT v,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS ia,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS ib,
+        |    LEAD(v) OVER (ORDER BY v) AS nv
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2 FROM c)
+        |SELECT t.n1, t.n2,
+        |  CAST(SUM(CASE WHEN nv IS NOT NULL
+        |    THEN ABS(ia * t.n2 - ib * t.n1) * (nv - v)
+        |    ELSE 0 END) AS BIGINT) AS emd_num,
+        |  (1000000 * CAST(SUM(CASE WHEN nv IS NOT NULL
+        |    THEN ABS(ia * t.n2 - ib * t.n1) * (nv - v)
+        |    ELSE 0 END) AS BIGINT)) // (t.n1 * t.n2) AS emd_micro
+        |FROM r, t GROUP BY t.n1, t.n2""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -448,6 +448,31 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(exp.exists(_._3.isEmpty)) // the null lane is exercised
   }
 
+  test("lagSkewSafe/leadSkewSafe == plain window lag/lead under the " +
+      "mega-key, incl. null values and slice-boundary rows") {
+    import org.apache.spark.sql.expressions.Window
+    // 95% on key 0 with ~4% null values (the struct-carry contract:
+    // the lag after a null-valued row is null, not the last non-null)
+    val df = spark.range(8000).select(
+        when(pmod(col("id"), lit(100)) < 95, lit(0L))
+          .otherwise(pmod(col("id"), lit(7)) + 1).as("k"),
+        col("id").as("ord"),
+        when(pmod(col("id"), lit(25)) === 3, lit(null).cast("long"))
+          .otherwise((col("id") * 13) % 97).as("v"))
+      .repartition(11)
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+    val plain = df.withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("next", lead(col("v"), 1).over(w))
+    val fast = EventAnalytics.leadSkewSafe(
+      EventAnalytics.lagSkewSafe(df, "k", "ord", "v", "prev",
+        partitions = 5),
+      "k", "ord", "v", "next", partitions = 5)
+    assert(fast.select("k", "ord", "v", "prev", "next")
+      .exceptAll(plain).isEmpty &&
+      plain.exceptAll(fast.select("k", "ord", "v", "prev", "next"))
+        .isEmpty)
+  }
+
   test("runningAggsSkewSafe multi-agg ≡ chained singles; " +
       "runningMomentsSkewSafe == plain-window moment derivations " +
       "under the mega-key, incl. null values") {

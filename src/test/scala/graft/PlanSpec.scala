@@ -161,7 +161,7 @@ class PlanSpec extends SparkSuite {
       // q213/q214 attach the (n1, n2) totals — an .agg() with NO
       // grouping, 1 row by construction — to the cumulative-count
       // frame before the final reduce
-      "q213_ks_drift", "q214_mannwhitney")
+      "q213_ks_drift", "q214_mannwhitney", "q218_emd_drift")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -675,6 +675,36 @@ class PlanSpec extends SparkSuite {
       assert(bad.isEmpty,
         s"$q plans an unpartitioned WindowExec: ${bad.mkString("; ")}")
     }
+  }
+
+  test("WindowAudit offsets-chain exemption admits ONLY the bounded " +
+      "slice-totals shape, not a global data window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.window.WindowExec
+    // a genuine global window over data must still be flagged
+    val df = spark.range(100).toDF("v")
+    val global = df.withColumn("r",
+      sum(col("v")).over(Window.orderBy(col("v"))))
+    assert(WindowAudit.unpartitionedWindows(
+      global.queryExecution.executedPlan).nonEmpty,
+      "a global data window escaped the audit")
+    // the constant-key drift op folds its offsets partition spec
+    // empty (FoldablePropagation) — the audit must see the folded
+    // window in the raw plan yet exempt it, because its input is the
+    // P-row slice-totals roll-up, not the data
+    val p = SparkEntry.queries("q213_ks_drift")(spark, sf0001)
+      .queryExecution.executedPlan
+    def raw(pl: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] = {
+      val here = pl.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          raw(a.inputPlan)
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      }.flatten
+      here ++ pl.collect { case x => x.subqueries.flatMap(raw) }.flatten
+    }
+    assert(raw(p).nonEmpty, "expected the folded offsets window in q213")
+    assert(WindowAudit.unpartitionedWindows(p).isEmpty,
+      "the bounded offsets chain must be exempt")
   }
 
   test("q145 steady incremental agg: one lineitem scan (the batch), history absent") {

@@ -175,6 +175,28 @@ class ProfileSpec extends SparkSuite {
     assert(out("g2")._4 == 500000L) // identical samples: no drift
   }
 
+  test("emdDrift: identical → 0, constant shift → exactly the " +
+      "shift, and a hand-computed mixed case") {
+    def emd(rows: Seq[(Long, String)]) =
+      Profile.emdDrift(rows.toDF("v", "s"), "v", "s", "A", "B",
+          partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).head
+    // identical distributions: W1 = 0
+    val same = (1L to 50L).flatMap(i => Seq((i, "A"), (i, "B")))
+    assert(emd(same) == (50L, 50L, 0L, 0L))
+    // B = A + 7 (constant shift): W1 = exactly 7 value units —
+    // the property KS cannot see (its D saturates regardless of
+    // shift size)
+    val shift = (1L to 30L).map((_, "A")) ++ (8L to 37L).map((_, "B"))
+    val s = emd(shift)
+    assert(s._4 == 7000000L, s.toString)
+    // hand case: A = {0, 10}, B = {0, 20}: |F1-F2| = 1/2 on [10,20)
+    // → W1 = 5 → 5e6 micros; emd_num = |i·n2 − j·n1| sums
+    val mixed = Seq((0L, "A"), (10L, "A"), (0L, "B"), (20L, "B"))
+    assert(emd(mixed) == (2L, 2L, 20L, 5000000L))
+  }
+
   test("profile: one scan for all columns") {
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("a", "b")
     val plan = Profile.profile(df, Seq("a", "b"))
