@@ -250,6 +250,45 @@ object Profile {
       .select(col("n1"), col("n2"), col("emd_num"), col("emd_micro"))
   }
 
+  /** Per-GROUP Earth Mover's distance — [[emdDrift]] keyed on a
+    * segment column, completing the drift-by-segment trio beside
+    * [[ksDriftBy]] and [[mannWhitneyUBy]]: the same integral
+    * Σ |i·n₂ − j·n₁|·Δv per group, cumulative counts and the Δv LEAD
+    * both keyed on the GROUP (a hot segment spreads across slices),
+    * ≤|groups| totals joined back by AQE broadcast. One-sample
+    * groups are dropped — W₁ is undefined there. */
+  def emdDriftBy(df: DataFrame, groupCol: String, valueCol: String,
+      sampleCol: String, a: String, b: String,
+      partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = EventAnalytics.runningAggsSkewSafe(cnt, groupCol, valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+    val withNext = EventAnalytics.leadSkewSafe(cum, groupCol, valueCol,
+      valueCol, "__nv", partitions)
+    val totals = cnt.groupBy(col(groupCol))
+      .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
+    withNext.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+      .groupBy(col(groupCol))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(when(col("__nv").isNotNull,
+          (abs(col("__ia") * col("n2") - col("__ib") * col("n1"))
+            .cast(d38) * (col("__nv") - col(valueCol))).cast(d38))
+          .otherwise(lit(0).cast(d38))).cast(d38).as("__s"))
+      .withColumn("emd_num", expr("CAST(__s AS BIGINT)"))
+      .withColumn("emd_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * __s) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2)"))
+      .select(col(groupCol), col("n1"), col("n2"), col("emd_num"),
+        col("emd_micro"))
+  }
+
   /** Per-GROUP two-sample KS — [[ksDrift]] keyed on a segment column
     * (drift per language, per topic, per time bucket): the same
     * integer supremum, with the cumulative counts riding the

@@ -2136,7 +2136,48 @@ object AnalyticsQueries {
         |  (1000000 * CAST(SUM(CASE WHEN nv IS NOT NULL
         |    THEN ABS(ia * t.n2 - ib * t.n1) * (nv - v)
         |    ELSE 0 END) AS BIGINT)) // (t.n1 * t.n2) AS emd_micro
-        |FROM r, t GROUP BY t.n1, t.n2""".stripMargin))
+        |FROM r, t GROUP BY t.n1, t.n2""".stripMargin)),
+
+    // Per-group EMD drift (r12): q218 keyed on language — completes
+    // the drift-by-segment TRIO (KS q215, U q216, W₁ q219). Prefix
+    // sums and the Δv LEAD both keyed on the group; one-sample
+    // groups dropped (W₁ undefined).
+    QuerySpec("q219_emd_drift_by",
+      (s, dir) => graft.ops.Profile.emdDriftBy(
+          table(s, dir, "documents").select(col("lang"),
+            col("n_chars"), col("source")),
+          "lang", "n_chars", "source", "src1", "src2")
+        .select(col("lang"), col("n1"), col("n2"), col("emd_num"),
+          col("emd_micro"))
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY lang, n_chars),
+        |r AS (SELECT lang, v,
+        |    CAST(SUM(ca) OVER (PARTITION BY lang ORDER BY v)
+        |      AS BIGINT) AS ia,
+        |    CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY v)
+        |      AS BIGINT) AS ib,
+        |    LEAD(v) OVER (PARTITION BY lang ORDER BY v) AS nv
+        |  FROM c),
+        |t AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2
+        |  FROM c GROUP BY lang
+        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0)
+        |SELECT t.lang, t.n1, t.n2,
+        |  CAST(SUM(CASE WHEN nv IS NOT NULL
+        |    THEN ABS(ia * t.n2 - ib * t.n1) * (nv - v)
+        |    ELSE 0 END) AS BIGINT) AS emd_num,
+        |  (1000000 * CAST(SUM(CASE WHEN nv IS NOT NULL
+        |    THEN ABS(ia * t.n2 - ib * t.n1) * (nv - v)
+        |    ELSE 0 END) AS BIGINT)) // (t.n1 * t.n2) AS emd_micro
+        |FROM r JOIN t ON r.lang = t.lang
+        |GROUP BY t.lang, t.n1, t.n2
+        |ORDER BY t.lang""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

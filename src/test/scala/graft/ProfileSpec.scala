@@ -175,6 +175,30 @@ class ProfileSpec extends SparkSuite {
     assert(out("g2")._4 == 500000L) // identical samples: no drift
   }
 
+  test("emdDriftBy: per-group values match the solo op per slice; " +
+      "one-sample groups dropped") {
+    val rows =
+      (1L to 40L).map(v => ("g1", v, "A")) ++
+      (21L to 60L).map(v => ("g1", v, "B")) ++
+      (1L to 30L).map(v => ("g2", v, "A")) ++
+      (8L to 37L).map(v => ("g2", v, "B")) ++ // shift by 7
+      (1L to 9L).map(v => ("g3", v, "A")) // no B sample → dropped
+    val df = rows.toDF("g", "v", "s").repartition(7)
+    val out = Profile.emdDriftBy(df, "g", "v", "s", "A", "B",
+        partitions = 3)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("g1", "g2"))
+    assert(out("g2")._4 == 7000000L) // the shift reads exactly
+    for (g <- Seq("g1", "g2")) {
+      val solo = Profile.emdDrift(
+          df.filter(col("g") === g), "v", "s", "A", "B", partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).head
+      assert(out(g) == solo, s"group $g disagrees with the solo op")
+    }
+  }
+
   test("emdDrift: identical → 0, constant shift → exactly the " +
       "shift, and a hand-computed mixed case") {
     def emd(rows: Seq[(Long, String)]) =
