@@ -289,6 +289,73 @@ object Profile {
         col("emd_micro"))
   }
 
+  /** Two-sample CATEGORICAL drift via total-variation distance,
+    * EXACT — the unordered companion to [[ksDrift]]/[[emdDrift]]
+    * (those need a value ORDER; a language/topic/label column has
+    * none): TVD = ½ Σ_categories |cₐᵢ/n₁ − c_bᵢ/n₂|
+    *           = Σ |cₐᵢ·n₂ − c_bᵢ·n₁| / (2·n₁·n₂),
+    * the largest probability gap any event set can see — and a pure
+    * integer numerator, so the statistic gates hash-exact where χ²
+    * (per-category rational denominators) and PSI/KL (logs) cannot.
+    * tvd_micro = floor(10⁶·Σ/2n₁n₂) ∈ [0, 10⁶]. Plan: one
+    * per-category count aggregate (map-side combinable — no ordering,
+    * no prefix sums, the cheapest drift plan in the family), a 1-row
+    * totals attach, one reduce; products ride DECIMAL(38,0) (cᵢ·n at
+    * 100 TB counts squares past int64). Output: one row
+    * (n1, n2, tvd_num, tvd_micro). */
+  def tvdDrift(df: DataFrame, valueCol: String, sampleCol: String,
+      a: String, b: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val totals = cnt.agg(sum(col("__ca")).as("n1"),
+      sum(col("__cb")).as("n2"))
+    cnt.crossJoin(broadcast(totals)) // 1-row aggregate attach
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(abs(col("__ca").cast(d38) * col("n2") -
+          col("__cb").cast(d38) * col("n1")).cast(d38))
+          .cast(d38).as("__s"))
+      .withColumn("tvd_num", expr("CAST(__s AS BIGINT)"))
+      .withColumn("tvd_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * __s) div " +
+          "(2 * CAST(n1 AS DECIMAL(38,0)) * n2)"))
+      .select(col("n1"), col("n2"), col("tvd_num"), col("tvd_micro"))
+  }
+
+  /** Per-GROUP total-variation drift — [[tvdDrift]] keyed on a
+    * segment column: label-mix drift per length bucket / topic /
+    * time window. Same integer numerator per group; ≤|groups| totals
+    * joined back by AQE broadcast; one-sample groups dropped (TVD is
+    * undefined against an empty sample). */
+  def tvdDriftBy(df: DataFrame, groupCol: String, valueCol: String,
+      sampleCol: String, a: String, b: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val totals = cnt.groupBy(col(groupCol))
+      .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
+    cnt.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+      .groupBy(col(groupCol))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(abs(col("__ca").cast(d38) * col("n2") -
+          col("__cb").cast(d38) * col("n1")).cast(d38))
+          .cast(d38).as("__s"))
+      .withColumn("tvd_num", expr("CAST(__s AS BIGINT)"))
+      .withColumn("tvd_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * __s) div " +
+          "(2 * CAST(n1 AS DECIMAL(38,0)) * n2)"))
+      .select(col(groupCol), col("n1"), col("n2"), col("tvd_num"),
+        col("tvd_micro"))
+  }
+
   /** Per-GROUP two-sample KS — [[ksDrift]] keyed on a segment column
     * (drift per language, per topic, per time bucket): the same
     * integer supremum, with the cumulative counts riding the

@@ -2177,7 +2177,64 @@ object AnalyticsQueries {
         |    ELSE 0 END) AS BIGINT)) // (t.n1 * t.n2) AS emd_micro
         |FROM r JOIN t ON r.lang = t.lang
         |GROUP BY t.lang, t.n1, t.n2
-        |ORDER BY t.lang""".stripMargin))
+        |ORDER BY t.lang""".stripMargin)),
+
+    // Categorical drift via exact total-variation distance (r12):
+    // the UNORDERED drift test — language-mix drift between sources.
+    // TVD = sum |ca*n2 - cb*n1| / (2*n1*n2): pure integer numerator
+    // (chi-squared and PSI are not rational/log-free), one map-side-
+    // combinable count aggregate, no prefix sums at all.
+    QuerySpec("q220_tvd_drift",
+      (s, dir) => graft.ops.Profile.tvdDrift(
+          table(s, dir, "documents").select(col("lang"),
+            col("source")),
+          "lang", "source", "src1", "src2")
+        .select(col("n1"), col("n2"), col("tvd_num"),
+          col("tvd_micro")),
+      Some("""WITH c AS (SELECT lang,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY lang),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2 FROM c)
+        |SELECT t.n1, t.n2,
+        |  CAST(SUM(ABS(ca * t.n2 - cb * t.n1)) AS BIGINT) AS tvd_num,
+        |  (1000000 * CAST(SUM(ABS(ca * t.n2 - cb * t.n1)) AS BIGINT))
+        |    // (2 * t.n1 * t.n2) AS tvd_micro
+        |FROM c, t GROUP BY t.n1, t.n2""".stripMargin)),
+
+    // Per-group TVD (r12): label-mix drift per hectochar length
+    // bucket — the keyed form, completing the categorical pair.
+    QuerySpec("q221_tvd_drift_by",
+      (s, dir) => graft.ops.Profile.tvdDriftBy(
+          table(s, dir, "documents").select(
+            expr("n_chars div 100").as("hchar_bucket"),
+            col("lang"), col("source")),
+          "hchar_bucket", "lang", "source", "src1", "src2")
+        .select(col("hchar_bucket"), col("n1"), col("n2"),
+          col("tvd_num"), col("tvd_micro"))
+        .orderBy(col("hchar_bucket")),
+      Some("""WITH c AS (SELECT n_chars // 100 AS hchar_bucket, lang,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY n_chars // 100, lang),
+        |t AS (SELECT hchar_bucket, CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2
+        |  FROM c GROUP BY hchar_bucket
+        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0)
+        |SELECT t.hchar_bucket, t.n1, t.n2,
+        |  CAST(SUM(ABS(ca * t.n2 - cb * t.n1)) AS BIGINT) AS tvd_num,
+        |  (1000000 * CAST(SUM(ABS(ca * t.n2 - cb * t.n1)) AS BIGINT))
+        |    // (2 * t.n1 * t.n2) AS tvd_micro
+        |FROM c JOIN t ON c.hchar_bucket = t.hchar_bucket
+        |GROUP BY t.hchar_bucket, t.n1, t.n2
+        |ORDER BY t.hchar_bucket""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -161,7 +161,10 @@ class PlanSpec extends SparkSuite {
       // q213/q214 attach the (n1, n2) totals — an .agg() with NO
       // grouping, 1 row by construction — to the cumulative-count
       // frame before the final reduce
-      "q213_ks_drift", "q214_mannwhitney", "q218_emd_drift")
+      "q213_ks_drift", "q214_mannwhitney", "q218_emd_drift",
+      // q220 attaches the same no-grouping 1-row (n1, n2) totals to
+      // the per-category count frame
+      "q220_tvd_drift")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

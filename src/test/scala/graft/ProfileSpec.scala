@@ -175,6 +175,38 @@ class ProfileSpec extends SparkSuite {
     assert(out("g2")._4 == 500000L) // identical samples: no drift
   }
 
+  test("tvdDrift: identical → 0, disjoint → 10⁶, hand-computed mix; " +
+      "tvdDriftBy ≡ solo per group + one-sample drop") {
+    def tvd(rows: Seq[(String, String)]) =
+      Profile.tvdDrift(rows.toDF("v", "s"), "v", "s", "A", "B")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).head
+    // identical category mix: TVD = 0
+    val same = Seq("x", "x", "y", "z").flatMap(v => Seq((v, "A"), (v, "B")))
+    assert(tvd(same) == (4L, 4L, 0L, 0L))
+    // disjoint supports: TVD = 1 → 10⁶ micros
+    // (x: |1·1−0·2| + y: 1 + z: |0−1·2| = 4; 4/(2·2·1) = 1)
+    val disj = Seq(("x", "A"), ("y", "A"), ("z", "B"))
+    assert(tvd(disj) == (2L, 1L, 4L, 1000000L))
+    // hand case: A = {x, x, y}, B = {x, z}:
+    // |2·2−1·3| + |1·2−0·3| + |0·2−1·3| = 1+2+3 = 6; 6/(2·3·2) = 1/2
+    val mix = Seq(("x", "A"), ("x", "A"), ("y", "A"), ("x", "B"), ("z", "B"))
+    assert(tvd(mix) == (3L, 2L, 6L, 500000L))
+    // by-group ≡ solo per slice; one-sample group dropped
+    val rows =
+      Seq("x", "x", "y").map(v => ("g1", v, "A")) ++
+      Seq("x", "z").map(v => ("g1", v, "B")) ++
+      Seq("x", "y").flatMap(v => Seq(("g2", v, "A"), ("g2", v, "B"))) ++
+      Seq(("g3", "x", "B")) // no A sample → dropped
+    val df = rows.toDF("g", "v", "s").repartition(5)
+    val out = Profile.tvdDriftBy(df, "g", "v", "s", "A", "B")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("g1", "g2"))
+    assert(out("g1") == (3L, 2L, 6L, 500000L))
+    assert(out("g2") == (2L, 2L, 0L, 0L))
+  }
+
   test("emdDriftBy: per-group values match the solo op per slice; " +
       "one-sample groups dropped") {
     val rows =
