@@ -190,12 +190,19 @@ object Profile {
     * already saturates long). Output: one row
     * (n1, n2, d_num, ks_micro). */
   def ksDrift(df: DataFrame, valueCol: String, sampleCol: String,
-      a: String, b: String, partitions: Int = 0): DataFrame = {
-    val cnt = df
+      a: String, b: String, partitions: Int = 0): DataFrame =
+    ksDriftFromCounts(df
       .filter(col(sampleCol) === a || col(sampleCol) === b)
       .groupBy(col(valueCol))
       .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb")),
+      valueCol, partitions)
+
+  /** [[ksDrift]]'s tail over a pre-built per-value count frame
+    * `(valueCol, __ca, __cb)` — the shared reduce for the in-query
+    * form and the persisted-reference probe ([[ksDriftAgainstRef]]). */
+  private def ksDriftFromCounts(cnt: DataFrame, valueCol: String,
+      partitions: Int): DataFrame = {
     val cum = EventAnalytics.runningAggsSkewSafe(
       cnt.withColumn("__g", lit(0)), "__g", valueCol,
       Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
@@ -208,6 +215,37 @@ object Profile {
       .withColumn("ks_micro", expr(
         "(CAST(1000000 AS DECIMAL(38,0)) * d_num) div " +
           "(CAST(n1 AS DECIMAL(38,0)) * n2)"))
+  }
+
+  /** Per-value counts of one sample, the PERSISTABLE reference half
+    * of a drift check: `(valueCol, ref_n)`, ≤ |distinct values| rows.
+    * At 100 TB this is the once-per-reference scan — the probe side
+    * ([[ksDriftAgainstRef]]) never rescans the reference sample. */
+  def distCounts(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("ref_n"))
+
+  /** KS drift of a probe batch AGAINST a persisted reference count
+    * frame ([[distCounts]] output) — the steady-state monitor shape:
+    * the reference sample is scanned once when the profile is built;
+    * each batch's check costs one batch-sized count aggregate plus a
+    * full-outer join of two ≤|values| count frames (both sides
+    * sketch-sized; AQE broadcasts). Hash-identical to [[ksDrift]] on
+    * (reference ∪ probe) by construction — the statistic only sees
+    * the per-value counts. */
+  def ksDriftAgainstRef(refCounts: DataFrame, probe: DataFrame,
+      valueCol: String, partitions: Int = 0): DataFrame = {
+    val p = probe.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__pn"))
+      .select(col(valueCol).as("__pv"), col("__pn"))
+    val cnt = refCounts
+      .join(p, col(valueCol) === col("__pv"), "full_outer")
+      .select(coalesce(col(valueCol), col("__pv")).as(valueCol),
+        coalesce(col("ref_n"), lit(0L)).as("__ca"),
+        coalesce(col("__pn"), lit(0L)).as("__cb"))
+    ksDriftFromCounts(cnt, valueCol, partitions)
   }
 
   /** Two-sample EARTH MOVER'S distance (Wasserstein-1), EXACT — the

@@ -1947,24 +1947,7 @@ object AnalyticsQueries {
             col("source")),
           "n_chars", "source", "src1", "src2")
         .select(col("n1"), col("n2"), col("d_num"), col("ks_micro")),
-      Some("""WITH c AS (SELECT n_chars AS v,
-        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ca,
-        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS cb
-        |  FROM documents WHERE source IN ('src1', 'src2')
-        |  GROUP BY n_chars),
-        |r AS (SELECT v,
-        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS ia,
-        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS ib
-        |  FROM c),
-        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
-        |    CAST(SUM(cb) AS BIGINT) AS n2 FROM c)
-        |SELECT t.n1, t.n2,
-        |  CAST(MAX(ABS(ia * t.n2 - ib * t.n1)) AS BIGINT) AS d_num,
-        |  (1000000 * CAST(MAX(ABS(ia * t.n2 - ib * t.n1)) AS BIGINT))
-        |    // (t.n1 * t.n2) AS ks_micro
-        |FROM r, t GROUP BY t.n1, t.n2""".stripMargin)),
+      Some(ksDriftOracleSql)),
 
     // Exact Mann–Whitney U (r12): the rank-sum companion to q213 —
     // tie-averaged ranks kept integral in HALF-UNITS (2·ΣR_A over
@@ -2234,7 +2217,26 @@ object AnalyticsQueries {
         |    // (2 * t.n1 * t.n2) AS tvd_micro
         |FROM c JOIN t ON c.hchar_bucket = t.hchar_bucket
         |GROUP BY t.hchar_bucket, t.n1, t.n2
-        |ORDER BY t.hchar_bucket""".stripMargin))
+        |ORDER BY t.hchar_bucket""".stripMargin)),
+
+    // Steady-state drift probe (r12, standing rule 1): q213's KS with
+    // the reference side answered from the PERSISTED src1 count
+    // profile — the production monitor shape: the reference sample is
+    // scanned once at profile build; each batch check costs one
+    // batch-sized count aggregate plus a full-outer join of two
+    // ≤|values| count frames. Hash-identical to q213 (the statistic
+    // only sees per-value counts), so the oracle is shared verbatim.
+    QuerySpec("q222_ks_drift_steady",
+      (s, dir) => {
+        val root = refDistRoot(s, dir)
+        graft.ops.Profile.ksDriftAgainstRef(
+            s.read.parquet(s"$root/ref"),
+            table(s, dir, "documents")
+              .filter(col("source") === "src2").select(col("n_chars")),
+            "n_chars")
+          .select(col("n1"), col("n2"), col("d_num"), col("ks_micro"))
+      },
+      Some(ksDriftOracleSql))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------
@@ -2306,6 +2308,49 @@ object AnalyticsQueries {
        |  CAST(SUM(len(string_split(trim(pw), '  '))) AS BIGINT)
        |    AS n_tokens
        |FROM m3 GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** The exact-KS oracle over documents src1 vs src2 on n_chars —
+    * shared VERBATIM by q213 (both samples counted in-query) and
+    * q222 (the src1 side probed from the persisted reference
+    * profile): the statistic only sees per-value counts, so the two
+    * forms are hash-identical by construction. */
+  private val ksDriftOracleSql: String =
+    """WITH c AS (SELECT n_chars AS v,
+      |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM documents WHERE source IN ('src1', 'src2')
+      |  GROUP BY n_chars),
+      |r AS (SELECT v,
+      |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS ia,
+      |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS ib
+      |  FROM c),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+      |    CAST(SUM(cb) AS BIGINT) AS n2 FROM c)
+      |SELECT t.n1, t.n2,
+      |  CAST(MAX(ABS(ia * t.n2 - ib * t.n1)) AS BIGINT) AS d_num,
+      |  (1000000 * CAST(MAX(ABS(ia * t.n2 - ib * t.n1)) AS BIGINT))
+      |    // (t.n1 * t.n2) AS ks_micro
+      |FROM r, t GROUP BY t.n1, t.n2""".stripMargin
+
+  /** Build-once persisted reference distribution profile for q222
+    * (standing rule 1): the src1 per-value count frame
+    * ([[graft.ops.Profile.distCounts]]) — the once-per-reference
+    * scan; the steady-state probe never rescans the reference
+    * sample. ≤ |distinct n_chars| rows → coalesce(1) like the
+    * sketch register tables. */
+  private def refDistRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(s"/tmp/graft_ref_dist/${tag}_$fp") { tmp =>
+      graft.ops.Profile.distCounts(
+          table(s, dir, "documents")
+            .filter(col("source") === "src1"), "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/ref")
+    }
+  }
 
   /** Build-once persisted BPE merge table (3 ordered merges trained
     * on the full documents table) — the q118/q119-style frozen-model

@@ -163,8 +163,9 @@ class PlanSpec extends SparkSuite {
       // frame before the final reduce
       "q213_ks_drift", "q214_mannwhitney", "q218_emd_drift",
       // q220 attaches the same no-grouping 1-row (n1, n2) totals to
-      // the per-category count frame
-      "q220_tvd_drift")
+      // the per-category count frame; q222 is q213's tail over the
+      // persisted-reference count frame — same 1-row attach
+      "q220_tvd_drift", "q222_ks_drift_steady")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -175,6 +175,27 @@ class ProfileSpec extends SparkSuite {
     assert(out("g2")._4 == 500000L) // identical samples: no drift
   }
 
+  test("ksDriftAgainstRef ≡ ksDrift on the union, incl. ref-only " +
+      "and probe-only values (zero-fill lanes)") {
+    // ref = {1..40}, probe = {21..60}: values 1-20 are ref-only,
+    // 41-60 probe-only — both zero-fill lanes of the outer join fire
+    val ref = (1L to 40L).map(v => (v, "A"))
+    val probe = (21L to 60L).map(v => (v, "B"))
+    val both = (ref ++ probe).toDF("v", "s").repartition(7)
+    val inQuery = Profile.ksDrift(both, "v", "s", "A", "B",
+        partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+    val refCounts = Profile.distCounts(
+      both.filter(col("s") === "A").select(col("v")), "v")
+    val steady = Profile.ksDriftAgainstRef(refCounts,
+        both.filter(col("s") === "B").select(col("v")), "v",
+        partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+    assert(steady == inQuery)
+  }
+
   test("tvdDrift: identical → 0, disjoint → 10⁶, hand-computed mix; " +
       "tvdDriftBy ≡ solo per group + one-sample drop") {
     def tvd(rows: Seq[(String, String)]) =
