@@ -235,11 +235,23 @@ object Profile {
     * (reference ∪ probe) by construction — the statistic only sees
     * the per-value counts. */
   def ksDriftAgainstRef(refCounts: DataFrame, probe: DataFrame,
-      valueCol: String, partitions: Int = 0): DataFrame = {
-    val p = probe.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol))
-      .agg(count(lit(1)).as("__pn"))
-      .select(col(valueCol).as("__pv"), col("__pn"))
+      valueCol: String, partitions: Int = 0): DataFrame =
+    ksDriftAgainstRefCounts(refCounts,
+      probe.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol))
+        .agg(count(lit(1)).as("obs_n")),
+      valueCol, partitions)
+
+  /** [[ksDriftAgainstRef]] with the probe side ALREADY counted —
+    * `(valueCol, obs_n)` — the entry point for callers maintaining a
+    * cumulative observed-count state (the streaming drift monitor):
+    * full-outer join of two ≤|values| count frames, zero-fill, the
+    * shared KS tail. */
+  def ksDriftAgainstRefCounts(refCounts: DataFrame,
+      probeCounts: DataFrame, valueCol: String,
+      partitions: Int = 0): DataFrame = {
+    val p = probeCounts
+      .select(col(valueCol).as("__pv"), col("obs_n").as("__pn"))
     val cnt = refCounts
       .join(p, col(valueCol) === col("__pv"), "full_outer")
       .select(coalesce(col(valueCol), col("__pv")).as(valueCol),

@@ -298,70 +298,123 @@ object StreamingIngest {
   def aggIngest(stream: DataFrame, keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String], stateDir: String,
       checkpointDir: String, adoptUntaggedState: Boolean = false)
-      : StreamingQuery = {
-    // state and checkpoint form a PAIR: the `_epoch` ledger compares
-    // this query's batchIds against the state's history, and batchIds
-    // are CHECKPOINT-scoped. A fresh (or wiped-and-recreated)
-    // checkpoint restarts them at 0, so running it against existing
-    // state would silently no-op epochs 0..N as "replays" and lose
-    // data. Pin the checkpoint's IDENTITY — the streaming query id
-    // persisted in its metadata file — not its path (a path survives
-    // a wipe; the id does not), and refuse a mismatch BEFORE any
-    // epoch can run.
-    locally {
-      import java.nio.file.{Files, Paths}
-      val tag = Paths.get(s"$stateDir/_query_id")
-      Files.createDirectories(tag.getParent)
-      val meta = Paths.get(s"$checkpointDir/metadata")
-      val ckptId: Option[String] =
-        if (Files.exists(meta))
-          "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
-            .findFirstMatchIn(Files.readString(meta)).map(_.group(1))
-        else None
-      if (Files.exists(tag)) {
-        val prev = Files.readString(tag).trim
-        require(ckptId.contains(prev),
-          s"aggIngest state at $stateDir was built under streaming " +
-            s"query ${prev}; checkpoint $checkpointDir carries " +
-            s"${ckptId.getOrElse("no metadata (fresh checkpoint)")} — " +
-            "its batchIds would restart and the _epoch ledger would " +
-            "silently DROP new epochs as replays. Use a fresh stateDir " +
-            "with a fresh checkpoint.")
-      } else if (Files.exists(Paths.get(s"$stateDir/current/_epoch"))) {
-        // an _epoch ledger WITHOUT a tag means the state was built
-        // outside this guard (aggIngestBatch directly, or a crash in
-        // the pre-tag window of an old build): its batchId lineage is
-        // unknown, so a fresh checkpoint would silently no-op epochs
-        // 0..committedEpoch as replays (ADVICE r10 #4). Refuse unless
-        // the caller explicitly vouches the checkpoint matches.
-        require(adoptUntaggedState,
-          s"aggIngest state at $stateDir carries an _epoch ledger but " +
-            "no _query_id tag — its batchId lineage is unknown, and a " +
-            "fresh checkpoint's batchIds restarting at 0 would be " +
-            "silently dropped as replays. Pass adoptUntaggedState=true " +
-            "only if this checkpoint is the one that built the state.")
-      }
-      val q = stream.writeStream
-        .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DataFrame, epochId: Long) =>
-          // the tag is (re)written BEFORE the first epoch can commit:
-          // by the time a batch fires, the checkpoint metadata file
-          // exists, so a crash any time after this point leaves state
-          // + tag consistent — no pre-tag window (ADVICE r10 #4)
-          if (!Files.exists(tag)) {
-            val id = "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
-              .findFirstMatchIn(Files.readString(meta)).map(_.group(1))
-            Files.writeString(tag, id.getOrElse(
-              throw new IllegalStateException(
-                s"checkpoint $checkpointDir has no readable query id")))
-          }
-          aggIngestBatch(batch, keys, sumCols, minCols, maxCols, stateDir,
-            epochId)
-        }
-        .start()
-      if (!Files.exists(tag)) Files.writeString(tag, q.id.toString)
-      q
+      : StreamingQuery =
+    epochLedgeredQuery(stream, stateDir, checkpointDir,
+      adoptUntaggedState, "aggIngest") { (batch, epochId) =>
+      aggIngestBatch(batch, keys, sumCols, minCols, maxCols, stateDir,
+        epochId)
     }
+
+  /** The checkpoint-identity guard + tag-before-commit wrapper shared
+    * by every `_epoch`-ledgered foreachBatch ingest ([[aggIngest]],
+    * [[driftMonitor]]). State and checkpoint form a PAIR: the ledger
+    * compares this query's batchIds against the state's history, and
+    * batchIds are CHECKPOINT-scoped. A fresh (or wiped-and-recreated)
+    * checkpoint restarts them at 0, so running it against existing
+    * state would silently no-op epochs 0..N as "replays" and lose
+    * data. Pin the checkpoint's IDENTITY — the streaming query id
+    * persisted in its metadata file — not its path (a path survives
+    * a wipe; the id does not), and refuse a mismatch BEFORE any
+    * epoch can run. */
+  private def epochLedgeredQuery(stream: DataFrame, stateDir: String,
+      checkpointDir: String, adoptUntaggedState: Boolean, what: String)(
+      perBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    val tag = Paths.get(s"$stateDir/_query_id")
+    Files.createDirectories(tag.getParent)
+    val meta = Paths.get(s"$checkpointDir/metadata")
+    val ckptId: Option[String] =
+      if (Files.exists(meta))
+        "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
+          .findFirstMatchIn(Files.readString(meta)).map(_.group(1))
+      else None
+    if (Files.exists(tag)) {
+      val prev = Files.readString(tag).trim
+      require(ckptId.contains(prev),
+        s"$what state at $stateDir was built under streaming " +
+          s"query ${prev}; checkpoint $checkpointDir carries " +
+          s"${ckptId.getOrElse("no metadata (fresh checkpoint)")} — " +
+          "its batchIds would restart and the _epoch ledger would " +
+          "silently DROP new epochs as replays. Use a fresh stateDir " +
+          "with a fresh checkpoint.")
+    } else if (Files.exists(Paths.get(s"$stateDir/current/_epoch"))) {
+      // an _epoch ledger WITHOUT a tag means the state was built
+      // outside this guard (the *Batch entry point directly, or a
+      // crash in the pre-tag window of an old build): its batchId
+      // lineage is unknown, so a fresh checkpoint would silently
+      // no-op epochs 0..committedEpoch as replays (ADVICE r10 #4).
+      // Refuse unless the caller explicitly vouches the checkpoint
+      // matches.
+      require(adoptUntaggedState,
+        s"$what state at $stateDir carries an _epoch ledger but " +
+          "no _query_id tag — its batchId lineage is unknown, and a " +
+          "fresh checkpoint's batchIds restarting at 0 would be " +
+          "silently dropped as replays. Pass adoptUntaggedState=true " +
+          "only if this checkpoint is the one that built the state.")
+    }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // the tag is (re)written BEFORE the first epoch can commit:
+        // by the time a batch fires, the checkpoint metadata file
+        // exists, so a crash any time after this point leaves state
+        // + tag consistent — no pre-tag window (ADVICE r10 #4)
+        if (!Files.exists(tag)) {
+          val id = "\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"".r
+            .findFirstMatchIn(Files.readString(meta)).map(_.group(1))
+          Files.writeString(tag, id.getOrElse(
+            throw new IllegalStateException(
+              s"checkpoint $checkpointDir has no readable query id")))
+        }
+        perBatch(batch, epochId)
+      }
+      .start()
+    if (!Files.exists(tag)) Files.writeString(tag, q.id.toString)
+    q
+  }
+
+  /** Streaming DRIFT MONITOR — the readStream twin of the
+    * steady-state drift probe (`Profile.ksDriftAgainstRef`): per
+    * micro-batch, the batch's values merge into a cumulative
+    * per-value count state (exactly [[aggIngestBatch]] with the value
+    * as the key and no agg columns — the same `_epoch` replay ledger
+    * and atomic staging commit), then the exact KS statistic of
+    * EVERYTHING observed so far against the frozen reference profile
+    * lands as one `(epoch, n1, n2, d_num, ks_micro)` row under
+    * `monitorDir/epoch_N`. The per-epoch overwrite is idempotent in
+    * the only replay window the foreachBatch protocol produces (the
+    * last uncommitted epoch — later epochs never precede a replayed
+    * earlier one). State and monitor rows are ≤|values|-sized; the
+    * reference sample itself is never rescanned. */
+  def driftMonitor(stream: DataFrame, valueCol: String,
+      refCounts: DataFrame, stateDir: String, checkpointDir: String,
+      monitorDir: String, adoptUntaggedState: Boolean = false)
+      : StreamingQuery =
+    epochLedgeredQuery(stream, stateDir, checkpointDir,
+      adoptUntaggedState, "driftMonitor") { (batch, epochId) =>
+      driftMonitorBatch(batch, valueCol, refCounts, stateDir,
+        monitorDir, epochId)
+    }
+
+  /** One epoch of [[driftMonitor]], separated like [[aggIngestBatch]]
+    * so the batch path is directly testable. */
+  def driftMonitorBatch(batch: DataFrame, valueCol: String,
+      refCounts: DataFrame, stateDir: String, monitorDir: String,
+      epochId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = batch.sparkSession
+    aggIngestBatch(
+      batch.select(col(valueCol)).filter(col(valueCol).isNotNull),
+      Seq(valueCol), Nil, Nil, Nil, stateDir, epochId)
+    val observed = spark.read.parquet(s"$stateDir/current/state")
+      .select(col(valueCol), col("n").as("obs_n"))
+    graft.ops.Profile
+      .ksDriftAgainstRefCounts(refCounts, observed, valueCol)
+      .withColumn("epoch", lit(epochId))
+      .select(col("epoch"), col("n1"), col("n2"), col("d_num"),
+        col("ks_micro"))
+      .coalesce(1) // one row
+      .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
   }
 
   /** One epoch of [[aggIngest]], separated so the batch path is

@@ -50,6 +50,41 @@ class StreamingSpec extends SparkSuite {
     assert(res.map(_._1) == Seq(0L, 1L, 2L))
   }
 
+  test("streaming drift monitor: per-epoch KS vs the frozen reference " +
+      "== batch op on the cumulative prefix; replayed epoch no-ops") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Profile
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("drift_monitor").toString
+    // reference: 1..40; stream drifts away from it batch by batch
+    val ref = Profile.distCounts((1L to 40L).toDF("v"), "v")
+      .cache()
+    val b1 = (11L to 50L) // shifted by 10
+    val b2 = (31L to 70L) // further out
+    val stream = MemoryStream[Long]
+    val q = StreamingIngest.driftMonitor(stream.toDS().toDF("v"), "v",
+      ref, s"$dir/state", s"$dir/ckpt", s"$dir/monitor")
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    def row(df: org.apache.spark.sql.DataFrame) = df
+      .select($"n1", $"n2", $"d_num", $"ks_micro")
+      .as[(Long, Long, Long, Long)].collect().head
+    val e0 = row(spark.read.parquet(s"$dir/monitor/epoch_0"))
+    val e1 = row(spark.read.parquet(s"$dir/monitor/epoch_1"))
+    // each epoch == the batch op on the cumulative prefix
+    assert(e0 == row(Profile.ksDriftAgainstRef(ref, b1.toDF("v"), "v")))
+    assert(e1 == row(Profile.ksDriftAgainstRef(ref,
+      (b1 ++ b2).toDF("v"), "v")))
+    assert(e1._4 > e0._4, "the drift must grow as the stream departs")
+    // replayed last epoch: the ledger no-ops the merge and the
+    // epoch_1 overwrite is byte-idempotent
+    StreamingIngest.driftMonitorBatch(b2.toDF("v"), "v", ref,
+      s"$dir/state", s"$dir/monitor", 1L)
+    assert(row(spark.read.parquet(s"$dir/monitor/epoch_1")) == e1)
+  }
+
   test("streaming as-of enrich == batch asofJoinSkewSafe under " +
       "in-order delivery; carry survives the batch boundary") {
     import graft.streaming.{AsofEvent, StreamingIngest}
