@@ -244,7 +244,16 @@ object ScaleStress {
       // absorb f× the members — the mega-key shape), plus the
       // categorical profile (lineitem → graph-shaped, 3 flag groups)
       "q205_weighted_percentiles", "q206_rank_features",
-      "q208_categorical_profile")
+      "q208_categorical_profile",
+      // round-12 drift family (documents → standard synthesis: rows
+      // ×f while the distinct n_chars value space is copy-invariant,
+      // so everything past the first count aggregate — the prefix
+      // sums, the totals, the reduce — must stay FLAT; the count
+      // aggregate itself is map-side combinable) and the per-row
+      // lag/lead (orders → graph-shaped: every row needs an output,
+      // the honest-linear shape)
+      "q213_ks_drift", "q218_emd_drift", "q220_tvd_drift",
+      "q222_ks_drift_steady", "q217_lag_lead")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
@@ -253,7 +262,7 @@ object ScaleStress {
       "q182_entity_resolution", "q191_running_total",
       "q200_running_moments", "q203_group_median",
       "q205_weighted_percentiles", "q206_rank_features",
-      "q208_categorical_profile")
+      "q208_categorical_profile", "q217_lag_lead")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')

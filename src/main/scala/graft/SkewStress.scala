@@ -232,6 +232,25 @@ object SkewStress {
       asofTwoPass().exceptAll(asofWindow()).isEmpty,
       "two-pass as-of disagrees with the window form")
 
+    // ---- LAG arms: the per-row predecessor (gate q217) — every row
+    // needs an output, so like the running total there is no limit to
+    // push and no partial to combine; the window form sorts the hot
+    // key's 7.92M rows in one task. lagSkewSafe answers all but each
+    // slice's first row locally and stitches those from the op=last
+    // offsets chain.
+    def lagWindow() =
+      probe.withColumn("prev", lag(col("v"), 1).over(
+        Window.partitionBy(col("k")).orderBy(col("v"))))
+    def lagTwoPass() =
+      graft.ops.EventAnalytics.lagSkewSafe(probe, "k", "v", "v",
+        "prev", partitions = 32)
+    lagWindow().queryExecution.toRdd.count() // warm
+    run("lag_window_aqe", rows)(() => lagWindow())
+    run("lag_twopass", rows)(() => lagTwoPass())
+    require(lagWindow().exceptAll(lagTwoPass()).isEmpty &&
+      lagTwoPass().exceptAll(lagWindow()).isEmpty,
+      "two-pass lag disagrees with the window form")
+
     // equivalence of the two agg forms (exactness is the contract)
     val a = probe.groupBy("k").agg(countDistinct(col("v")).as("nd"))
     val b = probe.select(col("k"), col("v")).distinct()

@@ -406,6 +406,26 @@ object Profile {
         col("tvd_micro"))
   }
 
+  /** Per-group EXACT equi-depth (equi-height) histogram — the
+    * optimizer/ANALYZE statistic beside [[profile]]: k buckets of
+    * (near-)equal row count per group, each with its exact value
+    * range. Rows rank by the skew-safe prefix count
+    * ([[EventAnalytics.rankFeaturesSkewSafe]] — a mega-group never
+    * lands in one task), bucket by NTILE semantics (the first
+    * n mod k buckets take the extra row — deterministic, no RNG,
+    * DuckDB-replayable), then ONE map-side-combinable roll-up per
+    * (group, bucket): count, lo, hi. Boundary equals an exact
+    * percentile at every bucket edge, so this is the equi-height
+    * histogram a cost model consumes. Same unique non-null `ordCol`
+    * total-order contract as every exact rank. */
+  def equiDepthHistogram(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, k: Int, partitions: Int = 0): DataFrame =
+    EventAnalytics.rankFeaturesSkewSafe(df, keyCol, ordCol, k,
+        partitions)
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+
   /** Per-GROUP two-sample KS — [[ksDrift]] keyed on a segment column
     * (drift per language, per topic, per time bucket): the same
     * integer supremum, with the cumulative counts riding the

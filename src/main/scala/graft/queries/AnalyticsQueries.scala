@@ -2236,7 +2236,40 @@ object AnalyticsQueries {
             "n_chars")
           .select(col("n1"), col("n2"), col("d_num"), col("ks_micro"))
       },
-      Some(ksDriftOracleSql))
+      Some(ksDriftOracleSql)),
+
+    // Exact equi-depth histogram (r12): the ANALYZE/optimizer
+    // statistic — 8 near-equal-count buckets per order priority with
+    // exact value ranges, ranks riding the skew-safe prefix count
+    // and buckets by NTILE semantics (deterministic, replayable).
+    QuerySpec("q223_equidepth_hist",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"),
+          col("o_orderkey"))
+          .withColumn("__ord",
+            col("v_centi") * 1000000000L + col("o_orderkey"))
+        graft.ops.Profile.equiDepthHistogram(
+            o, "o_orderpriority", "__ord", "v_centi", 8)
+          .select(col("o_orderpriority"), col("bucket"),
+            col("n_rows"), col("lo"), col("hi"))
+          .orderBy(col("o_orderpriority"), col("bucket"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c, o_orderkey
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, c,
+        |    CAST(NTILE(8) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY c, o_orderkey) AS BIGINT) AS bucket
+        |  FROM v)
+        |SELECT o_orderpriority, bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
+        |FROM r GROUP BY o_orderpriority, bucket
+        |ORDER BY o_orderpriority, bucket""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

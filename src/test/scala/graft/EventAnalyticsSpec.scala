@@ -290,6 +290,20 @@ class EventAnalyticsSpec extends SparkSuite {
       assert(fast.exceptAll(plain).isEmpty &&
         plain.exceptAll(fast).isEmpty, s"$name / $op / p=$p")
     }
+    // lag/lead ride the same slice algebra (the offsets chain carries
+    // a struct instead of a scalar) — same shapes × partitions grid
+    for ((name, rows) <- shapes; p <- Seq(1, 4, 32)) {
+      val df = rows.toDF("k", "ord", "v").repartition(5)
+      val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+      val plain = df.withColumn("prev", lag(col("v"), 1).over(w))
+        .withColumn("next", lead(col("v"), 1).over(w))
+      val fast = EventAnalytics.leadSkewSafe(
+        EventAnalytics.lagSkewSafe(df, "k", "ord", "v", "prev", p),
+        "k", "ord", "v", "next", p)
+        .select("k", "ord", "v", "prev", "next")
+      assert(fast.exceptAll(plain).isEmpty &&
+        plain.exceptAll(fast).isEmpty, s"$name / lag+lead / p=$p")
+    }
   }
 
   test("groupMedianSkewSafe == sequential sort medians: mega-key, " +

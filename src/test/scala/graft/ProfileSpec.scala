@@ -175,6 +175,39 @@ class ProfileSpec extends SparkSuite {
     assert(out("g2")._4 == 500000L) // identical samples: no drift
   }
 
+  test("equiDepthHistogram == plain NTILE roll-up under the mega-key; " +
+      "hand case pins the remainder buckets") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // hand case: one group, n=10, k=4 → bucket sizes 3,3,2,2 with
+    // exact boundaries
+    val hand = (1L to 10L).map(v => ("g", v * 10, v))
+      .toDF("k", "v", "ord")
+    val h = Profile.equiDepthHistogram(hand, "k", "ord", "v", 4)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(h.toSeq == Seq((1L, 3L, 10L, 30L), (2L, 3L, 40L, 60L),
+      (3L, 2L, 70L, 80L), (4L, 2L, 90L, 100L)))
+    // mega-key differential vs the plain window form
+    val df = spark.range(4000).select(
+        when(pmod(col("id"), lit(100)) < 95, lit("hot"))
+          .otherwise(concat(lit("k"), pmod(col("id"), lit(7))))
+          .as("k"),
+        ((col("id") * 37) % 1000).as("v"), col("id").as("ord"))
+      .repartition(9)
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+    val plain = df
+      .withColumn("bucket", ntile(6).over(w).cast("long"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+    val fast = Profile.equiDepthHistogram(df, "k", "ord", "v", 6,
+      partitions = 5)
+    assert(fast.exceptAll(plain).isEmpty &&
+      plain.exceptAll(fast).isEmpty)
+  }
+
   test("ksDriftAgainstRef ≡ ksDrift on the union, incl. ref-only " +
       "and probe-only values (zero-fill lanes)") {
     // ref = {1..40}, probe = {21..60}: values 1-20 are ref-only,
