@@ -426,6 +426,64 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"), min(col(valueCol)).as("lo"),
         max(col(valueCol)).as("hi"))
 
+  /** BINNED drift per reference quantile — the PSI monitoring setup
+    * with the logs removed: production ML monitoring bins by the
+    * REFERENCE sample's k-quantiles and compares the two samples'
+    * bucket masses; PSI then sums (p−q)·ln(p/q) per bucket, which no
+    * cross-engine gate can hash. The log-free form keeps the setup
+    * and emits the integer TVD deviation per bucket instead:
+    * one row per non-empty bucket, (bucket, ca, cb,
+    * dev_num = |ca·n₂ − cb·n₁|) — Σ dev_num / 2n₁n₂ is exactly the
+    * binned TVD, and the per-bucket rows show WHERE the mass moved
+    * (what PSI's per-bucket terms are read for).
+    *
+    * Boundaries are the reference's exact (j/k)-quantiles
+    * ([[EventAnalytics.groupPercentilesSkewSafe]] over the
+    * (value, tie) total order — `tieCol` non-null unique, value
+    * magnitudes < 2⁵³/10⁹ so the composite ord stays exact);
+    * duplicates among boundaries skip buckets (deterministically —
+    * an empty bucket between equal deciles). `k` must divide 10⁶ so
+    * j/k is exact in the percentile op's micro grid. Bucket of x =
+    * 1 + #{boundaries < x}: ≤ k−1 boundary values attach as ONE
+    * sorted array in a 1-row broadcast (allowlisted), and the bucket
+    * folds as chained whens — no per-boundary join, no lambda in a
+    * grouping expression. Contract: the reference sample must be
+    * non-empty (a k-quantile of nothing is undefined — same contract
+    * as the solo drift tests). */
+  def binnedTvdDrift(df: DataFrame, valueCol: String, tieCol: String,
+      sampleCol: String, a: String, b: String, k: Int,
+      partitions: Int = 0): DataFrame = {
+    require(k >= 2 && 1000000 % k == 0,
+      s"binnedTvdDrift: k must divide 10^6, got $k")
+    val d38 = "decimal(38,0)"
+    val ref = df.filter(col(sampleCol) === a)
+      .withColumn("__g", lit(0))
+      .withColumn("__bord",
+        col(valueCol) * lit(1000000000L) + col(tieCol))
+    val ps = (1 until k).map(j => j.toLong * (1000000L / k))
+    val bnds = EventAnalytics.groupPercentilesSkewSafe(
+        ref, "__g", "__bord", valueCol, ps, partitions)
+      .agg(sort_array(collect_list(col(valueCol))).as("__bnds"))
+    val both = df.filter(col(sampleCol) === a || col(sampleCol) === b)
+    val bucketed = both.crossJoin(broadcast(bnds)) // 1-row attach
+      .withColumn("bucket",
+        (1 until k).map(i =>
+          when(col(valueCol) > element_at(col("__bnds"), i), 1L)
+            .otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L)) + lit(1L))
+    val cnt = bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("cb"))
+    val totals = both.agg(
+      sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("n1"),
+      sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("n2"))
+    cnt.crossJoin(broadcast(totals)) // 1-row totals attach
+      .withColumn("dev_num", expr(
+        s"CAST(abs(CAST(ca AS $d38) * n2 - CAST(cb AS $d38) * n1) " +
+          "AS BIGINT)"))
+      .select(col("bucket"), col("ca"), col("cb"), col("dev_num"))
+  }
+
   /** Per-GROUP two-sample KS — [[ksDrift]] keyed on a segment column
     * (drift per language, per topic, per time bucket): the same
     * integer supremum, with the cumulative counts riding the

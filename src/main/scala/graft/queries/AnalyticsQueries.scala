@@ -2269,7 +2269,47 @@ object AnalyticsQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
         |FROM r GROUP BY o_orderpriority, bucket
-        |ORDER BY o_orderpriority, bucket""".stripMargin))
+        |ORDER BY o_orderpriority, bucket""".stripMargin)),
+
+    // Binned drift per reference decile (r12): the PSI monitoring
+    // setup, log-free — bin BOTH samples by src1's exact deciles,
+    // emit the integer TVD deviation per bucket (sum/2n1n2 = binned
+    // TVD; the per-bucket rows show WHERE the mass moved, which is
+    // what PSI's per-bucket terms are read for).
+    QuerySpec("q224_binned_drift",
+      (s, dir) => graft.ops.Profile.binnedTvdDrift(
+          table(s, dir, "documents").select(col("n_chars"),
+            col("doc_id"), col("source")),
+          "n_chars", "doc_id", "source", "src1", "src2", 10)
+        .orderBy(col("bucket")),
+      Some("""WITH r1 AS (SELECT n_chars AS v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+        |      AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM documents WHERE source = 'src1'),
+        |b AS (SELECT r1.v FROM (SELECT UNNEST(range(1, 10)) AS j) p
+        |  JOIN r1 ON r1.rk = GREATEST(1,
+        |    (100000 * p.j * r1.n + 999999) // 1000000)),
+        |d AS (SELECT doc_id, n_chars AS v, source FROM documents
+        |  WHERE source IN ('src1', 'src2')),
+        |t AS (SELECT
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2 FROM d),
+        |bk AS (SELECT d.doc_id, d.source,
+        |    1 + CAST(SUM(CASE WHEN d.v > b.v THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM d CROSS JOIN b GROUP BY d.doc_id, d.source),
+        |c AS (SELECT bucket,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM bk GROUP BY bucket)
+        |SELECT c.bucket, c.ca, c.cb,
+        |  CAST(ABS(c.ca * t.n2 - c.cb * t.n1) AS BIGINT) AS dev_num
+        |FROM c, t ORDER BY c.bucket""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

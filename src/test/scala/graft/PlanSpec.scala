@@ -164,8 +164,10 @@ class PlanSpec extends SparkSuite {
       "q213_ks_drift", "q214_mannwhitney", "q218_emd_drift",
       // q220 attaches the same no-grouping 1-row (n1, n2) totals to
       // the per-category count frame; q222 is q213's tail over the
-      // persisted-reference count frame — same 1-row attach
-      "q220_tvd_drift", "q222_ks_drift_steady")
+      // persisted-reference count frame — same 1-row attach; q224
+      // attaches TWO 1-row frames (the sorted ≤k−1 boundary array and
+      // the totals), both no-grouping aggregates
+      "q220_tvd_drift", "q222_ks_drift_steady", "q224_binned_drift")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -208,6 +208,31 @@ class ProfileSpec extends SparkSuite {
       plain.exceptAll(fast).isEmpty)
   }
 
+  test("binnedTvdDrift: identical → zero devs, hand-computed shift, " +
+      "duplicate boundaries skip buckets deterministically") {
+    def run(rows: Seq[(Long, Long, String)], k: Int = 10) =
+      Profile.binnedTvdDrift(rows.toDF("v", "id", "s"), "v", "id",
+          "s", "A", "B", k, partitions = 3)
+        .orderBy(col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val refA = (1L to 100L).map(v => (v, v, "A"))
+    // identical: every bucket 10/10, dev 0
+    val same = run(refA ++ (1L to 100L).map(v => (v, 1000 + v, "B")))
+    assert(same == (1 to 10).map(b => (b.toLong, 10L, 10L, 0L)))
+    // B = 51..150: mass drains from buckets 1-5 into bucket 10
+    val shifted = run(refA ++ (51L to 150L).map(v => (v, 1000 + v, "B")))
+    assert(shifted == ((1 to 5).map(b => (b.toLong, 10L, 0L, 1000L)) ++
+      (6 to 9).map(b => (b.toLong, 10L, 10L, 0L)) :+ (10L, 10L, 60L, 5000L)))
+    // duplicate boundaries (ref = 50×1 ++ 50×2 → deciles
+    // [1,1,1,1,1,2,2,2,2]): value 1 → bucket 1, 2 → 6, 3 → 10;
+    // intermediate buckets are skipped, not smeared
+    val dup = run((1L to 50L).map(i => (1L, i, "A")) ++
+      (51L to 100L).map(i => (2L, i, "A")) :+ (3L, 999L, "B"))
+    assert(dup == Seq((1L, 50L, 0L, 50L), (6L, 50L, 0L, 50L),
+      (10L, 0L, 1L, 100L)))
+  }
+
   test("ksDriftAgainstRef ≡ ksDrift on the union, incl. ref-only " +
       "and probe-only values (zero-fill lanes)") {
     // ref = {1..40}, probe = {21..60}: values 1-20 are ref-only,
