@@ -348,6 +348,53 @@ object EventAnalytics {
         col(valueCol))
   }
 
+  /** Skew-safe exact PERCENTILE_CONT — the INTERPOLATED companion to
+    * [[groupPercentilesSkewSafe]] (SQL's other percentile): the
+    * continuous percentile sits at zero-based position p·(n−1) of the
+    * `ordCol` order and linearly interpolates between the two
+    * bracketing members. Both brackets ride the same targeted-pick
+    * plan (TWO rank targets per (group, p): lo = pos div 10⁶ + 1,
+    * hi = min(n, lo+1)), and the interpolation stays integral in
+    * micro-value-units:
+    *
+    *   value_micro = 10⁶·v_lo + (v_hi − v_lo)·(pos mod 10⁶)
+    *
+    * — exact, engine-portable (no float division), frac = 0
+    * degenerates to 10⁶·percentile_disc′ (the zero-based pick).
+    * Position and interpolation arithmetic ride DECIMAL(38,0)
+    * (p·(n−1) overflows long at n ≈ 9.2e12; 10⁶·v at |v| ≥ 9.2e12).
+    * Output: (key, p_micro, n, value_micro), one row per
+    * (group, percentile). Same unique value-major `ordCol` contract
+    * as every exact order statistic; p in [0, 10⁶]. */
+  def percentileContSkewSafe(df: DataFrame, keyCol: String,
+      ordCol: String, valueCol: String, pMicros: Seq[Long],
+      partitions: Int = 0): DataFrame = {
+    require(pMicros.nonEmpty &&
+      pMicros.forall(p => p >= 0 && p <= 1000000L),
+      "percentiles must be micros in [0, 1000000]")
+    val d38 = "decimal(38,0)"
+    val picked = pickGlobalRanks(df, keyCol, ordCol, valueCol,
+      partitions, 2 * pMicros.distinct.size,
+      totals => totals
+        .withColumn("p_micro",
+          explode(array(pMicros.distinct.sorted.map(lit): _*)))
+        .withColumn("__pos",
+          expr(s"CAST(p_micro AS $d38) * (__n - 1)"))
+        .withColumn("__end", explode(array(lit(0L), lit(1L))))
+        .withColumn("__rk_t", expr(
+          "CAST(least(CAST(__n AS DECIMAL(38,0)), " +
+            "__pos div 1000000 + 1 + __end) AS BIGINT)")))
+    picked.groupBy(col(keyCol), col("p_micro"))
+      .agg(max(col("__n")).as("n"), max(col("__pos")).as("__pos"),
+        max(when(col("__end") === 0L, col(valueCol))).as("__vlo"),
+        max(when(col("__end") === 1L, col(valueCol))).as("__vhi"))
+      .withColumn("value_micro", expr(
+        s"CAST(CAST(__vlo AS $d38) * 1000000 + " +
+          "(__vhi - __vlo) * (__pos % 1000000) AS BIGINT)"))
+      .select(col(keyCol), col("p_micro"), col("n"),
+        col("value_micro"))
+  }
+
   /** Skew-safe exact WEIGHTED grouped percentiles — the rank targets
     * of [[groupPercentilesSkewSafe]] moved from the count axis to the
     * cumulative-WEIGHT axis: the p-percentile member of a group is

@@ -2309,7 +2309,55 @@ object AnalyticsQueries {
         |  FROM bk GROUP BY bucket)
         |SELECT c.bucket, c.ca, c.cb,
         |  CAST(ABS(c.ca * t.n2 - c.cb * t.n1) AS BIGINT) AS dev_num
-        |FROM c, t ORDER BY c.bucket""".stripMargin))
+        |FROM c, t ORDER BY c.bucket""".stripMargin)),
+
+    // Exact PERCENTILE_CONT (r12): the interpolated percentile —
+    // SQL's other percentile beside the discrete picks of q204/q205.
+    // Two bracket ranks per (group, p) ride the targeted-pick plan;
+    // interpolation stays integral in micro-centi units, so the gate
+    // is hash-exact where a float percentile_cont cannot be.
+    QuerySpec("q225_percentile_cont",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"),
+          col("o_orderkey"))
+          .withColumn("__ord",
+            col("v_centi") * 1000000000L + col("o_orderkey"))
+        graft.ops.EventAnalytics.percentileContSkewSafe(
+            o, "o_orderpriority", "__ord", "v_centi",
+            Seq(250000L, 500000L, 900000L, 990000L))
+          .select(col("o_orderpriority"), col("p_micro"), col("n"),
+            col("value_micro"))
+          .orderBy(col("o_orderpriority"), col("p_micro"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c, o_orderkey AS id
+        |  FROM orders),
+        |r AS (SELECT g, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, id)
+        |      AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM v),
+        |p AS (SELECT UNNEST([250000, 500000, 900000, 990000])
+        |    AS p_micro),
+        |t AS (SELECT g, n, p_micro,
+        |    CAST(p_micro AS BIGINT) * (n - 1) AS pos
+        |  FROM (SELECT DISTINCT g, n FROM r) CROSS JOIN p),
+        |lo AS (SELECT t.g, t.p_micro, t.n, t.pos, r.c AS v_lo
+        |  FROM t JOIN r ON r.g = t.g AND r.rk = t.pos // 1000000 + 1),
+        |hi AS (SELECT t.g, t.p_micro, r.c AS v_hi
+        |  FROM t JOIN r ON r.g = t.g
+        |    AND r.rk = LEAST(t.n, t.pos // 1000000 + 2))
+        |SELECT lo.g AS o_orderpriority, lo.p_micro, lo.n,
+        |  CAST(lo.v_lo * 1000000 +
+        |    (hi.v_hi - lo.v_lo) * (lo.pos % 1000000) AS BIGINT)
+        |    AS value_micro
+        |FROM lo JOIN hi
+        |  ON lo.g = hi.g AND lo.p_micro = hi.p_micro
+        |ORDER BY lo.g, lo.p_micro""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -306,6 +306,43 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("percentileContSkewSafe == sequential interpolation: mega-key, " +
+      "frac-0 degeneracy, p=0/p=10⁶ edges, single-row group") {
+    val rows = (0L until 8001L).map { i =>
+      val k = if (i % 100 < 95) 0L else i % 7 + 1
+      val v = (i * 37) % 50
+      (k, v * 1000000L + i, v)
+    }
+    val df = rows.toDF("k", "ord", "v").repartition(11)
+    val ps = Seq(0L, 250000L, 333333L, 500000L, 1000000L)
+    val got = EventAnalytics.percentileContSkewSafe(
+        df, "k", "ord", "v", ps, partitions = 5)
+      .orderBy("k", "p_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (k, g) =>
+        val sorted = g.sortBy(_._2).map(_._3)
+        val n = sorted.size.toLong
+        ps.sorted.map { p =>
+          val pos = p * (n - 1) // zero-based micro position
+          val lo = (pos / 1000000L).toInt
+          val hi = math.min(n - 1, lo + 1L).toInt
+          val frac = pos % 1000000L
+          (k, p, n, sorted(lo) * 1000000L +
+            (sorted(hi) - sorted(lo)) * frac)
+        }
+    }
+    assert(got == exp)
+    // single-row group: every p collapses to 10⁶·v
+    val one = EventAnalytics.percentileContSkewSafe(
+        Seq((9L, 5L, 42L)).toDF("k", "ord", "v"), "k", "ord", "v",
+        Seq(0L, 500000L, 1000000L))
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq.sorted
+    assert(one == Seq((0L, 42000000L), (500000L, 42000000L),
+      (1000000L, 42000000L)))
+  }
+
   test("groupMedianSkewSafe == sequential sort medians: mega-key, " +
       "odd/even sizes, single-row group, duplicate values") {
     // key 0 hogs ~95% of rows; duplicate values forced via mod 50;
