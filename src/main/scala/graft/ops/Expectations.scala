@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the reference's audit
+  * checks (duplicate-open-versions, FK violations, reject-with-reason;
+  * `dso_import` §2.3/§2.8) generalized into a composable rule surface
+  * (the deequ/dbt-tests shape): each rule names a contract, the
+  * checker returns ONE row per rule with its exact violation count.
+  *
+  * Scale design: all ROW-LOCAL rules (not-null, range, accepted
+  * values, regex) compile into a SINGLE aggregate over ONE scan of
+  * the table — a `sum(when(violated, 1))` lane per rule, map-side
+  * combined, shuffling one partial row per partition regardless of
+  * input size (PlanSpec pins the one-scan shape). Set-wide rules add
+  * the minimal keyed plan each needs: `unique` one count-aggregate
+  * (map-side combinable; violations = Σ(cnt−1) so the number is
+  * independent of partitioning), `foreignKey` one LEFT ANTI join
+  * against the parent keys (broadcast when small — AQE's choice).
+  * Null FK values are NOT violations (SQL semantics: a null FK is
+  * absent, not dangling); null uniqueness keys group like values
+  * (engines agree). */
+object Expectations {
+
+  /** A named expectation over a single table. */
+  sealed trait Rule { def name: String }
+  /** `col` must be non-null. */
+  final case class NotNull(name: String, col: String) extends Rule
+  /** `col` (when non-null) must sit in [lo, hi]. */
+  final case class InRange(name: String, col: String, lo: Long,
+    hi: Long) extends Rule
+  /** `col` (when non-null) must be one of `values`. */
+  final case class AcceptedValues(name: String, col: String,
+    values: Seq[String]) extends Rule
+  /** `col` (when non-null) must match `pattern` (Java regex,
+    * full-match). */
+  final case class MatchesRegex(name: String, col: String,
+    pattern: String) extends Rule
+  /** The column tuple must be unique across the table; each extra
+    * copy of a duplicated tuple counts one violation. */
+  final case class Unique(name: String, cols: Seq[String]) extends Rule
+  /** Every non-null `col` value must appear in `parentCol` of
+    * `parent` (referential integrity). */
+  final case class ForeignKey(name: String, col: String,
+    parent: DataFrame, parentCol: String) extends Rule
+
+  private def violatedExpr(r: Rule): Column = r match {
+    case NotNull(_, c) => col(c).isNull
+    case InRange(_, c, lo, hi) =>
+      col(c).isNotNull && (col(c) < lo || col(c) > hi)
+    case AcceptedValues(_, c, vs) =>
+      col(c).isNotNull && !col(c).isin(vs: _*)
+    case MatchesRegex(_, c, p) =>
+      col(c).isNotNull && !col(c).rlike("^(?:" + p + ")$")
+    case _ => throw new IllegalArgumentException(
+      s"${r.name}: not a row-local rule")
+  }
+
+  /** Check every rule; returns (rule, violations), one row per rule,
+    * in the given rule order (`rule_ord` carries it so callers can
+    * ORDER BY deterministically). */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Expectations.check: no rules")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "Expectations.check: duplicate rule names")
+    val spark = df.sparkSession
+    val ord = rules.map(_.name).zipWithIndex.toMap
+    val rowLocal = rules.collect {
+      case r @ (_: NotNull | _: InRange | _: AcceptedValues |
+                _: MatchesRegex) => r
+    }
+    val local: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = rowLocal.map(r =>
+          sum(when(violatedExpr(r), 1L).otherwise(0L))
+            .as(s"__v_${ord(r.name)}"))
+        val wide = df.agg(aggs.head, aggs.tail: _*)
+        val stackExpr = s"stack(${rowLocal.size}, " + rowLocal.map(r =>
+          s"'${r.name}', `__v_${ord(r.name)}`").mkString(", ") +
+          ") AS (rule, violations)"
+        Some(wide.select(expr(stackExpr)))
+      }
+    val keyed: Seq[DataFrame] = rules.collect {
+      case Unique(n, cs) =>
+        df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"))
+          .select(lit(n).as("rule"), col("violations"))
+      case ForeignKey(n, c, parent, pc) =>
+        df.filter(col(c).isNotNull).select(col(c).as("__fk"))
+          .join(parent.select(col(pc).as("__fk")).distinct(),
+            Seq("__fk"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(n).as("rule"), col("violations"))
+    }
+    val all = (local.toSeq ++ keyed).reduce(_ unionByName _)
+    val ordDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rules.map(r => org.apache.spark.sql.Row(r.name,
+          ord(r.name).toLong)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rule",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rule_ord",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    all.join(broadcast(ordDf), Seq("rule")) // ≤|rules| rows
+      .select(col("rule_ord"), col("rule"), col("violations"))
+  }
+}

@@ -2357,7 +2357,61 @@ object AnalyticsQueries {
         |    AS value_micro
         |FROM lo JOIN hi
         |  ON lo.g = hi.g AND lo.p_micro = hi.p_micro
-        |ORDER BY lo.g, lo.p_micro""".stripMargin))
+        |ORDER BY lo.g, lo.p_micro""".stripMargin)),
+
+    // Declarative expectations (r12): the audit checks generalized
+    // into a composable rule surface (the deequ/dbt-tests shape) —
+    // all row-local rules fuse into ONE aggregate over ONE scan;
+    // unique adds a count-aggregate, the FK a left-anti probe.
+    QuerySpec("q226_expectations",
+      (s, dir) => {
+        import graft.ops.Expectations._
+        val o = table(s, dir, "orders").withColumn("v_centi",
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long"))
+        check(o, Seq(
+          NotNull("custkey_not_null", "o_custkey"),
+          InRange("totalprice_centi_range", "v_centi",
+            200000L, 40000000L),
+          AcceptedValues("status_closed_domain", "o_orderstatus",
+            Seq("F", "O")),
+          MatchesRegex("priority_format", "o_orderpriority",
+            "[1-5]-[A-Z]+"),
+          Unique("orderkey_unique", Seq("o_orderkey")),
+          ForeignKey("custkey_fk", "o_custkey",
+            table(s, dir, "customer"), "c_custkey")))
+          .orderBy(col("rule_ord"))
+      },
+      Some("""WITH o AS (SELECT *,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v_centi FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS rule_ord,
+        |    'custkey_not_null' AS rule,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations FROM o
+        |  UNION ALL SELECT 1, 'totalprice_centi_range',
+        |    CAST(SUM(CASE WHEN v_centi IS NOT NULL AND
+        |      (v_centi < 200000 OR v_centi > 40000000)
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM o
+        |  UNION ALL SELECT 2, 'status_closed_domain',
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND
+        |      o_orderstatus NOT IN ('F', 'O')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM o
+        |  UNION ALL SELECT 3, 'priority_format',
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT
+        |      regexp_full_match(o_orderpriority, '(?:[1-5]-[A-Z]+)')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM o
+        |  UNION ALL SELECT 4, 'orderkey_unique',
+        |    CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+        |      (SELECT COUNT(*) AS c FROM o GROUP BY o_orderkey))
+        |      AS BIGINT)
+        |  UNION ALL SELECT 5, 'custkey_fk',
+        |    CAST((SELECT COUNT(*) FROM o
+        |      WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |        (SELECT 1 FROM customer c
+        |         WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |) ORDER BY rule_ord""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Expectations
+import graft.ops.Expectations._
+
+/** Declarative expectations: hand-planted violations per rule kind,
+  * rule-order preservation, null semantics (null FK/row-local values
+  * are absent, not violations), and the one-scan plan contract for
+  * the fused row-local rules. */
+class ExpectationsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def planted = Seq(
+    // (id, k, status, score, name)
+    (1L, Some(10L), "F", 5L, "a-1"),
+    (2L, Some(10L), "O", 50L, "b-2"),   // score out of [0,20]
+    (3L, None, "X", 5L, "c-3"),         // null k; bad status
+    (4L, Some(99L), "F", -1L, "dd"),    // dangling k; score low; bad name
+    (4L, Some(10L), "O", 5L, "e-5")     // duplicate id
+  ).toDF("id", "k", "status", "score", "name")
+
+  private def parents = Seq(10L, 11L).toDF("pk")
+
+  test("each rule kind counts its planted violations; order preserved") {
+    val out = Expectations.check(planted, Seq(
+        NotNull("k_not_null", "k"),
+        InRange("score_range", "score", 0L, 20L),
+        AcceptedValues("status_domain", "status", Seq("F", "O")),
+        MatchesRegex("name_format", "name", "[a-z]-[0-9]"),
+        Unique("id_unique", Seq("id")),
+        ForeignKey("k_fk", "k", parents, "pk")))
+      .orderBy(col("rule_ord"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("k_not_null", 1L), ("score_range", 2L), ("status_domain", 1L),
+      ("name_format", 1L), ("id_unique", 1L), ("k_fk", 1L)))
+  }
+
+  test("clean table → all zeros; empty-frame unique sums to 0 not null") {
+    val clean = Seq((1L, "F")).toDF("id", "status")
+    val out = Expectations.check(clean, Seq(
+        AcceptedValues("s", "status", Seq("F")),
+        Unique("u", Seq("id"))))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("s" -> 0L, "u" -> 0L))
+    val empty = Expectations.check(clean.filter(col("id") < 0), Seq(
+        Unique("u", Seq("id"))))
+      .collect().map(_.getLong(2)).toSeq
+    assert(empty == Seq(0L))
+  }
+
+  test("row-local rules fuse into ONE scan of the source") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("expectations_scan").toString
+    planted.write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val t = spark.read.parquet(s"$dir/t.parquet")
+    val plan = Expectations.check(t, Seq(
+        NotNull("a", "k"), InRange("b", "score", 0L, 20L),
+        AcceptedValues("c", "status", Seq("F", "O")),
+        MatchesRegex("d", "name", ".*")))
+      .queryExecution.executedPlan.toString
+    val scans = "t\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan for 4 fused rules, got $scans")
+  }
+
+  test("duplicate rule names are rejected") {
+    intercept[IllegalArgumentException] {
+      Expectations.check(planted,
+        Seq(NotNull("x", "k"), Unique("x", Seq("id"))))
+    }
+  }
+}
