@@ -107,4 +107,21 @@ object Expectations {
     all.join(broadcast(ordDf), Seq("rule")) // ≤|rules| rows
       .select(col("rule_ord"), col("rule"), col("violations"))
   }
+
+  /** Fail-fast gate for the streaming ingests: returns a
+    * `validateBatch` function (`StreamingIngest.scd2Ingest` and
+    * friends) that throws BEFORE any snapshot mutation when a rule is
+    * violated, naming every failing rule with its count — the
+    * reference's abort semantics driven by the declarative rules
+    * instead of a hand-written predicate. Cost: [[check]]'s plan on
+    * the micro-batch (one fused scan + the keyed rules), one
+    * ≤|rules|-row collect. */
+  def requireClean(rules: Seq[Rule]): DataFrame => Unit = { batch =>
+    val bad = check(batch, rules)
+      .filter(col("violations") > 0L)
+      .collect()
+      .map(r => s"${r.getString(1)}=${r.getLong(2)}")
+    require(bad.isEmpty,
+      s"expectations failed: ${bad.mkString(", ")}")
+  }
 }

@@ -321,6 +321,39 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(snap).count() == 3) // snapshot unchanged
   }
 
+  test("rule-driven streaming gate: Expectations.requireClean passes " +
+      "clean batches and aborts dirty ones before mutation") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Expectations
+    import graft.ops.Expectations._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-exp-stream").toString
+    val gate = Expectations.requireClean(Seq(
+      NotNull("naam_not_null", "naam"),
+      Unique("id_unique", Seq("id"))))
+    val stream = MemoryStream[VRow]
+    val q = StreamingIngest.scd2Ingest(stream.toDF(), "id",
+      s"$base/snap", s"$base/ckpt", gate)
+    stream.addData(VRow("A_001", "A", 1, None, "alpha"))
+    q.processAllAvailable() // clean batch commits
+    assert(spark.read.parquet(s"$base/snap").count() == 1)
+    // a null payload: the NotNull rule must abort, and the message
+    // must NAME the failing rule with its count. (Unique can never
+    // fire post-staging — scd2Ingest dedupes per id before the gate —
+    // it rides along to show rule composition under streaming.)
+    stream.addData(VRow("B_001", "B", 1, None, null))
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(ex.getCause != null &&
+      String.valueOf(ex.getCause.getMessage).contains("naam_not_null=1"),
+      s"failing rule not named: ${ex.getCause}")
+    assert(spark.read.parquet(s"$base/snap").count() == 1) // untouched
+  }
+
   test("streaming incremental dedup: indexed epochs match the batch form, replay-safe") {
     import graft.streaming.StreamingIngest
     import graft.ops.Dedup
