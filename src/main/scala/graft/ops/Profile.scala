@@ -300,6 +300,57 @@ object Profile {
       .select(col("n1"), col("n2"), col("emd_num"), col("emd_micro"))
   }
 
+  /** Two-sample Cramér–von Mises drift, EXACT sufficient statistics —
+    * the whole-curve companion completing the ordered quartet: KS
+    * takes the sup of the CDF gap, W₁ integrates it over VALUE, CvM
+    * integrates its SQUARE over PROBABILITY mass:
+    * T = Σ cᵢ·dᵢ² / (N²·n₁·n₂) with dᵢ = i·n₂ − j·n₁ at each distinct
+    * value and cᵢ its combined mass, N = n₁+n₂ — more sensitive than
+    * KS to many small gaps, insensitive (unlike W₁) to value units.
+    *
+    * Σcᵢdᵢ² itself would need 10⁴⁸ digits at planetary samples, so
+    * the sum is carried TWO-LEVEL in DECIMAL(38,0): qᵢ = dᵢ² div
+    * n₁n₂ and rᵢ = dᵢ² mod n₁n₂ — both ≤ n₁n₂ — accumulate
+    * separately, and the statistic
+    * `t_micro = (10⁶·Σcᵢqᵢ + (10⁶·Σcᵢrᵢ) div n₁n₂) div N²` is the
+    * DEFINED gate number — a deterministic nested-floor both engines
+    * compute identically (within 1 micro of the true floor; t_micro
+    * ≤ 10⁶·min(n₁,n₂), long-safe). Domain: dᵢ² must fit
+    * DECIMAL(38,0) → n₁·n₂ < 10¹⁹ (≈3·10⁹ rows per sample — beyond
+    * that, run CvM per segment or on a sample; at that size any
+    * shift is "significant" anyway). Same plan as [[ksDrift]]: one
+    * count aggregate, the constant-key prefix sum, a 1-row totals
+    * attach. Output: (n1, n2, t_micro). */
+  def cvmDrift(df: DataFrame, valueCol: String, sampleCol: String,
+      a: String, b: String, partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = EventAnalytics.runningAggsSkewSafe(
+      cnt.withColumn("__g", lit(0)), "__g", valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+    val totals = cnt.agg(sum(col("__ca")).as("n1"),
+      sum(col("__cb")).as("n2"))
+    cum.crossJoin(broadcast(totals)) // 1-row aggregate attach
+      .withColumn("__m", expr(s"CAST(n1 AS $d38) * n2"))
+      .withColumn("__d",
+        abs(col("__ia") * col("n2") - col("__ib") * col("n1"))
+          .cast(d38))
+      .withColumn("__c", (col("__ca") + col("__cb")).cast(d38))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(expr("__c * ((__d * __d) div __m)")).cast(d38).as("__sq"),
+        sum(expr("__c * ((__d * __d) % __m)")).cast(d38).as("__sr"))
+      .withColumn("t_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq + " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * __sr) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2)) div " +
+          "(CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2)) AS BIGINT)"))
+      .select(col("n1"), col("n2"), col("t_micro"))
+  }
+
   /** Per-GROUP Earth Mover's distance — [[emdDrift]] keyed on a
     * segment column, completing the drift-by-segment trio beside
     * [[ksDriftBy]] and [[mannWhitneyUBy]]: the same integral

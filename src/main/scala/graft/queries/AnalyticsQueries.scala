@@ -2411,7 +2411,49 @@ object AnalyticsQueries {
         |      WHERE o_custkey IS NOT NULL AND NOT EXISTS
         |        (SELECT 1 FROM customer c
         |         WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
-        |) ORDER BY rule_ord""".stripMargin))
+        |) ORDER BY rule_ord""".stripMargin)),
+
+    // Cramér–von Mises drift (r12): completes the ordered quartet —
+    // KS sups the CDF gap, W₁ integrates it over value, CvM
+    // integrates its SQUARE over probability mass (sensitive to many
+    // small gaps; unit-free where W₁ is not). Two-level q/r carry
+    // keeps every intermediate inside DECIMAL(38,0)/HUGEINT; t_micro
+    // is the defined nested-floor both engines compute identically.
+    QuerySpec("q227_cvm_drift",
+      (s, dir) => graft.ops.Profile.cvmDrift(
+          table(s, dir, "documents").select(col("n_chars"),
+            col("source")),
+          "n_chars", "source", "src1", "src2")
+        .select(col("n1"), col("n2"), col("t_micro")),
+      Some("""WITH c AS (SELECT n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY n_chars),
+        |r AS (SELECT v, ca, cb,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS ia,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS ib
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2 FROM c),
+        |s AS (SELECT t.n1, t.n2,
+        |    SUM(CAST(ca + cb AS HUGEINT) *
+        |      ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |        ABS(ia * t.n2 - ib * t.n1)) //
+        |       (CAST(t.n1 AS HUGEINT) * t.n2))) AS sq,
+        |    SUM(CAST(ca + cb AS HUGEINT) *
+        |      ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |        ABS(ia * t.n2 - ib * t.n1)) %
+        |       (CAST(t.n1 AS HUGEINT) * t.n2))) AS sr
+        |  FROM r, t GROUP BY t.n1, t.n2)
+        |SELECT n1, n2,
+        |  CAST((1000000 * sq + (1000000 * sr) //
+        |      (CAST(n1 AS HUGEINT) * n2)) //
+        |    (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)) AS BIGINT)
+        |    AS t_micro
+        |FROM s""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

@@ -167,7 +167,9 @@ class PlanSpec extends SparkSuite {
       // persisted-reference count frame — same 1-row attach; q224
       // attaches TWO 1-row frames (the sorted ≤k−1 boundary array and
       // the totals), both no-grouping aggregates
-      "q220_tvd_drift", "q222_ks_drift_steady", "q224_binned_drift")
+      "q220_tvd_drift", "q222_ks_drift_steady", "q224_binned_drift",
+      // q227 is the same drift-tail 1-row totals attach
+      "q227_cvm_drift")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

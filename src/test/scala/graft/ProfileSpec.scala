@@ -208,6 +208,44 @@ class ProfileSpec extends SparkSuite {
       plain.exceptAll(fast).isEmpty)
   }
 
+  test("cvmDrift: identical → 0, hand case exact, ≡ BigInt reference " +
+      "with the same nested-floor on a planted frame") {
+    def cvm(rows: Seq[(Long, String)]) =
+      Profile.cvmDrift(rows.toDF("v", "s"), "v", "s", "A", "B",
+          partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .head
+    val same = (1L to 40L).flatMap(v => Seq((v, "A"), (v, "B")))
+    assert(cvm(same) == (40L, 40L, 0L))
+    // hand case: A = {1,2}, B = {1,3} → T = 1/16 exactly
+    assert(cvm(Seq((1L, "A"), (2L, "A"), (1L, "B"), (3L, "B"))) ==
+      (2L, 2L, 62500L))
+    // planted mixed frame vs a BigInt reference computing the SAME
+    // defined nested-floor
+    val rows = (0L until 500L).map(i =>
+      ((i * 37) % 90, if (i % 3 == 0) "B" else "A"))
+    def ref(data: Seq[(Long, String)]): (Long, Long, Long) = {
+      val byV = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, g) =>
+        (v, g.count(_._2 == "A").toLong, g.count(_._2 == "B").toLong)
+      }
+      val n1 = byV.map(_._2).sum; val n2 = byV.map(_._3).sum
+      val m = BigInt(n1) * n2
+      var ia = 0L; var ib = 0L
+      var sq = BigInt(0); var sr = BigInt(0)
+      byV.foreach { case (_, ca, cb) =>
+        ia += ca; ib += cb
+        val d = (BigInt(ia) * n2 - BigInt(ib) * n1).abs
+        sq += BigInt(ca + cb) * ((d * d) / m)
+        sr += BigInt(ca + cb) * ((d * d) % m)
+      }
+      val t = (BigInt(1000000) * sq + (BigInt(1000000) * sr) / m) /
+        (BigInt(n1 + n2) * (n1 + n2))
+      (n1, n2, t.toLong)
+    }
+    assert(cvm(rows) == ref(rows))
+    assert(cvm(rows)._3 > 0L) // the planted mix actually drifts
+  }
+
   test("binnedTvdDrift: identical → zero devs, hand-computed shift, " +
       "duplicate boundaries skip buckets deterministically") {
     def run(rows: Seq[(Long, Long, String)], k: Int = 10) =
