@@ -253,7 +253,12 @@ object ScaleStress {
       // lag/lead (orders → graph-shaped: every row needs an output,
       // the honest-linear shape)
       "q213_ks_drift", "q218_emd_drift", "q220_tvd_drift",
-      "q222_ks_drift_steady", "q217_lag_lead")
+      "q222_ks_drift_steady", "q217_lag_lead",
+      // round-12 third wave: binned/PSI-shaped and CvM drift
+      // (documents → standard, the flat claim again) and the
+      // equi-depth histogram (orders → graph-shaped: 5 priority
+      // mega-groups absorb f× members)
+      "q224_binned_drift", "q227_cvm_drift", "q223_equidepth_hist")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
@@ -262,7 +267,8 @@ object ScaleStress {
       "q182_entity_resolution", "q191_running_total",
       "q200_running_moments", "q203_group_median",
       "q205_weighted_percentiles", "q206_rank_features",
-      "q208_categorical_profile", "q217_lag_lead")
+      "q208_categorical_profile", "q217_lag_lead",
+      "q223_equidepth_hist")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')
