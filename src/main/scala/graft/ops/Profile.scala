@@ -351,6 +351,44 @@ object Profile {
       .select(col("n1"), col("n2"), col("t_micro"))
   }
 
+  /** Per-GROUP Cramér–von Mises — [[cvmDrift]] keyed on a segment
+    * column, completing the by-segment matrix for all four ordered
+    * statistics (KS/U/W₁/CvM): the same two-level q/r carry per
+    * group, prefix sums keyed on the group, ≤|groups| totals joined
+    * back by AQE broadcast, one-sample groups dropped. */
+  def cvmDriftBy(df: DataFrame, groupCol: String, valueCol: String,
+      sampleCol: String, a: String, b: String,
+      partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = EventAnalytics.runningAggsSkewSafe(cnt, groupCol, valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+    val totals = cnt.groupBy(col(groupCol))
+      .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
+    cum.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+      .withColumn("__m", expr(s"CAST(n1 AS $d38) * n2"))
+      .withColumn("__d",
+        abs(col("__ia") * col("n2") - col("__ib") * col("n1"))
+          .cast(d38))
+      .withColumn("__c", (col("__ca") + col("__cb")).cast(d38))
+      .groupBy(col(groupCol))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(expr("__c * ((__d * __d) div __m)")).cast(d38).as("__sq"),
+        sum(expr("__c * ((__d * __d) % __m)")).cast(d38).as("__sr"))
+      .withColumn("t_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq + " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * __sr) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2)) div " +
+          "(CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2)) AS BIGINT)"))
+      .select(col(groupCol), col("n1"), col("n2"), col("t_micro"))
+  }
+
   /** Per-GROUP Earth Mover's distance — [[emdDrift]] keyed on a
     * segment column, completing the drift-by-segment trio beside
     * [[ksDriftBy]] and [[mannWhitneyUBy]]: the same integral

@@ -2453,7 +2453,51 @@ object AnalyticsQueries {
         |      (CAST(n1 AS HUGEINT) * n2)) //
         |    (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)) AS BIGINT)
         |    AS t_micro
-        |FROM s""".stripMargin))
+        |FROM s""".stripMargin)),
+
+    // Per-group CvM (r12): q227 keyed on language — the by-segment
+    // matrix now covers all four ordered statistics.
+    QuerySpec("q228_cvm_drift_by",
+      (s, dir) => graft.ops.Profile.cvmDriftBy(
+          table(s, dir, "documents").select(col("lang"),
+            col("n_chars"), col("source")),
+          "lang", "n_chars", "source", "src1", "src2")
+        .select(col("lang"), col("n1"), col("n2"), col("t_micro"))
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY lang, n_chars),
+        |r AS (SELECT lang, v, ca, cb,
+        |    CAST(SUM(ca) OVER (PARTITION BY lang ORDER BY v)
+        |      AS BIGINT) AS ia,
+        |    CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY v)
+        |      AS BIGINT) AS ib
+        |  FROM c),
+        |t AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2
+        |  FROM c GROUP BY lang
+        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0),
+        |s AS (SELECT t.lang, t.n1, t.n2,
+        |    SUM(CAST(ca + cb AS HUGEINT) *
+        |      ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |        ABS(ia * t.n2 - ib * t.n1)) //
+        |       (CAST(t.n1 AS HUGEINT) * t.n2))) AS sq,
+        |    SUM(CAST(ca + cb AS HUGEINT) *
+        |      ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |        ABS(ia * t.n2 - ib * t.n1)) %
+        |       (CAST(t.n1 AS HUGEINT) * t.n2))) AS sr
+        |  FROM r JOIN t ON r.lang = t.lang
+        |  GROUP BY t.lang, t.n1, t.n2)
+        |SELECT lang, n1, n2,
+        |  CAST((1000000 * sq + (1000000 * sr) //
+        |      (CAST(n1 AS HUGEINT) * n2)) //
+        |    (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)) AS BIGINT)
+        |    AS t_micro
+        |FROM s ORDER BY lang""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------

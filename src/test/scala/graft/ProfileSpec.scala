@@ -246,6 +246,30 @@ class ProfileSpec extends SparkSuite {
     assert(cvm(rows)._3 > 0L) // the planted mix actually drifts
   }
 
+  test("cvmDriftBy: per-group ≡ the solo op per slice; one-sample " +
+      "groups dropped") {
+    val rows =
+      (1L to 40L).map(v => ("g1", v, "A")) ++
+      (21L to 60L).map(v => ("g1", v, "B")) ++
+      (1L to 30L).map(v => ("g2", v, "A")) ++
+      (1L to 30L).map(v => ("g2", v, "B")) ++
+      (1L to 9L).map(v => ("g3", v, "A")) // no B sample → dropped
+    val df = rows.toDF("g", "v", "s").repartition(7)
+    val out = Profile.cvmDriftBy(df, "g", "v", "s", "A", "B",
+        partitions = 3)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out.keySet == Set("g1", "g2"))
+    assert(out("g2")._3 == 0L) // identical samples: no drift
+    for (g <- Seq("g1", "g2")) {
+      val solo = Profile.cvmDrift(
+          df.filter(col("g") === g), "v", "s", "A", "B", partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .head
+      assert(out(g) == solo, s"group $g disagrees with the solo op")
+    }
+  }
+
   test("binnedTvdDrift: identical → zero devs, hand-computed shift, " +
       "duplicate boundaries skip buckets deterministically") {
     def run(rows: Seq[(Long, Long, String)], k: Int = 10) =
