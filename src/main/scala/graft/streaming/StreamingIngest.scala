@@ -396,6 +396,33 @@ object StreamingIngest {
         monitorDir, epochId)
     }
 
+  /** Streaming DISTINCT-COUNT maintenance — the sketch family's
+    * readStream twin: an HLL register table is itself an incremental
+    * aggregate (register-wise MAX), so each micro-batch's compiled
+    * xxhash64 lanes ([[graft.ops.Sketches.hllRegistersFast]], the
+    * production kernel) merge into the committed ≤2⁸-row state
+    * through the same `_epoch`-ledgered [[aggIngestBatch]] path —
+    * replay-safe, atomic, and byte-identical to rebuilding the
+    * registers over everything seen (the max-merge algebra; spec-
+    * pinned). State column: `max_rho` per bucket; read it back with
+    * [[graft.ops.Sketches.hllEstimate]] after renaming to rho_max. */
+  def hllIngest(stream: DataFrame, keyCol: String, stateDir: String,
+      checkpointDir: String, adoptUntaggedState: Boolean = false)
+      : StreamingQuery =
+    epochLedgeredQuery(stream, stateDir, checkpointDir,
+      adoptUntaggedState, "hllIngest") { (batch, epochId) =>
+      hllIngestBatch(batch, keyCol, stateDir, epochId)
+    }
+
+  /** One epoch of [[hllIngest]]: the batch's pre-combined registers
+    * (≤2⁸ rows) merge by MAX into the state. */
+  def hllIngestBatch(batch: DataFrame, keyCol: String,
+      stateDir: String, epochId: Long): Unit =
+    aggIngestBatch(
+      graft.ops.Sketches.hllRegistersFast(batch, keyCol)
+        .withColumnRenamed("rho_max", "rho"),
+      Seq("bucket"), Nil, Nil, Seq("rho"), stateDir, epochId)
+
   /** One epoch of [[driftMonitor]], separated like [[aggIngestBatch]]
     * so the batch path is directly testable. */
   def driftMonitorBatch(batch: DataFrame, valueCol: String,

@@ -321,6 +321,42 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(snap).count() == 3) // snapshot unchanged
   }
 
+  test("streaming HLL ingest: streamed registers == batch rebuild " +
+      "over everything seen; replayed epoch no-ops") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hll-stream").toString
+    val b1 = (0L until 3000L).map(i => s"user_$i")
+    val b2 = (1500L until 5000L).map(i => s"user_$i") // overlap
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.hllIngest(stream.toDS().toDF("k"), "k",
+      s"$dir/state", s"$dir/ckpt")
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"bucket", $"rho_max")
+      .as[(Int, Int)].collect().toMap
+    val streamed = regs(spark.read.parquet(s"$dir/state/current/state")
+      .select($"bucket", $"max_rho".cast("int").as("rho_max")))
+    val rebuilt = regs(Sketches.hllRegistersFast(
+      (b1 ++ b2).toDF("k"), "k")
+      .select($"bucket", $"rho_max".cast("int").as("rho_max")))
+    assert(streamed == rebuilt, "streamed state must equal a rebuild")
+    // the estimate over the streamed state lands in the m=256 band
+    val est = Sketches.hllEstimate(
+      spark.read.parquet(s"$dir/state/current/state")
+        .select($"bucket", $"max_rho".as("rho_max")))
+    assert(math.abs(est - 5000.0) < 5000.0 * 0.25, s"estimate $est")
+    // replayed last epoch: ledger no-ops, state unchanged
+    StreamingIngest.hllIngestBatch(b2.toDF("k"), "k", s"$dir/state", 1L)
+    assert(regs(spark.read.parquet(s"$dir/state/current/state")
+      .select($"bucket", $"max_rho".cast("int").as("rho_max")))
+      == streamed)
+  }
+
   test("rule-driven streaming gate: Expectations.requireClean passes " +
       "clean batches and aborts dirty ones before mutation") {
     import graft.streaming.StreamingIngest
