@@ -423,6 +423,29 @@ object StreamingIngest {
         .withColumnRenamed("rho_max", "rho"),
       Seq("bucket"), Nil, Nil, Seq("rho"), stateDir, epochId)
 
+  /** Streaming FREQUENCY maintenance — [[hllIngest]]'s additive dual:
+    * a Count-Min counter matrix merges by cell-wise SUM
+    * ([[graft.ops.Sketches.cmsMerge]]), so each batch's pre-combined
+    * ≤depth·width counters ride [[aggIngestBatch]]'s sum lane (the
+    * DECIMAL(18,2) cast is exact for integer counts < 10¹⁶). State
+    * column: `sum_cnt` per (r, pos); cast back to long for
+    * [[graft.ops.Sketches.cmsEstimateFast]]. */
+  def cmsIngest(stream: DataFrame, keyCol: String, stateDir: String,
+      checkpointDir: String, depth: Int = 4, width: Int = 256,
+      adoptUntaggedState: Boolean = false): StreamingQuery =
+    epochLedgeredQuery(stream, stateDir, checkpointDir,
+      adoptUntaggedState, "cmsIngest") { (batch, epochId) =>
+      cmsIngestBatch(batch, keyCol, stateDir, epochId, depth, width)
+    }
+
+  /** One epoch of [[cmsIngest]]. */
+  def cmsIngestBatch(batch: DataFrame, keyCol: String,
+      stateDir: String, epochId: Long, depth: Int = 4,
+      width: Int = 256): Unit =
+    aggIngestBatch(
+      graft.ops.Sketches.cmsSketchFast(batch, keyCol, depth, width),
+      Seq("r", "pos"), Seq("cnt"), Nil, Nil, stateDir, epochId)
+
   /** One epoch of [[driftMonitor]], separated like [[aggIngestBatch]]
     * so the batch path is directly testable. */
   def driftMonitorBatch(batch: DataFrame, valueCol: String,

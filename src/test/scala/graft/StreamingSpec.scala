@@ -357,6 +357,36 @@ class StreamingSpec extends SparkSuite {
       == streamed)
   }
 
+  test("streaming CMS ingest: streamed counters == batch rebuild " +
+      "(the additive dual); replayed epoch no-ops") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cms-stream").toString
+    val b1 = (0L until 2000L).map(i => s"k_${i % 97}")
+    val b2 = (0L until 1000L).map(i => s"k_${i % 31}")
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.cmsIngest(stream.toDS().toDF("k"), "k",
+      s"$dir/state", s"$dir/ckpt")
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select($"r".cast("int"), $"pos".cast("int"),
+        $"cnt".cast("long"))
+      .as[(Int, Int, Long)].collect().toSet
+    val streamed = cells(spark.read
+      .parquet(s"$dir/state/current/state")
+      .select($"r", $"pos", $"sum_cnt".as("cnt")))
+    val rebuilt = cells(Sketches.cmsSketchFast((b1 ++ b2).toDF("k"), "k"))
+    assert(streamed == rebuilt)
+    // replayed last epoch: ledger no-ops
+    StreamingIngest.cmsIngestBatch(b2.toDF("k"), "k", s"$dir/state", 1L)
+    assert(cells(spark.read.parquet(s"$dir/state/current/state")
+      .select($"r", $"pos", $"sum_cnt".as("cnt"))) == streamed)
+  }
+
   test("rule-driven streaming gate: Expectations.requireClean passes " +
       "clean batches and aborts dirty ones before mutation") {
     import graft.streaming.StreamingIngest
