@@ -258,7 +258,10 @@ object ScaleStress {
       // (documents → standard, the flat claim again) and the
       // equi-depth histogram (orders → graph-shaped: 5 priority
       // mega-groups absorb f× members)
-      "q224_binned_drift", "q227_cvm_drift", "q223_equidepth_hist")
+      "q224_binned_drift", "q227_cvm_drift", "q223_equidepth_hist",
+      // interpolated percentiles: two targeted picks per (group, p)
+      // over the 5 priority mega-groups (orders → graph-shaped)
+      "q225_percentile_cont")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
@@ -268,7 +271,7 @@ object ScaleStress {
       "q200_running_moments", "q203_group_median",
       "q205_weighted_percentiles", "q206_rank_features",
       "q208_categorical_profile", "q217_lag_lead",
-      "q223_equidepth_hist")
+      "q223_equidepth_hist", "q225_percentile_cont")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')
