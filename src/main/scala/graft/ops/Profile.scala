@@ -544,33 +544,80 @@ object Profile {
       partitions: Int = 0): DataFrame = {
     require(k >= 2 && 1000000 % k == 0,
       s"binnedTvdDrift: k must divide 10^6, got $k")
-    val d38 = "decimal(38,0)"
-    val ref = df.filter(col(sampleCol) === a)
-      .withColumn("__g", lit(0))
-      .withColumn("__bord",
-        col(valueCol) * lit(1000000000L) + col(tieCol))
-    val ps = (1 until k).map(j => j.toLong * (1000000L / k))
-    val bnds = EventAnalytics.groupPercentilesSkewSafe(
-        ref, "__g", "__bord", valueCol, ps, partitions)
-      .agg(sort_array(collect_list(col(valueCol))).as("__bnds"))
+    val boundaries = binnedRefBoundaries(
+      df.filter(col(sampleCol) === a), valueCol, tieCol, k, partitions)
     val both = df.filter(col(sampleCol) === a || col(sampleCol) === b)
-    val bucketed = both.crossJoin(broadcast(bnds)) // 1-row attach
+    val bucketed = bucketByBoundaries(both, valueCol, boundaries, k)
+    binnedTvdTail(bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("cb")))
+  }
+
+  /** The reference's (k−1) exact quantile boundaries as a one-column
+    * frame `(v)` — the PERSISTABLE half of the binned drift check
+    * (standing rule 1: the reference sample is scanned once when the
+    * boundary model is built). */
+  def binnedRefBoundaries(ref: DataFrame, valueCol: String,
+      tieCol: String, k: Int, partitions: Int = 0): DataFrame = {
+    require(k >= 2 && 1000000 % k == 0,
+      s"binnedRefBoundaries: k must divide 10^6, got $k")
+    val ps = (1 until k).map(j => j.toLong * (1000000L / k))
+    EventAnalytics.groupPercentilesSkewSafe(
+        ref.withColumn("__g", lit(0))
+          .withColumn("__bord",
+            col(valueCol) * lit(1000000000L) + col(tieCol)),
+        "__g", "__bord", valueCol, ps, partitions)
+      .select(col(valueCol).as("v"))
+  }
+
+  /** Bucket rows by a persisted boundary frame: ≤ k−1 boundary rows
+    * collapse to ONE sorted array in a 1-row broadcast and the bucket
+    * folds as chained whens (bucket = 1 + #{boundaries < x}). */
+  private def bucketByBoundaries(df: DataFrame, valueCol: String,
+      boundaries: DataFrame, k: Int): DataFrame = {
+    val bnds = boundaries
+      .agg(sort_array(collect_list(col("v"))).as("__bnds"))
+    df.crossJoin(broadcast(bnds)) // 1-row attach
       .withColumn("bucket",
         (1 until k).map(i =>
           when(col(valueCol) > element_at(col("__bnds"), i), 1L)
             .otherwise(0L))
         .reduceOption(_ + _).getOrElse(lit(0L)) + lit(1L))
-    val cnt = bucketed.groupBy(col("bucket"))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("cb"))
-    val totals = both.agg(
-      sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("n1"),
-      sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("n2"))
+  }
+
+  /** Shared tail: per-bucket (ca, cb) counts → the totals attach and
+    * the integer TVD deviation rows. */
+  private def binnedTvdTail(cnt: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val totals = cnt.agg(sum(col("ca")).as("n1"),
+      sum(col("cb")).as("n2"))
     cnt.crossJoin(broadcast(totals)) // 1-row totals attach
       .withColumn("dev_num", expr(
         s"CAST(abs(CAST(ca AS $d38) * n2 - CAST(cb AS $d38) * n1) " +
           "AS BIGINT)"))
       .select(col("bucket"), col("ca"), col("cb"), col("dev_num"))
+  }
+
+  /** Binned drift of a probe batch AGAINST persisted reference
+    * artifacts — the steady-state twin of [[binnedTvdDrift]]
+    * (standing rule 1): `boundaries` = [[binnedRefBoundaries]]
+    * output, `refBucketCounts` = the reference's own bucket masses
+    * `(bucket, ref_n)`, both built once; each batch check buckets
+    * only the batch and joins two ≤k-row count frames. Buckets where
+    * only one side has mass zero-fill, so the result is
+    * hash-identical to the in-query form on (reference ∪ probe). */
+  def binnedTvdDriftAgainstRef(boundaries: DataFrame,
+      refBucketCounts: DataFrame, probe: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    val p = bucketByBoundaries(
+        probe.filter(col(valueCol).isNotNull), valueCol, boundaries, k)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__pn"))
+      .select(col("bucket").as("__pb"), col("__pn"))
+    binnedTvdTail(refBucketCounts
+      .join(p, col("bucket") === col("__pb"), "full_outer")
+      .select(coalesce(col("bucket"), col("__pb")).as("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ca"),
+        coalesce(col("__pn"), lit(0L)).as("cb")))
   }
 
   /** Per-GROUP two-sample KS — [[ksDrift]] keyed on a segment column

@@ -2282,7 +2282,33 @@ object AnalyticsQueries {
             col("doc_id"), col("source")),
           "n_chars", "doc_id", "source", "src1", "src2", 10)
         .orderBy(col("bucket")),
-      Some("""WITH r1 AS (SELECT n_chars AS v,
+      Some(binnedDriftOracleSql)),
+
+    // Steady-state binned drift (r12, standing rule 1): q224 with
+    // BOTH reference artifacts persisted — the exact decile
+    // boundaries and the reference's own bucket masses; each batch
+    // check buckets only the batch and joins two <=k-row frames.
+    // Hash-identical to q224 by construction; oracle shared verbatim.
+    QuerySpec("q229_binned_drift_steady",
+      (s, dir) => {
+        val root = binnedRefRoot(s, dir)
+        graft.ops.Profile.binnedTvdDriftAgainstRef(
+            s.read.parquet(s"$root/bnds"),
+            s.read.parquet(s"$root/counts"),
+            table(s, dir, "documents")
+              .filter(col("source") === "src2").select(col("n_chars")),
+            "n_chars", 10)
+          .orderBy(col("bucket"))
+      },
+      Some(binnedDriftOracleSql))
+  ) ++ lateSpecs
+
+  /** The binned-drift oracle over documents src1 vs src2 (reference
+    * deciles of src1 on n_chars) — shared VERBATIM by q224 (all
+    * in-query) and q229 (boundaries + reference bucket masses
+    * persisted): the statistic only sees bucket masses. */
+  private val binnedDriftOracleSql: String =
+    """WITH r1 AS (SELECT n_chars AS v,
         |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
         |      AS BIGINT) AS rk,
         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
@@ -2309,7 +2335,44 @@ object AnalyticsQueries {
         |  FROM bk GROUP BY bucket)
         |SELECT c.bucket, c.ca, c.cb,
         |  CAST(ABS(c.ca * t.n2 - c.cb * t.n1) AS BIGINT) AS dev_num
-        |FROM c, t ORDER BY c.bucket""".stripMargin)),
+        |FROM c, t ORDER BY c.bucket""".stripMargin
+
+  /** Build-once persisted binned-drift reference for q229: the exact
+    * src1 decile boundaries ([[graft.ops.Profile.binnedRefBoundaries]])
+    * and src1's own bucket masses — tiny frames, coalesce(1) like the
+    * register tables. */
+  private def binnedRefRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(s"/tmp/graft_binned_ref/${tag}_$fp") { tmp =>
+      val ref = table(s, dir, "documents")
+        .filter(col("source") === "src1")
+        .select(col("n_chars"), col("doc_id"))
+      val bnds = graft.ops.Profile.binnedRefBoundaries(
+        ref, "n_chars", "doc_id", 10)
+      bnds.coalesce(1).write.mode("overwrite").parquet(s"$tmp/bnds")
+      // the reference's own bucket masses against its own boundaries
+      graft.ops.Profile.binnedTvdDriftAgainstRef(
+          s.read.parquet(s"$tmp/bnds"),
+          // zero ref counts: the dev rows then carry cb = the true
+          // bucket mass of the "probe" side — which here IS the ref
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("ref_n",
+                org.apache.spark.sql.types.LongType)))),
+          ref.select(col("n_chars")), "n_chars", 10)
+        .select(col("bucket"), col("cb").as("ref_n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/counts")
+    }
+  }
+
+  /** Specs declared after the oracle/fixture helpers above (the
+    * list is split purely so the shared vals sit next to their
+    * users; [[all]] concatenates). */
+  private def lateSpecs: Seq[QuerySpec] = Seq(
 
     // Exact PERCENTILE_CONT (r12): the interpolated percentile —
     // SQL's other percentile beside the discrete picks of q204/q205.

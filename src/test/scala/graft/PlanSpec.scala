@@ -168,8 +168,10 @@ class PlanSpec extends SparkSuite {
       // attaches TWO 1-row frames (the sorted ≤k−1 boundary array and
       // the totals), both no-grouping aggregates
       "q220_tvd_drift", "q222_ks_drift_steady", "q224_binned_drift",
-      // q227 is the same drift-tail 1-row totals attach
-      "q227_cvm_drift")
+      // q227 is the same drift-tail 1-row totals attach; q229 is
+      // q224's tail over the persisted boundary/count frames (the
+      // same two 1-row attaches)
+      "q227_cvm_drift", "q229_binned_drift_steady")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

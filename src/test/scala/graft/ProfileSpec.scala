@@ -295,6 +295,31 @@ class ProfileSpec extends SparkSuite {
       (10L, 0L, 1L, 100L)))
   }
 
+  test("binnedTvdDriftAgainstRef ≡ in-query binnedTvdDrift, incl. " +
+      "buckets where only one side has mass") {
+    val rows = (1L to 100L).map(v => (v, v, "A")) ++
+      (51L to 150L).map(v => (v, 1000 + v, "B"))
+    val df = rows.toDF("v", "id", "s").repartition(7)
+    val inQuery = Profile.binnedTvdDrift(df, "v", "id", "s", "A", "B",
+        10, partitions = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val ref = df.filter(col("s") === "A").select(col("v"), col("id"))
+    val bnds = Profile.binnedRefBoundaries(ref, "v", "id", 10,
+      partitions = 3)
+    // reference bucket masses: bucket the ref against its own
+    // boundaries with zero opposing mass and read the cb lane
+    val zero = Seq.empty[(Long, Long)].toDF("bucket", "ref_n")
+    val counts = Profile.binnedTvdDriftAgainstRef(bnds, zero,
+        ref.select(col("v")), "v", 10)
+      .select(col("bucket"), col("cb").as("ref_n"))
+    val steady = Profile.binnedTvdDriftAgainstRef(bnds, counts,
+        df.filter(col("s") === "B").select(col("v")), "v", 10)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(steady == inQuery)
+  }
+
   test("ksDriftAgainstRef ≡ ksDrift on the union, incl. ref-only " +
       "and probe-only values (zero-fill lanes)") {
     // ref = {1..40}, probe = {21..60}: values 1-20 are ref-only,
