@@ -351,6 +351,80 @@ object Profile {
       .select(col("n1"), col("n2"), col("t_micro"))
   }
 
+  /** One-call DRIFT REPORT — all four ordered two-sample statistics
+    * (KS, Mann–Whitney U, Wasserstein-1, Cramér–von Mises) from ONE
+    * shared per-value count frame: the monitoring run a pipeline
+    * schedules nightly, emitted as (stat, n1, n2, stat_micro) rows.
+    * The four tails are single-row aggregates over the SAME
+    * cum-with-lead subplan, so Spark's ReusedExchange materializes
+    * the count/prefix work once (PlanSpec-asserted) — four
+    * statistics for one scan + one sketch-sized prefix sum, not
+    * four pipelines. Micros mean what each solo gate defines:
+    * ks/tvd-style sup in [0,10⁶] for KS, the common-language
+    * P(A>B)+½P(=) for U (500000 = no drift), micro-value-units for
+    * W₁, the nested-floor CvM T in micros. */
+  def driftReport(df: DataFrame, valueCol: String, sampleCol: String,
+      a: String, b: String, partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = EventAnalytics.runningAggsSkewSafe(
+      cnt.withColumn("__g", lit(0)), "__g", valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+    val withNext = EventAnalytics.leadSkewSafe(cum, "__g", valueCol,
+      valueCol, "__nv", partitions)
+    val totals = cnt.agg(sum(col("__ca")).as("n1"),
+      sum(col("__cb")).as("n2"))
+    def attach(d: DataFrame) = d.crossJoin(broadcast(totals))
+    val ks = attach(withNext)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("__ia") * col("n2") - col("__ib") * col("n1")))
+          .as("__d"))
+      .select(lit("ks").as("stat"), col("n1"), col("n2"), expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __d) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+        .as("stat_micro"))
+    val u = attach(withNext
+        .withColumn("__r2", (col("__ca").cast(d38) *
+          (lit(2) * (col("__ia") - col("__ca") + col("__ib") -
+            col("__cb")) + col("__ca") + col("__cb") + 1)).cast(d38))
+        .agg(sum(col("__r2")).cast(d38).as("__r2a")))
+      .select(lit("u").as("stat"), col("n1"), col("n2"), expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(__r2a - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1))) div " +
+          "(2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+        .as("stat_micro"))
+    val w1 = attach(withNext)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(when(col("__nv").isNotNull,
+          (abs(col("__ia") * col("n2") - col("__ib") * col("n1"))
+            .cast(d38) * (col("__nv") - col(valueCol))).cast(d38))
+          .otherwise(lit(0).cast(d38))).cast(d38).as("__s"))
+      .select(lit("w1").as("stat"), col("n1"), col("n2"), expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __s) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+        .as("stat_micro"))
+    val cvm = attach(withNext)
+      .withColumn("__m", expr(s"CAST(n1 AS $d38) * n2"))
+      .withColumn("__d",
+        abs(col("__ia") * col("n2") - col("__ib") * col("n1"))
+          .cast(d38))
+      .withColumn("__c", (col("__ca") + col("__cb")).cast(d38))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(expr("__c * ((__d * __d) div __m)")).cast(d38).as("__sq"),
+        sum(expr("__c * ((__d * __d) % __m)")).cast(d38).as("__sr"))
+      .select(lit("cvm").as("stat"), col("n1"), col("n2"), expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq + " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * __sr) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2)) div " +
+          "(CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2)) AS BIGINT)")
+        .as("stat_micro"))
+    ks.unionByName(u).unionByName(w1).unionByName(cvm)
+  }
+
   /** Per-GROUP Cramér–von Mises — [[cvmDrift]] keyed on a segment
     * column, completing the by-segment matrix for all four ordered
     * statistics (KS/U/W₁/CvM): the same two-level q/r carry per

@@ -2300,7 +2300,68 @@ object AnalyticsQueries {
             "n_chars", 10)
           .orderBy(col("bucket"))
       },
-      Some(binnedDriftOracleSql))
+      Some(binnedDriftOracleSql)),
+
+    // One-call drift report (r12): all four ordered statistics from
+    // ONE shared count/prefix frame — the nightly monitoring run.
+    // ReusedExchange materializes the shared subplan once
+    // (PlanSpec-asserted); the oracle shares one CTE chain the same
+    // way.
+    QuerySpec("q230_drift_report",
+      (s, dir) => graft.ops.Profile.driftReport(
+          table(s, dir, "documents").select(col("n_chars"),
+            col("source")),
+          "n_chars", "source", "src1", "src2")
+        .orderBy(col("stat")),
+      Some("""WITH c AS (SELECT n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY n_chars),
+        |r AS (SELECT v, ca, cb,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS ia,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS ib,
+        |    LEAD(v) OVER (ORDER BY v) AS nv
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2 FROM c)
+        |SELECT * FROM (
+        |  SELECT 'ks' AS stat, t.n1, t.n2,
+        |    CAST((1000000 * CAST(MAX(ABS(ia * t.n2 - ib * t.n1))
+        |      AS HUGEINT)) // (CAST(t.n1 AS HUGEINT) * t.n2)
+        |      AS BIGINT) AS stat_micro
+        |  FROM r, t GROUP BY t.n1, t.n2
+        |  UNION ALL
+        |  SELECT 'u', t.n1, t.n2,
+        |    CAST((1000000 * (SUM(CAST(ca AS HUGEINT) *
+        |        (2 * (ia - ca + ib - cb) + ca + cb + 1)) -
+        |      CAST(t.n1 AS HUGEINT) * (t.n1 + 1))) //
+        |      (2 * CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
+        |  FROM r, t GROUP BY t.n1, t.n2
+        |  UNION ALL
+        |  SELECT 'w1', t.n1, t.n2,
+        |    CAST((1000000 * SUM(CASE WHEN nv IS NOT NULL
+        |      THEN CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |        (nv - v) ELSE 0 END)) //
+        |      (CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
+        |  FROM r, t GROUP BY t.n1, t.n2
+        |  UNION ALL
+        |  SELECT 'cvm', t.n1, t.n2,
+        |    CAST((1000000 * SUM(CAST(ca + cb AS HUGEINT) *
+        |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |          ABS(ia * t.n2 - ib * t.n1)) //
+        |         (CAST(t.n1 AS HUGEINT) * t.n2))) +
+        |      (1000000 * SUM(CAST(ca + cb AS HUGEINT) *
+        |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |          ABS(ia * t.n2 - ib * t.n1)) %
+        |         (CAST(t.n1 AS HUGEINT) * t.n2)))) //
+        |        (CAST(t.n1 AS HUGEINT) * t.n2)) //
+        |      (CAST(t.n1 + t.n2 AS HUGEINT) * (t.n1 + t.n2))
+        |      AS BIGINT)
+        |  FROM r, t GROUP BY t.n1, t.n2
+        |) ORDER BY stat""".stripMargin))
   ) ++ lateSpecs
 
   /** The binned-drift oracle over documents src1 vs src2 (reference

@@ -171,7 +171,10 @@ class PlanSpec extends SparkSuite {
       // q227 is the same drift-tail 1-row totals attach; q229 is
       // q224's tail over the persisted boundary/count frames (the
       // same two 1-row attaches)
-      "q227_cvm_drift", "q229_binned_drift_steady")
+      "q227_cvm_drift", "q229_binned_drift_steady",
+      // q230 unions the four drift tails, each with the same 1-row
+      // totals attach over the shared prefix frame
+      "q230_drift_report")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -685,6 +688,17 @@ class PlanSpec extends SparkSuite {
       assert(bad.isEmpty,
         s"$q plans an unpartitioned WindowExec: ${bad.mkString("; ")}")
     }
+  }
+
+  test("q230 drift report: AQE reuses the shared prefix frame across " +
+      "the four statistic branches") {
+    val df = SparkEntry.queries("q230_drift_report")(spark, sf0001)
+    df.collect() // reuse is an ADAPTIVE decision — visible post-run
+    val p = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange|ReusedQueryStage".r.findAllIn(p).length
+    assert(reused > 0,
+      s"expected the shared count/prefix subplan to be reused:\n" +
+        p.take(4000))
   }
 
   test("WindowAudit offsets-chain exemption admits ONLY the bounded " +

@@ -246,6 +246,29 @@ class ProfileSpec extends SparkSuite {
     assert(cvm(rows)._3 > 0L) // the planted mix actually drifts
   }
 
+  test("driftReport rows ≡ the four solo statistics on the same frame") {
+    val rows = (1L to 40L).map(v => (v, "A")) ++
+      (21L to 60L).map(v => (v, "B"))
+    val df = rows.toDF("v", "s").repartition(7)
+    val rep = Profile.driftReport(df, "v", "s", "A", "B", partitions = 3)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rep.keySet == Set("ks", "u", "w1", "cvm"))
+    val ks = Profile.ksDrift(df, "v", "s", "A", "B", partitions = 3)
+      .collect().head
+    assert(rep("ks") == (ks.getLong(0), ks.getLong(1), ks.getLong(3)))
+    val u = Profile.mannWhitneyU(df, "v", "s", "A", "B", partitions = 3)
+      .collect().head
+    assert(rep("u") == (u.getLong(0), u.getLong(1), u.getLong(3)))
+    val w1 = Profile.emdDrift(df, "v", "s", "A", "B", partitions = 3)
+      .collect().head
+    assert(rep("w1") == (w1.getLong(0), w1.getLong(1), w1.getLong(3)))
+    val cvm = Profile.cvmDrift(df, "v", "s", "A", "B", partitions = 3)
+      .collect().head
+    assert(rep("cvm") == (cvm.getLong(0), cvm.getLong(1),
+      cvm.getLong(2)))
+  }
+
   test("cvmDriftBy: per-group ≡ the solo op per slice; one-sample " +
       "groups dropped") {
     val rows =
