@@ -351,6 +351,58 @@ object Profile {
       .select(col("n1"), col("n2"), col("t_micro"))
   }
 
+  /** Per-group EXACT Spearman rank correlation — the monotone-
+    * association statistic of a feature pipeline, made hash-exact by
+    * ranking on the (value, tie) COMPOSITE total order (unique ranks,
+    * no tie-averaging) and using the no-ties closed form
+    *
+    *   ρ_micro = 10⁶ − (6·10⁶·Σd²) div (n·(n²−1)),  d = rank_x − rank_y
+    *
+    * — all integral (Σd² ≤ n³ rides DECIMAL(38,0)), signed, 10⁶ =
+    * perfect concordance, −10⁶ = perfect discordance. Pearson's r
+    * needs a square root and r² overflows any fixed decimal at scale
+    * (sxy² ~ 10⁴⁸); the composite-rank Spearman is the correlation a
+    * cross-engine gate CAN pin bit-for-bit, and the tiebreak makes it
+    * deterministic on tied data (documented: ties are broken by
+    * `idCol`, so this is Spearman OF THE TIEBROKEN ORDER, not the
+    * tie-averaged textbook variant). Both rank passes ride
+    * [[EventAnalytics.rankFeaturesSkewSafe]] (a mega-group never
+    * lands in one task) and join back on (group, id). Contracts:
+    * `idCol` unique non-null within its group; value·10⁹ + id must
+    * stay exact in long (value magnitudes < 9·10⁹, ids < 10⁹);
+    * single-row groups are dropped (ρ undefined). Output:
+    * (key, n, sd2, rho_micro). */
+  def spearmanExact(df: DataFrame, keyCol: String, idCol: String,
+      xCol: String, yCol: String, partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.select(col(keyCol), col(idCol), col(xCol),
+      col(yCol))
+      .withColumn("__ox", col(xCol) * lit(1000000000L) + col(idCol))
+      .withColumn("__oy", col(yCol) * lit(1000000000L) + col(idCol))
+    val rx = EventAnalytics.rankFeaturesSkewSafe(
+        base.select(col(keyCol), col(idCol), col("__ox")),
+        keyCol, "__ox", 1, partitions)
+      .select(col(keyCol).as("__kx"), col(idCol).as("__ix"),
+        col("rank").as("__rx"), col("n"))
+    val ry = EventAnalytics.rankFeaturesSkewSafe(
+        base.select(col(keyCol), col(idCol), col("__oy")),
+        keyCol, "__oy", 1, partitions)
+      .select(col(keyCol).as("__ky"), col(idCol).as("__iy"),
+        col("rank").as("__ry"))
+    rx.join(ry, col("__kx") === col("__ky") &&
+        col("__ix") === col("__iy"))
+      .withColumn("__d", (col("__rx") - col("__ry")).cast(d38))
+      .groupBy(col("__kx").as(keyCol))
+      .agg(max(col("n")).as("n"),
+        sum(expr("__d * __d")).cast(d38).as("__sd2"))
+      .filter(col("n") > 1)
+      .withColumn("sd2", expr("CAST(__sd2 AS BIGINT)"))
+      .withColumn("rho_micro", expr(
+        "CAST(1000000 - (CAST(6000000 AS DECIMAL(38,0)) * __sd2) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"))
+      .select(col(keyCol), col("n"), col("sd2"), col("rho_micro"))
+  }
+
   /** One-call DRIFT REPORT — all four ordered two-sample statistics
     * (KS, Mann–Whitney U, Wasserstein-1, Cramér–von Mises) from ONE
     * shared per-value count frame: the monitoring run a pipeline

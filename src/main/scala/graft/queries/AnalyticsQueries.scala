@@ -2361,7 +2361,45 @@ object AnalyticsQueries {
         |      (CAST(t.n1 + t.n2 AS HUGEINT) * (t.n1 + t.n2))
         |      AS BIGINT)
         |  FROM r, t GROUP BY t.n1, t.n2
-        |) ORDER BY stat""".stripMargin))
+        |) ORDER BY stat""".stripMargin)),
+
+    // Exact Spearman rank correlation (r12): price vs order date per
+    // priority — ranks on the (value, orderkey) composite total
+    // order make the statistic integral (no-ties closed form), so
+    // the CORRELATION gates hash-exact where Pearson's sqrt cannot.
+    QuerySpec("q231_spearman",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").as("y"))
+        graft.ops.Profile.spearmanExact(o, "o_orderpriority",
+            "o_orderkey", "x", "y")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |  FROM orders),
+        |r AS (SELECT g, id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, id)
+        |      AS BIGINT) AS rx,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY y, id)
+        |      AS BIGINT) AS ry,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM v),
+        |s AS (SELECT g, MAX(n) AS n,
+        |    SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sd2
+        |  FROM r GROUP BY g)
+        |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CAST(sd2 AS BIGINT) AS sd2,
+        |  CAST(1000000 - (6000000 * sd2) //
+        |    (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_micro
+        |FROM s WHERE n > 1 ORDER BY g""".stripMargin))
   ) ++ lateSpecs
 
   /** The binned-drift oracle over documents src1 vs src2 (reference

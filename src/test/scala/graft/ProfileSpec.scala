@@ -246,6 +246,42 @@ class ProfileSpec extends SparkSuite {
     assert(cvm(rows)._3 > 0L) // the planted mix actually drifts
   }
 
+  test("spearmanExact: ±10⁶ at perfect (dis)concordance, ≡ sequential " +
+      "reference under the mega-key, single-row group dropped") {
+    // mega-key: 95% of rows on one group; y is a noisy monotone of x
+    val rows = (0L until 4001L).map { i =>
+      val g = if (i % 100 < 95) "hot" else s"g${i % 5}"
+      val x = (i * 37) % 997
+      val y = x + (i % 7) * 13 - 39 // correlated, not identical
+      (g, i, x, y)
+    }
+    val df = rows.toDF("g", "id", "x", "y").repartition(9)
+    val got = Profile.spearmanExact(df, "g", "id", "x", "y",
+        partitions = 5)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val exp = rows.groupBy(_._1).map { case (g, rs) =>
+      val n = rs.size.toLong
+      val rx = rs.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val ry = rs.sortBy(r => (r._4, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val sd2 = rs.map(r => { val d = rx(r._2) - ry(r._2); BigInt(d) * d })
+        .sum
+      val rho = BigInt(1000000) -
+        (BigInt(6000000) * sd2) / (BigInt(n) * n * n - n)
+      g -> ((n, sd2.toLong, rho.toLong))
+    }
+    assert(got == exp)
+    // perfect concordance / discordance pin the endpoints
+    val mono = (1L to 50L).map(i => ("m", i, i, i * 3)) ++
+      (1L to 50L).map(i => ("a", i, i, -i)) :+ (("one", 1L, 5L, 5L))
+    val ends = Profile.spearmanExact(mono.toDF("g", "id", "x", "y"),
+        "g", "id", "x", "y")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(ends == Map("m" -> 1000000L, "a" -> -1000000L)) // n=1 dropped
+  }
+
   test("driftReport rows ≡ the four solo statistics on the same frame") {
     val rows = (1L to 40L).map(v => (v, "A")) ++
       (21L to 60L).map(v => (v, "B"))
