@@ -44,6 +44,12 @@ object Expectations {
     * `parent` (referential integrity). */
   final case class ForeignKey(name: String, col: String,
     parent: DataFrame, parentCol: String) extends Rule
+  /** `lhs` must determine `rhs` (a functional dependency): each lhs
+    * tuple mapping to d > 1 distinct non-null rhs values counts d−1
+    * violations (the extra images). Null rhs values are absent, not
+    * violations — an all-null group contributes 0. */
+  final case class FunctionalDependency(name: String,
+    lhs: Seq[String], rhs: String) extends Rule
 
   private def violatedExpr(r: Rule): Column = r match {
     case NotNull(_, c) => col(c).isNull
@@ -92,6 +98,12 @@ object Expectations {
           .join(parent.select(col(pc).as("__fk")).distinct(),
             Seq("__fk"), "left_anti")
           .agg(count(lit(1)).as("violations"))
+          .select(lit(n).as("rule"), col("violations"))
+      case FunctionalDependency(n, lhs, rhs) =>
+        df.groupBy(lhs.map(col): _*)
+          .agg(countDistinct(col(rhs)).as("__cd"))
+          .agg(coalesce(sum(greatest(col("__cd") - 1L, lit(0L))),
+            lit(0L)).as("violations"))
           .select(lit(n).as("rule"), col("violations"))
     }
     val all = (local.toSeq ++ keyed).reduce(_ unionByName _)

@@ -2399,7 +2399,45 @@ object AnalyticsQueries {
         |  CAST(sd2 AS BIGINT) AS sd2,
         |  CAST(1000000 - (6000000 * sd2) //
         |    (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_micro
-        |FROM s WHERE n > 1 ORDER BY g""".stripMargin))
+        |FROM s WHERE n > 1 ORDER BY g""".stripMargin)),
+
+    // Functional-dependency expectations (r12): the consistency rules
+    // q226's row-local kinds can't express — does (orderkey, line)
+    // determine the part? does a part pin its supplier? Each lhs
+    // tuple mapping to d > 1 distinct rhs values counts d−1
+    // violations. The synthetic lineitem's ~11.8k duplicate
+    // (orderkey, linenumber) pairs make the counts real, not zeros.
+    QuerySpec("q232_expectations_fd",
+      (s, dir) => {
+        import graft.ops.Expectations._
+        check(table(s, dir, "lineitem"), Seq(
+          NotNull("partkey_not_null", "l_partkey"),
+          Unique("order_line_unique",
+            Seq("l_orderkey", "l_linenumber")),
+          FunctionalDependency("order_line_determines_part",
+            Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+          FunctionalDependency("part_determines_supp",
+            Seq("l_partkey"), "l_suppkey")))
+          .orderBy(col("rule_ord"))
+      },
+      Some("""SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS rule_ord,
+        |    'partkey_not_null' AS rule,
+        |    CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations FROM lineitem
+        |  UNION ALL SELECT 1, 'order_line_unique',
+        |    CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+        |      (SELECT COUNT(*) AS c FROM lineitem
+        |       GROUP BY l_orderkey, l_linenumber)) AS BIGINT)
+        |  UNION ALL SELECT 2, 'order_line_determines_part',
+        |    CAST((SELECT COALESCE(SUM(GREATEST(cd - 1, 0)), 0) FROM
+        |      (SELECT COUNT(DISTINCT l_partkey) AS cd FROM lineitem
+        |       GROUP BY l_orderkey, l_linenumber)) AS BIGINT)
+        |  UNION ALL SELECT 3, 'part_determines_supp',
+        |    CAST((SELECT COALESCE(SUM(GREATEST(cd - 1, 0)), 0) FROM
+        |      (SELECT COUNT(DISTINCT l_suppkey) AS cd FROM lineitem
+        |       GROUP BY l_partkey)) AS BIGINT)
+        |) ORDER BY rule_ord""".stripMargin))
   ) ++ lateSpecs
 
   /** The binned-drift oracle over documents src1 vs src2 (reference

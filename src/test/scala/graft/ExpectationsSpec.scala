@@ -65,6 +65,19 @@ class ExpectationsSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 scan for 4 fused rules, got $scans")
   }
 
+  test("functional dependency: extra images count, null rhs absent") {
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(2L)), ("a", Some(2L)), // a → {1,2}: 1
+      ("b", Some(5L)), ("b", Some(5L)),                  // clean
+      ("c", None), ("c", None),                          // all-null: 0
+      ("d", None), ("d", Some(9L))                       // one image: 0
+    ).toDF("k", "v")
+    val out = Expectations.check(df,
+        Seq(FunctionalDependency("fd", Seq("k"), "v")))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("fd", 1L)))
+  }
+
   test("duplicate rule names are rejected") {
     intercept[IllegalArgumentException] {
       Expectations.check(planted,
