@@ -351,6 +351,40 @@ object Profile {
       .select(col("n1"), col("n2"), col("t_micro"))
   }
 
+  /** Functional-dependency PROFILE — schema discovery over all
+    * ordered column pairs: for each (lhs, rhs), the exact violation
+    * count Σ_lhs max(0, |distinct non-null rhs| − 1) (0 ⟺ lhs → rhs
+    * holds) — the dependency map a modeler reads before keys/
+    * normalization decisions, and the discovery sweep behind
+    * [[Expectations.FunctionalDependency]] (which then PINS the
+    * dependencies worth enforcing). Plan: one map-side-combinable
+    * count-distinct aggregate per lhs column computing ALL its rhs
+    * counts at once (c jobs for c columns, not c²), stacked to
+    * (lhs, rhs, violations) rows. At 100 TB each job shuffles
+    * |distinct lhs| rows — column-profile-sized, not data-sized. */
+  def fdProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "fdProfile: need at least two columns")
+    cols.map { lhs =>
+      val others = cols.filterNot(_ == lhs)
+      val agg0 = df.groupBy(col(lhs))
+        .agg(countDistinct(col(others.head)).as(s"__cd_0"),
+          others.tail.zipWithIndex.map { case (c, i) =>
+            countDistinct(col(c)).as(s"__cd_${i + 1}") }: _*)
+      val sums = agg0.agg(
+        sum(greatest(col("__cd_0") - 1L, lit(0L))).as("__v_0"),
+        others.tail.zipWithIndex.map { case (_, i) =>
+          sum(greatest(col(s"__cd_${i + 1}") - 1L, lit(0L)))
+            .as(s"__v_${i + 1}") }: _*)
+      val stackExpr = s"stack(${others.size}, " +
+        others.zipWithIndex.map { case (c, i) =>
+          s"'$c', coalesce(`__v_$i`, 0L)" }.mkString(", ") +
+        ") AS (rhs, violations)"
+      sums.select(lit(lhs).as("lhs"), expr(stackExpr))
+        .select(col("lhs"), col("rhs"), col("violations"),
+          (col("violations") === 0L).cast("long").as("fd_holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group EXACT Spearman rank correlation — the monotone-
     * association statistic of a feature pipeline, made hash-exact by
     * ranking on the (value, tie) COMPOSITE total order (unique ranks,

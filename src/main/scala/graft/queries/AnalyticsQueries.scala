@@ -2437,8 +2437,37 @@ object AnalyticsQueries {
         |    CAST((SELECT COALESCE(SUM(GREATEST(cd - 1, 0)), 0) FROM
         |      (SELECT COUNT(DISTINCT l_suppkey) AS cd FROM lineitem
         |       GROUP BY l_partkey)) AS BIGINT)
-        |) ORDER BY rule_ord""".stripMargin))
+        |) ORDER BY rule_ord""".stripMargin)),
+
+    // FD discovery profile (r12): the schema-discovery sweep behind
+    // q232's enforcement rules — exact violation counts for every
+    // ordered column pair (one count-distinct job per lhs, not c²).
+    // The oracle is GENERATED from the same column list so the 12
+    // pair subqueries cannot drift from the Spark call.
+    QuerySpec("q233_fd_profile",
+      (s, dir) => graft.ops.Profile.fdProfile(
+          table(s, dir, "orders"), fdProfileCols)
+        .orderBy(col("lhs"), col("rhs")),
+      Some(fdProfileOracleSql))
   ) ++ lateSpecs
+
+  private val fdProfileCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_orderpriority")
+
+  /** q233's oracle, generated from [[fdProfileCols]]: one scalar
+    * subquery per ordered pair computing the same
+    * Σ max(0, countDistinct(rhs) − 1). */
+  private val fdProfileOracleSql: String = {
+    val pairs = for (l <- fdProfileCols; r <- fdProfileCols if l != r)
+      yield
+        s"""SELECT '$l' AS lhs, '$r' AS rhs,
+           |    CAST((SELECT COALESCE(SUM(GREATEST(cd - 1, 0)), 0)
+           |      FROM (SELECT COUNT(DISTINCT $r) AS cd FROM orders
+           |            GROUP BY $l)) AS BIGINT) AS violations""".stripMargin
+    pairs.mkString("SELECT lhs, rhs, violations,\n" +
+        "  CAST(violations = 0 AS BIGINT) AS fd_holds FROM (\n  ",
+      "\n  UNION ALL ", "\n) ORDER BY lhs, rhs")
+  }
 
   /** The binned-drift oracle over documents src1 vs src2 (reference
     * deciles of src1 on n_chars) — shared VERBATIM by q224 (all

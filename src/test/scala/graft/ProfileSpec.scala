@@ -246,6 +246,24 @@ class ProfileSpec extends SparkSuite {
     assert(cvm(rows)._3 > 0L) // the planted mix actually drifts
   }
 
+  test("fdProfile: planted dependencies hold and planted violations " +
+      "count exactly") {
+    // id → k holds (unique id); k → id has extra images; k → v has
+    // one all-null group (contributes 0) and one 2-image group
+    val df = Seq(
+      (1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "a", Some(20L)),
+      (4L, "b", None), (5L, "b", None),
+      (6L, "c", Some(7L))
+    ).toDF("id", "k", "v")
+    val out = Profile.fdProfile(df, Seq("id", "k", "v"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("id", "k")) == (0L, 1L)) // unique lhs: FD holds
+    assert(out(("k", "id")) == (2L + 1L, 0L)) // a: 3 ids, b: 2 ids
+    assert(out(("k", "v")) == (1L, 0L)) // a: {10,20}; b all-null: 0
+    assert(out(("v", "k")) == (0L, 1L)) // each value keeps one k
+  }
+
   test("spearmanExact: ±10⁶ at perfect (dis)concordance, ≡ sequential " +
       "reference under the mega-key, single-row group dropped") {
     // mega-key: 95% of rows on one group; y is a noisy monotone of x
