@@ -50,6 +50,14 @@ object Expectations {
     * violations — an all-null group contributes 0. */
   final case class FunctionalDependency(name: String,
     lhs: Seq[String], rhs: String) extends Rule
+  /** `valueCol` must be non-decreasing per `keyCol` in `ordCol`
+    * order (version counters, event timestamps): each row whose
+    * predecessor's value exceeds its own counts one violation. The
+    * SEQUENTIAL rule kind — rides the skew-safe lag, so a mega-key
+    * entity never lands in one task. Null values never violate (in
+    * either position); `ordCol` unique non-null per key. */
+  final case class Monotone(name: String, keyCol: String,
+    ordCol: String, valueCol: String) extends Rule
 
   private def violatedExpr(r: Rule): Column = r match {
     case NotNull(_, c) => col(c).isNull
@@ -104,6 +112,12 @@ object Expectations {
           .agg(countDistinct(col(rhs)).as("__cd"))
           .agg(coalesce(sum(greatest(col("__cd") - 1L, lit(0L))),
             lit(0L)).as("violations"))
+          .select(lit(n).as("rule"), col("violations"))
+      case Monotone(n, k, o, v) =>
+        EventAnalytics.lagSkewSafe(
+            df.select(col(k), col(o), col(v)), k, o, v, "__prev")
+          .agg(coalesce(sum(when(col("__prev") > col(v), 1L)
+            .otherwise(0L)), lit(0L)).as("violations"))
           .select(lit(n).as("rule"), col("violations"))
     }
     val all = (local.toSeq ++ keyed).reduce(_ unionByName _)

@@ -2448,7 +2448,51 @@ object AnalyticsQueries {
       (s, dir) => graft.ops.Profile.fdProfile(
           table(s, dir, "orders"), fdProfileCols)
         .orderBy(col("lhs"), col("rhs")),
-      Some(fdProfileOracleSql))
+      Some(fdProfileOracleSql)),
+
+    // Sequential expectations (r12): the Monotone rule — "values must
+    // not regress per entity in sequence order", the SCD2-version /
+    // event-timestamp contract — counted via the skew-safe lag so a
+    // mega-key entity never lands in one task. Orders' prices are
+    // NOT monotone per customer, so the count is real.
+    QuerySpec("q234_expectations_seq",
+      (s, dir) => {
+        import graft.ops.Expectations._
+        val o = table(s, dir, "orders").withColumn("v_centi",
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long"))
+          // epoch-day of the order date: is the key order also the
+          // time order? (a real ingest contract)
+          .withColumn("epoch_day",
+            datediff(col("o_orderdate"), lit("1970-01-01"))
+              .cast("long"))
+        check(o, Seq(
+          Monotone("totalprice_monotone_per_cust", "o_custkey",
+            "o_orderkey", "v_centi"),
+          Monotone("orderdate_monotone_per_cust", "o_custkey",
+            "o_orderkey", "epoch_day")))
+          .orderBy(col("rule_ord"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v_centi,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day
+        |  FROM orders),
+        |l AS (SELECT v_centi, epoch_day,
+        |    LAG(v_centi) OVER w AS pv,
+        |    LAG(epoch_day) OVER w AS pd
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS rule_ord,
+        |    'totalprice_monotone_per_cust' AS rule,
+        |    CAST(SUM(CASE WHEN pv > v_centi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations FROM l
+        |  UNION ALL SELECT 1, 'orderdate_monotone_per_cust',
+        |    CAST(SUM(CASE WHEN pd > epoch_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM l
+        |) ORDER BY rule_ord""".stripMargin))
   ) ++ lateSpecs
 
   private val fdProfileCols = Seq("o_orderkey", "o_custkey",

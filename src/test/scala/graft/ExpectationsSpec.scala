@@ -78,6 +78,36 @@ class ExpectationsSpec extends SparkSuite {
     assert(out == Seq(("fd", 1L)))
   }
 
+  test("monotone: planted descents count; nulls and first rows never " +
+      "violate; ≡ the plain-window count under a mega-key") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lag, sum, when, lit, coalesce}
+    val hand = Seq(
+      (1L, 1L, Some(10L)), (1L, 2L, Some(5L)),   // descent
+      (1L, 3L, None), (1L, 4L, Some(1L)),        // null lanes: 0
+      (2L, 1L, Some(7L)), (2L, 2L, Some(7L)),    // equal: 0
+      (2L, 3L, Some(9L)), (2L, 4L, Some(2L))     // descent
+    ).toDF("k", "o", "v")
+    val out = Expectations.check(hand,
+        Seq(Monotone("m", "k", "o", "v")))
+      .collect().map(_.getLong(2)).head
+    assert(out == 2L)
+    // mega-key differential vs the plain window count
+    val big = spark.range(6000).selectExpr(
+        "CASE WHEN id % 100 < 95 THEN 0 ELSE id % 7 + 1 END AS k",
+        "id AS o", "CAST((id * 31) % 97 AS BIGINT) AS v")
+      .repartition(9)
+    val fast = Expectations.check(big,
+        Seq(Monotone("m", "k", "o", "v")))
+      .collect().map(_.getLong(2)).head
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val plain = big.withColumn("p", lag(col("v"), 1).over(w))
+      .agg(coalesce(sum(when(col("p") > col("v"), 1L).otherwise(0L)),
+        lit(0L)))
+      .collect().head.getLong(0)
+    assert(fast == plain)
+  }
+
   test("duplicate rule names are rejected") {
     intercept[IllegalArgumentException] {
       Expectations.check(planted,
