@@ -261,7 +261,13 @@ object ScaleStress {
       "q224_binned_drift", "q227_cvm_drift", "q223_equidepth_hist",
       // interpolated percentiles: two targeted picks per (group, p)
       // over the 5 priority mega-groups (orders → graph-shaped)
-      "q225_percentile_cont")
+      "q225_percentile_cont",
+      // the closing wave: exact Spearman (two rank passes), the
+      // fused expectations scan, and the Monotone sequential rule —
+      // all orders/lineitem → graph-shaped (keys ×f, per-copy
+      // structure identical, so violation counts scale exactly ×f)
+      "q231_spearman", "q232_expectations_fd",
+      "q234_expectations_seq")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
@@ -271,7 +277,9 @@ object ScaleStress {
       "q200_running_moments", "q203_group_median",
       "q205_weighted_percentiles", "q206_rank_features",
       "q208_categorical_profile", "q217_lag_lead",
-      "q223_equidepth_hist", "q225_percentile_cont")
+      "q223_equidepth_hist", "q225_percentile_cont",
+      "q231_spearman", "q232_expectations_fd",
+      "q234_expectations_seq")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')
