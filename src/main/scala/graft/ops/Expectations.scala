@@ -58,6 +58,17 @@ object Expectations {
     * either position); `ordCol` unique non-null per key. */
   final case class Monotone(name: String, keyCol: String,
     ordCol: String, valueCol: String) extends Rule
+  /** Intervals [startCol, endCol) must not overlap per `keyCol` —
+    * the SCD2 validity-range contract: a row violates when its start
+    * precedes the MAX end of all earlier-starting rows (not just its
+    * immediate predecessor — chained containment counts). `ordCol`
+    * must be a start-major unique total order (start·K + tiebreak);
+    * the prior-max rides the skew-safe running max + lag, so a hot
+    * key never lands in one task. Null starts/ends never violate
+    * (an open-ended interval is the SCD2 "current" row — callers
+    * wanting open rows checked coalesce an end sentinel first). */
+  final case class NonOverlapping(name: String, keyCol: String,
+    ordCol: String, startCol: String, endCol: String) extends Rule
 
   private def violatedExpr(r: Rule): Column = r match {
     case NotNull(_, c) => col(c).isNull
@@ -119,8 +130,25 @@ object Expectations {
           .agg(coalesce(sum(when(col("__prev") > col(v), 1L)
             .otherwise(0L)), lit(0L)).as("violations"))
           .select(lit(n).as("rule"), col("violations"))
+      case NonOverlapping(n, k, o, st, en) =>
+        // running max of ends (value-major start order), then the
+        // EXCLUSIVE prefix via lag: prior-max at a row = max end of
+        // all earlier-starting rows
+        val cm = EventAnalytics.runningAggsSkewSafe(
+          df.select(col(k), col(o), col(st), col(en)), k, o,
+          Seq((en, "max", "__cme")))
+        EventAnalytics.lagSkewSafe(cm, k, o, "__cme", "__priorMax")
+          .agg(coalesce(sum(when(col(st) < col("__priorMax"), 1L)
+            .otherwise(0L)), lit(0L)).as("violations"))
+          .select(lit(n).as("rule"), col("violations"))
     }
     val all = (local.toSeq ++ keyed).reduce(_ unionByName _)
+    // single rule: both sides' `rule` columns are foldable literals,
+    // so the ord-attach equi join would fold keyless (a BNL) — and
+    // the ordinal is trivially 0 anyway
+    if (rules.size == 1)
+      return all.select(lit(0L).as("rule_ord"), col("rule"),
+        col("violations"))
     val ordDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         rules.map(r => org.apache.spark.sql.Row(r.name,

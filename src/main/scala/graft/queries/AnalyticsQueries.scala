@@ -2492,7 +2492,49 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 1, 'orderdate_monotone_per_cust',
         |    CAST(SUM(CASE WHEN pd > epoch_day THEN 1 ELSE 0 END)
         |      AS BIGINT) FROM l
-        |) ORDER BY rule_ord""".stripMargin))
+        |) ORDER BY rule_ord""".stripMargin)),
+
+    // Interval-overlap expectations (r12): the SCD2 validity-range
+    // contract as a declarative rule — a row violates when its start
+    // precedes the MAX end of all earlier-starting rows (chained
+    // containment counts, not just the immediate predecessor). The
+    // synthetic interval is [ship, ship + quantity days) per
+    // supplier; prior-max rides the skew-safe running max + lag.
+    QuerySpec("q235_expectations_overlap",
+      (s, dir) => {
+        import graft.ops.Expectations._
+        val li = table(s, dir, "lineitem").select(
+          col("l_suppkey"),
+          datediff(col("l_shipdate"), lit("1970-01-01"))
+            .cast("long").as("s_day"),
+          (datediff(col("l_shipdate"), lit("1970-01-01"))
+            .cast("long") + col("l_quantity").cast("long")).as("e_day"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("tie"))
+          .withColumn("__ord",
+            col("s_day") * 10000000000L + col("tie"))
+        check(li, Seq(
+          NonOverlapping("ship_window_nonoverlap_per_supp",
+            "l_suppkey", "__ord", "s_day", "e_day")))
+          .orderBy(col("rule_ord"))
+      },
+      Some("""WITH v AS (SELECT l_suppkey AS k,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) +
+        |      CAST(l_quantity AS BIGINT) AS e,
+        |    l_orderkey * 8 + l_linenumber AS tie
+        |  FROM lineitem),
+        |l AS (SELECT s,
+        |    MAX(e) OVER (PARTITION BY k ORDER BY s, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM v)
+        |SELECT CAST(0 AS BIGINT) AS rule_ord,
+        |  'ship_window_nonoverlap_per_supp' AS rule,
+        |  CAST(SUM(CASE WHEN s < pm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violations
+        |FROM l""".stripMargin))
   ) ++ lateSpecs
 
   private val fdProfileCols = Seq("o_orderkey", "o_custkey",

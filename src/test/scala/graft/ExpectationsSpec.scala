@@ -108,6 +108,42 @@ class ExpectationsSpec extends SparkSuite {
     assert(fast == plain)
   }
 
+  test("nonOverlapping: chained containment counts, adjacency does " +
+      "not; null lanes; ≡ plain prior-max window under a mega-key") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{max => fmax, sum, when, lit,
+      coalesce}
+    // key 1: [0,10) [5,7) [6,20) [20,25) — the 2nd overlaps the 1st,
+    // the 3rd overlaps the 1st (prior-max 10 > 6) even though its
+    // immediate predecessor ends at 7; [20,25) is adjacent → clean
+    val hand = Seq(
+      (1L, 0L, 0L, Some(10L)), (1L, 5L, 5L, Some(7L)),
+      (1L, 6L, 6L, Some(20L)), (1L, 20L, 20L, Some(25L)),
+      (2L, 0L, 0L, None), (2L, 3L, 3L, Some(4L)) // null end: no bound
+    ).toDF("k", "o", "s", "e")
+    val out = Expectations.check(hand, Seq(
+        NonOverlapping("ov", "k", "o", "s", "e")))
+      .collect().map(_.getLong(2)).head
+    assert(out == 2L)
+    // mega-key differential vs the plain prior-max window
+    val big = spark.range(5000).selectExpr(
+        "CASE WHEN id % 100 < 95 THEN 0 ELSE id % 5 + 1 END AS k",
+        "id AS o", "CAST((id * 13) % 400 AS BIGINT) AS s",
+        "CAST((id * 13) % 400 + (id * 7) % 30 AS BIGINT) AS e")
+      .selectExpr("k", "s * 100000 + o AS o", "s", "e")
+      .repartition(9)
+    val fast = Expectations.check(big, Seq(
+        NonOverlapping("ov", "k", "o", "s", "e")))
+      .collect().map(_.getLong(2)).head
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plain = big.withColumn("pm", fmax(col("e")).over(w))
+      .agg(coalesce(sum(when(col("s") < col("pm"), 1L).otherwise(0L)),
+        lit(0L)))
+      .collect().head.getLong(0)
+    assert(fast == plain && fast > 0L)
+  }
+
   test("duplicate rule names are rejected") {
     intercept[IllegalArgumentException] {
       Expectations.check(planted,
