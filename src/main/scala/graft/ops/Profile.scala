@@ -385,6 +385,40 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Candidate-KEY profile — the uniqueness half of schema discovery
+    * beside [[fdProfile]]: for each candidate (a column or column
+    * tuple), its exact distinct count and whether it is a unique key
+    * of the table. ALL candidates ride ONE multi-distinct aggregate
+    * (a single job; Catalyst plans the distinct set through one
+    * Expand — the exact-oracle shape, like [[profile]]; at 100 TB
+    * you run this on a sample or ask [[profileApproxStats]] for the
+    * HLL answer first and verify only the near-unique ones exactly).
+    * Tuple candidates count via a struct (null FIELDS make the
+    * struct non-null, so a tuple with a null component still
+    * counts — both engines agree); single columns skip nulls (SQL
+    * COUNT DISTINCT). Output: (candidate, n, n_distinct,
+    * is_unique_key). */
+  def keyProfile(df: DataFrame, candidates: Seq[Seq[String]])
+      : DataFrame = {
+    require(candidates.nonEmpty &&
+      candidates.forall(_.nonEmpty), "keyProfile: empty candidate")
+    val aggs = candidates.zipWithIndex.map { case (cs, i) =>
+      val target =
+        if (cs.size == 1) col(cs.head)
+        else struct(cs.map(col): _*)
+      countDistinct(target).as(s"__cd_$i")
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackExpr = s"stack(${candidates.size}, " +
+      candidates.zipWithIndex.map { case (cs, i) =>
+        s"'${cs.mkString("+")}', `__cd_$i`" }.mkString(", ") +
+      ") AS (candidate, n_distinct)"
+    wide.select(expr(stackExpr), col("__n").as("n"))
+      .select(col("candidate"), col("n"), col("n_distinct"),
+        (col("n_distinct") === col("n")).cast("long")
+          .as("is_unique_key"))
+  }
+
   /** Per-group EXACT Spearman rank correlation — the monotone-
     * association statistic of a feature pipeline, made hash-exact by
     * ranking on the (value, tie) COMPOSITE total order (unique ranks,

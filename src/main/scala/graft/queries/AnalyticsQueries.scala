@@ -2534,7 +2534,35 @@ object AnalyticsQueries {
         |  'ship_window_nonoverlap_per_supp' AS rule,
         |  CAST(SUM(CASE WHEN s < pm THEN 1 ELSE 0 END) AS BIGINT)
         |    AS violations
-        |FROM l""".stripMargin))
+        |FROM l""".stripMargin)),
+
+    // Candidate-key profile (r12): the uniqueness half of schema
+    // discovery beside q233 — all candidates in ONE multi-distinct
+    // aggregate. The famous non-key here is (l_orderkey,
+    // l_linenumber): the synthetic duplicates make is_unique_key
+    // read 0, which is exactly what a key-discovery run must report.
+    QuerySpec("q236_key_profile",
+      (s, dir) => graft.ops.Profile.keyProfile(
+          table(s, dir, "lineitem"),
+          Seq(Seq("l_orderkey"), Seq("l_partkey"), Seq("l_suppkey"),
+            Seq("l_orderkey", "l_linenumber")))
+        .orderBy(col("candidate")),
+      Some("""SELECT candidate, n, n_distinct,
+        |  CAST(n_distinct = n AS BIGINT) AS is_unique_key
+        |FROM (
+        |  SELECT 'l_orderkey' AS candidate,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey+l_linenumber',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |      AS BIGINT) FROM lineitem
+        |) ORDER BY candidate""".stripMargin))
   ) ++ lateSpecs
 
   private val fdProfileCols = Seq("o_orderkey", "o_custkey",

@@ -246,6 +246,29 @@ class ProfileSpec extends SparkSuite {
     assert(cvm(rows)._3 > 0L) // the planted mix actually drifts
   }
 
+  test("keyProfile: singles skip nulls, tuples count null components, " +
+      "one aggregate job") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(2L), "a"), (None, "b"), (Some(2L), "b")
+    ).toDF("x", "y")
+    val out = Profile.keyProfile(df,
+        Seq(Seq("x"), Seq("y"), Seq("x", "y")))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("x") == (4L, 2L, 0L)) // nulls skipped, dup 2
+    assert(out("y") == (4L, 2L, 0L))
+    // (None,"b") is a distinct TUPLE: struct with a null field counts
+    assert(out("x+y") == (4L, 4L, 1L))
+    // plan: one aggregate over one scan (no per-candidate jobs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("keyprofile_scan").toString
+    df.write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val plan = Profile.keyProfile(spark.read.parquet(s"$dir/t.parquet"),
+        Seq(Seq("x"), Seq("y"), Seq("x", "y")))
+      .queryExecution.executedPlan.toString
+    assert("t\\.parquet".r.findAllIn(plan).length == 1)
+  }
+
   test("fdProfile: planted dependencies hold and planted violations " +
       "count exactly") {
     // id → k holds (unique id); k → id has extra images; k → v has
