@@ -25,13 +25,18 @@ object WindowAudit {
     * a plan-cosmetic change: a constant key also hashes every row to
     * one reducer, and "every row" here is the P-row slice roll-up,
     * never the data. Fingerprint: ordered solely by `__slice`, and
-    * every window expression reads only the op's own slice-total
-    * columns (`__slice_agg_*` / the `__sp` struct). */
+    * every window expression reads only the op family's own
+    * slice-total columns — `__slice_agg_*` / the `__sp` struct
+    * (runningAggsSkewSafe / lagSkewSafe offsets) or `__cnt`
+    * (pickGlobalRanks' per-(slice, key) count frame, the targeted
+    * order-statistic picks — hit by the constant-key
+    * binnedRefBoundaries path of q224/q229). */
   private def isSliceOffsetsChain(w: WindowExec): Boolean =
     w.orderSpec.nonEmpty &&
       w.orderSpec.forall(_.child.references.forall(_.name == "__slice")) &&
       w.windowExpression.forall(_.references.map(_.name).forall(n =>
-        n.startsWith("__slice_agg_") || n == "__sp" || n == "__slice"))
+        n.startsWith("__slice_agg_") || n == "__sp" || n == "__cnt" ||
+          n == "__slice"))
 
   /** Unpartitioned WindowExecs in a plan, including inside AQE wrappers
     * and subqueries. */
