@@ -545,6 +545,30 @@ object Profile {
     ks.unionByName(u).unionByName(w1).unionByName(cvm)
   }
 
+  /** Per-GROUP drift report — [[driftReport]] keyed on a segment
+    * column: one row per (group, statistic), the per-segment nightly
+    * monitoring run. Composes the four keyed statistics
+    * ([[ksDriftBy]]/[[mannWhitneyUBy]]/[[emdDriftBy]]/[[cvmDriftBy]])
+    * whose count/prefix subplans are IDENTICAL, so AQE's exchange
+    * reuse materializes the shared work once here too
+    * (PlanSpec-asserted) — the same four-for-one economy as the solo
+    * report. One-sample groups drop per the keyed contract. */
+  def driftReportBy(df: DataFrame, groupCol: String, valueCol: String,
+      sampleCol: String, a: String, b: String,
+      partitions: Int = 0): DataFrame = {
+    def shape(d: DataFrame, stat: String, micro: String) =
+      d.select(lit(stat).as("stat"), col(groupCol), col("n1"),
+        col("n2"), col(micro).as("stat_micro"))
+    shape(ksDriftBy(df, groupCol, valueCol, sampleCol, a, b,
+        partitions), "ks", "ks_micro")
+      .unionByName(shape(mannWhitneyUBy(df, groupCol, valueCol,
+        sampleCol, a, b, partitions), "u", "u_micro"))
+      .unionByName(shape(emdDriftBy(df, groupCol, valueCol,
+        sampleCol, a, b, partitions), "w1", "emd_micro"))
+      .unionByName(shape(cvmDriftBy(df, groupCol, valueCol,
+        sampleCol, a, b, partitions), "cvm", "t_micro"))
+  }
+
   /** Per-GROUP Cramér–von Mises — [[cvmDrift]] keyed on a segment
     * column, completing the by-segment matrix for all four ordered
     * statistics (KS/U/W₁/CvM): the same two-level q/r carry per

@@ -2562,7 +2562,72 @@ object AnalyticsQueries {
         |    CAST(COUNT(*) AS BIGINT),
         |    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber))
         |      AS BIGINT) FROM lineitem
-        |) ORDER BY candidate""".stripMargin))
+        |) ORDER BY candidate""".stripMargin)),
+
+    // Per-segment drift report (r12): q230 keyed on language — one
+    // row per (segment, statistic). The four keyed statistics share
+    // identical count/prefix subplans, so AQE reuse pays for one.
+    QuerySpec("q237_drift_report_by",
+      (s, dir) => graft.ops.Profile.driftReportBy(
+          table(s, dir, "documents").select(col("lang"),
+            col("n_chars"), col("source")),
+          "lang", "n_chars", "source", "src1", "src2")
+        .orderBy(col("stat"), col("lang")),
+      Some("""WITH c AS (SELECT lang, n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE source IN ('src1', 'src2')
+        |  GROUP BY lang, n_chars),
+        |r AS (SELECT lang, v, ca, cb,
+        |    CAST(SUM(ca) OVER w AS BIGINT) AS ia,
+        |    CAST(SUM(cb) OVER w AS BIGINT) AS ib,
+        |    LEAD(v) OVER w AS nv
+        |  FROM c WINDOW w AS (PARTITION BY lang ORDER BY v)),
+        |t AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(cb) AS BIGINT) AS n2
+        |  FROM c GROUP BY lang
+        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0)
+        |SELECT * FROM (
+        |  SELECT 'ks' AS stat, t.lang, t.n1, t.n2,
+        |    CAST((1000000 * CAST(MAX(ABS(ia * t.n2 - ib * t.n1))
+        |      AS HUGEINT)) // (CAST(t.n1 AS HUGEINT) * t.n2)
+        |      AS BIGINT) AS stat_micro
+        |  FROM r JOIN t ON r.lang = t.lang
+        |  GROUP BY t.lang, t.n1, t.n2
+        |  UNION ALL
+        |  SELECT 'u', t.lang, t.n1, t.n2,
+        |    CAST((1000000 * (SUM(CAST(ca AS HUGEINT) *
+        |        (2 * (ia - ca + ib - cb) + ca + cb + 1)) -
+        |      CAST(t.n1 AS HUGEINT) * (t.n1 + 1))) //
+        |      (2 * CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
+        |  FROM r JOIN t ON r.lang = t.lang
+        |  GROUP BY t.lang, t.n1, t.n2
+        |  UNION ALL
+        |  SELECT 'w1', t.lang, t.n1, t.n2,
+        |    CAST((1000000 * SUM(CASE WHEN nv IS NOT NULL
+        |      THEN CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |        (nv - v) ELSE 0 END)) //
+        |      (CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
+        |  FROM r JOIN t ON r.lang = t.lang
+        |  GROUP BY t.lang, t.n1, t.n2
+        |  UNION ALL
+        |  SELECT 'cvm', t.lang, t.n1, t.n2,
+        |    CAST((1000000 * SUM(CAST(ca + cb AS HUGEINT) *
+        |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |          ABS(ia * t.n2 - ib * t.n1)) //
+        |         (CAST(t.n1 AS HUGEINT) * t.n2))) +
+        |      (1000000 * SUM(CAST(ca + cb AS HUGEINT) *
+        |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+        |          ABS(ia * t.n2 - ib * t.n1)) %
+        |         (CAST(t.n1 AS HUGEINT) * t.n2)))) //
+        |        (CAST(t.n1 AS HUGEINT) * t.n2)) //
+        |      (CAST(t.n1 + t.n2 AS HUGEINT) * (t.n1 + t.n2))
+        |      AS BIGINT)
+        |  FROM r JOIN t ON r.lang = t.lang
+        |  GROUP BY t.lang, t.n1, t.n2
+        |) ORDER BY stat, lang""".stripMargin))
   ) ++ lateSpecs
 
   private val fdProfileCols = Seq("o_orderkey", "o_custkey",

@@ -690,15 +690,17 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q230 drift report: AQE reuses the shared prefix frame across " +
-      "the four statistic branches") {
-    val df = SparkEntry.queries("q230_drift_report")(spark, sf0001)
-    df.collect() // reuse is an ADAPTIVE decision — visible post-run
-    val p = df.queryExecution.executedPlan.toString
-    val reused = "ReusedExchange|ReusedQueryStage".r.findAllIn(p).length
-    assert(reused > 0,
-      s"expected the shared count/prefix subplan to be reused:\n" +
-        p.take(4000))
+  test("q230/q237 drift reports: AQE reuses the shared prefix frame " +
+      "across the four statistic branches") {
+    for (q <- Seq("q230_drift_report", "q237_drift_report_by")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect() // reuse is an ADAPTIVE decision — visible post-run
+      val p = df.queryExecution.executedPlan.toString
+      val reused = "ReusedExchange|ReusedQueryStage".r.findAllIn(p).length
+      assert(reused > 0,
+        s"$q: expected the shared count/prefix subplan to be reused:\n" +
+          p.take(4000))
+    }
   }
 
   test("WindowAudit offsets-chain exemption admits ONLY the bounded " +

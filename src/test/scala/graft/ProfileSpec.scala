@@ -346,6 +346,28 @@ class ProfileSpec extends SparkSuite {
       cvm.getLong(2)))
   }
 
+  test("driftReportBy rows ≡ the four keyed statistics") {
+    val rows =
+      (1L to 40L).map(v => ("g1", v, "A")) ++
+      (21L to 60L).map(v => ("g1", v, "B")) ++
+      (1L to 30L).flatMap(v => Seq(("g2", v, "A"), ("g2", v, "B")))
+    val df = rows.toDF("g", "v", "s").repartition(7)
+    val rep = Profile.driftReportBy(df, "g", "v", "s", "A", "B",
+        partitions = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rep.keySet.map(_._1) == Set("ks", "u", "w1", "cvm"))
+    val ks = Profile.ksDriftBy(df, "g", "v", "s", "A", "B", 3)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(4)))).toMap
+    for ((g, v) <- ks) assert(rep(("ks", g)) == v)
+    val cvm = Profile.cvmDriftBy(df, "g", "v", "s", "A", "B", 3)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    for ((g, v) <- cvm) assert(rep(("cvm", g)) == v)
+    assert(rep(("cvm", "g2"))._3 == 0L) // identical samples
+  }
+
   test("cvmDriftBy: per-group ≡ the solo op per slice; one-sample " +
       "groups dropped") {
     val rows =
