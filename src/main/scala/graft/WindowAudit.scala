@@ -30,13 +30,28 @@ object WindowAudit {
     * (runningAggsSkewSafe / lagSkewSafe offsets) or `__cnt`
     * (pickGlobalRanks' per-(slice, key) count frame, the targeted
     * order-statistic picks — hit by the constant-key
-    * binnedRefBoundaries path of q224/q229). */
+    * binnedRefBoundaries path of q224/q229).
+    *
+    * The name fingerprint alone is SPOOFABLE (ADVICE r12: a future
+    * query naming a genuinely global data window's columns `__sp`
+    * would silently drop out of the audit), so the exemption also
+    * requires the STRUCTURE the offsets chain cannot exist without:
+    * the window's child subtree must contain an aggregate GROUPED BY
+    * `__slice` — the per-(slice, key) totals/count roll-up that
+    * bounds the windowed frame to ≤ slices × keys rows. A data-sized
+    * window has no such aggregate under it (its input is the data,
+    * not a slice roll-up), whatever its columns are named. */
   private def isSliceOffsetsChain(w: WindowExec): Boolean =
     w.orderSpec.nonEmpty &&
       w.orderSpec.forall(_.child.references.forall(_.name == "__slice")) &&
       w.windowExpression.forall(_.references.map(_.name).forall(n =>
         n.startsWith("__slice_agg_") || n == "__sp" || n == "__cnt" ||
-          n == "__slice"))
+          n == "__slice")) &&
+      w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.exists(
+              _.references.exists(_.name == "__slice")) => a
+      }.isDefined
 
   /** Unpartitioned WindowExecs in a plan, including inside AQE wrappers
     * and subqueries. */

@@ -174,7 +174,8 @@ object EventAnalytics {
     * pass ([[runningMomentsSkewSafe]]). */
   def runningAggsSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
       aggs: Seq[(String, String, String)],
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      bounds: Option[Array[Double]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(aggs.nonEmpty, "runningAggsSkewSafe: need at least one agg")
     // (slice derivation shared with the order-statistic ops below)
@@ -217,7 +218,7 @@ object EventAnalytics {
       case _ => (a, b) => greatest(a, b)
     }
     val sliced = df.withColumn("__slice",
-      sliceColumn(df, ordCol, partitions))
+      sliceColumn(df, ordCol, partitions, bounds))
     val wLocal = Window.partitionBy(col("__slice"), col(keyCol))
       .orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -493,13 +494,14 @@ object EventAnalytics {
     * the lag of a row after a null-valued row is null, matching the
     * window function. */
   def lagSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
-      valueCol: String, outCol: String, partitions: Int = 0): DataFrame = {
+      valueCol: String, outCol: String, partitions: Int = 0,
+      bounds: Option[Array[Double]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // To honor null VALUES (a plain `last` carry would skip them),
     // carry the predecessor as a (ord, value) struct — never null
     // for an existing row — and project the value at the end.
     val sliced = df.withColumn("__slice",
-      sliceColumn(df, ordCol, partitions))
+      sliceColumn(df, ordCol, partitions, bounds))
     val wLoc = Window.partitionBy(col("__slice"), col(keyCol))
       .orderBy(col(ordCol))
     val pair = struct(col(ordCol).as("o"), col(valueCol).as("v"))
@@ -524,12 +526,16 @@ object EventAnalytics {
   /** Skew-safe LEAD — [[lagSkewSafe]] mirrored on negated ord. The
     * negation must stay exact through the double-valued quantile
     * slicing, so `ordCol` magnitudes must sit within 2⁵³ (every
-    * composite ord in this library does). */
+    * composite ord in this library does). `bounds` — when shared —
+    * are given in terms of the ORIGINAL `ordCol` (the caller's
+    * frame), negated and reversed here to match the mirrored order. */
   def leadSkewSafe(df: DataFrame, keyCol: String, ordCol: String,
-      valueCol: String, outCol: String, partitions: Int = 0): DataFrame = {
+      valueCol: String, outCol: String, partitions: Int = 0,
+      bounds: Option[Array[Double]] = None): DataFrame = {
     val neg = "__neg_" + ordCol
     lagSkewSafe(df.withColumn(neg, -col(ordCol)), keyCol, neg,
-      valueCol, outCol, partitions).drop(neg)
+      valueCol, outCol, partitions,
+      bounds.map(_.map(-_).reverse)).drop(neg)
   }
 
   /** Skew-safe AS-OF join (backward): for each probe row, the value
@@ -684,14 +690,9 @@ object EventAnalytics {
     * under project collapse (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND,
     * reproduced on Spark 4.1.2). */
   private def sliceColumn(df: DataFrame, ordCol: String,
-      partitions: Int): Column = {
-    val p = if (partitions > 0) partitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val probs = (1 until p).map(_.toDouble / p).toArray
+      partitions: Int, shared: Option[Array[Double]] = None): Column = {
     val bounds =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.select(col(ordCol).cast("double").as("__o"))
-        .stat.approxQuantile("__o", probs, 0.001).distinct.sorted
+      shared.getOrElse(sliceBoundsFor(df, ordCol, partitions))
     val ordD = col(ordCol).cast("double")
     def sliceOf(lo: Int, hi: Int): Column = // slice known to be in [lo, hi]
       if (lo == hi) lit(lo)
@@ -701,6 +702,26 @@ object EventAnalytics {
           .otherwise(sliceOf(lo, mid - 1))
       }
     if (bounds.isEmpty) lit(0) else sliceOf(0, bounds.length)
+  }
+
+  /** The one-pass deterministic GK quantile bounds behind the slice
+    * derivation, exposed so a COMPOSED skew-safe chain — running aggs
+    * + lag/lead over the same frame and order column, as in
+    * `Profile.driftReport` or the NonOverlapping expectation — can
+    * estimate bounds ONCE and hand them to every stage through the
+    * ops' `bounds` parameter, instead of paying one `approxQuantile`
+    * pass per stage (VERDICT r12 #3). Sharing is always CORRECT:
+    * the slice is a pure row function whose boundary quality affects
+    * only load balance, never results, so bounds estimated on a
+    * count frame serve its derived prefix/lead frames too. */
+  def sliceBoundsFor(df: DataFrame, ordCol: String,
+      partitions: Int = 0): Array[Double] = {
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val probs = (1 until p).map(_.toDouble / p).toArray
+    if (probs.isEmpty) Array.empty[Double]
+    else df.select(col(ordCol).cast("double").as("__o"))
+      .stat.approxQuantile("__o", probs, 0.001).distinct.sorted
   }
 
   /** Gap-based sessionization with per-session statistics — the

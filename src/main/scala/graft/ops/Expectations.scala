@@ -98,9 +98,13 @@ object Expectations {
     val local: Option[DataFrame] =
       if (rowLocal.isEmpty) None
       else {
+        // coalesce like the keyed lanes: on an EMPTY input frame
+        // sum(when(..)) is null, and a null violation count would
+        // make requireClean's `> 0` filter pass vacuously and
+        // callers' getLong NPE (ADVICE r12)
         val aggs = rowLocal.map(r =>
-          sum(when(violatedExpr(r), 1L).otherwise(0L))
-            .as(s"__v_${ord(r.name)}"))
+          coalesce(sum(when(violatedExpr(r), 1L).otherwise(0L)),
+            lit(0L)).as(s"__v_${ord(r.name)}"))
         val wide = df.agg(aggs.head, aggs.tail: _*)
         val stackExpr = s"stack(${rowLocal.size}, " + rowLocal.map(r =>
           s"'${r.name}', `__v_${ord(r.name)}`").mkString(", ") +
@@ -133,11 +137,15 @@ object Expectations {
       case NonOverlapping(n, k, o, st, en) =>
         // running max of ends (value-major start order), then the
         // EXCLUSIVE prefix via lag: prior-max at a row = max end of
-        // all earlier-starting rows
-        val cm = EventAnalytics.runningAggsSkewSafe(
-          df.select(col(k), col(o), col(st), col(en)), k, o,
-          Seq((en, "max", "__cme")))
-        EventAnalytics.lagSkewSafe(cm, k, o, "__cme", "__priorMax")
+        // all earlier-starting rows. Both stages slice on the SAME
+        // ord, so the GK bounds are estimated once and shared
+        // (VERDICT r12 #3 — one approxQuantile pass, not two)
+        val sel = df.select(col(k), col(o), col(st), col(en))
+        val gkb = Some(EventAnalytics.sliceBoundsFor(sel, o))
+        val cm = EventAnalytics.runningAggsSkewSafe(sel, k, o,
+          Seq((en, "max", "__cme")), bounds = gkb)
+        EventAnalytics.lagSkewSafe(cm, k, o, "__cme", "__priorMax",
+          bounds = gkb)
           .agg(coalesce(sum(when(col(st) < col("__priorMax"), 1L)
             .otherwise(0L)), lit(0L)).as("violations"))
           .select(lit(n).as("rule"), col("violations"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the ANALYZE surface of an analytics engine:
@@ -152,7 +152,10 @@ object Profile {
     val stats = cnt.groupBy(col(groupCol)).agg(
       sum(col("__c")).as("n"),
       count(lit(1)).as("n_distinct"),
-      sum((col("__c") * col("__c")).cast(d38)).cast(d38).as("__sq"))
+      // cast BEFORE multiplying: a long·long square wraps past
+      // ~3.04e9 per (group, value) count; in decimal it cannot
+      // (ADVICE r12 — matching runningMomentsSkewSafe / cvmDrift)
+      sum(col("__c").cast(d38) * col("__c")).cast(d38).as("__sq"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__c").desc, col(valueCol).asc)
     val mode = cnt.withColumn("__rk", row_number().over(w))
@@ -187,16 +190,29 @@ object Profile {
     * the packSequences discipline); the two totals attach by a 1-row
     * broadcast (PlanSpec BNL allowlist, bound = an .agg() with no
     * grouping). 10⁶·d_num rides DECIMAL(38,0) (d_num ≤ n₁·n₂ ≈ 10¹⁸
-    * already saturates long). Output: one row
+    * already saturates long). Null values are excluded from the
+    * count frame — the same non-null contract as [[distCounts]], so
+    * the solo and steady-state forms see IDENTICAL frames (and the
+    * engines' NULLS FIRST/LAST window divergence never enters; the
+    * whole drift family shares this contract). Output: one row
     * (n1, n2, d_num, ks_micro). */
   def ksDrift(df: DataFrame, valueCol: String, sampleCol: String,
       a: String, b: String, partitions: Int = 0): DataFrame =
-    ksDriftFromCounts(df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
+    ksDriftFromCounts(soloCounts(df, valueCol, sampleCol, a, b),
+      valueCol, partitions)
+
+  /** The ONE solo count stage of the whole drift family: a per-value
+    * aggregate with per-sample conditional counts, map-side combined,
+    * null values excluded (the family's non-null contract — keeps
+    * every in-query form hash-identical to its [[distCounts]]-probed
+    * steady twin). */
+  private def soloCounts(df: DataFrame, valueCol: String,
+      sampleCol: String, a: String, b: String): DataFrame =
+    df.filter(col(sampleCol) === a || col(sampleCol) === b)
+      .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol))
       .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb")),
-      valueCol, partitions)
+        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
 
   /** [[ksDrift]]'s tail over a pre-built per-value count frame
     * `(valueCol, __ca, __cb)` — the shared reduce for the in-query
@@ -249,16 +265,118 @@ object Profile {
     * shared KS tail. */
   def ksDriftAgainstRefCounts(refCounts: DataFrame,
       probeCounts: DataFrame, valueCol: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    ksDriftFromCounts(
+      mergeRefProbeCounts(refCounts, probeCounts, valueCol),
+      valueCol, partitions)
+
+  /** The shared steady-state count merge: full-outer join of a
+    * persisted `(valueCol, ref_n)` reference frame and a
+    * `(valueCol, obs_n)` probe frame — both ≤|values| rows (AQE
+    * broadcasts) — zero-filled into the family's (__ca, __cb) count
+    * shape, so every statistic's tail is reusable verbatim. */
+  private def mergeRefProbeCounts(refCounts: DataFrame,
+      probeCounts: DataFrame, valueCol: String): DataFrame = {
     val p = probeCounts
       .select(col(valueCol).as("__pv"), col("obs_n").as("__pn"))
-    val cnt = refCounts
+    refCounts
       .join(p, col(valueCol) === col("__pv"), "full_outer")
       .select(coalesce(col(valueCol), col("__pv")).as(valueCol),
         coalesce(col("ref_n"), lit(0L)).as("__ca"),
         coalesce(col("__pn"), lit(0L)).as("__cb"))
-    ksDriftFromCounts(cnt, valueCol, partitions)
   }
+
+  /** The in-query probe half shared by every AgainstRef form: count
+    * the probe batch per value, nulls excluded (the family
+    * contract). */
+  private def probeCounts(probe: DataFrame, valueCol: String)
+      : DataFrame =
+    probe.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("obs_n"))
+
+  /** Mann–Whitney U of a probe batch AGAINST a persisted reference
+    * count frame ([[distCounts]] output) — completing the
+    * steady-state monitor matrix for the rank-sum statistic
+    * (VERDICT r12 #4): hash-identical to [[mannWhitneyU]] on
+    * (reference ∪ probe) by construction. */
+  def mannWhitneyUAgainstRef(refCounts: DataFrame, probe: DataFrame,
+      valueCol: String, partitions: Int = 0): DataFrame =
+    mannWhitneyUAgainstRefCounts(refCounts,
+      probeCounts(probe, valueCol), valueCol, partitions)
+
+  /** [[mannWhitneyUAgainstRef]] with the probe side already counted —
+    * the streaming-monitor entry point. */
+  def mannWhitneyUAgainstRefCounts(refCounts: DataFrame,
+      probeCounts: DataFrame, valueCol: String,
+      partitions: Int = 0): DataFrame =
+    mannWhitneyUFromCounts(
+      mergeRefProbeCounts(refCounts, probeCounts, valueCol),
+      valueCol, partitions)
+
+  /** Wasserstein-1 of a probe batch AGAINST a persisted reference
+    * count frame — the magnitude-aware steady-state monitor
+    * (VERDICT r12 #4); hash-identical to [[emdDrift]] on
+    * (reference ∪ probe). */
+  def emdDriftAgainstRef(refCounts: DataFrame, probe: DataFrame,
+      valueCol: String, partitions: Int = 0): DataFrame =
+    emdDriftAgainstRefCounts(refCounts,
+      probeCounts(probe, valueCol), valueCol, partitions)
+
+  /** [[emdDriftAgainstRef]] with the probe side already counted. */
+  def emdDriftAgainstRefCounts(refCounts: DataFrame,
+      probeCounts: DataFrame, valueCol: String,
+      partitions: Int = 0): DataFrame =
+    emdDriftFromCounts(
+      mergeRefProbeCounts(refCounts, probeCounts, valueCol),
+      valueCol, partitions)
+
+  /** Cramér–von Mises of a probe batch AGAINST a persisted reference
+    * count frame — the whole-curve steady-state monitor
+    * (VERDICT r12 #4); hash-identical to [[cvmDrift]] on
+    * (reference ∪ probe). */
+  def cvmDriftAgainstRef(refCounts: DataFrame, probe: DataFrame,
+      valueCol: String, partitions: Int = 0): DataFrame =
+    cvmDriftAgainstRefCounts(refCounts,
+      probeCounts(probe, valueCol), valueCol, partitions)
+
+  /** [[cvmDriftAgainstRef]] with the probe side already counted. */
+  def cvmDriftAgainstRefCounts(refCounts: DataFrame,
+      probeCounts: DataFrame, valueCol: String,
+      partitions: Int = 0): DataFrame =
+    cvmDriftFromCounts(
+      mergeRefProbeCounts(refCounts, probeCounts, valueCol),
+      valueCol, partitions)
+
+  /** Total-variation distance of a probe batch AGAINST a persisted
+    * reference count frame — the categorical steady-state monitor
+    * (VERDICT r12 #4); hash-identical to [[tvdDrift]] on
+    * (reference ∪ probe). Categorical values ride [[distCounts]]
+    * unchanged (per-value counts have no ordering requirement). */
+  def tvdDriftAgainstRef(refCounts: DataFrame, probe: DataFrame,
+      valueCol: String): DataFrame =
+    tvdDriftAgainstRefCounts(refCounts,
+      probeCounts(probe, valueCol), valueCol)
+
+  /** [[tvdDriftAgainstRef]] with the probe side already counted. */
+  def tvdDriftAgainstRefCounts(refCounts: DataFrame,
+      probeCounts: DataFrame, valueCol: String): DataFrame =
+    tvdDriftFromCounts(
+      mergeRefProbeCounts(refCounts, probeCounts, valueCol))
+
+  /** One-call DRIFT REPORT against a persisted reference — all four
+    * ordered statistics (KS/U/W₁/CvM) of everything observed so far
+    * vs the frozen reference profile, off ONE merged count frame and
+    * ONE shared prefix subplan: the row set the streaming
+    * [[graft.streaming.StreamingIngest.driftMonitor]] lands per
+    * epoch (VERDICT r12 #4 — the nightly monitor is no longer one
+    * statistic wide). */
+  def driftReportAgainstRefCounts(refCounts: DataFrame,
+      probeCounts: DataFrame, valueCol: String,
+      partitions: Int = 0): DataFrame =
+    driftReportFromCounts(
+      mergeRefProbeCounts(refCounts, probeCounts, valueCol),
+      valueCol, partitions)
 
   /** Two-sample EARTH MOVER'S distance (Wasserstein-1), EXACT — the
     * magnitude-aware drift companion to [[ksDrift]]: KS sees only
@@ -273,18 +391,26 @@ object Profile {
     * (|i·n₂ − j·n₁| alone saturates long). Output: one row
     * (n1, n2, emd_num, emd_micro). */
   def emdDrift(df: DataFrame, valueCol: String, sampleCol: String,
-      a: String, b: String, partitions: Int = 0): DataFrame = {
+      a: String, b: String, partitions: Int = 0): DataFrame =
+    emdDriftFromCounts(soloCounts(df, valueCol, sampleCol, a, b),
+      valueCol, partitions)
+
+  /** [[emdDrift]]'s tail over a pre-built per-value count frame —
+    * the shared reduce for the in-query form and the persisted-
+    * reference probe ([[emdDriftAgainstRef]]). */
+  private def emdDriftFromCounts(cnt: DataFrame, valueCol: String,
+      partitions: Int): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
-      .groupBy(col(valueCol))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    // prefix sum AND the Δv lead slice on the same ord: estimate the
+    // GK bounds once, share across both stages (VERDICT r12 #3)
+    val gkb = Some(EventAnalytics.sliceBoundsFor(cnt, valueCol,
+      partitions))
     val cum = EventAnalytics.runningAggsSkewSafe(
       cnt.withColumn("__g", lit(0)), "__g", valueCol,
-      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions,
+      gkb)
     val withNext = EventAnalytics.leadSkewSafe(cum, "__g", valueCol,
-      valueCol, "__nv", partitions)
+      valueCol, "__nv", partitions, gkb)
     val totals = cnt.agg(sum(col("__ca")).as("n1"),
       sum(col("__cb")).as("n2"))
     withNext.crossJoin(broadcast(totals)) // 1-row aggregate attach
@@ -322,13 +448,16 @@ object Profile {
     * count aggregate, the constant-key prefix sum, a 1-row totals
     * attach. Output: (n1, n2, t_micro). */
   def cvmDrift(df: DataFrame, valueCol: String, sampleCol: String,
-      a: String, b: String, partitions: Int = 0): DataFrame = {
+      a: String, b: String, partitions: Int = 0): DataFrame =
+    cvmDriftFromCounts(soloCounts(df, valueCol, sampleCol, a, b),
+      valueCol, partitions)
+
+  /** [[cvmDrift]]'s tail over a pre-built per-value count frame —
+    * the shared reduce for the in-query form and the persisted-
+    * reference probe ([[cvmDriftAgainstRef]]). */
+  private def cvmDriftFromCounts(cnt: DataFrame, valueCol: String,
+      partitions: Int): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
-      .groupBy(col(valueCol))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
     val cum = EventAnalytics.runningAggsSkewSafe(
       cnt.withColumn("__g", lit(0)), "__g", valueCol,
       Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
@@ -360,13 +489,33 @@ object Profile {
     * dependencies worth enforcing). Plan: one map-side-combinable
     * count-distinct aggregate per lhs column computing ALL its rhs
     * counts at once (c jobs for c columns, not c²), stacked to
-    * (lhs, rhs, violations) rows. At 100 TB each job shuffles
-    * |distinct lhs| rows — column-profile-sized, not data-sized. */
-  def fdProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * (lhs, rhs, violations) rows.
+    *
+    * Scale honesty (VERDICT r12 #5): each job's exchange carries
+    * |distinct lhs| rows — column-profile-sized ONLY when lhs is
+    * low-cardinality. A NEAR-KEY lhs makes it data-sized (lhs =
+    * `l_orderkey` ⇒ |distinct| ≈ n/4; SCALE.md measured q232's
+    * count-distinct exchange at 10.2× when the data grew 10×) —
+    * exact FD discovery over a near-key IS a data-sized job, like
+    * [[keyProfile]]'s exact distinct counts. For wide discovery
+    * sweeps at 100 TB, pass `sampleFraction` to run the sweep on a
+    * deterministic-seed sample first (violation counts become
+    * sample-scoped lower-bound ESTIMATES — an FD violated in the
+    * sample is violated in the table, not conversely) and verify
+    * only the surviving candidate dependencies exactly. */
+  def fdProfile(df: DataFrame, cols: Seq[String],
+      sampleFraction: Option[Double] = None): DataFrame = {
     require(cols.size >= 2, "fdProfile: need at least two columns")
+    require(sampleFraction.forall(f => f > 0 && f <= 1),
+      "fdProfile: sampleFraction must sit in (0, 1]")
+    val base = sampleFraction match {
+      case Some(f) if f < 1.0 => df.sample(withReplacement = false,
+        f, seed = 42L) // fixed seed: rerunning the sweep is stable
+      case _ => df
+    }
     cols.map { lhs =>
       val others = cols.filterNot(_ == lhs)
-      val agg0 = df.groupBy(col(lhs))
+      val agg0 = base.groupBy(col(lhs))
         .agg(countDistinct(col(others.head)).as(s"__cd_0"),
           others.tail.zipWithIndex.map { case (c, i) =>
             countDistinct(col(c)).as(s"__cd_${i + 1}") }: _*)
@@ -419,6 +568,90 @@ object Profile {
           .as("is_unique_key"))
   }
 
+  /** Sketch twin of [[keyProfile]] for SINGLE **and TUPLE**
+    * candidates (VERDICT r12 #2 — the "ask the HLL answer first"
+    * escape hatch now exists for composites): the exact form's
+    * multi-COUNT(DISTINCT) Expand dies at 100× exactly like
+    * [[profile]]'s, so distinctness here rides per-candidate HLL
+    * register statistics — the per-row unpivot is a generator inside
+    * the scan stage and the partial max collapses it map-side to
+    * ≤ candidates·256 rows per partition, sketch-sized at any input.
+    *
+    * A TUPLE candidate hashes ONE composite lane: components
+    * stringified and joined on the `\u0001` separator with `\u0000`
+    * for null components — null fields keep the tuple countable
+    * (COUNT DISTINCT over a struct counts them; a lane skipped on
+    * null components would not), matching [[keyProfile]]'s struct
+    * semantics. Contract: component values must not contain the two
+    * sentinel code points (data that does would alias tuples — an
+    * APPROXIMATE op's acceptable, documented trade; the exact twin
+    * has no such caveat). Single-column candidates skip nulls (SQL
+    * COUNT DISTINCT), exactly [[profileApproxStats]]'s lane.
+    *
+    * Emits the integer sufficient statistics (`nd_buckets`,
+    * `nd_s53` — see [[profileApproxStats]]) so the portable md5 lane
+    * gates hash-exact in DuckDB; `portable = false` runs the
+    * compiled xxhash64 kernel, the 100 TB form. */
+  def keyProfileApproxStats(df: DataFrame,
+      candidates: Seq[Seq[String]],
+      portable: Boolean = false): DataFrame = {
+    require(candidates.nonEmpty &&
+      candidates.forall(_.nonEmpty),
+      "keyProfileApproxStats: empty candidate")
+    def keyOf(cs: Seq[String]): Column =
+      if (cs.size == 1) col(cs.head).cast("string")
+      else concat_ws("\u0001",
+        cs.map(c => coalesce(col(c).cast("string"),
+          lit("\u0000"))): _*)
+    def lane(k: Column) =
+      if (portable) Sketches.md5LanePacked(k)
+      else graft.functions.sketches.hll_lane_xx(k)
+    val wide = df.agg(count(lit(1)).as("__n"))
+    val stackExpr = s"stack(${candidates.size}, " +
+      candidates.map(cs => s"'${cs.mkString("+")}'").mkString(", ") +
+      ") AS (candidate)"
+    val names = wide.select(expr(stackExpr), col("__n").as("n"))
+    val lanes = df.select(explode(array(
+        candidates.map(cs => struct(lit(cs.mkString("+")).as("c"),
+          lane(keyOf(cs)).as("p"))): _*)).as("x"))
+      .select(col("x.c").as("candidate"), col("x.p").as("packed"))
+      .filter(col("packed").isNotNull)
+    val stats = lanes
+      .groupBy(col("candidate"),
+        expr("packed div 64").cast("int").as("bucket"))
+      .agg(max(col("packed") % 64).as("rho_max"))
+      .groupBy(col("candidate"))
+      .agg(count(lit(1)).cast("int").as("nd_buckets"),
+        sum(expr("shiftleft(1L, 53 - rho_max)")).as("nd_s53"))
+    names.join(stats, Seq("candidate"), "left")
+      .select(col("candidate"), col("n"),
+        coalesce(col("nd_buckets"), lit(0)).as("nd_buckets"),
+        coalesce(col("nd_s53"), lit(0L)).as("nd_s53"))
+  }
+
+  /** User-facing approximate key profile: [[keyProfile]]'s shape with
+    * `n_distinct` replaced by the HLL estimate (the
+    * [[profileApprox]] math over the same integer sufficient
+    * statistics). `is_unique_key` is deliberately ABSENT — within
+    * sketch error a near-key and a key are indistinguishable; run
+    * [[keyProfile]] exactly on the candidates this narrows down. */
+  def keyProfileApprox(df: DataFrame, candidates: Seq[Seq[String]],
+      portable: Boolean = false): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val zeros = lit(m) - col("nd_buckets")
+    val raw = lit(alpha * m * m) * lit((1L << 53).toDouble) /
+      (col("nd_s53").cast("double") +
+        zeros.cast("double") * lit((1L << 53).toDouble))
+    val est = when(col("nd_buckets") === 0, lit(0.0))
+      .when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m).cast("double") / zeros.cast("double")))
+      .otherwise(raw)
+    keyProfileApproxStats(df, candidates, portable)
+      .select(col("candidate"), col("n"),
+        round(est).cast("long").as("n_distinct_est"))
+  }
+
   /** Per-group EXACT Spearman rank correlation — the monotone-
     * association statistic of a feature pipeline, made hash-exact by
     * ranking on the (value, tie) COMPOSITE total order (unique ranks,
@@ -437,12 +670,34 @@ object Profile {
     * [[EventAnalytics.rankFeaturesSkewSafe]] (a mega-group never
     * lands in one task) and join back on (group, id). Contracts:
     * `idCol` unique non-null within its group; value·10⁹ + id must
-    * stay exact in long (value magnitudes < 9·10⁹, ids < 10⁹);
-    * single-row groups are dropped (ρ undefined). Output:
+    * stay exact in long (value magnitudes ≤ 9.2·10⁹, ids in
+    * [0, 10⁹)) — ENFORCED by a one-row max/min aggregate before the
+    * plan builds (VERDICT r12 #1, the PPS-guard discipline): an
+    * out-of-domain input THROWS instead of silently corrupting the
+    * composite rank order (a negative or ≥10⁹ id collides ranks
+    * across adjacent values; an oversized value wraps long).
+    * Single-row groups are dropped (ρ undefined). Output:
     * (key, n, sd2, rho_micro). */
   def spearmanExact(df: DataFrame, keyCol: String, idCol: String,
       xCol: String, yCol: String, partitions: Int = 0): DataFrame = {
     val d38 = "decimal(38,0)"
+    // |v|·10⁹ + id ≤ Long.Max ⇔ |v| ≤ (2⁶³−1 − (10⁹−1)) div 10⁹
+    val maxAbsV = (Long.MaxValue - 999999999L) / 1000000000L
+    val dm = df.agg(
+      max(abs(col(xCol))).cast("long"), max(abs(col(yCol))).cast("long"),
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (!dm.isNullAt(2)) {
+      require(dm.getLong(2) >= 0L && dm.getLong(3) < 1000000000L,
+        s"spearmanExact: $idCol must sit in [0, 1e9) for the " +
+          s"value*1e9 + id composite order to stay collision-free; " +
+          s"got [${dm.getLong(2)}, ${dm.getLong(3)}]")
+      require(dm.isNullAt(0) || dm.getLong(0) <= maxAbsV,
+        s"spearmanExact: |$xCol| must be <= $maxAbsV for value*1e9 + " +
+          s"id to stay exact in long; got ${dm.getLong(0)}")
+      require(dm.isNullAt(1) || dm.getLong(1) <= maxAbsV,
+        s"spearmanExact: |$yCol| must be <= $maxAbsV for value*1e9 + " +
+          s"id to stay exact in long; got ${dm.getLong(1)}")
+    }
     val base = df.select(col(keyCol), col(idCol), col(xCol),
       col(yCol))
       .withColumn("__ox", col(xCol) * lit(1000000000L) + col(idCol))
@@ -484,18 +739,27 @@ object Profile {
     * P(A>B)+½P(=) for U (500000 = no drift), micro-value-units for
     * W₁, the nested-floor CvM T in micros. */
   def driftReport(df: DataFrame, valueCol: String, sampleCol: String,
-      a: String, b: String, partitions: Int = 0): DataFrame = {
+      a: String, b: String, partitions: Int = 0): DataFrame =
+    driftReportFromCounts(soloCounts(df, valueCol, sampleCol, a, b),
+      valueCol, partitions)
+
+  /** [[driftReport]]'s four-statistic tail over a pre-built per-value
+    * count frame — the shared reduce for the in-query report and the
+    * steady-state monitor ([[driftReportAgainstRefCounts]], the form
+    * the streaming drift monitor emits nightly). */
+  private def driftReportFromCounts(cnt: DataFrame, valueCol: String,
+      partitions: Int): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
-      .groupBy(col(valueCol))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    // one GK bounds pass feeds BOTH the prefix sum and the Δv lead
+    // of the shared subplan (VERDICT r12 #3)
+    val gkb = Some(EventAnalytics.sliceBoundsFor(cnt, valueCol,
+      partitions))
     val cum = EventAnalytics.runningAggsSkewSafe(
       cnt.withColumn("__g", lit(0)), "__g", valueCol,
-      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions,
+      gkb)
     val withNext = EventAnalytics.leadSkewSafe(cum, "__g", valueCol,
-      valueCol, "__nv", partitions)
+      valueCol, "__nv", partitions, gkb)
     val totals = cnt.agg(sum(col("__ca")).as("n1"),
       sum(col("__cb")).as("n2"))
     def attach(d: DataFrame) = d.crossJoin(broadcast(totals))
@@ -556,17 +820,23 @@ object Profile {
   def driftReportBy(df: DataFrame, groupCol: String, valueCol: String,
       sampleCol: String, a: String, b: String,
       partitions: Int = 0): DataFrame = {
+    // ONE keyed count frame and ONE GK bounds pass feed all four
+    // statistics' tails (VERDICT r12 #3 — the solo By forms each
+    // paid their own approxQuantile; the report pays once)
+    val cnt = byCounts(df, groupCol, valueCol, sampleCol, a, b)
+    val gkb = Some(EventAnalytics.sliceBoundsFor(cnt, valueCol,
+      partitions))
     def shape(d: DataFrame, stat: String, micro: String) =
       d.select(lit(stat).as("stat"), col(groupCol), col("n1"),
         col("n2"), col(micro).as("stat_micro"))
-    shape(ksDriftBy(df, groupCol, valueCol, sampleCol, a, b,
-        partitions), "ks", "ks_micro")
-      .unionByName(shape(mannWhitneyUBy(df, groupCol, valueCol,
-        sampleCol, a, b, partitions), "u", "u_micro"))
-      .unionByName(shape(emdDriftBy(df, groupCol, valueCol,
-        sampleCol, a, b, partitions), "w1", "emd_micro"))
-      .unionByName(shape(cvmDriftBy(df, groupCol, valueCol,
-        sampleCol, a, b, partitions), "cvm", "t_micro"))
+    shape(ksDriftByTail(cnt, groupCol, valueCol, partitions, gkb),
+        "ks", "ks_micro")
+      .unionByName(shape(mannWhitneyUByTail(cnt, groupCol, valueCol,
+        partitions, gkb), "u", "u_micro"))
+      .unionByName(shape(emdDriftByTail(cnt, groupCol, valueCol,
+        partitions, gkb), "w1", "emd_micro"))
+      .unionByName(shape(cvmDriftByTail(cnt, groupCol, valueCol,
+        partitions, gkb), "cvm", "t_micro"))
   }
 
   /** Per-GROUP Cramér–von Mises — [[cvmDrift]] keyed on a segment
@@ -576,20 +846,21 @@ object Profile {
     * back by AQE broadcast, one-sample groups dropped. */
   def cvmDriftBy(df: DataFrame, groupCol: String, valueCol: String,
       sampleCol: String, a: String, b: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    cvmDriftByTail(byCounts(df, groupCol, valueCol, sampleCol, a, b),
+      groupCol, valueCol, partitions, None)
+
+  /** [[cvmDriftBy]]'s tail over a pre-built keyed count frame
+    * (shared GK `bounds` like [[ksDriftByTail]]). */
+  private def cvmDriftByTail(cnt: DataFrame, groupCol: String,
+      valueCol: String, partitions: Int,
+      bounds: Option[Array[Double]]): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
     val cum = EventAnalytics.runningAggsSkewSafe(cnt, groupCol, valueCol,
-      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
-    val totals = cnt.groupBy(col(groupCol))
-      .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
-      .filter(col("n1") > 0 && col("n2") > 0)
-      .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
-    cum.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions,
+      bounds)
+    cum.join(byTotals(cnt, groupCol), col(groupCol) === col("__tk"))
+      .drop("__tk")
       .withColumn("__m", expr(s"CAST(n1 AS $d38) * n2"))
       .withColumn("__d",
         abs(col("__ia") * col("n2") - col("__ib") * col("n1"))
@@ -616,22 +887,27 @@ object Profile {
     * groups are dropped — W₁ is undefined there. */
   def emdDriftBy(df: DataFrame, groupCol: String, valueCol: String,
       sampleCol: String, a: String, b: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    emdDriftByTail(byCounts(df, groupCol, valueCol, sampleCol, a, b),
+      groupCol, valueCol, partitions, None)
+
+  /** [[emdDriftBy]]'s tail over a pre-built keyed count frame. Its
+    * prefix sum AND Δv lead slice on the same ord, so the GK bounds
+    * are estimated once here even solo, and shared with the sibling
+    * statistics in the keyed report (VERDICT r12 #3). */
+  private def emdDriftByTail(cnt: DataFrame, groupCol: String,
+      valueCol: String, partitions: Int,
+      bounds: Option[Array[Double]]): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val gkb = Some(bounds.getOrElse(
+      EventAnalytics.sliceBoundsFor(cnt, valueCol, partitions)))
     val cum = EventAnalytics.runningAggsSkewSafe(cnt, groupCol, valueCol,
-      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions,
+      gkb)
     val withNext = EventAnalytics.leadSkewSafe(cum, groupCol, valueCol,
-      valueCol, "__nv", partitions)
-    val totals = cnt.groupBy(col(groupCol))
-      .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
-      .filter(col("n1") > 0 && col("n2") > 0)
-      .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
-    withNext.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+      valueCol, "__nv", partitions, gkb)
+    withNext.join(byTotals(cnt, groupCol), col(groupCol) === col("__tk"))
+      .drop("__tk")
       .groupBy(col(groupCol))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         sum(when(col("__nv").isNotNull,
@@ -661,13 +937,14 @@ object Profile {
     * 100 TB counts squares past int64). Output: one row
     * (n1, n2, tvd_num, tvd_micro). */
   def tvdDrift(df: DataFrame, valueCol: String, sampleCol: String,
-      a: String, b: String): DataFrame = {
+      a: String, b: String): DataFrame =
+    tvdDriftFromCounts(soloCounts(df, valueCol, sampleCol, a, b))
+
+  /** [[tvdDrift]]'s tail over a pre-built per-value count frame —
+    * the shared reduce for the in-query form and the persisted-
+    * reference probe ([[tvdDriftAgainstRef]]). */
+  private def tvdDriftFromCounts(cnt: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
-      .groupBy(col(valueCol))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
     val totals = cnt.agg(sum(col("__ca")).as("n1"),
       sum(col("__cb")).as("n2"))
     cnt.crossJoin(broadcast(totals)) // 1-row aggregate attach
@@ -690,16 +967,9 @@ object Profile {
   def tvdDriftBy(df: DataFrame, groupCol: String, valueCol: String,
       sampleCol: String, a: String, b: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
-    val totals = cnt.groupBy(col(groupCol))
-      .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
-      .filter(col("n1") > 0 && col("n2") > 0)
-      .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
-    cnt.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+    val cnt = byCounts(df, groupCol, valueCol, sampleCol, a, b)
+    cnt.join(byTotals(cnt, groupCol), col(groupCol) === col("__tk"))
+      .drop("__tk")
       .groupBy(col(groupCol))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         sum(abs(col("__ca").cast(d38) * col("n2") -
@@ -765,6 +1035,7 @@ object Profile {
     val boundaries = binnedRefBoundaries(
       df.filter(col(sampleCol) === a), valueCol, tieCol, k, partitions)
     val both = df.filter(col(sampleCol) === a || col(sampleCol) === b)
+      .filter(col(valueCol).isNotNull)
     val bucketed = bucketByBoundaries(both, valueCol, boundaries, k)
     binnedTvdTail(bucketed.groupBy(col("bucket"))
       .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("ca"),
@@ -779,6 +1050,23 @@ object Profile {
       tieCol: String, k: Int, partitions: Int = 0): DataFrame = {
     require(k >= 2 && 1000000 % k == 0,
       s"binnedRefBoundaries: k must divide 10^6, got $k")
+    // same composite-ord domain enforcement as spearmanExact
+    // (VERDICT r12 #1): value·10⁹ + tie must stay exact and
+    // collision-free in long, and this runs once per boundary BUILD
+    // (the persisted artifact), so the one-row check is free
+    val maxAbsV = (Long.MaxValue - 999999999L) / 1000000000L
+    val dm = ref.agg(
+      max(abs(col(valueCol))).cast("long"),
+      min(col(tieCol)).cast("long"), max(col(tieCol)).cast("long"))
+      .head()
+    if (!dm.isNullAt(1)) {
+      require(dm.getLong(1) >= 0L && dm.getLong(2) < 1000000000L,
+        s"binnedRefBoundaries: $tieCol must sit in [0, 1e9); got " +
+          s"[${dm.getLong(1)}, ${dm.getLong(2)}]")
+      require(dm.isNullAt(0) || dm.getLong(0) <= maxAbsV,
+        s"binnedRefBoundaries: |$valueCol| must be <= $maxAbsV; " +
+          s"got ${dm.getLong(0)}")
+    }
     val ps = (1 until k).map(j => j.toLong * (1000000L / k))
     EventAnalytics.groupPercentilesSkewSafe(
         ref.withColumn("__g", lit(0))
@@ -849,19 +1137,41 @@ object Profile {
     * to the caller. */
   def ksDriftBy(df: DataFrame, groupCol: String, valueCol: String,
       sampleCol: String, a: String, b: String,
-      partitions: Int = 0): DataFrame = {
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      partitions: Int = 0): DataFrame =
+    ksDriftByTail(byCounts(df, groupCol, valueCol, sampleCol, a, b),
+      groupCol, valueCol, partitions, None)
+
+  /** The ONE keyed count stage of the drift-by family — the
+    * (group, value) twin of [[soloCounts]], nulls excluded. */
+  private def byCounts(df: DataFrame, groupCol: String,
+      valueCol: String, sampleCol: String, a: String,
+      b: String): DataFrame =
+    df.filter(col(sampleCol) === a || col(sampleCol) === b)
+      .filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol))
       .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
-    val cum = EventAnalytics.runningAggsSkewSafe(cnt, groupCol, valueCol,
-      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
-    val totals = cnt.groupBy(col(groupCol))
+
+  /** Shared keyed totals: ≤|groups| rows, one-sample groups dropped
+    * (every keyed statistic is undefined there). */
+  private def byTotals(cnt: DataFrame, groupCol: String): DataFrame =
+    cnt.groupBy(col(groupCol))
       .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
       .filter(col("n1") > 0 && col("n2") > 0)
       .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
-    cum.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+
+  /** [[ksDriftBy]]'s tail over a pre-built keyed count frame; a
+    * caller composing several keyed statistics over the SAME frame
+    * (the per-segment drift report) passes shared GK `bounds` so the
+    * family pays ONE approxQuantile pass, not one per statistic. */
+  private def ksDriftByTail(cnt: DataFrame, groupCol: String,
+      valueCol: String, partitions: Int,
+      bounds: Option[Array[Double]]): DataFrame = {
+    val cum = EventAnalytics.runningAggsSkewSafe(cnt, groupCol, valueCol,
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions,
+      bounds)
+    cum.join(byTotals(cnt, groupCol), col(groupCol) === col("__tk"))
+      .drop("__tk")
       .groupBy(col(groupCol))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         max(abs(col("__ia") * col("n2") - col("__ib") * col("n1")))
@@ -884,13 +1194,16 @@ object Profile {
     * skew-safe prefix sum over a constant key, a 1-row totals attach;
     * products ride DECIMAL(38,0). Output: (n1, n2, u2, u_micro). */
   def mannWhitneyU(df: DataFrame, valueCol: String, sampleCol: String,
-      a: String, b: String, partitions: Int = 0): DataFrame = {
+      a: String, b: String, partitions: Int = 0): DataFrame =
+    mannWhitneyUFromCounts(soloCounts(df, valueCol, sampleCol, a, b),
+      valueCol, partitions)
+
+  /** [[mannWhitneyU]]'s tail over a pre-built per-value count frame —
+    * the shared reduce for the in-query form and the persisted-
+    * reference probe ([[mannWhitneyUAgainstRef]]). */
+  private def mannWhitneyUFromCounts(cnt: DataFrame, valueCol: String,
+      partitions: Int): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
-      .groupBy(col(valueCol))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
     val cum = EventAnalytics.runningAggsSkewSafe(
       cnt.withColumn("__g", lit(0)), "__g", valueCol,
       Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
@@ -917,20 +1230,22 @@ object Profile {
     * broadcasts), one-sample groups dropped (U undefined). */
   def mannWhitneyUBy(df: DataFrame, groupCol: String, valueCol: String,
       sampleCol: String, a: String, b: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    mannWhitneyUByTail(
+      byCounts(df, groupCol, valueCol, sampleCol, a, b),
+      groupCol, valueCol, partitions, None)
+
+  /** [[mannWhitneyUBy]]'s tail over a pre-built keyed count frame
+    * (shared GK `bounds` like [[ksDriftByTail]]). */
+  private def mannWhitneyUByTail(cnt: DataFrame, groupCol: String,
+      valueCol: String, partitions: Int,
+      bounds: Option[Array[Double]]): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = df
-      .filter(col(sampleCol) === a || col(sampleCol) === b)
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(sum(when(col(sampleCol) === a, 1L).otherwise(0L)).as("__ca"),
-        sum(when(col(sampleCol) === b, 1L).otherwise(0L)).as("__cb"))
     val cum = EventAnalytics.runningAggsSkewSafe(cnt, groupCol, valueCol,
-      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions)
-    val totals = cnt.groupBy(col(groupCol))
-      .agg(sum(col("__ca")).as("n1"), sum(col("__cb")).as("n2"))
-      .filter(col("n1") > 0 && col("n2") > 0)
-      .select(col(groupCol).as("__tk"), col("n1"), col("n2"))
-    cum.join(totals, col(groupCol) === col("__tk")).drop("__tk")
+      Seq(("__ca", "sum", "__ia"), ("__cb", "sum", "__ib")), partitions,
+      bounds)
+    cum.join(byTotals(cnt, groupCol), col(groupCol) === col("__tk"))
+      .drop("__tk")
       .withColumn("__r2", (col("__ca").cast(d38) *
         (lit(2) * (col("__ia") - col("__ca") + col("__ib") - col("__cb"))
           + col("__ca") + col("__cb") + 1)).cast(d38))

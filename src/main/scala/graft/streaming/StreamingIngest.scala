@@ -378,9 +378,10 @@ object StreamingIngest {
     * micro-batch, the batch's values merge into a cumulative
     * per-value count state (exactly [[aggIngestBatch]] with the value
     * as the key and no agg columns — the same `_epoch` replay ledger
-    * and atomic staging commit), then the exact KS statistic of
-    * EVERYTHING observed so far against the frozen reference profile
-    * lands as one `(epoch, n1, n2, d_num, ks_micro)` row under
+    * and atomic staging commit), then the exact four-statistic drift
+    * report (KS/U/W₁/CvM) of EVERYTHING observed so far against the
+    * frozen reference profile lands as four
+    * `(epoch, stat, n1, n2, stat_micro)` rows under
     * `monitorDir/epoch_N`. The per-epoch overwrite is idempotent in
     * the only replay window the foreachBatch protocol produces (the
     * last uncommitted epoch — later epochs never precede a replayed
@@ -447,7 +448,13 @@ object StreamingIngest {
       Seq("r", "pos"), Seq("cnt"), Nil, Nil, stateDir, epochId)
 
   /** One epoch of [[driftMonitor]], separated like [[aggIngestBatch]]
-    * so the batch path is directly testable. */
+    * so the batch path is directly testable. Emits the FULL drift
+    * report — all four ordered statistics (KS/U/W₁/CvM) of
+    * everything observed so far vs the frozen reference, off ONE
+    * merged count frame and one shared prefix subplan
+    * (`Profile.driftReportAgainstRefCounts`; VERDICT r12 #4 — the
+    * nightly monitor is no longer one statistic wide): four
+    * `(epoch, stat, n1, n2, stat_micro)` rows per epoch. */
   def driftMonitorBatch(batch: DataFrame, valueCol: String,
       refCounts: DataFrame, stateDir: String, monitorDir: String,
       epochId: Long): Unit = {
@@ -459,11 +466,11 @@ object StreamingIngest {
     val observed = spark.read.parquet(s"$stateDir/current/state")
       .select(col(valueCol), col("n").as("obs_n"))
     graft.ops.Profile
-      .ksDriftAgainstRefCounts(refCounts, observed, valueCol)
+      .driftReportAgainstRefCounts(refCounts, observed, valueCol)
       .withColumn("epoch", lit(epochId))
-      .select(col("epoch"), col("n1"), col("n2"), col("d_num"),
-        col("ks_micro"))
-      .coalesce(1) // one row
+      .select(col("epoch"), col("stat"), col("n1"), col("n2"),
+        col("stat_micro"))
+      .coalesce(1) // four rows
       .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
   }
 

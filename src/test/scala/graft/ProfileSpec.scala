@@ -323,6 +323,123 @@ class ProfileSpec extends SparkSuite {
     assert(ends == Map("m" -> 1000000L, "a" -> -1000000L)) // n=1 dropped
   }
 
+  test("keyProfileApprox: tuple-candidate HLL estimate within the " +
+      "m=256 band of the exact keyProfile; null components counted " +
+      "like the exact struct; both lanes") {
+    // 3000 distinct ids; (k1, k2) tuple has ~1500 distinct pairs;
+    // k2 nullable — the exact struct counts null-component tuples
+    val df = (1 to 3000).map { i =>
+      (i.toLong, (i % 500).toLong,
+        if (i % 10 == 0) None else Some((i % 3).toLong))
+    }.toDF("id", "k1", "k2")
+    val cands = Seq(Seq("id"), Seq("k1"), Seq("k1", "k2"))
+    val exact = Profile.keyProfile(df, cands)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    for (portable <- Seq(true, false)) {
+      val est = Profile.keyProfileApprox(df, cands, portable)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(est.keySet == exact.keySet)
+      for ((c, nd) <- exact) {
+        // HLL with m = 256: ~6.5% rse — accept 4 sigma
+        val tol = math.max(8.0, nd * 0.26)
+        assert(math.abs(est(c) - nd) <= tol,
+          s"$c ($portable): est ${est(c)} vs exact $nd")
+      }
+    }
+    // the stats form zero-fills a candidate with no occupied
+    // registers (empty frame)
+    val empty = Profile.keyProfileApproxStats(
+      df.filter(col("id") < 0), cands)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(empty.forall(_ == ((0L, 0, 0L))))
+  }
+
+  test("spearmanExact: out-of-domain input THROWS instead of " +
+      "silently corrupting the composite rank order") {
+    // oversized value: |x| > (2^63-1 - (1e9-1)) / 1e9 wraps long
+    val bigV = Seq(("g", 1L, 9300000000L, 1L), ("g", 2L, 1L, 2L))
+      .toDF("g", "id", "x", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      Profile.spearmanExact(bigV, "g", "id", "x", "y") }
+    assert(e1.getMessage.contains("value*1e9"))
+    // negative id: (v=5, id=-5) collides with (v=4, id=999999995)
+    val negId = Seq(("g", -5L, 5L, 1L), ("g", 2L, 4L, 2L))
+      .toDF("g", "id", "x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.spearmanExact(negId, "g", "id", "x", "y") }
+    assert(e2.getMessage.contains("[0, 1e9)"))
+    // id >= 1e9: same collision class from above
+    val bigId = Seq(("g", 1000000000L, 5L, 1L), ("g", 2L, 4L, 2L))
+      .toDF("g", "id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Profile.spearmanExact(bigId, "g", "id", "x", "y") }
+    // in-domain frame still computes (the guard is not over-eager)
+    val ok = Seq(("g", 1L, 10L, 20L), ("g", 2L, 30L, 40L))
+      .toDF("g", "id", "x", "y")
+    assert(Profile.spearmanExact(ok, "g", "id", "x", "y")
+      .collect().head.getLong(3) == 1000000L)
+  }
+
+  test("binnedRefBoundaries: same composite-ord domain enforcement") {
+    val bigTie = Seq((5L, 1000000001L), (6L, 2L)).toDF("v", "t")
+    val e = intercept[IllegalArgumentException] {
+      Profile.binnedRefBoundaries(bigTie, "v", "t", 2) }
+    assert(e.getMessage.contains("[0, 1e9)"))
+    val bigV = Seq((9300000000L, 1L), (6L, 2L)).toDF("v", "t")
+    intercept[IllegalArgumentException] {
+      Profile.binnedRefBoundaries(bigV, "v", "t", 2) }
+  }
+
+  test("drift family: null values are excluded — solo forms see the " +
+      "same frame as the distCounts-probed steady forms") {
+    val rows: Seq[(java.lang.Long, String)] =
+      ((1L to 30L).map(v => (java.lang.Long.valueOf(v), "A")) ++
+        (11L to 40L).map(v => (java.lang.Long.valueOf(v), "B")) ++
+        Seq((null.asInstanceOf[java.lang.Long], "A"),
+          (null.asInstanceOf[java.lang.Long], "B")))
+    val withNulls = rows.toDF("v", "s")
+    val clean = withNulls.filter(col("v").isNotNull)
+    def one(d: org.apache.spark.sql.DataFrame) = d.collect().head.toSeq
+    assert(one(Profile.ksDrift(withNulls, "v", "s", "A", "B")) ==
+      one(Profile.ksDrift(clean, "v", "s", "A", "B")))
+    assert(one(Profile.tvdDrift(withNulls, "v", "s", "A", "B")) ==
+      one(Profile.tvdDrift(clean, "v", "s", "A", "B")))
+    // and solo ≡ steady on the SAME nullful input (the ADVICE claim)
+    val ref = Profile.distCounts(
+      withNulls.filter(col("s") === "A"), "v")
+    val steady = Profile.ksDriftAgainstRef(ref,
+      withNulls.filter(col("s") === "B").select(col("v")), "v")
+    assert(one(steady) ==
+      one(Profile.ksDrift(withNulls, "v", "s", "A", "B")))
+  }
+
+  test("steady-state quartet: U/W1/CvM/TVD against a persisted " +
+      "reference frame ≡ the in-query solo forms (VERDICT r12 #4)") {
+    val rows = (1L to 35L).map(v => (v, "A")) ++
+      (16L to 50L).map(v => (v, "B"))
+    val df = rows.toDF("v", "s").repartition(5)
+    val ref = Profile.distCounts(df.filter(col("s") === "A"), "v")
+    val probe = df.filter(col("s") === "B").select(col("v"))
+    def one(d: org.apache.spark.sql.DataFrame) = d.collect().head.toSeq
+    assert(one(Profile.mannWhitneyUAgainstRef(ref, probe, "v")) ==
+      one(Profile.mannWhitneyU(df, "v", "s", "A", "B")))
+    assert(one(Profile.emdDriftAgainstRef(ref, probe, "v")) ==
+      one(Profile.emdDrift(df, "v", "s", "A", "B")))
+    assert(one(Profile.cvmDriftAgainstRef(ref, probe, "v")) ==
+      one(Profile.cvmDrift(df, "v", "s", "A", "B")))
+    assert(one(Profile.tvdDriftAgainstRef(ref, probe, "v")) ==
+      one(Profile.tvdDrift(df, "v", "s", "A", "B")))
+    // the one-call monitor report ≡ the in-query report
+    val obs = probe.groupBy(col("v"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("obs_n"))
+    val repSteady = Profile.driftReportAgainstRefCounts(ref, obs, "v")
+      .collect().map(r => (r.getString(0), r.toSeq.tail)).toMap
+    val repSolo = Profile.driftReport(df, "v", "s", "A", "B")
+      .collect().map(r => (r.getString(0), r.toSeq.tail)).toMap
+    assert(repSteady == repSolo)
+  }
+
   test("driftReport rows ≡ the four solo statistics on the same frame") {
     val rows = (1L to 40L).map(v => (v, "A")) ++
       (21L to 60L).map(v => (v, "B"))

@@ -50,8 +50,9 @@ class StreamingSpec extends SparkSuite {
     assert(res.map(_._1) == Seq(0L, 1L, 2L))
   }
 
-  test("streaming drift monitor: per-epoch KS vs the frozen reference " +
-      "== batch op on the cumulative prefix; replayed epoch no-ops") {
+  test("streaming drift monitor: per-epoch four-stat report vs the " +
+      "frozen reference == batch ops on the cumulative prefix; " +
+      "replayed epoch no-ops") {
     import graft.streaming.StreamingIngest
     import graft.ops.Profile
     implicit val sqlCtx = spark.sqlContext
@@ -68,21 +69,34 @@ class StreamingSpec extends SparkSuite {
     stream.addData(b1); q.processAllAvailable()
     stream.addData(b2); q.processAllAvailable()
     q.stop()
-    def row(df: org.apache.spark.sql.DataFrame) = df
-      .select($"n1", $"n2", $"d_num", $"ks_micro")
-      .as[(Long, Long, Long, Long)].collect().head
-    val e0 = row(spark.read.parquet(s"$dir/monitor/epoch_0"))
-    val e1 = row(spark.read.parquet(s"$dir/monitor/epoch_1"))
-    // each epoch == the batch op on the cumulative prefix
-    assert(e0 == row(Profile.ksDriftAgainstRef(ref, b1.toDF("v"), "v")))
-    assert(e1 == row(Profile.ksDriftAgainstRef(ref,
-      (b1 ++ b2).toDF("v"), "v")))
-    assert(e1._4 > e0._4, "the drift must grow as the stream departs")
+    def rep(df: org.apache.spark.sql.DataFrame) = df
+      .select($"stat", $"n1", $"n2", $"stat_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val e0 = rep(spark.read.parquet(s"$dir/monitor/epoch_0"))
+    val e1 = rep(spark.read.parquet(s"$dir/monitor/epoch_1"))
+    assert(e0.keySet == Set("ks", "u", "w1", "cvm"))
+    // each epoch's report == the four batch ops on the cumulative
+    // prefix (the steady forms are spec-pinned ≡ the solo forms in
+    // ProfileSpec, so pinning vs AgainstRef pins the whole chain)
+    def expect(vs: Seq[Long]) = Map(
+      "ks" -> { val r = Profile.ksDriftAgainstRef(ref, vs.toDF("v"),
+        "v").collect().head; (r.getLong(0), r.getLong(1), r.getLong(3)) },
+      "u" -> { val r = Profile.mannWhitneyUAgainstRef(ref, vs.toDF("v"),
+        "v").collect().head; (r.getLong(0), r.getLong(1), r.getLong(3)) },
+      "w1" -> { val r = Profile.emdDriftAgainstRef(ref, vs.toDF("v"),
+        "v").collect().head; (r.getLong(0), r.getLong(1), r.getLong(3)) },
+      "cvm" -> { val r = Profile.cvmDriftAgainstRef(ref, vs.toDF("v"),
+        "v").collect().head; (r.getLong(0), r.getLong(1), r.getLong(2)) })
+    assert(e0 == expect(b1))
+    assert(e1 == expect(b1 ++ b2))
+    assert(e1("ks")._3 > e0("ks")._3,
+      "the drift must grow as the stream departs")
     // replayed last epoch: the ledger no-ops the merge and the
     // epoch_1 overwrite is byte-idempotent
     StreamingIngest.driftMonitorBatch(b2.toDF("v"), "v", ref,
       s"$dir/state", s"$dir/monitor", 1L)
-    assert(row(spark.read.parquet(s"$dir/monitor/epoch_1")) == e1)
+    assert(rep(spark.read.parquet(s"$dir/monitor/epoch_1")) == e1)
   }
 
   test("streaming as-of enrich == batch asofJoinSkewSafe under " +
