@@ -90,6 +90,17 @@ object ScaleStress {
     // relation (governed by autoBroadcastJoinThreshold), masking the
     // shuffle-task claim the partitions sweep measures.
     val noBroadcast = sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")
+    // SPARK_GRAFT_BCAST_CAP=<bytes> is the PRODUCTION-like middle arm
+    // (VERDICT r12 #6): a real cluster does not turn broadcasting off,
+    // it caps the relation size (10 MB is the Spark default) — so the
+    // honest peak-memory arm keeps small dims broadcasting while
+    // forcing every data-sized build side through the SMJ/shuffle
+    // path, instead of leaving the broadcast regime entirely
+    // (NO_BROADCAST, which also shuffles the tiny dims no cluster
+    // would). Mutually exclusive with NO_BROADCAST.
+    val bcastCap = sys.env.get("SPARK_GRAFT_BCAST_CAP")
+    require(!(noBroadcast && bcastCap.isDefined),
+      "set SPARK_GRAFT_NO_BROADCAST or SPARK_GRAFT_BCAST_CAP, not both")
     val b = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -100,7 +111,12 @@ object ScaleStress {
     val spark = (if (noBroadcast)
         b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
           .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      else b).getOrCreate()
+      else bcastCap match {
+        case Some(cap) =>
+          b.config("spark.sql.autoBroadcastJoinThreshold", cap)
+            .config("spark.sql.adaptive.autoBroadcastJoinThreshold", cap)
+        case None => b
+      }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new ShuffleBytes
     spark.sparkContext.addSparkListener(listener)

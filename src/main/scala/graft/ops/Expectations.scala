@@ -179,11 +179,19 @@ object Expectations {
     * the micro-batch (one fused scan + the keyed rules), one
     * ≤|rules|-row collect. */
   def requireClean(rules: Seq[Rule]): DataFrame => Unit = { batch =>
-    val bad = check(batch, rules)
-      .filter(col("violations") > 0L)
+    val bad = wouldAbort(batch, rules)
       .collect()
       .map(r => s"${r.getString(1)}=${r.getLong(2)}")
     require(bad.isEmpty,
       s"expectations failed: ${bad.mkString(", ")}")
   }
+
+  /** The exact frame [[requireClean]] collects before deciding to
+    * abort — the VIOLATED rules only, `(rule_ord, rule, violations)`
+    * with violations > 0. Split out so the fail-fast decision row
+    * set is itself a checkable query (an abort path a driver gate
+    * can replay without catching a throw): empty result ⇔ the batch
+    * passes; each row is one rule [[requireClean]] would name. */
+  def wouldAbort(batch: DataFrame, rules: Seq[Rule]): DataFrame =
+    check(batch, rules).filter(col("violations") > 0L)
 }

@@ -378,6 +378,18 @@ object Profile {
       mergeRefProbeCounts(refCounts, probeCounts, valueCol),
       valueCol, partitions)
 
+  /** [[driftReportAgainstRefCounts]] with the probe side counted
+    * in-query — the one-call BATCH entry point of the steady-state
+    * monitor (the nightly "everything since the reference froze"
+    * check): the reference is never rescanned, the probe costs one
+    * count aggregate, and all four statistics ride the one merged
+    * count frame. Hash-identical to [[driftReport]] on
+    * (reference ∪ probe) by construction. */
+  def driftReportAgainstRef(refCounts: DataFrame, probe: DataFrame,
+      valueCol: String, partitions: Int = 0): DataFrame =
+    driftReportAgainstRefCounts(refCounts,
+      probeCounts(probe, valueCol), valueCol, partitions)
+
   /** Two-sample EARTH MOVER'S distance (Wasserstein-1), EXACT — the
     * magnitude-aware drift companion to [[ksDrift]]: KS sees only
     * the largest CDF gap, W₁ integrates it —

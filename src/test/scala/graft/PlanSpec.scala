@@ -174,7 +174,11 @@ class PlanSpec extends SparkSuite {
       "q227_cvm_drift", "q229_binned_drift_steady",
       // q230 unions the four drift tails, each with the same 1-row
       // totals attach over the shared prefix frame
-      "q230_drift_report")
+      "q230_drift_report",
+      // q238 is q230's tail over the persisted-reference merged count
+      // frame — the same four 1-row (no-grouping .agg()) totals
+      // attaches, nothing data-sized on either side
+      "q238_drift_report_steady")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
