@@ -878,11 +878,20 @@ object Profile {
     * report. One-sample groups drop per the keyed contract. */
   def driftReportBy(df: DataFrame, groupCol: String, valueCol: String,
       sampleCol: String, a: String, b: String,
-      partitions: Int = 0): DataFrame = {
-    // ONE keyed count frame and ONE GK bounds pass feed all four
-    // statistics' tails (VERDICT r12 #3 — the solo By forms each
-    // paid their own approxQuantile; the report pays once)
-    val cnt = byCounts(df, groupCol, valueCol, sampleCol, a, b)
+      partitions: Int = 0): DataFrame =
+    driftReportByFromCounts(
+      byCounts(df, groupCol, valueCol, sampleCol, a, b),
+      groupCol, valueCol, partitions)
+
+  /** [[driftReportBy]]'s tail over a pre-built keyed count frame —
+    * shared by the in-query form and the persisted-reference probe
+    * ([[driftReportByAgainstRef]]). ONE keyed count frame and ONE GK
+    * bounds pass feed all four statistics' tails (VERDICT r12 #3 —
+    * the solo By forms each paid their own approxQuantile; the
+    * report pays once). */
+  private def driftReportByFromCounts(cnt: DataFrame,
+      groupCol: String, valueCol: String,
+      partitions: Int): DataFrame = {
     val gkb = Some(EventAnalytics.sliceBoundsFor(cnt, valueCol,
       partitions))
     def shape(d: DataFrame, stat: String, micro: String) =
@@ -897,6 +906,72 @@ object Profile {
       .unionByName(shape(cvmDriftByTail(cnt, groupCol, valueCol,
         partitions, gkb), "cvm", "t_micro"))
   }
+
+  /** Per-SEGMENT reference count profile — [[distCounts]] keyed on a
+    * segment column: the persistable half of the KEYED steady-state
+    * monitor (standing rule 1 — built once when the reference
+    * freezes). ≤ |groups|·|values| rows, nulls excluded per the
+    * family contract. */
+  def distCountsBy(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("ref_n"))
+
+  /** The keyed steady-state count merge — [[mergeRefProbeCounts]]
+    * on the (group, value) composite key: full-outer of a persisted
+    * `(group, value, ref_n)` reference and a `(group, value, obs_n)`
+    * probe frame, zero-filled into the keyed family's (__ca, __cb)
+    * shape. Groups with mass on only one side survive the merge but
+    * drop at [[byTotals]] (n1 > 0 AND n2 > 0) — exactly the keyed
+    * in-query contract. */
+  private def mergeRefProbeCountsBy(refCounts: DataFrame,
+      probeCounts: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val p = probeCounts.select(col(groupCol).as("__pg"),
+      col(valueCol).as("__pv"), col("obs_n").as("__pn"))
+    refCounts
+      .join(p, col(groupCol) === col("__pg") &&
+        col(valueCol) === col("__pv"), "full_outer")
+      .select(coalesce(col(groupCol), col("__pg")).as(groupCol),
+        coalesce(col(valueCol), col("__pv")).as(valueCol),
+        coalesce(col("ref_n"), lit(0L)).as("__ca"),
+        coalesce(col("__pn"), lit(0L)).as("__cb"))
+  }
+
+  /** The keyed in-query probe half: count the probe batch per
+    * (group, value), nulls excluded. */
+  private def probeCountsBy(probe: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    probe.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("obs_n"))
+
+  /** Per-segment drift report AGAINST a persisted keyed reference
+    * count frame ([[distCountsBy]] output), probe side already
+    * counted — the streaming-monitor entry point of the KEYED
+    * steady-state matrix: all four ordered statistics per segment
+    * off ONE merged keyed count frame and one shared GK bounds pass.
+    * Hash-identical to [[driftReportBy]] on (reference ∪ probe) by
+    * construction. */
+  def driftReportByAgainstRefCounts(refCounts: DataFrame,
+      probeCounts: DataFrame, groupCol: String, valueCol: String,
+      partitions: Int = 0): DataFrame =
+    driftReportByFromCounts(
+      mergeRefProbeCountsBy(refCounts, probeCounts, groupCol,
+        valueCol),
+      groupCol, valueCol, partitions)
+
+  /** [[driftReportByAgainstRefCounts]] with the probe side counted
+    * in-query — the per-segment nightly monitor: the reference is
+    * never rescanned, each batch pays one (group, value) count
+    * aggregate. */
+  def driftReportByAgainstRef(refCounts: DataFrame, probe: DataFrame,
+      groupCol: String, valueCol: String,
+      partitions: Int = 0): DataFrame =
+    driftReportByAgainstRefCounts(refCounts,
+      probeCountsBy(probe, groupCol, valueCol), groupCol, valueCol,
+      partitions)
 
   /** Per-GROUP Cramér–von Mises — [[cvmDrift]] keyed on a segment
     * column, completing the by-segment matrix for all four ordered

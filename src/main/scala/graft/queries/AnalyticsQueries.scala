@@ -2525,62 +2525,72 @@ object AnalyticsQueries {
             col("n_chars"), col("source")),
           "lang", "n_chars", "source", "src1", "src2")
         .orderBy(col("stat"), col("lang")),
-      Some("""WITH c AS (SELECT lang, n_chars AS v,
-        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ca,
-        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS cb
-        |  FROM documents WHERE source IN ('src1', 'src2')
-        |  GROUP BY lang, n_chars),
-        |r AS (SELECT lang, v, ca, cb,
-        |    CAST(SUM(ca) OVER w AS BIGINT) AS ia,
-        |    CAST(SUM(cb) OVER w AS BIGINT) AS ib,
-        |    LEAD(v) OVER w AS nv
-        |  FROM c WINDOW w AS (PARTITION BY lang ORDER BY v)),
-        |t AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS n1,
-        |    CAST(SUM(cb) AS BIGINT) AS n2
-        |  FROM c GROUP BY lang
-        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0)
-        |SELECT * FROM (
-        |  SELECT 'ks' AS stat, t.lang, t.n1, t.n2,
-        |    CAST((1000000 * CAST(MAX(ABS(ia * t.n2 - ib * t.n1))
-        |      AS HUGEINT)) // (CAST(t.n1 AS HUGEINT) * t.n2)
-        |      AS BIGINT) AS stat_micro
-        |  FROM r JOIN t ON r.lang = t.lang
-        |  GROUP BY t.lang, t.n1, t.n2
-        |  UNION ALL
-        |  SELECT 'u', t.lang, t.n1, t.n2,
-        |    CAST((1000000 * (SUM(CAST(ca AS HUGEINT) *
-        |        (2 * (ia - ca + ib - cb) + ca + cb + 1)) -
-        |      CAST(t.n1 AS HUGEINT) * (t.n1 + 1))) //
-        |      (2 * CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
-        |  FROM r JOIN t ON r.lang = t.lang
-        |  GROUP BY t.lang, t.n1, t.n2
-        |  UNION ALL
-        |  SELECT 'w1', t.lang, t.n1, t.n2,
-        |    CAST((1000000 * SUM(CASE WHEN nv IS NOT NULL
-        |      THEN CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
-        |        (nv - v) ELSE 0 END)) //
-        |      (CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
-        |  FROM r JOIN t ON r.lang = t.lang
-        |  GROUP BY t.lang, t.n1, t.n2
-        |  UNION ALL
-        |  SELECT 'cvm', t.lang, t.n1, t.n2,
-        |    CAST((1000000 * SUM(CAST(ca + cb AS HUGEINT) *
-        |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
-        |          ABS(ia * t.n2 - ib * t.n1)) //
-        |         (CAST(t.n1 AS HUGEINT) * t.n2))) +
-        |      (1000000 * SUM(CAST(ca + cb AS HUGEINT) *
-        |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
-        |          ABS(ia * t.n2 - ib * t.n1)) %
-        |         (CAST(t.n1 AS HUGEINT) * t.n2)))) //
-        |        (CAST(t.n1 AS HUGEINT) * t.n2)) //
-        |      (CAST(t.n1 + t.n2 AS HUGEINT) * (t.n1 + t.n2))
-        |      AS BIGINT)
-        |  FROM r JOIN t ON r.lang = t.lang
-        |  GROUP BY t.lang, t.n1, t.n2
-        |) ORDER BY stat, lang""".stripMargin))
+      Some(driftReportByOracleSql))
   ) ++ lateSpecs
+
+  /** The per-segment four-statistic drift-report oracle over
+    * documents src1 vs src2 on n_chars, keyed on lang — shared
+    * VERBATIM by q237 (both samples counted in-query) and q242 (the
+    * src1 side probed from the persisted keyed count profile): the
+    * two forms are hash-identical by construction — every keyed
+    * statistic only sees the merged (group, value) count frame, and
+    * groups with mass on one side drop at the totals in both. */
+  private val driftReportByOracleSql: String =
+    """WITH c AS (SELECT lang, n_chars AS v,
+      |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM documents WHERE source IN ('src1', 'src2')
+      |  GROUP BY lang, n_chars),
+      |r AS (SELECT lang, v, ca, cb,
+      |    CAST(SUM(ca) OVER w AS BIGINT) AS ia,
+      |    CAST(SUM(cb) OVER w AS BIGINT) AS ib,
+      |    LEAD(v) OVER w AS nv
+      |  FROM c WINDOW w AS (PARTITION BY lang ORDER BY v)),
+      |t AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS n1,
+      |    CAST(SUM(cb) AS BIGINT) AS n2
+      |  FROM c GROUP BY lang
+      |  HAVING SUM(ca) > 0 AND SUM(cb) > 0)
+      |SELECT * FROM (
+      |  SELECT 'ks' AS stat, t.lang, t.n1, t.n2,
+      |    CAST((1000000 * CAST(MAX(ABS(ia * t.n2 - ib * t.n1))
+      |      AS HUGEINT)) // (CAST(t.n1 AS HUGEINT) * t.n2)
+      |      AS BIGINT) AS stat_micro
+      |  FROM r JOIN t ON r.lang = t.lang
+      |  GROUP BY t.lang, t.n1, t.n2
+      |  UNION ALL
+      |  SELECT 'u', t.lang, t.n1, t.n2,
+      |    CAST((1000000 * (SUM(CAST(ca AS HUGEINT) *
+      |        (2 * (ia - ca + ib - cb) + ca + cb + 1)) -
+      |      CAST(t.n1 AS HUGEINT) * (t.n1 + 1))) //
+      |      (2 * CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
+      |  FROM r JOIN t ON r.lang = t.lang
+      |  GROUP BY t.lang, t.n1, t.n2
+      |  UNION ALL
+      |  SELECT 'w1', t.lang, t.n1, t.n2,
+      |    CAST((1000000 * SUM(CASE WHEN nv IS NOT NULL
+      |      THEN CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+      |        (nv - v) ELSE 0 END)) //
+      |      (CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
+      |  FROM r JOIN t ON r.lang = t.lang
+      |  GROUP BY t.lang, t.n1, t.n2
+      |  UNION ALL
+      |  SELECT 'cvm', t.lang, t.n1, t.n2,
+      |    CAST((1000000 * SUM(CAST(ca + cb AS HUGEINT) *
+      |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+      |          ABS(ia * t.n2 - ib * t.n1)) //
+      |         (CAST(t.n1 AS HUGEINT) * t.n2))) +
+      |      (1000000 * SUM(CAST(ca + cb AS HUGEINT) *
+      |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+      |          ABS(ia * t.n2 - ib * t.n1)) %
+      |         (CAST(t.n1 AS HUGEINT) * t.n2)))) //
+      |        (CAST(t.n1 AS HUGEINT) * t.n2)) //
+      |      (CAST(t.n1 + t.n2 AS HUGEINT) * (t.n1 + t.n2))
+      |      AS BIGINT)
+      |  FROM r JOIN t ON r.lang = t.lang
+      |  GROUP BY t.lang, t.n1, t.n2
+      |) ORDER BY stat, lang""".stripMargin
 
   private val fdProfileCols = Seq("o_orderkey", "o_custkey",
     "o_orderstatus", "o_orderpriority")
@@ -3012,7 +3022,31 @@ object AnalyticsQueries {
       },
       Some(s"""SELECT CAST(0 AS BIGINT) AS epoch, q.*
            |FROM ($driftReportOracleSql) q
-           |ORDER BY stat""".stripMargin))
+           |ORDER BY stat""".stripMargin)),
+
+    // KEYED steady-state drift report (r14, standing rule 1): q237's
+    // per-segment four-statistic report with the src1 side answered
+    // from a persisted PER-SEGMENT count profile (distCountsBy —
+    // ≤|groups|·|values| rows, built once when the reference
+    // freezes) — the per-language nightly monitor: each batch pays
+    // one (group, value) count aggregate, the merge is a full-outer
+    // of two sketch-sized keyed count frames, and all four
+    // statistics ride ONE merged frame + ONE GK bounds pass.
+    // Hash-identical to q237 by construction (groups with mass on
+    // one side drop at the totals in both forms); oracle shared
+    // verbatim.
+    QuerySpec("q242_drift_report_by_steady",
+      (s, dir) => {
+        val root = refDistByRoot(s, dir)
+        graft.ops.Profile.driftReportByAgainstRef(
+            s.read.parquet(s"$root/ref"),
+            table(s, dir, "documents")
+              .filter(col("source") === "src2")
+              .select(col("lang"), col("n_chars")),
+            "lang", "n_chars")
+          .orderBy(col("stat"), col("lang"))
+      },
+      Some(driftReportByOracleSql))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------
@@ -3181,6 +3215,22 @@ object AnalyticsQueries {
       graft.ops.Profile.distCounts(
           table(s, dir, "documents")
             .filter(col("source") === "src1"), "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/ref")
+    }
+  }
+
+  /** Build-once persisted PER-SEGMENT reference count profile for
+    * q242 (standing rule 1): the src1 (lang, n_chars) count frame
+    * ([[graft.ops.Profile.distCountsBy]]) — the keyed twin of
+    * [[refDistRoot]]; ≤ |langs|·|values| rows → coalesce(1). */
+  private def refDistByRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(s"/tmp/graft_ref_dist_by/${tag}_$fp") { tmp =>
+      graft.ops.Profile.distCountsBy(
+          table(s, dir, "documents")
+            .filter(col("source") === "src1"), "lang", "n_chars")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/ref")
     }

@@ -493,6 +493,32 @@ class ProfileSpec extends SparkSuite {
     assert(repSteady == repSolo)
   }
 
+  test("KEYED steady drift report: driftReportByAgainstRef on a " +
+      "persisted distCountsBy reference ≡ the in-query " +
+      "driftReportBy, incl. one-sided-group drop") {
+    // g1/g2 two-sided; g3 ref-only, g4 probe-only (both must drop)
+    val rows = (1L to 30L).map(v => ("g1", v, "A")) ++
+      (11L to 40L).map(v => ("g1", v, "B")) ++
+      (5L to 25L).map(v => ("g2", v * 2, "A")) ++
+      (15L to 35L).map(v => ("g2", v * 2 + 1, "B")) ++
+      (1L to 10L).map(v => ("g3", v, "A")) ++
+      (1L to 10L).map(v => ("g4", v, "B"))
+    val df = rows.toDF("g", "v", "s").repartition(6)
+    val ref = Profile.distCountsBy(df.filter(col("s") === "A"),
+      "g", "v")
+    val probe = df.filter(col("s") === "B").select(col("g"), col("v"))
+    val steady = Profile.driftReportByAgainstRef(ref, probe, "g", "v",
+        partitions = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.toSeq.drop(2))).toMap
+    val inQuery = Profile.driftReportBy(df, "g", "v", "s", "A", "B",
+        partitions = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.toSeq.drop(2))).toMap
+    assert(steady == inQuery)
+    assert(steady.keySet.map(_._2) == Set("g1", "g2")) // one-sided drop
+  }
+
   test("driftReport rows ≡ the four solo statistics on the same frame") {
     val rows = (1L to 40L).map(v => (v, "A")) ++
       (21L to 60L).map(v => (v, "B"))
