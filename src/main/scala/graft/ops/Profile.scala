@@ -1099,9 +1099,16 @@ object Profile {
     * joined back by AQE broadcast; one-sample groups dropped (TVD is
     * undefined against an empty sample). */
   def tvdDriftBy(df: DataFrame, groupCol: String, valueCol: String,
-      sampleCol: String, a: String, b: String): DataFrame = {
+      sampleCol: String, a: String, b: String): DataFrame =
+    tvdDriftByFromCounts(
+      byCounts(df, groupCol, valueCol, sampleCol, a, b), groupCol)
+
+  /** [[tvdDriftBy]]'s tail over a pre-built keyed count frame — the
+    * shared reduce for the in-query form and the persisted-reference
+    * probe ([[tvdDriftByAgainstRef]]). */
+  private def tvdDriftByFromCounts(cnt: DataFrame,
+      groupCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cnt = byCounts(df, groupCol, valueCol, sampleCol, a, b)
     cnt.join(byTotals(cnt, groupCol), col(groupCol) === col("__tk"))
       .drop("__tk")
       .groupBy(col(groupCol))
@@ -1116,6 +1123,27 @@ object Profile {
       .select(col(groupCol), col("n1"), col("n2"), col("tvd_num"),
         col("tvd_micro"))
   }
+
+  /** Per-segment categorical drift AGAINST a persisted keyed
+    * reference count frame ([[distCountsBy]] output), probe side
+    * already counted — completes the KEYED steady matrix for the
+    * unordered statistic (the ordered quartet rides
+    * [[driftReportByAgainstRefCounts]]): label-mix drift per segment
+    * with the reference never rescanned. Hash-identical to
+    * [[tvdDriftBy]] on (reference ∪ probe). */
+  def tvdDriftByAgainstRefCounts(refCounts: DataFrame,
+      probeCounts: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    tvdDriftByFromCounts(
+      mergeRefProbeCountsBy(refCounts, probeCounts, groupCol,
+        valueCol), groupCol)
+
+  /** [[tvdDriftByAgainstRefCounts]] with the probe side counted
+    * in-query. */
+  def tvdDriftByAgainstRef(refCounts: DataFrame, probe: DataFrame,
+      groupCol: String, valueCol: String): DataFrame =
+    tvdDriftByAgainstRefCounts(refCounts,
+      probeCountsBy(probe, groupCol, valueCol), groupCol, valueCol)
 
   /** Per-group EXACT equi-depth (equi-height) histogram — the
     * optimizer/ANALYZE statistic beside [[profile]]: k buckets of

@@ -2200,24 +2200,7 @@ object AnalyticsQueries {
         .select(col("hchar_bucket"), col("n1"), col("n2"),
           col("tvd_num"), col("tvd_micro"))
         .orderBy(col("hchar_bucket")),
-      Some("""WITH c AS (SELECT n_chars // 100 AS hchar_bucket, lang,
-        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ca,
-        |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS cb
-        |  FROM documents WHERE source IN ('src1', 'src2')
-        |  GROUP BY n_chars // 100, lang),
-        |t AS (SELECT hchar_bucket, CAST(SUM(ca) AS BIGINT) AS n1,
-        |    CAST(SUM(cb) AS BIGINT) AS n2
-        |  FROM c GROUP BY hchar_bucket
-        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0)
-        |SELECT t.hchar_bucket, t.n1, t.n2,
-        |  CAST(SUM(ABS(ca * t.n2 - cb * t.n1)) AS BIGINT) AS tvd_num,
-        |  (1000000 * CAST(SUM(ABS(ca * t.n2 - cb * t.n1)) AS BIGINT))
-        |    // (2 * t.n1 * t.n2) AS tvd_micro
-        |FROM c JOIN t ON c.hchar_bucket = t.hchar_bucket
-        |GROUP BY t.hchar_bucket, t.n1, t.n2
-        |ORDER BY t.hchar_bucket""".stripMargin)),
+      Some(tvdDriftByOracleSql)),
 
     // Steady-state drift probe (r12, standing rule 1): q213's KS with
     // the reference side answered from the PERSISTED src1 count
@@ -2527,6 +2510,32 @@ object AnalyticsQueries {
         .orderBy(col("stat"), col("lang")),
       Some(driftReportByOracleSql))
   ) ++ lateSpecs
+
+  /** The keyed categorical-TVD oracle (label-mix drift per
+    * hectochar bucket) — shared VERBATIM by q221 (both samples
+    * counted in-query) and q243 (the src1 side probed from the
+    * persisted keyed count profile): the statistic only sees the
+    * merged (group, value) counts, and one-sided groups drop at the
+    * totals in both forms. */
+  private val tvdDriftByOracleSql: String =
+    """WITH c AS (SELECT n_chars // 100 AS hchar_bucket, lang,
+      |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM documents WHERE source IN ('src1', 'src2')
+      |  GROUP BY n_chars // 100, lang),
+      |t AS (SELECT hchar_bucket, CAST(SUM(ca) AS BIGINT) AS n1,
+      |    CAST(SUM(cb) AS BIGINT) AS n2
+      |  FROM c GROUP BY hchar_bucket
+      |  HAVING SUM(ca) > 0 AND SUM(cb) > 0)
+      |SELECT t.hchar_bucket, t.n1, t.n2,
+      |  CAST(SUM(ABS(ca * t.n2 - cb * t.n1)) AS BIGINT) AS tvd_num,
+      |  (1000000 * CAST(SUM(ABS(ca * t.n2 - cb * t.n1)) AS BIGINT))
+      |    // (2 * t.n1 * t.n2) AS tvd_micro
+      |FROM c JOIN t ON c.hchar_bucket = t.hchar_bucket
+      |GROUP BY t.hchar_bucket, t.n1, t.n2
+      |ORDER BY t.hchar_bucket""".stripMargin
 
   /** The per-segment four-statistic drift-report oracle over
     * documents src1 vs src2 on n_chars, keyed on lang — shared
@@ -3046,7 +3055,48 @@ object AnalyticsQueries {
             "lang", "n_chars")
           .orderBy(col("stat"), col("lang"))
       },
-      Some(driftReportByOracleSql))
+      Some(driftReportByOracleSql)),
+
+    // KEYED steady-state categorical drift (r14, standing rule 1):
+    // q221's per-bucket label-mix TVD with the src1 side answered
+    // from a persisted PER-SEGMENT count profile — the unordered
+    // statistic's entry in the keyed steady matrix (the ordered
+    // quartet rides q242's report): each batch pays one
+    // (bucket, lang) count aggregate and a full-outer merge of two
+    // sketch-sized keyed count frames. Hash-identical to q221;
+    // oracle shared verbatim.
+    QuerySpec("q243_tvd_drift_by_steady",
+      (s, dir) => {
+        val root = refTvdByRoot(s, dir)
+        graft.ops.Profile.tvdDriftByAgainstRef(
+            s.read.parquet(s"$root/ref"),
+            table(s, dir, "documents")
+              .filter(col("source") === "src2")
+              .select(expr("n_chars div 100").as("hchar_bucket"),
+                col("lang")),
+            "hchar_bucket", "lang")
+          .select(col("hchar_bucket"), col("n1"), col("n2"),
+            col("tvd_num"), col("tvd_micro"))
+          .orderBy(col("hchar_bucket"))
+      },
+      Some(tvdDriftByOracleSql)),
+
+    // KEYED streaming drift monitor, one epoch under the oracle
+    // (r14): q241's replay discipline for the per-segment monitor —
+    // the fixture commits the full src2 batch as epoch 0 through the
+    // REAL keyed batch path ((group, value) state merge, state
+    // read-back, keyed four-statistic report), so DuckDB checks the
+    // committed per-segment epoch ledger itself. With all of src2
+    // observed, the report equals q237/q242 epoch-prefixed.
+    QuerySpec("q244_drift_monitor_by_epoch",
+      (s, dir) => {
+        val root = driftMonitorByRoot(s, dir)
+        s.read.parquet(s"$root/monitor/epoch_0")
+          .orderBy(col("stat"), col("lang"))
+      },
+      Some(s"""SELECT CAST(0 AS BIGINT) AS epoch, q.*
+           |FROM ($driftReportByOracleSql) q
+           |ORDER BY stat, lang""".stripMargin))
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------
@@ -3233,6 +3283,46 @@ object AnalyticsQueries {
             .filter(col("source") === "src1"), "lang", "n_chars")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/ref")
+    }
+  }
+
+  /** Build-once persisted keyed TVD reference for q243: the src1
+    * (hchar_bucket, lang) count frame — the categorical twin of
+    * [[refDistByRoot]] (bucket = segment, lang = the categorical
+    * value whose mix drifts). */
+  private def refTvdByRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(s"/tmp/graft_ref_tvd_by/${tag}_$fp") { tmp =>
+      graft.ops.Profile.distCountsBy(
+          table(s, dir, "documents")
+            .filter(col("source") === "src1")
+            .select(expr("n_chars div 100").as("hchar_bucket"),
+              col("lang")),
+          "hchar_bucket", "lang")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/ref")
+    }
+  }
+
+  /** Build-once replay of ONE [[graft.streaming.StreamingIngest
+    * .driftMonitorBy]] epoch for q244 — the keyed twin of
+    * [[driftMonitorRoot]]: the full src2 batch commits as epoch 0
+    * against q242's persisted per-segment count profile through the
+    * real keyed batch path. */
+  private def driftMonitorByRoot(s: SparkSession,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    val refRoot = refDistByRoot(s, dir)
+    FixtureCache.ensure(
+        s"/tmp/graft_drift_monitor_by/${tag}_$fp") { tmp =>
+      graft.streaming.StreamingIngest.driftMonitorByBatch(
+        table(s, dir, "documents")
+          .filter(col("source") === "src2")
+          .select(col("lang"), col("n_chars")),
+        "lang", "n_chars", s.read.parquet(s"$refRoot/ref"),
+        s"$tmp/state", s"$tmp/monitor", 0L)
     }
   }
 

@@ -474,6 +474,52 @@ object StreamingIngest {
       .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
   }
 
+  /** KEYED streaming drift monitor — [[driftMonitor]] per segment
+    * (per-language, per-topic, per time bucket): the cumulative
+    * state counts (group, value) pairs, and each epoch lands the
+    * per-segment four-statistic report — one
+    * `(epoch, stat, group, n1, n2, stat_micro)` row per
+    * (statistic, two-sided segment) — against the frozen
+    * PER-SEGMENT reference profile
+    * ([[graft.ops.Profile.distCountsBy]]); segments the state has
+    * not seen yet (or that the reference lacks) drop per the keyed
+    * contract. State is ≤|groups|·|values|-sized; the reference is
+    * never rescanned. */
+  def driftMonitorBy(stream: DataFrame, groupCol: String,
+      valueCol: String, refCounts: DataFrame, stateDir: String,
+      checkpointDir: String, monitorDir: String,
+      adoptUntaggedState: Boolean = false): StreamingQuery =
+    epochLedgeredQuery(stream, stateDir, checkpointDir,
+      adoptUntaggedState, "driftMonitorBy") { (batch, epochId) =>
+      driftMonitorByBatch(batch, groupCol, valueCol, refCounts,
+        stateDir, monitorDir, epochId)
+    }
+
+  /** One epoch of [[driftMonitorBy]], separated like
+    * [[driftMonitorBatch]] so the batch path is directly testable
+    * and driver-gateable: state merge on the (group, value) key,
+    * state read-back, keyed four-statistic report, epoch parquet. */
+  def driftMonitorByBatch(batch: DataFrame, groupCol: String,
+      valueCol: String, refCounts: DataFrame, stateDir: String,
+      monitorDir: String, epochId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = batch.sparkSession
+    aggIngestBatch(
+      batch.select(col(groupCol), col(valueCol))
+        .filter(col(valueCol).isNotNull),
+      Seq(groupCol, valueCol), Nil, Nil, Nil, stateDir, epochId)
+    val observed = spark.read.parquet(s"$stateDir/current/state")
+      .select(col(groupCol), col(valueCol), col("n").as("obs_n"))
+    graft.ops.Profile
+      .driftReportByAgainstRefCounts(refCounts, observed, groupCol,
+        valueCol)
+      .withColumn("epoch", lit(epochId))
+      .select(col("epoch"), col("stat"), col(groupCol), col("n1"),
+        col("n2"), col("stat_micro"))
+      .coalesce(1) // ≤ 4·|groups| rows
+      .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
+  }
+
   /** One epoch of [[aggIngest]], separated so the batch path is
     * directly testable and reusable by a non-streaming ingest loop.
     * No-op (by the `_epoch` ledger) when `epochId` was already

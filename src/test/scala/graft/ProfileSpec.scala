@@ -517,6 +517,13 @@ class ProfileSpec extends SparkSuite {
         r.toSeq.drop(2))).toMap
     assert(steady == inQuery)
     assert(steady.keySet.map(_._2) == Set("g1", "g2")) // one-sided drop
+    // the categorical keyed steady form rides the same merge
+    val tvdSteady = Profile.tvdDriftByAgainstRef(ref, probe, "g", "v")
+      .collect().map(r => (r.getString(0), r.toSeq.tail)).toMap
+    val tvdInQuery = Profile.tvdDriftBy(df, "g", "v", "s", "A", "B")
+      .collect().map(r => (r.getString(0), r.toSeq.tail)).toMap
+    assert(tvdSteady == tvdInQuery)
+    assert(tvdSteady.keySet == Set("g1", "g2"))
   }
 
   test("driftReport rows ≡ the four solo statistics on the same frame") {

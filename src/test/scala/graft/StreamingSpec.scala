@@ -99,6 +99,53 @@ class StreamingSpec extends SparkSuite {
     assert(rep(spark.read.parquet(s"$dir/monitor/epoch_1")) == e1)
   }
 
+  test("KEYED streaming drift monitor: per-(epoch, segment) report " +
+      "vs the frozen per-segment reference == the keyed batch report " +
+      "on the cumulative prefix; one-sided segments drop") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Profile
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("drift_monitor_by").toString
+    // reference: g1 1..40, g2 2..80 even, g3 ref-only (must drop)
+    val refRows = (1L to 40L).map(("g1", _)) ++
+      (1L to 40L).map(v => ("g2", v * 2)) ++
+      (1L to 5L).map(("g3", _))
+    val ref = Profile.distCountsBy(refRows.toDF("g", "v"), "g", "v")
+      .cache()
+    val b1 = (11L to 50L).map(("g1", _)) ++
+      (21L to 60L).map(v => ("g2", v * 2))
+    val b2 = (31L to 70L).map(("g1", _)) ++
+      (1L to 10L).map(("g4", _)) // g4 probe-only (must drop)
+    val stream = MemoryStream[(String, Long)]
+    val q = StreamingIngest.driftMonitorBy(
+      stream.toDS().toDF("g", "v"), "g", "v", ref,
+      s"$dir/state", s"$dir/ckpt", s"$dir/monitor")
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    def rep(df: org.apache.spark.sql.DataFrame) = df
+      .select($"stat", $"g", $"n1", $"n2", $"stat_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val e0 = rep(spark.read.parquet(s"$dir/monitor/epoch_0"))
+    val e1 = rep(spark.read.parquet(s"$dir/monitor/epoch_1"))
+    // epoch 0 saw g1+g2; g3 is ref-only and must not appear
+    assert(e0.keySet == Set("ks", "u", "w1", "cvm")
+      .flatMap(s => Seq((s, "g1"), (s, "g2"))))
+    // epoch 1 added g4 (probe-only) — still only g1/g2 report
+    assert(e1.keySet == e0.keySet)
+    def expect(vs: Seq[(String, Long)]) =
+      rep(Profile.driftReportByAgainstRef(ref, vs.toDF("g", "v"),
+        "g", "v"))
+    assert(e0 == expect(b1))
+    assert(e1 == expect(b1 ++ b2))
+    // replayed last epoch: ledger no-ops, overwrite idempotent
+    StreamingIngest.driftMonitorByBatch(b2.toDF("g", "v"), "g", "v",
+      ref, s"$dir/state", s"$dir/monitor", 1L)
+    assert(rep(spark.read.parquet(s"$dir/monitor/epoch_1")) == e1)
+  }
+
   test("streaming as-of enrich == batch asofJoinSkewSafe under " +
       "in-order delivery; carry survives the batch boundary") {
     import graft.streaming.{AsofEvent, StreamingIngest}
