@@ -58,6 +58,15 @@ object Expectations {
     * either position); `ordCol` unique non-null per key. */
   final case class Monotone(name: String, keyCol: String,
     ordCol: String, valueCol: String) extends Rule
+  /** The batch's ROW COUNT must sit in [lo, hi] — the empty/truncated
+    * /runaway-batch guard, the most common production fail-fast (an
+    * upstream outage usually shows up as a suspiciously small batch
+    * long before any per-row rule fires). Violations = the distance
+    * OUTSIDE the bound (shortfall below `lo`, overage above `hi`,
+    * 0 in bounds) so the count says how far off the batch was, not
+    * just that it was. One count aggregate, map-side combinable. */
+  final case class SizeBetween(name: String, lo: Long,
+    hi: Long) extends Rule
   /** Intervals [startCol, endCol) must not overlap per `keyCol` —
     * the SCD2 validity-range contract: a row violates when its start
     * precedes the MAX end of all earlier-starting rows (not just its
@@ -112,6 +121,12 @@ object Expectations {
         Some(wide.select(expr(stackExpr)))
       }
     val keyed: Seq[DataFrame] = rules.collect {
+      case SizeBetween(n, lo, hi) =>
+        df.agg(count(lit(1)).as("__c"))
+          .select(lit(n).as("rule"),
+            when(col("__c") < lo, lit(lo) - col("__c"))
+              .when(col("__c") > hi, col("__c") - lit(hi))
+              .otherwise(lit(0L)).as("violations"))
       case Unique(n, cs) =>
         df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("__c"))
           .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"))

@@ -36,6 +36,57 @@ object Profile {
         col("n_distinct"), col("min_s"), col("max_s"))
   }
 
+  /** Column-profile DIFF — the schema/statistics half of the nightly
+    * monitor beside the distribution drift tests: diff the CURRENT
+    * table's profile against a PERSISTED reference profile (standing
+    * rule 1 — a [[profile]] output frozen when the reference snapshot
+    * was blessed). One row per column present in EITHER profile:
+    * `status` ∈ {common, added, removed} (schema drift), the exact
+    * count facets side by side (volume / null-rate / cardinality
+    * drift — deltas are the caller's subtraction, kept as raw pairs
+    * so the row is lossless), and null-safe changed flags for the
+    * min/max strings (domain drift). Both inputs are ≤|cols| rows
+    * (AQE broadcasts the join), so the diff itself is trivially
+    * scale-safe; the scale properties ride the PROFILE provider —
+    * feed [[profile]] outputs for the exact gate-able form, or
+    * [[profileApproxStats]] outputs (matching schemas on both sides)
+    * when the exact multi-distinct Expand would die at 100×. */
+  def profileDiffProfiles(refProfile: DataFrame,
+      curProfile: DataFrame): DataFrame = {
+    val r = refProfile.select(col("col_name"),
+      col("n").as("__rn"), col("n_nonnull").as("__rnn"),
+      col("n_distinct").as("__rnd"), col("min_s").as("__rmin"),
+      col("max_s").as("__rmax"))
+    val c = curProfile.select(col("col_name").as("__cc"),
+      col("n").as("__cn"), col("n_nonnull").as("__cnn"),
+      col("n_distinct").as("__cnd"), col("min_s").as("__cmin"),
+      col("max_s").as("__cmax"))
+    r.join(c, col("col_name") === col("__cc"), "full_outer")
+      .select(
+        coalesce(col("col_name"), col("__cc")).as("col_name"),
+        when(col("col_name").isNull, "added")
+          .when(col("__cc").isNull, "removed")
+          .otherwise("common").as("status"),
+        coalesce(col("__rn"), lit(0L)).as("n_ref"),
+        coalesce(col("__cn"), lit(0L)).as("n_cur"),
+        coalesce(col("__rnn"), lit(0L)).as("nonnull_ref"),
+        coalesce(col("__cnn"), lit(0L)).as("nonnull_cur"),
+        coalesce(col("__rnd"), lit(0L)).as("distinct_ref"),
+        coalesce(col("__cnd"), lit(0L)).as("distinct_cur"),
+        (!(col("__rmin") <=> col("__cmin"))).cast("long")
+          .as("min_changed"),
+        (!(col("__rmax") <=> col("__cmax"))).cast("long")
+          .as("max_changed"))
+  }
+
+  /** [[profileDiffProfiles]] with the current side profiled
+    * in-query — the batch entry point: the reference profile is
+    * never recomputed, the current table pays ONE [[profile]]
+    * scan. */
+  def profileDiff(refProfile: DataFrame, cur: DataFrame,
+      cols: Seq[String]): DataFrame =
+    profileDiffProfiles(refProfile, profile(cur, cols))
+
   /** Sketch-profile sufficient statistics — the scale twin of
     * [[profile]] (VERDICT r10 #3): the exact multi-COUNT(DISTINCT)
     * plans through Expand, multiplying EVERY input row by the column

@@ -2982,7 +2982,12 @@ object AnalyticsQueries {
           Unique("orderkey_linenumber_unique",
             Seq("l_orderkey", "l_linenumber")),
           ForeignKey("orderkey_fk", "l_orderkey",
-            table(s, dir, "orders"), "o_orderkey")))
+            table(s, dir, "orders"), "o_orderkey"),
+          // the batch-size guards (r14): the cap is deliberately
+          // below the table size so the OVERAGE lane fires with its
+          // exact distance; the nonempty guard passes and drops out
+          SizeBetween("batch_size_cap", 1L, 50000L),
+          SizeBetween("batch_nonempty", 1L, 10000000L)))
           .orderBy(col("rule_ord"))
       },
       Some("""WITH l AS (SELECT *,
@@ -3014,6 +3019,14 @@ object AnalyticsQueries {
         |      WHERE l_orderkey IS NOT NULL AND NOT EXISTS
         |        (SELECT 1 FROM orders o
         |         WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |  UNION ALL SELECT 6, 'batch_size_cap',
+        |    CAST((SELECT CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
+        |      WHEN COUNT(*) > 50000 THEN COUNT(*) - 50000
+        |      ELSE 0 END FROM l) AS BIGINT)
+        |  UNION ALL SELECT 7, 'batch_nonempty',
+        |    CAST((SELECT CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
+        |      WHEN COUNT(*) > 10000000 THEN COUNT(*) - 10000000
+        |      ELSE 0 END FROM l) AS BIGINT)
         |) WHERE violations > 0 ORDER BY rule_ord""".stripMargin)),
 
     // Streaming drift monitor, one epoch under the oracle (r14,
@@ -3096,7 +3109,76 @@ object AnalyticsQueries {
       },
       Some(s"""SELECT CAST(0 AS BIGINT) AS epoch, q.*
            |FROM ($driftReportByOracleSql) q
-           |ORDER BY stat, lang""".stripMargin))
+           |ORDER BY stat, lang""".stripMargin)),
+
+    // Column-profile diff (r14, standing rule 1): the schema/
+    // statistics half of the nightly monitor — diff the full table's
+    // one-scan profile against the profile persisted when the
+    // pre-1996 snapshot was blessed. The column sets deliberately
+    // differ (o_orderstatus dropped, o_orderpriority added) so the
+    // status lane exercises schema drift; the date cutoff makes
+    // every count facet and the max strings move while the mins
+    // stay (orderkeys/custkeys start at the same floor — min_changed
+    // = 0 is as much a claim as max_changed = 1). Both profile
+    // frames are ≤|cols| rows; the current table pays ONE fused
+    // profile scan and the reference is never rescanned.
+    QuerySpec("q245_profile_diff",
+      (s, dir) => {
+        val root = refProfileRoot(s, dir)
+        val cur = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("o_totalprice_cents"),
+          col("o_orderpriority"))
+        graft.ops.Profile.profileDiff(
+            s.read.parquet(s"$root/ref"), cur,
+            Seq("o_orderkey", "o_custkey", "o_totalprice_cents",
+              "o_orderpriority"))
+          .orderBy(col("col_name"))
+      },
+      Some {
+        def arms(filter: String, cols: Seq[(String, String)]) =
+          cols.map { case (name, e) =>
+            s"""SELECT '$name' AS col_name, COUNT(*) AS n,
+               |  COUNT($e) AS n_nonnull,
+               |  COUNT(DISTINCT $e) AS n_distinct,
+               |  CAST(MIN($e) AS VARCHAR) AS min_s,
+               |  CAST(MAX($e) AS VARCHAR) AS max_s
+               |FROM orders $filter""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        val cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        val refArms = arms(
+          "WHERE o_orderdate < TIMESTAMP '1996-01-01'",
+          Seq("o_orderkey" -> "o_orderkey",
+            "o_custkey" -> "o_custkey",
+            "o_orderstatus" -> "o_orderstatus",
+            "o_totalprice_cents" -> cents))
+        val curArms = arms("",
+          Seq("o_orderkey" -> "o_orderkey",
+            "o_custkey" -> "o_custkey",
+            "o_totalprice_cents" -> cents,
+            "o_orderpriority" -> "o_orderpriority"))
+        s"""WITH rp AS ($refArms),
+           |cp AS ($curArms)
+           |SELECT COALESCE(rp.col_name, cp.col_name) AS col_name,
+           |  CASE WHEN rp.col_name IS NULL THEN 'added'
+           |       WHEN cp.col_name IS NULL THEN 'removed'
+           |       ELSE 'common' END AS status,
+           |  CAST(COALESCE(rp.n, 0) AS BIGINT) AS n_ref,
+           |  CAST(COALESCE(cp.n, 0) AS BIGINT) AS n_cur,
+           |  CAST(COALESCE(rp.n_nonnull, 0) AS BIGINT) AS nonnull_ref,
+           |  CAST(COALESCE(cp.n_nonnull, 0) AS BIGINT) AS nonnull_cur,
+           |  CAST(COALESCE(rp.n_distinct, 0) AS BIGINT)
+           |    AS distinct_ref,
+           |  CAST(COALESCE(cp.n_distinct, 0) AS BIGINT)
+           |    AS distinct_cur,
+           |  CAST(rp.min_s IS DISTINCT FROM cp.min_s AS BIGINT)
+           |    AS min_changed,
+           |  CAST(rp.max_s IS DISTINCT FROM cp.max_s AS BIGINT)
+           |    AS max_changed
+           |FROM rp FULL JOIN cp ON rp.col_name = cp.col_name
+           |ORDER BY col_name""".stripMargin
+      })
   )
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------
@@ -3281,6 +3363,28 @@ object AnalyticsQueries {
       graft.ops.Profile.distCountsBy(
           table(s, dir, "documents")
             .filter(col("source") === "src1"), "lang", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/ref")
+    }
+  }
+
+  /** Build-once persisted reference COLUMN PROFILE for q245
+    * (standing rule 1): [[graft.ops.Profile.profile]] over the
+    * pre-1996 orders snapshot — the "blessed at freeze time" stats
+    * the nightly diff compares against. ≤|cols| rows. */
+  private def refProfileRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/orders.parquet")
+    FixtureCache.ensure(s"/tmp/graft_ref_profile/${tag}_$fp") { tmp =>
+      graft.ops.Profile.profile(
+          table(s, dir, "orders")
+            .filter(col("o_orderdate") < lit("1996-01-01"))
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus"),
+              floor(col("o_totalprice") * 100 + 0.5).cast("long")
+                .as("o_totalprice_cents")),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice_cents"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/ref")
     }

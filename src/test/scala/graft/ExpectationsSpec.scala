@@ -144,6 +144,31 @@ class ExpectationsSpec extends SparkSuite {
     assert(fast == plain && fast > 0L)
   }
 
+  test("sizeBetween: shortfall/overage distances, in-bounds zero, " +
+      "empty frame counts the full lo shortfall; wouldAbort keeps " +
+      "only the violated rules") {
+    val df = (1L to 10L).toDF("id")
+    val out = Expectations.check(df, Seq(
+        SizeBetween("too_small", 25L, 100L),  // 10 < 25 → 15
+        SizeBetween("too_big", 1L, 7L),       // 10 > 7  → 3
+        SizeBetween("in_bounds", 5L, 15L)))   // → 0
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("too_small" -> 15L, "too_big" -> 3L,
+      "in_bounds" -> 0L))
+    // empty frame: count() is 0, shortfall = lo (never null)
+    val empty = Expectations.check(df.filter(col("id") < 0), Seq(
+        SizeBetween("nonempty", 3L, 100L), Unique("u", Seq("id"))))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(empty == Map("nonempty" -> 3L, "u" -> 0L))
+    // the abort row set = exactly the violated rules, ord preserved
+    val abort = Expectations.wouldAbort(df, Seq(
+        SizeBetween("in_bounds", 5L, 15L),
+        SizeBetween("too_big", 1L, 7L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(abort == Seq((1L, "too_big", 3L)))
+  }
+
   test("duplicate rule names are rejected") {
     intercept[IllegalArgumentException] {
       Expectations.check(planted,

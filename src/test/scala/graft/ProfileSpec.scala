@@ -526,6 +526,41 @@ class ProfileSpec extends SparkSuite {
     assert(tvdSteady.keySet == Set("g1", "g2"))
   }
 
+  test("profileDiff: added/removed/common status, count pairs, " +
+      "null-safe min/max changed flags") {
+    val ref = (1L to 50L).map(v => (v, if (v % 5 == 0) null
+      else s"s${v % 7}")).toDF("id", "tag")
+    val cur = ((1L to 80L).map(v => (v, v % 3)) :+
+      ((81L, 99L))).toDF("id", "bucket")
+    val refP = Profile.profile(ref, Seq("id", "tag"))
+    val out = Profile.profileDiffProfiles(refP,
+        Profile.profile(cur, Seq("id", "bucket")))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9))).toMap
+    // id common: n 50→81, distinct 50→81; min/max compute on the
+    // LONG column then cast, so min_s "1" both (unchanged) and
+    // max_s "50"→"81" (changed)
+    assert(out("id") == (("common", 50L, 81L, 50L, 81L, 50L, 81L,
+      0L, 1L)))
+    // tag removed: cur lanes zero-filled, strings null-safe →
+    // min/max changed (value vs null IS DISTINCT)
+    val t = out("tag")
+    assert(t._1 == "removed" && t._3 == 0L && t._8 == 1L &&
+      t._9 == 1L)
+    // nonnull on the ref side: 10 of 50 tags are null
+    assert(t._4 == 40L)
+    // bucket added: ref lanes zero-filled
+    val b = out("bucket")
+    assert(b._1 == "added" && b._2 == 0L && b._5 == 81L)
+    // identical profiles diff to all-common, zero changed flags
+    val same = Profile.profileDiffProfiles(refP, refP)
+      .collect().map(r => (r.getString(1), r.getLong(8),
+        r.getLong(9))).toSeq
+    assert(same.forall(_ == (("common", 0L, 0L))))
+  }
+
   test("driftReport rows ≡ the four solo statistics on the same frame") {
     val rows = (1L to 40L).map(v => (v, "A")) ++
       (21L to 60L).map(v => (v, "B"))
