@@ -275,6 +275,13 @@ object ScaleStress {
       // equi-depth histogram (orders → graph-shaped: 5 priority
       // mega-groups absorb f× members)
       "q224_binned_drift", "q227_cvm_drift", "q223_equidepth_hist",
+      // round-14 steady/keyed drift wave (documents → standard
+      // synthesis: rows ×f, the distinct (lang, n_chars) space is
+      // copy-invariant, so the merged count frames, prefix sums and
+      // report tails must stay FLAT — only the probe-side count
+      // aggregate sees ×f rows, and it is map-side combinable)
+      "q238_drift_report_steady", "q242_drift_report_by_steady",
+      "q243_tvd_drift_by_steady",
       // interpolated percentiles: two targeted picks per (group, p)
       // over the 5 priority mega-groups (orders → graph-shaped)
       "q225_percentile_cont",
