@@ -49,8 +49,10 @@ object Profile {
     * (AQE broadcasts the join), so the diff itself is trivially
     * scale-safe; the scale properties ride the PROFILE provider —
     * feed [[profile]] outputs for the exact gate-able form, or
-    * [[profileApproxStats]] outputs (matching schemas on both sides)
-    * when the exact multi-distinct Expand would die at 100×. */
+    * [[profileApprox]] outputs (rename `n_distinct_est` →
+    * `n_distinct`; same provider on BOTH sides, estimates only
+    * compare to estimates) when the exact multi-distinct Expand
+    * would die at 100× — spec-pinned composable. */
   def profileDiffProfiles(refProfile: DataFrame,
       curProfile: DataFrame): DataFrame = {
     val r = refProfile.select(col("col_name"),
@@ -834,6 +836,119 @@ object Profile {
         "CAST(1000000 - (CAST(6000000 AS DECIMAL(38,0)) * __sd2) div " +
           "(CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"))
       .select(col(keyCol), col("n"), col("sd2"), col("rho_micro"))
+  }
+
+  /** Per-group EXACT Kendall rank correlation — τ OF THE TIEBROKEN
+    * ORDER, the concordance companion to [[spearmanExact]] (Spearman
+    * weighs rank displacement, Kendall counts pairwise order
+    * agreements — the robust-statistics pair): with ranks on the
+    * (value, id) composite total orders there are no ties, so
+    *
+    *   τ_micro = 10⁶ − (4·10⁶·D) div (n·(n−1)),   D = discordant pairs
+    *
+    * — all integral (D ≤ n²/2 rides DECIMAL(38,0)), 10⁶ = perfect
+    * concordance, −10⁶ = perfect reversal. The previously-skipped
+    * hard part is counting D = #{i,j : ox_i < ox_j ∧ oy_i > oy_j}
+    * without an all-pairs join; the distributed plan splits D into
+    * two DISJOINT parts by an EQUI-DEPTH bucketing of the y
+    * composite order (boundaries = the exact (j/B)-quantiles of
+    * `__oy` per group via [[EventAnalytics.groupPercentilesSkewSafe]]
+    * — unique composite ranks make equi-depth skew-IMPOSSIBLE:
+    * every (group, bucket) cell holds ⌈n/B⌉±1 rows no matter how
+    * hot a key or value is):
+    *
+    *  - CROSS-bucket pairs need NO value comparison — a pair in
+    *    different y buckets is discordant iff the earlier-x row sits
+    *    in a strictly HIGHER y bucket. B running-count lanes over
+    *    the x order ([[EventAnalytics.runningAggsSkewSafe]], one
+    *    two-pass plan for all lanes) give each row the count of
+    *    earlier rows per bucket; summing the strictly-higher lanes
+    *    and reducing per group counts every cross pair exactly once.
+    *  - SAME-bucket pairs ride a cell-keyed equi self-join
+    *    ((group, bucket) SMJ + the two order filters): per-cell pair
+    *    work is (n/B)²/2 with cells equi-sized by construction, so
+    *    `buckets` is the knob trading lane count for cell width —
+    *    total work O(n²/B + n·B) with NO all-pairs stage and no
+    *    skewable task anywhere.
+    *
+    * Same contracts as [[spearmanExact]] (integral dtypes, id ∈
+    * [0, 1e9), |v| ≤ maxAbsV — enforced by the shared guard; `idCol`
+    * unique non-null per group); single-row groups dropped (τ
+    * undefined). Output: (key, n, d_pairs, tau_micro). */
+  def kendallTauExact(df: DataFrame, keyCol: String, idCol: String,
+      xCol: String, yCol: String, buckets: Int = 8,
+      partitions: Int = 0): DataFrame = {
+    require(buckets >= 2 && buckets <= 64,
+      s"kendallTauExact: buckets must sit in [2, 64], got $buckets")
+    val d38 = "decimal(38,0)"
+    requireCompositeDomain(df, "kendallTauExact", idCol,
+      Seq(xCol, yCol))
+    val base = df.select(col(keyCol), col(idCol), col(xCol),
+      col(yCol))
+      .withColumn("__ox", col(xCol) * lit(1000000000L) + col(idCol))
+      .withColumn("__oy", col(yCol) * lit(1000000000L) + col(idCol))
+    // exact (j/B)-quantile boundaries of the y order, per group —
+    // ≤|groups|·(B−1) rows collapse to one sorted array per group
+    // and attach by an AQE-broadcast equi join
+    val ps = (1 until buckets).map(j => j.toLong * 1000000L / buckets)
+    val bnds = EventAnalytics.groupPercentilesSkewSafe(
+        base.select(col(keyCol), col("__oy")), keyCol, "__oy", "__oy",
+        ps, partitions)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("__oy"))).as("__bnds"))
+      .select(col(keyCol).as("__bk"), col("__bnds"))
+    // the bucketed frame feeds THREE consumers (the lane prefix and
+    // both self-join sides) — localCheckpoint pays the scan +
+    // quantile + boundary attach once instead of three times (the
+    // q150 graph precedent; rows × few longs, block-cache-sized)
+    val bucketed = base.join(bnds, col(keyCol) === col("__bk"))
+      .drop("__bk")
+      .withColumn("__bkt",
+        (1 until buckets).map(i =>
+          when(col("__oy") > element_at(col("__bnds"), i), 1)
+            .otherwise(0))
+        .reduce(_ + _) + lit(1))
+      .drop("__bnds")
+      .localCheckpoint()
+    // cross-bucket: B running-count lanes over the x order; a row's
+    // contribution is the earlier-row count of every STRICTLY HIGHER
+    // bucket (its own lane's inclusive self never counts — self sits
+    // in its own bucket, not a higher one)
+    val withInd = (0 until buckets).foldLeft(bucketed)((d, b) =>
+      d.withColumn(s"__i$b",
+        when(col("__bkt") === b + 1, 1L).otherwise(0L)))
+    val pre = EventAnalytics.runningAggsSkewSafe(withInd, keyCol,
+      "__ox", (0 until buckets).map(b => (s"__i$b", "sum", s"__p$b")),
+      partitions)
+    val crossContrib = (0 until buckets).map(b =>
+        when(col("__bkt") < b + 1, col(s"__p$b")).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val cross = pre.withColumn("__cx", crossContrib.cast(d38))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__cx")).cast(d38).as("__cross"))
+    // same-bucket: cell-keyed equi self-join, cells ⌈n/B⌉-sized by
+    // construction — no all-pairs, no skewable cell
+    val a = bucketed.select(col(keyCol).as("__k"), col("__bkt"),
+      col("__ox").as("__ax"), col("__oy").as("__ay"))
+    val b2 = bucketed.select(col(keyCol).as("__k2"),
+      col("__bkt").as("__bkt2"), col("__ox").as("__bx"),
+      col("__oy").as("__by"))
+    val within = a.join(b2,
+        col("__k") === col("__k2") && col("__bkt") === col("__bkt2") &&
+          col("__ax") < col("__bx") && col("__ay") > col("__by"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).cast(d38).as("__within"))
+    cross.join(within, col(keyCol) === col("__k"), "left")
+      .drop("__k")
+      .filter(col("n") > 1)
+      .withColumn("__dd", expr(
+        s"CAST(__cross + COALESCE(__within, CAST(0 AS $d38)) AS $d38)"))
+      .withColumn("d_pairs", expr("CAST(__dd AS BIGINT)"))
+      .withColumn("tau_micro", expr(
+        "CAST(1000000 - (CAST(4000000 AS DECIMAL(38,0)) * __dd) div " +
+          "(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"))
+      .select(col(keyCol), col("n"), col("d_pairs"), col("tau_micro"))
   }
 
   /** One-call DRIFT REPORT — all four ordered two-sample statistics

@@ -3111,6 +3111,51 @@ object AnalyticsQueries {
            |FROM ($driftReportByOracleSql) q
            |ORDER BY stat, lang""".stripMargin)),
 
+    // Exact Kendall τ (r14): the concordance correlation on q231's
+    // exact inputs — previously SKIPPED for want of a distributed
+    // inversion-count plan; the shipped plan splits discordant pairs
+    // by an equi-depth y-order bucketing (cross-bucket pairs ride B
+    // running-count lanes with no value comparison, same-bucket
+    // pairs a cell-keyed self-join over ⌈n/B⌉-sized cells — unique
+    // composite ranks make the equi-depth skew-IMPOSSIBLE). The
+    // oracle is the definition itself: the full per-group pairwise
+    // discordance count, so the gate proves the decomposition
+    // against brute force.
+    QuerySpec("q246_kendall",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").as("y"))
+        graft.ops.Profile.kendallTauExact(o, "o_orderpriority",
+            "o_orderkey", "x", "y", buckets = 32)
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |  FROM orders),
+        |o AS (SELECT g, id, x * 1000000000 + id AS ox,
+        |    y * 1000000000 + id AS oy FROM v),
+        |d AS (SELECT a.g, CAST(COUNT(*) AS BIGINT) AS dcnt
+        |  FROM o a JOIN o b
+        |    ON a.g = b.g AND a.ox < b.ox AND a.oy > b.oy
+        |  GROUP BY a.g),
+        |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM o
+        |  GROUP BY g HAVING COUNT(*) > 1)
+        |SELECT n.g AS o_orderpriority, n.n,
+        |  CAST(COALESCE(d.dcnt, 0) AS BIGINT) AS d_pairs,
+        |  CAST(1000000 - (4000000 * CAST(COALESCE(d.dcnt, 0)
+        |      AS HUGEINT)) //
+        |    (CAST(n.n AS HUGEINT) * (n.n - 1)) AS BIGINT)
+        |    AS tau_micro
+        |FROM n LEFT JOIN d ON n.g = d.g
+        |ORDER BY o_orderpriority""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

@@ -354,6 +354,47 @@ class ProfileSpec extends SparkSuite {
     assert(empty.forall(_ == ((0L, 0, 0L))))
   }
 
+  test("kendallTauExact: ≡ sequential pairwise reference under the " +
+      "mega-key for several bucket counts; ±10⁶ endpoints; " +
+      "single-row group dropped") {
+    val rows = (0L until 3001L).map { i =>
+      val g = if (i % 100 < 95) "hot" else s"g${i % 4}"
+      val x = (i * 37) % 997
+      val y = x + (i % 11) * 17 - 80 // correlated, not identical
+      (g, i, x, y)
+    }
+    val df = rows.toDF("g", "id", "x", "y").repartition(9)
+    val exp = rows.groupBy(_._1).collect { case (g, rs) if rs.size > 1 =>
+      // pairwise BigInt reference on the composite orders
+      val os = rs.map(r => (BigInt(r._3) * 1000000000L + r._2,
+        BigInt(r._4) * 1000000000L + r._2))
+      var d = BigInt(0)
+      for (i <- os.indices; j <- os.indices if i < j) {
+        val (a, b) = (os(i), os(j))
+        if ((a._1 < b._1) != (a._2 < b._2)) d += 1
+      }
+      val n = BigInt(rs.size)
+      g -> ((rs.size.toLong, d.toLong,
+        (BigInt(1000000) - (BigInt(4000000) * d) / (n * (n - 1)))
+          .toLong))
+    }.toMap
+    for (b <- Seq(2, 8, 13)) {
+      val got = Profile.kendallTauExact(df, "g", "id", "x", "y",
+          buckets = b, partitions = 5)
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == exp, s"buckets=$b")
+    }
+    // perfect concordance / reversal / n=1 drop
+    val mono = (1L to 60L).map(i => ("m", i, i, i * 2)) ++
+      (1L to 60L).map(i => ("a", i, i, 1000L - i)) :+
+      (("one", 1L, 5L, 5L))
+    val ends = Profile.kendallTauExact(mono.toDF("g", "id", "x", "y"),
+        "g", "id", "x", "y")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(ends == Map("m" -> 1000000L, "a" -> -1000000L))
+  }
+
   test("spearmanExact: out-of-domain input THROWS instead of " +
       "silently corrupting the composite rank order") {
     // oversized value: |x| > (2^63-1 - (1e9-1)) / 1e9 wraps long
@@ -559,6 +600,27 @@ class ProfileSpec extends SparkSuite {
       .collect().map(r => (r.getString(1), r.getLong(8),
         r.getLong(9))).toSeq
     assert(same.forall(_ == (("common", 0L, 0L))))
+    // the 100× path: the diff composes with the APPROX provider
+    // (n_distinct_est renamed; same provider both sides) — exact
+    // count lanes match the exact provider's, self-diff is quiet
+    def approxP(df: org.apache.spark.sql.DataFrame,
+        cols: Seq[String]) =
+      Profile.profileApprox(df, cols, portable = true)
+        .withColumnRenamed("n_distinct_est", "n_distinct")
+    val aDiff = Profile.profileDiffProfiles(
+        approxP(ref, Seq("id", "tag")),
+        approxP(cur, Seq("id", "bucket")))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(aDiff("id") == (("common", 50L, 81L, 50L, 81L)))
+    assert(aDiff("tag")._1 == "removed" &&
+      aDiff("bucket")._1 == "added")
+    val aSame = Profile.profileDiffProfiles(
+        approxP(ref, Seq("id", "tag")), approxP(ref, Seq("id", "tag")))
+      .collect().map(r => (r.getString(1), r.getLong(8),
+        r.getLong(9))).toSeq
+    assert(aSame.forall(_ == (("common", 0L, 0L))))
   }
 
   test("driftReport rows ≡ the four solo statistics on the same frame") {
