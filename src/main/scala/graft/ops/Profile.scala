@@ -1259,6 +1259,50 @@ object Profile {
       .select(col("n1"), col("n2"), col("tvd_num"), col("tvd_micro"))
   }
 
+  /** CONTINGENCY association profile between two categorical
+    * columns — the STATISTICAL-dependence half of schema discovery
+    * beside the FD map ([[fdProfile]] finds deterministic
+    * dependence; this measures association strength cell by cell):
+    * one row per observed (a, b) cell with its count, both
+    * marginals, and the integer independence deviation
+    *
+    *   dev_num = |n·cnt − row_n·col_n|
+    *
+    * — the EXACT numerator χ²'s per-cell terms, Cramér's V and
+    * mutual information are all read from (each divides or logs it,
+    * which no cross-engine gate can hash; the raw integer deviation
+    * rows gate bit-for-bit and show WHERE the dependence lives —
+    * the binned-TVD discipline applied to the χ² family).
+    * dev_num = 0 for every cell ⇔ the two columns are exactly
+    * independent in the rational sense. Plan: ONE (a, b) count
+    * aggregate over one scan (map-side combinable, ≤|A|·|B| rows);
+    * both marginals are roll-ups of THAT count frame — the data is
+    * never rescanned; the 1-row grand total attaches by broadcast
+    * (allowlisted). Nulls excluded per the family contract. */
+  def contingencyProfile(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("cnt"))
+    val ra = cells.groupBy(col(aCol))
+      .agg(sum(col("cnt")).as("row_n"))
+      .select(col(aCol).as("__a2"), col("row_n"))
+    val cb = cells.groupBy(col(bCol))
+      .agg(sum(col("cnt")).as("col_n"))
+      .select(col(bCol).as("__b2"), col("col_n"))
+    val tot = cells.agg(sum(col("cnt")).as("n"))
+    cells.join(ra, col(aCol) === col("__a2")).drop("__a2")
+      .join(cb, col(bCol) === col("__b2")).drop("__b2")
+      .crossJoin(broadcast(tot)) // 1-row grand-total attach
+      .withColumn("dev_num", expr(
+        s"CAST(abs(CAST(n AS $d38) * cnt - " +
+          s"CAST(row_n AS $d38) * col_n) AS BIGINT)"))
+      .select(col(aCol), col(bCol), col("cnt"), col("row_n"),
+        col("col_n"), col("n"), col("dev_num"))
+  }
+
   /** Per-GROUP total-variation drift — [[tvdDrift]] keyed on a
     * segment column: label-mix drift per length bucket / topic /
     * time window. Same integer numerator per group; ≤|groups| totals

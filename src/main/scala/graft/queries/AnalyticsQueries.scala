@@ -2968,66 +2968,11 @@ object AnalyticsQueries {
     // duplicate (l_orderkey, l_linenumber) pairs, the R return flag
     // outside the closed {A, N} domain, quantities above 25.
     QuerySpec("q240_expectations_abort",
-      (s, dir) => {
-        import graft.ops.Expectations._
-        val l = table(s, dir, "lineitem").withColumn("qty_centi",
-          (col("l_quantity").cast("decimal(18,2)") * 100)
-            .cast("long"))
-        wouldAbort(l, Seq(
-          NotNull("extprice_not_null", "l_extendedprice"),
-          InRange("quantity_centi_range", "qty_centi", 100L, 2500L),
-          AcceptedValues("returnflag_domain", "l_returnflag",
-            Seq("A", "N")),
-          MatchesRegex("linestatus_format", "l_linestatus", "[OF]"),
-          Unique("orderkey_linenumber_unique",
-            Seq("l_orderkey", "l_linenumber")),
-          ForeignKey("orderkey_fk", "l_orderkey",
-            table(s, dir, "orders"), "o_orderkey"),
-          // the batch-size guards (r14): the cap is deliberately
-          // below the table size so the OVERAGE lane fires with its
-          // exact distance; the nonempty guard passes and drops out
-          SizeBetween("batch_size_cap", 1L, 50000L),
-          SizeBetween("batch_nonempty", 1L, 10000000L)))
-          .orderBy(col("rule_ord"))
-      },
-      Some("""WITH l AS (SELECT *,
-        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS qty_centi FROM lineitem)
-        |SELECT * FROM (
-        |  SELECT CAST(0 AS BIGINT) AS rule_ord,
-        |    'extprice_not_null' AS rule,
-        |    CAST(SUM(CASE WHEN l_extendedprice IS NULL
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM l
-        |  UNION ALL SELECT 1, 'quantity_centi_range',
-        |    CAST(SUM(CASE WHEN qty_centi IS NOT NULL AND
-        |      (qty_centi < 100 OR qty_centi > 2500)
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM l
-        |  UNION ALL SELECT 2, 'returnflag_domain',
-        |    CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND
-        |      l_returnflag NOT IN ('A', 'N')
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM l
-        |  UNION ALL SELECT 3, 'linestatus_format',
-        |    CAST(SUM(CASE WHEN l_linestatus IS NOT NULL AND NOT
-        |      regexp_full_match(l_linestatus, '(?:[OF])')
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM l
-        |  UNION ALL SELECT 4, 'orderkey_linenumber_unique',
-        |    CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
-        |      (SELECT COUNT(*) AS c FROM l
-        |       GROUP BY l_orderkey, l_linenumber)) AS BIGINT)
-        |  UNION ALL SELECT 5, 'orderkey_fk',
-        |    CAST((SELECT COUNT(*) FROM l
-        |      WHERE l_orderkey IS NOT NULL AND NOT EXISTS
-        |        (SELECT 1 FROM orders o
-        |         WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
-        |  UNION ALL SELECT 6, 'batch_size_cap',
-        |    CAST((SELECT CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
-        |      WHEN COUNT(*) > 50000 THEN COUNT(*) - 50000
-        |      ELSE 0 END FROM l) AS BIGINT)
-        |  UNION ALL SELECT 7, 'batch_nonempty',
-        |    CAST((SELECT CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
-        |      WHEN COUNT(*) > 10000000 THEN COUNT(*) - 10000000
-        |      ELSE 0 END FROM l) AS BIGINT)
-        |) WHERE violations > 0 ORDER BY rule_ord""".stripMargin)),
+      (s, dir) => graft.ops.Expectations.wouldAbort(
+          lineitemWithQty(s, dir), lineitemRules(s, dir))
+        .orderBy(col("rule_ord")),
+      Some(lineitemRuleArmsSql +
+        "\nWHERE violations > 0 ORDER BY rule_ord")),
 
     // Streaming drift monitor, one epoch under the oracle (r14,
     // VERDICT r13 #7): the fixture replays epoch 0 of driftMonitor
@@ -3155,6 +3100,53 @@ object AnalyticsQueries {
         |    AS tau_micro
         |FROM n LEFT JOIN d ON n.g = d.g
         |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Streaming quality monitor, one epoch under the oracle (r14):
+    // the expectations dashboard feed beside q240's abort path —
+    // the FULL 8-rule report (zeros included; a dashboard needs
+    // them) landed per epoch through the real qualityMonitorBatch
+    // ledger path. Oracle = q240's arms unfiltered, epoch-prefixed.
+    QuerySpec("q248_quality_monitor_epoch",
+      (s, dir) => {
+        val root = qualityMonitorRoot(s, dir)
+        s.read.parquet(s"$root/monitor/epoch_0")
+          .orderBy(col("rule_ord"))
+      },
+      Some(s"""SELECT CAST(0 AS BIGINT) AS epoch, q.*
+           |FROM ($lineitemRuleArmsSql) q
+           |ORDER BY rule_ord""".stripMargin)),
+
+    // Contingency association profile (r14): the statistical-
+    // dependence half of schema discovery beside q233's FD map —
+    // per-cell integer independence deviations |n·cnt − ra·cb|, the
+    // exact numerator χ²/Cramér's V/MI are read from (their
+    // divisions and logs cannot hash cross-engine; the raw integer
+    // rows can, and show WHERE dependence lives). One count
+    // aggregate over one scan; marginals roll up the count frame.
+    QuerySpec("q247_contingency",
+      (s, dir) => graft.ops.Profile.contingencyProfile(
+          table(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""WITH c AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY l_returnflag, l_linestatus),
+        |ra AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT)
+        |    AS row_n FROM c GROUP BY l_returnflag),
+        |cb AS (SELECT l_linestatus, CAST(SUM(cnt) AS BIGINT)
+        |    AS col_n FROM c GROUP BY l_linestatus),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+        |SELECT c.l_returnflag, c.l_linestatus, c.cnt, ra.row_n,
+        |  cb.col_n, t.n,
+        |  CAST(ABS(CAST(t.n AS HUGEINT) * c.cnt -
+        |    CAST(ra.row_n AS HUGEINT) * cb.col_n) AS BIGINT)
+        |    AS dev_num
+        |FROM c
+        |JOIN ra ON c.l_returnflag = ra.l_returnflag
+        |JOIN cb ON c.l_linestatus = cb.l_linestatus
+        |CROSS JOIN t
+        |ORDER BY c.l_returnflag, c.l_linestatus""".stripMargin)),
 
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
@@ -3410,6 +3402,96 @@ object AnalyticsQueries {
             .filter(col("source") === "src1"), "lang", "n_chars")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/ref")
+    }
+  }
+
+  /** The q240/q248 lineitem batch: the raw table plus the derived
+    * centi-quantity the range rule reads. */
+  private def lineitemWithQty(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "lineitem").withColumn("qty_centi",
+      (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+
+  /** The shared q240/q248 rule set — every declarative kind over
+    * real lineitem facts: the duplicate (l_orderkey, l_linenumber)
+    * pairs, the R return flag outside {A, N}, quantities above 25,
+    * and a batch-size cap deliberately below the table size so the
+    * overage lane fires with its exact distance; the clean rules
+    * exercise the q240 drop-out and the q248 zero rows. */
+  private def lineitemRules(s: SparkSession,
+      dir: String): Seq[graft.ops.Expectations.Rule] = {
+    import graft.ops.Expectations._
+    Seq(
+      NotNull("extprice_not_null", "l_extendedprice"),
+      InRange("quantity_centi_range", "qty_centi", 100L, 2500L),
+      AcceptedValues("returnflag_domain", "l_returnflag",
+        Seq("A", "N")),
+      MatchesRegex("linestatus_format", "l_linestatus", "[OF]"),
+      Unique("orderkey_linenumber_unique",
+        Seq("l_orderkey", "l_linenumber")),
+      ForeignKey("orderkey_fk", "l_orderkey",
+        table(s, dir, "orders"), "o_orderkey"),
+      SizeBetween("batch_size_cap", 1L, 50000L),
+      SizeBetween("batch_nonempty", 1L, 10000000L))
+  }
+
+  /** The full 8-rule report over the lineitem batch as DuckDB arms —
+    * shared by q240 (filtered to the would-abort rows) and q248
+    * (the per-epoch quality-monitor ledger, zeros included,
+    * epoch-prefixed). */
+  private val lineitemRuleArmsSql: String =
+    """WITH l AS (SELECT *,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS qty_centi FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS rule_ord,
+      |    'extprice_not_null' AS rule,
+      |    CAST(SUM(CASE WHEN l_extendedprice IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM l
+      |  UNION ALL SELECT 1, 'quantity_centi_range',
+      |    CAST(SUM(CASE WHEN qty_centi IS NOT NULL AND
+      |      (qty_centi < 100 OR qty_centi > 2500)
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM l
+      |  UNION ALL SELECT 2, 'returnflag_domain',
+      |    CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND
+      |      l_returnflag NOT IN ('A', 'N')
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM l
+      |  UNION ALL SELECT 3, 'linestatus_format',
+      |    CAST(SUM(CASE WHEN l_linestatus IS NOT NULL AND NOT
+      |      regexp_full_match(l_linestatus, '(?:[OF])')
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM l
+      |  UNION ALL SELECT 4, 'orderkey_linenumber_unique',
+      |    CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+      |      (SELECT COUNT(*) AS c FROM l
+      |       GROUP BY l_orderkey, l_linenumber)) AS BIGINT)
+      |  UNION ALL SELECT 5, 'orderkey_fk',
+      |    CAST((SELECT COUNT(*) FROM l
+      |      WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+      |        (SELECT 1 FROM orders o
+      |         WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |  UNION ALL SELECT 6, 'batch_size_cap',
+      |    CAST((SELECT CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
+      |      WHEN COUNT(*) > 50000 THEN COUNT(*) - 50000
+      |      ELSE 0 END FROM l) AS BIGINT)
+      |  UNION ALL SELECT 7, 'batch_nonempty',
+      |    CAST((SELECT CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
+      |      WHEN COUNT(*) > 10000000 THEN COUNT(*) - 10000000
+      |      ELSE 0 END FROM l) AS BIGINT)
+      |)""".stripMargin
+
+  /** Build-once replay of ONE [[graft.streaming.StreamingIngest
+    * .qualityMonitor]] epoch for q248: the full lineitem batch
+    * judged by the shared rule set through the real per-epoch
+    * ledger path. */
+  private def qualityMonitorRoot(s: SparkSession,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/lineitem.parquet")
+    FixtureCache.ensure(
+        s"/tmp/graft_quality_monitor/${tag}_$fp") { tmp =>
+      graft.streaming.StreamingIngest.qualityMonitorBatch(
+        lineitemWithQty(s, dir), lineitemRules(s, dir),
+        s"$tmp/monitor", 0L)
     }
   }
 

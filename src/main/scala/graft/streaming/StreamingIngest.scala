@@ -373,6 +373,43 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming DATA-QUALITY monitor — the declarative expectations
+    * surface as a PER-EPOCH ledger (the dashboard feed;
+    * `Expectations.requireClean` wired into an ingest is the ABORT
+    * path, this is the observe path — production runs both): each
+    * micro-batch's FULL rule report — every rule, violated or not,
+    * a dashboard needs the zeros — lands as
+    * `(epoch, rule_ord, rule, violations)` under
+    * `monitorDir/epoch_N`. Each batch is judged on its own (rule
+    * counts are not cumulative), so there is no state to ledger:
+    * replay safety is the plain idempotent overwrite of the replayed
+    * epoch's directory, and the cost per epoch is [[Expectations
+    * .check]]'s plan — one fused scan for all row-local rules plus
+    * the minimal keyed plan per set-wide rule. */
+  def qualityMonitor(stream: DataFrame,
+      rules: Seq[graft.ops.Expectations.Rule], checkpointDir: String,
+      monitorDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        qualityMonitorBatch(batch, rules, monitorDir, epochId)
+      }
+      .start()
+
+  /** One epoch of [[qualityMonitor]], separated so the batch path is
+    * directly testable and driver-gateable. */
+  def qualityMonitorBatch(batch: DataFrame,
+      rules: Seq[graft.ops.Expectations.Rule], monitorDir: String,
+      epochId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.ops.Expectations.check(batch, rules)
+      .withColumn("epoch", lit(epochId))
+      .select(col("epoch"), col("rule_ord"), col("rule"),
+        col("violations"))
+      .coalesce(1) // ≤|rules| rows
+      .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
+  }
+
   /** Streaming DRIFT MONITOR — the readStream twin of the
     * steady-state drift probe (`Profile.ksDriftAgainstRef`): per
     * micro-batch, the batch's values merge into a cumulative

@@ -178,7 +178,10 @@ class PlanSpec extends SparkSuite {
       // q238 is q230's tail over the persisted-reference merged count
       // frame — the same four 1-row (no-grouping .agg()) totals
       // attaches, nothing data-sized on either side
-      "q238_drift_report_steady")
+      "q238_drift_report_steady",
+      // q247 attaches the 1-row grand total (a no-grouping .agg() of
+      // the ≤|A|·|B|-row cell frame) to the cell rows
+      "q247_contingency")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

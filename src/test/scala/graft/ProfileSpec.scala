@@ -567,6 +567,36 @@ class ProfileSpec extends SparkSuite {
     assert(tvdSteady.keySet == Set("g1", "g2"))
   }
 
+  test("contingencyProfile: exactly-independent product frame → " +
+      "all-zero deviations; planted dependence localized to its " +
+      "cells; nulls excluded") {
+    // product frame: count(a, b) = f(a)·g(b) — independence exact
+    val prod = for {
+      (a, fa) <- Seq(("x", 2), ("y", 3))
+      (b, gb) <- Seq(("p", 1), ("q", 4))
+      _ <- 1 to fa * gb
+    } yield (a, b)
+    val zero = Profile.contingencyProfile(prod.toDF("a", "b"), "a", "b")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(6)))).toMap
+    assert(zero.size == 4 && zero.values.forall(_._2 == 0L))
+    assert(zero(("y", "q")) == ((12L, 0L))) // cnt 3·4 = 12 of n 25
+    // planted: c only ever pairs with r — dev concentrates there
+    val dep = prod ++ Seq.fill(10)(("c", "r"))
+    val out = Profile.contingencyProfile(
+        (dep ++ Seq((null, "p"), ("x", null)))
+          .toDF("a", "b"), "a", "b")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // nulls dropped: n = 25 + 10 = 35
+    assert(out(("c", "r")) == ((10L, 10L, 10L, 35L,
+      35L * 10L - 10L * 10L))) // |35·10 − 10·10| = 250
+    // hand-check one product cell against the BigInt definition
+    val (cnt, ra, cb, n, dev) = out(("x", "p"))
+    assert(dev == (BigInt(n) * cnt - BigInt(ra) * cb).abs.toLong)
+  }
+
   test("profileDiff: added/removed/common status, count pairs, " +
       "null-safe min/max changed flags") {
     val ref = (1L to 50L).map(v => (v, if (v % 5 == 0) null

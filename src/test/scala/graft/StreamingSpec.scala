@@ -146,6 +146,41 @@ class StreamingSpec extends SparkSuite {
     assert(rep(spark.read.parquet(s"$dir/monitor/epoch_1")) == e1)
   }
 
+  test("streaming quality monitor: each epoch's full rule report " +
+      "== check() on that batch ALONE (not cumulative); zeros kept; " +
+      "replay overwrite idempotent") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Expectations
+    import graft.ops.Expectations._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("quality_monitor").toString
+    val rules = Seq(
+      InRange("v_range", "v", 0L, 100L),
+      SizeBetween("big_enough", 5L, 1000L))
+    val b1 = (1L to 10L)            // clean, size ok
+    val b2 = Seq(150L, 151L, 3L)    // 2 range hits, size shortfall 2
+    val stream = MemoryStream[Long]
+    val q = StreamingIngest.qualityMonitor(stream.toDS().toDF("v"),
+      rules, s"$dir/ckpt", s"$dir/monitor")
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    def rep(p: String) = spark.read.parquet(p)
+      .select($"rule", $"violations").as[(String, Long)]
+      .collect().toMap
+    assert(rep(s"$dir/monitor/epoch_0") ==
+      Map("v_range" -> 0L, "big_enough" -> 0L))
+    // epoch 1 judged ALONE: 2 out-of-range, size 3 < 5 → 2
+    assert(rep(s"$dir/monitor/epoch_1") ==
+      Map("v_range" -> 2L, "big_enough" -> 2L))
+    // replayed epoch: plain idempotent overwrite
+    StreamingIngest.qualityMonitorBatch(b2.toDF("v"), rules,
+      s"$dir/monitor", 1L)
+    assert(rep(s"$dir/monitor/epoch_1") ==
+      Map("v_range" -> 2L, "big_enough" -> 2L))
+  }
+
   test("streaming as-of enrich == batch asofJoinSkewSafe under " +
       "in-order delivery; carry survives the batch boundary") {
     import graft.streaming.{AsofEvent, StreamingIngest}
