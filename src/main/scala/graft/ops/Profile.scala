@@ -1278,7 +1278,11 @@ object Profile {
     * aggregate over one scan (map-side combinable, ≤|A|·|B| rows);
     * both marginals are roll-ups of THAT count frame — the data is
     * never rescanned; the 1-row grand total attaches by broadcast
-    * (allowlisted). Nulls excluded per the family contract. */
+    * (allowlisted). Nulls excluded per the family contract. Domain:
+    * dev_num ≤ n·cnt ≤ n², so the BIGINT cell rows are exact for
+    * n ≤ 3·10⁹ rows (the CvM-style documented bound; beyond it run
+    * the summary form [[associationMap]], whose micro output only
+    * needs DECIMAL(38,0) internally — exact to n ≈ 10¹⁵). */
   def contingencyProfile(df: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
@@ -1301,6 +1305,65 @@ object Profile {
           s"CAST(row_n AS $d38) * col_n) AS BIGINT)"))
       .select(col(aCol), col(bCol), col("cnt"), col("row_n"),
         col("col_n"), col("n"), col("dev_num"))
+  }
+
+  /** ASSOCIATION MAP over every unordered column pair — the
+    * statistical companion to the FD map ([[fdProfile]] answers
+    * "does a DETERMINE b"; this answers "how far from independent
+    * are a and b", symmetric): for each pair, the total-variation
+    * distance between the observed JOINT distribution and the
+    * product of the marginals,
+    *
+    *   assoc_micro = (10⁶ · Σ_cells |n·cnt − row_n·col_n|) div (2·n²)
+    *
+    * — 0 = exactly independent, →10⁶ = deterministic coupling; the
+    * same integer TVD discipline as the drift family, where χ² / MI
+    * / Cramér's V cannot hash cross-engine (per-cell divisions and
+    * logs). Per pair: one (a, b) count aggregate over one scan
+    * (map-side combinable, ≤|A|·|B| rows) with marginals rolled up
+    * from THAT frame — C(k, 2) count jobs for k columns, the
+    * [[fdProfile]] cost discipline; every intermediate product rides
+    * DECIMAL(38,0) (|n·cnt − ra·cb| ≤ n², summed over ≤n cells).
+    * Pairs drill down with [[contingencyProfile]], which shows WHERE
+    * the dependence lives. Nulls excluded per pair (the family
+    * contract — a pair's n is its both-non-null row count). Output:
+    * (col_a, col_b, n, cells, assoc_micro), one row per pair in the
+    * given column order. */
+  def associationMap(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"associationMap: need >= 2 distinct columns, got $cols")
+    val d38 = "decimal(38,0)"
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val cells = df
+        .filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("cnt"))
+      val ra = cells.groupBy(col("__a"))
+        .agg(sum(col("cnt")).as("__ra"))
+        .select(col("__a").as("__a2"), col("__ra"))
+      val cb = cells.groupBy(col("__b"))
+        .agg(sum(col("cnt")).as("__cb"))
+        .select(col("__b").as("__b2"), col("__cb"))
+      val tot = cells.agg(sum(col("cnt")).as("__n"))
+      cells.join(ra, col("__a") === col("__a2")).drop("__a2")
+        .join(cb, col("__b") === col("__b2")).drop("__b2")
+        .crossJoin(broadcast(tot)) // 1-row grand-total attach
+        .agg(coalesce(max(col("__n")), lit(0L)).as("n"),
+          count(lit(1)).as("cells"),
+          coalesce(sum(expr(s"abs(CAST(__n AS $d38) * cnt - " +
+              s"CAST(__ra AS $d38) * __cb)")).cast(d38),
+            lit(0).cast(d38)).as("__s"))
+        .withColumn("assoc_micro",
+          when(col("n") === 0L, lit(null).cast("long")) // undefined
+            .otherwise(expr(
+              s"CAST((CAST(1000000 AS $d38) * __s) div " +
+                s"(2 * CAST(n AS $d38) * n) AS BIGINT)")))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          col("cells"), col("assoc_micro"))
+    }.reduce(_ unionByName _)
   }
 
   /** Per-GROUP total-variation drift — [[tvdDrift]] keyed on a

@@ -3148,6 +3148,54 @@ object AnalyticsQueries {
         |CROSS JOIN t
         |ORDER BY c.l_returnflag, c.l_linestatus""".stripMargin)),
 
+    // Association map (r14): the FD map's statistical companion —
+    // for every unordered column pair, the TVD between the observed
+    // joint and the product of marginals in integer micros (0 =
+    // independent, →10⁶ = deterministic coupling), the dependence
+    // sweep that says WHICH pairs deserve a q247 drill-down; oracle
+    // GENERATED from the same column list (the q233 discipline) so
+    // the pair arms cannot drift.
+    QuerySpec("q249_association_map",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderstatus"), col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        graft.ops.Profile.associationMap(o,
+          Seq("o_orderstatus", "o_orderpriority", "o_year"))
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some {
+        val cols = Seq(
+          "o_orderstatus" -> "o_orderstatus",
+          "o_orderpriority" -> "o_orderpriority",
+          "o_year" -> "CAST(year(o_orderdate) AS BIGINT)")
+        val arms = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield {
+          val (an, ae) = cols(i); val (bn, be) = cols(j)
+          s"""SELECT '$an' AS col_a, '$bn' AS col_b,
+             |  CAST(x.n AS BIGINT) AS n,
+             |  CAST(x.cells AS BIGINT) AS cells,
+             |  CAST((1000000 * x.s) //
+             |    (2 * CAST(x.n AS HUGEINT) * x.n) AS BIGINT)
+             |    AS assoc_micro
+             |FROM (
+             |  WITH c AS (SELECT $ae AS a, $be AS b,
+             |      CAST(COUNT(*) AS BIGINT) AS cnt FROM orders
+             |    WHERE $ae IS NOT NULL AND $be IS NOT NULL
+             |    GROUP BY 1, 2),
+             |  r AS (SELECT a, SUM(cnt) AS ra FROM c GROUP BY a),
+             |  sb AS (SELECT b, SUM(cnt) AS cb FROM c GROUP BY b),
+             |  t AS (SELECT SUM(cnt) AS n FROM c)
+             |  SELECT t.n, COUNT(*) AS cells,
+             |    SUM(ABS(CAST(t.n AS HUGEINT) * cnt -
+             |      CAST(r.ra AS HUGEINT) * sb.cb)) AS s
+             |  FROM c JOIN r USING (a) JOIN sb USING (b)
+             |  CROSS JOIN t GROUP BY t.n) x""".stripMargin
+        }
+        arms.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
+      }),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

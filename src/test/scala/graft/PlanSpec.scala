@@ -180,8 +180,9 @@ class PlanSpec extends SparkSuite {
       // attaches, nothing data-sized on either side
       "q238_drift_report_steady",
       // q247 attaches the 1-row grand total (a no-grouping .agg() of
-      // the ≤|A|·|B|-row cell frame) to the cell rows
-      "q247_contingency")
+      // the ≤|A|·|B|-row cell frame) to the cell rows; q249 repeats
+      // that 1-row attach once per column pair
+      "q247_contingency", "q249_association_map")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

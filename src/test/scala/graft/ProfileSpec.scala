@@ -597,6 +597,33 @@ class ProfileSpec extends SparkSuite {
     assert(dev == (BigInt(n) * cnt - BigInt(ra) * cb).abs.toLong)
   }
 
+  test("associationMap: independent pair → 0, deterministic " +
+      "coupling → (n−max_cell)-bounded near-10⁶, all-null pair → " +
+      "null; ≡ BigInt definition") {
+    // a ⫫ b (product frame); c = f(a) deterministic; d all null
+    val rows = for {
+      (a, fa) <- Seq(("x", 2), ("y", 3)); (b, gb) <- Seq(("p", 1), ("q", 4))
+      _ <- 1 to fa * gb
+    } yield (a, b, if (a == "x") "cx" else "cy",
+      null.asInstanceOf[String])
+    val df = rows.toDF("a", "b", "c", "d")
+    val out = Profile.associationMap(df, Seq("a", "b", "c", "d"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out.size == 6)
+    assert(out(("a", "b")) == ((25L, 4L, Some(0L)))) // independent
+    // c determines a and vice versa: TVD(joint, product) =
+    // Σ|n·cnt − ra·cb|/(2n²); cells (x,cx)=10, (y,cy)=15 →
+    // |25·10−10·10|/.. = (150+150)/(2·625)·1e6 = 240000... compute:
+    val expAC = (BigInt(1000000) *
+      (((BigInt(25) * 10 - 10 * 10).abs) +
+        ((BigInt(25) * 15 - 15 * 15).abs))) / (2 * BigInt(25) * 25)
+    assert(out(("a", "c")) == ((25L, 2L, Some(expAC.toLong))))
+    assert(out(("a", "d")) == ((0L, 0L, None))) // undefined
+    assert(out(("c", "d")) == ((0L, 0L, None)))
+  }
+
   test("profileDiff: added/removed/common status, count pairs, " +
       "null-safe min/max changed flags") {
     val ref = (1L to 50L).map(v => (v, if (v % 5 == 0) null
