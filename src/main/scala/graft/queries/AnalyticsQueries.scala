@@ -3210,61 +3210,106 @@ object AnalyticsQueries {
     QuerySpec("q245_profile_diff",
       (s, dir) => {
         val root = refProfileRoot(s, dir)
-        val cur = table(s, dir, "orders").select(
-          col("o_orderkey"), col("o_custkey"),
-          floor(col("o_totalprice") * 100 + 0.5).cast("long")
-            .as("o_totalprice_cents"),
-          col("o_orderpriority"))
         graft.ops.Profile.profileDiff(
-            s.read.parquet(s"$root/ref"), cur,
-            Seq("o_orderkey", "o_custkey", "o_totalprice_cents",
-              "o_orderpriority"))
+            s.read.parquet(s"$root/ref"), curOrdersFrame(s, dir),
+            curOrdersCols)
           .orderBy(col("col_name"))
       },
-      Some {
-        def arms(filter: String, cols: Seq[(String, String)]) =
-          cols.map { case (name, e) =>
-            s"""SELECT '$name' AS col_name, COUNT(*) AS n,
-               |  COUNT($e) AS n_nonnull,
-               |  COUNT(DISTINCT $e) AS n_distinct,
-               |  CAST(MIN($e) AS VARCHAR) AS min_s,
-               |  CAST(MAX($e) AS VARCHAR) AS max_s
-               |FROM orders $filter""".stripMargin
-          }.mkString("\nUNION ALL\n")
-        val cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
-        val refArms = arms(
-          "WHERE o_orderdate < TIMESTAMP '1996-01-01'",
-          Seq("o_orderkey" -> "o_orderkey",
-            "o_custkey" -> "o_custkey",
-            "o_orderstatus" -> "o_orderstatus",
-            "o_totalprice_cents" -> cents))
-        val curArms = arms("",
-          Seq("o_orderkey" -> "o_orderkey",
-            "o_custkey" -> "o_custkey",
-            "o_totalprice_cents" -> cents,
-            "o_orderpriority" -> "o_orderpriority"))
-        s"""WITH rp AS ($refArms),
-           |cp AS ($curArms)
-           |SELECT COALESCE(rp.col_name, cp.col_name) AS col_name,
-           |  CASE WHEN rp.col_name IS NULL THEN 'added'
-           |       WHEN cp.col_name IS NULL THEN 'removed'
-           |       ELSE 'common' END AS status,
-           |  CAST(COALESCE(rp.n, 0) AS BIGINT) AS n_ref,
-           |  CAST(COALESCE(cp.n, 0) AS BIGINT) AS n_cur,
-           |  CAST(COALESCE(rp.n_nonnull, 0) AS BIGINT) AS nonnull_ref,
-           |  CAST(COALESCE(cp.n_nonnull, 0) AS BIGINT) AS nonnull_cur,
-           |  CAST(COALESCE(rp.n_distinct, 0) AS BIGINT)
-           |    AS distinct_ref,
-           |  CAST(COALESCE(cp.n_distinct, 0) AS BIGINT)
-           |    AS distinct_cur,
-           |  CAST(rp.min_s IS DISTINCT FROM cp.min_s AS BIGINT)
-           |    AS min_changed,
-           |  CAST(rp.max_s IS DISTINCT FROM cp.max_s AS BIGINT)
-           |    AS max_changed
-           |FROM rp FULL JOIN cp ON rp.col_name = cp.col_name
-           |ORDER BY col_name""".stripMargin
-      })
+      Some(profileDiffOracleSql)),
+
+    // Streaming profile monitor, one epoch under the oracle (r14):
+    // the monitor trio's third leg — drift watches distributions
+    // (q241/q244), quality watches rules (q248), this watches the
+    // column-level SHAPE: each batch's one-scan profile diffs
+    // against the blessed reference and lands per epoch. The fixture
+    // replays epoch 0 with the full current frame, so the ledger
+    // row set equals q245 epoch-prefixed (oracle shared).
+    QuerySpec("q250_profile_monitor_epoch",
+      (s, dir) => {
+        val root = profileMonitorRoot(s, dir)
+        s.read.parquet(s"$root/monitor/epoch_0")
+          .orderBy(col("col_name"))
+      },
+      Some(s"""SELECT CAST(0 AS BIGINT) AS epoch, q.*
+           |FROM ($profileDiffOracleSql) q
+           |ORDER BY col_name""".stripMargin))
   )
+
+  /** q245/q250's CURRENT side: the full orders table with the
+    * derived centi-price, profiled over [[curOrdersCols]]. */
+  private val curOrdersCols = Seq("o_orderkey", "o_custkey",
+    "o_totalprice_cents", "o_orderpriority")
+  private def curOrdersFrame(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long")
+        .as("o_totalprice_cents"),
+      col("o_orderpriority"))
+
+  /** Build-once replay of ONE [[graft.streaming.StreamingIngest
+    * .profileMonitor]] epoch for q250: the full current orders frame
+    * diffed against q245's blessed profile through the real
+    * per-epoch ledger path. */
+  private def profileMonitorRoot(s: SparkSession,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/orders.parquet")
+    val refRoot = refProfileRoot(s, dir)
+    FixtureCache.ensure(
+        s"/tmp/graft_profile_monitor/${tag}_$fp") { tmp =>
+      graft.streaming.StreamingIngest.profileMonitorBatch(
+        curOrdersFrame(s, dir), s.read.parquet(s"$refRoot/ref"),
+        curOrdersCols, s"$tmp/monitor", 0L)
+    }
+  }
+
+  /** The profile-diff oracle (blessed pre-1996 snapshot profile vs
+    * the full current frame) — shared VERBATIM by q245 and,
+    * epoch-prefixed, by q250's monitor replay. */
+  private val profileDiffOracleSql: String = {
+    def arms(filter: String, cols: Seq[(String, String)]) =
+      cols.map { case (name, e) =>
+        s"""SELECT '$name' AS col_name, COUNT(*) AS n,
+           |  COUNT($e) AS n_nonnull,
+           |  COUNT(DISTINCT $e) AS n_distinct,
+           |  CAST(MIN($e) AS VARCHAR) AS min_s,
+           |  CAST(MAX($e) AS VARCHAR) AS max_s
+           |FROM orders $filter""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    val cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    val refArms = arms(
+      "WHERE o_orderdate < TIMESTAMP '1996-01-01'",
+      Seq("o_orderkey" -> "o_orderkey",
+        "o_custkey" -> "o_custkey",
+        "o_orderstatus" -> "o_orderstatus",
+        "o_totalprice_cents" -> cents))
+    val curArms = arms("",
+      Seq("o_orderkey" -> "o_orderkey",
+        "o_custkey" -> "o_custkey",
+        "o_totalprice_cents" -> cents,
+        "o_orderpriority" -> "o_orderpriority"))
+    s"""WITH rp AS ($refArms),
+       |cp AS ($curArms)
+       |SELECT COALESCE(rp.col_name, cp.col_name) AS col_name,
+       |  CASE WHEN rp.col_name IS NULL THEN 'added'
+       |       WHEN cp.col_name IS NULL THEN 'removed'
+       |       ELSE 'common' END AS status,
+       |  CAST(COALESCE(rp.n, 0) AS BIGINT) AS n_ref,
+       |  CAST(COALESCE(cp.n, 0) AS BIGINT) AS n_cur,
+       |  CAST(COALESCE(rp.n_nonnull, 0) AS BIGINT) AS nonnull_ref,
+       |  CAST(COALESCE(cp.n_nonnull, 0) AS BIGINT) AS nonnull_cur,
+       |  CAST(COALESCE(rp.n_distinct, 0) AS BIGINT)
+       |    AS distinct_ref,
+       |  CAST(COALESCE(cp.n_distinct, 0) AS BIGINT)
+       |    AS distinct_cur,
+       |  CAST(rp.min_s IS DISTINCT FROM cp.min_s AS BIGINT)
+       |    AS min_changed,
+       |  CAST(rp.max_s IS DISTINCT FROM cp.max_s AS BIGINT)
+       |    AS max_changed
+       |FROM rp FULL JOIN cp ON rp.col_name = cp.col_name
+       |ORDER BY col_name""".stripMargin
+  }
 
   // ---- BPE tokenizer training (q177/q178) ---------------------------
 

@@ -410,6 +410,44 @@ object StreamingIngest {
       .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
   }
 
+  /** Streaming PROFILE monitor — the third leg of the monitor trio
+    * (drift watches value DISTRIBUTIONS, quality watches RULES, this
+    * watches the column-level SHAPE): each micro-batch's one-scan
+    * [[graft.ops.Profile.profile]] diffs against the BLESSED
+    * reference profile (`Profile.profileDiffProfiles` — status /
+    * count pairs / null-safe min-max flags) and lands as the
+    * per-epoch ledger under `monitorDir/epoch_N`. Batches are judged
+    * ALONE (a batch whose null rate or value envelope jumps is the
+    * anomaly signal; cumulative column stats are the steady
+    * [[graft.ops.Profile.profileDiff]] batch call's job), so like
+    * [[qualityMonitor]] there is no state — replay safety is the
+    * idempotent epoch-dir overwrite. */
+  def profileMonitor(stream: DataFrame, refProfile: DataFrame,
+      cols: Seq[String], checkpointDir: String,
+      monitorDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        profileMonitorBatch(batch, refProfile, cols, monitorDir,
+          epochId)
+      }
+      .start()
+
+  /** One epoch of [[profileMonitor]], separated so the batch path is
+    * directly testable and driver-gateable. */
+  def profileMonitorBatch(batch: DataFrame, refProfile: DataFrame,
+      cols: Seq[String], monitorDir: String, epochId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.ops.Profile.profileDiff(refProfile, batch, cols)
+      .withColumn("epoch", lit(epochId))
+      .select(col("epoch"), col("col_name"), col("status"),
+        col("n_ref"), col("n_cur"), col("nonnull_ref"),
+        col("nonnull_cur"), col("distinct_ref"), col("distinct_cur"),
+        col("min_changed"), col("max_changed"))
+      .coalesce(1) // ≤|cols| rows
+      .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
+  }
+
   /** Streaming DRIFT MONITOR — the readStream twin of the
     * steady-state drift probe (`Profile.ksDriftAgainstRef`): per
     * micro-batch, the batch's values merge into a cumulative

@@ -181,6 +181,43 @@ class StreamingSpec extends SparkSuite {
       Map("v_range" -> 2L, "big_enough" -> 2L))
   }
 
+  test("streaming profile monitor: each epoch's column-shape diff " +
+      "vs the blessed profile == profileDiff on that batch alone; " +
+      "replay overwrite idempotent") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.Profile
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("profile_monitor").toString
+    val ref = Profile.profile(
+      (1L to 40L).map(v => (v, v % 5)).toDF("id", "grp"),
+      Seq("id", "grp")).cache(); ref.count()
+    val b1 = (1L to 40L).map(v => (v, v % 5))   // shape-identical
+    val b2 = (100L to 120L).map(v => (v, v % 2)) // envelope + card jump
+    val stream = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.profileMonitor(
+      stream.toDS().toDF("id", "grp"), ref, Seq("id", "grp"),
+      s"$dir/ckpt", s"$dir/monitor")
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    def rep(p: String) = spark.read.parquet(p)
+      .select($"col_name", $"n_cur", $"distinct_cur", $"min_changed",
+        $"max_changed")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val e0 = rep(s"$dir/monitor/epoch_0")
+    assert(e0("id") == ((40L, 40L, 0L, 0L))) // same shape: quiet
+    assert(e0("grp") == ((40L, 5L, 0L, 0L)))
+    val e1 = rep(s"$dir/monitor/epoch_1") // judged ALONE
+    assert(e1("id") == ((21L, 21L, 1L, 1L))) // envelope moved
+    assert(e1("grp") == ((21L, 2L, 0L, 1L))) // min 0 kept, max 4→1
+    // replayed epoch: plain idempotent overwrite
+    StreamingIngest.profileMonitorBatch(b2.toDF("id", "grp"), ref,
+      Seq("id", "grp"), s"$dir/monitor", 1L)
+    assert(rep(s"$dir/monitor/epoch_1") == e1)
+  }
+
   test("streaming as-of enrich == batch asofJoinSkewSafe under " +
       "in-order delivery; carry survives the batch boundary") {
     import graft.streaming.{AsofEvent, StreamingIngest}
