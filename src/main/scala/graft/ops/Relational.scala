@@ -222,4 +222,47 @@ object Relational {
       .filter(col("__my").isNull || col("y") > col("__my"))
       .select(col(groupCol), col("x"), col("y"))
   }
+
+  /** BASKET CO-OCCURRENCE — frequent item PAIRS with exact support
+    * (the market-basket primitive; the counting core of Apriori's
+    * k = 2 pass and of PMI / embedding co-occurrence tables): one
+    * row per unordered item pair appearing together in ≥ `minSupport`
+    * DISTINCT baskets. Items dedupe within a basket first (support
+    * counts baskets, not line repeats); pairs generate by a
+    * basket-keyed equi self-join under `item_a < item_b`, so the
+    * work is Σ s_b²/2 over basket sizes — one mega-basket would melt
+    * a task quadratically, which is why `maxBasketSize` EXCLUDES
+    * oversized baskets up front (one keyed count aggregate; the
+    * Gopher-filter discipline — and excluding a 10⁶-item basket is
+    * usually the semantically right call anyway: its pairs carry no
+    * affinity signal, only its size). With the cap, per-basket work
+    * is bounded by maxBasketSize², the join is keyed (shuffle on the
+    * basket key, map-side pair generation within equi groups), and
+    * the pair-count aggregate is map-side combinable. Output
+    * (item_a, item_b, support), nulls excluded. */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1,
+      s"coOccurrence: minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2,
+      s"coOccurrence: maxBasketSize must be >= 2, got $maxBasketSize")
+    val items = df.filter(col(itemCol).isNotNull)
+      .select(col(basketCol).as("__k"), col(itemCol).as("__v"))
+      .distinct()
+    val small = items.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select(col("__k").as("__k2"))
+    val kept = items.join(small, col("__k") === col("__k2"),
+      "left_semi")
+    val right = kept.select(col("__k").as("__kb"),
+      col("__v").as("__vb"))
+    kept.join(right,
+        col("__k") === col("__kb") && col("__v") < col("__vb"))
+      .groupBy(col("__v"), col("__vb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select(col("__v").as("item_a"), col("__vb").as("item_b"),
+        col("support"))
+  }
 }

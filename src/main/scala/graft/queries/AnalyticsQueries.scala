@@ -3196,6 +3196,29 @@ object AnalyticsQueries {
         arms.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
       }),
 
+    // Basket co-occurrence (r14): frequent part PAIRS within orders
+    // with exact support — the market-basket / feature-co-occurrence
+    // primitive (Apriori's k=2 counting pass); within-basket
+    // duplicates collapse first (support counts baskets), pairs ride
+    // the basket-keyed self-join under item_a < item_b, and the
+    // maxBasketSize guard bounds the per-basket quadratic (a no-op
+    // on this data — max basket is 13 parts — but the contract the
+    // 100 TB run relies on).
+    QuerySpec("q251_cooccurrence",
+      (s, dir) => graft.ops.Relational.coOccurrence(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L)
+        .orderBy(col("item_a"), col("item_b")),
+      Some("""WITH i AS (SELECT DISTINCT l_orderkey AS k,
+        |    l_partkey AS v FROM lineitem WHERE l_partkey IS NOT NULL),
+        |s AS (SELECT k FROM i GROUP BY k HAVING COUNT(*) <= 1000)
+        |SELECT a.v AS item_a, b.v AS item_b,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM i a JOIN s USING (k) JOIN i b
+        |  ON a.k = b.k AND a.v < b.v
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

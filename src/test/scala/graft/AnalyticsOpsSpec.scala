@@ -126,4 +126,27 @@ class AnalyticsOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq((1L, 99L, 10000L)))
   }
+
+  test("coOccurrence: within-basket duplicates collapse, support " +
+      "counts baskets, minSupport filters, mega-basket excluded") {
+    import graft.ops.Relational
+    // baskets: b1 {1,2,3} (item 2 listed twice), b2 {1,2}, b3 {2,3},
+    // b4 {1,2}; mega basket b9 holds 1..50 and must be EXCLUDED
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (3L, 2L), (3L, 3L), (4L, 1L), (4L, 2L)) ++
+      (1L to 50L).map(v => (9L, v))
+    val df = rows.toDF("basket", "item").repartition(5)
+    val out = Relational.coOccurrence(df, "basket", "item",
+        minSupport = 2L, maxBasketSize = 40)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // (1,2) in b1,b2,b4 = 3; (2,3) in b1,b3 = 2; (1,3) only b1 → cut
+    assert(out == Map((1L, 2L) -> 3L, (2L, 3L) -> 2L))
+    // with the cap lifted the mega basket floods every pair +1
+    val capped = Relational.coOccurrence(df, "basket", "item",
+        minSupport = 2L, maxBasketSize = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(capped((1L, 2L)) == 4L && capped((1L, 3L)) == 2L)
+  }
 }
