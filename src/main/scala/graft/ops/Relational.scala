@@ -265,4 +265,55 @@ object Relational {
       .select(col("__v").as("item_a"), col("__vb").as("item_b"),
         col("support"))
   }
+
+  /** ASSOCIATION RULES over the [[coOccurrence]] pairs — lift and
+    * both directional confidences, in exact integer micros (the
+    * log-free PMI: PMI = ln(lift), so the lift ratio carries the
+    * same signal hash-exactly where the log cannot):
+    *
+    *   lift_micro    = (10⁶ · support · baskets) div (n_a · n_b)
+    *   conf_ab_micro = (10⁶ · support) div n_a     (a ⇒ b)
+    *   conf_ba_micro = (10⁶ · support) div n_b     (b ⇒ a)
+    *
+    * — 10⁶ = independence for lift, above it positive association;
+    * probabilities are over KEPT baskets (the maxBasketSize
+    * exclusion applies to marginals, totals and pairs alike, so the
+    * ratios stay coherent). Adds to the pair pass: one item-marginal
+    * roll-up of the deduped item frame (≤|items| rows, joined twice
+    * by AQE broadcast) and the 1-row kept-basket total (allowlisted
+    * attach). support·baskets ≤ n² rides DECIMAL(38,0). */
+  def liftTable(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val items = df.filter(col(itemCol).isNotNull)
+      .select(col(basketCol).as("__k"), col(itemCol).as("__v"))
+      .distinct()
+    val small = items.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select(col("__k").as("__k2"))
+    val kept = items.join(small, col("__k") === col("__k2"),
+      "left_semi")
+    val marg = kept.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__m"))
+    val tot = kept.agg(countDistinct(col("__k")).as("baskets"))
+    val pairs = coOccurrence(df, basketCol, itemCol, minSupport,
+      maxBasketSize)
+    pairs
+      .join(marg.select(col("__v").as("item_a"),
+        col("__m").as("n_a")), Seq("item_a"))
+      .join(marg.select(col("__v").as("item_b"),
+        col("__m").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(tot)) // 1-row kept-basket total attach
+      .withColumn("lift_micro", expr(
+        s"CAST((CAST(1000000 AS $d38) * support * baskets) div " +
+          s"(CAST(n_a AS $d38) * n_b) AS BIGINT)"))
+      .withColumn("conf_ab_micro", expr(
+        "(1000000 * support) div n_a"))
+      .withColumn("conf_ba_micro", expr(
+        "(1000000 * support) div n_b"))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"), col("baskets"), col("lift_micro"),
+        col("conf_ab_micro"), col("conf_ba_micro"))
+  }
 }

@@ -3219,6 +3219,39 @@ object AnalyticsQueries {
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY item_a, item_b""".stripMargin)),
 
+    // Association rules (r14): q251's pairs with lift + both
+    // directional confidences in exact integer micros — the log-free
+    // PMI (PMI = ln(lift), so the ratio carries the signal
+    // hash-exactly where the log cannot); marginals, totals and
+    // pairs all computed over the same KEPT baskets so the ratios
+    // stay coherent under the size cap.
+    QuerySpec("q252_lift_table",
+      (s, dir) => graft.ops.Relational.liftTable(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L)
+        .orderBy(col("item_a"), col("item_b")),
+      Some("""WITH i AS (SELECT DISTINCT l_orderkey AS k,
+        |    l_partkey AS v FROM lineitem WHERE l_partkey IS NOT NULL),
+        |s AS (SELECT k FROM i GROUP BY k HAVING COUNT(*) <= 1000),
+        |ki AS (SELECT i.k, i.v FROM i JOIN s USING (k)),
+        |m AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS m FROM ki
+        |  GROUP BY v),
+        |t AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS baskets
+        |  FROM ki),
+        |p AS (SELECT a.v AS item_a, b.v AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM ki a JOIN ki b ON a.k = b.k AND a.v < b.v
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.support, ma.m AS n_a,
+        |  mb.m AS n_b, t.baskets,
+        |  CAST((1000000 * CAST(p.support AS HUGEINT) * t.baskets) //
+        |    (CAST(ma.m AS HUGEINT) * mb.m) AS BIGINT) AS lift_micro,
+        |  (1000000 * p.support) // ma.m AS conf_ab_micro,
+        |  (1000000 * p.support) // mb.m AS conf_ba_micro
+        |FROM p JOIN m ma ON p.item_a = ma.v
+        |JOIN m mb ON p.item_b = mb.v CROSS JOIN t
+        |ORDER BY item_a, item_b""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

@@ -148,5 +148,17 @@ class AnalyticsOpsSpec extends SparkSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
       .toMap
     assert(capped((1L, 2L)) == 4L && capped((1L, 3L)) == 2L)
+    // lift/confidence over the same kept baskets, BigInt-checked:
+    // kept = b1..b4 (mega excluded), n_1 = 3, n_2 = 4, n_3 = 2,
+    // baskets = 4, sup(1,2) = 3 → lift = 3·4/(3·4) = 1.0 exactly
+    val lift = Relational.liftTable(df, "basket", "item",
+        minSupport = 2L, maxBasketSize = 40)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(lift((1L, 2L)) ==
+      ((3L, 3L, 4L, 4L, 1000000L, 1000000L, 750000L)))
+    assert(lift((2L, 3L)) ==
+      ((2L, 4L, 2L, 4L, 1000000L, 500000L, 1000000L)))
   }
 }

@@ -182,7 +182,10 @@ class PlanSpec extends SparkSuite {
       // q247 attaches the 1-row grand total (a no-grouping .agg() of
       // the ≤|A|·|B|-row cell frame) to the cell rows; q249 repeats
       // that 1-row attach once per column pair
-      "q247_contingency", "q249_association_map")
+      "q247_contingency", "q249_association_map",
+      // q252 attaches the 1-row kept-basket total (no-grouping
+      // countDistinct aggregate) to the pair rows
+      "q252_lift_table")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
