@@ -390,4 +390,100 @@ object Sketches {
         expr(s"${lo}L + (CAST(bin + 1 AS BIGINT) * ${hi - lo}L) div ${bins}L")
           .as("hi_val"))
   }
+
+  // ----- KMV (k-minimum-values) distinct sketch ---------------------
+  //
+  // The order-statistics complement to the HLL registers above
+  // (Bar-Yossef et al. 2002; union/Jaccard estimators per Beyer et
+  // al., SIGMOD 2007). Same portability discipline: a 60-bit
+  // domain-separated md5 hash lane both engines derive identically,
+  // so the sketch ROWS gate hash-exactly — and unlike HLL, KMV's
+  // k-min set also answers SET OVERLAP (Jaccard, intersection size)
+  // between two sketches without touching the data again.
+
+  /** The portable KMV hash lane: first 15 hex chars of
+    * md5("kmv:" ‖ key) as a 60-bit non-negative long — uniform on
+    * [0, 2⁶⁰). DuckDB replays it verbatim as
+    * `CAST(('0x' || substr(md5('kmv:' || key), 1, 15)) AS BIGINT)`. */
+  def kmvHash(key: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** KMV sketch of `keyCol`'s distinct values: the k smallest
+    * distinct hash lanes, one row per kept hash — `(pos: int
+    * (1..k ascending), h: long)`. Deterministic (a pure function of
+    * the value SET), so the rows themselves are gate-able.
+    *
+    * Plan shape: scan → codegen'd md5 lane → ONE typed-Aggregator
+    * pass ([[KmvMinK]]) whose map-side partials hold ≤ k sorted
+    * longs and reject saturated rows in O(1) — the exchange carries
+    * one ≤ k-element state per task, NOT the distinct value set
+    * (that full-width shuffle is exactly what the sketch avoids at
+    * 100 TB). Nulls excluded (COUNT DISTINCT semantics). */
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.filter(col(keyCol).isNotNull)
+      .select(kmvHash(col(keyCol)).as("h")).as[Long]
+      .select(KmvMinK(k).toColumn)
+      .flatMap(_.iterator.zipWithIndex.map { case (h, i) => (i + 1, h) })
+      .toDF("pos", "h")
+  }
+
+  /** Lossless union of two KMV sketches at the same k: re-runs the
+    * k-min fold over the two sketches' hash rows. By the union
+    * property k-min(S ∪ T) = k-min(k-min(S) ∪ k-min(T)) this is
+    * IDENTICAL to sketching the concatenated data (merge ≡ rebuild,
+    * gated by q254) — the persisted sketch absorbs ingest batches
+    * without a corpus rescan, like the HLL register max-merge. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    a.select(col("h")).unionByName(b.select(col("h"))).as[Long]
+      .select(KmvMinK(k).toColumn)
+      .flatMap(_.iterator.zipWithIndex.map { case (h, i) => (i + 1, h) })
+      .toDF("pos", "h")
+  }
+
+  /** Distinct-count estimate from a KMV sketch, one labeled row:
+    * `(label, k_used, kth_h, nd_est)`. Unsaturated sketch (k_used <
+    * k) ⇒ every distinct hash was kept ⇒ nd_est = k_used EXACTLY;
+    * saturated ⇒ the Bar-Yossef estimator (k−1)·2⁶⁰ div h_(k), all
+    * integral (the ×2⁶⁰ product rides DECIMAL(38,0) / HUGEINT). */
+  def kmvEstimate(sketch: DataFrame, k: Int, label: String): DataFrame =
+    sketch
+      .agg(count(lit(1)).cast("int").as("k_used"),
+        max(col("h")).as("kth_h"))
+      .select(lit(label).as("label"), col("k_used"), col("kth_h"),
+        when(col("k_used") < k, col("k_used").cast("long"))
+          .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
+            "1152921504606846976) div kth_h AS BIGINT)"))
+          .as("nd_est"))
+
+  /** Set-overlap estimate between two KMV sketches (Beyer 2007), one
+    * row: `(k_union, matches, jaccard_micro, inter_est)`. The union
+    * sketch's k_union hashes are a uniform sample of A ∪ B's distinct
+    * values; `matches` counts those present in BOTH input sketches,
+    * so Ĵ = matches / k_union (integer micros) and the intersection
+    * size re-scales Ĵ by the union estimate. Unsaturated union ⇒ all
+    * three sets are complete ⇒ matches IS |A ∩ B| exactly. Cost:
+    * two sketch-sized semi-joins + 1-row attach — the data is never
+    * rescanned. */
+  def kmvJaccard(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val u = kmvMerge(a, b, k)
+    val matches = u
+      .join(a.select(col("h")), Seq("h"), "left_semi")
+      .join(b.select(col("h")), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("matches"))
+    val uTot = u.agg(count(lit(1)).as("k_union"),
+      max(col("h")).as("kth_h"))
+    matches.crossJoin(uTot) // 1-row × 1-row attach (allowlisted)
+      .select(col("k_union").cast("int").as("k_union"), col("matches"),
+        expr("(1000000 * matches) div k_union").as("jaccard_micro"),
+        when(col("k_union") < k, col("matches"))
+          .otherwise(expr(s"CAST((CAST(matches AS DECIMAL(38,0)) * " +
+            s"${k - 1} * 1152921504606846976) div " +
+            "(k_union * CAST(kth_h AS DECIMAL(38,0))) AS BIGINT)"))
+          .as("inter_est"))
+  }
 }

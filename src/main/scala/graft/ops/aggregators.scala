@@ -99,6 +99,78 @@ object IntervalUnionDays {
   * Buffer is O(k) regardless of stream length — the fixed-size
   * summary that answers "top sources/domains/tokens by frequency"
   * over a 100 TB scan with one map-side-combined aggregate. */
+/** K-minimum-values distinct sketch core (Bar-Yossef et al. 2002;
+  * merge/estimator form in Beyer et al., SIGMOD 2007): the `k`
+  * smallest DISTINCT hash values of a stream, as a mergeable typed
+  * Aggregator. Unlike [[MisraGries]]' order-dependent candidate set,
+  * the k-min set is a pure function of the input SET — independent of
+  * partitioning and merge order — so [[graft.ops.Sketches]] gates it
+  * hash-exactly against a `DISTINCT … ORDER BY h LIMIT k` oracle.
+  *
+  * Buffer is a sorted distinct Array[Long] of size ≤ k: once
+  * saturated, a row whose hash ≥ the current k-th minimum is rejected
+  * in O(1) (the common case — probability ≈ k/n), so the map-side
+  * partial aggregation streams 100 TB with k·8 bytes of state per
+  * task and a ≤ k-row exchange — the exact-distinct shuffle (every
+  * distinct value crossing the wire) is what this sketch exists to
+  * avoid. */
+object KmvMinK {
+
+  def apply(k: Int): Aggregator[Long, Array[Long], Array[Long]] = {
+    require(k >= 2)
+    new Aggregator[Long, Array[Long], Array[Long]] {
+      def zero: Array[Long] = Array.emptyLongArray
+
+      def reduce(buf: Array[Long], h: Long): Array[Long] = {
+        val n = buf.length
+        if (n == k && h >= buf(n - 1)) buf // O(1) saturated reject
+        else {
+          val i = java.util.Arrays.binarySearch(buf, h)
+          if (i >= 0) buf // already present (set semantics)
+          else {
+            val ins = -i - 1
+            val m = if (n == k) k else n + 1
+            val out = new Array[Long](m)
+            System.arraycopy(buf, 0, out, 0, ins)
+            out(ins) = h
+            // when full, the old k-th minimum falls off the end
+            System.arraycopy(buf, ins, out, ins + 1, m - 1 - ins)
+            out
+          }
+        }
+      }
+
+      /** Merge two sorted distinct arrays, keeping the k smallest of
+        * their union — the KMV union property: k-min(S ∪ T) =
+        * k-min(k-min(S) ∪ k-min(T)), which is what makes the sketch
+        * both partition-safe and an appendable persisted state. */
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        if (a.isEmpty) return b
+        if (b.isEmpty) return a
+        val tmp = new Array[Long](math.min(k, a.length + b.length))
+        var i = 0; var j = 0; var o = 0
+        while (o < tmp.length && (i < a.length || j < b.length)) {
+          val v =
+            if (i >= a.length) { val x = b(j); j += 1; x }
+            else if (j >= b.length) { val x = a(i); i += 1; x }
+            else if (a(i) < b(j)) { val x = a(i); i += 1; x }
+            else if (a(i) > b(j)) { val x = b(j); j += 1; x }
+            else { val x = a(i); i += 1; j += 1; x }
+          tmp(o) = v; o += 1
+        }
+        if (o == tmp.length) tmp else java.util.Arrays.copyOf(tmp, o)
+      }
+
+      def finish(buf: Array[Long]): Array[Long] = buf
+
+      def bufferEncoder: Encoder[Array[Long]] =
+        Encoders.kryo[Array[Long]]
+      def outputEncoder: Encoder[Array[Long]] =
+        Encoders.kryo[Array[Long]]
+    }
+  }
+}
+
 object MisraGries {
 
   def apply(k: Int): Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] = {

@@ -3252,6 +3252,113 @@ object AnalyticsQueries {
         |JOIN m mb ON p.item_b = mb.v CROSS JOIN t
         |ORDER BY item_a, item_b""".stripMargin)),
 
+    // KMV (k-minimum-values) distinct sketch (r14): the
+    // order-statistics complement to the HLL registers (q127) — the
+    // 256 smallest distinct 60-bit md5 lanes of l_orderkey. The
+    // k-min set is a pure function of the value SET (no merge-order
+    // dependence, unlike Misra–Gries), so the sketch ROWS gate
+    // hash-exactly; one typed-Aggregator pass whose map-side
+    // partials hold ≤ k sorted longs and reject saturated rows in
+    // O(1) — no distinct-value shuffle.
+    QuerySpec("q253_kmv_sketch",
+      (s, dir) => graft.ops.Sketches.kmvSketch(
+          table(s, dir, "lineitem"), "l_orderkey", 256)
+        .orderBy(col("pos")),
+      Some("""WITH d AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5('kmv:' || l_orderkey), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |s AS (SELECT h FROM d ORDER BY h LIMIT 256)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS pos, h
+        |FROM s ORDER BY pos""".stripMargin)),
+
+    // KMV merge ≡ rebuild + the Bar-Yossef estimator (r14): sketch
+    // the even/odd orderkey halves separately, union them through
+    // kmvMerge, and estimate all three — the ORACLE computes the
+    // union sketch FROM SCRATCH over the concatenated data, so the
+    // hash match proves k-min(S ∪ T) = k-min(k-min(S) ∪ k-min(T)),
+    // the property that lets a persisted sketch absorb ingest
+    // batches without a corpus rescan (the HLL q128 discipline).
+    // Saturated sketches take (k−1)·2⁶⁰ div h_(k) on DECIMAL(38,0)/
+    // HUGEINT; an unsaturated sketch IS the exact distinct count.
+    QuerySpec("q254_kmv_estimate",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val k = 64
+        val a = graft.ops.Sketches.kmvSketch(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", k)
+        val b = graft.ops.Sketches.kmvSketch(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", k)
+        graft.ops.Sketches.kmvEstimate(a, k, "even")
+          .unionByName(graft.ops.Sketches.kmvEstimate(b, k, "odd"))
+          .unionByName(graft.ops.Sketches.kmvEstimate(
+            graft.ops.Sketches.kmvMerge(a, b, k), k, "union"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH h0 AS (SELECT
+        |    CAST(('0x' || substr(md5('kmv:' || text), 1, 15))
+        |      AS BIGINT) AS h, doc_id % 2 AS par
+        |  FROM documents WHERE text IS NOT NULL),
+        |se AS (SELECT h FROM (SELECT DISTINCT h FROM h0 WHERE par = 0)
+        |  ORDER BY h LIMIT 64),
+        |so AS (SELECT h FROM (SELECT DISTINCT h FROM h0 WHERE par = 1)
+        |  ORDER BY h LIMIT 64),
+        |su AS (SELECT h FROM (SELECT DISTINCT h FROM h0)
+        |  ORDER BY h LIMIT 64),
+        |est AS (
+        |  SELECT 'even' AS label, COUNT(*) AS k_used, MAX(h) AS kth_h
+        |  FROM se
+        |  UNION ALL SELECT 'odd', COUNT(*), MAX(h) FROM so
+        |  UNION ALL SELECT 'union', COUNT(*), MAX(h) FROM su)
+        |SELECT label, CAST(k_used AS INT) AS k_used, kth_h,
+        |  CASE WHEN k_used < 64 THEN CAST(k_used AS BIGINT)
+        |    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |      // kth_h AS BIGINT) END AS nd_est
+        |FROM est ORDER BY label""".stripMargin)),
+
+    // KMV set-overlap estimate (r14, Beyer 2007): Jaccard +
+    // intersection size between two OVERLAPPING corpus slices
+    // (doc_id mod 3 ∈ {0,1} vs {1,2} — true J = 1/3), answered
+    // entirely from the two sketches: the union sketch's hashes are
+    // a uniform sample of A ∪ B's distinct values, matches counts
+    // those present in BOTH sketches, Ĵ = matches div k_union in
+    // micros — set overlap at 100 TB from 2·k rows of persisted
+    // state, the question HLL registers cannot answer without the
+    // lossy inclusion-exclusion detour.
+    QuerySpec("q255_kmv_jaccard",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val k = 64
+        val a = graft.ops.Sketches.kmvSketch(
+          docs.filter(pmod(col("doc_id"), lit(3)).isin(0, 1)),
+          "text", k)
+        val b = graft.ops.Sketches.kmvSketch(
+          docs.filter(pmod(col("doc_id"), lit(3)).isin(1, 2)),
+          "text", k)
+        graft.ops.Sketches.kmvJaccard(a, b, k)
+      },
+      Some("""WITH h0 AS (SELECT
+        |    CAST(('0x' || substr(md5('kmv:' || text), 1, 15))
+        |      AS BIGINT) AS h, doc_id % 3 AS m
+        |  FROM documents WHERE text IS NOT NULL),
+        |sa AS (SELECT h FROM (SELECT DISTINCT h FROM h0
+        |    WHERE m IN (0, 1)) ORDER BY h LIMIT 64),
+        |sb AS (SELECT h FROM (SELECT DISTINCT h FROM h0
+        |    WHERE m IN (1, 2)) ORDER BY h LIMIT 64),
+        |su AS (SELECT h FROM (SELECT h FROM sa UNION
+        |    SELECT h FROM sb) ORDER BY h LIMIT 64),
+        |mt AS (SELECT COUNT(*) AS matches FROM su
+        |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+        |ut AS (SELECT COUNT(*) AS k_union, MAX(h) AS kth_h FROM su)
+        |SELECT CAST(k_union AS INT) AS k_union, matches,
+        |  (1000000 * matches) // k_union AS jaccard_micro,
+        |  CASE WHEN k_union < 64 THEN matches
+        |    ELSE CAST((CAST(matches AS HUGEINT) * 63 *
+        |      1152921504606846976) //
+        |      (k_union * CAST(kth_h AS HUGEINT)) AS BIGINT) END
+        |    AS inter_est
+        |FROM mt, ut""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

@@ -185,7 +185,10 @@ class PlanSpec extends SparkSuite {
       "q247_contingency", "q249_association_map",
       // q252 attaches the 1-row kept-basket total (no-grouping
       // countDistinct aggregate) to the pair rows
-      "q252_lift_table")
+      "q252_lift_table",
+      // q255 crosses two 1-row aggregates (matches × union totals),
+      // both no-grouping aggs of ≤k-row sketch frames
+      "q255_kmv_jaccard")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
