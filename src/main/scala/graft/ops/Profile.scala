@@ -1707,4 +1707,68 @@ object Profile {
       .select((col(groupCol) +: idCols.map(col)) :+
         col(valueCentiCol): _*)
   }
+
+  /** KEY-SKEW profile of a column's mass distribution — the
+    * shuffle/partition-skew diagnosis: before keying a 100 TB
+    * join/aggregate on a column, this one row says whether its mass
+    * is salting territory. All statistics exact and integral:
+    *
+    *   - `top_share_micro`  = 10⁶·max(c) div n  — the hottest key's
+    *     mass share (the straggler-task bound under hash keying);
+    *   - `max_mean_micro`   = 10⁶·max(c)·K div n — hot-key count vs
+    *     the mean (10⁶ = perfectly uniform);
+    *   - `simpson_micro`    = 10⁶·Σc² div n² — collision probability
+    *     (two random rows share a key; also the self-join/shuffle
+    *     amplification factor ≈ Simpson index, the integer stand-in
+    *     for the log-needing Shannon entropy);
+    *   - `gini_micro`       = 10⁶·(2Σr·c − (K+1)·n) div (K·n) — the
+    *     Lorenz-curve Gini coefficient of key mass, rank-weighted
+    *     with counts ascending (0 = uniform, → 10⁶·(K−1)/K = one key
+    *     carries everything). Tie order does not matter: a tied
+    *     block's Σranks·c is permutation-invariant, which is what
+    *     makes the statistic gate-able.
+    *
+    * Plan shape: one keyed count (map-side combined) → collapse to
+    * the DISTINCT-COUNT SPECTRUM `(c, m_c)` (usually tiny — counts
+    * cluster; adversarially ≤ |keys| rows but never the data) → the
+    * drift family's skew-safe running sum over the spectrum for the
+    * rank prefixes → one final aggregate. The per-block rank mass
+    * uses the closed form 2·Σranks·c = c·m·(2·R_prev + m + 1), so
+    * every intermediate stays integral in DECIMAL(38,0) with no
+    * mid-sum division. Nulls excluded; empty input → empty output. */
+  def skewProfile(df: DataFrame, keyCol: String,
+      partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val freq = counts.groupBy(col("__c"))
+      .agg(count(lit(1)).as("__m"))
+    val cum = EventAnalytics.runningAggsSkewSafe(
+      freq.withColumn("__g", lit(0)), "__g", "__c",
+      Seq(("__m", "sum", "__cumm")), partitions)
+    cum
+      .withColumn("__rprev", col("__cumm") - col("__m"))
+      .agg(
+        sum(expr(s"CAST(__c AS $d38) * __m")).as("__n"),
+        sum(col("__m")).as("__k"),
+        max(col("__c")).as("__maxc"),
+        sum(expr(s"CAST(__c AS $d38) * __c * __m")).as("__sq"),
+        // 2·Σranks·c per tied block — integral, no division
+        sum(expr(s"CAST(__c AS $d38) * __m * " +
+          s"(CAST(2 AS $d38) * __rprev + __m + 1)")).as("__rc2"))
+      .filter(col("__n").isNotNull)
+      .select(
+        expr("CAST(__n AS BIGINT)").as("n"),
+        col("__k").as("n_keys"),
+        col("__maxc").as("max_n"),
+        expr(s"CAST((CAST(1000000 AS $d38) * __maxc) div __n " +
+          "AS BIGINT)").as("top_share_micro"),
+        expr(s"CAST((CAST(1000000 AS $d38) * __maxc * __k) div __n " +
+          "AS BIGINT)").as("max_mean_micro"),
+        expr(s"CAST((CAST(1000000 AS $d38) * __sq) div (__n * __n) " +
+          "AS BIGINT)").as("simpson_micro"),
+        expr(s"CAST((CAST(1000000 AS $d38) * " +
+          "(__rc2 - (CAST(__k AS DECIMAL(38,0)) + 1) * __n)) div " +
+          s"(CAST(__k AS $d38) * __n) AS BIGINT)").as("gini_micro"))
+  }
 }

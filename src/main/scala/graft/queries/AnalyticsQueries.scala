@@ -3359,6 +3359,57 @@ object AnalyticsQueries {
         |    AS inter_est
         |FROM mt, ut""".stripMargin)),
 
+    // Key-skew profile (r14): the shuffle/partition-skew diagnosis —
+    // before keying a 100 TB join/agg on a column, one row says
+    // whether its mass is salting territory: hottest-key share,
+    // max/mean ratio, Simpson collision probability (the integer
+    // stand-in for entropy), and the Lorenz-curve Gini of key mass —
+    // all exact micros. The rank-weighted Gini sum rides the DISTINCT-
+    // COUNT SPECTRUM (tied blocks' Σranks·c is permutation-invariant,
+    // closed form c·m·(2·R_prev+m+1) — no mid-sum division), prefix-
+    // summed by the drift family's skew-safe running op; the oracle
+    // replays the textbook per-key ROW_NUMBER definition, so the
+    // match proves the spectrum decomposition.
+    QuerySpec("q256_skew_profile",
+      (s, dir) => graft.ops.Profile.skewProfile(
+          table(s, dir, "lineitem"), "l_partkey")
+        .withColumn("label", lit("lineitem_partkey"))
+        .unionByName(graft.ops.Profile.skewProfile(
+            table(s, dir, "orders"), "o_custkey")
+          .withColumn("label", lit("orders_custkey")))
+        .select(col("label"), col("n"), col("n_keys"), col("max_n"),
+          col("top_share_micro"), col("max_mean_micro"),
+          col("simpson_micro"), col("gini_micro"))
+        .orderBy(col("label")),
+      Some("""WITH c1 AS (SELECT COUNT(*) AS c FROM lineitem
+        |  WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+        |r1 AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM c1),
+        |s1 AS (SELECT CAST(SUM(c) AS HUGEINT) AS n,
+        |    CAST(COUNT(*) AS HUGEINT) AS k, CAST(MAX(c) AS BIGINT)
+        |      AS maxc,
+        |    SUM(CAST(c AS HUGEINT) * c) AS sq,
+        |    SUM(CAST(r AS HUGEINT) * c) AS rc FROM r1),
+        |c2 AS (SELECT COUNT(*) AS c FROM orders
+        |  WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+        |r2 AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM c2),
+        |s2 AS (SELECT CAST(SUM(c) AS HUGEINT) AS n,
+        |    CAST(COUNT(*) AS HUGEINT) AS k, CAST(MAX(c) AS BIGINT)
+        |      AS maxc,
+        |    SUM(CAST(c AS HUGEINT) * c) AS sq,
+        |    SUM(CAST(r AS HUGEINT) * c) AS rc FROM r2),
+        |u AS (SELECT 'lineitem_partkey' AS label, * FROM s1
+        |  UNION ALL SELECT 'orders_custkey', * FROM s2)
+        |SELECT label, CAST(n AS BIGINT) AS n,
+        |  CAST(k AS BIGINT) AS n_keys, maxc AS max_n,
+        |  CAST((1000000 * CAST(maxc AS HUGEINT)) // n AS BIGINT)
+        |    AS top_share_micro,
+        |  CAST((1000000 * CAST(maxc AS HUGEINT) * k) // n AS BIGINT)
+        |    AS max_mean_micro,
+        |  CAST((1000000 * sq) // (n * n) AS BIGINT) AS simpson_micro,
+        |  CAST((1000000 * (2 * rc - (k + 1) * n)) // (k * n)
+        |    AS BIGINT) AS gini_micro
+        |FROM u ORDER BY label""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

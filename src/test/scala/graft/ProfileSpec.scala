@@ -910,4 +910,52 @@ class ProfileSpec extends SparkSuite {
     }
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
+
+  test("skewProfile: hand-checked micros on a planted spectrum") {
+    // keys with counts (1, 1, 2, 4): n=8, K=4, ranks asc 1..4,
+    // Σr·c = 1+2+6+16 = 25 → gini = 10⁶·(50−5·8)/(4·8) = 312500
+    val rows = Seq("a", "b", "c", "c", "d", "d", "d", "d")
+    val out = Profile.skewProfile(rows.toDF("k"), "k")
+      .collect().head
+    assert(out.getLong(0) == 8L && out.getLong(1) == 4L &&
+      out.getLong(2) == 4L)
+    assert(out.getLong(3) == 500000L)       // top share 4/8
+    assert(out.getLong(4) == 2000000L)      // max/mean = 4/(8/4)
+    assert(out.getLong(5) == 343750L)       // Σc²/n² = 22/64
+    assert(out.getLong(6) == 312500L)
+  }
+
+  test("skewProfile: uniform mass → gini 0, max_mean 10⁶; empty → empty") {
+    val uni = Seq("a", "a", "b", "b", "c", "c")
+    val u = Profile.skewProfile(uni.toDF("k"), "k").collect().head
+    assert(u.getLong(6) == 0L && u.getLong(4) == 1000000L &&
+      u.getLong(3) == 333333L)
+    val e = Profile.skewProfile(
+      Seq.empty[String].toDF("k"), "k").collect()
+    assert(e.isEmpty)
+    // nulls excluded entirely
+    val n = Profile.skewProfile(
+      Seq(Some("a"), None, Some("a")).toDF("k"), "k").collect().head
+    assert(n.getLong(0) == 2L && n.getLong(1) == 1L)
+  }
+
+  test("skewProfile ≡ BigInt rank definition on md5-derived counts") {
+    // irregular tied spectrum from a deterministic hash
+    val keys = (1 to 400).flatMap { i =>
+      val c = (math.abs(s"sk$i".hashCode) % 7) + 1
+      Seq.fill(c)(s"sk$i")
+    }
+    val got = Profile.skewProfile(keys.toDF("k"), "k").collect().head
+    val counts = keys.groupBy(identity).values.map(_.size.toLong)
+      .toSeq.sorted
+    val n = BigInt(counts.sum); val k = BigInt(counts.size)
+    val rc = counts.zipWithIndex
+      .map { case (c, i) => BigInt(i + 1) * c }.sum
+    val sq = counts.map(c => BigInt(c) * c).sum
+    assert(got.getLong(5) == (BigInt(1000000) * sq / (n * n)).toLong)
+    assert(got.getLong(6) ==
+      (BigInt(1000000) * (2 * rc - (k + 1) * n) / (k * n)).toLong)
+    assert(got.getLong(3) ==
+      (BigInt(1000000) * counts.max / n).toLong)
+  }
 }
