@@ -913,4 +913,73 @@ object EventAnalytics {
         col("col.t").as("trend_centi"),
         (col("col.l") + col("col.t")).as("fc_centi"))
   }
+
+  /** Two-sided CUSUM change-point detector (Page 1954) in exact
+    * signed centi-units — the sequential companion to the drift
+    * monitor family: drift tests compare DISTRIBUTIONS batch-vs-
+    * reference; CUSUM watches a per-entity VALUE SERIES for a
+    * sustained mean shift and says WHEN it happened. Recurrence per
+    * entity under the (ts, id) total order:
+    *
+    *   raw⁺ₜ = max(0, carry⁺ₜ₋₁ + (vₜ − target − slack))   (up-shift)
+    *   raw⁻ₜ = max(0, carry⁻ₜ₋₁ + (target − vₜ − slack))   (down)
+    *   alarmₜ = raw > h;  carryₜ = 0 if alarmₜ else rawₜ   (restart)
+    *
+    * — only +/−/max on longs (no division at all), so Spark and a
+    * recursive-CTE replay are bit-identical with no floor/truncation
+    * subtleties. `slack` is the classic allowance k (half the shift
+    * worth detecting); resetting after an alarm re-arms the detector
+    * so multiple change points per key are caught. Same
+    * collect-and-fold discipline as [[ewmaCenti]] (bounded per-entity
+    * history; the streaming twin is flatMapGroupsWithState). Output
+    * per event: `(user, rn, event_id, s_pos_centi, s_neg_centi,
+    * alarm_up, alarm_down)` with the PRE-reset raw statistics. */
+  def cusumCenti(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String, targetCenti: Long,
+      slackCenti: Long, hCenti: Long): DataFrame = {
+    require(slackCenti >= 0 && hCenti > 0,
+      "cusumCenti: slack must be >= 0 and h > 0")
+    val v = centi(col(valCol))
+    events
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), col(idCol).as("id"), v.as("v"))
+          .as("__e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(col(userCol), expr(
+        s"""zip_with(__es,
+          |  aggregate(__es,
+          |    named_struct(
+          |      'out', cast(array() as
+          |        array<struct<sp: bigint, sn: bigint>>),
+          |      'cp', CAST(0 AS BIGINT), 'cn', CAST(0 AS BIGINT)),
+          |    (acc, x) -> named_struct(
+          |      'out', concat(acc.out, array(named_struct(
+          |        'sp', greatest(CAST(0 AS BIGINT),
+          |          acc.cp + x.v - ${targetCenti}L - ${slackCenti}L),
+          |        'sn', greatest(CAST(0 AS BIGINT),
+          |          acc.cn + ${targetCenti}L - x.v - ${slackCenti}L)))),
+          |      'cp', CASE WHEN greatest(CAST(0 AS BIGINT),
+          |          acc.cp + x.v - ${targetCenti}L - ${slackCenti}L)
+          |          > ${hCenti}L THEN CAST(0 AS BIGINT)
+          |        ELSE greatest(CAST(0 AS BIGINT),
+          |          acc.cp + x.v - ${targetCenti}L - ${slackCenti}L)
+          |        END,
+          |      'cn', CASE WHEN greatest(CAST(0 AS BIGINT),
+          |          acc.cn + ${targetCenti}L - x.v - ${slackCenti}L)
+          |          > ${hCenti}L THEN CAST(0 AS BIGINT)
+          |        ELSE greatest(CAST(0 AS BIGINT),
+          |          acc.cn + ${targetCenti}L - x.v - ${slackCenti}L)
+          |        END)).out,
+          |  (e, s) -> named_struct('id', e.id, 'sp', s.sp,
+          |    'sn', s.sn))""".stripMargin)
+        .as("__z"))
+      .select(col(userCol), posexplode(col("__z")))
+      .select(col(userCol), (col("pos") + 1).as("rn"),
+        col("col.id").as("event_id"),
+        col("col.sp").as("s_pos_centi"),
+        col("col.sn").as("s_neg_centi"),
+        (col("col.sp") > hCenti).as("alarm_up"),
+        (col("col.sn") > hCenti).as("alarm_down"))
+  }
 }

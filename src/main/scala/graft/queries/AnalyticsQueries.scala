@@ -3410,6 +3410,42 @@ object AnalyticsQueries {
         |    AS BIGINT) AS gini_micro
         |FROM u ORDER BY label""".stripMargin)),
 
+    // Two-sided CUSUM change-point detector (r14, Page 1954): the
+    // sequential companion to the drift monitors — per-entity raw
+    // CUSUM statistics and alarm flags under the (ts, event_id)
+    // total order, exact signed centi-units, only +/−/max (no
+    // division, so no floor-vs-truncate subtlety anywhere); the
+    // detector resets after each alarm so repeated change points per
+    // key are caught. Sorted-array fold like q148; the oracle IS the
+    // recursive CTE stepping rn → rn+1 with the same reset rule.
+    QuerySpec("q257_cusum",
+      (s, dir) => EventAnalytics.cusumCenti(events(s, dir),
+          "user_id", "ts", "event_id", "value",
+          targetCenti = 4950L, slackCenti = 1000L, hCenti = 20000L)
+        .orderBy(col("user_id"), col("rn")),
+      Some(s"""WITH RECURSIVE e AS ($eventsSql),
+        |c AS (SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, rn, event_id,
+        |    GREATEST(0, v - 4950 - 1000) AS sp,
+        |    GREATEST(0, 4950 - v - 1000) AS sn
+        |  FROM c WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.user_id, c.rn, c.event_id,
+        |    GREATEST(0, (CASE WHEN r.sp > 20000 THEN 0 ELSE r.sp END)
+        |      + c.v - 4950 - 1000),
+        |    GREATEST(0, (CASE WHEN r.sn > 20000 THEN 0 ELSE r.sn END)
+        |      + 4950 - c.v - 1000)
+        |  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+        |SELECT user_id, rn, event_id, sp AS s_pos_centi,
+        |  sn AS s_neg_centi, sp > 20000 AS alarm_up,
+        |  sn > 20000 AS alarm_down
+        |FROM r ORDER BY user_id, rn""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

@@ -181,6 +181,59 @@ class EventAnalyticsSpec extends SparkSuite {
       (1L, 4, 13L, 37L), (2L, 1, 20L, 333L)))
   }
 
+  test("cusumCenti: planted mean shift alarms at the right row, " +
+      "resets re-arm, down-shift mirrored") {
+    // target 5.00, slack 1.00, h 6.00 (centi: 500, 100, 600).
+    // u1: in-control at 5.00 (stat pinned 0), then shifts to 9.00:
+    // each shifted row adds 300 → sp = 300, 600, 900 → alarm at the
+    // 3rd shifted row (900 > 600), reset, re-accumulate 300, 600...
+    val u1 = (1 to 3).map(i =>
+      (1L, i.toLong, ts(f"2026-01-05 10:0$i:00"), 5.00)) ++
+      (4 to 8).map(i =>
+        (1L, i.toLong, ts(f"2026-01-05 10:0$i:00"), 9.00))
+    // u2: down-shift to 1.00 → sn = 300, 600, 900 → alarm_down
+    val u2 = (1 to 3).map(i =>
+      (2L, (10 + i).toLong, ts(f"2026-01-05 11:0$i:00"), 1.00))
+    val out = EventAnalytics.cusumCenti(
+        (u1 ++ u2).toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value", 500L, 100L, 600L)
+      .orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    val w1 = out.filter(_._1 == 1L)
+    assert(w1.map(_._3).toSeq ==
+      Seq(0L, 0L, 0L, 300L, 600L, 900L, 300L, 600L))
+    assert(w1.map(_._5).toSeq == Seq(false, false, false, false,
+      false, true, false, false))
+    val w2 = out.filter(_._1 == 2L)
+    assert(w2.map(_._4).toSeq == Seq(300L, 600L, 900L))
+    assert(w2.map(_._6).toSeq == Seq(false, false, true))
+    assert(out.forall(r => !(r._3 > 0 && r._4 > 0)),
+      "slack 100 ≥ half-range keeps the two sides exclusive here")
+  }
+
+  test("cusumCenti == sequential JVM fold on an irregular series") {
+    val vals = (1 to 60).map(i =>
+      ((math.abs(s"cs$i".hashCode) % 1200) - 200) / 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (7L, i.toLong, ts(f"2026-02-01 00:${i / 60}%02d:${i % 60}%02d"), v)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val got = EventAnalytics.cusumCenti(df, "user_id", "ts",
+        "event_id", "value", 400L, 150L, 900L)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    var cp = 0L; var cn = 0L
+    val want = vals.map { v =>
+      val c = math.round(v * 100)
+      val sp = math.max(0L, cp + c - 400L - 150L)
+      val sn = math.max(0L, cn + 400L - c - 150L)
+      cp = if (sp > 900L) 0L else sp
+      cn = if (sn > 900L) 0L else sn
+      (sp, sn)
+    }
+    assert(got.toSeq == want)
+  }
+
   test("holtLinearCenti == sequential JVM fold, incl. decreasing " +
       "series (negative trend exercises the floor-div-by-2)") {
     def fdiv2(x: Long): Long = {
