@@ -982,4 +982,51 @@ object EventAnalytics {
         (col("col.sp") > hCenti).as("alarm_up"),
         (col("col.sn") > hCenti).as("alarm_down"))
   }
+
+  /** Per-entity RANK autocorrelation function (the Spearman ACF of
+    * the tiebroken order): for each lag k ∈ 1..maxLag, the exact
+    * Spearman ρ between a series' value and its k-step predecessor
+    * under the (ts, id) total order — the seasonality/persistence
+    * probe of the monitoring family ([[cusumCenti]] says WHEN a mean
+    * shifted; this says whether the series REMEMBERS itself at lag
+    * k). Rank correlation instead of Pearson for the usual two
+    * reasons: robust to the heavy tails an event-value stream
+    * actually has, and integral end-to-end (Pearson's r needs a
+    * sqrt; ρ of the composite order is exact micros — the q231
+    * discipline).
+    *
+    * Plan: one per-entity row_number (the events family's bounded-
+    * history window), then per lag an equi self-join on
+    * (entity, rn − k) pairs the rows, and [[Profile.spearmanExact]]
+    * ranks both sides skew-safely (a mega-entity is GK-sliced, never
+    * stranded on one task). Entities with fewer than k + 2 events
+    * drop (ρ undefined). Output: (userCol, lag, n, sd2, rho_micro),
+    * n = the number of (t, t−k) pairs. */
+  def rankAutocorr(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String, maxLag: Int,
+      partitions: Int = 0): DataFrame = {
+    require(maxLag >= 1, "rankAutocorr: maxLag must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val base = events
+      .filter(col(valCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(idCol),
+        centi(col(valCol)).as("__v"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .select(col(userCol), col("__rn"), col("__v"))
+    val perLag = (1 to maxLag).map { k =>
+      val prev = base.select(col(userCol).as("__u2"),
+        (col("__rn") + k).as("__rn2"), col("__v").as("__pv"))
+      val paired = base.join(prev,
+          col(userCol) === col("__u2") && col("__rn") === col("__rn2"))
+        .select(col(userCol), col("__rn"), col("__v"), col("__pv"))
+      Profile.spearmanExact(paired, userCol, "__rn", "__v", "__pv",
+          partitions)
+        .withColumn("lag", lit(k))
+    }
+    perLag.reduce(_.unionByName(_))
+      .select(col(userCol), col("lag"), col("n"), col("sd2"),
+        col("rho_micro"))
+  }
 }

@@ -3446,6 +3446,50 @@ object AnalyticsQueries {
         |  sn > 20000 AS alarm_down
         |FROM r ORDER BY user_id, rn""".stripMargin)),
 
+    // Per-entity rank autocorrelation (r14): the Spearman ACF of the
+    // tiebroken order at lags 1..3 — the seasonality/persistence
+    // probe beside q257's when-did-it-shift: exact ρ between each
+    // user's value series and its k-step predecessor, integral
+    // end-to-end (the q231 composite-rank discipline; Pearson needs
+    // a sqrt). Pairs ride an equi self-join on (user, rn−k); both
+    // rank passes are skew-safe inside spearmanExact.
+    QuerySpec("q258_rank_autocorr",
+      (s, dir) => EventAnalytics.rankAutocorr(events(s, dir),
+          "user_id", "ts", "event_id", "value", maxLag = 3)
+        .orderBy(col("user_id"), col("lag")),
+      Some(s"""WITH e AS ($eventsSql),
+        |v AS (SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM e WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT 1 AS lag, user_id, rn, v AS x, LAG(v, 1) OVER
+        |    (PARTITION BY user_id ORDER BY rn) AS y FROM v
+        |  UNION ALL
+        |  SELECT 2, user_id, rn, v, LAG(v, 2) OVER
+        |    (PARTITION BY user_id ORDER BY rn) FROM v
+        |  UNION ALL
+        |  SELECT 3, user_id, rn, v, LAG(v, 3) OVER
+        |    (PARTITION BY user_id ORDER BY rn) FROM v),
+        |q AS (SELECT * FROM p WHERE y IS NOT NULL),
+        |r AS (SELECT lag, user_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lag, user_id
+        |      ORDER BY x, rn) AS BIGINT) AS rx,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lag, user_id
+        |      ORDER BY y, rn) AS BIGINT) AS ry,
+        |    CAST(COUNT(*) OVER (PARTITION BY lag, user_id)
+        |      AS BIGINT) AS n
+        |  FROM q),
+        |s AS (SELECT lag, user_id, MAX(n) AS n,
+        |    SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sd2
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, lag, CAST(n AS BIGINT) AS n,
+        |  CAST(sd2 AS BIGINT) AS sd2,
+        |  CAST(1000000 - (6000000 * sd2) //
+        |    (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_micro
+        |FROM s WHERE n > 1 ORDER BY user_id, lag""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

@@ -234,6 +234,51 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("rankAutocorr: monotone series → ρ = 10⁶ at every lag; " +
+      "short series drop; ≡ BigInt rank reference on a noisy series") {
+    def series(u: Long, vals: Seq[Double]) = vals.zipWithIndex.map {
+      case (v, i) => (u, (u * 1000 + i).toLong,
+        ts(f"2026-03-01 00:${i / 60}%02d:${i % 60}%02d"), v)
+    }
+    // u1: strictly increasing → every lag perfectly concordant
+    // u2: 4 events → lag 3 has 1 pair (n=1, dropped), lag 2 has 2
+    // u3: noisy deterministic series for the differential
+    val noisy = (1 to 40).map(i =>
+      ((math.abs(s"ac$i".hashCode) % 2000) - 700) / 100.0)
+    val df = (series(1L, (1 to 12).map(_ * 1.5)) ++
+      series(2L, Seq(5.0, 1.0, 9.0, 2.0)) ++
+      series(3L, noisy))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = EventAnalytics.rankAutocorr(df, "user_id", "ts",
+        "event_id", "value", maxLag = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(4)))).toMap
+    assert((1 to 3).forall(k => got((1L, k))._2 == 1000000L))
+    assert(got((1L, 2))._1 == 10L)
+    assert(got.contains((2L, 2)) && !got.contains((2L, 3)))
+
+    // JVM reference on u3: ranks of (value, rn) composite per lag
+    def refRho(k: Int): (Long, Long) = {
+      val cent = noisy.map(v => math.round(v * 100))
+      val pairs = (k until cent.size).map(t =>
+        (t + 1L, cent(t), cent(t - k))) // (rn of current, x, y)
+      def ranks(key: ((Long, Long, Long)) => (Long, Long)) =
+        pairs.sortBy(key).zipWithIndex
+          .map { case (p, i) => p._1 -> (i + 1L) }.toMap
+      val rx = ranks(p => (p._2, p._1)); val ry = ranks(p => (p._3, p._1))
+      val n = BigInt(pairs.size)
+      val sd2 = pairs.map { p =>
+        val d = BigInt(rx(p._1) - ry(p._1)); d * d }.sum
+      (pairs.size.toLong,
+        (BigInt(1000000) - BigInt(6000000) * sd2 / (n * n * n - n))
+          .toLong)
+    }
+    (1 to 3).foreach { k =>
+      assert(got((3L, k)) == refRho(k), s"lag $k mismatch")
+    }
+  }
+
   test("holtLinearCenti == sequential JVM fold, incl. decreasing " +
       "series (negative trend exercises the floor-div-by-2)") {
     def fdiv2(x: Long): Long = {
