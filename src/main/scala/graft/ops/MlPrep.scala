@@ -176,4 +176,44 @@ object MlPrep {
       round(col("__mn"), 6).as("q_min"), round(col("__mx"), 6).as("q_max"),
       codes.as("codes"))
   }
+
+  /** POSITIONAL inverted index — the retrieval state [[bm25TopK]]'s
+    * bag-of-words postings cannot express: one row per token
+    * occurrence `(doc_id, pos, term)` (1-based positions under the
+    * whitespace tokenizer, the corpus-wide convention). Persist
+    * bucketed by term like the other probe indexes and phrase/
+    * proximity queries never rescan the corpus. */
+  def positionalIndex(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("term"))
+
+  /** EXACT PHRASE occurrences per document from a [[positionalIndex]]
+    * — the query BM25's unigram scoring cannot answer ("spark sql"
+    * the phrase, not the two words): anchor on the first term's
+    * postings, then for each later term i a LEFT-SEMI equi-join on
+    * (doc, anchor_pos + i) keeps only anchors whose i-th successor
+    * matches. Candidates shrink monotonically; every join is keyed
+    * (doc, pos) — the term postings are filtered up front, so cost
+    * is bounded by the PHRASE terms' posting lists, never the
+    * corpus, and a stop-word-leading phrase is just a bigger (still
+    * keyed) anchor list. Output: (doc_id, n_hits > 0). */
+  def phraseHits(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseHits: empty phrase")
+    val anchors = index.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1)
+      .foldLeft(anchors) { case (acc, (t, i)) =>
+        acc.join(
+          index.filter(col("term") === t)
+            .select(col("doc_id").as("__d"),
+              (col("pos") - i).as("__p")),
+          col("doc_id") === col("__d") && col("pos") === col("__p"),
+          "left_semi")
+      }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
 }

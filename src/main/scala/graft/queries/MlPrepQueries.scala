@@ -855,6 +855,49 @@ object MlPrepQueries {
       Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id % (CASE lang WHEN 'en' THEN 2 WHEN 'es' THEN 4
         |  WHEN 'zh' THEN 5 ELSE 10 END) = 0
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Exact phrase search over the positional inverted index (r14):
+    // the retrieval question BM25's unigram postings cannot answer —
+    // "value table" / "query value table" as PHRASES. Anchor = first
+    // term's postings; each later term left-semi equi-joins on
+    // (doc, anchor_pos + i), so candidates shrink monotonically and
+    // cost is bounded by the phrase terms' posting lists, never the
+    // corpus. Two labeled phrases exercise the 2- and 3-term chains.
+    QuerySpec("q259_phrase_search",
+      (s, dir) => {
+        val idx = graft.ops.MlPrep.positionalIndex(
+          table(s, dir, "documents"), "doc_id", "text")
+        graft.ops.MlPrep.phraseHits(idx, Seq("value", "table"))
+          .withColumn("phrase", lit("value table"))
+          .unionByName(
+            graft.ops.MlPrep.phraseHits(idx,
+                Seq("query", "value", "table"))
+              .withColumn("phrase", lit("query value table")))
+          .select(col("phrase"), col("doc_id"), col("n_hits"))
+          .orderBy(col("phrase"), col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term,
+        |    CAST(generate_subscripts(
+        |      string_split_regex(trim(text), '\s+'), 1) AS BIGINT)
+        |      AS pos
+        |  FROM documents WHERE text IS NOT NULL),
+        |p2 AS (SELECT 'value table' AS phrase, a.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+        |    AND b.pos = a.pos + 1
+        |  WHERE a.term = 'value' AND b.term = 'table'
+        |  GROUP BY 2),
+        |p3 AS (SELECT 'query value table' AS phrase, a.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+        |    AND b.pos = a.pos + 1
+        |  JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  WHERE a.term = 'query' AND b.term = 'value'
+        |    AND c.term = 'table'
+        |  GROUP BY 2)
+        |SELECT * FROM p2 UNION ALL SELECT * FROM p3
+        |ORDER BY phrase, doc_id""".stripMargin))
   )
 }

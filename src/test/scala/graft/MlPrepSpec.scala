@@ -188,4 +188,32 @@ class MlPrepSpec extends SparkSuite {
     assert(out(4).getString(1) == "no pii here at all" &&
       out(4).getInt(2) + out(4).getInt(3) + out(4).getInt(4) == 0)
   }
+
+  test("positionalIndex + phraseHits: overlaps, repeats, misses") {
+    val docs = Seq(
+      (1L, "big data spark big data spark"), // "big data" ×2
+      (2L, "a a a a"),      // self-overlapping "a a" anchors at 1,2,3
+      (3L, "data big"),     // reversed — no "big data"
+      (4L, "big"),          // phrase longer than doc
+      (5L, "x big data y big data big data z")) // ×3
+      .toDF("doc_id", "text")
+    val idx = MlPrep.positionalIndex(docs, "doc_id", "text")
+    // index shape: 1-based positions, every occurrence kept
+    val d2 = idx.filter(col("doc_id") === 2).orderBy("pos")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(d2.toSeq ==
+      Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a")))
+
+    val hits = MlPrep.phraseHits(idx, Seq("big", "data"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(1L -> 2L, 5L -> 3L))
+    val selfOv = MlPrep.phraseHits(idx, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(selfOv == Map(2L -> 3L)) // overlapping occurrences count
+    val tri = MlPrep.phraseHits(idx, Seq("a", "a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tri == Map(2L -> 2L))
+    assert(MlPrep.phraseHits(idx, Seq("spark", "big", "x"))
+      .collect().isEmpty)
+  }
 }
