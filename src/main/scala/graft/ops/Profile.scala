@@ -1708,6 +1708,60 @@ object Profile {
         col(valueCentiCol): _*)
   }
 
+  /** ROBUST per-group outliers by median absolute deviation — the
+    * heavy-tail companion to [[groupOutliers]]' moment z-score (one
+    * planted mega-outlier inflates σ and MASKS its neighbors; the
+    * median and MAD barely move). Flags rows with
+    * |v − median| > z · MAD, z in micros, entirely in integers via
+    * DOUBLED units: med2 = median_lo + median_hi (= 2·median exactly,
+    * even-n midpoint included), d2 = |2v − med2|, mad4 = d2's own
+    * median_lo + median_hi (= 4·MAD), flag ⇔ 2·d2·10⁶ > z·mad4 — no
+    * halving ever happens, so Spark and the oracle agree bit-exact.
+    *
+    * Two skew-safe median passes ([[EventAnalytics
+    * .groupMedianSkewSafe]] on value-major composite orders — a
+    * mega-group never strands a task), each ≤|groups|-row result
+    * broadcast back. Both composites are domain-guarded (the
+    * deviation composite re-checked on the derived frame: d2 can be
+    * 2× the input bound, and a silent wrap would corrupt the second
+    * rank order). Degenerate MAD = 0 (over half the group at the
+    * median) flags every off-median row — the documented limit of
+    * the estimator, not a bug. Output: flagged rows
+    * `(group, id, v, dev4 = 4·|v−median|, mad4 = 4·MAD)`. */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCentiCol: String, zMicro: Long,
+      partitions: Int = 0): DataFrame = {
+    require(zMicro > 0, "madOutliers: zMicro must be > 0")
+    requireCompositeDomain(df, "madOutliers", idCol,
+      Seq(valueCentiCol))
+    val base = df.filter(col(valueCentiCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(valueCentiCol))
+      .withColumn("__ord",
+        col(valueCentiCol) * lit(1000000000L) + col(idCol))
+    val med = EventAnalytics.groupMedianSkewSafe(base, groupCol,
+        "__ord", valueCentiCol, partitions)
+      .select(col(groupCol).as("__mg"),
+        (col("median_lo") + col("median_hi")).as("__med2"))
+    val dev = base.join(broadcast(med), col(groupCol) === col("__mg"))
+      .withColumn("__d2",
+        abs(col(valueCentiCol) * 2 - col("__med2")))
+    requireCompositeDomain(dev, "madOutliers(deviations)", idCol,
+      Seq("__d2"))
+    val dev2 = dev.withColumn("__ord2",
+      col("__d2") * lit(1000000000L) + col(idCol))
+    val mad = EventAnalytics.groupMedianSkewSafe(
+        dev2.select(col(groupCol), col(idCol), col("__d2"),
+          col("__ord2")),
+        groupCol, "__ord2", "__d2", partitions)
+      .select(col(groupCol).as("__ag"),
+        (col("median_lo") + col("median_hi")).as("__mad4"))
+    dev2.join(broadcast(mad), col(groupCol) === col("__ag"))
+      .filter(col("__d2") * 2 * lit(1000000L) >
+        lit(zMicro) * col("__mad4"))
+      .select(col(groupCol), col(idCol), col(valueCentiCol),
+        (col("__d2") * 2).as("dev4"), col("__mad4").as("mad4"))
+  }
+
   /** KEY-SKEW profile of a column's mass distribution — the
     * shuffle/partition-skew diagnosis: before keying a 100 TB
     * join/aggregate on a column, this one row says whether its mass

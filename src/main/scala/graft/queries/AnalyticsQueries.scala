@@ -3490,6 +3490,52 @@ object AnalyticsQueries {
         |    (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_micro
         |FROM s WHERE n > 1 ORDER BY user_id, lag""".stripMargin)),
 
+    // MAD robust outliers (r14): the heavy-tail companion to q155's
+    // moment z-score — |v − median| > z·MAD flagged entirely in
+    // integers via DOUBLED units (med2 = lo+hi = 2·median, d2 =
+    // |2v − med2|, mad4 = d2's lo+hi = 4·MAD, flag ⇔ 2·d2·10⁶ >
+    // z·mad4 — no halving anywhere, so both engines agree bit-exact
+    // including even-n midpoints). Two skew-safe median passes on
+    // value-major composite orders; z = 2.0 (in micros) against the
+    // per-priority totalprice distribution flags a real tail set.
+    QuerySpec("q260_mad_outliers",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+        graft.ops.Profile.madOutliers(o, "o_orderpriority",
+            "o_orderkey", "v_centi", zMicro = 2000000L)
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority AS g,
+        |    o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM orders),
+        |r AS (SELECT g, id, c,
+        |    ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY c * 1000000000 + id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM v),
+        |m AS (SELECT g, CAST(MIN(c) + MAX(c) AS BIGINT) AS med2
+        |  FROM r WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+        |  GROUP BY g),
+        |d AS (SELECT v.g, v.id, v.c, ABS(2 * v.c - m.med2) AS d2
+        |  FROM v JOIN m USING (g)),
+        |r2 AS (SELECT g, id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY d2 * 1000000000 + id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM d),
+        |mm AS (SELECT g, CAST(MIN(d2) + MAX(d2) AS BIGINT) AS mad4
+        |  FROM r2 WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+        |  GROUP BY g)
+        |SELECT d.g AS o_orderpriority, d.id AS o_orderkey,
+        |  d.c AS v_centi, CAST(d.d2 * 2 AS BIGINT) AS dev4,
+        |  mm.mad4
+        |FROM d JOIN mm USING (g)
+        |WHERE d.d2 * 2 * 1000000 > 2000000 * mm.mad4
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

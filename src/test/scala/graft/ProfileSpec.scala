@@ -939,6 +939,56 @@ class ProfileSpec extends SparkSuite {
     assert(n.getLong(0) == 2L && n.getLong(1) == 1L)
   }
 
+  test("madOutliers: robust to masking, even-n midpoint exact, " +
+      "degenerate MAD flags off-median rows") {
+    // g1: two huge spikes would inflate σ enough to mask each other
+    // under a moment z-score; the median/MAD barely move, both flag.
+    val g1 = Seq.tabulate(8)(i => ("g1", i.toLong, 1000L + i)) ++
+      Seq(("g1", 100L, 500000L), ("g1", 101L, 400000L))
+    val got1 = Profile.madOutliers(
+        g1.toDF("g", "id", "v"), "g", "id", "v", 3000000L)
+      .collect().map(_.getLong(1)).sorted
+    assert(got1.toSeq == Seq(100L, 101L))
+    // JVM reference on g1 (even n = 10: med2/mad4 midpoints)
+    val vs = g1.map(_._3).sorted
+    val med2 = vs(4) + vs(5)
+    val d2s = g1.map(r => (r._2, math.abs(2 * r._3 - med2)))
+    val ds = d2s.map(_._2).sorted
+    val mad4 = ds(4) + ds(5)
+    val want = d2s.filter(p => 2 * p._1 * 0 + 2 * p._2 * 1000000L >
+      3000000L * mad4).map(_._1).sorted
+    assert(got1.toSeq == want)
+    // degenerate: >half the group AT the median → MAD = 0, every
+    // off-median row flags (documented estimator limit)
+    val g2 = Seq(("g2", 1L, 50L), ("g2", 2L, 50L), ("g2", 3L, 50L),
+      ("g2", 4L, 51L), ("g2", 5L, 49L))
+    val got2 = Profile.madOutliers(
+        g2.toDF("g", "id", "v"), "g", "id", "v", 1000000L)
+      .collect().map(_.getLong(1)).sorted
+    assert(got2.toSeq == Seq(4L, 5L))
+  }
+
+  test("madOutliers ≡ BigInt reference on a noisy multi-group frame") {
+    val rows = for (g <- 1 to 3; i <- 1 to 41) yield
+      (s"g$g", (g * 1000 + i).toLong,
+        ((math.abs(s"mo$g-$i".hashCode) % 9000) - 3000).toLong)
+    val z = 2500000L
+    val got = Profile.madOutliers(
+        rows.toDF("g", "id", "v"), "g", "id", "v", z)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val vs = rs.map(_._3).sorted
+      val n = vs.size
+      val med2 = vs((n + 1) / 2 - 1) + vs(n / 2)
+      val d2 = rs.map(r => (r._2, math.abs(2 * r._3 - med2)))
+      val ds = d2.map(_._2).sorted
+      val mad4 = ds((n + 1) / 2 - 1) + ds(n / 2)
+      d2.filter(p => 2 * p._2 * 1000000L > z * mad4)
+        .map(p => (g, p._1))
+    }.sorted
+    assert(got.toSeq == want)
+  }
+
   test("skewProfile ≡ BigInt rank definition on md5-derived counts") {
     // irregular tied spectrum from a deterministic hash
     val keys = (1 to 400).flatMap { i =>
