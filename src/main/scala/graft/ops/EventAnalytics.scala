@@ -983,6 +983,42 @@ object EventAnalytics {
         (col("col.sn") > hCenti).as("alarm_down"))
   }
 
+  /** Per-entity TIME-WEIGHTED average (TWAP) in exact centi-units —
+    * the billing/monitoring aggregate a plain AVG gets wrong when
+    * observations are irregular (a value held for an hour must weigh
+    * 3600× one held for a second): each event's value is weighted by
+    * the microseconds until the NEXT event under the (ts, id) total
+    * order; the last observation closes the window (weight 0), so
+    * TWAP = Σ(vᵢ·Δtᵢ) / Σ(Δtᵢ) over the entity's observed span.
+    * The weighted sum rides DECIMAL(38,0) (value·Δt_us overflows a
+    * long at day-scale gaps) and the final division is FLOOR in both
+    * engines via the pmod trick ((x − pmod(x, d)) div d ≡ DuckDB
+    * `//`), so signed values are safe too. Entities with a single
+    * event drop (no observed span). Per-entity history is bounded —
+    * the events family's plain-window contract; the skew-safe lead
+    * exists for the unbounded shape. Output:
+    * (user, n_events, dur_us, twap_centi). */
+  def twapCenti(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__tm"), col(idCol))
+    val d38 = "decimal(38,0)"
+    events
+      .filter(col(valCol).isNotNull)
+      .select(col(userCol), col(idCol),
+        unix_micros(col(tsCol)).as("__tm"), centi(col(valCol)).as("__v"))
+      .withColumn("__dt", lead(col("__tm"), 1).over(w) - col("__tm"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__dt")).as("dur_us"),
+        sum(expr(s"CAST(__v AS $d38) * __dt")).as("__ws"))
+      .filter(col("dur_us").isNotNull && col("dur_us") > 0)
+      .select(col(userCol), col("n_events"), col("dur_us"),
+        expr(s"CAST((__ws - pmod(__ws, CAST(dur_us AS $d38))) div " +
+          "dur_us AS BIGINT)").as("twap_centi"))
+  }
+
   /** Per-entity RANK autocorrelation function (the Spearman ACF of
     * the tiebroken order): for each lag k ∈ 1..maxLag, the exact
     * Spearman ρ between a series' value and its k-step predecessor

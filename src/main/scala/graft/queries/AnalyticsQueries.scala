@@ -3536,6 +3536,33 @@ object AnalyticsQueries {
         |WHERE d.d2 * 2 * 1000000 > 2000000 * mm.mad4
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
 
+    // Per-entity TWAP (r14): the time-weighted average a plain AVG
+    // gets wrong on irregular observations — each value weighted by
+    // the microseconds until the next event, weighted sum on
+    // DECIMAL(38,0)/HUGEINT, final division floor-exact in both
+    // engines via the pmod trick. Single-event entities drop.
+    QuerySpec("q261_twap",
+      (s, dir) => EventAnalytics.twapCenti(events(s, dir),
+          "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id")),
+      Some(s"""WITH e AS ($eventsSql),
+        |v AS (SELECT user_id, epoch_us(ts) AS tm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    event_id
+        |  FROM e WHERE value IS NOT NULL),
+        |d AS (SELECT user_id, v,
+        |    LEAD(tm) OVER (PARTITION BY user_id
+        |      ORDER BY tm, event_id) - tm AS dt
+        |  FROM v),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(dt) AS BIGINT) AS dur_us,
+        |    SUM(CAST(v AS HUGEINT) * dt) AS ws
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n_events, dur_us,
+        |  CAST(ws // dur_us AS BIGINT) AS twap_centi
+        |FROM a WHERE dur_us IS NOT NULL AND dur_us > 0
+        |ORDER BY user_id""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

@@ -234,6 +234,31 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("twapCenti: duration weighting, floor on negative quotient, " +
+      "single-event drop") {
+    val df = Seq(
+      // u1: 1.00 held 10 s, 3.00 held 30 s, last closes → 2.50
+      (1L, 1L, ts("2026-01-05 10:00:00"), 1.00),
+      (1L, 2L, ts("2026-01-05 10:00:10"), 3.00),
+      (1L, 3L, ts("2026-01-05 10:00:40"), 9.99),
+      // u2: ws = −15000 + 1000 = −14000 us·centi over 4000 us
+      // → −3.5 → FLOOR −4 (a truncating div would say −3)
+      (2L, 1L, ts("2026-01-05 10:00:00.000"), -0.05),
+      (2L, 2L, ts("2026-01-05 10:00:00.003"), 0.01),
+      (2L, 3L, ts("2026-01-05 10:00:00.004"), 7.77),
+      // u3: single event → no observed span → dropped
+      (3L, 1L, ts("2026-01-05 11:00:00"), 5.00))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = EventAnalytics.twapCenti(df, "user_id", "ts",
+        "event_id", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 40000000L, 250L),
+      (2L, 3L, 4000L, -4L)))
+  }
+
   test("rankAutocorr: monotone series → ρ = 10⁶ at every lag; " +
       "short series drop; ≡ BigInt rank reference on a noisy series") {
     def series(u: Long, vals: Seq[Double]) = vals.zipWithIndex.map {
