@@ -445,6 +445,44 @@ object Sketches {
       .toDF("pos", "h")
   }
 
+  /** Grouped KMV sketches — the "distinct X per Y" form at bounded
+    * state (the [[hllRegistersBy]] parallel, but with the k-min set's
+    * extra powers: per-group overlap and exact-when-unsaturated):
+    * one `(group, pos, h)` row per kept hash per group. The typed
+    * aggregator runs per group key with the same ≤ k map-side state,
+    * so the exchange carries |groups|·k rows at most — never the
+    * distinct value set. `groupCol` must be string-typed (cast
+    * upstream); null groups are excluded like null keys. */
+  def kmvSketchBy(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), kmvHash(col(keyCol)).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(KmvMinK(k).toColumn)
+      .flatMap { case (g, mins) =>
+        mins.iterator.zipWithIndex.map { case (h, i) => (g, i + 1, h) }
+      }
+      .toDF(groupCol, "pos", "h")
+  }
+
+  /** Per-group distinct estimates from a [[kmvSketchBy]] frame —
+    * `(group, k_used, kth_h, nd_est)` with the same two branches as
+    * [[kmvEstimate]] (exact below saturation, Bar-Yossef above). */
+  def kmvEstimateBy(sketchBy: DataFrame, groupCol: String,
+      k: Int): DataFrame =
+    sketchBy.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("int").as("k_used"),
+        max(col("h")).as("kth_h"))
+      .select(col(groupCol), col("k_used"), col("kth_h"),
+        when(col("k_used") < k, col("k_used").cast("long"))
+          .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
+            "1152921504606846976) div kth_h AS BIGINT)"))
+          .as("nd_est"))
+
   /** Distinct-count estimate from a KMV sketch, one labeled row:
     * `(label, k_used, kth_h, nd_est)`. Unsaturated sketch (k_used <
     * k) ⇒ every distinct hash was kept ⇒ nd_est = k_used EXACTLY;

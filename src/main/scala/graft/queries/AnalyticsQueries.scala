@@ -3563,6 +3563,28 @@ object AnalyticsQueries {
         |FROM a WHERE dur_us IS NOT NULL AND dur_us > 0
         |ORDER BY user_id""".stripMargin)),
 
+    // Grouped KMV sketches (r14): distinct documents PER LANGUAGE at
+    // bounded state — the hllRegistersBy parallel with the k-min
+    // set's extra powers (per-group overlap, exact-when-unsaturated).
+    // The gate pins every kept hash of every group (the strongest
+    // form: estimates derive from these rows); per-group estimates
+    // are banded in KmvSpec. Exchange ≤ |groups|·k rows, never the
+    // distinct set.
+    QuerySpec("q262_kmv_sketch_by",
+      (s, dir) => graft.ops.Sketches.kmvSketchBy(
+          table(s, dir, "documents"), "lang", "text", 32)
+        .orderBy(col("lang"), col("pos")),
+      Some("""WITH h0 AS (SELECT lang,
+        |    CAST(('0x' || substr(md5('kmv:' || text), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |d AS (SELECT DISTINCT lang, h FROM h0),
+        |r AS (SELECT lang, h, CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY lang ORDER BY h) AS INT) AS pos FROM d)
+        |SELECT lang, pos, h FROM r WHERE pos <= 32
+        |ORDER BY lang, pos""".stripMargin)),
+
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's
     // one-scan profile against the profile persisted when the

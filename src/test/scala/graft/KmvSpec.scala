@@ -74,6 +74,29 @@ class KmvSpec extends SparkSuite {
     assert(nd == want)
   }
 
+  test("kmvSketchBy/kmvEstimateBy: per-group k-min sets and both " +
+      "estimator branches") {
+    val rows = (1 to 5000).map(i => ("big", s"b$i")) ++
+      (1 to 20).map(i => ("small", s"s$i")) ++
+      Seq((null.asInstanceOf[String], "x1"), ("big", null))
+    val df = rows.toDF("g", "k")
+    val sk = Sketches.kmvSketchBy(df, "g", "k", 64)
+    val byG = sk.collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) =>
+        g -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(byG.keySet == Set("big", "small")) // null group dropped
+    assert(byG("big") == refMins((1 to 5000).map(i => s"b$i"), 64))
+    assert(byG("small") ==
+      refMins((1 to 20).map(i => s"s$i"), 64)) // unsaturated: all 20
+    val est = Sketches.kmvEstimateBy(sk, "g", 64).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(3))).toMap
+    assert(est("small") == ((20, 20L))) // exact branch
+    val (kUsed, nd) = est("big")
+    assert(kUsed == 64 && math.abs(nd - 5000L) < 5000L / 2,
+      s"big nd_est $nd out of band")
+  }
+
   test("kmvJaccard: exact small-set branch and banded estimate") {
     // unsaturated union: matches IS the exact intersection
     val a = (1 to 30).map(i => s"j$i")
