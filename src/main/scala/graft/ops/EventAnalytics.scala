@@ -991,10 +991,11 @@ object EventAnalytics {
     * order; the last observation closes the window (weight 0), so
     * TWAP = Σ(vᵢ·Δtᵢ) / Σ(Δtᵢ) over the entity's observed span.
     * The weighted sum rides DECIMAL(38,0) (value·Δt_us overflows a
-    * long at day-scale gaps) and the final division is FLOOR in both
-    * engines via the pmod trick ((x − pmod(x, d)) div d ≡ DuckDB
-    * `//`), so signed values are safe too. Entities with a single
-    * event drop (no observed span). Per-entity history is bounded —
+    * long at day-scale gaps) and the final division TRUNCATES toward
+    * zero — the semantic BOTH engines' native integral divide shares
+    * on signed operands (Spark `div` ≡ DuckDB integer `//`; measured
+    * — a pmod-floor would diverge on a negative weighted sum).
+    * Entities with a single event drop (no observed span). Per-entity history is bounded —
     * the events family's plain-window contract; the skew-safe lead
     * exists for the unbounded shape. Output:
     * (user, n_events, dur_us, twap_centi). */
@@ -1015,8 +1016,7 @@ object EventAnalytics {
         sum(expr(s"CAST(__v AS $d38) * __dt")).as("__ws"))
       .filter(col("dur_us").isNotNull && col("dur_us") > 0)
       .select(col(userCol), col("n_events"), col("dur_us"),
-        expr(s"CAST((__ws - pmod(__ws, CAST(dur_us AS $d38))) div " +
-          "dur_us AS BIGINT)").as("twap_centi"))
+        expr("CAST(__ws div dur_us AS BIGINT)").as("twap_centi"))
   }
 
   /** Per-entity RANK autocorrelation function (the Spearman ACF of

@@ -201,6 +201,34 @@ object MlPrep {
     * is bounded by the PHRASE terms' posting lists, never the
     * corpus, and a stop-word-leading phrase is just a bigger (still
     * keyed) anchor list. Output: (doc_id, n_hits > 0). */
+  /** Sliding-window term co-occurrence counts from a
+    * [[positionalIndex]] — the word2vec/GloVe training structure
+    * (and the corpus-statistics half of PMI): for every UNORDERED
+    * term pair within `window` tokens, the number of co-occurrences,
+    * `minCount`-pruned. Candidate generation is KEYED, never
+    * quadratic: each occurrence explodes to its `window` successor
+    * positions and equi-joins on (doc, pos) — cost is rows·window,
+    * so a megatoken document is rows·w work, not len² (the basket
+    * cap discipline, built into the join shape instead). Pairs
+    * normalize to (least, greatest); a term co-occurring with
+    * itself ("data ... data") counts like any other pair. */
+  def windowCooccurrence(index: DataFrame, window: Int,
+      minCount: Long): DataFrame = {
+    require(window >= 1, "windowCooccurrence: window must be >= 1")
+    val probe = index.select(col("doc_id").as("__d"),
+      col("term").as("__ta"),
+      explode(sequence(col("pos") + 1, col("pos") + window))
+        .as("__p2"))
+    probe
+      .join(index,
+        col("__d") === col("doc_id") && col("__p2") === col("pos"))
+      .select(least(col("__ta"), col("term")).as("term_a"),
+        greatest(col("__ta"), col("term")).as("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   def phraseHits(index: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseHits: empty phrase")
     val anchors = index.filter(col("term") === phrase.head)

@@ -1762,6 +1762,42 @@ object Profile {
         (col("__d2") * 2).as("dev4"), col("__mad4").as("mad4"))
   }
 
+  /** Per-group OLS TREND slope in exact integer arithmetic — the
+    * "is this metric drifting and how fast" number beside
+    * [[graft.ops.EventAnalytics.cusumCenti]]'s when-did-it-shift:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), emitted as the exact
+    * integer numerator/denominator pair plus `slope_micro` =
+    * 10⁶·num div den — TRUNCATING division, which is what BOTH
+    * engines' native integral divide does on signed operands (Spark
+    * `div` and DuckDB integer `//` each round toward zero; measured,
+    * not assumed — a pmod-floor here would diverge on every
+    * downward trend). Pearson's r needs a sqrt and is not gate-able;
+    * the OLS slope is a pure rational of the four integer moments —
+    * ONE map-side-combinable aggregate over one scan, DECIMAL(38,0)
+    * internals (n·Σxy overflows long at 10⁹-row groups; the BIGINT
+    * num/den outputs document the n·x·y ≲ 9·10¹⁸ gate domain).
+    * Groups with zero x-variance drop (slope undefined). */
+  def trendSlope(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col(xCol).cast(d38)).as("__sx"),
+        sum(col(yCol).cast(d38)).as("__sy"),
+        sum(expr(s"CAST($xCol AS $d38) * $yCol")).as("__sxy"),
+        sum(expr(s"CAST($xCol AS $d38) * $xCol")).as("__sxx"))
+      .withColumn("__num", expr("__n * __sxy - __sx * __sy"))
+      .withColumn("__den", expr("__n * __sxx - __sx * __sx"))
+      .filter(col("__den") > 0)
+      .select(col(groupCol),
+        expr("CAST(__n AS BIGINT)").as("n"),
+        expr("CAST(__num AS BIGINT)").as("num"),
+        expr("CAST(__den AS BIGINT)").as("den"),
+        expr(s"CAST((CAST(1000000 AS $d38) * __num) div __den " +
+          "AS BIGINT)").as("slope_micro"))
+  }
+
   /** KEY-SKEW profile of a column's mass distribution — the
     * shuffle/partition-skew diagnosis: before keying a 100 TB
     * join/aggregate on a column, this one row says whether its mass

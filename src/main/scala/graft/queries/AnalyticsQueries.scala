@@ -3539,8 +3539,9 @@ object AnalyticsQueries {
     // Per-entity TWAP (r14): the time-weighted average a plain AVG
     // gets wrong on irregular observations — each value weighted by
     // the microseconds until the next event, weighted sum on
-    // DECIMAL(38,0)/HUGEINT, final division floor-exact in both
-    // engines via the pmod trick. Single-event entities drop.
+    // DECIMAL(38,0)/HUGEINT, final division TRUNCATING in both
+    // engines (Spark div ≡ DuckDB integer //, signed included).
+    // Single-event entities drop.
     QuerySpec("q261_twap",
       (s, dir) => EventAnalytics.twapCenti(events(s, dir),
           "user_id", "ts", "event_id", "value")
@@ -3584,6 +3585,46 @@ object AnalyticsQueries {
         |    (PARTITION BY lang ORDER BY h) AS INT) AS pos FROM d)
         |SELECT lang, pos, h FROM r WHERE pos <= 32
         |ORDER BY lang, pos""".stripMargin)),
+
+    // Per-group OLS trend slope (r14): "is this metric drifting and
+    // how fast" — totalprice-vs-orderdate slope per priority, as the
+    // exact integer moment rational (num = n·Σxy − Σx·Σy, den =
+    // n·Σx² − (Σx)²) plus slope in micros under TRUNCATING division
+    // — the semantic Spark `div` and DuckDB integer `//` SHARE on
+    // signed operands (two of the five priorities trend DOWN, so
+    // the sign case is live in this gate; a pmod-floor was measured
+    // to diverge by 1 exactly there). One map-side-combinable
+    // aggregate over one scan.
+    QuerySpec("q264_trend_slope",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").as("x"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("y"))
+        graft.ops.Profile.trendSlope(o, "o_orderpriority", "x", "y")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM orders),
+        |m AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM v GROUP BY g)
+        |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS den,
+        |  CAST((1000000 * (n * sxy - sx * sy)) //
+        |    (n * sxx - sx * sx) AS BIGINT) AS slope_micro
+        |FROM m WHERE n * sxx - sx * sx > 0
+        |ORDER BY o_orderpriority""".stripMargin)),
 
     // Column-profile diff (r14, standing rule 1): the schema/
     // statistics half of the nightly monitor — diff the full table's

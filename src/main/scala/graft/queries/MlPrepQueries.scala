@@ -898,6 +898,31 @@ object MlPrepQueries {
         |    AND c.term = 'table'
         |  GROUP BY 2)
         |SELECT * FROM p2 UNION ALL SELECT * FROM p3
-        |ORDER BY phrase, doc_id""".stripMargin))
+        |ORDER BY phrase, doc_id""".stripMargin)),
+
+    // Sliding-window term co-occurrence (r14): the word2vec/GloVe
+    // co-occurrence counts — unordered term pairs within 3 tokens,
+    // min-count 5. Candidates are KEYED (each occurrence explodes to
+    // its 3 successor positions, equi-join on (doc, pos)): rows·w
+    // work, never the per-doc len² cartesian a theta join would plan.
+    QuerySpec("q263_window_cooccurrence",
+      (s, dir) => graft.ops.MlPrep.windowCooccurrence(
+          graft.ops.MlPrep.positionalIndex(
+            table(s, dir, "documents"), "doc_id", "text"),
+          window = 3, minCount = 5L)
+        .orderBy(col("term_a"), col("term_b")),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term,
+        |    CAST(generate_subscripts(
+        |      string_split_regex(trim(text), '\s+'), 1) AS BIGINT)
+        |      AS pos
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT LEAST(a.term, b.term) AS term_a,
+        |  GREATEST(a.term, b.term) AS term_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+        |  AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |ORDER BY term_a, term_b""".stripMargin))
   )
 }

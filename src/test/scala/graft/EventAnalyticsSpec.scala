@@ -234,15 +234,17 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
-  test("twapCenti: duration weighting, floor on negative quotient, " +
-      "single-event drop") {
+  test("twapCenti: duration weighting, truncation on negative " +
+      "quotient, single-event drop") {
     val df = Seq(
       // u1: 1.00 held 10 s, 3.00 held 30 s, last closes → 2.50
       (1L, 1L, ts("2026-01-05 10:00:00"), 1.00),
       (1L, 2L, ts("2026-01-05 10:00:10"), 3.00),
       (1L, 3L, ts("2026-01-05 10:00:40"), 9.99),
       // u2: ws = −15000 + 1000 = −14000 us·centi over 4000 us
-      // → −3.5 → FLOOR −4 (a truncating div would say −3)
+      // → −3.5 → TRUNCATE −3: the semantic Spark div and DuckDB
+      // integer // SHARE on signed operands (measured; floor = −4
+      // would diverge from the oracle)
       (2L, 1L, ts("2026-01-05 10:00:00.000"), -0.05),
       (2L, 2L, ts("2026-01-05 10:00:00.003"), 0.01),
       (2L, 3L, ts("2026-01-05 10:00:00.004"), 7.77),
@@ -256,7 +258,7 @@ class EventAnalyticsSpec extends SparkSuite {
         r.getLong(3)))
     assert(out.toSeq == Seq(
       (1L, 3L, 40000000L, 250L),
-      (2L, 3L, 4000L, -4L)))
+      (2L, 3L, 4000L, -3L)))
   }
 
   test("rankAutocorr: monotone series → ρ = 10⁶ at every lag; " +

@@ -216,4 +216,27 @@ class MlPrepSpec extends SparkSuite {
     assert(MlPrep.phraseHits(idx, Seq("spark", "big", "x"))
       .collect().isEmpty)
   }
+
+  test("windowCooccurrence: window bound, unordered normalize, " +
+      "self-pairs, doc isolation, minCount") {
+    val docs = Seq(
+      (1L, "a b c d"),   // w=2: (a,b) (a,c) (b,c) (b,d) (c,d)
+      (2L, "b a"),       // (a,b) again — unordered normalization
+      (3L, "x x x"))     // self-pairs: (x,x) at dist 1,1,2 → 3
+      .toDF("doc_id", "text")
+    val idx = MlPrep.positionalIndex(docs, "doc_id", "text")
+    val got = MlPrep.windowCooccurrence(idx, window = 2, minCount = 1L)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L, ("x", "x") -> 3L))
+    // minCount prunes; window=1 drops the distance-2 pairs
+    val w1 = MlPrep.windowCooccurrence(idx, window = 1, minCount = 2L)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(w1 == Map(("a", "b") -> 2L, ("x", "x") -> 2L))
+  }
 }

@@ -911,6 +911,43 @@ class ProfileSpec extends SparkSuite {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
 
+  test("trendSlope: exact line, negative truncation, zero-variance " +
+      "drop, ≡ BigInt reference") {
+    // g1: y = 3x + 7 exactly → slope_micro = 3_000_000
+    val g1 = (0L to 9L).map(x => ("g1", x, 3 * x + 7))
+    // g2: x = (0,1,3), y = (1,1,0) → num = −5, den = 14,
+    // 10⁶·(−5)/14 = −357142.857… → TRUNCATE −357142 — the semantic
+    // Spark div and DuckDB integer // SHARE on signed operands
+    val g2 = Seq(("g2", 0L, 1L), ("g2", 1L, 1L), ("g2", 3L, 0L))
+    // g3: zero x-variance → dropped
+    val g3 = Seq(("g3", 5L, 1L), ("g3", 5L, 9L))
+    val out = Profile.trendSlope(
+        (g1 ++ g2 ++ g3).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set("g1", "g2"))
+    assert(out("g1")._4 == 3000000L)
+    assert(out("g2") == ((3L, -5L, 14L, -357142L)))
+
+    // noisy differential
+    val noisy = (1 to 120).map { i =>
+      ("gn", i.toLong,
+        ((math.abs(s"tr$i".hashCode) % 4000) - 1500 + 7 * i).toLong)
+    }
+    val got = Profile.trendSlope(noisy.toDF("g", "x", "y"),
+      "g", "x", "y").collect().head
+    val n = BigInt(noisy.size)
+    val sx = noisy.map(r => BigInt(r._2)).sum
+    val sy = noisy.map(r => BigInt(r._3)).sum
+    val sxy = noisy.map(r => BigInt(r._2) * r._3).sum
+    val sxx = noisy.map(r => BigInt(r._2) * r._2).sum
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    // BigInt / truncates toward zero — the shared engine semantic
+    assert(got.getLong(2) == num.toLong && got.getLong(3) == den.toLong)
+    assert(got.getLong(4) == (BigInt(1000000) * num / den).toLong)
+  }
+
   test("skewProfile: hand-checked micros on a planted spectrum") {
     // keys with counts (1, 1, 2, 4): n=8, K=4, ranks asc 1..4,
     // Σr·c = 1+2+6+16 = 25 → gini = 10⁶·(50−5·8)/(4·8) = 312500
