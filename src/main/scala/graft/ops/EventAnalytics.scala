@@ -936,23 +936,39 @@ object EventAnalytics {
     * alarm_up, alarm_down)` with the PRE-reset raw statistics. */
   def cusumCenti(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, valCol: String, targetCenti: Long,
-      slackCenti: Long, hCenti: Long): DataFrame = {
+      slackCenti: Long, hCenti: Long): DataFrame =
+    cusumCentiWithCarry(
+      events.withColumn("__cp0", lit(0L)).withColumn("__cn0", lit(0L)),
+      userCol, tsCol, idCol, valCol, targetCenti, slackCenti, hCenti)
+
+  /** [[cusumCenti]] with per-entity INITIAL carries — the streaming
+    * monitor's epoch-continuation form ([[graft.streaming
+    * .StreamingIngest.cusumMonitorBatch]] joins each entity's
+    * persisted carry in): `events` must already hold `__cp0`/`__cn0`
+    * columns, constant per entity (0/0 ≡ a fresh detector, so the
+    * public batch form is exactly this with zero carries). */
+  private[graft] def cusumCentiWithCarry(events: DataFrame,
+      userCol: String, tsCol: String, idCol: String, valCol: String,
+      targetCenti: Long, slackCenti: Long, hCenti: Long): DataFrame = {
     require(slackCenti >= 0 && hCenti > 0,
       "cusumCenti: slack must be >= 0 and h > 0")
     val v = centi(col(valCol))
     events
       .select(col(userCol),
         struct(col(tsCol).as("ts"), col(idCol).as("id"), v.as("v"))
-          .as("__e"))
+          .as("__e"),
+        col("__cp0"), col("__cn0"))
       .groupBy(col(userCol))
-      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"),
+        first(col("__cp0")).as("__c0"),
+        first(col("__cn0")).as("__n0"))
       .select(col(userCol), expr(
         s"""zip_with(__es,
           |  aggregate(__es,
           |    named_struct(
           |      'out', cast(array() as
           |        array<struct<sp: bigint, sn: bigint>>),
-          |      'cp', CAST(0 AS BIGINT), 'cn', CAST(0 AS BIGINT)),
+          |      'cp', __c0, 'cn', __n0),
           |    (acc, x) -> named_struct(
           |      'out', concat(acc.out, array(named_struct(
           |        'sp', greatest(CAST(0 AS BIGINT),

@@ -3423,28 +3423,25 @@ object AnalyticsQueries {
           "user_id", "ts", "event_id", "value",
           targetCenti = 4950L, slackCenti = 1000L, hCenti = 20000L)
         .orderBy(col("user_id"), col("rn")),
-      Some(s"""WITH RECURSIVE e AS ($eventsSql),
-        |c AS (SELECT user_id, event_id,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |                       ORDER BY ts, event_id) AS rn
-        |  FROM e),
-        |r AS (
-        |  SELECT user_id, rn, event_id,
-        |    GREATEST(0, v - 4950 - 1000) AS sp,
-        |    GREATEST(0, 4950 - v - 1000) AS sn
-        |  FROM c WHERE rn = 1
-        |  UNION ALL
-        |  SELECT c.user_id, c.rn, c.event_id,
-        |    GREATEST(0, (CASE WHEN r.sp > 20000 THEN 0 ELSE r.sp END)
-        |      + c.v - 4950 - 1000),
-        |    GREATEST(0, (CASE WHEN r.sn > 20000 THEN 0 ELSE r.sn END)
-        |      + 4950 - c.v - 1000)
-        |  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
-        |SELECT user_id, rn, event_id, sp AS s_pos_centi,
-        |  sn AS s_neg_centi, sp > 20000 AS alarm_up,
-        |  sn > 20000 AS alarm_down
-        |FROM r ORDER BY user_id, rn""".stripMargin)),
+      Some(cusumOracleSql)),
+
+    // Streaming CUSUM monitor, one epoch under the oracle (r14): the
+    // STATEFUL fourth leg of the monitor family (drift/quality/
+    // profile are stateless per batch; CUSUM's carry must survive
+    // epochs under the _epoch ledger). The fixture replays epoch 0
+    // through the REAL batch path — carry join (empty state),
+    // sorted fold, per-event ledger, atomic carry commit — so the
+    // ledger row set equals q257 epoch-prefixed (oracle shared);
+    // cross-epoch continuity and replay no-op are StreamingSpec's.
+    QuerySpec("q265_cusum_monitor_epoch",
+      (s, dir) => {
+        val root = cusumMonitorRoot(s, dir)
+        s.read.parquet(s"$root/monitor/epoch_0")
+          .orderBy(col("user_id"), col("rn"))
+      },
+      Some(s"""SELECT CAST(0 AS BIGINT) AS epoch, q.*
+           |FROM ($cusumOracleSql) q
+           |ORDER BY user_id, rn""".stripMargin)),
 
     // Per-entity rank autocorrelation (r14): the Spearman ACF of the
     // tiebroken order at lags 1..3 — the seasonality/persistence
@@ -3664,6 +3661,49 @@ object AnalyticsQueries {
            |FROM ($profileDiffOracleSql) q
            |ORDER BY col_name""".stripMargin))
   )
+
+  /** q257's recursive-CTE CUSUM replay (target 49.50, slack 10.00,
+    * h 200.00 in centi) — shared VERBATIM by q257 and, epoch-
+    * prefixed, by q265's monitor replay. */
+  private val cusumOracleSql: String =
+    s"""WITH RECURSIVE e AS ($eventsSql),
+      |c AS (SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM e),
+      |r AS (
+      |  SELECT user_id, rn, event_id,
+      |    GREATEST(0, v - 4950 - 1000) AS sp,
+      |    GREATEST(0, 4950 - v - 1000) AS sn
+      |  FROM c WHERE rn = 1
+      |  UNION ALL
+      |  SELECT c.user_id, c.rn, c.event_id,
+      |    GREATEST(0, (CASE WHEN r.sp > 20000 THEN 0 ELSE r.sp END)
+      |      + c.v - 4950 - 1000),
+      |    GREATEST(0, (CASE WHEN r.sn > 20000 THEN 0 ELSE r.sn END)
+      |      + 4950 - c.v - 1000)
+      |  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+      |SELECT user_id, rn, event_id, sp AS s_pos_centi,
+      |  sn AS s_neg_centi, sp > 20000 AS alarm_up,
+      |  sn > 20000 AS alarm_down
+      |FROM r ORDER BY user_id, rn""".stripMargin
+
+  /** Build-once replay of ONE [[graft.streaming.StreamingIngest
+    * .cusumMonitor]] epoch for q265: the full events frame folded
+    * from an empty carry state through the real per-epoch ledger +
+    * atomic state commit path. */
+  private def cusumMonitorRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/events.parquet")
+    FixtureCache.ensure(s"/tmp/graft_cusum_monitor/${tag}_$fp") { tmp =>
+      graft.streaming.StreamingIngest.cusumMonitorBatch(
+        events(s, dir), "user_id", "ts", "event_id", "value",
+        targetCenti = 4950L, slackCenti = 1000L, hCenti = 20000L,
+        stateDir = s"$tmp/state", monitorDir = s"$tmp/monitor",
+        epochId = 0L)
+    }
+  }
 
   /** q245/q250's CURRENT side: the full orders table with the
     * derived centi-price, profiled over [[curOrdersCols]]. */

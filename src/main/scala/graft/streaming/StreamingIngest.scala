@@ -595,6 +595,88 @@ object StreamingIngest {
       .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
   }
 
+  /** Streaming CUSUM monitor — the STATEFUL fourth leg of the monitor
+    * family (drift = distributions, quality = rules, profile = column
+    * shape, this = per-entity SEQUENTIAL mean-shift): each
+    * micro-batch folds every entity's events through the two-sided
+    * CUSUM recurrence CONTINUING from the entity's persisted carry
+    * (`EventAnalytics.cusumCentiWithCarry`), lands the per-event raw
+    * statistics + alarm flags under `monitorDir/epoch_N`, and commits
+    * the new per-entity carries as the `_epoch`-ledgered state (the
+    * aggIngest staging/commit discipline — replayed epochs no-op, so
+    * a carry is never advanced twice). Entities untouched by a batch
+    * keep their carry. State is ≤|entities| rows of three longs. */
+  def cusumMonitor(stream: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String, targetCenti: Long,
+      slackCenti: Long, hCenti: Long, stateDir: String,
+      checkpointDir: String, monitorDir: String,
+      adoptUntaggedState: Boolean = false): StreamingQuery =
+    epochLedgeredQuery(stream, stateDir, checkpointDir,
+      adoptUntaggedState, "cusumMonitor") { (batch, epochId) =>
+      cusumMonitorBatch(batch, userCol, tsCol, idCol, valCol,
+        targetCenti, slackCenti, hCenti, stateDir, monitorDir, epochId)
+    }
+
+  /** One epoch of [[cusumMonitor]], separated so the batch path is
+    * directly testable and driver-gateable. */
+  def cusumMonitorBatch(batch: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String, targetCenti: Long,
+      slackCenti: Long, hCenti: Long, stateDir: String,
+      monitorDir: String, epochId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit,
+      max_by, struct}
+    val spark = batch.sparkSession
+    recoverState(stateDir)
+    val cur = s"$stateDir/current"
+    val exists = Files.exists(Paths.get(cur))
+    val committedEpoch =
+      if (exists && Files.exists(Paths.get(s"$cur/_epoch")))
+        Files.readString(Paths.get(s"$cur/_epoch")).trim.toLong
+      else Long.MinValue
+    if (epochId <= committedEpoch) return // replayed epoch: no-op
+    val prior =
+      if (exists) spark.read.parquet(s"$cur/state")
+      else batch.sparkSession.range(0)
+        .select(col("id").as("__u"), col("id").as("cp"),
+          col("id").as("cn"))
+    val withCarry = batch
+      .join(prior.select(col("__u"), col("cp").as("__jp"),
+          col("cn").as("__jn")),
+        col(userCol) === col("__u"), "left")
+      .withColumn("__cp0", coalesce(col("__jp"), lit(0L)))
+      .withColumn("__cn0", coalesce(col("__jn"), lit(0L)))
+    val folded = graft.ops.EventAnalytics.cusumCentiWithCarry(
+      withCarry, userCol, tsCol, idCol, valCol, targetCenti,
+      slackCenti, hCenti)
+    folded
+      .withColumn("epoch", lit(epochId))
+      .select(col("epoch"), col(userCol), col("rn"), col("event_id"),
+        col("s_pos_centi"), col("s_neg_centi"), col("alarm_up"),
+        col("alarm_down"))
+      .coalesce(1) // batch-sized ledger
+      .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
+    // new carries: the last event's post-reset statistics per entity
+    val lastRows = spark.read
+      .parquet(s"$monitorDir/epoch_$epochId")
+      .groupBy(col(userCol).as("__u"))
+      .agg(max_by(struct(col("s_pos_centi").as("sp"),
+        col("s_neg_centi").as("sn")), col("rn")).as("__last"))
+      .select(col("__u"),
+        expr(s"CASE WHEN __last.sp > ${hCenti}L THEN 0L " +
+          "ELSE __last.sp END").as("cp"),
+        expr(s"CASE WHEN __last.sn > ${hCenti}L THEN 0L " +
+          "ELSE __last.sn END").as("cn"))
+    val untouched = prior.join(lastRows.select(col("__u").as("__u2")),
+      col("__u") === col("__u2"), "left_anti")
+    val state = untouched.unionByName(lastRows)
+    val staging = s"$stateDir/staging"
+    state.coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/state")
+    Files.writeString(Paths.get(s"$staging/_epoch"), epochId.toString)
+    commitState(stateDir)
+  }
+
   /** One epoch of [[aggIngest]], separated so the batch path is
     * directly testable and reusable by a non-streaming ingest loop.
     * No-op (by the `_epoch` ledger) when `epochId` was already

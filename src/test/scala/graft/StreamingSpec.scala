@@ -50,6 +50,64 @@ class StreamingSpec extends SparkSuite {
     assert(res.map(_._1) == Seq(0L, 1L, 2L))
   }
 
+  test("streaming CUSUM monitor: carries continue across epochs " +
+      "(two-epoch fold == one concatenated fold), untouched entity " +
+      "keeps its carry, replayed epoch no-ops") {
+    import graft.streaming.StreamingIngest
+    import graft.ops.EventAnalytics
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("cusum_monitor").toString
+    def t(m: Int) = Timestamp.valueOf(f"2026-04-01 10:${m / 60}%02d:${m % 60}%02d")
+    // u1 climbs across BOTH epochs (the carry must bridge them);
+    // u3 appears only in epoch 0 (its carry must survive epoch 1)
+    val b1 = Seq((1L, 1L, t(1), 9.0), (1L, 2L, t(2), 9.0),
+      (3L, 31L, t(1), 9.0))
+    val b2 = Seq((1L, 3L, t(3), 9.0), (1L, 4L, t(4), 9.0),
+      (2L, 21L, t(3), 1.0))
+    // target 5.00, slack 1.00, h 6.00: u1 sp = 300, 600 | 900(alarm),
+    // 300 — continuation, NOT a 300,600 restart
+    val stream = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = StreamingIngest.cusumMonitor(
+      stream.toDS().toDF("user_id", "event_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", 500L, 100L, 600L,
+      s"$dir/state", s"$dir/ckpt", s"$dir/monitor")
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    def led(e: Int) = spark.read.parquet(s"$dir/monitor/epoch_$e")
+      .select($"user_id", $"event_id", $"s_pos_centi",
+        $"s_neg_centi", $"alarm_up")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(led(0) == Set((1L, 1L, 300L, 0L, false),
+      (1L, 2L, 600L, 0L, false), (3L, 31L, 300L, 0L, false)))
+    assert(led(1) == Set((1L, 3L, 900L, 0L, true),
+      (1L, 4L, 300L, 0L, false), (2L, 21L, 0L, 300L, false)))
+    // the two-epoch ledgers together == ONE fold over b1 ++ b2
+    val full = EventAnalytics.cusumCenti(
+        (b1 ++ b2).toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value", 500L, 100L, 600L)
+      .select($"user_id", $"event_id", $"s_pos_centi",
+        $"s_neg_centi", $"alarm_up")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert((led(0) ++ led(1)) == full)
+    // untouched u3 keeps its epoch-0 carry in the committed state
+    val st = spark.read.parquet(s"$dir/state/current/state")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(st(3L) == ((300L, 0L)))
+    assert(st(1L) == ((300L, 0L))) // post-alarm restart carried
+    // replayed last epoch: ledger no-ops, state unchanged
+    StreamingIngest.cusumMonitorBatch(
+      b2.toDF("user_id", "event_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", 500L, 100L, 600L,
+      s"$dir/state", s"$dir/monitor", 1L)
+    val st2 = spark.read.parquet(s"$dir/state/current/state")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(st2 == st && led(1).size == 3)
+  }
+
   test("streaming drift monitor: per-epoch four-stat report vs the " +
       "frozen reference == batch ops on the cumulative prefix; " +
       "replayed epoch no-ops") {
