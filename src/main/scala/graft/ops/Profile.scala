@@ -1798,6 +1798,46 @@ object Profile {
           "AS BIGINT)").as("slope_micro"))
   }
 
+  /** Benford first-digit profile — the fraud/synthetic-data smell
+    * test (Benford 1938; Nigrini's audit use): natural multi-scale
+    * magnitudes put digit d first with probability log₁₀(1 + 1/d),
+    * and fabricated or truncated data visibly doesn't. One row per
+    * digit 1..9 (zero-filled): observed count, observed share in
+    * micros, the Benford expectation in micros (the logs are
+    * CONSTANTS, precomputed as floor(10⁶·log₁₀(1+1/d)) — no runtime
+    * log, so the whole profile is integer-exact), and the absolute
+    * deviation. The first digit comes from the SIGN-STRIPPED decimal
+    * string of the integral value (no abs() — abs(Long.MinValue)
+    * wraps; string-stripping doesn't), zeros and nulls excluded.
+    * One count aggregate over one scan; the 1-row total attaches to
+    * the 9-row digit frame by broadcast. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val spark = df.sparkSession
+    val digitF = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        expr("CASE id " + benford.zipWithIndex.map { case (b, i) =>
+          s"WHEN ${i + 1} THEN ${b}L" }.mkString(" ") +
+          " END").as("benford_micro"))
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
+      .select(substring(regexp_replace(
+          col(valueCol).cast("string"), "^-", ""), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_digit"))
+    val total = counts.agg(sum(col("n_digit")).as("__n"))
+    digitF
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n_digit", coalesce(col("n_digit"), lit(0L)))
+      .crossJoin(broadcast(total)) // 1-row total attach
+      .withColumn("obs_micro",
+        expr("(1000000 * n_digit) div __n"))
+      .select(col("digit"), col("n_digit"), col("obs_micro"),
+        col("benford_micro"),
+        abs(col("obs_micro") - col("benford_micro")).as("dev_micro"))
+  }
+
   /** KEY-SKEW profile of a column's mass distribution — the
     * shuffle/partition-skew diagnosis: before keying a 100 TB
     * join/aggregate on a column, this one row says whether its mass

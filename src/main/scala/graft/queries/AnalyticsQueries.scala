@@ -3443,6 +3443,41 @@ object AnalyticsQueries {
            |FROM ($cusumOracleSql) q
            |ORDER BY user_id, rn""".stripMargin)),
 
+    // Benford first-digit profile (r14): the fraud/synthetic-data
+    // smell test over the centi prices — digit shares vs the Benford
+    // expectation, where the logs are CONSTANTS precomputed as
+    // floor(10⁶·log₁₀(1+1/d)) so the whole profile is integer-exact
+    // (the hardcoded-constant move that makes a log-needing statistic
+    // gate-able, like the binned-TVD discipline for χ²). First digit
+    // via sign-stripped decimal string (abs(Long.MinValue) wraps;
+    // string-stripping doesn't); digits zero-filled.
+    QuerySpec("q266_benford",
+      (s, dir) => graft.ops.Profile.benfordProfile(
+          table(s, dir, "lineitem").select(
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("v")),
+          "v")
+        .orderBy(col("digit")),
+      Some("""WITH v AS (SELECT CAST(CAST(l_extendedprice AS
+        |      DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM lineitem),
+        |c AS (SELECT CAST(substr(regexp_replace(CAST(v AS VARCHAR),
+        |      '^-', ''), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_digit
+        |  FROM v WHERE v IS NOT NULL AND v <> 0 GROUP BY 1),
+        |b AS (SELECT * FROM (VALUES (1, 301029), (2, 176091),
+        |    (3, 124938), (4, 96910), (5, 79181), (6, 66946),
+        |    (7, 57991), (8, 51152), (9, 45757))
+        |  AS t(digit, benford_micro)),
+        |t AS (SELECT SUM(n_digit) AS n FROM c)
+        |SELECT b.digit, COALESCE(c.n_digit, 0) AS n_digit,
+        |  CAST((1000000 * COALESCE(c.n_digit, 0)) // t.n AS BIGINT)
+        |    AS obs_micro,
+        |  CAST(b.benford_micro AS BIGINT) AS benford_micro,
+        |  CAST(ABS((1000000 * COALESCE(c.n_digit, 0)) // t.n
+        |    - b.benford_micro) AS BIGINT) AS dev_micro
+        |FROM b LEFT JOIN c USING (digit) CROSS JOIN t
+        |ORDER BY b.digit""".stripMargin)),
+
     // Per-entity rank autocorrelation (r14): the Spearman ACF of the
     // tiebroken order at lags 1..3 — the seasonality/persistence
     // probe beside q257's when-did-it-shift: exact ρ between each

@@ -188,7 +188,9 @@ class PlanSpec extends SparkSuite {
       "q252_lift_table",
       // q255 crosses two 1-row aggregates (matches × union totals),
       // both no-grouping aggs of ≤k-row sketch frames
-      "q255_kmv_jaccard")
+      "q255_kmv_jaccard",
+      // q266 attaches the 1-row digit total to the 9-row digit frame
+      "q266_benford")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -911,6 +911,24 @@ class ProfileSpec extends SparkSuite {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
 
+  test("benfordProfile: sign-strip digits, zero/null excluded, " +
+      "zero-filled digits, exact micros, Long.MinValue safe") {
+    val df = Seq(Some(1L), Some(19L), Some(2L), Some(-25L),
+      Some(300L), Some(0L), None, Some(Long.MinValue))
+      .toDF("v")
+    val out = Profile.benfordProfile(df, "v").orderBy("digit")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // digits: 1,1,2,2,3,9 (MinValue → 9; 0/null excluded) → n = 6
+    assert(out.map(_._2).toSeq ==
+      Seq(2L, 2L, 1L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(out(0)._3 == 333333L &&
+      out(0)._5 == 333333L - 301029L)
+    assert(out(3) == ((4, 0L, 0L, 96910L, 96910L))) // zero-filled
+    assert(out(8)._3 == 166666L &&
+      out(8)._5 == 166666L - 45757L)
+  }
+
   test("trendSlope: exact line, negative truncation, zero-variance " +
       "drop, ≡ BigInt reference") {
     // g1: y = 3x + 7 exactly → slope_micro = 3_000_000
