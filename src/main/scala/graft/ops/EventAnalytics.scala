@@ -1061,24 +1061,42 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(idCol))
+    // ONE materialization + ONE domain guard for all lags: every
+    // per-lag pair frame draws its ids (__rn, shifted) and values
+    // from this base, so guarding it once proves the composite
+    // domain for every lag — and localCheckpoint stops the window
+    // from re-running for each lag's two rank passes (the q150/q246
+    // multi-consumer discipline; the pair joins then read
+    // executor-local blocks, not the event scan).
     val base = events
       .filter(col(valCol).isNotNull)
       .select(col(userCol), col(tsCol), col(idCol),
         centi(col(valCol)).as("__v"))
       .withColumn("__rn", row_number().over(w).cast("long"))
       .select(col(userCol), col("__rn"), col("__v"))
-    val perLag = (1 to maxLag).map { k =>
+      .localCheckpoint()
+    Profile.requireCompositeDomain(base, "rankAutocorr", "__rn",
+      Seq("__v"))
+    // ALL lags fused into ONE spearman call keyed by the
+    // (entity, lag) struct: one union frame (≤ maxLag·n rows), ONE
+    // pair of skew-safe rank passes and one rank join — instead of
+    // maxLag of each (ranks are per-(entity, lag) either way, so the
+    // fused grouping is semantics-preserving and the job count drops
+    // ~3× at maxLag = 3).
+    val allPairs = (1 to maxLag).map { k =>
       val prev = base.select(col(userCol).as("__u2"),
         (col("__rn") + k).as("__rn2"), col("__v").as("__pv"))
-      val paired = base.join(prev,
+      base.join(prev,
           col(userCol) === col("__u2") && col("__rn") === col("__rn2"))
         .select(col(userCol), col("__rn"), col("__v"), col("__pv"))
-      Profile.spearmanExact(paired, userCol, "__rn", "__v", "__pv",
-          partitions)
-        .withColumn("lag", lit(k))
-    }
-    perLag.reduce(_.unionByName(_))
-      .select(col(userCol), col("lag"), col("n"), col("sd2"),
-        col("rho_micro"))
+        .withColumn("__lag", lit(k))
+    }.reduce(_.unionByName(_))
+      .withColumn("__gk",
+        struct(col(userCol).as("u"), col("__lag").as("l")))
+      .localCheckpoint()
+    Profile.spearmanExactPreGuarded(allPairs, "__gk", "__rn", "__v",
+        "__pv", partitions)
+      .select(col("__gk.u").as(userCol), col("__gk.l").as("lag"),
+        col("n"), col("sd2"), col("rho_micro"))
   }
 }

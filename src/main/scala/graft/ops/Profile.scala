@@ -740,7 +740,7 @@ object Profile {
     * aggregate bounds the ranges WITHOUT abs (abs(Long.MinValue)
     * wraps negative, so an abs-based bound passes the one value it
     * must reject). Throws on the driver before the plan builds. */
-  private def requireCompositeDomain(df: DataFrame, op: String,
+  private[ops] def requireCompositeDomain(df: DataFrame, op: String,
       idCol: String, valueCols: Seq[String]): Unit = {
     import org.apache.spark.sql.types._
     (idCol +: valueCols).foreach { c =>
@@ -807,9 +807,23 @@ object Profile {
     * (key, n, sd2, rho_micro). */
   def spearmanExact(df: DataFrame, keyCol: String, idCol: String,
       xCol: String, yCol: String, partitions: Int = 0): DataFrame = {
-    val d38 = "decimal(38,0)"
     requireCompositeDomain(df, "spearmanExact", idCol,
       Seq(xCol, yCol))
+    spearmanExactPreGuarded(df, keyCol, idCol, xCol, yCol, partitions)
+  }
+
+  /** [[spearmanExact]] WITHOUT the composite-domain guard — for
+    * callers that already guarded a SUPERSET frame once (e.g.
+    * [[graft.ops.EventAnalytics.rankAutocorr]], whose per-lag pair
+    * frames all draw ids and values from one guarded base; running
+    * the one-row max/min aggregate per lag would re-evaluate each
+    * pair join just to re-prove the same bound). Never call with an
+    * unguarded frame: the guard is what keeps an out-of-domain input
+    * a THROW instead of silent rank corruption. */
+  private[ops] def spearmanExactPreGuarded(df: DataFrame,
+      keyCol: String, idCol: String, xCol: String, yCol: String,
+      partitions: Int = 0): DataFrame = {
+    val d38 = "decimal(38,0)"
     val base = df.select(col(keyCol), col(idCol), col(xCol),
       col(yCol))
       .withColumn("__ox", col(xCol) * lit(1000000000L) + col(idCol))
@@ -1734,10 +1748,17 @@ object Profile {
     require(zMicro > 0, "madOutliers: zMicro must be > 0")
     requireCompositeDomain(df, "madOutliers", idCol,
       Seq(valueCentiCol))
+    // localCheckpoint both multi-consumer frames (q150/q246
+    // discipline): base feeds the first median's passes + the dev
+    // build; dev2 feeds its own guard, the second median's passes
+    // and the final flag join — without the checkpoint each
+    // consumer re-runs the scan (and, for dev2, the first median
+    // chain) from the source.
     val base = df.filter(col(valueCentiCol).isNotNull)
       .select(col(groupCol), col(idCol), col(valueCentiCol))
       .withColumn("__ord",
         col(valueCentiCol) * lit(1000000000L) + col(idCol))
+      .localCheckpoint()
     val med = EventAnalytics.groupMedianSkewSafe(base, groupCol,
         "__ord", valueCentiCol, partitions)
       .select(col(groupCol).as("__mg"),
@@ -1745,6 +1766,7 @@ object Profile {
     val dev = base.join(broadcast(med), col(groupCol) === col("__mg"))
       .withColumn("__d2",
         abs(col(valueCentiCol) * 2 - col("__med2")))
+      .localCheckpoint()
     requireCompositeDomain(dev, "madOutliers(deviations)", idCol,
       Seq("__d2"))
     val dev2 = dev.withColumn("__ord2",
