@@ -1820,6 +1820,39 @@ object Profile {
           "AS BIGINT)").as("slope_micro"))
   }
 
+  /** QQ comparison table — the drill-down a drift investigation
+    * reads AFTER a KS/U/W₁ gate flags: the same percentile set
+    * evaluated in both samples side by side, so the analyst sees
+    * WHERE in the distribution the mass moved (a location shift
+    * moves every quantile; a tail event moves only p99). One row per
+    * percentile: `(p_micro, n_a, q_a, n_b, q_b, diff)` — exact
+    * discrete percentiles of the (value, id) composite total order
+    * (the q203/q204 rank discipline, domain-guarded), both sides'
+    * rank picks riding the skew-safe percentile op, joined on the
+    * ≤|ps|-row axis. */
+  def qqCompare(df: DataFrame, sampleCol: String, a: String,
+      b: String, idCol: String, valueCentiCol: String,
+      pMicros: Seq[Long], partitions: Int = 0): DataFrame = {
+    val base = df
+      .filter(col(sampleCol) === a || col(sampleCol) === b)
+      .filter(col(valueCentiCol).isNotNull)
+      .select(col(sampleCol), col(idCol), col(valueCentiCol))
+    requireCompositeDomain(base, "qqCompare", idCol,
+      Seq(valueCentiCol))
+    val ord = base.withColumn("__ord",
+      col(valueCentiCol) * lit(1000000000L) + col(idCol))
+    def side(s: String, nOut: String, qOut: String) =
+      EventAnalytics.groupPercentilesSkewSafe(
+          ord.filter(col(sampleCol) === s).withColumn("__g", lit(0)),
+          "__g", "__ord", valueCentiCol, pMicros, partitions)
+        .select(col("p_micro"), col("n").as(nOut),
+          col(valueCentiCol).as(qOut))
+    side(a, "n_a", "q_a")
+      .join(side(b, "n_b", "q_b"), Seq("p_micro"))
+      .select(col("p_micro"), col("n_a"), col("q_a"), col("n_b"),
+        col("q_b"), (col("q_a") - col("q_b")).as("diff"))
+  }
+
   /** Benford first-digit profile — the fraud/synthetic-data smell
     * test (Benford 1938; Nigrini's audit use): natural multi-scale
     * magnitudes put digit d first with probability log₁₀(1 + 1/d),

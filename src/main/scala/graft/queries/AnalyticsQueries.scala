@@ -3478,6 +3478,51 @@ object AnalyticsQueries {
         |FROM b LEFT JOIN c USING (digit) CROSS JOIN t
         |ORDER BY b.digit""".stripMargin)),
 
+    // QQ comparison table (r14): the drill-down after a drift gate
+    // flags — the same six percentiles evaluated in the pre-1996 and
+    // post-1996 order-price samples side by side, exact discrete
+    // percentiles of the (value, orderkey) composite order (q204's
+    // rank discipline), so the analyst sees WHERE the mass moved.
+    QuerySpec("q267_qq_compare",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          when(col("o_orderdate") < lit("1996-01-01"), "pre")
+            .otherwise("post").as("era"),
+          col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+        graft.ops.Profile.qqCompare(o, "era", "pre", "post",
+            "o_orderkey", "v_centi",
+            Seq(100000L, 250000L, 500000L, 750000L, 900000L, 990000L))
+          .orderBy(col("p_micro"))
+      },
+      Some("""WITH v AS (SELECT CASE WHEN o_orderdate <
+        |      TIMESTAMP '1996-01-01' THEN 'pre' ELSE 'post' END
+        |      AS era,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c, o_orderkey
+        |  FROM orders),
+        |r AS (SELECT era, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY era
+        |      ORDER BY c * 1000000000 + o_orderkey) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY era) AS BIGINT) AS n
+        |  FROM v),
+        |p AS (SELECT UNNEST([CAST(100000 AS BIGINT), 250000, 500000,
+        |    750000, 900000, 990000]) AS p_micro),
+        |t AS (SELECT DISTINCT era, n, p_micro,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      (p_micro * n + 999999) // 1000000) AS rk_t
+        |  FROM r, p),
+        |qa AS (SELECT t.p_micro, t.n AS n_a, r.c AS q_a
+        |  FROM t JOIN r ON r.era = t.era AND r.rk = t.rk_t
+        |  WHERE t.era = 'pre'),
+        |qb AS (SELECT t.p_micro, t.n AS n_b, r.c AS q_b
+        |  FROM t JOIN r ON r.era = t.era AND r.rk = t.rk_t
+        |  WHERE t.era = 'post')
+        |SELECT p_micro, n_a, q_a, n_b, q_b, q_a - q_b AS diff
+        |FROM qa JOIN qb USING (p_micro)
+        |ORDER BY p_micro""".stripMargin)),
+
     // Per-entity rank autocorrelation (r14): the Spearman ACF of the
     // tiebroken order at lags 1..3 — the seasonality/persistence
     // probe beside q257's when-did-it-shift: exact ρ between each

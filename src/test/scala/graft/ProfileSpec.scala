@@ -911,6 +911,25 @@ class ProfileSpec extends SparkSuite {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
 
+  test("qqCompare: hand-checked quantile picks, shift visible in " +
+      "diff, other samples excluded") {
+    // a = 10..100 by 10 (n=10); b = a + 50; 'junk' must be ignored
+    val rows = (1 to 10).map(i => ("a", i.toLong, i * 10L)) ++
+      (1 to 10).map(i => ("b", (100 + i).toLong, i * 10L + 50L)) ++
+      Seq(("junk", 999L, 100000L))
+    val out = Profile.qqCompare(rows.toDF("s", "id", "v"),
+        "s", "a", "b", "id", "v", Seq(100000L, 500000L, 1000000L))
+      .orderBy("p_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // p10 → rank ceil(0.1·10)=1 → 10 / 60; p50 → rank 5 → 50 / 100;
+    // p100 → rank 10 → 100 / 150. diff = −50 everywhere (pure shift)
+    assert(out.toSeq == Seq(
+      (100000L, 10L, 10L, 10L, 60L, -50L),
+      (500000L, 10L, 50L, 10L, 100L, -50L),
+      (1000000L, 10L, 100L, 10L, 150L, -50L)))
+  }
+
   test("benfordProfile: sign-strip digits, zero/null excluded, " +
       "zero-filled digits, exact micros, Long.MinValue safe") {
     val df = Seq(Some(1L), Some(19L), Some(2L), Some(-25L),
