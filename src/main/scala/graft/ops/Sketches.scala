@@ -445,6 +445,31 @@ object Sketches {
       .toDF("pos", "h")
   }
 
+  /** Grouped Misra–Gries heavy hitters — "top keys per segment" at
+    * bounded state (the [[graft.ops.MisraGries]] aggregator run per
+    * group key): one `(group, key, est)` row per surviving counter.
+    * Per-group guarantees are the aggregator's own (est ≤ true,
+    * undercount ≤ n_g/(k+1), every key with true > n_g/(k+1)
+    * present — n_g the GROUP's row count); the candidate set stays
+    * merge-order-dependent, so gates must emit the guarantees, not
+    * the raw counters (the q154 discipline). State: ≤ k counters per
+    * group per task, map-side combined. `groupCol` string-typed. */
+  def misraGriesBy(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(keyCol).cast("long").as("x"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(MisraGries(k).toColumn)
+      .flatMap { case (g, counters) =>
+        counters.iterator.map { case (key, est) => (g, key, est) }
+      }
+      .toDF(groupCol, "key", "est")
+  }
+
   /** Grouped KMV sketches — the "distinct X per Y" form at bounded
     * state (the [[hllRegistersBy]] parallel, but with the k-min set's
     * extra powers: per-group overlap and exact-when-unsaturated):

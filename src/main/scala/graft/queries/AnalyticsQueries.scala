@@ -3523,6 +3523,48 @@ object AnalyticsQueries {
         |FROM qa JOIN qb USING (p_micro)
         |ORDER BY p_micro""".stripMargin)),
 
+    // Grouped Misra–Gries heavy hitters (r14): q154 per SEGMENT —
+    // top keys per returnflag from one bounded-state pass (≤ k
+    // counters per group per task). The candidate set is merge-
+    // order-dependent, so the gate emits the ORDER-INDEPENDENT
+    // guarantees per (group, TRUE-heavy key): present, and
+    // est ≤ true ≤ est + n_g/(k+1) — n_g the group's own mass.
+    QuerySpec("q268_heavy_hitters_by",
+      (s, dir) => {
+        val keyed = table(s, dir, "lineitem").select(
+          col("l_returnflag").as("flag"),
+          when(pmod(col("l_orderkey"), lit(4)) === 0,
+              pmod(col("l_partkey"), lit(7)))
+            .otherwise(col("l_partkey") + 1000000L).as("key"))
+        val summary = graft.ops.Sketches.misraGriesBy(
+          keyed, "flag", "key", 64)
+        val exact = keyed.groupBy(col("flag"), col("key"))
+          .agg(count(lit(1)).as("true_n"))
+        val totals = keyed.groupBy(col("flag"))
+          .agg(count(lit(1)).as("__tot"))
+        exact.join(broadcast(totals), Seq("flag"))
+          .filter(col("true_n") * 64 > col("__tot"))
+          .join(summary, Seq("flag", "key"), "left")
+          .select(col("flag"), col("key"), col("true_n"),
+            col("est").isNotNull.as("found"),
+            (col("est").isNotNull && col("est") <= col("true_n") &&
+              (col("true_n") - col("est")) * 65 <= col("__tot"))
+              .as("within_bound"))
+          .orderBy(col("flag"), col("key"))
+      },
+      Some("""WITH x AS (SELECT l_returnflag AS flag,
+        |    CASE WHEN l_orderkey % 4 = 0 THEN l_partkey % 7
+        |      ELSE l_partkey + 1000000 END AS key
+        |  FROM lineitem),
+        |c AS (SELECT flag, key, COUNT(*) AS true_n FROM x
+        |  GROUP BY 1, 2),
+        |t AS (SELECT flag, SUM(true_n) AS total FROM c GROUP BY 1)
+        |SELECT c.flag, c.key, c.true_n, TRUE AS found,
+        |  TRUE AS within_bound
+        |FROM c JOIN t ON c.flag = t.flag
+        |WHERE c.true_n * 64 > t.total
+        |ORDER BY c.flag, c.key""".stripMargin)),
+
     // Per-entity rank autocorrelation (r14): the Spearman ACF of the
     // tiebroken order at lags 1..3 — the seasonality/persistence
     // probe beside q257's when-did-it-shift: exact ρ between each

@@ -64,4 +64,28 @@ class HeavyHittersSpec extends SparkSuite {
     assert(agg.reduce(Map(1L -> 2L, 2L -> 1L, 3L -> 1L), 9L) ==
       Map(1L -> 1L))
   }
+
+  test("misraGriesBy: per-group guarantees independent — a key heavy " +
+      "in one group only must be found there; nulls dropped") {
+    // g1: key 7 is 50% of g1's mass; g2: key 7 absent, key 9 heavy;
+    // eviction pressure from singletons in both groups
+    val rows =
+      Seq.fill(500)(("g1", 7L)) ++ (1L to 500L).map(v => ("g1", v + 1000)) ++
+      Seq.fill(400)(("g2", 9L)) ++ (1L to 400L).map(v => ("g2", v + 9000)) ++
+      Seq((null.asInstanceOf[String], 7L))
+    val out = graft.ops.Sketches.misraGriesBy(
+        rows.toDF("g", "k").repartition(13), "g", "k", 16)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        r.getLong(2))).toMap
+    val e1 = out.getOrElse(("g1", 7L), 0L)
+    val e2 = out.getOrElse(("g2", 9L), 0L)
+    assert(e1 > 0 && e1 <= 500 && (500 - e1) * 17 <= 1000)
+    assert(e2 > 0 && e2 <= 400 && (400 - e2) * 17 <= 800)
+    assert(out.keys.forall(_._1 != null))
+    // no overcount anywhere, per group
+    val exact = rows.filter(_._1 != null).groupBy(identity)
+      .map { case (gk, rs) => gk -> rs.size.toLong }
+    assert(out.forall { case (gk, est) =>
+      est <= exact.getOrElse(gk, 0L) })
+  }
 }
