@@ -229,6 +229,43 @@ object MlPrep {
       .filter(col("n") >= minCount)
   }
 
+  /** COLLOCATION scoring over [[windowCooccurrence]] — "new york"
+    * vs "of the": observed window-pair count against the
+    * configuration-model expectation (the modularity null:
+    * E[n_ab] = deg_a·deg_b / (2m), deg = a term's total pair-endpoint
+    * mass incl. self-pairs twice, m = Σ pair counts), as the exact
+    * integer ratio lift_micro = (10⁶·n_ab·2m) div (deg_a·deg_b) —
+    * PMI = ln(lift) so the log-free ratio carries the same signal
+    * hash-exactly (the q252 move, applied to the word2vec pair
+    * space). Self-pairs are excluded from the OUTPUT (a term isn't
+    * its own collocate) but kept in the marginals (their endpoints
+    * are real occurrences). minCount prunes after marginals, so
+    * shares stay coherent. Adds to the pair pass one ≤|terms|-row
+    * endpoint roll-up (AQE-broadcast twice) + the 1-row total. */
+  def collocations(index: DataFrame, window: Int,
+      minCount: Long): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pairs = windowCooccurrence(index, window, 1L)
+    val deg = pairs
+      .select(explode(array(col("term_a"), col("term_b"))).as("term"),
+        col("n"))
+      .groupBy(col("term")).agg(sum(col("n")).as("deg"))
+    val tot = pairs.agg((sum(col("n")) * 2).as("m2"))
+    pairs
+      .filter(col("term_a") =!= col("term_b"))
+      .filter(col("n") >= minCount)
+      .join(deg.select(col("term").as("term_a"),
+        col("deg").as("deg_a")), Seq("term_a"))
+      .join(deg.select(col("term").as("term_b"),
+        col("deg").as("deg_b")), Seq("term_b"))
+      .crossJoin(broadcast(tot)) // 1-row pair-mass total attach
+      .select(col("term_a"), col("term_b"), col("n"), col("deg_a"),
+        col("deg_b"), col("m2"),
+        expr(s"CAST((CAST(1000000 AS $d38) * n * m2) div " +
+          s"(CAST(deg_a AS $d38) * deg_b) AS BIGINT)")
+          .as("lift_micro"))
+  }
+
   def phraseHits(index: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseHits: empty phrase")
     val anchors = index.filter(col("term") === phrase.head)

@@ -923,6 +923,44 @@ object MlPrepQueries {
         |FROM tk a JOIN tk b ON b.doc_id = a.doc_id
         |  AND b.pos > a.pos AND b.pos <= a.pos + 3
         |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |ORDER BY term_a, term_b""".stripMargin)),
+
+    // Collocation lift (r14): q263's pairs scored against the
+    // configuration-model expectation — lift = n_ab·2m/(deg_a·deg_b)
+    // in exact micros (PMI = ln(lift), the q252 log-free move on the
+    // word2vec pair space). Self-pairs excluded from output, kept in
+    // marginals; minCount after marginals so shares stay coherent.
+    QuerySpec("q269_collocations",
+      (s, dir) => graft.ops.MlPrep.collocations(
+          graft.ops.MlPrep.positionalIndex(
+            table(s, dir, "documents"), "doc_id", "text"),
+          window = 3, minCount = 5L)
+        .orderBy(col("term_a"), col("term_b")),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term,
+        |    CAST(generate_subscripts(
+        |      string_split_regex(trim(text), '\s+'), 1) AS BIGINT)
+        |      AS pos
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT LEAST(a.term, b.term) AS term_a,
+        |    GREATEST(a.term, b.term) AS term_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+        |    AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |  GROUP BY 1, 2),
+        |d AS (SELECT term, CAST(SUM(n) AS BIGINT) AS deg FROM (
+        |    SELECT term_a AS term, n FROM p
+        |    UNION ALL SELECT term_b, n FROM p)
+        |  GROUP BY term),
+        |t AS (SELECT CAST(SUM(n) * 2 AS BIGINT) AS m2 FROM p)
+        |SELECT p.term_a, p.term_b, p.n, da.deg AS deg_a,
+        |  db.deg AS deg_b, t.m2,
+        |  CAST((1000000 * CAST(p.n AS HUGEINT) * t.m2) //
+        |    (CAST(da.deg AS HUGEINT) * db.deg) AS BIGINT)
+        |    AS lift_micro
+        |FROM p JOIN d da ON p.term_a = da.term
+        |JOIN d db ON p.term_b = db.term CROSS JOIN t
+        |WHERE p.term_a <> p.term_b AND p.n >= 5
         |ORDER BY term_a, term_b""".stripMargin))
   )
 }

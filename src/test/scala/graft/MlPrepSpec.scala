@@ -239,4 +239,28 @@ class MlPrepSpec extends SparkSuite {
       .toMap
     assert(w1 == Map(("a", "b") -> 2L, ("x", "x") -> 2L))
   }
+
+  test("collocations: BigInt-checked lift, self-pairs excluded from " +
+      "output but counted in marginals, minCount after marginals") {
+    // window=1 pairs from "p q p q p": (p,q)×4; from "r r s":
+    // (r,r)×1, (r,s)×1 — self pair feeds marginals, never output
+    val docs = Seq((1L, "p q p q p"), (2L, "r r s"))
+      .toDF("doc_id", "text")
+    val idx = MlPrep.positionalIndex(docs, "doc_id", "text")
+    val out = MlPrep.collocations(idx, window = 1, minCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // pairs: (p,q)=4, (r,r)=1, (r,s)=1 → m=6, m2=12
+    // deg: p=4, q=4, r=2·1+1=3, s=1
+    // lift(p,q) = 10⁶·4·12/(4·4) = 3_000_000
+    // lift(r,s) = 10⁶·1·12/(3·1) = 4_000_000
+    assert(out.keySet == Set(("p", "q"), ("r", "s")))
+    assert(out(("p", "q")) == ((4L, 4L, 4L, 12L, 3000000L)))
+    assert(out(("r", "s")) == ((1L, 3L, 1L, 12L, 4000000L)))
+    // minCount prunes output only — marginals unchanged
+    val pruned = MlPrep.collocations(idx, window = 1, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pruned.toSeq == Seq(("p", "q")))
+  }
 }

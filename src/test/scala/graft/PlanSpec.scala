@@ -190,7 +190,17 @@ class PlanSpec extends SparkSuite {
       // both no-grouping aggs of ≤k-row sketch frames
       "q255_kmv_jaccard",
       // q266 attaches the 1-row digit total to the 9-row digit frame
-      "q266_benford")
+      "q266_benford",
+      // q267's two percentile sides run pickGlobalRanks with a
+      // CONSTANT group key (the two-sample axis is the filter, not
+      // the key): FoldablePropagation folds the resolve join's key
+      // equi-condition away, leaving the rank-range join over two
+      // SKETCH-sized frames (|ps| targets × ≤slices count rows) —
+      // the q224 constant-key class, never data-sized
+      "q267_qq_compare",
+      // q269 attaches the 1-row pair-mass total (no-grouping sum of
+      // the pair-count frame) to the surviving collocation rows
+      "q269_collocations")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
