@@ -1820,6 +1820,50 @@ object Profile {
           "AS BIGINT)").as("slope_micro"))
   }
 
+  /** Two-proportion A/B test — the experimentation read-out, exact:
+    * for every arm pair, conversion counts/rates and the pooled
+    * two-proportion z² statistic as a PURE RATIONAL of the four
+    * integers (z² ~ χ²(1); 95% ⇔ z² > 3.841459):
+    *
+    *   z² = (x₁n₂ − x₂n₁)²·n div (n₁·n₂·x·(n−x)),  x = x₁+x₂, n = n₁+n₂
+    *
+    * — algebraically identical to (p₁−p₂)²/(p̂(1−p̂)(1/n₁+1/n₂)) but
+    * with no division until the final micros floor, so it gates
+    * hash-exactly where the usual sqrt-z cannot (the χ²-numerator
+    * discipline). Degenerate pools (x = 0 or x = n: zero variance)
+    * emit null z². One count aggregate over one scan; the arm-pair
+    * join is over the ≤|arms|-row stats frame (|arms|² bounded —
+    * arms are an experiment's treatment cells, not data). */
+  def abTest(df: DataFrame, armCol: String, flagCol: String)
+      : DataFrame = {
+    val d38 = "decimal(38,0)"
+    val stats = df.filter(col(armCol).isNotNull)
+      .groupBy(col(armCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(flagCol), 1L).otherwise(0L)).as("x"))
+    val a = stats.select(col(armCol).as("arm_a"), col("n").as("n_a"),
+      col("x").as("x_a"))
+    val b = stats.select(col(armCol).as("arm_b"), col("n").as("n_b"),
+      col("x").as("x_b"))
+    a.join(b, col("arm_a") < col("arm_b"))
+      .select(col("arm_a"), col("arm_b"), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"),
+        expr("(1000000 * x_a) div n_a").as("cr_a_micro"),
+        expr("(1000000 * x_b) div n_b").as("cr_b_micro"),
+        when(col("x_a") + col("x_b") === 0 ||
+            col("x_a") + col("x_b") === col("n_a") + col("n_b"),
+            lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST((CAST(1000000 AS $d38) *
+               |  (CAST(x_a AS $d38) * n_b - CAST(x_b AS $d38) * n_a) *
+               |  (CAST(x_a AS $d38) * n_b - CAST(x_b AS $d38) * n_a) *
+               |  (n_a + n_b)) div
+               |  (CAST(n_a AS $d38) * n_b * (x_a + x_b) *
+               |   (CAST(n_a AS $d38) + n_b - x_a - x_b))
+               |AS BIGINT)""".stripMargin.replace('\n', ' ')))
+          .as("z2_micro"))
+  }
+
   /** QQ comparison table — the drill-down a drift investigation
     * reads AFTER a KS/U/W₁ gate flags: the same percentile set
     * evaluated in both samples side by side, so the analyst sees

@@ -3565,6 +3565,41 @@ object AnalyticsQueries {
         |WHERE c.true_n * 64 > t.total
         |ORDER BY c.flag, c.key""".stripMargin)),
 
+    // Two-proportion A/B test (r14): the experimentation read-out —
+    // three deterministic arms (user_id mod 3), conversion =
+    // purchase events; per arm pair the pooled z² as a PURE RATIONAL
+    // of the four integers (no division until the final micros
+    // floor), hash-exact where the sqrt-z cannot be. z² ~ χ²(1):
+    // 95% ⇔ z2_micro > 3_841_459.
+    QuerySpec("q270_ab_test",
+      (s, dir) => graft.ops.Profile.abTest(
+          events(s, dir).select(
+            pmod(col("user_id"), lit(3)).as("arm"),
+            (col("event_type") === "purchase").as("converted")),
+          "arm", "converted")
+        .orderBy(col("arm_a"), col("arm_b")),
+      Some(s"""WITH e AS ($eventsSql),
+        |st AS (SELECT user_id % 3 AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS x
+        |  FROM e GROUP BY 1)
+        |SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS n_a,
+        |  a.x AS x_a, b.n AS n_b, b.x AS x_b,
+        |  (1000000 * a.x) // a.n AS cr_a_micro,
+        |  (1000000 * b.x) // b.n AS cr_b_micro,
+        |  CASE WHEN a.x + b.x = 0 OR a.x + b.x = a.n + b.n
+        |    THEN NULL
+        |    ELSE CAST((1000000 *
+        |      (CAST(a.x AS HUGEINT) * b.n - CAST(b.x AS HUGEINT) * a.n) *
+        |      (CAST(a.x AS HUGEINT) * b.n - CAST(b.x AS HUGEINT) * a.n) *
+        |      (a.n + b.n)) //
+        |      (CAST(a.n AS HUGEINT) * b.n * (a.x + b.x) *
+        |       (CAST(a.n AS HUGEINT) + b.n - a.x - b.x)) AS BIGINT)
+        |    END AS z2_micro
+        |FROM st a JOIN st b ON a.arm < b.arm
+        |ORDER BY arm_a, arm_b""".stripMargin)),
+
     // Per-entity rank autocorrelation (r14): the Spearman ACF of the
     // tiebroken order at lags 1..3 — the seasonality/persistence
     // probe beside q257's when-did-it-shift: exact ρ between each

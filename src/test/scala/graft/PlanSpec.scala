@@ -200,7 +200,11 @@ class PlanSpec extends SparkSuite {
       "q267_qq_compare",
       // q269 attaches the 1-row pair-mass total (no-grouping sum of
       // the pair-count frame) to the surviving collocation rows
-      "q269_collocations")
+      "q269_collocations",
+      // q270's arm-pair theta join (arm_a < arm_b) runs over the
+      // ≤|arms|-row stats aggregate — |arms|² is bounded by the
+      // experiment's treatment-cell count, never the data
+      "q270_ab_test")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

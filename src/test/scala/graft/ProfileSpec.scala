@@ -911,6 +911,36 @@ class ProfileSpec extends SparkSuite {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
 
+  test("abTest: hand-checked z², degenerate pools null, arm pairs " +
+      "once, ≡ double formula") {
+    // arm a: 6/10 convert; arm b: 2/10; arm c: 0/10
+    val rows = (1 to 10).map(i => ("a", i <= 6)) ++
+      (1 to 10).map(i => ("b", i <= 2)) ++
+      (1 to 10).map(_ => ("c", false))
+    val out = Profile.abTest(rows.toDF("arm", "conv"), "arm", "conv")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7),
+          if (r.isNullAt(8)) None else Some(r.getLong(8))))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // (a,b): z² = (6·10−2·10)²·20/(10·10·8·12) = 32000/9600 = 3.333…
+    val ab = out(("a", "b"))
+    assert(ab == ((10L, 6L, 10L, 2L, 600000L, 200000L,
+      Some(3333333L))))
+    // double-formula cross-check: p̂ = 0.4 → z² = 0.4²·... matches
+    val (p1, p2, n1d, n2d) = (0.6, 0.2, 10.0, 10.0)
+    val pool = (6.0 + 2.0) / 20.0
+    val z2 = math.pow(p1 - p2, 2) /
+      (pool * (1 - pool) * (1 / n1d + 1 / n2d))
+    assert(math.abs(ab._7.get / 1e6 - z2) < 1e-5)
+    // (b,c) pool nonzero → defined; (a,c): defined; degenerate:
+    val deg = Profile.abTest(
+        Seq(("x", false), ("y", false)).toDF("arm", "conv"),
+        "arm", "conv")
+      .collect().head
+    assert(deg.isNullAt(8))
+  }
+
   test("qqCompare: hand-checked quantile picks, shift visible in " +
       "diff, other samples excluded") {
     // a = 10..100 by 10 (n=10); b = a + 50; 'junk' must be ignored
