@@ -1820,6 +1820,47 @@ object Profile {
           "AS BIGINT)").as("slope_micro"))
   }
 
+  /** QUANTILE NORMALIZATION — map a probe sample onto a reference
+    * distribution (batch-effect correction / feature alignment: "make
+    * this source's score distribution look like the blessed one"):
+    * each probe row at rank r of n_b is replaced by the reference
+    * value at rank ceil(r·n_a / n_b) = (r·n_a + n_b − 1) div n_b —
+    * the exact discrete transport plan, all integer (the q203/q204
+    * composite-rank discipline, domain-guarded). Both ranks ride the
+    * skew-safe rank op; the probe→reference pick is a data-sized
+    * EQUI join on the computed rank. Output per probe row:
+    * `(id, v, rank_b, v_norm)`. */
+  def quantileNormalize(df: DataFrame, sampleCol: String, ref: String,
+      probe: String, idCol: String, valueCentiCol: String,
+      partitions: Int = 0): DataFrame = {
+    val base = df
+      .filter(col(sampleCol) === ref || col(sampleCol) === probe)
+      .filter(col(valueCentiCol).isNotNull)
+      .select(col(sampleCol), col(idCol), col(valueCentiCol))
+    requireCompositeDomain(base, "quantileNormalize", idCol,
+      Seq(valueCentiCol))
+    val ord = base.withColumn("__ord",
+      col(valueCentiCol) * lit(1000000000L) + col(idCol))
+    def ranked(s: String) = EventAnalytics.rankFeaturesSkewSafe(
+      ord.filter(col(sampleCol) === s).withColumn("__g", lit(0)),
+      "__g", "__ord", 1, partitions)
+    val ra = ranked(ref)
+      .select(col("rank").as("__ra"), col(valueCentiCol).as("v_norm"),
+        col("n").as("__na"))
+    val rb = ranked(probe)
+      .select(col(idCol), col(valueCentiCol), col("rank").as("rank_b"),
+        col("n").as("__nb"))
+    // n_a arrives as the allowlisted 1-row broadcast so the pick
+    // stays a data-sized EQUI join on the computed target rank
+    val naRow = ra.agg(max(col("__na")).as("__na2"))
+    rb.crossJoin(broadcast(naRow))
+      .withColumn("__rt",
+        expr("(rank_b * __na2 + __nb - 1) div __nb"))
+      .join(ra.drop("__na"), col("__ra") === col("__rt"))
+      .select(col(idCol), col(valueCentiCol), col("rank_b"),
+        col("v_norm"))
+  }
+
   /** Two-proportion A/B test — the experimentation read-out, exact:
     * for every arm pair, conversion counts/rates and the pooled
     * two-proportion z² statistic as a PURE RATIONAL of the four

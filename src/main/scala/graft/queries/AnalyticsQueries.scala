@@ -3600,6 +3600,45 @@ object AnalyticsQueries {
         |FROM st a JOIN st b ON a.arm < b.arm
         |ORDER BY arm_a, arm_b""".stripMargin)),
 
+    // Quantile normalization (r14): map the post-1996 price sample
+    // onto the pre-1996 reference distribution — each probe row at
+    // rank r of n_b takes the reference value at rank
+    // ceil(r·n_a/n_b), the exact discrete transport plan, all
+    // integer (batch-effect correction: "make this source's score
+    // distribution look like the blessed one"). Both ranks
+    // skew-safe; the pick is an equi join on the computed rank.
+    QuerySpec("q271_quantile_normalize",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          when(col("o_orderdate") < lit("1996-01-01"), "pre")
+            .otherwise("post").as("era"),
+          col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+        graft.ops.Profile.quantileNormalize(o, "era", "pre", "post",
+            "o_orderkey", "v_centi")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH v AS (SELECT CASE WHEN o_orderdate <
+        |      TIMESTAMP '1996-01-01' THEN 'pre' ELSE 'post' END
+        |      AS era,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c, o_orderkey
+        |  FROM orders),
+        |ra AS (SELECT c AS v_norm,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c * 1000000000 +
+        |      o_orderkey) AS BIGINT) AS rk FROM v WHERE era = 'pre'),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM ra),
+        |rb AS (SELECT o_orderkey, c AS v_centi,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c * 1000000000 +
+        |      o_orderkey) AS BIGINT) AS rank_b,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n_b
+        |  FROM v WHERE era = 'post')
+        |SELECT rb.o_orderkey, rb.v_centi, rb.rank_b, ra.v_norm
+        |FROM rb CROSS JOIN na
+        |JOIN ra ON ra.rk = (rb.rank_b * na.n_a + rb.n_b - 1) // rb.n_b
+        |ORDER BY rb.o_orderkey""".stripMargin)),
+
     // Per-entity rank autocorrelation (r14): the Spearman ACF of the
     // tiebroken order at lags 1..3 — the seasonality/persistence
     // probe beside q257's when-did-it-shift: exact ρ between each

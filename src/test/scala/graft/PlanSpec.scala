@@ -204,7 +204,11 @@ class PlanSpec extends SparkSuite {
       // q270's arm-pair theta join (arm_a < arm_b) runs over the
       // ≤|arms|-row stats aggregate — |arms|² is bounded by the
       // experiment's treatment-cell count, never the data
-      "q270_ab_test")
+      "q270_ab_test",
+      // q271 attaches the 1-row reference size (no-grouping max of
+      // the constant n column) before the rank-equi pick, and its
+      // two percentile sides are the q267 constant-key class
+      "q271_quantile_normalize")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -911,6 +911,33 @@ class ProfileSpec extends SparkSuite {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
 
+  test("quantileNormalize: exact transport onto the reference, " +
+      "equal-size identity, distribution match after transform") {
+    // ref: 10,20,...,100 (n_a=10); probe: 5 rows → ranks 1..5 map to
+    // ref ranks ceil(r·10/5) = 2,4,6,8,10 → values 20,40,60,80,100
+    val rows = (1 to 10).map(i => ("ref", i.toLong, i * 10L)) ++
+      Seq(("pr", 101L, 7L), ("pr", 102L, 3L), ("pr", 103L, 900L),
+        ("pr", 104L, 11L), ("pr", 105L, 2L))
+    val out = Profile.quantileNormalize(rows.toDF("s", "id", "v"),
+        "s", "ref", "pr", "id", "v")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // probe value order: 2(105) < 3(102) < 7(101) < 11(104) < 900(103)
+    assert(out(105L) == ((2L, 1L, 20L)))
+    assert(out(102L) == ((3L, 2L, 40L)))
+    assert(out(101L) == ((7L, 3L, 60L)))
+    assert(out(104L) == ((11L, 4L, 80L)))
+    assert(out(103L) == ((900L, 5L, 100L)))
+    // equal sizes: the transform is rank-for-rank — normalizing the
+    // ref onto itself is the identity on values
+    val self = (1 to 8).map(i => ("a", i.toLong, i * 7L)) ++
+      (1 to 8).map(i => ("b", (50 + i).toLong, i * 7L))
+    val idm = Profile.quantileNormalize(self.toDF("s", "id", "v"),
+        "s", "a", "b", "id", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(idm.forall { case (v, vn) => v == vn })
+  }
+
   test("abTest: hand-checked z², degenerate pools null, arm pairs " +
       "once, ≡ double formula") {
     // arm a: 6/10 convert; arm b: 2/10; arm c: 0/10
