@@ -1820,6 +1820,41 @@ object Profile {
           "AS BIGINT)").as("slope_micro"))
   }
 
+  /** WINSORIZATION at exact per-group percentiles — the robust
+    * clipping a feature pipeline applies before moments are trusted
+    * (cap the p99 tail instead of deleting it, floor at p1): group
+    * bounds come from the skew-safe discrete-percentile op on the
+    * (value, id) composite order (domain-guarded), broadcast back
+    * (≤\|groups\|·2 rows), and every row clamps to [lo, hi] —
+    * pure integer end to end. Output: every input row with its
+    * group bounds and the clamped value. */
+  def winsorize(df: DataFrame, groupCol: String, idCol: String,
+      valueCentiCol: String, loPMicro: Long, hiPMicro: Long,
+      partitions: Int = 0): DataFrame = {
+    require(loPMicro < hiPMicro,
+      "winsorize: loPMicro must be < hiPMicro")
+    val base = df.filter(col(valueCentiCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(valueCentiCol))
+    requireCompositeDomain(base, "winsorize", idCol,
+      Seq(valueCentiCol))
+    val ord = base.withColumn("__ord",
+      col(valueCentiCol) * lit(1000000000L) + col(idCol))
+    val bounds = EventAnalytics.groupPercentilesSkewSafe(
+        ord, groupCol, "__ord", valueCentiCol,
+        Seq(loPMicro, hiPMicro), partitions)
+      .groupBy(col(groupCol))
+      .agg(min(when(col("p_micro") === loPMicro, col(valueCentiCol)))
+          .as("lo"),
+        min(when(col("p_micro") === hiPMicro, col(valueCentiCol)))
+          .as("hi"))
+      .withColumnRenamed(groupCol, "__bg")
+    base.join(broadcast(bounds), col(groupCol) === col("__bg"))
+      .select(col(groupCol), col(idCol), col(valueCentiCol),
+        col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col(valueCentiCol)))
+          .as("v_wins"))
+  }
+
   /** QUANTILE NORMALIZATION — map a probe sample onto a reference
     * distribution (batch-effect correction / feature alignment: "make
     * this source's score distribution look like the blessed one"):

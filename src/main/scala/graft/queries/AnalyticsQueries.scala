@@ -3639,6 +3639,47 @@ object AnalyticsQueries {
         |JOIN ra ON ra.rk = (rb.rank_b * na.n_a + rb.n_b - 1) // rb.n_b
         |ORDER BY rb.o_orderkey""".stripMargin)),
 
+    // Winsorization (r14): clip the per-priority price tails at the
+    // exact p1/p99 discrete percentiles — the robust pre-moments
+    // clamp of a feature pipeline (cap the tail, don't delete it).
+    // Bounds from the skew-safe percentile op on the composite
+    // order; every row clamps to [lo, hi], pure integer.
+    QuerySpec("q272_winsorize",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v_centi"))
+        graft.ops.Profile.winsorize(o, "o_orderpriority",
+            "o_orderkey", "v_centi", 10000L, 990000L)
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority AS g, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM orders),
+        |r AS (SELECT g, o_orderkey, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY c * 1000000000 + o_orderkey) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM v),
+        |p AS (SELECT UNNEST([CAST(10000 AS BIGINT), 990000])
+        |    AS p_micro),
+        |t AS (SELECT DISTINCT g, p_micro,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      (p_micro * n + 999999) // 1000000) AS rk_t
+        |  FROM r, p),
+        |b AS (SELECT t.g,
+        |    MIN(CASE WHEN t.p_micro = 10000 THEN r.c END) AS lo,
+        |    MIN(CASE WHEN t.p_micro = 990000 THEN r.c END) AS hi
+        |  FROM t JOIN r ON r.g = t.g AND r.rk = t.rk_t
+        |  GROUP BY t.g)
+        |SELECT v.g AS o_orderpriority, v.o_orderkey, v.c AS v_centi,
+        |  b.lo, b.hi,
+        |  GREATEST(b.lo, LEAST(b.hi, v.c)) AS v_wins
+        |FROM v JOIN b USING (g)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // Per-entity rank autocorrelation (r14): the Spearman ACF of the
     // tiebroken order at lags 1..3 — the seasonality/persistence
     // probe beside q257's when-did-it-shift: exact ρ between each

@@ -911,6 +911,23 @@ class ProfileSpec extends SparkSuite {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
 
+  test("winsorize: exact percentile bounds, tails clamped, middle " +
+      "untouched, per-group isolation") {
+    val rows = (1 to 100).map(i => ("g1", i.toLong, i.toLong)) ++
+      (1 to 10).map(i => ("g2", (200 + i).toLong, i * 1000L))
+    val out = Profile.winsorize(rows.toDF("g", "id", "v"),
+        "g", "id", "v", 100000L, 900000L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // g1: lo = rank ceil(0.1·100) = 10 → 10; hi = rank 90 → 90
+    assert(out(("g1", 5L)) == ((10L, 90L, 10L)))   // floored up
+    assert(out(("g1", 95L)) == ((10L, 90L, 90L)))  // capped down
+    assert(out(("g1", 50L)) == ((10L, 90L, 50L)))  // untouched
+    // g2 bounds are its own: lo = rank 1 → 1000, hi = rank 9 → 9000
+    assert(out(("g2", 201L)) == ((1000L, 9000L, 1000L)))
+    assert(out(("g2", 210L)) == ((1000L, 9000L, 9000L)))
+  }
+
   test("quantileNormalize: exact transport onto the reference, " +
       "equal-size identity, distribution match after transform") {
     // ref: 10,20,...,100 (n_a=10); probe: 5 rows → ranks 1..5 map to
