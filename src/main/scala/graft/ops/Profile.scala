@@ -1820,6 +1820,78 @@ object Profile {
           "AS BIGINT)").as("slope_micro"))
   }
 
+  /** EXACT ROC-AUC — the classifier/quality-score evaluation number,
+    * computed as what it IS: AUC = P(score⁺ > score⁻) + ½·P(tie) =
+    * U/(n⁺·n⁻), so the ties-adjusted [[mannWhitneyU]] machinery
+    * (doubled-U integer form, skew-safe midrank prefix) already
+    * yields it exactly — `auc_micro` here IS that u_micro with the
+    * positive class as sample a. One count aggregate + a sketch-sized
+    * prefix; no sort of the data, no pairwise join. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
+      partitions: Int = 0): DataFrame =
+    mannWhitneyU(
+      df.select(col(scoreCol),
+        when(col(labelCol), "pos").otherwise("neg").as("__lbl")),
+      scoreCol, "__lbl", "pos", "neg", partitions)
+      .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+        col("u2"), col("u_micro").as("auc_micro"))
+
+  /** Confusion counts + precision/recall/F1 at a score threshold —
+    * ONE fused aggregate over one scan, every rate an exact micros
+    * rational: F1 = 2PR/(P+R) reduces to (2·10⁶·tp) div
+    * (2tp + fp + fn), so even the harmonic mean needs no float.
+    * Undefined rates (empty denominator) are null, not 0 — a
+    * threshold above every score has no precision, not a bad one. */
+  def confusionAt(df: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Long): DataFrame = {
+    val pred = col(scoreCol) >= threshold
+    val lbl = col(labelCol)
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .agg(
+        sum(when(pred && lbl, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !lbl, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && lbl, 1L).otherwise(0L)).as("fn"),
+        sum(when(!pred && !lbl, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(1000000 * tp) div (tp + fp)")).as("prec_micro"),
+        when(col("tp") + col("fn") > 0,
+          expr("(1000000 * tp) div (tp + fn)")).as("rec_micro"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          expr("(2000000 * tp) div (2 * tp + fp + fn)"))
+          .as("f1_micro"))
+  }
+
+  /** CALIBRATION (reliability) table — "when the score says 0.8,
+    * is it right 80% of the time": equal-frequency score bins on the
+    * (score, id) composite total order (ntile fill rule, skew-safe —
+    * the rank rides the two-pass prefix sum, domain-guarded), and
+    * per bin the exact positive rate plus the bin's score envelope.
+    * Output per bin: `(bin, n, n_pos, pos_rate_micro, score_lo,
+    * score_hi)` — the reliability-diagram rows, all integer. */
+  def calibrationTable(df: DataFrame, scoreCol: String, idCol: String,
+      labelCol: String, bins: Int, partitions: Int = 0): DataFrame = {
+    require(bins >= 2, "calibrationTable: bins must be >= 2")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol), col(idCol), col(labelCol))
+    requireCompositeDomain(base, "calibrationTable", idCol,
+      Seq(scoreCol))
+    val ord = base.withColumn("__ord",
+      col(scoreCol) * lit(1000000000L) + col(idCol))
+      .withColumn("__g", lit(0))
+    EventAnalytics.rankFeaturesSkewSafe(ord, "__g", "__ord", bins,
+        partitions)
+      .groupBy(col("bucket").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        min(col(scoreCol)).as("score_lo"),
+        max(col(scoreCol)).as("score_hi"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("pos_rate_micro"),
+        col("score_lo"), col("score_hi"))
+  }
+
   /** WINSORIZATION at exact per-group percentiles — the robust
     * clipping a feature pipeline applies before moments are trusted
     * (cap the p99 tail instead of deleting it, floor at p1): group

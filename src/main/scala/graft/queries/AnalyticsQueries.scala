@@ -3680,6 +3680,90 @@ object AnalyticsQueries {
         |FROM v JOIN b USING (g)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
 
+    // Exact ROC-AUC (r14): the classifier-evaluation number computed
+    // as what it IS — AUC = P(score⁺ > score⁻) + ½P(tie) = U/(n⁺n⁻),
+    // so the ties-adjusted doubled-U machinery (q214) yields it
+    // hash-exactly with the positive class as sample a. Score =
+    // n_chars, positive = English docs; no sort, no pairwise join.
+    QuerySpec("q273_auc",
+      (s, dir) => graft.ops.Profile.aucExact(
+          table(s, dir, "documents").select(col("n_chars"),
+            (col("lang") === "en").as("is_en")),
+          "n_chars", "is_en"),
+      Some("""WITH c AS (SELECT n_chars AS v,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents GROUP BY n_chars),
+        |r AS (SELECT v, ca, cb,
+        |    CAST(SUM(ca + cb) OVER (ORDER BY v) AS BIGINT) AS ie
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cb) AS BIGINT) AS n_neg FROM c),
+        |s AS (SELECT CAST(SUM(ca * (2 * (ie - ca - cb) + ca + cb + 1))
+        |    AS BIGINT) AS r2a FROM r)
+        |SELECT t.n_pos, t.n_neg,
+        |  s.r2a - t.n_pos * (t.n_pos + 1) AS u2,
+        |  (1000000 * (s.r2a - t.n_pos * (t.n_pos + 1)))
+        |    // (2 * t.n_pos * t.n_neg) AS auc_micro
+        |FROM s, t""".stripMargin)),
+
+    // Confusion + precision/recall/F1 at a threshold (r14): ONE
+    // fused aggregate, every rate an exact micros rational — F1's
+    // harmonic mean reduces to (2·10⁶·tp) div (2tp+fp+fn), no float
+    // anywhere; undefined rates are NULL, not 0.
+    QuerySpec("q274_confusion",
+      (s, dir) => graft.ops.Profile.confusionAt(
+          table(s, dir, "documents").select(col("n_chars"),
+            (col("lang") === "en").as("is_en")),
+          "n_chars", "is_en", threshold = 306L),
+      Some("""WITH x AS (SELECT n_chars >= 306 AS pred,
+        |    lang = 'en' AS lbl FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN pred AND lbl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN pred AND NOT lbl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT pred AND lbl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT pred AND NOT lbl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM x)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN (1000000 * tp) // (tp + fp) END AS prec_micro,
+        |  CASE WHEN tp + fn > 0
+        |    THEN (1000000 * tp) // (tp + fn) END AS rec_micro,
+        |  CASE WHEN 2 * tp + fp + fn > 0
+        |    THEN (2000000 * tp) // (2 * tp + fp + fn) END AS f1_micro
+        |FROM a""".stripMargin)),
+
+    // Calibration/reliability table (r14): equal-frequency score
+    // deciles on the (n_chars, doc_id) composite order (the ntile
+    // fill rule, skew-safe) with the exact positive rate and score
+    // envelope per bin — "when the score is high, is the label
+    // actually more often English".
+    QuerySpec("q275_calibration",
+      (s, dir) => graft.ops.Profile.calibrationTable(
+          table(s, dir, "documents").select(col("n_chars"),
+            col("doc_id"), (col("lang") === "en").as("is_en")),
+          "n_chars", "doc_id", "is_en", bins = 10)
+        .orderBy(col("bin")),
+      Some("""WITH x AS (SELECT n_chars, lang = 'en' AS lbl,
+        |    NTILE(10) OVER (ORDER BY n_chars * 1000000000 + doc_id)
+        |      AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  (1000000 * CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // COUNT(*) AS pos_rate_micro,
+        |  MIN(n_chars) AS score_lo, MAX(n_chars) AS score_hi
+        |FROM x GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // Per-entity rank autocorrelation (r14): the Spearman ACF of the
     // tiebroken order at lags 1..3 — the seasonality/persistence
     // probe beside q257's when-did-it-shift: exact ρ between each

@@ -162,6 +162,9 @@ class PlanSpec extends SparkSuite {
       // grouping, 1 row by construction — to the cumulative-count
       // frame before the final reduce
       "q213_ks_drift", "q214_mannwhitney", "q218_emd_drift",
+      // q273 is q214's doubled-U tail verbatim (AUC = U/(n⁺n⁻)) —
+      // the same no-grouping 1-row (n1, n2) totals attach
+      "q273_auc",
       // q220 attaches the same no-grouping 1-row (n1, n2) totals to
       // the per-category count frame; q222 is q213's tail over the
       // persisted-reference count frame — same 1-row attach; q224
@@ -208,7 +211,12 @@ class PlanSpec extends SparkSuite {
       // q271 attaches the 1-row reference size (no-grouping max of
       // the constant n column) before the rank-equi pick, and its
       // two percentile sides are the q267 constant-key class
-      "q271_quantile_normalize")
+      "q271_quantile_normalize",
+      // q275's rank pass runs rankFeaturesSkewSafe with a CONSTANT
+      // group key: the per-key sizes frame is 1 ROW by construction
+      // and FoldablePropagation folds its equi key away — the join
+      // is a broadcast of that single row, never data × data
+      "q275_calibration")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

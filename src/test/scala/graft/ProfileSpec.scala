@@ -911,6 +911,82 @@ class ProfileSpec extends SparkSuite {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
 
+  test("aucExact: separable → 10⁶, random-ish ≡ pairwise BigInt " +
+      "reference incl. ties, reversed → complement") {
+    // perfectly separable: every pos score > every neg score
+    val sep = (1 to 20).map(i => (i + 100L, true)) ++
+      (1 to 20).map(i => (i.toLong, false))
+    val a1 = Profile.aucExact(sep.toDF("score", "lbl"), "score",
+      "lbl").collect().head
+    assert(a1.getLong(0) == 20 && a1.getLong(1) == 20 &&
+      a1.getLong(3) == 1000000L)
+    // noisy with ties: compare to the pairwise definition
+    val noisy = (1 to 80).map { i =>
+      val s = (math.abs(s"auc$i".hashCode) % 10).toLong
+      (s, i % 3 == 0)
+    }
+    val got = Profile.aucExact(noisy.toDF("score", "lbl"), "score",
+      "lbl").collect().head
+    val pos = noisy.filter(_._2).map(_._1)
+    val neg = noisy.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; q <- neg) yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val want = BigInt(1000000) * u2 / (2L * pos.size * neg.size)
+    assert(got.getLong(2) == u2 && got.getLong(3) == want.toLong)
+    // label flip → AUC of the flipped problem (ties keep it from
+    // being an exact complement only when u2 is odd — check exactly)
+    val flip = Profile.aucExact(
+      noisy.map(r => (r._1, !r._2)).toDF("score", "lbl"),
+      "score", "lbl").collect().head
+    assert(flip.getLong(2) == 2L * pos.size * neg.size - u2)
+  }
+
+  test("confusionAt: counts and exact P/R/F1, null when undefined") {
+    val rows = Seq((10L, true), (9L, true), (8L, false), (3L, true),
+      (2L, false), (1L, false))
+    val c = Profile.confusionAt(rows.toDF("s", "l"), "s", "l", 8L)
+      .collect().head
+    // tp=2 fp=1 fn=1 tn=2; P=2/3, R=2/3, F1=2/3
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(c.getLong(4) == 666666L && c.getLong(5) == 666666L &&
+      c.getLong(6) == 666666L)
+    // threshold above all scores: no predictions → precision null
+    val hi = Profile.confusionAt(rows.toDF("s", "l"), "s", "l", 99L)
+      .collect().head
+    assert(hi.isNullAt(4) && !hi.isNullAt(5))
+    // no true positives, one false positive: recall null (no actual
+    // positives), F1 defined and 0 (its denominator counts the fp)
+    val nop = Profile.confusionAt(
+      Seq((5L, false), (1L, false)).toDF("s", "l"), "s", "l", 3L)
+      .collect().head
+    assert(nop.isNullAt(5) && nop.getLong(6) == 0L &&
+      nop.getLong(1) == 1L)
+    // all true negatives: every rate undefined → null
+    val tnOnly = Profile.confusionAt(
+      Seq((1L, false)).toDF("s", "l"), "s", "l", 3L)
+      .collect().head
+    assert(tnOnly.isNullAt(4) && tnOnly.isNullAt(5) &&
+      tnOnly.isNullAt(6) && tnOnly.getLong(3) == 1L)
+  }
+
+  test("calibrationTable: ntile fill rule, monotone envelope, " +
+      "planted calibrated score recovers its rates") {
+    // 25 rows, 4 bins → sizes 7,6,6,6; score = row index, label
+    // true iff index mod 10 < (bin-ish) — plant rising positive rate
+    val rows = (1 to 25).map(i => (i.toLong, i.toLong, i > 15))
+    val out = Profile.calibrationTable(
+        rows.toDF("score", "id", "lbl"), "score", "id", "lbl", 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._2).toSeq == Seq(7L, 6L, 6L, 6L)) // ntile fill
+    assert(out.map(_._4).toSeq == Seq(1L, 8L, 14L, 20L))
+    assert(out.map(_._5).toSeq == Seq(7L, 13L, 19L, 25L))
+    // positives: >15 → bin3 has 16..19 → 4, bin4 all 6
+    assert(out.map(_._3).toSeq == Seq(0L, 0L, 4L, 6L))
+  }
+
   test("winsorize: exact percentile bounds, tails clamped, middle " +
       "untouched, per-group isolation") {
     val rows = (1 to 100).map(i => ("g1", i.toLong, i.toLong)) ++
