@@ -1836,6 +1836,59 @@ object Profile {
       .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
         col("u2"), col("u_micro").as("auc_micro"))
 
+  /** Per-SEGMENT exact ROC-AUC — [[aucExact]] keyed on a group
+    * column ("does the quality score rank well per language/source,
+    * not just overall" — pooled AUC hides a segment where the score
+    * is anti-correlated): the keyed ties-adjusted U per group,
+    * one-class groups dropped (AUC undefined). */
+  def aucExactBy(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, partitions: Int = 0): DataFrame =
+    mannWhitneyUBy(
+      df.select(col(groupCol), col(scoreCol),
+        when(col(labelCol), "pos").otherwise("neg").as("__lbl")),
+      groupCol, scoreCol, "__lbl", "pos", "neg", partitions)
+      .select(col(groupCol), col("n1").as("n_pos"),
+        col("n2").as("n_neg"), col("u2"),
+        col("u_micro").as("auc_micro"))
+
+  /** THRESHOLD SWEEP — the full ROC and PR curves as ONE exact
+    * table: for every distinct score s (as the rule "predict
+    * positive iff score ≥ s", descending), the confusion counts and
+    * the four curve coordinates in micros. Built on the score
+    * SPECTRUM (per-score label counts, ≤|distinct scores| rows),
+    * with tp/fp as skew-safe running sums over it DESCENDING —
+    * the data crosses the wire once as counts, and every
+    * (threshold, tp, fp, fn, tn, prec, rec = tpr, fpr) row is
+    * integral. [[confusionAt]] is one row of this table;
+    * trapezoid-integrating tpr over fpr recovers [[aucExact]] up to
+    * tie handling. */
+  def thresholdSweep(df: DataFrame, scoreCol: String,
+      labelCol: String, partitions: Int = 0): DataFrame = {
+    val spectrum = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__q"))
+      // descending order via the negated score: running sums then
+      // accumulate "mass at or above this threshold"
+      .withColumn("__ord", -col(scoreCol))
+      .withColumn("__g", lit(0))
+    val cum = EventAnalytics.runningAggsSkewSafe(spectrum, "__g",
+      "__ord", Seq(("__p", "sum", "tp"), ("__q", "sum", "fp")),
+      partitions)
+    val totals = spectrum.agg(sum(col("__p")).as("__np"),
+      sum(col("__q")).as("__nq"))
+    cum.crossJoin(broadcast(totals)) // 1-row totals attach
+      .select(col(scoreCol).as("threshold"), col("tp"), col("fp"),
+        (col("__np") - col("tp")).as("fn"),
+        (col("__nq") - col("fp")).as("tn"),
+        expr("(1000000 * tp) div (tp + fp)").as("prec_micro"),
+        when(col("__np") > 0, expr("(1000000 * tp) div __np"))
+          .as("rec_micro"),
+        when(col("__nq") > 0, expr("(1000000 * fp) div __nq"))
+          .as("fpr_micro"))
+  }
+
   /** Confusion counts + precision/recall/F1 at a score threshold —
     * ONE fused aggregate over one scan, every rate an exact micros
     * rational: F1 = 2PR/(P+R) reduces to (2·10⁶·tp) div

@@ -3764,6 +3764,72 @@ object AnalyticsQueries {
         |  MIN(n_chars) AS score_lo, MAX(n_chars) AS score_hi
         |FROM x GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // Per-segment exact AUC (r14): q273 keyed per source — pooled
+    // AUC hides a segment where the score is anti-correlated; the
+    // keyed ties-adjusted U per group (one-class groups would drop).
+    QuerySpec("q276_auc_by",
+      (s, dir) => graft.ops.Profile.aucExactBy(
+          table(s, dir, "documents").select(col("source"),
+            col("n_chars"), (col("lang") === "en").as("is_en")),
+          "source", "n_chars", "is_en")
+        .orderBy(col("source")),
+      Some("""WITH c AS (SELECT source AS g, n_chars AS v,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT g, v, ca, cb,
+        |    CAST(SUM(ca + cb) OVER (PARTITION BY g ORDER BY v)
+        |      AS BIGINT) AS ie
+        |  FROM c),
+        |t AS (SELECT g, CAST(SUM(ca) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cb) AS BIGINT) AS n_neg FROM c GROUP BY g),
+        |s AS (SELECT g, CAST(SUM(ca *
+        |    (2 * (ie - ca - cb) + ca + cb + 1)) AS BIGINT) AS r2a
+        |  FROM r GROUP BY g)
+        |SELECT t.g AS source, t.n_pos, t.n_neg,
+        |  s.r2a - t.n_pos * (t.n_pos + 1) AS u2,
+        |  (1000000 * (s.r2a - t.n_pos * (t.n_pos + 1)))
+        |    // (2 * t.n_pos * t.n_neg) AS auc_micro
+        |FROM s JOIN t USING (g)
+        |WHERE t.n_pos > 0 AND t.n_neg > 0
+        |ORDER BY source""".stripMargin)),
+
+    // Threshold sweep (r14): the FULL ROC and PR curves as one exact
+    // table — for every distinct score descending, the confusion
+    // counts and curve coordinates in micros; built on the per-score
+    // label spectrum with skew-safe running sums, so the data
+    // crosses the wire once as counts. q274 is one row of this.
+    QuerySpec("q277_threshold_sweep",
+      (s, dir) => graft.ops.Profile.thresholdSweep(
+          table(s, dir, "documents").select(col("n_chars"),
+            (col("lang") === "en").as("is_en")),
+          "n_chars", "is_en")
+        .orderBy(col("threshold").desc),
+      Some("""WITH c AS (SELECT n_chars AS threshold,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS q
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |r AS (SELECT threshold,
+        |    CAST(SUM(p) OVER (ORDER BY threshold DESC) AS BIGINT)
+        |      AS tp,
+        |    CAST(SUM(q) OVER (ORDER BY threshold DESC) AS BIGINT)
+        |      AS fp
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+        |    CAST(SUM(q) AS BIGINT) AS nq FROM c)
+        |SELECT r.threshold, r.tp, r.fp,
+        |  t.np - r.tp AS fn, t.nq - r.fp AS tn,
+        |  (1000000 * r.tp) // (r.tp + r.fp) AS prec_micro,
+        |  CASE WHEN t.np > 0 THEN (1000000 * r.tp) // t.np END
+        |    AS rec_micro,
+        |  CASE WHEN t.nq > 0 THEN (1000000 * r.fp) // t.nq END
+        |    AS fpr_micro
+        |FROM r, t ORDER BY r.threshold DESC""".stripMargin)),
+
     // Per-entity rank autocorrelation (r14): the Spearman ACF of the
     // tiebroken order at lags 1..3 — the seasonality/persistence
     // probe beside q257's when-did-it-shift: exact ρ between each

@@ -163,8 +163,10 @@ class PlanSpec extends SparkSuite {
       // frame before the final reduce
       "q213_ks_drift", "q214_mannwhitney", "q218_emd_drift",
       // q273 is q214's doubled-U tail verbatim (AUC = U/(n⁺n⁻)) —
-      // the same no-grouping 1-row (n1, n2) totals attach
-      "q273_auc",
+      // the same no-grouping 1-row (n1, n2) totals attach; q277
+      // attaches the same 1-row class totals to the ≤|scores|-row
+      // spectrum sweep
+      "q273_auc", "q277_threshold_sweep",
       // q220 attaches the same no-grouping 1-row (n1, n2) totals to
       // the per-category count frame; q222 is q213's tail over the
       // persisted-reference count frame — same 1-row attach; q224

@@ -941,6 +941,47 @@ class ProfileSpec extends SparkSuite {
     assert(flip.getLong(2) == 2L * pos.size * neg.size - u2)
   }
 
+  test("aucExactBy: per-group AUC independent; one-class group " +
+      "drops; matches solo per slice") {
+    val rows =
+      (1 to 10).map(i => ("g1", i + 100L, true)) ++   // separable
+      (1 to 10).map(i => ("g1", i.toLong, false)) ++
+      (1 to 10).map(i => ("g2", i.toLong, true)) ++   // reversed
+      (1 to 10).map(i => ("g2", i + 100L, false)) ++
+      (1 to 5).map(i => ("g3", i.toLong, true))       // one-class
+    val out = Profile.aucExactBy(rows.toDF("g", "s", "l"),
+        "g", "s", "l")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out == Map("g1" -> 1000000L, "g2" -> 0L))
+    // keyed ≡ solo per slice on a noisy group
+    val noisy = (1 to 60).map(i =>
+      ("gn", (math.abs(s"ab$i".hashCode) % 9).toLong, i % 4 == 0))
+    val solo = Profile.aucExact(
+      noisy.map(r => (r._2, r._3)).toDF("s", "l"), "s", "l")
+      .collect().head.getLong(3)
+    val keyed = Profile.aucExactBy(noisy.toDF("g", "s", "l"),
+      "g", "s", "l").collect().head.getLong(4)
+    assert(keyed == solo)
+  }
+
+  test("thresholdSweep: hand-checked curve rows; confusionAt is one " +
+      "row of the table; endpoints correct") {
+    val rows = Seq((10L, true), (9L, true), (8L, false), (3L, true),
+      (2L, false), (1L, false))
+    val out = Profile.thresholdSweep(rows.toDF("s", "l"), "s", "l")
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 6)
+    assert(out.head == ((10L, 1L, 0L, 2L, 3L, 1000000L)))
+    // the threshold-8 row equals confusionAt(8)
+    val at8 = out.find(_._1 == 8L).get
+    assert((at8._2, at8._3, at8._4, at8._5) == ((2L, 1L, 1L, 2L)))
+    assert(at8._6 == 666666L)
+    // last row predicts everything: tp = all pos, fp = all neg
+    assert(out.last == ((1L, 3L, 3L, 0L, 0L, 500000L)))
+  }
+
   test("confusionAt: counts and exact P/R/F1, null when undefined") {
     val rows = Seq((10L, true), (9L, true), (8L, false), (3L, true),
       (2L, false), (1L, false))
