@@ -229,6 +229,30 @@ object MlPrep {
       .filter(col("n") >= minCount)
   }
 
+  /** PROXIMITY search from a [[positionalIndex]] — "termA NEAR/d
+    * termB", either order (the retrieval middle ground between
+    * [[phraseHits]]' exact adjacency and BM25's bag-of-words): per
+    * document, the number of (posA, posB) occurrence pairs with
+    * 0 < |posA − posB| ≤ slop. Both terms' postings are filtered up
+    * front and join EQUI on doc with the distance as a residual
+    * filter — cost is bounded by the two terms' per-doc frequency
+    * product, never the corpus or the document length. */
+  def proximityHits(index: DataFrame, termA: String, termB: String,
+      slop: Int): DataFrame = {
+    require(slop >= 1, "proximityHits: slop must be >= 1")
+    require(termA != termB,
+      "proximityHits: same-term proximity is windowCooccurrence's job")
+    val pa = index.filter(col("term") === termA)
+      .select(col("doc_id"), col("pos").as("__pa"))
+    val pb = index.filter(col("term") === termB)
+      .select(col("doc_id").as("__d2"), col("pos").as("__pb"))
+    pa.join(pb, col("doc_id") === col("__d2") &&
+        col("__pa") =!= col("__pb") &&
+        abs(col("__pa") - col("__pb")) <= slop)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** COLLOCATION scoring over [[windowCooccurrence]] — "new york"
     * vs "of the": observed window-pair count against the
     * configuration-model expectation (the modularity null:

@@ -961,6 +961,29 @@ object MlPrepQueries {
         |FROM p JOIN d da ON p.term_a = da.term
         |JOIN d db ON p.term_b = db.term CROSS JOIN t
         |WHERE p.term_a <> p.term_b AND p.n >= 5
-        |ORDER BY term_a, term_b""".stripMargin))
+        |ORDER BY term_a, term_b""".stripMargin)),
+
+    // Proximity search (r14): "query NEAR/4 table", either order —
+    // the retrieval middle ground between q259's exact phrase and
+    // BM25's bag-of-words; per-doc occurrence-pair counts, postings
+    // filtered up front, doc-keyed equi join with the distance as a
+    // residual filter.
+    QuerySpec("q278_proximity",
+      (s, dir) => graft.ops.MlPrep.proximityHits(
+          graft.ops.MlPrep.positionalIndex(
+            table(s, dir, "documents"), "doc_id", "text"),
+          "query", "table", slop = 4)
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term,
+        |    CAST(generate_subscripts(
+        |      string_split_regex(trim(text), '\s+'), 1) AS BIGINT)
+        |      AS pos
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+        |  AND a.pos <> b.pos AND ABS(a.pos - b.pos) <= 4
+        |WHERE a.term = 'query' AND b.term = 'table'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin))
   )
 }

@@ -263,4 +263,20 @@ class MlPrepSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(pruned.toSeq == Seq(("p", "q")))
   }
+
+  test("proximityHits: slop bound, either order, per-doc counts, " +
+      "same-term rejected") {
+    val docs = Seq(
+      (1L, "a x x b x a"), // pairs within 4: (1,4), (4,6) → 2
+      (2L, "b y a"),       // reversed order, dist 2 → 1
+      (3L, "a x x x x x b")) // dist 6 > 4 → no row
+      .toDF("doc_id", "text")
+    val idx = MlPrep.positionalIndex(docs, "doc_id", "text")
+    val got = MlPrep.proximityHits(idx, "a", "b", slop = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+    intercept[IllegalArgumentException] {
+      MlPrep.proximityHits(idx, "a", "a", slop = 2)
+    }
+  }
 }
