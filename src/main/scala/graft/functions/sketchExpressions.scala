@@ -1229,6 +1229,113 @@ case class CmsPosXx(child: Expression, depth: Int, width: Int)
     copy(child = c)
 }
 
+/** cdc_bounds(tokens, window, modulus): content-defined chunk
+  * boundary positions over a token array, in one compiled pass — the
+  * FastCDC/LBFS boundary rule of `graft.ops.TrainingPrep.cdcChunks`
+  * (reference-free extension). Bit-faithful to the Column-combinator
+  * form it replaces:
+  * {{{
+  *   concat(array(0),
+  *     filter(when(n-1 >= window, sequence(window, n-1))
+  *              .otherwise(array()),
+  *       i -> conv(substring(md5(concat_ws(" ",
+  *              slice(toks, i-window+1, window))), 1, 15), 16, 10)
+  *              .cast(long) % modulus === 0),
+  *     array(n))
+  * }}}
+  * i.e. a boundary falls after 1-indexed token i (window ≤ i ≤ n-1)
+  * when the md5 of the space-joined trailing window satisfies
+  * hash % modulus == 0, with [0] and [n] as sentinels.
+  *
+  * Motivation (VERDICT r14 #1): the combinator form was the suite's
+  * only interpreted hot loop — per candidate position it rebuilt the
+  * joined window STRING, hex-encoded the full md5, substring'd 15
+  * chars, and base-16-parsed them through `conv`. Here token UTF-8
+  * bytes are materialized once per document and each candidate hash
+  * streams those byte slices straight into a reused MessageDigest;
+  * the compared integer is read as the top 60 bits of the digest —
+  * `(first 8 bytes big-endian) >>> 4` — exactly the value the
+  * substring(hex,1,15)+conv chain decodes (15 nibbles), with no
+  * string, hex, or decimal round-trip. Null tokens are skipped like
+  * `concat_ws`; null array → null. */
+case class CdcBounds(child: Expression, window: Int, modulus: Int)
+  extends UnaryExpression {
+  require(window > 0 && modulus > 0, "window and modulus must be positive")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cdc_bounds"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cdc_bounds expects array<string> tokens, got $other")
+    }
+
+  // MessageDigest is stateful and not thread-safe; the expression
+  // object is shared across a task's rows (addReferenceObj), so keep
+  // one digest per thread.
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def build(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n - 1 < window) return new GenericArrayData(Array[Any](0, n))
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = mdLocal.get()
+    val out = new java.util.ArrayList[Any](n / modulus + 2)
+    out.add(0)
+    i = window // boundary candidate after 1-indexed token i
+    while (i <= n - 1) {
+      md.reset()
+      var j = i - window // 0-indexed window = tokens i-window .. i-1
+      var first = true
+      while (j < i) {
+        if (bytes(j) != null) { // concat_ws skips nulls
+          if (!first) md.update(' '.toByte)
+          md.update(bytes(j))
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      val v = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      if (v % modulus == 0L) out.add(i)
+      i += 1
+    }
+    out.add(n)
+    val arr = new Array[Any](out.size)
+    var p = 0
+    while (p < arr.length) { arr(p) = out.get(p); p += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    build(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcBounds", this, classOf[CdcBounds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.build($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level entry points. */
 object sketches {
   import GraftShim.{column, expression}
@@ -1269,6 +1376,8 @@ object sketches {
   def md5_lane_pack(hex: Column): Column = column(Md5LanePack(expression(hex)))
   def cms_pos_xx(key: Column, depth: Int, width: Int): Column =
     column(CmsPosXx(expression(key), depth, width))
+  def cdc_bounds(tokens: Column, window: Int, modulus: Int): Column =
+    column(CdcBounds(expression(tokens), window, modulus))
 
   /** Register SQL names on a session (tests / spark.sql users). */
   def register(spark: SparkSession): Unit = {

@@ -355,17 +355,11 @@ object TrainingPrep {
       window: Int, modulus: Int): DataFrame = {
     require(window > 0 && modulus > 0, "window and modulus must be positive")
     val toks = split(trim(col(textCol)), "\\s+")
-    val n = size(col("__toks"))
-    // candidate boundaries sit after token i, i ∈ [window, n-1]: never
-    // inside the first window (no full context yet) and never after
-    // the last token (an empty final chunk)
-    val cand = when(n - 1 >= window, sequence(lit(window), n - 1))
-      .otherwise(array().cast("array<int>"))
-    val boundary = (i: org.apache.spark.sql.Column) =>
-      conv(substring(md5(concat_ws(" ",
-        slice(col("__toks"), i - window + 1, lit(window)))), 1, 15), 16, 10)
-        .cast("long") % modulus === 0
-    val bounds = concat(array(lit(0)), filter(cand, boundary), array(n))
+    // Boundary array [0, ...content-decided positions..., n] in one
+    // compiled pass per document (CdcBounds expression) — bit-faithful
+    // to the interpreted combinator form it replaced; see
+    // [[cdcBoundsHof]] (kept for the differential spec).
+    val bounds = graft.functions.sketches.cdc_bounds(col("__toks"), window, modulus)
     df.select(col(idCol), toks.as("__toks"))
       .select(col(idCol), col("__toks"), bounds.as("__bs"))
       .select(col(idCol),
@@ -376,6 +370,24 @@ object TrainingPrep {
       .select(col(idCol), col("chunk_id"),
         size(col("__w")).as("n_chunk_tokens"),
         concat_ws(" ", col("__w")).as("chunk_text"))
+  }
+
+  /** The original interpreted-combinator CDC boundary rule, retained
+    * solely as the differential reference for [[cdcChunks]]'s compiled
+    * `CdcBounds` expression (SketchExprSpec pins bit-equality on the
+    * real corpus): per candidate position this form rebuilds the
+    * joined window string and round-trips md5 through hex + base-16
+    * `conv` — the cost the compiled expression removes. */
+  private[graft] def cdcBoundsHof(toksCol: org.apache.spark.sql.Column,
+      window: Int, modulus: Int): org.apache.spark.sql.Column = {
+    val n = size(toksCol)
+    val cand = when(n - 1 >= window, sequence(lit(window), n - 1))
+      .otherwise(array().cast("array<int>"))
+    val boundary = (i: org.apache.spark.sql.Column) =>
+      conv(substring(md5(concat_ws(" ",
+        slice(toksCol, i - window + 1, lit(window)))), 1, 15), 16, 10)
+        .cast("long") % modulus === 0
+    concat(array(lit(0)), filter(cand, boundary), array(n))
   }
 
   /** Deterministic stratified sampling — the language/domain

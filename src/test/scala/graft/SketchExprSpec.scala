@@ -303,6 +303,61 @@ class SketchExprSpec extends SparkSuite {
         "oracles to fold over BLOB octets")
   }
 
+  test("cdc_bounds matches the interpreted md5/conv combinator on the real corpus") {
+    // q115's boundary rule: the compiled CdcBounds must be bit-equal
+    // to the HOF form the DuckDB oracle replays, across (window,
+    // modulus) shapes — including modulus 1 (every candidate passes)
+    // and a window larger than most documents (sentinels only).
+    for ((w, m) <- Seq((4, 8), (3, 4), (2, 1), (5, 16), (64, 8))) {
+      val diff = docs
+        .select(split(trim($"text"), "\\s+").as("__toks"))
+        .select(
+          sketches.cdc_bounds($"__toks", w, m).as("fast"),
+          graft.ops.TrainingPrep.cdcBoundsHof($"__toks", w, m).as("slow"))
+        .filter(!($"fast" <=> $"slow"))
+      assert(diff.count() == 0, s"cdc_bounds diverged at window=$w modulus=$m")
+    }
+  }
+
+  test("cdc_bounds edge cases: short/empty token arrays, null tokens, null array") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),            // n-1 < window -> [0, n]
+      (2L, Seq("a")),                      // single token
+      (3L, Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+    ).toDF("id", "toks")
+    val got = df.select($"id",
+        sketches.cdc_bounds($"toks", 4, 8).as("fast"),
+        graft.ops.TrainingPrep.cdcBoundsHof($"toks", 4, 8).as("slow"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == Seq(0, 3) && got(1L)._1 == got(1L)._2)
+    assert(got(2L)._1 == Seq(0, 1) && got(2L)._1 == got(2L)._2)
+    assert(got(3L)._1 == got(3L)._2)
+    // null tokens are skipped like concat_ws (both forms agree)
+    val withNulls = Seq((4L, Seq[String]("a", null, "b", "c", "d", null, "e")))
+      .toDF("id", "toks")
+      .select(
+        sketches.cdc_bounds($"toks", 3, 2).as("fast"),
+        graft.ops.TrainingPrep.cdcBoundsHof($"toks", 3, 2).as("slow"))
+      .as[(Seq[Int], Seq[Int])].collect().head
+    assert(withNulls._1 == withNulls._2)
+    // null array -> null (expression contract)
+    val nullArr = Seq(Tuple1(Option.empty[Seq[String]])).toDF("toks")
+      .select(sketches.cdc_bounds($"toks", 4, 8).as("b"))
+      .collect().head
+    assert(nullArr.isNullAt(0))
+  }
+
+  test("cdc_bounds participates in whole-stage codegen (no fallback in the plan)") {
+    import org.apache.spark.sql.execution.debug._
+    val qe = docs.select(
+        sketches.cdc_bounds(split(trim($"text"), "\\s+"), 4, 8).as("b"))
+      .queryExecution
+    val cg = codegenString(qe.executedPlan)
+    assert(cg.contains("Found 1 WholeStageCodegen"), s"no codegen stage in:\n$cg")
+    assert(!cg.contains("CdcBounds.eval"), "cdc_bounds fell back to interpreted eval")
+  }
+
   test("vec_dot participates in whole-stage codegen (no fallback in the plan)") {
     import org.apache.spark.sql.execution.debug._
     val qe = emb.select(sketches.vec_dot($"embedding", $"embedding").as("d"))
