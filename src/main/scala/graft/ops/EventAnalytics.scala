@@ -954,6 +954,11 @@ object EventAnalytics {
       "cusumCenti: slack must be >= 0 and h > 0")
     val v = centi(col(valCol))
     events
+      // a null v would make greatest(0, acc.cp + x.v - ...) collapse to
+      // 0 (greatest skips nulls) — silently resetting an in-progress
+      // detection on engine-specific null semantics; exclude null
+      // values up front like twapCenti/rankAutocorr
+      .filter(col(valCol).isNotNull)
       .select(col(userCol),
         struct(col(tsCol).as("ts"), col(idCol).as("id"), v.as("v"))
           .as("__e"),

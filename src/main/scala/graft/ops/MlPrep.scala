@@ -191,16 +191,6 @@ object MlPrep {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("term"))
 
-  /** EXACT PHRASE occurrences per document from a [[positionalIndex]]
-    * — the query BM25's unigram scoring cannot answer ("spark sql"
-    * the phrase, not the two words): anchor on the first term's
-    * postings, then for each later term i a LEFT-SEMI equi-join on
-    * (doc, anchor_pos + i) keeps only anchors whose i-th successor
-    * matches. Candidates shrink monotonically; every join is keyed
-    * (doc, pos) — the term postings are filtered up front, so cost
-    * is bounded by the PHRASE terms' posting lists, never the
-    * corpus, and a stop-word-leading phrase is just a bigger (still
-    * keyed) anchor list. Output: (doc_id, n_hits > 0). */
   /** Sliding-window term co-occurrence counts from a
     * [[positionalIndex]] — the word2vec/GloVe training structure
     * (and the corpus-statistics half of PMI): for every UNORDERED
@@ -246,8 +236,9 @@ object MlPrep {
       .select(col("doc_id"), col("pos").as("__pa"))
     val pb = index.filter(col("term") === termB)
       .select(col("doc_id").as("__d2"), col("pos").as("__pb"))
+    // no __pa =!= __pb guard: one term per position and termA != termB
+    // (required above) make equal positions impossible
     pa.join(pb, col("doc_id") === col("__d2") &&
-        col("__pa") =!= col("__pb") &&
         abs(col("__pa") - col("__pb")) <= slop)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
@@ -290,6 +281,16 @@ object MlPrep {
           .as("lift_micro"))
   }
 
+  /** EXACT PHRASE occurrences per document from a [[positionalIndex]]
+    * — the query BM25's unigram scoring cannot answer ("spark sql"
+    * the phrase, not the two words): anchor on the first term's
+    * postings, then for each later term i a LEFT-SEMI equi-join on
+    * (doc, anchor_pos + i) keeps only anchors whose i-th successor
+    * matches. Candidates shrink monotonically; every join is keyed
+    * (doc, pos) — the term postings are filtered up front, so cost
+    * is bounded by the PHRASE terms' posting lists, never the
+    * corpus, and a stop-word-leading phrase is just a bigger (still
+    * keyed) anchor list. Output: (doc_id, n_hits > 0). */
   def phraseHits(index: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseHits: empty phrase")
     val anchors = index.filter(col("term") === phrase.head)

@@ -1340,9 +1340,13 @@ object Profile {
     * DECIMAL(38,0) (|n·cnt − ra·cb| ≤ n², summed over ≤n cells).
     * Pairs drill down with [[contingencyProfile]], which shows WHERE
     * the dependence lives. Nulls excluded per pair (the family
-    * contract — a pair's n is its both-non-null row count). Output:
-    * (col_a, col_b, n, cells, assoc_micro), one row per pair in the
-    * given column order. */
+    * contract — a pair's n is its both-non-null row count); a pair
+    * with NO both-non-null rows is dropped entirely (association is
+    * undefined there, and an all-null pair emitting a row would
+    * diverge from any GROUP-BY-generated oracle and from
+    * [[contingencyProfile]]'s empty-input behavior). Output:
+    * (col_a, col_b, n, cells, assoc_micro), one row per surviving
+    * pair in the given column order. */
   def associationMap(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2 && cols.distinct.size == cols.size,
       s"associationMap: need >= 2 distinct columns, got $cols")
@@ -1370,11 +1374,10 @@ object Profile {
           coalesce(sum(expr(s"abs(CAST(__n AS $d38) * cnt - " +
               s"CAST(__ra AS $d38) * __cb)")).cast(d38),
             lit(0).cast(d38)).as("__s"))
-        .withColumn("assoc_micro",
-          when(col("n") === 0L, lit(null).cast("long")) // undefined
-            .otherwise(expr(
-              s"CAST((CAST(1000000 AS $d38) * __s) div " +
-                s"(2 * CAST(n AS $d38) * n) AS BIGINT)")))
+        .filter(col("n") > 0L) // all-null pair -> no row (undefined)
+        .withColumn("assoc_micro", expr(
+          s"CAST((CAST(1000000 AS $d38) * __s) div " +
+            s"(2 * CAST(n AS $d38) * n) AS BIGINT)"))
         .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
           col("cells"), col("assoc_micro"))
     }.reduce(_ unionByName _)
@@ -1830,8 +1833,9 @@ object Profile {
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
       partitions: Int = 0): DataFrame =
     mannWhitneyU(
-      df.select(col(scoreCol),
-        when(col(labelCol), "pos").otherwise("neg").as("__lbl")),
+      df.filter(col(labelCol).isNotNull) // family contract: null labels
+        .select(col(scoreCol),           // are excluded, not negatives
+          when(col(labelCol), "pos").otherwise("neg").as("__lbl")),
       scoreCol, "__lbl", "pos", "neg", partitions)
       .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
         col("u2"), col("u_micro").as("auc_micro"))
@@ -1844,8 +1848,9 @@ object Profile {
   def aucExactBy(df: DataFrame, groupCol: String, scoreCol: String,
       labelCol: String, partitions: Int = 0): DataFrame =
     mannWhitneyUBy(
-      df.select(col(groupCol), col(scoreCol),
-        when(col(labelCol), "pos").otherwise("neg").as("__lbl")),
+      df.filter(col(labelCol).isNotNull) // same null-label exclusion
+        .select(col(groupCol), col(scoreCol), // as confusionAt/sweep
+          when(col(labelCol), "pos").otherwise("neg").as("__lbl")),
       groupCol, scoreCol, "__lbl", "pos", "neg", partitions)
       .select(col(groupCol), col("n1").as("n_pos"),
         col("n2").as("n_neg"), col("u2"),

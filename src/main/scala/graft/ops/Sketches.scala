@@ -453,11 +453,20 @@ object Sketches {
     * present — n_g the GROUP's row count); the candidate set stays
     * merge-order-dependent, so gates must emit the guarantees, not
     * the raw counters (the q154 discipline). State: ≤ k counters per
-    * group per task, map-side combined. `groupCol` string-typed. */
+    * group per task, map-side combined. `groupCol` string-typed;
+    * `keyCol` must be an integral dtype (a lossy cast of a
+    * non-numeric key would turn rows into encoder-breaking nulls
+    * AFTER the null filter — cast upstream if the key is a string
+    * code). */
   def misraGriesBy(df: DataFrame, groupCol: String, keyCol: String,
       k: Int): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    val kt = df.schema(keyCol).dataType
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(kt.simpleString),
+      s"misraGriesBy: keyCol '$keyCol' must be integral, got $kt — " +
+        "cast or hash it upstream")
     df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("g"), col(keyCol).cast("long").as("x"))
       .as[(String, Long)]

@@ -234,6 +234,28 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("cusumCenti: a null value is excluded, not a silent detector " +
+      "reset") {
+    // mid-accumulation null: without the filter, greatest(0, cp+null-…)
+    // = 0 (greatest skips nulls) would zero the carry and lose the
+    // in-progress up-shift; with it, the series folds as if the null
+    // row never happened
+    val base = (1 to 5).map(i =>
+      (3L, i.toLong, ts(f"2026-01-06 10:0$i:00"), 9.00))
+    val withNull = base.map(r =>
+      (r._1, r._2, r._3, java.lang.Double.valueOf(r._4))) :+
+      ((3L, 99L, ts("2026-01-06 10:02:30"), null: java.lang.Double))
+    val clean = EventAnalytics.cusumCenti(
+        base.toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value", 500L, 100L, 600L)
+      .orderBy("rn").collect().map(r => (r.getLong(2), r.getLong(3)))
+    val dirty = EventAnalytics.cusumCenti(
+        withNull.toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value", 500L, 100L, 600L)
+      .orderBy("rn").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(dirty.toSeq == clean.toSeq)
+  }
+
   test("twapCenti: duration weighting, truncation on negative " +
       "quotient, single-event drop") {
     val df = Seq(

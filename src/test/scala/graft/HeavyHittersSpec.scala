@@ -88,4 +88,13 @@ class HeavyHittersSpec extends SparkSuite {
     assert(out.forall { case (gk, est) =>
       est <= exact.getOrElse(gk, 0L) })
   }
+
+  test("misraGriesBy rejects a non-integral key dtype up front " +
+      "(not an opaque encoder error)") {
+    val df = Seq(("g1", "not-a-number")).toDF("g", "k")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sketches.misraGriesBy(df, "g", "k", 4)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
 }

@@ -598,8 +598,8 @@ class ProfileSpec extends SparkSuite {
   }
 
   test("associationMap: independent pair → 0, deterministic " +
-      "coupling → (n−max_cell)-bounded near-10⁶, all-null pair → " +
-      "null; ≡ BigInt definition") {
+      "coupling → (n−max_cell)-bounded near-10⁶, all-null pair " +
+      "dropped; ≡ BigInt definition") {
     // a ⫫ b (product frame); c = f(a) deterministic; d all null
     val rows = for {
       (a, fa) <- Seq(("x", 2), ("y", 3)); (b, gb) <- Seq(("p", 1), ("q", 4))
@@ -611,7 +611,11 @@ class ProfileSpec extends SparkSuite {
       .collect().map(r => ((r.getString(0), r.getString(1)),
         (r.getLong(2), r.getLong(3),
           if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
-    assert(out.size == 6)
+    // the three pairs involving the all-null d drop entirely
+    // (association undefined; aligns with contingencyProfile and any
+    // GROUP-BY-generated oracle)
+    assert(out.size == 3)
+    assert(!out.keySet.exists(p => p._1 == "d" || p._2 == "d"))
     assert(out(("a", "b")) == ((25L, 4L, Some(0L)))) // independent
     // c determines a and vice versa: TVD(joint, product) =
     // Σ|n·cnt − ra·cb|/(2n²); cells (x,cx)=10, (y,cy)=15 →
@@ -620,8 +624,6 @@ class ProfileSpec extends SparkSuite {
       (((BigInt(25) * 10 - 10 * 10).abs) +
         ((BigInt(25) * 15 - 15 * 15).abs))) / (2 * BigInt(25) * 25)
     assert(out(("a", "c")) == ((25L, 2L, Some(expAC.toLong))))
-    assert(out(("a", "d")) == ((0L, 0L, None))) // undefined
-    assert(out(("c", "d")) == ((0L, 0L, None)))
   }
 
   test("profileDiff: added/removed/common status, count pairs, " +
@@ -962,6 +964,42 @@ class ProfileSpec extends SparkSuite {
     val keyed = Profile.aucExactBy(noisy.toDF("g", "s", "l"),
       "g", "s", "l").collect().head.getLong(4)
     assert(keyed == solo)
+  }
+
+  test("aucExact/aucExactBy exclude null labels (family contract, " +
+      "not silent negatives)") {
+    // the eval-family contract: confusionAt/thresholdSweep/calibration
+    // drop null labels; AUC must too — a null label is "unlabeled",
+    // not a negative example
+    val labeled = (1 to 30).map(i =>
+      ((math.abs(s"nl$i".hashCode) % 7).toLong,
+        java.lang.Boolean.valueOf(i % 3 == 0)))
+    val withNulls = labeled ++
+      (1 to 10).map(i => ((i % 7).toLong, null: java.lang.Boolean))
+    val clean = Profile.aucExact(labeled.toDF("s", "l"), "s", "l")
+      .collect().head
+    val dirty = Profile.aucExact(withNulls.toDF("s", "l"), "s", "l")
+      .collect().head
+    assert(dirty == clean, "null-labeled rows changed the AUC frame")
+    val cleanBy = Profile.aucExactBy(
+      labeled.map(r => ("g", r._1, r._2)).toDF("g", "s", "l"),
+      "g", "s", "l").collect().head
+    val dirtyBy = Profile.aucExactBy(
+      withNulls.map(r => ("g", r._1, r._2)).toDF("g", "s", "l"),
+      "g", "s", "l").collect().head
+    assert(dirtyBy == cleanBy)
+  }
+
+  test("associationMap drops a pair with no both-non-null rows " +
+      "(contingencyProfile-consistent)") {
+    val df = Seq(
+      ("x", null: String, "k"),
+      ("y", null: String, "k"),
+      ("x", null: String, "m")).toDF("a", "b", "c")
+    val out = Profile.associationMap(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // (a,b) and (b,c) have zero both-non-null rows -> no row at all
+    assert(out == Set(("a", "c")))
   }
 
   test("thresholdSweep: hand-checked curve rows; confusionAt is one " +
