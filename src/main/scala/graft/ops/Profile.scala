@@ -885,6 +885,17 @@ object Profile {
     *    total work O(n²/B + n·B) with NO all-pairs stage and no
     *    skewable task anywhere.
     *
+    * Sizing B (MEASURED, KendallScale sweep + SCALE.md round-15):
+    * minimizing α·n²/B + β·n·B gives B* = √(α/β · n) — B grows with
+    * √n, NOT with n (the r14-documented "B ∝ n for fixed cell width"
+    * contract is falsified by the sweep: at 4× data, B=128 costs 4×
+    * the B=32 arm — the lane term β·n·B dominates long before the
+    * cell term, and fixed cell width makes the LANES quadratic).
+    * Measured α/β ≈ 0.034 on the orders gate shape (optimum B ≈ 32
+    * at both n_g = 30k and 120k), so B* ≈ 0.19·√n_g; past the
+    * ~128-lane per-column encoding bound the lanes become a
+    * (bucket, count) tall frame, same math.
+    *
     * Same contracts as [[spearmanExact]] (integral dtypes, id ∈
     * [0, 1e9), |v| ≤ maxAbsV — enforced by the shared guard; `idCol`
     * unique non-null per group); single-row groups dropped (τ
@@ -892,8 +903,15 @@ object Profile {
   def kendallTauExact(df: DataFrame, keyCol: String, idCol: String,
       xCol: String, yCol: String, buckets: Int = 8,
       partitions: Int = 0): DataFrame = {
-    require(buckets >= 2 && buckets <= 64,
-      s"kendallTauExact: buckets must sit in [2, 64], got $buckets")
+    // Upper bound = plan width, not correctness: each bucket is one
+    // running-count lane (a column) and one crossContrib term; 128
+    // lanes stays comfortably inside whole-stage codegen's method
+    // limits (measured by the KendallScale sweep's B∝n arm). The
+    // 100 TB contract B ∝ n/c eventually outgrows any per-column lane
+    // encoding — at that point the lanes become a (bucket, count) tall
+    // frame, same math.
+    require(buckets >= 2 && buckets <= 128,
+      s"kendallTauExact: buckets must sit in [2, 128], got $buckets")
     val d38 = "decimal(38,0)"
     requireCompositeDomain(df, "kendallTauExact", idCol,
       Seq(xCol, yCol))

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{AsofEvent, StreamingIngest}
+import QuerySpec.{events, eventsSql, table}
+
+/** Batch 16 (round 15): the last ungated streaming twins under the
+  * oracle (VERDICT r14 #5). q241/q244/q248/q250/q265 established the
+  * epoch-ledger batch-gate pattern — a build-once fixture replays
+  * epochs through the REAL `_epoch`-ledgered batch path (state merge,
+  * atomic commit, replay no-op), and the gate reads the landed
+  * state/output so DuckDB checks what the streaming query would have
+  * committed, not a simulation. These four put the remaining
+  * `streaming/StreamingIngest.scala` surface (hllIngest, cmsIngest,
+  * asofEnrich, scd2Ingest) under the same discipline. */
+object StreamQueries {
+
+  /** Two epochs of [[graft.streaming.StreamingIngest.hllIngestBatch]]
+    * (portable md5 lane, the q189 two-lane discipline) over the
+    * documents doc_id space, split by parity, plus a REPLAY of epoch
+    * 1 that must no-op under the `_epoch` ledger. Final state must
+    * equal the registers over everything (merge ≡ rebuild through the
+    * real commit path). */
+  private def hllIngestRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(s"/tmp/graft_hll_ingest/${tag}_$fp") { tmp =>
+      val docs = table(s, dir, "documents")
+      val st = s"$tmp/state"
+      StreamingIngest.hllIngestBatch(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", st, 0L,
+        portable = true)
+      StreamingIngest.hllIngestBatch(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", st, 1L,
+        portable = true)
+      // replayed epoch: the ledger must make this a no-op
+      StreamingIngest.hllIngestBatch(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", st, 1L,
+        portable = true)
+    }
+  }
+
+  /** Two epochs (+ one replay) of [[graft.streaming.StreamingIngest
+    * .cmsIngestBatch]] (portable md5 lanes) over the events user_id
+    * frequency space, split by event parity. Final counter matrix
+    * must equal the one-shot sketch of all events (cell-wise-sum
+    * merge ≡ rebuild through the real commit path). */
+  private def cmsIngestRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/events.parquet")
+    FixtureCache.ensure(s"/tmp/graft_cms_ingest/${tag}_$fp") { tmp =>
+      val ev = events(s, dir)
+      val st = s"$tmp/state"
+      StreamingIngest.cmsIngestBatch(
+        ev.filter(col("event_id") % 2 === 0), "user_id", st, 0L,
+        portable = true)
+      StreamingIngest.cmsIngestBatch(
+        ev.filter(col("event_id") % 2 === 1), "user_id", st, 1L,
+        portable = true)
+      StreamingIngest.cmsIngestBatch(
+        ev.filter(col("event_id") % 2 === 1), "user_id", st, 1L,
+        portable = true)
+    }
+  }
+
+  /** Build-once run of the REAL [[graft.streaming.StreamingIngest
+    * .asofEnrich]] flatMapGroupsWithState query over a two-batch
+    * MemoryStream derived from the events table: quotes are the
+    * event_id ≡ 0 (mod 3) lane at even ord encodings, probes the
+    * rest at odd, batches split by event parity — so the fixture
+    * exercises the in-batch ord sort, the cross-batch carry, AND the
+    * monotone guard (a batch-1 quote older than the carried batch-0
+    * quote must not regress it). The oracle is the at-enrich-time
+    * visibility rule itself: a probe sees every quote from earlier
+    * batches plus same-batch quotes at ord ≤ its own.
+    *
+    * MemoryStream is driver-local by nature, so the fixture caps the
+    * event subset (user_id ≡ 0 mod 7, ~1/7 of entities) — the cap
+    * bounds the one-time fixture collect, not the operator, whose
+    * state is ≤ one (ord, value) pair per key. */
+  private def asofEnrichRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/events.parquet")
+    FixtureCache.ensure(s"/tmp/graft_asof_enrich/${tag}_$fp") { tmp =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = events(s, dir)
+        .filter(col("user_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("v"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (eid, uid, v) =>
+          val isQuote = eid % 3 == 0
+          (eid, AsofEvent(uid, eid * 2 + (if (isQuote) 0L else 1L),
+            isQuote, v, if (isQuote) 0L else eid))
+        }
+      val stream = MemoryStream[AsofEvent]
+      val qn = s"graft_asof_gate_$fp"
+      val q = StreamingIngest.asofEnrich(stream.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/checkpoint")
+        .format("memory").queryName(qn).start()
+      try {
+        stream.addData(evs.filter(_._1 % 2 == 0).map(_._2).toSeq)
+        q.processAllAvailable()
+        stream.addData(evs.filter(_._1 % 2 == 1).map(_._2).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/matches")
+    }
+  }
+
+  /** Two epochs of [[graft.streaming.StreamingIngest.scd2IngestBatch]]
+    * — the exact foreachBatch body of scd2Ingest: epoch 0 seeds the
+    * snapshot from the c_custkey ≢ 0 (mod 3) customers, epoch 1
+    * stages every even-key customer TWICE with conflicting balances
+    * (+100.00 and +50.00) so the deterministic in-batch max-struct
+    * pick is exercised, then SCD2-merges (staged wins) and
+    * atomically re-commits the snapshot. */
+  private def scd2IngestRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/customer.parquet")
+    FixtureCache.ensure(s"/tmp/graft_scd2_ingest/${tag}_$fp") { tmp =>
+      val snap = s"$tmp/snapshot"
+      val cust = table(s, dir, "customer")
+      val bal = (col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val base = cust.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          bal.as("bal_cents"))
+      StreamingIngest.scd2IngestBatch(base, "id", snap)
+      val upd = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          (bal + 10000L).as("bal_cents"))
+      val dup = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          (bal + 5000L).as("bal_cents"))
+      StreamingIngest.scd2IngestBatch(upd.unionByName(dup), "id", snap)
+    }
+  }
+
+  def all: Seq[QuerySpec] = Seq(
+
+    // Streaming HLL maintenance, two epochs + a replay through the
+    // real _epoch-ledgered aggIngestBatch path (r15): the committed
+    // register state must be byte-identical to sketching everything
+    // (register-wise max-merge ≡ rebuild), and the replayed epoch a
+    // no-op. Oracle replays the md5 lane over ALL doc_ids.
+    QuerySpec("q279_hll_ingest_epochs",
+      (s, dir) => {
+        val root = hllIngestRoot(s, dir)
+        s.read.parquet(s"$root/state/current/state")
+          .select(col("bucket"),
+            col("max_rho").cast("int").as("rho_max"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH h AS (SELECT md5('hll:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |b AS (SELECT CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS bucket,
+        |    ltrim(substr(hx, 3, 13), '0') AS t FROM h),
+        |r AS (SELECT bucket, CASE WHEN t = '' THEN 53
+        |    ELSE 4 * (13 - length(t)) +
+        |      CASE WHEN substr(t, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1
+        |           WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 2
+        |           WHEN substr(t, 1, 1) IN ('2','3') THEN 3
+        |           ELSE 4 END END AS rho FROM b)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(MAX(rho) AS INTEGER) AS rho_max
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Streaming CMS maintenance, two epochs + a replay (r15): the
+    // committed counter matrix must equal the one-shot md5-lane
+    // sketch of every event (cell-wise-sum merge ≡ rebuild through
+    // the real path — the sum lane rides DECIMAL(18,2), exact for
+    // integer counts). Oracle replays all four depth lanes.
+    QuerySpec("q280_cms_ingest_epochs",
+      (s, dir) => {
+        val root = cmsIngestRoot(s, dir)
+        s.read.parquet(s"$root/state/current/state")
+          .select(col("r"), col("pos"),
+            col("sum_cnt").cast("long").as("cnt"))
+          .orderBy(col("r"), col("pos"))
+      },
+      Some {
+        val rows = (0 until 4).map { r =>
+          s"""SELECT $r AS r,
+             |  CAST(CAST(('0x' || substr(md5('cms$r:' || CAST(user_id AS VARCHAR)), 1, 15))
+             |    AS BIGINT) % 256 AS INTEGER) AS pos FROM e""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT user_id FROM ($eventsSql)
+           |  WHERE user_id IS NOT NULL),
+           |h AS ($rows)
+           |SELECT r, pos, COUNT(*) AS cnt FROM h
+           |GROUP BY r, pos ORDER BY r, pos""".stripMargin
+      }),
+
+    // Streaming as-of enrich through the REAL flatMapGroupsWithState
+    // query (r15): a two-batch MemoryStream replay whose landed
+    // matches the oracle re-derives from the at-enrich-time
+    // visibility rule — a probe sees quotes from earlier batches
+    // unconditionally (the carry, even when "from its future") plus
+    // same-batch quotes at ord ≤ its own; the per-key carry is the
+    // max-ord visible quote (the monotone guard makes carry ≡ max).
+    QuerySpec("q281_asof_enrich_stream",
+      (s, dir) => {
+        val root = asofEnrichRoot(s, dir)
+        s.read.parquet(s"$root/matches")
+          .select(col("key"), col("pid"), col("asof"))
+          .orderBy(col("key"), col("pid"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id AS key,
+        |    event_id % 3 = 0 AS isq,
+        |    event_id * 2 + CASE WHEN event_id % 3 = 0
+        |      THEN 0 ELSE 1 END AS ord,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    event_id % 2 AS b
+        |  FROM events WHERE user_id % 7 = 0),
+        |q AS (SELECT key, ord, v, b FROM e WHERE isq),
+        |p AS (SELECT key, event_id AS pid, ord, b FROM e
+        |  WHERE NOT isq),
+        |j AS (SELECT p.key, p.pid, q.v, q.ord AS qord
+        |  FROM p LEFT JOIN q ON q.key = p.key
+        |    AND (q.b < p.b OR (q.b = p.b AND q.ord <= p.ord)))
+        |SELECT key, pid, arg_max(v, qord) AS asof FROM j
+        |GROUP BY key, pid ORDER BY key, pid""".stripMargin)),
+
+    // Streaming SCD2 ingest, two epochs through the exact
+    // foreachBatch body (r15): seed snapshot, then a second epoch
+    // with in-batch CONFLICTING duplicates (the deterministic
+    // max-struct survivor: name ties, +100.00 beats +50.00), SCD2
+    // staged-wins merge, atomic snapshot re-commit. Oracle = the
+    // full-outer staged-wins merge with the surviving duplicate.
+    QuerySpec("q282_scd2_ingest_epochs",
+      (s, dir) => {
+        val root = scd2IngestRoot(s, dir)
+        s.read.parquet(s"$root/snapshot")
+          .select(col("id"), col("name"), col("bal_cents"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS id, c_name AS name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS bal_cents
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |upd AS (SELECT c_custkey AS id, c_name AS name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + 10000 AS bal_cents
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT COALESCE(u.id, b.id) AS id,
+        |  COALESCE(u.name, b.name) AS name,
+        |  COALESCE(u.bal_cents, b.bal_cents) AS bal_cents
+        |FROM base b FULL OUTER JOIN upd u ON b.id = u.id
+        |ORDER BY id""".stripMargin)))
+}

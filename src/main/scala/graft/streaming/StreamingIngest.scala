@@ -491,11 +491,19 @@ object StreamingIngest {
     }
 
   /** One epoch of [[hllIngest]]: the batch's pre-combined registers
-    * (≤2⁸ rows) merge by MAX into the state. */
+    * (≤2⁸ rows) merge by MAX into the state. `portable = true` swaps
+    * the compiled xxhash64 lane for the md5 lane
+    * ([[graft.ops.Sketches.hllRegisters]]) — identical (bucket,
+    * rho_max) layout and merge algebra, but DuckDB-replayable, so the
+    * q279 gate can put THIS path (ledger, merge, commit) under the
+    * oracle; the fast lane stays the production default (the q189
+    * two-lane discipline). */
   def hllIngestBatch(batch: DataFrame, keyCol: String,
-      stateDir: String, epochId: Long): Unit =
+      stateDir: String, epochId: Long,
+      portable: Boolean = false): Unit =
     aggIngestBatch(
-      graft.ops.Sketches.hllRegistersFast(batch, keyCol)
+      (if (portable) graft.ops.Sketches.hllRegisters(batch, keyCol)
+       else graft.ops.Sketches.hllRegistersFast(batch, keyCol))
         .withColumnRenamed("rho_max", "rho"),
       Seq("bucket"), Nil, Nil, Seq("rho"), stateDir, epochId)
 
@@ -514,12 +522,16 @@ object StreamingIngest {
       cmsIngestBatch(batch, keyCol, stateDir, epochId, depth, width)
     }
 
-  /** One epoch of [[cmsIngest]]. */
+  /** One epoch of [[cmsIngest]]. `portable = true` swaps the xxhash64
+    * counter lanes for the md5 lanes ([[graft.ops.Sketches
+    * .cmsSketch]]) so the q280 gate replays this path in DuckDB —
+    * same (r, pos, cnt) layout, same cell-wise-sum merge. */
   def cmsIngestBatch(batch: DataFrame, keyCol: String,
       stateDir: String, epochId: Long, depth: Int = 4,
-      width: Int = 256): Unit =
+      width: Int = 256, portable: Boolean = false): Unit =
     aggIngestBatch(
-      graft.ops.Sketches.cmsSketchFast(batch, keyCol, depth, width),
+      if (portable) graft.ops.Sketches.cmsSketch(batch, keyCol, depth, width)
+      else graft.ops.Sketches.cmsSketchFast(batch, keyCol, depth, width),
       Seq("r", "pos"), Seq("cnt"), Nil, Nil, stateDir, epochId)
 
   /** One epoch of [[driftMonitor]], separated like [[aggIngestBatch]]
@@ -757,30 +769,41 @@ object StreamingIngest {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, max, struct}
-        // in-batch dedup: at most one staged row per id per epoch.
-        // DETERMINISTIC pick: dropDuplicates keeps whichever row a
-        // partition delivers first, so a foreachBatch replay of the
-        // same epoch could commit a different survivor for conflicting
-        // same-id payloads. Taking max over the payload struct is a
-        // total order on row content (lexicographic over the non-key
-        // columns) — the same survivor wins on every replay regardless
-        // of partitioning or scheduling.
-        val others = batch.columns.filterNot(_ == idCol)
-        val staged = batch.groupBy(col(idCol))
-          .agg(max(struct(others.toSeq.map(col): _*)).as("__row"))
-          .select(batch.columns.toSeq.map(c =>
-            if (c == idCol) col(c) else col(s"__row.`$c`").as(c)): _*)
-          .cache()
-        try {
-          validateBatch(staged)
-          val merged = currentSnapshot(spark, snapshotDir) match {
-            case Some(live) => Temporal.mergeScd2(live, staged, idCol)
-            case None => staged.toDF()
-          }
-          ImportPipeline.commitSnapshot(merged, snapshotDir)
-        } finally staged.unpersist()
+        scd2IngestBatch(batch, idCol, snapshotDir, validateBatch)
       }
       .start()
+
+  /** One epoch of [[scd2Ingest]] — the exact foreachBatch body,
+    * separated (the q241 discipline) so the batch path is directly
+    * testable and driver-gateable: in-batch deterministic dedup,
+    * fail-fast validation, SCD2 merge against the live snapshot,
+    * atomic snapshot commit. */
+  def scd2IngestBatch(batch: DataFrame, idCol: String,
+      snapshotDir: String,
+      validateBatch: DataFrame => Unit = _ => ()): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, max, struct}
+    // in-batch dedup: at most one staged row per id per epoch.
+    // DETERMINISTIC pick: dropDuplicates keeps whichever row a
+    // partition delivers first, so a foreachBatch replay of the
+    // same epoch could commit a different survivor for conflicting
+    // same-id payloads. Taking max over the payload struct is a
+    // total order on row content (lexicographic over the non-key
+    // columns) — the same survivor wins on every replay regardless
+    // of partitioning or scheduling.
+    val others = batch.columns.filterNot(_ == idCol)
+    val staged = batch.groupBy(col(idCol))
+      .agg(max(struct(others.toSeq.map(col): _*)).as("__row"))
+      .select(batch.columns.toSeq.map(c =>
+        if (c == idCol) col(c) else col(s"__row.`$c`").as(c)): _*)
+      .cache()
+    try {
+      validateBatch(staged)
+      val merged = currentSnapshot(spark, snapshotDir) match {
+        case Some(live) => Temporal.mergeScd2(live, staged, idCol)
+        case None => staged.toDF()
+      }
+      ImportPipeline.commitSnapshot(merged, snapshotDir)
+    } finally staged.unpersist()
+  }
 }
