@@ -261,4 +261,86 @@ object Graph {
     }
     dist
   }
+
+  /** Bounded-round k-CORE peel (r15): `rounds` iterations of "drop
+    * every node whose surviving degree < k" over the canonical
+    * undirected graph — the density-tier decomposition a corpus/web
+    * graph pipeline uses to find its cohesive kernel (a node survives
+    * the true k-core iff it survives the peel fixpoint). BOUNDED
+    * rounds is the contract, exactly like [[bfsHops]]' maxHops and
+    * the fixed-iteration PageRank/HITS: both engines compute the same
+    * R-round peel, and R (not graph size) bounds plan depth; a run
+    * that has converged is the fixpoint (the spec pins convergence on
+    * its fixture; one extra round is the cheap convergence check).
+    * Per round: ONE keyed degree count + two semi-joins, the frame
+    * localCheckpoint'd so round r+1 rereads blocks instead of
+    * recomputing the whole peel prefix three times (the q150/Kendall
+    * multi-consumer discipline). Output: surviving (id, deg) with
+    * the IN-SUBGRAPH degree. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCorePeel: k and rounds must be >= 1")
+    val ce = canonicalEdges(edges, srcCol, dstCol)
+    var ue = ce.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(ce.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = ue.groupBy(col("u")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("u"))
+      ue = ue.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    ue.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Per-node triangle participation + local clustering coefficient
+    * (r15): [[triangleCount]]'s degree-ordered wedge machinery, kept
+    * per node instead of reduced to one row — each closed wedge
+    * (u, x, y) is one triangle counted once, and every triangle
+    * credits all three corners. lcc_micro = (10⁶ · 2·t_v) div
+    * (deg·(deg−1)) — the exact integer form of t_v / C(deg, 2);
+    * degree-1 nodes drop (undefined). Same O(√m) out-list bound as
+    * the count: hubs cannot skew the wedge join. Output:
+    * (id, deg, n_triangles, lcc_micro). */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val ce = canonicalEdges(edges, srcCol, dstCol)
+    val deg = ce.select(col("a").as("v"))
+      .unionAll(ce.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val oriented = ce
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("da").as("du"),
+            col("b").as("w"), col("db").as("dw")))
+          .otherwise(
+            struct(col("b").as("u"), col("db").as("du"),
+              col("a").as("w"), col("da").as("dw")))
+          .as("__e"))
+      .select(col("__e.u").as("u"), col("__e.w").as("w"),
+        col("__e.dw").as("dw"))
+    val e1 = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+    val e2 = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+    val triangles = e1.join(e2, Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u"), col("x"), col("y"))
+      .join(oriented.select(col("u").as("x"), col("w").as("y")),
+        Seq("x", "y"), "left_semi")
+    val perNode = triangles.select(col("u").as("v"))
+      .unionAll(triangles.select(col("x").as("v")))
+      .unionAll(triangles.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.filter(col("deg") > 1)
+      .join(perNode, Seq("v"), "left")
+      .select(col("v").as("id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("(1000000 * 2 * COALESCE(n_triangles, 0)) div " +
+          "(deg * (deg - 1))").as("lcc_micro"))
+  }
 }

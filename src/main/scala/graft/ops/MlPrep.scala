@@ -281,6 +281,39 @@ object MlPrep {
           .as("lift_micro"))
   }
 
+  /** BOOLEAN retrieval from a [[positionalIndex]] (r15) — the AND/NOT
+    * postings algebra under BM25's ranked layer: documents containing
+    * EVERY `must` term and NONE of the `mustNot` terms, with the
+    * total occurrence count of the must terms as a cheap relevance
+    * proxy. Same cost discipline as [[phraseHits]]: every term's
+    * postings are filtered up front, AND is a chain of doc-keyed
+    * LEFT-SEMI joins over monotonically shrinking candidates, NOT a
+    * doc-keyed LEFT-ANTI — bounded by the QUERY terms' posting
+    * lists, never the corpus. Output: (doc_id, n_occurrences). */
+  def booleanRetrieve(index: DataFrame, must: Seq[String],
+      mustNot: Seq[String]): DataFrame = {
+    require(must.nonEmpty, "booleanRetrieve: need at least one must term")
+    require(must.intersect(mustNot).isEmpty,
+      "booleanRetrieve: a term cannot be both must and mustNot")
+    val postings = index.filter(col("term").isin(must: _*))
+    val docs = must.tail.foldLeft(
+        postings.filter(col("term") === must.head)
+          .select(col("doc_id")).distinct()) { (acc, t) =>
+        acc.join(index.filter(col("term") === t)
+            .select(col("doc_id").as("__d")),
+          col("doc_id") === col("__d"), "left_semi")
+      }
+    val kept = mustNot.foldLeft(docs) { (acc, t) =>
+      acc.join(index.filter(col("term") === t)
+          .select(col("doc_id").as("__d")),
+        col("doc_id") === col("__d"), "left_anti")
+    }
+    kept.join(postings.select(col("doc_id").as("__d2")),
+        col("doc_id") === col("__d2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** EXACT PHRASE occurrences per document from a [[positionalIndex]]
     * — the query BM25's unigram scoring cannot answer ("spark sql"
     * the phrase, not the two words): anchor on the first term's

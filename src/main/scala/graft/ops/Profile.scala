@@ -1968,6 +1968,89 @@ object Profile {
         col("score_lo"), col("score_hi"))
   }
 
+  /** 10⁶-scaled rank discounts 1/log₂(i+1) for NDCG positions
+    * 1..10 — precomputed literals (the Benford-constant move: a log
+    * cannot hash cross-engine, a published integer table can), so
+    * DCG over integer relevance grades is exact integer arithmetic
+    * in both engines. */
+  private[graft] val ndcgDiscountMicro: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** RANKING-evaluation metrics — the retrieval side of the ML-eval
+    * wing (AUC/confusion judge a SCORE on labeled rows; these judge a
+    * RANKED LIST against graded relevance): per query, hits@k,
+    * reciprocal rank, precision/recall@k, and NDCG@k, every metric an
+    * exact integer micro.
+    *
+    *   - `ranked`: (query, doc, rank), rank 1-based, ≤ one row per
+    *     (query, doc); rows with rank > k are ignored.
+    *   - `rels`: (query, doc, rel) graded relevance, rel ≥ 0 integer
+    *     grades (missing pair ⇒ rel 0). NDCG's discount table is the
+    *     published [[ndcgDiscountMicro]] (k ≤ 10), so
+    *     dcg_micro = Σ rel_i·d_i is exact; idcg ranks the query's own
+    *     grades descending (doc id tiebreak, though ties in grade
+    *     don't change the sum). ndcg_micro = (10⁶·dcg) div idcg.
+    *   - rr_micro = 10⁶ div (first relevant rank), 0 when no
+    *     relevant doc made the list; p_at_k_micro = (10⁶·hits) div k;
+    *     recall_at_k_micro = (10⁶·hits) div n_rel.
+    *
+    * Scale shape: one (query, doc) equi-join of the rank≤k slice
+    * against the judgments, one keyed aggregate per side, the ideal
+    * ranking a per-QUERY window over ≤|judged docs| rows — everything
+    * keyed on the query, nothing pairwise. Queries with no positive
+    * judgments drop (every rate undefined), as do queries with no
+    * ranked rows (nothing to evaluate). */
+  def rankingEval(ranked: DataFrame, rels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscountMicro.size,
+      s"rankingEval: k must sit in [1, ${ndcgDiscountMicro.size}]")
+    val disc = (r: Column) => ndcgDiscountMicro.zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (d, i)) =>
+        when(r === (i + 1), lit(d)).otherwise(acc) }
+    val top = ranked.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).as("__r"))
+    val judged = rels
+      .filter(col(relCol).isNotNull && col(relCol) > 0)
+      .select(col(queryCol).as("__q2"), col(docCol).as("__d2"),
+        col(relCol).cast("long").as("__rel"))
+    // observed side: rank slice + its judgments
+    val obs = top.join(judged,
+        col("__q") === col("__q2") && col("__d") === col("__d2"),
+        "left")
+      .withColumn("__g", coalesce(col("__rel"), lit(0L)))
+      .groupBy(col("__q"))
+      .agg(
+        sum(when(col("__g") > 0, 1L).otherwise(0L)).as("hits_at_k"),
+        min(when(col("__g") > 0, col("__r"))).as("__first"),
+        sum(col("__g") * disc(col("__r"))).as("dcg_micro"))
+    // ideal side: the query's own grades, best-first
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q2"))
+      .orderBy(col("__rel").desc, col("__d2").asc)
+    val ideal = judged
+      .withColumn("__ir", row_number().over(w))
+      .filter(col("__ir") <= k)
+      .groupBy(col("__q2"))
+      .agg(sum(col("__rel") * disc(col("__ir"))).as("idcg_micro"))
+    val nrel = judged.groupBy(col("__q2").as("__q3"))
+      .agg(count(lit(1)).as("n_rel"))
+    obs.join(ideal, col("__q") === col("__q2")).drop("__q2")
+      .join(nrel, col("__q") === col("__q3")).drop("__q3")
+      .select(col("__q").as(queryCol), col("n_rel"),
+        col("hits_at_k"),
+        when(col("__first").isNotNull, expr("1000000 div __first"))
+          .otherwise(lit(0L)).cast("long").as("rr_micro"),
+        expr(s"(1000000 * hits_at_k) div $k").as("p_at_k_micro"),
+        expr("(1000000 * hits_at_k) div n_rel")
+          .as("recall_at_k_micro"),
+        col("dcg_micro"), col("idcg_micro"),
+        expr("(1000000 * dcg_micro) div idcg_micro")
+          .as("ndcg_micro"))
+  }
+
   /** WINSORIZATION at exact per-group percentiles — the robust
     * clipping a feature pipeline applies before moments are trusted
     * (cap the p99 tail instead of deleting it, floor at p1): group

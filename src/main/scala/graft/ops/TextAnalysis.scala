@@ -14,6 +14,62 @@ object TextAnalysis {
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** ZIPF rank-frequency spectrum (r15) — the head of the corpus'
+    * term-frequency distribution: the `topK` most frequent terms with
+    * their counts and exact corpus share
+    * (share_micro = (10⁶·freq) div total_tokens). The classic first
+    * look at a crawl (is it boilerplate-dominated? is the head one
+    * stop-word deep?) and the vocabulary side of q53's TF-IDF.
+    * Scale shape: one map-side-combinable term count, then a
+    * TakeOrdered top-K (the dsirSelect discipline — bounded by K,
+    * never a global sort) + the 1-row total attach. Rank is implicit
+    * in the (freq DESC, term ASC) output order — no window over the
+    * unpartitioned spectrum. */
+  def termSpectrum(df: DataFrame, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "termSpectrum: topK must be >= 1")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("term"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(topK)
+      .crossJoin(broadcast(total)) // 1-row total attach
+      .select(col("term"), col("freq"),
+        expr("(1000000 * freq) div __total").as("share_micro"))
+  }
+
+  /** HEAPS-law vocabulary growth (r15): how fast NEW terms appear as
+    * the corpus grows — per id-order decile (bucket i = docs with
+    * id·buckets div (max_id+1) = i), the count of terms whose FIRST
+    * occurrence falls in that bucket, beside the bucket's token
+    * volume. A sublinear new-term curve is the Heaps signature; a
+    * bucket with a new-term spike is a contamination/source-shift
+    * signal. Scale shape: first-occurrence = one min-aggregate per
+    * term (map-side combinable), bucket arithmetic rides the 1-row
+    * max attach, output is `buckets` rows. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, "vocabGrowth: buckets must be >= 2")
+    val base = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        tokens(col(textCol)).as("__toks"))
+    val mx = base.agg(max(col("__id")).as("__mx"))
+    val firstDoc = base
+      .select(col("__id"), explode(col("__toks")).as("term"))
+      .groupBy(col("term")).agg(min(col("__id")).as("__fd"))
+    val newTerms = firstDoc.crossJoin(broadcast(mx)) // 1-row attach
+      .select(expr(s"(__fd * $buckets) div (__mx + 1)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+    val tokensPerBucket = base.crossJoin(broadcast(mx))
+      .select(expr(s"(__id * $buckets) div (__mx + 1)").as("bucket"),
+        size(col("__toks")).cast("long").as("__n"))
+      .groupBy(col("bucket")).agg(sum(col("__n")).as("n_tokens"))
+    tokensPerBucket.join(newTerms, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("new_terms"), lit(0L))
+        .as("new_terms"), col("n_tokens"))
+  }
+
   /** Token count (whitespace). */
   def tokenCount(c: Column): Column = size(tokens(c))
 

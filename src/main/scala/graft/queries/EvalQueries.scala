@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QuerySpec.{events, eventsSql, table}
+
+/** Batch 17 (round 15): the analytics widening past the monitor/eval
+  * wings — ranking-evaluation metrics (the retrieval side of the
+  * ML-eval family), graph depth (k-core, per-node clustering), and
+  * corpus statistics. Exact-arithmetic discipline throughout. */
+object EvalQueries {
+
+  /** The deterministic per-language pseudo-ranking + graded-relevance
+    * fixture for the ranking-eval gate: within each lang, docs rank
+    * by an md5 lane (with doc_id tiebreak) and carry an INDEPENDENT
+    * md5-derived grade ∈ {0, 1, 2} — so hits/misses at every cutoff
+    * are non-degenerate and both engines re-derive ranking AND
+    * judgments from the same hex arithmetic (the ranking OPERATOR
+    * itself — BM25 — is q76's gate; this gate tests the metrics). */
+  private def rankingFixture(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("lang"), col("doc_id"),
+      conv(substring(md5(concat(lit("rk:"), col("lang"), lit(":"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("__h"),
+      (conv(substring(md5(concat(lit("rel:"), col("lang"), lit(":"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 5).as("__rv"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("__h"), col("doc_id"))))
+      .withColumn("rel",
+        when(col("__rv") === 0, 2L).when(col("__rv") === 1, 1L)
+          .otherwise(0L))
+
+  private val rankingFixtureSql: String =
+    """d AS (SELECT lang, doc_id,
+      |    CAST(('0x' || substr(md5('rk:' || lang || ':' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+      |    CAST(('0x' || substr(md5('rel:' || lang || ':' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS rv
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+      |      AS rnk,
+      |    CAST(CASE rv WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+      |      AS BIGINT) AS rel
+      |  FROM d)""".stripMargin
+
+  /** The 10⁶-scaled 1/log₂(i+1) discounts as a SQL CASE (positions
+    * 1..10) — the same published table as
+    * [[graft.ops.Profile.ndcgDiscountMicro]]. */
+  private def discSql(rn: String): String =
+    s"""CASE $rn WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+       | WHEN 3 THEN 500000 WHEN 4 THEN 430676 WHEN 5 THEN 386852
+       | WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315464
+       | WHEN 9 THEN 301029 WHEN 10 THEN 289064 ELSE 0 END"""
+      .stripMargin.replace("\n", "")
+
+  def all: Seq[QuerySpec] = Seq(
+
+    // Ranking-evaluation metrics (r15): hits@k, reciprocal rank,
+    // precision/recall@k and NDCG@10 per query — every metric an
+    // exact integer micro; the log₂ discounts are published 10⁶
+    // constants (the Benford move), so DCG/IDCG hash cross-engine.
+    // The fixture's pseudo-ranking and grades are independent md5
+    // lanes; the oracle replays ranking, judgments, both DCG sides,
+    // and every ratio.
+    QuerySpec("q284_ranking_eval",
+      (s, dir) => {
+        val fx = rankingFixture(s, dir)
+        graft.ops.Profile.rankingEval(
+            fx.select(col("lang"), col("doc_id"), col("rank")),
+            fx.select(col("lang"), col("doc_id"), col("rel")),
+            "lang", "doc_id", "rank", "rel", k = 10)
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $rankingFixtureSql,
+        |j AS (SELECT lang, doc_id, rel FROM r WHERE rel > 0),
+        |top AS (SELECT lang, doc_id, rnk FROM r WHERE rnk <= 10),
+        |obs AS (SELECT t.lang AS lang,
+        |    SUM(CASE WHEN j.rel > 0 THEN 1 ELSE 0 END) AS hits_at_k,
+        |    MIN(CASE WHEN j.rel > 0 THEN t.rnk END) AS first_rel,
+        |    SUM(COALESCE(j.rel, 0) * ${discSql("t.rnk")}) AS dcg
+        |  FROM top t LEFT JOIN j
+        |    ON j.lang = t.lang AND j.doc_id = t.doc_id
+        |  GROUP BY t.lang),
+        |i0 AS (SELECT lang, rel, ROW_NUMBER() OVER
+        |    (PARTITION BY lang ORDER BY rel DESC, doc_id) AS ir
+        |  FROM j),
+        |ideal AS (SELECT lang, SUM(rel * ${discSql("ir")}) AS idcg
+        |  FROM i0 WHERE ir <= 10 GROUP BY lang),
+        |nr AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rel
+        |  FROM j GROUP BY lang)
+        |SELECT o.lang AS lang, nr.n_rel,
+        |  CAST(o.hits_at_k AS BIGINT) AS hits_at_k,
+        |  CAST(CASE WHEN o.first_rel IS NULL THEN 0
+        |    ELSE 1000000 // o.first_rel END AS BIGINT) AS rr_micro,
+        |  CAST((1000000 * o.hits_at_k) // 10 AS BIGINT)
+        |    AS p_at_k_micro,
+        |  CAST((1000000 * o.hits_at_k) // nr.n_rel AS BIGINT)
+        |    AS recall_at_k_micro,
+        |  CAST(o.dcg AS BIGINT) AS dcg_micro,
+        |  CAST(i.idcg AS BIGINT) AS idcg_micro,
+        |  CAST((1000000 * o.dcg) // i.idcg AS BIGINT) AS ndcg_micro
+        |FROM obs o JOIN ideal i ON i.lang = o.lang
+        |JOIN nr ON nr.lang = o.lang
+        |ORDER BY o.lang""".stripMargin)),
+
+    // Bounded-round k-core peel (r15): 4 rounds of "drop nodes with
+    // surviving degree < 3" over the quantity-sparsified
+    // part↔supplier incidence graph (suppliers offset to a disjoint
+    // id space; low-quantity edges keep part degrees near the peel
+    // threshold, so rounds genuinely cascade). Bounded rounds is the
+    // contract (the bfsHops/PageRank discipline) — the oracle
+    // unrolls the same 4 rounds. Output = surviving nodes with
+    // in-subgraph degree.
+    QuerySpec("q285_kcore",
+      (s, dir) => graft.ops.Graph.kCorePeel(
+          table(s, dir, "lineitem").filter(col("l_quantity") <= 3)
+            .select(col("l_partkey").as("p"),
+              (col("l_suppkey") + 1000000L).as("sp")),
+          "p", "sp", k = 3, rounds = 4)
+        .orderBy(col("id")),
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""k$i AS (SELECT u FROM ue${i - 1} GROUP BY u
+             |  HAVING COUNT(*) >= 3),
+             |ue$i AS (SELECT e.u, e.v FROM ue${i - 1} e
+             |  JOIN k$i a ON a.u = e.u JOIN k$i b ON b.u = e.v)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p,
+           |    l_suppkey + 1000000 AS sp
+           |  FROM lineitem WHERE l_quantity <= 3),
+           |ue0 AS (SELECT p AS u, sp AS v FROM e0
+           |  UNION ALL SELECT sp, p FROM e0),
+           |$rounds
+           |SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           |FROM ue4 GROUP BY u ORDER BY id""".stripMargin
+      }),
+
+    // Per-node triangle participation + local clustering coefficient
+    // (r15) over the q149 mod-211 graph: the degree-ordered wedge
+    // machinery kept per node, lcc_micro = (10⁶·2·t) div (deg·(deg−1))
+    // exact. The oracle enumerates each triangle once by the a<b<c
+    // canonical form and credits all three corners.
+    QuerySpec("q286_clustering_coeff",
+      (s, dir) => graft.ops.Graph.clusteringCoefficients(
+          table(s, dir, "lineitem")
+            .select(pmod(col("l_partkey"), lit(211)).as("src"),
+              pmod(col("l_suppkey"), lit(211)).as("dst")),
+          "src", "dst")
+        .orderBy(col("id")),
+      Some("""WITH raw AS (SELECT l_partkey % 211 AS s,
+        |    l_suppkey % 211 AS d FROM lineitem),
+        |ce AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM ce e1 JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tc AS (SELECT v, COUNT(*) AS t FROM (
+        |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY v),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT a AS v FROM ce UNION ALL SELECT b FROM ce)
+        |  GROUP BY v)
+        |SELECT deg.v AS id, CAST(deg.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+        |  CAST((1000000 * 2 * COALESCE(tc.t, 0)) //
+        |    (deg.deg * (deg.deg - 1)) AS BIGINT) AS lcc_micro
+        |FROM deg LEFT JOIN tc ON tc.v = deg.v
+        |WHERE deg.deg > 1 ORDER BY id""".stripMargin)),
+
+    // Zipf rank-frequency spectrum (r15): the 100 most frequent
+    // corpus terms with exact counts and corpus share in micros —
+    // one map-side-combinable term count + a TakeOrdered top-K +
+    // the allowlisted 1-row total attach; rank is the output order
+    // (freq DESC, term ASC — deterministic at the K boundary).
+    QuerySpec("q287_term_spectrum",
+      (s, dir) => graft.ops.TextAnalysis.termSpectrum(
+          table(s, dir, "documents"), "text", topK = 100)
+        .orderBy(col("freq").desc, col("term")),
+      Some("""WITH t AS (SELECT UNNEST(string_split_regex(trim(text),
+        |    '\s+')) AS term FROM documents WHERE text IS NOT NULL),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t),
+        |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM t
+        |  GROUP BY term ORDER BY freq DESC, term LIMIT 100)
+        |SELECT term, freq,
+        |  CAST((1000000 * freq) // tot.total AS BIGINT) AS share_micro
+        |FROM f, tot ORDER BY freq DESC, term""".stripMargin)),
+
+    // Boolean retrieval (r15): value AND table AND NOT query over
+    // the positional index — doc-keyed semi/anti joins over
+    // up-front-filtered postings (the phraseHits cost discipline),
+    // with the must terms' occurrence total as the relevance proxy.
+    QuerySpec("q288_boolean_retrieval",
+      (s, dir) => graft.ops.MlPrep.booleanRetrieve(
+          graft.ops.MlPrep.positionalIndex(
+            table(s, dir, "documents"), "doc_id", "text"),
+          must = Seq("value", "table"), mustNot = Seq("query"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |m1 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'value'),
+        |m2 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+        |nx AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'query'),
+        |keep AS (SELECT m1.doc_id FROM m1 JOIN m2 USING (doc_id)
+        |  WHERE m1.doc_id NOT IN (SELECT doc_id FROM nx))
+        |SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM keep k JOIN tok ON tok.doc_id = k.doc_id
+        |  AND tok.term IN ('value', 'table')
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin)),
+
+    // Heaps-law vocabulary growth (r15): per id-order decile, the
+    // count of terms first seen there beside the decile's token
+    // volume — first-occurrence = one min per term, bucket
+    // arithmetic on the allowlisted 1-row max attach.
+    QuerySpec("q289_vocab_growth",
+      (s, dir) => graft.ops.TextAnalysis.vocabGrowth(
+          table(s, dir, "documents"), "doc_id", "text", buckets = 10)
+        .orderBy(col("bucket")),
+      Some("""WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |mx AS (SELECT MAX(doc_id) AS m FROM d),
+        |tok AS (SELECT doc_id, UNNEST(toks) AS term FROM d),
+        |fd AS (SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY term),
+        |nt AS (SELECT (fd * 10) // (mx.m + 1) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS new_terms
+        |  FROM fd, mx GROUP BY 1),
+        |tb AS (SELECT (doc_id * 10) // (mx.m + 1) AS bucket,
+        |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        |  FROM d, mx GROUP BY 1)
+        |SELECT tb.bucket,
+        |  CAST(COALESCE(nt.new_terms, 0) AS BIGINT) AS new_terms,
+        |  tb.n_tokens
+        |FROM tb LEFT JOIN nt ON nt.bucket = tb.bucket
+        |ORDER BY tb.bucket""".stripMargin)))
+}

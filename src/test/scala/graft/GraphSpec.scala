@@ -123,4 +123,45 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(lone == Seq((99L, 0)))
   }
+
+  test("kCorePeel: cascade peel reaches the true core; fixpoint " +
+      "within rounds; k above max degree empties") {
+    // a 4-clique {1,2,3,4} with a pendant PATH 4-5-6-7: peeling k=2
+    // must cascade down the path (7 first, then 6, then 5) — three
+    // genuine rounds — and leave exactly the clique, every survivor
+    // at in-subgraph degree 3
+    val g = (Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)) ++
+      Seq((4, 5), (5, 6), (6, 7))).toDF("src", "dst")
+    val core = Graph.kCorePeel(g, "src", "dst", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one MORE round is a no-op (the peel had converged)
+    val more = Graph.kCorePeel(g, "src", "dst", k = 2, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == core)
+    // fewer rounds than the cascade needs: path remnants survive
+    // (the bounded-round contract is observable, not hidden)
+    val early = Graph.kCorePeel(g, "src", "dst", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(early.contains(5L) && early.contains(6L) && !early.contains(7L))
+    // k above the max degree empties the graph
+    assert(Graph.kCorePeel(g, "src", "dst", k = 4, rounds = 4)
+      .count() == 0)
+  }
+
+  test("clusteringCoefficients: hand graph — clique corners 10⁶, " +
+      "bridge dilution, wedge-only 0, degree-1 drops") {
+    // triangle {1,2,3} + pendant 4 on node 3 + wedge center 5
+    // between 6 and 7
+    val g = Seq((1, 2), (2, 3), (3, 1), (3, 4), (5, 6), (5, 7))
+      .toDF("src", "dst")
+    val out = Graph.clusteringCoefficients(g, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 1L, 1000000L))) // pure triangle corner
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((3L, 1L, 333333L))) // 1 tri / C(3,2), floored
+    assert(out(5L) == ((2L, 0L, 0L)))      // wedge, never closed
+    assert(!out.contains(4L) && !out.contains(6L)) // degree-1 drop
+  }
 }

@@ -218,7 +218,12 @@ class PlanSpec extends SparkSuite {
       // group key: the per-key sizes frame is 1 ROW by construction
       // and FoldablePropagation folds its equi key away — the join
       // is a broadcast of that single row, never data × data
-      "q275_calibration")
+      "q275_calibration",
+      // q287 attaches the 1-row corpus token total (no-grouping
+      // count) to the ≤topK-row spectrum; q289 attaches the 1-row
+      // max-id frame (no-grouping max) twice — to the ≤|vocab|-row
+      // first-occurrence frame and the per-doc token counts
+      "q287_term_spectrum", "q289_vocab_growth")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -1002,6 +1002,44 @@ class ProfileSpec extends SparkSuite {
     assert(out == Set(("a", "c")))
   }
 
+  test("rankingEval: hand-checked metrics — partial hit, perfect " +
+      "ranking, zero-hit list, unjudged query drops") {
+    val ranked = Seq(
+      ("qa", 1L, 1), ("qa", 2L, 2), ("qa", 3L, 3), ("qa", 4L, 4),
+      ("qb", 1L, 1), ("qb", 2L, 2),
+      ("qc", 1L, 1), ("qc", 2L, 2),
+      ("qd", 1L, 1)) // qd has no positive judgments -> drops
+      .toDF("q", "doc", "rank")
+    val rels = Seq(
+      ("qa", 2L, 2L), ("qa", 4L, 1L), ("qa", 9L, 1L), // doc9 unranked
+      ("qb", 1L, 2L), ("qb", 2L, 1L),
+      ("qc", 8L, 1L)) // qc's only relevant doc never ranked
+      .toDF("q", "doc", "rel")
+    val out = Profile.rankingEval(ranked, rels, "q", "doc", "rank",
+        "rel", k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("qa", "qb", "qc"))
+    val d = Profile.ndcgDiscountMicro
+    // qa: top3 = docs 1,2,3; only doc2 (rel 2) hits at rank 2
+    val a = out("qa")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 1L) // n_rel, hits
+    assert(a.getLong(3) == 500000L && a.getLong(4) == 333333L)
+    assert(a.getLong(5) == 333333L) // recall: 1 of 3
+    val dcgA = 2L * d(1)
+    val idcgA = 2L * d(0) + 1L * d(1) + 1L * d(2)
+    assert(a.getLong(6) == dcgA && a.getLong(7) == idcgA)
+    assert(a.getLong(8) ==
+      (BigInt(1000000) * dcgA / idcgA).toLong)
+    // qb: the ranking IS the ideal -> ndcg exactly 10⁶, rr 10⁶
+    val b = out("qb")
+    assert(b.getLong(3) == 1000000L && b.getLong(8) == 1000000L)
+    assert(b.getLong(6) == b.getLong(7))
+    // qc: judged but nothing relevant ranked -> all-zero rates
+    val c = out("qc")
+    assert(c.getLong(2) == 0L && c.getLong(3) == 0L &&
+      c.getLong(4) == 0L && c.getLong(5) == 0L && c.getLong(8) == 0L)
+  }
+
   test("thresholdSweep: hand-checked curve rows; confusionAt is one " +
       "row of the table; endpoints correct") {
     val rows = Seq((10L, true), (9L, true), (8L, false), (3L, true),
