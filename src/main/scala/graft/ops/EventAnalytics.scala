@@ -1020,6 +1020,35 @@ object EventAnalytics {
     * the events family's plain-window contract; the skew-safe lead
     * exists for the unbounded shape. Output:
     * (user, n_events, dur_us, twap_centi). */
+  /** Time-bucketed OHLC bars (r15): per (entity, hour) — open/close =
+    * the first/last value under the (ts, id) total order, high/low =
+    * max/min, plus event count and centi-sum volume. The bar builder
+    * every monitoring/market/telemetry rollup runs; ONE keyed
+    * aggregate, no window at all: first/last ride min_by/max_by on a
+    * composite in-bucket key (micros since bucket start)·10⁶ + id —
+    * ≤ 3.6·10¹⁵ + id, exact in int64, unique because ids are (the
+    * lineitem-duplicates lesson: never trust ts alone). Values in
+    * exact centi units. */
+  def ohlcBars(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val bucket = date_trunc("hour", col(tsCol))
+    events
+      .filter(col(valCol).isNotNull)
+      .select(col(userCol), col(idCol),
+        bucket.as("bucket_ts"),
+        ((unix_micros(col(tsCol)) - unix_micros(bucket)) *
+          lit(1000000L) + col(idCol)).as("__ord"),
+        centi(col(valCol)).as("__v"))
+      .groupBy(col(userCol), col("bucket_ts"))
+      .agg(
+        min_by(col("__v"), col("__ord")).as("open_centi"),
+        max(col("__v")).as("high_centi"),
+        min(col("__v")).as("low_centi"),
+        max_by(col("__v"), col("__ord")).as("close_centi"),
+        count(lit(1)).as("n_events"),
+        sum(col("__v")).as("vol_centi"))
+  }
+
   def twapCenti(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, valCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

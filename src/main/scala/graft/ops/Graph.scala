@@ -262,6 +262,43 @@ object Graph {
     dist
   }
 
+  /** Bounded-round WEIGHTED shortest paths (r15): [[bfsHops]]' min-plus
+    * relaxation with an additive edge cost — after R rounds, dist(v) =
+    * the cheapest ≤R-edge path from the seed set (Bellman–Ford rounds;
+    * with R ≥ the shortest-path-tree depth this is the true distance).
+    * Parallel undirected edges collapse to their MINIMUM weight first
+    * (the cheapest copy dominates any relaxation the others could
+    * make). Weights must be non-negative integers — the CALLER's
+    * contract (checking would cost a scan): with a negative cost,
+    * "bounded rounds" would silently mean "wrong", not "partial".
+    * Each round: one keyed join + one keyed
+    * min — R bounds plan depth, only reached nodes materialize.
+    * Output: (id, dist). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, "shortestPaths: rounds must be >= 0")
+    val ce = edges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__s") =!= col("__d") && col("__w").isNotNull)
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"), col("__w"))
+      .groupBy(col("a"), col("b")).agg(min(col("__w")).as("w"))
+    val ue = ce.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(ce.select(col("b").as("u"), col("a").as("v"), col("w")))
+    var dist = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val relaxed = ue
+        .join(dist.withColumnRenamed("id", "u"), Seq("u"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
   /** Bounded-round k-CORE peel (r15): `rounds` iterations of "drop
     * every node whose surviving degree < k" over the canonical
     * undirected graph — the density-tier decomposition a corpus/web

@@ -401,6 +401,23 @@ object TrainingPrep {
     *
     * The spec is one entry per stratum — driver-scale by definition —
     * and embeds as a literal CASE chain: scan-speed, no join. */
+  /** GROUP-aware cross-validation fold assignment (r15): every row of
+    * an entity lands in the SAME fold — fold = md5('fold:' || group)
+    * % k, the leakage-safe split a training pipeline needs when rows
+    * of one user/document/session are near-duplicates of each other
+    * (a row-level random split would put an entity's rows on both
+    * sides of the train/eval boundary and inflate eval). Deterministic
+    * and append-stable like the mod-samples: an entity's fold depends
+    * only on its own key, never on the corpus. Pure per-row
+    * expression — no shuffle, no state. */
+  def groupFolds(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, "groupFolds: k must be >= 2")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(concat(lit("fold:"),
+        col(groupCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(k.toLong)))
+  }
+
   def stratifiedModSample(df: DataFrame, stratumCol: String, idCol: String,
       denoms: Map[String, Int], defaultDenom: Int): DataFrame = {
     require((defaultDenom +: denoms.values.toSeq).forall(_ > 0),

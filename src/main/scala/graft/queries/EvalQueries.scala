@@ -238,5 +238,93 @@ object EvalQueries {
         |  CAST(COALESCE(nt.new_terms, 0) AS BIGINT) AS new_terms,
         |  tb.n_tokens
         |FROM tb LEFT JOIN nt ON nt.bucket = tb.bucket
-        |ORDER BY tb.bucket""".stripMargin)))
+        |ORDER BY tb.bucket""".stripMargin)),
+
+    // Bounded-round weighted shortest paths (r15): 3 Bellman–Ford
+    // rounds from the mod-10 supplier seeds over the part↔supplier
+    // incidence graph with quantity edge costs (parallel edges
+    // collapse to their min). The oracle unrolls the same rounds —
+    // the q151 discipline with +w instead of +1.
+    QuerySpec("q290_shortest_paths",
+      (s, dir) => graft.ops.Graph.shortestPaths(
+          table(s, dir, "lineitem").select(
+            col("l_partkey").as("p"),
+            (col("l_suppkey") + 1000000L).as("sp"),
+            col("l_quantity").as("w")),
+          "p", "sp", "w",
+          table(s, dir, "supplier")
+            .filter(pmod(col("s_suppkey"), lit(10)) === 0)
+            .select((col("s_suppkey") + 1000000L).as("sid")),
+          "sid", rounds = 3)
+        .orderBy(col("id")),
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""d$i AS (SELECT id, MIN(dist) AS dist FROM (
+             |  SELECT id, dist FROM d${i - 1} UNION ALL
+             |  SELECT ue.v, d${i - 1}.dist + ue.w FROM ue
+             |    JOIN d${i - 1} ON d${i - 1}.id = ue.u)
+             |  GROUP BY id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ce AS (SELECT l_partkey AS u0,
+           |    l_suppkey + 1000000 AS v0,
+           |    CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           |  FROM lineitem GROUP BY 1, 2),
+           |ue AS (SELECT u0 AS u, v0 AS v, w FROM ce
+           |  UNION ALL SELECT v0, u0, w FROM ce),
+           |d0 AS (SELECT DISTINCT s_suppkey + 1000000 AS id,
+           |    CAST(0 AS BIGINT) AS dist
+           |  FROM supplier WHERE s_suppkey % 10 = 0),
+           |$rounds
+           |SELECT id, dist FROM d3 ORDER BY id""".stripMargin
+      }),
+
+    // Group-aware CV fold assignment (r15): every entity's rows land
+    // in ONE fold (md5 of the entity key mod 5 — the leakage-safe
+    // split); the gate emits the per-fold row/entity balance a
+    // pipeline checks before training. Oracle replays the lane.
+    QuerySpec("q291_group_folds",
+      (s, dir) => graft.ops.TrainingPrep.groupFolds(
+          events(s, dir), "user_id", k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_entities"))
+        .orderBy(col("fold")),
+      Some(s"""WITH f AS (SELECT user_id,
+        |    CAST(('0x' || substr(md5('fold:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5
+        |      AS fold
+        |  FROM ($eventsSql))
+        |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin)),
+
+    // Hourly OHLC bars (r15): per (user, hour) open/high/low/close in
+    // exact centi units + count and volume — ONE keyed aggregate, no
+    // window: open/close ride min_by/max_by on the in-bucket
+    // composite key (micros-in-bucket · 10⁶ + event_id). Bucket
+    // emitted as an ISO string (the q140 timestamp idiom).
+    QuerySpec("q292_ohlc_bars",
+      (s, dir) => graft.ops.EventAnalytics.ohlcBars(
+          events(s, dir), "user_id", "ts", "event_id", "value")
+        .select(col("user_id"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("bucket_s"),
+          col("open_centi"), col("high_centi"), col("low_centi"),
+          col("close_centi"), col("n_events"), col("vol_centi"))
+        .orderBy(col("user_id"), col("bucket_s")),
+      Some(s"""WITH e AS (SELECT * FROM ($eventsSql)
+        |  WHERE value IS NOT NULL),
+        |b AS (SELECT user_id,
+        |    date_trunc('hour', ts) AS bt,
+        |    (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+        |      * 1000000 + event_id AS ord,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM e)
+        |SELECT user_id, strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+        |  arg_min(v, ord) AS open_centi, MAX(v) AS high_centi,
+        |  MIN(v) AS low_centi, arg_max(v, ord) AS close_centi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(v) AS BIGINT) AS vol_centi
+        |FROM b GROUP BY user_id, bt
+        |ORDER BY user_id, bucket_s""".stripMargin)))
 }

@@ -234,6 +234,30 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("ohlcBars: open/close by (ts, id) order, high/low/volume " +
+      "exact, hour buckets split, null value dropped") {
+    val rows = Seq(
+      // user 1, hour 10: open 3.00 (earliest), close 7.50 (latest);
+      // two events share ts 10:05 — event_id 22 < 23 breaks the tie
+      (1L, 21L, ts("2026-03-01 10:01:00"), 3.00),
+      (1L, 22L, ts("2026-03-01 10:05:00"), 9.25),
+      (1L, 23L, ts("2026-03-01 10:05:00"), 1.75),
+      (1L, 24L, ts("2026-03-01 10:59:59"), 7.50),
+      // user 1, hour 11: single event
+      (1L, 25L, ts("2026-03-01 11:00:00"), 4.00))
+      .map(r => (r._1, r._2, r._3, java.lang.Double.valueOf(r._4))) :+
+      ((1L, 26L, ts("2026-03-01 10:30:00"), null: java.lang.Double))
+    val out = graft.ops.EventAnalytics.ohlcBars(
+        rows.toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("bucket_ts")).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (open, high, low, close, n, vol) in centi
+    assert(out(0) == ((300L, 925L, 175L, 750L, 4L, 2150L)))
+    assert(out(1) == ((400L, 400L, 400L, 400L, 1L, 400L)))
+  }
+
   test("cusumCenti: a null value is excluded, not a silent detector " +
       "reset") {
     // mid-accumulation null: without the filter, greatest(0, cp+null-…)

@@ -124,6 +124,28 @@ class GraphSpec extends SparkSuite {
     assert(lone == Seq((99L, 0)))
   }
 
+  test("shortestPaths: weighted relaxation beats fewer hops; " +
+      "parallel edges take the min; bounded rounds observable") {
+    // seed 1; edge (1,4) costs 10, path 1-2-3-4 costs 1+1+1 — the
+    // 3-round relax must find the cheap 3-edge path; a duplicate
+    // (1,4) edge at cost 2 (reversed direction) must shadow the 10
+    val g = Seq((1, 2, 1L), (2, 3, 1L), (3, 4, 1L), (1, 4, 10L))
+      .toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("sid")
+    val d3 = Graph.shortestPaths(g, "s", "d", "w", seeds, "sid", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // with only 1 round, node 4 is reachable only by the direct edge
+    val d1 = Graph.shortestPaths(g, "s", "d", "w", seeds, "sid", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    // parallel-edge min: add a cheaper reversed copy of (1,4)
+    val g2 = g.union(Seq((4, 1, 2L)).toDF("s", "d", "w"))
+    val p1 = Graph.shortestPaths(g2, "s", "d", "w", seeds, "sid", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1(4L) == 2L)
+  }
+
   test("kCorePeel: cascade peel reaches the true core; fixpoint " +
       "within rounds; k above max degree empties") {
     // a 4-clique {1,2,3,4} with a pendant PATH 4-5-6-7: peeling k=2

@@ -9,6 +9,25 @@ import graft.ops.TrainingPrep
 class TrainingPrepSpec extends SparkSuite {
   import spark.implicits._
 
+  test("groupFolds: an entity never spans folds, append-stable, " +
+      "all folds populated at scale") {
+    val rows = (1L to 2000L).map(i => (i % 97, i)).toDF("ent", "row_id")
+    val folded = TrainingPrep.groupFolds(rows, "ent", 5)
+    // one fold per entity, by construction of the per-entity lane
+    assert(folded.groupBy("ent")
+      .agg(countDistinct("fold").as("nf"))
+      .filter(col("nf") > 1).count() == 0)
+    // appending rows never moves an entity's fold
+    val sub = TrainingPrep.groupFolds(rows.filter(col("row_id") <= 500),
+      "ent", 5)
+    val full = folded.select("ent", "fold").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sub.select("ent", "fold").distinct().collect()
+      .forall(r => full(r.getLong(0)) == r.getLong(1)))
+    // 97 entities over 5 hash folds: every fold gets members
+    assert(folded.select("fold").distinct().count() == 5)
+  }
+
   test("packByTokenBudget equals the sequential prefix sum, any partitioning") {
     // uneven token counts; force many small range partitions so the
     // offset pass actually matters
