@@ -18,7 +18,30 @@ object EventAnalytics {
     * that step. Each step is one keyed aggregate + one keyed join;
     * nothing is ordered globally. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String]): DataFrame =
+    funnelImpl(events, userCol, tsCol, typeCol, steps, None)
+
+  /** TIME-BOUNDED funnel (r15): [[funnel]] with a conversion window —
+    * step i counts only when it lands strictly after step i−1 AND
+    * within `maxGapMicros` of it (the product-analytics definition:
+    * a purchase three weeks after the click is not that click's
+    * conversion). Each step stays one keyed aggregate + one keyed
+    * join; the gap bound is a residual filter on the same join. Note
+    * the semantics are first-qualifying-PER-STEP (each step picks its
+    * earliest qualifying time given the previous step's committed
+    * time), the same greedy chain as the unbounded form — not a
+    * global search over all chains. */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxGapMicros: Long): DataFrame = {
+    require(maxGapMicros > 0, "funnelWithin: maxGapMicros must be > 0")
+    funnelImpl(events, userCol, tsCol, typeCol, steps,
+      Some(maxGapMicros))
+  }
+
+  private def funnelImpl(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, steps: Seq[String],
+      maxGapMicros: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val m = unix_micros(col(tsCol))
     def stepTimes(st: String) =
@@ -27,9 +50,11 @@ object EventAnalytics {
       .groupBy(col(userCol)).agg(min(col("__t")).as(s"t_${steps.head}"))
     steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (st, i)) =>
       val prev = s"t_${steps(i - 1)}"
+      val within = maxGapMicros
+        .map(g => col("__t") <= col(prev) + g).getOrElse(lit(true))
       val nxt = stepTimes(st)
         .join(acc.select(col(userCol), col(prev)), Seq(userCol))
-        .filter(col("__t") > col(prev))
+        .filter(col("__t") > col(prev) && within)
         .groupBy(col(userCol)).agg(min(col("__t")).as(s"t_$st"))
       acc.join(nxt, Seq(userCol), "left")
     }

@@ -36,6 +36,28 @@ object Profile {
         col("n_distinct"), col("min_s"), col("max_s"))
   }
 
+  /** NULL-PATTERN profile (r15) — the missingness map beside the
+    * value profiles: one row per observed null/non-null pattern
+    * across the listed columns ('1' = null, in the given column
+    * order), with its row count and null tally. Which columns go
+    * missing TOGETHER is the data-quality signal the per-column null
+    * counts can't show (a broken upstream join nulls its whole
+    * column group at once). One map-side-combinable count over one
+    * scan; ≤ 2^|cols| output rows (callers list a handful of
+    * columns, same contract as [[profile]]). */
+  def nullPatternProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      s"nullPatternProfile: need distinct columns, got $cols")
+    val pattern = concat(cols.map(c =>
+      when(col(c).isNull, "1").otherwise("0")): _*)
+    val nulls = cols.map(c =>
+      when(col(c).isNull, 1).otherwise(0)).reduce(_ + _)
+    df.select(pattern.as("pattern"), nulls.as("__k"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n"),
+        max(col("__k")).cast("int").as("n_nulls"))
+  }
+
   /** Column-profile DIFF — the schema/statistics half of the nightly
     * monitor beside the distribution drift tests: diff the CURRENT
     * table's profile against a PERSISTED reference profile (standing

@@ -401,6 +401,57 @@ object TrainingPrep {
     *
     * The spec is one entry per stratum — driver-scale by definition —
     * and embeds as a literal CASE chain: scan-speed, no join. */
+  /** SMOOTHED target encoding, category level (r15): the classic
+    * high-cardinality categorical feature — per category, the
+    * shrunk positive rate te = (n_pos + m·prior)/(n + m) with the
+    * corpus rate as the prior, in exact integer micros:
+    *
+    *   global_micro = (10⁶·pos_tot) div n_tot        (floored once)
+    *   te_micro = (10⁶·n_pos + m·global_micro) div (n + m)
+    *
+    * — the two-stage floor is part of the published definition, so
+    * any engine replays it bit-exactly. Rows with a null category or
+    * null target are excluded (no evidence). One keyed count + the
+    * 1-row global attach; ≤|categories| output rows. */
+  def targetEncodeStats(df: DataFrame, catCol: String,
+      targetCol: String, m: Int): DataFrame = {
+    require(m >= 0, "targetEncodeStats: smoothing m must be >= 0")
+    val base = df
+      .filter(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .select(col(catCol).as("category"),
+        when(col(targetCol), 1L).otherwise(0L).as("__y"))
+    val global = base.agg(
+      expr("(1000000 * sum(__y)) div count(1)").as("__gm"))
+    base.groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .crossJoin(broadcast(global)) // 1-row prior attach
+      .select(col("category"), col("n"), col("n_pos"),
+        expr(s"(1000000 * n_pos + $m * __gm) div (n + $m)")
+          .as("te_micro"))
+  }
+
+  /** LEAVE-ONE-OUT target encoding, row level (r15): the
+    * leakage-free form for training rows — each row's own label is
+    * excluded from its category's rate, te_loo = (10⁶·(n_pos − y))
+    * div (n − 1); singleton categories emit null (no other
+    * evidence). Category stats broadcast back by the keyed join
+    * (≤|categories| rows); the row side is one scan. Pairs with
+    * [[groupFolds]] for the out-of-fold discipline. */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+      targetCol: String): DataFrame = {
+    val base = df
+      .filter(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .select(col(idCol), col(catCol).as("category"),
+        when(col(targetCol), 1L).otherwise(0L).as("__y"))
+    val stats = base.groupBy(col("category"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+    base.join(stats, Seq("category"))
+      .select(col(idCol), col("category"),
+        when(col("__n") > 1,
+          expr("(1000000 * (__np - __y)) div (__n - 1)"))
+          .cast("long").as("te_loo_micro"))
+  }
+
   /** GROUP-aware cross-validation fold assignment (r15): every row of
     * an entity lands in the SAME fold — fold = md5('fold:' || group)
     * % k, the leakage-safe split a training pipeline needs when rows

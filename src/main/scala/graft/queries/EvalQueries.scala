@@ -326,5 +326,111 @@ object EvalQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(v) AS BIGINT) AS vol_centi
         |FROM b GROUP BY user_id, bt
-        |ORDER BY user_id, bucket_s""".stripMargin)))
+        |ORDER BY user_id, bucket_s""".stripMargin)),
+
+    // Smoothed target encoding, category level (r15): the shrunk
+    // positive rate per category with the corpus rate as prior —
+    // both floors published, so the oracle replays the two-stage
+    // integer arithmetic exactly.
+    QuerySpec("q293_target_encode",
+      (s, dir) => graft.ops.TrainingPrep.targetEncodeStats(
+          table(s, dir, "orders")
+            .select(col("o_orderpriority"),
+              (col("o_orderstatus") === "F").as("y")),
+          "o_orderpriority", "y", m = 20)
+        .orderBy(col("category")),
+      Some("""WITH b AS (SELECT o_orderpriority AS category,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL),
+        |g AS (SELECT (1000000 * CAST(SUM(y) AS BIGINT)) //
+        |    CAST(COUNT(*) AS BIGINT) AS gm FROM b),
+        |st AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos FROM b GROUP BY category)
+        |SELECT category, n, n_pos,
+        |  CAST((1000000 * n_pos + 20 * g.gm) // (n + 20) AS BIGINT)
+        |    AS te_micro
+        |FROM st, g ORDER BY category""".stripMargin)),
+
+    // Leave-one-out target encoding, row level (r15): each training
+    // row's own label excluded from its category rate — the
+    // leakage-free form; singleton categories null.
+    QuerySpec("q294_target_encode_loo",
+      (s, dir) => graft.ops.TrainingPrep.targetEncodeLoo(
+          table(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              (col("o_orderstatus") === "F").as("y")),
+          "o_orderkey", "o_orderpriority", "y")
+        .orderBy(col("o_orderkey")),
+      Some("""WITH b AS (SELECT o_orderkey, o_orderpriority AS category,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL),
+        |st AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS np FROM b GROUP BY category)
+        |SELECT b.o_orderkey, b.category,
+        |  CASE WHEN st.n > 1 THEN
+        |    CAST((1000000 * (st.np - b.y)) // (st.n - 1) AS BIGINT)
+        |  END AS te_loo_micro
+        |FROM b JOIN st ON st.category = b.category
+        |ORDER BY b.o_orderkey""".stripMargin)),
+
+    // Null-pattern missingness profile (r15): which columns go
+    // missing TOGETHER — one count per observed null bitmask over a
+    // deterministically null-planted frame (the fixture controls the
+    // nulls, so the oracle replays plant + pattern + counts).
+    QuerySpec("q295_null_patterns",
+      (s, dir) => graft.ops.Profile.nullPatternProfile(
+          table(s, dir, "lineitem").select(
+            when(col("l_quantity") <= 5, lit(null))
+              .otherwise(col("l_quantity")).as("qty"),
+            when(col("l_returnflag") === "N",
+              lit(null).cast("string"))
+              .otherwise(col("l_returnflag")).as("rf"),
+            when(pmod(col("l_linenumber"), lit(3)) === 0, lit(null))
+              .otherwise(col("l_linenumber")).as("ln")),
+          Seq("qty", "rf", "ln"))
+        .orderBy(col("pattern")),
+      Some("""WITH p AS (SELECT
+        |    CASE WHEN l_quantity <= 5 THEN '1' ELSE '0' END ||
+        |    CASE WHEN l_returnflag = 'N' THEN '1' ELSE '0' END ||
+        |    CASE WHEN l_linenumber % 3 = 0 THEN '1' ELSE '0' END
+        |      AS pattern,
+        |    (CASE WHEN l_quantity <= 5 THEN 1 ELSE 0 END +
+        |     CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END +
+        |     CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END)
+        |      AS k
+        |  FROM lineitem)
+        |SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(k) AS INTEGER) AS n_nulls
+        |FROM p GROUP BY pattern ORDER BY pattern""".stripMargin)),
+
+    // Time-bounded funnel (r15): view → click → purchase with a
+    // 2-hour conversion window per step — the greedy
+    // first-qualifying chain, each step one keyed aggregate + one
+    // keyed join with the gap bound as a residual filter.
+    QuerySpec("q296_funnel_within",
+      (s, dir) => graft.ops.EventAnalytics.funnelWithin(
+          events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"),
+          maxGapMicros = 7200000000L)
+        .orderBy(col("user_id")),
+      Some(s"""WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS t FROM ($eventsSql)),
+        |v AS (SELECT user_id, MIN(t) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(t) AS t_click FROM e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE event_type = 'click' AND t > t_view
+        |    AND t <= t_view + 7200000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(t) AS t_purchase FROM e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE event_type = 'purchase' AND t > t_click
+        |    AND t <= t_click + 7200000000 GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin)))
 }

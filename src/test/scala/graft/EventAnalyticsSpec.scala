@@ -234,6 +234,30 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("funnelWithin: a step past the gap does not convert, but a " +
+      "later in-gap one does; unbounded funnel still converts") {
+    // u1: view 10:00, click 13:00 (3h — outside a 2h gap), second
+    // click 11:30 (in gap) -> converts via the EARLIEST in-gap click;
+    // u2: view 10:00, click 13:00 only -> bounded drops the click
+    val evs = Seq(
+      (1L, ts("2026-04-01 10:00:00"), "view"),
+      (1L, ts("2026-04-01 13:00:00"), "click"),
+      (1L, ts("2026-04-01 11:30:00"), "click"),
+      (2L, ts("2026-04-01 10:00:00"), "view"),
+      (2L, ts("2026-04-01 13:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val gap2h = 7200000000L
+    val bounded = EventAnalytics.funnelWithin(evs, "user_id", "ts",
+        "event_type", Seq("view", "click"), gap2h)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(bounded(1L).isDefined && bounded(2L).isEmpty)
+    val unbounded = EventAnalytics.funnel(evs, "user_id", "ts",
+        "event_type", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(!unbounded(2L)) // the 3h click converts without the bound
+  }
+
   test("ohlcBars: open/close by (ts, id) order, high/low/volume " +
       "exact, hour buckets split, null value dropped") {
     val rows = Seq(

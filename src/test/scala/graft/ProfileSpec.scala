@@ -1002,6 +1002,20 @@ class ProfileSpec extends SparkSuite {
     assert(out == Set(("a", "c")))
   }
 
+  test("nullPatternProfile: joint missingness counted per bitmask; " +
+      "all-present and all-null lanes; n_nulls consistent") {
+    val df = Seq(
+      (Some(1), Some("x")), (Some(2), Some("y")),
+      (Some(3), None), (None, Some("z")), (None, None))
+      .toDF("a", "b")
+    val out = Profile.nullPatternProfile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2))).toMap
+    assert(out == Map(
+      "00" -> ((2L, 0)), "01" -> ((1L, 1)),
+      "10" -> ((1L, 1)), "11" -> ((1L, 2))))
+  }
+
   test("rankingEval: hand-checked metrics — partial hit, perfect " +
       "ranking, zero-hit list, unjudged query drops") {
     val ranked = Seq(

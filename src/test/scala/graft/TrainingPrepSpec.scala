@@ -9,6 +9,29 @@ import graft.ops.TrainingPrep
 class TrainingPrepSpec extends SparkSuite {
   import spark.implicits._
 
+  test("targetEncode: smoothing pulls toward the corpus prior; " +
+      "LOO excludes the row's own label; singleton null") {
+    // cat a: 3 pos of 4; cat b: 0 of 2; cat c: singleton pos
+    val rows = Seq(
+      (1L, "a", true), (2L, "a", true), (3L, "a", true),
+      (4L, "a", false), (5L, "b", false), (6L, "b", false),
+      (7L, "c", true))
+      .toDF("id", "cat", "y")
+    val gm = 1000000L * 4 / 7 // corpus prior, floored once
+    val st = TrainingPrep.targetEncodeStats(rows, "cat", "y", m = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(st("a") == (1000000L * 3 + 2 * gm) / 6)
+    assert(st("b") == (2 * gm) / 4)  // zero positives still shrink up
+    assert(st("c") == (1000000L + 2 * gm) / 3)
+    val loo = TrainingPrep.targetEncodeLoo(rows, "id", "cat", "y")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(loo(1L).contains(1000000L * 2 / 3)) // own pos excluded
+    assert(loo(4L).contains(1000000L))         // 3 pos of remaining 3
+    assert(loo(5L).contains(0L))
+    assert(loo(7L).isEmpty)                    // singleton -> null
+  }
+
   test("groupFolds: an entity never spans folds, append-stable, " +
       "all folds populated at scale") {
     val rows = (1L to 2000L).map(i => (i % 97, i)).toDF("ent", "row_id")
