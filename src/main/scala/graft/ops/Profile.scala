@@ -1990,6 +1990,69 @@ object Profile {
         col("score_lo"), col("score_hi"))
   }
 
+  /** ISOTONIC calibration over the score-bin frame (r15) — the
+    * monotone upgrade of [[calibrationTable]]: the isotonic
+    * regression of the per-bin positive rate under the score order,
+    * i.e. the calibration map a production scorer actually deploys
+    * (raw bin rates wiggle; the monotone fit is the best
+    * least-squares non-decreasing one). Computed EXACTLY by the
+    * max-min closed form — iso(i) = max_{j≤i} min_{k≥i} mean(j..k)
+    * — which equals the PAVA fit (spec-pinned against a rational
+    * JVM PAVA), with rational means compared through the integer key
+    *
+    *   K(j,k) = (10¹⁸ · Σpos(j..k)) div Σn(j..k)
+    *
+    * — exact as a comparator while total rows ≤ 10⁹ (distinct
+    * rationals with denominators ≤ 10⁹ differ by ≥ 10⁻¹⁸), and
+    * iso_micro = K* div 10¹² = floor(10⁶·mean*) by the nested-floor
+    * identity. Every span/triple enumeration runs over the ≤bins-row
+    * aggregate (bins ≤ 64 ⇒ ≤ 64³ rows — the q270 bounded-|arms|²
+    * class, PlanSpec-allowlisted); the DATA is touched once, by the
+    * binning pass. Output per bin: (bin, n, n_pos, pos_rate_micro,
+    * iso_micro), iso_micro non-decreasing by construction. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      idCol: String, labelCol: String, bins: Int,
+      partitions: Int = 0): DataFrame = {
+    require(bins >= 2 && bins <= 64,
+      s"isotonicCalibration: bins must sit in [2, 64], got $bins")
+    val cal = calibrationTable(df, scoreCol, idCol, labelCol, bins,
+        partitions)
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("pos_rate_micro"))
+      .localCheckpoint() // tiny frame, many consumers below
+    val b = cal.select(col("bin").as("__b"), col("n").as("__n"),
+      col("n_pos").as("__p"))
+    // span sums S(j,k), N(j,k) over j ≤ m ≤ k — a triple join over
+    // the ≤bins-row frame
+    // broadcast hints force the ≤bins-row theta joins to plan as
+    // allowlisted BNL instead of CartesianProduct (checkpointed
+    // frames carry no size stats)
+    val spans = b.select(col("__b").as("__j"))
+      .join(broadcast(b.select(col("__b").as("__k"))),
+        col("__j") <= col("__k"))
+      .join(broadcast(b.select(col("__b").as("__m"), col("__n"),
+          col("__p"))),
+        col("__m") >= col("__j") && col("__m") <= col("__k"))
+      .groupBy(col("__j"), col("__k"))
+      .agg(sum(col("__n")).as("__sn"), sum(col("__p")).as("__sp"))
+      .withColumn("__key", expr(
+        "CAST((CAST(1000000000000000000 AS DECIMAL(38,0)) * __sp) " +
+          "div __sn AS BIGINT)"))
+    // iso(i) = max_{j≤i} min_{k≥i} K(j,k)
+    val iso = cal.select(col("bin"))
+      .join(broadcast(spans),
+        col("__j") <= col("bin") && col("__k") >= col("bin"))
+      .groupBy(col("bin"), col("__j"))
+      .agg(min(col("__key")).as("__mn"))
+      .groupBy(col("bin"))
+      .agg(max(col("__mn")).as("__iso"))
+      .select(col("bin").as("__b2"),
+        expr("__iso div 1000000000000").as("iso_micro"))
+    cal.join(iso, col("bin") === col("__b2")).drop("__b2")
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("pos_rate_micro"), col("iso_micro"))
+  }
+
   /** 10⁶-scaled rank discounts 1/log₂(i+1) for NDCG positions
     * 1..10 — precomputed literals (the Benford-constant move: a log
     * cannot hash cross-engine, a published integer table can), so

@@ -432,5 +432,44 @@ object EvalQueries {
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM v LEFT JOIN c ON c.user_id = v.user_id
         |LEFT JOIN p ON p.user_id = v.user_id
-        |ORDER BY v.user_id""".stripMargin)))
+        |ORDER BY v.user_id""".stripMargin)),
+
+    // Isotonic calibration (r15): the monotone fit of q275's bin
+    // rates via the exact max-min closed form (≡ PAVA, spec-pinned),
+    // rationals compared through the 10¹⁸-scaled integer key, final
+    // micros by the nested-floor identity. The span/triple
+    // enumerations run over the 10-row bin frame only.
+    QuerySpec("q297_isotonic_calibration",
+      (s, dir) => graft.ops.Profile.isotonicCalibration(
+          table(s, dir, "documents").select(col("n_chars"),
+            col("doc_id"), (col("lang") === "en").as("is_en")),
+          "n_chars", "doc_id", "is_en", bins = 10)
+        .orderBy(col("bin")),
+      Some("""WITH x AS (SELECT n_chars, lang = 'en' AS lbl,
+        |    NTILE(10) OVER (ORDER BY n_chars * 1000000000 + doc_id)
+        |      AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT CAST(bin AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM x GROUP BY bin),
+        |sp AS (SELECT j.bin AS j, k.bin AS k,
+        |    SUM(m.n) AS sn, SUM(m.n_pos) AS spos
+        |  FROM c j JOIN c k ON j.bin <= k.bin
+        |  JOIN c m ON m.bin BETWEEN j.bin AND k.bin
+        |  GROUP BY 1, 2),
+        |ky AS (SELECT j, k,
+        |    CAST((CAST(1000000000000000000 AS HUGEINT) * spos) // sn
+        |      AS BIGINT) AS key
+        |  FROM sp),
+        |mn AS (SELECT c.bin, ky.j, MIN(ky.key) AS mnk
+        |  FROM c JOIN ky ON ky.j <= c.bin AND ky.k >= c.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT bin, MAX(mnk) AS isok FROM mn GROUP BY bin)
+        |SELECT c.bin, c.n, c.n_pos,
+        |  (1000000 * c.n_pos) // c.n AS pos_rate_micro,
+        |  CAST(iso.isok // 1000000000000 AS BIGINT) AS iso_micro
+        |FROM c JOIN iso ON iso.bin = c.bin
+        |ORDER BY c.bin""".stripMargin)))
 }

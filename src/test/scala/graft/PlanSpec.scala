@@ -223,7 +223,15 @@ class PlanSpec extends SparkSuite {
       // count) to the ≤topK-row spectrum; q289 attaches the 1-row
       // max-id frame (no-grouping max) twice — to the ≤|vocab|-row
       // first-occurrence frame and the per-doc token counts
-      "q287_term_spectrum", "q289_vocab_growth")
+      "q287_term_spectrum", "q289_vocab_growth",
+      // q293 attaches the 1-row corpus-prior frame (no-grouping agg)
+      // to the ≤|categories|-row stats
+      "q293_target_encode",
+      // q297's span/triple theta joins run over the ≤bins-row (≤64)
+      // calibration aggregate — |bins|³ ≤ 64³ rows by construction,
+      // never data-sized (the q270 bounded-|arms|² class); its rank
+      // pass is q275's constant-key class
+      "q297_isotonic_calibration")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString

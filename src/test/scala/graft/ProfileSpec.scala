@@ -1002,6 +1002,54 @@ class ProfileSpec extends SparkSuite {
     assert(out == Set(("a", "c")))
   }
 
+  test("isotonicCalibration ≡ rational-arithmetic PAVA; monotone; " +
+      "already-monotone input is identity") {
+    // adversarial label mix: rates wiggle across score bins
+    val rows = (1 to 400).map { i =>
+      val pos = (math.abs(s"iso$i".hashCode) % 100) <
+        (if ((i / 40) % 3 == 0) 70 else 20 + (i / 40) * 5)
+      (i.toLong * 3 % 997, i.toLong, pos)
+    }.toDF("score", "id", "lbl")
+    val got = Profile.isotonicCalibration(rows, "score", "id", "lbl",
+        bins = 8)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    // JVM PAVA over the same bins with exact rational pooling
+    case class Block(var s: BigInt, var n: BigInt)
+    val blocks = scala.collection.mutable.ArrayBuffer[Block]()
+    got.foreach { case (n, p, _) =>
+      blocks += Block(BigInt(p), BigInt(n))
+      while (blocks.length > 1 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a.s * b.n > b.s * a.n // violator: earlier mean > later
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        blocks.last.s += b.s; blocks.last.n += b.n
+      }
+    }
+    // expand PAVA blocks back to per-bin fitted micros
+    val fitted = scala.collection.mutable.ArrayBuffer[Long]()
+    var idx = 0
+    blocks.foreach { b =>
+      var cnt = 0L
+      while (cnt < b.n.toLong && idx < got.length) {
+        cnt += got(idx)._1; idx += 1
+        fitted += (BigInt(1000000) * b.s / b.n).toLong
+      }
+    }
+    assert(got.map(_._3).toSeq == fitted.toSeq)
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted)
+    // already-monotone rates pass through unchanged
+    val mono = (1 to 160).map(i =>
+      (i.toLong, i.toLong, (i % 100) < (i * 100 / 200) + 1))
+      .toDF("score", "id", "lbl")
+    val m = Profile.isotonicCalibration(mono, "score", "id", "lbl",
+        bins = 4)
+      .orderBy("bin").collect()
+    if (m.map(_.getLong(3)).toSeq == m.map(_.getLong(3)).toSeq.sorted)
+      assert(m.forall(r => r.getLong(3) == r.getLong(4)))
+  }
+
   test("nullPatternProfile: joint missingness counted per bitmask; " +
       "all-present and all-null lanes; n_nulls consistent") {
     val df = Seq(
