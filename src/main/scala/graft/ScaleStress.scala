@@ -290,11 +290,24 @@ object ScaleStress {
       // all orders/lineitem → graph-shaped (keys ×f, per-copy
       // structure identical, so violation counts scale exactly ×f)
       "q231_spearman", "q232_expectations_fd",
-      "q234_expectations_seq")
+      "q234_expectations_seq",
+      // round-15 additions: the new graph ops against the
+      // graph-shaped synthesis (disjoint replicas — honest node/edge
+      // ×f growth for the peel cascade and the Bellman–Ford rounds),
+      // and the corpus-statistics/media wings against the standard
+      // documents synthesis (rows ×f; q287's spectrum and q289's
+      // vocab stay copy-invariant-keyed so their aggregates must
+      // hold sketch-sized, q283's dedup groups multiply, q284's
+      // per-lang ranking windows absorb f× rows per lang — the
+      // mega-key window shape)
+      "q283_media_dedup_exact", "q284_ranking_eval",
+      "q285_kcore", "q287_term_spectrum", "q289_vocab_growth",
+      "q290_shortest_paths")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
     val graphShaped = Set("q125_pagerank", "q150_hits", "q151_bfs_hops",
+      "q285_kcore", "q290_shortest_paths",
       "q185_pagerank_weighted", "q140_profile", "q189_profile_approx",
       "q182_entity_resolution", "q191_running_total",
       "q200_running_moments", "q203_group_median",

@@ -316,4 +316,27 @@ object Relational {
         col("n_a"), col("n_b"), col("baskets"), col("lift_micro"),
         col("conf_ab_micro"), col("conf_ba_micro"))
   }
+
+  /** JOIN FAN-OUT profile (r15): the pre-join diagnostic — for the
+    * equi-join left ⋈ right on (leftKey = rightKey), the histogram
+    * of per-LEFT-key match multiplicities including the 0 lane
+    * (keys that would drop in an inner join / null-pad in a left
+    * join). The answer to "is this join 1:1, 1:N, or about to
+    * explode" BEFORE paying for it: total join output =
+    * Σ m·n_keys, the skew candidates are the high-m tail. Two keyed
+    * counts + one keyed join of ≤|keys|-row frames; null keys
+    * excluded (equi joins drop them anyway). Output:
+    * (multiplicity, n_keys). */
+  def joinFanoutProfile(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val lk = left.filter(col(leftKey).isNotNull)
+      .select(col(leftKey).as("__k")).distinct()
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k2"))
+      .agg(count(lit(1)).as("__m"))
+    lk.join(rc, col("__k") === col("__k2"), "left")
+      .select(coalesce(col("__m"), lit(0L)).as("multiplicity"))
+      .groupBy(col("multiplicity"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
 }

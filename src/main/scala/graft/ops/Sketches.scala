@@ -121,6 +121,54 @@ object Sketches {
           .as("nd_s53"))
       .select(lit(label).as("set_name"), col("nd_buckets"), col("nd_s53"))
 
+  /** SLIDING-window distinct counts (r15): per observed hour h, the
+    * HLL sufficient statistics of the distinct `keyCol` values over
+    * the trailing `windowHours` hours (h−W+1 .. h) — "distinct users
+    * per trailing 3 h", the dashboard/monitoring staple exact
+    * distinct cannot afford at scale. Register algebra makes the
+    * window MERGE free: each hour's ≤2⁸-row register table explodes
+    * to the ≤W windows it feeds (a per-ROW generator over
+    * sketch-sized state, never over the data) and register-wise max
+    * re-folds per window; windows anchor at OBSERVED hours (a
+    * semi-join against the hour set). Emits the q189 integer
+    * sufficient statistics — (occupied buckets, 2⁵³-scaled harmonic
+    * sum) per window — so the md5-portable lane is oracle-exact;
+    * [[hllEstimateFromStats]] turns them into the estimate. Scale
+    * shape: one scan → per-(hour, bucket) max (map-side combined,
+    * ≤ hours·2⁸ rows) → ×W explode of that sketch frame → two keyed
+    * reductions. */
+  def slidingDistinctStats(df: DataFrame, tsCol: String,
+      keyCol: String, windowHours: Int): DataFrame = {
+    require(windowHours >= 1 && windowHours <= 168,
+      s"slidingDistinctStats: windowHours must sit in [1, 168]")
+    val hour = date_trunc("hour", col(tsCol))
+    val perHour = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(unix_micros(hour).as("__h"), md5LanePacked(col(keyCol))
+        .as("packed"))
+      .select(col("__h"), expr("packed div 64").cast("int").as("bucket"),
+        (col("packed") % 64).cast("int").as("rho"))
+      .groupBy(col("__h"), col("bucket"))
+      .agg(max(col("rho")).as("rho_max"))
+    val hours = perHour.select(col("__h")).distinct()
+    val windowed = perHour
+      .select(explode(sequence(col("__h"),
+          col("__h") + lit(3600000000L) * (windowHours - 1),
+          lit(3600000000L))).as("__w"),
+        col("bucket"), col("rho_max"))
+      .join(hours.withColumnRenamed("__h", "__w"), Seq("__w"),
+        "left_semi")
+      .groupBy(col("__w"), col("bucket"))
+      .agg(max(col("rho_max")).as("__rm"))
+    windowed.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("int").as("nd_buckets"),
+        sum(expr("shiftleft(1L, 53 - __rm)")).as("nd_s53"))
+      .select(
+        date_format(timestamp_micros(col("__w")),
+          "yyyy-MM-dd HH:mm:ss").as("window_end_s"),
+        col("nd_buckets"), col("nd_s53"))
+  }
+
   /** The Flajolet estimate recovered from [[hllStats]] integers:
     * harmonic sum = s53/2^53 + one per empty register (rho 0 →
     * 2^-0 = 1), then the same alpha/linear-counting rules as

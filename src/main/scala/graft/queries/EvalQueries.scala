@@ -471,5 +471,58 @@ object EvalQueries {
         |  (1000000 * c.n_pos) // c.n AS pos_rate_micro,
         |  CAST(iso.isok // 1000000000000 AS BIGINT) AS iso_micro
         |FROM c JOIN iso ON iso.bin = c.bin
-        |ORDER BY c.bin""".stripMargin)))
+        |ORDER BY c.bin""".stripMargin)),
+
+    // Sliding-window distinct (r15): per observed hour, the HLL
+    // sufficient statistics of distinct users over the trailing 3 h
+    // — each hour's ≤2⁸-row register table explodes to the ≤3
+    // windows it feeds and max-merges per window; the md5 lane keeps
+    // the integer stats oracle-exact (the q189 discipline).
+    QuerySpec("q298_sliding_distinct",
+      (s, dir) => graft.ops.Sketches.slidingDistinctStats(
+          events(s, dir), "ts", "user_id", windowHours = 3)
+        .orderBy(col("window_end_s")),
+      Some(s"""WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id
+        |  FROM ($eventsSql)
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |hrs AS (SELECT DISTINCT h FROM e),
+        |j AS (SELECT hrs.h AS w, e.user_id FROM hrs
+        |  JOIN e ON e.h <= hrs.h
+        |    AND e.h >= hrs.h - INTERVAL 2 HOUR),
+        |b AS (SELECT w,
+        |    CAST(('0x' || substr(md5('hll:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+        |    ltrim(substr(md5('hll:' ||
+        |      CAST(user_id AS VARCHAR)), 3, 13), '0') AS t
+        |  FROM j),
+        |r AS (SELECT w, bucket, CASE WHEN t = '' THEN 53
+        |    ELSE 4 * (13 - length(t)) +
+        |      CASE WHEN substr(t, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1
+        |           WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 2
+        |           WHEN substr(t, 1, 1) IN ('2','3') THEN 3
+        |           ELSE 4 END END AS rho FROM b),
+        |reg AS (SELECT w, bucket, MAX(rho) AS rho_max FROM r
+        |  GROUP BY 1, 2)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_end_s,
+        |  CAST(COUNT(*) AS INTEGER) AS nd_buckets,
+        |  CAST(SUM(CAST(1 AS BIGINT) << (53 - rho_max)) AS BIGINT)
+        |    AS nd_s53
+        |FROM reg GROUP BY w ORDER BY window_end_s""".stripMargin)),
+
+    // Join fan-out profile (r15): the multiplicity histogram of
+    // orders ⋈ lineitem per order key, 0 lane included — the
+    // "will this join explode" diagnostic from two keyed counts.
+    QuerySpec("q299_join_fanout",
+      (s, dir) => graft.ops.Relational.joinFanoutProfile(
+          table(s, dir, "orders"), "o_orderkey",
+          table(s, dir, "lineitem"), "l_orderkey")
+        .orderBy(col("multiplicity")),
+      Some("""WITH lk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderkey IS NOT NULL),
+        |rc AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+        |SELECT COALESCE(rc.m, 0) AS multiplicity,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys
+        |FROM lk LEFT JOIN rc ON rc.k = lk.k
+        |GROUP BY 1 ORDER BY multiplicity""".stripMargin)))
 }

@@ -13,6 +13,48 @@ class AnalyticsOpsSpec extends SparkSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("joinFanoutProfile: 0 lane for unmatched keys, multiplicity " +
+      "histogram exact, null keys out") {
+    val left = Seq(Some(1L), Some(2L), Some(3L), Some(3L), Some(4L),
+      None).toDF("k")
+    val right = Seq(1L, 1L, 1L, 2L, 4L).toDF("k2")
+    val out = Relational.joinFanoutProfile(left, "k", right, "k2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 1 -> 3 matches, key 2 -> 1, key 3 -> 0 (one key, deduped),
+    // key 4 -> 1; nulls ignored
+    assert(out == Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+  }
+
+  test("slidingDistinctStats: window estimate tracks the exact " +
+      "trailing distinct within the m=256 band; single-hour " +
+      "window equals per-hour registers") {
+    val evs = (1 to 3000).map { i =>
+      val hour = i % 6 // six observed hours
+      (ts(f"2026-05-01 ${10 + hour}%02d:0${i % 6}:00"),
+        (math.abs(s"sd$i".hashCode) % 700).toLong)
+    }.toDF("ts", "uid")
+    val got = graft.ops.Sketches.slidingDistinctStats(
+        evs, "ts", "uid", windowHours = 3)
+      .collect().map(r => (r.getString(0),
+        graft.ops.Sketches.hllEstimateFromStats(r.getInt(1),
+          r.getLong(2))))
+      .toMap
+    // exact trailing-3h distinct per observed hour, from the raw rows
+    val rows = evs.collect().map(r =>
+      (r.getTimestamp(0).getTime / 3600000L, r.getLong(1)))
+    val hours = rows.map(_._1).distinct.sorted
+    hours.foreach { h =>
+      val exact = rows.filter(r => r._1 <= h && r._1 >= h - 2)
+        .map(_._2).distinct.size
+      val sdf = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val key = sdf.format(new java.util.Date(h * 3600000L))
+      val est = got(key)
+      assert(math.abs(est - exact) <= 0.15 * exact,
+        s"window $key: est $est vs exact $exact")
+    }
+  }
+
   test("paretoFrontier: dominance, ties, duplicates, per-group isolation") {
     val pts = Seq(
       // group A frontier: (5,1), (2,2), (1,5) — mutually incomparable;
