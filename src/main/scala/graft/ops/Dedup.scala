@@ -77,6 +77,67 @@ object Dedup {
       k: Int, threshold: Double): DataFrame =
     ngramJaccardPairsPruned(df, idCol, textCol, k, threshold, maxDf = Int.MaxValue)
 
+  /** PPJoin-style PREFIX-FILTERED exact Jaccard pairs (r15; Xiao et
+    * al. 2008 / Chaudhuri et al. 2006, public literature): identical
+    * OUTPUT to [[ngramJaccardPairs]] — the gate pins losslessness —
+    * from a candidate set generated off each document's PREFIX only.
+    * Under any common total order of the shingle vocabulary, two sets
+    * with J ≥ t = tNum/tDen share ≥ ⌈t·max(|A|,|B|)⌉ elements, so
+    * they must collide inside their first |X| − ⌈t·|X|⌉ + 1 shingles
+    * — index ONLY those. The order used is ascending document
+    * frequency (rarest first, ties by shingle), the classic choice:
+    * prefix postings are the RAREST shingles, so candidate buckets
+    * are small BY CONSTRUCTION rather than by a maxDf cap — this is
+    * the exact-form scale path where [[ngramJaccardPairsPruned]]'s
+    * df cap would change scores. The prefix bound runs in exact
+    * integer arithmetic (⌈t·n⌉ = (tNum·n + tDen − 1) div tDen — a
+    * float ceil would misround representable-fraction thresholds);
+    * verification joins candidates back to the FULL shingle sets
+    * (keyed equi joins, cost ∝ Σ candidate |A|), and the final
+    * jaccard/threshold arithmetic is bit-identical to the unfiltered
+    * form. One extra shuffle vs tier 2 (the df count) buys the
+    * candidate collapse. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      "prefixJaccardPairs: threshold must sit in (0, 1]")
+    // shingled once, consumed by df-count, prefix ranking, and both
+    // verification sides — checkpoint the blocks
+    val withN = df.select(col(idCol),
+        inline(graft.functions.sketches.shingle_set_n(col(textCol), k)))
+      .localCheckpoint()
+    val dfreq = withN.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__df"), col("shingle"))
+    val pref = withN.join(dfreq, Seq("shingle"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <=
+        col("n_sh") - expr(s"($tNum * n_sh + $tDen - 1) div $tDen") + 1)
+      .select(col(idCol), col("shingle"))
+    val cand = pref.as("pa")
+      .join(pref.as("pb"),
+        col("pa.shingle") === col("pb.shingle") &&
+          col(s"pa.$idCol") < col(s"pb.$idCol"))
+      .select(col(s"pa.$idCol").as("id_a"),
+        col(s"pb.$idCol").as("id_b"))
+      .distinct()
+    val ia = withN.select(col(idCol).as("__ia"),
+      col("shingle").as("__sa"), col("n_sh").as("n_a"))
+    val ib = withN.select(col(idCol).as("__ib"),
+      col("shingle").as("__sb"), col("n_sh").as("n_b"))
+    cand.join(ia, col("id_a") === col("__ia"))
+      .join(ib, col("id_b") === col("__ib") && col("__sa") === col("__sb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** [[ngramJaccardPairs]] with hot-shingle pruning: shingles appearing
     * in more than `maxDf` documents are dropped from candidate
     * generation — the standard skew defense for inverted-index joins

@@ -524,5 +524,33 @@ object EvalQueries {
         |SELECT COALESCE(rc.m, 0) AS multiplicity,
         |  CAST(COUNT(*) AS BIGINT) AS n_keys
         |FROM lk LEFT JOIN rc ON rc.k = lk.k
-        |GROUP BY 1 ORDER BY multiplicity""".stripMargin)))
+        |GROUP BY 1 ORDER BY multiplicity""".stripMargin)),
+
+    // PPJoin-style prefix-filtered exact Jaccard (r15): SAME output
+    // as q26's full inverted-index form — the oracle is q26's
+    // verbatim, so the gate pins the prefix filter LOSSLESS — but
+    // candidates come only from each document's rarest
+    // |X| − ⌈t·|X|⌉ + 1 shingles (integer-exact ceil), the
+    // exact-form scale path where a df cap would change scores.
+    QuerySpec("q300_prefix_jaccard",
+      (s, dir) => graft.ops.Dedup.prefixJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 3, tNum = 1, tDen = 2)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)))
 }

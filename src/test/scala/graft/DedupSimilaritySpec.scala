@@ -38,6 +38,44 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("prefixJaccardPairs is LOSSLESS vs the full inverted-index " +
+      "form and indexes strictly fewer postings") {
+    import org.apache.spark.sql.functions.col
+    for ((tn, td) <- Seq((1, 2), (4, 5))) {
+      val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 3, threshold = tn.toDouble / td)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      val pref = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+          k = 3, tNum = tn, tDen = td)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      assert(pref == full, s"prefix filter lost/invented pairs at $tn/$td")
+    }
+    // the prefix index is genuinely smaller than the full index
+    val withN = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.inline(
+        graft.functions.sketches.shingle_set_n(col("text"), 3)))
+    val fullPostings = withN.count()
+    // t = 4/5 keeps only |X| - ceil(0.8|X|) + 1 ≈ |X|/5 postings
+    val prefPostings = withN
+      .join(withN.groupBy(col("shingle"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__df")),
+        Seq("shingle"))
+      .withColumn("__r",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("__df"), col("shingle"))))
+      .filter(col("__r") <=
+        col("n_sh") - org.apache.spark.sql.functions.expr(
+          "(4 * n_sh + 4) div 5") + 1)
+      .count()
+    assert(prefPostings * 3 < fullPostings,
+      s"prefix index $prefPostings not meaningfully smaller than $fullPostings")
+  }
+
   test("hot shingle: maxDf pruning drops boilerplate, keeps exact scores elsewhere") {
     // two genuinely similar docs + 10 docs whose ONLY shared shingle is
     // a boilerplate trigram (the hot-shingle pathology: its bucket is
