@@ -527,15 +527,21 @@ object EvalQueries {
         |GROUP BY 1 ORDER BY multiplicity""".stripMargin)),
 
     // PPJoin-style prefix-filtered exact Jaccard (r15): SAME output
-    // as q26's full inverted-index form — the oracle is q26's
-    // verbatim, so the gate pins the prefix filter LOSSLESS — but
-    // candidates come only from each document's rarest
-    // |X| − ⌈t·|X|⌉ + 1 shingles (integer-exact ceil), the
-    // exact-form scale path where a df cap would change scores.
+    // as the q26-style full inverted-index form at the same
+    // threshold — the oracle replays the full computation, so the
+    // gate pins the prefix filter LOSSLESS — but candidates come
+    // only from each document's rarest |X| − ⌈t·|X|⌉ + 1 shingles
+    // (integer-exact ceil), the exact-form scale path where a df
+    // cap would change scores. Gated at t = 4/5 where the prefix is
+    // a FIFTH of each set (at t = 1/2 it is half the set and the
+    // filter, while still lossless — spec-pinned at both
+    // thresholds — cannot pay for its verification pass on this
+    // duplicate-heavy fixture; the spec's ≥3× posting-reduction
+    // assertion runs at this same 4/5).
     QuerySpec("q300_prefix_jaccard",
       (s, dir) => graft.ops.Dedup.prefixJaccardPairs(
           table(s, dir, "documents"), "doc_id", "text",
-          k = 3, tNum = 1, tDen = 2)
+          k = 3, tNum = 4, tDen = 5)
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
@@ -551,6 +557,6 @@ object EvalQueries {
         |FROM pairs
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin)))
 }
