@@ -1058,7 +1058,9 @@ object EventAnalytics {
       idCol: String, valCol: String): DataFrame = {
     val bucket = date_trunc("hour", col(tsCol))
     events
-      .filter(col(valCol).isNotNull)
+      // a null ts would group under a null bucket with a null ord —
+      // exclude like null values (no bar can place it)
+      .filter(col(valCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol), col(idCol),
         bucket.as("bucket_ts"),
         ((unix_micros(col(tsCol)) - unix_micros(bucket)) *
@@ -1072,6 +1074,34 @@ object EventAnalytics {
         max_by(col("__v"), col("__ord")).as("close_centi"),
         count(lit(1)).as("n_events"),
         sum(col("__v")).as("vol_centi"))
+  }
+
+  /** Per-event TRAILING TIME-RANGE aggregates (r15): for every event,
+    * the sum/count of the entity's values over the trailing
+    * `windowMicros` (inclusive of the event's own instant) — the
+    * RANGE-frame semantics ([... PRECEDING, CURRENT ROW] over the
+    * TIME axis) that row frames ([[rollingFeatures]]) cannot express:
+    * a burst of 50 events in one minute is one minute of window, not
+    * 50 rows. Range frames need no tiebreak for associative
+    * aggregates — all equal-ts peers are in-frame by definition (the
+    * lineitem-duplicates lesson inverted). One partitioned window per
+    * entity, frame state bounded by the window's event count. Exact
+    * centi units. */
+  def rollingTimeWindow(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, valCol: String,
+      windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "rollingTimeWindow: window must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__tm"))
+      .rangeBetween(-(windowMicros - 1), 0)
+    events
+      .filter(col(valCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), col(idCol),
+        unix_micros(col(tsCol)).as("__tm"), centi(col(valCol)).as("__v"))
+      .select(col(userCol), col(idCol),
+        sum(col("__v")).over(w).as("win_sum_centi"),
+        count(lit(1)).over(w).as("n_in_window"))
   }
 
   def twapCenti(events: DataFrame, userCol: String, tsCol: String,

@@ -558,5 +558,27 @@ object EvalQueries {
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin)))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Trailing time-RANGE frame (r15): per event, the entity's
+    // value sum/count over the trailing hour — RANGE semantics over
+    // the time axis (all equal-ts peers in-frame, no tiebreak needed
+    // for associative aggregates), which row frames can't express.
+    QuerySpec("q301_range_frame",
+      (s, dir) => graft.ops.EventAnalytics.rollingTimeWindow(
+          events(s, dir), "user_id", "ts", "event_id", "value",
+          windowMicros = 3600000000L)
+        .orderBy(col("event_id")),
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(ts) AS tm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM ($eventsSql)
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(v) OVER w AS BIGINT) AS win_sum_centi,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tm
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)))
 }

@@ -234,6 +234,27 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("rollingTimeWindow: hour boundary inclusive-exclusive exact; " +
+      "equal-ts peers all in frame; burst is time not rows") {
+    val rows = Seq(
+      (1L, 1L, ts("2026-06-01 10:00:00"), 1.00),
+      (1L, 2L, ts("2026-06-01 10:30:00"), 2.00),
+      (1L, 3L, ts("2026-06-01 10:30:00"), 4.00), // equal-ts peer
+      (1L, 4L, ts("2026-06-01 11:00:00"), 8.00), // 10:00 is 1h ago -> OUT
+      (1L, 5L, ts("2026-06-01 11:29:59"), 16.00)) // 10:30 pair still in
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = EventAnalytics.rollingTimeWindow(rows, "user_id", "ts",
+        "event_id", "value", 3600000000L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((100L, 1L)))
+    // BOTH 10:30 events see each other (equal-ts peers share a frame)
+    assert(out(2L) == ((700L, 3L)) && out(3L) == ((700L, 3L)))
+    // at 11:00 the 10:00 event is exactly one hour old -> excluded
+    assert(out(4L) == ((1400L, 3L)))
+    assert(out(5L) == ((3000L, 4L)))
+  }
+
   test("funnelWithin: a step past the gap does not convert, but a " +
       "later in-gap one does; unbounded funnel still converts") {
     // u1: view 10:00, click 13:00 (3h — outside a 2h gap), second
