@@ -434,9 +434,12 @@ object TrainingPrep {
     * leakage-free form for training rows — each row's own label is
     * excluded from its category's rate, te_loo = (10⁶·(n_pos − y))
     * div (n − 1); singleton categories emit null (no other
-    * evidence). Category stats broadcast back by the keyed join
-    * (≤|categories| rows); the row side is one scan. Pairs with
-    * [[groupFolds]] for the out-of-fold discipline. */
+    * evidence). Rows with a null category or null target are
+    * EXCLUDED from the output, not emitted with a null encoding
+    * (they carry no evidence and get none — same frame as
+    * [[targetEncodeStats]]). Category stats broadcast back by the
+    * keyed join (≤|categories| rows); the row side is one scan.
+    * Pairs with [[groupFolds]] for the out-of-fold discipline. */
   def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
       targetCol: String): DataFrame = {
     val base = df
@@ -460,7 +463,9 @@ object TrainingPrep {
     * sides of the train/eval boundary and inflate eval). Deterministic
     * and append-stable like the mod-samples: an entity's fold depends
     * only on its own key, never on the corpus. Pure per-row
-    * expression — no shuffle, no state. */
+    * expression — no shuffle, no state. A NULL entity key yields a
+    * NULL fold (there is no identity to keep together) — filter or
+    * coalesce upstream if null-keyed rows should participate. */
   def groupFolds(df: DataFrame, groupCol: String, k: Int): DataFrame = {
     require(k >= 2, "groupFolds: k must be >= 2")
     df.withColumn("fold",
