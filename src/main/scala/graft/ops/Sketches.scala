@@ -138,18 +138,35 @@ object Sketches {
     * ≤ hours·2⁸ rows) → ×W explode of that sketch frame → two keyed
     * reductions. */
   def slidingDistinctStats(df: DataFrame, tsCol: String,
-      keyCol: String, windowHours: Int): DataFrame = {
-    require(windowHours >= 1 && windowHours <= 168,
-      s"slidingDistinctStats: windowHours must sit in [1, 168]")
-    val hour = date_trunc("hour", col(tsCol))
-    val perHour = df
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .select(unix_micros(hour).as("__h"), md5LanePacked(col(keyCol))
-        .as("packed"))
+      keyCol: String, windowHours: Int): DataFrame =
+    slidingDistinctFromRegisters(
+      hourLaneRows(df, tsCol, keyCol)
+        .groupBy(col("__h"), col("bucket"))
+        .agg(max(col("rho")).as("rho_max")),
+      windowHours)
+
+  /** The per-row (hour, bucket, rho) md5 lanes under
+    * [[slidingDistinctStats]] — also the ingest rows of the streaming
+    * per-hour register state ([[graft.streaming.StreamingIngest
+    * .slidingDistinctIngestBatch]]): the per-(hour, bucket) MAX is an
+    * incremental aggregate, so hourly state absorbs batches through
+    * the aggIngest ledger exactly like the flat HLL state. */
+  private[graft] def hourLaneRows(df: DataFrame, tsCol: String,
+      keyCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(unix_micros(date_trunc("hour", col(tsCol))).as("__h"),
+        md5LanePacked(col(keyCol)).as("packed"))
       .select(col("__h"), expr("packed div 64").cast("int").as("bucket"),
         (col("packed") % 64).cast("int").as("rho"))
-      .groupBy(col("__h"), col("bucket"))
-      .agg(max(col("rho")).as("rho_max"))
+
+  /** The window half of [[slidingDistinctStats]] over an
+    * already-built per-hour register frame `(__h, bucket, rho_max)`
+    * — lets the PERSISTED streaming state feed the same windows
+    * without rescanning events (q302, standing rule 1). */
+  private[graft] def slidingDistinctFromRegisters(perHour: DataFrame,
+      windowHours: Int): DataFrame = {
+    require(windowHours >= 1 && windowHours <= 168,
+      s"slidingDistinct: windowHours must sit in [1, 168]")
     val hours = perHour.select(col("__h")).distinct()
     val windowed = perHour
       .select(explode(sequence(col("__h"),

@@ -64,6 +64,26 @@ object StreamQueries {
     }
   }
 
+  /** Two epochs (+ replay) of the per-hour register ingest — the
+    * steady-state twin of the q298 sliding-distinct (standing rule:
+    * in-query sketch gates ship with persisted state twins): the
+    * trailing windows must read the LEDGERED state and land exactly
+    * what the in-query form computes from raw events. */
+  private def slidingDistinctRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/events.parquet")
+    FixtureCache.ensure(s"/tmp/graft_sliding_distinct/${tag}_$fp") { tmp =>
+      val ev = events(s, dir)
+      val st = s"$tmp/state"
+      StreamingIngest.slidingDistinctIngestBatch(
+        ev.filter(col("event_id") % 2 === 0), "ts", "user_id", st, 0L)
+      StreamingIngest.slidingDistinctIngestBatch(
+        ev.filter(col("event_id") % 2 === 1), "ts", "user_id", st, 1L)
+      StreamingIngest.slidingDistinctIngestBatch(
+        ev.filter(col("event_id") % 2 === 1), "ts", "user_id", st, 1L)
+    }
+  }
+
   /** Build-once run of the REAL [[graft.streaming.StreamingIngest
     * .asofEnrich]] flatMapGroupsWithState query over a two-batch
     * MemoryStream derived from the events table: quotes are the
@@ -253,5 +273,48 @@ object StreamQueries {
         |  COALESCE(u.name, b.name) AS name,
         |  COALESCE(u.bal_cents, b.bal_cents) AS bal_cents
         |FROM base b FULL OUTER JOIN upd u ON b.id = u.id
-        |ORDER BY id""".stripMargin)))
+        |ORDER BY id""".stripMargin)),
+
+    // Sliding distinct from LEDGERED state (r15): q298's trailing
+    // windows computed from the per-hour register state committed
+    // over two epochs (+ a replay no-op) through the real
+    // aggIngestBatch path — the dashboard's steady path never
+    // rescans events; the oracle (q298's verbatim) checks the
+    // state-fed windows equal the in-query form over everything.
+    QuerySpec("q302_sliding_distinct_steady",
+      (s, dir) => {
+        val root = slidingDistinctRoot(s, dir)
+        graft.ops.Sketches.slidingDistinctFromRegisters(
+            s.read.parquet(s"$root/state/current/state")
+              .select(col("__h"), col("bucket"),
+                col("max_rho").cast("int").as("rho_max")),
+            windowHours = 3)
+          .orderBy(col("window_end_s"))
+      },
+      Some(s"""WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id
+        |  FROM ($eventsSql)
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |hrs AS (SELECT DISTINCT h FROM e),
+        |j AS (SELECT hrs.h AS w, e.user_id FROM hrs
+        |  JOIN e ON e.h <= hrs.h
+        |    AND e.h >= hrs.h - INTERVAL 2 HOUR),
+        |b AS (SELECT w,
+        |    CAST(('0x' || substr(md5('hll:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+        |    ltrim(substr(md5('hll:' ||
+        |      CAST(user_id AS VARCHAR)), 3, 13), '0') AS t
+        |  FROM j),
+        |r AS (SELECT w, bucket, CASE WHEN t = '' THEN 53
+        |    ELSE 4 * (13 - length(t)) +
+        |      CASE WHEN substr(t, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1
+        |           WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 2
+        |           WHEN substr(t, 1, 1) IN ('2','3') THEN 3
+        |           ELSE 4 END END AS rho FROM b),
+        |reg AS (SELECT w, bucket, MAX(rho) AS rho_max FROM r
+        |  GROUP BY 1, 2)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_end_s,
+        |  CAST(COUNT(*) AS INTEGER) AS nd_buckets,
+        |  CAST(SUM(CAST(1 AS BIGINT) << (53 - rho_max)) AS BIGINT)
+        |    AS nd_s53
+        |FROM reg GROUP BY w ORDER BY window_end_s""".stripMargin)))
 }

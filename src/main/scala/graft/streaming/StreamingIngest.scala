@@ -507,6 +507,24 @@ object StreamingIngest {
         .withColumnRenamed("rho_max", "rho"),
       Seq("bucket"), Nil, Nil, Seq("rho"), stateDir, epochId)
 
+  /** One epoch of streaming PER-HOUR register maintenance (r15) —
+    * the state side of the sliding-distinct dashboard
+    * ([[graft.ops.Sketches.slidingDistinctStats]]): each batch's
+    * (hour, bucket, rho) md5 lanes merge by MAX into the
+    * `(hour, bucket)`-keyed state through the `_epoch` ledger, so
+    * the trailing-window distinct counts read ≤ hours·2⁸ rows of
+    * state instead of rescanning events
+    * ([[graft.ops.Sketches.slidingDistinctFromRegisters]]). The flat
+    * [[hllIngestBatch]] with a time dimension — same merge algebra,
+    * same replay no-op. Portable md5 lane by construction (the gate
+    * needs the oracle; a production xxhash twin would ride
+    * hllRegistersByFast's lane the same way). */
+  def slidingDistinctIngestBatch(batch: DataFrame, tsCol: String,
+      keyCol: String, stateDir: String, epochId: Long): Unit =
+    aggIngestBatch(
+      graft.ops.Sketches.hourLaneRows(batch, tsCol, keyCol),
+      Seq("__h", "bucket"), Nil, Nil, Seq("rho"), stateDir, epochId)
+
   /** Streaming FREQUENCY maintenance — [[hllIngest]]'s additive dual:
     * a Count-Min counter matrix merges by cell-wise SUM
     * ([[graft.ops.Sketches.cmsMerge]]), so each batch's pre-combined
