@@ -281,6 +281,60 @@ object MlPrep {
           .as("lift_micro"))
   }
 
+  /** LEXICAL cosine similarity join (r15) — "more like this" over the
+    * TERM space, the sparse companion to the embedding ANN wing: all
+    * document pairs whose term-frequency vectors have cosine ≥
+    * `threshold`. Dot products and squared norms are EXACT integer
+    * sums over tf counts, so the only floating point is
+    * sqrt/divide/round over identical integers — deterministic in any
+    * engine (the established round-6 cosine idiom, on firmer ground
+    * than q30's float-vector case). Candidate pairs come from the
+    * term-bucketed self-join with the [[graft.ops.Dedup
+    * .ngramJaccardPairsPruned]] hot-term discipline, made part of
+    * the DEFINITION here: the similarity is the cosine over the
+    * INFORMATIVE df band — terms in (1, maxDf] documents — with both
+    * dot AND norms computed in that subspace (a term in 10% of a
+    * corpus generates (0.1N)² pairs and carries no similarity
+    * signal; a df-1 term can't pair; and pruning the dot while
+    * keeping full-vector norms would just deflate every score —
+    * identical documents must score 1.0). Documents with no
+    * in-band terms drop. */
+  def lexicalCosinePairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, maxDf: Int): DataFrame = {
+    require(threshold > 0 && threshold <= 1 && maxDf > 1,
+      "lexicalCosinePairs: need threshold in (0,1] and maxDf > 1")
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val pruned = tf.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") > 1 && col("__df") <= maxDf)
+      .select(col(idCol), col("term"), col("tf"))
+      .localCheckpoint() // norms + both pair sides
+    val norms = pruned.groupBy(col(idCol))
+      .agg(sum(col("tf") * col("tf")).as("__n2"))
+    val dots = pruned.select(col(idCol).as("id_a"), col("term"),
+        col("tf").as("__ta"))
+      .join(pruned.select(col(idCol).as("id_b"), col("term"),
+        col("tf").as("__tb")), Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__ta") * col("__tb")).as("__dot"))
+    dots
+      .join(norms.select(col(idCol).as("id_a"), col("__n2").as("__na")),
+        Seq("id_a"))
+      .join(norms.select(col(idCol).as("id_b"), col("__n2").as("__nb")),
+        Seq("id_b"))
+      .withColumn("cos_sim", round(col("__dot").cast("double") /
+        (sqrt(col("__na").cast("double")) *
+          sqrt(col("__nb").cast("double"))), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** BOOLEAN retrieval from a [[positionalIndex]] (r15) — the AND/NOT
     * postings algebra under BM25's ranked layer: documents containing
     * EVERY `must` term and NONE of the `mustNot` terms, with the

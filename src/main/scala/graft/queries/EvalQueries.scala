@@ -580,5 +580,43 @@ object EvalQueries {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY tm
         |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)))
+        |ORDER BY event_id""".stripMargin)),
+
+    // Lexical cosine similarity join (r15): tf-vector cosine ≥ 0.6
+    // over the INFORMATIVE df band (1 < df ≤ 60 — both dot and
+    // norms in that subspace; identical docs score 1.0). Integer
+    // dot/norms; the round-6 cosine is the only float, over
+    // identical integers in both engines. The synthetic corpus has
+    // a ~31-word vocabulary, so the band holds language-specific
+    // words at sf0.01 (300 pairs) and empties at sf0.1 (10× df on
+    // every word — the oracle agrees on the empty result); the
+    // operator's df knob is absolute by contract, like every maxDf
+    // in the dedup family.
+    QuerySpec("q303_lexical_cosine",
+      (s, dir) => graft.ops.MlPrep.lexicalCosinePairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.6, maxDf = 60)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH tok AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf
+        |  JOIN dfq USING (term) WHERE df > 1 AND df <= 60),
+        |n2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM p GROUP BY 1),
+        |d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    SUM(a.tf * b.tf) AS dot
+        |  FROM p a JOIN p b ON a.term = b.term
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT id_a, id_b,
+        |    round(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) *
+        |       sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+        |  FROM d JOIN n2 na ON na.doc_id = d.id_a
+        |  JOIN n2 nb ON nb.doc_id = d.id_b)
+        |SELECT id_a, id_b, cos_sim FROM c WHERE cos_sim >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin)))
 }
