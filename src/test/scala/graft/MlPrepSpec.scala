@@ -12,6 +12,32 @@ class MlPrepSpec extends SparkSuite {
   private lazy val orders = spark.read.parquet(s"$sf0001/orders.parquet")
   private lazy val customer = spark.read.parquet(s"$sf0001/customer.parquet")
 
+  test("lexicalCosinePairs: identical docs 1.0, hand cosine exact, " +
+      "out-of-band terms carry nothing, no-in-band docs drop") {
+    import graft.ops.MlPrep
+    // 'stop' appears in all 5 docs (df 5 > maxDf 4 -> out of band);
+    // docs 1/2 identical; doc 3 shares one in-band term with them;
+    // doc 4 has ONLY the stopword -> no in-band vector at all
+    val d = Seq(
+      (1L, "alpha beta stop"),
+      (2L, "alpha beta stop"),
+      (3L, "alpha gamma stop"),
+      (4L, "stop stop stop"),
+      (5L, "gamma gamma stop"))
+      .toDF("doc_id", "text")
+    val out = MlPrep.lexicalCosinePairs(d, "doc_id", "text",
+        threshold = 0.1, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out((1L, 2L)) == 1.0) // identical in-band vectors
+    // doc1=(alpha 1, beta 1), doc3=(alpha 1, gamma 1): cos = 1/2
+    assert(out((1L, 3L)) == 0.5 && out((2L, 3L)) == 0.5)
+    // doc3=(alpha,gamma) vs doc5=(gamma 2): 2/(sqrt(2)*2) = 0.707107
+    assert(out((3L, 5L)) == math.BigDecimal(1 / math.sqrt(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("skewSafeJoin returns exactly the plain inner join's rows") {
     val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
       .select($"o_orderkey", $"c_mktsegment")
