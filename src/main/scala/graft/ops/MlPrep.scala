@@ -335,6 +335,52 @@ object MlPrep {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** WEIGHTED (multiset) Jaccard join (r15) — [[lexicalCosinePairs]]'
+    * fully-integer sibling: J_w(A,B) = Σ min(tf_a, tf_b) /
+    * Σ max(tf_a, tf_b) over the same informative df band. Because
+    * Σ max = T_a + T_b − Σ min (T = a doc's in-band tf total), the
+    * denominator needs no per-term max pass — one shared-term Σ min
+    * from the term-bucketed join plus two broadcastable per-doc
+    * totals, and the score is the exact integer micro
+    * (10⁶·Σmin) div (T_a + T_b − Σmin): NO floats anywhere, the
+    * repo's strongest gate arithmetic. Identical in-band docs score
+    * 10⁶. Same band contract and bucket bounds as the cosine
+    * form. */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: String, thresholdMicro: Long, maxDf: Int): DataFrame = {
+    require(thresholdMicro > 0 && thresholdMicro <= 1000000L && maxDf > 1,
+      "weightedJaccardPairs: need threshold in (0, 1e6] micros and maxDf > 1")
+    val tf = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val pruned = tf.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") > 1 && col("__df") <= maxDf)
+      .select(col(idCol), col("term"), col("tf"))
+      .localCheckpoint() // totals + both pair sides
+    val totals = pruned.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("__t"))
+    val mins = pruned.select(col(idCol).as("id_a"), col("term"),
+        col("tf").as("__ta"))
+      .join(pruned.select(col(idCol).as("id_b"), col("term"),
+        col("tf").as("__tb")), Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("__ta"), col("__tb"))).as("__min"))
+    mins
+      .join(totals.select(col(idCol).as("id_a"), col("__t").as("__tta")),
+        Seq("id_a"))
+      .join(totals.select(col(idCol).as("id_b"), col("__t").as("__ttb")),
+        Seq("id_b"))
+      .withColumn("wjacc_micro", expr(
+        "(1000000 * __min) div (__tta + __ttb - __min)"))
+      .filter(col("wjacc_micro") >= thresholdMicro)
+      .select(col("id_a"), col("id_b"), col("wjacc_micro"))
+  }
+
   /** BOOLEAN retrieval from a [[positionalIndex]] (r15) — the AND/NOT
     * postings algebra under BM25's ranked layer: documents containing
     * EVERY `must` term and NONE of the `mustNot` terms, with the

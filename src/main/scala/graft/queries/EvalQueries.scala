@@ -618,5 +618,35 @@ object EvalQueries {
         |  FROM d JOIN n2 na ON na.doc_id = d.id_a
         |  JOIN n2 nb ON nb.doc_id = d.id_b)
         |SELECT id_a, id_b, cos_sim FROM c WHERE cos_sim >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Weighted (multiset) Jaccard join (r15): q303's fully-integer
+    // sibling — (10⁶·Σmin) div (T_a + T_b − Σmin) over the same df
+    // band, no floats anywhere.
+    QuerySpec("q304_weighted_jaccard",
+      (s, dir) => graft.ops.MlPrep.weightedJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          thresholdMicro = 400000L, maxDf = 60)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH tok AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf
+        |  JOIN dfq USING (term) WHERE df > 1 AND df <= 60),
+        |tot AS (SELECT doc_id, SUM(tf) AS t FROM p GROUP BY 1),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    SUM(LEAST(a.tf, b.tf)) AS mn
+        |  FROM p a JOIN p b ON a.term = b.term
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |    (1000000 * mn) // (ta.t + tb.t - mn) AS wjacc_micro
+        |  FROM m JOIN tot ta ON ta.doc_id = m.id_a
+        |  JOIN tot tb ON tb.doc_id = m.id_b)
+        |SELECT id_a, id_b, CAST(wjacc_micro AS BIGINT) AS wjacc_micro
+        |FROM j WHERE wjacc_micro >= 400000
         |ORDER BY id_a, id_b""".stripMargin)))
 }

@@ -38,6 +38,29 @@ class MlPrepSpec extends SparkSuite {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("weightedJaccardPairs: identical 10⁶, hand multiset value, " +
+      "min/max identity holds") {
+    import graft.ops.MlPrep
+    val d = Seq(
+      (1L, "alpha alpha beta stop"),
+      (2L, "alpha alpha beta stop"),
+      (3L, "alpha beta beta stop"),
+      (4L, "stop"),
+      (5L, "stop stop"))
+      .toDF("doc_id", "text")
+    // stop df 5 > maxDf 3 -> out of band; alpha/beta df 3 stay in
+    val out = MlPrep.weightedJaccardPairs(d, "doc_id", "text",
+        thresholdMicro = 1L, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out((1L, 2L)) == 1000000L)
+    // doc1=(alpha 2, beta 1) vs doc3=(alpha 1, beta 2):
+    // Σmin = 1+1 = 2, Σmax = T1+T3−Σmin = 3+3−2 = 4 → 500000
+    assert(out((1L, 3L)) == 500000L && out((2L, 3L)) == 500000L)
+    // stopword-only docs have no in-band vector -> never pair
+    assert(!out.keySet.exists(p => p._1 >= 4L || p._2 >= 4L))
+  }
+
   test("skewSafeJoin returns exactly the plain inner join's rows") {
     val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
       .select($"o_orderkey", $"c_mktsegment")
