@@ -1050,12 +1050,18 @@ object EventAnalytics {
     * max/min, plus event count and centi-sum volume. The bar builder
     * every monitoring/market/telemetry rollup runs; ONE keyed
     * aggregate, no window at all: first/last ride min_by/max_by on a
-    * composite in-bucket key (micros since bucket start)·10⁶ + id —
-    * ≤ 3.6·10¹⁵ + id, exact in int64, unique because ids are (the
+    * composite in-bucket key (micros since bucket start)·10⁹ + id —
+    * ≤ 3.6·10¹⁸ + id, exact in int64 (micros-in-hour < 3.6·10⁹ by
+    * construction), and collision-free because the 10⁹ stride covers
+    * the guarded id domain [0, 10⁹) — the same contract every other
+    * composite-order op enforces via [[Profile.requireCompositeDomain]]
+    * (a 10⁶ stride would let an id ≥ 10⁶ outweigh a genuine
+    * microsecond gap). Unique because ids are (the
     * lineitem-duplicates lesson: never trust ts alone). Values in
     * exact centi units. */
   def ohlcBars(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, valCol: String): DataFrame = {
+    Profile.requireCompositeDomain(events, "ohlcBars", idCol, Nil)
     val bucket = date_trunc("hour", col(tsCol))
     events
       // a null ts would group under a null bucket with a null ord —
@@ -1064,7 +1070,7 @@ object EventAnalytics {
       .select(col(userCol), col(idCol),
         bucket.as("bucket_ts"),
         ((unix_micros(col(tsCol)) - unix_micros(bucket)) *
-          lit(1000000L) + col(idCol)).as("__ord"),
+          lit(1000000000L) + col(idCol)).as("__ord"),
         centi(col(valCol)).as("__v"))
       .groupBy(col(userCol), col("bucket_ts"))
       .agg(

@@ -527,9 +527,15 @@ object Sketches {
       k: Int): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    // match on DataType values, not simpleString names — Spark
+    // prints ByteType/ShortType/LongType as tinyint/smallint/bigint,
+    // so a name list silently rejects working byte/short keys
+    // (ADVICE r15)
     val kt = df.schema(keyCol).dataType
-    require(Seq("byte", "short", "int", "integer", "long", "bigint")
-        .contains(kt.simpleString),
+    require(kt == org.apache.spark.sql.types.ByteType ||
+        kt == org.apache.spark.sql.types.ShortType ||
+        kt == org.apache.spark.sql.types.IntegerType ||
+        kt == org.apache.spark.sql.types.LongType,
       s"misraGriesBy: keyCol '$keyCol' must be integral, got $kt — " +
         "cast or hash it upstream")
     df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)

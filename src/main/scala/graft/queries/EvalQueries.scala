@@ -301,7 +301,9 @@ object EvalQueries {
     // Hourly OHLC bars (r15): per (user, hour) open/high/low/close in
     // exact centi units + count and volume — ONE keyed aggregate, no
     // window: open/close ride min_by/max_by on the in-bucket
-    // composite key (micros-in-bucket · 10⁶ + event_id). Bucket
+    // composite key (micros-in-bucket · 10⁹ + event_id — the 10⁹
+    // stride covers the guarded id domain [0, 1e9); a 10⁶ stride
+    // would collide for ids ≥ 1e6, ADVICE r15). Bucket
     // emitted as an ISO string (the q140 timestamp idiom).
     QuerySpec("q292_ohlc_bars",
       (s, dir) => graft.ops.EventAnalytics.ohlcBars(
@@ -317,7 +319,7 @@ object EvalQueries {
         |b AS (SELECT user_id,
         |    date_trunc('hour', ts) AS bt,
         |    (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
-        |      * 1000000 + event_id AS ord,
+        |      * 1000000000 + event_id AS ord,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
         |  FROM e)
         |SELECT user_id, strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_s,

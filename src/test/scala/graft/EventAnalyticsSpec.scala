@@ -303,6 +303,29 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(out(1) == ((400L, 400L, 400L, 400L, 1L, 400L)))
   }
 
+  test("ohlcBars: 10⁹ ord stride keeps (ts, id) order exact for ids " +
+      "up to the guarded 1e9-1 — a 10⁶ stride would flip open/close") {
+    // earlier event carries a near-max id, later event (1 µs after)
+    // a tiny one: under the old micros·10⁶ + id key the earlier row's
+    // id term (999,999,999) outweighed the later row's full key
+    // (1·10⁶ + 1), inverting the order (ADVICE r15)
+    val rows = Seq(
+      (1L, 999999999L, ts("2026-03-01 10:00:00.000000"), 2.00),
+      (1L, 1L, ts("2026-03-01 10:00:00.000001"), 5.00))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = graft.ops.EventAnalytics.ohlcBars(
+        rows, "user_id", "ts", "event_id", "value").collect()(0)
+    assert(out.getLong(2) == 200L && out.getLong(5) == 500L)
+    // and the domain guard rejects ids outside [0, 1e9)
+    val bad = Seq((1L, 1000000000L, ts("2026-03-01 10:00:00"), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.EventAnalytics.ohlcBars(
+        bad, "user_id", "ts", "event_id", "value")
+    }
+    assert(e.getMessage.contains("[0, 1e9)"))
+  }
+
   test("cusumCenti: a null value is excluded, not a silent detector " +
       "reset") {
     // mid-accumulation null: without the filter, greatest(0, cp+null-…)

@@ -89,6 +89,20 @@ class HeavyHittersSpec extends SparkSuite {
       est <= exact.getOrElse(gk, 0L) })
   }
 
+  test("misraGriesBy accepts byte/short keys — the guard matches " +
+      "DataType values, not simpleString names (ADVICE r15: Spark " +
+      "prints tinyint/smallint, so a name list rejected them)") {
+    val rows = Seq(("g1", 3.toShort), ("g1", 3.toShort), ("g1", 4.toShort))
+    val out = graft.ops.Sketches.misraGriesBy(
+        rows.toDF("g", "k"), "g", "k", 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out(3L) == 2L && out(4L) == 1L)
+    val bytes = Seq(("g1", 1.toByte), ("g1", 1.toByte))
+    val outB = graft.ops.Sketches.misraGriesBy(
+        bytes.toDF("g", "k"), "g", "k", 4).collect()
+    assert(outB.length == 1 && outB(0).getLong(2) == 2L)
+  }
+
   test("misraGriesBy rejects a non-integral key dtype up front " +
       "(not an opaque encoder error)") {
     val df = Seq(("g1", "not-a-number")).toDF("g", "k")
