@@ -298,7 +298,18 @@ object MlPrep {
     * signal; a df-1 term can't pair; and pruning the dot while
     * keeping full-vector norms would just deflate every score —
     * identical documents must score 1.0). Documents with no
-    * in-band terms drop. */
+    * in-band terms drop.
+    *
+    * The df pass is a groupBy(term) + left-semi join, NOT a window
+    * count over `partitionBy(term)` (re-planned r16, VERDICT r15 #4):
+    * a window lands a boilerplate term's ENTIRE postings list in one
+    * un-splittable task before the band filter can drop it — "the"
+    * at df ≈ 10% of an open corpus is a straggler no AQE rule can
+    * rescue. The groupBy is map-side combinable (each task emits one
+    * partial count per term), the in-band term frame is one row per
+    * SURVIVING term (≤ maxDf-doc terms only), and the semi-join back
+    * is an ordinary AQE-splittable shuffle join that also prunes the
+    * out-of-band rows before they ever co-locate. */
   def lexicalCosinePairs(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double, maxDf: Int): DataFrame = {
     require(threshold > 0 && threshold <= 1 && maxDf > 1,
@@ -308,10 +319,11 @@ object MlPrep {
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term"))
-    val pruned = tf.withColumn("__df", count(lit(1)).over(w))
+    val inBand = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1 && col("__df") <= maxDf)
+      .select(col("term"))
+    val pruned = tf.join(inBand, Seq("term"), "left_semi")
       .select(col(idCol), col("term"), col("tf"))
       .localCheckpoint() // norms + both pair sides
     val norms = pruned.groupBy(col(idCol))
@@ -344,8 +356,9 @@ object MlPrep {
     * totals, and the score is the exact integer micro
     * (10⁶·Σmin) div (T_a + T_b − Σmin): NO floats anywhere, the
     * repo's strongest gate arithmetic. Identical in-band docs score
-    * 10⁶. Same band contract and bucket bounds as the cosine
-    * form. */
+    * 10⁶. Same band contract, bucket bounds, and groupBy+semi-join
+    * df pass as the cosine form (see [[lexicalCosinePairs]] for why
+    * a window df count is a boilerplate-term straggler). */
   def weightedJaccardPairs(docs: DataFrame, idCol: String,
       textCol: String, thresholdMicro: Long, maxDf: Int): DataFrame = {
     require(thresholdMicro > 0 && thresholdMicro <= 1000000L && maxDf > 1,
@@ -355,10 +368,11 @@ object MlPrep {
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term"))
-    val pruned = tf.withColumn("__df", count(lit(1)).over(w))
+    val inBand = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1 && col("__df") <= maxDf)
+      .select(col("term"))
+    val pruned = tf.join(inBand, Seq("term"), "left_semi")
       .select(col(idCol), col("term"), col("tf"))
       .localCheckpoint() // totals + both pair sides
     val totals = pruned.groupBy(col(idCol))

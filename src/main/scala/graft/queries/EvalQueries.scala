@@ -48,6 +48,44 @@ object EvalQueries {
       |      AS BIGINT) AS rel
       |  FROM d)""".stripMargin
 
+  /** The vocabulary-expansion lane for the term-similarity gates
+    * (r16, VERDICT r15 #1): the synthetic corpus has a ~31-word
+    * vocabulary, so at sf0.1 EVERY base word's df exceeds any fixed
+    * in-band cap and the informative band empties — both engines
+    * agreed on an empty result, the weakest possible hash match. This
+    * fixture appends deterministic doc_id-derived terms whose df is
+    * SCALE-INDEPENDENT (the q283/q129 encode-half move): `vx<b>` with
+    * b = doc_id div 4 lands in exactly 4 docs (twice in even doc_ids,
+    * so tf varies), `vy<b>` with b = doc_id div 8 in exactly 8 — both
+    * inside the (1, 60] band at every sf. Within a 4-block the
+    * planted in-band vectors are (vx:2, vy:1) for even and (vx:1,
+    * vy:1) for odd doc_ids, so when the base words are out of band
+    * (sf0.1) every 4-block pair lands at a hand-computable score:
+    * cosine 1.0 same-parity / 3/√10 ≈ 0.948683 cross-parity, J_w
+    * 10⁶ / 666666 micros — pinned by TermSimilaritySpec. The oracle
+    * re-derives the lane from the same doc_id arithmetic. */
+  private[graft] def vocabLane(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        coalesce(col("text"), lit("")),
+        lit(" vx"), expr("doc_id div 4").cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" vx"), expr("doc_id div 4").cast("string")))
+          .otherwise(lit("")),
+        lit(" vy"), expr("doc_id div 8").cast("string")).as("text"))
+
+  private def vocabDocs(s: SparkSession, dir: String): DataFrame =
+    vocabLane(table(s, dir, "documents"))
+
+  private val vocabDocsSql: String =
+    """vd AS (SELECT doc_id,
+      |    COALESCE(text, '') ||
+      |    ' vx' || CAST(doc_id // 4 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN ' vx' || CAST(doc_id // 4 AS VARCHAR) ELSE '' END ||
+      |    ' vy' || CAST(doc_id // 8 AS VARCHAR) AS text
+      |  FROM documents)""".stripMargin
+
   /** The 10⁶-scaled 1/log₂(i+1) discounts as a SQL CASE (positions
     * 1..10) — the same published table as
     * [[graft.ops.Profile.ndcgDiscountMicro]]. */
@@ -584,24 +622,25 @@ object EvalQueries {
         |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)),
 
-    // Lexical cosine similarity join (r15): tf-vector cosine ≥ 0.6
-    // over the INFORMATIVE df band (1 < df ≤ 60 — both dot and
-    // norms in that subspace; identical docs score 1.0). Integer
-    // dot/norms; the round-6 cosine is the only float, over
-    // identical integers in both engines. The synthetic corpus has
-    // a ~31-word vocabulary, so the band holds language-specific
-    // words at sf0.01 (300 pairs) and empties at sf0.1 (10× df on
-    // every word — the oracle agrees on the empty result); the
-    // operator's df knob is absolute by contract, like every maxDf
-    // in the dedup family.
+    // Lexical cosine similarity join (r15, re-gated r16): tf-vector
+    // cosine ≥ 0.6 over the INFORMATIVE df band (1 < df ≤ 60 — both
+    // dot and norms in that subspace; identical docs score 1.0).
+    // Integer dot/norms; the round-6 cosine is the only float, over
+    // identical integers in both engines. Runs over the [[vocabDocs]]
+    // vocabulary-expansion lane so the band is POPULATED at every
+    // scale (the r15 gate verified an empty result at sf0.1 — the
+    // 31-word base vocabulary saturates any absolute df cap); the
+    // planted 4-block pairs land at hand-computable scores, pinned
+    // by TermSimilaritySpec.
     QuerySpec("q303_lexical_cosine",
       (s, dir) => graft.ops.MlPrep.lexicalCosinePairs(
-          table(s, dir, "documents"), "doc_id", "text",
+          vocabDocs(s, dir), "doc_id", "text",
           threshold = 0.6, maxDf = 60)
         .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH tok AS (SELECT doc_id,
-        |    UNNEST(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents WHERE text IS NOT NULL),
+      Some(s"""WITH $vocabDocsSql,
+        |tok AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+        |  FROM vd WHERE text IS NOT NULL),
         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
         |  FROM tok GROUP BY 1, 2),
         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -622,17 +661,19 @@ object EvalQueries {
         |SELECT id_a, id_b, cos_sim FROM c WHERE cos_sim >= 0.6
         |ORDER BY id_a, id_b""".stripMargin)),
 
-    // Weighted (multiset) Jaccard join (r15): q303's fully-integer
-    // sibling — (10⁶·Σmin) div (T_a + T_b − Σmin) over the same df
-    // band, no floats anywhere.
+    // Weighted (multiset) Jaccard join (r15, re-gated r16): q303's
+    // fully-integer sibling — (10⁶·Σmin) div (T_a + T_b − Σmin) over
+    // the same df band, no floats anywhere. Same [[vocabDocs]] lane:
+    // planted cross-parity pairs land at exactly 666666 micros.
     QuerySpec("q304_weighted_jaccard",
       (s, dir) => graft.ops.MlPrep.weightedJaccardPairs(
-          table(s, dir, "documents"), "doc_id", "text",
+          vocabDocs(s, dir), "doc_id", "text",
           thresholdMicro = 400000L, maxDf = 60)
         .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH tok AS (SELECT doc_id,
-        |    UNNEST(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents WHERE text IS NOT NULL),
+      Some(s"""WITH $vocabDocsSql,
+        |tok AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+        |  FROM vd WHERE text IS NOT NULL),
         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
         |  FROM tok GROUP BY 1, 2),
         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),

@@ -61,6 +61,40 @@ class MlPrepSpec extends SparkSuite {
     assert(!out.keySet.exists(p => p._1 >= 4L || p._2 >= 4L))
   }
 
+  test("vocabLane planted values at the q303/q304 gate knobs: when " +
+      "base words are out of band (the sf0.1 regime) every 4-block " +
+      "pair lands at the hand-computed cosine/J_w; vy-only pairs " +
+      "stay under both thresholds") {
+    // 64 docs sharing one base word -> df 64 > maxDf 60, out of band
+    // at the gate knobs; the lane's vx (df 4) / vy (df 8) terms are
+    // the entire in-band space — exactly the sf0.1 regime the r15
+    // gate silently verified as an empty result
+    val base = (0L to 63L).map(i => (i, "stop")).toDF("doc_id", "text")
+    val d = graft.queries.EvalQueries.vocabLane(base)
+    val cos = MlPrep.lexicalCosinePairs(d, "doc_id", "text",
+        threshold = 0.6, maxDf = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // all 16 blocks x C(4,2) pairs pass; nothing else does
+    assert(cos.size == 96)
+    assert(cos.keySet.forall { case (a, b) => a / 4 == b / 4 })
+    // same parity: (2,1)·(2,1)/5 or (1,1)·(1,1)/2 = 1.0 exactly
+    assert(cos((0L, 2L)) == 1.0 && cos((1L, 3L)) == 1.0)
+    // cross parity: (2,1)·(1,1)/(√5·√2) = 3/√10 → round 6
+    assert(cos((0L, 1L)) == 0.948683 && cos((2L, 3L)) == 0.948683)
+    val jw = MlPrep.weightedJaccardPairs(d, "doc_id", "text",
+        thresholdMicro = 400000L, maxDf = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(jw.size == 96)
+    assert(jw((0L, 2L)) == 1000000L && jw((1L, 3L)) == 1000000L)
+    // cross parity: Σmin 2, T 3+2 → (10⁶·2) div 3 = 666666
+    assert(jw((0L, 1L)) == 666666L)
+    // vy-only pairs (same 8-block, different 4-block) score 0.2 /
+    // 200000 — excluded by both gates' thresholds
+    assert(!cos.contains((0L, 4L)) && !jw.contains((0L, 4L)))
+  }
+
   test("skewSafeJoin returns exactly the plain inner join's rows") {
     val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
       .select($"o_orderkey", $"c_mktsegment")
