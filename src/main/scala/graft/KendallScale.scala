@@ -59,34 +59,44 @@ object KendallScale {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$synth/orders.parquet")
 
-    def kendall(dir: String, buckets: Int) = {
+    def kendall(dir: String, buckets: Int, tall: Boolean) = {
       val o = spark.read.parquet(s"$dir/orders.parquet").select(
         col("o_orderpriority"), col("o_orderkey"),
         (col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long").as("x"),
         datediff(col("o_orderdate"), lit("1970-01-01"))
           .cast("long").as("y"))
-      graft.ops.Profile.kendallTauExact(o, "o_orderpriority",
-        "o_orderkey", "x", "y", buckets = buckets)
+      if (tall)
+        graft.ops.Profile.kendallTauExactTall(o, "o_orderpriority",
+          "o_orderkey", "x", "y", buckets = buckets)
+      else
+        graft.ops.Profile.kendallTauExact(o, "o_orderpriority",
+          "o_orderkey", "x", "y", buckets = buckets)
     }
 
     // default arms: the gate shape, the (falsified — see SCALE.md
     // round-15) B∝n arm, and fixed-B; override with
-    // SPARK_GRAFT_KENDALL_ARMS="1x:8,4x:16,..." to bracket the optimum
+    // SPARK_GRAFT_KENDALL_ARMS="1x:8,4x:16T,..." to bracket the
+    // optimum (a trailing T = the r16 TALL count-frame form, which
+    // is how B > 128 becomes expressible at all)
     val arms = sys.env.get("SPARK_GRAFT_KENDALL_ARMS") match {
       case Some(spec) => spec.split(',').toSeq.map { a =>
-        val Array(sc, b) = a.split(':')
-        (s"${sc}_B$b", if (sc == "1x") base else synth, b.toInt)
+        val Array(sc, bs) = a.split(':')
+        val tall = bs.endsWith("T")
+        val b = (if (tall) bs.dropRight(1) else bs).toInt
+        (s"${sc}_B$b${if (tall) "_tall" else ""}",
+          if (sc == "1x") base else synth, b, tall)
       }
       case None => Seq(
-        ("1x_B32_gate", base, 32),
-        (s"${factor}x_B${32 * factor}_contract", synth, 32 * factor),
-        (s"${factor}x_B32_fixed_quadratic", synth, 32))
+        ("1x_B32_gate", base, 32, false),
+        (s"${factor}x_B${32 * factor}_contract", synth, 32 * factor,
+          false),
+        (s"${factor}x_B32_fixed_quadratic", synth, 32, false))
     }
     // warm pass (JVM/codegen startup bills to no arm)
-    kendall(base, 32).queryExecution.toRdd.count()
+    kendall(base, 32, tall = false).queryExecution.toRdd.count()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    for ((label, dir, b) <- arms) {
+    for ((label, dir, b, tall) <- arms) {
       org.apache.spark.sql.graftshim.GraftShim
         .drainListenerBus(spark.sparkContext)
       listener.bytes.set(0L)
@@ -94,7 +104,7 @@ object KendallScale {
       var n = 0L
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        n = kendall(dir, b).queryExecution.toRdd.count()
+        n = kendall(dir, b, tall).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       org.apache.spark.sql.graftshim.GraftShim

@@ -1005,6 +1005,159 @@ object Profile {
       .select(col(keyCol), col("n"), col("d_pairs"), col("tau_micro"))
   }
 
+  /** [[kendallTauExact]]'s TALL form (r16, VERDICT r15 #3) — the
+    * (group, cell)-keyed count-frame variant the corrected B* ∝ √n
+    * contract requires past the ~128-lane per-column encoding bound:
+    * no per-bucket COLUMNS anywhere, so `buckets` can follow
+    * B* ≈ 0.19·√n_g into the thousands (B* ≈ 6k at n_g = 10⁹, where
+    * the column form's whole-stage-codegen method limits died at
+    * ~128). Same math, carried by a SECOND equi-depth axis:
+    *
+    * grid the data by (x-slice s ∈ [1,S], y-bucket b ∈ [1,B]) — both
+    * axes exact per-group equi-depth quantiles of the composite
+    * orders, so every cell holds ⌈n/S⌉·⌈n/B⌉-ish rows no matter the
+    * skew — and split the discordant pairs THREE disjoint ways:
+    *
+    *  - DIFFERENT slice, DIFFERENT bucket: no row comparison at all —
+    *    slices are x-ordered (s_i < s_j ⇒ ox_i < ox_j) and buckets
+    *    y-ordered, so the pair is discordant iff s_i < s_j ∧
+    *    b_i > b_j, and the count is Σ n_{s₁,b₁}·n_{s₂,b₂} over
+    *    dominating cell pairs — computed from the TALL
+    *    (group, slice, bucket, n) cell frame alone (≤ S·B rows per
+    *    group) by two sketch-sized window prefix passes over the
+    *    densified grid (absent cells must materialize as zeros: a
+    *    cell's dominance sum reads earlier-slice counts of buckets
+    *    the cell's own slice never saw).
+    *  - SAME slice: a (group, slice)-keyed equi self-join with both
+    *    order filters (ox < ox' ∧ oy > oy') — ⌈n/S⌉-sized cells,
+    *    (n/S)²/2 pair work, skew-impossible by equi-depth.
+    *  - SAME bucket, different slice: a (group, bucket)-keyed equi
+    *    self-join — the slice order already settles the x comparison
+    *    (s_a < s_b ⇒ ox_a < ox_b), leaving one y filter.
+    *
+    * Total work O(n²/S + n²/B + S·B) per group with S·B cell-frame
+    * state — at S = B the optimum is B* ∝ n^⅔ in principle, but the
+    * measured α/β ≈ 0.034 lane economics of the COLUMN form carry
+    * over as cell economics, and the gate pins B = S = 32 ≡ q246.
+    * Same contracts as [[kendallTauExact]] (integral dtypes, id ∈
+    * [0, 1e9) via the shared guard, single-row groups dropped);
+    * IDENTICAL output schema and values: (key, n, d_pairs,
+    * tau_micro). */
+  def kendallTauExactTall(df: DataFrame, keyCol: String,
+      idCol: String, xCol: String, yCol: String, buckets: Int = 32,
+      slices: Int = 0, partitions: Int = 0): DataFrame = {
+    val bN = buckets
+    val sN = if (slices > 0) slices else buckets
+    // bound = densified-grid state per group (S·B rows), not plan
+    // width — the point of the tall form
+    require(bN >= 2 && bN <= 65536 && sN >= 2 && sN <= 65536,
+      s"kendallTauExactTall: buckets/slices must sit in [2, 65536], " +
+        s"got $bN/$sN")
+    val d38 = "decimal(38,0)"
+    requireCompositeDomain(df, "kendallTauExactTall", idCol,
+      Seq(xCol, yCol))
+    val base = df.select(col(keyCol), col(idCol), col(xCol),
+      col(yCol))
+      .withColumn("__ox", col(xCol) * lit(1000000000L) + col(idCol))
+      .withColumn("__oy", col(yCol) * lit(1000000000L) + col(idCol))
+    def bounds(ordCol: String, k: Int, out: String) = {
+      val ps = (1 until k).map(j => j.toLong * 1000000L / k)
+      EventAnalytics.groupPercentilesSkewSafe(
+          base.select(col(keyCol), col(ordCol)), keyCol, ordCol,
+          ordCol, ps, partitions)
+        .groupBy(col(keyCol))
+        .agg(sort_array(collect_list(col(ordCol))).as(out))
+        .select(col(keyCol).as(s"__k$out"), col(out))
+    }
+    def grade(d: DataFrame, arr: String, ordCol: String, k: Int,
+        out: String) =
+      d.withColumn(out,
+        (1 until k).map(i =>
+          when(col(ordCol) > element_at(col(arr), i), 1)
+            .otherwise(0))
+          .reduce(_ + _) + lit(1))
+        .drop(arr)
+    // both boundary attaches are AQE-broadcast equi joins (≤ |groups|
+    // rows each); the graded frame feeds FOUR consumers (cell frame,
+    // n frame, both self-join sides) — localCheckpoint as in the
+    // column form
+    val graded = grade(grade(
+        base.join(bounds("__oy", bN, "__by"),
+            col(keyCol) === col("__k__by")).drop("__k__by"),
+        "__by", "__oy", bN, "__bkt")
+        .join(bounds("__ox", sN, "__bx"),
+          col(keyCol) === col("__k__bx")).drop("__k__bx"),
+      "__bx", "__ox", sN, "__slc")
+      .select(col(keyCol), col("__ox"), col("__oy"), col("__bkt"),
+        col("__slc"))
+      .localCheckpoint()
+    // tall cell frame + densified grid: the cross-cell count's ONLY
+    // input — S·B rows per group, data-size-independent
+    val cells = graded.groupBy(col(keyCol), col("__slc"), col("__bkt"))
+      .agg(count(lit(1)).as("__cn"))
+    val dense = cells.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(sequence(lit(1), lit(sN))).as("__slc"))
+      .select(col(keyCol), col("__slc"),
+        explode(sequence(lit(1), lit(bN))).as("__bkt"))
+      .join(cells, Seq(keyCol, "__slc", "__bkt"), "left")
+      .withColumn("__cn", coalesce(col("__cn"), lit(0L)))
+    import org.apache.spark.sql.expressions.Window
+    val wEarlier = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col("__slc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wHigher = Window.partitionBy(col(keyCol), col("__slc"))
+      .orderBy(col("__bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // m = rows in EARLIER slices of the same bucket; g = Σ m over
+    // STRICTLY HIGHER buckets — every (earlier-x, higher-y) cell pair
+    // counted exactly once as n·g
+    val gridD = dense
+      .withColumn("__m", coalesce(sum(col("__cn")).over(wEarlier),
+        lit(0L)))
+      .withColumn("__g", coalesce(sum(col("__m")).over(wHigher),
+        lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(sum(expr(s"CAST(__cn AS $d38) * __g")).cast(d38)
+        .as("__grid"))
+    // same-slice pairs: full discordance check inside ⌈n/S⌉ cells
+    val sa = graded.select(col(keyCol).as("__k1"), col("__slc"),
+      col("__ox").as("__ax"), col("__oy").as("__ay"))
+    val sb = graded.select(col(keyCol).as("__k2"),
+      col("__slc").as("__slc2"), col("__ox").as("__bx"),
+      col("__oy").as("__by2"))
+    val sameSlice = sa.join(sb,
+        col("__k1") === col("__k2") && col("__slc") === col("__slc2") &&
+          col("__ax") < col("__bx") && col("__ay") > col("__by2"))
+      .groupBy(col("__k1"))
+      .agg(count(lit(1)).cast(d38).as("__ss"))
+    // same-bucket pairs across slices: the slice order settles x
+    val ba = graded.select(col(keyCol).as("__k3"), col("__bkt"),
+      col("__slc").as("__sa"), col("__oy").as("__ya"))
+    val bb = graded.select(col(keyCol).as("__k4"),
+      col("__bkt").as("__bkt2"), col("__slc").as("__sb"),
+      col("__oy").as("__yb"))
+    val sameBucket = ba.join(bb,
+        col("__k3") === col("__k4") && col("__bkt") === col("__bkt2") &&
+          col("__sa") < col("__sb") && col("__ya") > col("__yb"))
+      .groupBy(col("__k3"))
+      .agg(count(lit(1)).cast(d38).as("__sb2"))
+    graded.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .join(gridD, Seq(keyCol), "left")
+      .join(sameSlice, col(keyCol) === col("__k1"), "left").drop("__k1")
+      .join(sameBucket, col(keyCol) === col("__k3"), "left").drop("__k3")
+      .filter(col("n") > 1)
+      .withColumn("__dd", expr(
+        s"CAST(COALESCE(__grid, CAST(0 AS $d38)) + " +
+          s"COALESCE(__ss, CAST(0 AS $d38)) + " +
+          s"COALESCE(__sb2, CAST(0 AS $d38)) AS $d38)"))
+      .withColumn("d_pairs", expr("CAST(__dd AS BIGINT)"))
+      .withColumn("tau_micro", expr(
+        "CAST(1000000 - (CAST(4000000 AS DECIMAL(38,0)) * __dd) div " +
+          "(CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"))
+      .select(col(keyCol), col("n"), col("d_pairs"), col("tau_micro"))
+  }
+
   /** One-call DRIFT REPORT — all four ordered two-sample statistics
     * (KS, Mann–Whitney U, Wasserstein-1, Cramér–von Mises) from ONE
     * shared per-value count frame: the monitoring run a pipeline

@@ -691,5 +691,48 @@ object EvalQueries {
         |  JOIN tot tb ON tb.doc_id = m.id_b)
         |SELECT id_a, id_b, CAST(wjacc_micro AS BIGINT) AS wjacc_micro
         |FROM j WHERE wjacc_micro >= 400000
-        |ORDER BY id_a, id_b""".stripMargin)))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Kendall τ, TALL form (r16): q246's statistic from the
+    // (group, slice, bucket) count-frame plan — no per-bucket
+    // columns, so B can follow the corrected B* ∝ √n contract past
+    // the column form's ~128-lane codegen bound (KendallScale's
+    // tall arms carry the cost curve in SCALE.md). Same fixture and
+    // knobs as q246; the oracle is the brute-force pairwise
+    // definition VERBATIM from q246, so the gate pins the grid
+    // decomposition ≡ the lane decomposition ≡ the definition.
+    QuerySpec("q305_kendall_tall",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").as("y"))
+        graft.ops.Profile.kendallTauExactTall(o, "o_orderpriority",
+            "o_orderkey", "x", "y", buckets = 32)
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |  FROM orders),
+        |o AS (SELECT g, id, x * 1000000000 + id AS ox,
+        |    y * 1000000000 + id AS oy FROM v),
+        |d AS (SELECT a.g, CAST(COUNT(*) AS BIGINT) AS dcnt
+        |  FROM o a JOIN o b
+        |    ON a.g = b.g AND a.ox < b.ox AND a.oy > b.oy
+        |  GROUP BY a.g),
+        |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM o
+        |  GROUP BY g HAVING COUNT(*) > 1)
+        |SELECT n.g AS o_orderpriority, n.n,
+        |  CAST(COALESCE(d.dcnt, 0) AS BIGINT) AS d_pairs,
+        |  CAST(1000000 - (4000000 * CAST(COALESCE(d.dcnt, 0)
+        |      AS HUGEINT)) //
+        |    (CAST(n.n AS HUGEINT) * (n.n - 1)) AS BIGINT)
+        |    AS tau_micro
+        |FROM n LEFT JOIN d ON n.g = d.g
+        |ORDER BY o_orderpriority""".stripMargin)))
 }

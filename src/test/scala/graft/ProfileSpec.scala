@@ -395,6 +395,55 @@ class ProfileSpec extends SparkSuite {
     assert(ends == Map("m" -> 1000000L, "a" -> -1000000L))
   }
 
+  test("kendallTauExactTall: ≡ sequential pairwise reference under " +
+      "the mega-key for several (buckets, slices) grids incl. " +
+      "asymmetric; ≡ the column form; ±10⁶ endpoints") {
+    val rows = (0L until 3001L).map { i =>
+      val g = if (i % 100 < 95) "hot" else s"g${i % 4}"
+      val x = (i * 37) % 997
+      val y = x + (i % 11) * 17 - 80
+      (g, i, x, y)
+    }
+    val df = rows.toDF("g", "id", "x", "y").repartition(9)
+    val exp = rows.groupBy(_._1).collect { case (g, rs) if rs.size > 1 =>
+      val os = rs.map(r => (BigInt(r._3) * 1000000000L + r._2,
+        BigInt(r._4) * 1000000000L + r._2))
+      var d = BigInt(0)
+      for (i <- os.indices; j <- os.indices if i < j) {
+        val (a, b) = (os(i), os(j))
+        if ((a._1 < b._1) != (a._2 < b._2)) d += 1
+      }
+      val n = BigInt(rs.size)
+      g -> ((rs.size.toLong, d.toLong,
+        (BigInt(1000000) - (BigInt(4000000) * d) / (n * (n - 1)))
+          .toLong))
+    }.toMap
+    for ((b, s) <- Seq((2, 2), (8, 8), (13, 5), (5, 13), (256, 4))) {
+      val got = Profile.kendallTauExactTall(df, "g", "id", "x", "y",
+          buckets = b, slices = s, partitions = 5)
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == exp, s"buckets=$b slices=$s")
+    }
+    // and bit-identical to the column form at the q246 gate shape
+    val colForm = Profile.kendallTauExact(df, "g", "id", "x", "y",
+        buckets = 32, partitions = 5)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val tallForm = Profile.kendallTauExactTall(df, "g", "id", "x", "y",
+        buckets = 32, partitions = 5)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(tallForm == colForm && colForm == exp)
+    val mono = (1L to 60L).map(i => ("m", i, i, i * 2)) ++
+      (1L to 60L).map(i => ("a", i, i, 1000L - i)) :+
+      (("one", 1L, 5L, 5L))
+    val ends = Profile.kendallTauExactTall(mono.toDF("g", "id", "x", "y"),
+        "g", "id", "x", "y")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(ends == Map("m" -> 1000000L, "a" -> -1000000L))
+  }
+
   test("spearmanExact: out-of-domain input THROWS instead of " +
       "silently corrupting the composite rank order") {
     // oversized value: |x| > (2^63-1 - (1e9-1)) / 1e9 wraps long
