@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QuerySpec.table
+import graft.ops.Multimodal
+
+/** Batch 18 (round 16): the perceptual image tier — REAL PNG pixel
+  * decode (Inflater + the five ISO/IEC 15948 §9.2 defilter
+  * predictors) feeding aHash/dHash banded-hamming near-dup pairs.
+  * Closes the r15 deferral: the tier was scoped-not-shipped while the
+  * container ops decoded headers only; with the full greyscale
+  * codec the hashes run over real decoded bytes, and the oracle never
+  * parses a byte — every pixel re-derives from the fixture's doc_id
+  * formula (the q33/q129/q143 encode-half discipline). */
+object PerceptualQueries {
+
+  /** Deterministic 16×16 greyscale PNG fixture. Per doc: group
+    * g = doc_id div 4, variant r = doc_id % 4. Pixel formula
+    * (everything integer, DuckDB-replayable):
+    *
+    *   base(x,y)  = (7x + 11y + 13·((x·y) mod 5)) mod 140
+    *   wm(x,y)    = 48 · bit( knuth(g), ((y div 2)·8 + (x div 2)) mod 32 )
+    *   p(x,y)     = base + 3r + wm + (24 if r = 3 ∧ x < 2 ∧ y < 2)
+    *
+    * with knuth(g) = (g · 2654435761) mod 2³² (Knuth's multiplicative
+    * hash). The WATERMARK term paints g's mixed bit pattern into the
+    * 8×8 block grid at ±48 grey levels, so different groups land
+    * ~16 aHash bits apart (no accidental near-dups at ANY scale),
+    * while the 3r term is a uniform brightness shift the hashes are
+    * invariant to (variants 0–2 hash identically) and variant 3 adds
+    * one localized +24 block perturbation (hamming 1–2 — a true
+    * NEAR-dup, not a copy). Max pixel 139+9+48+24 = 220 < 256 — no
+    * wraparound anywhere. Scanline filters cycle (doc_id + y) mod 5,
+    * so every payload exercises all five predictors. Dead-letter
+    * lanes: doc_id % 11 truncates to 20 bytes (inside the IHDR
+    * chunk), doc_id % 13 flips a byte inside the IDAT data (CRC
+    * mismatch → bad_crc). */
+  private[graft] def pngPixelFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val g = id / 4
+      val r = (id % 4).toInt
+      val h32 = (g * 2654435761L) % 4294967296L
+      def pixel(x: Int, y: Int): Int = {
+        val base = (7 * x + 11 * y + 13 * ((x * y) % 5)) % 140
+        val wmBit = ((h32 >> (((y / 2) * 8 + (x / 2)) % 32)) & 1L).toInt
+        base + 3 * r + 48 * wmBit +
+          (if (r == 3 && x < 2 && y < 2) 24 else 0)
+      }
+      val full = Multimodal.encodePngGray(16, 16, pixel,
+        y => ((id + y) % 5).toInt)
+      val payload =
+        if (id % 11 == 0) full.take(20)
+        else if (id % 13 == 0) {
+          val c = full.clone(); c(45) = (c(45) ^ 0x5a).toByte; c
+        } else full
+      (id, "png", payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
+  /** The fixture's pixel formula as a DuckDB CTE: one row per
+    * (doc_id, x, y) of every OK payload. */
+  private val pixelSql: String =
+    """px AS (SELECT doc_id, x, y,
+      |    (7 * x + 11 * y + 13 * ((x * y) % 5)) % 140
+      |    + 3 * (doc_id % 4)
+      |    + 48 * (((((doc_id // 4) * 2654435761) % 4294967296)
+      |        >> (((y // 2) * 8 + (x // 2)) % 32)) & 1)
+      |    + CASE WHEN doc_id % 4 = 3 AND x < 2 AND y < 2
+      |        THEN 24 ELSE 0 END AS p
+      |  FROM documents, range(0, 16) tx(x), range(0, 16) ty(y)
+      |  WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0)""".stripMargin
+
+  /** The 8×8 block-sum / hash pipeline over [[pixelSql]] — shared by
+    * the hash and pair oracles. aHash bit: bs·64 ≥ total (blocks are
+    * 2×2 of a 16×16 image, so the integer compare IS the mean
+    * compare); halves keep every shift ≤ 31. dHash bit: raw
+    * horizontal block-sum compare, 56 bits in one safe BIGINT. */
+  private val hashSql: String =
+    """blocks AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by,
+      |    CAST(SUM(p) AS BIGINT) AS bs
+      |  FROM px GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, SUM(bs) AS total FROM blocks GROUP BY 1),
+      |abits AS (SELECT b.doc_id, b.by * 8 + b.bx AS idx,
+      |    CASE WHEN b.bs * 64 >= t.total THEN 1 ELSE 0 END AS bit
+      |  FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
+      |ah AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN idx >= 32
+      |      THEN CAST(bit AS BIGINT) << (idx - 32) ELSE 0 END)
+      |      AS BIGINT) AS ahash_hi,
+      |    CAST(SUM(CASE WHEN idx < 32
+      |      THEN CAST(bit AS BIGINT) << idx ELSE 0 END)
+      |      AS BIGINT) AS ahash_lo
+      |  FROM abits GROUP BY doc_id),
+      |dbits AS (SELECT l.doc_id, l.by * 7 + l.bx AS didx,
+      |    CASE WHEN l.bs > r.bs THEN 1 ELSE 0 END AS bit
+      |  FROM blocks l JOIN blocks r ON l.doc_id = r.doc_id
+      |    AND l.by = r.by AND r.bx = l.bx + 1
+      |  WHERE l.bx < 7),
+      |dh AS (SELECT doc_id,
+      |    CAST(SUM(CAST(bit AS BIGINT) << didx) AS BIGINT) AS dhash
+      |  FROM dbits GROUP BY doc_id),
+      |hh AS (SELECT ah.doc_id, ah.ahash_hi, ah.ahash_lo, dh.dhash
+      |  FROM ah JOIN dh ON ah.doc_id = dh.doc_id)""".stripMargin
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // PNG pixel decode (r16): full inflate + defilter over payloads
+    // that exercise all five filter predictors, verified by
+    // position-weighted pixel sums (sum_wpix moves if ANY pixel lands
+    // at the wrong place or value) plus both dead-letter lanes. The
+    // oracle re-derives every pixel from the fixture formula — it
+    // never touches a byte.
+    QuerySpec("q306_png_pixel_decode",
+      (s, dir) => Multimodal.pngPixelStats(s, pngPixelFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH $pixelSql,
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM((y * 16 + x + 1) * p) AS BIGINT) AS swp
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_crc' END AS reason,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // Perceptual hashes (r16): aHash as two non-negative 32-bit
+    // halves + 56-bit dHash, exact integer arithmetic end to end —
+    // the oracle rebuilds both hashes from the re-derived pixels.
+    QuerySpec("q307_perceptual_hashes",
+      (s, dir) => Multimodal.imagePerceptualHashes(
+          s, pngPixelFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH $pixelSql,
+        |$hashSql
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_crc' END AS reason,
+        |  hh.ahash_hi, hh.ahash_lo, hh.dhash
+        |FROM documents d LEFT JOIN hh ON d.doc_id = hh.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // Perceptual near-dup pairs (r16): banded-hamming LSH join — 4
+    // disjoint 16-bit bands of the aHash, pigeonhole-complete to
+    // hamming 3. The fixture's group variants 0–2 land at hamming 0
+    // (brightness shifts), variant 3 at 1–2 (the localized
+    // perturbation), and the per-group watermark keeps different
+    // groups ~16 bits apart — so the result is exactly the planted
+    // near-dup classes, at every scale.
+    QuerySpec("q308_perceptual_pairs",
+      (s, dir) => Multimodal.perceptualNearDupPairs(
+          Multimodal.imagePerceptualHashes(
+            s, pngPixelFixture(s, dir)), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $pixelSql,
+        |$hashSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, (ahash_hi >> 16) & 65535 AS bv
+        |    FROM hh
+        |  UNION ALL SELECT doc_id, 1, ahash_hi & 65535 FROM hh
+        |  UNION ALL SELECT doc_id, 2, (ahash_lo >> 16) & 65535 FROM hh
+        |  UNION ALL SELECT doc_id, 3, ahash_lo & 65535 FROM hh),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |pr AS (SELECT c.id_a, c.id_b,
+        |    bit_count(xor(ha.ahash_hi, hb.ahash_hi)) +
+        |    bit_count(xor(ha.ahash_lo, hb.ahash_lo)) AS hamming,
+        |    bit_count(xor(ha.dhash, hb.dhash)) AS dhash_hamming
+        |  FROM cand c JOIN hh ha ON ha.doc_id = c.id_a
+        |  JOIN hh hb ON hb.doc_id = c.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming,
+        |  CAST(dhash_hamming AS INTEGER) AS dhash_hamming
+        |FROM pr WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin)))
+}

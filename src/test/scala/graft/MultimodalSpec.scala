@@ -343,4 +343,149 @@ class MultimodalSpec extends SparkSuite {
     assert(wavA.length == wavC.length)
     assert(out(7L) == ((1L, wavC.length)))
   }
+
+  test("PNG pixel round trip: decode(encode) bit-exact under every " +
+      "filter predictor, per-row filter mix, odd sizes") {
+    def pix(x: Int, y: Int): Int = (x * 31 + y * 57 + (x * y) % 13) % 256
+    // each single filter type, then the cycling mix, on a size whose
+    // rows exercise left/up/up-left edges; plus 1-pixel and odd dims
+    for (f <- 0 to 4; (w, h) <- Seq((1, 1), (7, 3), (16, 16))) {
+      val enc = Multimodal.encodePngGray(w, h, pix, _ => f)
+      val got = Multimodal.decodePngGray(enc)
+      val want = (0 until h).flatMap(y => (0 until w).map(x => pix(x, y)))
+      assert(got.exists(t => t._1 == w && t._2 == h &&
+        t._3.toSeq == want), s"f=$f w=$w h=$h -> $got")
+    }
+    val mixed = Multimodal.encodePngGray(16, 16, pix, y => y % 5)
+    val dm = Multimodal.decodePngGray(mixed)
+    assert(dm.exists(t => t._1 == 16 && t._2 == 16 && t._3.toSeq ==
+      (0 until 16).flatMap(y => (0 until 16).map(x => pix(x, y)))))
+    // the header tier agrees on the same payload
+    assert(Multimodal.parseImageHeader(mixed) ==
+      Right(Multimodal.ImageHeader("png", 16, 16, 1, 8)))
+  }
+
+  test("PNG pixel dead letters: truncation at every prefix, bad_crc, " +
+      "bad_filter, bad_magic, unsupported colour") {
+    val good = Multimodal.encodePngGray(8, 8, (x, y) => x * 8 + y, _ => 2)
+    // every strict byte prefix classifies Left without throwing
+    for (n <- 0 until good.length) {
+      val r = Multimodal.decodePngGray(good.take(n))
+      assert(r.isLeft, s"prefix $n decoded")
+      assert(r.swap.exists(Set("truncated", "bad_crc", "bad_magic")),
+        s"prefix $n -> $r") // a cut inside a chunk body breaks its CRC
+    }
+    // flipping any single IDAT-data byte must surface as bad_crc
+    val corrupt = good.clone(); corrupt(45) = (corrupt(45) ^ 0x5a).toByte
+    assert(Multimodal.decodePngGray(corrupt) == Left("bad_crc"))
+    assert(Multimodal.decodePngGray(
+      "not a png at all".getBytes("US-ASCII")) == Left("bad_magic"))
+    // header-only truecolour PNG: valid container, outside this
+    // greyscale-8 tier
+    assert(Multimodal.decodePngGray(
+      Multimodal.encodePng(4, 4, colorType = 2, bitDepth = 8)) ==
+      Left("unsupported"))
+    // filter byte 7: rebuild the stream with a corrupt scanline —
+    // deflate(7 ++ row) wrapped in hand-built chunks with REAL CRCs,
+    // so only the filter check can reject it
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val len = data.length
+      val head = Array(((len >>> 24) & 0xff).toByte,
+        ((len >>> 16) & 0xff).toByte, ((len >>> 8) & 0xff).toByte,
+        (len & 0xff).toByte)
+      val td = typ.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      val c = crc.getValue
+      head ++ td ++ Array(((c >>> 24) & 0xff).toByte,
+        ((c >>> 16) & 0xff).toByte, ((c >>> 8) & 0xff).toByte,
+        (c & 0xff).toByte)
+    }
+    val raw = Array[Byte](7, 1, 2) // filter 7, two samples
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = Array[Byte](0, 0, 0, 2, 0, 0, 0, 1, 8, 0, 0, 0, 0)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val badFilter = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePngGray(badFilter) == Left("bad_filter"))
+  }
+
+  test("perceptual hashes: brightness-shift invariance, hand aHash " +
+      "on an 8×8 image, bad_dims lane") {
+    import spark.implicits._
+    def media(rows: Seq[(Long, Array[Byte])]) =
+      rows.map { case (id, b) => (id, "png", b) }
+        .toDF("media_id", "kind", "media")
+    // 8×8: blocks are single pixels, so the aHash is p ≥ mean and the
+    // dHash is p(x) > p(x+1) — hand-computable. Gradient image:
+    // p = x*2 + y (mean = 10.5 → aHash bit iff 2x+y ≥ 10.5... integer
+    // form: p*64 ≥ total with total = 672, i.e. 64p ≥ 672 ⇔ p ≥ 10.5)
+    def grad(shift: Int)(x: Int, y: Int): Int = x * 2 + y + shift
+    val imgs = media(Seq(
+      1L -> Multimodal.encodePngGray(8, 8, grad(0), _ => 4),
+      2L -> Multimodal.encodePngGray(8, 8, grad(30), y => y % 5),
+      3L -> Multimodal.encodePngGray(7, 8, grad(0), _ => 0)))
+    val out = Multimodal.imagePerceptualHashes(spark, imgs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1),
+          if (r.isNullAt(3)) null else (r.getLong(3), r.getLong(4),
+            r.getLong(5)),
+          if (r.isNullAt(2)) null else r.getString(2))).toMap
+    // hand aHash: bit(x,y) = 1 iff 2x+y ≥ 11 (p integer ⇒ ≥ 10.5 ⇔ ≥ 11)
+    var hi = 0L; var lo = 0L; var dh = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val idx = y * 8 + x
+      if (2 * x + y >= 11) {
+        if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+      }
+      // strictly increasing in x ⇒ every dHash bit 0
+    }
+    assert(out(1L) == ((true, (hi, lo, dh), null)))
+    // +30 brightness: identical hashes (and a different filter mix —
+    // the hash sees pixels, not encoding choices)
+    assert(out(2L) == ((true, (hi, lo, dh), null)))
+    assert(out(3L) == ((false, null, "bad_dims")))
+  }
+
+  test("perceptualNearDupPairs: planted near-dup found through the " +
+      "bands, hamming-4 pair rejected, distinct collapse") {
+    import spark.implicits._
+    def img(f: (Int, Int) => Int) =
+      Multimodal.encodePngGray(16, 16, f, y => y % 5)
+    // base: block-checkerboard (strong bit structure); near: one
+    // corner block brightened (≤ 3 bits move); far: inverted pattern
+    def base(x: Int, y: Int): Int =
+      40 + (if (((x / 2) + (y / 2)) % 2 == 0) 120 else 0)
+    val rows = Seq(
+      10L -> img(base),
+      11L -> img((x, y) => base(x, y) + 7), // brightness: hamming 0
+      // near dup: the bright corner block dropped BELOW the global
+      // mean (160 → 40 per pixel) — flips exactly that aHash bit
+      12L -> img((x, y) =>
+        base(x, y) - (if (x < 2 && y < 2) 120 else 0)),
+      13L -> img((x, y) =>
+        40 + (if (((x / 2) + (y / 2)) % 2 == 1) 120 else 0))) // far
+      .map { case (id, b) => (id, "png", b) }
+      .toDF("media_id", "kind", "media")
+    val hashes = Multimodal.imagePerceptualHashes(spark, rows)
+    val pairs = Multimodal.perceptualNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(pairs((10L, 11L)) == 0)
+    assert(pairs.contains((10L, 12L)) && pairs((10L, 12L)) >= 1)
+    // the inverted image flips all 64 bits vs every variant — its
+    // bands CAN'T collide with theirs, and hamming 64 > 3 anyway
+    assert(!pairs.keySet.exists(p => p._1 == 13L || p._2 == 13L))
+    // each surviving pair appears exactly once despite multi-band
+    // agreement (hamming-0 pairs share all 4 bands)
+    val all = Multimodal.perceptualNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length)
+  }
 }
