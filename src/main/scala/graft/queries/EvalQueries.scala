@@ -734,5 +734,55 @@ object EvalQueries {
         |    (CAST(n.n AS HUGEINT) * (n.n - 1)) AS BIGINT)
         |    AS tau_micro
         |FROM n LEFT JOIN d ON n.g = d.g
-        |ORDER BY o_orderpriority""".stripMargin)))
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Fuzzy dedup e2e on the PREFIX-FILTERED EXACT path (r16,
+    // VERDICT r15 #5): q81's pipeline shape (pairs → connected
+    // components → min-id apply) with the pair stage swapped from
+    // banded-MinHash estimation to [[graft.ops.Dedup
+    // .prefixJaccardPairs]] — the scores-unchanged alternative for
+    // composites where exactness matters (decontamination-grade
+    // dedup): no maxDf cap, no estimation, candidates bounded by
+    // RARE-shingle prefixes instead. The oracle computes the full
+    // unfiltered exact-Jaccard pairs (q26's definition) and replays
+    // the component/apply tail (q81's), so the gate pins the entire
+    // exact composite end to end.
+    QuerySpec("q309_dedup_prefix_exact_e2e",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.ops.Dedup.dedupByPairs(docs, "doc_id",
+            graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+              k = 3, tNum = 1, tDen = 2),
+            "id_a", "id_b")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    UNNEST([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    COUNT(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |good AS (SELECT id_a, id_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin)))
 }
