@@ -31,9 +31,16 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg()
+    // Optional partitions override (VERDICT r15 #7): the fleet
+    // rehearsal runs the whole suite at shuffle.partitions ≫ cores
+    // (e.g. 512 — a 1000-executor cluster's floor) to surface any
+    // operator whose constants hide behind 32-partition coziness.
+    // Default stays = cores (the measured local[32] optimum).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

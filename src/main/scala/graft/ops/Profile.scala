@@ -2545,4 +2545,95 @@ object Profile {
           "(__rc2 - (CAST(__k AS DECIMAL(38,0)) + 1) * __n)) div " +
           s"(CAST(__k AS $d38) * __n) AS BIGINT)").as("gini_micro"))
   }
+
+  /** k-ANONYMITY profile (r16; Sweeney 2002, "k-anonymity: a model
+    * for protecting privacy" — public literature): the equivalence-
+    * class-size histogram over the quasi-identifier columns — one
+    * row per observed class size with the class count, the row mass,
+    * and the violation flag (size < k means those rows are
+    * re-identifiable within a group smaller than k). The governance
+    * gate for a training corpus carrying user-derived columns: the
+    * violating mass must be 0 (or get suppressed/generalized)
+    * before release.
+    *
+    * Rows with a NULL in any quasi column form their own classes per
+    * SQL grouping (null == null in GROUP BY) — deliberate: a null
+    * zip code is itself a quasi-identifying value.
+    *
+    * Scale shape: one map-side-combinable groupBy on the quasi
+    * tuple, then a histogram rollup of the ≤|classes| count frame —
+    * the skewProfile ladder; output ≤|distinct sizes| rows. */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty,
+      "kAnonymityProfile: need at least one quasi-identifier column")
+    require(k > 1, "kAnonymityProfile: k must be > 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"),
+        (col("class_size") < k).as("violates_k"))
+  }
+
+  /** k-anonymity SUPPRESSION — the apply step of
+    * [[kAnonymityProfile]] (the release filter): keep exactly the
+    * rows whose quasi-identifier equivalence class has at least k
+    * members; everything smaller is suppressed. Columns pass through
+    * unchanged. Same null semantics as the profile (null quasi
+    * tuples are classes too — suppressed like any other when small).
+    *
+    * Scale shape: one map-side-combinable class count + one keyed
+    * semi-join of the row side against the ≥k classes — no window
+    * over the raw rows (a `count over partitionBy(quasi)` would land
+    * a hot class in one un-splittable task; the join is
+    * AQE-splittable, the q303 df-pass argument). */
+  def kAnonymitySuppress(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty,
+      "kAnonymitySuppress: need at least one quasi-identifier column")
+    require(k > 1, "kAnonymitySuppress: k must be > 1")
+    val q = quasiCols.map(col)
+    val safe = df.groupBy(q: _*)
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") >= k)
+      .select(q: _*)
+    // null-safe key match: a null quasi value must join its own
+    // class (plain equi-join would drop every null-keyed row)
+    df.join(safe, quasiCols.map(c => df(c) <=> safe(c))
+      .reduce(_ && _), "left_semi")
+  }
+
+  /** l-DIVERSITY profile (r16; Machanavajjhala et al. 2007,
+    * "l-diversity: privacy beyond k-anonymity" — public literature):
+    * k-anonymity's necessary complement — a class of 1000 rows that
+    * all share one sensitive value still discloses it. Per
+    * equivalence class over the quasi columns, the number of
+    * DISTINCT sensitive values, rolled into the diversity histogram:
+    * one row per observed distinct-count with the class count, row
+    * mass, and the violation flag (< l distinct sensitive values).
+    * NULL sensitive values are excluded from the distinct count
+    * (unknown is not a disclosure) but their rows stay in the mass.
+    *
+    * Scale shape: (quasi, sensitive) pre-count → per-class distinct
+    * + mass in one second pass → histogram; all three aggregations
+    * map-side combinable, no countDistinct expand. */
+  def lDiversityProfile(df: DataFrame, quasiCols: Seq[String],
+      sensCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty,
+      "lDiversityProfile: need at least one quasi-identifier column")
+    require(l > 1, "lDiversityProfile: l must be > 1")
+    val q = quasiCols.map(col)
+    df.groupBy(q :+ col(sensCol): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(q: _*)
+      .agg(count(when(col(sensCol).isNotNull, 1)).as("__d"),
+        sum(col("__cnt")).as("__rows"))
+      .groupBy(col("__d").as("n_sensitive"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("__rows")).as("n_rows"))
+      .select(col("n_sensitive"), col("n_classes"), col("n_rows"),
+        (col("n_sensitive") < l).as("violates_l"))
+  }
 }

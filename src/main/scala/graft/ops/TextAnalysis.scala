@@ -406,4 +406,99 @@ object TextAnalysis {
       .withColumn("keep", col("n_bigrams") > 0 &&
         col("nll_sum_micro") <= lit(thresholdMicroPerTok) * col("n_bigrams"))
   }
+
+  /** ROUGE-N overlap eval (r16; Lin 2004, "ROUGE: A Package for
+    * Automatic Evaluation of Summaries" — public literature) over
+    * (candidate, reference) TEXT PAIRS — the corpus-scale
+    * summarization/generation scorer: per pair, the CLIPPED n-gram
+    * overlap Σ_g min(count_cand(g), count_ref(g)) and the three
+    * integer-micro scores
+    * precision = (10⁶·overlap) div n_cand_grams,
+    * recall    = (10⁶·overlap) div n_ref_grams,
+    * f1        = (2·10⁶·overlap) div (n_cand + n_ref)
+    * (the harmonic mean collapses to 2o/(nc+nr) — NO floats
+    * anywhere). Pairs where a side has fewer than n tokens score 0
+    * with the gram count 0 (nothing to match), not null — the
+    * aggregate consumer averages without null rules.
+    *
+    * Scale shape: ONE side-tagged explode of the compiled k-gram
+    * expression + one map-side-combinable (pair, gram) count, then
+    * one (pair) sum of the per-gram mins — both shuffles keyed by
+    * the pair id, so a 10⁹-pair eval set spreads evenly; no join of
+    * two exploded frames (the naive two-frame shape shuffles the
+    * gram space twice and meets in a worst-case-skewed gram join).
+    * Per-pair gram totals are per-row arithmetic in the base scan.
+    *
+    * Precondition: no NULL texts (the [[graft.ops.Dedup
+    * .dedupIncrement]] rule; filter upstream — a null side would
+    * silently score 0 against a real summary). */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n > 0, "rougeN: n must be positive")
+    import graft.functions.sketches.shingles_all
+    def grams(c: Column) = shingles_all(c, n)
+    def side(textCol: String, cc: Long, cr: Long) =
+      pairs.select(col(idCol),
+        explode(grams(col(textCol))).as("__gram"),
+        lit(cc).as("__c"), lit(cr).as("__r"))
+    val overlap = side(candCol, 1L, 0L).unionByName(side(refCol, 0L, 1L))
+      .groupBy(col(idCol), col("__gram"))
+      .agg(sum(col("__c")).as("__cc"), sum(col("__r")).as("__cr"))
+      .groupBy(col(idCol))
+      .agg(sum(least(col("__cc"), col("__cr"))).as("__o"))
+    val totals = pairs.select(col(idCol),
+      greatest(size(grams(col(candCol))), lit(0)).cast("long")
+        .as("n_cand_grams"),
+      greatest(size(grams(col(refCol))), lit(0)).cast("long")
+        .as("n_ref_grams"))
+    totals.join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_cand_grams"), col("n_ref_grams"),
+        coalesce(col("__o"), lit(0L)).as("n_overlap"))
+      .withColumn("precision_micro",
+        when(col("n_cand_grams") > 0,
+          expr("(1000000 * n_overlap) div n_cand_grams"))
+          .otherwise(0L))
+      .withColumn("recall_micro",
+        when(col("n_ref_grams") > 0,
+          expr("(1000000 * n_overlap) div n_ref_grams"))
+          .otherwise(0L))
+      .withColumn("f1_micro",
+        when(col("n_cand_grams") + col("n_ref_grams") > 0,
+          expr("(2000000 * n_overlap) div (n_cand_grams + n_ref_grams)"))
+          .otherwise(0L))
+  }
+
+  /** Distinct-n generation-diversity profile (r16; Li et al. 2016,
+    * "A Diversity-Promoting Objective Function for Neural
+    * Conversation Models" — public literature): per group (source,
+    * model arm, language…), the number of DISTINCT n-grams over the
+    * total n-gram count, distinct_micro = (10⁶·distinct) div total —
+    * the standard mode-collapse/templating detector for generated
+    * corpora (a low ratio = the corpus repeats itself). Fully
+    * rational; groups whose texts are all shorter than n tokens drop
+    * (no grams — nothing to measure).
+    *
+    * Scale shape: one explode + one map-side-combinable
+    * (group, gram) count, then a (group) rollup of that
+    * spectrum-sized frame — exact distinct without
+    * countDistinct's internal expand, and the same two-shuffle
+    * ladder every spectrum op in this file rides. */
+  def distinctNGramDiversity(df: DataFrame, groupCols: Seq[String],
+      textCol: String, n: Int): DataFrame = {
+    require(n > 0, "distinctNGramDiversity: n must be positive")
+    require(groupCols.nonEmpty,
+      "distinctNGramDiversity: need at least one group column " +
+        "(use a literal for a whole-corpus profile)")
+    import graft.functions.sketches.shingles_all
+    val g = groupCols.map(col)
+    df.filter(col(textCol).isNotNull)
+      .select(g :+ explode(shingles_all(col(textCol), n)).as("__gram"): _*)
+      .groupBy(g :+ col("__gram"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("__cnt")).as("n_total"))
+      .withColumn("distinct_micro",
+        expr("(1000000 * n_distinct) div n_total"))
+  }
 }

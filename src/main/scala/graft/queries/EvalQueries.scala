@@ -784,5 +784,145 @@ object EvalQueries {
         |  FROM reach GROUP BY src)
         |SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
-        |ORDER BY doc_id""".stripMargin)))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ROUGE-2 pair eval (r16, Lin 2004): clipped bigram overlap +
+    // integer-micro precision/recall/F1 over (candidate, reference)
+    // pairs — adjacent documents (doc_id, doc_id+1) as the
+    // deterministic pair fixture (the templated corpus gives real
+    // partial overlaps, not all-0/all-10⁶). F1 collapses to
+    // 2o/(nc+nr): no floats anywhere. One side-tagged explode +
+    // two pair-keyed combinable aggregations.
+    QuerySpec("q311_rouge2_pairs",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+        val pairs = d.select(col("doc_id"), col("text").as("cand"))
+          .join(d.select((col("doc_id") - 1).as("doc_id"),
+            col("text").as("ref")), Seq("doc_id"))
+        graft.ops.TextAnalysis.rougeN(pairs, "doc_id", "cand", "ref",
+            n = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT a.doc_id,
+        |    string_split_regex(trim(a.text), '\s+') AS ct,
+        |    string_split_regex(trim(b.text), '\s+') AS rt
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL),
+        |cg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cc
+        |  FROM (SELECT doc_id, UNNEST([array_to_string(ct[i:i+1], ' ')
+        |      FOR i IN generate_series(1, len(ct) - 1)]) AS g
+        |    FROM p WHERE len(ct) >= 2) GROUP BY 1, 2),
+        |rg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cr
+        |  FROM (SELECT doc_id, UNNEST([array_to_string(rt[i:i+1], ' ')
+        |      FOR i IN generate_series(1, len(rt) - 1)]) AS g
+        |    FROM p WHERE len(rt) >= 2) GROUP BY 1, 2),
+        |ov AS (SELECT doc_id, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS o
+        |  FROM cg JOIN rg USING (doc_id, g) GROUP BY 1),
+        |tot AS (SELECT doc_id,
+        |    CAST(CASE WHEN len(ct) >= 2 THEN len(ct) - 1 ELSE 0 END
+        |      AS BIGINT) AS nc,
+        |    CAST(CASE WHEN len(rt) >= 2 THEN len(rt) - 1 ELSE 0 END
+        |      AS BIGINT) AS nr
+        |  FROM p)
+        |SELECT tot.doc_id AS doc_id, nc AS n_cand_grams,
+        |  nr AS n_ref_grams,
+        |  COALESCE(o, 0) AS n_overlap,
+        |  CAST(CASE WHEN nc > 0
+        |    THEN (1000000 * COALESCE(o, 0)) // nc ELSE 0 END
+        |    AS BIGINT) AS precision_micro,
+        |  CAST(CASE WHEN nr > 0
+        |    THEN (1000000 * COALESCE(o, 0)) // nr ELSE 0 END
+        |    AS BIGINT) AS recall_micro,
+        |  CAST(CASE WHEN nc + nr > 0
+        |    THEN (2000000 * COALESCE(o, 0)) // (nc + nr) ELSE 0 END
+        |    AS BIGINT) AS f1_micro
+        |FROM tot LEFT JOIN ov ON ov.doc_id = tot.doc_id
+        |ORDER BY tot.doc_id""".stripMargin)),
+
+    // Distinct-2 diversity per source (r16, Li et al. 2016): the
+    // mode-collapse detector — distinct bigrams over total bigrams
+    // as an exact integer micro, per corpus slice. Exact distinct
+    // via the two-level (group, gram) spectrum, no countDistinct
+    // expand.
+    QuerySpec("q312_distinct_ngram",
+      (s, dir) => graft.ops.TextAnalysis.distinctNGramDiversity(
+          table(s, dir, "documents"), Seq("source"), "text", n = 2)
+        .orderBy(col("source").asc_nulls_last),
+      Some("""WITH t AS (SELECT source,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source, UNNEST([array_to_string(toks[i:i+1], ' ')
+        |    FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM g GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |  CAST((1000000 * COUNT(*)) // SUM(cnt) AS BIGINT)
+        |    AS distinct_micro
+        |FROM c GROUP BY source ORDER BY source NULLS LAST"""
+        .stripMargin)),
+
+    // k-anonymity profile (r16, Sweeney 2002): the equivalence-
+    // class-size histogram over (nation, market segment) as the
+    // quasi-identifier pair — the governance gate for user-derived
+    // training columns; classes smaller than k=10 flag.
+    QuerySpec("q313_k_anonymity",
+      (s, dir) => graft.ops.Profile.kAnonymityProfile(
+          table(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .orderBy(col("class_size")),
+      Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT sz AS class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(sz * COUNT(*) AS BIGINT) AS n_rows,
+        |  sz < 10 AS violates_k
+        |FROM cls GROUP BY sz ORDER BY class_size""".stripMargin)),
+
+    // k-anonymity suppression (r16): the apply step — the release
+    // filter keeps exactly the rows whose (nation, segment) class
+    // has ≥ k members. Semi-join shape, not a class-count window
+    // (a hot class would land in one un-splittable task).
+    QuerySpec("q315_k_anonymity_suppress",
+      (s, dir) => graft.ops.Profile.kAnonymitySuppress(
+          table(s, dir, "customer").select(col("c_custkey"),
+            col("c_nationkey"), col("c_mktsegment")),
+          Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .orderBy(col("c_custkey")),
+      Some("""WITH safe AS (SELECT c_nationkey, c_mktsegment
+        |  FROM customer GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        |SELECT c_custkey, c.c_nationkey, c.c_mktsegment
+        |FROM customer c JOIN safe s
+        |  ON s.c_nationkey = c.c_nationkey
+        | AND s.c_mktsegment = c.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // l-diversity profile (r16, Machanavajjhala et al. 2007):
+    // k-anonymity's complement — per (customer-bucket, priority)
+    // equivalence class (fine enough that the status histogram is
+    // non-degenerate: classes land at 1, 2 AND 3 distinct statuses),
+    // the distinct order-status histogram; classes with < 3 distinct
+    // sensitive values flag even when they are k-large.
+    QuerySpec("q314_l_diversity",
+      (s, dir) => graft.ops.Profile.lDiversityProfile(
+          table(s, dir, "orders").select(
+            expr("o_custkey div 10").as("cust_bucket"),
+            col("o_orderpriority"), col("o_orderstatus")),
+          Seq("cust_bucket", "o_orderpriority"), "o_orderstatus",
+          l = 3L)
+        .orderBy(col("n_sensitive")),
+      Some("""WITH c AS (SELECT o_custkey // 10 AS cust_bucket,
+        |    o_orderpriority, o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM orders
+        |  GROUP BY 1, 2, 3),
+        |d AS (SELECT cust_bucket, o_orderpriority,
+        |    CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL THEN 1 END)
+        |      AS BIGINT) AS nd,
+        |    CAST(SUM(cnt) AS BIGINT) AS rws
+        |  FROM c GROUP BY 1, 2)
+        |SELECT nd AS n_sensitive, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(rws) AS BIGINT) AS n_rows, nd < 3 AS violates_l
+        |FROM d GROUP BY nd ORDER BY n_sensitive""".stripMargin)))
 }

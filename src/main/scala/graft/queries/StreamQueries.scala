@@ -163,6 +163,100 @@ object StreamQueries {
     }
   }
 
+  /** Two epochs (+ a replay) of [[graft.streaming.StreamingIngest
+    * .driftMonitorBatch]] — the last `StreamingIngest` member without
+    * its own epoch gate (VERDICT r15 #6; q241 replays ONE epoch):
+    * src2 splits by doc_id parity, each epoch merges its half into
+    * the cumulative per-value count state through the `_epoch`
+    * ledger and lands the four-statistic report of EVERYTHING
+    * observed so far vs the frozen src1 profile, and the replayed
+    * epoch 1 must no-op at the state (byte-idempotent at the
+    * monitor). The gate reads BOTH epoch reports, so the
+    * intermediate cumulative state (epoch 0 = even-doc src2 only)
+    * is itself under the oracle — a stronger check than the final
+    * all-observed row set alone. */
+  private def driftMonitorEpochsRoot(s: SparkSession,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(
+        s"/tmp/graft_drift_monitor_epochs/${tag}_$fp") { tmp =>
+      val docs = table(s, dir, "documents")
+      val ref = graft.ops.Profile.distCounts(
+        docs.filter(col("source") === "src1").select(col("n_chars")),
+        "n_chars").localCheckpoint() // ≤|values| rows, reused 3×
+      val src2 = docs.filter(col("source") === "src2")
+        .select(col("doc_id"), col("n_chars"))
+      def epoch(parity: Int, id: Long): Unit =
+        StreamingIngest.driftMonitorBatch(
+          src2.filter(col("doc_id") % 2 === parity)
+            .select(col("n_chars")),
+          "n_chars", ref, s"$tmp/state", s"$tmp/monitor", id)
+      epoch(0, 0L)
+      epoch(1, 1L)
+      epoch(1, 1L) // replay: the ledger no-ops the state merge
+    }
+  }
+
+  /** The four-statistic (KS/U/W₁/CvM) integer-micro drift-report
+    * oracle of src1 vs the src2 rows satisfying `src2Pred` —
+    * q230/q241's shared arithmetic with the probe side
+    * parameterized, so the two-epoch gate can check the epoch-0
+    * (even docs only) AND epoch-1 (all of src2) cumulative reports
+    * from one generator. */
+  private def driftReportSqlFor(src2Pred: String): String =
+    s"""WITH c AS (SELECT n_chars AS v,
+      |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM documents
+      |  WHERE source = 'src1'
+      |     OR (source = 'src2' AND ($src2Pred))
+      |  GROUP BY n_chars),
+      |r AS (SELECT v, ca, cb,
+      |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS ia,
+      |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS ib,
+      |    LEAD(v) OVER (ORDER BY v) AS nv
+      |  FROM c),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+      |    CAST(SUM(cb) AS BIGINT) AS n2 FROM c)
+      |SELECT * FROM (
+      |  SELECT 'ks' AS stat, t.n1, t.n2,
+      |    CAST((1000000 * CAST(MAX(ABS(ia * t.n2 - ib * t.n1))
+      |      AS HUGEINT)) // (CAST(t.n1 AS HUGEINT) * t.n2)
+      |      AS BIGINT) AS stat_micro
+      |  FROM r, t GROUP BY t.n1, t.n2
+      |  UNION ALL
+      |  SELECT 'u', t.n1, t.n2,
+      |    CAST((1000000 * (SUM(CAST(ca AS HUGEINT) *
+      |        (2 * (ia - ca + ib - cb) + ca + cb + 1)) -
+      |      CAST(t.n1 AS HUGEINT) * (t.n1 + 1))) //
+      |      (2 * CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
+      |  FROM r, t GROUP BY t.n1, t.n2
+      |  UNION ALL
+      |  SELECT 'w1', t.n1, t.n2,
+      |    CAST((1000000 * SUM(CASE WHEN nv IS NOT NULL
+      |      THEN CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+      |        (nv - v) ELSE 0 END)) //
+      |      (CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
+      |  FROM r, t GROUP BY t.n1, t.n2
+      |  UNION ALL
+      |  SELECT 'cvm', t.n1, t.n2,
+      |    CAST((1000000 * SUM(CAST(ca + cb AS HUGEINT) *
+      |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+      |          ABS(ia * t.n2 - ib * t.n1)) //
+      |         (CAST(t.n1 AS HUGEINT) * t.n2))) +
+      |      (1000000 * SUM(CAST(ca + cb AS HUGEINT) *
+      |        ((CAST(ABS(ia * t.n2 - ib * t.n1) AS HUGEINT) *
+      |          ABS(ia * t.n2 - ib * t.n1)) %
+      |         (CAST(t.n1 AS HUGEINT) * t.n2)))) //
+      |        (CAST(t.n1 AS HUGEINT) * t.n2)) //
+      |      (CAST(t.n1 + t.n2 AS HUGEINT) * (t.n1 + t.n2))
+      |      AS BIGINT)
+      |  FROM r, t GROUP BY t.n1, t.n2
+      |)""".stripMargin
+
   def all: Seq[QuerySpec] = Seq(
 
     // Streaming HLL maintenance, two epochs + a replay through the
@@ -316,5 +410,28 @@ object StreamQueries {
         |  CAST(COUNT(*) AS INTEGER) AS nd_buckets,
         |  CAST(SUM(CAST(1 AS BIGINT) << (53 - rho_max)) AS BIGINT)
         |    AS nd_s53
-        |FROM reg GROUP BY w ORDER BY window_end_s""".stripMargin)))
+        |FROM reg GROUP BY w ORDER BY window_end_s""".stripMargin)),
+
+    // Streaming drift monitor, TWO epochs + a replay through the
+    // _epoch ledger (r16, VERDICT r15 #6 — q241 covers one epoch):
+    // src2 splits by doc_id parity; each epoch's landed report is
+    // the four-statistic drift of the CUMULATIVE state vs the frozen
+    // src1 profile, so epoch 0's rows pin the intermediate state
+    // (even docs only) and epoch 1's pin the all-observed merge; the
+    // replayed epoch 1 must leave both unchanged. Oracle re-derives
+    // both cumulative reports from the raw documents table.
+    QuerySpec("q310_drift_monitor_epochs",
+      (s, dir) => {
+        val root = driftMonitorEpochsRoot(s, dir)
+        s.read.parquet(s"$root/monitor/epoch_0")
+          .unionByName(s.read.parquet(s"$root/monitor/epoch_1"))
+          .orderBy(col("epoch"), col("stat"))
+      },
+      Some(s"""SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS epoch, q0.*
+           |  FROM (${driftReportSqlFor("doc_id % 2 = 0")}) q0
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT) AS epoch, q1.*
+           |  FROM (${driftReportSqlFor("TRUE")}) q1
+           |) ORDER BY epoch, stat""".stripMargin)))
 }
