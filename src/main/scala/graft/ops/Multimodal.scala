@@ -942,6 +942,132 @@ object Multimodal {
       .toDF("media_id", "ok", "reason", "ahash_hi", "ahash_lo", "dhash")
   }
 
+  /** Fixed-point cosine table for [[imageDctHash]] — ONE
+    * Scala-computed table shared by the Spark kernel and the oracle
+    * SQL builder (`cosMicroSqlValues`), so the two engines agree by
+    * construction, not by trusting two trig implementations to round
+    * alike: C(u,x) = round(10⁶·cos(π(2x+1)u/32)) for the 16-pixel
+    * axis and the 8 retained frequencies. StrictMath keeps the table
+    * itself reproducible across JVMs. */
+  private[graft] val cosMicro: Array[Array[Long]] =
+    Array.tabulate(8, 16)((u, x) =>
+      Math.round(1e6 * StrictMath.cos(Math.PI * (2 * x + 1) * u / 32)))
+
+  /** The table as SQL VALUES rows `(u, x, c)` for the oracle CTE. */
+  private[graft] def cosMicroSqlValues: String =
+    (for (u <- 0 until 8; x <- 0 until 16)
+      yield s"($u,$x,${cosMicro(u)(x)})").mkString(", ")
+
+  /** pHash-style DCT perceptual hash (r16) — the frequency-domain
+    * third member of the perceptual tier ([[imagePerceptualHashes]]
+    * holds the spatial two): the unnormalized 2-D DCT-II of the
+    * decoded 16×16 greyscale image in EXACT fixed-point arithmetic
+    * (the shared [[cosMicro]] table; per-coefficient sums peak at
+    * 255·10¹²·256 ≈ 6.5·10¹⁶ — inside int64), keeping the 8×8
+    * low-frequency block minus DC AND minus the (7,7) Nyquist corner
+    * = 62 AC coefficients, each thresholded against their exact
+    * discrete median (element 30 of the sorted 62 — no
+    * interpolation, no floats). Bit u·8+v of the single BIGINT hash
+    * (bits 1..62; bits 0 and 63 stay 0, so the value is NON-NEGATIVE
+    * — bit 63 would be the sign bit in the JVM and an outright
+    * overflow in DuckDB's checked `<<`). Omitting
+    * the α(u) normalization is deliberate and documented: the median
+    * threshold makes the hash invariant to any GLOBAL scale, and the
+    * per-frequency weights only re-rank coefficients — a fixed,
+    * engine-replayable variant of the published pHash, not a claim
+    * of bit-compatibility with any library. Uniform brightness
+    * shifts land entirely in the discarded DC term, so
+    * brightness-variant copies hash IDENTICALLY (stronger than
+    * aHash's block-mean invariance). Non-16×16 frames dead-letter
+    * as `bad_dims`. */
+  def imageDctHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          decodePngGray(r.media) match {
+            case Right((16, 16, px)) =>
+              val f = new Array[Long](64)
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  var acc = 0L
+                  var y = 0
+                  while (y < 16) {
+                    val cv = cosMicro(v)(y)
+                    var x = 0
+                    var rowAcc = 0L
+                    while (x < 16) {
+                      rowAcc += px(y * 16 + x) * cosMicro(u)(x)
+                      x += 1
+                    }
+                    acc += rowAcc * cv
+                    y += 1
+                  }
+                  f(u * 8 + v) = acc
+                  v += 1
+                }
+                u += 1
+              }
+              val ac = java.util.Arrays.copyOfRange(f, 1, 63)
+              java.util.Arrays.sort(ac)
+              val med = ac(30)
+              var h = 0L
+              var i = 1
+              while (i < 63) {
+                if (f(i) > med) h |= 1L << i
+                i += 1
+              }
+              (r.media_id, true, Option.empty[String], Option(h))
+            case Right(_) =>
+              (r.media_id, false, Option("bad_dims"),
+                Option.empty[Long])
+            case Left(reason) =>
+              (r.media_id, false, Option(reason), Option.empty[Long])
+          }
+        }
+      }
+      .toDF("media_id", "ok", "reason", "phash")
+  }
+
+  /** Near-dup pairs from an [[imageDctHash]] frame — the banded
+    * hamming join on the 62-bit (bits 0 and 63 always clear) DCT
+    * hash: 4
+    * disjoint 16-bit bands, pigeonhole recall to hamming ≤ 3,
+    * candidates from a band-keyed equi self-join, true hamming
+    * filter after. The q308 move on the frequency-domain hash. */
+  def dctNearDupPairs(hashes: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "dctNearDupPairs: 4 bands of 16 guarantee recall only to " +
+        s"hamming 3, got $maxHamming")
+    val okh = hashes.filter(col("ok"))
+      .select(col("media_id"), col("phash"))
+    val banded = okh.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * 16)
+              .bitwiseAND(lit(65535L)).as("bv"))): _*)).as("bd"))
+      .select(col("media_id"), col("phash"),
+        col("bd.band").as("band"), col("bd.bv").as("bv"))
+    banded.select(col("media_id").as("id_a"),
+        col("phash").as("__pa"), col("band"), col("bv"))
+      .join(banded.select(col("media_id").as("id_b"),
+          col("phash").as("__pb"), col("band").as("__band2"),
+          col("bv").as("__bv2")),
+        col("band") === col("__band2") && col("bv") === col("__bv2") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__pa"), col("__pb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__pa").bitwiseXOR(col("__pb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
   /** Perceptual near-dup pairs from an [[imagePerceptualHashes]]
     * frame — the banded-hamming LSH join (the q28/q71 SimHash move on
     * image hashes): the 64 aHash bits split into 4 disjoint 16-bit

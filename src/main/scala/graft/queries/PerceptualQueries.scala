@@ -182,5 +182,78 @@ object PerceptualQueries {
         |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming,
         |  CAST(dhash_hamming AS INTEGER) AS dhash_hamming
         |FROM pr WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // DCT pHash (r16): the frequency-domain third hash — exact
+    // fixed-point 2-D DCT-II over the decoded pixels with the
+    // SHARED Scala-generated cosine table (both engines consume the
+    // same 128 integer constants, so no trig-rounding trust), 62 AC
+    // coefficients (DC and the (7,7) Nyquist corner dropped — bit 63
+    // is the JVM sign bit and an overflow in DuckDB's checked shift)
+    // thresholded at their discrete median (quantile_disc(0.5) ≡
+    // sorted[30], verified semantics).
+    // Uniform brightness lands entirely in the discarded DC term.
+    QuerySpec("q316_dct_phash",
+      (s, dir) => Multimodal.imageDctHash(s, pngPixelFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH $pixelSql,
+        |$dctSql
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_crc' END AS reason,
+        |  ph.phash
+        |FROM documents d LEFT JOIN ph ON d.doc_id = ph.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // DCT near-dup pairs (r16): the banded-hamming join on the
+    // frequency hash. Brightness variants 0–2 hash IDENTICALLY
+    // (DC-only difference — stronger than the aHash tier, whose
+    // blocks shift together but whose bits can flip at the mean
+    // boundary); the variant-3 corner perturbation and the group
+    // watermark land where the spatial tier put them.
+    QuerySpec("q317_dct_pairs",
+      (s, dir) => Multimodal.dctNearDupPairs(
+          Multimodal.imageDctHash(s, pngPixelFixture(s, dir)),
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $pixelSql,
+        |$dctSql,
+        |bands AS (
+        |  SELECT doc_id, b.band, (phash >> (b.band * 16)) & 65535 AS bv
+        |  FROM ph, (SELECT UNNEST([0, 1, 2, 3]) AS band) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |pr AS (SELECT c.id_a, c.id_b,
+        |    bit_count(xor(pa.phash, pb.phash)) AS hamming
+        |  FROM cand c JOIN ph pa ON pa.doc_id = c.id_a
+        |  JOIN ph pb ON pb.doc_id = c.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        |FROM pr WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin)))
+
+  /** The exact fixed-point DCT pipeline over [[pixelSql]] as a DuckDB
+    * CTE — constants injected from [[Multimodal.cosMicro]] (the ONE
+    * shared table), row-sums first then the column pass, mirroring
+    * the kernel's associativity exactly (integer addition — any
+    * order agrees). */
+  private def dctSql: String =
+    s"""ct AS (SELECT * FROM (VALUES ${Multimodal.cosMicroSqlValues})
+      |  t(u, x, c)),
+      |rs AS (SELECT p.doc_id, ct.u, p.y,
+      |    CAST(SUM(p.p * ct.c) AS BIGINT) AS rsum
+      |  FROM px p JOIN ct ON ct.x = p.x GROUP BY 1, 2, 3),
+      |coef AS (SELECT r.doc_id, r.u, cv.u AS v,
+      |    CAST(SUM(r.rsum * cv.c) AS BIGINT) AS f
+      |  FROM rs r JOIN ct cv ON cv.x = r.y GROUP BY 1, 2, 3),
+      |med AS (SELECT doc_id, quantile_disc(f, 0.5) AS m FROM coef
+      |  WHERE u * 8 + v NOT IN (0, 63) GROUP BY 1),
+      |ph AS (SELECT c.doc_id,
+      |    CAST(SUM(CASE WHEN c.u * 8 + c.v NOT IN (0, 63)
+      |        AND c.f > m.m
+      |      THEN CAST(1 AS BIGINT) << (c.u * 8 + c.v)
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM coef c JOIN med m ON m.doc_id = c.doc_id GROUP BY 1)"""
+      .stripMargin
 }

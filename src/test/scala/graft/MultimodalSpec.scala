@@ -488,4 +488,85 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(all.length == all.distinct.length)
   }
+
+  /** Independent DCT hash reference: BigInt accumulation in the
+    * OPPOSITE loop nesting (v-major, no row-sum factoring) + a Seq
+    * sort for the median — shares nothing with the kernel but the
+    * cosine table (which IS the contract: one shared table, two
+    * independent consumers). */
+  private def refDctHash(p: (Int, Int) => Int): Long = {
+    val f = for (u <- 0 until 8; v <- 0 until 8) yield {
+      var acc = BigInt(0)
+      for (x <- 0 until 16; y <- 0 until 16)
+        acc += BigInt(p(x, y)) * Multimodal.cosMicro(u)(x) *
+          Multimodal.cosMicro(v)(y)
+      (u * 8 + v, acc)
+    }
+    val keep = f.filter { case (i, _) => i != 0 && i != 63 }
+    val med = keep.map(_._2).sorted.apply(30)
+    keep.filter(_._2 > med)
+      .map { case (i, _) => 1L << i }.foldLeft(0L)(_ | _)
+  }
+
+  test("imageDctHash: ≡ BigInt opposite-order reference, brightness " +
+      "lands in the discarded DC (identical hash), bad_dims lane, " +
+      "every coefficient inside int64") {
+    import spark.implicits._
+    def img(f: (Int, Int) => Int) =
+      Multimodal.encodePngGray(16, 16, f, y => y % 5)
+    def tex(x: Int, y: Int): Int =
+      (x * x * 3 + y * 7 + (x * y) % 11) % 200
+    val rows = Seq(
+      (20L, "png", img(tex)),
+      (21L, "png", img((x, y) => tex(x, y) + 55)),       // +DC only
+      (22L, "png", img((x, y) => 255 - tex(x, y))),      // inverted
+      (23L, "png", Multimodal.encodePngGray(8, 8,
+        (x, y) => x + y, _ => 0)))                       // bad dims
+      .toDF("media_id", "kind", "media")
+    val out = Multimodal.imageDctHash(spark, rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(out(20L) == ((true, refDctHash(tex), null)))
+    assert(out(21L)._2 == out(20L)._2,
+      "a uniform +55 must land entirely in the discarded DC term")
+    assert(out(22L) == ((true,
+      refDctHash((x, y) => 255 - tex(x, y)), null)))
+    assert(out(22L)._2 != out(20L)._2)
+    assert(out(23L) == ((false, -1L, "bad_dims")))
+    // worst-case magnitude claim in the scaladoc: all-255 image
+    val extreme = refDctHash((_, _) => 255) // must not throw/overflow
+    assert(extreme == 0L) // constant image: every AC coefficient ties
+  }
+
+  test("dctNearDupPairs: banding is lossless to hamming 3 " +
+      "(≡ brute-force pairs from the same hashes)") {
+    import spark.implicits._
+    def img(f: (Int, Int) => Int) =
+      Multimodal.encodePngGray(16, 16, f, y => y % 5)
+    def base(x: Int, y: Int): Int =
+      40 + (if (((x / 2) + (y / 2)) % 2 == 0) 120 else 0)
+    val rows = Seq(
+      30L -> img(base),
+      31L -> img((x, y) => base(x, y) + 7),    // DC shift: hamming 0
+      32L -> img((x, y) => base(x, y) +
+        (if (x < 2 && y < 2) 60 else 0)),      // local bump: small
+      33L -> img((x, y) => 160 - base(x, y) + 40)) // inverted: far
+      .map { case (id, b) => (id, "png", b) }
+      .toDF("media_id", "kind", "media")
+    val hashes = Multimodal.imageDctHash(spark, rows)
+    val hs = hashes.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      h = java.lang.Long.bitCount(hs(a) ^ hs(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    val got = Multimodal.dctNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(got == brute, "banded join must equal brute force ≤ 3")
+    assert(got((30L, 31L)) == 0)
+    assert(!got.keySet.exists(p => p._1 == 33L || p._2 == 33L))
+  }
 }
