@@ -1122,4 +1122,132 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** Exact integer-micro CENTERED SCATTER matrix of the embedding
+    * corpus (r16) — the sufficient statistic for PCA, n²-scaled so
+    * no division ever happens: M = n·G − s·sᵀ over the micro-
+    * quantized vectors (G = Σᵥ xᵥxᵥᵀ, s = Σᵥ xᵥ). M is positive
+    * semidefinite and shares eigenvectors with the covariance (the
+    * n² scale only scales eigenvalues), so the whole PCA chain stays
+    * in EXACT integers until a consumer chooses to divide. Upper
+    * triangle only ((i, j), i ≤ j — the matrix is symmetric); rows
+    * with a null vector or the wrong width drop (the kmeansMicro
+    * null rule).
+    *
+    * Bounds (documented so the 100 TB story is arithmetic, not
+    * hope): |x| < 1 ⇒ |xm| ≤ 10⁶, |G| ≤ N·10¹², |M| ≤ 2N²·10¹² —
+    * inside DECIMAL(38,0) to N ≈ 7·10¹² vectors; the power-iteration
+    * consumer multiplies by d·10⁶ more, holding to N ≈ 10⁹ at
+    * d = 64. Gate-scale values fit BIGINT (the driver compare casts).
+    *
+    * Scale shape: ONE scan; the d(d+1)/2 per-row pair products
+    * explode into a (i, j)-keyed map-side-combinable aggregate whose
+    * hash map holds ≤ d² keys per task (the partial agg collapses
+    * immediately — the explode is CPU the multiply itself costs, not
+    * shuffle); the dim-sum lane rides the same scan pattern; the
+    * final join attaches two ≤ d-row broadcast frames. Nothing
+    * driver-side, nothing data-sized past the scan. */
+  def pcaScatterMicro(corpus: DataFrame, vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, "pcaScatterMicro: dims must be positive")
+    val d38 = "decimal(38,0)"
+    val xm = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(transform(col(vecCol),
+        x => floor(x.cast("double") * 1e6).cast("long")).as("__xm"))
+    val g = xm.select(explode(expr(
+        """flatten(transform(sequence(0, size(__xm) - 1),
+          |  i -> transform(sequence(i, size(__xm) - 1),
+          |    j -> named_struct('i', i, 'j', j,
+          |      'p', __xm[i] * __xm[j]))))""".stripMargin)).as("pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"),
+        col("pr.p").cast(d38).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).cast(d38).as("__g"))
+    val s = xm.select(posexplode(col("__xm")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(col("x").cast(d38)).cast(d38).as("__s"),
+        count(lit(1)).as("__n"))
+    g.join(broadcast(s.select(col("dim").as("i"), col("__s").as("__si"),
+        col("__n"))), Seq("i"))
+      .join(broadcast(s.select(col("dim").as("j"),
+        col("__s").as("__sj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("__n").cast(d38) * col("__g") - col("__si") * col("__sj"))
+          .cast(d38).as("m_scatter"))
+  }
+
+  /** Top principal direction by EXACT integer L∞-normalized power
+    * iteration over the [[pcaScatterMicro]] matrix (r16) — the
+    * missing dimensionality-reduction step of the ANN family (PCA
+    * before IVF is the standard recall/compute trade), defined as a
+    * FIXED deterministic integer procedure so the oracle can replay
+    * it verbatim (the q72 unrolled-Lloyd move): start at the unit
+    * micro vector of the largest diagonal (ties → lowest dim), then
+    * `iters` times w = M·v (exact BigInt), v ← (10⁶·w) quot max|w|
+    * (truncation toward zero — JVM quot ≡ Spark div ≡ DuckDB //,
+    * verified). M is PSD, so the iteration converges monotonically
+    * to the dominant eigenvector with no sign flipping; the 10⁻⁶
+    * per-step quantization is part of the DEFINITION, like
+    * kmeansMicro's floor'd means. Degenerate all-zero scatter keeps
+    * the start vector. The scatter collect is ≤ d(d+1)/2 rows —
+    * driver-scale by design (the codebook-update precedent); the
+    * DATA was paid once in the scatter scan. Returns (dim, v_micro)
+    * with ‖v‖∞ = 10⁶. */
+  def principalDirectionMicro(scatter: DataFrame, dims: Int,
+      iters: Int): DataFrame = {
+    require(dims > 0 && iters > 0,
+      "principalDirectionMicro: dims and iters must be positive")
+    val spark = scatter.sparkSession
+    val m = Array.fill(dims, dims)(BigInt(0))
+    scatter.select(col("i").cast("int"), col("j").cast("int"),
+        col("m_scatter").cast("decimal(38,0)"))
+      .collect() // ≤ d(d+1)/2 rows
+      .foreach { r =>
+        val v = BigInt(r.getDecimal(2).toBigInteger)
+        m(r.getInt(0))(r.getInt(1)) = v
+        m(r.getInt(1))(r.getInt(0)) = v
+      }
+    val start = (0 until dims).maxBy(i => (m(i)(i), -i))
+    var v = Array.tabulate(dims)(i =>
+      if (i == start) BigInt(1000000) else BigInt(0))
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => m(i)(j) * v(j)).sum)
+      val mw = w.map(_.abs).max
+      if (mw == 0) t = iters
+      else {
+        v = w.map(x => (x * 1000000) / mw) // BigInt /: trunc to zero
+        t += 1
+      }
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x.toLong) }.toSeq
+      .toDF("dim", "v_micro")
+  }
+
+  /** Exact integer projection of the corpus onto a
+    * [[principalDirectionMicro]] direction (r16): score = Σ xmᵢ·vᵢ
+    * per vector (|score| ≤ d·10¹² at |x| < 1 — comfortably int64).
+    * The direction rides as a LITERAL array (≤ d values, collected
+    * once — the lshBucketPortable plane discipline), so the
+    * projection is one zip_with/aggregate expression per row: zero
+    * shuffle, whole-stage codegen, scan speed. */
+  def pcaProjectMicro(corpus: DataFrame, idCol: String, vecCol: String,
+      direction: DataFrame, dims: Int): DataFrame = {
+    val dv = direction.orderBy(col("dim")).collect()
+      .map(r => r.getLong(r.fieldIndex("v_micro"))) // ≤ d rows
+    require(dv.length == dims,
+      s"pcaProjectMicro: direction has ${dv.length} dims, want $dims")
+    val lits = array(dv.map(lit(_)): _*)
+    corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol),
+        aggregate(
+          zip_with(
+            transform(col(vecCol),
+              x => floor(x.cast("double") * 1e6).cast("long")),
+            lits, (a, b) => a * b),
+          lit(0L), (acc, p) => acc + p).as("score"))
+  }
 }

@@ -86,6 +86,50 @@ object EvalQueries {
       |    ' vy' || CAST(doc_id // 8 AS VARCHAR) AS text
       |  FROM documents)""".stripMargin
 
+  /** The exact integer PCA chain as a DuckDB WITH-body (r16): micro
+    * vectors → full n·G − s·sᵀ scatter → `iters` unrolled
+    * L∞-normalized integer power iterations (the q72 unrolled-Lloyd
+    * move; `//` ≡ JVM/Spark truncation, verified) ending at CTE
+    * `v<iters>`. Shared by the direction and projection gates. */
+  private def pcaChainSql(iters: Int): String = {
+    // every multi-referenced CTE is MATERIALIZED: DuckDB inlines CTEs
+    // by default, and the w/x/v chain references each level twice —
+    // un-materialized, the unrolled plan re-evaluates the whole
+    // prefix per reference (measured ~3× per iteration = exponential
+    // in `iters`; T=8 never finished). MATERIALIZED caps each level
+    // at one evaluation, the semantics the unroll means.
+    def iter(t: Int): String =
+      s"""w$t AS MATERIALIZED (SELECT mf.i AS dim, SUM(mf.m * v.v) AS w
+         |  FROM mf JOIN v${t - 1} v ON v.dim = mf.j GROUP BY 1),
+         |x$t AS (SELECT MAX(ABS(w)) AS mw FROM w$t),
+         |v$t AS MATERIALIZED (SELECT dim, (1000000 * w) // mw AS v
+         |  FROM w$t, x$t)""".stripMargin
+    s"""xm AS MATERIALIZED (SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+       |      FOR x IN embedding] AS v
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+       |gf AS (SELECT a.ai - 1 AS i, b.bj - 1 AS j,
+       |    SUM(CAST(v[a.ai] AS HUGEINT) * v[b.bj]) AS gij
+       |  FROM xm, generate_series(1, 64) a(ai),
+       |    generate_series(1, 64) b(bj)
+       |  GROUP BY 1, 2),
+       |sv AS MATERIALIZED (SELECT i - 1 AS dim,
+       |    SUM(CAST(v[i] AS HUGEINT)) AS s,
+       |    CAST(COUNT(*) AS HUGEINT) AS n
+       |  FROM xm, generate_series(1, 64) g(i) GROUP BY 1),
+       |mf AS MATERIALIZED (SELECT gf.i, gf.j,
+       |    sa.n * gf.gij - sa.s * sb.s AS m
+       |  FROM gf JOIN sv sa ON sa.dim = gf.i
+       |  JOIN sv sb ON sb.dim = gf.j),
+       |v0 AS MATERIALIZED (SELECT t.i AS dim,
+       |    CASE WHEN t.i = (SELECT i FROM mf WHERE i = j
+       |      ORDER BY m DESC, i LIMIT 1)
+       |    THEN CAST(1000000 AS HUGEINT) ELSE 0 END AS v
+       |  FROM range(0, 64) t(i)),
+       |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   /** The 10⁶-scaled 1/log₂(i+1) discounts as a SQL CASE (positions
     * 1..10) — the same published table as
     * [[graft.ops.Profile.ndcgDiscountMicro]]. */
@@ -924,5 +968,89 @@ object EvalQueries {
         |  FROM c GROUP BY 1, 2)
         |SELECT nd AS n_sensitive, CAST(COUNT(*) AS BIGINT) AS n_classes,
         |  CAST(SUM(rws) AS BIGINT) AS n_rows, nd < 3 AS violates_l
-        |FROM d GROUP BY nd ORDER BY n_sensitive""".stripMargin)))
+        |FROM d GROUP BY nd ORDER BY n_sensitive""".stripMargin)),
+
+    // PCA scatter (r16): the exact n²-scaled centered scatter
+    // M = n·G − s·sᵀ over the micro-quantized embeddings — the
+    // sufficient statistic for PCA with NO division anywhere; PSD,
+    // shares eigenvectors with the covariance. One scan, (i,j)-keyed
+    // combinable aggregate (≤ d² groups), upper triangle.
+    QuerySpec("q318_pca_scatter",
+      (s, dir) => graft.ops.Similarity.pcaScatterMicro(
+          table(s, dir, "embeddings"), "embedding", dims = 64)
+        .select(col("i"), col("j"),
+          col("m_scatter").cast("long").as("m_scatter"))
+        .orderBy(col("i"), col("j")),
+      Some("""WITH xm AS (SELECT
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |      FOR x IN embedding] AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |g AS (SELECT a.ai - 1 AS i, b.bj - 1 AS j,
+        |    SUM(CAST(v[a.ai] AS HUGEINT) * v[b.bj]) AS gij
+        |  FROM xm, generate_series(1, 64) a(ai),
+        |    generate_series(1, 64) b(bj)
+        |  WHERE b.bj >= a.ai GROUP BY 1, 2),
+        |s AS (SELECT i - 1 AS dim, SUM(CAST(v[i] AS HUGEINT)) AS s,
+        |    CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM xm, generate_series(1, 64) g(i) GROUP BY 1)
+        |SELECT g.i, g.j,
+        |  CAST(sa.n * g.gij - sa.s * sb.s AS BIGINT) AS m_scatter
+        |FROM g JOIN s sa ON sa.dim = g.i JOIN s sb ON sb.dim = g.j
+        |ORDER BY g.i, g.j""".stripMargin)),
+
+    // Top principal direction (r16): exact integer L∞-normalized
+    // power iteration on the scatter — a FIXED deterministic
+    // procedure (8 iterations, trunc-toward-zero renorm), so the
+    // oracle replays it verbatim as 8 unrolled CTEs (the q72
+    // unrolled-Lloyd move). Train-in-query; q320 is the persisted
+    // steady twin (standing rule 1).
+    QuerySpec("q319_pca_direction",
+      (s, dir) => graft.ops.Similarity.principalDirectionMicro(
+          graft.ops.Similarity.pcaScatterMicro(
+            table(s, dir, "embeddings"), "embedding", dims = 64),
+          dims = 64, iters = 8)
+        .orderBy(col("dim")),
+      Some(s"""WITH ${pcaChainSql(8)}
+        |SELECT dim, CAST(v AS BIGINT) AS v_micro FROM v8
+        |ORDER BY dim""".stripMargin)),
+
+    // PCA projection from the PERSISTED direction (r16, standing
+    // rule 1 — q319's steady twin): the nightly path pays one
+    // zip_with/aggregate expression per row against the frozen
+    // direction literal (zero shuffle, scan speed); the oracle
+    // re-derives the direction through the same 8-iteration chain
+    // and projects. Exact integer scores.
+    QuerySpec("q320_pca_project",
+      (s, dir) => {
+        val root = pcaDirectionRoot(s, dir)
+        graft.ops.Similarity.pcaProjectMicro(
+            table(s, dir, "embeddings"), "vec_id", "embedding",
+            s.read.parquet(s"$root/direction"), dims = 64)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${pcaChainSql(8)},
+        |pe AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(v[i] AS HUGEINT) AS x
+        |  FROM xm, generate_series(1, 64) g(i))
+        |SELECT pe.vec_id,
+        |  CAST(SUM(pe.x * vt.v) AS BIGINT) AS score
+        |FROM pe JOIN v8 vt ON vt.dim = pe.dim
+        |GROUP BY pe.vec_id ORDER BY pe.vec_id""".stripMargin)))
+
+  /** Build-once persisted principal direction (the q118 frozen-model
+    * pattern): scatter + 8 power iterations once, then every probe
+    * pays only the projection expression. */
+  private def pcaDirectionRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/embeddings.parquet")
+    FixtureCache.ensure(s"/tmp/graft_pca_direction/${tag}_$fp") { tmp =>
+      graft.ops.Similarity.principalDirectionMicro(
+          graft.ops.Similarity.pcaScatterMicro(
+            table(s, dir, "embeddings"), "embedding", dims = 64),
+          dims = 64, iters = 8)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/direction")
+    }
+  }
 }
