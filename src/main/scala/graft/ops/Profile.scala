@@ -2577,6 +2577,51 @@ object Profile {
         (col("class_size") < k).as("violates_k"))
   }
 
+  /** EXACT Average Precision at k (r16) — the ranking-eval member
+    * [[rankingEval]] doesn't carry (hits/MRR/P/R/NDCG do): per
+    * group, AP@k = (Σ_{i ≤ k, rel} P@i) / min(R, k) with binary
+    * relevance (rel > 0), computed as ONE integer micro through the
+    * LCM(1..k) common denominator — P@i = h_i/i and i | LCM, so the
+    * numerator Σ h_i·(LCM/i) is exact integer arithmetic and
+    * ap_micro = (10⁶·num) div (LCM·min(R, k)). No floats anywhere
+    * (the NDCG-discount-table spirit without even a published
+    * table). k ≤ 20 keeps LCM(1..20) = 232 792 560 in range with
+    * 10⁶ headroom. Groups with no relevant documents drop (AP is
+    * undefined there — emitting 0 would punish the RANKER for the
+    * judgments' gap); groups whose relevant docs all miss the top-k
+    * report 0. Output: (group, n_rel, ap_micro).
+    *
+    * Scale shape: the running-hit window is partitioned per group
+    * over ≤ k rows (the top-k filter runs first); everything else is
+    * keyed combinable aggregation + one ≤|groups| join. */
+  def averagePrecisionAtK(ranked: DataFrame, rels: DataFrame,
+      groupCol: String, idCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20,
+      "averagePrecisionAtK: k in [1, 20] (LCM bound)")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1L to k.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val relevant = rels.filter(col(relCol) > 0)
+      .select(col(groupCol), col(idCol), lit(1L).as("__rv"))
+    val top = ranked.filter(col(rankCol) <= k)
+      .join(relevant, Seq(groupCol, idCol), "left")
+      .select(col(groupCol), col(rankCol).cast("long").as("__i"),
+        coalesce(col("__rv"), lit(0L)).as("__rv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__i")) // ≤ k rows/group
+    val num = top.withColumn("__h", sum(col("__rv")).over(w))
+      .filter(col("__rv") === 1L)
+      .groupBy(col(groupCol))
+      .agg(sum(col("__h") * expr(s"$lcm div __i")).as("__num"))
+    val nRel = relevant.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rel"))
+    nRel.join(num, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_rel"),
+        coalesce(
+          expr(s"(1000000 * __num) div ($lcm * least(n_rel, $k))"),
+          lit(0L)).as("ap_micro"))
+  }
+
   /** k-anonymity SUPPRESSION — the apply step of
     * [[kAnonymityProfile]] (the release filter): keep exactly the
     * rows whose quasi-identifier equivalence class has at least k

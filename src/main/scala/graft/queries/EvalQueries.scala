@@ -970,6 +970,36 @@ object EvalQueries {
         |  CAST(SUM(rws) AS BIGINT) AS n_rows, nd < 3 AS violates_l
         |FROM d GROUP BY nd ORDER BY n_sensitive""".stripMargin)),
 
+    // Average Precision @ 10 (r16): the ranking-eval member q284
+    // doesn't carry — exact through the LCM(1..10) = 2520 common
+    // denominator (P@i = h_i/i and i | 2520, so Σ h_i·(2520/i) is
+    // pure integer arithmetic). Same fixture, same judgments.
+    QuerySpec("q322_average_precision",
+      (s, dir) => {
+        val fx = rankingFixture(s, dir)
+        graft.ops.Profile.averagePrecisionAtK(
+            fx.select(col("lang"), col("doc_id"), col("rank")),
+            fx.select(col("lang"), col("doc_id"), col("rel")),
+            "lang", "doc_id", "rank", "rel", k = 10)
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $rankingFixtureSql,
+        |j AS (SELECT lang, rnk,
+        |    CASE WHEN rel > 0 THEN 1 ELSE 0 END AS rv
+        |  FROM r WHERE rnk <= 10),
+        |h AS (SELECT lang, rnk, rv,
+        |    SUM(rv) OVER (PARTITION BY lang ORDER BY rnk) AS hh
+        |  FROM j),
+        |num AS (SELECT lang, SUM(hh * (2520 // rnk)) AS num
+        |  FROM h WHERE rv = 1 GROUP BY lang),
+        |nr AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rel
+        |  FROM r WHERE rel > 0 GROUP BY lang)
+        |SELECT nr.lang, nr.n_rel,
+        |  CAST(COALESCE((1000000 * num.num) //
+        |    (2520 * LEAST(nr.n_rel, 10)), 0) AS BIGINT) AS ap_micro
+        |FROM nr LEFT JOIN num ON num.lang = nr.lang
+        |ORDER BY nr.lang""".stripMargin)),
+
     // PCA scatter (r16): the exact n²-scaled centered scatter
     // M = n·G − s·sᵀ over the micro-quantized embeddings — the
     // sufficient statistic for PCA with NO division anywhere; PSD,

@@ -231,7 +231,55 @@ object PerceptualQueries {
         |  JOIN ph pb ON pb.doc_id = c.id_b)
         |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
         |FROM pr WHERE hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin)))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Image near-dup dedup e2e (r16): the q81/q309 composite applied
+    // to the image wing — perceptual pairs → connected components →
+    // min-id canonical keep. Dead-letter payloads never hash, so
+    // they pass through untouched (a corrupt image is an admission
+    // problem, not a duplicate). The oracle replays hashes, bands,
+    // pairs, AND the recursive-CTE component tail.
+    QuerySpec("q321_media_neardup_e2e",
+      (s, dir) => {
+        val fx = pngPixelFixture(s, dir)
+        val pairs = Multimodal.perceptualNearDupPairs(
+          Multimodal.imagePerceptualHashes(s, fx), maxHamming = 3)
+        graft.ops.Dedup.dedupByPairs(
+            fx.select(col("media_id"), col("kind")), "media_id",
+            pairs, "id_a", "id_b")
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $pixelSql,
+        |$hashSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, (ahash_hi >> 16) & 65535 AS bv
+        |    FROM hh
+        |  UNION ALL SELECT doc_id, 1, ahash_hi & 65535 FROM hh
+        |  UNION ALL SELECT doc_id, 2, (ahash_lo >> 16) & 65535 FROM hh
+        |  UNION ALL SELECT doc_id, 3, ahash_lo & 65535 FROM hh),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |good AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN hh ha ON ha.doc_id = c.id_a
+        |  JOIN hh hb ON hb.doc_id = c.id_b
+        |  WHERE bit_count(xor(ha.ahash_hi, hb.ahash_hi)) +
+        |    bit_count(xor(ha.ahash_lo, hb.ahash_lo)) <= 3),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id AS media_id, 'png' AS kind FROM documents
+        |WHERE doc_id NOT IN
+        |  (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY media_id""".stripMargin)))
 
   /** The exact fixed-point DCT pipeline over [[pixelSql]] as a DuckDB
     * CTE — constants injected from [[Multimodal.cosMicro]] (the ONE

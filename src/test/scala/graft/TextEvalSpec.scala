@@ -88,6 +88,31 @@ class TextEvalSpec extends SparkSuite {
     assert(out.size == 3)
   }
 
+  test("averagePrecisionAtK: hand AP through the LCM denominator; " +
+      "missing-from-top-k relevants dilute; no-relevant groups drop; " +
+      "all-missed groups report 0") {
+    // group a: ranks 1..4 in top-10, relevant at ranks 1 and 3, plus
+    // one relevant doc ranked 12 (outside k) -> R = 3,
+    // AP = (1/1 + 2/3)/3 = 5/9 -> 555555 micro (floor)
+    val ranked = Seq(
+      ("a", 101L, 1L), ("a", 102L, 2L), ("a", 103L, 3L),
+      ("a", 104L, 4L), ("a", 105L, 12L),
+      ("b", 201L, 1L), ("b", 202L, 2L),
+      ("c", 301L, 1L)).toDF("g", "id", "rank")
+    val rels = Seq(
+      ("a", 101L, 2L), ("a", 103L, 1L), ("a", 105L, 1L),
+      ("b", 299L, 1L), // relevant doc never ranked in top-k
+      ("c", 301L, 0L)) // rel 0: NOT relevant -> group c drops
+      .toDF("g", "id", "rel")
+    val out = Profile.averagePrecisionAtK(ranked, rels, "g", "id",
+        "rank", "rel", k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") == ((3L, 555555L)))
+    assert(out("b") == ((1L, 0L)))
+    assert(!out.contains("c"))
+  }
+
   test("kAnonymitySuppress: small classes drop whole, large stay " +
       "whole, null quasi joins its own class") {
     val rows = Seq.fill(4)(("z1", 1)) ++ Seq.fill(2)(("z2", 2)) ++
