@@ -403,6 +403,162 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** [[encodeWav]] with caller-provided SAMPLES — the encode half of
+    * the PCM tier (r16): frame-interleaved little-endian samples,
+    * 8-bit unsigned (value + 128) or 16-bit signed, one Int per
+    * (frame, channel) in frame-major order. The generator controls
+    * every sample, so a fixture's oracle re-derives the decoded
+    * waveform arithmetically (the encodePngGray discipline applied
+    * to audio). */
+  def encodeWavSamples(channels: Int, sampleRate: Int,
+      bitsPerSample: Int, samples: Array[Int]): Array[Byte] = {
+    require(bitsPerSample == 8 || bitsPerSample == 16,
+      "encodeWavSamples: 8 or 16 bits")
+    require(samples.length % channels == 0,
+      "encodeWavSamples: samples must be whole frames")
+    val header = encodeWav(channels, sampleRate, bitsPerSample,
+      samples.length / channels)
+    val dataSize = samples.length * bitsPerSample / 8
+    val out = java.util.Arrays.copyOf(header, header.length)
+    // overwrite the deterministic filler with the caller's samples
+    val dataStart = out.length - dataSize
+    var i = 0
+    while (i < samples.length) {
+      if (bitsPerSample == 8) out(dataStart + i) = (samples(i) & 0xff).toByte
+      else {
+        out(dataStart + 2 * i) = (samples(i) & 0xff).toByte
+        out(dataStart + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** PCM decode — the data-plane completion of [[wavHeaders]] (r16):
+    * chunk walk to `fmt ` + `data`, then per frame the CENTERED
+    * mix-down Σ_channels centered(sample), where centered = value−128
+    * for 8-bit unsigned and value quot 256 for 16-bit signed (both
+    * exact integers; quot truncates toward zero — the engine-shared
+    * rule). Mapping both widths onto the same ±127-ish scale makes
+    * the downstream energy features width-independent. Dead letters:
+    * the [[wavHeaders]] vocabulary + `truncated` when the data chunk
+    * promises more bytes than the stream holds. */
+  def decodeWavPcm(b: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+    if (b.length < 12) return Left("truncated")
+    def ascii(i: Int, n: Int) = new String(b, i, n, "US-ASCII")
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+      return Left("bad_magic")
+    var pos = 12
+    var channels = 0; var rate = 0; var bits = 0
+    while (pos + 8 <= b.length) {
+      val id = ascii(pos, 4); val sz = le32(pos + 4)
+      if (id == "fmt ") {
+        if (pos + 8 + 16 > b.length) return Left("truncated")
+        if (le16(pos + 8) != 1) return Left("bad_header") // PCM only
+        channels = le16(pos + 10)
+        rate = le32(pos + 12).toInt
+        bits = le16(pos + 22)
+        if (channels <= 0 || rate <= 0 || (bits != 8 && bits != 16))
+          return Left("bad_header")
+      } else if (id == "data") {
+        if (channels == 0) return Left("bad_header") // data before fmt
+        if (pos + 8 + sz > b.length) return Left("truncated")
+        val align = channels * bits / 8
+        if (sz % align != 0) return Left("bad_header")
+        val nFrames = (sz / align).toInt
+        val mix = new Array[Int](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var c = 0; var acc = 0
+          while (c < channels) {
+            val off = pos + 8 + f * align + c * bits / 8
+            acc += (if (bits == 8) (b(off) & 0xff) - 128
+                    else le16(off).toShort / 256)
+            c += 1
+          }
+          mix(f) = acc
+          f += 1
+        }
+        return Right((channels, rate, mix))
+      }
+      pos += 8 + sz.toInt
+    }
+    if (pos == b.length) Left("bad_header") // clean walk, no data chunk
+    else Left("truncated")
+  }
+
+  /** Volume-invariant audio fingerprint over decoded PCM (r16) — the
+    * dHash move on the energy envelope: the centered mix-down splits
+    * into `windows` spans (frame f → window (f·W) quot n, the exact
+    * integer rule both engines replay), per-window energy
+    * e_w = Σ s², and contour bit w set iff e_w > e_{w+1} (W−1 bits).
+    * A uniform gain scales every e_w together, so the contour is
+    * amplitude-invariant — exactly the near-dup property (same
+    * recording, different loudness). Output:
+    * (media_id, ok, reason, n_frames, energy, contour). Per-row
+    * decode; samples never leave the task. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame,
+      windows: Int = 8): DataFrame = {
+    require(windows >= 2 && windows <= 63,
+      "audioFingerprint: windows in [2, 63]")
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          decodeWavPcm(r.media) match {
+            case Right((_, _, mix)) if mix.nonEmpty =>
+              val n = mix.length
+              val e = new Array[Long](windows)
+              var f = 0
+              while (f < n) {
+                e((f.toLong * windows / n).toInt) +=
+                  mix(f).toLong * mix(f)
+                f += 1
+              }
+              var contour = 0L
+              var w = 0
+              while (w < windows - 1) {
+                if (e(w) > e(w + 1)) contour |= 1L << w
+                w += 1
+              }
+              (r.media_id, true, Option.empty[String],
+                Option(n.toLong), Option(e.sum), Option(contour))
+            case Right(_) =>
+              (r.media_id, false, Option("bad_header"),
+                Option.empty[Long], Option.empty[Long],
+                Option.empty[Long])
+            case Left(reason) =>
+              (r.media_id, false, Option(reason), Option.empty[Long],
+                Option.empty[Long], Option.empty[Long])
+          }
+        }
+      }
+      .toDF("media_id", "ok", "reason", "n_frames", "energy", "contour")
+  }
+
+  /** Near-dup pairs from an [[audioFingerprint]] frame (r16): the
+    * volume-twin rule — candidates from an EQUALITY join on
+    * (n_frames, contour) (keyed, never all-pairs; the contour is the
+    * amplitude-invariant signature), id_a < id_b, with both energies
+    * carried so the consumer sees the gain ratio. */
+  def audioNearDupPairs(fps: DataFrame): DataFrame = {
+    val ok = fps.filter(col("ok"))
+      .select(col("media_id"), col("n_frames"), col("contour"),
+        col("energy"))
+    ok.select(col("media_id").as("id_a"), col("n_frames"),
+        col("contour"), col("energy").as("energy_a"))
+      .join(ok.select(col("media_id").as("id_b"), col("n_frames"),
+        col("contour"), col("energy").as("energy_b")),
+        Seq("n_frames", "contour"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_frames"),
+        col("contour"), col("energy_a"), col("energy_b"))
+  }
+
   // -------------------------------------------------------------------
   // Real video container decode — ISO/IEC 14496-12 (MP4 / ISO base
   // media file format): the length-prefixed box walk, `ftyp` major

@@ -279,7 +279,101 @@ object PerceptualQueries {
         |SELECT doc_id AS media_id, 'png' AS kind FROM documents
         |WHERE doc_id NOT IN
         |  (SELECT id FROM comp WHERE id <> component)
-        |ORDER BY media_id""".stripMargin)))
+        |ORDER BY media_id""".stripMargin)),
+
+    // WAV PCM decode → energy-contour fingerprint (r16): the audio
+    // completion of the perceptual tier — real sample decode (8-bit
+    // unsigned AND 16-bit signed LE through one centered scale),
+    // windowed energies under the exact (f·W) div n rule, and the
+    // amplitude-invariant contour (a uniform gain scales every e_w
+    // together). The oracle re-derives every sample from the doc_id
+    // waveform formula — it never parses a byte.
+    QuerySpec("q323_wav_pcm_fingerprint",
+      (s, dir) => Multimodal.audioFingerprint(
+          s, pcmWavFixture(s, dir), windows = 8)
+        .orderBy(col("media_id")),
+      Some(s"""WITH $pcmSql
+        |SELECT d.doc_id AS media_id, d.doc_id % 11 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated' END AS reason,
+        |  fp.n AS n_frames, fp.energy, fp.contour
+        |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // Audio volume-twin near-dup pairs (r16): equality join on the
+    // (n_frames, contour) fingerprint — the planted (2k, 2k+1) amp
+    // 1/2 twins land as pairs with energy_b = 4·energy_a (or the
+    // reverse); candidates keyed, never all-pairs.
+    QuerySpec("q324_audio_neardup_pairs",
+      (s, dir) => Multimodal.audioNearDupPairs(
+          Multimodal.audioFingerprint(s, pcmWavFixture(s, dir),
+            windows = 8))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $pcmSql
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.n AS n_frames, a.contour,
+        |  a.energy AS energy_a, b.energy AS energy_b
+        |FROM fp a JOIN fp b ON b.n = a.n AND b.contour = a.contour
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin)))
+
+  /** Deterministic PCM WAVE fixture (r16) — the pngPixelFixture move
+    * on audio: per doc, base = doc_id div 2 picks the waveform
+    * g(f) = ((3 + base%7)·f + (base%11)·(f² mod 13)) mod 101 − 50
+    * over n = 16 + base%83 mono frames at amp = 1 + doc_id%2, encoded
+    * 8-bit unsigned (128 + amp·g) when base is even and 16-bit signed
+    * (amp·g·256) when odd — so consecutive ids (2k, 2k+1) are
+    * VOLUME TWINS of the same recording (the planted near-dup class;
+    * centered mix-down = amp·g in both widths). doc_id % 11 truncates
+    * inside the fmt chunk (dead letter). */
+  private[graft] def pcmWavFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val base = id / 2
+      val amp = 1 + (id % 2).toInt
+      val bits = if (base % 2 == 0) 8 else 16
+      val n = (16 + base % 83).toInt
+      def g(f: Int): Int =
+        (((3 + base % 7) * f + (base % 11) * ((f.toLong * f) % 13))
+          % 101).toInt - 50
+      val samples = Array.tabulate(n)(f =>
+        if (bits == 8) 128 + amp * g(f) else amp * g(f) * 256)
+      val full = Multimodal.encodeWavSamples(1, 8000, bits, samples)
+      val payload = if (id % 11 == 0) full.take(30) else full
+      (id, "audio", payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
+  /** The fixture's centered mix-down + windowed energies as DuckDB
+    * CTEs: fr re-derives amp·g(f) per frame from the doc_id formula
+    * (never touching a byte), ew the per-window energies under the
+    * (f·8) // n window rule, fp the (n, energy, contour) fingerprint
+    * of every OK payload. */
+  private def pcmSql: String =
+    """par AS (SELECT doc_id, doc_id // 2 AS base,
+      |    1 + doc_id % 2 AS amp,
+      |    16 + (doc_id // 2) % 83 AS n
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |fr AS (SELECT doc_id, n,
+      |    amp * ((((3 + base % 7) * f + (base % 11) * ((f * f) % 13))
+      |      % 101) - 50) AS s,
+      |    (f * 8) // n AS w
+      |  FROM par, range(0, 98) g(f) WHERE f < n),
+      |ew AS (SELECT doc_id, w, CAST(SUM(s * s) AS BIGINT) AS e
+      |  FROM fr GROUP BY doc_id, w),
+      |ctr AS (SELECT a.doc_id,
+      |    CAST(SUM(CASE WHEN a.e > b.e
+      |      THEN CAST(1 AS BIGINT) << a.w ELSE 0 END) AS BIGINT)
+      |      AS contour
+      |  FROM ew a JOIN ew b
+      |    ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      |  GROUP BY a.doc_id),
+      |fp AS (SELECT p.doc_id, CAST(p.n AS BIGINT) AS n, t.energy,
+      |    c.contour
+      |  FROM par p
+      |  JOIN (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS energy
+      |    FROM ew GROUP BY doc_id) t ON t.doc_id = p.doc_id
+      |  JOIN ctr c ON c.doc_id = p.doc_id)""".stripMargin
 
   /** The exact fixed-point DCT pipeline over [[pixelSql]] as a DuckDB
     * CTE — constants injected from [[Multimodal.cosMicro]] (the ONE

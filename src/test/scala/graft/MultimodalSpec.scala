@@ -540,6 +540,53 @@ class MultimodalSpec extends SparkSuite {
     assert(extreme == 0L) // constant image: every AC coefficient ties
   }
 
+  test("decodeWavPcm: round trip for 8-bit and 16-bit, stereo " +
+      "mix-down, dead-letter lanes") {
+    val s8 = Array(128, 130, 126, 228, 28) // centered: 0, 2, -2, 100, -100
+    val b8 = Multimodal.encodeWavSamples(1, 8000, 8, s8)
+    assert(Multimodal.decodeWavPcm(b8).exists(t =>
+      t._1 == 1 && t._2 == 8000 &&
+        t._3.toSeq == Seq(0, 2, -2, 100, -100)))
+    val s16 = Array(0, 256, -256, 25600, -25600)
+    val r16 = Multimodal.decodeWavPcm(
+      Multimodal.encodeWavSamples(1, 16000, 16, s16))
+    assert(r16.exists(t => t._2 == 16000 &&
+      t._3.toSeq == Seq(0, 1, -1, 100, -100)))
+    // stereo: mix-down sums the centered channels per frame
+    val st = Array(130, 126, 228, 28) // frames: (2,-2), (100,-100)
+    val rs = Multimodal.decodeWavPcm(
+      Multimodal.encodeWavSamples(2, 8000, 8, st))
+    assert(rs.exists(t => t._1 == 2 && t._3.toSeq == Seq(0, 0)))
+    // dead letters
+    assert(Multimodal.decodeWavPcm(b8.take(10)) == Left("truncated"))
+    assert(Multimodal.decodeWavPcm(b8.take(30)) == Left("truncated"))
+    val bad = b8.clone(); bad(0) = 'X'.toByte
+    assert(Multimodal.decodeWavPcm(bad) == Left("bad_magic"))
+  }
+
+  test("audioFingerprint: hand window energies, contour bits, " +
+      "volume twins share the contour with 4x energy") {
+    import spark.implicits._
+    // 8 frames, windows=4: windows of 2 frames each
+    // s = [3, 1, 0, 0, 2, 2, 5, 0] -> e = [10, 0, 8, 25]
+    // contour (e_w > e_w+1): w0: 10>0 yes, w1: 0>8 no, w2: 8>25 no -> 0b001
+    val s = Array(3, 1, 0, 0, 2, 2, 5, 0)
+    def wav(amp: Int) =
+      Multimodal.encodeWavSamples(1, 8000, 8, s.map(128 + amp * _))
+    val rows = Seq((1L, "audio", wav(1)), (2L, "audio", wav(2)))
+      .toDF("media_id", "kind", "media")
+    val out = Multimodal.audioFingerprint(spark, rows, windows = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((8L, 43L, 1L)))
+    assert(out(2L) == ((8L, 172L, 1L)), "4x energy, same contour")
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.audioFingerprint(spark, rows, windows = 4))
+      .collect()
+    assert(pairs.length == 1 &&
+      pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
   test("dctNearDupPairs: banding is lossless to hamming 3 " +
       "(≡ brute-force pairs from the same hashes)") {
     import spark.implicits._
