@@ -302,7 +302,20 @@ object ScaleStress {
       // mega-key window shape)
       "q283_media_dedup_exact", "q284_ranking_eval",
       "q285_kcore", "q287_term_spectrum", "q289_vocab_growth",
-      "q290_shortest_paths")
+      "q290_shortest_paths",
+      // round-16 additions (standard documents/embeddings synthesis):
+      // ROUGE pairs (pair set ×f — copy offsets keep (id, id+1)
+      // adjacency within copies and never across), distinct-n (the
+      // per-copy text prefix adds one gram per doc; spectrum stays
+      // group-keyed), the prefix-filtered exact dedup e2e at t = 1/2
+      // (candidates confined within copies by the per-copy prefix),
+      // the image near-dup composite (4-block pairs ×f), and the PCA
+      // chain — where the 10× arm has an ALGEBRAIC invariant: f
+      // identical copies give M' = f²M, so the power iteration must
+      // land the IDENTICAL direction while the scatter scan pays ×f
+      "q311_rouge2_pairs", "q312_distinct_ngram",
+      "q309_dedup_prefix_exact_e2e", "q321_media_neardup_e2e",
+      "q318_pca_scatter", "q319_pca_direction")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
