@@ -527,8 +527,9 @@ object Multimodal {
               }
               (r.media_id, true, Option.empty[String],
                 Option(n.toLong), Option(e.sum), Option(contour))
-            case Right(_) =>
-              (r.media_id, false, Option("bad_header"),
+            case Right(_) => // valid container, zero frames: its own
+              // lane, not bad_header — the stream IS spec-conformant
+              (r.media_id, false, Option("no_frames"),
                 Option.empty[Long], Option.empty[Long],
                 Option.empty[Long])
             case Left(reason) =>

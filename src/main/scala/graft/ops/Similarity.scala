@@ -1151,8 +1151,12 @@ object Similarity {
       dims: Int): DataFrame = {
     require(dims > 0, "pcaScatterMicro: dims must be positive")
     val d38 = "decimal(38,0)"
+    // null ELEMENTS would null their pair products and silently bias
+    // G (sum skips nulls) — drop such vectors whole, the kmeansMicro
+    // null rule
     val xm = corpus
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims &&
+        !exists(col(vecCol), x => x.isNull))
       .select(transform(col(vecCol),
         x => floor(x.cast("double") * 1e6).cast("long")).as("__xm"))
     val g = xm.select(explode(expr(
@@ -1241,7 +1245,8 @@ object Similarity {
     require(dv.length == dims,
       s"pcaProjectMicro: direction has ${dv.length} dims, want $dims")
     val lits = array(dv.map(lit(_)): _*)
-    corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+    corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims &&
+        !exists(col(vecCol), x => x.isNull))
       .select(col(idCol),
         aggregate(
           zip_with(

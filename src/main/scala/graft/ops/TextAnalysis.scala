@@ -429,9 +429,11 @@ object TextAnalysis {
     * gram space twice and meets in a worst-case-skewed gram join).
     * Per-pair gram totals are per-row arithmetic in the base scan.
     *
-    * Precondition: no NULL texts (the [[graft.ops.Dedup
+    * Preconditions: no NULL texts (the [[graft.ops.Dedup
     * .dedupIncrement]] rule; filter upstream — a null side would
-    * silently score 0 against a real summary). */
+    * silently score 0 against a real summary), and `idCol` unique —
+    * it IS the pair identity; duplicate ids would merge two pairs'
+    * clipped overlaps into one nonsense row. */
   def rougeN(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n > 0, "rougeN: n must be positive")
@@ -489,6 +491,9 @@ object TextAnalysis {
     require(groupCols.nonEmpty,
       "distinctNGramDiversity: need at least one group column " +
         "(use a literal for a whole-corpus profile)")
+    require(!groupCols.contains("__gram"),
+      "distinctNGramDiversity: group column '__gram' collides with " +
+        "the internal gram label")
     import graft.functions.sketches.shingles_all
     val g = groupCols.map(col)
     df.filter(col(textCol).isNotNull)

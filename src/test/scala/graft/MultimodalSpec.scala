@@ -585,6 +585,13 @@ class MultimodalSpec extends SparkSuite {
       .collect()
     assert(pairs.length == 1 &&
       pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    // a spec-conformant container with ZERO frames gets its own lane
+    val empty = Seq((9L, "audio",
+        Multimodal.encodeWavSamples(1, 8000, 8, Array.empty[Int])))
+      .toDF("media_id", "kind", "media")
+    val er = Multimodal.audioFingerprint(spark, empty, windows = 4)
+      .collect().head
+    assert(!er.getBoolean(1) && er.getString(2) == "no_frames")
   }
 
   test("dctNearDupPairs: banding is lossless to hamming 3 " +

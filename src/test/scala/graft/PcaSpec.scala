@@ -20,6 +20,9 @@ class PcaSpec extends SparkSuite {
       3L -> Seq(5.0f, 6.0f),
       4L -> Seq(9.0f),          // wrong width: dropped
       5L -> null))              // null: dropped
+      .unionByName(spark.sql( // null ELEMENT: whole vector dropped
+        "SELECT CAST(6 AS BIGINT) AS vec_id, " +
+          "array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding"))
     val out = Similarity.pcaScatterMicro(d, "embedding", dims = 2)
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
