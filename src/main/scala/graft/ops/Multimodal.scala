@@ -403,6 +403,58 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** EXACT integer box-filter image downscale (r16) — the builder
+    * brief's `resize` step made real now that pixels decode: each
+    * output pixel is the floor-mean of its (w/outW)×(h/outH) source
+    * block (integer sum quot block-size — no float filter kernel, so
+    * any engine re-derives the result), and the output is a REAL
+    * re-encoded PNG payload (filter-0 scanlines), ready for the next
+    * pipeline stage exactly like an input image. Dimensions must be
+    * integer multiples of the target (the box grid; anything else →
+    * `bad_dims` — a production pipeline pads/crops upstream, it does
+    * not silently resample). Decode dead letters pass through with
+    * their original reason and an EMPTY payload. Per-row transform:
+    * pixels never leave the task. */
+  def resizePngGray(spark: SparkSession, media: DataFrame,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "resizePngGray: positive target dims")
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          decodePngGray(r.media) match {
+            case Right((w, h, px))
+                if w % outW == 0 && h % outH == 0 =>
+              val sx = w / outW; val sy = h / outH
+              val area = sx * sy
+              def out(x: Int, y: Int): Int = {
+                var s = 0; var dy = 0
+                while (dy < sy) {
+                  var dx = 0
+                  while (dx < sx) {
+                    s += px((y * sy + dy) * w + (x * sx + dx))
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                s / area
+              }
+              (r.media_id, r.kind, Multimodal.encodePngGray(
+                outW, outH, out, _ => 0), true,
+                Option.empty[String])
+            case Right(_) =>
+              (r.media_id, r.kind, Array.emptyByteArray, false,
+                Option("bad_dims"))
+            case Left(reason) =>
+              (r.media_id, r.kind, Array.emptyByteArray, false,
+                Option(reason))
+          }
+        }
+      }
+      .toDF("media_id", "kind", "media", "ok", "reason")
+  }
+
   /** [[encodeWav]] with caller-provided SAMPLES — the encode half of
     * the PCM tier (r16): frame-interleaved little-endian samples,
     * 8-bit unsigned (value + 128) or 16-bit signed, one Int per

@@ -314,7 +314,51 @@ object PerceptualQueries {
         |  a.energy AS energy_a, b.energy AS energy_b
         |FROM fp a JOIN fp b ON b.n = a.n AND b.contour = a.contour
         |  AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin)))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Image resize (r16, the builder brief's resize step): exact
+    // integer box-filter 16×16 → 8×8 (each output pixel = floor-mean
+    // of its 2×2 block), re-encoded as a REAL PNG payload and then
+    // DECODED AGAIN through pngPixelStats — so the gate pins the
+    // whole encode→resize→re-encode→decode chain with the q306
+    // position-pinned sums; the oracle re-derives the resized pixels
+    // from the fixture formula (floor(block sum / 4)). Dead letters
+    // pass through with their original reason.
+    QuerySpec("q325_image_resize",
+      (s, dir) => {
+        val rz = Multimodal.resizePngGray(
+          s, pngPixelFixture(s, dir), outW = 8, outH = 8)
+        val okStats = Multimodal.pngPixelStats(s,
+          rz.filter(col("ok"))
+            .select(col("media_id"), col("kind"), col("media")))
+        val dead = rz.filter(!col("ok")).select(col("media_id"),
+          col("ok"), col("reason"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("n_pixels"),
+          lit(null).cast("long").as("sum_pix"),
+          lit(null).cast("long").as("sum_wpix"))
+        okStats.unionByName(dead).orderBy(col("media_id"))
+      },
+      Some(s"""WITH $pixelSql,
+        |rp AS (SELECT doc_id, x // 2 AS rx, y // 2 AS ry,
+        |    CAST(SUM(p) // 4 AS BIGINT) AS q
+        |  FROM px GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(q) AS BIGINT) AS sp,
+        |    CAST(SUM((ry * 8 + rx + 1) * q) AS BIGINT) AS swp
+        |  FROM rp GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_crc' END AS reason,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(8 AS INTEGER) END AS width,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(8 AS INTEGER) END AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)))
 
   /** Deterministic PCM WAVE fixture (r16) — the pngPixelFixture move
     * on audio: per doc, base = doc_id div 2 picks the waveform

@@ -594,6 +594,35 @@ class MultimodalSpec extends SparkSuite {
     assert(!er.getBoolean(1) && er.getString(2) == "no_frames")
   }
 
+  test("resizePngGray: hand 4×4→2×2 block means, payload decodes " +
+      "to exactly those pixels, non-divisible dims and dead letters " +
+      "route with reasons") {
+    import spark.implicits._
+    // 4×4 gradient p = 4x + y; 2×2 block means:
+    // block(0,0): {0,1,4,5} -> 2; (1,0): {8,9,12,13} -> 10
+    // (0,1): {2,3,6,7} -> 4;  (1,1): {10,11,14,15} -> 12
+    val img = Multimodal.encodePngGray(4, 4, (x, y) => 4 * x + y,
+      y => y % 5)
+    val odd = Multimodal.encodePngGray(3, 4, (x, y) => x + y, _ => 0)
+    val rows = Seq(
+      (1L, "png", img),
+      (2L, "png", odd),                       // 3 % 2 != 0
+      (3L, "png", img.take(9)))               // truncated
+      .toDF("media_id", "kind", "media")
+    val out = Multimodal.resizePngGray(spark, rows, 2, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3),
+          if (r.isNullAt(4)) null else r.getString(4),
+          r.getAs[Array[Byte]](2)))).toMap
+    assert(out(1L)._1 && out(1L)._2 == null)
+    val dec = Multimodal.decodePngGray(out(1L)._3)
+    assert(dec.exists(t => t._1 == 2 && t._2 == 2 &&
+      t._3.toSeq == Seq(2, 10, 4, 12)))
+    assert(out(2L) == ((false, "bad_dims", Array.emptyByteArray))
+      || (!out(2L)._1 && out(2L)._2 == "bad_dims"))
+    assert(!out(3L)._1 && out(3L)._2 == "truncated")
+  }
+
   test("dctNearDupPairs: banding is lossless to hamming 3 " +
       "(≡ brute-force pairs from the same hashes)") {
     import spark.implicits._
