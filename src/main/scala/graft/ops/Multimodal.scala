@@ -859,6 +859,222 @@ object Multimodal {
     ftyp ++ boxOf("moov", (mvhd +: traks).reduce(_ ++ _))
   }
 
+  /** [[encodeMp4]] extended with a REAL sample table + payload (r16):
+    * one video trak carrying the full §8 stbl nesting — stsd (zero
+    * entries), stts (one run), stsc (chunk runs), stsz (explicit
+    * sizes), stco (absolute chunk offsets) — and an `mdat` whose
+    * bytes are the caller's samples laid out chunk by chunk. Samples
+    * split across `nChunks` chunks (front-loaded: first chunks take
+    * ⌈S/nChunks⌉), so a reader must run the real stsc chunk-run
+    * algorithm, not assume one chunk. stco offsets are absolute file
+    * offsets, patched after the moov length is known (the moov size
+    * does not depend on the offset VALUES, only their count). */
+  def encodeMp4Samples(brand: String, timescale: Long,
+      durationTicks: Long, sampleSizes: Array[Int],
+      sampleByte: (Int, Int) => Int, nChunks: Int = 2): Array[Byte] = {
+    require(sampleSizes.nonEmpty && sampleSizes.forall(_ > 0))
+    require(nChunks >= 1 && nChunks <= sampleSizes.length)
+    def be32a(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def boxOf(typ: String, body: Array[Byte]): Array[Byte] =
+      be32a(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val s = sampleSizes.length
+    val per = (s + nChunks - 1) / nChunks // front-loaded split
+    val chunkSizes = (0 until nChunks)
+      .map(c => sampleSizes.slice(c * per, math.min((c + 1) * per, s)))
+      .filter(_.nonEmpty)
+    val full = Array[Byte](0, 0, 0, 0)
+    val stsd = boxOf("stsd", full ++ be32a(0L))
+    val stts = boxOf("stts", full ++ be32a(1L) ++
+      be32a(s.toLong) ++ be32a(1L))
+    // stsc runs: one entry per distinct samples-per-chunk run
+    val runs = chunkSizes.map(_.length).zipWithIndex
+      .foldLeft(List.empty[(Int, Int)]) { case (acc, (n, i)) =>
+        acc match {
+          case (fc, pn) :: _ if pn == n => acc
+          case _ => (i + 1, n) :: acc
+        }
+      }.reverse
+    val stsc = boxOf("stsc", full ++ be32a(runs.length.toLong) ++
+      runs.flatMap { case (fc, n) =>
+        be32a(fc.toLong) ++ be32a(n.toLong) ++ be32a(1L) }.toArray)
+    val stsz = boxOf("stsz", full ++ be32a(0L) ++ be32a(s.toLong) ++
+      sampleSizes.flatMap(sz => be32a(sz.toLong)))
+    def stcoOf(offsets: Seq[Long]) = boxOf("stco",
+      full ++ be32a(offsets.length.toLong) ++ offsets.flatMap(be32a).toArray)
+    def moovOf(offsets: Seq[Long]): Array[Byte] = {
+      val identityMatrix: Array[Byte] =
+        Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+          0x40000000L).flatMap(be32a).toArray
+      val mvhd = boxOf("mvhd", full ++ be32a(0L) ++ be32a(0L) ++
+        be32a(timescale) ++ be32a(durationTicks) ++
+        be32a(0x00010000L) ++ Array[Byte](0x01, 0x00) ++
+        Array.fill[Byte](10)(0) ++ identityMatrix ++
+        Array.fill[Byte](24)(0) ++ be32a(2L))
+      val tkhd = boxOf("tkhd", Array[Byte](0, 0, 0, 7) ++
+        be32a(0L) ++ be32a(0L) ++ be32a(1L) ++ be32a(0L) ++
+        be32a(durationTicks) ++ Array.fill[Byte](16)(0) ++
+        identityMatrix ++ be32a(64L << 16) ++ be32a(64L << 16))
+      val mdhd = boxOf("mdhd", full ++ be32a(0L) ++ be32a(0L) ++
+        be32a(timescale) ++ be32a(durationTicks) ++
+        Array[Byte](0x55, (0xc4 & 0xff).toByte, 0, 0))
+      val hdlr = boxOf("hdlr", full ++ be32a(0L) ++
+        "vide".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0) ++
+        Array[Byte](0))
+      val stbl = boxOf("stbl",
+        stsd ++ stts ++ stsc ++ stsz ++ stcoOf(offsets))
+      val minf = boxOf("minf", stbl)
+      val mdia = boxOf("mdia", mdhd ++ hdlr ++ minf)
+      boxOf("moov", mvhd ++ boxOf("trak", tkhd ++ mdia))
+    }
+    val ftyp = boxOf("ftyp", brand.getBytes("US-ASCII") ++ be32a(0L) ++
+      brand.getBytes("US-ASCII") ++ "iso2".getBytes("US-ASCII"))
+    // two-pass: moov length is offset-value independent
+    val moovLen = moovOf(chunkSizes.map(_ => 0L)).length
+    val payloadStart = ftyp.length + moovLen + 8L
+    val chunkOffsets = chunkSizes
+      .scanLeft(payloadStart)((o, c) => o + c.map(_.toLong).sum).init
+    val moov = moovOf(chunkOffsets)
+    val payload = new java.io.ByteArrayOutputStream()
+    var j = 0
+    sampleSizes.foreach { sz =>
+      var i = 0
+      while (i < sz) { payload.write(sampleByte(j, i) & 0xff); i += 1 }
+      j += 1
+    }
+    ftyp ++ moov ++ boxOf("mdat", payload.toByteArray)
+  }
+
+  /** REAL container-level frame sampling (r16) — retires the byte-
+    * slice stand-in ([[sampleFramesStub]], kept for its q61 batch-
+    * shape gate): walk to the video trak's sample table, run the
+    * ACTUAL ISO/IEC 14496-12 §8.7 algorithm (stsc chunk runs →
+    * per-chunk sample counts, stco absolute offsets, stsz sizes →
+    * per-sample file offsets), and extract `nFrames` evenly-spaced
+    * sample PAYLOADS from mdat — what a pipeline's first video pass
+    * does before handing keyframes to a real decoder; no codec
+    * needed, only the public container format. Selection rule:
+    * N' = min(nFrames, S) frames at sample indices k·S quot N'
+    * (k < N'). Output one row per extracted frame with
+    * position-pinned payload stats (the q306 discipline: sum_wbytes
+    * moves if any byte lands wrong), or ONE dead-letter row
+    * ([[parseMp4Header]]'s reason vocabulary + `no_stbl`/`truncated`
+    * when the sample table or a promised sample range is missing).
+    * Per-row transform; payloads never leave the task. */
+  def sampleMp4Frames(spark: SparkSession, media: DataFrame,
+      nFrames: Int): DataFrame = {
+    require(nFrames > 0, "sampleMp4Frames: nFrames must be positive")
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("media"))
+      .as[MediaRow]
+      .flatMap { r =>
+        extractMp4Samples(r.media, nFrames) match {
+          case Right(frames) => frames.map { case (idx, bytes) =>
+            var sum = 0L; var wsum = 0L; var i = 0
+            while (i < bytes.length) {
+              val v = bytes(i) & 0xff
+              sum += v; wsum += (i + 1).toLong * v; i += 1
+            }
+            (r.media_id, true, Option.empty[String], Option(idx),
+              Option(bytes.length.toLong), Option(sum), Option(wsum))
+          }
+          case Left(reason) =>
+            Seq((r.media_id, false, Option(reason), Option.empty[Int],
+              Option.empty[Long], Option.empty[Long],
+              Option.empty[Long]))
+        }
+      }
+      .toDF("media_id", "ok", "reason", "frame_idx", "n_bytes",
+        "sum_bytes", "sum_wbytes")
+  }
+
+  /** The §8.7 sample-location walk behind [[sampleMp4Frames]]. */
+  private def extractMp4Samples(b: Array[Byte],
+      nFrames: Int): Either[String, Seq[(Int, Array[Byte])]] = {
+    def be32u(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def ascii(i: Int, n: Int): String = new String(b, i, n, "US-ASCII")
+    if (b.length < 8) return Left("truncated")
+    if (ascii(4, 4) != "ftyp") return Left("bad_magic")
+    // find stbl by nested walk: moov/trak/mdia/minf/stbl
+    def findChild(from: Int, limit: Int, typ: String): Int = {
+      var pos = from
+      while (pos + 8 <= limit) {
+        val sz = be32u(pos)
+        if (sz < 8) return -1
+        if (ascii(pos + 4, 4) == typ) return pos
+        pos += sz.toInt
+      }
+      -1
+    }
+    def walk(path: Seq[String]): Int = {
+      var from = 0; var limit = b.length
+      for (t <- path) {
+        val p = findChild(from, limit, t)
+        if (p < 0) return -1
+        val sz = be32u(p)
+        if (p + sz > b.length) return -2
+        from = p + 8; limit = (p + sz).toInt
+      }
+      from
+    }
+    val stblFrom = walk(Seq("moov", "trak", "mdia", "minf", "stbl"))
+    if (stblFrom == -2) return Left("truncated")
+    if (stblFrom < 0) return Left("no_stbl")
+    // the stbl limit: its own box bounds
+    val stblBox = walk(Seq("moov", "trak", "mdia", "minf"))
+    val stblPos = findChild(stblBox, b.length, "stbl")
+    val stblLimit = (stblPos + be32u(stblPos)).toInt
+    def table(typ: String): Int = findChild(stblFrom, stblLimit, typ)
+    val (stsc, stsz, stco) = (table("stsc"), table("stsz"), table("stco"))
+    if (stsc < 0 || stsz < 0 || stco < 0) return Left("no_stbl")
+    val nSamples = be32u(stsz + 16).toInt
+    if (nSamples == 0) return Left("no_stbl")
+    val fixedSz = be32u(stsz + 12)
+    def sizeOf(j: Int): Int =
+      if (fixedSz != 0) fixedSz.toInt else be32u(stsz + 20 + 4 * j).toInt
+    val nChunks = be32u(stco + 12).toInt
+    def chunkOff(c: Int): Long = be32u(stco + 16 + 4 * c)
+    val nRuns = be32u(stsc + 12).toInt
+    // expand stsc runs to per-chunk sample counts
+    val perChunk = new Array[Int](nChunks)
+    var ri = 0
+    while (ri < nRuns) {
+      val fc = be32u(stsc + 16 + 12 * ri).toInt
+      val n = be32u(stsc + 20 + 12 * ri).toInt
+      val lc = if (ri + 1 < nRuns) be32u(stsc + 16 + 12 * (ri + 1)).toInt
+               else nChunks + 1
+      var c = fc
+      while (c < lc && c <= nChunks) { perChunk(c - 1) = n; c += 1 }
+      ri += 1
+    }
+    if (perChunk.sum < nSamples) return Left("no_stbl")
+    // absolute offset of sample j: chunk offset + sizes before it
+    val sampleOffsets = new Array[Long](nSamples)
+    var j = 0
+    var c = 0
+    while (c < nChunks && j < nSamples) {
+      var off = chunkOff(c)
+      var k = 0
+      while (k < perChunk(c) && j < nSamples) {
+        sampleOffsets(j) = off
+        off += sizeOf(j)
+        j += 1; k += 1
+      }
+      c += 1
+    }
+    val nOut = math.min(nFrames, nSamples)
+    val out = (0 until nOut).map { k =>
+      val idx = (k.toLong * nSamples / nOut).toInt
+      val off = sampleOffsets(idx); val sz = sizeOf(idx)
+      if (off + sz > b.length) return Left("truncated")
+      (idx, java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz))
+    }
+    Right(out)
+  }
+
   // -------------------------------------------------------------------
   // Real PNG PIXEL decode (r16, VERDICT r15 "what's missing #3") — the
   // step past the header tier: IDAT inflate (java.util.zip.Inflater —
@@ -1334,9 +1550,10 @@ object Multimodal {
   }
 
   /** Row-multiplying frame sampler (video → frames shape): splits the
-    * payload into `nFrames` byte slices. The real version would seek
-    * keyframes; the batch shape (explode inside mapPartitions, bounded
-    * memory per partition) is the part that matters at scale. */
+    * payload into `nFrames` byte slices. SUPERSEDED as of r16 by
+    * [[sampleMp4Frames]], which runs the real §8.7 sample-table walk —
+    * this byte-slice form stays for its q61 batch-shape gate (the
+    * explode-inside-mapPartitions shape, payload-format-agnostic). */
   def sampleFramesStub(spark: SparkSession, media: DataFrame, nFrames: Int = 4): Dataset[Frame] = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("media"))

@@ -358,7 +358,42 @@ object PerceptualQueries {
         |    THEN CAST(8 AS INTEGER) END AS height,
         |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
-        |ORDER BY media_id""".stripMargin)))
+        |ORDER BY media_id""".stripMargin)),
+
+    // REAL MP4 frame sampling (r16): retires the repo's last
+    // stand-in — the §8.7 sample-location algorithm (stsc chunk runs
+    // → stco offsets → stsz sizes) over a two-chunk sample table,
+    // extracting 4 evenly-spaced sample payloads per video (indices
+    // k·S div min(4,S)) with position-pinned byte stats. The oracle
+    // re-derives sizes, selection, and every byte from the doc_id
+    // formulas; it never parses a box.
+    QuerySpec("q326_mp4_frame_sample",
+      (s, dir) => Multimodal.sampleMp4Frames(
+          s, mp4SampleFixture(s, dir), nFrames = 4)
+        .orderBy(col("media_id"), col("frame_idx").asc_nulls_last),
+      Some("""WITH par AS (SELECT doc_id, 3 + doc_id % 6 AS s
+        |  FROM documents
+        |  WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0),
+        |sel AS (SELECT doc_id, s,
+        |    CAST((k * s) // LEAST(4, s) AS INTEGER) AS j
+        |  FROM par, range(0, 4) t(k) WHERE k < LEAST(4, s)),
+        |fr AS (SELECT doc_id, j,
+        |    16 + (doc_id * 7 + j * 13) % 32 AS sz FROM sel),
+        |by AS (SELECT doc_id, j, sz, i,
+        |    (doc_id + 31 * j + 17 * i) % 256 AS v
+        |  FROM fr, range(0, 48) t(i) WHERE i < sz),
+        |st AS (SELECT doc_id, j, CAST(ANY_VALUE(sz) AS BIGINT) AS nb,
+        |    CAST(SUM(v) AS BIGINT) AS sv,
+        |    CAST(SUM((i + 1) * v) AS BIGINT) AS wv
+        |  FROM by GROUP BY 1, 2)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_magic' END AS reason,
+        |  CAST(st.j AS INTEGER) AS frame_idx, st.nb AS n_bytes,
+        |  st.sv AS sum_bytes, st.wv AS sum_wbytes
+        |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+        |ORDER BY media_id, frame_idx NULLS LAST""".stripMargin)))
 
   /** Deterministic PCM WAVE fixture (r16) — the pngPixelFixture move
     * on audio: per doc, base = doc_id div 2 picks the waveform
@@ -385,6 +420,30 @@ object PerceptualQueries {
       val full = Multimodal.encodeWavSamples(1, 8000, bits, samples)
       val payload = if (id % 11 == 0) full.take(30) else full
       (id, "audio", payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
+  /** Deterministic MP4 fixture WITH a real sample table (r16): per
+    * doc, S = 3 + id%6 samples of sizes 16 + (7·id + 13·j) % 32 whose
+    * bytes are (id + 31·j + 17·i) % 256, laid out in TWO chunks so
+    * the reader must run the actual stsc chunk-run algorithm.
+    * doc_id % 11 truncates inside moov; % 13 clobbers the ftyp tag
+    * (truncation wins on overlap, matching the oracle CASE order). */
+  private[graft] def mp4SampleFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val nS = (3 + id % 6).toInt
+      val sizes = Array.tabulate(nS)(j =>
+        (16 + (id * 7 + j * 13) % 32).toInt)
+      val full = Multimodal.encodeMp4Samples("isom", 1000L, 9000L,
+        sizes, (j, i) => ((id + 31 * j + 17 * i) % 256).toInt,
+        nChunks = 2)
+      val payload =
+        if (id % 11 == 0) full.take(40)
+        else if (id % 13 == 0) { val c = full.clone(); c(4) = 'X'.toByte; c }
+        else full
+      (id, "video", payload)
     }.toDF("media_id", "kind", "media")
   }
 

@@ -594,6 +594,45 @@ class MultimodalSpec extends SparkSuite {
     assert(!er.getBoolean(1) && er.getString(2) == "no_frames")
   }
 
+  test("sampleMp4Frames: real stsc/stsz/stco walk over a two-chunk " +
+      "layout — all samples byte-exact, even-spacing rule, dead " +
+      "letters (bad_magic, no_stbl, truncated)") {
+    import spark.implicits._
+    // 5 samples, sizes 3..7, byte (j,i) = 10j + i; chunks [3, 2]
+    val sizes = Array(3, 4, 5, 6, 7)
+    def sb(j: Int, i: Int): Int = 10 * j + i
+    val mp4 = Multimodal.encodeMp4Samples("isom", 1000L, 5000L,
+      sizes, sb, nChunks = 2)
+    val noTbl = Multimodal.encodeMp4("isom", 1000L, 5000L, 64, 64, 1)
+    val bad = mp4.clone(); bad(4) = 'X'.toByte
+    val rows = Seq((1L, "video", mp4), (2L, "video", noTbl),
+      (3L, "video", bad), (4L, "video", mp4.take(40)))
+      .toDF("media_id", "kind", "media")
+    // nFrames ≥ S: every sample, exact position-pinned stats
+    val all = Multimodal.sampleMp4Frames(spark, rows, nFrames = 9)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1 else r.getInt(3)) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    for (j <- 0 until 5) {
+      val bytes = (0 until sizes(j)).map(i => sb(j, i))
+      val expect = (true, null, sizes(j).toLong,
+        bytes.map(_.toLong).sum,
+        bytes.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum)
+      assert(all((1L, j)) == expect, s"sample $j")
+    }
+    assert(all((2L, -1)) == ((false, "no_stbl", -1L, -1L, -1L)))
+    assert(all((3L, -1)) == ((false, "bad_magic", -1L, -1L, -1L)))
+    assert(all((4L, -1)) == ((false, "truncated", -1L, -1L, -1L)))
+    // nFrames = 2 over 5 samples: indices 0·5/2 = 0 and 1·5/2 = 2
+    val two = Multimodal.sampleMp4Frames(spark,
+        rows.filter($"media_id" === 1L), nFrames = 2)
+      .collect().map(_.getInt(3)).sorted
+    assert(two.toSeq == Seq(0, 2))
+  }
+
   test("resizePngGray: hand 4×4→2×2 block means, payload decodes " +
       "to exactly those pixels, non-divisible dims and dead letters " +
       "route with reasons") {
