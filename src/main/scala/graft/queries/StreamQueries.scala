@@ -257,6 +257,44 @@ object StreamQueries {
       |  FROM r, t GROUP BY t.n1, t.n2
       |)""".stripMargin
 
+  /** Two epochs (+ a replay) of [[graft.streaming.StreamingIngest
+    * .kAnonymityMonitorBatch]] (r16): customers split by key parity,
+    * each epoch merges its quasi tuples into the cumulative per-class
+    * count state through the `_epoch` ledger and lands the class-size
+    * histogram of everything observed so far; the replayed epoch
+    * no-ops. Reading BOTH epochs puts the intermediate state under
+    * the oracle (the q310 discipline). */
+  private def kanonMonitorRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/customer.parquet")
+    FixtureCache.ensure(
+        s"/tmp/graft_kanon_monitor/${tag}_$fp") { tmp =>
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"))
+      def epoch(parity: Int, id: Long): Unit =
+        StreamingIngest.kAnonymityMonitorBatch(
+          cust.filter(col("c_custkey") % 2 === parity)
+            .select(col("c_nationkey"), col("c_mktsegment")),
+          Seq("c_nationkey", "c_mktsegment"), k = 10L,
+          s"$tmp/state", s"$tmp/monitor", id)
+      epoch(0, 0L)
+      epoch(1, 1L)
+      epoch(1, 1L) // replay: the ledger no-ops the state merge
+    }
+  }
+
+  /** The k = 10 class-size histogram of the customers satisfying
+    * `pred` — the q313 arithmetic with the population parameterized
+    * so the two-epoch gate checks both cumulative states. */
+  private def kanonHistSqlFor(pred: String): String =
+    s"""SELECT sz AS class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  CAST(sz * COUNT(*) AS BIGINT) AS n_rows, sz < 10 AS violates_k
+       |FROM (SELECT c_nationkey, c_mktsegment,
+       |    CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM customer WHERE $pred GROUP BY 1, 2)
+       |GROUP BY sz""".stripMargin
+
   def all: Seq[QuerySpec] = Seq(
 
     // Streaming HLL maintenance, two epochs + a replay through the
@@ -433,5 +471,27 @@ object StreamQueries {
            |  UNION ALL
            |  SELECT CAST(1 AS BIGINT) AS epoch, q1.*
            |  FROM (${driftReportSqlFor("TRUE")}) q1
-           |) ORDER BY epoch, stat""".stripMargin)))
+           |) ORDER BY epoch, stat""".stripMargin)),
+
+    // Streaming k-anonymity monitor, two epochs + replay through the
+    // _epoch ledger (r16): the governance wing's epoch member — the
+    // release gate watches the cumulative class-size histogram as
+    // data accumulates (small classes merge and leave the violating
+    // band), never rescanning observed batches. Epoch 0 pins the
+    // half-population state, epoch 1 the full merge; the replay
+    // no-ops.
+    QuerySpec("q327_kanon_monitor_epochs",
+      (s, dir) => {
+        val root = kanonMonitorRoot(s, dir)
+        s.read.parquet(s"$root/monitor/epoch_0")
+          .unionByName(s.read.parquet(s"$root/monitor/epoch_1"))
+          .orderBy(col("epoch"), col("class_size"))
+      },
+      Some(s"""SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS epoch, q0.*
+           |  FROM (${kanonHistSqlFor("c_custkey % 2 = 0")}) q0
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT) AS epoch, q1.*
+           |  FROM (${kanonHistSqlFor("TRUE")}) q1
+           |) ORDER BY epoch, class_size""".stripMargin)))
 }

@@ -579,6 +579,51 @@ object StreamingIngest {
       .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
   }
 
+  /** Streaming k-ANONYMITY monitor (r16) — the governance wing's
+    * epoch member: each micro-batch's quasi-identifier tuples merge
+    * into the cumulative per-class count state (exactly
+    * [[aggIngestBatch]] with the quasi tuple as the key — the same
+    * `_epoch` replay ledger and atomic staging commit), then the
+    * class-size histogram of EVERYTHING observed so far
+    * ([[graft.ops.Profile.kAnonymityProfile]]'s row shape,
+    * epoch-prefixed) lands under `monitorDir/epoch_N` — so a release
+    * gate can watch the violating mass shrink toward zero as data
+    * accumulates, without ever rescanning it. State is
+    * ≤|classes|-sized; the monitor output ≤|distinct sizes| rows. */
+  def kAnonymityMonitor(stream: DataFrame, quasiCols: Seq[String],
+      k: Long, stateDir: String, checkpointDir: String,
+      monitorDir: String, adoptUntaggedState: Boolean = false)
+      : StreamingQuery =
+    epochLedgeredQuery(stream, stateDir, checkpointDir,
+      adoptUntaggedState, "kAnonymityMonitor") { (batch, epochId) =>
+      kAnonymityMonitorBatch(batch, quasiCols, k, stateDir,
+        monitorDir, epochId)
+    }
+
+  /** One epoch of [[kAnonymityMonitor]], separated like
+    * [[driftMonitorBatch]] so the batch path is directly testable
+    * and driver-gateable: quasi-class state merge, state read-back,
+    * histogram, epoch parquet. */
+  def kAnonymityMonitorBatch(batch: DataFrame, quasiCols: Seq[String],
+      k: Long, stateDir: String, monitorDir: String,
+      epochId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(quasiCols.nonEmpty && k > 1,
+      "kAnonymityMonitorBatch: need quasi columns and k > 1")
+    val spark = batch.sparkSession
+    aggIngestBatch(batch.select(quasiCols.map(col): _*), quasiCols,
+      Nil, Nil, Nil, stateDir, epochId)
+    spark.read.parquet(s"$stateDir/current/state")
+      .groupBy(col("n").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .select(lit(epochId).as("epoch"), col("class_size"),
+        col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"),
+        (col("class_size") < k).as("violates_k"))
+      .coalesce(1) // ≤|distinct sizes| rows
+      .write.mode("overwrite").parquet(s"$monitorDir/epoch_$epochId")
+  }
+
   /** KEYED streaming drift monitor — [[driftMonitor]] per segment
     * (per-language, per-topic, per time bucket): the cumulative
     * state counts (group, value) pairs, and each epoch lands the
