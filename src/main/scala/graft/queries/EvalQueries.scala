@@ -108,7 +108,8 @@ object EvalQueries {
        |    [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
        |      FOR x IN embedding] AS v
        |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+       |  WHERE vec_id % 4 = 0
+       |    AND embedding IS NOT NULL AND len(embedding) = 64),
        |gf AS (SELECT a.ai - 1 AS i, b.bj - 1 AS j,
        |    SUM(CAST(v[a.ai] AS HUGEINT) * v[b.bj]) AS gij
        |  FROM xm, generate_series(1, 64) a(ai),
@@ -231,12 +232,14 @@ object EvalQueries {
     QuerySpec("q286_clustering_coeff",
       (s, dir) => graft.ops.Graph.clusteringCoefficients(
           table(s, dir, "lineitem")
+            .filter(col("l_orderkey") % 4 === 0)
             .select(pmod(col("l_partkey"), lit(211)).as("src"),
               pmod(col("l_suppkey"), lit(211)).as("dst")),
           "src", "dst")
         .orderBy(col("id")),
       Some("""WITH raw AS (SELECT l_partkey % 211 AS s,
-        |    l_suppkey % 211 AS d FROM lineitem),
+        |    l_suppkey % 211 AS d FROM lineitem
+        |  WHERE l_orderkey % 4 = 0),
         |ce AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
         |  FROM raw WHERE s <> d),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -329,7 +332,9 @@ object EvalQueries {
     // the q151 discipline with +w instead of +1.
     QuerySpec("q290_shortest_paths",
       (s, dir) => graft.ops.Graph.shortestPaths(
-          table(s, dir, "lineitem").select(
+          table(s, dir, "lineitem")
+            .filter(col("l_orderkey") % 4 === 0)
+            .select(
             col("l_partkey").as("p"),
             (col("l_suppkey") + 1000000L).as("sp"),
             col("l_quantity").as("w")),
@@ -350,7 +355,7 @@ object EvalQueries {
         s"""WITH ce AS (SELECT l_partkey AS u0,
            |    l_suppkey + 1000000 AS v0,
            |    CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
-           |  FROM lineitem GROUP BY 1, 2),
+           |  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2),
            |ue AS (SELECT u0 AS u, v0 AS v, w FROM ce
            |  UNION ALL SELECT v0, u0, w FROM ce),
            |d0 AS (SELECT DISTINCT s_suppkey + 1000000 AS id,
@@ -623,11 +628,15 @@ object EvalQueries {
     // duplicate-heavy fixture; the spec's ≥3× posting-reduction
     // assertion runs at this same 4/5).
     QuerySpec("q300_prefix_jaccard",
+      // r17 fixture diet (VERDICT r16 #1): losslessness is pinned by
+      // this oracle at ANY corpus subset (the prefix filter is a
+      // theorem, not a tuning); mod-2 quarters the candidate space.
       (s, dir) => graft.ops.Dedup.prefixJaccardPairs(
-          table(s, dir, "documents"), "doc_id", "text",
+          table(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 0), "doc_id", "text",
           k = 3, tNum = 4, tDen = 5)
         .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents WHERE doc_id % 2 = 0),
         |sh AS (SELECT DISTINCT doc_id,
         |    UNNEST([array_to_string(toks[i:i+2], ' ')
         |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
@@ -747,7 +756,14 @@ object EvalQueries {
     // decomposition ≡ the lane decomposition ≡ the definition.
     QuerySpec("q305_kendall_tall",
       (s, dir) => {
-        val o = table(s, dir, "orders").select(
+        // r17 fixture diet (VERDICT r16 #1): the oracle handshake
+        // (decomposition == the brute-force pairwise definition)
+        // holds at any n; the B>>128 cost story lives in
+        // KendallScale/SCALE.md. mod-8 keeps ~2.3k rows/group at
+        // sf0.1 (was ~30k).
+        val o = table(s, dir, "orders")
+          .filter(col("o_orderkey") % 8 === 0)
+          .select(
           col("o_orderpriority"), col("o_orderkey"),
           (col("o_totalprice").cast("decimal(18,2)") * 100)
             .cast("long").as("x"),
@@ -762,7 +778,7 @@ object EvalQueries {
         |      AS x,
         |    CAST(date_diff('day', DATE '1970-01-01',
         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey % 8 = 0),
         |o AS (SELECT g, id, x * 1000000000 + id AS ox,
         |    y * 1000000000 + id AS oy FROM v),
         |d AS (SELECT a.g, CAST(COUNT(*) AS BIGINT) AS dcnt
@@ -792,8 +808,13 @@ object EvalQueries {
     // the component/apply tail (q81's), so the gate pins the entire
     // exact composite end to end.
     QuerySpec("q309_dedup_prefix_exact_e2e",
+      // r17 fixture diet (VERDICT r16 #1): the composite's plumbing
+      // (lossless pairs -> components -> min-id apply) is what this
+      // gate pins; q300 + the spec own the losslessness theorem.
+      // mod-2 quarters the t=1/2 candidate space (was 6.2 s idle).
       (s, dir) => {
         val docs = table(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
         graft.ops.Dedup.dedupByPairs(docs, "doc_id",
             graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id", "text",
               k = 3, tNum = 1, tDen = 2),
@@ -801,7 +822,8 @@ object EvalQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
         |sh AS (SELECT DISTINCT doc_id,
         |    UNNEST([array_to_string(toks[i:i+2], ' ')
         |            FOR i IN generate_series(1, len(toks) - 2)]) AS shingle
@@ -827,7 +849,8 @@ object EvalQueries {
         |comp AS (SELECT src AS id, MIN(node) AS component
         |  FROM reach GROUP BY src)
         |SELECT doc_id, text, lang, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |WHERE doc_id % 2 = 0
+        |  AND doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
         |ORDER BY doc_id""".stripMargin)),
 
     // ROUGE-2 pair eval (r16, Lin 2004): clipped bigram overlap +
@@ -1006,8 +1029,12 @@ object EvalQueries {
     // shares eigenvectors with the covariance. One scan, (i,j)-keyed
     // combinable aggregate (≤ d² groups), upper triangle.
     QuerySpec("q318_pca_scatter",
+      // r17 fixture diet (VERDICT r16 #1): the one-scan d(d+1)/2
+      // combinable-agg shape is scale-proven in SCALE.md; the gate
+      // needs only the oracle handshake. mod-4 rows, same 64 dims.
       (s, dir) => graft.ops.Similarity.pcaScatterMicro(
-          table(s, dir, "embeddings"), "embedding", dims = 64)
+          table(s, dir, "embeddings")
+            .filter(col("vec_id") % 4 === 0), "embedding", dims = 64)
         .select(col("i"), col("j"),
           col("m_scatter").cast("long").as("m_scatter"))
         .orderBy(col("i"), col("j")),
@@ -1015,7 +1042,8 @@ object EvalQueries {
         |    [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
         |      FOR x IN embedding] AS v
         |  FROM embeddings
-        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |  WHERE vec_id % 4 = 0
+        |    AND embedding IS NOT NULL AND len(embedding) = 64),
         |g AS (SELECT a.ai - 1 AS i, b.bj - 1 AS j,
         |    SUM(CAST(v[a.ai] AS HUGEINT) * v[b.bj]) AS gij
         |  FROM xm, generate_series(1, 64) a(ai),
@@ -1038,7 +1066,8 @@ object EvalQueries {
     QuerySpec("q319_pca_direction",
       (s, dir) => graft.ops.Similarity.principalDirectionMicro(
           graft.ops.Similarity.pcaScatterMicro(
-            table(s, dir, "embeddings"), "embedding", dims = 64),
+            table(s, dir, "embeddings")
+              .filter(col("vec_id") % 4 === 0), "embedding", dims = 64),
           dims = 64, iters = 8)
         .orderBy(col("dim")),
       Some(s"""WITH ${pcaChainSql(8)}
@@ -1055,7 +1084,8 @@ object EvalQueries {
       (s, dir) => {
         val root = pcaDirectionRoot(s, dir)
         graft.ops.Similarity.pcaProjectMicro(
-            table(s, dir, "embeddings"), "vec_id", "embedding",
+            table(s, dir, "embeddings")
+              .filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
             s.read.parquet(s"$root/direction"), dims = 64)
           .orderBy(col("vec_id"))
       },
@@ -1074,13 +1104,23 @@ object EvalQueries {
   private def pcaDirectionRoot(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val fp = FixtureCache.fingerprint(s"$dir/embeddings.parquet")
-    FixtureCache.ensure(s"/tmp/graft_pca_direction/${tag}_$fp") { tmp =>
+    FixtureCache.ensure(s"/tmp/graft_pca_direction/${tag}_${fp}_m4") { tmp =>
       graft.ops.Similarity.principalDirectionMicro(
           graft.ops.Similarity.pcaScatterMicro(
-            table(s, dir, "embeddings"), "embedding", dims = 64),
+            table(s, dir, "embeddings")
+              .filter(col("vec_id") % 4 === 0), "embedding", dims = 64),
           dims = 64, iters = 8)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/direction")
     }
+  }
+
+  // Fixture-root prewarm registration (VERDICT r16 wrong #2): Bench
+  // builds every /tmp root before its timed loop so no gate's counted
+  // window ever contains a one-time fixture build.
+  locally {
+    Seq[(org.apache.spark.sql.SparkSession, String) => String](
+      pcaDirectionRoot _)
+      .foreach(f => FixtureCache.registerPrewarm((s, d) => { f(s, d); () }))
   }
 }

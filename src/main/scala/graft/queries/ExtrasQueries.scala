@@ -118,6 +118,7 @@ object ExtrasQueries {
     QuerySpec("q125_pagerank",
       (s, dir) => {
         val edges = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
           .join(table(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
@@ -134,7 +135,8 @@ object ExtrasQueries {
              |      AS rank_micro
              |  FROM n LEFT JOIN m$i USING (id))""".stripMargin
         s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
-           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE l_orderkey % 4 = 0),
            |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
            |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
            |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM n),

@@ -32,6 +32,42 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
   */
 private[graft] object FixtureCache {
 
+  /** Registry of fixture-root builders, so Bench can force every
+    * /tmp root to exist BEFORE the timed loop (VERDICT r16 wrong #2:
+    * a cold /tmp put a fixture's build shuffles inside a timed
+    * query's counted window — q282's byte ledger moved +58% with
+    * zero code changes). Each query object registers its root
+    * helpers at object init; [[prewarmAll]] invokes them once per
+    * bench run. Warm /tmp: each call is a single `_READY` stat. */
+  private val prewarmers = new scala.collection.mutable.ArrayBuffer[
+    (org.apache.spark.sql.SparkSession, String) => Unit]()
+
+  def registerPrewarm(
+      f: (org.apache.spark.sql.SparkSession, String) => Unit): Unit =
+    synchronized { prewarmers += f }
+
+  /** Build every registered fixture root for `dir`. Failures are
+    * swallowed: a broken fixture surfaces in its own gate's timed
+    * run with a real stack, not here.
+    *
+    * Shuffle width is PINNED to 32 for the builds: a fixture's
+    * part-file layout is imprinted by the builder session, and a
+    * gate that scans the root then pays one map task per micro-file
+    * in its OWN byte ledger — r16's 512-partition fleet rehearsal
+    * left q282's snapshot as 512×1.4 KB files, moving the gate's
+    * bytes 0.218→0.344 MB and its time 0.17→0.86 s with zero code
+    * changes (VERDICT r16 wrong #2/#7, root-caused r17). Pinning
+    * makes the layout a function of the DATA alone. */
+  def prewarmAll(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "32")
+    try synchronized(prewarmers.toSeq)
+      .foreach(f => try f(s, dir) catch { case _: Throwable => () })
+    finally s.conf.set(key, prev)
+  }
+
   /** Fingerprint of a parquet file-or-directory: md5 (128 bits, first
     * 16 hex kept) over the sorted `name:length:mtime` listing.
     * Replaces the old 32-bit `String.hashCode` mask (ADVICE r9: a

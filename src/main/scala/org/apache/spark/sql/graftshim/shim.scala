@@ -17,7 +17,12 @@ object GraftShim {
     * listener's counters are complete before they are read. Replaces
     * the fixed Thread.sleep drains in the bench/scale runners; the
     * bus reference is private[spark], hence the shim placement. */
-  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long = 10000L): Unit =
-    try sc.listenerBus.waitUntilEmpty(timeoutMs)
-    catch { case _: java.util.concurrent.TimeoutException => () }
+  /** Returns false when the bus still held events at the deadline
+    * (VERDICT r16 wrong #3: a silent 10 s timeout under co-tenant
+    * load let one query's stage events leak into the next query's
+    * counted window — callers that meter per-query MUST retry until
+    * true). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long = 10000L): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }
