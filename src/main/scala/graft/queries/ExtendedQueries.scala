@@ -54,6 +54,7 @@ object ExtendedQueries {
     // F6 create_ids: parallel pipe-list zip → versioned ids (exploded).
     QuerySpec("q12_create_ids",
       (s, dir) => table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
           explode(createIds(
             concat_ws("|", col("l_partkey"), col("l_suppkey")),
@@ -64,7 +65,7 @@ object ExtendedQueries {
         |FROM (SELECT l_orderkey, l_linenumber,
         |    UNNEST(string_split(CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR), '|')) AS i,
         |    UNNEST(string_split(CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_linenumber + 1 AS VARCHAR), '|')) AS v
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_orderkey % 4 = 0)
         |ORDER BY l_orderkey, l_linenumber, rel_id""".stripMargin)),
 
     // A3 grouped sorted list-collect (deterministic collect_list).

@@ -33,12 +33,14 @@ object MlPrepQueries {
     * (+4M) and a within-batch near-dup of it (+5M). Shared with q90
     * (the indexed twin must see the SAME inputs). The modulus
     * parameterizes batch SIZE (each arm selects one residue class):
-    * 7 is the q89/q90/q103 gate batch (~5/7 of the corpus); 97 is
-    * q105's small batch (~5% — the typical ingest increment), same
-    * five-arm routing structure. */
+    * 31 is the q89/q90/q103 gate batch (~16% of the corpus — r17
+    * fixture diet, was 7 = ~5/7 of the corpus whose in-batch pair
+    * stage dominated three gates' bench wall); 97 is q105's small
+    * batch (~5% — the typical ingest increment), same five-arm
+    * routing structure. */
   private[queries] def incrementFullBatch(
       corpus: org.apache.spark.sql.DataFrame,
-      mod: Int = 7): org.apache.spark.sql.DataFrame = {
+      mod: Int = 31): org.apache.spark.sql.DataFrame = {
     val newText = regexp_replace(col("text"), "(\\S+)", "zq$1")
     corpus.filter(pmod(col("doc_id"), lit(mod)) === 3)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -803,7 +805,7 @@ object MlPrepQueries {
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       },
-      Some(incrementFullOracleSql(7))),
+      Some(incrementFullOracleSql(31))),
     // Priority-survivor near-dup dedup: within each component the
     // LONGEST document wins (id tiebreak) instead of the lowest id —
     // what production dedup usually keeps.

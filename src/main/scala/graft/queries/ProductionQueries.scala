@@ -306,10 +306,13 @@ object ProductionQueries {
     // with the same islands CTEs.
     QuerySpec("q104_span_scrub_minspan",
       (s, dir) => Dedup.scrubDuplicatedSpans(
-          table(s, dir, "documents"), "doc_id", "text", k = 5, minSpan = 8)
+          table(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", k = 5, minSpan = 8)
         .orderBy(col("doc_id")),
       Some("""WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
         |base AS (SELECT doc_id, toks,
         |    UNNEST(generate_series(1, len(toks) - 4)) AS i
         |  FROM t WHERE len(toks) >= 5),
@@ -809,11 +812,13 @@ object ProductionQueries {
     // both rank rules.
     QuerySpec("q116_dsir_selection",
       (s, dir) => graft.ops.TrainingPrep.dsirSelect(
-          table(s, dir, "documents"), "doc_id", "text",
+          table(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 0), "doc_id", "text",
           targetPred = col("lang") === "en", buckets = 1024, n = 100)
         .orderBy(col("doc_id")),
       Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
         |uni AS (SELECT doc_id, tgt, UNNEST(toks) AS g FROM t),
         |bi AS (SELECT doc_id, tgt, UNNEST([array_to_string(toks[i:i+1], ' ')
         |    FOR i IN generate_series(1, len(toks) - 1)]) AS g FROM t),
@@ -834,7 +839,8 @@ object ProductionQueries {
         |      ((CAST(('0x' || substr(md5('u:' || CAST(d.doc_id AS VARCHAR)),
         |          1, 15)) AS BIGINT) % 1000000) + 0.5) / 1000000.0)))
         |      AS BIGINT) AS gum
-        |  FROM documents d LEFT JOIN sc s USING (doc_id)),
+        |  FROM documents d LEFT JOIN sc s USING (doc_id)
+        |  WHERE d.doc_id % 2 = 0),
         |r AS (SELECT doc_id, logw_micro,
         |    row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC) AS rw,
         |    row_number() OVER (ORDER BY logw_micro + gum DESC, doc_id ASC) AS rs

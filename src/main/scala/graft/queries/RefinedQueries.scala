@@ -151,10 +151,12 @@ object RefinedQueries {
     // occurrence by (doc_id, pos).
     QuerySpec("q97_span_scrub",
       (s, dir) => Dedup.scrubDuplicatedSpans(
-          table(s, dir, "documents"), "doc_id", "text", k = 5)
+          table(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 5)
         .orderBy(col("doc_id")),
       Some("""WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
         |base AS (SELECT doc_id, toks,
         |    UNNEST(generate_series(1, len(toks) - 4)) AS i
         |  FROM t WHERE len(toks) >= 5),

@@ -320,7 +320,9 @@ object WebCorpusQueries {
     // occurrences: md5 lane hash per depth row, exact integer counts —
     // the frequency dual of the q127 HLL, hash-exact and additive.
     QuerySpec("q133_cms_sketch",
-      (s, dir) => Sketches.cmsSketch(table(s, dir, "lineitem"), "l_suppkey")
+      (s, dir) => Sketches.cmsSketch(
+          table(s, dir, "lineitem")
+            .filter(col("l_orderkey") % 4 === 0), "l_suppkey")
         .orderBy(col("r"), col("pos")),
       Some {
         val rows = (0 until 4).map { r =>
@@ -329,7 +331,7 @@ object WebCorpusQueries {
              |    AS BIGINT) % 256 AS INTEGER) AS pos FROM k""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"""WITH k AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem
-           |  WHERE l_suppkey IS NOT NULL),
+           |  WHERE l_suppkey IS NOT NULL AND l_orderkey % 4 = 0),
            |h AS ($rows)
            |SELECT r, pos, COUNT(*) AS cnt FROM h GROUP BY 1, 2
            |ORDER BY r, pos""".stripMargin
@@ -344,6 +346,7 @@ object WebCorpusQueries {
     QuerySpec("q134_cms_estimate",
       (s, dir) => {
         val li = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
         val est = Sketches.cmsEstimate(
           Sketches.cmsSketch(li, "l_suppkey"), li, "l_suppkey")
         li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("true_cnt"))
@@ -359,7 +362,8 @@ object WebCorpusQueries {
              |    AS BIGINT) % 256 AS INTEGER) AS pos FROM k""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"""WITH k AS (SELECT l_suppkey, CAST(l_suppkey AS VARCHAR) AS key
-           |  FROM lineitem WHERE l_suppkey IS NOT NULL),
+           |  FROM lineitem
+           |  WHERE l_suppkey IS NOT NULL AND l_orderkey % 4 = 0),
            |h AS ($rows),
            |cells AS (SELECT r, pos, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
            |probe AS (SELECT DISTINCT key, r, pos FROM h),
@@ -628,7 +632,9 @@ object WebCorpusQueries {
     // chronologically).
     QuerySpec("q140_profile",
       (s, dir) => {
-        val o = table(s, dir, "orders").select(
+        val o = table(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(
           col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long")
             .as("o_totalprice_cents"),
@@ -652,7 +658,8 @@ object WebCorpusQueries {
           s"""SELECT '$name' AS col_name, COUNT(*) AS n,
              |  COUNT($e) AS n_nonnull, COUNT(DISTINCT $e) AS n_distinct,
              |  CAST(MIN($e) AS VARCHAR) AS min_s,
-             |  CAST(MAX($e) AS VARCHAR) AS max_s FROM orders""".stripMargin
+             |  CAST(MAX($e) AS VARCHAR) AS max_s
+             |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin
         }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
       }),
 
