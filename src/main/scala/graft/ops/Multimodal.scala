@@ -427,9 +427,12 @@ object Multimodal {
             case Right((w, h, px))
                 if w % outW == 0 && h % outH == 0 =>
               val sx = w / outW; val sy = h / outH
-              val area = sx * sy
+              // Long accumulation (ADVICE r16): 255*area overflows Int
+              // for block areas past ~8.4M pixels (8192x8192 -> 2x2),
+              // which decodePngGray's dimension bounds permit
+              val area = sx.toLong * sy
               def out(x: Int, y: Int): Int = {
-                var s = 0; var dy = 0
+                var s = 0L; var dy = 0
                 while (dy < sy) {
                   var dx = 0
                   while (dx < sx) {
@@ -438,7 +441,7 @@ object Multimodal {
                   }
                   dy += 1
                 }
-                s / area
+                (s / area).toInt
               }
               (r.media_id, r.kind, Multimodal.encodePngGray(
                 outW, outH, out, _ => 0), true,
@@ -507,6 +510,13 @@ object Multimodal {
     var channels = 0; var rate = 0; var bits = 0
     while (pos + 8 <= b.length) {
       val id = ascii(pos, 4); val sz = le32(pos + 4)
+      // bound the chunk BEFORE touching or skipping it (ADVICE r16):
+      // sz is the unsigned 32-bit wire value — sz >= 2^31 made the
+      // old `pos += 8 + sz.toInt` advance wrap negative or sit
+      // stationary (an executor-task infinite loop) instead of the
+      // documented dead-letter; Long arithmetic + this check make
+      // the subsequent toInt provably safe (sz <= b.length)
+      if (pos + 8L + sz > b.length) return Left("truncated")
       if (id == "fmt ") {
         if (pos + 8 + 16 > b.length) return Left("truncated")
         if (le16(pos + 8) != 1) return Left("bad_header") // PCM only
@@ -1005,6 +1015,11 @@ object Multimodal {
         val sz = be32u(pos)
         if (sz < 8) return -1
         if (ascii(pos + 4, 4) == typ) return pos
+        // bound the advance (ADVICE r16): sz is unsigned 32-bit, so
+        // `pos += sz.toInt` on a crafted box wrapped negative
+        // (AIOOBE) or looped; a non-matching box that overruns its
+        // parent ends the walk instead
+        if (pos + sz > limit) return -1
         pos += sz.toInt
       }
       -1
@@ -1030,19 +1045,43 @@ object Multimodal {
     def table(typ: String): Int = findChild(stblFrom, stblLimit, typ)
     val (stsc, stsz, stco) = (table("stsc"), table("stsz"), table("stco"))
     if (stsc < 0 || stsz < 0 || stco < 0) return Left("no_stbl")
-    val nSamples = be32u(stsz + 16).toInt
-    if (nSamples == 0) return Left("no_stbl")
+    // every declared entry table must fit inside its OWN box and the
+    // box inside the file (ADVICE r16): a malformed count otherwise
+    // read out of bounds (uncaught AIOOBE killing the task) or
+    // allocated a near-2^32-entry array — validate in Long BEFORE
+    // any toInt or allocation, then dead-letter as `truncated`
+    def boxEnd(p: Int): Long = p + be32u(p)
+    if (boxEnd(stsz) > b.length || stsz + 20L > boxEnd(stsz) ||
+        boxEnd(stco) > b.length || stco + 16L > boxEnd(stco) ||
+        boxEnd(stsc) > b.length || stsc + 16L > boxEnd(stsc))
+      return Left("truncated")
+    val nSamplesL = be32u(stsz + 16)
+    if (nSamplesL == 0) return Left("no_stbl")
     val fixedSz = be32u(stsz + 12)
+    if (fixedSz == 0 && stsz + 20L + 4L * nSamplesL > boxEnd(stsz))
+      return Left("truncated")
+    // with variable sizes the count is box-bounded above; a fixed-size
+    // table carries no per-sample rows, so cap by what the file could
+    // possibly hold (every sample is at least one byte of mdat)
+    if (nSamplesL > b.length) return Left("truncated")
+    val nSamples = nSamplesL.toInt
     def sizeOf(j: Int): Int =
       if (fixedSz != 0) fixedSz.toInt else be32u(stsz + 20 + 4 * j).toInt
-    val nChunks = be32u(stco + 12).toInt
+    val nChunksL = be32u(stco + 12)
+    if (stco + 16L + 4L * nChunksL > boxEnd(stco))
+      return Left("truncated")
+    val nChunks = nChunksL.toInt
     def chunkOff(c: Int): Long = be32u(stco + 16 + 4 * c)
-    val nRuns = be32u(stsc + 12).toInt
+    val nRunsL = be32u(stsc + 12)
+    if (stsc + 16L + 12L * nRunsL > boxEnd(stsc))
+      return Left("truncated")
+    val nRuns = nRunsL.toInt
     // expand stsc runs to per-chunk sample counts
     val perChunk = new Array[Int](nChunks)
     var ri = 0
     while (ri < nRuns) {
       val fc = be32u(stsc + 16 + 12 * ri).toInt
+      if (fc < 1) return Left("truncated") // 1-based per ISO 8.7.4
       val n = be32u(stsc + 20 + 12 * ri).toInt
       val lc = if (ri + 1 < nRuns) be32u(stsc + 16 + 12 * (ri + 1)).toInt
                else nChunks + 1
@@ -1050,7 +1089,7 @@ object Multimodal {
       while (c < lc && c <= nChunks) { perChunk(c - 1) = n; c += 1 }
       ri += 1
     }
-    if (perChunk.sum < nSamples) return Left("no_stbl")
+    if (perChunk.map(_.toLong).sum < nSamples) return Left("no_stbl")
     // absolute offset of sample j: chunk offset + sizes before it
     val sampleOffsets = new Array[Long](nSamples)
     var j = 0
@@ -1069,7 +1108,8 @@ object Multimodal {
     val out = (0 until nOut).map { k =>
       val idx = (k.toLong * nSamples / nOut).toInt
       val off = sampleOffsets(idx); val sz = sizeOf(idx)
-      if (off + sz > b.length) return Left("truncated")
+      if (sz < 0 || off < 0 || off + sz > b.length)
+        return Left("truncated")
       (idx, java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz))
     }
     Right(out)

@@ -2591,6 +2591,13 @@ object Profile {
     * judgments' gap); groups whose relevant docs all miss the top-k
     * report 0. Output: (group, n_rel, ap_micro).
     *
+    * PRECONDITION (the [[graft.ops.TextAnalysis.rougeN]] idCol rule,
+    * ADVICE r16): `rels` must hold at most ONE row per (group, id) —
+    * a duplicate judgment fans out the top-k left join AND inflates
+    * n_rel, silently skewing ap_micro. Deduplicate judgments
+    * upstream (`rels.dropDuplicates(groupCol, idCol)`) when the
+    * source can repeat.
+    *
     * Scale shape: the running-hit window is partitioned per group
     * over ≤ k rows (the top-k filter runs first); everything else is
     * keyed combinable aggregation + one ≤|groups| join. */

@@ -633,6 +633,56 @@ class MultimodalSpec extends SparkSuite {
     assert(two.toSeq == Seq(0, 2))
   }
 
+  test("crafted oversized sizes dead-letter, never loop or throw " +
+      "(ADVICE r16: unsigned-32 chunk/table walks)") {
+    // WAV: an unknown chunk whose unsigned size (0xFFFFFFF8) made the
+    // old walk advance by 8 + sz.toInt = 0 — an executor infinite loop
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(8000)
+    bb.putShort(1); bb.putShort(8)
+    bb.put("junk".getBytes("US-ASCII")); bb.putInt(0xFFFFFFF8)
+    assert(Multimodal.decodeWavPcm(bb.array()) == Left("truncated"))
+
+    // MP4: corrupt a valid container's sample tables in place
+    def be32(a: Array[Byte], at: Int, v: Long): Unit = {
+      a(at) = ((v >> 24) & 0xff).toByte; a(at + 1) = ((v >> 16) & 0xff).toByte
+      a(at + 2) = ((v >> 8) & 0xff).toByte; a(at + 3) = (v & 0xff).toByte
+    }
+    def find(a: Array[Byte], typ: String): Int = {
+      val t = typ.getBytes("US-ASCII")
+      (0 until a.length - 4).find(i => a(i) == t(0) && a(i + 1) == t(1) &&
+        a(i + 2) == t(2) && a(i + 3) == t(3)).get - 4 // box START
+    }
+    val sizes = Array(3, 4, 5, 6, 7)
+    def sb(j: Int, i: Int): Int = 10 * j + i
+    def fresh() = Multimodal.encodeMp4Samples("isom", 1000L, 5000L,
+      sizes, sb, nChunks = 2)
+    import spark.implicits._
+    def reasonOf(m: Array[Byte]): String =
+      Multimodal.sampleMp4Frames(spark,
+          Seq((1L, "video", m)).toDF("media_id", "kind", "media"), 2)
+        .collect().head.getString(2)
+    // stsz declares ~2^31 samples: must dead-letter, not allocate
+    val evil1 = fresh(); be32(evil1, find(evil1, "stsz") + 16, 0x7FFFFFF0L)
+    assert(reasonOf(evil1) == "truncated")
+    // stco declares more chunk offsets than its box holds
+    val evil2 = fresh(); be32(evil2, find(evil2, "stco") + 12, 0xFFFFFF00L)
+    assert(reasonOf(evil2) == "truncated")
+    // stsc first_chunk = 0 (ISO 8.7.4 is 1-based): old code indexed
+    // perChunk(-1)
+    val evil3 = fresh(); be32(evil3, find(evil3, "stsc") + 16, 0L)
+    assert(reasonOf(evil3) == "truncated")
+    // a child box whose size overruns its parent must end the walk
+    // as a dead letter, not wrap the advance
+    val evil4 = fresh(); be32(evil4, find(evil4, "trak"), 0xFFFFFFF0L)
+    val r4 = reasonOf(evil4)
+    assert(r4 == "truncated" || r4 == "no_stbl")
+  }
+
   test("resizePngGray: hand 4×4→2×2 block means, payload decodes " +
       "to exactly those pixels, non-divisible dims and dead letters " +
       "route with reasons") {

@@ -126,6 +126,24 @@ class TextEvalSpec extends SparkSuite {
     assert(out.count(_.isEmpty) == 3)
   }
 
+  test("kAnonymitySuppress: null classes SUPPRESS when small, across " +
+      "a multi-column quasi tuple (ADVICE r16: the gate corpus has " +
+      "no nulls, so the <=> semantics are pinned here)") {
+    // (null, x): 3 rows -> kept at k=3; (null, y): 2 rows -> dropped;
+    // (z, null): 3 rows -> kept — null must match ONLY its own tuple,
+    // never wildcard onto another class (what a plain = join can't
+    // and an accidental IS NULL OR would get wrong)
+    val rows = Seq.fill(3)((null: String, "x", 1)) ++
+      Seq.fill(2)((null: String, "y", 2)) ++
+      Seq.fill(3)(("z", null: String, 3))
+    val out = Profile.kAnonymitySuppress(
+        rows.toDF("zip", "seg", "v"), Seq("zip", "seg"), 3L)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    assert(out.count(_ == ((None, Some("x")))) == 3)
+    assert(!out.exists(_ == ((None, Some("y")))))
+    assert(out.count(_ == ((Some("z"), None))) == 3)
+  }
+
   test("lDiversityProfile: distinct-sensitive histogram; null " +
       "sensitive not counted but rows kept; flag below l") {
     val rows = Seq(
