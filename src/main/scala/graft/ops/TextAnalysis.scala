@@ -506,4 +506,93 @@ object TextAnalysis {
       .withColumn("distinct_micro",
         expr("(1000000 * n_distinct) div n_total"))
   }
+
+  // -----------------------------------------------------------------
+  // Language identification (r17, VERDICT r16 "what's missing #3") —
+  // hashed character-n-gram naive Bayes: Cavnar & Trenkle 1994's
+  // n-gram profiles in the fastText hashed-feature form (Joulin et
+  // al. 2016), on the repo's exact-integer discipline. The model is
+  // a DENSE (lang x buckets) frame of per-bucket log-probs in
+  // integer micro-nats — Laplace +1 smoothing, ln via the ONE fixed
+  // IEEE expression per row (the q116/q117 floor rule:
+  // floor(10^6 * ln((c+1)/(n+B)))), so DuckDB replays every score
+  // bit-exactly. Train once over a labeled slice, persist a few KB,
+  // broadcast into every scoring run; per-batch cost at 100 TB is
+  // one char-gram explode + one (id, lang)-keyed combinable sum.
+  // -----------------------------------------------------------------
+
+  /** Trained language-ID model: (lang, __b, lp_micro), DENSE over
+    * langs x buckets so scoring never misses the broadcast join —
+    * unseen buckets carry the smoothed default ln(1/(n_L+B)). */
+  def langIdModel(train: DataFrame, langCol: String, textCol: String,
+      k: Int = 3, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "langIdModel: buckets must be positive")
+    require(k >= 1, "langIdModel: k must be >= 1")
+    val grams = charGramsKeyed(train, langCol, textCol, k, buckets)
+    val perBucket = grams.groupBy(col("lang"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val perLang = perBucket.groupBy(col("lang"))
+      .agg(sum(col("__c")).as("__n"))
+    perLang.crossJoin(
+        train.sparkSession.range(buckets)
+          .select(col("id").cast("int").as("__b")))
+      .join(broadcast(perBucket), Seq("lang", "__b"), "left")
+      .select(col("lang"), col("__b"),
+        floor(log((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+          (col("__n") + buckets)) * 1e6)
+          .cast("long").as("lp_micro"))
+  }
+
+  /** [[charGrams]] keyed by the LABEL column (training side). */
+  private def charGramsKeyed(train: DataFrame, langCol: String,
+      textCol: String, k: Int, buckets: Int): DataFrame =
+    train.filter(col(textCol).isNotNull && col(langCol).isNotNull)
+      .select(col(langCol).as("lang"), trim(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= k)
+      .withColumn("__i", explode(sequence(lit(1),
+        length(col("__t")) - (k - 1))))
+      .withColumn("__b", graft.ops.TrainingPrep.hashBucket("lg:",
+        expr(s"substring(__t, __i, $k)"), buckets))
+      .select(col("lang"), col("__b"))
+
+  /** Predict against an already-trained [[langIdModel]] frame (the
+    * steady-state form — the model arrives as a tiny parquet scan
+    * and is BROADCAST). Output: (id, pred_lang, score_micro,
+    * n_grams); rows with no k-gram (shorter than k chars) drop —
+    * langid is undefined there, the caller routes them as `und`.
+    * Argmax tie-break: lexicographically smallest lang (total
+    * order, replayed by the oracle verbatim). The per-doc argmax is
+    * a rank-1 row_number over <= |langs| rows per doc — the
+    * WindowGroupLimit path, never a window over raw grams. */
+  def langIdPredictWith(model: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, k: Int = 3,
+      buckets: Int = 1024): DataFrame = {
+    val grams = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), trim(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= k)
+      .withColumn("__i", explode(sequence(lit(1),
+        length(col("__t")) - (k - 1))))
+      .withColumn("__b", graft.ops.TrainingPrep.hashBucket("lg:",
+        expr(s"substring(__t, __i, $k)"), buckets))
+      .select(col(idCol), col("__b"))
+    val perLang = grams.join(broadcast(model), Seq("__b"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("lp_micro")).as("score_micro"),
+        count(lit(1)).as("n_grams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("lang").asc)
+    perLang.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("lang").as("pred_lang"),
+        col("score_micro"), col("n_grams"))
+  }
+
+  /** Train-in-query composition of [[langIdModel]] +
+    * [[langIdPredictWith]]. */
+  def langIdPredict(train: DataFrame, langCol: String, df: DataFrame,
+      idCol: String, textCol: String, k: Int = 3,
+      buckets: Int = 1024): DataFrame =
+    langIdPredictWith(langIdModel(train, langCol, textCol, k, buckets),
+      df, idCol, textCol, k, buckets)
 }

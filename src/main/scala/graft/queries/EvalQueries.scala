@@ -1096,7 +1096,153 @@ object EvalQueries {
         |SELECT pe.vec_id,
         |  CAST(SUM(pe.x * vt.v) AS BIGINT) AS score
         |FROM pe JOIN v8 vt ON vt.dim = pe.dim
-        |GROUP BY pe.vec_id ORDER BY pe.vec_id""".stripMargin)))
+        |GROUP BY pe.vec_id ORDER BY pe.vec_id""".stripMargin)),
+
+    // Language identification (r17, VERDICT r16 missing #3): hashed
+    // character-trigram naive Bayes — Cavnar & Trenkle 1994 profiles
+    // in the fastText hashed-feature form, exact-integer micro-nat
+    // scores via the q116/q117 floor-per-row ln rule. Train on the
+    // labeled src1 slice, predict the src2 mod-2 probe lane; the
+    // oracle replays gram explode, md5 bucket, Laplace-smoothed
+    // dense model, per-(doc,lang) sum and the (score DESC, lang ASC)
+    // argmax verbatim. LangIdSpec pins 100% separation on a planted
+    // two-language fixture (this corpus shares one vocabulary across
+    // lang labels, so the GATE pins arithmetic, not accuracy).
+    QuerySpec("q328_langid",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.ops.TextAnalysis.langIdPredict(
+            docs.filter(col("source") === "src1"), "lang",
+            langIdProbe(docs), "doc_id", "text",
+            k = 3, buckets = 1024)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $langIdModelSql,
+        |$langIdScoreSql
+        |SELECT doc_id, lang AS pred_lang, score_micro, n_grams
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Steady-state langid (r17, standing rule 1 — q328's persisted
+    // twin): the model frame (5 langs x 1024 buckets, a few KB) is
+    // trained once, persisted, and broadcast into the scoring run;
+    // per-batch cost is one gram explode + one keyed combinable sum.
+    // Oracle = q328's verbatim (same model arithmetic, same probe).
+    QuerySpec("q329_langid_steady",
+      (s, dir) => {
+        val root = langIdModelRoot(s, dir)
+        graft.ops.TextAnalysis.langIdPredictWith(
+            s.read.parquet(s"$root/model"),
+            langIdProbe(table(s, dir, "documents")), "doc_id", "text",
+            k = 3, buckets = 1024)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $langIdModelSql,
+        |$langIdScoreSql
+        |SELECT doc_id, lang AS pred_lang, score_micro, n_grams
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Langid wing into the quality-filter composites (r17, the
+    // q113/q114 pattern): the first gate of every web-corpus
+    // pipeline — keep the probe docs predicted `en` that also pass
+    // a minimum-length quality rule, emitting the reason-tagged
+    // verdict for BOTH arms (a dashboard needs the rejects too).
+    QuerySpec("q330_langid_quality_filter",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pred = graft.ops.TextAnalysis.langIdPredict(
+          docs.filter(col("source") === "src1"), "lang",
+          langIdProbe(docs), "doc_id", "text", k = 3, buckets = 1024)
+        langIdProbe(docs)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long")
+              .as("n_tokens"))
+          .join(pred, Seq("doc_id"))
+          .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+            (col("pred_lang") === "en" && col("n_tokens") >= 20)
+              .as("kept"),
+            when(col("pred_lang") =!= "en", "lang")
+              .when(col("n_tokens") < 20, "short")
+              .otherwise("ok").as("reason"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $langIdModelSql,
+        |$langIdScoreSql,
+        |pred AS (SELECT doc_id, lang AS pred_lang
+        |  FROM ranked WHERE rk = 1),
+        |nt AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\\s+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE source = 'src2' AND doc_id % 2 = 0
+        |    AND text IS NOT NULL)
+        |SELECT nt.doc_id, pred.pred_lang, nt.n_tokens,
+        |  pred.pred_lang = 'en' AND nt.n_tokens >= 20 AS kept,
+        |  CASE WHEN pred.pred_lang <> 'en' THEN 'lang'
+        |       WHEN nt.n_tokens < 20 THEN 'short'
+        |       ELSE 'ok' END AS reason
+        |FROM nt JOIN pred USING (doc_id) ORDER BY nt.doc_id""".stripMargin)))
+
+  /** The src2 mod-2 probe lane shared by the three langid gates. */
+  private def langIdProbe(docs: DataFrame): DataFrame =
+    docs.filter(col("source") === "src2" && col("doc_id") % 2 === 0)
+
+  /** The dense Laplace-smoothed trigram model over the src1 training
+    * slice — DuckDB mirror of [[graft.ops.TextAnalysis.langIdModel]]
+    * at k = 3, B = 1024 (shared by q328/q329/q330). */
+  private def langIdModelSql: String =
+    """tr AS (SELECT lang, trim(text) AS t FROM documents
+      |  WHERE source = 'src1' AND text IS NOT NULL
+      |    AND lang IS NOT NULL AND len(trim(text)) >= 3),
+      |tg0 AS (SELECT lang, t,
+      |    UNNEST(generate_series(1, len(t) - 2)) AS i FROM tr),
+      |tg AS (SELECT lang,
+      |    CAST(('0x' || substr(md5('lg:' || substr(t, i, 3)), 1, 15))
+      |      AS BIGINT) % 1024 AS b
+      |  FROM tg0),
+      |tb AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tg GROUP BY 1, 2),
+      |nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM tb
+      |  GROUP BY 1),
+      |dense AS (SELECT nl.lang, gb.b,
+      |    CAST(floor(ln((COALESCE(tb.c, 0) + 1.0) / (nl.n + 1024))
+      |      * 1e6) AS BIGINT) AS lp
+      |  FROM nl CROSS JOIN generate_series(0, 1023) gb(b)
+      |  LEFT JOIN tb ON tb.lang = nl.lang AND tb.b = gb.b)""".stripMargin
+
+  /** Probe-side gram scoring + ranked argmax (shared tail). */
+  private def langIdScoreSql: String =
+    """probe AS (SELECT doc_id, trim(text) AS t FROM documents
+      |  WHERE source = 'src2' AND doc_id % 2 = 0
+      |    AND text IS NOT NULL AND len(trim(text)) >= 3),
+      |pg0 AS (SELECT doc_id, t,
+      |    UNNEST(generate_series(1, len(t) - 2)) AS i FROM probe),
+      |pg AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5('lg:' || substr(t, i, 3)), 1, 15))
+      |      AS BIGINT) % 1024 AS b
+      |  FROM pg0),
+      |sc AS (SELECT pg.doc_id, dense.lang,
+      |    CAST(SUM(dense.lp) AS BIGINT) AS score_micro,
+      |    CAST(COUNT(*) AS BIGINT) AS n_grams
+      |  FROM pg JOIN dense USING (b) GROUP BY 1, 2),
+      |ranked AS (SELECT doc_id, lang, score_micro, n_grams,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score_micro DESC, lang ASC) AS rk
+      |  FROM sc)""".stripMargin
+
+  /** Build-once persisted langid model (the q118/q320 frozen-model
+    * pattern): train on src1 once, then every probe pays only the
+    * broadcast join. */
+  private def langIdModelRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
+    FixtureCache.ensure(s"/tmp/graft_langid_model/${tag}_$fp") { tmp =>
+      graft.ops.TextAnalysis.langIdModel(
+          table(s, dir, "documents").filter(col("source") === "src1"),
+          "lang", "text", k = 3, buckets = 1024)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/model")
+    }
+  }
 
   /** Build-once persisted principal direction (the q118 frozen-model
     * pattern): scatter + 8 power iterations once, then every probe
@@ -1120,7 +1266,7 @@ object EvalQueries {
   // window ever contains a one-time fixture build.
   locally {
     Seq[(org.apache.spark.sql.SparkSession, String) => String](
-      pcaDirectionRoot _)
+      pcaDirectionRoot _, langIdModelRoot _)
       .foreach(f => FixtureCache.registerPrewarm((s, d) => { f(s, d); () }))
   }
 }
