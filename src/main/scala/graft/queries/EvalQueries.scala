@@ -131,6 +131,57 @@ object EvalQueries {
        |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
   }
 
+  /** Deflation chain for [[graft.ops.Similarity
+    * .principalComponentsMicro]]'s oracle (r17): the [[pcaChainSql]]
+    * prefix (xm/gf/sv/mf) followed, per component c, by the
+    * 8-iteration power chain over mf_c and the Hotelling deflation
+    * mf_{c+1}[i,j] = mf_c[i,j] − ((vMv // vv)·vᵢ·vⱼ) // vv — every
+    * division the verified trunc-toward-zero `//`, every
+    * multi-referenced CTE MATERIALIZED (DuckDB inlines CTEs
+    * exponentially otherwise). Exposes v8_c per component and a
+    * `comps` union (component, dim, v). */
+  private def pcaComponentsChainSql(iters: Int, k: Int): String = {
+    def iterCte(t: Int, c: Int): String =
+      s"""w${t}_$c AS MATERIALIZED (SELECT mf_$c.i AS dim,
+         |    SUM(mf_$c.m * v.v) AS w
+         |  FROM mf_$c JOIN v${t - 1}_$c v ON v.dim = mf_$c.j
+         |  GROUP BY 1),
+         |x${t}_$c AS (SELECT MAX(ABS(w)) AS mw FROM w${t}_$c),
+         |v${t}_$c AS MATERIALIZED (SELECT dim, (1000000 * w) // mw AS v
+         |  FROM w${t}_$c, x${t}_$c)""".stripMargin
+    def block(c: Int): String = {
+      val v0 =
+        s"""v0_$c AS MATERIALIZED (SELECT t.i AS dim,
+           |    CASE WHEN t.i = (SELECT i FROM mf_$c WHERE i = j
+           |      ORDER BY m DESC, i LIMIT 1)
+           |    THEN CAST(1000000 AS HUGEINT) ELSE 0 END AS v
+           |  FROM range(0, 64) t(i))""".stripMargin
+      val chain = (1 to iters).map(iterCte(_, c)).mkString(",\n")
+      val defl = if (c == k) "" else
+        s""",
+           |vv_$c AS (SELECT SUM(v * v) AS vv FROM v${iters}_$c),
+           |vmv_$c AS (SELECT SUM(va.v * mf_$c.m * vb.v) AS vmv
+           |  FROM mf_$c JOIN v${iters}_$c va ON va.dim = mf_$c.i
+           |  JOIN v${iters}_$c vb ON vb.dim = mf_$c.j),
+           |t1_$c AS (SELECT vmv // vv AS t1 FROM vmv_$c, vv_$c),
+           |mf_${c + 1} AS MATERIALIZED (SELECT mf_$c.i, mf_$c.j,
+           |    mf_$c.m - (t1_$c.t1 * va.v * vb.v) // vv_$c.vv AS m
+           |  FROM mf_$c JOIN v${iters}_$c va ON va.dim = mf_$c.i
+           |  JOIN v${iters}_$c vb ON vb.dim = mf_$c.j, t1_$c, vv_$c)"""
+          .stripMargin
+      s"$v0,\n$chain$defl"
+    }
+    val comps = (1 to k).map(c =>
+      s"""SELECT ${c - 1} AS component, dim, v FROM v${iters}_$c""")
+      .mkString("\n  UNION ALL ")
+    val prefix = pcaChainSql(0).trim.stripSuffix(",").trim
+      .stripSuffix(",") // iters=0 leaves a dangling comma + v0 tail
+    s"""$prefix,
+       |mf_1 AS MATERIALIZED (SELECT i, j, m FROM mf),
+       |${(1 to k).map(block).mkString(",\n")},
+       |comps AS MATERIALIZED ($comps)""".stripMargin
+  }
+
   /** The 10⁶-scaled 1/log₂(i+1) discounts as a SQL CASE (positions
     * 1..10) — the same published table as
     * [[graft.ops.Profile.ndcgDiscountMicro]]. */
@@ -1180,7 +1231,93 @@ object EvalQueries {
         |  CASE WHEN pred.pred_lang <> 'en' THEN 'lang'
         |       WHEN nt.n_tokens < 20 THEN 'short'
         |       ELSE 'ok' END AS reason
-        |FROM nt JOIN pred USING (doc_id) ORDER BY nt.doc_id""".stripMargin)))
+        |FROM nt JOIN pred USING (doc_id) ORDER BY nt.doc_id""".stripMargin)),
+
+    // Multi-component PCA (r17, VERDICT r16 missing #4): k = 2
+    // directions by exact-integer Hotelling deflation over the
+    // collected scatter — ONE fixed procedure (power chain, Rayleigh
+    // t1 = vMv // vv, per-entry trunc deflation) the oracle replays
+    // as unrolled MATERIALIZED CTEs. PcaSpec pins orthogonality
+    // within the quantization bound and component-0 ≡ q319.
+    QuerySpec("q331_pca_components",
+      (s, dir) => graft.ops.Similarity.principalComponentsMicro(
+          graft.ops.Similarity.pcaScatterMicro(
+            table(s, dir, "embeddings")
+              .filter(col("vec_id") % 4 === 0), "embedding", dims = 64),
+          dims = 64, iters = 8, k = 2)
+        .orderBy(col("component"), col("dim")),
+      Some(s"""WITH ${pcaComponentsChainSql(8, 2)}
+        |SELECT component, dim, CAST(v AS BIGINT) AS v_micro
+        |FROM comps ORDER BY component, dim""".stripMargin)),
+
+    // k-coordinate projection from the PERSISTED components (r17,
+    // standing rule 1 — q331's steady twin): k zip_with/aggregate
+    // literal expressions per row, zero shuffle; the oracle
+    // re-derives both directions through the deflation chain and
+    // projects. The reduced row is what the ANN family consumes.
+    QuerySpec("q332_pca_project_k",
+      (s, dir) => {
+        val root = pcaComponentsRoot(s, dir)
+        graft.ops.Similarity.pcaProjectKMicro(
+            table(s, dir, "embeddings")
+              .filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+            s.read.parquet(s"$root/components"), dims = 64)
+          .orderBy(col("vec_id"), col("component"))
+      },
+      Some(s"""WITH ${pcaComponentsChainSql(8, 2)},
+        |pe AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(v[i] AS HUGEINT) AS x
+        |  FROM xm, generate_series(1, 64) g(i))
+        |SELECT pe.vec_id, c.component,
+        |  CAST(SUM(pe.x * c.v) AS BIGINT) AS score
+        |FROM pe JOIN comps c ON c.dim = pe.dim
+        |GROUP BY 1, 2 ORDER BY vec_id, component""".stripMargin)),
+
+    // PCA-reduced sign-cell ANN (r17 — the chained gate VERDICT r16
+    // missing #4 asked for): the 2 reduced coordinates bucket the
+    // lane into 4 sign cells (a codebook-free IVF); each mod-40
+    // probe searches only its own cell, ranked by exact integer
+    // squared L2 in the reduced space, top-3 with the (d2, id)
+    // total order. Candidates are cell-bucketed — never all-pairs.
+    QuerySpec("q333_pca_cell_ann",
+      (s, dir) => {
+        val root = pcaComponentsRoot(s, dir)
+        val proj = graft.ops.Similarity.pcaProjectKMicro(
+          table(s, dir, "embeddings")
+            .filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+          s.read.parquet(s"$root/components"), dims = 64)
+        graft.ops.Similarity.pcaCellNeighbors(proj, "vec_id",
+            col("vec_id") % 40 === 0, topK = 3)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some(s"""WITH ${pcaComponentsChainSql(8, 2)},
+        |pe AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(v[i] AS HUGEINT) AS x
+        |  FROM xm, generate_series(1, 64) g(i)),
+        |sc AS MATERIALIZED (SELECT pe.vec_id, c.component,
+        |    CAST(SUM(pe.x * c.v) AS HUGEINT) AS s
+        |  FROM pe JOIN comps c ON c.dim = pe.dim GROUP BY 1, 2),
+        |cells AS MATERIALIZED (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN s >= 0
+        |      THEN CAST(1 AS BIGINT) << component
+        |      ELSE 0 END) AS BIGINT) AS cell
+        |  FROM sc GROUP BY 1),
+        |cand AS (SELECT p.vec_id AS q, o.vec_id AS n
+        |  FROM cells p JOIN cells o ON o.cell = p.cell
+        |    AND o.vec_id <> p.vec_id
+        |  WHERE p.vec_id % 40 = 0),
+        |d2 AS (SELECT cand.q, cand.n,
+        |    SUM((sa.s - sb.s) * (sa.s - sb.s)) AS d2
+        |  FROM cand JOIN sc sa ON sa.vec_id = cand.q
+        |  JOIN sc sb ON sb.vec_id = cand.n
+        |    AND sb.component = sa.component
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT q, n, d2, ROW_NUMBER() OVER (PARTITION BY q
+        |    ORDER BY d2 ASC, n ASC) AS rk FROM d2)
+        |SELECT rk.q AS query_id, CAST(rk.rk AS INTEGER) AS rk,
+        |  rk.n AS neighbor_id, cells.cell
+        |FROM rk JOIN cells ON cells.vec_id = rk.q
+        |WHERE rk.rk <= 3 ORDER BY query_id, rk""".stripMargin)))
 
   /** The src2 mod-2 probe lane shared by the three langid gates. */
   private def langIdProbe(docs: DataFrame): DataFrame =
@@ -1229,6 +1366,24 @@ object EvalQueries {
       |      ORDER BY score_micro DESC, lang ASC) AS rk
       |  FROM sc)""".stripMargin
 
+  /** Build-once persisted k = 2 PCA components (the q320 pattern
+    * widened): scatter + deflation chain once, probes pay only the
+    * literal-array projections. */
+  private def pcaComponentsRoot(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fp = FixtureCache.fingerprint(s"$dir/embeddings.parquet")
+    FixtureCache.ensure(
+        s"/tmp/graft_pca_components/${tag}_${fp}_m4") { tmp =>
+      graft.ops.Similarity.principalComponentsMicro(
+          graft.ops.Similarity.pcaScatterMicro(
+            table(s, dir, "embeddings")
+              .filter(col("vec_id") % 4 === 0), "embedding", dims = 64),
+          dims = 64, iters = 8, k = 2)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/components")
+    }
+  }
+
   /** Build-once persisted langid model (the q118/q320 frozen-model
     * pattern): train on src1 once, then every probe pays only the
     * broadcast join. */
@@ -1266,7 +1421,7 @@ object EvalQueries {
   // window ever contains a one-time fixture build.
   locally {
     Seq[(org.apache.spark.sql.SparkSession, String) => String](
-      pcaDirectionRoot _, langIdModelRoot _)
+      pcaDirectionRoot _, langIdModelRoot _, pcaComponentsRoot _)
       .foreach(f => FixtureCache.registerPrewarm((s, d) => { f(s, d); () }))
   }
 }

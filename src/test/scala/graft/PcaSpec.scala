@@ -76,4 +76,74 @@ class PcaSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 3000000000000L, 2L -> 7000000000000L))
   }
+
+  test("principalComponentsMicro: component 0 ≡ the single-direction " +
+      "op; k components orthogonal within the quantization bound; " +
+      "axis-aligned data recovers both axes in variance order") {
+    // anisotropic: wide on dim 1, narrow on dim 0, zero covariance
+    val rows = (0 until 40).map(i =>
+      i.toLong -> Seq((i % 4).toFloat * 0.01f, (i % 10).toFloat * 0.1f))
+    val scatter = Similarity.pcaScatterMicro(vecs(rows), "embedding", 2)
+    val comps = Similarity.principalComponentsMicro(scatter, 2, 8, 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val single = Similarity.principalDirectionMicro(scatter, 2, 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(comps((0, 0)) == single(0) && comps((0, 1)) == single(1),
+      "component 0 is byte-identical to principalDirectionMicro")
+    // dominant = dim 1, second = dim 0 (variance order)
+    assert(math.abs(comps((0, 1))) == 1000000L)
+    assert(math.abs(comps((1, 0))) == 1000000L,
+      s"second component carries the minor axis: $comps")
+    // orthogonality within the 10^-6-per-entry quantization bound:
+    // |v0 . v1| <= d * 1e6 * (max quantization step ~ 1e6) scaled —
+    // empirically far tighter; pin a conservative 1e10 (exact zero
+    // for this axis-aligned fixture would be 0 +- trunc noise)
+    val dot = (0 until 2).map(d =>
+      BigInt(comps((0, d))) * BigInt(comps((1, d)))).sum
+    assert(dot.abs <= BigInt("10000000000"), s"near-orthogonal: $dot")
+  }
+
+  test("principalComponentsMicro: hand 2x2 deflation — after removing " +
+      "the dominant axis the residual axis must win component 2") {
+    // diagonal scatter diag(a, b), a >> b: v1 = e0; deflation leaves
+    // ~diag(0, b) -> v2 = e1
+    import spark.implicits._
+    val scatter = Seq((0, 0, BigDecimal(9000000000000L)),
+      (0, 1, BigDecimal(0)), (1, 1, BigDecimal(1000000000000L)))
+      .toDF("i", "j", "m_scatter")
+      .select(col("i"), col("j"),
+        col("m_scatter").cast("decimal(38,0)").as("m_scatter"))
+    val comps = Similarity.principalComponentsMicro(scatter, 2, 8, 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(comps == Map((0, 0) -> 1000000L, (0, 1) -> 0L,
+      (1, 0) -> 0L, (1, 1) -> 1000000L))
+  }
+
+  test("pcaProjectKMicro + pcaCellNeighbors: exact per-component " +
+      "scores, sign cells, same-cell ranking with id tie-break") {
+    import spark.implicits._
+    val comps = Seq((0, 0, 1000000L), (0, 1, 0L),
+      (1, 0, 0L), (1, 1, 1000000L)).toDF("component", "dim", "v_micro")
+    val d = vecs(Seq(
+      1L -> Seq(1.0f, 1.0f),    // cell 3 (+,+)
+      2L -> Seq(2.0f, 1.0f),    // cell 3
+      3L -> Seq(3.0f, 1.0f),    // cell 3
+      4L -> Seq(-1.0f, 1.0f)))  // cell 2 (-,+)
+    val proj = Similarity.pcaProjectKMicro(d, "vec_id", "embedding",
+      comps, dims = 2)
+    val scores = proj.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(scores((1L, 0)) == 1000000000000L &&
+      scores((1L, 1)) == 1000000000000L)
+    assert(scores((4L, 0)) == -1000000000000L)
+    val nn = Similarity.pcaCellNeighbors(proj, "vec_id",
+        col("vec_id") === 1L, topK = 2)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // query 1 (cell 3): neighbors 2 then 3 by distance; 4 is in
+    // another cell and must NOT appear
+    assert(nn == Map(1 -> ((2L, 3L)), 2 -> ((3L, 3L))))
+  }
 }
