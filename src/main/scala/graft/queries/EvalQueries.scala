@@ -1317,7 +1317,54 @@ object EvalQueries {
         |SELECT rk.q AS query_id, CAST(rk.rk AS INTEGER) AS rk,
         |  rk.n AS neighbor_id, cells.cell
         |FROM rk JOIN cells ON cells.vec_id = rk.q
-        |WHERE rk.rk <= 3 ORDER BY query_id, rk""".stripMargin)))
+        |WHERE rk.rk <= 3 ORDER BY query_id, rk""".stripMargin)),
+
+    // t-closeness (r17, VERDICT r16 missing #6): the governance
+    // triad's third member beside q313 (k-anonymity) and q314
+    // (l-diversity) — per (cust_bucket, o_orderpriority) class, the
+    // categorical EMD (= total-variation distance) of the class's
+    // o_orderstatus distribution vs the corpus distribution, exact
+    // integer over the n_E·N common denominator; violates_t is the
+    // division-free cross-multiplied comparison at t = 0.2.
+    QuerySpec("q334_t_closeness",
+      (s, dir) => graft.ops.Profile.tClosenessProfile(
+          table(s, dir, "orders")
+            .filter(col("o_custkey") % 16 === 0)
+            .select(expr("o_custkey div 10").as("cust_bucket"),
+              col("o_orderpriority"), col("o_orderstatus")),
+          Seq("cust_bucket", "o_orderpriority"), "o_orderstatus",
+          tMicro = 200000L)
+        .orderBy(col("cust_bucket"), col("o_orderpriority")),
+      Some("""WITH src AS (SELECT o_custkey // 10 AS cust_bucket,
+        |    o_orderpriority, o_orderstatus FROM orders
+        |  WHERE o_custkey % 16 = 0),
+        |cv AS (SELECT cust_bucket, o_orderpriority, o_orderstatus AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM src GROUP BY 1, 2, 3),
+        |corpus AS (SELECT o_orderstatus AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cvn FROM src GROUP BY 1),
+        |ne AS (SELECT cust_bucket, o_orderpriority,
+        |    CAST(SUM(c) AS BIGINT) AS n FROM cv GROUP BY 1, 2),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM src),
+        |grid AS (SELECT ne.cust_bucket, ne.o_orderpriority, ne.n,
+        |    corpus.v, corpus.cvn, COALESCE(cv.c, 0) AS c, tot.nn
+        |  FROM ne CROSS JOIN corpus CROSS JOIN tot
+        |  LEFT JOIN cv ON cv.cust_bucket = ne.cust_bucket
+        |    AND cv.o_orderpriority = ne.o_orderpriority
+        |    AND cv.v IS NOT DISTINCT FROM corpus.v),
+        |agg AS (SELECT cust_bucket, o_orderpriority, n AS n_rows,
+        |    CAST(SUM(ABS(CAST(c AS HUGEINT) * nn
+        |      - CAST(cvn AS HUGEINT) * n)) AS HUGEINT) AS tvd_num,
+        |    MAX(nn) AS nn
+        |  FROM grid GROUP BY 1, 2, 3)
+        |SELECT cust_bucket, o_orderpriority, n_rows,
+        |  CAST(tvd_num AS BIGINT) AS tvd_num,
+        |  CAST((1000000 * tvd_num) //
+        |    (2 * CAST(n_rows AS HUGEINT) * nn) AS BIGINT) AS t_micro,
+        |  1000000 * tvd_num >
+        |    200000 * 2 * CAST(n_rows AS HUGEINT) * nn AS violates_t
+        |FROM agg
+        |ORDER BY cust_bucket, o_orderpriority""".stripMargin)))
 
   /** The src2 mod-2 probe lane shared by the three langid gates. */
   private def langIdProbe(docs: DataFrame): DataFrame =

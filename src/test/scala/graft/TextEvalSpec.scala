@@ -144,6 +144,27 @@ class TextEvalSpec extends SparkSuite {
     assert(out.count(_ == ((Some("z"), None))) == 3)
   }
 
+  test("tClosenessProfile: hand categorical-EMD values, zero for a " +
+      "corpus-proportional class, absent values zero-filled, null " +
+      "sensitive is a mass-conserving category") {
+    // corpus: flu 6, cold 5, null 1 over N = 12
+    val rows =
+      Seq(("a", "flu"), ("a", "flu"), ("a", "cold"), ("a", null)) ++
+      Seq.fill(4)(("b", "flu")) ++ Seq.fill(4)(("c", "cold"))
+    val out = Profile.tClosenessProfile(rows.toDF("q", "diag"),
+        Seq("q"), "diag", tMicro = 300000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // class a (flu 2, cold 1, null 1): |2·12−6·4| + |1·12−5·4| +
+    //   |1·12−1·4| = 0 + 8 + 8 = 16; t = 16/(2·4·12) → 166666, ok
+    assert(out("a") == ((4L, 16L, 166666L, false)))
+    // class b (flu 4): 24 + 20 + 4 = 48; t = 1/2 → 500000, violates
+    assert(out("b") == ((4L, 48L, 500000L, true)))
+    // class c (cold 4): 24 + 28 + 4 = 56 → 583333, violates
+    assert(out("c") == ((4L, 56L, 583333L, true)))
+  }
+
   test("lDiversityProfile: distinct-sensitive histogram; null " +
       "sensitive not counted but rows kept; flag below l") {
     val rows = Seq(
