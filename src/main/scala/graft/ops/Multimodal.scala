@@ -1453,39 +1453,8 @@ object Multimodal {
         rows.map { r =>
           decodePngGray(r.media) match {
             case Right((16, 16, px)) =>
-              val f = new Array[Long](64)
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  var acc = 0L
-                  var y = 0
-                  while (y < 16) {
-                    val cv = cosMicro(v)(y)
-                    var x = 0
-                    var rowAcc = 0L
-                    while (x < 16) {
-                      rowAcc += px(y * 16 + x) * cosMicro(u)(x)
-                      x += 1
-                    }
-                    acc += rowAcc * cv
-                    y += 1
-                  }
-                  f(u * 8 + v) = acc
-                  v += 1
-                }
-                u += 1
-              }
-              val ac = java.util.Arrays.copyOfRange(f, 1, 63)
-              java.util.Arrays.sort(ac)
-              val med = ac(30)
-              var h = 0L
-              var i = 1
-              while (i < 63) {
-                if (f(i) > med) h |= 1L << i
-                i += 1
-              }
-              (r.media_id, true, Option.empty[String], Option(h))
+              (r.media_id, true, Option.empty[String],
+                Option(dctHash16(px)))
             case Right(_) =>
               (r.media_id, false, Option("bad_dims"),
                 Option.empty[Long])
@@ -1503,6 +1472,138 @@ object Multimodal {
     * disjoint 16-bit bands, pigeonhole recall to hamming ≤ 3,
     * candidates from a band-keyed equi self-join, true hamming
     * filter after. The q308 move on the frequency-domain hash. */
+  /** The fixed-point 8×8 DCT pHash of a decoded 16×16 greyscale
+    * pixel array — the [[imageDctHash]] kernel, shared with the
+    * per-frame video tier: exact integer cosMicro products, AC
+    * median (sorted index 30 of the 62 AC coefficients — DuckDB's
+    * quantile_disc(0.5)), bit set iff f > median. */
+  private[graft] def dctHash16(px: Array[Int]): Long = {
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var y = 0
+        while (y < 16) {
+          val cv = cosMicro(v)(y)
+          var x = 0
+          var rowAcc = 0L
+          while (x < 16) {
+            rowAcc += px(y * 16 + x) * cosMicro(u)(x)
+            x += 1
+          }
+          acc += rowAcc * cv
+          y += 1
+        }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, 63)
+    java.util.Arrays.sort(ac)
+    val med = ac(30)
+    var h = 0L
+    var i = 1
+    while (i < 63) {
+      if (f(i) > med) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Per-frame DCT pHashes of container-packaged video (r17, VERDICT
+    * r16 missing #5 — the composition q326 + q316 left open): walk
+    * the MP4 sample table, extract `nFrames` evenly-spaced sample
+    * payloads, decode each as a 16×16 greyscale PNG, and emit one
+    * (media_id, frame_idx, phash) row per frame — the video's
+    * frame-signature sequence. A container failure dead-letters the
+    * video with [[sampleMp4Frames]]'s reason vocabulary; a sample
+    * that is not a decodable 16×16 PNG dead-letters the WHOLE video
+    * as `bad_frame` (a partial signature would alias near-dup
+    * distances). Per-row decode; payloads never leave the task. */
+  def videoFrameDctHashes(spark: SparkSession, media: DataFrame,
+      nFrames: Int): DataFrame = {
+    require(nFrames > 0, "videoFrameDctHashes: nFrames must be positive")
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("media"))
+      .as[MediaRow]
+      .flatMap { r =>
+        extractMp4Samples(r.media, nFrames) match {
+          case Right(frames) =>
+            val decoded = frames.map { case (idx, bytes) =>
+              idx -> decodePngGray(bytes)
+            }
+            if (decoded.forall(_._2.exists(t => t._1 == 16 && t._2 == 16)))
+              decoded.map { case (idx, Right((_, _, px))) =>
+                (r.media_id, true, Option.empty[String], Option(idx),
+                  Option(dctHash16(px)))
+              case _ => throw new IllegalStateException("unreachable")
+              }
+            else
+              Seq((r.media_id, false, Option("bad_frame"),
+                Option.empty[Int], Option.empty[Long]))
+          case Left(reason) =>
+            Seq((r.media_id, false, Option(reason),
+              Option.empty[Int], Option.empty[Long]))
+        }
+      }
+      .toDF("media_id", "ok", "reason", "frame_idx", "phash")
+  }
+
+  /** Video near-dup pairs over [[videoFrameDctHashes]] signatures
+    * (r17): candidates come from a band-keyed equi-join on FRAME 0's
+    * four 16-bit pHash bands — by pigeonhole, Σ-over-frames hamming
+    * ≤ 3 forces frame 0's hashes within hamming 3, which forces one
+    * identical band (the [[dctNearDupPairs]] argument applied to the
+    * sequence head) — then the TRUE distance verifies: equal frame
+    * counts, frames joined positionally, total hamming ≤ maxHamming.
+    * Never all-pairs; the sequence never leaves its keyed joins. */
+  def videoNearDupPairs(frameHashes: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "videoNearDupPairs: 4 bands of 16 guarantee recall only to " +
+        s"hamming 3, got $maxHamming")
+    val ok = frameHashes.filter(col("ok"))
+      .select(col("media_id"), col("frame_idx"), col("phash"))
+    val nf = ok.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("__nf"))
+    val f0 = ok.filter(col("frame_idx") === 0)
+    val bands = f0.select(col("media_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * 16)
+              .bitwiseAND(lit(65535L)).as("bv"))): _*)).as("bd"))
+      .select(col("media_id"), col("bd.band").as("band"),
+        col("bd.bv").as("bv"))
+    val cand = bands.select(col("media_id").as("id_a"), col("band"),
+        col("bv"))
+      .join(bands.select(col("media_id").as("id_b"),
+          col("band").as("__b2"), col("bv").as("__v2")),
+        col("band") === col("__b2") && col("bv") === col("__v2") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val pa = ok.select(col("media_id").as("id_a"), col("frame_idx"),
+      col("phash").as("__ha"))
+    val pb = ok.select(col("media_id").as("id_b"), col("frame_idx"),
+      col("phash").as("__hb"))
+    cand.join(pa, Seq("id_a")).join(pb, Seq("id_b", "frame_idx"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+        .as("hamming"),
+        count(lit(1)).as("__nj"))
+      .join(nf.select(col("media_id").as("id_a"), col("__nf").as("__na")),
+        Seq("id_a"))
+      .join(nf.select(col("media_id").as("id_b"), col("__nf").as("__nb")),
+        Seq("id_b"))
+      .filter(col("__na") === col("__nb") && col("__nj") === col("__na")
+        && col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("__na").cast("long").as("n_frames"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
   def dctNearDupPairs(hashes: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,

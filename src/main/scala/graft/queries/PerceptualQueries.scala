@@ -105,6 +105,86 @@ object PerceptualQueries {
       |hh AS (SELECT ah.doc_id, ah.ahash_hi, ah.ahash_lo, dh.dhash
       |  FROM ah JOIN dh ON ah.doc_id = dh.doc_id)""".stripMargin
 
+  /** Deterministic 4-frame MP4 video fixture (r17): the mod-4 doc
+    * lane, each video a real ISO container whose samples are 16×16
+    * greyscale PNGs from an integer formula (the [[pngPixelFixture]]
+    * discipline lifted to sequences). Group g = doc_id div 8 pairs
+    * (8k, 8k+4); variant r = (doc_id div 4) mod 2:
+    *
+    *   base(x,y,f) = (7x + 11y + 13·((x·y + f) mod 5)
+    *                  + 9·((f·(x+y)) mod 7)) mod 120
+    *   wm(x,y)     = 48 · bit( knuth(g), ((y div 2)·8 + (x div 2)) mod 32 )
+    *   p           = base + wm + 3r + (16 if r = 1 ∧ f = 0 ∧ x < 2 ∧ y < 2)
+    *
+    * — r is a uniform brightness shift (DCT-pHash-invariant) plus one
+    * corner perturbation on frame 0 only, so (8k, 8k+4) are TRUE
+    * video near-dups (Σ-hamming 1–2, concentrated in frame 0) while
+    * the group watermark keeps every other pair far apart. Max pixel
+    * 119+48+3+16 = 186 < 256. Scanline filters cycle
+    * (doc_id + f + y) mod 5. Dead lane: doc_id % 44 = 0 truncates the
+    * container. */
+  private[graft] def mp4VideoFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter(_ % 4 == 0)
+      .map { id =>
+        val g = id / 8
+        val r = ((id / 4) % 2).toInt
+        val h32 = (g * 2654435761L) % 4294967296L
+        def pixel(f: Int)(x: Int, y: Int): Int = {
+          val base = (7 * x + 11 * y + 13 * ((x * y + f) % 5) +
+            9 * ((f * (x + y)) % 7)) % 120
+          val wmBit = ((h32 >> (((y / 2) * 8 + (x / 2)) % 32)) & 1L).toInt
+          base + 48 * wmBit + 3 * r +
+            (if (r == 1 && f == 0 && x < 2 && y < 2) 16 else 0)
+        }
+        val frames = (0 until 4).map(f => Multimodal.encodePngGray(
+          16, 16, pixel(f), y => ((id + f + y) % 5).toInt))
+        val full = Multimodal.encodeMp4Samples("isom", 1000L, 4000L,
+          frames.map(_.length).toArray,
+          (j, i) => frames(j)(i) & 0xff, nChunks = 2)
+        val payload = if (id % 44 == 0) full.take(40) else full
+        (id, "mp4", payload)
+      }.toDF("media_id", "kind", "media")
+  }
+
+  /** The video fixture's pixel formula as a CTE: one row per
+    * (doc_id, f, x, y) of every OK payload. */
+  private def vpixelSql: String =
+    """vpx AS (SELECT doc_id, f, x, y,
+      |    (7 * x + 11 * y + 13 * ((x * y + f) % 5)
+      |     + 9 * ((f * (x + y)) % 7)) % 120
+      |    + 48 * (((((doc_id // 8) * 2654435761) % 4294967296)
+      |        >> (((y // 2) * 8 + (x // 2)) % 32)) & 1)
+      |    + 3 * ((doc_id // 4) % 2)
+      |    + CASE WHEN (doc_id // 4) % 2 = 1 AND f = 0
+      |        AND x < 2 AND y < 2 THEN 16 ELSE 0 END AS p
+      |  FROM documents, range(0, 4) tf(f), range(0, 16) tx(x),
+      |    range(0, 16) ty(y)
+      |  WHERE doc_id % 4 = 0 AND doc_id % 44 <> 0)""".stripMargin
+
+  /** Per-(doc, frame) DCT pHash over [[vpixelSql]] — the [[dctSql]]
+    * pipeline keyed by (doc_id, f). */
+  private def vdctSql: String =
+    s"""vct AS (SELECT * FROM (VALUES ${Multimodal.cosMicroSqlValues})
+      |  t(u, x, c)),
+      |vrs AS (SELECT p.doc_id, p.f, ct.u, p.y,
+      |    CAST(SUM(p.p * ct.c) AS BIGINT) AS rsum
+      |  FROM vpx p JOIN vct ct ON ct.x = p.x GROUP BY 1, 2, 3, 4),
+      |vcoef AS (SELECT r.doc_id, r.f, r.u, cv.u AS v,
+      |    CAST(SUM(r.rsum * cv.c) AS BIGINT) AS fc
+      |  FROM vrs r JOIN vct cv ON cv.x = r.y GROUP BY 1, 2, 3, 4),
+      |vmed AS (SELECT doc_id, f, quantile_disc(fc, 0.5) AS m
+      |  FROM vcoef WHERE u * 8 + v NOT IN (0, 63) GROUP BY 1, 2),
+      |vph AS (SELECT c.doc_id, c.f,
+      |    CAST(SUM(CASE WHEN c.u * 8 + c.v NOT IN (0, 63)
+      |        AND c.fc > m.m
+      |      THEN CAST(1 AS BIGINT) << (c.u * 8 + c.v)
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM vcoef c JOIN vmed m ON m.doc_id = c.doc_id
+      |    AND m.f = c.f GROUP BY 1, 2)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // PNG pixel decode (r16): full inflate + defilter over payloads
@@ -393,7 +473,74 @@ object PerceptualQueries {
         |  CAST(st.j AS INTEGER) AS frame_idx, st.nb AS n_bytes,
         |  st.sv AS sum_bytes, st.wv AS sum_wbytes
         |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
-        |ORDER BY media_id, frame_idx NULLS LAST""".stripMargin)))
+        |ORDER BY media_id, frame_idx NULLS LAST""".stripMargin)),
+
+    // Per-frame video DCT pHash (r17, VERDICT r16 missing #5): the
+    // composition q326 + q316 left open — real ISO sample-table
+    // frame extraction, per-frame PNG pixel decode, per-frame
+    // fixed-point DCT pHash. The oracle re-derives every frame's
+    // pixels from the fixture formula and replays the DCT pipeline
+    // per (doc, frame) — it never parses a byte.
+    QuerySpec("q335_video_frame_phash",
+      (s, dir) => Multimodal.videoFrameDctHashes(
+          s, mp4VideoFixture(s, dir), nFrames = 4)
+        .orderBy(col("media_id"), col("frame_idx").asc_nulls_last),
+      Some(s"""WITH $vpixelSql,
+        |$vdctSql
+        |SELECT d.doc_id AS media_id, d.doc_id % 44 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 44 = 0 THEN 'truncated' END AS reason,
+        |  CAST(vph.f AS INTEGER) AS frame_idx, vph.phash
+        |FROM documents d LEFT JOIN vph ON d.doc_id = vph.doc_id
+        |WHERE d.doc_id % 4 = 0
+        |ORDER BY media_id, frame_idx NULLS LAST""".stripMargin)),
+
+    // Video near-dup dedup e2e (r17): frame-signature sequences →
+    // frame-0 banded candidates (pigeonhole: Σ-hamming ≤ 3 forces an
+    // identical frame-0 band) → positional Σ-hamming verify →
+    // connected components → min-id keep — the q321 composite lifted
+    // to video. The planted (8k, 8k+4) brightness+corner variants
+    // collapse; the watermark keeps groups apart; the truncated lane
+    // passes through untouched.
+    QuerySpec("q336_video_neardup_e2e",
+      (s, dir) => {
+        val fx = mp4VideoFixture(s, dir)
+        val pairs = Multimodal.videoNearDupPairs(
+          Multimodal.videoFrameDctHashes(s, fx, nFrames = 4),
+          maxHamming = 3)
+        graft.ops.Dedup.dedupByPairs(
+            fx.select(col("media_id"), col("kind")), "media_id",
+            pairs, "id_a", "id_b")
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $vpixelSql,
+        |$vdctSql,
+        |f0 AS (SELECT doc_id, phash FROM vph WHERE f = 0),
+        |bands AS (SELECT doc_id, b.band,
+        |    (phash >> (b.band * 16)) & 65535 AS bv
+        |  FROM f0, (SELECT UNNEST([0, 1, 2, 3]) AS band) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |good AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN vph pa ON pa.doc_id = c.id_a
+        |  JOIN vph pb ON pb.doc_id = c.id_b AND pb.f = pa.f
+        |  GROUP BY 1, 2
+        |  HAVING SUM(bit_count(xor(pa.phash, pb.phash))) <= 3),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id AS media_id, 'mp4' AS kind FROM documents
+        |WHERE doc_id % 4 = 0 AND doc_id NOT IN
+        |  (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY media_id""".stripMargin)))
 
   /** Deterministic PCM WAVE fixture (r16) — the pngPixelFixture move
     * on audio: per doc, base = doc_id div 2 picks the waveform

@@ -683,6 +683,42 @@ class MultimodalSpec extends SparkSuite {
     assert(r4 == "truncated" || r4 == "no_stbl")
   }
 
+  test("videoFrameDctHashes + videoNearDupPairs: planted brightness " +
+      "twin collapses, distinct content does not, non-PNG samples " +
+      "dead-letter the whole video as bad_frame") {
+    import spark.implicits._
+    // the textured q335-fixture base (a flat gradient has too little
+    // AC energy — its near-zero median lets a corner bump flip > 3
+    // DCT bits; texture anchors the median, hamming lands at 1–2)
+    def png(shift: Int, corner: Int)(f: Int): Array[Byte] =
+      Multimodal.encodePngGray(16, 16,
+        (x, y) => (7 * x + 11 * y + 13 * ((x * y + f) % 5)) % 120 +
+          shift + (if (f == 0 && x < 2 && y < 2) corner else 0),
+        y => (f + y) % 5)
+    def mp4(frames: Seq[Array[Byte]]): Array[Byte] =
+      Multimodal.encodeMp4Samples("isom", 1000L, 4000L,
+        frames.map(_.length).toArray, (j, i) => frames(j)(i) & 0xff)
+    val a = mp4((0 until 3).map(png(0, 0)))     // original
+    val b = mp4((0 until 3).map(png(5, 16)))    // brightness + corner
+    val c = mp4((0 until 3).map(f =>            // different content
+      Multimodal.encodePngGray(16, 16,
+        (x, y) => (13 * x * y + f) % 200, y => y % 5)))
+    val bad = Multimodal.encodeMp4Samples("isom", 1000L, 4000L,
+      Array(4), (_, i) => i + 1, nChunks = 1)   // not a PNG
+    val rows = Seq((1L, "mp4", a), (2L, "mp4", b), (3L, "mp4", c),
+      (4L, "mp4", bad), (5L, "mp4", a.take(40)))
+      .toDF("media_id", "kind", "media")
+    val fh = Multimodal.videoFrameDctHashes(spark, rows, nFrames = 3)
+    val byId = fh.collect().groupBy(_.getLong(0))
+    assert(byId(1L).length == 3 && byId(1L).forall(_.getBoolean(1)))
+    assert(byId(4L).head.getString(2) == "bad_frame")
+    assert(byId(5L).head.getString(2) == "truncated")
+    val pairs = Multimodal.videoNearDupPairs(fh, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)),
+      s"only the planted twin pairs, with n_frames: ${pairs.toSeq}")
+  }
+
   test("resizePngGray: hand 4×4→2×2 block means, payload decodes " +
       "to exactly those pixels, non-divisible dims and dead letters " +
       "route with reasons") {
