@@ -315,7 +315,20 @@ object ScaleStress {
       // land the IDENTICAL direction while the scatter scan pays ×f
       "q311_rouge2_pairs", "q312_distinct_ngram",
       "q309_dedup_prefix_exact_e2e", "q321_media_neardup_e2e",
-      "q318_pca_scatter", "q319_pca_direction")
+      "q318_pca_scatter", "q319_pca_direction",
+      // round-17 additions: langid (standard documents synthesis —
+      // training counts scale ×f so the smoothed log-probs MOVE, but
+      // the plan shape is the pin: gram explode + broadcast model +
+      // keyed sum + rank-1 argmax must stay flat per task), the
+      // deflation PCA chain + its chained sign-cell ANN (embeddings:
+      // the f-copies invariant M' = f²M must land IDENTICAL
+      // components; the ANN's cell space is fixed at 2^k so cells
+      // absorb ×f members — the honest mega-cell shape), t-closeness
+      // (orders → graph-shaped: classes ×f, |values| fixed), and the
+      // video near-dup composite (mod-4 lane ×f; 10M-offset copies
+      // land in fresh watermark groups so pairs stay within copies)
+      "q328_langid", "q331_pca_components", "q333_pca_cell_ann",
+      "q334_t_closeness", "q336_video_neardup_e2e")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */
@@ -328,7 +341,7 @@ object ScaleStress {
       "q208_categorical_profile", "q217_lag_lead",
       "q223_equidepth_hist", "q225_percentile_cont",
       "q231_spearman", "q232_expectations_fd",
-      "q234_expectations_seq")
+      "q234_expectations_seq", "q334_t_closeness")
     // optional 4th arg: comma-separated name prefixes for targeted runs
     val qnames = if (args.length > 3) {
       val ps = args(3).split(',')
