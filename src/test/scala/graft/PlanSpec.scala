@@ -231,7 +231,16 @@ class PlanSpec extends SparkSuite {
       // calibration aggregate — |bins|³ ≤ 64³ rows by construction,
       // never data-sized (the q270 bounded-|arms|² class); its rank
       // pass is q275's constant-key class
-      "q297_isotonic_calibration")
+      "q297_isotonic_calibration",
+      // q328/q330's langid model densifies (lang × bucket): the
+      // cross join is ≤|langs|-row stats × the B-row range — the
+      // MODEL grid (k·B ≤ 5·1024 rows), built once per train, never
+      // data-sized; q330 adds nothing (same model subtree)
+      "q328_langid", "q330_langid_quality_filter",
+      // q334's grid is ≤|classes|-row class stats × ≤|values|-row
+      // corpus distribution (categorical-bounded) plus the 1-row
+      // corpus-total attach — the q270/q293 bounded-grid class
+      "q334_t_closeness")
     val offenders = SparkEntry.specs.flatMap { q =>
       val plan =
         try q.fn(spark, sf0001).queryExecution.executedPlan.toString
