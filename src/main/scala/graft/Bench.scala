@@ -98,6 +98,7 @@ object Bench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     val metrics = new QueryMetrics
     spark.sparkContext.addSparkListener(metrics)
+    var qIndex = 0
     // results: name -> (median sec, shuffle MB per rep, peak exec-mem MB).
     // Bytes are summed across reps then divided: the plan is
     // deterministic, so per-rep bytes are identical and the division
@@ -118,6 +119,28 @@ object Bench {
       // function of its own plan alone. (Reps still share: same
       // query, intended steady-state.)
       spark.catalog.clearCache()
+      // ... and release CHECKPOINT blocks too: clearCache only covers
+      // cacheManager entries, but every rep's eager localCheckpoint
+      // registers a persistent RDD the context holds a strong
+      // reference to — over a 336-query × 3-rep run that pins
+      // thousands of block sets, and the LATE queries pay the
+      // eviction/GC thrash (observed r17: q328 75 s at suite position
+      // ~330 vs 2.0 s in isolation, identical bytes). Between
+      // queries, everything persisted is garbage by design — each
+      // query rebuilds its own state; only /tmp parquet carries.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // ... and give the ContextCleaner a chance to act on them:
+      // shuffle files, broadcast blocks and RDD state are reclaimed
+      // via WEAK references, i.e. only after a driver GC — which a
+      // 48 GB heap almost never triggers on its own (the reason
+      // spark.cleaner.periodicGC.interval exists, default 30 min —
+      // longer than the whole run). Without this, the 300+-query
+      // tail runs against a block manager dragging every earlier
+      // query's state (observed: q319 28.6 s late-suite vs ~1 s
+      // isolated, identical bytes). Outside the timed window.
+      if (qIndex % 8 == 0) System.gc()
+      qIndex += 1
       // Counters measure reps 2..n only (divide by reps-1): rep 1 can
       // trigger one-time FixtureCache builds on a cold /tmp (index
       // writes, model training) whose bytes would otherwise be
