@@ -3106,7 +3106,7 @@ object AnalyticsQueries {
           datediff(col("o_orderdate"), lit("1970-01-01"))
             .cast("long").as("y"))
         graft.ops.Profile.kendallTauExact(o, "o_orderpriority",
-            "o_orderkey", "x", "y", buckets = 32)
+            "o_orderkey", "x", "y", buckets = 8)
           .orderBy(col("o_orderpriority"))
       },
       Some("""WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS id,
