@@ -57,11 +57,19 @@ object Bench {
     val specs = SparkEntry.specs
     graft.queries.FixtureCache.prewarmAll(spark, sfDir)
     // drain-until-ACTUALLY-empty: a silently-timed-out drain leaks
-    // the previous query's stage events into the next counted window
-    def drainFully(): Unit = {
+    // the previous query's stage events into the next counted window.
+    // Returns false when 8 retries (~2 min) did NOT empty the bus
+    // (ADVICE r17): callers flag the query so a leaked byte ledger is
+    // distinguishable from a clean one instead of failing silently.
+    def drainFully(): Boolean = {
       var tries = 0
-      while (!GraftShim.drainListenerBus(spark.sparkContext, 15000L)
-        && tries < 8) tries += 1
+      var ok = GraftShim.drainListenerBus(spark.sparkContext, 15000L)
+      while (!ok && tries < 8) {
+        tries += 1
+        ok = GraftShim.drainListenerBus(spark.sparkContext, 15000L)
+      }
+      if (!ok) System.err.println("[Bench] listener-bus drain timed out")
+      ok
     }
     // warm the JVM/codegen/IO paths so the first measured query does
     // not absorb session startup (measured ~3s of attribution noise)
@@ -107,6 +115,14 @@ object Bench {
     // hash order reshuffles whenever a gate is added, so any residual
     // cross-query attribution artifact would move to a DIFFERENT
     // query each round — unreproducible by construction.
+    // one duplicated QuerySpec name would run twice and emit duplicate
+    // JSON keys in BENCH_DETAIL, silently shadowing one timing
+    // (ADVICE r17) — the old SparkEntry.queries Map deduped by
+    // construction; the specs Seq must assert it
+    require(specs.map(_.name).distinct.size == specs.size,
+      "duplicate QuerySpec names: " + specs.map(_.name)
+        .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+        .mkString(","))
     val results = specs.map(sp => sp.name -> sp.fn)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
@@ -148,11 +164,11 @@ object Bench {
       // run would then report different bytes for an identical plan,
       // the exact false signal this column exists to rule out. The
       // MEDIAN timing already lands on the steady state the same way.
-      drainFully()
+      var drained = drainFully()
       metrics.reset()
       val times = (0 until reps).map { r =>
         if (r == 1) { // drop rep 1's (possibly build-inflated) bytes
-          drainFully()
+          drained &= drainFully()
           metrics.reset()
         }
         val t0 = System.nanoTime()
@@ -166,11 +182,11 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      drainFully()
+      drained &= drainFully()
       val steadyReps = math.max(1, reps - 1)
       name -> (times(times.length / 2),
         metrics.shuffleBytes.get / 1e6 / steadyReps,
-        metrics.peakMem.get / 1e6)
+        metrics.peakMem.get / 1e6, drained)
     }
     // The driver records only the LAST ~2000 chars of output, and sbt's
     // "[success] ..." line lands after ours — r3/r4 metric lines (~2.6 KB,
@@ -186,7 +202,7 @@ object Bench {
     // other in the parsed metrics; fall back to the full name on clash
     val shortCount = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
       .map { case (p, ks) => p -> ks.size }
-    val qs = results.map { case (k, (sec, _, _)) =>
+    val qs = results.map { case (k, (sec, _, _, _)) =>
       val p = k.takeWhile(_ != '_')
       val short = if (shortCount(p) == 1) p else k
       "\"" + short + "\":" + num(sec)
@@ -201,9 +217,13 @@ object Bench {
     // directly; the metric line carries just the pointer.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
-    val detail = results.sortBy(_._1).map { case (k, (sec, mb, peakMb)) =>
-      s"""    "$k": {"sec": ${num(sec)}, "shuffle_mb": ${num(mb)}, "peak_mem_mb": ${num(peakMb)}}"""
+    // drain_timeout rides per-row only when set — a leaked ledger is
+    // flagged, a clean one stays byte-compatible with prior rounds
+    val detail = results.sortBy(_._1).map { case (k, (sec, mb, peakMb, dr)) =>
+      val flag = if (dr) "" else """, "drain_timeout": 1"""
+      s"""    "$k": {"sec": ${num(sec)}, "shuffle_mb": ${num(mb)}, "peak_mem_mb": ${num(peakMb)}$flag}"""
     }.mkString(",\n")
+    val drainTimeouts = results.count(!_._2._4)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
       s"""{
   "total_sec": ${num(total)},
@@ -211,6 +231,7 @@ object Bench {
   "reps": $reps,
   "load_start": ${num(loadStart)},
   "load_end": ${num(loadEnd)},
+  "drain_timeouts": $drainTimeouts,
   "queries": {
 $detail
   }
@@ -225,7 +246,7 @@ $detail
     // fits in the tail window: total first, the 10 heaviest queries
     // as the queries map, and the detail-file pointer for the rest.
     val top10 = results.sortBy(-_._2._1).take(10)
-      .map { case (k, (sec, _, _)) =>
+      .map { case (k, (sec, _, _, _)) =>
         val p = k.takeWhile(_ != '_')
         val short = if (shortCount(p) == 1) p else k
         "\"" + short + "\":" + num(sec) }

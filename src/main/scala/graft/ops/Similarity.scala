@@ -1308,7 +1308,9 @@ object Similarity {
       vecCol: String, components: DataFrame, dims: Int): DataFrame = {
     val comps = components.orderBy(col("component"), col("dim"))
       .collect() // ≤ k·d rows, the model literal
-      .groupBy(_.getInt(0))
+      // by-name access like v_micro below (ADVICE r17): positional
+      // getInt(0) misparses silently on a reordered components frame
+      .groupBy(r => r.getInt(r.fieldIndex("component")))
       .toSeq.sortBy(_._1)
       .map { case (c, rows) =>
         c -> rows.map(r => r.getLong(r.fieldIndex("v_micro")))

@@ -64,7 +64,14 @@ private[graft] object FixtureCache {
     val prev = s.conf.get(key)
     s.conf.set(key, "32")
     try synchronized(prewarmers.toSeq)
-      .foreach(f => try f(s, dir) catch { case _: Throwable => () })
+      .foreach { f =>
+        // NonFatal only (ADVICE r17): a Throwable catch swallowed
+        // OutOfMemoryError/InterruptedException; a failed build is
+        // logged — its gate will fail loudly anyway, but attributably
+        try f(s, dir)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[FixtureCache] prewarm failed: $e") }
+      }
     finally s.conf.set(key, prev)
   }
 
