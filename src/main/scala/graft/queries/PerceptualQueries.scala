@@ -185,6 +185,170 @@ object PerceptualQueries {
       |  FROM vcoef c JOIN vmed m ON m.doc_id = c.doc_id
       |    AND m.f = c.f GROUP BY 1, 2)""".stripMargin
 
+  /** Deterministic baseline-JPEG fixture (r18, VERDICT r17 ask #1):
+    * 16×16 greyscale, 4 blocks, defined in QUANTIZED-COEFFICIENT
+    * space so the oracle replays the decoder's documented exact
+    * integer IDCT from the formula and never parses a byte. Per doc,
+    * h32 = knuth(doc_id); with q(u,v) = 1 + (2u + 3v + doc_id) % 6:
+    *
+    *   dc(blk)    = ((h32 >> 7·blk) & 127) − 64
+    *   ac(blk,u,v)= ((doc_id + 11u + 17v + 23·blk) % 15) − 7
+    *                  when (3u + 5v + doc_id + blk) % 7 < 2, else 0
+    *
+    * |dequantized| ≤ 64·6 = 384 ≪ the decoder's ±2048 clamp, so the
+    * oracle can skip it. Dead lanes: doc_id % 11 truncates inside the
+    * DQT (→ truncated); doc_id % 13 patches SOF0→SOF2 at the
+    * generator-known offset 72 (→ unsupported — the progressive
+    * lane). */
+  private[graft] def jpegCoeffFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val h32 = (id * 2654435761L) % 4294967296L
+      def quant(u: Int, v: Int): Int =
+        (1 + (2 * u + 3 * v + id) % 6).toInt
+      def coeff(blk: Int, u: Int, v: Int): Int =
+        if (u == 0 && v == 0) (((h32 >> (7 * blk)) & 127) - 64).toInt
+        else if ((3 * u + 5 * v + id + blk) % 7 < 2)
+          (((id + 11 * u + 17 * v + 23 * blk) % 15) - 7).toInt
+        else 0
+      val full = Multimodal.encodeJpegGrayCoeffs(16, 16, quant, coeff)
+      val payload =
+        if (id % 11 == 0) full.take(24)
+        else if (id % 13 == 0) {
+          val c = full.clone()
+          require((c(72) & 0xff) == 0xc0, "fixture layout drifted")
+          c(72) = 0xc2.toByte; c
+        } else full
+      (id, "jpeg", payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
+  /** The JPEG fixture's decoded pixels as DuckDB CTEs: quantized
+    * coefficients from the doc_id formula, dequantized, then the
+    * decoder's EXACT two-stage integer IDCT over the shared
+    * [[Multimodal.acMicro8]] table — one round-half-up by 4·10¹² via
+    * the nonnegative offset (so `//` truncation IS the floor), +128,
+    * [0,255] clamp. Ends in a CTE `jpx(doc_id, px_, py, p)`. */
+  private def jpegPixelSql(okPredicate: String): String =
+    s"""jc AS (SELECT doc_id, blk, u, v,
+      |    (CASE WHEN u = 0 AND v = 0 THEN
+      |        ((((doc_id * 2654435761) % 4294967296) >> (7 * blk))
+      |          & 127) - 64
+      |      WHEN (3*u + 5*v + doc_id + blk) % 7 < 2 THEN
+      |        ((doc_id + 11*u + 17*v + 23*blk) % 15) - 7
+      |      ELSE 0 END)
+      |    * (1 + (2*u + 3*v + doc_id) % 6) AS f
+      |  FROM documents, range(0, 4) tb(blk), range(0, 8) tu(u),
+      |    range(0, 8) tv(v)
+      |  WHERE $okPredicate),
+      |act AS (SELECT * FROM (VALUES ${Multimodal.acMicro8SqlValues})
+      |  t(u, x, c)),
+      |jg AS (SELECT c.doc_id, c.blk, c.v, ax.x,
+      |    CAST(SUM(c.f * ax.c) AS BIGINT) AS gs
+      |  FROM jc c JOIN act ax ON ax.u = c.u GROUP BY 1, 2, 3, 4),
+      |js AS (SELECT g.doc_id, g.blk, g.x, ay.x AS y,
+      |    CAST(SUM(ay.c * g.gs) AS BIGINT) AS s
+      |  FROM jg g JOIN act ay ON ay.u = g.v GROUP BY 1, 2, 3, 4),
+      |jpx AS (SELECT doc_id, (blk % 2) * 8 + x AS px_,
+      |    (blk // 2) * 8 + y AS py,
+      |    LEAST(255, GREATEST(0,
+      |      (s + 2000000000000 + 4096000000000000) // 4000000000000
+      |        - 1024 + 128)) AS p
+      |  FROM js)""".stripMargin
+
+  /** Mixed PNG+JPEG fixture (r18): one CONTENT per group g = doc_id
+    * div 4, defined in coefficient space with a FIXED quant table
+    * q(u,v) = 2 + (u + 3v) % 5; variants r = doc_id % 4:
+    *
+    *   r=0  PNG of the content's IDCT pixels (lossless)
+    *   r=1  PNG of those pixels + 3 (uniform brightness — aHash
+    *        invariant; coefficients keep pixels ≤ 245, no clamp)
+    *   r=2  JPEG of the SAME coefficients — decodes to EXACTLY r=0's
+    *        pixels (the decoder and the PNG generator share
+    *        idctBlock8Micro), the cross-format dup the gate exists for
+    *   r=3  JPEG with dc(0) += 2 — a localized sub-level perturbation
+    *        (a true near-dup, hamming 0–2)
+    *
+    * Content: dc(blk) = ((h32g >> 7·blk) & 63) − 32, ac as in the
+    * q337 fixture but keyed by g. Dead lane: doc_id % 23 truncates to
+    * 10 bytes (→ truncated in both decoders). */
+  private[graft] def mixedMediaFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val g = id / 4
+      val r = (id % 4).toInt
+      val h32 = (g * 2654435761L) % 4294967296L
+      def quant(u: Int, v: Int): Int = 2 + (u + 3 * v) % 5
+      def coeff(blk: Int, u: Int, v: Int): Int = {
+        val base =
+          if (u == 0 && v == 0) (((h32 >> (7 * blk)) & 63) - 32).toInt
+          else if ((3 * u + 5 * v + g + blk) % 7 < 2)
+            (((g + 11 * u + 17 * v + 23 * blk) % 13) - 6).toInt
+          else 0
+        base + (if (r == 3 && blk == 0 && u == 0 && v == 0) 2 else 0)
+      }
+      val (kind, full) =
+        if (r >= 2) ("jpeg",
+          Multimodal.encodeJpegGrayCoeffs(16, 16, quant, coeff))
+        else {
+          // assemble the content's decoded pixels EXACTLY as the JPEG
+          // decoder would (shared idctBlock8Micro), then PNG them
+          val px = new Array[Int](256)
+          for (blk <- 0 until 4) {
+            val f = new Array[Long](64)
+            for (v <- 0 until 8; u <- 0 until 8)
+              f(v * 8 + u) = coeff(blk, u, v).toLong * quant(u, v)
+            val bp = Multimodal.idctBlock8Micro(f)
+            for (y <- 0 until 8; x <- 0 until 8)
+              px(((blk / 2) * 8 + y) * 16 + (blk % 2) * 8 + x) =
+                bp(y * 8 + x)
+          }
+          ("png", Multimodal.encodePngGray(16, 16,
+            (x, y) => px(y * 16 + x) + (if (r == 1) 3 else 0),
+            y => ((id + y) % 5).toInt))
+        }
+      val payload = if (id % 23 == 0) full.take(10) else full
+      (id, kind, payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
+  /** The mixed fixture's pixels as a `px(doc_id, x, y, p)` CTE — the
+    * [[jpegPixelSql]] IDCT replay keyed by group, with the r=3 DC
+    * perturbation and the r=1 brightness shift applied where the
+    * variants put them, so ONE pixel CTE covers both formats and the
+    * q307 hash pipeline applies verbatim. */
+  private def mixedPixelSql: String =
+    s"""mc AS (SELECT doc_id, blk, u, v,
+      |    ((CASE WHEN u = 0 AND v = 0 THEN
+      |        (((((doc_id // 4) * 2654435761) % 4294967296)
+      |          >> (7 * blk)) & 63) - 32
+      |      WHEN (3*u + 5*v + (doc_id // 4) + blk) % 7 < 2 THEN
+      |        (((doc_id // 4) + 11*u + 17*v + 23*blk) % 13) - 6
+      |      ELSE 0 END)
+      |     + CASE WHEN doc_id % 4 = 3 AND blk = 0 AND u = 0 AND v = 0
+      |        THEN 2 ELSE 0 END)
+      |    * (2 + (u + 3*v) % 5) AS f
+      |  FROM documents, range(0, 4) tb(blk), range(0, 8) tu(u),
+      |    range(0, 8) tv(v)
+      |  WHERE doc_id % 23 <> 0),
+      |act AS (SELECT * FROM (VALUES ${Multimodal.acMicro8SqlValues})
+      |  t(u, x, c)),
+      |mg AS (SELECT c.doc_id, c.blk, c.v, ax.x,
+      |    CAST(SUM(c.f * ax.c) AS BIGINT) AS gs
+      |  FROM mc c JOIN act ax ON ax.u = c.u GROUP BY 1, 2, 3, 4),
+      |ms AS (SELECT g.doc_id, g.blk, g.x, ay.x AS y,
+      |    CAST(SUM(ay.c * g.gs) AS BIGINT) AS s
+      |  FROM mg g JOIN act ay ON ay.u = g.v GROUP BY 1, 2, 3, 4),
+      |px AS (SELECT doc_id, (blk % 2) * 8 + x AS x,
+      |    (blk // 2) * 8 + y AS y,
+      |    LEAST(255, GREATEST(0,
+      |      (s + 2000000000000 + 4096000000000000) // 4000000000000
+      |        - 1024 + 128))
+      |    + CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 0 END AS p
+      |  FROM ms)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // PNG pixel decode (r16): full inflate + defilter over payloads
@@ -540,6 +704,151 @@ object PerceptualQueries {
         |SELECT doc_id AS media_id, 'mp4' AS kind FROM documents
         |WHERE doc_id % 4 = 0 AND doc_id NOT IN
         |  (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY media_id""".stripMargin)),
+
+    // Haitsma–Kalker band-energy fingerprint (r18, VERDICT r17
+    // missing #6): the 9×8 band-energy matrix over an exact integer
+    // filterbank (shared centi trig tables), time-and-band
+    // difference signs → 56 bits. NO division anywhere, so the
+    // planted (2k, 2k+1) volume twins scale every energy by amp²
+    // exactly and hash IDENTICALLY. The oracle re-derives every
+    // sample from the doc_id waveform formula and replays the
+    // filterbank — it never parses a byte.
+    QuerySpec("q344_audio_band_fingerprint",
+      (s, dir) => Multimodal.audioBandFingerprint(
+          s, pcmWavFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH $hkSql
+        |SELECT d.doc_id AS media_id, d.doc_id % 11 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated' END AS reason,
+        |  CAST(p.n AS BIGINT) AS n_frames, h.band_hash
+        |FROM documents d
+        |LEFT JOIN hpar p ON p.doc_id = d.doc_id
+        |LEFT JOIN hh2 h ON h.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // Audio banded near-dup pairs (r18): the dctNearDupPairs
+    // machinery over the 56-bit band hash — band-keyed candidates,
+    // pigeonhole-complete to hamming 3, never all-pairs. Volume
+    // twins land at hamming 0; different recordings stay far apart.
+    QuerySpec("q345_audio_band_pairs",
+      (s, dir) => Multimodal.audioBandNearDupPairs(
+          Multimodal.audioBandFingerprint(s, pcmWavFixture(s, dir)),
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $hkSql,
+        |bands AS (
+        |  SELECT doc_id, b.band, (band_hash >> (b.band * 16)) & 65535
+        |      AS bv
+        |  FROM hh2, (SELECT UNNEST([0, 1, 2, 3]) AS band) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |pr AS (SELECT c.id_a, c.id_b,
+        |    bit_count(xor(pa.band_hash, pb.band_hash)) AS hamming
+        |  FROM cand c JOIN hh2 pa ON pa.doc_id = c.id_a
+        |  JOIN hh2 pb ON pb.doc_id = c.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        |FROM pr WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Baseline JPEG pixel decode (r18, VERDICT r17 ask #1): the full
+    // T.81 chain — marker walk, DQT/DHT parse, canonical Huffman
+    // entropy decode with byte unstuffing, dequantization, exact
+    // integer IDCT — verified by the q306 position-pinned sums. The
+    // oracle re-derives every pixel from the COEFFICIENT formula via
+    // the shared acMicro8 table; it never parses a byte. Dead lanes:
+    // truncation inside DQT, and a progressive (SOF2) payload on the
+    // unsupported lane.
+    QuerySpec("q337_jpeg_pixel_decode",
+      (s, dir) => Multimodal.pngPixelStats(s, jpegCoeffFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH ${jpegPixelSql(
+          "doc_id % 11 <> 0 AND doc_id % 13 <> 0")},
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM((py * 16 + px_ + 1) * p) AS BIGINT) AS swp
+        |  FROM jpx GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'unsupported' END AS reason,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // Mixed-format perceptual hashes (r18): PNG and baseline-JPEG
+    // payloads of the SAME coefficient-defined content hash through
+    // one dispatched kernel — the oracle derives ONE pixel CTE (the
+    // IDCT replay) for both formats and reuses the q307 hash
+    // pipeline verbatim, which is the point: the decoded-pixel
+    // contract is format-independent.
+    QuerySpec("q338_mixed_perceptual_hashes",
+      (s, dir) => Multimodal.imagePerceptualHashes(
+          s, mixedMediaFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH $mixedPixelSql,
+        |$hashSql
+        |SELECT d.doc_id AS media_id, d.doc_id % 23 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 23 = 0 THEN 'truncated' END AS reason,
+        |  hh.ahash_hi, hh.ahash_lo, hh.dhash
+        |FROM documents d LEFT JOIN hh ON d.doc_id = hh.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // Mixed PNG+JPEG near-dup dedup e2e (r18, the ask's "done"
+    // surface): the q321 composite over the mixed fixture — banded
+    // aHash candidates, true-hamming verify, connected components,
+    // min-id keep. The planted classes cross the FORMAT boundary:
+    // r=2 (JPEG) collapses onto its r=0/r=1 PNG twins at hamming 0
+    // because both decode to the same exact-integer pixels; the r=3
+    // JPEG DC perturbation lands within the banded radius; dead
+    // letters pass through untouched.
+    QuerySpec("q339_mixed_neardup_e2e",
+      (s, dir) => {
+        val fx = mixedMediaFixture(s, dir)
+        val pairs = Multimodal.perceptualNearDupPairs(
+          Multimodal.imagePerceptualHashes(s, fx), maxHamming = 3)
+        graft.ops.Dedup.dedupByPairs(
+            fx.select(col("media_id"), col("kind")), "media_id",
+            pairs, "id_a", "id_b")
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $mixedPixelSql,
+        |$hashSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, (ahash_hi >> 16) & 65535 AS bv
+        |    FROM hh
+        |  UNION ALL SELECT doc_id, 1, ahash_hi & 65535 FROM hh
+        |  UNION ALL SELECT doc_id, 2, (ahash_lo >> 16) & 65535 FROM hh
+        |  UNION ALL SELECT doc_id, 3, ahash_lo & 65535 FROM hh),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |good AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN hh ha ON ha.doc_id = c.id_a
+        |  JOIN hh hb ON hb.doc_id = c.id_b
+        |  WHERE bit_count(xor(ha.ahash_hi, hb.ahash_hi)) +
+        |    bit_count(xor(ha.ahash_lo, hb.ahash_lo)) <= 3),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 4 >= 2 THEN 'jpeg' ELSE 'png' END AS kind
+        |FROM documents
+        |WHERE doc_id NOT IN
+        |  (SELECT id FROM comp WHERE id <> component)
         |ORDER BY media_id""".stripMargin)))
 
   /** Deterministic PCM WAVE fixture (r16) — the pngPixelFixture move
@@ -624,6 +933,45 @@ object PerceptualQueries {
       |  JOIN (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS energy
       |    FROM ew GROUP BY doc_id) t ON t.doc_id = p.doc_id
       |  JOIN ctr c ON c.doc_id = p.doc_id)""".stripMargin
+
+  /** The Haitsma–Kalker filterbank over the [[pcmWavFixture]]
+    * waveform formula as DuckDB CTEs (r18): hpar re-derives the
+    * per-doc parameters, hfr the samples with the 9-window rule and
+    * the mod-16 phase, hx the per-(window, band) cos/sin projections
+    * over the shared centi trig VALUES, he the division-free
+    * energies, hb the time-and-band difference-sign bits, hh2 the
+    * packed 56-bit hash. */
+  private def hkSql: String =
+    s"""hpar AS (SELECT doc_id, doc_id // 2 AS base,
+      |    1 + doc_id % 2 AS amp,
+      |    16 + (doc_id // 2) % 83 AS n
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |hfr AS (SELECT doc_id, n,
+      |    amp * ((((3 + base % 7) * f + (base % 11) * ((f * f) % 13))
+      |      % 101) - 50) AS s,
+      |    (f * 9) // n AS w, f % 16 AS p
+      |  FROM hpar, range(0, 98) g(f) WHERE f < n),
+      |ht AS (SELECT * FROM (VALUES ${Multimodal.hkTrigSqlValues})
+      |  t(b, p, ct, st)),
+      |hx AS (SELECT f.doc_id, f.w, t.b,
+      |    CAST(SUM(f.s * t.ct) AS BIGINT) AS xc,
+      |    CAST(SUM(f.s * t.st) AS BIGINT) AS xs
+      |  FROM hfr f JOIN ht t ON t.p = f.p GROUP BY 1, 2, 3),
+      |he AS (SELECT doc_id, w, b, xc * xc + xs * xs AS e FROM hx),
+      |hb AS (SELECT a.doc_id, (a.w - 1) * 7 + a.b AS idx,
+      |    CASE WHEN (a.e - r.e) - (u.e - ur.e) > 0
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM he a
+      |  JOIN he r ON r.doc_id = a.doc_id AND r.w = a.w
+      |    AND r.b = a.b + 1
+      |  JOIN he u ON u.doc_id = a.doc_id AND u.w = a.w - 1
+      |    AND u.b = a.b
+      |  JOIN he ur ON ur.doc_id = a.doc_id AND ur.w = a.w - 1
+      |    AND ur.b = a.b + 1
+      |  WHERE a.w >= 1 AND a.b <= 6),
+      |hh2 AS (SELECT doc_id,
+      |    CAST(SUM(CAST(bit AS BIGINT) << idx) AS BIGINT) AS band_hash
+      |  FROM hb GROUP BY doc_id)""".stripMargin
 
   /** The exact fixed-point DCT pipeline over [[pixelSql]] as a DuckDB
     * CTE — constants injected from [[Multimodal.cosMicro]] (the ONE

@@ -1,0 +1,247 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** The baseline JPEG pixel codec (r18, VERDICT r17 ask #1): ITU-T
+  * T.81 sequential-DCT greyscale encode/decode. The q337-family gates
+  * prove the distributed path + oracle agreement; this spec proves
+  * the codec against the container spec directly — the crafted-size
+  * matrix standard of ADVICE r16: round trips across block-grid
+  * shapes, entropy-coding corner cases (ZRL runs, EOB, max-category
+  * values, DC sign flips), restart markers, 16-bit DQT, the
+  * dead-letter lanes, and the never-throw truncation/bit-flip sweeps.
+  */
+class JpegCodecSpec extends SparkSuite {
+
+  /** Structural view of a decode result — Either/tuple equality over
+    * an Array compares by REFERENCE, so tests compare this instead. */
+  private def norm(r: Either[String, (Int, Int, Array[Int])])
+      : Either[String, (Int, Int, Seq[Int])] =
+    r.map { case (w, h, px) => (w, h, px.toSeq) }
+
+  /** Reference decode path the byte-level decoder must reproduce:
+    * dequantize + clamp + the shared exact IDCT, assembled from the
+    * block grid and cropped — NO bytes involved. */
+  private def referencePixels(w: Int, h: Int,
+      quant: (Int, Int) => Int,
+      coeff: (Int, Int, Int) => Int): Array[Int] = {
+    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
+    val px = new Array[Int](w * h)
+    for (by <- 0 until byN; bx <- 0 until bxN) {
+      val f = new Array[Long](64)
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val dq = coeff(by * bxN + bx, u, v).toLong * quant(u, v)
+        f(v * 8 + u) = math.max(-2048L, math.min(2047L, dq))
+      }
+      val blockPx = Multimodal.idctBlock8Micro(f)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val gx = bx * 8 + x; val gy = by * 8 + y
+        if (gx < w && gy < h) px(gy * w + gx) = blockPx(y * 8 + x)
+      }
+    }
+    px
+  }
+
+  // a dense-ish deterministic coefficient formula exercising DC sign
+  // flips across blocks, long zero runs (ZRL), EOB, and values at the
+  // ±1023 category-10 boundary
+  private def coeffFormula(blk: Int, u: Int, v: Int): Int =
+    if (u == 0 && v == 0) (if (blk % 2 == 0) 1 else -1) * (37 + 11 * blk)
+    else if (u == 7 && v == 7 && blk % 3 == 0) 1023 // forces a 62-zero run
+    else if ((3 * u + 5 * v + blk) % 11 < 3)
+      ((blk + 7 * u + 13 * v) % 19) - 9
+    else 0
+
+  private def quantFormula(u: Int, v: Int): Int = 1 + u + 2 * v
+
+  test("Annex K table invariants: 162 distinct AC symbols = all " +
+      "(run<=15, size 1..10) + EOB + ZRL; 12 DC categories; both " +
+      "canonically feasible") {
+    assert(Multimodal.jDcBits.sum == 12 &&
+      Multimodal.jDcVals.toSeq == (0 to 11))
+    assert(Multimodal.jAcBits.sum == 162)
+    val expected = (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
+      .toSet + 0x00 + 0xf0
+    assert(Multimodal.jAcVals.length == 162 &&
+      Multimodal.jAcVals.toSet == expected &&
+      Multimodal.jAcVals.distinct.length == 162)
+    assert(Multimodal.buildHuff(Multimodal.jDcBits,
+      Multimodal.jDcVals).nonEmpty)
+    assert(Multimodal.buildHuff(Multimodal.jAcBits,
+      Multimodal.jAcVals).nonEmpty)
+  }
+
+  test("zigzag is the T.81 Figure A.6 permutation") {
+    val zz = Multimodal.zigzag
+    assert(zz.toSet == (0 until 64).toSet)
+    // the spec's published prefix (natural index = row*8 + col)
+    assert(zz.take(10).toSeq ==
+      Seq(0, 1, 8, 16, 9, 2, 3, 10, 17, 24))
+    assert(zz(63) == 63)
+  }
+
+  test("acMicro8: α(0)=1/√2 row is flat 707107, known spot values") {
+    assert((0 until 8).forall(x => Multimodal.acMicro8(0)(x) == 707107L))
+    assert(Multimodal.acMicro8(1)(0) == 980785L) // cos(π/16)·10⁶
+    assert(Multimodal.acMicro8(4)(0) == 707107L) // cos(π/4)·10⁶
+    assert(Multimodal.acMicro8(4)(1) == -707107L) // cos(3π/4)·10⁶
+  }
+
+  test("coefficient round trip across the crafted-size matrix: " +
+      "decode(encode(coeffs)) == dequant+IDCT reference, bit-exact") {
+    for ((w, h) <- Seq((8, 8), (16, 16), (24, 8), (16, 24), (12, 10),
+        (1, 1), (8, 17))) {
+      val bytes = Multimodal.encodeJpegGrayCoeffs(w, h, quantFormula,
+        coeffFormula)
+      val got = Multimodal.decodeJpegGray(bytes)
+      assert(got.isRight, s"$w x $h -> $got")
+      val Right((gw, gh, px)) = got
+      assert(gw == w && gh == h)
+      assert(px.toSeq ==
+        referencePixels(w, h, quantFormula, coeffFormula).toSeq,
+        s"$w x $h pixel mismatch")
+    }
+  }
+
+  test("restart markers: DRI 1 and 3 decode identically to the " +
+      "no-DRI stream; a misnumbered RST dead-letters as bad_huffman") {
+    val base = norm(Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGrayCoeffs(16, 16, quantFormula,
+        coeffFormula)))
+    for (dri <- Seq(1, 3)) {
+      val bytes = Multimodal.encodeJpegGrayCoeffs(16, 16, quantFormula,
+        coeffFormula, restartInterval = dri)
+      assert(norm(Multimodal.decodeJpegGray(bytes)) == base, s"dri=$dri")
+    }
+    // corrupt the first restart marker's number (FF D0 -> FF D7)
+    val bytes = Multimodal.encodeJpegGrayCoeffs(16, 16, quantFormula,
+      coeffFormula, restartInterval = 1)
+    val at = (0 until bytes.length - 1).indexWhere(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd0)
+    assert(at > 0)
+    val evil = bytes.clone(); evil(at + 1) = 0xd7.toByte
+    assert(Multimodal.decodeJpegGray(evil) == Left("bad_huffman"))
+  }
+
+  test("pixel-path encode: constant blocks at q=1 round-trip EXACTLY; " +
+      "a smooth gradient stays within the fixed-point tolerance") {
+    val flat = Multimodal.encodeJpegGrayPixels(16, 16, (_, _) => 173,
+      (_, _) => 1)
+    val Right((_, _, fpx)) = Multimodal.decodeJpegGray(flat)
+    assert(fpx.forall(_ == 173))
+    def grad(x: Int, y: Int): Int = 40 + 7 * x + 5 * y
+    val g = Multimodal.encodeJpegGrayPixels(16, 16, grad, (_, _) => 1)
+    val Right((_, _, gpx)) = Multimodal.decodeJpegGray(g)
+    val maxErr = (0 until 256).map(i =>
+      math.abs(gpx(i) - grad(i % 16, i / 16))).max
+    assert(maxErr <= 2, s"gradient max error $maxErr")
+  }
+
+  test("16-bit DQT (Pq=1): same values as the 8-bit table decode to " +
+      "the same pixels") {
+    val bytes = Multimodal.encodeJpegGrayCoeffs(8, 8, quantFormula,
+      coeffFormula)
+    // the encoder's layout is SOI then DQT: FF DB 00 43 00 q[64]
+    assert((bytes(2) & 0xff) == 0xff && (bytes(3) & 0xff) == 0xdb &&
+      (bytes(5) & 0xff) == 0x43 && (bytes(6) & 0xff) == 0x00)
+    val q8 = bytes.slice(7, 71)
+    val dqt16 = Array[Byte](0xff.toByte, 0xdb.toByte, 0x00, 0x83.toByte,
+      0x10) ++ q8.flatMap(v => Array[Byte](0, v)) // Pq=1 (HIGH nibble)
+    val patched = bytes.take(2) ++ dqt16 ++ bytes.drop(71)
+    assert(norm(Multimodal.decodeJpegGray(patched)) ==
+      norm(Multimodal.decodeJpegGray(bytes)))
+  }
+
+  test("dead-letter lanes: header-only stream, unsupported variants, " +
+      "undefined tables, infeasible DHT, zero quant") {
+    // header-only (encodeJpeg has SOI/APP0/SOF0/EOI, no scan)
+    assert(Multimodal.decodeJpegGray(
+      Multimodal.encodeJpeg(16, 16, 1)) == Left("truncated"))
+    // 3-component SOF0 -> unsupported (multi-component frame)
+    assert(Multimodal.decodeJpegGray(
+      Multimodal.encodeJpeg(16, 16, 3)) == Left("unsupported"))
+    // 12-bit precision -> unsupported
+    assert(Multimodal.decodeJpegGray(
+      Multimodal.encodeJpeg(16, 16, 1, precision = 12)) ==
+      Left("unsupported"))
+    val good = Multimodal.encodeJpegGrayCoeffs(8, 8, quantFormula,
+      coeffFormula)
+    // SOF0 -> SOF2 (progressive) -> unsupported
+    val sofAt = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)
+    val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpegGray(prog) == Left("unsupported"))
+    // zero DQT entry -> bad_header (offset 7 = first zigzag entry)
+    val zq = good.clone(); zq(7) = 0
+    assert(Multimodal.decodeJpegGray(zq) == Left("bad_header"))
+    // infeasible DHT: 3 codes of length 1 (Kraft overflow), with
+    // BITS[3] reduced so the declared TOTAL stays 12 and the length
+    // check can't mask the feasibility check
+    val dhtAt = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc4)
+    val kraft = good.clone()
+    kraft(dhtAt + 5) = 3 // BITS[1] of class 0: 0 -> 3
+    kraft(dhtAt + 7) = 2 // BITS[3]: 5 -> 2
+    assert(Multimodal.decodeJpegGray(kraft) == Left("bad_huffman"))
+    // strip both DHT segments -> SOS references undefined tables
+    val len0 = ((good(dhtAt + 2) & 0xff) << 8) | (good(dhtAt + 3) & 0xff)
+    val d2 = good.take(dhtAt) ++ good.drop(dhtAt + 2 + len0)
+    val dhtAt2 = (0 until d2.length - 1).indexWhere(i =>
+      (d2(i) & 0xff) == 0xff && (d2(i + 1) & 0xff) == 0xc4)
+    val len1 = ((d2(dhtAt2 + 2) & 0xff) << 8) | (d2(dhtAt2 + 3) & 0xff)
+    val noDht = d2.take(dhtAt2) ++ d2.drop(dhtAt2 + 2 + len1)
+    assert(Multimodal.decodeJpegGray(noDht) == Left("bad_header"))
+    // magic lanes
+    assert(Multimodal.decodeJpegGray(Array.emptyByteArray) ==
+      Left("truncated"))
+    assert(Multimodal.decodeJpegGray(Array[Byte](0xff.toByte)) ==
+      Left("truncated"))
+    assert(Multimodal.decodeJpegGray("GIF89a".getBytes("US-ASCII")) ==
+      Left("bad_magic"))
+  }
+
+  test("truncation sweep: every prefix of a valid stream classifies " +
+      "into the reason vocabulary or decodes — never throws") {
+    val full = Multimodal.encodeJpegGrayCoeffs(16, 16, quantFormula,
+      coeffFormula, restartInterval = 2)
+    val reasons = Set("truncated", "bad_magic", "bad_header",
+      "unsupported", "bad_huffman")
+    val whole = norm(Multimodal.decodeJpegGray(full))
+    for (k <- 0 until full.length) {
+      norm(Multimodal.decodeJpegGray(full.take(k))) match {
+        case Left(r) => assert(reasons.contains(r), s"prefix $k -> $r")
+        case Right(v) => // only acceptable once all blocks are present
+          assert(Right(v) == whole, s"prefix $k decoded differently")
+      }
+    }
+  }
+
+  test("bit-flip sweep: single-byte corruption anywhere classifies " +
+      "or decodes, never throws and never loops") {
+    val full = Multimodal.encodeJpegGrayCoeffs(16, 16, quantFormula,
+      coeffFormula)
+    val reasons = Set("truncated", "bad_magic", "bad_header",
+      "unsupported", "bad_huffman")
+    for (i <- 2 until full.length; if i % 3 == 0) {
+      val c = full.clone(); c(i) = (c(i) ^ 0x6d).toByte
+      Multimodal.decodeJpegGray(c) match {
+        case Left(r) => assert(reasons.contains(r), s"flip@$i -> $r")
+        case Right(_) => () // a flip inside entropy data may still decode
+      }
+    }
+  }
+
+  test("decodeImageGray dispatch: a PNG and a JPEG of the SAME " +
+      "coefficient-defined content decode to identical pixels") {
+    val w = 16; val h = 16
+    val ref = referencePixels(w, h, quantFormula, coeffFormula)
+    val jpeg = Multimodal.encodeJpegGrayCoeffs(w, h, quantFormula,
+      coeffFormula)
+    val png = Multimodal.encodePngGray(w, h,
+      (x, y) => ref(y * w + x), y => y % 5)
+    val a = norm(Multimodal.decodeImageGray(jpeg))
+    val b = norm(Multimodal.decodeImageGray(png))
+    assert(a.isRight && a == b, s"jpeg=$a png=$b")
+    assert(a == Right((w, h, ref.toSeq)))
+  }
+}

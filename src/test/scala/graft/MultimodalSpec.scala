@@ -594,6 +594,67 @@ class MultimodalSpec extends SparkSuite {
     assert(!er.getBoolean(1) && er.getString(2) == "no_frames")
   }
 
+  test("audioBandFingerprint: reference replay, EXACT gain " +
+      "invariance (x2, x3, 16-bit twin), distinct content separates, " +
+      "dead lanes incl. too_long") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // reference implementation straight from the formula
+    def ref(mix: Array[Int], windows: Int = 9, bands: Int = 8): Long = {
+      val xc = Array.ofDim[Long](windows, bands)
+      val xs = Array.ofDim[Long](windows, bands)
+      for (f <- mix.indices; bi <- 0 until bands) {
+        val w = (f.toLong * windows / mix.length).toInt
+        xc(w)(bi) += mix(f).toLong * Multimodal.hkCosCenti(bi)(f % 16)
+        xs(w)(bi) += mix(f).toLong * Multimodal.hkSinCenti(bi)(f % 16)
+      }
+      val e = Array.tabulate(windows, bands)((w, bi) =>
+        xc(w)(bi) * xc(w)(bi) + xs(w)(bi) * xs(w)(bi))
+      var h = 0L
+      for (w <- 1 until windows; bi <- 0 until bands - 1)
+        if ((e(w)(bi) - e(w)(bi + 1)) -
+          (e(w - 1)(bi) - e(w - 1)(bi + 1)) > 0)
+          h |= 1L << ((w - 1) * (bands - 1) + bi)
+      h
+    }
+    val g = Array.tabulate(40)(f => ((f * 13 + 7) % 61) - 30)
+    val g2 = Array.tabulate(40)(f => ((f * 29 + 3) % 57) - 28)
+    def wav8(s: Array[Int], amp: Int) =
+      Multimodal.encodeWavSamples(1, 8000, 8, s.map(128 + amp * _))
+    def wav16(s: Array[Int], amp: Int) =
+      Multimodal.encodeWavSamples(1, 8000, 16, s.map(amp * _ * 256))
+    val rows = Seq(
+      (1L, wav8(g, 1)), (2L, wav8(g, 2)), (3L, wav16(g, 3)),
+      (4L, wav8(g2, 1)),
+      (5L, wav8(g, 1).take(20)))
+      .toDF("media_id", "media").withColumn("kind", lit("audio"))
+    val out = Multimodal.audioBandFingerprint(spark, rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out(1L) == ((true, null, ref(g))))
+    // gain x2, x3 (through the 16-bit width): EXACTLY the same hash
+    assert(out(2L)._3 == out(1L)._3)
+    assert(out(3L)._3 == out(1L)._3)
+    assert(out(4L) == ((true, null, ref(g2))))
+    assert(out(4L)._3 != out(1L)._3, "distinct content must separate")
+    assert(out(5L) == ((false, "truncated", -1L)))
+    // pairs: the three gain variants form one clique, g2 stays out
+    val pairs = Multimodal.audioBandNearDupPairs(
+        Multimodal.audioBandFingerprint(spark, rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // too_long guard: 2^25 + 1 frames dead-letter before any math
+    val big = Multimodal.encodeWavSamples(1, 8000, 8,
+      Array.fill((1 << 25) + 1)(128))
+    val tl = Multimodal.audioBandFingerprint(spark,
+        Seq((9L, big)).toDF("media_id", "media")
+          .withColumn("kind", lit("audio")))
+      .collect().head
+    assert(!tl.getBoolean(1) && tl.getString(2) == "too_long")
+  }
+
   test("sampleMp4Frames: real stsc/stsz/stco walk over a two-chunk " +
       "layout — all samples byte-exact, even-spacing rule, dead " +
       "letters (bad_magic, no_stbl, truncated)") {

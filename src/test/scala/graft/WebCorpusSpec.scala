@@ -391,4 +391,73 @@ class WebCorpusSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
     assert(out == Seq((1L, 0, "u1"), (1L, 1, "u2")))
   }
+
+  // --- URL canonicalization (r18) ---
+
+  private def canon(urls: (Long, String)*): Map[Long, (Boolean, String,
+      String, String, String, Option[Int], String)] =
+    WebExtract.canonicalizeUrls(urls.toDF("id", "url"), "id", "url")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getBoolean(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) null else r.getString(3),
+          if (r.isNullAt(4)) null else r.getString(4),
+          if (r.isNullAt(5)) null else r.getString(5),
+          if (r.isNullAt(6)) None else Some(r.getInt(6)),
+          if (r.isNullAt(7)) null else r.getString(7)))
+      }.toMap
+
+  test("canonicalizeUrls: case, userinfo, default port, tracking " +
+      "params, sort, fragment — the full rule set on hand cases") {
+    val m = canon(
+      1L -> "HTTP://User:Pw@WWW.Example.COM:80/Path/Sub?utm_source=a&b=2&a=1#frag",
+      2L -> "https://shop.example.co.uk:8443/",
+      3L -> "https://Example.com:443?x=1",
+      4L -> "ftp://Files.Example.org",
+      5L -> "http://10.0.0.1:8080/a",
+      6L -> "http://localhost/x",
+      7L -> "http://a.com/p?utm_source=1&fbclid=2")
+    assert(m(1L) == ((true, null,
+      "http://www.example.com/Path/Sub?a=1&b=2",
+      "http", "www.example.com", None, "example.com")))
+    assert(m(2L) == ((true, null, "https://shop.example.co.uk:8443/",
+      "https", "shop.example.co.uk", Some(8443), "example.co.uk")))
+    // empty path -> "/", default https port stripped
+    assert(m(3L) == ((true, null, "https://example.com/?x=1",
+      "https", "example.com", None, "example.com")))
+    // no default-port rule for ftp; single-suffix host
+    assert(m(4L) == ((true, null, "ftp://files.example.org/",
+      "ftp", "files.example.org", None, "example.org")))
+    // IP hosts are their own registrable key
+    assert(m(5L) == ((true, null, "http://10.0.0.1:8080/a",
+      "http", "10.0.0.1", Some(8080), "10.0.0.1")))
+    // single-label host falls back to itself
+    assert(m(6L)._7 == "localhost")
+    // tracking-only query loses the '?' entirely
+    assert(m(7L)._3 == "http://a.com/p")
+  }
+
+  test("canonicalizeUrls: dead lanes — schemeless, empty host, null") {
+    val m = canon(1L -> "relative/path", 2L -> "//nohost/path",
+      3L -> "http:///path", 4L -> null)
+    assert(!m(1L)._1 && m(1L)._2 == "no_scheme" && m(1L)._3 == null)
+    assert(!m(2L)._1 && m(2L)._2 == "no_scheme")
+    assert(!m(3L)._1 && m(3L)._2 == "no_host")
+    assert(!m(4L)._1 && m(4L)._2 == "no_scheme")
+  }
+
+  test("urlDupGroups: crawl-noise variants collapse to one canonical " +
+      "key, distinct URLs never group") {
+    val urls = Seq(
+      1L -> "http://A.com/x?b=1&a=2#f",
+      2L -> "HTTP://a.com:80/x?a=2&b=1",
+      3L -> "http://a.com/x?a=2&utm_medium=m&b=1",
+      4L -> "http://a.com/y",
+      5L -> "https://a.com/x?a=2&b=1") // scheme differs: NOT a dup
+    val out = WebExtract.urlDupGroups(
+        WebExtract.canonicalizeUrls(urls.toDF("id", "url"), "id", "url"),
+        "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("http://a.com/x?a=2&b=1", 1L, 3L)))
+  }
 }
