@@ -328,7 +328,22 @@ object ScaleStress {
       // video near-dup composite (mod-4 lane ×f; 10M-offset copies
       // land in fresh watermark groups so pairs stay within copies)
       "q328_langid", "q331_pca_components", "q333_pca_cell_ann",
-      "q334_t_closeness", "q336_video_neardup_e2e")
+      "q334_t_closeness", "q336_video_neardup_e2e",
+      // round-18 additions (standard syntheses): JPEG pixel decode
+      // (rows ×f, per-row decode, near-zero shuffle), the mixed
+      // PNG+JPEG near-dup composite (10M-offset copies land in fresh
+      // knuth groups so pairs stay within copies — linear), URL dedup
+      // (the canonical key space is residue-bounded, so copies MERGE
+      // into existing groups — the mega-key map-side-combinable
+      // shape), the domain PageRank join (domain node space is
+      // residue-FIXED: the graph stays constant while the
+      // canonicalize scan pays ×f), the two-epoch ANN index probe
+      // (index rows ×f, fixed probe set — the q121 mega-cell shape),
+      // and the audio band pairs (fresh per-copy waveform residues —
+      // twins stay within copies, linear)
+      "q337_jpeg_pixel_decode", "q339_mixed_neardup_e2e",
+      "q341_url_dedup", "q342_domain_pagerank_join",
+      "q343_ann_index_append_steady", "q345_audio_band_pairs")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */

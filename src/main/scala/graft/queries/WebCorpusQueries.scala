@@ -795,11 +795,12 @@ object WebCorpusQueries {
       (s, dir) => WebExtract.urlDupGroups(
           WebExtract.canonicalizeUrls(
             table(s, dir, "documents")
+              .filter(col("doc_id") % 2 === 0) // mod-2 fixture diet
               .select(col("doc_id"), urlExpr(col("doc_id")).as("url")),
             "doc_id", "url"), "doc_id")
         .orderBy(col("url_canon")),
       Some(s"""WITH uf AS (SELECT doc_id, ${urlSqlExpr("doc_id")} AS url
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 2 = 0),
         |$urlCanonSqlCtes
         |SELECT url_canon, MIN(doc_id) AS rep_id,
         |  COUNT(*) AS n_copies
@@ -815,7 +816,11 @@ object WebCorpusQueries {
     // and the 3-iteration unrolled PageRank.
     QuerySpec("q342_domain_pagerank_join",
       (s, dir) => {
+        // mod-2 fixture diet (the r17 rule: gates ≥ 2 s idle get a
+        // key-mod subset mirrored in the oracle) — the domain-graph
+        // SHAPE is unchanged, the per-row regex work halves
         val docs = table(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 2 === 0)
         val own = WebExtract.canonicalizeUrls(
           docs.select(col("doc_id"), urlExpr(col("doc_id")).as("url")),
           "doc_id", "url")
@@ -849,12 +854,14 @@ object WebCorpusQueries {
              |    CAST(150000 + (85 * COALESCE(m$i.m, 0)) // 100 AS BIGINT)
              |      AS rank_micro
              |  FROM n LEFT JOIN m$i USING (id))""".stripMargin
-        s"""WITH uf AS (
+        s"""WITH dd AS (SELECT doc_id FROM documents
+           |  WHERE doc_id % 2 = 0),
+           |uf AS (
            |  SELECT doc_id, ${urlSqlExpr("doc_id")} AS url
-           |  FROM documents
+           |  FROM dd
            |  UNION ALL
            |  SELECT doc_id + 10000000, ${urlSqlExpr("(doc_id * 7 + 3)")}
-           |  FROM documents),
+           |  FROM dd),
            |$urlCanonSqlCtes,
            |owns AS (SELECT doc_id, registered_domain FROM cn
            |  WHERE ok AND doc_id < 10000000),
