@@ -517,6 +517,125 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** COMPLETE baseline COLOR JPEG encoder from quantized coefficients
+    * (r18): SOF0 with Nf = 3 — luma at (hy × vy) sampling, both
+    * chroma at 1×1 (hy = vy = 2 is 4:2:0; hy = 2, vy = 1 is 4:2:2;
+    * 1×1 is 4:4:4) — two DQT tables (luma id 0, chroma id 1), the
+    * Annex-K DHT pair shared by every component, and an INTERLEAVED
+    * entropy-coded segment: per MCU, hy·vy luma blocks (raster within
+    * the MCU) then one Cb and one Cr block, per-component DC
+    * predictors, RSTm every `restartInterval` MCUs. `coeffY(blk, u,
+    * v)` indexes luma blocks raster over the mcuX·hy grid (the
+    * decoder's blit order — for full-image luma this matches
+    * [[encodeJpegGrayCoeffs]]'s convention whenever width/height are
+    * MCU-aligned); `coeffC(comp, mcu, u, v)` with comp ∈ {1, 2}
+    * indexes chroma blocks by MCU. Fixture source for the q346 gate:
+    * the decoder must recover EXACTLY the luma the coefficients
+    * define, regardless of how much chroma it walks past. */
+  def encodeJpegColorCoeffs(width: Int, height: Int, hy: Int, vy: Int,
+      quantY: (Int, Int) => Int, quantC: (Int, Int) => Int,
+      coeffY: (Int, Int, Int) => Int,
+      coeffC: (Int, Int, Int, Int) => Int,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 &&
+      height <= 0xffff, "encodeJpegColorCoeffs: dims must be 1..65535")
+    require(hy >= 1 && hy <= 4 && vy >= 1 && vy <= 4,
+      "encodeJpegColorCoeffs: luma sampling must be 1..4")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m); val len = body.length + 2
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8)
+    def dqt(tq: Int, quant: (Int, Int) => Int): Unit = {
+      val q = new Array[Int](64)
+      for (k <- 0 until 64) {
+        val n = zigzag(k); val qv = quant(n % 8, n / 8)
+        require(qv >= 1 && qv <= 255,
+          s"encodeJpegColorCoeffs: quant $qv outside 8-bit DQT range")
+        q(k) = qv
+      }
+      seg(0xdb, tq +: q)
+    }
+    dqt(0, quantY); dqt(1, quantC)
+    seg(0xc0, Array(8, (height >>> 8) & 0xff, height & 0xff,
+      (width >>> 8) & 0xff, width & 0xff, 3,
+      1, (hy << 4) | vy, 0, // Y: full-res luma, table 0
+      2, 0x11, 1, // Cb: 1x1, table 1
+      3, 0x11, 1)) // Cr
+    seg(0xc4, 0x00 +: (jDcBits ++ jDcVals))
+    seg(0xc4, 0x10 +: (jAcBits ++ jAcVals))
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >>> 8) & 0xff,
+        restartInterval & 0xff))
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val dc = buildHuff(jDcBits, jDcVals).get
+    val ac = buildHuff(jAcBits, jAcVals).get
+    val bw = new JBitWriter(out)
+    def putSym(t: JpegHuff, sym: Int): Unit =
+      bw.put(t.encCode(sym), t.encLen(sym))
+    def putVal(v: Int, t: Int): Unit =
+      if (t > 0) bw.put(if (v >= 0) v else v + (1 << t) - 1, t)
+    def putBlock(coeff: (Int, Int) => Int, pred: Int): Int = {
+      val z = new Array[Int](64)
+      for (k <- 0 until 64) {
+        val n = zigzag(k)
+        val v = coeff(n % 8, n / 8)
+        require(v >= -1023 && v <= 1023,
+          s"encodeJpegColorCoeffs: coeff $v outside the 10-bit range")
+        z(k) = v
+      }
+      val diff = z(0) - pred
+      val t = jCategory(diff)
+      putSym(dc, t); putVal(diff, t)
+      var k = 1
+      while (k < 64) {
+        if (z(k) == 0) {
+          var e = k
+          while (e < 64 && z(e) == 0) e += 1
+          if (e == 64) { putSym(ac, 0x00); k = 64 }
+          else {
+            var run = e - k
+            while (run > 15) { putSym(ac, 0xf0); run -= 16 }
+            val s = jCategory(z(e))
+            putSym(ac, (run << 4) | s); putVal(z(e), s)
+            k = e + 1
+          }
+        } else {
+          val s = jCategory(z(k))
+          putSym(ac, s); putVal(z(k), s)
+          k += 1
+        }
+      }
+      z(0)
+    }
+    val mcuX = (width + 8 * hy - 1) / (8 * hy)
+    val mcuY = (height + 8 * vy - 1) / (8 * vy)
+    val preds = new Array[Int](3)
+    var rst = 0; var m = 0
+    val total = mcuX * mcuY
+    while (m < total) {
+      if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
+        bw.flush()
+        marker(0xd0 + rst); rst = (rst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+      }
+      val mx = m % mcuX; val my = m / mcuX
+      for (v2 <- 0 until vy; h2 <- 0 until hy) {
+        val blk = (my * vy + v2) * (mcuX * hy) + (mx * hy + h2)
+        preds(0) = putBlock((u, v) => coeffY(blk, u, v), preds(0))
+      }
+      preds(1) = putBlock((u, v) => coeffC(1, m, u, v), preds(1))
+      preds(2) = putBlock((u, v) => coeffC(2, m, u, v), preds(2))
+      m += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** REAL lossy pixel-path encode: level shift, exact fixed-point
     * forward DCT over the same [[acMicro8]] table (two-stage int64
     * sums, no intermediate rounding), round-half-up quantization in
@@ -597,10 +716,17 @@ object Multimodal {
     out
   }
 
-  /** Full baseline JPEG greyscale pixel decode (T.81 §E marker walk +
-    * §F.2.2 entropy decode): DQT (Pq 0 and 1), DHT (canonical build
-    * with feasibility checks), SOF0 (greyscale 8-bit only), DRI/RSTm
-    * restart handling, byte unstuffing, dequantization with the
+  /** Full baseline JPEG pixel decode to the LUMA plane (T.81 §E
+    * marker walk + §F.2.2 entropy decode): DQT (Pq 0 and 1), DHT
+    * (canonical build with feasibility checks), SOF0 with 1–4
+    * components — single-component scans decode non-interleaved;
+    * multi-component scans (color: 4:4:4, 4:2:2, 4:2:0, any Hi/Vi ≤
+    * 4 with full-resolution luma) walk interleaved MCUs, decoding
+    * every component's entropy data and keeping component 0 (luma —
+    * exactly the greyscale signal the perceptual tier hashes; the
+    * chroma planes and the YCbCr→RGB conversion are deliberately out
+    * of scope, documented). DRI/RSTm restart handling (per MCU,
+    * all predictors reset), byte unstuffing, dequantization with the
     * documented ±2048 clamp (the 8-bit-precision DCT range — a
     * crafted stream cannot push the IDCT sums past int64), exact
     * integer IDCT, +128 level shift, [0,255] clamp, crop from the
@@ -608,20 +734,26 @@ object Multimodal {
     * header tier's: `truncated` (stream ends inside a promised
     * structure, EOI before scan data, or a stray marker inside the
     * entropy segment), `bad_magic`, `bad_header` (spec-invalid or
-    * internally inconsistent segments, undefined tables at SOS),
-    * `unsupported` (valid JPEG outside this tier: progressive /
-    * extended / arithmetic SOFs, 12-bit precision, multi-component
-    * frames or scans, > 64M pixels), `bad_huffman` (infeasible DHT,
-    * a 16-bit prefix matching no code, coefficient index overflow,
-    * or a missing/misnumbered restart marker). Every declared size
-    * is bounds-checked before any advance (the ADVICE r16 rule). */
+    * internally inconsistent segments, undefined tables at SOS, scan
+    * components out of SOF order), `unsupported` (valid JPEG outside
+    * this tier: progressive / extended / arithmetic SOFs, 12-bit
+    * precision, > 4 components, multi-scan files, downsampled luma,
+    * > 64M pixels), `bad_huffman` (infeasible DHT, a 16-bit prefix
+    * matching no code, coefficient index overflow, or a
+    * missing/misnumbered restart marker). Every declared size is
+    * bounds-checked before any advance (the ADVICE r16 rule). */
   def decodeJpegGray(
       b: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
     if (b.length < 2) return Left("truncated")
     if (u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return Left("bad_magic")
     val quantT = new Array[Array[Int]](4)
     val dcT = new Array[JpegHuff](4); val acT = new Array[JpegHuff](4)
-    var w = 0; var h = 0; var compQ = -1; var dcId = -1; var acId = -1
+    var w = 0; var h = 0
+    // per-component frame parameters (r18 color extension): SOF order;
+    // component 0 is the luma plane this tier decodes
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compTq: Array[Int] = null
+    var dcIds: Array[Int] = null; var acIds: Array[Int] = null
     var dri = 0; var sawSof = false
     var pos = 2; var sosPos = -1
     while (sosPos < 0) {
@@ -681,11 +813,20 @@ object Multimodal {
             h = be16(b, body + 1); w = be16(b, body + 3)
             val nf = u8(b, body + 5)
             if (prec != 8) return Left("unsupported")
-            if (nf != 1) return Left("unsupported")
+            if (nf < 1 || nf > 4) return Left("unsupported")
             if (w == 0 || h == 0) return Left("bad_header")
-            if (end - body < 9) return Left("bad_header")
-            compQ = u8(b, body + 8)
-            if (compQ > 3) return Left("bad_header")
+            if (end - body < 6 + 3 * nf) return Left("bad_header")
+            compId = new Array[Int](nf); compH = new Array[Int](nf)
+            compV = new Array[Int](nf); compTq = new Array[Int](nf)
+            for (c <- 0 until nf) {
+              val at = body + 6 + 3 * c
+              compId(c) = u8(b, at)
+              compH(c) = u8(b, at + 1) >> 4
+              compV(c) = u8(b, at + 1) & 15
+              compTq(c) = u8(b, at + 2)
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+                compV(c) > 4 || compTq(c) > 3) return Left("bad_header")
+            }
             if (w.toLong * h > 64L * 1024 * 1024)
               return Left("unsupported")
             sawSof = true
@@ -697,14 +838,25 @@ object Multimodal {
             dri = be16(b, body)
           case 0xda =>
             if (!sawSof) return Left("bad_header")
-            if (end - body < 6) return Left("bad_header")
-            if (u8(b, body) != 1) return Left("unsupported") // Ns
-            dcId = u8(b, body + 2) >> 4; acId = u8(b, body + 2) & 15
-            if (u8(b, body + 3) != 0 || u8(b, body + 4) != 63 ||
-              u8(b, body + 5) != 0) return Left("unsupported")
-            if (dcId > 3 || acId > 3 || dcT(dcId) == null ||
-              acT(acId) == null || quantT(compQ) == null)
-              return Left("bad_header")
+            val nf = compId.length
+            if (end - body < 1 + 2 * nf + 3) return Left("bad_header")
+            // one scan carrying every frame component (a multi-scan
+            // file — Ns < Nf — is valid JPEG outside this tier)
+            if (u8(b, body) != nf) return Left("unsupported")
+            dcIds = new Array[Int](nf); acIds = new Array[Int](nf)
+            for (c <- 0 until nf) {
+              // scan components must follow SOF order (T.81 B.2.3)
+              if (u8(b, body + 1 + 2 * c) != compId(c))
+                return Left("bad_header")
+              dcIds(c) = u8(b, body + 2 + 2 * c) >> 4
+              acIds(c) = u8(b, body + 2 + 2 * c) & 15
+              if (dcIds(c) > 3 || acIds(c) > 3 ||
+                dcT(dcIds(c)) == null || acT(acIds(c)) == null ||
+                quantT(compTq(c)) == null) return Left("bad_header")
+            }
+            val tail = body + 1 + 2 * nf
+            if (u8(b, tail) != 0 || u8(b, tail + 1) != 63 ||
+              u8(b, tail + 2) != 0) return Left("unsupported")
             sosPos = end
           case _ => () // APPn / COM / others: length-skipped
         }
@@ -712,10 +864,24 @@ object Multimodal {
       }
     }
     // ---- entropy-coded segment ----
-    val dc = dcT(dcId); val ac = acT(acId); val qt = quantT(compQ)
-    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
-    val stride = bxN * 8
-    val canvas = new Array[Int](stride * byN * 8)
+    val nf = compId.length
+    // Nf=1 scans are NON-interleaved: MCU = one block, raster over
+    // the image's own block grid, sampling factors ignored (T.81
+    // F.2.1.2). Multi-component scans interleave Hi×Vi blocks per
+    // MCU; this tier requires the luma (FIRST) component at full
+    // resolution so the output keeps the (w, h) contract — a
+    // downsampled-luma frame is valid JPEG outside the tier.
+    val hmax = compH.max; val vmax = compV.max
+    if (nf > 1 && (compH(0) != hmax || compV(0) != vmax))
+      return Left("unsupported")
+    val h1 = if (nf == 1) 1 else compH(0)
+    val v1 = if (nf == 1) 1 else compV(0)
+    val mcuX = if (nf == 1) (w + 7) / 8
+      else (w + 8 * hmax - 1) / (8 * hmax)
+    val mcuY = if (nf == 1) (h + 7) / 8
+      else (h + 8 * vmax - 1) / (8 * vmax)
+    val stride = mcuX * h1 * 8
+    val canvas = new Array[Int](stride * mcuY * v1 * 8)
     var p = sosPos; var acc = 0; var nb = 0
     var err: String = null
     def nextBit(): Int = {
@@ -751,64 +917,92 @@ object Multimodal {
       }
       if (t > 0 && v < (1 << (t - 1))) v - (1 << t) + 1 else v
     }
-    val total = bxN * byN
-    var pred = 0; var rstExpect = 0; var blk = 0
-    while (blk < total && err == null) {
-      if (dri > 0 && blk > 0 && blk % dri == 0) {
+    val preds = new Array[Int](nf)
+    val qts = Array.tabulate(nf)(c => quantT(compTq(c)))
+    val dcs = Array.tabulate(nf)(c => dcT(dcIds(c)))
+    val acs = Array.tabulate(nf)(c => acT(acIds(c)))
+    // one block of component ci: DC diff + AC run/size decode,
+    // dequantize + clamp into natural order. Chroma blocks are
+    // decoded FULLY (the bit stream must advance) and discarded.
+    def decodeBlock(ci: Int): Array[Long] = {
+      val z = new Array[Int](64)
+      val t = decodeSym(dcs(ci))
+      if (err != null) return null
+      if (t > 15) { err = "bad_huffman"; return null }
+      preds(ci) += receiveExtend(t)
+      z(0) = preds(ci)
+      var k = 1
+      while (k < 64 && err == null) {
+        val sym = decodeSym(acs(ci))
+        if (err == null) {
+          val run = sym >> 4; val s = sym & 15
+          if (s == 0) {
+            if (run == 15) k += 16 // ZRL
+            else if (run == 0) k = 64 // EOB
+            else err = "bad_huffman"
+          } else {
+            k += run
+            if (k > 63) err = "bad_huffman"
+            else { z(k) = receiveExtend(s); k += 1 }
+          }
+        }
+      }
+      if (err != null) return null
+      val f = new Array[Long](64)
+      var kk = 0
+      while (kk < 64) {
+        val n = zigzag(kk)
+        val v = z(kk).toLong * qts(ci)(n)
+        f(n) = math.max(-2048L, math.min(2047L, v))
+        kk += 1
+      }
+      f
+    }
+    val totalMcu = mcuX * mcuY
+    var rstExpect = 0; var m = 0
+    while (m < totalMcu && err == null) {
+      if (dri > 0 && m > 0 && m % dri == 0) { // DRI counts MCUs
         nb = 0 // byte-align: discard the pad bits
         if (p + 1 >= b.length) err = "truncated"
         else if (u8(b, p) != 0xff ||
           u8(b, p + 1) != 0xd0 + rstExpect) err = "bad_huffman"
-        else { p += 2; rstExpect = (rstExpect + 1) % 8; pred = 0 }
+        else {
+          p += 2; rstExpect = (rstExpect + 1) % 8
+          java.util.Arrays.fill(preds, 0)
+        }
       }
       if (err == null) {
-        val z = new Array[Int](64)
-        val t = decodeSym(dc)
-        if (err == null) {
-          if (t > 15) err = "bad_huffman"
-          else {
-            pred += receiveExtend(t)
-            z(0) = pred
-            var k = 1
-            while (k < 64 && err == null) {
-              val sym = decodeSym(ac)
-              if (err == null) {
-                val run = sym >> 4; val s = sym & 15
-                if (s == 0) {
-                  if (run == 15) k += 16 // ZRL
-                  else if (run == 0) k = 64 // EOB
-                  else err = "bad_huffman"
-                } else {
-                  k += run
-                  if (k > 63) err = "bad_huffman"
-                  else { z(k) = receiveExtend(s); k += 1 }
+        val mx = m % mcuX; val my = m / mcuX
+        var ci = 0
+        while (ci < nf && err == null) {
+          val ch = if (nf == 1) 1 else compH(ci)
+          val cv = if (nf == 1) 1 else compV(ci)
+          var v2 = 0
+          while (v2 < cv && err == null) {
+            var h2 = 0
+            while (h2 < ch && err == null) {
+              val f = decodeBlock(ci)
+              if (err == null && ci == 0) {
+                val px8 = idctBlock8Micro(f)
+                val bx = mx * h1 + h2; val by = my * v1 + v2
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    canvas((by * 8 + y) * stride + bx * 8 + x) =
+                      px8(y * 8 + x)
+                    x += 1
+                  }
+                  y += 1
                 }
               }
+              h2 += 1
             }
+            v2 += 1
           }
+          ci += 1
         }
-        if (err == null) {
-          val f = new Array[Long](64)
-          var k = 0
-          while (k < 64) {
-            val n = zigzag(k)
-            val v = z(k).toLong * qt(n)
-            f(n) = math.max(-2048L, math.min(2047L, v))
-            k += 1
-          }
-          val px8 = idctBlock8Micro(f)
-          val bx = blk % bxN; val by = blk / bxN
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              canvas((by * 8 + y) * stride + bx * 8 + x) = px8(y * 8 + x)
-              x += 1
-            }
-            y += 1
-          }
-        }
-        blk += 1
+        m += 1
       }
     }
     if (err != null) Left(err)

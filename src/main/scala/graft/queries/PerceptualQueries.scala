@@ -257,6 +257,47 @@ object PerceptualQueries {
       |        - 1024 + 128)) AS p
       |  FROM js)""".stripMargin
 
+  /** COLOR (4:2:0) baseline-JPEG fixture (r18, the q337 content in a
+    * three-component interleaved container): the LUMA plane carries
+    * EXACTLY q337's coefficient formula — 16×16 at hy = vy = 2 is one
+    * MCU whose 2×2 luma raster coincides with q337's block grid — so
+    * the decoded luma must equal the greyscale decode bit-for-bit and
+    * the gate reuses q337's oracle VERBATIM. Chroma planes carry
+    * their own nonzero coefficients (quantC = 3 + (u+v) % 4) that the
+    * decoder must entropy-walk correctly to land the luma; they never
+    * reach the output. Dead lanes: doc_id % 11 truncates inside DQT;
+    * doc_id % 13 patches SOF0→SOF1 at the generator-known offset 141
+    * (extended sequential — the unsupported lane). */
+  private[graft] def jpegColorFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val h32 = (id * 2654435761L) % 4294967296L
+      def quantY(u: Int, v: Int): Int =
+        (1 + (2 * u + 3 * v + id) % 6).toInt
+      def coeffY(blk: Int, u: Int, v: Int): Int =
+        if (u == 0 && v == 0) (((h32 >> (7 * blk)) & 127) - 64).toInt
+        else if ((3 * u + 5 * v + id + blk) % 7 < 2)
+          (((id + 11 * u + 17 * v + 23 * blk) % 15) - 7).toInt
+        else 0
+      def quantC(u: Int, v: Int): Int = 3 + (u + v) % 4
+      def coeffC(comp: Int, m: Int, u: Int, v: Int): Int =
+        if ((u + v + comp + id + m) % 5 < 2)
+          (((id + 5 * u + 3 * v + 7 * comp) % 9) - 4).toInt
+        else 0
+      val full = Multimodal.encodeJpegColorCoeffs(16, 16, 2, 2,
+        quantY, quantC, coeffY, coeffC)
+      val payload =
+        if (id % 11 == 0) full.take(24)
+        else if (id % 13 == 0) {
+          val c = full.clone()
+          require((c(141) & 0xff) == 0xc0, "color fixture layout drifted")
+          c(141) = 0xc1.toByte; c
+        } else full
+      (id, "jpeg", payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
   /** Mixed PNG+JPEG fixture (r18): one CONTENT per group g = doc_id
     * div 4, defined in coefficient space with a FIXED quant table
     * q(u,v) = 2 + (u + 3v) % 5; variants r = doc_id % 4:
@@ -762,6 +803,34 @@ object PerceptualQueries {
     // unsupported lane.
     QuerySpec("q337_jpeg_pixel_decode",
       (s, dir) => Multimodal.pngPixelStats(s, jpegCoeffFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH ${jpegPixelSql(
+          "doc_id % 11 <> 0 AND doc_id % 13 <> 0")},
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM((py * 16 + px_ + 1) * p) AS BIGINT) AS swp
+        |  FROM jpx GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'unsupported' END AS reason,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // COLOR JPEG luma decode (r18, the color completion of q337):
+    // three-component 4:2:0 interleaved MCUs — the decoder must
+    // entropy-walk every chroma block with its own predictor and
+    // tables to land the luma plane, which must equal the greyscale
+    // decode of the SAME coefficients bit-for-bit. The oracle is
+    // q337's IDCT replay verbatim: one pixel contract across
+    // greyscale and color containers.
+    QuerySpec("q346_jpeg_color_luma",
+      (s, dir) => Multimodal.pngPixelStats(s, jpegColorFixture(s, dir))
         .orderBy(col("media_id")),
       Some(s"""WITH ${jpegPixelSql(
           "doc_id % 11 <> 0 AND doc_id % 13 <> 0")},

@@ -157,9 +157,13 @@ class JpegCodecSpec extends SparkSuite {
     // header-only (encodeJpeg has SOI/APP0/SOF0/EOI, no scan)
     assert(Multimodal.decodeJpegGray(
       Multimodal.encodeJpeg(16, 16, 1)) == Left("truncated"))
-    // 3-component SOF0 -> unsupported (multi-component frame)
+    // 3-component frames are SUPPORTED since the color extension, so
+    // a header-only color stream reads truncated like the grey one;
+    // > 4 components stays on the unsupported lane
     assert(Multimodal.decodeJpegGray(
-      Multimodal.encodeJpeg(16, 16, 3)) == Left("unsupported"))
+      Multimodal.encodeJpeg(16, 16, 3)) == Left("truncated"))
+    assert(Multimodal.decodeJpegGray(
+      Multimodal.encodeJpeg(16, 16, 5)) == Left("unsupported"))
     // 12-bit precision -> unsupported
     assert(Multimodal.decodeJpegGray(
       Multimodal.encodeJpeg(16, 16, 1, precision = 12)) ==
@@ -227,6 +231,104 @@ class JpegCodecSpec extends SparkSuite {
       Multimodal.decodeJpegGray(c) match {
         case Left(r) => assert(reasons.contains(r), s"flip@$i -> $r")
         case Right(_) => () // a flip inside entropy data may still decode
+      }
+    }
+  }
+
+  /** Luma reference in the DECODER's interleaved geometry: blocks
+    * raster over the mcuX·hy grid (which pads past non-MCU-aligned
+    * dims), cropped to (w, h). */
+  private def colorReferencePixels(w: Int, h: Int, hy: Int, vy: Int,
+      quant: (Int, Int) => Int,
+      coeff: (Int, Int, Int) => Int): Array[Int] = {
+    val mcuX = (w + 8 * hy - 1) / (8 * hy)
+    val mcuY = (h + 8 * vy - 1) / (8 * vy)
+    val bw = mcuX * hy
+    val px = new Array[Int](w * h)
+    for (by <- 0 until mcuY * vy; bx <- 0 until bw) {
+      val f = new Array[Long](64)
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val dq = coeff(by * bw + bx, u, v).toLong * quant(u, v)
+        f(v * 8 + u) = math.max(-2048L, math.min(2047L, dq))
+      }
+      val blockPx = Multimodal.idctBlock8Micro(f)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val gx = bx * 8 + x; val gy = by * 8 + y
+        if (gx < w && gy < h) px(gy * w + gx) = blockPx(y * 8 + x)
+      }
+    }
+    px
+  }
+
+  private def chromaFormula(comp: Int, m: Int, u: Int, v: Int): Int =
+    if ((u + v + comp + m) % 5 < 2) ((m + 5 * u + 3 * v + 7 * comp) % 9) - 4
+    else 0
+
+  test("color decode: 4:2:0 / 4:2:2 / 4:4:4 across MCU-aligned and " +
+      "padded dims — luma bit-exact, chroma walked and discarded") {
+    for {
+      (hy, vy) <- Seq((2, 2), (2, 1), (1, 1))
+      (w, h) <- Seq((16, 16), (32, 16), (20, 12), (8, 8))
+    } {
+      val bytes = Multimodal.encodeJpegColorCoeffs(w, h, hy, vy,
+        quantFormula, (u, v) => 3 + (u + v) % 4,
+        coeffFormula, chromaFormula)
+      val got = Multimodal.decodeJpegGray(bytes)
+      assert(got.isRight, s"$hy x$vy $w x $h -> $got")
+      val Right((gw, gh, px)) = got
+      assert(gw == w && gh == h, s"$hy x$vy $w x $h dims")
+      assert(px.toSeq == colorReferencePixels(w, h, hy, vy,
+        quantFormula, coeffFormula).toSeq,
+        s"$hy x$vy $w x $h luma mismatch")
+    }
+  }
+
+  test("color luma == greyscale decode of the same coefficients " +
+      "(MCU-aligned), and color restart markers across 4 MCUs") {
+    val grey = norm(Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGrayCoeffs(16, 16, quantFormula,
+        coeffFormula)))
+    val color = norm(Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegColorCoeffs(16, 16, 2, 2, quantFormula,
+        (u, v) => 3 + (u + v) % 4, coeffFormula, chromaFormula)))
+    assert(color == grey)
+    val base = norm(Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegColorCoeffs(32, 32, 2, 2, quantFormula,
+        (u, v) => 3 + (u + v) % 4, coeffFormula, chromaFormula)))
+    for (dri <- Seq(1, 2)) {
+      val withRst = Multimodal.encodeJpegColorCoeffs(32, 32, 2, 2,
+        quantFormula, (u, v) => 3 + (u + v) % 4, coeffFormula,
+        chromaFormula, restartInterval = dri)
+      assert(norm(Multimodal.decodeJpegGray(withRst)) == base,
+        s"dri=$dri")
+    }
+  }
+
+  test("color dead lanes: downsampled luma and multi-scan Ns < Nf " +
+      "are unsupported BEFORE any entropy work; truncation sweep " +
+      "never throws") {
+    val good = Multimodal.encodeJpegColorCoeffs(16, 16, 2, 2,
+      quantFormula, (u, v) => 3 + (u + v) % 4, coeffFormula,
+      chromaFormula)
+    // SOF layout: SOI(2) DQT(69) DQT(69) -> SOF0 at 140; Y HV at 151,
+    // Cb HV at 154
+    assert((good(140) & 0xff) == 0xff && (good(141) & 0xff) == 0xc0 &&
+      (good(151) & 0xff) == 0x22 && (good(154) & 0xff) == 0x11)
+    val down = good.clone()
+    down(151) = 0x11; down(154) = 0x22 // luma 1x1 under 2x2 chroma
+    assert(Multimodal.decodeJpegGray(down) == Left("unsupported"))
+    val sosAt = (0 until good.length - 1).indexWhere(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)
+    val multiScan = good.clone(); multiScan(sosAt + 4) = 1 // Ns 3 -> 1
+    assert(Multimodal.decodeJpegGray(multiScan) == Left("unsupported"))
+    val reasons = Set("truncated", "bad_magic", "bad_header",
+      "unsupported", "bad_huffman")
+    val whole = norm(Multimodal.decodeJpegGray(good))
+    for (k <- 0 until good.length by 2) {
+      norm(Multimodal.decodeJpegGray(good.take(k))) match {
+        case Left(r) => assert(reasons.contains(r), s"prefix $k -> $r")
+        case Right(v) => assert(Right(v) == whole,
+          s"prefix $k decoded differently")
       }
     }
   }
