@@ -298,6 +298,69 @@ object PerceptualQueries {
     }.toDF("media_id", "kind", "media")
   }
 
+  /** LOSSY pixel-path JPEG fixture (r18): pixels from an integer
+    * formula go through the REAL forward path — level shift, exact
+    * fixed-point forward DCT, round-half-up quantization — then the
+    * entropy encoder, so the gate pins encodeJpegGrayPixels
+    * end-to-end: the decoded payload must equal the
+    * forward→quant→dequant→IDCT composition, which the oracle
+    * replays ENTIRELY in SQL (every stage exact integer).
+    *
+    *   p(x,y) = 20 + ((7x + 11y + 13·((x·y) mod 5) + doc_id mod 97)
+    *            mod 200),   q(u,v) = 1 + (u + 2v + doc_id) mod 5 */
+  private[graft] def jpegLossyFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      def pixel(x: Int, y: Int): Int =
+        (20 + (7 * x + 11 * y + 13 * ((x * y) % 5) + id % 97) % 200).toInt
+      def quant(u: Int, v: Int): Int = (1 + (u + 2 * v + id) % 5).toInt
+      (id, "jpeg", Multimodal.encodeJpegGrayPixels(16, 16, pixel, quant))
+    }.toDF("media_id", "kind", "media")
+  }
+
+  /** The lossy round trip as DuckDB CTEs: pixel formula → per-block
+    * forward DCT (two exact GROUP-BY stages over the shared acMicro8
+    * table) → round-half-up quantization (ONE division by 4·10¹²·q
+    * via the nonnegative offset) → dequantization (|qv·q| ≤ ~1300,
+    * inside the decoder's ±2048 clamp — skipped, documented) → the
+    * same IDCT replay → decoded pixels in `jpx`. */
+  private def jpegLossySql: String =
+    s"""lp AS (SELECT doc_id, blk, x, y,
+      |    20 + (7 * ((blk % 2) * 8 + x) + 11 * ((blk // 2) * 8 + y)
+      |      + 13 * ((((blk % 2) * 8 + x) * ((blk // 2) * 8 + y)) % 5)
+      |      + doc_id % 97) % 200 - 128 AS pc
+      |  FROM documents, range(0, 4) tb(blk), range(0, 8) tx(x),
+      |    range(0, 8) ty(y)),
+      |act AS (SELECT * FROM (VALUES ${Multimodal.acMicro8SqlValues})
+      |  t(u, x, c)),
+      |ft AS (SELECT p.doc_id, p.blk, au.u, p.y,
+      |    CAST(SUM(p.pc * au.c) AS BIGINT) AS tm
+      |  FROM lp p JOIN act au ON au.x = p.x GROUP BY 1, 2, 3, 4),
+      |fm AS (SELECT t.doc_id, t.blk, t.u, av.u AS v,
+      |    CAST(SUM(t.tm * av.c) AS BIGINT) AS fmicro
+      |  FROM ft t JOIN act av ON av.x = t.y GROUP BY 1, 2, 3, 4),
+      |qv AS (SELECT doc_id, blk, u, v,
+      |    (fmicro + (4000000000000 * (1 + (u + 2*v + doc_id) % 5)) // 2
+      |      + (4000000000000 * (1 + (u + 2*v + doc_id) % 5)) * 1024)
+      |      // (4000000000000 * (1 + (u + 2*v + doc_id) % 5)) - 1024
+      |      AS q
+      |  FROM fm),
+      |jc AS (SELECT doc_id, blk, u, v,
+      |    q * (1 + (u + 2*v + doc_id) % 5) AS f FROM qv),
+      |jg AS (SELECT c.doc_id, c.blk, c.v, ax.x,
+      |    CAST(SUM(c.f * ax.c) AS BIGINT) AS gs
+      |  FROM jc c JOIN act ax ON ax.u = c.u GROUP BY 1, 2, 3, 4),
+      |js AS (SELECT g.doc_id, g.blk, g.x, ay.x AS y,
+      |    CAST(SUM(ay.c * g.gs) AS BIGINT) AS s
+      |  FROM jg g JOIN act ay ON ay.u = g.v GROUP BY 1, 2, 3, 4),
+      |jpx AS (SELECT doc_id, (blk % 2) * 8 + x AS px_,
+      |    (blk // 2) * 8 + y AS py,
+      |    LEAST(255, GREATEST(0,
+      |      (s + 2000000000000 + 4096000000000000) // 4000000000000
+      |        - 1024 + 128)) AS p
+      |  FROM js)""".stripMargin
+
   /** Mixed PNG+JPEG fixture (r18): one CONTENT per group g = doc_id
     * div 4, defined in coefficient space with a FIXED quant table
     * q(u,v) = 2 + (u + 3v) % 5; variants r = doc_id % 4:
@@ -848,6 +911,27 @@ object PerceptualQueries {
         |    THEN CAST(16 AS INTEGER) END AS height,
         |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // LOSSY pixel-path round trip (r18): the forward encoder —
+    // level shift, exact fixed-point forward DCT, round-half-up
+    // quantization — composed with the decoder; the oracle replays
+    // the WHOLE composition in SQL (forward two-stage sums, the
+    // one-division quantizer, dequant, IDCT), so the driver now
+    // checks the encode half end-to-end, not just via specs.
+    QuerySpec("q347_jpeg_lossy_roundtrip",
+      (s, dir) => Multimodal.pngPixelStats(s, jpegLossyFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH $jpegLossySql,
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM((py * 16 + px_ + 1) * p) AS BIGINT) AS swp
+        |  FROM jpx GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, TRUE AS ok,
+        |  CAST(NULL AS VARCHAR) AS reason,
+        |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d JOIN st ON d.doc_id = st.doc_id
         |ORDER BY media_id""".stripMargin)),
 
     // Mixed-format perceptual hashes (r18): PNG and baseline-JPEG

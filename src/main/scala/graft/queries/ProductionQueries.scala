@@ -1120,6 +1120,40 @@ object ProductionQueries {
             "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
+      IndexedQueries.all.find(_.name == "q91_ann_ivfadc").get.oracle),
+
+    // ANN index COMPACTION (r18, the lifecycle's third verb after
+    // build and append): the two-epoch parts merge into ONE
+    // cell-bucketed layout under its own exactly-once marker — the
+    // LSM compaction a real deployment runs when append parts
+    // accumulate — and the probe over the compacted index must
+    // hash-match the same from-scratch replay (compact ≡ union ≡
+    // rebuild). What the bench measures is the post-compaction
+    // steady state: ONE bucketed scan + the broadcast probe.
+    QuerySpec("q348_ann_index_compact",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val root = steadyAnnIndexTwoEpoch(s, dir)
+        val suffix = root.substring(root.lastIndexOf('/') + 1)
+        FixtureCache.ensureSidecar(root, "index_compact",
+          "_COMPACT_READY") { tmp =>
+          graft.sources.BucketedIndex.write(
+            graft.sources.BucketedIndex.read(s, s"$root/index",
+              s"graft_annidx2ca_$suffix", "cell", 8)
+              .unionByName(graft.sources.BucketedIndex.read(s,
+                s"$root/index2", s"graft_annidx2cb_$suffix", "cell", 8)),
+            tmp, "cell", 8)
+        }
+        val cb = Similarity.coarseCodebook(e, "vec_id", "embedding", 8)
+        val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding",
+          m = 4, ksub = 8)
+        Similarity.ivfadcTopKIndexed(
+            graft.sources.BucketedIndex.read(s, s"$root/index_compact",
+              s"graft_annidx2c_$suffix", "cell", 8),
+            e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
       IndexedQueries.all.find(_.name == "q91_ann_ivfadc").get.oracle)
   )
 
