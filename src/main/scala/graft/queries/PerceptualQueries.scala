@@ -934,6 +934,50 @@ object PerceptualQueries {
         |FROM documents d JOIN st ON d.doc_id = st.doc_id
         |ORDER BY media_id""".stripMargin)),
 
+    // JPEG-input resize (r18): the q325 chain with a JPEG source —
+    // decodeImageGray inside resizePngGray accepts the q337 fixture,
+    // box-filters 16×16 → 8×8, re-encodes a REAL PNG, and the result
+    // decodes AGAIN through pngPixelStats; the oracle re-derives the
+    // resized pixels from the coefficient formula's IDCT replay
+    // (floor(2×2 block sum / 4)). Dead lanes pass through with the
+    // JPEG tier's reasons.
+    QuerySpec("q349_jpeg_resize",
+      (s, dir) => {
+        val rz = Multimodal.resizePngGray(
+          s, jpegCoeffFixture(s, dir), outW = 8, outH = 8)
+        val okStats = Multimodal.pngPixelStats(s,
+          rz.filter(col("ok"))
+            .select(col("media_id"), col("kind"), col("media")))
+        val dead = rz.filter(!col("ok")).select(col("media_id"),
+          col("ok"), col("reason"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("n_pixels"),
+          lit(null).cast("long").as("sum_pix"),
+          lit(null).cast("long").as("sum_wpix"))
+        okStats.unionByName(dead).orderBy(col("media_id"))
+      },
+      Some(s"""WITH ${jpegPixelSql(
+          "doc_id % 11 <> 0 AND doc_id % 13 <> 0")},
+        |rp AS (SELECT doc_id, px_ // 2 AS rx, py // 2 AS ry,
+        |    CAST(SUM(p) // 4 AS BIGINT) AS q
+        |  FROM jpx GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(q) AS BIGINT) AS sp,
+        |    CAST(SUM((ry * 8 + rx + 1) * q) AS BIGINT) AS swp
+        |  FROM rp GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'unsupported' END AS reason,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(8 AS INTEGER) END AS width,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(8 AS INTEGER) END AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
     // Mixed-format perceptual hashes (r18): PNG and baseline-JPEG
     // payloads of the SAME coefficient-defined content hash through
     // one dispatched kernel — the oracle derives ONE pixel CTE (the
