@@ -856,6 +856,66 @@ object PerceptualQueries {
         |FROM pr WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Audio near-dup dedup e2e (r18): the q321 composite applied to
+    // the band-fingerprint tier — banded-hamming pairs → connected
+    // components → min-id keep. The planted volume twins collapse
+    // (division-free gain exactness), truncated payloads pass
+    // through untouched. Completes the audio family the way q321
+    // completed images and q336 video.
+    QuerySpec("q351_audio_neardup_e2e",
+      (s, dir) => {
+        val fx = pcmWavFixture(s, dir)
+        val pairs = Multimodal.audioBandNearDupPairs(
+          Multimodal.audioBandFingerprint(s, fx), maxHamming = 3)
+        graft.ops.Dedup.dedupByPairs(
+            fx.select(col("media_id"), col("kind")), "media_id",
+            pairs, "id_a", "id_b")
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $hkSql,
+        |bands AS (
+        |  SELECT doc_id, b.band, (band_hash >> (b.band * 16)) & 65535
+        |      AS bv
+        |  FROM hh2, (SELECT UNNEST([0, 1, 2, 3]) AS band) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |good AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN hh2 pa ON pa.doc_id = c.id_a
+        |  JOIN hh2 pb ON pb.doc_id = c.id_b
+        |  WHERE bit_count(xor(pa.band_hash, pb.band_hash)) <= 3),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM good
+        |  UNION SELECT id_b, id_a FROM good),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(src, node) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node)
+        |  SELECT * FROM r),
+        |comp AS (SELECT src AS id, MIN(node) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id AS media_id, 'audio' AS kind FROM documents
+        |WHERE doc_id NOT IN
+        |  (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY media_id""".stripMargin)),
+
+    // DCT pHash over the MIXED PNG+JPEG fixture (r18): the
+    // frequency-domain hash through the dispatched decode — the
+    // oracle composes the mixed-format IDCT pixel CTE with q316's
+    // DCT pipeline VERBATIM (both end in a px(doc_id, x, y, p)
+    // frame), pinning that the pHash contract is format-independent.
+    QuerySpec("q352_mixed_dct_phash",
+      (s, dir) => Multimodal.imageDctHash(s, mixedMediaFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH $mixedPixelSql,
+        |$dctSql
+        |SELECT d.doc_id AS media_id, d.doc_id % 23 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 23 = 0 THEN 'truncated' END AS reason,
+        |  ph.phash
+        |FROM documents d LEFT JOIN ph ON d.doc_id = ph.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
     // Baseline JPEG pixel decode (r18, VERDICT r17 ask #1): the full
     // T.81 chain — marker walk, DQT/DHT parse, canonical Huffman
     // entropy decode with byte unstuffing, dequantization, exact
