@@ -1399,9 +1399,15 @@ object Multimodal {
     * invariance argument is also division-free): the planted volume
     * twins land at hamming 0 by construction. Defaults (9 windows ×
     * 8 bands → 56 bits) keep the hash one non-negative BIGINT.
-    * Rows longer than 2²⁵ frames dead-letter as `too_long` (the int64
-    * square bound; chunk hour-scale audio upstream). Per-row decode,
-    * samples never leave the task. */
+    *
+    * int64 bound, joint in length AND amplitude: |X| ≤
+    * maxAbs·L_w·100 must square inside int64, so the op dead-letters
+    * rows over 2²⁰ frames as `too_long` (chunk minute-scale audio
+    * upstream) and mix-down samples outside ±254 as `too_loud`
+    * (mono/stereo 8/16-bit mixes stay inside by construction; a
+    * many-channel mix does not) — 254·(2²⁰/9 + 1)·100 ≈ 2.96·10⁹
+    * squares to 8.8·10¹⁸ < 2⁶³. Per-row decode, samples never leave
+    * the task. */
   def audioBandFingerprint(spark: SparkSession, media: DataFrame,
       windows: Int = 9, bands: Int = 8): DataFrame = {
     require(windows >= 2 && bands >= 2 && bands <= 8 &&
@@ -1413,8 +1419,12 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           decodeWavPcm(r.media) match {
-            case Right((_, _, mix)) if mix.length > (1 << 25) =>
+            case Right((_, _, mix)) if mix.length > (1 << 20) =>
               (r.media_id, false, Option("too_long"),
+                Option.empty[Long], Option.empty[Long])
+            case Right((_, _, mix))
+                if mix.exists(v => v > 254 || v < -254) =>
+              (r.media_id, false, Option("too_loud"),
                 Option.empty[Long], Option.empty[Long])
             case Right((_, _, mix)) if mix.nonEmpty =>
               val n = mix.length

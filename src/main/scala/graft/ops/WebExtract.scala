@@ -159,7 +159,12 @@ object WebExtract {
         .as("url_canon"),
       when(ok, scheme).as("scheme"),
       when(ok, host).as("host"),
-      when(ok && portC =!= "", port.cast("int")).as("port"),
+      // ≤ 9 digits before the cast: an ANSI cast of a crafted
+      // 12-digit "port" would THROW mid-scan instead of
+      // dead-lettering; 9 digits < 2³¹ casts safely, anything longer
+      // stays null (the canonical string keeps it verbatim either way)
+      when(ok && portC =!= "" && port.rlike("^[0-9]{1,9}$"),
+        port.cast("int")).as("port"),
       when(ok, registeredDomainCol(host)).as("registered_domain"))
   }
 

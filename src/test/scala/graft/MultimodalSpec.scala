@@ -645,14 +645,20 @@ class MultimodalSpec extends SparkSuite {
         Multimodal.audioBandFingerprint(spark, rows))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
-    // too_long guard: 2^25 + 1 frames dead-letter before any math
+    // int64-bound guards: 2^20 + 1 frames dead-letter as too_long, a
+    // 4-channel full-scale mix (|mix| up to 508) as too_loud — both
+    // BEFORE any filterbank math can wrap
     val big = Multimodal.encodeWavSamples(1, 8000, 8,
-      Array.fill((1 << 25) + 1)(128))
-    val tl = Multimodal.audioBandFingerprint(spark,
-        Seq((9L, big)).toDF("media_id", "media")
+      Array.fill((1 << 20) + 1)(128))
+    val loud = Multimodal.encodeWavSamples(4, 8000, 8,
+      Array.fill(64)(255)) // 16 frames of 4 channels at +127 each
+    val out2 = Multimodal.audioBandFingerprint(spark,
+        Seq((9L, big), (10L, loud)).toDF("media_id", "media")
           .withColumn("kind", lit("audio")))
-      .collect().head
-    assert(!tl.getBoolean(1) && tl.getString(2) == "too_long")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out2(9L) == ((false, "too_long")))
+    assert(out2(10L) == ((false, "too_loud")))
   }
 
   test("sampleMp4Frames: real stsc/stsz/stco walk over a two-chunk " +

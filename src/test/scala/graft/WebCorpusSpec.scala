@@ -437,6 +437,13 @@ class WebCorpusSpec extends SparkSuite {
     assert(m(7L)._3 == "http://a.com/p")
   }
 
+  test("canonicalizeUrls: a crafted 12-digit port never ANSI-throws — " +
+      "typed port null, canonical string keeps it verbatim") {
+    val m = canon(8L -> "http://h.com:999999999999/p")
+    assert(m(8L)._1 && m(8L)._6.isEmpty &&
+      m(8L)._3 == "http://h.com:999999999999/p")
+  }
+
   test("canonicalizeUrls: dead lanes — schemeless, empty host, null") {
     val m = canon(1L -> "relative/path", 2L -> "//nohost/path",
       3L -> "http:///path", 4L -> null)
