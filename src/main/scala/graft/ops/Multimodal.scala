@@ -484,7 +484,14 @@ object Multimodal {
       for (k <- 0 until 64) {
         val n = zigzag(k)
         val v = coeff(blk, n % 8, n / 8)
-        require(v >= -1023 && v <= 1023,
+        // DC legitimately spans T.81's 8-bit range [-1024, 1016]
+        // (DC-diff category ≤ 11 covers ±2047, so any diff of two
+        // in-range DCs encodes); ACs carry the 10-bit AC-table range
+        // (ADVICE r18: an all-black pixel encode quantizes DC to
+        // exactly -1024 — rejecting it crashed a legal input)
+        if (k == 0) require(v >= -1024 && v <= 1016,
+          s"encodeJpegGrayCoeffs: DC $v outside [-1024, 1016]")
+        else require(v >= -1023 && v <= 1023,
           s"encodeJpegGrayCoeffs: coeff $v outside the 10-bit range")
         z(k) = v
       }
@@ -583,7 +590,11 @@ object Multimodal {
       for (k <- 0 until 64) {
         val n = zigzag(k)
         val v = coeff(n % 8, n / 8)
-        require(v >= -1023 && v <= 1023,
+        // same DC/AC split as the greyscale encoder (ADVICE r18):
+        // DC ∈ [-1024, 1016] is legal T.81, ACs keep the 10-bit range
+        if (k == 0) require(v >= -1024 && v <= 1016,
+          s"encodeJpegColorCoeffs: DC $v outside [-1024, 1016]")
+        else require(v >= -1023 && v <= 1023,
           s"encodeJpegColorCoeffs: coeff $v outside the 10-bit range")
         z(k) = v
       }
@@ -670,8 +681,14 @@ object Multimodal {
         // and den·1024 ≤ 1.05·10¹⁸ keep the shifted numerator inside
         // int64 AND non-negative, so / truncation IS the floor
         val den = 4000000000000L * quant(u, v)
+        // ideal DC spans exactly [-1024, 1016]; the micro table's
+        // ~1e-6 relative error could nudge the rounded value one past
+        // either end, so clamp the DC slot to the encodable range
+        // (ADVICE r18 — ACs stay within ±1023 by the same argument)
+        val qv = ((s + den / 2 + den * 1024L) / den - 1024L).toInt
         coeffs(blkIdx)(v * 8 + u) =
-          ((s + den / 2 + den * 1024L) / den - 1024L).toInt
+          if (u == 0 && v == 0) math.max(-1024, math.min(1016, qv))
+          else qv
       }
     }
     encodeJpegGrayCoeffs(width, height, quant,
@@ -1401,25 +1418,31 @@ object Multimodal {
     * 8 bands → 56 bits) keep the hash one non-negative BIGINT.
     *
     * int64 bound, joint in length AND amplitude: |X| ≤
-    * maxAbs·L_w·100 must square inside int64, so the op dead-letters
-    * rows over 2²⁰ frames as `too_long` (chunk minute-scale audio
-    * upstream) and mix-down samples outside ±254 as `too_loud`
-    * (mono/stereo 8/16-bit mixes stay inside by construction; a
-    * many-channel mix does not) — 254·(2²⁰/9 + 1)·100 ≈ 2.96·10⁹
-    * squares to 8.8·10¹⁸ < 2⁶³. Per-row decode, samples never leave
-    * the task. */
+    * maxAbs·L_w·100 must square inside int64 where L_w ≤ n/windows+1,
+    * so the frame cap SCALES WITH `windows` (ADVICE r18): rows over
+    * windows·2²⁰/9 frames dead-letter `too_long` (2²⁰ at the default
+    * 9 — chunk minute-scale audio upstream) and mix-down samples
+    * outside ±254 dead-letter `too_loud` (mono/stereo 8/16-bit mixes
+    * stay inside by construction; a many-channel mix does not) —
+    * 254·(2²⁰/9 + 1)·100 ≈ 2.96·10⁹ squares to 8.8·10¹⁸ < 2⁶³ at
+    * EVERY windows value, because the cap keeps n/windows ≤ 2²⁰/9.
+    * Per-row decode, samples never leave the task. */
   def audioBandFingerprint(spark: SparkSession, media: DataFrame,
       windows: Int = 9, bands: Int = 8): DataFrame = {
     require(windows >= 2 && bands >= 2 && bands <= 8 &&
       (windows - 1) * (bands - 1) <= 62,
       "audioBandFingerprint: need (windows-1)*(bands-1) <= 62 bits")
+    // windows·2²⁰/9: the per-window projection length n/windows + 1
+    // is what squares — a fixed 2²⁰ cap only bounds it for
+    // windows ≥ 9 (ADVICE r18: windows 2..8 could silently wrap)
+    val frameCap = windows.toLong * (1 << 20) / 9
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
           decodeWavPcm(r.media) match {
-            case Right((_, _, mix)) if mix.length > (1 << 20) =>
+            case Right((_, _, mix)) if mix.length > frameCap =>
               (r.media_id, false, Option("too_long"),
                 Option.empty[Long], Option.empty[Long])
             case Right((_, _, mix))

@@ -135,6 +135,17 @@ class JpegCodecSpec extends SparkSuite {
     val maxErr = (0 until 256).map(i =>
       math.abs(gpx(i) - grad(i % 16, i / 16))).max
     assert(maxErr <= 2, s"gradient max error $maxErr")
+    // ADVICE r18: an all-black image quantizes DC to exactly -1024 at
+    // q=1 — legal T.81 (8-bit DC spans [-1024, 1016], DC-diff
+    // category 11 encodes it) and must round-trip, not throw
+    val black = Multimodal.encodeJpegGrayPixels(16, 16, (_, _) => 0,
+      (_, _) => 1)
+    val Right((_, _, bpx)) = Multimodal.decodeJpegGray(black)
+    assert(bpx.forall(_ == 0))
+    val white = Multimodal.encodeJpegGrayPixels(16, 16, (_, _) => 255,
+      (_, _) => 1)
+    val Right((_, _, wpx)) = Multimodal.decodeJpegGray(white)
+    assert(wpx.forall(_ == 255))
   }
 
   test("16-bit DQT (Pq=1): same values as the 8-bit table decode to " +

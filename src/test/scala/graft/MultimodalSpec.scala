@@ -659,6 +659,20 @@ class MultimodalSpec extends SparkSuite {
         ((r.getBoolean(1), r.getString(2)))).toMap
     assert(out2(9L) == ((false, "too_long")))
     assert(out2(10L) == ((false, "too_loud")))
+    // the cap SCALES with windows (ADVICE r18): 2·2^20/9 + 1 frames
+    // wrap-risk at windows=2 (per-window projection ~n/2) and must
+    // dead-letter there, while the default 9 windows accepts the
+    // same row (n < 2^20)
+    val mid = Multimodal.encodeWavSamples(1, 8000, 8,
+      Array.fill(2 * (1 << 20) / 9 + 1)(128))
+    val midDf = Seq((11L, mid)).toDF("media_id", "media")
+      .withColumn("kind", lit("audio"))
+    val atW2 = Multimodal.audioBandFingerprint(spark, midDf, windows = 2)
+      .collect().map(r => (r.getBoolean(1), r.getString(2))).head
+    assert(atW2 == ((false, "too_long")))
+    val atW9 = Multimodal.audioBandFingerprint(spark, midDf)
+      .collect().map(r => r.getBoolean(1)).head
+    assert(atW9, "default 9 windows must still accept 233k frames")
   }
 
   test("sampleMp4Frames: real stsc/stsz/stco walk over a two-chunk " +
