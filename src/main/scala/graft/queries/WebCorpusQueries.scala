@@ -924,7 +924,12 @@ object WebCorpusQueries {
   private def urlDedupIngestRoot(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val fp = FixtureCache.fingerprint(s"$dir/documents.parquet")
-    FixtureCache.ensure(s"/tmp/graft_url_dedup_ingest/${tag}_$fp") { tmp =>
+    // _pct in the cache key (the steadyDedup _b32 rule): pre-r19
+    // roots hold state keyed by the PRE-percent-normalization
+    // canonical form — serving those would mix two rule versions in
+    // one ledger. New key → clean rebuild under the r19 rules.
+    FixtureCache.ensure(s"/tmp/graft_url_dedup_ingest/${tag}_${fp}_pct") {
+      tmp =>
       val canon = WebExtract.canonicalizeUrls(
         table(s, dir, "documents")
           .filter(col("doc_id") % 2 === 0)
@@ -945,10 +950,13 @@ object WebCorpusQueries {
 
   /** Deterministic URL fixture for id expression `m` — scheme case,
     * userinfo, host case, multi-label suffixes, default and explicit
-    * ports, empty paths, tracking/sortable queries, fragments, and a
-    * schemeless dead lane (m % 17). The Spark Column and
-    * [[urlSqlExpr]] build the SAME string; divergence fails the gate
-    * loudly. */
+    * ports, empty paths, tracking/sortable queries, fragments, a
+    * schemeless dead lane (m % 17), and (r19) PLANTED percent-variant
+    * twins: `/%61/B` must collapse onto the `/a/B` lane's canonical
+    * key, `/idx%2Ehtml` onto `/idx.html`, a `%53` host escape onto
+    * the plain host, and `/q%3fz` must surface with uppercased
+    * surviving hex. The Spark Column and [[urlSqlExpr]] build the
+    * SAME string; divergence fails the gate loudly. */
   private def urlExpr(
       m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val s5 = pmod(m, lit(5))
@@ -957,7 +965,9 @@ object WebCorpusQueries {
       .otherwise(lit("ftp"))
     val user = when(pmod(m, lit(19)) === 0, lit("u:p@")).otherwise(lit(""))
     val s4 = pmod(m, lit(4))
-    val host = concat(lit("WWW.Site"),
+    val host = concat(
+      when(pmod(m, lit(19)) === 7, lit("WWW.%53ite"))
+        .otherwise(lit("WWW.Site")),
       pmod(m, lit(40)).cast("string"),
       when(s4 === 0, lit(".com")).when(s4 === 1, lit(".co.uk"))
         .when(s4 === 2, lit(".org")).otherwise(lit(".com.au")))
@@ -965,8 +975,12 @@ object WebCorpusQueries {
     val port = when(s6 === 0, lit(":80")).when(s6 === 1, lit(":443"))
       .when(s6 === 2, lit(":8080")).otherwise(lit(""))
     val s3 = pmod(m, lit(3))
-    val path = when(s3 === 0, lit("")).when(s3 === 1, lit("/a/B"))
-      .otherwise(lit("/idx.html"))
+    val path = when(pmod(m, lit(13)) === 5, lit("/q%3fz"))
+      .when(s3 === 0, lit(""))
+      .when(s3 === 1, when(pmod(m, lit(2)) === 1, lit("/%61/B"))
+        .otherwise(lit("/a/B")))
+      .otherwise(when(pmod(m, lit(5)) === 2, lit("/idx%2Ehtml"))
+        .otherwise(lit("/idx.html")))
     val s7 = pmod(m, lit(7))
     val query = when(s7 === 0,
         concat(lit("?utm_source=x&q="), pmod(m, lit(9)).cast("string")))
@@ -993,18 +1007,44 @@ object WebCorpusQueries {
        |    WHEN 2 THEN 'https' WHEN 3 THEN 'HTTPS'
        |    ELSE 'ftp' END || '://' ||
        |  CASE WHEN ($m) % 19 = 0 THEN 'u:p@' ELSE '' END ||
-       |  'WWW.Site' || (($m) % 40) ||
+       |  CASE WHEN ($m) % 19 = 7 THEN 'WWW.%53ite'
+       |    ELSE 'WWW.Site' END || (($m) % 40) ||
        |  CASE ($m) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
        |    WHEN 2 THEN '.org' ELSE '.com.au' END ||
        |  CASE ($m) % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
        |    WHEN 2 THEN ':8080' ELSE '' END ||
-       |  CASE ($m) % 3 WHEN 0 THEN '' WHEN 1 THEN '/a/B'
-       |    ELSE '/idx.html' END ||
+       |  CASE WHEN ($m) % 13 = 5 THEN '/q%3fz'
+       |    WHEN ($m) % 3 = 0 THEN ''
+       |    WHEN ($m) % 3 = 1 THEN
+       |      CASE WHEN ($m) % 2 = 1 THEN '/%61/B' ELSE '/a/B' END
+       |    ELSE CASE WHEN ($m) % 5 = 2 THEN '/idx%2Ehtml'
+       |      ELSE '/idx.html' END END ||
        |  CASE ($m) % 7 WHEN 0 THEN '?utm_source=x&q=' || (($m) % 9)
        |    WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?utm_campaign=c'
        |    WHEN 3 THEN '?z=9&utm_medium=m&y=8' ELSE '' END ||
        |  CASE WHEN ($m) % 2 = 0 THEN '#s' || (($m) % 5) ELSE '' END
        |END""".stripMargin
+
+  /** [[WebExtract.pctNormalize]] as DuckDB string surgery over the
+    * expression `x` (r19): split on `%`, per-part — decode the escape
+    * when its byte is RFC 3986 unreserved, uppercase the hex
+    * otherwise, pass malformed escapes through. `array_to_string` of
+    * an EMPTY list is NULL in DuckDB (Spark's `array_join` is ''), so
+    * the tail is COALESCEd. NOTE: interpolated into stripMargin'd
+    * gate SQL — no line here may begin with whitespace + `|`. */
+  private def pctSql(x: String): String =
+    s"""string_split($x, '%')[1] ||
+       |   COALESCE(array_to_string([CASE
+       |    WHEN regexp_matches(p[1:2], '^[0-9A-Fa-f]{2}$$')
+       |    THEN CASE
+       |      WHEN (CAST(('0x' || p[1:2]) AS INTEGER) BETWEEN 48 AND 57)
+       |        OR (CAST(('0x' || p[1:2]) AS INTEGER) BETWEEN 65 AND 90)
+       |        OR (CAST(('0x' || p[1:2]) AS INTEGER) BETWEEN 97 AND 122)
+       |        OR CAST(('0x' || p[1:2]) AS INTEGER) IN (45, 46, 95, 126)
+       |      THEN chr(CAST(('0x' || p[1:2]) AS INTEGER)) || p[3:]
+       |      ELSE '%' || upper(p[1:2]) || p[3:] END
+       |    ELSE '%' || p END
+       |   FOR p IN string_split($x, '%')[2:]], ''), '')""".stripMargin
 
   /** The [[WebExtract.canonicalizeUrls]] rule set as independent
     * DuckDB string surgery over a `uf(doc_id, url)` CTE — ends in
@@ -1026,12 +1066,16 @@ object WebCorpusQueries {
        |  FROM c1),
        |c3 AS (SELECT *, string_split(auth, '@')[-1] AS hp,
        |    substr(rest, length(auth) + 1) AS pqf FROM c2),
-       |c4 AS (SELECT *,
-       |    lower(regexp_extract(hp, '^([^:]*)', 1)) AS host,
+       |c4a AS (SELECT *,
+       |    regexp_extract(hp, '^([^:]*)', 1) AS rawhost,
        |    regexp_extract(hp, ':([0-9]+)$$', 1) AS prt,
-       |    regexp_extract(pqf, '^([^?#]*)', 1) AS pth,
+       |    regexp_extract(pqf, '^([^?#]*)', 1) AS rawpth,
        |    regexp_extract(pqf, '^[^#?]*\\?([^#]*)', 1) AS qry
        |  FROM c3),
+       |c4 AS (SELECT * EXCLUDE (rawhost, rawpth),
+       |    lower(${pctSql("rawhost")}) AS host,
+       |    ${pctSql("rawpth")} AS pth
+       |  FROM c4a),
        |c5 AS (SELECT *, list_sort([p FOR p IN string_split(qry, '&')
        |      IF p <> '' AND NOT list_contains($trackList,
        |        lower(string_split(p, '=')[1]))]) AS ps,

@@ -453,6 +453,62 @@ class WebCorpusSpec extends SparkSuite {
     assert(!m(4L)._1 && m(4L)._2 == "no_scheme")
   }
 
+  test("canonicalizeUrls: percent-encoding normalization (r19) — " +
+      "unreserved escapes decode, surviving hex uppercases in path, " +
+      "reserved escapes never decode, malformed passes through") {
+    val m = canon(
+      1L -> "http://EX%41MPLE.com/%7Euser/a",   // %41='A' host, %7E='~'
+      2L -> "http://example.com/a%2fb",         // %2F reserved: kept, uppercased
+      3L -> "http://example.com/p%2541",        // %25='%' NOT unreserved: no double-decode
+      4L -> "http://example.com/x%4",           // malformed: verbatim
+      5L -> "http://example.com/%61%2E%5F%2D",  // a . _ - all unreserved
+      6L -> "http://example.com/q?v=%41")       // query values stay verbatim
+    assert(m(1L)._5 == "example.com" &&
+      m(1L)._3 == "http://example.com/~user/a")
+    assert(m(2L)._3 == "http://example.com/a%2Fb")
+    assert(m(3L)._3 == "http://example.com/p%2541")
+    assert(m(4L)._3 == "http://example.com/x%4")
+    assert(m(5L)._3 == "http://example.com/a._-")
+    assert(m(6L)._3 == "http://example.com/q?v=%41")
+  }
+
+  test("registeredDomain: expanded public-suffix snapshot (r19) — " +
+      "gov.br/co.il/go.jp-class suffixes keep three labels, unknown " +
+      "tails fall back to two") {
+    val m = canon(
+      1L -> "http://www.city.gov.br/x",
+      2L -> "http://news.haaretz.co.il/x",
+      3L -> "http://www.metro.tokyo.lg.jp/x",
+      4L -> "http://portal.diputados.gob.mx/x",
+      5L -> "http://shop.example.com.ng/x",
+      6L -> "http://dept.univ.ac.kr/x",
+      7L -> "http://foo.bar.unknowntld/x") // not in snapshot: 2-label
+    assert(m(1L)._7 == "city.gov.br")
+    assert(m(2L)._7 == "haaretz.co.il")
+    assert(m(3L)._7 == "tokyo.lg.jp")
+    assert(m(4L)._7 == "diputados.gob.mx")
+    assert(m(5L)._7 == "example.com.ng")
+    assert(m(6L)._7 == "univ.ac.kr")
+    assert(m(7L)._7 == "bar.unknowntld")
+  }
+
+  test("urlDupGroups: percent-variant twins collapse (r19)") {
+    val urls = Seq(
+      1L -> "http://a.com/pa/B",
+      2L -> "http://a.com/p%61/B",   // %61='a' -> same canonical path
+      3L -> "http://%61.com/pa/B",   // host escape -> same canonical host
+      4L -> "http://a.com/p%2Fb",    // reserved escape: distinct path
+      5L -> "http://a.com/p%2fb")    // …but hex case still collapses
+    val out = WebExtract.urlDupGroups(
+        WebExtract.canonicalizeUrls(urls.toDF("id", "url"), "id", "url"),
+        "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("http://a.com/p%2Fb", 4L, 2L),
+      ("http://a.com/pa/B", 1L, 3L)))
+  }
+
   test("urlDupGroups: crawl-noise variants collapse to one canonical " +
       "key, distinct URLs never group") {
     val urls = Seq(
