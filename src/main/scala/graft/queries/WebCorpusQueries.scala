@@ -64,20 +64,28 @@ object WebCorpusQueries {
     * extraction. Text is entity-escaped on the way in (& < > — the
     * same three the extractor's unescape step reverses); every doc
     * links to (7·id+3) mod 101, every fourth also to (13·id+5)
-    * mod 101 — a deterministic host-graph shape for q132. */
+    * mod 101 — a deterministic host-graph shape for q132. r19: the
+    * head plants a `<style>` block and a doc_id-bearing `<script>`,
+    * the body a `<noscript>` — bodies the extractor must REMOVE
+    * (VERDICT r18 wrong #2), so their survival anywhere in
+    * body_text fails the gate. */
   private def htmlFixture(s: SparkSession, dir: String): DataFrame = {
     val esc = replace(replace(replace(col("text"),
       lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
     table(s, dir, "documents").select(col("doc_id"), concat(
       lit("<html><head><title>doc "), col("doc_id"),
-      lit("</title></head><body><h1>"), col("source"), lit("</h1><p>"), esc,
+      lit("</title><style>p{margin:0;}</style><script>var g="),
+      col("doc_id"),
+      lit(";</script></head><body><h1>"), col("source"), lit("</h1><p>"),
+      esc,
       lit("</p><a href=\"https://corp.example/d/"),
       pmod(col("doc_id") * 7 + 3, lit(101)), lit("\">n1</a> "),
       when(pmod(col("doc_id"), lit(4)) === 0,
         concat(lit("<a href=\"https://corp.example/d/"),
           pmod(col("doc_id") * 13 + 5, lit(101)), lit("\">n2</a>")))
         .otherwise(lit("")),
-      lit("</body></html>")).as("html"))
+      lit("<noscript>js off "), col("doc_id"),
+      lit("</noscript></body></html>")).as("html"))
   }
 
   /** The htmlFixture construction as a DuckDB CTE (shared by
@@ -85,7 +93,8 @@ object WebCorpusQueries {
   private val htmlFixtureSql: String =
     """hx AS (SELECT doc_id,
       |  '<html><head><title>doc ' || doc_id ||
-      |  '</title></head><body><h1>' || source || '</h1><p>' ||
+      |  '</title><style>p{margin:0;}</style><script>var g=' || doc_id ||
+      |  ';</script></head><body><h1>' || source || '</h1><p>' ||
       |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
       |          '>', '&gt;') ||
       |  '</p><a href="https://corp.example/d/' ||
@@ -94,7 +103,8 @@ object WebCorpusQueries {
       |       THEN '<a href="https://corp.example/d/' ||
       |            (doc_id * 13 + 5) % 101 || '">n2</a>'
       |       ELSE '' END ||
-      |  '</body></html>' AS html FROM documents)""".stripMargin
+      |  '<noscript>js off ' || doc_id || '</noscript></body></html>'
+      |    AS html FROM documents)""".stripMargin
 
   /** The q142 EDJoin oracle chain (fixture construction + gram/
     * frequency pruning + levenshtein verify), shared verbatim with
@@ -247,10 +257,12 @@ object WebCorpusQueries {
         |  CAST(MIN(nb) AS INTEGER) AS n_bytes
         |FROM k GROUP BY grp ORDER BY rep_media_id""".stripMargin)),
 
-    // WET extraction: tags → space, predefined entities unescaped
-    // (&amp; last), whitespace collapsed. The fixture escaped the
-    // text on the way in, so extraction must return it verbatim
-    // inside the assembled page text — the oracle replays
+    // WET extraction: script/style/noscript ELEMENTS removed content
+    // and all (r19 — the fixture's planted JS/CSS/noscript bodies
+    // must NOT surface), remaining tags → space, predefined entities
+    // unescaped (&amp; last), whitespace collapsed. The fixture
+    // escaped the text on the way in, so extraction must return it
+    // verbatim inside the assembled page text — the oracle replays
     // construction AND extraction character-for-character.
     QuerySpec("q130_html_extract",
       (s, dir) => WebExtract.extractText(htmlFixture(s, dir), "doc_id", "html")
@@ -260,7 +272,9 @@ object WebCorpusQueries {
         |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(replace(
-        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      regexp_replace(regexp_replace(html,
+        |        '${WebExtract.ScriptStylePattern}', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
         |      '&amp;', '&'),
         |    '[ \t\n\r]+', ' ', 'g')) AS body_text,

@@ -375,6 +375,26 @@ class WebCorpusSpec extends SparkSuite {
     assert(r.getInt(3) == 0)
   }
 
+  test("extractText: script/style/noscript BODIES are removed (r19), " +
+      "case-insensitive and multiline; unclosed element keeps text") {
+    import spark.implicits._
+    val html = Seq((1L,
+      "<html><head><style>p{color:red}</style>" +
+        "<SCRIPT type=\"text/javascript\">var x = 1;\nalert(x);</SCRIPT>" +
+        "</head><body><p>keep A</p><noscript>enable js</noscript>" +
+        "<p>keep B</p></body></html>"),
+      (2L, "<p>before</p><script>tail stays"))
+      .toDF("id", "html")
+    val out = WebExtract.extractText(html, "id", "html")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "keep A keep B")
+    assert(!out(1L).contains("color") && !out(1L).contains("alert") &&
+      !out(1L).contains("enable"))
+    // unclosed script: the close tag anchors the match, so the tail
+    // survives as text (documented conservative reading)
+    assert(out(2L) == "before tail stays")
+  }
+
   test("extractText: adjacent block elements never fuse words") {
     val html = Seq((1L, "<p>alpha</p><p>beta</p>")).toDF("id", "html")
     val r = WebExtract.extractText(html, "id", "html").collect()(0)
