@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AdvancedQueries, HistoryQueries, ExtrasQueries, AuditQueries, CoreQueries, ExtendedQueries, TrainingQueries, SourceGeoQueries, MlPrepQueries, IndexedQueries, RefinedQueries, ProductionQueries, WebCorpusQueries, AnalyticsQueries, StreamQueries, EvalQueries, PerceptualQueries, QuerySpec}
+import graft.queries.{AdvancedQueries, HistoryQueries, ExtrasQueries, AuditQueries, CoreQueries, ExtendedQueries, TrainingQueries, SourceGeoQueries, MlPrepQueries, IndexedQueries, RefinedQueries, ProductionQueries, WebCorpusQueries, AnalyticsQueries, StreamQueries, EvalQueries, PerceptualQueries, WarcQueries, QuerySpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -8,7 +8,7 @@ object SparkEntry {
   /** Every implemented operator query, in registration order. */
   def specs: Seq[QuerySpec] =
     CoreQueries.all ++ ExtendedQueries.all ++ TrainingQueries.all ++
-      SourceGeoQueries.all ++ AuditQueries.all ++ AdvancedQueries.all ++ HistoryQueries.all ++ ExtrasQueries.all ++ MlPrepQueries.all ++ IndexedQueries.all ++ RefinedQueries.all ++ ProductionQueries.all ++ WebCorpusQueries.all ++ AnalyticsQueries.all ++ StreamQueries.all ++ EvalQueries.all ++ PerceptualQueries.all
+      SourceGeoQueries.all ++ AuditQueries.all ++ AdvancedQueries.all ++ HistoryQueries.all ++ ExtrasQueries.all ++ MlPrepQueries.all ++ IndexedQueries.all ++ RefinedQueries.all ++ ProductionQueries.all ++ WebCorpusQueries.all ++ AnalyticsQueries.all ++ StreamQueries.all ++ EvalQueries.all ++ PerceptualQueries.all ++ WarcQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.WebExtract
+import graft.sources.WarcSource
+import QuerySpec.table
+
+/** Batch 19 (round 19): the WARC container source (VERDICT r18
+  * missing #1) — the link between crawl bytes and the existing WET →
+  * C4 → dedup → langid chain. The fixture follows the q33/q129/q337
+  * encode-half discipline: WARC files are BUILT from documents
+  * arithmetic (one gzip member per record, ISO 28500), so every gate
+  * oracle re-derives record attributes from doc_id formulas and the
+  * record-split contract — the reader's marker walk, member
+  * boundaries, and dead-letter lanes — is what the hash-exact
+  * comparison pins. */
+object WarcQueries {
+
+  /** Records per fixture: doc_id mod 16 → 16 files; within a file,
+    * records in doc_id order. Lanes (precedence = the reader's check
+    * order): %23 → WARC version line clobbered (`bad_header`; the
+    * gzip member is intact, so the NEXT records still decode — the
+    * containment property); %29 → declared Content-Length overshoots
+    * the payload by 1000 (`truncated`); %31 → payload padded past
+    * the 2 KiB gate cap (`oversized`). */
+  private val NFiles = 16
+  private val GateMaxPayload = 2048L
+  private val OversizePad = 3000
+
+  private def htmlOf(id: Long, text: String): String = {
+    val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    s"<html><head><title>w $id</title><script>var w=$id;" +
+      s"</script></head><body><p>$esc</p></body></html>"
+  }
+
+  private def targetOf(id: Long): String =
+    s"HTTP://WWW.Host${id % 40}.example.com:80/d/$id" +
+      s"?utm_source=w&x=${id % 7}#top"
+
+  /** (file_id, data): the driver-visible construction — built inside
+    * the query (500 docs at sf0.01 / 5000 at sf0.1 — millisecond
+    * scale; a real deployment READS warc.gz, it does not build it). */
+  private def warcFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 % NFiles)
+      .mapGroups { (fid, it) =>
+        val docs = it.toSeq.sortBy(_._1)
+        val recs = docs.map { case (id, text) =>
+          val pad =
+            if (id % 23 != 0 && id % 29 != 0 && id % 31 == 0)
+              "x" * OversizePad
+            else ""
+          val payload = (WarcSource.HttpHead + htmlOf(id, text) + pad)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          WarcSource.encodeWarcResponse(
+            recordId = id.toString,
+            targetUri = targetOf(id),
+            payload = payload,
+            declaredDelta =
+              if (id % 23 != 0 && id % 29 == 0) 1000 else 0,
+            clobberVersion = id % 23 == 0)
+        }
+        (fid, WarcSource.encodeWarcGz(recs))
+      }
+      .toDF("file_id", "data")
+  }
+
+  /** The fixture's derivation as DuckDB CTEs — ends in
+    * `w(doc_id, text, file_id, rec_idx, reason, html)` where `reason`
+    * is NULL on the ok lane. */
+  private def warcDeriveSql: String =
+    """w AS (SELECT doc_id, text,
+      |    doc_id % 16 AS file_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 16
+      |      ORDER BY doc_id) - 1 AS INTEGER) AS rec_idx,
+      |    CASE WHEN doc_id % 23 = 0 THEN 'bad_header'
+      |         WHEN doc_id % 29 = 0 THEN 'truncated'
+      |         WHEN doc_id % 31 = 0 THEN 'oversized' END AS reason,
+      |    '<html><head><title>w ' || doc_id ||
+      |      '</title><script>var w=' || doc_id ||
+      |      ';</script></head><body><p>' ||
+      |      replace(replace(replace(text, '&', '&amp;'),
+      |        '<', '&lt;'), '>', '&gt;') ||
+      |      '</p></body></html>' AS html
+      |  FROM documents)""".stripMargin
+
+  private def targetSql: String =
+    """'HTTP://WWW.Host' || (doc_id % 40) || '.example.com:80/d/' ||
+      |      doc_id || '?utm_source=w&x=' || (doc_id % 7) || '#top'"""
+      .stripMargin
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // WARC record split + parse: gzip-member walk, WARC/1.x header
+    // parse, Content-Length-bounded payload extraction, HTTP head
+    // split — per record (file_id, rec_idx, ok, reason, warc_type,
+    // target_uri, content_length, http_status, content_type, body).
+    // The bad_header lane sits INSIDE files whose later records must
+    // still decode (member containment — the property that makes
+    // WARC.gz resumable); content_length re-derives bytewise from
+    // the construction (HTTP head + html octet lengths + lane
+    // deltas), so any slip in the reader's byte accounting moves a
+    // committed column.
+    QuerySpec("q353_warc_records",
+      (s, dir) => WarcSource.records(s, warcFixture(s, dir),
+          "file_id", "data", maxPayload = GateMaxPayload)
+        .orderBy(col("file_id"), col("rec_idx")),
+      Some(s"""WITH $warcDeriveSql,
+        |p AS (SELECT *,
+        |    ${WarcSource.HttpHead.length} +
+        |      octet_length(encode(html)) AS base_len
+        |  FROM w)
+        |SELECT file_id, rec_idx, reason IS NULL AS ok, reason,
+        |  CASE WHEN reason IS NULL THEN 'response' END AS warc_type,
+        |  CASE WHEN reason IS NULL THEN $targetSql
+        |    END AS target_uri,
+        |  CAST(CASE WHEN reason = 'bad_header' THEN NULL
+        |       WHEN reason = 'truncated' THEN base_len + 1000
+        |       WHEN reason = 'oversized' THEN base_len + $OversizePad
+        |       ELSE base_len END AS BIGINT) AS content_length,
+        |  CAST(CASE WHEN reason IS NULL THEN 200 END AS INTEGER)
+        |    AS http_status,
+        |  CASE WHEN reason IS NULL THEN 'text/html' END
+        |    AS content_type,
+        |  CASE WHEN reason IS NULL THEN html END AS body
+        |FROM p ORDER BY file_id, rec_idx""".stripMargin)),
+
+    // WARC → WET chain: the records' HTML bodies through the r19
+    // script-stripping extractText — crawl bytes to training text in
+    // two operators. The planted per-doc <script> body must NOT
+    // surface; the oracle replays construction AND extraction
+    // character-for-character (the q130 chain, fed by the container
+    // source instead of a column).
+    QuerySpec("q354_warc_text_chain",
+      (s, dir) => {
+        val recs = WarcSource.records(s, warcFixture(s, dir),
+            "file_id", "data", maxPayload = GateMaxPayload)
+          .filter(col("ok"))
+          .select(regexp_extract(col("target_uri"), "/d/([0-9]+)", 1)
+            .cast("long").as("doc_id"), col("body"))
+        WebExtract.extractText(recs, "doc_id", "body")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $warcDeriveSql
+        |SELECT doc_id,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(html,
+        |        '${WebExtract.ScriptStylePattern}', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&amp;', '&'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS body_text,
+        |  CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1))
+        |    AS INTEGER) AS n_links
+        |FROM w WHERE reason IS NULL ORDER BY doc_id""".stripMargin)),
+
+    // WARC → URL canonicalization chain (the "q340's canonicalizer
+    // gets real URLs" ask): the records' WARC-Target-URIs through
+    // canonicalizeUrls — scheme/host case, default :80, utm param,
+    // and fragment noise all collapse; registered_domain falls back
+    // two-label (example.com is NOT a public suffix). Oracle =
+    // the SHARED urlCanonSqlCtes replay over the same derived URIs.
+    QuerySpec("q355_warc_url_chain",
+      (s, dir) => {
+        val recs = WarcSource.records(s, warcFixture(s, dir),
+            "file_id", "data", maxPayload = GateMaxPayload)
+          .filter(col("ok"))
+          .select(regexp_extract(col("target_uri"), "/d/([0-9]+)", 1)
+            .cast("long").as("doc_id"), col("target_uri"))
+        WebExtract.canonicalizeUrls(recs, "doc_id", "target_uri")
+          .select(col("doc_id"), col("url_canon"), col("scheme"),
+            col("host"), col("registered_domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $warcDeriveSql,
+        |uf AS (SELECT doc_id, $targetSql AS url
+        |  FROM w WHERE reason IS NULL),
+        |${WebCorpusQueries.urlCanonSqlCtes}
+        |SELECT doc_id, url_canon, scheme, host, registered_domain
+        |FROM cn ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1046,7 +1046,7 @@ object WebCorpusQueries {
     * an EMPTY list is NULL in DuckDB (Spark's `array_join` is ''), so
     * the tail is COALESCEd. NOTE: interpolated into stripMargin'd
     * gate SQL — no line here may begin with whitespace + `|`. */
-  private def pctSql(x: String): String =
+  private[queries] def pctSql(x: String): String =
     s"""string_split($x, '%')[1] ||
        |   COALESCE(array_to_string([CASE
        |    WHEN regexp_matches(p[1:2], '^[0-9A-Fa-f]{2}$$')
@@ -1065,7 +1065,7 @@ object WebCorpusQueries {
     * `cn(doc_id, ok, reason, url_canon, scheme, host, port,
     * registered_domain)`. Tracking/suffix lists inject from the ONE
     * Scala source of truth. */
-  private def urlCanonSqlCtes: String = {
+  private[queries] def urlCanonSqlCtes: String = {
     val trackList = WebExtract.DefaultTrackingParams
       .map(p => s"'$p'").mkString("[", ", ", "]")
     val suffixList = WebExtract.PublicSuffixSnapshot
