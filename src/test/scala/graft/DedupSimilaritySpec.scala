@@ -604,6 +604,41 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(appended == recomputed)
   }
 
+  test("annIndexApplyTombstones (r19): delete ≡ rebuild-without under " +
+      "frozen codebooks; unknown ids no-op; delete-all empties; " +
+      "deleted ids may still probe") {
+    val cb = Similarity.coarseCodebook(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val idx = Similarity.ivfadcIndex(emb, "vec_id", "embedding", cb, cbs)
+      .localCheckpoint()
+    val dead = emb.filter($"vec_id" % 5 === 2).select($"vec_id")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"neighbor_id", $"cell", $"codes")
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    // index-level: tombstoned ≡ encode-only-the-survivors (SAME cbs)
+    val viaTomb = rows(Similarity.annIndexApplyTombstones(idx, dead,
+      "vec_id"))
+    val rebuilt = rows(Similarity.ivfadcIndex(
+      emb.filter($"vec_id" % 5 =!= 2), "vec_id", "embedding", cb, cbs))
+    assert(viaTomb == rebuilt && viaTomb.nonEmpty)
+    // probe-level: queries include a DELETED id (2) — it still probes,
+    // and no deleted id ever surfaces as a neighbor
+    val probed = Similarity.ivfadcTopKIndexed(
+        Similarity.annIndexApplyTombstones(idx, dead, "vec_id"),
+        emb.filter($"vec_id" < 3), "vec_id", "embedding",
+        k = 10, cb, cbs, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(probed.map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(probed.forall(_._2 % 5 != 2))
+    // unknown ids no-op; empty tombstone frame no-ops; delete-all empties
+    val unknown = Seq(999999L, -5L).toDF("vec_id")
+    assert(rows(Similarity.annIndexApplyTombstones(idx, unknown,
+      "vec_id")) == rows(idx))
+    assert(rows(Similarity.annIndexApplyTombstones(idx,
+      emb.select($"vec_id"), "vec_id")).isEmpty)
+  }
+
   test("fully-trained IVFADC: codebook rebuild exact, deterministic, recall above chance") {
     val queries = emb.filter($"vec_id" < 3)
     val centLong = Similarity.kmeansMicro(emb, "vec_id", "embedding",
