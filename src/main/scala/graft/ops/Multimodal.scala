@@ -1046,6 +1046,64 @@ object Multimodal {
       decodeJpegGray(b)
     else decodePngGray(b)
 
+  /** First SOFn marker of a JPEG stream (T.81 §B.1.1.4 walk —
+    * standalone markers skipped, fill-byte runs consumed, segments
+    * hopped by their length field), or None when no frame header is
+    * reachable (truncated/corrupt before SOF, or not a JPEG). The
+    * cheap classifier behind the q358 codec-investment stat: which
+    * frame types (baseline C0, progressive C2, …) a corpus carries,
+    * WITHOUT paying for entropy decode. */
+  private[graft] def jpegSofMarker(b: Array[Byte]): Option[Int] = {
+    if (b.length < 2 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var pos = 2
+    while (true) {
+      if (pos + 1 >= b.length) return None
+      if (u8(b, pos) != 0xff) return None
+      var mp = pos + 1
+      while (mp < b.length && u8(b, mp) == 0xff) mp += 1
+      if (mp >= b.length) return None
+      val m = u8(b, mp)
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+        m != 0xcc) return Some(m)
+      if (m == 0xd9 || m == 0xda) return None // EOI / scan: no frame
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos = mp + 1
+      else {
+        if (mp + 3 > b.length) return None
+        val len = be16(b, mp + 1)
+        if (len < 2 || mp + 1 + len > b.length) return None
+        pos = mp + 1 + len
+      }
+    }
+    None // unreachable
+  }
+
+  /** Frame-type share statistic over a media frame (r19, VERDICT r18
+    * missing #5): per payload, the SOF marker (192 = baseline C0,
+    * 194 = progressive C2, null = none reachable) and the decode
+    * outcome ('ok' or the dead-letter reason), aggregated to
+    * (sof_marker, status, n) — the number that says how much of a
+    * corpus an unsupported frame type costs BEFORE anyone invests in
+    * decoding it. One combinable groupBy over per-row
+    * classification: scan-shaped, payloads never shuffle. */
+  def imageSofShare(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val sof = jpegSofMarker(r.media)
+          val status = decodeImageGray(r.media) match {
+            case Right(_) => "ok"
+            case Left(reason) => reason
+          }
+          (sof, status)
+        }
+      }
+      .toDF("sof_marker", "status")
+      .groupBy(col("sof_marker"), col("status"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // -------------------------------------------------------------------
   // Real audio header decode — RIFF/WAVE (the Microsoft/IBM WAVE spec,
   // canonical PCM layout: RIFF descriptor, `fmt ` chunk, `data` chunk).

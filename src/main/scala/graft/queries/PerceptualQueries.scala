@@ -905,6 +905,30 @@ object PerceptualQueries {
     // oracle composes the mixed-format IDCT pixel CTE with q316's
     // DCT pipeline VERBATIM (both end in a px(doc_id, x, y, p)
     // frame), pinning that the pHash contract is format-independent.
+    // JPEG frame-type share (r19, VERDICT r18 missing #5 — the
+    // codec-investment stat): per payload the first SOF marker (192
+    // baseline / 194 progressive / null unreachable) and the decode
+    // outcome, rolled up to (sof_marker, status, n). This is the
+    // number that ranks whether SOF2 decode is worth building:
+    // sequential-only is the documented honest v1, and the share it
+    // loses is now measured per corpus instead of unknown. Cheap
+    // marker walk + one combinable groupBy; payloads never shuffle.
+    QuerySpec("q358_jpeg_sof_share",
+      (s, dir) => Multimodal.imageSofShare(s, jpegCoeffFixture(s, dir))
+        .orderBy(col("sof_marker").asc_nulls_last, col("status")),
+      Some("""WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN NULL
+        |         WHEN doc_id % 13 = 0 THEN 194 ELSE 192 END
+        |      AS sof_marker,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'truncated'
+        |         WHEN doc_id % 13 = 0 THEN 'unsupported'
+        |         ELSE 'ok' END AS status
+        |  FROM documents)
+        |SELECT CAST(sof_marker AS INTEGER) AS sof_marker, status,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1, 2
+        |ORDER BY sof_marker ASC NULLS LAST, status""".stripMargin)),
+
     QuerySpec("q352_mixed_dct_phash",
       (s, dir) => Multimodal.imageDctHash(s, mixedMediaFixture(s, dir))
         .orderBy(col("media_id")),

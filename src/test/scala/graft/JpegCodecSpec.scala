@@ -148,6 +148,21 @@ class JpegCodecSpec extends SparkSuite {
     assert(wpx.forall(_ == 255))
   }
 
+  test("jpegSofMarker (r19): first SOF through DQT/DHT/DRI hops; " +
+      "progressive patch reads C2; truncation/garbage/PNG read None") {
+    val bytes = Multimodal.encodeJpegGrayCoeffs(16, 16, quantFormula,
+      coeffFormula, restartInterval = 2)
+    assert(Multimodal.jpegSofMarker(bytes) == Some(0xc0))
+    val at = (0 until bytes.length - 1).indexWhere(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0)
+    val prog = bytes.clone(); prog(at + 1) = 0xc2.toByte
+    assert(Multimodal.jpegSofMarker(prog) == Some(0xc2))
+    assert(Multimodal.jpegSofMarker(bytes.take(10)).isEmpty)
+    assert(Multimodal.jpegSofMarker("nope".getBytes).isEmpty)
+    assert(Multimodal.jpegSofMarker(
+      Multimodal.encodePngGray(2, 2, (_, _) => 7, _ => 0)).isEmpty)
+  }
+
   test("16-bit DQT (Pq=1): same values as the 8-bit table decode to " +
       "the same pixels") {
     val bytes = Multimodal.encodeJpegGrayCoeffs(8, 8, quantFormula,
