@@ -165,6 +165,15 @@ object WebExtract {
     * replays it as the SAME split + list comprehension — no byte
     * decoder on either side. */
   private[graft] def pctNormalize(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // fast path: most crawl URLs carry no escape at all, and the
+    // split/transform/conv machinery costs ~3× a plain projection —
+    // a contains() guard keeps the common case at scan speed
+    // (semantics identical: with no '%', the split yields one part
+    // and the surgery is the identity)
+    when(!c.contains("%"), c).otherwise(pctNormalizeFull(c))
+
+  private def pctNormalizeFull(
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val parts = split(c, "%", -1)
     val tail = transform(
