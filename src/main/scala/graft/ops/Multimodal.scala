@@ -352,6 +352,25 @@ object Multimodal {
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
+  /** AC Huffman table for the PROGRESSIVE encoder (r19): the Annex K
+    * sequential AC table cannot code EOBn runs — symbols (n<<4)|0 for
+    * n ≥ 1 simply do not exist in it (sequential never emits them),
+    * and its Kraft sum leaves exactly one 16-bit slot free, so they
+    * cannot be added. Progressive streams ship their own tables; this
+    * one is deliberately trivial — every symbol the spectral-
+    * selection coder can emit (run 0..14 × size 0..10, i.e. EOB/EOBn
+    * plus all run/size pairs, and ZRL 0xF0 — 166 symbols) at code
+    * length 8. Kraft 166/256 < 1: feasible, canonical, decodes
+    * through the same §F.2.2.3 machinery as any DHT. Compression is
+    * not the point of a fixture container; correctness of the EOBn
+    * path is. */
+  private[graft] val jAcProgVals: Array[Int] =
+    ((0 to 14).flatMap(r => (0 to 10).map(s => (r << 4) | s)) :+ 0xf0)
+      .toArray
+  private[graft] val jAcProgBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, jAcProgVals.length, 0, 0, 0, 0, 0, 0,
+      0, 0)
+
   /** Canonical Huffman table in the DHT (BITS, HUFFVAL) form — the
     * §C.2 code generator plus the §F.2.2.3 MINCODE/MAXCODE/VALPTR
     * decode arrays and a symbol→(code,len) encode map. Arrays are
@@ -422,6 +441,61 @@ object Multimodal {
     * category(0) = 0. */
   private def jCategory(v: Int): Int =
     32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** MSB-first entropy-segment bit reader (§F.2.2.5 NEXTBIT): byte
+    * unstuffing (0xFF 0x00 → 0xFF), any other marker mid-entropy →
+    * `truncated`, Huffman decode via MINCODE/MAXCODE, and the
+    * §F.2.2.1 EXTEND sign extension. The progressive scan decoder's
+    * reader (r19) — one instance per scan, `p` resuming the marker
+    * walk when the scan's blocks are exhausted. */
+  private final class JpegBitReader(b: Array[Byte], var p: Int) {
+    var acc = 0; var nb = 0
+    var err: String = null
+    def alignByte(): Unit = nb = 0
+    def nextBit(): Int = {
+      if (nb == 0) {
+        if (p >= b.length) { err = "truncated"; return -1 }
+        val v = b(p) & 0xff; p += 1
+        if (v == 0xff) {
+          if (p >= b.length) { err = "truncated"; return -1 }
+          if ((b(p) & 0xff) == 0x00) p += 1 // §F.1.2.3 stuffed byte
+          else { err = "truncated"; return -1 } // marker mid-entropy
+        }
+        acc = v; nb = 8
+      }
+      nb -= 1
+      (acc >>> nb) & 1
+    }
+    def decodeSym(t: JpegHuff): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val bit = nextBit(); if (bit < 0) return -1
+        code = (code << 1) | bit; l += 1
+        if (t.maxCode(l) >= 0 && code >= t.minCode(l) &&
+          code <= t.maxCode(l))
+          return t.vals(t.valPtr(l) + (code - t.minCode(l)))
+      }
+      err = "bad_huffman"; -1
+    }
+    def receiveExtend(t: Int): Int = {
+      var v = 0; var i = 0
+      while (i < t) {
+        val bit = nextBit(); if (bit < 0) return 0
+        v = (v << 1) | bit; i += 1
+      }
+      if (t > 0 && v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    }
+    /** Raw `t`-bit receive WITHOUT sign extension (EOBn run length
+      * extension bits, §G.1.2.2). */
+    def receive(t: Int): Int = {
+      var v = 0; var i = 0
+      while (i < t) {
+        val bit = nextBit(); if (bit < 0) return 0
+        v = (v << 1) | bit; i += 1
+      }
+      v
+    }
+  }
 
   /** COMPLETE baseline JPEG encoder from QUANTIZED COEFFICIENTS:
     * SOI + DQT (8-bit, zigzag order) + SOF0 (greyscale, precision 8)
@@ -520,6 +594,138 @@ object Multimodal {
       blk += 1
     }
     bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE (SOF2, spectral selection) greyscale JPEG encoder
+    * from quantized coefficients (r19): the same frame parameters and
+    * coefficient contract as [[encodeJpegGrayCoeffs]], but the
+    * entropy data ships as ONE DC scan (Ss = Se = 0) followed by one
+    * AC scan per `bands` entry (1 ≤ Ss ≤ Se ≤ 63, §G.1.1.1.1), with
+    * real §G.1.2.2 EOBn run coding — consecutive blocks whose band is
+    * entirely zero collapse into one EOBn symbol (run ≤ 32767) — ZRL
+    * inside blocks, per-scan RSTm resync (DRI counts blocks in
+    * non-interleaved scans), successive approximation not emitted
+    * (Ah = Al = 0). Bands need not cover 1..63 (uncovered
+    * coefficients decode as zero — progressive's defining property);
+    * the q359 fixture covers fully so the decode pins bit-for-bit to
+    * the sequential container of the SAME coefficients. */
+  def encodeJpegGrayProgressiveCoeffs(width: Int, height: Int,
+      quant: (Int, Int) => Int, coeff: (Int, Int, Int) => Int,
+      restartInterval: Int = 0,
+      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 &&
+      height <= 0xffff, "encodeJpegGrayProgressiveCoeffs: dims 1..65535")
+    require(bands.forall { case (ss, se) =>
+      ss >= 1 && se >= ss && se <= 63 },
+      "encodeJpegGrayProgressiveCoeffs: bands must satisfy 1<=Ss<=Se<=63")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m); val len = body.length + 2
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8)
+    val q = new Array[Int](64)
+    for (k <- 0 until 64) {
+      val n = zigzag(k); val qv = quant(n % 8, n / 8)
+      require(qv >= 1 && qv <= 255,
+        s"encodeJpegGrayProgressiveCoeffs: quant $qv outside DQT range")
+      q(k) = qv
+    }
+    seg(0xdb, 0 +: q)
+    seg(0xc2, Array(8, (height >>> 8) & 0xff, height & 0xff,
+      (width >>> 8) & 0xff, width & 0xff, 1, 1, 0x11, 0))
+    seg(0xc4, 0x00 +: (jDcBits ++ jDcVals))
+    // progressive AC coding needs EOBn symbols the Annex K table
+    // cannot hold — ship the [[jAcProgBits]] table instead
+    seg(0xc4, 0x10 +: (jAcProgBits ++ jAcProgVals))
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >>> 8) & 0xff,
+        restartInterval & 0xff))
+    val dc = buildHuff(jDcBits, jDcVals).get
+    val ac = buildHuff(jAcProgBits, jAcProgVals).get
+    val bxN = (width + 7) / 8; val byN = (height + 7) / 8
+    val total = bxN * byN
+    // zigzag-order coefficient fetch, validated once (the same DC/AC
+    // split as the sequential encoder)
+    def zOf(blk: Int, k: Int): Int = {
+      val n = zigzag(k)
+      val v = coeff(blk, n % 8, n / 8)
+      if (k == 0) require(v >= -1024 && v <= 1016,
+        s"encodeJpegGrayProgressiveCoeffs: DC $v outside [-1024, 1016]")
+      else require(v >= -1023 && v <= 1023,
+        s"encodeJpegGrayProgressiveCoeffs: coeff $v outside 10-bit range")
+      v
+    }
+    // ---- DC scan ----
+    seg(0xda, Array(1, 1, 0x00, 0, 0, 0))
+    locally {
+      val bw = new JBitWriter(out)
+      var pred = 0; var rst = 0; var blk = 0
+      while (blk < total) {
+        if (restartInterval > 0 && blk > 0 &&
+          blk % restartInterval == 0) {
+          bw.flush(); marker(0xd0 + rst); rst = (rst + 1) % 8
+          pred = 0
+        }
+        val v = zOf(blk, 0)
+        val diff = v - pred; pred = v
+        val t = jCategory(diff)
+        bw.put(dc.encCode(t), dc.encLen(t))
+        if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        blk += 1
+      }
+      bw.flush()
+    }
+    // ---- AC scans, one per band ----
+    for ((ss, se) <- bands) {
+      seg(0xda, Array(1, 1, 0x00, ss, se, 0))
+      val bw = new JBitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        bw.put(ac.encCode(n << 4), ac.encLen(n << 4))
+        if (n > 0) bw.put(eobrun - (1 << n), n)
+        eobrun = 0
+      }
+      var rst = 0; var blk = 0
+      while (blk < total) {
+        if (restartInterval > 0 && blk > 0 &&
+          blk % restartInterval == 0) {
+          flushEob(); bw.flush()
+          marker(0xd0 + rst); rst = (rst + 1) % 8
+        }
+        val z = Array.tabulate(se - ss + 1)(i => zOf(blk, ss + i))
+        if (z.forall(_ == 0)) {
+          eobrun += 1
+          if (eobrun == 32767) flushEob() // §G.1.2.2 run cap
+        } else {
+          flushEob()
+          var k = 0
+          while (k < z.length) {
+            var e = k
+            while (e < z.length && z(e) == 0) e += 1
+            if (e == z.length) { eobrun = 1; k = z.length }
+            else {
+              var run = e - k
+              while (run > 15) {
+                bw.put(ac.encCode(0xf0), ac.encLen(0xf0)); run -= 16
+              }
+              val s = jCategory(z(e))
+              val sym = (run << 4) | s
+              bw.put(ac.encCode(sym), ac.encLen(sym))
+              bw.put(if (z(e) >= 0) z(e) else z(e) + (1 << s) - 1, s)
+              k = e + 1
+            }
+          }
+        }
+        blk += 1
+      }
+      flushEob(); bw.flush()
+    }
     marker(0xd9)
     out.toByteArray
   }
@@ -772,8 +978,14 @@ object Multimodal {
     var compV: Array[Int] = null; var compTq: Array[Int] = null
     var dcIds: Array[Int] = null; var acIds: Array[Int] = null
     var dri = 0; var sawSof = false
+    // progressive (SOF2) state, r19: scans accumulate quantized
+    // coefficients in zigzag order into zAll until EOI
+    var progressive = false
+    var progScans = 0; var progDcDone = false
+    var zAll: Array[Array[Int]] = null
+    var progPos = -1; var progEoi = false
     var pos = 2; var sosPos = -1
-    while (sosPos < 0) {
+    while (sosPos < 0 && !progEoi) {
       if (pos + 1 >= b.length) return Left("truncated")
       if (u8(b, pos) != 0xff) return Left("bad_header")
       // consume the §B.1.1.2 fill-byte run, as the header tier does
@@ -781,8 +993,13 @@ object Multimodal {
       while (mp < b.length && u8(b, mp) == 0xff) mp += 1
       if (mp >= b.length) return Left("truncated")
       val m = u8(b, mp)
-      if (m == 0xd9) return Left("truncated") // EOI before any scan
-      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos = mp + 1
+      if (m == 0xd9) {
+        // EOI: ends a progressive stream that delivered at least its
+        // DC scan; before any scan it means a truncated file
+        if (progressive && progScans > 0 && progDcDone) progEoi = true
+        else return Left("truncated")
+      }
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos = mp + 1
       else {
         if (mp + 3 > b.length) return Left("truncated")
         val len = be16(b, mp + 1)
@@ -823,7 +1040,8 @@ object Multimodal {
               }
               p += 17 + n
             }
-          case 0xc0 => // SOF0: baseline sequential DCT
+          case sof if sof == 0xc0 || sof == 0xc2 =>
+            // SOF0 baseline sequential / SOF2 progressive (r19)
             if (sawSof) return Left("bad_header")
             if (end - body < 6) return Left("bad_header")
             val prec = u8(b, body)
@@ -846,14 +1064,27 @@ object Multimodal {
             }
             if (w.toLong * h > 64L * 1024 * 1024)
               return Left("unsupported")
+            if (sof == 0xc2) {
+              // progressive tier: single-component (greyscale) only
+              // (multi-component progressive = per-component
+              // non-interleaved AC scans over distinct block grids —
+              // valid JPEG outside this tier), and a tighter pixel
+              // cap: unlike sequential, progressive must BUFFER every
+              // quantized coefficient until EOI (64 ints/block), so
+              // admission is 2²² pixels ≈ 16 MB of buffer per row
+              if (nf != 1) return Left("unsupported")
+              if (w.toLong * h > (1L << 22)) return Left("unsupported")
+              progressive = true
+              zAll = Array.ofDim[Int](((w + 7) / 8) * ((h + 7) / 8), 64)
+            }
             sawSof = true
-          case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 &&
-              mm != 0xc8 && mm != 0xcc =>
-            return Left("unsupported") // extended/progressive/lossless
+          case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc2 &&
+              mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
+            return Left("unsupported") // extended/arith/lossless
           case 0xdd =>
             if (end - body < 2) return Left("bad_header")
             dri = be16(b, body)
-          case 0xda =>
+          case 0xda if !progressive =>
             if (!sawSof) return Left("bad_header")
             val nf = compId.length
             if (end - body < 1 + 2 * nf + 3) return Left("bad_header")
@@ -875,10 +1106,133 @@ object Multimodal {
             if (u8(b, tail) != 0 || u8(b, tail + 1) != 63 ||
               u8(b, tail + 2) != 0) return Left("unsupported")
             sosPos = end
+          case 0xda => // progressive scan (r19, T.81 §G)
+            // Ns = 1 (the frame is single-component by admission)
+            if (end - body < 6) return Left("bad_header")
+            if (u8(b, body) != 1) return Left("bad_header")
+            if (u8(b, body + 1) != compId(0)) return Left("bad_header")
+            val td = u8(b, body + 2) >> 4; val ta = u8(b, body + 2) & 15
+            val ss = u8(b, body + 3); val se = u8(b, body + 4)
+            val ah = u8(b, body + 5) >> 4; val al = u8(b, body + 5) & 15
+            // §G.1.1.1.1: a scan codes EITHER the DC coefficient
+            // (Ss = Se = 0) or an AC band 1 ≤ Ss ≤ Se ≤ 63; the DC
+            // scan must precede any AC scan of its component. A
+            // full-range Ss=0,Se=63 "sequential" scan inside an SOF2
+            // frame is invalid — bad_header, not unsupported.
+            val isDc = ss == 0 && se == 0
+            if (!isDc && !(ss >= 1 && se >= ss && se <= 63))
+              return Left("bad_header")
+            if (!isDc && !progDcDone) return Left("bad_header")
+            // successive approximation (Ah/Al ≠ 0) is the documented
+            // out-of-tier refinement mode
+            if (ah != 0 || al != 0) return Left("unsupported")
+            if (quantT(compTq(0)) == null) return Left("bad_header")
+            val huff = if (isDc) {
+              if (td > 3 || dcT(td) == null) return Left("bad_header")
+              dcT(td)
+            } else {
+              if (ta > 3 || acT(ta) == null) return Left("bad_header")
+              acT(ta)
+            }
+            val rd = new JpegBitReader(b, end)
+            val nBlk = zAll.length
+            var pred = 0; var eobrun = 0
+            var rstExpect = 0
+            var blk = 0
+            while (blk < nBlk && rd.err == null) {
+              if (dri > 0 && blk > 0 && blk % dri == 0) {
+                rd.alignByte(); eobrun = 0
+                if (rd.p + 1 >= b.length) rd.err = "truncated"
+                else if (u8(b, rd.p) != 0xff ||
+                  u8(b, rd.p + 1) != 0xd0 + rstExpect)
+                  rd.err = "bad_huffman"
+                else {
+                  rd.p += 2; rstExpect = (rstExpect + 1) % 8
+                  pred = 0
+                }
+              }
+              if (rd.err == null) {
+                val z = zAll(blk)
+                if (isDc) {
+                  val t = rd.decodeSym(huff)
+                  if (rd.err == null) {
+                    if (t > 15) rd.err = "bad_huffman"
+                    else { pred += rd.receiveExtend(t); z(0) = pred }
+                  }
+                } else if (eobrun > 0) eobrun -= 1
+                else {
+                  var k = ss
+                  while (k <= se && rd.err == null) {
+                    val sym = rd.decodeSym(huff)
+                    if (rd.err == null) {
+                      val run = sym >> 4; val s = sym & 15
+                      if (s == 0) {
+                        if (run == 15) k += 16 // ZRL
+                        else {
+                          // EOBn: run length 2^run + `run` raw bits,
+                          // THIS block included (§G.1.2.2)
+                          eobrun = (1 << run) + rd.receive(run) - 1
+                          k = 64
+                        }
+                      } else {
+                        k += run
+                        if (k > se) rd.err = "bad_huffman"
+                        else { z(k) = rd.receiveExtend(s); k += 1 }
+                      }
+                    }
+                  }
+                }
+              }
+              blk += 1
+            }
+            if (rd.err != null) return Left(rd.err)
+            if (isDc) progDcDone = true
+            progScans += 1
+            progPos = rd.p
           case _ => () // APPn / COM / others: length-skipped
         }
-        if (sosPos < 0) pos = end
+        if (sosPos < 0)
+          pos = if (progPos >= 0) { val t = progPos; progPos = -1; t }
+            else end
       }
+    }
+    // ---- progressive reconstruction (r19): EOI seen, coefficients
+    // complete — dequantize + clamp + IDCT each block, exactly the
+    // sequential tier's math over the accumulated zigzag buffer, so
+    // a spectral-selection split of the same quantized coefficients
+    // decodes to IDENTICAL pixels (the q359 cross-container pin) ----
+    if (progEoi) {
+      val qt = quantT(compTq(0))
+      val bxN = (w + 7) / 8
+      val px = new Array[Int](w * h)
+      var blk = 0
+      while (blk < zAll.length) {
+        val f = new Array[Long](64)
+        var kk = 0
+        while (kk < 64) {
+          val n = zigzag(kk)
+          val v = zAll(blk)(kk).toLong * qt(n)
+          f(n) = math.max(-2048L, math.min(2047L, v))
+          kk += 1
+        }
+        val px8 = idctBlock8Micro(f)
+        val bx = blk % bxN; val by = blk / bxN
+        var y = 0
+        while (y < 8) {
+          val py = by * 8 + y
+          if (py < h) {
+            var x = 0
+            while (x < 8) {
+              val pxx = bx * 8 + x
+              if (pxx < w) px(py * w + pxx) = px8(y * 8 + x)
+              x += 1
+            }
+          }
+          y += 1
+        }
+        blk += 1
+      }
+      return Right((w, h, px))
     }
     // ---- entropy-coded segment ----
     val nf = compId.length

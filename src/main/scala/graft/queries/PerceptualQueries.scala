@@ -198,8 +198,10 @@ object PerceptualQueries {
     * |dequantized| ≤ 64·6 = 384 ≪ the decoder's ±2048 clamp, so the
     * oracle can skip it. Dead lanes: doc_id % 11 truncates inside the
     * DQT (→ truncated); doc_id % 13 patches SOF0→SOF2 at the
-    * generator-known offset 72 (→ unsupported — the progressive
-    * lane). */
+    * generator-known offset 72 — since the r19 progressive tier this
+    * reads as an SOF2 frame whose full-range Ss=0,Se=63 scan is an
+    * INVALID progressive scan header (→ bad_header; real SOF2
+    * streams decode via q359). */
   private[graft] def jpegCoeffFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
@@ -219,6 +221,45 @@ object PerceptualQueries {
           val c = full.clone()
           require((c(72) & 0xff) == 0xc0, "fixture layout drifted")
           c(72) = 0xc2.toByte; c
+        } else full
+      (id, "jpeg", payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
+  /** PROGRESSIVE (SOF2) container of EXACTLY the q337 coefficient
+    * formula (r19): per doc the band split varies (full-band 1..63 on
+    * doc_id ≡ 0 mod 3, the (1,5)+(6,63) split otherwise) and every
+    * fifth doc adds a restart interval — different containers, same
+    * quantized coefficients, so the decoded pixels must equal q337's
+    * and the gate reuses the SAME IDCT oracle. Dead lanes: doc_id %
+    * 11 truncates inside the DQT; doc_id % 13 patches the DC scan's
+    * AhAl byte to Al = 1 — a successive-approximation scan, the
+    * documented out-of-tier refinement mode (→ unsupported). */
+  private[graft] def jpegProgressiveFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val h32 = (id * 2654435761L) % 4294967296L
+      def quant(u: Int, v: Int): Int =
+        (1 + (2 * u + 3 * v + id) % 6).toInt
+      def coeff(blk: Int, u: Int, v: Int): Int =
+        if (u == 0 && v == 0) (((h32 >> (7 * blk)) & 127) - 64).toInt
+        else if ((3 * u + 5 * v + id + blk) % 7 < 2)
+          (((id + 11 * u + 17 * v + 23 * blk) % 15) - 7).toInt
+        else 0
+      val full = Multimodal.encodeJpegGrayProgressiveCoeffs(16, 16,
+        quant, coeff,
+        restartInterval = if (id % 5 == 0) 2 else 0,
+        bands = if (id % 3 == 0) Seq((1, 63)) else Seq((1, 5), (6, 63)))
+      val payload =
+        if (id % 11 == 0) full.take(24)
+        else if (id % 13 == 0) {
+          val c = full.clone()
+          val sosAt = (0 until c.length - 1).indexWhere(i =>
+            (c(i) & 0xff) == 0xff && (c(i + 1) & 0xff) == 0xda)
+          require(sosAt > 0 && (c(sosAt + 9) & 0xff) == 0,
+            "progressive fixture layout drifted")
+          c(sosAt + 9) = 0x01.toByte; c
         } else full
       (id, "jpeg", payload)
     }.toDF("media_id", "kind", "media")
@@ -921,13 +962,46 @@ object PerceptualQueries {
         |         WHEN doc_id % 13 = 0 THEN 194 ELSE 192 END
         |      AS sof_marker,
         |    CASE WHEN doc_id % 11 = 0 THEN 'truncated'
-        |         WHEN doc_id % 13 = 0 THEN 'unsupported'
+        |         WHEN doc_id % 13 = 0 THEN 'bad_header'
         |         ELSE 'ok' END AS status
         |  FROM documents)
         |SELECT CAST(sof_marker AS INTEGER) AS sof_marker, status,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM c GROUP BY 1, 2
         |ORDER BY sof_marker ASC NULLS LAST, status""".stripMargin)),
+
+    // PROGRESSIVE JPEG pixel decode (r19 — the investment q358's
+    // share stat ranked): SOF2 spectral selection, real multi-scan
+    // walk — DC scan, per-band AC scans with §G.1.2.2 EOBn run
+    // decoding, tables redefinable between scans, RSTm inside scans,
+    // coefficient accumulation until EOI. The fixture is the SAME
+    // coefficient formula as q337 in a progressive container (band
+    // splits and restart intervals vary per doc), so the oracle is
+    // q337's IDCT replay VERBATIM — sequential ≡ progressive at the
+    // pixel level, the cross-container pin (the PNG≡JPEG move one
+    // level deeper). Successive approximation (Ah/Al ≠ 0) is the
+    // documented out-of-tier lane.
+    QuerySpec("q359_jpeg_progressive_decode",
+      (s, dir) => Multimodal.pngPixelStats(s,
+          jpegProgressiveFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH ${jpegPixelSql(
+          "doc_id % 11 <> 0 AND doc_id % 13 <> 0")},
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM((py * 16 + px_ + 1) * p) AS BIGINT) AS swp
+        |  FROM jpx GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'unsupported' END AS reason,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)),
 
     QuerySpec("q352_mixed_dct_phash",
       (s, dir) => Multimodal.imageDctHash(s, mixedMediaFixture(s, dir))
@@ -946,8 +1020,9 @@ object PerceptualQueries {
     // integer IDCT — verified by the q306 position-pinned sums. The
     // oracle re-derives every pixel from the COEFFICIENT formula via
     // the shared acMicro8 table; it never parses a byte. Dead lanes:
-    // truncation inside DQT, and a progressive (SOF2) payload on the
-    // unsupported lane.
+    // truncation inside DQT, and an SOF2-patched sequential stream
+    // whose full-range scan is an invalid progressive scan header
+    // (bad_header since the r19 progressive tier).
     QuerySpec("q337_jpeg_pixel_decode",
       (s, dir) => Multimodal.pngPixelStats(s, jpegCoeffFixture(s, dir))
         .orderBy(col("media_id")),
@@ -960,7 +1035,7 @@ object PerceptualQueries {
         |SELECT d.doc_id AS media_id,
         |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
         |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
-        |       WHEN d.doc_id % 13 = 0 THEN 'unsupported' END AS reason,
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_header' END AS reason,
         |  CASE WHEN st.doc_id IS NOT NULL
         |    THEN CAST(16 AS INTEGER) END AS width,
         |  CASE WHEN st.doc_id IS NOT NULL
@@ -1053,7 +1128,7 @@ object PerceptualQueries {
         |SELECT d.doc_id AS media_id,
         |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
         |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
-        |       WHEN d.doc_id % 13 = 0 THEN 'unsupported' END AS reason,
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_header' END AS reason,
         |  CASE WHEN st.doc_id IS NOT NULL
         |    THEN CAST(8 AS INTEGER) END AS width,
         |  CASE WHEN st.doc_id IS NOT NULL

@@ -148,6 +148,105 @@ class JpegCodecSpec extends SparkSuite {
     assert(wpx.forall(_ == 255))
   }
 
+  test("progressive (r19): spectral-selection containers decode to " +
+      "EXACTLY the sequential pixels — band splits, DRI resync, EOBn " +
+      "runs, partial edge blocks, partial band coverage") {
+    def quant(u: Int, v: Int): Int = 1 + (2 * u + 3 * v + 5) % 6
+    def coeff(blk: Int, u: Int, v: Int): Int =
+      if (u == 0 && v == 0) ((blk * 37 + 11) % 128) - 64
+      else if ((3 * u + 5 * v + blk) % 7 < 2)
+        ((blk + 11 * u + 17 * v) % 15) - 7
+      else 0
+    val Right((_, _, seq)) = Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGrayCoeffs(16, 16, quant, coeff))
+    for (bands <- Seq(Seq((1, 5), (6, 63)), Seq((1, 63)),
+        Seq((1, 1), (2, 9), (10, 35), (36, 63)))) {
+      val Right((_, _, p)) = Multimodal.decodeJpegGray(
+        Multimodal.encodeJpegGrayProgressiveCoeffs(16, 16, quant,
+          coeff, 0, bands))
+      assert(p.sameElements(seq), s"bands=$bands")
+    }
+    for (dri <- Seq(1, 3)) {
+      val Right((_, _, p)) = Multimodal.decodeJpegGray(
+        Multimodal.encodeJpegGrayProgressiveCoeffs(16, 16, quant,
+          coeff, dri))
+      assert(p.sameElements(seq), s"dri=$dri")
+    }
+    // EOBn runs: a sparse 17x17 (partial edge blocks) where most
+    // blocks' high band is all-zero -> multi-block EOB runs
+    def sparse(blk: Int, u: Int, v: Int): Int =
+      if (u == 0 && v == 0) blk - 4
+      else if (u + v == 1 && blk % 5 == 0) 3 else 0
+    val Right((_, _, s2)) = Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGrayCoeffs(17, 17, quant, sparse))
+    val Right((_, _, p2)) = Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGrayProgressiveCoeffs(17, 17, quant, sparse))
+    assert(p2.sameElements(s2), "sparse 17x17 EOBn path")
+    // bands need not cover 1..63: uncovered coefficients decode 0 —
+    // equal to a sequential encode of the low-band-only coefficients
+    def coeffLow(blk: Int, u: Int, v: Int): Int = {
+      val k = (0 until 64).find(i =>
+        Multimodal.zigzag(i) == v * 8 + u).get
+      if (k <= 5) coeff(blk, u, v) else 0
+    }
+    val Right((_, _, sLow)) = Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGrayCoeffs(16, 16, quant, coeffLow))
+    val Right((_, _, pLow)) = Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGrayProgressiveCoeffs(16, 16, quant, coeff,
+        0, Seq((1, 5))))
+    assert(pLow.sameElements(sLow), "partial band coverage")
+  }
+
+  test("progressive dead lanes (r19): successive approximation, " +
+      "color SOF2, sequential-scan-in-SOF2, AC-before-DC, mid-scan " +
+      "truncation, oversized buffer admission") {
+    def quant(u: Int, v: Int): Int = 1 + (u + v) % 4
+    def coeff(blk: Int, u: Int, v: Int): Int =
+      if (u == 0 && v == 0) 10 else 0
+    val prog = Multimodal.encodeJpegGrayProgressiveCoeffs(16, 16,
+      quant, coeff)
+    // patch the DC scan's AhAl byte (SOS body tail) to Al=1: the
+    // successive-approximation mode this tier documents out
+    val sosAt = (0 until prog.length - 1).indexWhere(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda)
+    assert(sosAt > 0 && (prog(sosAt + 9) & 0xff) == 0)
+    val sa = prog.clone(); sa(sosAt + 9) = 0x01.toByte
+    assert(Multimodal.decodeJpegGray(sa) == Left("unsupported"))
+    // color container patched to SOF2: progressive tier is grey-only
+    val color = Multimodal.encodeJpegColorCoeffs(16, 16, 2, 2,
+      quant, quant, coeff, (_, _, _, _) => 0)
+    val colAt = (0 until color.length - 1).indexWhere(i =>
+      (color(i) & 0xff) == 0xff && (color(i + 1) & 0xff) == 0xc0)
+    val colProg = color.clone(); colProg(colAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpegGray(colProg) == Left("unsupported"))
+    // a SEQUENTIAL stream whose SOF0 is patched to SOF2 (the q337
+    // %13 lane): its full-range Ss=0,Se=63 scan is an invalid
+    // progressive scan header -> bad_header (not unsupported)
+    val seqBytes = Multimodal.encodeJpegGrayCoeffs(16, 16, quant, coeff)
+    val seqAt = (0 until seqBytes.length - 1).indexWhere(i =>
+      (seqBytes(i) & 0xff) == 0xff && (seqBytes(i + 1) & 0xff) == 0xc0)
+    val seqProg = seqBytes.clone(); seqProg(seqAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpegGray(seqProg) == Left("bad_header"))
+    // an AC band scan arriving before the DC scan -> bad_header:
+    // patch the FIRST scan's Ss/Se from (0,0) to (1,5)
+    val acFirst = prog.clone()
+    acFirst(sosAt + 7) = 0x01.toByte; acFirst(sosAt + 8) = 0x05.toByte
+    assert(Multimodal.decodeJpegGray(acFirst) == Left("bad_header"))
+    // truncation mid-scan and before EOI
+    assert(Multimodal.decodeJpegGray(prog.take(sosAt + 12)) ==
+      Left("truncated"))
+    assert(Multimodal.decodeJpegGray(prog.take(prog.length - 2)) ==
+      Left("truncated"))
+    // oversized: patch dims past the 2^22-pixel progressive buffer
+    // cap (SOF2 body: prec, h16, w16 at generator-known offsets)
+    val sofAt = (0 until prog.length - 1).indexWhere(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2)
+    val big = prog.clone()
+    big(sofAt + 5) = 0x0c.toByte; big(sofAt + 6) = 0x00.toByte // h=3072
+    big(sofAt + 7) = 0x06.toByte; big(sofAt + 8) = 0x00.toByte // w=1536
+    assert(Multimodal.decodeJpegGray(big) == Left("unsupported"))
+  }
+
   test("jpegSofMarker (r19): first SOF through DQT/DHT/DRI hops; " +
       "progressive patch reads C2; truncation/garbage/PNG read None") {
     val bytes = Multimodal.encodeJpegGrayCoeffs(16, 16, quantFormula,
@@ -196,11 +295,16 @@ class JpegCodecSpec extends SparkSuite {
       Left("unsupported"))
     val good = Multimodal.encodeJpegGrayCoeffs(8, 8, quantFormula,
       coeffFormula)
-    // SOF0 -> SOF2 (progressive) -> unsupported
+    // SOF0 -> SOF2 (progressive is DECODED since r19): the stream's
+    // full-range sequential scan is an invalid progressive scan
+    // header -> bad_header; SOF1 (extended sequential) stays on the
+    // unsupported lane
     val sofAt = (0 until good.length - 1).indexWhere(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)
     val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
-    assert(Multimodal.decodeJpegGray(prog) == Left("unsupported"))
+    assert(Multimodal.decodeJpegGray(prog) == Left("bad_header"))
+    val ext = good.clone(); ext(sofAt + 1) = 0xc1.toByte
+    assert(Multimodal.decodeJpegGray(ext) == Left("unsupported"))
     // zero DQT entry -> bad_header (offset 7 = first zigzag entry)
     val zq = good.clone(); zq(7) = 0
     assert(Multimodal.decodeJpegGray(zq) == Left("bad_header"))
