@@ -358,15 +358,18 @@ object Multimodal {
     * and its Kraft sum leaves exactly one 16-bit slot free, so they
     * cannot be added. Progressive streams ship their own tables; this
     * one is deliberately trivial — every symbol the spectral-
-    * selection coder can emit (run 0..14 × size 0..10, i.e. EOB/EOBn
-    * plus all run/size pairs, and ZRL 0xF0 — 166 symbols) at code
-    * length 8. Kraft 166/256 < 1: feasible, canonical, decodes
+    * selection and refinement coders can emit (run 0..15 × size
+    * 0..10 = 176 symbols: EOB/EOBn at s=0 r≤14, ZRL = 0xF0, and ALL
+    * run/size pairs INCLUDING r=15 — a 15-zero run before a value is
+    * legal and the sequential Annex K table ends with exactly those
+    * 0xF1..0xFA codes; omitting them made the encoder emit ZERO bits
+    * for such a symbol and desync, the round-19 lesson) at code
+    * length 8. Kraft 176/256 < 1: feasible, canonical, decodes
     * through the same §F.2.2.3 machinery as any DHT. Compression is
     * not the point of a fixture container; correctness of the EOBn
     * path is. */
   private[graft] val jAcProgVals: Array[Int] =
-    ((0 to 14).flatMap(r => (0 to 10).map(s => (r << 4) | s)) :+ 0xf0)
-      .toArray
+    (0 to 15).flatMap(r => (0 to 10).map(s => (r << 4) | s)).toArray
   private[graft] val jAcProgBits: Array[Int] =
     Array(0, 0, 0, 0, 0, 0, 0, jAcProgVals.length, 0, 0, 0, 0, 0, 0,
       0, 0)
@@ -614,12 +617,15 @@ object Multimodal {
   def encodeJpegGrayProgressiveCoeffs(width: Int, height: Int,
       quant: (Int, Int) => Int, coeff: (Int, Int, Int) => Int,
       restartInterval: Int = 0,
-      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
+      approxLow: Int = 0): Array[Byte] = {
     require(width > 0 && width <= 0xffff && height > 0 &&
       height <= 0xffff, "encodeJpegGrayProgressiveCoeffs: dims 1..65535")
     require(bands.forall { case (ss, se) =>
       ss >= 1 && se >= ss && se <= 63 },
       "encodeJpegGrayProgressiveCoeffs: bands must satisfy 1<=Ss<=Se<=63")
+    require(approxLow >= 0 && approxLow <= 10,
+      "encodeJpegGrayProgressiveCoeffs: approxLow must be 0..10")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, body: Array[Int]): Unit = {
@@ -660,8 +666,8 @@ object Multimodal {
         s"encodeJpegGrayProgressiveCoeffs: coeff $v outside 10-bit range")
       v
     }
-    // ---- DC scan ----
-    seg(0xda, Array(1, 1, 0x00, 0, 0, 0))
+    // ---- DC first scan (point transform = approxLow) ----
+    seg(0xda, Array(1, 1, 0x00, 0, 0, approxLow))
     locally {
       val bw = new JBitWriter(out)
       var pred = 0; var rst = 0; var blk = 0
@@ -671,7 +677,10 @@ object Multimodal {
           bw.flush(); marker(0xd0 + rst); rst = (rst + 1) % 8
           pred = 0
         }
-        val v = zOf(blk, 0)
+        // §G.1.2.1: DC point transform is an ARITHMETIC shift — the
+        // refinement bit then reconstructs negatives exactly via the
+        // two's-complement OR on the decode side
+        val v = zOf(blk, 0) >> approxLow
         val diff = v - pred; pred = v
         val t = jCategory(diff)
         bw.put(dc.encCode(t), dc.encLen(t))
@@ -680,9 +689,9 @@ object Multimodal {
       }
       bw.flush()
     }
-    // ---- AC scans, one per band ----
+    // ---- AC first scans, one per band (point transform sign·(|v|>>Al)) ----
     for ((ss, se) <- bands) {
-      seg(0xda, Array(1, 1, 0x00, ss, se, 0))
+      seg(0xda, Array(1, 1, 0x00, ss, se, approxLow))
       val bw = new JBitWriter(out)
       var eobrun = 0
       def flushEob(): Unit = if (eobrun > 0) {
@@ -698,7 +707,10 @@ object Multimodal {
           flushEob(); bw.flush()
           marker(0xd0 + rst); rst = (rst + 1) % 8
         }
-        val z = Array.tabulate(se - ss + 1)(i => zOf(blk, ss + i))
+        val z = Array.tabulate(se - ss + 1) { i =>
+          val v = zOf(blk, ss + i)
+          if (v >= 0) v >> approxLow else -((-v) >> approxLow)
+        }
         if (z.forall(_ == 0)) {
           eobrun += 1
           if (eobrun == 32767) flushEob() // §G.1.2.2 run cap
@@ -725,6 +737,105 @@ object Multimodal {
         blk += 1
       }
       flushEob(); bw.flush()
+    }
+    // ---- successive-approximation refinements, one bit plane per
+    // pass (Ah = a + 1 → Al = a), DC then the AC bands — §G.1.2.1 /
+    // §G.1.2.3 with correction bits buffered across EOB runs ----
+    var a = approxLow - 1
+    while (a >= 0) {
+      // DC refinement: one raw bit per block — bit `a` of the value
+      seg(0xda, Array(1, 1, 0x00, 0, 0, ((a + 1) << 4) | a))
+      locally {
+        val bw = new JBitWriter(out)
+        var rst = 0; var blk = 0
+        while (blk < total) {
+          if (restartInterval > 0 && blk > 0 &&
+            blk % restartInterval == 0) {
+            bw.flush(); marker(0xd0 + rst); rst = (rst + 1) % 8
+          }
+          bw.put((zOf(blk, 0) >> a) & 1, 1)
+          blk += 1
+        }
+        bw.flush()
+      }
+      for ((ss, se) <- bands) {
+        seg(0xda, Array(1, 1, 0x00, ss, se, ((a + 1) << 4) | a))
+        val bw = new JBitWriter(out)
+        // TWO correction-bit buffers (the §G.1.2.3 emission order the
+        // decoder's advance loop implies): `beBits` ride with the
+        // pending EOB run and are emitted right after its EOBn
+        // symbol; `brBits` are the CURRENT block's corrections and
+        // follow the next new-significant symbol's sign bit (or roll
+        // into the run if the block ends without one)
+        var eobrun = 0
+        val beBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def emitEobrun(): Unit = {
+          if (eobrun > 0) {
+            val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+            bw.put(ac.encCode(n << 4), ac.encLen(n << 4))
+            if (n > 0) bw.put(eobrun - (1 << n), n)
+            eobrun = 0
+          }
+          beBits.foreach(bit => bw.put(bit, 1))
+          beBits.clear()
+        }
+        def emitBr(): Unit = {
+          brBits.foreach(bit => bw.put(bit, 1))
+          brBits.clear()
+        }
+        var rst = 0; var blk = 0
+        while (blk < total) {
+          if (restartInterval > 0 && blk > 0 &&
+            blk % restartInterval == 0) {
+            emitEobrun(); bw.flush()
+            marker(0xd0 + rst); rst = (rst + 1) % 8
+          }
+          val vs = Array.tabulate(se - ss + 1)(i => zOf(blk, ss + i))
+          val absv = vs.map(v => (if (v < 0) -v else v) >> a)
+          // last newly-significant position: zeros beyond it fold
+          // into the EOB run instead of ZRLs
+          val eobPos = absv.lastIndexWhere(_ == 1)
+          var r = 0
+          var i = 0
+          while (i < absv.length) {
+            val t = absv(i)
+            if (t == 0) r += 1
+            else {
+              // the ZRL flush runs at EVERY nonzero position — before
+              // the correction-buffer branch — so the buffered bits
+              // stay a positional PREFIX of what the decoder's next
+              // advance consumes (emitting it only at new-significant
+              // positions would desync corrections across ZRLs)
+              while (r > 15 && i <= eobPos) {
+                emitEobrun()
+                bw.put(ac.encCode(0xf0), ac.encLen(0xf0)); r -= 16
+                emitBr()
+              }
+              if (t > 1) brBits += (t & 1) // correction bit
+              else { // newly significant (this scan's bit is its MSB)
+                emitEobrun()
+                val sym = (r << 4) | 1
+                bw.put(ac.encCode(sym), ac.encLen(sym))
+                bw.put(if (vs(i) >= 0) 1 else 0, 1) // sign bit
+                emitBr()
+                r = 0
+              }
+            }
+            i += 1
+          }
+          if (r > 0 || brBits.nonEmpty) {
+            eobrun += 1
+            beBits ++= brBits; brBits.clear()
+            // run cap (§G.1.2.2) and the libjpeg-style buffered-bit
+            // cap, so neither state grows unbounded
+            if (eobrun == 32767 || beBits.length > 937) emitEobrun()
+          }
+          blk += 1
+        }
+        emitEobrun(); bw.flush()
+      }
+      a -= 1
     }
     marker(0xd9)
     out.toByteArray
@@ -958,10 +1069,14 @@ object Multimodal {
     * structure, EOI before scan data, or a stray marker inside the
     * entropy segment), `bad_magic`, `bad_header` (spec-invalid or
     * internally inconsistent segments, undefined tables at SOS, scan
-    * components out of SOF order), `unsupported` (valid JPEG outside
-    * this tier: progressive / extended / arithmetic SOFs, 12-bit
-    * precision, > 4 components, multi-scan files, downsampled luma,
-    * > 64M pixels), `bad_huffman` (infeasible DHT, a 16-bit prefix
+    * components out of SOF order, invalid progressive scan scripts —
+    * Ss/Se outside §G.1.1.1.1, a refinement chain that skips a bit
+    * plane, AC before DC), `unsupported` (valid JPEG outside this
+    * tier: extended / arithmetic SOFs, 12-bit precision, > 4
+    * components, sequential multi-scan files, downsampled luma,
+    * > 64M pixels, MULTI-COMPONENT progressive, progressive over 2²²
+    * pixels — the buffered-coefficient bound), `bad_huffman`
+    * (infeasible DHT, a 16-bit prefix
     * matching no code, coefficient index overflow, or a
     * missing/misnumbered restart marker). Every declared size is
     * bounds-checked before any advance (the ADVICE r16 rule). */
@@ -1123,19 +1238,28 @@ object Multimodal {
             if (!isDc && !(ss >= 1 && se >= ss && se <= 63))
               return Left("bad_header")
             if (!isDc && !progDcDone) return Left("bad_header")
-            // successive approximation (Ah/Al ≠ 0) is the documented
-            // out-of-tier refinement mode
-            if (ah != 0 || al != 0) return Left("unsupported")
+            // successive approximation (r19): a FIRST scan has Ah=0
+            // and point transform Al; a REFINEMENT scan must step
+            // one bit (Ah = Al + 1, §G.1.1.1.2) — any other chain is
+            // an invalid scan script
+            val refine = ah != 0
+            if (al > 13 || (refine && ah != al + 1))
+              return Left("bad_header")
             if (quantT(compTq(0)) == null) return Left("bad_header")
+            // DC refinement scans carry raw bits only — no table read
             val huff = if (isDc) {
-              if (td > 3 || dcT(td) == null) return Left("bad_header")
-              dcT(td)
+              if (refine) null
+              else {
+                if (td > 3 || dcT(td) == null) return Left("bad_header")
+                dcT(td)
+              }
             } else {
               if (ta > 3 || acT(ta) == null) return Left("bad_header")
               acT(ta)
             }
             val rd = new JpegBitReader(b, end)
             val nBlk = zAll.length
+            val p1 = 1 << al; val m1 = -(1 << al)
             var pred = 0; var eobrun = 0
             var rstExpect = 0
             var blk = 0
@@ -1153,40 +1277,105 @@ object Multimodal {
               }
               if (rd.err == null) {
                 val z = zAll(blk)
-                if (isDc) {
+                if (isDc && !refine) {
+                  // DC first scan: diffs in the Al-shifted domain
                   val t = rd.decodeSym(huff)
                   if (rd.err == null) {
                     if (t > 15) rd.err = "bad_huffman"
-                    else { pred += rd.receiveExtend(t); z(0) = pred }
+                    else { pred += rd.receiveExtend(t); z(0) = pred << al }
                   }
-                } else if (eobrun > 0) eobrun -= 1
-                else {
-                  var k = ss
-                  while (k <= se && rd.err == null) {
-                    val sym = rd.decodeSym(huff)
-                    if (rd.err == null) {
-                      val run = sym >> 4; val s = sym & 15
-                      if (s == 0) {
-                        if (run == 15) k += 16 // ZRL
-                        else {
-                          // EOBn: run length 2^run + `run` raw bits,
-                          // THIS block included (§G.1.2.2)
-                          eobrun = (1 << run) + rd.receive(run) - 1
-                          k = 64
+                } else if (isDc) {
+                  // DC refinement: one raw bit, OR'd into the two's-
+                  // complement partial value (§G.1.2.1 — arithmetic
+                  // shift on encode makes this exact for negatives)
+                  val bit = rd.nextBit()
+                  if (rd.err == null && bit == 1) z(0) |= p1
+                } else if (!refine) {
+                  // AC first scan (§G.1.2.2): spectral selection with
+                  // EOBn runs, values scaled by the point transform
+                  if (eobrun > 0) eobrun -= 1
+                  else {
+                    var k = ss
+                    while (k <= se && rd.err == null) {
+                      val sym = rd.decodeSym(huff)
+                      if (rd.err == null) {
+                        val run = sym >> 4; val s = sym & 15
+                        if (s == 0) {
+                          if (run == 15) k += 16 // ZRL
+                          else {
+                            // EOBn: 2^run + `run` raw bits, THIS
+                            // block included
+                            eobrun = (1 << run) + rd.receive(run) - 1
+                            k = 64
+                          }
+                        } else {
+                          k += run
+                          if (k > se) rd.err = "bad_huffman"
+                          else {
+                            z(k) = rd.receiveExtend(s) << al; k += 1
+                          }
                         }
-                      } else {
-                        k += run
-                        if (k > se) rd.err = "bad_huffman"
-                        else { z(k) = rd.receiveExtend(s); k += 1 }
                       }
                     }
+                  }
+                } else {
+                  // AC refinement (§G.1.2.3): newly-significant
+                  // coefficients arrive as ±2^Al; every position with
+                  // NONZERO history consumes a correction bit — runs
+                  // and ZRL count only zero-history positions, and
+                  // EOB-run blocks still pay their correction bits
+                  var k = ss
+                  if (eobrun == 0) {
+                    var eobSet = false
+                    while (k <= se && rd.err == null && !eobSet) {
+                      val sym = rd.decodeSym(huff)
+                      if (rd.err == null) {
+                        var run = sym >> 4; val s = sym & 15
+                        var newVal = 0
+                        if (s != 0) {
+                          if (s != 1) rd.err = "bad_huffman"
+                          else newVal =
+                            if (rd.nextBit() == 1) p1 else m1
+                        } else if (run != 15) {
+                          eobrun = (1 << run) + rd.receive(run)
+                          eobSet = true // this block finishes below
+                        }
+                        if (rd.err == null && !eobSet) {
+                          var done = false
+                          while (k <= se && !done && rd.err == null) {
+                            if (z(k) != 0) {
+                              val bit = rd.nextBit()
+                              if (rd.err == null && bit == 1 &&
+                                (z(k) & p1) == 0)
+                                z(k) += (if (z(k) >= 0) p1 else m1)
+                            } else if (run == 0) {
+                              if (s != 0) z(k) = newVal
+                              done = true
+                            } else run -= 1
+                            k += 1
+                          }
+                        }
+                      }
+                    }
+                  }
+                  if (eobrun > 0 && rd.err == null) {
+                    while (k <= se && rd.err == null) {
+                      if (z(k) != 0) {
+                        val bit = rd.nextBit()
+                        if (rd.err == null && bit == 1 &&
+                          (z(k) & p1) == 0)
+                          z(k) += (if (z(k) >= 0) p1 else m1)
+                      }
+                      k += 1
+                    }
+                    eobrun -= 1
                   }
                 }
               }
               blk += 1
             }
             if (rd.err != null) return Left(rd.err)
-            if (isDc) progDcDone = true
+            if (isDc && !refine) progDcDone = true
             progScans += 1
             progPos = rd.p
           case _ => () // APPn / COM / others: length-skipped

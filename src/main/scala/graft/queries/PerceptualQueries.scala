@@ -232,9 +232,10 @@ object PerceptualQueries {
     * fifth doc adds a restart interval — different containers, same
     * quantized coefficients, so the decoded pixels must equal q337's
     * and the gate reuses the SAME IDCT oracle. Dead lanes: doc_id %
-    * 11 truncates inside the DQT; doc_id % 13 patches the DC scan's
-    * AhAl byte to Al = 1 — a successive-approximation scan, the
-    * documented out-of-tier refinement mode (→ unsupported). */
+    * 11 truncates inside the DQT; doc_id % 13 clobbers the DC scan's
+    * component selector (id 2 in a frame whose only component is
+    * id 1 → bad_header; the lane moved off AhAl when the r19 SA tier
+    * made Al ≠ 0 a DECODED mode — see q360). */
   private[graft] def jpegProgressiveFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
@@ -257,9 +258,48 @@ object PerceptualQueries {
           val c = full.clone()
           val sosAt = (0 until c.length - 1).indexWhere(i =>
             (c(i) & 0xff) == 0xff && (c(i + 1) & 0xff) == 0xda)
-          require(sosAt > 0 && (c(sosAt + 9) & 0xff) == 0,
+          require(sosAt > 0 && (c(sosAt + 5) & 0xff) == 1,
             "progressive fixture layout drifted")
-          c(sosAt + 9) = 0x01.toByte; c
+          c(sosAt + 5) = 0x02.toByte; c
+        } else full
+      (id, "jpeg", payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
+  /** SUCCESSIVE-APPROXIMATION progressive container of the q337
+    * formula (r19, the SA completion of q359): first scans at point
+    * transform Al = 2, then two full refinement passes (Ah=2→Al=1,
+    * Ah=1→Al=0) for DC and every AC band — the libjpeg-style scan
+    * script real web encoders emit. Same coefficients → q337's
+    * oracle VERBATIM again. Dead lanes: % 11 truncated; % 13 patches
+    * the first refinement scan's AhAl 0x21 → 0x31 (a chain that
+    * skips a bit plane — invalid §G.1.1.1.2 → bad_header). */
+  private[graft] def jpegProgressiveSaFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val h32 = (id * 2654435761L) % 4294967296L
+      def quant(u: Int, v: Int): Int =
+        (1 + (2 * u + 3 * v + id) % 6).toInt
+      def coeff(blk: Int, u: Int, v: Int): Int =
+        if (u == 0 && v == 0) (((h32 >> (7 * blk)) & 127) - 64).toInt
+        else if ((3 * u + 5 * v + id + blk) % 7 < 2)
+          (((id + 11 * u + 17 * v + 23 * blk) % 15) - 7).toInt
+        else 0
+      val full = Multimodal.encodeJpegGrayProgressiveCoeffs(16, 16,
+        quant, coeff,
+        restartInterval = if (id % 5 == 0) 2 else 0,
+        bands = if (id % 3 == 0) Seq((1, 63)) else Seq((1, 5), (6, 63)),
+        approxLow = 2)
+      val payload =
+        if (id % 11 == 0) full.take(24)
+        else if (id % 13 == 0) {
+          val c = full.clone()
+          val at = (0 until c.length - 10).indexWhere(i =>
+            (c(i) & 0xff) == 0xff && (c(i + 1) & 0xff) == 0xda &&
+              (c(i + 9) & 0xff) == 0x21)
+          require(at > 0, "SA fixture layout drifted")
+          c(at + 9) = 0x31.toByte; c
         } else full
       (id, "jpeg", payload)
     }.toDF("media_id", "kind", "media")
@@ -994,7 +1034,37 @@ object PerceptualQueries {
         |SELECT d.doc_id AS media_id,
         |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
         |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
-        |       WHEN d.doc_id % 13 = 0 THEN 'unsupported' END AS reason,
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_header' END AS reason,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // SUCCESSIVE-APPROXIMATION progressive decode (r19, the SA
+    // completion of q359 — the mode virtually every real progressive
+    // web JPEG uses): first scans at Al=2 then two bit-plane
+    // refinement passes per band, with §G.1.2.3 correction-bit
+    // decoding (newly-significant ±2^Al, corrections interleaved
+    // through runs and EOB-run blocks). Same coefficient formula →
+    // the pixels must STILL equal q337's sequential decode: one
+    // oracle now pins three containers (sequential ≡ spectral ≡ SA).
+    QuerySpec("q360_jpeg_progressive_sa",
+      (s, dir) => Multimodal.pngPixelStats(s,
+          jpegProgressiveSaFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH ${jpegPixelSql(
+          "doc_id % 11 <> 0 AND doc_id % 13 <> 0")},
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM((py * 16 + px_ + 1) * p) AS BIGINT) AS swp
+        |  FROM jpx GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_header' END AS reason,
         |  CASE WHEN st.doc_id IS NOT NULL
         |    THEN CAST(16 AS INTEGER) END AS width,
         |  CASE WHEN st.doc_id IS NOT NULL

@@ -197,6 +197,75 @@ class JpegCodecSpec extends SparkSuite {
     assert(pLow.sameElements(sLow), "partial band coverage")
   }
 
+  test("progressive successive approximation (r19): bit-plane " +
+      "refinement chains reconstruct the sequential pixels EXACTLY — " +
+      "Al 1..3, DRI, dense/sparse, negatives, corrections across " +
+      "EOB runs") {
+    def quant(u: Int, v: Int): Int = 1 + (2 * u + 3 * v + 5) % 6
+    // dense: many already-significant coefficients per refinement
+    def dense(blk: Int, u: Int, v: Int): Int =
+      if (u == 0 && v == 0) ((blk * 37 + 11) % 128) - 64
+      else (((blk + 11 * u + 17 * v) % 15) - 7)
+    // sparse: long zero runs + isolated ±1s (newly-significant at the
+    // LAST refinement only) + corrections inside EOB runs
+    def sparse(blk: Int, u: Int, v: Int): Int =
+      if (u == 0 && v == 0) blk % 3 - 1
+      else if ((u + v + blk) % 23 == 0) (if (blk % 2 == 0) 1 else -1)
+      else if ((u * v + blk) % 31 == 0) -5
+      else 0
+    for ((cf, name) <- Seq((dense _, "dense"), (sparse _, "sparse"));
+        al <- Seq(1, 2, 3); dri <- Seq(0, 3)) {
+      val Right((_, _, seq)) = Multimodal.decodeJpegGray(
+        Multimodal.encodeJpegGrayCoeffs(16, 16, quant, cf))
+      val Right((_, _, p)) = Multimodal.decodeJpegGray(
+        Multimodal.encodeJpegGrayProgressiveCoeffs(16, 16, quant, cf,
+          dri, Seq((1, 5), (6, 63)), approxLow = al))
+      assert(p.sameElements(seq), s"$name al=$al dri=$dri")
+    }
+    // a 24x24 sparse image: multi-block EOB runs WITH buffered
+    // correction bits crossing block boundaries
+    def wide(blk: Int, u: Int, v: Int): Int =
+      if (u == 0 && v == 0) blk - 4
+      else if (blk % 4 == 1 && u + v == 2) 3
+      else 0
+    val Right((_, _, s2)) = Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGrayCoeffs(24, 24, quant, wide))
+    val Right((_, _, p2)) = Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGrayProgressiveCoeffs(24, 24, quant, wide,
+        0, Seq((1, 63)), approxLow = 2))
+    assert(p2.sameElements(s2), "EOB-run correction bits")
+    // the 0xF1..0xFA regression (round-19 lesson): EXACTLY 15 zeros
+    // before a value needs the (15<<4)|s symbols — a table without
+    // them makes the encoder emit ZERO bits and desync. One isolated
+    // coefficient at zigzag 16 (offset 15 in a (1,63) band) pins it,
+    // and zigzag 17 (offset 16) pins the ZRL+*(0<<4|s) split next door
+    for (pos <- Seq(16, 17); v <- Seq(1, -1, 3)) {
+      def one(blk: Int, u: Int, vv: Int): Int = {
+        val k = (0 until 64).find(i =>
+          Multimodal.zigzag(i) == vv * 8 + u).get
+        if (k == pos) v else 0
+      }
+      val Right((_, _, a)) = Multimodal.decodeJpegGray(
+        Multimodal.encodeJpegGrayCoeffs(8, 8, quant, one))
+      for (al <- Seq(0, 1)) {
+        val Right((_, _, b)) = Multimodal.decodeJpegGray(
+          Multimodal.encodeJpegGrayProgressiveCoeffs(8, 8, quant, one,
+            0, Seq((1, 63)), approxLow = al))
+        assert(b.sameElements(a), s"pos=$pos v=$v al=$al")
+      }
+    }
+    // broken refinement chain (Ah must equal Al + 1) -> bad_header:
+    // patch the DC refinement scan's AhAl from 0x10 to 0x20
+    val prog = Multimodal.encodeJpegGrayProgressiveCoeffs(16, 16,
+      quant, dense, 0, Seq((1, 63)), approxLow = 1)
+    val at = (0 until prog.length - 9).indexWhere(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda &&
+        (prog(i + 9) & 0xff) == 0x10)
+    assert(at > 0, "no refinement SOS found")
+    val broken = prog.clone(); broken(at + 9) = 0x20.toByte
+    assert(Multimodal.decodeJpegGray(broken) == Left("bad_header"))
+  }
+
   test("progressive dead lanes (r19): successive approximation, " +
       "color SOF2, sequential-scan-in-SOF2, AC-before-DC, mid-scan " +
       "truncation, oversized buffer admission") {
@@ -205,13 +274,12 @@ class JpegCodecSpec extends SparkSuite {
       if (u == 0 && v == 0) 10 else 0
     val prog = Multimodal.encodeJpegGrayProgressiveCoeffs(16, 16,
       quant, coeff)
-    // patch the DC scan's AhAl byte (SOS body tail) to Al=1: the
-    // successive-approximation mode this tier documents out
+    // Al past the 13-bit point-transform ceiling -> bad_header
     val sosAt = (0 until prog.length - 1).indexWhere(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda)
     assert(sosAt > 0 && (prog(sosAt + 9) & 0xff) == 0)
-    val sa = prog.clone(); sa(sosAt + 9) = 0x01.toByte
-    assert(Multimodal.decodeJpegGray(sa) == Left("unsupported"))
+    val sa = prog.clone(); sa(sosAt + 9) = 0x0e.toByte
+    assert(Multimodal.decodeJpegGray(sa) == Left("bad_header"))
     // color container patched to SOF2: progressive tier is grey-only
     val color = Multimodal.encodeJpegColorCoeffs(16, 16, 2, 2,
       quant, quant, coeff, (_, _, _, _) => 0)
