@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Web-corpus text extraction — the WET step of a crawl pipeline
@@ -282,6 +283,130 @@ object WebExtract {
       when(ok && portC =!= "" && port.rlike("^[0-9]{1,9}$"),
         port.cast("int")).as("port"),
       when(ok, registeredDomainCol(host)).as("registered_domain"))
+  }
+
+  // -------------------------------------------------------------------
+  // robots.txt (RFC 9309, r19): the crawl-compliance step between URL
+  // discovery and fetching/keeping — a training pipeline that honors
+  // robots directives needs exactly two operators: parse the per-host
+  // robots.txt into rules, and decide each URL by the
+  // longest-path-match rule of the most specific applicable group.
+  // Both stay SQL-replayable: parsing is line surgery, matching is a
+  // host-keyed join + a length-ordered window.
+  // -------------------------------------------------------------------
+
+  /** Parse robots.txt documents into a rule frame (RFC 9309 §2.2):
+    * one input row per (host, robots.txt text) → one output row per
+    * allow/disallow rule, carrying the GROUP context that owns it —
+    * (host, group_idx, agents, rule_idx, allow, path_prefix).
+    *
+    *   - lines split on `\n`, a trailing `\r` stripped (CRLF files),
+    *     `#` comments stripped, blank lines kept only as group
+    *     separators,
+    *   - a group = consecutive `User-agent:` lines followed by rules;
+    *     a `User-agent` line AFTER rules starts a NEW group,
+    *   - field names are case-insensitive; values trimmed,
+    *   - `agents` = the group's user-agent tokens, lowercased,
+    *     `;`-joined (a portable string the matcher splits again),
+    *   - rules with an empty path on `Disallow` mean "allow all" and
+    *     are kept with `path_prefix = ''` (matching nothing, per RFC
+    *     9309 §2.2.2 an empty pattern matches nothing),
+    *   - unknown directives (Crawl-delay, Sitemap, …) are ignored.
+    *
+    * Path patterns are kept VERBATIM; the matcher implements literal
+    * prefix semantics with the documented `*`/`$` descope (see
+    * [[robotsDecide]]). One generator expression per row — rules per
+    * host are file-bounded, never corpus-bounded. */
+  def parseRobots(df: DataFrame, hostCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(hostCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, text) =>
+        val lines = Option(text).getOrElse("").split("\n", -1)
+          .map(l => l.stripSuffix("\r"))
+          .map(l => { val h = l.indexOf('#'); if (h >= 0) l.take(h) else l })
+        var group = -1
+        var agents = List.empty[String]
+        var inAgents = false
+        var ruleIdx = 0
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, String, Int, Boolean, String)]
+        for (raw <- lines) {
+          val line = raw.trim
+          val c = line.indexOf(':')
+          if (c > 0) {
+            val name = line.substring(0, c).trim.toLowerCase
+            val value = line.substring(c + 1).trim
+            name match {
+              case "user-agent" =>
+                if (!inAgents) { group += 1; agents = Nil; inAgents = true }
+                agents = value.toLowerCase :: agents
+              case "allow" | "disallow" if group >= 0 =>
+                inAgents = false
+                out += ((host, group, agents.reverse.mkString(";"),
+                  ruleIdx, name == "allow", value))
+                ruleIdx += 1
+              case _ => if (name != "user-agent") inAgents = false
+            }
+          }
+        }
+        out.toSeq
+      }
+      .toDF("host", "group_idx", "agents", "rule_idx", "allow",
+        "path_prefix")
+  }
+
+  /** Decide each URL against a [[parseRobots]] rule frame for the
+    * crawler `userAgent` (RFC 9309 §2.2.1/§5): rules apply when their
+    * group names the agent (product-token match, lowercased) — or
+    * `*` when NO group names it (the specific group SHADOWS the
+    * wildcard group entirely); among applicable rules whose
+    * path_prefix is a literal PREFIX of the URL path, the LONGEST
+    * match wins, Allow winning length ties (§5.2); no match → allowed
+    * (and hosts with no robots rows at all → allowed). `*`/`$`
+    * pattern wildcards are the documented descope: a `*`-bearing
+    * rule simply matches as a literal, which real pipelines treat as
+    * a conservative approximation in BOTH directions — swap in a
+    * regex translation where fidelity matters; the OPERATOR shape
+    * (host-keyed join, length window) is what this pins.
+    *
+    * Input `urls`: (idCol, host, path). One host-keyed equi-join
+    * (rules per host are file-bounded, the dimension regime) + one
+    * per-URL window — no all-pairs anywhere, 100 TB-safe. */
+  def robotsDecide(urls: DataFrame, idCol: String,
+      rules: DataFrame, userAgent: String): DataFrame = {
+    val ua = userAgent.toLowerCase
+    val r = rules.select(col("host"), col("agents"), col("allow"),
+      col("path_prefix"),
+      array_contains(split(col("agents"), ";"), ua).as("named"),
+      array_contains(split(col("agents"), ";"), "*").as("wild"))
+    // per host: does ANY group name the agent? (decides whether the
+    // wildcard group applies at all)
+    val hostHasNamed = r.groupBy(col("host"))
+      .agg(max(when(col("named"), 1).otherwise(0)).as("has_named"))
+    val applicable = r.join(hostHasNamed, Seq("host"))
+      .filter(col("named") ||
+        (col("wild") && col("has_named") === 0))
+    val joined = urls
+      .join(applicable, urls("host") === applicable("host"), "left")
+      .drop(applicable("host"))
+      .withColumn("matches",
+        col("path_prefix").isNotNull && col("path_prefix") =!= "" &&
+          col("path").startsWith(col("path_prefix")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(when(col("matches"), length(col("path_prefix")))
+          .otherwise(-1).desc,
+        // Allow wins length ties (RFC 9309 §5.2); rule_idx would not
+        // be a valid tiebreaker — the RFC orders by specificity only
+        col("allow").desc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("host"), col("path"),
+        (col("matches").isNull || !col("matches") || col("allow"))
+          .as("allowed"),
+        when(col("matches"), col("path_prefix")).as("matched_rule"))
   }
 
   /** URL-keyed exact dedup over a [[canonicalizeUrls]] frame: one row

@@ -183,6 +183,120 @@ object WarcQueries {
         |  FROM w WHERE reason IS NULL),
         |${WebCorpusQueries.urlCanonSqlCtes}
         |SELECT doc_id, url_canon, scheme, host, registered_domain
-        |FROM cn ORDER BY doc_id""".stripMargin))
+        |FROM cn ORDER BY doc_id""".stripMargin)),
+
+    // robots.txt parse (r19, RFC 9309 §2.2): the fixture builds one
+    // robots file per host from host-id arithmetic — CRLF endings,
+    // comments, an empty Disallow (matches nothing), an ignored
+    // Crawl-delay, multi-User-agent groups, and a host class with NO
+    // specific group — and the parser must land the exact rule frame
+    // the oracle re-derives from the same arithmetic (the encode-half
+    // discipline: no SQL parsing, the CONSTRUCTION is the oracle).
+    QuerySpec("q361_robots_parse",
+      (s, dir) => WebExtract.parseRobots(
+          robotsFixture(s, dir), "host", "robots")
+        .orderBy(col("host"), col("rule_idx")),
+      Some(s"""WITH hx AS (SELECT UNNEST(generate_series(0, 15)) AS h),
+        |a0 AS (SELECT h, 0 AS group_idx, '*' AS agents,
+        |    0 AS rule_idx, FALSE AS allow, '' AS path_prefix
+        |  FROM hx WHERE h % 6 = 0),
+        |a1 AS (SELECT h, 0, '*',
+        |    CASE WHEN h % 6 = 0 THEN 1 ELSE 0 END, FALSE,
+        |    '/private' || (h % 3) || '/' FROM hx),
+        |a2 AS (SELECT h, 0, '*',
+        |    CASE WHEN h % 6 = 0 THEN 2 ELSE 1 END, TRUE,
+        |    '/private' || (h % 3) || '/pub' FROM hx),
+        |a3 AS (SELECT h, 1, 'graftbot;otherbot',
+        |    CASE WHEN h % 6 = 0 THEN 3 ELSE 2 END, FALSE,
+        |    '/bot' || (h % 5) || '/' FROM hx WHERE h % 4 <> 0),
+        |r AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1
+        |  UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+        |SELECT 'site' || h || '.example' AS host,
+        |  CAST(group_idx AS INTEGER) AS group_idx, agents,
+        |  CAST(rule_idx AS INTEGER) AS rule_idx, allow, path_prefix
+        |FROM r ORDER BY host, rule_idx""".stripMargin)),
+
+    // robots decision (r19, RFC 9309 §5): per URL, the longest-
+    // path-match rule of the agent's group decides — the SPECIFIC
+    // group fully shadows `*` (h % 4 ≠ 0 hosts ignore the wildcard
+    // group's /private rule for graftbot), Allow wins length ties
+    // (the /private/pub lane), no match → allowed. One host-keyed
+    // join against file-bounded rules + one per-URL window: the
+    // compliance filter shape a 100 TB crawl runs.
+    QuerySpec("q362_robots_filter",
+      (s, dir) => {
+        val urls = table(s, dir, "documents").select(col("doc_id"),
+          concat(lit("site"), pmod(col("doc_id"), lit(16)),
+            lit(".example")).as("host"),
+          robotsPathExpr(col("doc_id")).as("path"))
+        WebExtract.robotsDecide(urls, "doc_id",
+            WebExtract.parseRobots(robotsFixture(s, dir), "host",
+              "robots"), "GraftBot")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+        |    'site' || (doc_id % 16) || '.example' AS host,
+        |    doc_id % 16 AS h,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '/private' || (doc_id % 16) % 3 ||
+        |        '/x' || doc_id
+        |      WHEN 1 THEN '/private' || (doc_id % 16) % 3 || '/pub/y'
+        |      WHEN 2 THEN '/bot' || (doc_id % 16) % 5 || '/z'
+        |      ELSE '/open/w' || doc_id END AS path
+        |  FROM documents)
+        |SELECT doc_id, host, path,
+        |  CASE WHEN h % 4 = 0
+        |    THEN doc_id % 4 <> 0
+        |    ELSE doc_id % 4 <> 2 END AS allowed,
+        |  CASE WHEN h % 4 = 0 AND doc_id % 4 = 0
+        |      THEN '/private' || (h % 3) || '/'
+        |    WHEN h % 4 = 0 AND doc_id % 4 = 1
+        |      THEN '/private' || (h % 3) || '/pub'
+        |    WHEN h % 4 <> 0 AND doc_id % 4 = 2
+        |      THEN '/bot' || (h % 5) || '/'
+        |  END AS matched_rule
+        |FROM u ORDER BY doc_id""".stripMargin))
   )
+
+  /** One robots.txt per host (16 hosts = doc_id mod 16, sourced from
+    * the documents table so every scale carries the same host set):
+    * CRLF line endings, a comment, group 0 = `*` with an optional
+    * empty Disallow (h ≡ 0 mod 6), /private<h%3>/ disallowed but its
+    * /pub subtree re-allowed, an ignored Crawl-delay (h ≡ 0 mod 7);
+    * group 1 = (graftbot, otherbot) disallowing /bot<h%5>/ — ABSENT
+    * for h ≡ 0 mod 4, the class that proves wildcard fallback. */
+  private def robotsFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(16)).as("h")).distinct()
+      .as[Long].map { h =>
+        val sb = new StringBuilder
+        sb ++= "# graft robots fixture\r\n"
+        sb ++= "User-agent: *\r\n"
+        if (h % 6 == 0) sb ++= "Disallow:\r\n"
+        sb ++= s"Disallow: /private${h % 3}/\r\n"
+        sb ++= s"Allow: /private${h % 3}/pub\r\n"
+        if (h % 7 == 0) sb ++= "Crawl-delay: 5\r\n"
+        if (h % 4 != 0) {
+          sb ++= "\r\n"
+          sb ++= "User-agent: GraftBot\r\n"
+          sb ++= "User-agent: OtherBot\r\n"
+          sb ++= s"Disallow: /bot${h % 5}/\r\n"
+        }
+        (s"site$h.example", sb.toString)
+      }.toDF("host", "robots")
+  }
+
+  /** The q362 URL-path formula (shared Spark/SQL construction). */
+  private def robotsPathExpr(
+      d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = pmod(d, lit(16))
+    when(pmod(d, lit(4)) === 0,
+        concat(lit("/private"), pmod(h, lit(3)), lit("/x"), d))
+      .when(pmod(d, lit(4)) === 1,
+        concat(lit("/private"), pmod(h, lit(3)), lit("/pub/y")))
+      .when(pmod(d, lit(4)) === 2,
+        concat(lit("/bot"), pmod(h, lit(5)), lit("/z")))
+      .otherwise(concat(lit("/open/w"), d))
+  }
 }

@@ -529,6 +529,57 @@ class WebCorpusSpec extends SparkSuite {
       ("http://a.com/pa/B", 1L, 3L)))
   }
 
+  test("parseRobots (r19): groups, multi-agent lines, comments, CRLF, " +
+      "empty Disallow, ignored directives, user-agent after rules " +
+      "starts a new group") {
+    import spark.implicits._
+    val txt = "# hi\r\nUSER-AGENT: *\nDisallow: /a # tail comment\n" +
+      "Crawl-delay: 7\nAllow: /a/b\n\nUser-agent: BotA\n" +
+      "user-agent: botb\nDisallow:\nDisallow: /c\n" +
+      "User-agent: late\nDisallow: /d\n"
+    val out = WebExtract.parseRobots(
+        Seq(("h1", txt)).toDF("host", "robots"), "host", "robots")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3),
+        r.getBoolean(4), r.getString(5))).sortBy(_._3)
+    assert(out.toSeq == Seq(
+      (0, "*", 0, false, "/a"),
+      (0, "*", 1, true, "/a/b"),
+      (1, "bota;botb", 2, false, ""),
+      (1, "bota;botb", 3, false, "/c"),
+      (2, "late", 4, false, "/d")))
+  }
+
+  test("robotsDecide (r19): longest match wins, Allow wins ties, " +
+      "specific group SHADOWS the wildcard, empty pattern matches " +
+      "nothing, no rules / no robots -> allowed") {
+    import spark.implicits._
+    val robots = Seq(
+      ("h1", "User-agent: *\nDisallow: /x\nAllow: /x/ok\n" +
+        "User-agent: me\nDisallow: /y\nDisallow:\n" +
+        "Allow: /y/a\nDisallow: /y/a\n"),
+      ("h2", "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "robots")
+    val rules = WebExtract.parseRobots(robots, "host", "robots")
+    val urls = Seq(
+      (1L, "h1", "/x/anything"),   // wildcard shadowed -> allowed
+      (2L, "h1", "/y/deep"),       // specific group: disallowed
+      (3L, "h1", "/y/a/file"),     // tie /y/a vs /y/a: Allow wins
+      (4L, "h1", "/z"),            // no match -> allowed
+      (5L, "h2", "/anything"),     // '/' disallows everything
+      (6L, "h3", "/no/robots"))    // host without robots -> allowed
+      .toDF("id", "host", "path")
+    val out = WebExtract.robotsDecide(urls, "id", rules, "ME")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3),
+          if (r.isNullAt(4)) null else r.getString(4)))).toMap
+    assert(out(1L) == ((true, null)))
+    assert(out(2L) == ((false, "/y")))
+    assert(out(3L) == ((true, "/y/a")))
+    assert(out(4L) == ((true, null)))
+    assert(out(5L) == ((false, "/")))
+    assert(out(6L) == ((true, null)))
+  }
+
   test("urlDupGroups: crawl-noise variants collapse to one canonical " +
       "key, distinct URLs never group") {
     val urls = Seq(
