@@ -841,6 +841,230 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** PROGRESSIVE COLOR (SOF2, 3 components) encoder from quantized
+    * coefficients (r19): the [[encodeJpegColorCoeffs]] frame geometry
+    * (luma hy×vy, chroma 1×1, two DQTs) with a progressive scan
+    * script — ONE interleaved DC scan (the only legal interleaved
+    * form, §G.1), then per-component non-interleaved AC band scans
+    * (luma bands from `bands`, each chroma as one 1..63 band), then
+    * `approxLow` bit-plane refinement passes over the same script.
+    * Restart intervals deliberately not emitted (the greyscale
+    * encoder covers RST paths). Same per-component coefficient
+    * conventions as the sequential color encoder, so the q363
+    * fixture shares q346's formulas verbatim. */
+  def encodeJpegColorProgressiveCoeffs(width: Int, height: Int,
+      hy: Int, vy: Int, quantY: (Int, Int) => Int,
+      quantC: (Int, Int) => Int, coeffY: (Int, Int, Int) => Int,
+      coeffC: (Int, Int, Int, Int) => Int,
+      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
+      approxLow: Int = 0): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 &&
+      height <= 0xffff, "encodeJpegColorProgressiveCoeffs: dims")
+    require(hy >= 1 && hy <= 4 && vy >= 1 && vy <= 4,
+      "encodeJpegColorProgressiveCoeffs: luma sampling 1..4")
+    require(bands.forall { case (ss, se) =>
+      ss >= 1 && se >= ss && se <= 63 },
+      "encodeJpegColorProgressiveCoeffs: bands 1<=Ss<=Se<=63")
+    require(approxLow >= 0 && approxLow <= 10,
+      "encodeJpegColorProgressiveCoeffs: approxLow 0..10")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m); val len = body.length + 2
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8)
+    def dqt(tq: Int, quant: (Int, Int) => Int): Unit = {
+      val q = new Array[Int](64)
+      for (k <- 0 until 64) {
+        val n = zigzag(k); val qv = quant(n % 8, n / 8)
+        require(qv >= 1 && qv <= 255,
+          s"encodeJpegColorProgressiveCoeffs: quant $qv out of range")
+        q(k) = qv
+      }
+      seg(0xdb, tq +: q)
+    }
+    dqt(0, quantY); dqt(1, quantC)
+    seg(0xc2, Array(8, (height >>> 8) & 0xff, height & 0xff,
+      (width >>> 8) & 0xff, width & 0xff, 3,
+      1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xc4, 0x00 +: (jDcBits ++ jDcVals))
+    seg(0xc4, 0x10 +: (jAcProgBits ++ jAcProgVals))
+    val dc = buildHuff(jDcBits, jDcVals).get
+    val ac = buildHuff(jAcProgBits, jAcProgVals).get
+    val mcuX = (width + 8 * hy - 1) / (8 * hy)
+    val mcuY = (height + 8 * vy - 1) / (8 * vy)
+    val lumaW = mcuX * hy
+    val trueBxN = (width + 7) / 8; val trueByN = (height + 7) / 8
+    // zigzag fetch with the sequential encoders' DC/AC validation
+    def zY(blk: Int, k: Int): Int = {
+      val n = zigzag(k); val v = coeffY(blk, n % 8, n / 8)
+      if (k == 0) require(v >= -1024 && v <= 1016, s"DC $v")
+      else require(v >= -1023 && v <= 1023, s"AC $v")
+      v
+    }
+    def zC(comp: Int)(m: Int, k: Int): Int = {
+      val n = zigzag(k); val v = coeffC(comp, m, n % 8, n / 8)
+      if (k == 0) require(v >= -1024 && v <= 1016, s"DC $v")
+      else require(v >= -1023 && v <= 1023, s"AC $v")
+      v
+    }
+    // ---- interleaved DC scan (first or refinement) ----
+    def dcScan(ah: Int, al: Int): Unit = {
+      seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0,
+        (ah << 4) | al))
+      val bw = new JBitWriter(out)
+      val preds = new Array[Int](3)
+      var m = 0
+      val total = mcuX * mcuY
+      while (m < total) {
+        val mx = m % mcuX; val my = m / mcuX
+        def put(ci: Int, v0: Int): Unit =
+          if (ah == 0) {
+            val v = v0 >> al // arithmetic point transform (§G.1.2.1)
+            val diff = v - preds(ci); preds(ci) = v
+            val t = jCategory(diff)
+            bw.put(dc.encCode(t), dc.encLen(t))
+            if (t > 0)
+              bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+          } else bw.put((v0 >> al) & 1, 1)
+        for (v2 <- 0 until vy; h2 <- 0 until hy)
+          put(0, zY((my * vy + v2) * lumaW + (mx * hy + h2), 0))
+        put(1, zC(1)(m, 0)); put(2, zC(2)(m, 0))
+        m += 1
+      }
+      bw.flush()
+    }
+    // ---- non-interleaved AC band scan, first pass ----
+    def acFirst(cs: Int, ss: Int, se: Int, al: Int, nBlk: Int,
+        zf: (Int, Int) => Int): Unit = {
+      seg(0xda, Array(1, cs, 0x00, ss, se, al))
+      val bw = new JBitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        bw.put(ac.encCode(n << 4), ac.encLen(n << 4))
+        if (n > 0) bw.put(eobrun - (1 << n), n)
+        eobrun = 0
+      }
+      var blk = 0
+      while (blk < nBlk) {
+        val z = Array.tabulate(se - ss + 1) { i =>
+          val v = zf(blk, ss + i)
+          if (v >= 0) v >> al else -((-v) >> al)
+        }
+        if (z.forall(_ == 0)) {
+          eobrun += 1
+          if (eobrun == 32767) flushEob()
+        } else {
+          flushEob()
+          var k = 0
+          while (k < z.length) {
+            var e = k
+            while (e < z.length && z(e) == 0) e += 1
+            if (e == z.length) { eobrun = 1; k = z.length }
+            else {
+              var run = e - k
+              while (run > 15) {
+                bw.put(ac.encCode(0xf0), ac.encLen(0xf0)); run -= 16
+              }
+              val sv = jCategory(z(e))
+              val sym = (run << 4) | sv
+              bw.put(ac.encCode(sym), ac.encLen(sym))
+              bw.put(if (z(e) >= 0) z(e) else z(e) + (1 << sv) - 1, sv)
+              k = e + 1
+            }
+          }
+        }
+        blk += 1
+      }
+      flushEob(); bw.flush()
+    }
+    // ---- non-interleaved AC band scan, refinement pass ----
+    def acRefine(cs: Int, ss: Int, se: Int, a: Int, nBlk: Int,
+        zf: (Int, Int) => Int): Unit = {
+      seg(0xda, Array(1, cs, 0x00, ss, se, ((a + 1) << 4) | a))
+      val bw = new JBitWriter(out)
+      var eobrun = 0
+      val beBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def emitEobrun(): Unit = {
+        if (eobrun > 0) {
+          val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+          bw.put(ac.encCode(n << 4), ac.encLen(n << 4))
+          if (n > 0) bw.put(eobrun - (1 << n), n)
+          eobrun = 0
+        }
+        beBits.foreach(bit => bw.put(bit, 1))
+        beBits.clear()
+      }
+      def emitBr(): Unit = {
+        brBits.foreach(bit => bw.put(bit, 1))
+        brBits.clear()
+      }
+      var blk = 0
+      while (blk < nBlk) {
+        val vs = Array.tabulate(se - ss + 1)(i => zf(blk, ss + i))
+        val absv = vs.map(v => (if (v < 0) -v else v) >> a)
+        val eobPos = absv.lastIndexWhere(_ == 1)
+        var r = 0
+        var i = 0
+        while (i < absv.length) {
+          val t = absv(i)
+          if (t == 0) r += 1
+          else {
+            while (r > 15 && i <= eobPos) {
+              emitEobrun()
+              bw.put(ac.encCode(0xf0), ac.encLen(0xf0)); r -= 16
+              emitBr()
+            }
+            if (t > 1) brBits += (t & 1)
+            else {
+              emitEobrun()
+              val sym = (r << 4) | 1
+              bw.put(ac.encCode(sym), ac.encLen(sym))
+              bw.put(if (vs(i) >= 0) 1 else 0, 1)
+              emitBr()
+              r = 0
+            }
+          }
+          i += 1
+        }
+        if (r > 0 || brBits.nonEmpty) {
+          eobrun += 1
+          beBits ++= brBits; brBits.clear()
+          if (eobrun == 32767 || beBits.length > 937) emitEobrun()
+        }
+        blk += 1
+      }
+      emitEobrun(); bw.flush()
+    }
+    // luma AC scans enumerate the TRUE ceil grid, fetching from the
+    // MCU-padded raster coeffY indexes (the decoder's mapping)
+    def zYTrue(blk: Int, k: Int): Int =
+      zY((blk / trueBxN) * lumaW + (blk % trueBxN), k)
+    val nChroma = mcuX * mcuY
+    // first passes
+    dcScan(0, approxLow)
+    for ((ss, se) <- bands)
+      acFirst(1, ss, se, approxLow, trueBxN * trueByN, zYTrue)
+    acFirst(2, 1, 63, approxLow, nChroma, zC(1))
+    acFirst(3, 1, 63, approxLow, nChroma, zC(2))
+    // refinement passes, one bit plane per pass
+    var a = approxLow - 1
+    while (a >= 0) {
+      dcScan(a + 1, a)
+      for ((ss, se) <- bands)
+        acRefine(1, ss, se, a, trueBxN * trueByN, zYTrue)
+      acRefine(2, 1, 63, a, nChroma, zC(1))
+      acRefine(3, 1, 63, a, nChroma, zC(2))
+      a -= 1
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** COMPLETE baseline COLOR JPEG encoder from quantized coefficients
     * (r18): SOF0 with Nf = 3 — luma at (hy × vy) sampling, both
     * chroma at 1×1 (hy = vy = 2 is 4:2:0; hy = 2, vy = 1 is 4:2:2;
@@ -1074,8 +1298,9 @@ object Multimodal {
     * plane, AC before DC), `unsupported` (valid JPEG outside this
     * tier: extended / arithmetic SOFs, 12-bit precision, > 4
     * components, sequential multi-scan files, downsampled luma,
-    * > 64M pixels, MULTI-COMPONENT progressive, progressive over 2²²
-    * pixels — the buffered-coefficient bound), `bad_huffman`
+    * > 64M pixels, PARTIAL-interleave progressive scans (1 < Ns <
+    * Nf), progressive over 2²² pixels — the buffered-coefficient
+    * bound), `bad_huffman`
     * (infeasible DHT, a 16-bit prefix
     * matching no code, coefficient index overflow, or a
     * missing/misnumbered restart marker). Every declared size is
@@ -1180,17 +1405,35 @@ object Multimodal {
             if (w.toLong * h > 64L * 1024 * 1024)
               return Left("unsupported")
             if (sof == 0xc2) {
-              // progressive tier: single-component (greyscale) only
-              // (multi-component progressive = per-component
-              // non-interleaved AC scans over distinct block grids —
-              // valid JPEG outside this tier), and a tighter pixel
-              // cap: unlike sequential, progressive must BUFFER every
-              // quantized coefficient until EOI (64 ints/block), so
-              // admission is 2²² pixels ≈ 16 MB of buffer per row
-              if (nf != 1) return Left("unsupported")
+              // progressive tier (r19; multi-component since the
+              // color extension): luma must be full-resolution (the
+              // sequential tier's contract) so its coefficient grid
+              // carries the output; chroma scans are entropy-
+              // consumed (interleaved DC) or marker-skipped
+              // (non-interleaved — entropy data cannot contain a
+              // bare FF, so the next scan is findable WITHOUT
+              // decoding). Tighter pixel cap than sequential:
+              // progressive must BUFFER every luma coefficient until
+              // EOI (64 ints/block), so admission is 2²² pixels
+              // ≈ 16 MB of buffer per row
+              if (nf > 1) {
+                val hm = compH.max; val vm = compV.max
+                if (compH(0) != hm || compV(0) != vm)
+                  return Left("unsupported")
+              }
               if (w.toLong * h > (1L << 22)) return Left("unsupported")
               progressive = true
-              zAll = Array.ofDim[Int](((w + 7) / 8) * ((h + 7) / 8), 64)
+              // luma grid is MCU-PADDED (interleaved DC scans walk
+              // full MCUs); non-interleaved scans cover the TRUE
+              // ceil(w/8)×ceil(h/8) grid and map into it
+              val hm = compH.max; val vm = compV.max
+              val mx = if (nf == 1) (w + 7) / 8
+                else (w + 8 * hm - 1) / (8 * hm)
+              val my = if (nf == 1) (h + 7) / 8
+                else (h + 8 * vm - 1) / (8 * vm)
+              val gw = mx * (if (nf == 1) 1 else compH(0))
+              val gh = my * (if (nf == 1) 1 else compV(0))
+              zAll = Array.ofDim[Int](gw * gh, 64)
             }
             sawSof = true
           case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc2 &&
@@ -1222,162 +1465,281 @@ object Multimodal {
               u8(b, tail + 2) != 0) return Left("unsupported")
             sosPos = end
           case 0xda => // progressive scan (r19, T.81 §G)
-            // Ns = 1 (the frame is single-component by admission)
-            if (end - body < 6) return Left("bad_header")
-            if (u8(b, body) != 1) return Left("bad_header")
-            if (u8(b, body + 1) != compId(0)) return Left("bad_header")
-            val td = u8(b, body + 2) >> 4; val ta = u8(b, body + 2) & 15
-            val ss = u8(b, body + 3); val se = u8(b, body + 4)
-            val ah = u8(b, body + 5) >> 4; val al = u8(b, body + 5) & 15
+            val nf = compId.length
+            if (end - body < 1) return Left("bad_header")
+            val ns = u8(b, body)
+            if (ns < 1 || ns > nf || end - body < 1 + 2 * ns + 3)
+              return Left("bad_header")
+            val tail = body + 1 + 2 * ns
+            val ss = u8(b, tail); val se = u8(b, tail + 1)
+            val ah = u8(b, tail + 2) >> 4; val al = u8(b, tail + 2) & 15
             // §G.1.1.1.1: a scan codes EITHER the DC coefficient
             // (Ss = Se = 0) or an AC band 1 ≤ Ss ≤ Se ≤ 63; the DC
-            // scan must precede any AC scan of its component. A
-            // full-range Ss=0,Se=63 "sequential" scan inside an SOF2
-            // frame is invalid — bad_header, not unsupported.
+            // scan must precede any AC scan of its component; a
+            // refinement must step exactly one bit plane
+            // (Ah = Al + 1, §G.1.1.1.2). A full-range Ss=0,Se=63
+            // "sequential" scan inside an SOF2 frame is invalid —
+            // bad_header, not unsupported.
+            val refine = ah != 0
             val isDc = ss == 0 && se == 0
             if (!isDc && !(ss >= 1 && se >= ss && se <= 63))
               return Left("bad_header")
-            if (!isDc && !progDcDone) return Left("bad_header")
-            // successive approximation (r19): a FIRST scan has Ah=0
-            // and point transform Al; a REFINEMENT scan must step
-            // one bit (Ah = Al + 1, §G.1.1.1.2) — any other chain is
-            // an invalid scan script
-            val refine = ah != 0
             if (al > 13 || (refine && ah != al + 1))
               return Left("bad_header")
             if (quantT(compTq(0)) == null) return Left("bad_header")
-            // DC refinement scans carry raw bits only — no table read
-            val huff = if (isDc) {
-              if (refine) null
-              else {
-                if (td > 3 || dcT(td) == null) return Left("bad_header")
-                dcT(td)
-              }
-            } else {
-              if (ta > 3 || acT(ta) == null) return Left("bad_header")
-              acT(ta)
+            val scanCi = new Array[Int](ns)
+            val scanTd = new Array[Int](ns); val scanTa = new Array[Int](ns)
+            for (i <- 0 until ns) {
+              val ci = compId.indexOf(u8(b, body + 1 + 2 * i))
+              if (ci < 0) return Left("bad_header")
+              // scan components follow SOF order (T.81 B.2.3)
+              if (i > 0 && ci <= scanCi(i - 1)) return Left("bad_header")
+              scanCi(i) = ci
+              scanTd(i) = u8(b, body + 2 + 2 * i) >> 4
+              scanTa(i) = u8(b, body + 2 + 2 * i) & 15
             }
-            val rd = new JpegBitReader(b, end)
-            val nBlk = zAll.length
+            // interleaved AC scans are illegal (§G.1); a PARTIAL
+            // interleave (1 < Ns < Nf) would need per-subset MCU
+            // geometry — valid JPEG outside this tier
+            if (ns > 1 && !isDc) return Left("bad_header")
+            if (ns > 1 && ns != nf) return Left("unsupported")
+            // luma coefficient grid (MCU-padded) + the TRUE grid
+            // non-interleaved scans cover
+            val hm = compH.max; val vm = compV.max
+            val mcx = if (nf == 1) (w + 7) / 8
+              else (w + 8 * hm - 1) / (8 * hm)
+            val mcy = if (nf == 1) (h + 7) / 8
+              else (h + 8 * vm - 1) / (8 * vm)
+            val g1h = if (nf == 1) 1 else compH(0)
+            val g1v = if (nf == 1) 1 else compV(0)
+            val lumaW = mcx * g1h
+            val trueBxN = (w + 7) / 8; val trueByN = (h + 7) / 8
             val p1 = 1 << al; val m1 = -(1 << al)
-            var pred = 0; var eobrun = 0
-            var rstExpect = 0
-            var blk = 0
-            while (blk < nBlk && rd.err == null) {
-              if (dri > 0 && blk > 0 && blk % dri == 0) {
-                rd.alignByte(); eobrun = 0
-                if (rd.p + 1 >= b.length) rd.err = "truncated"
-                else if (u8(b, rd.p) != 0xff ||
-                  u8(b, rd.p + 1) != 0xd0 + rstExpect)
-                  rd.err = "bad_huffman"
-                else {
-                  rd.p += 2; rstExpect = (rstExpect + 1) % 8
-                  pred = 0
-                }
+            if (ns == 1 && scanCi(0) != 0) {
+              // chroma-only scan: the output is the luma plane, and
+              // entropy data cannot contain a bare 0xFF (§F.1.2.3
+              // stuffing), so the next marker is findable WITHOUT
+              // decoding — skip over data and RSTms byte-wise
+              var q = end; var stop = false
+              while (!stop) {
+                if (q + 1 >= b.length) { q = b.length; stop = true }
+                else if (u8(b, q) == 0xff) {
+                  val n2 = u8(b, q + 1)
+                  if (n2 == 0x00 || (n2 >= 0xd0 && n2 <= 0xd7)) q += 2
+                  else stop = true
+                } else q += 1
               }
-              if (rd.err == null) {
-                val z = zAll(blk)
-                if (isDc && !refine) {
-                  // DC first scan: diffs in the Al-shifted domain
-                  val t = rd.decodeSym(huff)
-                  if (rd.err == null) {
-                    if (t > 15) rd.err = "bad_huffman"
-                    else { pred += rd.receiveExtend(t); z(0) = pred << al }
-                  }
-                } else if (isDc) {
-                  // DC refinement: one raw bit, OR'd into the two's-
-                  // complement partial value (§G.1.2.1 — arithmetic
-                  // shift on encode makes this exact for negatives)
-                  val bit = rd.nextBit()
-                  if (rd.err == null && bit == 1) z(0) |= p1
-                } else if (!refine) {
-                  // AC first scan (§G.1.2.2): spectral selection with
-                  // EOBn runs, values scaled by the point transform
-                  if (eobrun > 0) eobrun -= 1
+              progScans += 1
+              progPos = q
+            } else if (ns > 1) {
+              // INTERLEAVED DC scan (first or refinement): the full
+              // MCU walk — luma coefficients land in zAll, chroma
+              // DCs are entropy-consumed (first) or cost one raw bit
+              // (refinement) to keep the stream in sync, then drop
+              if (!refine)
+                for (i <- 0 until ns)
+                  if (scanTd(i) > 3 || dcT(scanTd(i)) == null)
+                    return Left("bad_header")
+              val rd = new JpegBitReader(b, end)
+              val preds = new Array[Int](ns)
+              var rstExpect = 0
+              var m = 0
+              val totalMcu = mcx * mcy
+              while (m < totalMcu && rd.err == null) {
+                if (dri > 0 && m > 0 && m % dri == 0) {
+                  rd.alignByte()
+                  if (rd.p + 1 >= b.length) rd.err = "truncated"
+                  else if (u8(b, rd.p) != 0xff ||
+                    u8(b, rd.p + 1) != 0xd0 + rstExpect)
+                    rd.err = "bad_huffman"
                   else {
-                    var k = ss
-                    while (k <= se && rd.err == null) {
-                      val sym = rd.decodeSym(huff)
-                      if (rd.err == null) {
-                        val run = sym >> 4; val s = sym & 15
-                        if (s == 0) {
-                          if (run == 15) k += 16 // ZRL
-                          else {
-                            // EOBn: 2^run + `run` raw bits, THIS
-                            // block included
-                            eobrun = (1 << run) + rd.receive(run) - 1
-                            k = 64
+                    rd.p += 2; rstExpect = (rstExpect + 1) % 8
+                    java.util.Arrays.fill(preds, 0)
+                  }
+                }
+                if (rd.err == null) {
+                  val mx0 = m % mcx; val my0 = m / mcx
+                  var i = 0
+                  while (i < ns && rd.err == null) {
+                    val ci = scanCi(i)
+                    val ch = compH(ci); val cv = compV(ci)
+                    var v2 = 0
+                    while (v2 < cv && rd.err == null) {
+                      var h2 = 0
+                      while (h2 < ch && rd.err == null) {
+                        if (!refine) {
+                          val t = rd.decodeSym(dcT(scanTd(i)))
+                          if (rd.err == null) {
+                            if (t > 15) rd.err = "bad_huffman"
+                            else {
+                              preds(i) += rd.receiveExtend(t)
+                              if (ci == 0) {
+                                val blk = (my0 * cv + v2) * lumaW +
+                                  (mx0 * ch + h2)
+                                zAll(blk)(0) = preds(i) << al
+                              }
+                            }
                           }
                         } else {
-                          k += run
-                          if (k > se) rd.err = "bad_huffman"
-                          else {
-                            z(k) = rd.receiveExtend(s) << al; k += 1
+                          val bit = rd.nextBit()
+                          if (rd.err == null && bit == 1 && ci == 0) {
+                            val blk = (my0 * cv + v2) * lumaW +
+                              (mx0 * ch + h2)
+                            zAll(blk)(0) |= p1
                           }
                         }
+                        h2 += 1
                       }
+                      v2 += 1
                     }
+                    i += 1
                   }
-                } else {
-                  // AC refinement (§G.1.2.3): newly-significant
-                  // coefficients arrive as ±2^Al; every position with
-                  // NONZERO history consumes a correction bit — runs
-                  // and ZRL count only zero-history positions, and
-                  // EOB-run blocks still pay their correction bits
-                  var k = ss
-                  if (eobrun == 0) {
-                    var eobSet = false
-                    while (k <= se && rd.err == null && !eobSet) {
-                      val sym = rd.decodeSym(huff)
-                      if (rd.err == null) {
-                        var run = sym >> 4; val s = sym & 15
-                        var newVal = 0
-                        if (s != 0) {
-                          if (s != 1) rd.err = "bad_huffman"
-                          else newVal =
-                            if (rd.nextBit() == 1) p1 else m1
-                        } else if (run != 15) {
-                          eobrun = (1 << run) + rd.receive(run)
-                          eobSet = true // this block finishes below
-                        }
-                        if (rd.err == null && !eobSet) {
-                          var done = false
-                          while (k <= se && !done && rd.err == null) {
-                            if (z(k) != 0) {
-                              val bit = rd.nextBit()
-                              if (rd.err == null && bit == 1 &&
-                                (z(k) & p1) == 0)
-                                z(k) += (if (z(k) >= 0) p1 else m1)
-                            } else if (run == 0) {
-                              if (s != 0) z(k) = newVal
-                              done = true
-                            } else run -= 1
-                            k += 1
-                          }
-                        }
-                      }
-                    }
-                  }
-                  if (eobrun > 0 && rd.err == null) {
-                    while (k <= se && rd.err == null) {
-                      if (z(k) != 0) {
-                        val bit = rd.nextBit()
-                        if (rd.err == null && bit == 1 &&
-                          (z(k) & p1) == 0)
-                          z(k) += (if (z(k) >= 0) p1 else m1)
-                      }
-                      k += 1
-                    }
-                    eobrun -= 1
-                  }
+                  m += 1
                 }
               }
-              blk += 1
+              if (rd.err != null) return Left(rd.err)
+              if (!refine) progDcDone = true
+              progScans += 1
+              progPos = rd.p
+            } else {
+              // single-component LUMA scan — blocks raster over the
+              // TRUE ceil grid, mapped into the MCU-padded store
+              if (!isDc && !progDcDone) return Left("bad_header")
+              val huff = if (isDc) {
+                if (refine) null
+                else {
+                  if (scanTd(0) > 3 || dcT(scanTd(0)) == null)
+                    return Left("bad_header")
+                  dcT(scanTd(0))
+                }
+              } else {
+                if (scanTa(0) > 3 || acT(scanTa(0)) == null)
+                  return Left("bad_header")
+                acT(scanTa(0))
+              }
+              val rd = new JpegBitReader(b, end)
+              val nBlk = trueBxN * trueByN
+              def zOfBlk(blk: Int): Array[Int] =
+                zAll((blk / trueBxN) * lumaW + (blk % trueBxN))
+              var pred = 0; var eobrun = 0
+              var rstExpect = 0
+              var blk = 0
+              while (blk < nBlk && rd.err == null) {
+                if (dri > 0 && blk > 0 && blk % dri == 0) {
+                  rd.alignByte(); eobrun = 0
+                  if (rd.p + 1 >= b.length) rd.err = "truncated"
+                  else if (u8(b, rd.p) != 0xff ||
+                    u8(b, rd.p + 1) != 0xd0 + rstExpect)
+                    rd.err = "bad_huffman"
+                  else {
+                    rd.p += 2; rstExpect = (rstExpect + 1) % 8
+                    pred = 0
+                  }
+                }
+                if (rd.err == null) {
+                  val z = zOfBlk(blk)
+                  if (isDc && !refine) {
+                    // DC first scan: diffs in the Al-shifted domain
+                    val t = rd.decodeSym(huff)
+                    if (rd.err == null) {
+                      if (t > 15) rd.err = "bad_huffman"
+                      else { pred += rd.receiveExtend(t); z(0) = pred << al }
+                    }
+                  } else if (isDc) {
+                    // DC refinement: one raw bit, OR'd into the two's-
+                    // complement partial value (§G.1.2.1 — arithmetic
+                    // shift on encode makes this exact for negatives)
+                    val bit = rd.nextBit()
+                    if (rd.err == null && bit == 1) z(0) |= p1
+                  } else if (!refine) {
+                    // AC first scan (§G.1.2.2): spectral selection with
+                    // EOBn runs, values scaled by the point transform
+                    if (eobrun > 0) eobrun -= 1
+                    else {
+                      var k = ss
+                      while (k <= se && rd.err == null) {
+                        val sym = rd.decodeSym(huff)
+                        if (rd.err == null) {
+                          val run = sym >> 4; val sv = sym & 15
+                          if (sv == 0) {
+                            if (run == 15) k += 16 // ZRL
+                            else {
+                              // EOBn: 2^run + `run` raw bits, THIS
+                              // block included
+                              eobrun = (1 << run) + rd.receive(run) - 1
+                              k = 64
+                            }
+                          } else {
+                            k += run
+                            if (k > se) rd.err = "bad_huffman"
+                            else {
+                              z(k) = rd.receiveExtend(sv) << al; k += 1
+                            }
+                          }
+                        }
+                      }
+                    }
+                  } else {
+                    // AC refinement (§G.1.2.3): newly-significant
+                    // coefficients arrive as ±2^Al; every position with
+                    // NONZERO history consumes a correction bit — runs
+                    // and ZRL count only zero-history positions, and
+                    // EOB-run blocks still pay their correction bits
+                    var k = ss
+                    if (eobrun == 0) {
+                      var eobSet = false
+                      while (k <= se && rd.err == null && !eobSet) {
+                        val sym = rd.decodeSym(huff)
+                        if (rd.err == null) {
+                          var run = sym >> 4; val sv = sym & 15
+                          var newVal = 0
+                          if (sv != 0) {
+                            if (sv != 1) rd.err = "bad_huffman"
+                            else newVal =
+                              if (rd.nextBit() == 1) p1 else m1
+                          } else if (run != 15) {
+                            eobrun = (1 << run) + rd.receive(run)
+                            eobSet = true // this block finishes below
+                          }
+                          if (rd.err == null && !eobSet) {
+                            var done = false
+                            while (k <= se && !done && rd.err == null) {
+                              if (z(k) != 0) {
+                                val bit = rd.nextBit()
+                                if (rd.err == null && bit == 1 &&
+                                  (z(k) & p1) == 0)
+                                  z(k) += (if (z(k) >= 0) p1 else m1)
+                              } else if (run == 0) {
+                                if (sv != 0) z(k) = newVal
+                                done = true
+                              } else run -= 1
+                              k += 1
+                            }
+                          }
+                        }
+                      }
+                    }
+                    if (eobrun > 0 && rd.err == null) {
+                      while (k <= se && rd.err == null) {
+                        if (z(k) != 0) {
+                          val bit = rd.nextBit()
+                          if (rd.err == null && bit == 1 &&
+                            (z(k) & p1) == 0)
+                            z(k) += (if (z(k) >= 0) p1 else m1)
+                        }
+                        k += 1
+                      }
+                      eobrun -= 1
+                    }
+                  }
+                }
+                blk += 1
+              }
+              if (rd.err != null) return Left(rd.err)
+              if (isDc && !refine) progDcDone = true
+              progScans += 1
+              progPos = rd.p
             }
-            if (rd.err != null) return Left(rd.err)
-            if (isDc && !refine) progDcDone = true
-            progScans += 1
-            progPos = rd.p
           case _ => () // APPn / COM / others: length-skipped
         }
         if (sosPos < 0)
@@ -1392,7 +1754,10 @@ object Multimodal {
     // decodes to IDENTICAL pixels (the q359 cross-container pin) ----
     if (progEoi) {
       val qt = quantT(compTq(0))
-      val bxN = (w + 7) / 8
+      // block-grid width of the (possibly MCU-padded) luma store
+      val nfr = compId.length
+      val bxN = if (nfr == 1) (w + 7) / 8
+        else ((w + 8 * compH.max - 1) / (8 * compH.max)) * compH(0)
       val px = new Array[Int](w * h)
       var blk = 0
       while (blk < zAll.length) {

@@ -305,6 +305,50 @@ object PerceptualQueries {
     }.toDF("media_id", "kind", "media")
   }
 
+  /** COLOR PROGRESSIVE container of the q346 coefficient formulas
+    * (r19): 4:2:0 SOF2 — ONE interleaved DC scan, luma AC bands,
+    * chroma AC scans the decoder marker-skips — at Al = 2 with two
+    * full refinement passes on doc_id ≡ 1 mod 3 (spectral-only
+    * otherwise). Same luma coefficients as q337/q346 → the SAME
+    * pixel oracle: the cross-container pin now spans five forms.
+    * Dead lanes: % 11 truncated in DQT; % 13 patches the interleaved
+    * DC scan's band to (1,5) — an interleaved AC scan, illegal §G.1
+    * (→ bad_header). */
+  private[graft] def jpegColorProgressiveFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val h32 = (id * 2654435761L) % 4294967296L
+      def quantY(u: Int, v: Int): Int =
+        (1 + (2 * u + 3 * v + id) % 6).toInt
+      def coeffY(blk: Int, u: Int, v: Int): Int =
+        if (u == 0 && v == 0) (((h32 >> (7 * blk)) & 127) - 64).toInt
+        else if ((3 * u + 5 * v + id + blk) % 7 < 2)
+          (((id + 11 * u + 17 * v + 23 * blk) % 15) - 7).toInt
+        else 0
+      def quantC(u: Int, v: Int): Int = 3 + (u + v) % 4
+      def coeffC(comp: Int, m: Int, u: Int, v: Int): Int =
+        if ((u + v + comp + id + m) % 5 < 2)
+          (((id + 5 * u + 3 * v + 7 * comp) % 9) - 4).toInt
+        else 0
+      val full = Multimodal.encodeJpegColorProgressiveCoeffs(16, 16,
+        2, 2, quantY, quantC, coeffY, coeffC,
+        bands = if (id % 3 == 0) Seq((1, 63)) else Seq((1, 5), (6, 63)),
+        approxLow = if (id % 3 == 1) 2 else 0)
+      val payload =
+        if (id % 11 == 0) full.take(24)
+        else if (id % 13 == 0) {
+          val c = full.clone()
+          val at = (0 until c.length - 1).indexWhere(i =>
+            (c(i) & 0xff) == 0xff && (c(i + 1) & 0xff) == 0xda)
+          require(at > 0 && (c(at + 11) & 0xff) == 0 &&
+            (c(at + 12) & 0xff) == 0, "color-prog fixture drifted")
+          c(at + 11) = 0x01.toByte; c(at + 12) = 0x05.toByte; c
+        } else full
+      (id, "jpeg", payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
   /** The JPEG fixture's decoded pixels as DuckDB CTEs: quantized
     * coefficients from the doc_id formula, dequantized, then the
     * decoder's EXACT two-stage integer IDCT over the shared
@@ -1054,6 +1098,37 @@ object PerceptualQueries {
     QuerySpec("q360_jpeg_progressive_sa",
       (s, dir) => Multimodal.pngPixelStats(s,
           jpegProgressiveSaFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some(s"""WITH ${jpegPixelSql(
+          "doc_id % 11 <> 0 AND doc_id % 13 <> 0")},
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM((py * 16 + px_ + 1) * p) AS BIGINT) AS swp
+        |  FROM jpx GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_header' END AS reason,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // COLOR PROGRESSIVE luma decode (r19, closing the progressive
+    // matrix): interleaved DC scan (per-component predictors, luma
+    // stored, chroma entropy-consumed), per-component AC scans with
+    // the chroma ones SKIPPED by marker scan (entropy data cannot
+    // contain a bare FF — the skip needs no decode), mixed
+    // spectral/SA per doc. Same luma coefficients as q337 → the one
+    // pixel oracle now pins FIVE containers: sequential grey,
+    // sequential color, progressive grey, SA grey, progressive
+    // color.
+    QuerySpec("q363_jpeg_color_progressive",
+      (s, dir) => Multimodal.pngPixelStats(s,
+          jpegColorProgressiveFixture(s, dir))
         .orderBy(col("media_id")),
       Some(s"""WITH ${jpegPixelSql(
           "doc_id % 11 <> 0 AND doc_id % 13 <> 0")},

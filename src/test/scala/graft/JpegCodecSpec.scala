@@ -266,6 +266,50 @@ class JpegCodecSpec extends SparkSuite {
     assert(Multimodal.decodeJpegGray(broken) == Left("bad_header"))
   }
 
+  test("color progressive (r19): interleaved DC + per-component AC " +
+      "scans decode the luma EXACTLY as the sequential color " +
+      "container — 4:2:0/4:2:2/4:4:4, spectral and SA, chroma scans " +
+      "marker-skipped") {
+    def quantY(u: Int, v: Int): Int = 1 + (2 * u + 3 * v) % 6
+    def quantC(u: Int, v: Int): Int = 3 + (u + v) % 4
+    def coeffC(comp: Int, m: Int, u: Int, v: Int): Int =
+      if ((u + v + comp + m) % 5 < 2) (((m + 5 * u + 3 * v +
+        7 * comp) % 9) - 4)
+      else 0
+    for ((hy, vy, w, h) <- Seq((2, 2, 16, 16), (2, 1, 16, 16),
+        (1, 1, 16, 16), (2, 2, 24, 16))) {
+      val lumaW = ((w + 8 * hy - 1) / (8 * hy)) * hy
+      def coeffY(blk: Int, u: Int, v: Int): Int = {
+        val bx = blk % lumaW; val by = blk / lumaW
+        if (u == 0 && v == 0) ((bx * 37 + by * 59 + 11) % 128) - 64
+        else if ((3 * u + 5 * v + blk) % 7 < 2)
+          ((blk + 11 * u + 17 * v) % 15) - 7
+        else 0
+      }
+      val Right((_, _, seqPx)) = Multimodal.decodeJpegGray(
+        Multimodal.encodeJpegColorCoeffs(w, h, hy, vy, quantY, quantC,
+          coeffY, coeffC))
+      for (al <- Seq(0, 2)) {
+        val prog = Multimodal.encodeJpegColorProgressiveCoeffs(w, h,
+          hy, vy, quantY, quantC, coeffY, coeffC,
+          Seq((1, 5), (6, 63)), approxLow = al)
+        val Right((_, _, p)) = Multimodal.decodeJpegGray(prog)
+        assert(p.sameElements(seqPx), s"hy=$hy vy=$vy w=$w al=$al")
+      }
+    }
+    // interleaved AC scan is illegal: patch a color progressive
+    // stream's interleaved DC SOS band to (1,5) -> bad_header
+    val cp = Multimodal.encodeJpegColorProgressiveCoeffs(16, 16, 2, 2,
+      quantY, quantC, (_, _, _) => 0, (_, _, _, _) => 0)
+    val at = (0 until cp.length - 1).indexWhere(i =>
+      (cp(i) & 0xff) == 0xff && (cp(i + 1) & 0xff) == 0xda)
+    // SOS(Ns=3): FF DA len2 03 [1 00 2 00 3 00] Ss Se AhAl
+    assert((cp(at + 11) & 0xff) == 0 && (cp(at + 12) & 0xff) == 0)
+    val badAc = cp.clone()
+    badAc(at + 11) = 0x01.toByte; badAc(at + 12) = 0x05.toByte
+    assert(Multimodal.decodeJpegGray(badAc) == Left("bad_header"))
+  }
+
   test("progressive dead lanes (r19): successive approximation, " +
       "color SOF2, sequential-scan-in-SOF2, AC-before-DC, mid-scan " +
       "truncation, oversized buffer admission") {
@@ -280,13 +324,15 @@ class JpegCodecSpec extends SparkSuite {
     assert(sosAt > 0 && (prog(sosAt + 9) & 0xff) == 0)
     val sa = prog.clone(); sa(sosAt + 9) = 0x0e.toByte
     assert(Multimodal.decodeJpegGray(sa) == Left("bad_header"))
-    // color container patched to SOF2: progressive tier is grey-only
+    // color container patched to SOF2 (color progressive DECODES
+    // since the r19 completion): its interleaved FULL-RANGE scan is
+    // an interleaved AC scan — illegal §G.1 -> bad_header
     val color = Multimodal.encodeJpegColorCoeffs(16, 16, 2, 2,
       quant, quant, coeff, (_, _, _, _) => 0)
     val colAt = (0 until color.length - 1).indexWhere(i =>
       (color(i) & 0xff) == 0xff && (color(i + 1) & 0xff) == 0xc0)
     val colProg = color.clone(); colProg(colAt + 1) = 0xc2.toByte
-    assert(Multimodal.decodeJpegGray(colProg) == Left("unsupported"))
+    assert(Multimodal.decodeJpegGray(colProg) == Left("bad_header"))
     // a SEQUENTIAL stream whose SOF0 is patched to SOF2 (the q337
     // %13 lane): its full-range Ss=0,Se=63 scan is an invalid
     // progressive scan header -> bad_header (not unsupported)
