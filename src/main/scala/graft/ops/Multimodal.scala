@@ -3077,6 +3077,66 @@ object Multimodal {
       pngChunk("IEND", Array.emptyByteArray)
   }
 
+  /** COMPLETE truecolour PNG encoder (r19 — colour type 2, or 6 with
+    * a constant alpha when `alpha` ≥ 0): the [[encodePngGray]]
+    * machinery with bpp-wide byte filtering (§9: `left` references
+    * the corresponding byte of the pixel bpp bytes back). Fixture
+    * source for the q364 color-PNG gate. */
+  def encodePngColor(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int), filterForRow: Int => Int,
+      alpha: Int = -1): Array[Byte] = {
+    require(width > 0 && height > 0, "encodePngColor: positive dims")
+    val bpp = if (alpha >= 0) 4 else 3
+    val rowBytes = width * bpp
+    val raw = Array.ofDim[Int](height, rowBytes)
+    for (y <- 0 until height; x <- 0 until width) {
+      val (r, g, b0) = pixel(x, y)
+      raw(y)(x * bpp) = r & 0xff
+      raw(y)(x * bpp + 1) = g & 0xff
+      raw(y)(x * bpp + 2) = b0 & 0xff
+      if (bpp == 4) raw(y)(x * bpp + 3) = alpha & 0xff
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      val f = filterForRow(y)
+      require(f >= 0 && f <= 4, s"encodePngColor: filter $f not in [0,4]")
+      filtered.write(f)
+      for (x <- 0 until rowBytes) {
+        val left = if (x >= bpp) raw(y)(x - bpp) else 0
+        val up = if (y > 0) raw(y - 1)(x) else 0
+        val ul = if (x >= bpp && y > 0) raw(y - 1)(x - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        filtered.write((raw(y)(x) - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((width >>> 24) & 0xff).toByte
+    ihdr(1) = ((width >>> 16) & 0xff).toByte
+    ihdr(2) = ((width >>> 8) & 0xff).toByte
+    ihdr(3) = (width & 0xff).toByte
+    ihdr(4) = ((height >>> 24) & 0xff).toByte
+    ihdr(5) = ((height >>> 16) & 0xff).toByte
+    ihdr(6) = ((height >>> 8) & 0xff).toByte
+    ihdr(7) = (height & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = (if (bpp == 4) 6 else 2).toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    PngSig.map(_.toByte) ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", z.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
   /** Full greyscale pixel decode: chunk walk with per-chunk CRC
     * verification, IDAT concatenation, zlib inflate, and §9.2
     * defiltering with all five predictors. Dead-letter reasons extend
@@ -3092,7 +3152,7 @@ object Multimodal {
     if ((0 until 8).exists(i => u8(b, i) != PngSig(i)))
       return Left("bad_magic")
     var pos = 8
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var bpp = 1
     var sawIhdr = false; var sawEnd = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawEnd) {
@@ -3115,10 +3175,15 @@ object Multimodal {
           if (pngChannels(ct).isEmpty ||
             !Set(1, 2, 4, 8, 16).contains(depth))
             return Left("bad_header")
-          if (depth != 8 || ct != 0) return Left("unsupported")
+          // r19: truecolour (2) and truecolour+alpha (6) join the
+          // tier — web PNGs are overwhelmingly RGB(A); the output
+          // stays the luma plane (the JPEG color tier's contract)
+          if (depth != 8 || !(ct == 0 || ct == 2 || ct == 6))
+            return Left("unsupported")
           if (u8(b, pos + 18) != 0 || u8(b, pos + 19) != 0 ||
             u8(b, pos + 20) != 0) return Left("unsupported")
           w = ww.toInt; h = hh.toInt; sawIhdr = true
+          bpp = if (ct == 0) 1 else if (ct == 2) 3 else 4
         case "IDAT" =>
           if (!sawIhdr) return Left("bad_header")
           idat.write(b, pos + 8, n)
@@ -3129,9 +3194,12 @@ object Multimodal {
       }
       pos += 12 + n
     }
-    // a scanline = 1 filter byte + width samples; h·(1+w) total
+    // a scanline = 1 filter byte + width·bpp sample bytes (§9:
+    // filters operate on BYTES; `left` is the corresponding byte of
+    // the pixel bpp bytes back)
     if (w.toLong * h > 64L * 1024 * 1024) return Left("unsupported")
-    val expect = h * (1 + w)
+    val rowBytes = w * bpp
+    val expect = h * (1 + rowBytes)
     val flt = new Array[Byte](expect)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -3152,20 +3220,22 @@ object Multimodal {
     inflated match {
       case Left(r) => Left(r)
       case Right(_) =>
-        val px = new Array[Int](w * h)
+        val chan = new Array[Byte](h * rowBytes)
         var badFilter = false
         var y = 0
         while (y < h && !badFilter) {
-          val f = flt(y * (w + 1)) & 0xff
+          val f = flt(y * (rowBytes + 1)) & 0xff
           if (f > 4) badFilter = true
           else {
             var x = 0
-            while (x < w) {
-              val v = flt(y * (w + 1) + 1 + x) & 0xff
-              val left = if (x > 0) px(y * w + x - 1) else 0
-              val up = if (y > 0) px((y - 1) * w + x) else 0
-              val ul =
-                if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+            while (x < rowBytes) {
+              val v = flt(y * (rowBytes + 1) + 1 + x) & 0xff
+              val left =
+                if (x >= bpp) chan(y * rowBytes + x - bpp) & 0xff else 0
+              val up =
+                if (y > 0) chan((y - 1) * rowBytes + x) & 0xff else 0
+              val ul = if (x >= bpp && y > 0)
+                chan((y - 1) * rowBytes + x - bpp) & 0xff else 0
               val pred = f match {
                 case 0 => 0
                 case 1 => left
@@ -3173,13 +3243,33 @@ object Multimodal {
                 case 3 => (left + up) / 2
                 case _ => paeth(left, up, ul)
               }
-              px(y * w + x) = (v + pred) & 0xff
+              chan(y * rowBytes + x) = ((v + pred) & 0xff).toByte
               x += 1
             }
           }
           y += 1
         }
-        if (badFilter) Left("bad_filter") else Right((w, h, px))
+        if (badFilter) Left("bad_filter")
+        else {
+          val px = new Array[Int](w * h)
+          if (bpp == 1) {
+            var i = 0
+            while (i < px.length) { px(i) = chan(i) & 0xff; i += 1 }
+          } else {
+            // REC.601 integer luma, round-half-up in ONE division —
+            // the exact rule color-PNG oracles replay; alpha (bpp 4)
+            // is ignored, the luma-plane contract
+            var i = 0
+            while (i < px.length) {
+              val o = i * bpp
+              px(i) = (299 * (chan(o) & 0xff) +
+                587 * (chan(o + 1) & 0xff) +
+                114 * (chan(o + 2) & 0xff) + 500) / 1000
+              i += 1
+            }
+          }
+          Right((w, h, px))
+        }
     }
   }
 

@@ -349,6 +349,34 @@ object PerceptualQueries {
     }.toDF("media_id", "kind", "media")
   }
 
+  /** COLOR PNG fixture (r19): 16×16 truecolour payloads whose R/G/B
+    * channels derive from doc_id formulas, rows cycling ALL five §9.2
+    * filters (byte-wide defiltering at bpp 3/4 is what the gate
+    * pins); every fourth doc is RGBA (ct 6, constant alpha — ignored,
+    * so its luma equals the RGB twin's rule). Dead lanes: % 11
+    * truncates inside the signature; % 13 flips an IDAT payload byte
+    * (→ bad_crc, the chunk-checksum lane). */
+  private[graft] def pngColorFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      def rgb(x: Int, y: Int): (Int, Int, Int) =
+        (((x * 7 + y * 3 + id) % 256).toInt,
+          ((x * 2 + y * 11 + id * 5) % 256).toInt,
+          ((x * 13 + y + id * 3) % 256).toInt)
+      val full = Multimodal.encodePngColor(16, 16, rgb, y => y % 5,
+        alpha = if (id % 4 == 0) 128 else -1)
+      val payload =
+        if (id % 11 == 0) full.take(20)
+        else if (id % 13 == 0) {
+          val c = full.clone()
+          require(c.length > 47, "color-png fixture drifted")
+          c(46) = (c(46) ^ 0x55).toByte; c // inside IDAT data
+        } else full
+      (id, "image", payload)
+    }.toDF("media_id", "kind", "media")
+  }
+
   /** The JPEG fixture's decoded pixels as DuckDB CTEs: quantized
     * coefficients from the doc_id formula, dequantized, then the
     * decoder's EXACT two-stage integer IDCT over the shared
@@ -1140,6 +1168,40 @@ object PerceptualQueries {
         |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
         |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
         |       WHEN d.doc_id % 13 = 0 THEN 'bad_header' END AS reason,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS width,
+        |  CASE WHEN st.doc_id IS NOT NULL
+        |    THEN CAST(16 AS INTEGER) END AS height,
+        |  st.np AS n_pixels, st.sp AS sum_pix, st.swp AS sum_wpix
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY media_id""".stripMargin)),
+
+    // COLOR PNG luma decode (r19 — web PNGs are overwhelmingly
+    // RGB(A); the grey-only tier silently dead-lettered them as
+    // unsupported): §9.2 defiltering generalized to BYTE-wide
+    // predictors at bpp 3/4, then ONE exact REC.601 integer luma
+    // division per pixel (alpha ignored — the luma-plane contract
+    // the JPEG color tier set). The oracle derives every channel
+    // from the doc_id formula and replays the same division; RGBA
+    // docs land the SAME luma as their RGB construction, pinning
+    // alpha-transparency.
+    QuerySpec("q364_png_color_luma",
+      (s, dir) => Multimodal.pngPixelStats(s, pngColorFixture(s, dir))
+        .orderBy(col("media_id")),
+      Some("""WITH g AS (SELECT doc_id, x, y,
+        |    (299 * ((x*7 + y*3 + doc_id) % 256) +
+        |     587 * ((x*2 + y*11 + doc_id*5) % 256) +
+        |     114 * ((x*13 + y + doc_id*3) % 256) + 500) // 1000 AS p
+        |  FROM documents, range(0, 16) tx(x), range(0, 16) ty(y)
+        |  WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0),
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    CAST(SUM((y * 16 + x + 1) * p) AS BIGINT) AS swp
+        |  FROM g GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  d.doc_id % 11 <> 0 AND d.doc_id % 13 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 11 = 0 THEN 'truncated'
+        |       WHEN d.doc_id % 13 = 0 THEN 'bad_crc' END AS reason,
         |  CASE WHEN st.doc_id IS NOT NULL
         |    THEN CAST(16 AS INTEGER) END AS width,
         |  CASE WHEN st.doc_id IS NOT NULL

@@ -361,6 +361,31 @@ class JpegCodecSpec extends SparkSuite {
     assert(Multimodal.decodeJpegGray(big) == Left("unsupported"))
   }
 
+  test("color PNG (r19): RGB and RGBA round-trip through byte-wide " +
+      "defiltering to the exact REC.601 integer luma; alpha ignored; " +
+      "grey path byte-identical to before") {
+    def rgb(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 7 + y * 3) % 256, (x * 2 + y * 11 + 5) % 256,
+        (x * 13 + y + 3) % 256)
+    def luma(x: Int, y: Int): Int = {
+      val (r, g, b0) = rgb(x, y)
+      (299 * r + 587 * g + 114 * b0 + 500) / 1000
+    }
+    for (alpha <- Seq(-1, 128); fMode <- Seq(0, 1)) {
+      val png = Multimodal.encodePngColor(16, 16, rgb,
+        y => if (fMode == 0) y % 5 else 4, alpha)
+      val Right((w, h, px)) = Multimodal.decodePngGray(png)
+      assert(w == 16 && h == 16)
+      val bad = (0 until 256).filter(i => px(i) != luma(i % 16, i / 16))
+      assert(bad.isEmpty, s"alpha=$alpha fMode=$fMode bad=$bad")
+    }
+    // a 1-pixel-wide color image: the left reference is always the
+    // zero boundary (x >= bpp never fires on the first pixel)
+    val thin = Multimodal.encodePngColor(1, 4, rgb, _ => 1)
+    val Right((_, _, tp)) = Multimodal.decodePngGray(thin)
+    assert(tp.toSeq == (0 until 4).map(y => luma(0, y)))
+  }
+
   test("jpegSofMarker (r19): first SOF through DQT/DHT/DRI hops; " +
       "progressive patch reads C2; truncation/garbage/PNG read None") {
     val bytes = Multimodal.encodeJpegGrayCoeffs(16, 16, quantFormula,
