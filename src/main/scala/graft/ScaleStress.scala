@@ -344,7 +344,8 @@ object ScaleStress {
       "q337_jpeg_pixel_decode", "q339_mixed_neardup_e2e",
       "q341_url_dedup", "q342_domain_pagerank_join",
       "q343_ann_index_append_steady", "q345_audio_band_pairs",
-      "q353_warc_records", "q354_warc_text_chain", "q355_warc_url_chain")
+      "q353_warc_records", "q354_warc_text_chain", "q355_warc_url_chain",
+      "q362_robots_filter")
 
     /** Queries whose workload lives in the key/node space — routed to
       * the graph-shaped synthesis dir. */

@@ -380,10 +380,14 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodePngGray(corrupt) == Left("bad_crc"))
     assert(Multimodal.decodePngGray(
       "not a png at all".getBytes("US-ASCII")) == Left("bad_magic"))
-    // header-only truecolour PNG: valid container, outside this
-    // greyscale-8 tier
+    // truecolour DECODES since r19 — a header-only ct=2 container
+    // now reads truncated (no IDAT data); palette (ct=3) stays the
+    // unsupported lane
     assert(Multimodal.decodePngGray(
       Multimodal.encodePng(4, 4, colorType = 2, bitDepth = 8)) ==
+      Left("truncated"))
+    assert(Multimodal.decodePngGray(
+      Multimodal.encodePng(4, 4, colorType = 3, bitDepth = 8)) ==
       Left("unsupported"))
     // filter byte 7: rebuild the stream with a corrupt scanline —
     // deflate(7 ++ row) wrapped in hand-built chunks with REAL CRCs,
