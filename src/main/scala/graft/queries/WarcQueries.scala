@@ -255,8 +255,70 @@ object WarcQueries {
         |    WHEN h % 4 <> 0 AND doc_id % 4 = 2
         |      THEN '/bot' || (h % 5) || '/'
         |  END AS matched_rule
+        |FROM u ORDER BY doc_id""".stripMargin)),
+
+    // The full crawl-compliance composition (r19): WARC records →
+    // URL canonicalization → robots decision, ONE plan from crawl
+    // bytes to the fetch-compliant URL set. Per-host robots re-allow
+    // the /d/<first-digit-class> subtree under a blanket /d/
+    // disallow, so the decision needs the canonicalized host AND the
+    // longest-match window to land — the oracle replays target
+    // derivation, canonical host/path, and the decision table from
+    // doc_id arithmetic alone.
+    QuerySpec("q365_warc_compliance_chain",
+      (s, dir) => {
+        val recs = WarcSource.records(s, warcFixture(s, dir),
+            "file_id", "data", maxPayload = GateMaxPayload)
+          .filter(col("ok"))
+          .select(regexp_extract(col("target_uri"), "/d/([0-9]+)", 1)
+            .cast("long").as("doc_id"), col("target_uri"))
+        val canon = WebExtract.canonicalizeUrls(recs, "doc_id",
+            "target_uri")
+          .filter(col("ok"))
+          .select(col("doc_id"), col("host"),
+            regexp_extract(col("url_canon"),
+              "^[a-z]+://[^/]+(/[^?#]*)", 1).as("path"))
+        WebExtract.robotsDecide(canon, "doc_id",
+            WebExtract.parseRobots(warcRobotsFixture(s, dir),
+              "host", "robots"), "graftbot")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $warcDeriveSql,
+        |u AS (SELECT doc_id,
+        |    'www.host' || (doc_id % 40) || '.example.com' AS host,
+        |    '/d/' || doc_id AS path,
+        |    (doc_id % 40) % 4 AS k
+        |  FROM w WHERE reason IS NULL)
+        |SELECT doc_id, host, path,
+        |  substr(CAST(doc_id AS VARCHAR), 1, 1) = CAST(k AS VARCHAR)
+        |    AS allowed,
+        |  CASE WHEN substr(CAST(doc_id AS VARCHAR), 1, 1) =
+        |      CAST(k AS VARCHAR)
+        |    THEN '/d/' || k ELSE '/d/' END AS matched_rule
         |FROM u ORDER BY doc_id""".stripMargin))
   )
+
+  /** q365: the full crawl-compliance composition — container records
+    * → canonical URLs → robots decision, in one plan. Declared here
+    * so the three operators' fixtures stay the ONE source of truth:
+    * the WARC fixture's target hosts (`www.hostN.example.com`) carry
+    * robots built by the SAME per-host arithmetic as q361's, keyed on
+    * N = doc_id % 40 this time, so the oracle replays target
+    * derivation, canonicalization, and the decision table without
+    * parsing a byte. */
+  private def warcRobotsFixture(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(40)).as("n")).distinct()
+      .as[Long].map { n =>
+        val sb = new StringBuilder
+        sb ++= "User-agent: *\r\n"
+        sb ++= s"Disallow: /d/\r\n"
+        sb ++= s"Allow: /d/${n % 4}\r\n"
+        (s"www.host$n.example.com", sb.toString)
+      }.toDF("host", "robots")
+  }
 
   /** One robots.txt per host (16 hosts = doc_id mod 16, sourced from
     * the documents table so every scale carries the same host set):
