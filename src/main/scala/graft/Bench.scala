@@ -50,6 +50,17 @@ object Bench {
       .config("spark.scheduler.listenerbus.eventqueue.capacity", "160000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ordered-dump sort rewrite (r19 optimization round, guide §2.4):
+    // every gate's trailing ORDER BY otherwise plans as a range
+    // exchange whose bounds-sampling job re-executes the child plan —
+    // scan-shaped queries pay their per-row work twice per rep. The
+    // rule turns the dump sort into gather-to-1 + local sort
+    // (identical rows, identical order — see OrderedDumpSortRule).
+    // Opt-out for A/B measurement: SPARK_GRAFT_SINGLE_PART_SORT=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_SINGLE_PART_SORT", "1") != "0")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.OrderedDumpSortRule
     // force every query object's init (fixture-prewarm registration
     // happens there), then build every /tmp fixture root OUTSIDE the
     // timed loop: a cold /tmp otherwise pays index/model builds

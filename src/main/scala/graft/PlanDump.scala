@@ -15,6 +15,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // mirror Bench/Verify's ordered-dump sort rewrite so dumped plans
+    // are the plans the bench actually runs (opt-out with the same
+    // env: SPARK_GRAFT_SINGLE_PART_SORT=0)
+    if (sys.env.getOrElse("SPARK_GRAFT_SINGLE_PART_SORT", "1") != "0")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.OrderedDumpSortRule
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q04_semijoin_fk", "q07_merge_scd2",
         "q26_ngram_jaccard", "q30_ann_bruteforce")

@@ -21,6 +21,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same ordered-dump sort rewrite as Bench (r19 optimization
+    // round): identical rows in identical order, minus the range
+    // exchange's bounds-sampling re-execution of every child plan —
+    // Verify's 365-query dump pays the same double-compute the bench
+    // does. Opt-out: SPARK_GRAFT_SINGLE_PART_SORT=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_SINGLE_PART_SORT", "1") != "0")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.OrderedDumpSortRule
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
