@@ -56,20 +56,27 @@ object Graph {
     // plan's partitioning), so every round's rank⋈e join reuses the
     // hash(__src) layout with NO exchange on the edge side — the
     // in-memory analogue of bucketing the adjacency by source.
+    // r19 optimization: the out-degree is FOLDED into the checkpointed
+    // adjacency as a per-row __deg column (a source's degree repeats
+    // on each of its out-edges — |e| longs, not a third frame), so
+    // every iteration pays ONE join (ranks⋈e) instead of two
+    // (ranks⋈e⋈deg) and the separate deg checkpoint job disappears —
+    // measured 2 jobs/round + 1 eager job off the fixed cost of the
+    // unrolled loop (guide §2.4). The degree window runs inside the
+    // one checkpoint job over the hash(__src) layout the repartition
+    // just established, exchange-free.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct().repartition(col("__src")).localCheckpoint(true)
+      .distinct().repartition(col("__src"))
+      .withColumn("__deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))))
+      .localCheckpoint(true)
     val nodes = e.select(col("__src").as("id"))
       .union(e.select(col("__dst").as("id"))).distinct().localCheckpoint(true)
-    // e is already hash(__src)-partitioned, so this groupBy is
-    // exchange-free and deg lands co-partitioned with e
-    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint(true)
     val base = (100L - dampingPct) * 10000L
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
       val mass = e
         .join(ranks.withColumnRenamed("id", "__src"), Seq("__src"))
-        .join(deg, Seq("__src"))
         .select(col("__dst").as("id"),
           expr("rank_micro div __deg").as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__m"))
@@ -97,20 +104,23 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     // same once-materialization + hash(__src) pre-partitioning as
     // pageRankMicro (see comment there)
+    // same degree-fold as pageRankMicro (r19): the per-source total
+    // out-weight rides the checkpointed adjacency as a window sum, so
+    // each round joins once and the tot checkpoint job disappears
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(weightCol).cast("long").as("__w"))
       .groupBy(col("__src"), col("__dst")).agg(sum(col("__w")).as("__w"))
-      .repartition(col("__src")).localCheckpoint(true)
+      .repartition(col("__src"))
+      .withColumn("__tw", sum(col("__w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))))
+      .localCheckpoint(true)
     val nodes = e.select(col("__src").as("id"))
       .union(e.select(col("__dst").as("id"))).distinct().localCheckpoint(true)
-    val tot = e.groupBy(col("__src")).agg(sum(col("__w")).as("__tw"))
-      .localCheckpoint(true)
     val base = (100L - dampingPct) * 10000L
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
       val mass = e
         .join(ranks.withColumnRenamed("id", "__src"), Seq("__src"))
-        .join(tot, Seq("__src"))
         .select(col("__dst").as("id"),
           expr("(rank_micro * __w) div __tw").as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__m"))

@@ -167,14 +167,19 @@ object WebExtract {
     * decoder on either side. */
   private[graft] def pctNormalize(
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    // fast path: most crawl URLs carry no escape at all, and the
-    // split/transform/conv machinery costs ~3× a plain projection —
-    // a contains() guard keeps the common case at scan speed
-    // (semantics identical: with no '%', the split yields one part
-    // and the surgery is the identity)
-    when(!c.contains("%"), c).otherwise(pctNormalizeFull(c))
+    // r19 optimization: ONE custom codegen expression
+    // ([[graft.functions.PctNormalizeExpr]]) replaces the
+    // split/transform/conv column machinery — same rules, same
+    // output bytes, same no-'%' fast path (now inside the
+    // expression), but a single plan node instead of ~80: the column
+    // form's tree was re-walked by every Catalyst analysis/AQE pass
+    // of every composing gate, and dominated driver time (measured,
+    // see urlExpressions.scala). pctNormalizeFull stays as the
+    // column-form reference implementation; WebCorpusSpec pins the
+    // two equal on the crafted rule matrix.
+    graft.functions.urlfns.pct_normalize(c)
 
-  private def pctNormalizeFull(
+  private[graft] def pctNormalizeFull(
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val parts = split(c, "%", -1)
     val tail = transform(
@@ -200,17 +205,16 @@ object WebExtract {
     * [[PublicSuffixSnapshot]], else last-2 (else the host itself for
     * single-label hosts). `try_element_at` keeps out-of-range label
     * indexes null (→ the condition fails) instead of ANSI-throwing. */
-  private def registeredDomainCol(host: org.apache.spark.sql.Column) = {
-    val labels = split(host, "\\.")
-    val lastTwo = concat(try_element_at(labels, lit(-2)), lit("."),
-      try_element_at(labels, lit(-1)))
-    val suffixArr = array(PublicSuffixSnapshot.map(lit): _*)
-    when(host.rlike("^[0-9.]+$"), host)
-      .when(size(labels) >= 3 && array_contains(suffixArr, lastTwo),
-        concat(try_element_at(labels, lit(-3)), lit("."), lastTwo))
-      .when(size(labels) >= 2, lastTwo)
-      .otherwise(host)
-  }
+  private def registeredDomainCol(host: org.apache.spark.sql.Column) =
+    // r19 optimization: one custom codegen expression
+    // ([[graft.functions.RegisteredDomainExpr]]) with the suffix
+    // snapshot as Scala state — the prior column form embedded the
+    // snapshot as a 250-Literal ARRAY node, and Catalyst
+    // canonicalization hashed every literal on every optimizer/AQE
+    // pass of every composing gate (thread-dump-measured driver
+    // cost, see urlExpressions.scala). Same label algebra, same
+    // output bytes; WebCorpusSpec's suffix matrix pins it.
+    graft.functions.urlfns.registered_domain(host, PublicSuffixSnapshot)
 
   /** Canonicalize a URL column (RFC 3986 normalization subset, the
     * rules URL-keyed dedup needs to be stable under crawl noise):
@@ -240,9 +244,18 @@ object WebExtract {
     * registered_domain) — `reason` ∈ (no_scheme, no_host); `port` is
     * the canonical port (null when default/absent). Pure
     * projection — zero shuffle, whole-stage codegen, 100 TB-safe by
-    * construction. */
+    * construction.
+    *
+    * `passthrough` (r19 optimization round): extra input columns
+    * carried verbatim into the output projection. A caller that needs
+    * TWO canonical forms per row (a document's own URL and its
+    * outlink, the q342 shape) chains two calls with passthrough
+    * instead of joining two one-call frames back on the id — the
+    * whole dual canonicalization then fuses into ONE codegen'd
+    * projection over one scan, no shuffle join (guide §2.4). */
   def canonicalizeUrls(df: DataFrame, idCol: String, urlCol: String,
-      trackingParams: Seq[String] = DefaultTrackingParams): DataFrame = {
+      trackingParams: Seq[String] = DefaultTrackingParams,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val url = coalesce(col(urlCol).cast("string"), lit(""))
     val scheme = lower(
       regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -264,25 +277,47 @@ object WebExtract {
     val paramsSorted = array_sort(params)
     val queryC = when(size(paramsSorted) > 0,
       concat(lit("?"), array_join(paramsSorted, "&"))).otherwise(lit(""))
-    val portC = when(port === "" ||
-        (scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"), lit(""))
-      .otherwise(concat(lit(":"), port))
-    val ok = scheme =!= "" && host =!= ""
-    val reason = when(scheme === "", lit("no_scheme"))
-      .when(host === "", lit("no_host"))
-    df.select(col(idCol), ok.as("ok"), reason.as("reason"),
-      when(ok, concat(scheme, lit("://"), host, portC, pathC, queryC))
-        .as("url_canon"),
-      when(ok, scheme).as("scheme"),
-      when(ok, host).as("host"),
+    // r19 optimization: TWO stacked projections, not one. The single
+    // select referenced the `host` tree (pct-normalize machinery)
+    // three times (host, url_canon, registered_domain — the latter
+    // adding the suffix-snapshot literal array) and `scheme`/`port`
+    // twice each, so the flattened expression tree ran to thousands
+    // of nodes — and every Catalyst ANALYSIS of any Dataset chained
+    // on top re-walked all of it, dominating wall-clock for the
+    // canonicalize-composing gates (q342: 4.9 s of 5.3 s in plan
+    // construction, measured by JobProfile's phase split). Stage 1
+    // computes each heavy subtree ONCE; stage 2 derives the output
+    // columns from cheap attribute references. CollapseProject leaves
+    // the split alone (it refuses to inline non-cheap expressions
+    // referenced more than once), and the two Projects fuse into the
+    // same single codegen stage at execution — per-row work and
+    // results are byte-identical.
+    val stage1 = df.select((Seq(col(idCol), scheme.as("__scheme"),
+      host.as("__host"), port.as("__port"), pathC.as("__pathc"),
+      queryC.as("__queryc")) ++ passthrough.map(col)): _*)
+    val schemeA = col("__scheme")
+    val hostA = col("__host")
+    val portA = col("__port")
+    val portC = when(portA === "" ||
+        (schemeA === "http" && portA === "80") ||
+        (schemeA === "https" && portA === "443"), lit(""))
+      .otherwise(concat(lit(":"), portA))
+    val ok = schemeA =!= "" && hostA =!= ""
+    val reason = when(schemeA === "", lit("no_scheme"))
+      .when(hostA === "", lit("no_host"))
+    stage1.select((Seq(col(idCol), ok.as("ok"), reason.as("reason"),
+      when(ok, concat(schemeA, lit("://"), hostA, portC, col("__pathc"),
+        col("__queryc"))).as("url_canon"),
+      when(ok, schemeA).as("scheme"),
+      when(ok, hostA).as("host"),
       // ≤ 9 digits before the cast: an ANSI cast of a crafted
       // 12-digit "port" would THROW mid-scan instead of
       // dead-lettering; 9 digits < 2³¹ casts safely, anything longer
       // stays null (the canonical string keeps it verbatim either way)
-      when(ok && portC =!= "" && port.rlike("^[0-9]{1,9}$"),
-        port.cast("int")).as("port"),
-      when(ok, registeredDomainCol(host)).as("registered_domain"))
+      when(ok && portC =!= "" && portA.rlike("^[0-9]{1,9}$"),
+        portA.cast("int")).as("port"),
+      when(ok, registeredDomainCol(hostA)).as("registered_domain")) ++
+      passthrough.map(col)): _*)
   }
 
   // -------------------------------------------------------------------

@@ -838,17 +838,29 @@ object WebCorpusQueries {
         val own = WebExtract.canonicalizeUrls(
           docs.select(col("doc_id"), urlExpr(col("doc_id")).as("url")),
           "doc_id", "url")
-        val out = WebExtract.canonicalizeUrls(
-          docs.select(col("doc_id"),
-            urlExpr(col("doc_id") * 7 + 3).as("url")),
-          "doc_id", "url")
-        val edges = own.filter(col("ok"))
-          .select(col("doc_id"), col("registered_domain").as("src"))
-          .join(out.filter(col("ok"))
-            .select(col("doc_id"), col("registered_domain").as("dst")),
-            Seq("doc_id"))
-          .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst"))
+        // r19 optimization (guide §2.4, remove shuffles outright):
+        // own+out canonicalized in ONE fused projection per row via
+        // the passthrough chain — the old shape joined two one-call
+        // frames back on doc_id, a shuffle join whose two sides were
+        // row-aligned projections of the SAME scan. Inner join on
+        // the unique doc_id == row-wise conjunction, so
+        // filter(ok_own ∧ ok_out ∧ src ≠ dst) yields the identical
+        // edge multiset (PageRank DISTINCTs it as before).
+        val dual = WebExtract.canonicalizeUrls(
+          WebExtract.canonicalizeUrls(
+              docs.select(col("doc_id"),
+                urlExpr(col("doc_id")).as("url"),
+                urlExpr(col("doc_id") * 7 + 3).as("__out_url")),
+              "doc_id", "url", passthrough = Seq("__out_url"))
+            .select(col("doc_id"), col("ok").as("__ok_own"),
+              col("registered_domain").as("__src"), col("__out_url")),
+          "doc_id", "__out_url",
+          passthrough = Seq("__ok_own", "__src"))
+        val edges = dual
+          .filter(col("__ok_own") && col("ok") &&
+            col("__src") =!= col("registered_domain"))
+          .select(col("__src").as("src"),
+            col("registered_domain").as("dst"))
         val pr = graft.ops.Graph.pageRankMicro(edges, "src", "dst",
           iters = 3)
         own.filter(col("ok"))

@@ -594,4 +594,50 @@ class WebCorpusSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq(("http://a.com/x?a=2&b=1", 1L, 3L)))
   }
+
+  test("r19 expression parity: PctNormalizeExpr ≡ the column-form " +
+      "pctNormalizeFull, RegisteredDomainExpr ≡ the literal-array " +
+      "label algebra, over the crafted rule matrix + byte soup") {
+    // the optimization swapped the built-in-function trees for single
+    // codegen expressions; this pins the swap output-identical
+    val crafted = Seq(
+      "", "%", "%%", "a%", "%4", "%41", "%41%42", "x%2fY", "%2F",
+      "%25 41", "%2541", "%7e", "%7E~", "%zz", "%4g", "a%61b%2Ec",
+      "no-escapes-here", "%genuinely%bad%", "%0a", "%FF", "%ff0",
+      "tr%C3%A4ils", "%2e%2E.", "a%2db-c%5Fd", "pct%20space")
+    val soup = (1 to 200).map { i =>
+      val r = new scala.util.Random(i)
+      (1 to r.nextInt(20)).map(_ =>
+        "ab%AF014fg.:/?#&=~_-".charAt(r.nextInt(20))).mkString
+    }
+    val in = (crafted ++ soup).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val both = in.select(col("id"),
+      graft.functions.urlfns.pct_normalize(col("s")).as("expr_out"),
+      WebExtract.pctNormalizeFull(col("s")).as("col_out"))
+      .collect()
+    both.foreach(r => assert(r.get(1) == r.get(2),
+      s"pct mismatch on id ${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}"))
+
+    val hosts = Seq("example.com", "www.example.co.uk", "a.b.c.gov.br",
+      "localhost", "10.0.0.1", "1.2.3.4.5", "x.", ".x", "..",
+      "single", "deep.sub.domain.example.ac.jp", "co.uk", "uk",
+      "shop.example.com.ng", "weird..double", "ends.with.dot.")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "h")
+    val suffixArr = array(WebExtract.PublicSuffixSnapshot.map(lit): _*)
+    val labels = split(col("h"), "\\.")
+    val lastTwo = concat(try_element_at(labels, lit(-2)), lit("."),
+      try_element_at(labels, lit(-1)))
+    val oldForm = when(col("h").rlike("^[0-9.]+$"), col("h"))
+      .when(size(labels) >= 3 && array_contains(suffixArr, lastTwo),
+        concat(try_element_at(labels, lit(-3)), lit("."), lastTwo))
+      .when(size(labels) >= 2, lastTwo)
+      .otherwise(col("h"))
+    val rd = hosts.select(col("id"),
+      graft.functions.urlfns.registered_domain(col("h"),
+        WebExtract.PublicSuffixSnapshot).as("expr_out"),
+      oldForm.as("col_out")).collect()
+    rd.foreach(r => assert(r.get(1) == r.get(2),
+      s"rd mismatch on id ${r.getLong(0)}: ${r.get(1)} vs ${r.get(2)}"))
+  }
 }
