@@ -744,8 +744,39 @@ object EventAnalytics {
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val probs = (1 until p).map(_.toDouble / p).toArray
-    if (probs.isEmpty) Array.empty[Double]
-    else df.select(col(ordCol).cast("double").as("__o"))
+    if (probs.isEmpty) return Array.empty[Double]
+    // r19 optimization (guide §2, scale-adaptive partitioning): the
+    // GK bounds pass is a SEPARATE driver action — one more Spark job
+    // that re-executes the whole upstream frame per skew-safe call,
+    // and the ~30 gates composing this machinery pay it 1-4× each.
+    // Slice bounds affect ONLY load balance, never results (the
+    // documented sharing contract above), so when the optimizer's own
+    // size estimate says the frame fits comfortably in a single
+    // window partition there is nothing to balance: skip the pass and
+    // run unsliced (slice ≡ 0 — the plain per-key window). The
+    // threshold is a size in BYTES from the plan's statistics, not a
+    // local-core-count constant: at data scale the estimate exceeds
+    // it (unknown estimates default to spark.sql.defaultSizeInBytes =
+    // Long.Max) and the GK path runs exactly as before — the skew
+    // protection is only ever dropped when the whole frame is
+    // single-task-sized anyway.
+    //
+    // The skip returns ONE constant boundary (two slices), not an
+    // empty array: with no boundary the slice column folds to a
+    // LITERAL, the (slice, key) equi-join keys constant-fold away,
+    // and the skew-safe self-joins degenerate into the
+    // CartesianProduct/BNL shapes PlanSpec's sweep rejects (observed
+    // on the lit-keyed drift reports and the range-condition rank
+    // picks). A constant boundary keeps the slice a genuine row
+    // function — same plan shape, no quantile job; the constant's
+    // VALUE is irrelevant by the balance-only contract.
+    val smallBytes = df.sparkSession.conf
+      .get("spark.graft.skewslice.smallBytes", (64L << 20).toString).toLong
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Exception => BigInt(Long.MaxValue) }
+    if (est <= smallBytes) return Array(0.0)
+    df.select(col(ordCol).cast("double").as("__o"))
       .stat.approxQuantile("__o", probs, 0.001).distinct.sorted
   }
 
