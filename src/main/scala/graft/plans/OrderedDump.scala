@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.{Expand, Filter, Generate, GlobalLimit, LeafNode, LocalLimit, LogicalPlan, Project, Repartition, Sort, SubqueryAlias, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Expand, Filter, Generate, GlobalLimit, Join, LeafNode, LocalLimit, LogicalPlan, Project, Repartition, Sort, SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Ordered-dump sort rewrite (optimization guide §2.4: "an `orderBy`
@@ -83,13 +83,24 @@ object OrderedDumpSortRule extends Rule[LogicalPlan] {
   }
 
   /** True when the subtree plans with no exchange of its own: a chain
-    * of per-row operators over leaves. Whitelist, not blacklist — an
-    * operator kind this rule has not reasoned about keeps the
-    * original global sort. */
+    * of per-row operators over leaves — plus joins whose build side is
+    * explicitly BROADCAST-hinted (the ops' `broadcast(...)` wrapping)
+    * and whose streamed side is itself narrow: the streamed side never
+    * shuffles, and the broadcast build is materialized once and
+    * REUSED by the range sort's sampling pass, so the sampling job
+    * re-runs the whole streamed scan — the same double-compute the
+    * scan-shaped class pays. Whitelist, not blacklist — an operator
+    * kind this rule has not reasoned about keeps the original global
+    * sort. */
   private def isNarrow(p: LogicalPlan): Boolean = p match {
     case _: Project | _: Filter | _: Generate | _: Expand |
         _: Union | _: SubqueryAlias =>
       p.children.forall(isNarrow)
+    case j: Join =>
+      def bcast(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+        h.exists(_.strategy.contains(BROADCAST))
+      (bcast(j.hint.leftHint) && isNarrow(j.right)) ||
+        (bcast(j.hint.rightHint) && isNarrow(j.left))
     case _: LeafNode => true
     case _ => false
   }
