@@ -29,21 +29,6 @@ object QuerySpec {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Hand-placed ordered-dump sort (r19 optimization round): the
-    * gather-to-1 + local-sort plan [[graft.plans.OrderedDumpSortRule]]
-    * applies automatically to scan-shaped queries, for call sites
-    * where the rule's conservative narrow-child guard cannot fire but
-    * an A/B measurement shows the global sort's range-bounds sampling
-    * pass re-executing an expensive child fragment (e.g. a broadcast
-    * join over a heavy per-row projection). Identical rows in
-    * identical order — the sort columns are a total order per the
-    * oracle contract, and a one-partition local sort IS a total
-    * order. Use ONLY with a measured before/after (the rewrite is a
-    * small regression when AQE already coalesced the child to one
-    * partition, where the global sort was exchange-free). */
-  def dumpOrdered(df: DataFrame,
-      cols: org.apache.spark.sql.Column*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
 
   /** The events table, with `ts` surfaced as a microsecond
     * TimestampType regardless of how the driver generated the parquet:
