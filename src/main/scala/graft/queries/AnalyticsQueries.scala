@@ -1244,8 +1244,11 @@ object AnalyticsQueries {
     // triad (HLL q167, histogram q183, CMS here); per-group
     // hash-exact state, cell-wise-sum merge per group.
     QuerySpec("q186_cms_grouped",
+      // Scans.spread (r19): the 2xMd5-per-row CMS lanes ran in the
+      // single-split scan task - one 1.27s job on one core (profiled)
       (s, dir) => graft.ops.Sketches.cmsSketchBy(
-          table(s, dir, "lineitem"), Seq("l_returnflag"), "l_suppkey",
+          graft.ops.Scans.spread(table(s, dir, "lineitem")),
+          Seq("l_returnflag"), "l_suppkey",
           depth = 2, width = 64)
         .orderBy(col("l_returnflag"), col("r"), col("pos")),
       Some {
@@ -2935,8 +2938,10 @@ object AnalyticsQueries {
     // U+0001 sentinel with U+0000 for null fields, matching the
     // exact struct's null-keeping semantics.
     QuerySpec("q239_key_profile_approx",
+      // Scans.spread (r19): four md5 HLL lanes per row in the
+      // single-split scan task - one 1.47s job on one core (profiled)
       (s, dir) => graft.ops.Profile.keyProfileApproxStats(
-          table(s, dir, "lineitem"),
+          graft.ops.Scans.spread(table(s, dir, "lineitem")),
           Seq(Seq("l_orderkey"), Seq("l_partkey"), Seq("l_suppkey"),
             Seq("l_orderkey", "l_linenumber")),
           portable = true)

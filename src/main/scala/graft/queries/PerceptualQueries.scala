@@ -126,7 +126,8 @@ object PerceptualQueries {
   private[graft] def mp4VideoFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long]
+    graft.ops.Scans.spread(
+        table(s, dir, "documents").select(col("doc_id"))).as[Long]
       .filter(_ % 4 == 0)
       .map { id =>
         val g = id / 8
@@ -239,7 +240,8 @@ object PerceptualQueries {
   private[graft] def jpegProgressiveFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    graft.ops.Scans.spread(
+        table(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       val h32 = (id * 2654435761L) % 4294967296L
       def quant(u: Int, v: Int): Int =
         (1 + (2 * u + 3 * v + id) % 6).toInt
@@ -277,7 +279,8 @@ object PerceptualQueries {
   private[graft] def jpegProgressiveSaFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    graft.ops.Scans.spread(
+        table(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       val h32 = (id * 2654435761L) % 4294967296L
       def quant(u: Int, v: Int): Int =
         (1 + (2 * u + 3 * v + id) % 6).toInt
@@ -317,7 +320,8 @@ object PerceptualQueries {
   private[graft] def jpegColorProgressiveFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    graft.ops.Scans.spread(
+        table(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       val h32 = (id * 2654435761L) % 4294967296L
       def quantY(u: Int, v: Int): Int =
         (1 + (2 * u + 3 * v + id) % 6).toInt
@@ -359,7 +363,8 @@ object PerceptualQueries {
   private[graft] def pngColorFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    graft.ops.Scans.spread(
+        table(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       def rgb(x: Int, y: Int): (Int, Int, Int) =
         (((x * 7 + y * 3 + id) % 256).toInt,
           ((x * 2 + y * 11 + id * 5) % 256).toInt,
@@ -424,7 +429,8 @@ object PerceptualQueries {
   private[graft] def jpegColorFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    graft.ops.Scans.spread(
+        table(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       val h32 = (id * 2654435761L) % 4294967296L
       def quantY(u: Int, v: Int): Int =
         (1 + (2 * u + 3 * v + id) % 6).toInt
@@ -464,7 +470,8 @@ object PerceptualQueries {
   private[graft] def jpegLossyFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    graft.ops.Scans.spread(
+        table(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       def pixel(x: Int, y: Int): Int =
         (20 + (7 * x + 11 * y + 13 * ((x * y) % 5) + id % 97) % 200).toInt
       def quant(u: Int, v: Int): Int = (1 + (u + 2 * v + id) % 5).toInt
@@ -533,7 +540,8 @@ object PerceptualQueries {
   private[graft] def mixedMediaFixture(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    graft.ops.Scans.spread(
+        table(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       val g = id / 4
       val r = (id % 4).toInt
       val h32 = (g * 2654435761L) % 4294967296L

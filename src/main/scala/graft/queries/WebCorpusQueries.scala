@@ -645,6 +645,10 @@ object WebCorpusQueries {
     // pre-shaped (price → cents, timestamp → ISO string, which sorts
     // chronologically).
     QuerySpec("q140_profile",
+      // Scans.spread measured SLOWER here (1.40 -> 2.0-2.3 s, r19):
+      // the distinct-profile Expand emits near-distinct keys, so the
+      // single-task partial agg collapses everything pre-shuffle,
+      // while 32-way partials ship ~6x the bytes - left unspread
       (s, dir) => {
         val o = table(s, dir, "orders")
           .filter(col("o_orderkey") % 4 === 0)
